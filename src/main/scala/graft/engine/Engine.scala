@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session bootstrap — Spark-native analogue of the reference's global
+  * in-process engine connection (reference: src/duckdb/connection.rs:37-65).
+  *
+  * One SparkSession per JVM, tuned for the target profile: a large cluster
+  * reading ~100 TB of columnar data. Locally we run `local[N]`, but every
+  * default here is chosen to survive a 1000-executor deployment:
+  *   - AQE on (runtime shuffle-partition coalescing, skew-join splitting)
+  *   - shuffle partitions sized to cores locally; on a real cluster AQE
+  *     re-sizes from `advisoryPartitionSizeInBytes` so the static number is
+  *     only an upper bound
+  *   - UTC session timezone pinned (the oracle comparison assumes it)
+  */
+object Engine {
+
+  def defaultParallelism: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString).toInt
+
+  /** Apply engine defaults to a builder (shared by session(), Verify, Bench). */
+  def configure(b: SparkSession.Builder, cores: Int = defaultParallelism): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet stores INT64 TIMESTAMP(NANOS); Spark 4 rejects it
+      // unless read as raw nanos (Tables.load converts to micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  @volatile private var cached: SparkSession = _
+
+  /** The singleton session (reference keeps one global connection per backend). */
+  def session(master: String = s"local[$defaultParallelism]"): SparkSession = {
+    if (cached == null || cached.sparkContext.isStopped) synchronized {
+      if (cached == null || cached.sparkContext.isStopped) {
+        cached = configure(SparkSession.builder().master(master).appName("graft")).getOrCreate()
+        cached.sparkContext.setLogLevel("WARN")
+      }
+    }
+    cached
+  }
+
+  /** Run SQL on the engine — the `duckdb_execute` escape hatch
+    * (reference: src/api/duckdb.rs:27-29). */
+  def execute(sql: String): org.apache.spark.sql.DataFrame = session().sql(sql)
+
+  /** Cancel all running jobs in a group (reference: connection.rs:57-64
+    * interrupts the engine on SIGTERM/SIGINT). */
+  def cancel(group: String): Unit = session().sparkContext.cancelJobGroup(group)
+}

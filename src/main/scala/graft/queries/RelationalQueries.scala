@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The relational operator surface (SURVEY.md §2.2): scans, projection/filter
+  * pushdown, joins of every flavor, aggregation (hash/distinct/rollup),
+  * windows, sorts/top-k, set ops, scalar functions, subqueries, as-of join.
+  *
+  * Each query is declarative DataFrame/SQL so Catalyst plans it: filters and
+  * projections reach the parquet scan, small dimensions broadcast, partial
+  * aggregation is map-side. Built to hold shape at 100 TB: no collect(), no
+  * driver-side loops, joins keyed on the natural shuffle keys.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal view of a 2-dp price/rate column (see QueryDef.floatContract). */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumDec2(c: Column): Column = sum(dec2(c)).cast("double")
+  /** l_extendedprice * (1 - l_discount) — true value has 4 dp. */
+  private val discPrice: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")
+  private val charge: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+      .cast("decimal(18,6)")
+
+  // ---------------------------------------------------------------- q01
+  // Full-scan hash aggregation, TPC-H Q1 shape (reference surface: §2.2
+  // "Aggregations"). Map-side partial agg on 2 low-cardinality keys.
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sumDec2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sumDec2(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             sum(l_quantity) / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q02
+  // Projection + filter pushdown (reference §2.1 #5/#6): both must reach the
+  // parquet scan (PushedFilters / 4-column ReadSchema).
+  private val q02 = QueryDef(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_discount >= 0.05 AND l_quantity < 10"""))
+
+  // ---------------------------------------------------------------- q03
+  // 3-way join + agg + top-k, TPC-H Q3 shape. customer is the small side;
+  // orders⋈lineitem shuffles on orderkey. Top-k via TakeOrderedAndProject.
+  private val q03 = QueryDef(
+    "q03_top_revenue",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q04
+  // Semi join (EXISTS) + agg, TPC-H Q4 shape. left_semi avoids materializing
+  // the join — at scale this is a shuffle on orderkey then early-out probe.
+  private val q04 = QueryDef(
+    "q04_order_priority",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      o.join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q05
+  // 6-way snowflake join, TPC-H Q5 shape. region/nation broadcast; the
+  // customer-nation = supplier-nation predicate forces the classic co-located
+  // join on nationkey.
+  private val q05 = QueryDef(
+    "q05_region_revenue",
+    (s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name"""))
+
+  // ---------------------------------------------------------------- q06
+  // Single-pass filtered scan agg, TPC-H Q6 shape — the purest pushdown test:
+  // all three predicates reach the parquet row-group stats.
+  private val q06 = QueryDef(
+    "q06_revenue_delta",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue")),
+    Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- q07
+  // Broadcast dimension join (reference §2.2 "Joins"): nation⋈region is tiny
+  // and explicitly broadcast — zero shuffle on the fact side's build.
+  private val q07 = QueryDef(
+    "q07_region_customers",
+    (s, dir) => {
+      val dim = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      t(s, dir, "customer")
+        .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sumDec2(col("c_acctbal")).as("total_acctbal"))
+    },
+    Some("""
+      SELECT r_name, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM customer, nation, region
+      WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  // ---------------------------------------------------------------- q08
+  // Ranking window: top-3 orders per customer. row_number cast to BIGINT on
+  // both sides (Spark emits INT, DuckDB INT64).
+  private val q08 = QueryDef(
+    "q08_window_topn",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders) ranked
+      WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q09
+  // Running-total window over a unique total order (shipdate, orderkey,
+  // linenumber) — prefix sums of integral quantities are exact.
+  private val q09 = QueryDef(
+    "q09_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem"""))
+
+  // ---------------------------------------------------------------- q10
+  // lag/lead over event streams; timestamps compared as epoch micros (BIGINT)
+  // so the ns→µs truncation is identical on both sides.
+  private val q10 = QueryDef(
+    "q10_events_lag",
+    (s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("delta_us"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             lag(event_type, 1) OVER w AS prev_type,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS delta_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""))
+
+  // ---------------------------------------------------------------- q11
+  // Distinct aggregation (expand + two-phase distinct agg in Spark).
+  private val q11 = QueryDef(
+    "q11_distinct_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        countDistinct(concat_ws("|", col("l_returnflag"), col("l_linestatus")))
+          .as("flag_status_combos"),
+        count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT count(DISTINCT l_partkey) AS distinct_parts,
+             count(DISTINCT l_suppkey) AS distinct_supps,
+             count(DISTINCT concat_ws('|', l_returnflag, l_linestatus)) AS flag_status_combos,
+             count(*) AS n_rows
+      FROM lineitem"""))
+
+  // ---------------------------------------------------------------- q12
+  // ROLLUP grouping sets (reference §2.2 inherits via pushdown; Spark native).
+  private val q12 = QueryDef(
+    "q12_rollup_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // ---------------------------------------------------------------- q13
+  // GROUP BY + HAVING.
+  private val q13 = QueryDef(
+    "q13_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sumDec2(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 8),
+    Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 8"""))
+
+  // ---------------------------------------------------------------- q14
+  // Conditional aggregation over a fact⋈dim join, TPC-H Q14 shape.
+  private val q14 = QueryDef(
+    "q14_promo_share",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
+          sum(discPrice).cast("double").as("total_revenue"))
+    },
+    Some("""
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey"""))
+
+  // ---------------------------------------------------------------- q15
+  // Set operations; identical SQL text runs on both engines (standard
+  // precedence: INTERSECT binds tighter; parenthesized to be explicit).
+  private val q15Sql = """
+      SELECT custkey FROM (
+        (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION
+        (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -500
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      ) u"""
+  private val q15 = QueryDef(
+    "q15_set_ops",
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q15Sql) },
+    Some(q15Sql))
+
+  // ---------------------------------------------------------------- q16
+  // Scalar function surface: string/date/conditional kernels, all
+  // whole-stage-codegen'd in Spark (reference §2.2 "Scalar functions").
+  private val q16 = QueryDef(
+    "q16_scalar_funcs",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        when(col("o_totalprice") > 250000, "big").otherwise("small").as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open")),
+    Some("""
+      SELECT o_orderkey,
+             upper(o_orderpriority) AS pri_upper,
+             substr(o_orderpriority, 1, 1) AS pri_code,
+             CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+             date_trunc('month', o_orderdate) AS order_month,
+             CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri,
+             CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS size_class,
+             coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+      FROM orders"""))
+
+  // ---------------------------------------------------------------- q17
+  // Correlated-style scalar subquery (decorrelated to agg+join), TPC-H Q17
+  // shape: lines whose quantity is below 20% of their part's average.
+  private val q17 = QueryDef(
+    "q17_small_qty_revenue",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgQty = l.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("qty_lim"))
+      l.join(avgQty, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_lim"))
+        .agg((sumDec2(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    },
+    Some("""
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem,
+           (SELECT l_partkey AS pk, 0.2 * (sum(l_quantity) / count(*)) AS qty_lim
+            FROM lineitem GROUP BY l_partkey) t
+      WHERE l_partkey = pk AND l_quantity < qty_lim"""))
+
+  // ---------------------------------------------------------------- q18
+  // Anti join (NOT EXISTS): customers who never ordered.
+  private val q18 = QueryDef(
+    "q18_cust_no_orders",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  // ---------------------------------------------------------------- q19
+  // Semi-structured: JSON path extraction from the events.props string column
+  // (reference pins struct/list→JSON behavior, tests/tests/json.rs:272-393).
+  private val q19 = QueryDef(
+    "q19_json_extract",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events"""))
+
+  // ---------------------------------------------------------------- q20
+  // Time bucketing + multi-agg on the event stream (daily rollup).
+  private val q20 = QueryDef(
+    "q20_daily_events",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sumDec2(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users")),
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- q21
+  // ORDER BY + LIMIT top-k → TakeOrderedAndProject (no global sort at scale).
+  private val q21 = QueryDef(
+    "q21_topk_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(15),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 15"""))
+
+  // ---------------------------------------------------------------- q22
+  // AS-OF join — an operator Spark lacks natively (SURVEY §2 mapping:
+  // compose built-ins). Implemented shuffle-once: tag both streams, union,
+  // and carry the last click timestamp forward with an ignoreNulls last()
+  // window — O(n log n) per user partition, no range cross-join. DuckDB's
+  // native ASOF JOIN is the oracle.
+  private val q22 = QueryDef(
+    "q22_asof_join",
+    (s, dir) => {
+      val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+          col("event_id"), col("ts_us").as("click_ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("click_ts_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_us", last(col("click_ts_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_click_us").as("click_ts_us"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(c.ts) AS click_ts_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+
+  val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+}

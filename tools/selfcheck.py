@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name> parquet (Spark result), runs <outDir>/oracle_sql.json
+in DuckDB over the sfDir tables, sorts columns by name + rows by all columns,
+and compares values exactly (with a small report of diffs)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # canonicalize dtypes for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            results[name] = "MISSING_SPARK_OUTPUT"; continue
+        files = glob.glob(os.path.join(spark_path, "*.parquet"))
+        try:
+            sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        except Exception as e:
+            results[name] = f"SPARK_READ_FAIL: {e}"; continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_FAIL: {str(e)[:200]}"; continue
+        s, o = norm(sdf), norm(odf)
+        if list(s.columns) != list(o.columns):
+            results[name] = f"COLS: spark={list(s.columns)} oracle={list(o.columns)}"; continue
+        if len(s) != len(o):
+            results[name] = f"ROWS: spark={len(s)} oracle={len(o)}"; continue
+        bad = []
+        for c in s.columns:
+            a, b = s[c].values, o[c].values
+            if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(o[c].dtype, np.floating):
+                af = pd.to_numeric(s[c], errors="coerce").values.astype(float)
+                bf = pd.to_numeric(o[c], errors="coerce").values.astype(float)
+                an, bn = np.isnan(af), np.isnan(bf)
+                eq = (an & bn) | (af == bf)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. row{i} {af[i]!r}!={bf[i]!r}")
+            else:
+                sa = s[c].astype(str).values; sb = o[c].astype(str).values
+                eq = sa == sb
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. row{i} {sa[i]!r}!={sb[i]!r}")
+        results[name] = "OK ({} rows)".format(len(s)) if not bad else "VALUES: " + "; ".join(bad[:3])
+    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    for name, v in sorted(results.items()):
+        print(("PASS " if v.startswith("OK") else "FAIL ") + name + ": " + v)
+    print(f"\n{npass}/{len(results)} queries pass")
+    sys.exit(0 if npass == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
