@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for large-scale training-data pipelines: tokenizing,
+  * counting, fingerprinting, language-ID, quality scoring.
+  *
+  * Everything here is a pure Column expression (whole-stage codegen'd — no
+  * UDFs), so it runs at scan speed and survives a 100 TB fan-out: each doc is
+  * processed independently, no shuffle until the caller aggregates.
+  *
+  * Cross-engine determinism: every kernel is also expressible in ANSI/DuckDB
+  * SQL with identical results (the oracle queries in PipelineQueries mirror
+  * these formulas 1:1).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. Same regex semantics in Java and RE2. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-ish token count (BIGINT to match DuckDB len()). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: greedy chunks of ≤4 letters, digit runs, or single
+    * non-alphanumeric glyphs — a deterministic proxy for a real tokenizer's
+    * piece count (the actual BPE vocab isn't in this container). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set. Catches bag-of-words duplicates that exact hashing misses. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Stopword vocabularies for the n-gram language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
+
+  private def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
+
+  /** Language-ID: argmax of per-language stopword hit counts over the token
+    * stream, ties broken by language-code order ('und' when no marker hits).
+    * A real deployment swaps the marker lists for char-n-gram profiles; the
+    * plumbing (tokenize → score → argmax) is the operator under test. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerScore(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language in code order achieving the max, only if max > 0
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality components: token count, unique-token ratio, mean token length,
+    * alpha-character ratio. Single divisions only — deterministic doubles. */
+  def qualityColumns(text: Column, nChars: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val nAlpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("long")
+    Seq(
+      "n_tokens" -> nTok,
+      "uniq_ratio" -> (nUniq.cast("double") / nTok),
+      "avg_token_len" -> (sumLen.cast("double") / nTok),
+      "alpha_ratio" -> (nAlpha.cast("double") / nChars))
+  }
+}

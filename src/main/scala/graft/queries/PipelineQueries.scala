@@ -1,7 +1,222 @@
 package graft.queries
 
-/** LLM-training-data pipeline operators (dedup, similarity, text analysis).
-  * Filled in incrementally; see graft.operators.* for the implementations. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators as first-class engine queries
+  * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding cosine), similarity search (brute-force +
+  * IVF), text analysis (lang-ID, quality, token stats, fingerprints).
+  *
+  * DuckDB oracles replicate the exact arithmetic (md5-derived hashes,
+  * sequential double folds), so even float outputs hash-match. */
 object PipelineQueries {
-  val all: Seq[QueryDef] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Shared oracle CTE: lowercased alphanumeric tokens per doc. */
+  private val toksCte =
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents)"
+
+  /** Shared oracle CTE chain: long-format 16-seed minhash over 3-token
+    * shingles (mirrors Dedup.minhash). */
+  private val minhashCte = s"""
+      WITH $toksCte,
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+      sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
+      seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh),
+      sig AS (SELECT doc_id, seed, min(md5(concat_ws(':', seed, shingle))) AS minh
+              FROM seeded GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+                FROM sig GROUP BY doc_id, seed // 4),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+
+  // ---------------------------------------------------------------- d01
+  private val d01 = QueryDef(
+    "d01_dedup_exact",
+    (s, dir) => Dedup.exactMark(docs(s, dir), "text", "doc_id"),
+    Some("""
+      SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS keeper
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- d02
+  private val d02 = QueryDef(
+    "d02_minhash_signature",
+    (s, dir) => Dedup.minhash(docs(s, dir), "text", "doc_id"),
+    Some(s"""$minhashCte
+      SELECT doc_id, seed, minh FROM sig"""))
+
+  // ---------------------------------------------------------------- d03
+  private val d03 = QueryDef(
+    "d03_lsh_candidate_pairs",
+    (s, dir) => Dedup.candidatePairs(
+      Dedup.bandSignatures(Dedup.minhash(docs(s, dir), "text", "doc_id"), "doc_id"), "doc_id"),
+    Some(s"""$minhashCte
+      SELECT doc_a, doc_b FROM pairs"""))
+
+  // ---------------------------------------------------------------- d04
+  private val d04 = QueryDef(
+    "d04_simhash",
+    (s, dir) => Dedup.simhash16(docs(s, dir), "text", "doc_id"),
+    Some("""
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM tok),
+      bits AS (SELECT doc_id, h32, unnest(generate_series(0, 15)) AS bit FROM h),
+      sums AS (SELECT doc_id, bit, sum(CASE WHEN (h32 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM bits GROUP BY doc_id, bit)
+      SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id"""))
+
+  // ---------------------------------------------------------------- d05
+  private val d05 = QueryDef(
+    "d05_jaccard_verify",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandSignatures(Dedup.minhash(d, "text", "doc_id"), "doc_id"), "doc_id")
+      Dedup.jaccardOnPairs(pairs, d, "text", "doc_id")
+    },
+    Some(s"""$minhashCte,
+      shsets AS (SELECT doc_id, list_distinct(list(shingle)) AS dtk FROM sh GROUP BY doc_id)
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(a.dtk, b.dtk))::DOUBLE
+               / (len(a.dtk) + len(b.dtk) - len(list_intersect(a.dtk, b.dtk))) AS jaccard
+      FROM pairs p JOIN shsets a ON p.doc_a = a.doc_id JOIN shsets b ON p.doc_b = b.doc_id"""))
+
+  // ---------------------------------------------------------------- d06
+  private val d06 = QueryDef(
+    "d06_embedding_neardup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val cos = Similarity.cosine("ea", "eb")
+      a.join(b, col("vec_b") === col("vec_a") + 1)
+        .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"), (cos > 0.95).as("near_dup"))
+    },
+    Some(s"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos_sim,
+             ${Similarity.cosineSql("a.embedding", "b.embedding")} > 0.95 AS near_dup
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"""))
+
+  // ---------------------------------------------------------------- s01
+  private val s01 = QueryDef(
+    "s01_ann_bruteforce_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.bruteForceTopK(queries, candidates, 10)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      scored AS (SELECT q_id, vec_id, ${Similarity.cosineSql("qv", "cv")} AS cos_sim FROM q, c),
+      ranked AS (SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
+                 FROM scored)
+      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
+
+  // ---------------------------------------------------------------- s02
+  // IVF ANN: centroid averaging is float-order-dependent → Spark-only
+  // (driver records a rows-only check).
+  private val s02 = QueryDef(
+    "s02_ann_ivf_topk",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.ivfTopK(queries, candidates, 10)
+    },
+    None)
+
+  // ---------------------------------------------------------------- t01
+  private val t01 = QueryDef(
+    "t01_token_stats",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("n_uniq"),
+      TextOps.bpeishCount(col("text")).as("n_bpeish")),
+    Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq,
+             len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]')) AS n_bpeish
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- t02
+  private val t02 = QueryDef(
+    "t02_fingerprint",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+    },
+    Some("""
+      SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+      FROM (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp
+            FROM documents) f"""))
+
+  // ---------------------------------------------------------------- t03
+  private val t03 = QueryDef(
+    "t03_langid",
+    (s, dir) => docs(s, dir).select(
+      col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang")),
+    Some {
+      val scores = TextOps.langMarkers.map { case (lang, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(tk, t -> t IN ($set))) AS s_$lang"
+      }.mkString(",\n             ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""
+      WITH $toksCte,
+      scored AS (SELECT doc_id, lang, $scores FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents) x),
+      withbest AS (SELECT *, $best AS best FROM scored)
+      SELECT doc_id, lang, CASE $pick ELSE 'und' END AS pred_lang FROM withbest"""
+    })
+
+  // ---------------------------------------------------------------- t04
+  private val t04 = QueryDef(
+    "t04_quality_score",
+    (s, dir) => {
+      val cols = TextOps.qualityColumns(col("text"), col("n_chars"))
+      val m = cols.toMap
+      docs(s, dir).select(
+        Seq(col("doc_id")) ++ cols.map { case (n, c) => c.as(n) } ++ Seq(
+          (lit(0.4) * m("uniq_ratio")
+            + lit(0.3) * least(m("avg_token_len") / 8.0, lit(1.0))
+            + lit(0.3) * m("alpha_ratio")).as("quality")): _*)
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, n_chars,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+        FROM documents),
+      c AS (SELECT doc_id,
+                   len(tk) AS n_tokens,
+                   len(list_distinct(tk))::DOUBLE / len(tk) AS uniq_ratio,
+                   list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b)::DOUBLE / len(tk) AS avg_token_len,
+                   n_alpha::DOUBLE / n_chars AS alpha_ratio
+            FROM base)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, uniq_ratio, avg_token_len, alpha_ratio,
+             0.4 * uniq_ratio + 0.3 * least(avg_token_len / 8.0, 1.0) + 0.3 * alpha_ratio AS quality
+      FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, t01, t02, t03, t04)
 }
