@@ -1,0 +1,79 @@
+package graft.catalog
+
+/** Format registry — the Spark analogue of the reference's FDW-handler-name →
+  * format dispatch (reference: src/fdw/handler.rs:20-71) and its per-format
+  * option enums (src/duckdb/{parquet,csv,json,delta,iceberg,spatial}.rs).
+  *
+  * Each format declares its valid/required option keys; `Catalog.attach`
+  * validates with the reference's error shape (unknown option → error listing
+  * the valid ones, src/fdw/base.rs:198-214).
+  */
+object Formats {
+
+  final case class FormatSpec(
+      name: String,
+      validOptions: Set[String],
+      requiredOptions: Set[String],
+      /** false when the needed connector jars are absent in this deployment
+        * (mirrors the reference's lazy INSTALL failing offline,
+        * src/duckdb/connection.rs:130-142). */
+      available: Boolean = true)
+
+  /** Options shared by every file format (post-read behaviors). */
+  val commonOptions: Set[String] = Set(
+    "files", "select", "filename", "file_row_number", "preserve_casing",
+    "union_by_name", "hive_partitioning", "hive_types", "hive_types_autocast")
+
+  val parquet: FormatSpec = FormatSpec(
+    "parquet",
+    commonOptions ++ Set("binary_as_string"),
+    Set("files"))
+
+  val csv: FormatSpec = FormatSpec(
+    "csv",
+    commonOptions ++ Set(
+      "delim", "quote", "escape", "header", "columns", "types", "names",
+      "nullstr", "dateformat", "timestampformat", "compression", "sample_size",
+      "skip", "max_line_size", "new_line", "ignore_errors", "all_varchar",
+      "null_padding", "normalize_names", "auto_detect", "auto_type_candidates",
+      "decimal_separator", "allow_quoted_nulls", "force_not_null", "parallel"),
+    Set("files"))
+
+  val json: FormatSpec = FormatSpec(
+    "json",
+    commonOptions ++ Set(
+      "format", "records", "maximum_depth", "maximum_object_size",
+      "convert_strings_to_integers", "dateformat", "timestampformat",
+      "compression", "columns", "auto_detect", "sample_size", "ignore_errors"),
+    Set("files"))
+
+  // Connector jars are not present in /opt/spark/jars (offline container);
+  // the format keys exist so a deployment with the jars flips `available`.
+  val delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"), available = jarPresent("delta"))
+  val iceberg: FormatSpec = FormatSpec(
+    "iceberg",
+    commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
+    Set("files"), available = jarPresent("iceberg"))
+
+  val spatial: FormatSpec = FormatSpec(
+    "spatial",
+    commonOptions ++ Set("layer", "sequential_layer_scan", "spatial_filter",
+      "open_options", "allowed_drivers", "sibling_files", "spatial_filter_box", "keep_wkb"),
+    Set("files"))
+
+  val all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)
+    .map(f => f.name -> f).toMap
+
+  private def jarPresent(marker: String): Boolean = {
+    val dir = new java.io.File("/opt/spark/jars")
+    dir.isDirectory && dir.listFiles().exists(_.getName.toLowerCase.contains(marker))
+  }
+
+  final case class UnknownFormatException(name: String) extends IllegalArgumentException(
+    s"unknown format `$name`; valid formats: ${all.keys.toSeq.sorted.mkString(", ")}")
+  final case class UnsupportedFormatException(name: String) extends UnsupportedOperationException(
+    s"format `$name` requires connector jars not present in this deployment")
+
+  def apply(name: String): FormatSpec =
+    all.getOrElse(name.toLowerCase, throw UnknownFormatException(name))
+}

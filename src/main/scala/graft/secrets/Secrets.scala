@@ -1,0 +1,99 @@
+package graft.secrets
+
+import org.apache.spark.sql.SparkSession
+
+/** Credential option sets → Hadoop filesystem configuration.
+  *
+  * The reference turns user-mapping options into engine `CREATE SECRET`
+  * statements (reference: src/duckdb/secret.rs:24-217). Spark's analogue is
+  * Hadoop conf: `fs.s3a.*` for S3/R2/MinIO, `fs.gs.*` for GCS, `fs.azure.*`
+  * for Azure. `scope` becomes per-bucket configuration
+  * (`fs.s3a.bucket.<bucket>.*`), the standard way to hold many credentials
+  * in one session — exactly the reference's SCOPE semantics.
+  *
+  * Pure function (options → conf map) so it is unit-testable offline; the
+  * connector jars themselves are absent in this container (capability-gated,
+  * see graft.catalog.Formats).
+  */
+object Secrets {
+
+  final case class InvalidSecretException(msg: String) extends IllegalArgumentException(msg)
+
+  /** Valid option keys per secret type (mirrors the reference's enum). */
+  val validOptions: Map[String, Set[String]] = Map(
+    "s3" -> Set("type", "key_id", "secret", "region", "session_token", "endpoint",
+      "url_style", "use_ssl", "url_compatibility_mode", "scope", "provider", "chain"),
+    "r2" -> Set("type", "key_id", "secret", "account_id", "scope", "provider"),
+    "gcs" -> Set("type", "key_id", "secret", "scope", "provider"),
+    "azure" -> Set("type", "connection_string", "account_name", "tenant_id", "client_id",
+      "client_secret", "client_certificate_path", "http_proxy", "proxy_user_name",
+      "proxy_password", "chain", "scope", "provider"))
+
+  /** Options → Hadoop conf entries. Fails on unknown/missing options with the
+    * reference's error shape (list the valid ones). */
+  def toHadoopConf(options: Map[String, String]): Map[String, String] = {
+    val typ = options.getOrElse("type",
+      throw InvalidSecretException("secret option `type` is required (s3|r2|gcs|azure)"))
+      .toLowerCase
+    val valid = validOptions.getOrElse(typ,
+      throw InvalidSecretException(
+        s"unsupported secret type `$typ`; valid types: ${validOptions.keys.toSeq.sorted.mkString(", ")}"))
+    options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>
+      throw InvalidSecretException(
+        s"invalid secret option `$k` for type `$typ`; valid options: ${valid.toSeq.sorted.mkString(", ")}")
+    }
+    val scopePrefix = options.get("scope").map(bucketPrefix(typ, _))
+    def key(base: String): String = scopePrefix match {
+      case Some(p) => p + base
+      case None => prefixFor(typ) + base
+    }
+    typ match {
+      case "s3" | "r2" =>
+        val base = Seq(
+          options.get("key_id").map(v => key("access.key") -> v),
+          options.get("secret").map(v => key("secret.key") -> v),
+          options.get("session_token").map(v => key("session.token") -> v),
+          options.get("region").map(v => key("endpoint.region") -> v),
+          options.get("endpoint").map(v => key("endpoint") -> v),
+          options.get("url_style").map(v => key("path.style.access") -> (v == "path").toString),
+          options.get("use_ssl").map(v => key("connection.ssl.enabled") -> v)).flatten
+        val r2 = if (typ == "r2") options.get("account_id").toSeq.map(a =>
+          key("endpoint") -> s"https://$a.r2.cloudflarestorage.com") else Seq()
+        (base ++ r2).toMap
+      case "gcs" =>
+        Seq(
+          options.get("key_id").map(v => "fs.gs.auth.access.key" -> v),
+          options.get("secret").map(v => "fs.gs.auth.secret.key" -> v)).flatten.toMap
+      case "azure" =>
+        Seq(
+          options.get("connection_string").map(v => "fs.azure.connection.string" -> v),
+          options.get("account_name").map(v => "fs.azure.account.name" -> v),
+          options.get("client_id").map(v => "fs.azure.account.oauth2.client.id" -> v),
+          options.get("client_secret").map(v => "fs.azure.account.oauth2.client.secret" -> v),
+          options.get("tenant_id").map(v => "fs.azure.account.oauth2.tenant.id" -> v)).flatten.toMap
+    }
+  }
+
+  private def prefixFor(typ: String): String = typ match {
+    case "s3" | "r2" => "fs.s3a."
+    case "gcs" => "fs.gs."
+    case "azure" => "fs.azure."
+  }
+
+  /** SCOPE 's3://bucket/...' → per-bucket conf prefix fs.s3a.bucket.<b>. */
+  private def bucketPrefix(typ: String, scope: String): String = {
+    val bucket = scope.stripPrefix("s3://").stripPrefix("r2://").stripPrefix("gs://")
+      .stripPrefix("azure://").takeWhile(_ != '/')
+    if (bucket.isEmpty) throw InvalidSecretException(s"cannot parse bucket from scope `$scope`")
+    typ match {
+      case "s3" | "r2" => s"fs.s3a.bucket.$bucket."
+      case _ => prefixFor(typ) // gcs/azure: no per-bucket conf convention; global
+    }
+  }
+
+  /** Apply a secret to the live session's Hadoop configuration. */
+  def apply(spark: SparkSession, options: Map[String, String]): Unit =
+    toHadoopConf(options).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+}

@@ -1,0 +1,155 @@
+package graft.sqlapi
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** SQL utility surface: EXPLAIN styles, PREPARE/EXECUTE/DEALLOCATE, and
+  * engine introspection (reference: src/hooks/utility and src/api modules).
+  */
+object SqlApi {
+
+  // ------------------------------------------------------------ EXPLAIN
+  /** Two explain styles, mirroring `EXPLAIN (STYLE pg|duckdb)` (reference:
+    * src/hooks/utility/explain.rs:39-155): "pg" → one-line scan summary
+    * (+ wall-clock when analyze), "duckdb" → the engine's full plan
+    * (Spark formatted mode; analyze adds timing). */
+  def explain(spark: SparkSession, sql: String, style: String = "pg",
+      analyze: Boolean = false): String = {
+    val df = spark.sql(sql)
+    val timing =
+      if (analyze) {
+        val t0 = System.nanoTime()
+        df.count() // execute once for wall-clock, like EXPLAIN ANALYZE
+        val ms = (System.nanoTime() - t0) / 1e6
+        f"%nExecution Time: $ms%.3f ms"
+      } else ""
+    style.toLowerCase match {
+      case "pg" | "postgres" => s"Engine Scan: ${sql.trim}$timing"
+      case "duckdb" | "engine" | "formatted" =>
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode) + timing
+      case other => throw new IllegalArgumentException(
+        s"unrecognized EXPLAIN style `$other`; valid: pg, postgres, duckdb")
+    }
+  }
+
+  // ------------------------------------- PREPARE / EXECUTE / DEALLOCATE
+  /** Session-scoped prepared-statement registry (reference:
+    * src/hooks/utility/prepare.rs:27-119). Statements are stored as SQL
+    * text and re-planned at EXECUTE, so name resolution tracks the current
+    * catalog state — the reference's replan-on-search_path-change semantics
+    * (tests/tests/scan.rs:600-650). $1-style parameters are rewritten to
+    * Spark positional markers. */
+  final class PreparedStatements {
+    private val stmts = mutable.Map[String, String]()
+
+    final case class NoSuchStatement(name: String) extends IllegalArgumentException(
+      s"prepared statement `$name` does not exist")
+
+    def prepare(name: String, sql: String): Unit = stmts(name) = sql
+
+    def execute(spark: SparkSession, name: String, args: Seq[Any] = Seq.empty): DataFrame = {
+      val sql = stmts.getOrElse(name, throw NoSuchStatement(name))
+      val positional = sql.replaceAll("\\$\\d+", "?")
+      if (args.isEmpty) spark.sql(positional)
+      else spark.sql(positional, args.toArray)
+    }
+
+    def deallocate(name: String): Unit =
+      if (stmts.remove(name).isEmpty) throw NoSuchStatement(name)
+
+    def deallocateAll(): Unit = stmts.clear()
+    def names: Seq[String] = stmts.keys.toSeq.sorted
+  }
+
+  def newPreparedRegistry(): PreparedStatements = new PreparedStatements
+
+  // ------------------------------------------------------- introspection
+  /** Engine settings as a table (reference: duckdb_settings(),
+    * src/api/duckdb.rs:33-66). */
+  def settings(spark: SparkSession): DataFrame = {
+    val rows = spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) =>
+      Row(k, v, "", "VARCHAR", "GLOBAL")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType), StructField("value", StringType),
+        StructField("description", StringType), StructField("input_type", StringType),
+        StructField("scope", StringType))))
+  }
+
+  /** Registered formats and their availability (reference:
+    * duckdb_extensions(), src/api/duckdb.rs:70-124). */
+  def extensions(spark: SparkSession): DataFrame = {
+    val rows = graft.catalog.Formats.all.values.toSeq.sortBy(_.name).map { f =>
+      Row(f.name, f.available, f.validOptions.toSeq.sorted.mkString(","))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("extension_name", StringType), StructField("loaded", BooleanType),
+        StructField("options", StringType))))
+  }
+
+  /** Physical parquet footer schema (reference: parquet_schema(),
+    * src/api/parquet.rs:74-146): one row per leaf with physical type,
+    * repetition, logical type, precision/scale, field id. Reads footers via
+    * parquet-hadoop (on the Spark classpath). */
+  def parquetSchema(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = if (fs.getFileStatus(new Path(path)).isDirectory)
+      fs.listStatus(new Path(path)).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+    else Seq(new Path(path))
+    val rows = files.flatMap { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        schema.getColumns.asScala.map { cd =>
+          val pt = cd.getPrimitiveType
+          Row(
+            p.toString,
+            cd.getPath.mkString("."),
+            pt.getPrimitiveTypeName.toString,
+            pt.getRepetition.toString,
+            Option(pt.getLogicalTypeAnnotation).map(_.toString).orNull,
+            if (pt.getDecimalMetadata != null) pt.getDecimalMetadata.getScale else 0,
+            if (pt.getDecimalMetadata != null) pt.getDecimalMetadata.getPrecision else 0,
+            pt.getId match { case null => null; case id => id.intValue() })
+        }
+      } finally reader.close()
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("file_name", StringType), StructField("name", StringType),
+        StructField("type", StringType), StructField("repetition_type", StringType),
+        StructField("logical_type", StringType), StructField("scale", IntegerType),
+        StructField("precision", IntegerType), StructField("field_id", IntegerType))))
+  }
+
+  /** Logical schema description (reference: parquet_describe(),
+    * src/api/parquet.rs:53-71): (column_name, column_type, null). */
+  def parquetDescribe(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val rows = schema.fields.toSeq.map { f =>
+      Row(f.name, graft.types.TypeMap.toEngineName(f.dataType),
+        if (f.nullable) "YES" else "NO")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column_name", StringType), StructField("column_type", StringType),
+        StructField("null", StringType))))
+  }
+
+  /** Escape hatch: run any SQL on the engine (reference: duckdb_execute(),
+    * src/api/duckdb.rs:27-29). */
+  def execute(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("tokens/fingerprint are deterministic and order-insensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello world foo"), (2L, "foo WORLD hello")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1)) // same bag of words → same fingerprint
+  }
+
+  test("simhash of similar docs is closer than dissimilar (hamming)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark query engine fast scan filter"),
+      (2L, "spark query engine fast scan merge"),
+      (3L, "zebra yak xylophone walrus vulture")).toDF("doc_id", "text")
+    val hs = Dedup.simhash16(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)))
+  }
+
+  test("minhash signature has k rows per doc with >=3 tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "just two"), (3L, "one")).toDF("doc_id", "text")
+    val sig = Dedup.minhash(df, "text", "doc_id", k = 8)
+    val counts = sig.groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === 8)
+    assert(!counts.contains(2L)) // <3 tokens → no shingles → no signature
+  }
+
+  test("lsh candidates find the planted near-dups and verify by jaccard") {
+    val sig = Dedup.minhash(docs, "text", "doc_id")
+    val pairs = Dedup.candidatePairs(Dedup.bandSignatures(sig, "doc_id"), "doc_id")
+    val verified = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
+    val rows = verified.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.5)) // candidates are true near-dups
+  }
+
+  test("exact dedup marks one keeper per hash group") {
+    val marked = Dedup.exactMark(docs, "text", "doc_id")
+    val keepers = marked.filter(col("keeper")).count()
+    val groups = marked.select("h").distinct().count()
+    assert(keepers === groups)
+  }
+
+  test("cosine is exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val cos = df.select(Similarity.cosine("a", "b")).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0)) < 1e-15)
+    assert(math.abs(cos(1) - 1.0) < 1e-15)
+  }
+
+  test("brute-force topk returns k ranked neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val res = Similarity.bruteForceTopK(queries, emb.filter(col("vec_id") >= 2), 5).collect()
+    assert(res.length === 10)
+    val ranks = res.filter(_.getLong(0) == 0L).map(_.getLong(2)).sorted
+    assert(ranks.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("ivf topk agrees with brute force on the probed cell's members") {
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val res = Similarity.ivfTopK(queries, emb.filter(col("vec_id") >= 2), 5)
+    assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) === 5))
+  }
+
+  test("langId returns a code from the marker set") {
+    val preds = docs.select(TextOps.langId(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val valid = TextOps.langMarkers.map(_._1).toSet + "und"
+    assert(preds.subsetOf(valid))
+  }
+
+  test("asof semantics: purchase matches latest prior click") {
+    import spark.implicits._
+    // composed from the q22 building blocks on a tiny frame
+    val e = Seq(
+      (1L, 100L, "click"), (2L, 200L, "purchase"), (3L, 150L, "click"),
+      (4L, 50L, "purchase")).toDF("event_id", "ts_us", "event_type")
+      .withColumn("user_id", lit(7L))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"), col("event_id"),
+        col("ts_us").as("click_ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("click_ts_us"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click_ts_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("last_click")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L) === Some(150L)) // purchase@200 ← click@150
+    assert(out(4L) === None)       // purchase@50: no prior click
+  }
+}

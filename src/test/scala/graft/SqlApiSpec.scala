@@ -1,0 +1,95 @@
+package graft
+
+import graft.sqlapi.{SniffCsv, SqlApi}
+
+class SqlApiSpec extends SparkSpec {
+
+  test("explain pg style summarizes; analyze adds wall-clock") {
+    Tables.registerAll(spark, sf)
+    val plain = SqlApi.explain(spark, "SELECT count(*) FROM lineitem", "pg")
+    assert(plain.startsWith("Engine Scan:"))
+    assert(!plain.contains("Execution Time"))
+    val analyzed = SqlApi.explain(spark, "SELECT count(*) FROM lineitem", "pg", analyze = true)
+    assert(analyzed.contains("Execution Time"))
+  }
+
+  test("explain duckdb style returns the full physical plan") {
+    Tables.registerAll(spark, sf)
+    val out = SqlApi.explain(spark, "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1", "duckdb")
+    assert(out.contains("Physical Plan"))
+    assert(out.contains("HashAggregate"))
+  }
+
+  test("unknown explain style errors") {
+    intercept[IllegalArgumentException] { SqlApi.explain(spark, "SELECT 1", "verbose") }
+  }
+
+  test("prepare/execute/deallocate with $n parameters") {
+    Tables.registerAll(spark, sf)
+    val reg = SqlApi.newPreparedRegistry()
+    reg.prepare("q", "SELECT count(*) AS n FROM lineitem WHERE l_quantity > $1")
+    val n10 = reg.execute(spark, "q", Seq(10)).head().getLong(0)
+    val n40 = reg.execute(spark, "q", Seq(40)).head().getLong(0)
+    assert(n10 > n40)
+    reg.deallocate("q")
+    intercept[IllegalArgumentException] { reg.execute(spark, "q", Seq(1)) }
+  }
+
+  test("execute re-resolves names at execute time (reference semantics)") {
+    val reg = SqlApi.newPreparedRegistry()
+    spark.range(3).toDF("x").createOrReplaceTempView("swap_t")
+    reg.prepare("p", "SELECT count(*) AS n FROM swap_t")
+    assert(reg.execute(spark, "p").head().getLong(0) === 3)
+    spark.range(7).toDF("x").createOrReplaceTempView("swap_t")
+    assert(reg.execute(spark, "p").head().getLong(0) === 7)
+  }
+
+  test("settings() exposes conf as a table") {
+    val df = SqlApi.settings(spark)
+    assert(df.columns.toSeq === Seq("name", "value", "description", "input_type", "scope"))
+    assert(df.count() > 0)
+  }
+
+  test("extensions() lists formats with availability") {
+    val rows = SqlApi.extensions(spark).collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows("parquet"))
+    assert(rows.contains("delta") && rows.contains("iceberg"))
+  }
+
+  test("parquet_schema reads footer physical types") {
+    val df = SqlApi.parquetSchema(spark, s"$sf/lineitem.parquet")
+    val byName = df.collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(byName("l_orderkey") === "INT64")
+    assert(byName("l_returnflag") === "BINARY")
+    assert(byName("l_quantity") === "DOUBLE")
+  }
+
+  test("parquet_describe shows engine-visible logical types") {
+    val df = SqlApi.parquetDescribe(spark, s"$sf/lineitem.parquet")
+    val byName = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName("l_orderkey") === "bigint")
+    assert(byName("l_returnflag") === "text")
+  }
+
+  test("sniff_csv detects dialect") {
+    val dir = tempDir("sniff")
+    val p = writeText(dir, "data.csv",
+      "id;name;score\n1;alice;1.5\n2;bob;2.25\n3;carol;3.75\n")
+    val d = SniffCsv.sniff(spark, p)
+    assert(d.delimiter === ";")
+    assert(d.hasHeader)
+    assert(d.columns.map(_._1) === Seq("id", "name", "score"))
+    assert(d.columns.toMap.apply("score") === "DOUBLE")
+    val df = SniffCsv.sniffDf(spark, p)
+    assert(df.columns.contains("user_arguments"))
+    assert(df.head().getBoolean(5)) // has_header
+  }
+
+  test("sniff_csv on headerless tab-separated data") {
+    val dir = tempDir("sniff2")
+    val p = writeText(dir, "raw.tsv", "1\t2.5\tx\n2\t3.5\ty\n3\t4.5\tz\n")
+    val d = SniffCsv.sniff(spark, p)
+    assert(d.delimiter === "\t")
+    assert(!d.hasHeader)
+  }
+}
