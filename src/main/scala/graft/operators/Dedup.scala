@@ -32,41 +32,88 @@ object Dedup {
       .select(col(idCol), col("h"), col("keeper"))
   }
 
-  /** 3-token shingles of the lowercased alphanumeric token stream.
+  /** 3-token shingles from an already-materialized token array column.
     * Docs with <3 tokens produce no shingles (guarded: Spark's sequence()
-    * counts DOWN when start>stop, which would fabricate shingles). */
-  def shingles(text: Column): Column = {
-    val tk = TextOps.tokens(text)
+    * counts DOWN when start>stop, which would fabricate shingles).
+    *
+    * IMPORTANT: pass a bound column, not an expression — Spark does no
+    * common-subexpression elimination inside higher-order-function lambdas,
+    * so an inline regexp_extract_all here would re-tokenize the document for
+    * every element access (measured 5× slowdown on the minhash pipeline). */
+  def shinglesFromTokens(tk: Column): Column =
     when(size(tk) >= 3,
       transform(sequence(lit(1), size(tk) - 2),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
       .otherwise(array())
-  }
 
-  /** Long-format MinHash signature over 3-token shingles: one row per
-    * (doc, seed) with the lexicographic min of md5("<seed>:<shingle>") —
-    * k seeds, one shuffle on (doc, seed).
+  /** (id, shingle) rows for a document frame: tokenize once per doc, then
+    * explode the shingle list. */
+  def shingled(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(shinglesFromTokens(col("tk"))).as("shingle"))
+
+  /** Convenience single-expression form (tokenizes inline — see the CSE note
+    * on shinglesFromTokens; fine for one-shot use, not in exploded paths). */
+  def shingles(text: Column): Column = shinglesFromTokens(TextOps.tokens(text))
+
+  /** Mersenne-prime modulus and the fixed permutation coefficients for the
+    * k=16 MinHash family h_i(x) = (a_i·x + b_i) mod P. One base hash per
+    * shingle (15 hex chars of md5 → 60-bit int → mod P), then k cheap integer
+    * permutations — 16× fewer cryptographic hashes than hashing per seed, and
+    * the whole signature folds in ONE groupBy pass with k min() aggregates
+    * (no seed explosion, no extra shuffle). a_i·x < 2^62 so int64 never
+    * overflows; identical arithmetic in any engine. */
+  val P: Long = 2147483647L
+  val coeffs: Seq[(Long, Long)] = Seq(
+    (1686629717L, 908491823L), (1323398911L, 711135911L), (2038074743L, 183463627L),
+    (1556483717L, 529499939L), (1847591057L, 374671411L), (1203979907L, 989839441L),
+    (1934295743L, 62089911L), (1724301871L, 848193737L), (1449123287L, 252584339L),
+    (2106945553L, 711619259L), (1835910257L, 421234817L), (1285719577L, 932217103L),
+    (1747591151L, 133999627L), (1909372319L, 587882411L), (1398741641L, 778614131L),
+    (2071829629L, 314159257L))
+
+  /** 60-bit base hash of a shingle, reduced mod P (both engines: 15 hex chars
+    * of md5 parsed as an integer). */
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
+
+  /** Wide MinHash signature over 3-token shingles: (id, m0..m{k-1}) in a
+    * single aggregation pass.
     *
     * Shingles (not unigrams) are the right granularity when the vocabulary is
     * small relative to doc length: unigram token sets then have pathological
     * mutual Jaccard (~0.7 median on the test corpus → candidate blow-up),
     * while the shingle space is |V|³ and random-pair similarity collapses to
     * ~0 with true near-dups at ~0.98. */
-  def minhash(df: DataFrame, textCol: String, idCol: String, k: Int = 16): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
-      .select(col(idCol), col("shingle"),
-        explode(sequence(lit(0L), lit((k - 1).toLong))).as("seed"))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat_ws(":", col("seed").cast("string"), col("shingle")))).as("minh"))
+  def minhashWide(df: DataFrame, textCol: String, idCol: String, k: Int = 16): DataFrame = {
+    require(k <= coeffs.length, s"at most ${coeffs.length} seeds available")
+    val hashed = shingled(df, textCol, idCol)
+      .withColumn("hm", baseHash(col("shingle")))
+    val aggs = coeffs.take(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hm") * a + b) % P).as(s"m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Band signatures from a long-format minhash: band = seed div rowsPerBand,
-    * signature = md5 of the band's min-hashes in seed order. */
-  def bandSignatures(sig: DataFrame, idCol: String, rowsPerBand: Int = 4): DataFrame =
-    sig.withColumn("band", (col("seed") / rowsPerBand).cast("long"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minh")))), s => s("minh")),
-        ",")).as("band_sig"))
+  /** Long-format MinHash signature (id, seed, minh) — the oracle-friendly
+    * shape; derived from the wide signature by an unpivot. */
+  def minhash(df: DataFrame, textCol: String, idCol: String, k: Int = 16): DataFrame = {
+    val wide = minhashWide(df, textCol, idCol, k)
+    val pairs = (0 until k).map(i => s"CAST($i AS BIGINT), m$i").mkString(", ")
+    wide.selectExpr(idCol, s"stack($k, $pairs) AS (seed, minh)")
+  }
+
+  /** Band signatures straight from the wide minhash: band b's key is the
+    * comma-joined run of rowsPerBand consecutive min-hashes. One projection,
+    * no window, no second aggregation. */
+  def bandSignatures(wide: DataFrame, idCol: String, rowsPerBand: Int = 4, k: Int = 16): DataFrame = {
+    val nBands = k / rowsPerBand
+    val entries = (0 until nBands).map { b =>
+      val run = (b * rowsPerBand until (b + 1) * rowsPerBand).map("m" + _).mkString(", ")
+      s"CAST($b AS BIGINT), concat_ws(',', $run)"
+    }.mkString(", ")
+    wide.selectExpr(idCol, s"stack($nBands, $entries) AS (band, band_sig)")
+  }
 
   /** Candidate near-dup pairs: equi-join on equal band signatures. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
@@ -82,7 +129,8 @@ object Dedup {
     * pass run on LSH candidates only, never all pairs. Uses the same shingle
     * granularity as the MinHash that produced the candidates. */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), array_distinct(shingles(col(textCol))).as("tk"))
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk0"))
+      .select(col(idCol), array_distinct(shinglesFromTokens(col("tk0"))).as("tk"))
     val inter = size(array_intersect(col("tk_a"), col("tk_b")))
     pairs
       .join(toks.select(col(idCol).as("doc_a"), col("tk").as("tk_a")), "doc_a")

@@ -23,16 +23,21 @@ object PipelineQueries {
   private val toksCte =
     "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents)"
 
-  /** Shared oracle CTE chain: long-format 16-seed minhash over 3-token
-    * shingles (mirrors Dedup.minhash). */
+  /** Shared oracle CTE chain: 16-seed MinHash over 3-token shingles with the
+    * same (a·h+b) mod P permutation family as Dedup.minhashWide — one md5
+    * per shingle, integer arithmetic after. */
+  private val constsValues = Dedup.coeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
   private val minhashCte = s"""
       WITH $toksCte,
       idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
       sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
-      seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh),
-      sig AS (SELECT doc_id, seed, min(md5(concat_ws(':', seed, shingle))) AS minh
-              FROM seeded GROUP BY doc_id, seed),
-      bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minh, ',' ORDER BY seed)) AS band_sig
+      hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM sh),
+      consts(seed, a, b) AS (VALUES $constsValues),
+      sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
+              FROM hh, consts GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS band_sig
                 FROM sig GROUP BY doc_id, seed // 4),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
@@ -52,13 +57,13 @@ object PipelineQueries {
     "d02_minhash_signature",
     (s, dir) => Dedup.minhash(docs(s, dir), "text", "doc_id"),
     Some(s"""$minhashCte
-      SELECT doc_id, seed, minh FROM sig"""))
+      SELECT doc_id, CAST(seed AS BIGINT) AS seed, minh FROM sig"""))
 
   // ---------------------------------------------------------------- d03
   private val d03 = QueryDef(
     "d03_lsh_candidate_pairs",
     (s, dir) => Dedup.candidatePairs(
-      Dedup.bandSignatures(Dedup.minhash(docs(s, dir), "text", "doc_id"), "doc_id"), "doc_id"),
+      Dedup.bandSignatures(Dedup.minhashWide(docs(s, dir), "text", "doc_id"), "doc_id"), "doc_id"),
     Some(s"""$minhashCte
       SELECT doc_a, doc_b FROM pairs"""))
 
@@ -81,7 +86,7 @@ object PipelineQueries {
     (s, dir) => {
       val d = docs(s, dir)
       val pairs = Dedup.candidatePairs(
-        Dedup.bandSignatures(Dedup.minhash(d, "text", "doc_id"), "doc_id"), "doc_id")
+        Dedup.bandSignatures(Dedup.minhashWide(d, "text", "doc_id"), "doc_id"), "doc_id")
       Dedup.jaccardOnPairs(pairs, d, "text", "doc_id")
     },
     Some(s"""$minhashCte,

@@ -37,7 +37,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("lsh candidates find the planted near-dups and verify by jaccard") {
-    val sig = Dedup.minhash(docs, "text", "doc_id")
+    val sig = Dedup.minhashWide(docs, "text", "doc_id")
     val pairs = Dedup.candidatePairs(Dedup.bandSignatures(sig, "doc_id"), "doc_id")
     val verified = Dedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
     val rows = verified.collect()
