@@ -25,9 +25,11 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
 
-  /** Register every table as a temp view so spark.sql(...) can reference it
-    * by bare name — the Spark analogue of the reference's per-schema view
+  /** Register tables as temp views so spark.sql(...) can reference them by
+    * bare name — the Spark analogue of the reference's per-schema view
     * registration (src/fdw/base.rs:216-260). Idempotent. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def register(spark: SparkSession, dir: String, tables: Seq[String]): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  def registerAll(spark: SparkSession, dir: String): Unit = register(spark, dir, names)
 }

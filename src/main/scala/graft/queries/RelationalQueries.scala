@@ -341,7 +341,7 @@ object RelationalQueries {
       ) u"""
   private val q15 = QueryDef(
     "q15_set_ops",
-    (s, dir) => { Tables.registerAll(s, dir); s.sql(q15Sql) },
+    (s, dir) => { Tables.register(s, dir, Seq("customer", "orders")); s.sql(q15Sql) },
     Some(q15Sql))
 
   // ---------------------------------------------------------------- q16
@@ -481,6 +481,254 @@ object RelationalQueries {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.ts >= c.ts"""))
 
+  // ---------------------------------------------------------------- q23
+  // CUBE grouping sets with grouping_id — both engines put the leftmost
+  // grouping column in the most-significant bit.
+  private val q23 = QueryDef(
+    "q23_cube_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
+  // ---------------------------------------------------------------- q24
+  // RANGE frame (value-based window): sum of quantities within 5 units below
+  // the current row's quantity per supplier. RANGE includes all peers, so the
+  // result is deterministic under ties.
+  private val q24 = QueryDef(
+    "q24_range_frame",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("qty", col("l_quantity").cast("long"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("qty"))
+        .rangeBetween(-5, Window.currentRow)
+      li.select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        sum(col("qty")).over(w).as("qty_near_sum"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_suppkey ORDER BY CAST(l_quantity AS BIGINT)
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_near_sum
+      FROM lineitem"""))
+
+  // ---------------------------------------------------------------- q25
+  // Distribution windows: ntile / dense_rank / percent_rank / cume_dist.
+  // Tie-broken by the unique orderkey so every rank is deterministic;
+  // percent_rank and cume_dist are exact integer ratios in both engines.
+  private val q25 = QueryDef(
+    "q25_ntile_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             percent_rank() OVER w AS prank,
+             cume_dist() OVER w AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)"""))
+
+  // ---------------------------------------------------------------- q26
+  // first_value / last_value over an explicit full-partition frame (DuckDB's
+  // default frame stops at CURRENT ROW, so the frame is spelled out in both).
+  private val q26 = QueryDef(
+    "q26_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        first(col("o_orderdate")).over(w).as("first_date"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             first_value(o_orderkey) OVER w AS first_order,
+             last_value(o_orderkey) OVER w AS last_order,
+             first_value(o_orderdate) OVER w AS first_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""))
+
+  // ---------------------------------------------------------------- q27
+  // Array kernel surface: split / size / element_at (1-based + negative) /
+  // slice + array_join — Spark list semantics line up with DuckDB's.
+  private val q27 = QueryDef(
+    "q27_array_ops",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_join(slice(toks, 1, 3), "_").as("head3"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             string_split(text, ' ')[1] AS first_tok,
+             string_split(text, ' ')[-1] AS last_tok,
+             array_to_string(string_split(text, ' ')[1:3], '_') AS head3
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- q28
+  // Generator (explode/unnest) + re-aggregation: token frequencies. The
+  // explode is map-side; the count shuffles on token — at 100 TB this is the
+  // canonical word-count shape with partial aggregation.
+  private val q28 = QueryDef(
+    "q28_explode_tokens",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 50),
+    Some("""
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+      GROUP BY tok
+      HAVING count(*) >= 50"""))
+
+  // ---------------------------------------------------------------- q29
+  // String kernel surface: regexp_replace (global), pad, reverse, instr,
+  // repeat, replace — all whole-stage-codegen'd in Spark.
+  private val q29 = QueryDef(
+    "q29_string_kernels",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        lpad(col("p_brand"), 12, "#").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        instr(col("p_type"), "ED").cast("long").as("ed_pos"),
+        repeat(substring(col("p_brand"), 1, 2), 2).as("b2x2"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us")),
+    Some("""
+      SELECT p_partkey,
+             regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+             lpad(p_brand, 12, '#') AS brand_pad,
+             reverse(p_type) AS type_rev,
+             CAST(instr(p_type, 'ED') AS BIGINT) AS ed_pos,
+             repeat(substr(p_brand, 1, 2), 2) AS b2x2,
+             replace(p_type, ' ', '_') AS type_us
+      FROM part"""))
+
+  // ---------------------------------------------------------------- q30
+  // Math kernel surface, restricted to IEEE-exact ops (abs/floor/ceil/sqrt,
+  // integer mod, greatest/least) so both engines agree bit-for-bit.
+  private val q30 = QueryDef(
+    "q30_math_kernels",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        (col("l_orderkey") % 7).as("ok_mod7"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        sqrt(col("l_extendedprice")).as("price_sqrt")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             abs(l_discount - 0.05) AS disc_dev,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+             l_orderkey % 7 AS ok_mod7,
+             greatest(l_tax, l_discount) AS max_rate,
+             least(l_tax, l_discount) AS min_rate,
+             sqrt(l_extendedprice) AS price_sqrt
+      FROM lineitem"""))
+
+  // ---------------------------------------------------------------- q31
+  // IN-subquery → left-semi join (Catalyst rewrites the SQL form the same
+  // way; the DataFrame form is explicit).
+  private val q31 = QueryDef(
+    "q31_in_subquery",
+    (s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"""))
+
+  // ---------------------------------------------------------------- q32
+  // Cross join (tiny × tiny — broadcast nested loop; never do this on facts).
+  private val q32 = QueryDef(
+    "q32_cross_join",
+    (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"),
+          concat_ws("/", col("r_name"), col("n_name")).as("pair")),
+    Some("""
+      SELECT r_name, n_name, concat_ws('/', r_name, n_name) AS pair
+      FROM region CROSS JOIN nation"""))
+
+  // ---------------------------------------------------------------- q33
+  // Sessionization: 30-minute inactivity gap → session id via a prefix sum of
+  // boundary flags, then per-session aggregates. Single shuffle on user_id;
+  // both window passes reuse the same partitioning.
+  private val q33 = QueryDef(
+    "q33_sessionization",
+    (s, dir) => {
+      val gapUs = 1800000000L // 30 min
+      val e = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val flagged = e
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+      flagged
+        .withColumn("sess_n", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_n"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("sess_start_us"),
+          max(col("ts_us")).as("sess_end_us"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+      ), s AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                             THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_n
+        FROM g
+      )
+      SELECT user_id, sess_n, count(*) AS n_events,
+             min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
+      FROM s
+      GROUP BY user_id, sess_n"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
+    q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
 }
