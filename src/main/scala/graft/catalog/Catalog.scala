@@ -52,18 +52,46 @@ object Catalog {
     if (userMapping.nonEmpty) Secrets(spark, userMapping)
 
     val files = split_files(options("files"))
-    var df = spec.name match {
-      case "parquet" => readParquet(spark, files, options, schema)
-      case "csv" => readCsv(spark, files, options, schema)
-      case "json" => readJson(spark, files, options, schema)
-      case "spatial" => graft.sources.GeoJson.read(spark, files, options)
-      case other => throw Formats.UnsupportedFormatException(other)
+    var df = withPartitionAutocast(spark, options) {
+      spec.name match {
+        case "parquet" => readParquet(spark, files, options, schema)
+        case "csv" => readCsv(spark, files, options, schema)
+        case "json" => readJson(spark, files, options, schema)
+        case "spatial" => graft.sources.GeoJson.read(spark, files, options)
+        case other => throw Formats.UnsupportedFormatException(other)
+      }
     }
     df = withMetadataColumns(df, options)
+    df = withHiveTypes(df, options)
     df = withCasing(df, options)
     options.get("select").foreach { sel => df = df.selectExpr(sel.split(",").map(_.trim): _*) }
     df.createOrReplaceTempView(table)
     df
+  }
+
+  /** hive_types 'col:TYPE,...' declares partition-column types explicitly
+    * (≙ read_parquet's hive_types struct, src/duckdb/parquet.rs:82-92):
+    * cast the named columns to the declared engine types after discovery. */
+  private def withHiveTypes(df: DataFrame, options: Map[String, String]): DataFrame =
+    options.get("hive_types").map { spec =>
+      parseColumns(spec).fields.foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+    }.getOrElse(df)
+
+  /** hive_types_autocast '0'/'false' disables partition-value type inference
+    * (discovered partition columns stay strings), matching DuckDB's flag
+    * (src/duckdb/parquet.rs:86-91). Spark's knob is a session conf, so wrap
+    * the read and restore — attach is driver-side and synchronous. */
+  private def withPartitionAutocast[A](spark: SparkSession, options: Map[String, String])(read: => A): A = {
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val disable = options.get("hive_types_autocast").exists(v => v == "0" || v.toLowerCase == "false")
+    if (!disable) read
+    else {
+      val prev = spark.conf.get(confKey)
+      spark.conf.set(confKey, "false")
+      try read finally spark.conf.set(confKey, prev)
+    }
   }
 
   /** Drop an attached view (≙ DROP FOREIGN TABLE). */
@@ -102,29 +130,112 @@ object Catalog {
 
   private def readCsv(spark: SparkSession, files: Seq[String],
       options: Map[String, String], schema: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.types._
     var r = spark.read.format("csv")
     val direct = Seq(
       "delim" -> "sep", "quote" -> "quote", "escape" -> "escape", "header" -> "header",
       "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
-      "timestampformat" -> "timestampFormat", "compression" -> "compression",
+      "timestampformat" -> "timestampFormat",
       "new_line" -> "lineSep", "max_line_size" -> "maxCharsPerColumn")
     direct.foreach { case (from, to) => options.get(from).foreach(v => r = r.option(to, v)) }
+    // null_padding=true (DuckDB default) pads short rows with NULLs — Spark's
+    // PERMISSIVE mode. false makes short/long rows errors (FAILFAST), unless
+    // ignore_errors drops them (csv.rs:129-203).
+    val padding = options.get("null_padding").forall(_.toBoolean)
     if (options.get("ignore_errors").exists(_.toBoolean)) r = r.option("mode", "DROPMALFORMED")
+    else if (!padding) r = r.option("mode", "FAILFAST")
+    // allow_quoted_nulls=false: quoted empties must stay literal ''. Spark
+    // nulls any token equal to nullValue after unquoting, so route unquoted
+    // empties through a sentinel nullValue instead; quoted '' then survives
+    // as the emptyValue. (With a custom non-empty nullstr the quoted/unquoted
+    // distinction is lost post-parse — documented limitation.)
+    if (options.get("allow_quoted_nulls").exists(v => !v.toBoolean) && !options.contains("nullstr"))
+      r = r.option("nullValue", "\u0000").option("emptyValue", "")
+
     val allVarchar = options.get("all_varchar").exists(_.toBoolean)
     val autoDetect = options.get("auto_detect").forall(_.toBoolean) && !allVarchar
-    r = r.option("inferSchema", (schema.isEmpty && autoDetect).toString)
     // columns option: "name1:TYPE1,name2:TYPE2" declared types (DuckDB names)
     val declared = schema.orElse(options.get("columns").map(parseColumns))
-    declared.foreach(s => r = r.option("inferSchema", "false").schema(s))
+
+    // decimal_separator ',' : Spark's parser only understands '.' — read the
+    // declared decimal-ish columns as strings and re-cast after separator
+    // translation (csv.rs:159-163). Needs declared types to know which.
+    val decSep = options.get("decimal_separator").filter(_ != ".")
+    if (decSep.isDefined && declared.isEmpty)
+      throw InvalidOptionException("decimal_separator requires declared `columns` types")
+    def isDecimalIsh(dt: DataType) = dt match {
+      case DoubleType | FloatType | _: DecimalType => true; case _ => false
+    }
+    val readSchema = declared.map { s =>
+      if (decSep.isEmpty) s
+      else StructType(s.fields.map(f => if (isDecimalIsh(f.dataType)) f.copy(dataType = StringType) else f))
+    }
+
     val skip = options.get("skip").map(_.toInt).getOrElse(0)
+    // sample_size: rows used for schema inference (-1 = all, DuckDB default
+    // 20480 rows; csv.rs:164-168). Bounded inference reads only a prefix —
+    // at 100 TB inference must never scan the corpus.
+    val sampleSize = options.get("sample_size").map(_.toInt).filter(_ > 0)
+    val candidates = options.get("auto_type_candidates")
+      .map(_.split(",").map(s => TypeMap.toSpark(s.trim)).toSet)
+
+    val inferredSchema: Option[StructType] =
+      if (readSchema.nonEmpty || !autoDetect) None
+      else if (sampleSize.isEmpty && candidates.isEmpty) None // native full inference below
+      else {
+        import spark.implicits._
+        val lines = spark.read.textFile(files: _*).limit(sampleSize.getOrElse(20480) + skip)
+        val sliced = if (skip > 0) lines.as[String].rdd.zipWithIndex()
+          .filter(_._2 >= skip).map(_._1) else lines.as[String].rdd
+        val inferred = cloneCsvReader(spark, options).option("inferSchema", "true")
+          .csv(spark.createDataset(sliced)).schema
+        // auto_type_candidates: inference may only pick from the given types;
+        // anything else falls back to VARCHAR (csv.rs:139-143).
+        Some(candidates.map(cs => StructType(inferred.fields.map(f =>
+          if (f.dataType == StringType || cs.contains(f.dataType)) f
+          else f.copy(dataType = StringType)))).getOrElse(inferred))
+      }
+
+    val effective = readSchema.orElse(inferredSchema)
+    r = r.option("inferSchema", (effective.isEmpty && autoDetect).toString)
+    effective.foreach(s => r = r.option("inferSchema", "false").schema(s))
+
     var df =
       if (skip > 0) {
-        // no native skip-N-lines in Spark's csv reader: pre-slice the text
+        // DuckDB skips `skip` lines PER FILE (csv.rs:185-187); Spark has no
+        // native skip-N, so pre-slice each file's text independently — a
+        // zipWithIndex on one file indexes only that file. Attach-time cost
+        // only; documents the pushdown loss for skip>0 sources.
         import spark.implicits._
-        val lines = spark.read.textFile(files: _*)
-          .rdd.zipWithIndex.filter(_._2 >= skip).map(_._1)
-        r.csv(spark.createDataset(lines))
+        val header = options.get("header").exists(_.toBoolean)
+        val perFile = files.zipWithIndex.map { case (f, fi) =>
+          // every file repeats the header after its skipped lines; keep it
+          // only for the first file (it becomes THE header of the union)
+          val cut = if (header && fi > 0) skip + 1 else skip
+          spark.read.textFile(f).rdd.zipWithIndex().filter(_._2 >= cut).map(_._1)
+        }.reduce(_ union _)
+        r.csv(spark.createDataset(perFile))
       } else r.load(files: _*)
+
+    // Post-read option semantics, in reference order:
+    decSep.foreach { sep =>
+      declared.get.fields.filter(f => isDecimalIsh(f.dataType)).foreach { f =>
+        df = df.withColumn(f.name,
+          regexp_replace(col(f.name), java.util.regex.Pattern.quote(sep), ".").cast(f.dataType))
+      }
+    }
+    // allow_quoted_nulls (csv.rs:129-133): DuckDB's default TRUE — a quoted
+    // null-string reads as NULL — is also Spark's behavior (nullValue matches
+    // after unquoting). FALSE must keep quoted empties literal: see the
+    // sentinel nullValue set before the read above.
+    // force_not_null: listed columns never convert nullstr → NULL; a parsed
+    // NULL reverts to the literal null-string (csv.rs:147-151).
+    options.get("force_not_null").foreach { cols =>
+      val nullstr = options.getOrElse("nullstr", "")
+      cols.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        df = df.withColumn(c, coalesce(col(c), lit(nullstr)))
+      }
+    }
     if (options.get("normalize_names").exists(_.toBoolean))
       df = df.toDF(df.columns.map(normalizeName): _*)
     options.get("names").foreach { names =>
@@ -132,24 +243,96 @@ object Catalog {
       df = df.toDF(df.columns.zipWithIndex.map { case (c, i) =>
         if (i < ns.length) ns(i) else c }: _*)
     }
+    // types: per-column type OVERRIDES on top of inference ("name:TYPE,...",
+    // csv.rs:152-158) — cast after read, names resolved post-rename.
+    options.get("types").foreach { spec =>
+      parseColumns(spec).fields.foreach { f =>
+        df = df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+    }
+    // parallel=false: single-stream read (DuckDB's single-threaded CSV mode).
+    if (options.get("parallel").exists(v => !v.toBoolean)) df = df.coalesce(1)
     df
+  }
+
+  /** A fresh CSV reader carrying only the parse-shape options — used for
+    * bounded sample inference so the sample parses exactly like the real read. */
+  private def cloneCsvReader(spark: SparkSession, options: Map[String, String]) = {
+    var r = spark.read.format("csv")
+    Seq("delim" -> "sep", "quote" -> "quote", "escape" -> "escape", "header" -> "header",
+      "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
+      "timestampformat" -> "timestampFormat")
+      .foreach { case (from, to) => options.get(from).foreach(v => r = r.option(to, v)) }
+    r
   }
 
   private def readJson(spark: SparkSession, files: Seq[String],
       options: Map[String, String], schema: Option[StructType]): DataFrame = {
+    import org.apache.spark.sql.types._
+    // records=false: values are NOT unpacked into columns — each top-level
+    // value lands in a single column named `json` (json.rs:43-49).
+    if (options.get("records").exists(v => v.toLowerCase == "false")) {
+      return spark.read.textFile(files: _*).toDF("json")
+    }
     var r = spark.read.format("json")
     // format: newline_delimited (default) | array | auto | unstructured
     val fmt = options.getOrElse("format", "newline_delimited")
     if (fmt == "array" || fmt == "auto") r = r.option("multiLine", "true")
-    val direct = Seq("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat",
-      "compression" -> "compression")
+    val direct = Seq("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat")
     direct.foreach { case (from, to) => options.get(from).foreach(v => r = r.option(to, v)) }
     if (options.get("ignore_errors").exists(_.toBoolean)) r = r.option("mode", "DROPMALFORMED")
-    if (options.get("convert_strings_to_integers").exists(_.toBoolean))
-      r = r.option("primitivesAsString", "false")
+
     val declared = schema.orElse(options.get("columns").map(parseColumns))
-    declared.foreach(s => r = r.schema(s))
-    r.load(files: _*)
+    // maximum_depth: nesting levels the schema detector descends; deeper
+    // subtrees stay raw JSON text (json.rs:60-64). Spark's Jackson parser
+    // reads an object/array into a StringType field as its raw JSON, so this
+    // is pure schema surgery on the inferred schema.
+    val maxDepth = options.get("maximum_depth").map(_.toInt).filter(_ >= 0)
+    val effective: Option[StructType] = declared.orElse {
+      maxDepth.map(d => truncateDepth(r.load(files: _*).schema, d))
+    }
+    effective.foreach(s => r = r.schema(s))
+    var df = r.load(files: _*)
+    // convert_strings_to_integers=true: quoted "123" reads as BIGINT
+    // (json.rs:55-59). Jackson won't coerce a JSON string into a long field,
+    // so detect integral string columns on a bounded sample and cast after.
+    if (options.get("convert_strings_to_integers").exists(_.toBoolean))
+      df = integerizeStrings(df)
+    df
+  }
+
+  /** Cut a schema at `depth` nesting levels: structs/arrays deeper than the
+    * limit read as raw JSON strings. depth=0 → everything is one string. */
+  private[catalog] def truncateDepth(s: StructType, depth: Int): StructType = {
+    import org.apache.spark.sql.types._
+    def cut(dt: DataType, remaining: Int): DataType = dt match {
+      case st: StructType =>
+        if (remaining <= 0) StringType
+        else StructType(st.fields.map(f => f.copy(dataType = cut(f.dataType, remaining - 1))))
+      case ArrayType(et, n) =>
+        if (remaining <= 0) StringType else ArrayType(cut(et, remaining), n)
+      case other => other
+    }
+    cut(s, depth) match {
+      case st: StructType => st
+      case _ => StructType(Seq(org.apache.spark.sql.types.StructField("json", org.apache.spark.sql.types.StringType)))
+    }
+  }
+
+  /** Bounded sample scan: top-level string columns whose sampled values all
+    * match an integer literal are cast to BIGINT. */
+  private def integerizeStrings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (strCols.isEmpty) return df
+    val sample = df.select(strCols.map(col): _*).limit(1000)
+    val checks = strCols.map(c =>
+      min(when(col(c).isNull || col(c).rlike("^[+-]?\\d+$"), 1).otherwise(0)).as(c))
+    val row = sample.agg(checks.head, checks.tail: _*).collect()(0)
+    val integral = strCols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c
+    }
+    integral.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
   }
 
   /** "name1:TYPE1,name2:TYPE2" (DuckDB type names) → StructType. */

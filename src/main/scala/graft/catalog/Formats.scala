@@ -39,10 +39,14 @@ object Formats {
       "decimal_separator", "allow_quoted_nulls", "force_not_null", "parallel"),
     Set("files"))
 
+  // maximum_object_size is NOT accepted: Spark's Jackson parser has no
+  // per-object byte cap, and accepting-then-ignoring an option is silent
+  // wrongness — attach errors instead (the reference's own behavior for
+  // unknown options, src/fdw/base.rs:198-214).
   val json: FormatSpec = FormatSpec(
     "json",
     commonOptions ++ Set(
-      "format", "records", "maximum_depth", "maximum_object_size",
+      "format", "records", "maximum_depth",
       "convert_strings_to_integers", "dateformat", "timestampformat",
       "compression", "columns", "auto_detect", "sample_size", "ignore_errors"),
     Set("files"))

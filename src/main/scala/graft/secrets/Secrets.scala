@@ -61,35 +61,63 @@ object Secrets {
           key("endpoint") -> s"https://$a.r2.cloudflarestorage.com") else Seq()
         (base ++ r2).toMap
       case "gcs" =>
-        Seq(
-          options.get("key_id").map(v => "fs.gs.auth.access.key" -> v),
-          options.get("secret").map(v => "fs.gs.auth.secret.key" -> v)).flatten.toMap
+        // The reference's GCS secret is an HMAC pair over the S3
+        // INTEROPERABILITY API (storage.googleapis.com) — duckdb's TYPE GCS
+        // is s3-compatible under the hood (src/duckdb/secret.rs). The Hadoop
+        // gcs-connector has no HMAC auth at all, so the faithful mapping is
+        // S3A pointed at the interop endpoint, with per-bucket scoping.
+        (Seq(
+          options.get("key_id").map(v => key("access.key") -> v),
+          options.get("secret").map(v => key("secret.key") -> v)).flatten ++ Seq(
+          key("endpoint") -> "https://storage.googleapis.com",
+          key("path.style.access") -> "true")).toMap
       case "azure" =>
-        Seq(
-          options.get("connection_string").map(v => "fs.azure.connection.string" -> v),
-          options.get("account_name").map(v => "fs.azure.account.name" -> v),
-          options.get("client_id").map(v => "fs.azure.account.oauth2.client.id" -> v),
-          options.get("client_secret").map(v => "fs.azure.account.oauth2.client.secret" -> v),
-          options.get("tenant_id").map(v => "fs.azure.account.oauth2.tenant.id" -> v)).flatten.toMap
+        // Real ABFS (hadoop-azure) property names. An account key may arrive
+        // inline or inside a connection string (`AccountName=..;AccountKey=..`);
+        // service-principal creds map to the OAuth provider properties.
+        val account = options.get("account_name")
+          .orElse(connStringField(options, "AccountName"))
+        val suffix = account.map(a => s".$a.dfs.core.windows.net").getOrElse("")
+        val accountKey = connStringField(options, "AccountKey")
+        val oauth = options.get("client_id").map { cid =>
+          Seq(
+            s"fs.azure.account.auth.type$suffix" -> "OAuth",
+            s"fs.azure.account.oauth.provider.type$suffix" ->
+              "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider",
+            s"fs.azure.account.oauth2.client.id$suffix" -> cid) ++
+            options.get("client_secret").map(s"fs.azure.account.oauth2.client.secret$suffix" -> _) ++
+            options.get("tenant_id").map(t =>
+              s"fs.azure.account.oauth2.client.endpoint$suffix" ->
+                s"https://login.microsoftonline.com/$t/oauth2/token")
+        }.getOrElse(Seq.empty)
+        (accountKey.map(k => s"fs.azure.account.key$suffix" -> k).toSeq ++ oauth).toMap
     }
   }
 
   private def prefixFor(typ: String): String = typ match {
-    case "s3" | "r2" => "fs.s3a."
-    case "gcs" => "fs.gs."
+    case "s3" | "r2" | "gcs" => "fs.s3a." // gcs rides the s3-interop endpoint
     case "azure" => "fs.azure."
   }
 
   /** SCOPE 's3://bucket/...' → per-bucket conf prefix fs.s3a.bucket.<b>. */
   private def bucketPrefix(typ: String, scope: String): String = {
     val bucket = scope.stripPrefix("s3://").stripPrefix("r2://").stripPrefix("gs://")
-      .stripPrefix("azure://").takeWhile(_ != '/')
+      .stripPrefix("gcs://").stripPrefix("azure://").takeWhile(_ != '/')
     if (bucket.isEmpty) throw InvalidSecretException(s"cannot parse bucket from scope `$scope`")
     typ match {
-      case "s3" | "r2" => s"fs.s3a.bucket.$bucket."
-      case _ => prefixFor(typ) // gcs/azure: no per-bucket conf convention; global
+      case "s3" | "r2" | "gcs" => s"fs.s3a.bucket.$bucket."
+      case _ => prefixFor(typ) // azure: no per-bucket conf convention; global
     }
   }
+
+  /** Pull a `Key=Value` field out of an Azure connection string option. */
+  private def connStringField(options: Map[String, String], field: String): Option[String] =
+    options.get("connection_string").flatMap {
+      _.split(';').map(_.trim).collectFirst {
+        case kv if kv.toLowerCase.startsWith(field.toLowerCase + "=") =>
+          kv.substring(field.length + 1)
+      }
+    }
 
   /** Apply a secret to the live session's Hadoop configuration. */
   def apply(spark: SparkSession, options: Map[String, String]): Unit =

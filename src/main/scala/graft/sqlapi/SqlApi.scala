@@ -24,8 +24,18 @@ object SqlApi {
         val ms = (System.nanoTime() - t0) / 1e6
         f"%nExecution Time: $ms%.3f ms"
       } else ""
+    // pg style prints the one-line scan summary only for SELECT statements —
+    // the reference emits `DuckDB Scan:` only on the pushdown (SELECT) path
+    // and falls through to the normal plan otherwise (explain.rs:39-155).
+    val isSelect = {
+      val t = sql.trim.toLowerCase
+      t.startsWith("select") || t.startsWith("with") || t.startsWith("values") || t.startsWith("(")
+    }
     style.toLowerCase match {
-      case "pg" | "postgres" => s"Engine Scan: ${sql.trim}$timing"
+      case "pg" | "postgres" if isSelect => s"Engine Scan: ${sql.trim}$timing"
+      case "pg" | "postgres" =>
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode) + timing
       case "duckdb" | "engine" | "formatted" =>
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode) + timing
@@ -51,9 +61,21 @@ object SqlApi {
 
     def execute(spark: SparkSession, name: String, args: Seq[Any] = Seq.empty): DataFrame = {
       val sql = stmts.getOrElse(name, throw NoSuchStatement(name))
-      val positional = sql.replaceAll("\\$\\d+", "?")
-      if (args.isEmpty) spark.sql(positional)
-      else spark.sql(positional, args.toArray)
+      // $n binds by PARAMETER INDEX, not textual position (reference semantics:
+      // src/hooks/utility/prepare.rs:27-108): `WHERE a = $2 AND b = $1` takes
+      // args(1) then args(0). Rewrite each marker to `?` in textual order and
+      // reorder args to match.
+      val markers = "\\$(\\d+)".r
+      val indices = markers.findAllMatchIn(sql).map(_.group(1).toInt).toSeq
+      val positional = markers.replaceAllIn(sql, "?")
+      if (indices.isEmpty) spark.sql(positional)
+      else {
+        indices.find(i => i < 1 || i > args.length).foreach { i =>
+          throw new IllegalArgumentException(
+            s"prepared statement `$name` references $$$i but only ${args.length} argument(s) given")
+        }
+        spark.sql(positional, indices.map(i => args(i - 1)).toArray[Any])
+      }
     }
 
     def deallocate(name: String): Unit =

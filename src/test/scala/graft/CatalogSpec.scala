@@ -119,6 +119,150 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- option semantics
+  // Every attach option either has an observable effect (tested here) or is
+  // rejected at attach — none validate-then-no-op (VERDICT r1 item 1).
+
+  test("csv sample_size bounds schema inference to a row prefix") {
+    val p = writeText(dir, "sampled.csv", "v\n1\n2\n3\nnot_a_number\n")
+    val full = Catalog.attach(spark, "sampled_full", "csv",
+      Map("files" -> p, "header" -> "true"))
+    assert(full.schema("v").dataType === StringType) // full inference sees the string
+    val sampled = Catalog.attach(spark, "sampled_3", "csv",
+      Map("files" -> p, "header" -> "true", "sample_size" -> "3"))
+    assert(sampled.schema("v").dataType === IntegerType) // prefix-only inference
+    assert(sampled.count() === 4) // the non-numeric row reads as NULL (permissive)
+  }
+
+  test("csv auto_type_candidates restricts inferred types") {
+    val df = Catalog.attach(spark, "cand", "csv",
+      Map("files" -> csvPath, "header" -> "true",
+        "auto_type_candidates" -> "DOUBLE,VARCHAR"))
+    assert(df.schema("age").dataType === StringType)   // INT not a candidate
+    assert(df.schema("score").dataType === DoubleType) // DOUBLE is
+  }
+
+  test("csv null_padding pads short rows; false makes them errors") {
+    val p = writeText(dir, "short.csv", "a,b,c\n1,2,3\n4,5\n")
+    val padded = Catalog.attach(spark, "padded", "csv",
+      Map("files" -> p, "header" -> "true"))
+    assert(padded.count() === 2)
+    assert(padded.filter("c IS NULL").count() === 1)
+    val strict = Catalog.attach(spark, "strict", "csv",
+      Map("files" -> p, "header" -> "true", "null_padding" -> "false"))
+    // count() prunes every column and parses nothing; force real parsing
+    intercept[Exception] { strict.select("a", "b", "c").collect() }
+  }
+
+  test("csv decimal_separator translates before cast") {
+    val p = writeText(dir, "decsep.csv", "x;y\n1;2,5\n2;3,25\n")
+    val df = Catalog.attach(spark, "decsep", "csv",
+      Map("files" -> p, "header" -> "true", "delim" -> ";",
+        "columns" -> "x:INTEGER,y:DOUBLE", "decimal_separator" -> ","))
+    assert(df.schema("y").dataType === DoubleType)
+    assert(df.orderBy("x").collect().map(_.getDouble(1)).toSeq === Seq(2.5, 3.25))
+    val e = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "decsep_bad", "csv",
+        Map("files" -> p, "header" -> "true", "decimal_separator" -> ","))
+    }
+    assert(e.getMessage.contains("columns"))
+  }
+
+  test("csv allow_quoted_nulls=false keeps quoted empties literal") {
+    val p = writeText(dir, "qnull.csv", "a,b\nx,\"\"\ny,z\n")
+    // DuckDB default (true): quoted "" reads as NULL — Spark's behavior too
+    val default = Catalog.attach(spark, "qnull_default", "csv",
+      Map("files" -> p, "header" -> "true"))
+    assert(default.filter("b IS NULL").count() === 1)
+    val strict = Catalog.attach(spark, "qnull_false", "csv",
+      Map("files" -> p, "header" -> "true", "allow_quoted_nulls" -> "false"))
+    assert(strict.filter("b = ''").count() === 1)
+    assert(strict.filter("b IS NULL").count() === 0)
+  }
+
+  test("csv force_not_null keeps the null-string literal") {
+    val p = writeText(dir, "fnn.csv", "a,b\n1,\n2,x\n")
+    val df = Catalog.attach(spark, "fnn", "csv",
+      Map("files" -> p, "header" -> "true", "all_varchar" -> "true",
+        "force_not_null" -> "b"))
+    assert(df.filter("b IS NULL").count() === 0)
+    assert(df.filter("b = ''").count() === 1)
+  }
+
+  test("csv parallel=false reads single-stream") {
+    val df = Catalog.attach(spark, "serial", "csv",
+      Map("files" -> csvPath, "header" -> "true", "parallel" -> "false"))
+    assert(df.rdd.getNumPartitions === 1)
+  }
+
+  test("csv types overrides individual columns on top of inference") {
+    val df = Catalog.attach(spark, "typed_over", "csv",
+      Map("files" -> csvPath, "header" -> "true", "types" -> "age:VARCHAR"))
+    assert(df.schema("age").dataType === StringType)
+    assert(df.schema("score").dataType === DoubleType) // others keep inference
+  }
+
+  test("csv skip is per-file across a multi-file list") {
+    val p1 = writeText(dir, "skip1.csv", "junk\njunk\na,b\n1,2\n3,4\n")
+    val p2 = writeText(dir, "skip2.csv", "junk\njunk\na,b\n5,6\n")
+    val df = Catalog.attach(spark, "skip_multi", "csv",
+      Map("files" -> s"$p1,$p2", "skip" -> "2", "header" -> "true"))
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.count() === 3) // headers + junk of BOTH files are gone
+  }
+
+  test("json records=false keeps values in one json column") {
+    val df = Catalog.attach(spark, "raw_json", "json",
+      Map("files" -> jsonlPath, "records" -> "false"))
+    assert(df.columns.toSeq === Seq("json"))
+    assert(df.count() === 2)
+    assert(df.head().getString(0).contains("\"alice\""))
+  }
+
+  test("json maximum_depth leaves deep subtrees as raw JSON text") {
+    val p = writeText(dir, "deep.jsonl",
+      """{"id":1,"meta":{"inner":{"x":1}}}""" + "\n")
+    val full = Catalog.attach(spark, "deep_full", "json", Map("files" -> p))
+    assert(full.schema("meta").dataType.isInstanceOf[StructType])
+    val cut = Catalog.attach(spark, "deep_cut", "json",
+      Map("files" -> p, "maximum_depth" -> "1"))
+    assert(cut.schema("meta").dataType === StringType)
+    assert(cut.head().getAs[String]("meta").contains("\"inner\""))
+  }
+
+  test("json maximum_object_size is rejected, not ignored") {
+    val e = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "mos", "json",
+        Map("files" -> jsonlPath, "maximum_object_size" -> "1048576"))
+    }
+    assert(e.getMessage.contains("maximum_object_size"))
+  }
+
+  test("json convert_strings_to_integers re-types integral strings") {
+    val p = writeText(dir, "strint.jsonl",
+      """{"n":"123","s":"abc"}""" + "\n" + """{"n":"456","s":"789x"}""" + "\n")
+    val off = Catalog.attach(spark, "strint_off", "json", Map("files" -> p))
+    assert(off.schema("n").dataType === StringType)
+    val on = Catalog.attach(spark, "strint_on", "json",
+      Map("files" -> p, "convert_strings_to_integers" -> "true"))
+    assert(on.schema("n").dataType === LongType)
+    assert(on.schema("s").dataType === StringType)
+    assert(on.orderBy("n").head().getLong(0) === 123L)
+  }
+
+  test("parquet hive_types casts partition columns; autocast=0 disables inference") {
+    val hp = new java.io.File(dir, "hp")
+    spark.range(3).toDF("id").write.mode("overwrite").parquet(s"$hp/p=5")
+    val auto = Catalog.attach(spark, "hp_auto", "parquet", Map("files" -> hp.getAbsolutePath))
+    assert(auto.schema("p").dataType === IntegerType) // native autocast
+    val off = Catalog.attach(spark, "hp_off", "parquet",
+      Map("files" -> hp.getAbsolutePath, "hive_types_autocast" -> "0"))
+    assert(off.schema("p").dataType === StringType)
+    val typed = Catalog.attach(spark, "hp_typed", "parquet",
+      Map("files" -> hp.getAbsolutePath, "hive_types" -> "p:BIGINT"))
+    assert(typed.schema("p").dataType === LongType)
+  }
+
   test("re-attach replaces the view (idempotent by name)") {
     Catalog.attach(spark, "idem", "parquet", Map("files" -> s"$sf/region.parquet"))
     val n1 = spark.sql("SELECT count(*) FROM idem").head().getLong(0)

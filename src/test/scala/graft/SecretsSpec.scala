@@ -32,10 +32,32 @@ class SecretsSpec extends AnyFunSuite {
     assert(conf("fs.s3a.endpoint") === "https://acct123.r2.cloudflarestorage.com")
   }
 
-  test("azure connection string maps") {
+  test("azure connection string parses into real ABFS account-key property") {
     val conf = Secrets.toHadoopConf(Map(
-      "type" -> "azure", "connection_string" -> "DefaultEndpointsProtocol=https;..."))
-    assert(conf.contains("fs.azure.connection.string"))
+      "type" -> "azure",
+      "connection_string" -> "DefaultEndpointsProtocol=https;AccountName=myacct;AccountKey=sEcReT==;EndpointSuffix=core.windows.net"))
+    assert(conf("fs.azure.account.key.myacct.dfs.core.windows.net") === "sEcReT==")
+  }
+
+  test("azure service principal maps to OAuth provider properties") {
+    val conf = Secrets.toHadoopConf(Map(
+      "type" -> "azure", "account_name" -> "acct", "client_id" -> "cid",
+      "client_secret" -> "cs", "tenant_id" -> "tid"))
+    assert(conf("fs.azure.account.auth.type.acct.dfs.core.windows.net") === "OAuth")
+    assert(conf("fs.azure.account.oauth2.client.id.acct.dfs.core.windows.net") === "cid")
+    assert(conf("fs.azure.account.oauth2.client.endpoint.acct.dfs.core.windows.net")
+      .contains("tid"))
+  }
+
+  test("gcs HMAC rides the s3 interop endpoint") {
+    val conf = Secrets.toHadoopConf(Map(
+      "type" -> "gcs", "key_id" -> "HMACK", "secret" -> "HMACS"))
+    assert(conf("fs.s3a.access.key") === "HMACK")
+    assert(conf("fs.s3a.secret.key") === "HMACS")
+    assert(conf("fs.s3a.endpoint") === "https://storage.googleapis.com")
+    val scoped = Secrets.toHadoopConf(Map(
+      "type" -> "gcs", "key_id" -> "K", "secret" -> "S", "scope" -> "gs://gbucket"))
+    assert(scoped("fs.s3a.bucket.gbucket.access.key") === "K")
   }
 
   test("unknown option errors, listing valid ones (reference error shape)") {

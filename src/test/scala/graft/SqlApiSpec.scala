@@ -35,6 +35,28 @@ class SqlApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] { reg.execute(spark, "q", Seq(1)) }
   }
 
+  test("$n parameters bind by index, not textual position") {
+    // reference semantics (src/hooks/utility/prepare.rs:27-108): $1 is always
+    // the FIRST argument even when it appears last in the text.
+    val reg = SqlApi.newPreparedRegistry()
+    spark.sql("SELECT * FROM VALUES ('a', 1), ('b', 2), ('c', 3) AS t(k, v)")
+      .createOrReplaceTempView("kv_params")
+    reg.prepare("oo", "SELECT count(*) AS n FROM kv_params WHERE v = $2 AND k = $1")
+    assert(reg.execute(spark, "oo", Seq("b", 2)).head().getLong(0) === 1)
+    assert(reg.execute(spark, "oo", Seq("b", 3)).head().getLong(0) === 0)
+    // repeated marker binds the same argument twice
+    reg.prepare("rep", "SELECT count(*) AS n FROM kv_params WHERE v = $1 OR v = $1")
+    assert(reg.execute(spark, "rep", Seq(2)).head().getLong(0) === 1)
+    // out-of-range index errors
+    intercept[IllegalArgumentException] { reg.execute(spark, "oo", Seq("b")) }
+  }
+
+  test("explain pg style falls through to the plan for non-SELECT") {
+    val out = SqlApi.explain(spark, "CREATE TEMP VIEW _explain_v AS SELECT 1 AS one", "pg")
+    assert(!out.startsWith("Engine Scan:"))
+    spark.catalog.dropTempView("_explain_v")
+  }
+
   test("execute re-resolves names at execute time (reference semantics)") {
     val reg = SqlApi.newPreparedRegistry()
     spark.range(3).toDF("x").createOrReplaceTempView("swap_t")
