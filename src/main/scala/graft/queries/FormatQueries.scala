@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.catalog.Catalog
+
+/** Format-surface queries: scans that go through `Catalog.attach` over CSV,
+  * JSONL, and hive-partitioned parquet — the reference's flagship multi-format
+  * attach path (src/duckdb/csv.rs:106-286, json.rs:28-105, parquet.rs:82-92),
+  * oracle-checked against DuckDB's read_csv/read_json/read_parquet on the
+  * SAME exported files.
+  *
+  * Exports are derived deterministically from the driver's parquet testdata
+  * and written once per scale factor under /root/repo/target/export/<sf>/
+  * (idempotent via _SUCCESS marker). The oracle paths pin sf0.01 — the
+  * driver's correctness scale (TESTDATA.md).
+  */
+object FormatQueries {
+
+  private def exportRoot(dir: String): String =
+    s"/root/repo/target/export/${new java.io.File(dir).getName}"
+
+  private def ensure(out: String)(write: => Unit): String = {
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) write
+    out
+  }
+
+  /** customer → CSV with header. escape='"' doubles quotes, the dialect
+    * DuckDB's reader expects by default. */
+  private def customerCsv(s: SparkSession, dir: String): String =
+    ensure(s"${exportRoot(dir)}/customer_csv") {
+      Tables.load(s, dir, "customer").coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"${exportRoot(dir)}/customer_csv")
+    }
+
+  /** documents → newline-delimited JSON. */
+  private def documentsJsonl(s: SparkSession, dir: String): String =
+    ensure(s"${exportRoot(dir)}/documents_jsonl") {
+      Tables.load(s, dir, "documents").coalesce(1).write.mode("overwrite")
+        .json(s"${exportRoot(dir)}/documents_jsonl")
+    }
+
+  /** events → parquet partitioned by event_type (hive layout). */
+  private def eventsHive(s: SparkSession, dir: String): String =
+    ensure(s"${exportRoot(dir)}/events_hive") {
+      Tables.load(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(s"${exportRoot(dir)}/events_hive")
+    }
+
+  private val custCols =
+    "c_custkey:BIGINT,c_name:VARCHAR,c_nationkey:INTEGER,c_acctbal:DOUBLE,c_mktsegment:VARCHAR"
+  private val docCols =
+    "doc_id:BIGINT,text:VARCHAR,lang:VARCHAR,source:VARCHAR,n_chars:BIGINT"
+
+  // ---------------------------------------------------------------- c01
+  private val c01 = QueryDef(
+    "c01_csv_scan",
+    (s, dir) => {
+      val path = customerCsv(s, dir)
+      Catalog.attach(s, "c01_customer_csv", "csv",
+        Map("files" -> s"$path/*.csv", "header" -> "true", "columns" -> custCols))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM read_csv('/root/repo/target/export/sf0.01/customer_csv/*.csv', header=true,
+        columns={'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
+                 'c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'})"""))
+
+  // ---------------------------------------------------------------- j01
+  private val j01 = QueryDef(
+    "j01_json_scan",
+    (s, dir) => {
+      val path = documentsJsonl(s, dir)
+      Catalog.attach(s, "j01_documents_jsonl", "json",
+        Map("files" -> s"$path/*.json", "columns" -> docCols))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    },
+    Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM read_json('/root/repo/target/export/sf0.01/documents_jsonl/*.json',
+        format='newline_delimited',
+        columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+                 'source':'VARCHAR','n_chars':'BIGINT'})"""))
+
+  // ---------------------------------------------------------------- h01
+  // Hive-partitioned scan: partition column comes back as a real column and
+  // partition pruning applies (filter on event_type prunes directories).
+  private val h01 = QueryDef(
+    "h01_hive_scan",
+    (s, dir) => {
+      val path = eventsHive(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "h01_events_hive", "parquet",
+        Map("files" -> path, "hive_partitioning" -> "true"))
+        .filter(col("event_type") =!= "purchase")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM read_parquet('/root/repo/target/export/sf0.01/events_hive/*/*.parquet',
+                        hive_partitioning=1)
+      WHERE event_type <> 'purchase'
+      GROUP BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(c01, j01, h01)
+}
