@@ -115,10 +115,24 @@ object Dedup {
     wide.selectExpr(idCol, s"stack($nBands, $entries) AS (band, band_sig)")
   }
 
-  /** Candidate near-dup pairs: equi-join on equal band signatures. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+  /** Candidate near-dup pairs: equi-join on equal band signatures.
+    *
+    * maxBucket caps the members of any one (band, band_sig) bucket BEFORE the
+    * self-join. Without it one hot signature (boilerplate/empty docs — the
+    * norm at 100 TB) makes the join quadratic in that bucket: m members → m²
+    * rows. A bucket larger than the cap carries no near-dup signal worth m²
+    * work (its docs are wholesale duplicates better handled by exactMark), so
+    * it is dropped — the standard production MinHash-LSH guard. The count
+    * aggregation shares the self-join's (band, band_sig) partitioning, so
+    * the guard costs no extra shuffle of the big side. */
+  def candidatePairs(bands: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
+    val ok = bands.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_sig"))
+    val capped = bands.join(ok, Seq("band", "band_sig"))
+    val a = capped.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val b = capped.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -142,14 +156,22 @@ object Dedup {
   /** 16-bit SimHash over the token stream (weighted by occurrence). Bits come
     * from the first 8 hex chars of md5(token); contribution is ±1 per bit per
     * occurrence; the final hash packs sign bits. Pure integer arithmetic —
-    * exact in any engine. */
-  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    * exact in any engine.
+    *
+    * All 16 bit-sums fold in ONE groupBy(doc) with 16 conditional-sum
+    * aggregates — no explode(sequence(0,15)): the old 16× row blowup fed 16×
+    * the rows into the shuffle for zero information (same trick as the
+    * MinHash signature fold). */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h32", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .select(col(idCol), col("h32"), explode(sequence(lit(0), lit(15))).as("bit"))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(expr("CASE WHEN (shiftright(h32, bit) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
-      .groupBy(col(idCol))
-      .agg(expr("CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) " +
-        "ELSE CAST(0 AS BIGINT) END) AS BIGINT)").as("simhash"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("h32"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
+    }
+    val packed = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.cast("long").as("simhash"))
+  }
 }

@@ -39,8 +39,14 @@ object PipelineQueries {
       bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
                        string_agg(minh, ',' ORDER BY seed) AS band_sig
                 FROM sig GROUP BY doc_id, seed // 4),
+      bcount AS (SELECT band, band_sig, count(*) AS bucket_n
+                 FROM bands GROUP BY band, band_sig),
+      bandsok AS (SELECT b.doc_id, b.band, b.band_sig
+                  FROM bands b JOIN bcount c
+                    ON b.band = c.band AND b.band_sig = c.band_sig
+                   AND c.bucket_n <= 1000),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM bands a JOIN bands b
+                FROM bandsok a JOIN bandsok b
                   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
 
   // ---------------------------------------------------------------- d01
@@ -132,8 +138,8 @@ object PipelineQueries {
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
 
   // ---------------------------------------------------------------- s02
-  // IVF ANN: centroid averaging is float-order-dependent → Spark-only
-  // (driver records a rows-only check).
+  // IVF ANN. Centroid folds are vec_id-ordered (deterministic), so the full
+  // route-then-probe chain replays exactly in DuckDB — hash-checkable.
   private val s02 = QueryDef(
     "s02_ann_ivf_topk",
     (s, dir) => {
@@ -143,7 +149,26 @@ object PipelineQueries {
       val candidates = e.filter(col("vec_id") >= 5)
       Similarity.ivfTopK(queries, candidates, 10)
     },
-    None)
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, label, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.centroidsSql("c")},
+      routed AS (
+        SELECT q_id, qv, label FROM (
+          SELECT q.q_id, q.qv, cent.label,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY ${Similarity.cosineSql("qv", "centroid")} DESC, cent.label) AS cr
+          FROM q, cent) x
+        WHERE cr = 1),
+      scored AS (
+        SELECT r.q_id, c.vec_id, ${Similarity.cosineSql("r.qv", "c.cv")} AS cos_sim
+        FROM routed r JOIN c ON c.label = r.label),
+      ranked AS (
+        SELECT q_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank,
+               cos_sim
+        FROM scored)
+      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
 
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(

@@ -45,6 +45,38 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) > 0.5)) // candidates are true near-dups
   }
 
+  test("lsh bucket cap bounds a planted hot bucket") {
+    import spark.implicits._
+    // 20 wholesale-identical docs (one hot bucket per band) + 2 near-dups
+    val boiler = (1L to 20L).map(i => (i, "the same boilerplate text repeated for every single page here"))
+    val near = Seq( // identical pair → collides in every band, bucket size 2
+      (21L, "a genuinely unique document about spark shuffles and broadcast joins"),
+      (22L, "a genuinely unique document about spark shuffles and broadcast joins"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val bands = Dedup.bandSignatures(Dedup.minhashWide(df, "text", "doc_id"), "doc_id")
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((21L, 22L))) // hot bucket dropped, real pair kept
+    val uncapped = Dedup.candidatePairs(bands, "doc_id", maxBucket = 1000).count()
+    assert(uncapped === 190 + 1) // 20-choose-2 + the near-dup pair
+  }
+
+  test("two-phase topk matches a single global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cands = emb.filter(col("vec_id") >= 3).repartition(8) // force many partitions
+    val twoPhase = Similarity.bruteForceTopK(queries, cands, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("cos_sim", Similarity.cosine("q_vec", "embedding"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val global = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSet
+    assert(twoPhase === global)
+  }
+
   test("exact dedup marks one keeper per hash group") {
     val marked = Dedup.exactMark(docs, "text", "doc_id")
     val keepers = marked.filter(col("keeper")).count()
