@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads ride as opaque `binary`
+  * columns next to typed metadata (BASELINE.json north star; the reference
+  * stops at BLOB→TEXT passthrough, src/schema/cell.rs:691-712 — this is the
+  * beyond-reference training-pipeline surface).
+  *
+  * Design for 100 TB: every helper here is a pure Column expression over a
+  * bounded byte PREFIX of the payload (magic sniffing hexes 12 bytes, never
+  * the blob), so scans stay in whole-stage codegen and projection pruning
+  * can drop the payload column entirely when only metadata is queried.
+  * Decoding is the only per-row imperative step and is isolated behind
+  * `decodeImageStub` (mapPartitions), which this container cannot back with
+  * a real codec — the Spark-side plumbing (schema, batching, partitioning)
+  * is real and tested; the pixel decode is a clearly-marked deterministic
+  * fake.
+  */
+object Multimodal {
+
+  /** Payload size in bytes (metadata-only query stays off the heap). */
+  def sizeBytes(payload: Column): Column = length(payload).cast("long")
+
+  /** Deterministic content hash. md5 over the HEX rendering (not the raw
+    * bytes) so any engine without blob-md5 can replicate it exactly. */
+  def contentHash(payload: Column): Column = md5(hex(payload))
+
+  /** Magic-byte container sniff over the first 12 bytes only. */
+  def sniffMime(payload: Column): Column = {
+    val h = upper(hex(substring(payload, 1, 12)))
+    val riff = h.startsWith("52494646")
+    when(payload.isNull, lit(null).cast("string"))
+      .when(h.startsWith("89504E470D0A1A0A"), "image/png")
+      .when(h.startsWith("FFD8FF"), "image/jpeg")
+      .when(h.startsWith("47494638"), "image/gif")
+      .when(riff && substring(h, 17, 8) === "57415645", "audio/wav")
+      .when(riff && substring(h, 17, 8) === "41564920", "video/avi")
+      .when(h.startsWith("255044462D"), "application/pdf")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Payload is present, non-empty, and its sniffed container matches the
+    * mime the metadata claims. */
+  def isValid(payload: Column, declaredMime: Column): Column =
+    payload.isNotNull && length(payload) > 0 && sniffMime(payload) === declaredMime
+
+  /** Decode layer — STUB. This container ships no image/audio codecs
+    * (no javax.imageio plugins beyond JDK defaults, no ffmpeg), so the pixel
+    * decode below is a DETERMINISTIC FAKE (dimensions and features derived
+    * arithmetically from the payload bytes). Replace the marked block with a
+    * real decoder to productionize; everything around it — the typed
+    * mapPartitions pipeline, fixed output schema, per-partition batching,
+    * no shuffle — is the real 100 TB shape: decode cost scales linearly and
+    * stays data-local.
+    */
+  def decodeImageStub(df: DataFrame, payloadCol: String, idCol: String, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // --- STUB: real `decode(bytes)` goes here -----------------------
+          val n = if (bytes == null) 0 else bytes.length
+          val width = n % 640
+          val height = (n * 7) % 480
+          val features = Array.tabulate(dim) { i =>
+            if (n == 0) 0f else (bytes(i % n) & 0xff).toFloat / 255f
+          }
+          // ----------------------------------------------------------------
+          (id, width, height, features)
+        }
+      }
+      .toDF(idCol, "width", "height", "features")
+  }
+}

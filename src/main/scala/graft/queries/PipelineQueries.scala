@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -170,6 +170,54 @@ object PipelineQueries {
         FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
 
+  // ---------------------------------------------------------------- m01
+  // Multimodal metadata pipeline over binary payloads with planted container
+  // magics: size, content hash, magic-byte mime sniff, and validity against
+  // a (deliberately sometimes-wrong) declared mime.
+  private val m01 = QueryDef(
+    "m01_multimodal_meta",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val payload =
+        when(col("doc_id") % 3 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("FFD8FFE000104A46")), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8"))
+      val declared = when(col("doc_id") % 3 === 2, "application/octet-stream")
+        .otherwise("image/png") // wrong for the jpeg third — is_valid catches it
+      d.select(col("doc_id"), payload.as("payload"), declared.as("declared_mime"))
+        .select(
+          col("doc_id"),
+          Multimodal.sizeBytes(col("payload")).as("size_bytes"),
+          Multimodal.sniffMime(col("payload")).as("mime"),
+          Multimodal.contentHash(col("payload")).as("content_md5"),
+          Multimodal.isValid(col("payload"), col("declared_mime")).as("is_valid"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E470D0A1A0A') || text::BLOB
+                    WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE000104A46') || text::BLOB
+                    ELSE text::BLOB END AS payload,
+               CASE WHEN doc_id % 3 = 2 THEN 'application/octet-stream'
+                    ELSE 'image/png' END AS declared_mime
+        FROM documents),
+      m AS (
+        SELECT doc_id, payload, declared_mime,
+               CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A' THEN 'image/png'
+                    WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'image/jpeg'
+                    WHEN left(hex(payload), 8) = '47494638' THEN 'image/gif'
+                    WHEN left(hex(payload), 8) = '52494646' AND substring(hex(payload), 17, 8) = '57415645' THEN 'audio/wav'
+                    WHEN left(hex(payload), 8) = '52494646' AND substring(hex(payload), 17, 8) = '41564920' THEN 'video/avi'
+                    WHEN left(hex(payload), 10) = '255044462D' THEN 'application/pdf'
+                    ELSE 'application/octet-stream' END AS mime
+        FROM p)
+      SELECT doc_id, octet_length(payload) AS size_bytes, mime,
+             md5(hex(payload)) AS content_md5,
+             (octet_length(payload) > 0 AND mime = declared_mime) AS is_valid
+      FROM m"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -248,5 +296,5 @@ object PipelineQueries {
              0.4 * uniq_ratio + 0.3 * least(avg_token_len / 8.0, 1.0) + 0.3 * alpha_ratio AS quality
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, t01, t02, t03, t04)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, m01, t01, t02, t03, t04)
 }

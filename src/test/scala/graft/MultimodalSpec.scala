@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def payloads = {
+    import spark.implicits._
+    Seq(
+      1L -> "89504E470D0A1A0A0000000D49484452", // png
+      2L -> "FFD8FFE000104A464946",             // jpeg
+      3L -> "474946383961AABB",                 // gif
+      4L -> "52494646AAAAAAAA57415645",         // riff/wave
+      5L -> "52494646AAAAAAAA41564920",         // riff/avi
+      6L -> "255044462D312E34",                 // %PDF-1.4
+      7L -> "0001020304"                        // unknown
+    ).toDF("id", "hx").select(col("id"), unhex(col("hx")).as("payload"))
+  }
+
+  test("sniffMime classifies by magic bytes, prefix-only") {
+    val got = payloads.select(col("id"), Multimodal.sniffMime(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "image/png", 2L -> "image/jpeg", 3L -> "image/gif",
+      4L -> "audio/wav", 5L -> "video/avi", 6L -> "application/pdf",
+      7L -> "application/octet-stream"))
+  }
+
+  test("isValid cross-checks declared mime against sniffed container") {
+    val df = payloads.withColumn("declared",
+      when(col("id") === 1L, "image/png").otherwise("image/jpeg"))
+    val got = df.select(col("id"), Multimodal.isValid(col("payload"), col("declared")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L) && got(2L) && !got(3L))
+  }
+
+  test("size and hash are metadata-cheap column exprs") {
+    val row = payloads.filter(col("id") === 1L)
+      .select(Multimodal.sizeBytes(col("payload")), Multimodal.contentHash(col("payload")))
+      .head()
+    assert(row.getLong(0) === 16L)
+    assert(row.getString(1).matches("[0-9a-f]{32}"))
+  }
+
+  test("decodeImageStub: real plumbing, deterministic fake decode") {
+    val in = payloads.repartition(3)
+    val out = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
+    assert(out.columns.toSeq === Seq("id", "width", "height", "features"))
+    assert(out.count() === 7)
+    // no shuffle: decode is partition-local
+    assert(out.rdd.getNumPartitions === 3)
+    val f1 = out.filter(col("id") === 1L).head()
+    val f2 = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
+      .filter(col("id") === 1L).head()
+    assert(f1.getSeq[Float](3) === f2.getSeq[Float](3)) // deterministic
+    assert(f1.getInt(1) === 16 % 640)
+  }
+}
