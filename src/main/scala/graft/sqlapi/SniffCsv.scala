@@ -44,21 +44,59 @@ object SniffCsv {
         if (modal == 1) -1.0 else counts.count(_ == modal).toDouble / counts.size * modal
       }
     }
+    // skip_rows: leading preamble lines whose field count disagrees with the
+    // modal table width (reference returns it from DuckDB's sniffer,
+    // src/api/csv.rs:60-66; previously hardcoded 0)
+    val counts = whole.map(l => splitOutsideQuotes(l, delimiter, '"').length)
+    val modal = if (counts.isEmpty) 1 else counts.groupBy(identity).maxBy(_._2.size)._1
+    val skipRows = counts.takeWhile(_ != modal).length
+    val body = whole.drop(skipRows)
+
     val quote = if (sample.contains("\"")) "\"" else ""
-    val header = whole.headOption.exists { h =>
+    val header = body.headOption.exists { h =>
       val hf = splitOutsideQuotes(h, delimiter, '"')
-      val df = whole.drop(1).headOption.map(splitOutsideQuotes(_, delimiter, '"'))
+      val df = body.drop(1).headOption.map(splitOutsideQuotes(_, delimiter, '"'))
       hf.forall(f => parseAs(f.trim.stripPrefix("\"").stripSuffix("\"")) == "VARCHAR") &&
         df.exists(_.exists(f => parseAs(f.trim) != "VARCHAR"))
     }
-    // column name/types from Spark's own inference over the real file
+    // column name/types from Spark's own inference over the (preamble-free)
+    // sampled body — no second file read
+    import spark.implicits._
     val inferred = spark.read
       .option("header", header.toString).option("sep", delimiter)
-      .option("inferSchema", "true").csv(path).schema
-    Dialect(delimiter, quote, if (quote.nonEmpty) "\"" else "", newLine, 0, header,
+      .option("inferSchema", "true")
+      .csv(spark.createDataset(body))
+      .schema
+    // date/timestamp formats detected from the sampled data values
+    // (previously hardcoded; reference surfaces DuckDB's detection)
+    val dataFields = body.drop(if (header) 1 else 0)
+      .flatMap(splitOutsideQuotes(_, delimiter, '"')).map(_.trim)
+    val dateFormat = detectDateFormat(dataFields).getOrElse("%Y-%m-%d")
+    val tsFormat = detectTimestampFormat(dataFields).getOrElse("%Y-%m-%dT%H:%M:%S.%f")
+    Dialect(delimiter, quote, if (quote.nonEmpty) "\"" else "", newLine, skipRows, header,
       inferred.fields.toSeq.map(f => f.name -> duckName(f.dataType)),
-      "%Y-%m-%d", "%Y-%m-%dT%H:%M:%S.%f")
+      dateFormat, tsFormat)
   }
+
+  private[graft] def detectDateFormat(values: Seq[String]): Option[String] = {
+    val iso = values.filter(_.matches("""\d{4}-\d{2}-\d{2}"""))
+    if (iso.nonEmpty) return Some("%Y-%m-%d")
+    val slash = values.filter(_.matches("""\d{1,2}/\d{1,2}/\d{4}"""))
+    if (slash.nonEmpty) {
+      // first component above 12 disambiguates day-first
+      val dayFirst = slash.exists(_.split('/')(0).toInt > 12)
+      return Some(if (dayFirst) "%d/%m/%Y" else "%m/%d/%Y")
+    }
+    None
+  }
+
+  private[graft] def detectTimestampFormat(values: Seq[String]): Option[String] =
+    values.collectFirst {
+      case v if v.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+""") => "%Y-%m-%dT%H:%M:%S.%f"
+      case v if v.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}""") => "%Y-%m-%dT%H:%M:%S"
+      case v if v.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d+""") => "%Y-%m-%d %H:%M:%S.%f"
+      case v if v.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""") => "%Y-%m-%d %H:%M:%S"
+    }
 
   /** sniff_csv as a one-row DataFrame in the reference's column shape. */
   def sniffDf(spark: SparkSession, path: String, sampleBytes: Int = 20480): DataFrame = {

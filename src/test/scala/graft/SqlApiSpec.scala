@@ -114,4 +114,45 @@ class SqlApiSpec extends SparkSpec {
     assert(d.delimiter === "\t")
     assert(!d.hasHeader)
   }
+
+  test("sniff_csv detects skip_rows preamble and date/timestamp formats") {
+    val dir = tempDir("sniff3")
+    val p = writeText(dir, "pre.csv",
+      "generated by tool v1.2\nexport 2024\n" + // 1-field preamble
+        "id,day,seen\n" +
+        "1,2023-06-27,2023-06-27T10:34:56.123\n" +
+        "2,2023-06-28,2023-06-28T11:00:00.500\n")
+    val d = SniffCsv.sniff(spark, p)
+    assert(d.skipRows === 2)
+    assert(d.hasHeader)
+    assert(d.columns.map(_._1) === Seq("id", "day", "seen"))
+    assert(d.dateFormat === "%Y-%m-%d")
+    assert(d.timestampFormat === "%Y-%m-%dT%H:%M:%S.%f")
+    // day-first slash dates disambiguate via a >12 day component
+    assert(SniffCsv.detectDateFormat(Seq("27/06/2023")) === Some("%d/%m/%Y"))
+    assert(SniffCsv.detectDateFormat(Seq("06/27/2023", "01/02/2023")) === Some("%m/%d/%Y"))
+  }
+
+  test("debug flags force observable plan changes (reference debug GUCs)") {
+    import graft.sqlapi.DebugFlags
+    Tables.registerAll(spark, sf)
+    def plan(): String = SqlApi.explain(
+      spark, "SELECT l_orderkey FROM lineitem WHERE l_quantity > 30", "duckdb")
+    // Plan text prints PushedFilters from the translated dataFilters
+    // regardless of the runtime conf (only the reader consults it), so the
+    // pushdown flag is pinned at the engine-conf level — the documented
+    // switch the reader honors — while codegen is pinned via plan text.
+    DebugFlags.set(spark, DebugFlags.DisablePushdown, true)
+    try {
+      assert(DebugFlags.get(spark, DebugFlags.DisablePushdown))
+      assert(spark.conf.get("spark.sql.parquet.filterPushdown") === "false")
+      assert(spark.conf.get("spark.sql.csv.filterPushdown") === "false")
+    } finally DebugFlags.set(spark, DebugFlags.DisablePushdown, false)
+    assert(spark.conf.get("spark.sql.parquet.filterPushdown") === "true")
+    DebugFlags.set(spark, DebugFlags.DisableCodegen, true)
+    try assert(!plan().contains("codegen id"))
+    finally DebugFlags.set(spark, DebugFlags.DisableCodegen, false)
+    assert(plan().contains("codegen id"))
+    intercept[IllegalArgumentException] { DebugFlags.set(spark, "nope", true) }
+  }
 }
