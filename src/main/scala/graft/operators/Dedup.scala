@@ -126,16 +126,18 @@ object Dedup {
     * aggregation shares the self-join's (band, band_sig) partitioning, so
     * the guard costs no extra shuffle of the big side. */
   def candidatePairs(bands: DataFrame, idCol: String, maxBucket: Int = 1000): DataFrame = {
-    val ok = bands.groupBy(col("band"), col("band_sig"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("band_sig"))
-    val capped = bands.join(ok, Seq("band", "band_sig"))
-    val a = capped.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val b = capped.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // One shuffle: group each bucket, enforce the cap on the member list,
+    // and emit the in-bucket pairs from the array directly — no self-join,
+    // no second pass for the count. A capped bucket holds ≤ maxBucket ids
+    // (≤ 8 KB), so the collect_list is executor-safe by construction.
+    bands.groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
