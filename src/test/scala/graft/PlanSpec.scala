@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan audits: the inventory queries must not just return the right
+  * rows — they must carry the plan shape that survives a 100× scale-up
+  * (filters/projections at the scan, broadcasts on dims, top-k via
+  * TakeOrderedAndProject, no accidental cartesians, no single-task windows).
+  * These pins catch plan regressions that row-level oracles cannot see. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q02: filter and projection both reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    // pruned: untouched wide columns never leave the scan
+    assert(readSchemas.forall(rs => !rs.contains("l_returnflag") && !rs.contains("l_tax")))
+  }
+
+  test("q03/q21: ORDER BY + LIMIT plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_top_revenue").contains("TakeOrderedAndProject"))
+    assert(plan("q21_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q05: dimension joins broadcast; no nested-loop or cartesian fallback") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Functions: [partial"))
+  }
+
+  test("d03: candidate pairs need no join at all") {
+    val p = plan("d03_lsh_candidate_pairs")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s01: top-k windows are two-phase, never one task per query") {
+    val p = plan("s01_ann_bruteforce_topk")
+    // phase-1 window partitions by (q_id, input partition id), and Spark's
+    // WindowGroupLimit pushdown caps rows before each window sort
+    assert(p.contains("__part"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("m01: payload pipeline prunes unused document columns at the scan") {
+    val p = plan("m01_multimodal_meta")
+    val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.forall(rs => !rs.contains("lang") && !rs.contains("source")))
+  }
+
+  test("whole-stage codegen spans the relational hot paths") {
+    Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      // AQE only annotates codegen in the FINAL plan — and only THIS df's
+      // QueryExecution (a write would plan its own); collect to finalize
+      df.collect()
+      assert(df.queryExecution.explainString(FormattedMode).contains("codegen id"),
+        s"$q lost codegen")
+    }
+  }
+}
