@@ -92,6 +92,84 @@ object Similarity {
       cent AS (SELECT label, list(sum_v / n ORDER BY pos) AS centroid
                FROM psum GROUP BY label)"""
 
+  // --------------------------------------------- cosine LSH (hyperplanes)
+
+  /** Dot product against a deterministic pseudo-random ±1 hyperplane: the
+    * sign of component i comes from the same linear-congruential family as
+    * the MinHash permutations ((a·i + b) mod P parity), so ANY engine can
+    * regenerate the planes from two integers — no 64-float literals in
+    * oracle SQL, no RNG. Sequential fold in double (oracle-exact). */
+  def hyperplaneDot(vecCol: String, a: Long, b: Long): Column =
+    expr(s"aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) -> " +
+      s"CAST(x AS DOUBLE) * (CASE WHEN ((${a}L * i + ${b}L) % ${Dedup.P}L) % 2 = 0 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** (id, band, band_sig) rows from k sign bits split into k/rowsPerBand
+    * bands — random-hyperplane LSH (SimHash for cosine space). Same banded
+    * shape as Dedup.bandSignatures, so candidate generation reuses the
+    * capped, join-free bucket grouping. */
+  def cosineLshBands(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    require(k <= Dedup.coeffs.length && k % rowsPerBand == 0)
+    val bits = Dedup.coeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+      when(hyperplaneDot(vecCol, a, b) > 0, 1).otherwise(0).as(s"b$j")
+    }
+    val withBits = emb.select(col(idCol) +: bits: _*)
+    val nBands = k / rowsPerBand
+    val entries = (0 until nBands).map { bd =>
+      val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(j => s"b$j * ${1 << (j % rowsPerBand)}").mkString(" + ")
+      s"CAST($bd AS BIGINT), CAST($sig AS STRING)"
+    }.mkString(", ")
+    withBits.selectExpr(idCol, s"stack($nBands, $entries) AS (band, band_sig)")
+  }
+
+  /** Embedding near-dup at scale: hyperplane-LSH bucket join (never
+    * all-pairs), capped hot buckets, exact cosine verification on the
+    * candidates only. The 100 TB shape: one groupBy for buckets, pairs from
+    * arrays, one join back to fetch vectors for the ≪ n² candidate set. */
+  def cosineNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, k: Int = 16, rowsPerBand: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = Dedup.candidatePairs(cosineLshBands(emb, idCol, vecCol, k, rowsPerBand), idCol, maxBucket)
+    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    pairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("cos_sim", cosine("va", "vb"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("cos_sim"))
+  }
+
+  /** DuckDB rendering of the same LSH chain (oracle side). */
+  def cosineLshSql(threshold: Double = 0.9, k: Int = 16, rowsPerBand: Int = 8,
+      maxBucket: Int = 1000): String = {
+    val dots = Dedup.coeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+      s"CASE WHEN list_reduce(list_transform(generate_series(1, len(embedding)), " +
+        s"i -> embedding[i]::DOUBLE * (CASE WHEN (($a * i + $b) % ${Dedup.P}) % 2 = 0 " +
+        s"THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS b$j"
+    }.mkString(",\n               ")
+    val nBands = k / rowsPerBand
+    val bandSelects = (0 until nBands).map { bd =>
+      val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(j => s"b$j * ${1 << (j % rowsPerBand)}").mkString(" + ")
+      s"SELECT vec_id, CAST($bd AS BIGINT) AS band, CAST($sig AS VARCHAR) AS band_sig FROM bits"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH bits AS (SELECT vec_id, $dots FROM embeddings),
+      bands AS ($bandSelects),
+      bcount AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig),
+      bandsok AS (SELECT b.vec_id, b.band, b.band_sig FROM bands b
+                  JOIN bcount c ON b.band = c.band AND b.band_sig = c.band_sig AND c.n <= $maxBucket),
+      pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bandsok a JOIN bandsok b
+                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id)
+      SELECT p.vec_a, p.vec_b, ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
+      FROM pairs p JOIN embeddings x ON p.vec_a = x.vec_id
+                   JOIN embeddings y ON p.vec_b = y.vec_id
+      WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
+  }
+
   /** IVF-style ANN: route each query to its nearest centroid cell, then
     * search only that cell. At 100 TB this turns a full scan per query into
     * a 1/cells scan; cells are the shuffle key so each executor holds whole

@@ -170,6 +170,17 @@ object PipelineQueries {
         FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
 
+  // ---------------------------------------------------------------- s03
+  // Embedding near-dup via hyperplane LSH: bucketed candidates (never
+  // all-pairs), capped hot buckets, exact cosine verify on candidates only.
+  // threshold 0.35 fits this corpus (max pairwise cosine ≈ 0.51 — the
+  // synthetic embeddings plant no true duplicates); production near-dup
+  // filtering would use the operator's 0.9 default.
+  private val s03 = QueryDef(
+    "s03_cosine_lsh_neardup",
+    (s, dir) => Similarity.cosineNearDupLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.35),
+    Some(Similarity.cosineLshSql(threshold = 0.35)))
+
   // ---------------------------------------------------------------- m01
   // Multimodal metadata pipeline over binary payloads with planted container
   // magics: size, content hash, magic-byte mime sniff, and validity against
@@ -296,5 +307,5 @@ object PipelineQueries {
              0.4 * uniq_ratio + 0.3 * least(avg_token_len / 8.0, 1.0) + 0.3 * alpha_ratio AS quality
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, m01, t01, t02, t03, t04)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, m01, t01, t02, t03, t04)
 }

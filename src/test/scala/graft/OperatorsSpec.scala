@@ -109,6 +109,16 @@ class OperatorsSpec extends SparkSpec {
     assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) === 5))
   }
 
+  test("cosine LSH finds high-cosine pairs without all-pairs") {
+    val res = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", threshold = 0.35)
+    val rows = res.collect()
+    assert(rows.nonEmpty) // top-cosine tail of the corpus collides in a band
+    assert(rows.forall(_.getDouble(2) >= 0.35)) // verified, not just bucketed
+    // join-free candidate generation (same plan family as d03)
+    val p = res.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("langId returns a code from the marker set") {
     val preds = docs.select(TextOps.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
