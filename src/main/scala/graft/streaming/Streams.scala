@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY §2.2:
+  * streaming n/a — no watermarks/windows/state anywhere in its src/), so
+  * nothing here mirrors reference code; it extends the engine with the
+  * streaming half a training-data pipeline needs: continuous ingest dedup,
+  * windowed rollups, and gap sessionization.
+  *
+  * State design for an unbounded 100 TB/day feed: every operator takes a
+  * watermark so the state store is BOUNDED — dedup state expires with the
+  * watermark, window state closes per window, session state closes per gap.
+  * All three compose with `readStream` file/kafka sources and checkpointed
+  * `writeStream` sinks unchanged: the transforms are source/sink-agnostic.
+  */
+object Streams {
+
+  /** Exact streaming dedup on a key, state bounded by the watermark: a
+    * duplicate arriving within `delay` of the first sighting is dropped;
+    * state for keys older than the watermark is reclaimed. The batch
+    * analogue is Dedup.exactMark's hash-groupBy. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-hash streaming dedup for documents: same normalization +
+    * md5 as the batch d01 operator, so a batch backfill and the streaming
+    * path agree on what is a duplicate. */
+  def dedupDocsStream(df: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame = {
+    val h = md5(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    dedupStream(df.withColumn("h", h), Seq("h"), tsCol, delay)
+  }
+
+  /** Tumbling/sliding windowed aggregation with late-data handling: rows
+    * later than `delay` behind the watermark are dropped, windows finalize
+    * incrementally (append mode works downstream). */
+  def windowedCounts(df: DataFrame, tsCol: String, window_ : String,
+      delay: String, aggs: (String, Column)*): DataFrame = {
+    val base = df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), window_))
+    val named = if (aggs.isEmpty) Seq("n" -> count(lit(1))) else aggs
+    base.agg(named.head._2.as(named.head._1),
+      named.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Gap-based sessionization via session_window: a session closes when no
+    * event arrives for `gap`; watermark bounds open-session state. The
+    * batch analogue is q33_sessionization's lag-over-window chain — here
+    * the engine keeps per-key session state instead of a global sort. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String,
+      delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming dedup drops duplicates across micro-batches, state watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupStream(
+      in.toDF().toDF("id", "payload", "ts"), Seq("id"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a", ts("2024-01-01 10:00:00")), (2L, "b", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      in.addData((1L, "a-dup", ts("2024-01-01 10:01:00")), (3L, "c", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // the id=1 duplicate is gone
+    } finally q.stop()
+  }
+
+  test("content-hash stream dedup agrees with the batch d01 normalization") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupDocsStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("docdedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "Hello  World", ts("2024-01-01 10:00:00")),
+        (2L, "hello world", ts("2024-01-01 10:00:10")), // same after normalize
+        (3L, "different", ts("2024-01-01 10:00:20")))
+      q.processAllAvailable()
+      val ids = spark.table("docdedup_out").select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowed counts finalize with the watermark and drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Streams.windowedCounts(
+      in.toDF().toDF("k", "ts"), "ts", "5 minutes", "1 minute",
+      "n" -> count(lit(1)))
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", ts("2024-01-01 10:01:00")), ("b", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // watermark advances far past the first window → it finalizes
+      in.addData(("c", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // this row is 20+ minutes late — dropped, does not reopen the window
+      in.addData(("late", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      in.addData(("d", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00") === 2L) // late row excluded
+    } finally q.stop()
+  }
+
+  test("gap sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = Streams.sessionize(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts", "5 minutes", "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:02:00")),
+        (7L, ts("2024-01-01 10:20:00"))) // > 5 min gap → second session
+      q.processAllAvailable()
+      in.addData((7L, ts("2024-01-01 11:00:00"))) // advance watermark, close all
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").select("n_events").collect().map(_.getLong(0)).sorted
+      assert(sessions.toSeq === Seq(1L, 2L)) // [10:00,10:02] and [10:20]
+    } finally q.stop()
+  }
+}
