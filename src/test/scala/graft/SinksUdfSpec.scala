@@ -1,0 +1,69 @@
+package graft
+
+import graft.catalog.{Catalog, Sinks}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoders
+
+/** Write-side COPY analogue + the UDF/UDAF registration surface
+  * (SURVEY §2.2: `spark.udf.register`, `Aggregator`). */
+class SinksUdfSpec extends SparkSpec {
+
+  test("copyTo csv honors dialect options and round-trips") {
+    Catalog.attach(spark, "sk_nation", "parquet", Map("files" -> s"$sf/nation.parquet"))
+    val out = new java.io.File(tempDir("sink"), "nation_csv").getAbsolutePath
+    Sinks.copyTo(spark.table("sk_nation"), out, "csv",
+      Map("header" -> "true", "delim" -> "|", "overwrite" -> "true"))
+    val back = Catalog.attach(spark, "sk_nation_back", "csv",
+      Map("files" -> s"$out/*.csv", "header" -> "true", "delim" -> "|"))
+    assert(back.count() === 25)
+    assert(back.columns.toSeq === spark.table("sk_nation").columns.toSeq)
+  }
+
+  test("copyTo parquet with partition_by lays out prunable directories") {
+    Catalog.attach(spark, "sk_nation2", "parquet", Map("files" -> s"$sf/nation.parquet"))
+    val out = new java.io.File(tempDir("sink2"), "nation_part").getAbsolutePath
+    Sinks.copyTo(spark.table("sk_nation2"), out, "parquet",
+      Map("partition_by" -> "n_regionkey", "overwrite" -> "true"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("n_regionkey=")) === 5)
+    // partition filter prunes directories on re-read
+    val pruned = spark.read.parquet(out).filter(col("n_regionkey") === 0)
+    assert(pruned.count() === 5)
+  }
+
+  test("copyTo rejects unknown options with the attach error shape") {
+    val e = intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(spark.range(1).toDF(), "/tmp/never", "parquet", Map("bogus" -> "1"))
+    }
+    assert(e.getMessage.contains("bogus"))
+    assert(e.getMessage.contains("valid"))
+  }
+
+  test("scalar UDF registers and runs in SQL over attached tables") {
+    Catalog.attach(spark, "udf_nation", "parquet", Map("files" -> s"$sf/nation.parquet"))
+    spark.udf.register("shout", (s: String) => s + "!")
+    val r = spark.sql("SELECT shout(n_name) FROM udf_nation ORDER BY n_nationkey LIMIT 1")
+      .head().getString(0)
+    assert(r.endsWith("!"))
+  }
+
+  test("Aggregator UDAF registers and aggregates in SQL") {
+    val geoMeanish = new Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(math.max(a, 1e-9)), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)) = if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+      def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder = Encoders.scalaDouble
+    }
+    spark.udf.register("geomean", udaf(geoMeanish))
+    Catalog.attach(spark, "udaf_li", "parquet", Map("files" -> s"$sf/lineitem.parquet"))
+    val g = spark.sql("SELECT geomean(l_quantity) FROM udaf_li").head().getDouble(0)
+    val expected = {
+      val q = spark.table("udaf_li").select("l_quantity").collect().map(_.getDouble(0))
+      math.exp(q.map(v => math.log(math.max(v, 1e-9))).sum / q.length)
+    }
+    assert(math.abs(g - expected) / expected < 1e-9)
+  }
+}
