@@ -203,18 +203,29 @@ object Catalog {
     var df =
       if (skip > 0) {
         // DuckDB skips `skip` lines PER FILE (csv.rs:185-187); Spark has no
-        // native skip-N, so pre-slice each file's text independently — a
-        // zipWithIndex on one file indexes only that file. Attach-time cost
-        // only; documents the pushdown loss for skip>0 sources.
+        // native skip-N, so pre-slice and parse each file independently —
+        // header detection stays per file, `filename` metadata survives via
+        // a carried __file_path column, and the union is by name. Attach-time
+        // cost only; documents the pushdown loss for skip>0 sources.
         import spark.implicits._
-        val header = options.get("header").exists(_.toBoolean)
-        val perFile = files.zipWithIndex.map { case (f, fi) =>
-          // every file repeats the header after its skipped lines; keep it
-          // only for the first file (it becomes THE header of the union)
-          val cut = if (header && fi > 0) skip + 1 else skip
-          spark.read.textFile(f).rdd.zipWithIndex().filter(_._2 >= cut).map(_._1)
-        }.reduce(_ union _)
-        r.csv(spark.createDataset(perFile))
+        def sliced(f: String) = spark.createDataset(
+          spark.read.textFile(f).rdd.zipWithIndex().filter(_._2 >= skip).map(_._1))
+        val first = r.csv(sliced(files.head)).withColumn("__file_path", lit(files.head))
+        val rest = files.tail.map { f =>
+          // pin the remaining files to the first file's inferred schema so
+          // the union never sees per-file inference drift
+          r.schema(first.schema.fields.filter(_.name != "__file_path")
+            .foldLeft(new StructType)((s, fld) => s.add(fld)))
+            .option("inferSchema", "false")
+            .csv(sliced(f)).withColumn("__file_path", lit(f))
+        }
+        (first +: rest).reduce(_ unionByName _)
+      } else if (options.get("union_by_name").exists(_.toBoolean)) {
+        // CSV is positional: multi-file reads align columns by POSITION
+        // unless union_by_name asks for name alignment across differing
+        // schemas (csv.rs union_by_name) — read per file, union by name.
+        val parts = files.map(f => r.load(f))
+        parts.reduce(_ unionByName (_, allowMissingColumns = true))
       } else r.load(files: _*)
 
     // Post-read option semantics, in reference order:
@@ -237,7 +248,7 @@ object Catalog {
       }
     }
     if (options.get("normalize_names").exists(_.toBoolean))
-      df = df.toDF(df.columns.map(normalizeName): _*)
+      df = df.toDF(df.columns.map(c => if (c == "__file_path") c else normalizeName(c)): _*)
     options.get("names").foreach { names =>
       val ns = names.split(",").map(_.trim)
       df = df.toDF(df.columns.zipWithIndex.map { case (c, i) =>
@@ -346,10 +357,16 @@ object Catalog {
 
   private def withMetadataColumns(df: DataFrame, options: Map[String, String]): DataFrame = {
     var out = df
+    val preSliced = df.columns.contains("__file_path") // csv skip>0 path
     if (options.get("filename").exists(_.toBoolean))
-      out = out.withColumn("filename", col("_metadata.file_path"))
-    if (options.get("file_row_number").exists(_.toBoolean))
+      out = out.withColumn("filename",
+        if (preSliced) col("__file_path") else col("_metadata.file_path"))
+    if (options.get("file_row_number").exists(_.toBoolean)) {
+      if (preSliced) throw InvalidOptionException(
+        "file_row_number is not supported together with skip > 0")
       out = out.withColumn("file_row_number", col("_metadata.row_index"))
+    }
+    if (preSliced) out = out.drop("__file_path")
     out
   }
 

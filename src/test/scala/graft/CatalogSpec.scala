@@ -211,6 +211,33 @@ class CatalogSpec extends SparkSpec {
     assert(df.count() === 3) // headers + junk of BOTH files are gone
   }
 
+  test("csv skip composes with filename metadata; file_row_number rejects") {
+    val p1 = writeText(dir, "skf1.csv", "junk\na,b\n1,2\n")
+    val p2 = writeText(dir, "skf2.csv", "junk\na,b\n5,6\n")
+    val df = Catalog.attach(spark, "skip_fn", "csv",
+      Map("files" -> s"$p1,$p2", "skip" -> "1", "header" -> "true", "filename" -> "true"))
+    assert(df.columns.toSeq === Seq("a", "b", "filename"))
+    val byFile = df.groupBy("filename").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFile(p1) === 1L && byFile(p2) === 1L)
+    intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "skip_frn", "csv",
+        Map("files" -> p1, "skip" -> "1", "header" -> "true", "file_row_number" -> "true"))
+    }
+  }
+
+  test("csv union_by_name aligns differing file schemas by name") {
+    val p1 = writeText(dir, "ub1.csv", "a,b\n1,x\n")
+    val p2 = writeText(dir, "ub2.csv", "b,a,c\ny,2,extra\n")
+    val byName = Catalog.attach(spark, "ub_name", "csv",
+      Map("files" -> s"$p1,$p2", "header" -> "true", "union_by_name" -> "true"))
+    assert(byName.columns.toSeq.sorted === Seq("a", "b", "c"))
+    val rows = byName.orderBy("a").collect()
+    assert(rows(0).getAs[String]("b") === "x")
+    assert(rows(1).getAs[String]("b") === "y")
+    assert(rows(0).getAs[String]("c") === null) // missing column padded
+  }
+
   test("json records=false keeps values in one json column") {
     val df = Catalog.attach(spark, "raw_json", "json",
       Map("files" -> jsonlPath, "records" -> "false"))
