@@ -728,7 +728,72 @@ object RelationalQueries {
       FROM s
       GROUP BY user_id, sess_n"""))
 
+  // ---------------------------------------------------------------- q34
+  // Correlated NOT EXISTS → left-anti join (§2.2 joins: anti). The anti
+  // join shuffles on custkey — the natural key — and nothing else.
+  private val q34 = QueryDef(
+    "q34_not_exists",
+    (s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)"""))
+
+  // ---------------------------------------------------------------- q35
+  // GROUPING SETS with grouping_id (§2.2 aggregations beyond rollup/cube).
+  private val q35 = QueryDef(
+    "q35_grouping_sets",
+    (s, dir) => {
+      Tables.register(s, dir, Seq("lineitem"))
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""))
+
+  // ---------------------------------------------------------------- q36
+  // Ordered string aggregation (listagg shape): deterministic via sort
+  // before join — order-insensitive to partial-agg arrival order.
+  private val q36 = QueryDef(
+    "q36_string_agg",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, count(*) AS n
+      FROM nation GROUP BY n_regionkey"""))
+
+  // ---------------------------------------------------------------- q37
+  // Interpolated percentiles (both engines: linear interpolation over the
+  // sorted values; l_quantity is integral so the arithmetic is exact).
+  private val q37 = QueryDef(
+    "q37_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("quartiles"),
+          max(col("l_quantity")).as("max_qty")),
+    Some("""
+      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+             max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33)
+    q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 }
