@@ -47,6 +47,26 @@ object Streams {
       named.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Custom keyed state via mapGroupsWithState — the escape hatch when
+    * built-in windows cannot express the state machine. Running per-key
+    * sighting counts (e.g. duplicate-rate monitoring on a content hash):
+    * state is one Long per live key and updates incrementally per
+    * micro-batch. Output mode: update. */
+  def runningKeyCounts(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(keyCol).cast("string")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (key, n)
+      }
+      .toDF(keyCol, "n_seen")
+  }
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here

@@ -101,6 +101,16 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("files"))
   }
 
+  test("missing files error at first action (reference: 'No files found' at attach)") {
+    // FIXTURES.md §6: attach of invalid_file.parquet must surface a clear
+    // path error, not an empty table
+    val df = intercept[Exception] {
+      Catalog.attach(spark, "ghost", "parquet",
+        Map("files" -> s"$dir/invalid_file.parquet")).collect()
+    }
+    assert(df.getMessage.toLowerCase.matches("(?s).*(path|found|exist).*"))
+  }
+
   test("reserved table names rejected") {
     intercept[Catalog.ReservedTableNameException] {
       Catalog.attach(spark, "duckdb_tables", "parquet", Map("files" -> "x.parquet"))

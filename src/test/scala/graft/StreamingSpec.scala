@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = Streams.runningKeyCounts(in.toDF().toDF("k"), "k")
+    val q = out.writeStream.format("memory").queryName("counts_out")
+      .outputMode("update").start()
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("a", "c")
+      q.processAllAvailable()
+      // update mode: last emission per key wins
+      val last = spark.table("counts_out").groupBy("k")
+        .agg(max("n_seen").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L)) // state crossed batches
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
