@@ -21,7 +21,10 @@ object Engine {
 
   /** Apply engine defaults to a builder (shared by session(), Verify, Bench). */
   def configure(b: SparkSession.Builder, cores: Int = defaultParallelism): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cores.toString)
+    b.withExtensions { ext =>
+      graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
+    }
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `geojson_to_wkb(geometry_json)` as a NATIVE Catalyst expression with
+  * codegen — the preferred extension path (custom `Expression` with
+  * `doGenCode` beats a Scala UDF: no closure serialization, no
+  * encoder boundary, stays inside whole-stage codegen). Encoding logic is
+  * shared with graft.sources.GeoJson (reference behavior pinned by
+  * tests/tests/spatial.rs:33-77: GeoJSON in → OGC little-endian WKB out).
+  */
+case class GeoJsonToWkb(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"geojson_to_wkb expects STRING, got ${child.dataType.simpleString}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "geojson_to_wkb"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.sources.GeoJson.geoJsonToWkb(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.GeoJson.geoJsonToWkb($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): GeoJsonToWkb =
+    copy(child = newChild)
+}
+
+/** Function registrations injected via SparkSessionExtensions
+  * (Engine.configure wires them into every engine session). */
+object GraftFunctions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val geojsonToWkb: FunctionDescription = (
+    FunctionIdentifier("geojson_to_wkb"),
+    new ExpressionInfo(classOf[GeoJsonToWkb].getName, "geojson_to_wkb"),
+    (children: Seq[Expression]) => GeoJsonToWkb(children.head))
+
+  val all: Seq[FunctionDescription] = Seq(geojsonToWkb)
+}

@@ -47,10 +47,13 @@ object Dedup {
       .otherwise(array())
 
   /** (id, shingle) rows for a document frame: tokenize once per doc, then
-    * explode the shingle list. */
+    * explode the DISTINCT shingle list — min() over a set equals min() over
+    * the multiset, so dropping repeats changes nothing downstream while
+    * cutting one md5 per repeated shingle (boilerplate-heavy corpora repeat
+    * most of their shingles). */
   def shingled(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), explode(shinglesFromTokens(col("tk"))).as("shingle"))
+      .select(col(idCol), explode(array_distinct(shinglesFromTokens(col("tk")))).as("shingle"))
 
   /** Convenience single-expression form (tokenizes inline — see the CSE note
     * on shinglesFromTokens; fine for one-shot use, not in exploded paths). */

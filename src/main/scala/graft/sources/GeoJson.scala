@@ -19,13 +19,15 @@ object GeoJson {
 
   def read(spark: SparkSession, files: Seq[String], options: Map[String, String]): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(files: _*)
-    val wkb = udf(geoJsonToWkb _)
     val feats = raw.select(explode(col("features")).as("f"))
     val hasProps = feats.schema("f").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("properties")
     val base = if (hasProps) feats.select(col("f.properties.*"), col("f.geometry").as("geometry"))
                else feats.select(col("f.geometry").as("geometry"))
-    val withGeom = base.withColumn("geom", wkb(to_json(col("geometry")))).drop("geometry")
+    // geojson_to_wkb is a native codegen Expression injected by
+    // Engine.configure via SparkSessionExtensions (graft.functions)
+    val withGeom = base.withColumn("geom", expr("geojson_to_wkb(to_json(geometry))"))
+      .drop("geometry")
     if (options.get("keep_wkb").exists(_.toBoolean == false)) withGeom.drop("geom") else withGeom
   }
 

@@ -28,6 +28,20 @@ class GeoJsonSpec extends SparkSpec {
     assert(bb.getDouble === 1.0); assert(bb.getDouble === 2.0)
   }
 
+  test("geojson_to_wkb is a native SQL function (SparkSessionExtensions)") {
+    val json = """{"type":"Point","coordinates":[-120.66029,35.2812]}"""
+    val viaSql = spark.sql(s"SELECT geojson_to_wkb('$json') AS g")
+      .head().getAs[Array[Byte]](0)
+    assert(viaSql.toSeq === graft.sources.GeoJson.geoJsonToWkb(json).toSeq)
+    // codegen-capable: the projection stays inside whole-stage codegen
+    val df = spark.range(3).selectExpr(s"geojson_to_wkb('$json') AS g")
+    df.collect()
+    assert(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).contains("codegen id"))
+    // type checking rejects non-string input
+    intercept[Exception] { spark.sql("SELECT geojson_to_wkb(42)").collect() }
+  }
+
   test("polygon WKB encodes ring structure") {
     val wkb = graft.sources.GeoJson.geoJsonToWkb(
       """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,0]]]}""")
