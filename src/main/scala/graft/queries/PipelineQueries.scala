@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -170,6 +170,23 @@ object PipelineQueries {
         FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
 
+  // ---------------------------------------------------------------- d07
+  // KMV distinct sketch vs exact: deterministic over a fixed hash, so the
+  // ESTIMATE itself hash-matches DuckDB (unlike HLL). Buffer is 64 longs —
+  // the shuffle carries sketches, not values.
+  private val d07 = QueryDef(
+    "d07_kmv_distinct",
+    (s, dir) => graft.Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        Sketches.kmvDistinct(col("user_id")).as("est_distinct"),
+        countDistinct(col("user_id")).as("exact_distinct")),
+    Some(s"""
+      SELECT k.event_type, k.est_distinct, e.exact_distinct
+      FROM (${Sketches.kmvDistinctSql("user_id", "events", "event_type")}) k
+      JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type) e USING (event_type)"""))
+
   // ---------------------------------------------------------------- s03
   // Embedding near-dup via hyperplane LSH: bucketed candidates (never
   // all-pairs), capped hot buckets, exact cosine verify on candidates only.
@@ -307,5 +324,5 @@ object PipelineQueries {
              0.4 * uniq_ratio + 0.3 * least(avg_token_len / 8.0, 1.0) + 0.3 * alpha_ratio AS quality
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, s01, s02, s03, m01, t01, t02, t03, t04)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, m01, t01, t02, t03, t04)
 }

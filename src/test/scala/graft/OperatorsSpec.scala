@@ -119,6 +119,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("KMV sketch: exact below k, stable estimate above, partition-proof") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "v")
+    val exact = small.groupBy("g").agg(graft.operators.Sketches.kmvDistinct(col("v")))
+      .head().getDouble(1)
+    assert(exact === 10.0) // below k=64 → exact count
+    val big = (1 to 5000).map(i => ("g", (i % 1000).toLong)).toDF("g", "v")
+    val est1 = big.repartition(1).groupBy("g")
+      .agg(graft.operators.Sketches.kmvDistinct(col("v"))).head().getDouble(1)
+    val est8 = big.repartition(8).groupBy("g")
+      .agg(graft.operators.Sketches.kmvDistinct(col("v"))).head().getDouble(1)
+    assert(est1 === est8) // k-min set is partition/order independent — bitwise
+    assert(math.abs(est1 - 1000.0) / 1000.0 < 0.3) // sketch accuracy
+  }
+
   test("langId returns a code from the marker set") {
     val preds = docs.select(TextOps.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
