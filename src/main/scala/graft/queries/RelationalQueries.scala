@@ -793,7 +793,46 @@ object RelationalQueries {
              max(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q38
+  // Correlated scalar subquery → Catalyst decorrelates to an aggregate +
+  // left outer join (RewriteCorrelatedScalarSubquery); no per-row re-execution.
+  private val q38 = QueryDef(
+    "q38_scalar_subquery",
+    (s, dir) => {
+      Tables.register(s, dir, Seq("customer", "orders"))
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE c_mktsegment = 'BUILDING'""")
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS max_order
+      FROM customer c
+      WHERE c_mktsegment = 'BUILDING'"""))
+
+  // ---------------------------------------------------------------- q39
+  // Pivot with explicit values (deterministic columns); the oracle is the
+  // equivalent conditional aggregation.
+  private val q39 = QueryDef(
+    "q39_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o"),
+    Some("""
+      SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+             sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38, q39)
 }
