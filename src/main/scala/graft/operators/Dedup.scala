@@ -146,9 +146,18 @@ object Dedup {
 
   /** Shingle-set Jaccard for given (doc_a, doc_b) pairs — the verification
     * pass run on LSH candidates only, never all pairs. Uses the same shingle
-    * granularity as the MinHash that produced the candidates. */
+    * granularity as the MinHash that produced the candidates.
+    *
+    * Only docs that actually appear in a candidate pair are tokenized: the
+    * candidate id set (small — it IS the near-dup suspects) semi-joins the
+    * corpus before the expensive shingle materialization, so at 100 TB the
+    * verify pass never re-tokenizes or shuffles the full corpus. */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("tk0"))
+    // left-semi, strategy left to AQE: broadcasts when the candidate set is
+    // small, shuffles when a pathological corpus makes it large
+    val needed = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val toks = docs.join(needed, Seq(idCol), "left_semi")
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk0"))
       .select(col(idCol), array_distinct(shinglesFromTokens(col("tk0"))).as("tk"))
     val inter = size(array_intersect(col("tk_a"), col("tk_b")))
     pairs
