@@ -59,10 +59,13 @@ object Formats {
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
     Set("files"), available = jarPresent("iceberg"))
 
+  // GDAL-driver options (layer selection, spatial filters, driver lists,
+  // sibling files, sequential scan) are NOT accepted: this deployment reads
+  // GeoJSON natively without GDAL, and accepting-then-ignoring an option is
+  // silent wrongness — attach errors listing what IS supported.
   val spatial: FormatSpec = FormatSpec(
     "spatial",
-    commonOptions ++ Set("layer", "sequential_layer_scan", "spatial_filter",
-      "open_options", "allowed_drivers", "sibling_files", "spatial_filter_box", "keep_wkb"),
+    commonOptions ++ Set("keep_wkb"),
     Set("files"))
 
   val all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)

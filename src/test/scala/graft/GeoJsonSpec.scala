@@ -28,6 +28,17 @@ class GeoJsonSpec extends SparkSpec {
     assert(bb.getDouble === 1.0); assert(bb.getDouble === 2.0)
   }
 
+  test("GDAL-only spatial options are rejected, not ignored") {
+    val dir = tempDir("geo_rej")
+    val p = writeText(dir, "x.geojson", fc)
+    Seq("layer", "spatial_filter_box", "allowed_drivers").foreach { opt =>
+      val e = intercept[Catalog.InvalidOptionException] {
+        Catalog.attach(spark, "rej_spatial", "spatial", Map("files" -> p, opt -> "v"))
+      }
+      assert(e.getMessage.contains(opt))
+    }
+  }
+
   test("geojson_to_wkb is a native SQL function (SparkSessionExtensions)") {
     val json = """{"type":"Point","coordinates":[-120.66029,35.2812]}"""
     val viaSql = spark.sql(s"SELECT geojson_to_wkb('$json') AS g")
