@@ -286,9 +286,11 @@ object Catalog {
       return spark.read.textFile(files: _*).toDF("json")
     }
     var r = spark.read.format("json")
-    // format: newline_delimited (default) | array | auto | unstructured
+    // format: newline_delimited (default) | array | auto | unstructured —
+    // everything except NDJSON may span lines, so those parse per-file
     val fmt = options.getOrElse("format", "newline_delimited")
-    if (fmt == "array" || fmt == "auto") r = r.option("multiLine", "true")
+    if (fmt == "array" || fmt == "auto" || fmt == "unstructured")
+      r = r.option("multiLine", "true")
     val direct = Seq("dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat")
     direct.foreach { case (from, to) => options.get(from).foreach(v => r = r.option(to, v)) }
     if (options.get("ignore_errors").exists(_.toBoolean)) r = r.option("mode", "DROPMALFORMED")

@@ -248,6 +248,15 @@ class CatalogSpec extends SparkSpec {
     assert(rows(0).getAs[String]("c") === null) // missing column padded
   }
 
+  test("json format=unstructured parses values spanning lines") {
+    val p = writeText(dir, "pretty.json",
+      "{\n  \"name\": \"alice\",\n  \"age\": 30\n}")
+    val df = Catalog.attach(spark, "pretty_json", "json",
+      Map("files" -> p, "format" -> "unstructured"))
+    assert(df.count() === 1)
+    assert(df.select("name").head().getString(0) === "alice")
+  }
+
   test("json records=false keeps values in one json column") {
     val df = Catalog.attach(spark, "raw_json", "json",
       Map("files" -> jsonlPath, "records" -> "false"))
