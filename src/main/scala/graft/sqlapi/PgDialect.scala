@@ -1,0 +1,113 @@
+package graft.sqlapi
+
+/** Conservative Postgres-dialect → Spark SQL normalizer, for running the
+  * reference's PG-flavored queries unchanged (SURVEY §7 "Dialect" risk:
+  * the reference accepts `expr::type` casts and `'\xAB'` bytea literals,
+  * e.g. tests/tests/scan.rs:453). Token-aware: single-quoted strings and
+  * double-quoted identifiers pass through untouched; only clearly-shaped
+  * constructs rewrite, anything ambiguous is left as-is (Spark then reports
+  * the original text, never a silently different query).
+  *
+  * Rewrites:
+  *   - `X::type` → `CAST(X AS type)` where X is an identifier, a number, a
+  *     quoted literal, or a flat parenthesized group; chains left-to-right
+  *     (`a::int::text` → CAST(CAST(a AS INT) AS STRING)).
+  *   - PG type names → Spark (int2/int4/int8, float4/float8, text, bytea,
+  *     timestamptz, bool).
+  *   - `E'\xAB'` / `'\xAB'` hex bytea literals → `X'AB'`.
+  */
+object PgDialect {
+
+  private val typeMap = Map(
+    "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT",
+    "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    "text" -> "STRING", "varchar" -> "STRING", "bytea" -> "BINARY",
+    "bool" -> "BOOLEAN", "timestamptz" -> "TIMESTAMP",
+    "numeric" -> "DECIMAL(38,18)")
+
+  private def mapType(t: String): String =
+    typeMap.getOrElse(t.toLowerCase, t.toUpperCase)
+
+  /** Split into alternating unquoted/quoted segments (quoted kept verbatim,
+    * including '' escapes and double-quoted identifiers). */
+  private def segments(sql: String): Seq[(String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote == 0 && (c == '\'' || c == '"')) {
+        if (cur.nonEmpty) { out += ((cur.toString, false)); cur.clear() }
+        quote = c; cur.append(c)
+      } else if (quote != 0 && c == quote) {
+        // '' inside a string is an escaped quote, not a terminator
+        if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1
+        } else {
+          cur.append(c); out += ((cur.toString, true)); cur.clear(); quote = 0
+        }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, quote != 0))
+    out.toSeq
+  }
+
+  // castee alternatives, most specific first: flat function call (so chained
+  // casts re-match the CAST(..) emitted by the previous pass), identifier,
+  // number, flat parenthesized group
+  private val castee =
+    """([A-Za-z_][A-Za-z_0-9.]*\((?:[^()])*\)|[A-Za-z_][A-Za-z_0-9.]*|\d+(?:\.\d+)?|\((?:[^()])*\))"""
+  // single-word type names only (multiword `double precision` style is not
+  // used with `::` in the reference's tests; greedy spaces would over-match)
+  private val typename = """([A-Za-z_][A-Za-z_0-9]*(?:\(\d+(?:,\s*\d+)?\))?)"""
+  private val castRe = (castee + """\s*::\s*""" + typename).r
+
+  private val hexLit = "'\\\\x([0-9A-Fa-f]*)'".r
+  private val leadingCast = ("""^\s*::\s*""" + typename).r
+
+  def rewrite(sql: String): String = {
+    val segs = segments(sql)
+    // build output as a segment list so "the previous segment" is exact
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    segs.foreach { case (seg, quoted) =>
+      if (quoted) {
+        seg match {
+          case hexLit(h) =>
+            // bytea hex literal '\xAB..' → X'AB..'; eat a bare E prefix
+            // (PG escape-string syntax) left at the end of the previous
+            // unquoted segment
+            if (out.nonEmpty && !out.last._2) {
+              val (p, _) = out.last
+              if (p.matches("""(?s).*(?<![A-Za-z_0-9])[Ee]$"""))
+                out(out.length - 1) = (p.dropRight(1), false)
+            }
+            out += ((s"X'$h'", true))
+          case _ => out += ((seg, true))
+        }
+      } else {
+        // rewrite casts repeatedly until no plain `X::type` remains
+        var s = seg
+        var prev: String = null
+        while (prev != s) {
+          prev = s
+          s = castRe.replaceAllIn(s, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"CAST(${m.group(1)} AS ${mapType(m.group(2).trim)})"))
+        }
+        // a quoted literal directly before `::type` spans two segments:
+        // stitch `'lit'` + leading `::type` here
+        leadingCast.findFirstMatchIn(s) match {
+          case Some(m) if out.nonEmpty && out.last._2 =>
+            val (lit, _) = out.last
+            out(out.length - 1) = (s"CAST($lit AS ${mapType(m.group(1).trim)})", false)
+            s = s.substring(m.matched.length)
+          case _ => ()
+        }
+        out += ((s, false))
+      }
+    }
+    out.map(_._1).mkString
+  }
+}

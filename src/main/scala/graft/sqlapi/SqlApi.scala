@@ -174,4 +174,10 @@ object SqlApi {
   /** Escape hatch: run any SQL on the engine (reference: duckdb_execute(),
     * src/api/duckdb.rs:27-29). */
   def execute(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
+
+  /** Run Postgres-flavored SQL (the reference's native dialect): `::` casts,
+    * PG type names, and `E'\x..'` bytea literals normalize to Spark SQL
+    * first (SURVEY §7 dialect risk — migration path for reference users). */
+  def executePg(spark: SparkSession, sql: String): DataFrame =
+    spark.sql(PgDialect.rewrite(sql))
 }

@@ -66,6 +66,29 @@ class SqlApiSpec extends SparkSpec {
     assert(reg.execute(spark, "p").head().getLong(0) === 7)
   }
 
+  test("pg dialect rewriter: casts, type names, bytea literals, string safety") {
+    import graft.sqlapi.PgDialect.rewrite
+    assert(rewrite("SELECT a::int8 FROM t") === "SELECT CAST(a AS BIGINT) FROM t")
+    assert(rewrite("SELECT (a + b)::float8") === "SELECT CAST((a + b) AS DOUBLE)")
+    assert(rewrite("SELECT '123'::int4") === "SELECT CAST('123' AS INT)")
+    assert(rewrite("SELECT a::int2::text") ===
+      "SELECT CAST(CAST(a AS SMALLINT) AS STRING)")
+    assert(rewrite("SELECT x::numeric(12,2)") === "SELECT CAST(x AS NUMERIC(12,2))")
+    assert(rewrite("SELECT E'\\xDEAD'::bytea") === "SELECT CAST(X'DEAD' AS BINARY)")
+    assert(rewrite("SELECT '\\xAB'") === "SELECT X'AB'")
+    // quoted content is never touched
+    assert(rewrite("SELECT 'a::b' AS s") === "SELECT 'a::b' AS s")
+    assert(rewrite("SELECT 'it''s::fine'") === "SELECT 'it''s::fine'")
+  }
+
+  test("executePg runs reference-flavored SQL end to end") {
+    val r = SqlApi.executePg(spark,
+      "SELECT 5::int8 AS n, E'\\xAB'::bytea AS b, 'x::y' AS s").head()
+    assert(r.getLong(0) === 5L)
+    assert(r.getAs[Array[Byte]](1).toSeq === Seq(0xAB.toByte))
+    assert(r.getString(2) === "x::y")
+  }
+
   test("settings() exposes conf as a table") {
     val df = SqlApi.settings(spark)
     assert(df.columns.toSeq === Seq("name", "value", "description", "input_type", "scope"))
