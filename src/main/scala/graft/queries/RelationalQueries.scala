@@ -831,8 +831,31 @@ object RelationalQueries {
              sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
       FROM lineitem GROUP BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q40
+  // Date/interval arithmetic (reference pins date_trunc via datetime.rs;
+  // this pins interval add, day diffs, and field extraction).
+  private val q40 = QueryDef(
+    "q40_date_arith",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL '30' DAY")).as("ship_by"),
+        datediff(lit("1998-01-01").cast("timestamp"), col("o_orderdate"))
+          .cast("long").as("days_to_98"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mth"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow")),
+    Some("""
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 30 DAY AS ship_by,
+             CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT) AS days_to_98,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mth,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+      FROM orders"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39)
+    q38, q39, q40)
 }
