@@ -42,6 +42,24 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash the ordered
+    * k-gram shingles, slide a window of `w` over the hash sequence, keep each
+    * window's minimum, dedupe. Guarantees any shared run of ≥ w+k-1 tokens
+    * between two docs shares a fingerprint — the plagiarism/near-dup
+    * detection primitive. Pure higher-order-function expression over the
+    * per-doc array: no explode, no shuffle until the caller aggregates.
+    * Deterministic (md5-derived hashes) → oracle-replayable. */
+  def winnowedFingerprints(text: Column, w: Int = 4): Column = {
+    val sh = Dedup.shinglesFromTokens(tokens(text)) // ordered k-gram list
+    val hs = transform(sh, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % Dedup.P)
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w))))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   private def markerScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit(_)): _*))).cast("long")
 

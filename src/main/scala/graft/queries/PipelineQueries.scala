@@ -324,5 +324,34 @@ object PipelineQueries {
              0.4 * uniq_ratio + 0.3 * least(avg_token_len / 8.0, 1.0) + 0.3 * alpha_ratio AS quality
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, m01, t01, t02, t03, t04)
+  // ---------------------------------------------------------------- t05
+  // Winnowing (rolling-hash) fingerprints: shared runs of >= w+k-1 tokens
+  // share a fingerprint. Scalar projections of the per-doc set keep the
+  // oracle compare hash-stable.
+  private val t05 = QueryDef(
+    "t05_winnowing",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.winnowedFingerprints(col("text")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum")),
+    Some(s"""
+      WITH $toksCte,
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+      sh AS (SELECT doc_id, i, ('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15))::BIGINT % ${Dedup.P} AS h
+             FROM idx),
+      hs AS (SELECT doc_id, list(h ORDER BY i) AS hl FROM sh GROUP BY doc_id),
+      fp AS (SELECT doc_id,
+                    CASE WHEN len(hl) >= 4 THEN
+                      list_distinct(list_transform(generate_series(1, len(hl) - 3),
+                        i -> list_aggregate(hl[i:i+3], 'min')))
+                    ELSE [list_aggregate(hl, 'min')] END AS fps
+             FROM hs)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+             list_aggregate(fps, 'min') AS fp_min,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
+      FROM fp"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, m01, t01, t02, t03, t04, t05)
 }

@@ -134,6 +134,20 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(est1 - 1000.0) / 1000.0 < 0.3) // sketch accuracy
   }
 
+  test("winnowing: docs sharing a long run share a fingerprint; disjoint docs don't") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, s"intro words here $shared closing remarks"),
+      (2L, s"totally different opening $shared and another ending"),
+      (3L, "unrelated content about spark shuffles broadcast joins and executors running"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.winnowedFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // shared >= w+k-1 token run
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("langId returns a code from the marker set") {
     val preds = docs.select(TextOps.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
