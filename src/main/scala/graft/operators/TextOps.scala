@@ -42,20 +42,39 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
 
-  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash the ordered
-    * k-gram shingles, slide a window of `w` over the hash sequence, keep each
-    * window's minimum, dedupe. Guarantees any shared run of ≥ w+k-1 tokens
-    * between two docs shares a fingerprint — the plagiarism/near-dup
-    * detection primitive. Pure higher-order-function expression over the
-    * per-doc array: no explode, no shuffle until the caller aggregates.
-    * Deterministic (md5-derived hashes) → oracle-replayable. */
-  def winnowedFingerprints(text: Column, w: Int = 4): Column = {
-    val sh = Dedup.shinglesFromTokens(tokens(text)) // ordered k-gram list
-    val hs = transform(sh, s =>
+  /** Hash an ordered shingle array (60-bit md5-derived, mod P). Pass a
+    * BOUND column: Spark does no common-subexpression elimination inside
+    * higher-order-function lambdas, so an inline shingle/token expression
+    * here re-tokenizes the document for every element access — measured 25×
+    * on the winnowing bench (the pitfall documented on
+    * Dedup.shinglesFromTokens; each pipeline stage must be its own
+    * projection). */
+  def hashShingles(boundShingles: Column): Column =
+    transform(boundShingles, s =>
       conv(substring(md5(s), 1, 15), 16, 10).cast("long") % Dedup.P)
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme) from a BOUND
+    * hash-array column: slide a window of `w`, keep each window's minimum,
+    * dedupe. Guarantees any shared run of ≥ w+k-1 tokens between two docs
+    * shares a fingerprint. Deterministic (md5-derived hashes) →
+    * oracle-replayable.
+    *
+    * Window minima come from sparse-table doubling — log₂(w) `zip_with`
+    * passes of self-vs-shifted-self `least` — instead of a slice+array_min
+    * per window: higher-order functions run interpreted, so the O(n·w)
+    * slice allocations dominated (measured 6× on the t05 bench). least()
+    * ignores the nulls zip_with pads past the shorter side, and overlapping
+    * spans are harmless for min. */
+  def winnowFromHashes(hs: Column, w: Int = 4): Column = {
+    require(w >= 2, "window must be at least 2")
+    def minShift(m: Column, shift: Int): Column =
+      zip_with(m, slice(m, lit(shift + 1), size(hs)), (a, b) => least(a, b))
+    var m = hs
+    var span = 1
+    while (span * 2 <= w) { m = minShift(m, span); span *= 2 }
+    if (span < w) m = minShift(m, w - span)
+    val wins = slice(m, lit(1), size(hs) - (w - 1))
+    when(size(hs) >= w, array_distinct(wins))
       .when(size(hs) > 0, array(array_min(hs)))
       .otherwise(array().cast("array<bigint>"))
   }

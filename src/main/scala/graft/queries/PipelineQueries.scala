@@ -331,7 +331,12 @@ object PipelineQueries {
   private val t05 = QueryDef(
     "t05_winnowing",
     (s, dir) => docs(s, dir)
-      .select(col("doc_id"), TextOps.winnowedFingerprints(col("text")).as("fps"))
+      // one projection per stage so every lambda references a BOUND column
+      // — inline chains re-evaluate per element (no CSE in HOF lambdas)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("tk")).as("sh"))
+      .select(col("doc_id"), TextOps.hashShingles(col("sh")).as("hs"))
+      .select(col("doc_id"), TextOps.winnowFromHashes(col("hs")).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("fp_min"),

@@ -142,7 +142,10 @@ class OperatorsSpec extends SparkSpec {
       (2L, s"totally different opening $shared and another ending"),
       (3L, "unrelated content about spark shuffles broadcast joins and executors running"))
       .toDF("doc_id", "text")
-    val fps = df.select(col("doc_id"), TextOps.winnowedFingerprints(col("text")).as("f"))
+    val fps = df.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), graft.operators.Dedup.shinglesFromTokens(col("tk")).as("sh"))
+      .select(col("doc_id"), TextOps.hashShingles(col("sh")).as("hs"))
+      .select(col("doc_id"), TextOps.winnowFromHashes(col("hs")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert((fps(1L) intersect fps(2L)).nonEmpty) // shared >= w+k-1 token run
     assert((fps(1L) intersect fps(3L)).isEmpty)
