@@ -52,6 +52,7 @@ object Catalog {
     if (userMapping.nonEmpty) Secrets(spark, userMapping)
 
     val files = split_files(options("files"))
+    if (spec.name == "csv" || spec.name == "json") enforceCompression(files, options)
     var df = withPartitionAutocast(spark, options) {
       spec.name match {
         case "parquet" => readParquet(spark, files, options, schema)
@@ -101,6 +102,43 @@ object Catalog {
   /** files option: comma-separated path list; each entry may be a glob. */
   def split_files(files: String): Seq[String] =
     files.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** `compression` semantics: Spark's text readers select the decompression
+    * codec from the file EXTENSION — there is no read-side codec override
+    * (the reference forces the codec for extension-less files, csv.rs:164).
+    * Honored by VERIFICATION instead of silent acceptance: the option is
+    * accepted exactly when extension detection will already do what was
+    * asked for every file, and errors loudly otherwise — a gzipped file
+    * without `.gz` can never silently parse as garbage. */
+  private def enforceCompression(files: Seq[String], options: Map[String, String]): Unit =
+    options.get("compression").map(_.toLowerCase).foreach { c =>
+      def extCodec(f: String): Option[String] = {
+        val n = f.toLowerCase
+        if (n.endsWith(".gz") || n.endsWith(".gzip")) Some("gzip")
+        else if (n.endsWith(".bz2")) Some("bzip2")
+        else if (n.endsWith(".zst")) Some("zstd")
+        else if (n.endsWith(".lz4")) Some("lz4")
+        else if (n.endsWith(".snappy")) Some("snappy")
+        else if (n.endsWith(".deflate")) Some("deflate")
+        else None
+      }
+      c match {
+        case "auto" | "detect" => () // extension detection IS the native behavior
+        case "none" | "uncompressed" =>
+          files.find(f => extCodec(f).isDefined).foreach { f =>
+            throw InvalidOptionException(
+              s"compression 'none' requested but `$f` carries a compressed extension; " +
+                "the engine selects the codec by extension and would decompress it")
+          }
+        case codec =>
+          files.find(f => !extCodec(f).contains(codec)).foreach { f =>
+            throw InvalidOptionException(
+              s"compression '$codec' requested but `$f` does not carry a matching " +
+                "file extension; the engine selects the codec by extension — rename " +
+                "the file (e.g. `.gz` for gzip) or use compression 'auto'")
+          }
+      }
+    }
 
   private def validateOptions(spec: Formats.FormatSpec, options: Map[String, String]): Unit = {
     options.keys.find(k => !spec.validOptions.contains(k.toLowerCase)).foreach { k =>
@@ -296,13 +334,37 @@ object Catalog {
     if (options.get("ignore_errors").exists(_.toBoolean)) r = r.option("mode", "DROPMALFORMED")
 
     val declared = schema.orElse(options.get("columns").map(parseColumns))
+    // auto_detect=false turns schema detection OFF — the columns must be
+    // declared (json.rs: read_json without detection needs explicit columns).
+    if (options.get("auto_detect").exists(v => !v.toBoolean) && declared.isEmpty)
+      throw InvalidOptionException(
+        "auto_detect 'false' requires declared `columns` types for format `json`")
+    // sample_size: rows used for schema inference (json.rs:50-59 bounded
+    // sample). At 100 TB inference must never scan the corpus — infer from a
+    // line-prefix sample. Only NDJSON can be prefix-sampled by line; for
+    // multi-line formats the option errors rather than silently scanning all.
+    val sampleSize = options.get("sample_size").map(_.toInt).filter(_ > 0)
+    if (sampleSize.isDefined && declared.isEmpty && fmt != "newline_delimited")
+      throw InvalidOptionException(
+        s"sample_size inference requires format 'newline_delimited', got '$fmt'")
+    val sampled: Option[StructType] = if (declared.isDefined) None else sampleSize.map { n =>
+      var sr = spark.read
+      direct.foreach { case (from, to) => options.get(from).foreach(v => sr = sr.option(to, v)) }
+      sr.json(spark.read.textFile(files: _*).limit(n))
+        .schema
+    }
     // maximum_depth: nesting levels the schema detector descends; deeper
     // subtrees stay raw JSON text (json.rs:60-64). Spark's Jackson parser
     // reads an object/array into a StringType field as its raw JSON, so this
     // is pure schema surgery on the inferred schema.
     val maxDepth = options.get("maximum_depth").map(_.toInt).filter(_ >= 0)
     val effective: Option[StructType] = declared.orElse {
-      maxDepth.map(d => truncateDepth(r.load(files: _*).schema, d))
+      (sampled, maxDepth) match {
+        case (Some(s), Some(d)) => Some(truncateDepth(s, d))
+        case (Some(s), None) => Some(s)
+        case (None, Some(d)) => Some(truncateDepth(r.load(files: _*).schema, d))
+        case (None, None) => None
+      }
     }
     effective.foreach(s => r = r.schema(s))
     var df = r.load(files: _*)
@@ -332,16 +394,19 @@ object Catalog {
     }
   }
 
-  /** Bounded sample scan: top-level string columns whose sampled values all
-    * match an integer literal are cast to BIGINT. */
+  /** Top-level string columns whose values ALL match an integer literal are
+    * cast to BIGINT. The integral check scans the full column (one cheap
+    * min() aggregate at attach time): deciding from a sample and then
+    * casting would silently NULL any later non-integral value — silent data
+    * corruption on mixed columns. The reference leaves non-conforming
+    * columns as strings; so does this. */
   private def integerizeStrings(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (strCols.isEmpty) return df
-    val sample = df.select(strCols.map(col): _*).limit(1000)
     val checks = strCols.map(c =>
       min(when(col(c).isNull || col(c).rlike("^[+-]?\\d+$"), 1).otherwise(0)).as(c))
-    val row = sample.agg(checks.head, checks.tail: _*).collect()(0)
+    val row = df.select(strCols.map(col): _*).agg(checks.head, checks.tail: _*).collect()(0)
     val integral = strCols.zipWithIndex.collect {
       case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c
     }

@@ -71,8 +71,14 @@ object Formats {
   val all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)
     .map(f => f.name -> f).toMap
 
-  private def jarPresent(marker: String): Boolean = {
-    val dir = new java.io.File("/opt/spark/jars")
+  /** Classpath probe: a connector format is available iff a jar carrying its
+    * marker is on the deployment's jar dir (reference analogue: lazy INSTALL
+    * of the extension failing offline, src/duckdb/connection.rs:130-142).
+    * Package-visible with an explicit dir so the flip logic is spec-testable
+    * against a synthetic jar dir. */
+  private[graft] def jarPresent(marker: String,
+      jarDir: String = "/opt/spark/jars"): Boolean = {
+    val dir = new java.io.File(jarDir)
     dir.isDirectory && dir.listFiles().exists(_.getName.toLowerCase.contains(marker))
   }
 

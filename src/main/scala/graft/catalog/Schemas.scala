@@ -21,6 +21,10 @@ import scala.collection.mutable
 final class Schemas(spark: SparkSession) {
 
   private val registry = mutable.LinkedHashMap[(String, String), DataFrame]()
+  // Unqualified temp views THIS registry materialized — resolveAll may only
+  // drop these; a same-named temp view the user created directly via
+  // createOrReplaceTempView must survive a search-path change.
+  private val materialized = mutable.Set[String]()
   private var path: Seq[String] = Seq("public")
 
   final case class NoSuchSchemaTable(schema: String, table: String)
@@ -32,10 +36,12 @@ final class Schemas(spark: SparkSession) {
     * Registers the qualified entry and refreshes unqualified resolution. */
   def attachIn(schema: String, table: String, format: String,
       options: Map[String, String]): DataFrame = {
-    // Catalog.attach registers an unqualified temp view as a side effect;
-    // resolution below immediately repoints it per the search path.
+    // Catalog.attach registers an unqualified temp view as a side effect —
+    // that view is registry-materialized by definition (claim it before
+    // resolution, which may need to drop it again for an off-path schema).
     val df = Catalog.attach(spark, table, format, options)
     registry((schema.toLowerCase, table.toLowerCase)) = df
+    materialized += table.toLowerCase
     resolveAll()
     df
   }
@@ -59,13 +65,18 @@ final class Schemas(spark: SparkSession) {
   }
 
   /** First schema on the path holding each table name wins its unqualified
-    * temp view; names visible in no path schema are dropped. */
+    * temp view; names visible in no path schema are dropped — but only if
+    * this registry materialized them (a user's own temp view of the same
+    * name is never touched). */
   private def resolveAll(): Unit = {
     val tables = registry.keys.map(_._2).toSet
     tables.foreach { t =>
       path.find(s => registry.contains((s, t))) match {
-        case Some(s) => registry((s, t)).createOrReplaceTempView(t)
-        case None => spark.catalog.dropTempView(t)
+        case Some(s) =>
+          registry((s, t)).createOrReplaceTempView(t)
+          materialized += t
+        case None =>
+          if (materialized.remove(t)) spark.catalog.dropTempView(t)
       }
     }
   }

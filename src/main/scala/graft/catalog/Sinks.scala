@@ -37,10 +37,18 @@ object Sinks {
       "dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat")
     direct.foreach { case (from, to) => options.get(from).foreach(v => w = w.option(to, v)) }
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    val partitioned = options.get("partition_by").exists(_.trim.nonEmpty)
     options.get("partition_by").foreach { cols =>
       w = w.partitionBy(cols.split(",").map(_.trim).filter(_.nonEmpty): _*)
     }
-    if (options.get("overwrite").exists(_.toBoolean)) w = w.mode("overwrite")
+    if (options.get("overwrite").exists(_.toBoolean)) {
+      // Partitioned overwrite replaces only the partitions present in the
+      // incoming frame (dynamic mode); Spark's default static mode would
+      // truncate the ENTIRE target path, silently deleting unrelated
+      // partitions of a 100 TB layout.
+      if (partitioned) w = w.option("partitionOverwriteMode", "dynamic")
+      w = w.mode("overwrite")
+    }
     w.save(path)
   }
 }

@@ -62,34 +62,34 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Per-label centroids (element-wise mean), DETERMINISTIC: each dimension
-    * folds sequentially over members in vec_id order (sort the collected
-    * (vec_id, v) structs, then a left fold in double). Order-fixed float
-    * sums are reproducible in any engine — this is what gives the IVF path a
-    * DuckDB oracle. The collect_list per (label, pos) holds one float per
-    * cell member — bounded by cell size, not corpus size. */
+  /** Per-label centroids (element-wise mean), DETERMINISTIC without any
+    * per-cell materialization: each member value casts to fixed-point
+    * DECIMAL(38,12) (float→double is exact; double→decimal is one defined
+    * rounding both engines share), and decimal addition is exact and
+    * ASSOCIATIVE — so a plain partial-aggregated `sum` is order-independent
+    * and replays bit-identically in DuckDB. This is what gives the IVF path
+    * a hash oracle while keeping the 100 TB shape: the shuffle carries one
+    * (label, pos, partial-sum) row per cell-dimension, never the members. */
   def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        expr("aggregate(transform(array_sort(collect_list(struct(vec_id, v))), " +
-          "s -> CAST(s.v AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("sum_v"),
+        sum(col("v").cast("double").cast("decimal(38,12)")).as("sum_v"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("pos"), (col("sum_v") / col("n")).as("m"))
+      .select(col("label"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
 
   /** The DuckDB rendering of labelCentroids' arithmetic (oracle side):
-    * per-dimension ordered fold, then list ordered by dimension. */
+    * the same associative fixed-point sums, list ordered by dimension. */
   def centroidsSql(candidatesRel: String): String = s"""
-      cx AS (SELECT label, vec_id, cv,
+      cx AS (SELECT label, cv,
                     unnest(generate_series(1, len(cv))) AS pos FROM $candidatesRel),
-      cvals AS (SELECT label, vec_id, pos, cv[pos]::DOUBLE AS v FROM cx),
       psum AS (SELECT label, pos,
-                      list_reduce(list(v ORDER BY vec_id), (acc, x) -> acc + x) AS sum_v,
+                      sum(cv[pos]::DOUBLE::DECIMAL(38,12)) AS sum_v,
                       count(*) AS n
-               FROM cvals GROUP BY label, pos),
-      cent AS (SELECT label, list(sum_v / n ORDER BY pos) AS centroid
+               FROM cx GROUP BY label, pos),
+      cent AS (SELECT label, list(sum_v::DOUBLE / n ORDER BY pos) AS centroid
                FROM psum GROUP BY label)"""
 
   // --------------------------------------------- cosine LSH (hyperplanes)
@@ -170,20 +170,144 @@ object Similarity {
       WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
   }
 
-  /** IVF-style ANN: route each query to its nearest centroid cell, then
-    * search only that cell. At 100 TB this turns a full scan per query into
-    * a 1/cells scan; cells are the shuffle key so each executor holds whole
-    * cells. nprobe fixed at 1 here; raise by taking top-n cells instead. */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  /** IVF-style ANN over a pre-clustered corpus: route each query to its
+    * `nprobe` nearest centroid cells, then search only those cells. At
+    * 100 TB this turns a full scan per query into an nprobe/cells scan;
+    * cells are the shuffle key so each executor holds whole cells. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cents = labelCentroids(candidates)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cell_sim").desc, col("label"))
-    val routed = queries.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", cosine("q_vec", "centroid"))
-      .withColumn("cr", row_number().over(wq))
-      .filter(col("cr") === 1)
-      .select(col("q_id"), col("q_vec"), col("label"))
+    val routed = routeQueries(queries, cents, "label", nprobe)
     val scored = candidates.join(broadcast(routed), "label")
       .withColumn("cos_sim", cosine("q_vec", "embedding"))
     topKPerQuery(scored, k)
+  }
+
+  /** (q_id, q_vec, cellCol) rows: each query's top-`nprobe` cells by
+    * centroid cosine, ties by cell id. Centroids are tiny — broadcast. */
+  private def routeQueries(queries: DataFrame, cents: DataFrame,
+      cellCol: String, nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cell_sim").desc, col(cellCol))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("cell_sim", cosine("q_vec", "centroid"))
+      .withColumn("cr", row_number().over(wq))
+      .filter(col("cr") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col(cellCol))
+  }
+
+  // ------------------------------------------------- learned IVF (k-means)
+
+  /** Deterministic seeded k-means, oracle-replayable in any engine:
+    *   - seeds: the `kCells` candidates with the smallest
+    *     md5(vec_id)-derived hex key (a fixed pseudo-random draw — no RNG);
+    *     cell ids 0..k-1 follow that hash order.
+    *   - assignment: argmax centroid cosine (sequential-fold), ties to the
+    *     smaller cell id.
+    *   - update: per-dimension mean via associative fixed-point
+    *     DECIMAL(38,12) sums — order-independent, exact, so every iteration
+    *     replays bit-identically in DuckDB.
+    *   - `iters` is FIXED (no convergence test — data-dependent stopping
+    *     would not be oracle-replayable).
+    * Scale shape: seeds via distributed top-k (TakeOrdered, no global
+    * sort); each iteration is one broadcast-join pass + one partial-agg
+    * shuffle of (cell, pos) partial sums — centroids never leave executors,
+    * members are never materialized per cell. A cell that loses every
+    * member drops out (seeds are member vectors, so each cell starts with
+    * its seed; with sane kCells this is a non-event, and the oracle
+    * replicates the same semantics naturally). */
+  def kmeansCentroids(candidates: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val seeds = candidates
+      .withColumn("hkey", md5(col("vec_id").cast("string")))
+      .orderBy(col("hkey"), col("vec_id"))
+      .limit(kCells)
+    // kCells rows total — the single-partition window is over the seed set
+    // only, never the corpus
+    val wSeed = Window.orderBy(col("hkey"), col("vec_id"))
+    var cents = seeds
+      .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(candidates, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(38,12)")).as("sum_v"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (vec_id, embedding, cell), argmax cosine,
+    * ties to the smaller cell id. One broadcast join, no shuffle of the
+    * corpus. */
+  def assignCells(candidates: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_sim").desc, col("cell"))
+    candidates.crossJoin(broadcast(cents))
+      .withColumn("cell_sim", cosine("embedding", "centroid"))
+      .withColumn("ar", row_number().over(w))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF ANN with LEARNED centroids: deterministic k-means over the
+    * candidates, final-centroid cell assignment, then route each query to
+    * its top-`nprobe` cells and search only those. */
+  def ivfTopKLearned(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(candidates, kCells, iters)
+    val celled = assignCells(candidates, cents)
+    val routed = routeQueries(queries, cents, "cell", nprobe)
+    val scored = celled.join(broadcast(routed), "cell")
+      .withColumn("cos_sim", cosine("q_vec", "embedding"))
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB rendering of the full learned-IVF chain (oracle side): the
+    * k-means iterations unroll into one assign+update CTE pair each.
+    * Expects relations `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
+  def ivfLearnedSql(k: Int, kCells: Int = 4, iters: Int = 2,
+      nprobe: Int = 2): String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    val seed = s"""
+      seedpick AS (SELECT vec_id, cv, md5(vec_id::VARCHAR) AS hkey FROM c
+                   ORDER BY hkey, vec_id LIMIT $kCells),
+      cents0 AS (SELECT CAST(row_number() OVER (ORDER BY hkey, vec_id) - 1 AS BIGINT) AS cell,
+                        list_transform(cv, x -> x::DOUBLE) AS centroid
+                 FROM seedpick)"""
+    val steps = (1 to iters).map { t =>
+      val prev = s"cents${t - 1}"
+      s"""
+      asg$t AS (SELECT vec_id, cv, cell FROM (
+                 SELECT c.vec_id, c.cv, p.cell,
+                        row_number() OVER (PARTITION BY c.vec_id
+                          ORDER BY ${cos("c.cv", "p.centroid")} DESC, p.cell) AS ar
+                 FROM c, $prev p) x WHERE ar = 1),
+      ux$t AS (SELECT cell, cv, unnest(generate_series(1, len(cv))) AS pos FROM asg$t),
+      ps$t AS (SELECT cell, pos, sum(cv[pos]::DOUBLE::DECIMAL(38,12)) AS sum_v, count(*) AS n
+               FROM ux$t GROUP BY cell, pos),
+      cents$t AS (SELECT cell, list(sum_v::DOUBLE / n ORDER BY pos) AS centroid
+                  FROM ps$t GROUP BY cell)"""
+    }.mkString(",")
+    s"""$seed,$steps,
+      celled AS (SELECT vec_id, cv, cell FROM (
+                  SELECT c.vec_id, c.cv, p.cell,
+                         row_number() OVER (PARTITION BY c.vec_id
+                           ORDER BY ${cos("c.cv", "p.centroid")} DESC, p.cell) AS ar
+                  FROM c, cents$iters p) x WHERE ar = 1),
+      routed AS (SELECT q_id, qv, cell FROM (
+                  SELECT q.q_id, q.qv, p.cell,
+                         row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY ${cos("qv", "p.centroid")} DESC, p.cell) AS cr
+                  FROM q, cents$iters p) x WHERE cr <= $nprobe),
+      scored AS (SELECT r.q_id, m.vec_id, ${cos("r.qv", "m.cv")} AS cos_sim
+                 FROM routed r JOIN celled m ON m.cell = r.cell),
+      ranked AS (SELECT q_id, vec_id,
+                        CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
+                 FROM scored)
+      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
   }
 }

@@ -48,11 +48,41 @@ object FormatQueries {
         .partitionBy("event_type").parquet(s"${exportRoot(dir)}/events_hive")
     }
 
+  /** nation → GeoJSON FeatureCollection with planted Point geometries
+    * (x = nationkey/2 — exactly representable — y = nationkey). 25 rows,
+    * driver-side write is test scaffolding, not a data path. */
+  private def nationGeo(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_geo"
+    val f = new java.io.File(s"$out/nation.geojson")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val feats = rows.sortBy(_.getLong(0)).map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"type":"Feature","properties":{"nationkey":$k,"name":"$name"},""" +
+          s""""geometry":{"type":"Point","coordinates":[${k / 2.0},$k.0]}}"""
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
+      finally w.close()
+    }
+    f.getPath
+  }
+
+  /** Little-endian IEEE-754 hex of a double — the WKB coordinate layout. */
+  private def hexLE(d: Double): String = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => f"${(bits >> (8 * i)) & 0xff}%02X").mkString
+  }
+
   /** Materialize every export for `dir` (idempotent). Bench calls this
     * before the timed pass so query timings measure the scan path, not the
     * one-time test-scaffolding export write. */
   def ensureExports(s: SparkSession, dir: String): Unit = {
-    customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir)
+    customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
   }
 
   private val custCols =
@@ -112,5 +142,29 @@ object FormatQueries {
       WHERE event_type <> 'purchase'
       GROUP BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01)
+  // ---------------------------------------------------------------- g01
+  // Spatial attach: GeoJSON in → WKB out (the behavior the reference's
+  // spatial tests pin, tests/tests/spatial.rs:33-77). The oracle computes
+  // the expected OGC little-endian WKB hex for the planted Point(k/2, k)
+  // geometries from nationkey via an independent encoder (doubleToLongBits
+  // at SQL-build time — no shared code with the Jackson/ByteBuffer path).
+  private val g01 = QueryDef(
+    "g01_spatial_wkb",
+    (s, dir) => {
+      val path = nationGeo(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g01_nation_geo", "spatial", Map("files" -> path))
+        .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01)
 }

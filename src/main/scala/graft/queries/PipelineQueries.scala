@@ -91,8 +91,13 @@ object PipelineQueries {
     "d05_jaccard_verify",
     (s, dir) => {
       val d = docs(s, dir)
+      // jaccardOnPairs consumes `pairs` twice (suspect-id extraction + the
+      // final pair join); persisting it cuts the minhash→LSH generation
+      // chain from two evaluations to one. Scale-safe: pairs IS the
+      // candidate set — tiny relative to the corpus by construction.
       val pairs = Dedup.candidatePairs(
         Dedup.bandSignatures(Dedup.minhashWide(d, "text", "doc_id"), "doc_id"), "doc_id")
+        .persist()
       Dedup.jaccardOnPairs(pairs, d, "text", "doc_id")
     },
     Some(s"""$minhashCte,
@@ -169,6 +174,26 @@ object PipelineQueries {
                cos_sim
         FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 10"""))
+
+  // ---------------------------------------------------------------- s04
+  // Learned-centroid IVF: deterministic seeded k-means (md5-picked seeds,
+  // fixed 2 iterations, decimal-sum centroid updates) + nprobe=2 routing.
+  // Every arithmetic step is order-independent or id-tied, so the whole
+  // chain — including the k-means itself — replays exactly in DuckDB.
+  private val s04 = QueryDef(
+    "s04_ann_ivf_learned",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopKLearned(queries, candidates, 10, kCells = 4, iters = 2, nprobe = 2)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.ivfLearnedSql(10, kCells = 4, iters = 2, nprobe = 2)}"""))
 
   // ---------------------------------------------------------------- d07
   // KMV distinct sketch vs exact: deterministic over a fixed hash, so the
@@ -358,5 +383,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, m01, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, t01, t02, t03, t04, t05)
 }

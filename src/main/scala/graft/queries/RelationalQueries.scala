@@ -781,15 +781,23 @@ object RelationalQueries {
   // ---------------------------------------------------------------- q37
   // Interpolated percentiles (both engines: linear interpolation over the
   // sorted values; l_quantity is integral so the arithmetic is exact).
+  // Scalar p25/p50/p75 columns (not an array) so the driver's pandas-based
+  // oracle harness can sort/hash the result frame.
   private val q37 = QueryDef(
     "q37_percentiles",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("quartiles"),
+        .agg(
+          expr("percentile(l_quantity, 0.25D)").as("p25"),
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.75D)").as("p75"),
           max(col("l_quantity")).as("max_qty")),
     Some("""
-      SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.5)  AS p50,
+             quantile_cont(l_quantity, 0.75) AS p75,
              max(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag"""))
 

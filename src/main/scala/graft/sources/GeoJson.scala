@@ -24,11 +24,18 @@ object GeoJson {
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("properties")
     val base = if (hasProps) feats.select(col("f.properties.*"), col("f.geometry").as("geometry"))
                else feats.select(col("f.geometry").as("geometry"))
+    // keep_wkb toggles the geometry REPRESENTATION, never column presence
+    // (reference: src/duckdb/spatial.rs:29-54 passes keep_wkb to st_read,
+    // which yields a WKB_BLOB geometry column when true and the engine's
+    // GEOMETRY type when false). This engine has no GEOMETRY type; the
+    // native representation is canonical GeoJSON text. Default matches the
+    // reference's FDW usage (WKB — GEOMETRY cannot cross the FDW boundary).
     // geojson_to_wkb is a native codegen Expression injected by
-    // Engine.configure via SparkSessionExtensions (graft.functions)
-    val withGeom = base.withColumn("geom", expr("geojson_to_wkb(to_json(geometry))"))
-      .drop("geometry")
-    if (options.get("keep_wkb").exists(_.toBoolean == false)) withGeom.drop("geom") else withGeom
+    // Engine.configure via SparkSessionExtensions (graft.functions).
+    if (options.get("keep_wkb").exists(_.toBoolean == false))
+      base.withColumn("geom", to_json(col("geometry"))).drop("geometry")
+    else
+      base.withColumn("geom", expr("geojson_to_wkb(to_json(geometry))")).drop("geometry")
   }
 
   private val mapper = new ObjectMapper()
@@ -40,16 +47,22 @@ object GeoJson {
     encodeGeometry(node)
   }
 
+  /** Spark's JSON inference widens heterogeneous coordinate arrays (Point's
+    * [x,y] vs LineString's [[x,y],...]) to array<string>, so a coordinates
+    * node (or any nested level) may arrive as JSON text — re-parse it. */
+  private def j(node: JsonNode): JsonNode =
+    if (node != null && node.isTextual) mapper.readTree(node.asText()) else node
+
   private def encodeGeometry(node: JsonNode): Array[Byte] = {
     val typ = node.get("type").asText()
-    val coords = node.get("coordinates")
+    val coords = j(node.get("coordinates"))
     typ match {
       case "Point" => header(1) ++ point(coords)
       case "LineString" => header(2) ++ ring(coords)
       case "Polygon" => header(3) ++ rings(coords)
-      case "MultiPoint" => collection(4, coords, c => header(1) ++ point(c))
-      case "MultiLineString" => collection(5, coords, c => header(2) ++ ring(c))
-      case "MultiPolygon" => collection(6, coords, c => header(3) ++ rings(c))
+      case "MultiPoint" => collection(4, coords, c => header(1) ++ point(j(c)))
+      case "MultiLineString" => collection(5, coords, c => header(2) ++ ring(j(c)))
+      case "MultiPolygon" => collection(6, coords, c => header(3) ++ rings(j(c)))
       case other => throw new IllegalArgumentException(s"unsupported GeoJSON geometry `$other`")
     }
   }
@@ -71,13 +84,14 @@ object GeoJson {
     val b = ByteBuffer.allocate(4 + 16 * n).order(ByteOrder.LITTLE_ENDIAN)
     b.putInt(n)
     (0 until n).foreach { i =>
-      b.putDouble(c.get(i).get(0).asDouble()).putDouble(c.get(i).get(1).asDouble())
+      val pt = j(c.get(i))
+      b.putDouble(pt.get(0).asDouble()).putDouble(pt.get(1).asDouble())
     }
     b.array()
   }
 
   private def rings(c: JsonNode): Array[Byte] = {
-    val parts = (0 until c.size()).map(i => ring(c.get(i)))
+    val parts = (0 until c.size()).map(i => ring(j(c.get(i))))
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(c.size()).array() ++
       parts.flatten
   }

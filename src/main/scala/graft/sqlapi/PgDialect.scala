@@ -29,8 +29,10 @@ object PgDialect {
     typeMap.getOrElse(t.toLowerCase, t.toUpperCase)
 
   /** Split into alternating unquoted/quoted segments (quoted kept verbatim,
-    * including '' escapes and double-quoted identifiers). */
-  private def segments(sql: String): Seq[(String, Boolean)] = {
+    * including '' escapes and double-quoted identifiers). Shared with the
+    * PREPARE $n scanner so parameter markers inside string literals stay
+    * literal text (PG semantics). */
+  private[sqlapi] def segments(sql: String): Seq[(String, Boolean)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
     val cur = new StringBuilder
     var i = 0
@@ -64,8 +66,19 @@ object PgDialect {
   private val typename = """([A-Za-z_][A-Za-z_0-9]*(?:\(\d+(?:,\s*\d+)?\))?)"""
   private val castRe = (castee + """\s*::\s*""" + typename).r
 
-  private val hexLit = "'\\\\x([0-9A-Fa-f]*)'".r
+  // bytea hex literal: '\xAB..' (standard) or '\\xAB..' (inside an E''
+  // escape string, where PG collapses the doubled backslash first)
+  private val hexLit = "'(?:\\\\){1,2}x([0-9A-Fa-f]*)'".r
   private val leadingCast = ("""^\s*::\s*""" + typename).r
+
+  // PG encode(bytea,'hex') / decode(text,'hex') → Spark lower(hex(..)) /
+  // unhex(..). Inner expression may nest parens two levels deep (enough for
+  // the reference's decode(encode('hello','hex'),'hex') shape,
+  // tests/tests/scan.rs:368); anything deeper passes through untouched and
+  // Spark reports the original text.
+  private val innerExpr = """(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"""
+  private val encodeHexRe = ("""(?i)\bencode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
+  private val decodeHexRe = ("""(?i)\bdecode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
 
   def rewrite(sql: String): String = {
     val segs = segments(sql)
@@ -84,7 +97,16 @@ object PgDialect {
                 out(out.length - 1) = (p.dropRight(1), false)
             }
             out += ((s"X'$h'", true))
-          case _ => out += ((seg, true))
+          case _ =>
+            // PG escape-string E'...' with no backslash escapes is a plain
+            // string — drop the bare E prefix (e.g. the reference's E''
+            // empty-bytea literal, tests/tests/scan.rs:370)
+            if (!seg.contains("\\") && out.nonEmpty && !out.last._2) {
+              val (p, _) = out.last
+              if (p.matches("""(?s).*(?<![A-Za-z_0-9])[Ee]$"""))
+                out(out.length - 1) = (p.dropRight(1), false)
+            }
+            out += ((seg, true))
         }
       } else {
         // rewrite casts repeatedly until no plain `X::type` remains
@@ -108,6 +130,18 @@ object PgDialect {
         out += ((s, false))
       }
     }
-    out.map(_._1).mkString
+    // whole-string post-pass: hex-codec function mapping spans quoted and
+    // unquoted segments (the arguments are string literals), so it runs on
+    // the reassembled text, to fixpoint for nested calls
+    var res = out.map(_._1).mkString
+    var prevRes: String = null
+    while (prevRes != res) {
+      prevRes = res
+      res = encodeHexRe.replaceAllIn(res, m =>
+        java.util.regex.Matcher.quoteReplacement(s"lower(hex(${m.group(1).trim}))"))
+      res = decodeHexRe.replaceAllIn(res, m =>
+        java.util.regex.Matcher.quoteReplacement(s"unhex(${m.group(1).trim})"))
+    }
+    res
   }
 }

@@ -64,10 +64,16 @@ object SqlApi {
       // $n binds by PARAMETER INDEX, not textual position (reference semantics:
       // src/hooks/utility/prepare.rs:27-108): `WHERE a = $2 AND b = $1` takes
       // args(1) then args(0). Rewrite each marker to `?` in textual order and
-      // reorder args to match.
+      // reorder args to match. The scan is quote-aware: a `$5` inside a string
+      // literal ('price: $5') stays literal text, as in PG PREPARE.
       val markers = "\\$(\\d+)".r
-      val indices = markers.findAllMatchIn(sql).map(_.group(1).toInt).toSeq
-      val positional = markers.replaceAllIn(sql, "?")
+      val segs = PgDialect.segments(sql)
+      val indices = segs.flatMap { case (seg, quoted) =>
+        if (quoted) Seq.empty else markers.findAllMatchIn(seg).map(_.group(1).toInt).toSeq
+      }
+      val positional = segs.map { case (seg, quoted) =>
+        if (quoted) seg else markers.replaceAllIn(seg, "?")
+      }.mkString
       if (indices.isEmpty) spark.sql(positional)
       else {
         indices.find(i => i < 1 || i > args.length).foreach { i =>
@@ -157,18 +163,21 @@ object SqlApi {
   }
 
   /** Logical schema description (reference: parquet_describe(),
-    * src/api/parquet.rs:53-71): (column_name, column_type, null). */
+    * src/api/parquet.rs:53-71): (column_name, column_type, null, key,
+    * default, extra). The last three are always NULL in the reference too —
+    * kept for full result-schema parity. */
   def parquetDescribe(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val rows = schema.fields.toSeq.map { f =>
       Row(f.name, graft.types.TypeMap.toEngineName(f.dataType),
-        if (f.nullable) "YES" else "NO")
+        if (f.nullable) "YES" else "NO", null, null, null)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(
         StructField("column_name", StringType), StructField("column_type", StringType),
-        StructField("null", StringType))))
+        StructField("null", StringType), StructField("key", StringType),
+        StructField("default", StringType), StructField("extra", StringType))))
   }
 
   /** Escape hatch: run any SQL on the engine (reference: duckdb_execute(),

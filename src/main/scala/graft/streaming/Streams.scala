@@ -51,18 +51,37 @@ object Streams {
     * built-in windows cannot express the state machine. Running per-key
     * sighting counts (e.g. duplicate-rate monitoring on a content hash):
     * state is one Long per live key and updates incrementally per
-    * micro-batch. Output mode: update. */
-  def runningKeyCounts(df: DataFrame, keyCol: String): DataFrame = {
+    * micro-batch. Output mode: update.
+    *
+    * State is BOUNDED by an EVENT-TIME TTL: a key whose last sighting
+    * falls more than `ttl` behind the watermark expires (its final count
+    * flushes; a later sighting restarts at 1). Without expiry, one state
+    * entry per distinct key ever seen accumulates forever — an OOM on a
+    * schedule at 100 TB/day of fresh content hashes. Event-time (not
+    * wall-clock) expiry keeps replays deterministic and avoids the
+    * continuous no-data-batch churn processing-time timeouts cause. */
+  def runningKeyCounts(df: DataFrame, keyCol: String, tsCol: String,
+      delay: String = "0 seconds", ttl: String = "1 hour"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(org.apache.spark.sql.functions.col(keyCol).cast("string")).as[String]
-      .groupByKey(identity)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (key, n)
+    df.select(col(keyCol).cast("string").as("__k"), col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", delay) // watermark AFTER the cast — casting would strip it
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(0L)
+            state.remove()
+            (key, last)
+          } else {
+            val rs = rows.toSeq
+            val n = state.getOption.getOrElse(0L) + rs.size
+            state.update(n)
+            state.setTimeoutTimestamp(rs.map(_._2.getTime).max, ttl)
+            (key, n)
+          }
       }
       .toDF(keyCol, "n_seen")
   }

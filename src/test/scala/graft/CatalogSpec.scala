@@ -144,6 +144,81 @@ class CatalogSpec extends SparkSpec {
     assert(sampled.count() === 4) // the non-numeric row reads as NULL (permissive)
   }
 
+  test("json sample_size bounds schema inference to a line prefix") {
+    val p = writeText(dir, "sampled.jsonl",
+      """{"a":1}
+        |{"a":2}
+        |{"a":3,"b":"late-column"}
+        |""".stripMargin)
+    val full = Catalog.attach(spark, "jsampled_full", "json", Map("files" -> p))
+    assert(full.columns.toSeq.sorted === Seq("a", "b")) // full inference sees b
+    val sampled = Catalog.attach(spark, "jsampled_2", "json",
+      Map("files" -> p, "sample_size" -> "2"))
+    assert(sampled.columns.toSeq === Seq("a")) // prefix-only inference
+    assert(sampled.count() === 3)
+  }
+
+  test("json auto_detect false requires declared columns") {
+    val e = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "jnodetect", "json",
+        Map("files" -> jsonlPath, "auto_detect" -> "false"))
+    }
+    assert(e.getMessage.contains("auto_detect"))
+    val df = Catalog.attach(spark, "jnodetect_ok", "json",
+      Map("files" -> jsonlPath, "auto_detect" -> "false",
+        "columns" -> "name:VARCHAR,age:BIGINT"))
+    assert(df.schema("age").dataType === LongType)
+    assert(df.count() === 2)
+  }
+
+  test("compression is honored by verification: matching .gz reads, mismatch errors") {
+    val gz = new java.io.File(dir, "people.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    out.write("name,age\nalice,30\nbob,25\n".getBytes("UTF-8")); out.close()
+    // matching extension: accepted, and extension detection decompresses
+    val df = Catalog.attach(spark, "gz_csv", "csv",
+      Map("files" -> gz.getPath, "header" -> "true", "compression" -> "gzip"))
+    assert(df.count() === 2)
+    // 'auto' is always acceptable — it IS the engine behavior
+    assert(Catalog.attach(spark, "gz_auto", "csv",
+      Map("files" -> gz.getPath, "header" -> "true", "compression" -> "auto")).count() === 2)
+    // gzip requested for an extension-less file: would parse garbage → error
+    val e1 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "gz_bad", "csv",
+        Map("files" -> csvPath, "header" -> "true", "compression" -> "gzip"))
+    }
+    assert(e1.getMessage.contains("extension"))
+    // 'none' on a .gz file: engine would decompress anyway → error
+    val e2 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "gz_none", "csv",
+        Map("files" -> gz.getPath, "header" -> "true", "compression" -> "none"))
+    }
+    assert(e2.getMessage.contains("compressed extension"))
+    // json path shares the enforcement
+    intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "gz_json", "json",
+        Map("files" -> jsonlPath, "compression" -> "zstd"))
+    }
+  }
+
+  test("delta/iceberg capability gate: documented error + jar-probe flip") {
+    // gate error shape when jars are absent (this container has none)
+    if (!Formats.delta.available) {
+      val e = intercept[Formats.UnsupportedFormatException] {
+        Catalog.attach(spark, "gate_delta", "delta", Map("files" -> "x"))
+      }
+      assert(e.getMessage.contains("connector jars not present"))
+    }
+    // the probe flips on a jar dir containing a marker jar
+    val jars = tempDir("fakejars")
+    assert(!Formats.jarPresent("delta", jars.getPath))
+    new java.io.File(jars, "delta-spark_2.13-3.0.0.jar").createNewFile()
+    assert(Formats.jarPresent("delta", jars.getPath))
+    assert(!Formats.jarPresent("iceberg", jars.getPath))
+    new java.io.File(jars, "iceberg-spark-runtime.jar").createNewFile()
+    assert(Formats.jarPresent("iceberg", jars.getPath))
+  }
+
   test("csv auto_type_candidates restricts inferred types") {
     val df = Catalog.attach(spark, "cand", "csv",
       Map("files" -> csvPath, "header" -> "true",

@@ -28,6 +28,28 @@ class GeoJsonSpec extends SparkSpec {
     assert(bb.getDouble === 1.0); assert(bb.getDouble === 2.0)
   }
 
+  test("keep_wkb toggles representation, never column presence") {
+    val dir = tempDir("geo_repr")
+    val p = writeText(dir, "repr.geojson", fc)
+    // keep_wkb true (and the default, above): geom is WKB binary
+    val wkbDf = Catalog.attach(spark, "repr_wkb", "spatial",
+      Map("files" -> p, "keep_wkb" -> "true"))
+    assert(wkbDf.schema("geom").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // keep_wkb false: geom column SURVIVES as the engine-native
+    // representation (canonical GeoJSON text) — the reference's keep_wkb
+    // switches WKB_BLOB vs GEOMETRY, it never drops the column
+    // (src/duckdb/spatial.rs:29-54)
+    val txtDf = Catalog.attach(spark, "repr_txt", "spatial",
+      Map("files" -> p, "keep_wkb" -> "false"))
+    assert(txtDf.columns.contains("geom"))
+    assert(txtDf.schema("geom").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val g = txtDf.filter(txtDf("name") === "origin").select("geom").head().getString(0)
+    assert(g.contains("\"type\":\"Point\"") || g.contains("\"Point\""))
+    assert(txtDf.count() === 2)
+  }
+
   test("GDAL-only spatial options are rejected, not ignored") {
     val dir = tempDir("geo_rej")
     val p = writeText(dir, "x.geojson", fc)

@@ -109,6 +109,30 @@ class OperatorsSpec extends SparkSpec {
     assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) === 5))
   }
 
+  test("learned-IVF recall vs brute force; k-means is deterministic") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val candidates = emb.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, candidates, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKLearned(queries, candidates, 10,
+      kCells = 4, iters = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=2 of 4 cells scans ~half the corpus; demand it catches a
+    // meaningful share of the true top-10s (random halves would give ~50%)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    // determinism: a second run returns the identical result set
+    val again = Similarity.ivfTopKLearned(queries, candidates, 10,
+      kCells = 4, iters = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === approx)
+    // centroids: k cells, each centroid has the embedding dimensionality
+    val cents = Similarity.kmeansCentroids(candidates, 4, 2).collect()
+    assert(cents.length === 4)
+    assert(cents.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("cosine LSH finds high-cosine pairs without all-pairs") {
     val res = Similarity.cosineNearDupLsh(emb, "vec_id", "embedding", threshold = 0.35)
     val rows = res.collect()

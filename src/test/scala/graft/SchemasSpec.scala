@@ -27,6 +27,23 @@ class SchemasSpec extends SparkSpec {
     intercept[IllegalArgumentException] { schemas.table("nope", "sp_hidden") }
   }
 
+  test("setSearchPath never drops a user's own same-named temp view") {
+    val schemas = Schemas(spark)
+    // the user makes their own temp view, never through the registry
+    spark.range(3).createOrReplaceTempView("sp_foreign")
+    // a registry table of a DIFFERENT name comes and goes off-path
+    schemas.attachIn("fx", "sp_reg", "parquet", Map("files" -> s"$sf/region.parquet"))
+    schemas.setSearchPath(Seq("nowhere"))
+    // registry view dropped, the user's view untouched
+    intercept[Exception] { spark.sql("SELECT count(*) FROM sp_reg").collect() }
+    assert(spark.sql("SELECT count(*) FROM sp_foreign").head().getLong(0) === 3)
+    // now the user shadows a REGISTERED name while it is off-path: a later
+    // path change must not destroy their view either
+    spark.range(4).createOrReplaceTempView("sp_reg")
+    schemas.setSearchPath(Seq("elsewhere"))
+    assert(spark.sql("SELECT count(*) FROM sp_reg").head().getLong(0) === 4)
+  }
+
   test("prepared statements re-resolve after a search path change (scan.rs:600-650)") {
     val schemas = Schemas(spark)
     schemas.attachIn("pa", "sp_p", "parquet", Map("files" -> s"$sf/region.parquet"))

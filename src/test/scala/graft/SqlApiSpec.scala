@@ -111,9 +111,15 @@ class SqlApiSpec extends SparkSpec {
 
   test("parquet_describe shows engine-visible logical types") {
     val df = SqlApi.parquetDescribe(spark, s"$sf/lineitem.parquet")
-    val byName = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // full reference column parity incl. its always-NULL key/default/extra
+    // (reference: src/api/parquet.rs:53-71)
+    assert(df.columns.toSeq ===
+      Seq("column_name", "column_type", "null", "key", "default", "extra"))
+    val rows = df.collect()
+    val byName = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byName("l_orderkey") === "bigint")
     assert(byName("l_returnflag") === "text")
+    assert(rows.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
   }
 
   test("sniff_csv detects dialect") {

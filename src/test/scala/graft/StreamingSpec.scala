@@ -76,20 +76,46 @@ class StreamingSpec extends SparkSpec {
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val in = MemoryStream[String]
-    val out = Streams.runningKeyCounts(in.toDF().toDF("k"), "k")
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Streams.runningKeyCounts(in.toDF().toDF("k", "ts"), "k", "ts")
     val q = out.writeStream.format("memory").queryName("counts_out")
       .outputMode("update").start()
     try {
-      in.addData("a", "b", "a")
+      in.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:00")),
+        ("a", ts("2024-01-01 10:00:00")))
       q.processAllAvailable()
-      in.addData("a", "c")
+      in.addData(("a", ts("2024-01-01 10:01:00")), ("c", ts("2024-01-01 10:01:00")))
       q.processAllAvailable()
       // update mode: last emission per key wins
       val last = spark.table("counts_out").groupBy("k")
         .agg(max("n_seen").as("n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L)) // state crossed batches
+    } finally q.stop()
+  }
+
+  test("runningKeyCounts state expires once the watermark passes the TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Streams.runningKeyCounts(in.toDF().toDF("k", "ts"), "k", "ts",
+      delay = "0 seconds", ttl = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", ts("2024-01-01 10:00:00"))) // a expires at 10:10 event time
+      q.processAllAvailable()
+      in.addData(("b", ts("2024-01-01 10:30:00"))) // advances watermark to 10:30
+      q.processAllAvailable()
+      in.addData(("c", ts("2024-01-01 11:00:00"))) // batch runs with wm 10:30 → a fires
+      q.processAllAvailable()
+      in.addData(("a", ts("2024-01-01 11:01:00"))) // state reclaimed → restarts at 1
+      q.processAllAvailable()
+      val aCounts = spark.table("ttl_out").filter(col("k") === "a")
+        .select("n_seen").collect().map(_.getLong(0)).toSeq
+      assert(aCounts.count(_ == 1L) >= 2, s"expected initial + restarted count, got $aCounts")
+      assert(aCounts.forall(_ === 1L),
+        s"expected expired state to restart counts at 1, got $aCounts")
     } finally q.stop()
   }
 
