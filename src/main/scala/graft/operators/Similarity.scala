@@ -236,6 +236,10 @@ object Similarity {
         .select(col("cell"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+        // kCells rows: persisting each iteration's centroid table keeps the
+        // plan from chaining every k-means pass into one relineage (and the
+        // final table is consumed twice — assignment + routing)
+        .persist()
     }
     cents
   }
