@@ -56,6 +56,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("s02: centroid means are plain partial sums — no per-cell member lists") {
+    val p = plan("s02_ann_ivf_topk")
+    // the per-(label, pos) aggregate is an associative decimal sum (shuffle
+    // carries partial sums, not members); the only collect_list left is the
+    // per-label dimension assembly (bounded by the embedding dim, not cell
+    // membership) — the r2 shape collected (vec_id, v) structs per cell
+    assert(p.contains("partial_sum") || p.contains("sum("))
+    assert(!p.contains("collect_list(struct(vec_id"))
+  }
+
+  test("s04: k-means assignment broadcasts centroids; corpus never cartesians with itself") {
+    val p = plan("s04_ann_ivf_learned")
+    // the crossJoin(broadcast(cents)) pairs each vector with the kCells-row
+    // centroid table only — a broadcast nested loop over a tiny build side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("m01: payload pipeline prunes unused document columns at the scan") {
     val p = plan("m01_multimodal_meta")
     val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
