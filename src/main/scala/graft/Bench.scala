@@ -23,15 +23,23 @@ object Bench {
 
     // Failures must be loud: a throwing query records an `errors` entry and
     // fails the run (exit 1) — a broken query can never masquerade as a fast
-    // one. Warm-up failures surface on the timed pass, so they are ignored.
+    // one. Warm-up failures don't fail the run (the timed pass re-raises any
+    // real breakage) but they WARN — a warm-up-only failure (e.g. a missing
+    // warm dir) must not stay invisible.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    queries.foreach { case (_, fn) =>
-      try run(fn, warmDir) catch { case _: Throwable => () }
+    queries.foreach { case (name, fn) =>
+      try run(fn, warmDir) catch {
+        case e: Throwable => System.err.println(
+          s"[bench] WARN warm-up failed for $name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+      }
     }
     // one-time export scaffolding out of the timed pass (scan cost only)
     try graft.queries.FormatQueries.ensureExports(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable => System.err.println(
+        s"[bench] WARN export scaffolding failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+    }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn, sfDir) catch {

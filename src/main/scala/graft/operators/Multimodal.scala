@@ -75,4 +75,37 @@ object Multimodal {
       }
       .toDF(idCol, "width", "height", "features")
   }
+
+  /** Frame sampling — the one-to-many decode shape (video → frames). Each
+    * payload explodes into one row per fixed-size "frame" with its index,
+    * a content hash, and a synthetic timestamp (25 fps → 40 ms stride).
+    *
+    * STUB note: with no video codec in-container the "frame" is a raw
+    * `frameBytes` slice of the payload, NOT a decoded picture — but the
+    * plumbing is the real 100 TB shape: a partition-local flatMap (no
+    * shuffle, linear in payload bytes, output rows ≫ input rows), with the
+    * frame hash taken over the HEX rendering so a SQL engine can replicate
+    * every output bit (this is what gives m02 a DuckDB oracle). */
+  def frameSampleStub(df: DataFrame, payloadCol: String, idCol: String,
+      frameBytes: Int = 256): DataFrame = {
+    require(frameBytes > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        val frames = n / frameBytes // trailing partial frame is dropped
+        (0 until frames).iterator.map { f =>
+          val slice = bytes.slice(f * frameBytes, (f + 1) * frameBytes)
+          // --- STUB: real frame decode goes here --------------------------
+          val hex = slice.map(b => f"${b & 0xff}%02X").mkString
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(hex.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+          // ----------------------------------------------------------------
+          (id, f.toLong, digest, f * 40L)
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame_md5", "ts_ms")
+  }
 }

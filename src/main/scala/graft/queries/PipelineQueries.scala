@@ -271,6 +271,41 @@ object PipelineQueries {
              (octet_length(payload) > 0 AND mime = declared_mime) AS is_valid
       FROM m"""))
 
+  // ---------------------------------------------------------------- m02
+  // One-to-many multimodal decode shape: payload → fixed-stride frames via
+  // a partition-local flatMap. The stub frame hash runs over the HEX
+  // rendering, so DuckDB replays every output bit (frame count, hash,
+  // timestamp) with substring(hex(payload)) — an oracle over an
+  // imperative mapPartitions pipeline.
+  private val m02 = QueryDef(
+    "m02_frame_sample",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val payload =
+        when(col("doc_id") % 3 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("FFD8FFE000104A46")), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8"))
+      Multimodal.frameSampleStub(
+        d.select(col("doc_id"), payload.as("payload")), "payload", "doc_id",
+        frameBytes = 128)
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E470D0A1A0A') || text::BLOB
+                    WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE000104A46') || text::BLOB
+                    ELSE text::BLOB END AS payload
+        FROM documents),
+      h AS (SELECT doc_id, hex(payload) AS hx FROM p),
+      f AS (SELECT doc_id, hx, unnest(generate_series(0, len(hx) // 256 - 1)) AS fi
+            FROM h WHERE len(hx) >= 256)
+      SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+             md5(substring(hx, fi * 256 + 1, 256)) AS frame_md5,
+             CAST(fi * 40 AS BIGINT) AS ts_ms
+      FROM f"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -383,5 +418,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, m02, t01, t02, t03, t04, t05)
 }

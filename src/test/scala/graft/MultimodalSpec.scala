@@ -43,6 +43,29 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getString(1).matches("[0-9a-f]{32}"))
   }
 
+  test("frameSampleStub: one-to-many flatMap, partial frames dropped, no shuffle") {
+    import spark.implicits._
+    // 3 payloads: 10 bytes (2 frames of 4 + partial), 4 bytes (1 frame),
+    // 3 bytes (0 frames)
+    val in = Seq(
+      1L -> Array.tabulate(10)(_.toByte),
+      2L -> Array.tabulate(4)(i => (i + 50).toByte),
+      3L -> Array.tabulate(3)(_.toByte)
+    ).toDF("id", "payload").repartition(2)
+    val out = Multimodal.frameSampleStub(in, "payload", "id", frameBytes = 4)
+    assert(out.columns.toSeq === Seq("id", "frame_idx", "frame_md5", "ts_ms"))
+    val rows = out.collect()
+    assert(rows.count(_.getLong(0) == 1L) === 2) // trailing 2 bytes dropped
+    assert(rows.count(_.getLong(0) == 2L) === 1)
+    assert(rows.count(_.getLong(0) == 3L) === 0)
+    // 25 fps stride and deterministic hash
+    val f = rows.filter(r => r.getLong(0) == 1L && r.getLong(1) == 1L).head
+    assert(f.getLong(3) === 40L)
+    assert(f.getString(2).matches("[0-9a-f]{32}"))
+    // partition-local: the explode does not shuffle
+    assert(out.rdd.getNumPartitions === 2)
+  }
+
   test("decodeImageStub: real plumbing, deterministic fake decode") {
     val in = payloads.repartition(3)
     val out = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
