@@ -170,6 +170,11 @@ object Catalog {
       options: Map[String, String], schema: Option[StructType]): DataFrame = {
     import org.apache.spark.sql.types._
     var r = spark.read.format("csv")
+    // hive_partitioning: same basePath pin as the parquet path, so globbed
+    // CSV trees surface their partition columns (csv.rs hive_partitioning)
+    options.get("hive_partitioning").foreach { on =>
+      if (on.toBoolean && files.nonEmpty) r = r.option("basePath", partitionBase(files.head))
+    }
     val direct = Seq(
       "delim" -> "sep", "quote" -> "quote", "escape" -> "escape", "header" -> "header",
       "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
@@ -324,6 +329,10 @@ object Catalog {
       return spark.read.textFile(files: _*).toDF("json")
     }
     var r = spark.read.format("json")
+    // hive_partitioning: same basePath pin as the parquet path
+    options.get("hive_partitioning").foreach { on =>
+      if (on.toBoolean && files.nonEmpty) r = r.option("basePath", partitionBase(files.head))
+    }
     // format: newline_delimited (default) | array | auto | unstructured —
     // everything except NDJSON may span lines, so those parse per-file
     val fmt = options.getOrElse("format", "newline_delimited")

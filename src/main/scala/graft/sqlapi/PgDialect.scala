@@ -80,6 +80,14 @@ object PgDialect {
   private val encodeHexRe = ("""(?i)\bencode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
   private val decodeHexRe = ("""(?i)\bdecode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
 
+  // DuckDB table functions in their BARE single-path form map to Spark's
+  // path-table syntax: read_parquet('p') → parquet.`p` (likewise csv/json).
+  // Optioned forms (read_csv('p', header=true, ...)) do NOT rewrite — the
+  // options belong to Catalog.attach, and a silent partial mapping would be
+  // wrong; Spark then errors on the original text, loudly.
+  private val readFnRe =
+    """(?i)\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)""".r
+
   def rewrite(sql: String): String = {
     val segs = segments(sql)
     // build output as a segment list so "the previous segment" is exact
@@ -142,6 +150,9 @@ object PgDialect {
       res = decodeHexRe.replaceAllIn(res, m =>
         java.util.regex.Matcher.quoteReplacement(s"unhex(${m.group(1).trim})"))
     }
+    res = readFnRe.replaceAllIn(res, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1).toLowerCase}.`${m.group(2)}`"))
     res
   }
 }

@@ -219,6 +219,19 @@ class CatalogSpec extends SparkSpec {
     assert(Formats.jarPresent("iceberg", jars.getPath))
   }
 
+  test("csv hive_partitioning surfaces partition columns from the directory tree") {
+    val root = tempDir("csv_hive")
+    new java.io.File(root, "part=a").mkdirs()
+    new java.io.File(root, "part=b").mkdirs()
+    writeText(new java.io.File(root, "part=a"), "d.csv", "x\n1\n2\n")
+    writeText(new java.io.File(root, "part=b"), "d.csv", "x\n3\n")
+    val df = Catalog.attach(spark, "csv_hive", "csv",
+      Map("files" -> s"${root.getPath}/*/*.csv", "header" -> "true",
+        "hive_partitioning" -> "true"))
+    assert(df.columns.toSeq.sorted === Seq("part", "x"))
+    assert(df.filter("part = 'a'").count() === 2)
+  }
+
   test("csv auto_type_candidates restricts inferred types") {
     val df = Catalog.attach(spark, "cand", "csv",
       Map("files" -> csvPath, "header" -> "true",

@@ -124,6 +124,18 @@ class PgDialectCorpusSpec extends SparkSpec {
     assert(vals === Seq(0L, 1L))
   }
 
+  test("bare read_parquet/read_csv/read_json map to Spark path tables") {
+    val q = SqlApi.executePg(spark,
+      s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
+    assert(q.head().getLong(0) === 5)
+    // optioned forms do NOT silently half-rewrite — Spark reports the
+    // original text
+    intercept[Exception] {
+      SqlApi.executePg(spark,
+        s"SELECT * FROM read_csv('$sf/x.csv', header=true)").collect()
+    }
+  }
+
   test("prepared-statement $n inside string literals stays literal text") {
     val reg = SqlApi.newPreparedRegistry()
     reg.prepare("p_lit",
