@@ -86,6 +86,23 @@ object Streams {
       .toDF(keyCol, "n_seen")
   }
 
+  /** Stream-stream interval join (the impression ⋈ click shape): a right
+    * row joins a left row with the same key when its timestamp falls in
+    * [left ts, left ts + within]. Watermarks on BOTH sides plus the
+    * interval bound in the join condition let the engine expire buffered
+    * rows — join state is bounded on an unbounded feed; without the time
+    * bound Spark would buffer both streams forever. Inner join: unmatched
+    * rows drop once the watermark passes their interval. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsL: String, tsR: String, within: String, delay: String): DataFrame = {
+    require(tsL != tsR, "left/right timestamp columns must be named differently")
+    val l = left.withWatermark(tsL, delay).alias("l")
+    val r = right.withWatermark(tsR, delay).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND r.$tsR >= l.$tsL AND r.$tsR <= l.$tsL + interval $within"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here

@@ -119,6 +119,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join matches clicks within the window; state is time-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = Streams.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      "user_id", "imp_ts", "click_ts", within = "10 minutes", delay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:05:00")),  // within 10 min → joins
+        (2L, ts("2024-01-01 10:20:00")))  // 20 min later → outside window
+      q.processAllAvailable()
+      // advance both watermarks; user 9's click is ALSO outside its window
+      imps.addData((9L, ts("2024-01-01 11:00:00")))
+      clicks.addData((9L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").select("user_id").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq === Seq(1L)) // only the in-window click joins
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
