@@ -44,5 +44,10 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GeoJsonToWkb].getName, "geojson_to_wkb"),
     (children: Seq[Expression]) => GeoJsonToWkb(children.head))
 
-  val all: Seq[FunctionDescription] = Seq(geojsonToWkb)
+  val vecDot: FunctionDescription = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => VecDot(children.head, children(1)))
+
+  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot)
 }

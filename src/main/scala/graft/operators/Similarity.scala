@@ -18,10 +18,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-vector columns, in double. */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Sequential-fold dot product of two float-vector columns, in double —
+    * the native codegen `vec_dot` expression (graft.functions.VecDot): one
+    * primitive loop per row, same left-to-right fold arithmetic as the HOF
+    * `aggregate(zip_with(...))` form it replaced, so every oracle stays
+    * bit-identical. */
+  def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   def norm(a: String): Column = sqrt(dot(a, a))
 

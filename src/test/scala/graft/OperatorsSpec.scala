@@ -84,6 +84,29 @@ class OperatorsSpec extends SparkSpec {
     assert(keepers === groups)
   }
 
+  test("vec_dot native expression matches the HOF fold bit-for-bit") {
+    val df = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val hof = expr("aggregate(zip_with(embedding, embedding, " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val both = df.select(expr("vec_dot(embedding, embedding)").as("native"), hof.as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // HOF-mirroring null semantics: length mismatch → NULL; doubles work too
+    val row = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS a, " +
+        "vec_dot(array(CAST(1.5 AS DOUBLE)), array(CAST(2.0 AS DOUBLE))) AS b").head()
+    assert(row.isNullAt(0))
+    assert(row.getDouble(1) === 3.0)
+    // the point of the native expression: it stays inside whole-stage codegen
+    val d2 = df.select(expr("vec_dot(embedding, embedding)").as("d"))
+    d2.collect()
+    assert(d2.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).contains("codegen id"))
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
