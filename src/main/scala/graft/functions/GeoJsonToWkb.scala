@@ -49,5 +49,10 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     (children: Seq[Expression]) => VecDot(children.head, children(1)))
 
-  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot)
+  val vecSignDot: FunctionDescription = (
+    FunctionIdentifier("vec_signdot"),
+    new ExpressionInfo(classOf[VecSignDot].getName, "vec_signdot"),
+    (children: Seq[Expression]) => VecSignDot(children.head, children(1), children(2)))
+
+  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot, vecSignDot)
 }

@@ -100,12 +100,11 @@ object Similarity {
     * sign of component i comes from the same linear-congruential family as
     * the MinHash permutations ((a·i + b) mod P parity), so ANY engine can
     * regenerate the planes from two integers — no 64-float literals in
-    * oracle SQL, no RNG. Sequential fold in double (oracle-exact). */
+    * oracle SQL, no RNG. Native codegen expression
+    * (graft.functions.VecSignDot) with the identical sequential double
+    * fold the interpreted HOF form used (oracle-exact, buckets unchanged). */
   def hyperplaneDot(vecCol: String, a: Long, b: Long): Column =
-    expr(s"aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) -> " +
-      s"CAST(x AS DOUBLE) * (CASE WHEN ((${a}L * i + ${b}L) % ${Dedup.P}L) % 2 = 0 " +
-      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"vec_signdot($vecCol, ${a}L, ${b}L)")
 
   /** (id, band, band_sig) rows from k sign bits split into k/rowsPerBand
     * bands — random-hyperplane LSH (SimHash for cosine space). Same banded
