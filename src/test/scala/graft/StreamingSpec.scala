@@ -145,6 +145,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transforms are source-agnostic: file source feeds the same dedup") {
+    // the module claims readStream-source agnosticism — prove it on a real
+    // file source, not just MemoryStream
+    import org.apache.spark.sql.types._
+    val dir = tempDir("stream_src")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType)))
+    def write(name: String, rows: String): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, rows)
+    }
+    write("b1.json",
+      """{"k":"a","ts":"2024-01-01T10:00:00.000Z"}
+        |{"k":"a","ts":"2024-01-01T10:00:30.000Z"}
+        |{"k":"b","ts":"2024-01-01T10:01:00.000Z"}
+        |""".stripMargin)
+    val in = spark.readStream.schema(schema).json(dir.getPath)
+    val out = Streams.dedupStream(in, Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("file_src_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_src_out").select("k").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("a", "b"))
+      // a later file with another duplicate within the watermark still dedups
+      write("b2.json", """{"k":"a","ts":"2024-01-01T10:02:00.000Z"}""" + "\n")
+      q.processAllAvailable()
+      assert(spark.table("file_src_out").filter("k = 'a'").count() === 1)
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
