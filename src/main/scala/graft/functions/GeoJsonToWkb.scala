@@ -54,5 +54,10 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecSignDot].getName, "vec_signdot"),
     (children: Seq[Expression]) => VecSignDot(children.head, children(1), children(2)))
 
-  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot, vecSignDot)
+  val minhashSig: FunctionDescription = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+    (children: Seq[Expression]) => MinhashSigExpr(children.head))
+
+  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig)
 }

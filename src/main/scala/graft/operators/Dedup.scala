@@ -75,13 +75,15 @@ object Dedup {
     (1747591151L, 133999627L), (1909372319L, 587882411L), (1398741641L, 778614131L),
     (2071829629L, 314159257L))
 
-  /** 60-bit base hash of a shingle, reduced mod P (both engines: 15 hex chars
-    * of md5 parsed as an integer). */
-  private def baseHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
-
-  /** Wide MinHash signature over 3-token shingles: (id, m0..m{k-1}) in a
-    * single aggregation pass.
+  /** Wide MinHash signature over 3-token shingles: (id, m0..m{k-1}) with
+    * ZERO shuffle — the native `minhash_sig` expression
+    * (graft.functions.MinhashSigExpr) folds every permutation's minimum in
+    * one pass over the doc's distinct-shingle array, so the signature never
+    * leaves its row (the old shape exploded shingles and re-grouped: one
+    * whole exchange of the corpus for arithmetic that is per-doc). The
+    * per-shingle arithmetic (md5 → 60-bit int mod P → (a·h+b) mod P → min)
+    * is bit-identical, and min() is order-free, so every oracle is
+    * unchanged. Docs with <3 tokens still drop (null signature filtered).
     *
     * Shingles (not unigrams) are the right granularity when the vocabulary is
     * small relative to doc length: unigram token sets then have pathological
@@ -90,12 +92,16 @@ object Dedup {
     * ~0 with true near-dups at ~0.98. */
   def minhashWide(df: DataFrame, textCol: String, idCol: String, k: Int = 16): DataFrame = {
     require(k <= coeffs.length, s"at most ${coeffs.length} seeds available")
-    val hashed = shingled(df, textCol, idCol)
-      .withColumn("hm", baseHash(col("shingle")))
-    val aggs = coeffs.take(k).zipWithIndex.map { case ((a, b), i) =>
-      min((col("hm") * a + b) % P).as(s"m$i")
-    }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigCols = (0 until k).map(i => expr(s"sig[$i]").as(s"m$i"))
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), array_distinct(shinglesFromTokens(col("tk"))).as("sh"))
+      // explode(array(..)) is a deliberate Generate barrier: a plain
+      // projection would be COLLAPSED into the 16 sig[i] extractions below
+      // and re-run the whole signature loop per extraction (measured 6×
+      // slowdown) — the Generate materializes the signature exactly once
+      .select(col(idCol), explode(array(expr("minhash_sig(sh)"))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(idCol) +: sigCols: _*)
   }
 
   /** Long-format MinHash signature (id, seed, minh) — the oracle-friendly
