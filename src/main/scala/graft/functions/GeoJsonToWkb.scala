@@ -59,5 +59,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
     (children: Seq[Expression]) => MinhashSigExpr(children.head))
 
-  val all: Seq[FunctionDescription] = Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig)
+  val simhash16: FunctionDescription = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[Simhash16Expr].getName, "simhash16"),
+    (children: Seq[Expression]) => Simhash16Expr(children.head))
+
+  val all: Seq[FunctionDescription] =
+    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16)
 }

@@ -178,20 +178,14 @@ object Dedup {
     * occurrence; the final hash packs sign bits. Pure integer arithmetic —
     * exact in any engine.
     *
-    * All 16 bit-sums fold in ONE groupBy(doc) with 16 conditional-sum
-    * aggregates — no explode(sequence(0,15)): the old 16× row blowup fed 16×
-    * the rows into the shuffle for zero information (same trick as the
-    * MinHash signature fold). */
-  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h32", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 16).map { b =>
-      sum(when(shiftright(col("h32"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$b")
-    }
-    val packed = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), packed.cast("long").as("simhash"))
-  }
+    * ZERO shuffle: the native `simhash16` expression
+    * (graft.functions.Simhash16Expr) folds all 16 bit-sums in one compiled
+    * pass over the doc's token array — the hash never leaves the doc's row
+    * (the old shape exploded tokens and re-grouped: one exchange of the
+    * token stream for arithmetic that is per-doc). Integer sums are
+    * order-free, so the oracle is unchanged. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), expr("simhash16(tk)").as("simhash"))
+      .filter(col("simhash").isNotNull)
 }
