@@ -64,6 +64,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[Simhash16Expr].getName, "simhash16"),
     (children: Seq[Expression]) => Simhash16Expr(children.head))
 
+  val winnowMinima: FunctionDescription = (
+    FunctionIdentifier("winnow_minima"),
+    new ExpressionInfo(classOf[WinnowMinimaExpr].getName, "winnow_minima"),
+    (children: Seq[Expression]) => WinnowMinimaExpr(children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
-    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16)
+    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima)
 }

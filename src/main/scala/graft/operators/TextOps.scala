@@ -55,28 +55,20 @@ object TextOps {
 
   /** Winnowing fingerprints (the MOSS rolling-hash scheme) from a BOUND
     * hash-array column: slide a window of `w`, keep each window's minimum,
-    * dedupe. Guarantees any shared run of ≥ w+k-1 tokens between two docs
-    * shares a fingerprint. Deterministic (md5-derived hashes) →
-    * oracle-replayable.
+    * dedupe (first-occurrence order). Guarantees any shared run of ≥ w+k-1
+    * tokens between two docs shares a fingerprint. Deterministic
+    * (md5-derived hashes) → oracle-replayable.
     *
-    * Window minima come from sparse-table doubling — log₂(w) `zip_with`
-    * passes of self-vs-shifted-self `least` — instead of a slice+array_min
-    * per window: higher-order functions run interpreted, so the O(n·w)
-    * slice allocations dominated (measured 6× on the t05 bench). least()
-    * ignores the nulls zip_with pads past the shorter side, and overlapping
-    * spans are harmless for min. */
+    * Runs as the native `winnow_minima` expression
+    * (graft.functions.WinnowMinimaExpr): a single O(n) monotonic-deque pass
+    * per doc, replacing the interpreted sparse-table zip_with passes —
+    * output set and order identical, so the oracle is unchanged. Callers
+    * that extract multiple aggregates of the result should route it through
+    * a Generate barrier first (see t05) or the collapsed projection
+    * re-evaluates the pass per aggregate. */
   def winnowFromHashes(hs: Column, w: Int = 4): Column = {
     require(w >= 2, "window must be at least 2")
-    def minShift(m: Column, shift: Int): Column =
-      zip_with(m, slice(m, lit(shift + 1), size(hs)), (a, b) => least(a, b))
-    var m = hs
-    var span = 1
-    while (span * 2 <= w) { m = minShift(m, span); span *= 2 }
-    if (span < w) m = minShift(m, w - span)
-    val wins = slice(m, lit(1), size(hs) - (w - 1))
-    when(size(hs) >= w, array_distinct(wins))
-      .when(size(hs) > 0, array(array_min(hs)))
-      .otherwise(array().cast("array<bigint>"))
+    call_function("winnow_minima", hs, lit(w))
   }
 
   private def markerScore(toks: Column, markers: Seq[String]): Column =

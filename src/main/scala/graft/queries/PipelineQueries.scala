@@ -396,7 +396,9 @@ object PipelineQueries {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), Dedup.shinglesFromTokens(col("tk")).as("sh"))
       .select(col("doc_id"), TextOps.hashShingles(col("sh")).as("hs"))
-      .select(col("doc_id"), TextOps.winnowFromHashes(col("hs")).as("fps"))
+      // Generate barrier: three aggregates extract from fps below — a plain
+      // projection would collapse and re-run the winnow pass per aggregate
+      .select(col("doc_id"), explode(array(TextOps.winnowFromHashes(col("hs")))).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("fp_min"),
