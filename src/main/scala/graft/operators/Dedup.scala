@@ -186,6 +186,9 @@ object Dedup {
     * order-free, so the oracle is unchanged. */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), expr("simhash16(tk)").as("simhash"))
+      // Generate barrier: a plain projection would let the not-null filter
+      // push below it as `simhash16(tk) IS NOT NULL` — the hash evaluated
+      // twice per row (filter + project)
+      .select(col(idCol), explode(array(expr("simhash16(tk)"))).as("simhash"))
       .filter(col("simhash").isNotNull)
 }

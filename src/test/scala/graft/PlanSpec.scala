@@ -75,6 +75,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("d02/d04: native signatures are shuffle-free and computed exactly once") {
+    // the minhash/simhash rewrites removed the explode+groupBy exchange:
+    // the signature never leaves its doc's row
+    val p2 = plan("d02_minhash_signature")
+    assert(!p2.contains("Exchange"), "minhash signature must not shuffle")
+    // ...and the Generate barrier keeps CollapseProject from inlining the
+    // signature into the 16 extractions (measured 6× slowdown without it)
+    val occ = p2.linesIterator.filter(_.contains("minhash_sig")).toSeq
+    assert(occ.size === 1, s"minhash_sig must appear exactly once, lines:\n${occ.mkString("\n")}")
+    val p4 = plan("d04_simhash")
+    assert(!p4.contains("Exchange"), "simhash must not shuffle")
+    val occ4 = p4.linesIterator.filter(_.contains("simhash16")).toSeq
+    assert(occ4.size === 1, s"simhash16 must appear exactly once, lines:\n${occ4.mkString("\n")}")
+  }
+
+  test("t05: winnow pass evaluated once behind its Generate barrier") {
+    val p = plan("t05_winnowing")
+    assert(!p.contains("Exchange"))
+    assert("winnow_minima".r.findAllMatchIn(p).size === 1,
+      "winnow_minima must appear exactly once in the plan")
+  }
+
   test("m01: payload pipeline prunes unused document columns at the scan") {
     val p = plan("m01_multimodal_meta")
     val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
