@@ -69,6 +69,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WinnowMinimaExpr].getName, "winnow_minima"),
     (children: Seq[Expression]) => WinnowMinimaExpr(children.head, children(1)))
 
+  val vecCosine: FunctionDescription = (
+    FunctionIdentifier("vec_cosine"),
+    new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+    (children: Seq[Expression]) => VecCosine(children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
-    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima)
+    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima, vecCosine)
 }

@@ -27,7 +27,9 @@ object Similarity {
 
   def norm(a: String): Column = sqrt(dot(a, a))
 
-  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (graft.functions.VecCosine): same expression
+    * tree as dot/(norm·norm) — bit-identical — in one array traversal. */
+  def cosine(a: String, b: String): Column = expr(s"vec_cosine($a, $b)")
 
   /** The DuckDB rendering of the same sequential-fold cosine (oracle side). */
   def cosineSql(a: String, b: String): String = {
