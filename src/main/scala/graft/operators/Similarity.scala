@@ -211,62 +211,96 @@ object Similarity {
     *     replays bit-identically in DuckDB.
     *   - `iters` is FIXED (no convergence test — data-dependent stopping
     *     would not be oracle-replayable).
-    * Scale shape: seeds via distributed top-k (TakeOrdered, no global
-    * sort); each iteration is one broadcast-join pass + one partial-agg
-    * shuffle of (cell, pos) partial sums — centroids never leave executors,
-    * members are never materialized per cell. A cell that loses every
-    * member drops out (seeds are member vectors, so each cell starts with
-    * its seed; with sane kCells this is a non-event, and the oracle
-    * replicates the same semantics naturally). */
-  def kmeansCentroids(candidates: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    *
+    * Scale shape — the MLlib pattern: the centroid MODEL (kCells × dim
+    * doubles, bounded by design) lives on the driver between iterations.
+    * Assignment is then a pure PROJECTION against centroid literals — the
+    * corpus is never shuffled, never windowed, never joined; the only
+    * exchange per iteration is the (cell, pos) partial-sum aggregation for
+    * the centroid update, whose result (kCells × dim rows) collects back.
+    * A cell that loses every member drops out (seeds are member vectors, so
+    * each starts with its seed; the oracle replicates the same semantics). */
+  def kmeansModel(candidates: DataFrame, kCells: Int, iters: Int): Seq[(Long, Array[Double])] = {
     val seeds = candidates
       .withColumn("hkey", md5(col("vec_id").cast("string")))
-      .orderBy(col("hkey"), col("vec_id"))
+      .orderBy(col("hkey"), col("vec_id")) // TakeOrdered: distributed top-k
       .limit(kCells)
-    // kCells rows total — the single-partition window is over the seed set
-    // only, never the corpus
-    val wSeed = Window.orderBy(col("hkey"), col("vec_id"))
-    var cents = seeds
-      .withColumn("cell", (row_number().over(wSeed) - 1).cast("long"))
-      .select(col("cell"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+      .select(col("hkey"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+      .collect()
+    var model: Seq[(Long, Array[Double])] = seeds
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](2).toArray }
+      .toSeq
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(candidates, cents)
-      cents = assigned
+      model = assignCells(candidates, model)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v").cast("double").cast("decimal(38,12)")).as("sum_v"),
           count(lit(1)).as("n"))
         .select(col("cell"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
-        // kCells rows: persisting each iteration's centroid table keeps the
-        // plan from chaining every k-means pass into one relineage (and the
-        // final table is consumed twice — assignment + routing)
-        .persist()
+        .collect()
+        .groupBy(_.getLong(0))
+        .toSeq
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+        .sortBy(_._1)
     }
-    cents
+    model
   }
 
-  /** Nearest-centroid assignment: (vec_id, embedding, cell), argmax cosine,
-    * ties to the smaller cell id. One broadcast join, no shuffle of the
-    * corpus. */
-  def assignCells(candidates: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_sim").desc, col("cell"))
-    candidates.crossJoin(broadcast(cents))
-      .withColumn("cell_sim", cosine("embedding", "centroid"))
-      .withColumn("ar", row_number().over(w))
-      .filter(col("ar") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+  /** Backward-compatible DataFrame view of the learned centroids. */
+  def kmeansCentroids(candidates: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    kmeansModel(candidates, kCells, iters)
+      .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
   }
+
+  /** Per-cell cosine columns against centroid LITERALS — no join, no
+    * shuffle; each row scores kCells native vec_cosine calls. */
+  private def cellSims(vecCol: String, model: Seq[(Long, Array[Double])]): Seq[Column] =
+    model.map { case (cell, c) =>
+      call_function("vec_cosine", col(vecCol), typedLit(c.toSeq)).as(s"__c$cell")
+    }
+
+  /** Argmax over the literal cell similarities, ties to the smaller cell id
+    * (CASE scans cells in id order and takes the first equal to the max —
+    * exactly the (sim DESC, cell ASC) row_number ordering it replaces). */
+  private def argmaxCell(model: Seq[(Long, Array[Double])]): Column = {
+    val sims = model.map { case (cell, _) => col(s"__c$cell") }
+    val m = greatest(sims: _*)
+    model.map { case (cell, _) => (col(s"__c$cell") === m, lit(cell)) }
+      .foldRight(lit(null).cast("long")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+  }
+
+  /** Nearest-centroid assignment: (vec_id, embedding, cell) as a pure
+    * projection — zero shuffle of the corpus. */
+  def assignCells(candidates: DataFrame, model: Seq[(Long, Array[Double])]): DataFrame =
+    candidates
+      .select(Seq(col("vec_id"), col("embedding")) ++ cellSims("embedding", model): _*)
+      .select(col("vec_id"), col("embedding"), argmaxCell(model).as("cell"))
 
   /** IVF ANN with LEARNED centroids: deterministic k-means over the
     * candidates, final-centroid cell assignment, then route each query to
-    * its top-`nprobe` cells and search only those. */
+    * its top-`nprobe` cells (sorting the kCells literal similarities per
+    * query — still no join) and search only those cells. */
   def ivfTopKLearned(queries: DataFrame, candidates: DataFrame, k: Int,
       kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val cents = kmeansCentroids(candidates, kCells, iters)
-    val celled = assignCells(candidates, cents)
-    val routed = routeQueries(queries, cents, "cell", nprobe)
+    val model = kmeansModel(candidates, kCells, iters)
+    val celled = assignCells(candidates, model)
+    // top-nprobe cells per query: sort (-sim, cell) structs — sim DESC with
+    // ties to the smaller cell id, as in the window form it replaces
+    val picks = model.map { case (cell, _) =>
+      struct((col(s"__c$cell") * -1).as("ns"), lit(cell).as("cell"))
+    }
+    val routed = queries
+      .select(Seq(col("q_id"), col("q_vec")) ++ cellSims("q_vec", model): _*)
+      .select(col("q_id"), col("q_vec"),
+        explode(slice(array_sort(array(picks: _*)), 1, nprobe)).as("pick"))
+      .select(col("q_id"), col("q_vec"), col("pick.cell").as("cell"))
     val scored = celled.join(broadcast(routed), "cell")
       .withColumn("cos_sim", cosine("q_vec", "embedding"))
     topKPerQuery(scored, k)
