@@ -74,6 +74,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
     (children: Seq[Expression]) => VecCosine(children.head, children(1)))
 
+  val vecDecimalMean: FunctionDescription = (
+    FunctionIdentifier("vec_decimal_mean"),
+    new ExpressionInfo(classOf[VecDecimalMean].getName, "vec_decimal_mean"),
+    (children: Seq[Expression]) => VecDecimalMean(children.head))
+
   val all: Seq[FunctionDescription] =
-    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima, vecCosine)
+    Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
+      vecCosine, vecDecimalMean)
 }

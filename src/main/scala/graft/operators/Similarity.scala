@@ -70,19 +70,16 @@ object Similarity {
     * per-cell materialization: each member value casts to fixed-point
     * DECIMAL(38,12) (float→double is exact; double→decimal is one defined
     * rounding both engines share), and decimal addition is exact and
-    * ASSOCIATIVE — so a plain partial-aggregated `sum` is order-independent
-    * and replays bit-identically in DuckDB. This is what gives the IVF path
-    * a hash oracle while keeping the 100 TB shape: the shuffle carries one
-    * (label, pos, partial-sum) row per cell-dimension, never the members. */
+    * ASSOCIATIVE — order-independent, so it replays bit-identically in
+    * DuckDB. Runs as the native `vec_decimal_mean` typed aggregate
+    * (graft.functions.VecDecimalMean): whole vectors fold into one
+    * dim-sized decimal buffer per group — no row-per-dimension explode
+    * through the shuffle; the exchange carries one small buffer per
+    * (group, partition). This gives the IVF path a hash oracle AND the
+    * 100 TB shape. */
   def labelCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(
-        sum(col("v").cast("double").cast("decimal(38,12)")).as("sum_v"),
-        count(lit(1)).as("n"))
-      .select(col("label"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+    emb.groupBy(col("label"))
+      .agg(call_function("vec_decimal_mean", col("embedding")).as("centroid"))
 
   /** The DuckDB rendering of labelCentroids' arithmetic (oracle side):
     * the same associative fixed-point sums, list ordered by dimension. */
@@ -235,18 +232,12 @@ object Similarity {
       .toSeq
     (1 to iters).foreach { _ =>
       model = assignCells(candidates, model)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("double").cast("decimal(38,12)")).as("sum_v"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("pos"), (col("sum_v").cast("double") / col("n")).as("m"))
+        .groupBy(col("cell"))
+        .agg(call_function("vec_decimal_mean", col("embedding")).as("centroid"))
         .collect()
-        .groupBy(_.getLong(0))
-        .toSeq
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        }
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
         .sortBy(_._1)
+        .toSeq
     }
     model
   }

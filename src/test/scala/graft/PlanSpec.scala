@@ -56,14 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
-  test("s02: centroid means are plain partial sums — no per-cell member lists") {
+  test("s02: centroid means are partial decimal-vector aggregates — no member lists") {
     val p = plan("s02_ann_ivf_topk")
-    // the per-(label, pos) aggregate is an associative decimal sum (shuffle
-    // carries partial sums, not members); the only collect_list left is the
-    // per-label dimension assembly (bounded by the embedding dim, not cell
-    // membership) — the r2 shape collected (vec_id, v) structs per cell
-    assert(p.contains("partial_sum") || p.contains("sum("))
-    assert(!p.contains("collect_list(struct(vec_id"))
+    // centroids fold through the vec_decimal_mean typed aggregate with
+    // map-side partials (shuffle carries one dim-sized buffer per group per
+    // partition, not members and not a row per dimension) — the r2 shape
+    // collected (vec_id, v) structs per cell
+    assert(p.contains("partial_vec_decimal_mean"), "expected partial vec_decimal_mean")
+    assert(!p.contains("collect_list"))
+    assert(!p.contains("posexplode"))
   }
 
   test("s04: k-means assignment broadcasts centroids; corpus never cartesians with itself") {
