@@ -76,6 +76,41 @@ object Multimodal {
       .toDF(idCol, "width", "height", "features")
   }
 
+  /** Resize — the payload-transform decode shape (image → smaller image).
+    * STUB: with no codec in-container the "resize" deterministically
+    * subsamples the payload bytes to a `targetBytes` budget (every k-th
+    * byte) after the 12-byte header, preserving the magic prefix so the
+    * sniffer still classifies the output. The plumbing is the real shape:
+    * partition-local mapPartitions, binary in → binary out + new size, no
+    * shuffle, linear cost. */
+  def resizeStub(df: DataFrame, payloadCol: String, idCol: String,
+      targetBytes: Int = 1024): DataFrame = {
+    require(targetBytes > 16)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          // --- STUB: real decode → scale → re-encode goes here ------------
+          val out =
+            if (bytes == null) null
+            else if (bytes.length <= targetBytes) bytes
+            else {
+              val header = bytes.take(12)
+              val body = bytes.drop(12)
+              val budget = targetBytes - header.length
+              val step = math.max(1, body.length / budget)
+              header ++ body.indices.collect { case i if i % step == 0 => body(i) }
+                .take(budget)
+            }
+          // ----------------------------------------------------------------
+          (id, out, if (out == null) 0 else out.length)
+        }
+      }
+      .toDF(idCol, "payload", "size_bytes")
+  }
+
   /** Frame sampling — the one-to-many decode shape (video → frames). Each
     * payload explodes into one row per fixed-size "frame" with its index,
     * a content hash, and a synthetic timestamp (25 fps → 40 ms stride).

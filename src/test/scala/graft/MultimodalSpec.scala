@@ -66,6 +66,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 2)
   }
 
+  test("resizeStub: bounded output, magic preserved, partition-local") {
+    import spark.implicits._
+    val big = Array.tabulate(5000)(_.toByte)
+    val png = unhexBytes("89504E470D0A1A0A") ++ big
+    val in = Seq(1L -> png, 2L -> Array[Byte](1, 2, 3)).toDF("id", "payload").repartition(2)
+    val out = Multimodal.resizeStub(in, "payload", "id", targetBytes = 256)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows(1L).length <= 256)
+    assert(rows(1L).take(8).toSeq === unhexBytes("89504E470D0A1A0A").toSeq) // magic survives
+    assert(rows(2L).toSeq === Seq[Byte](1, 2, 3)) // already under budget: untouched
+    assert(out.rdd.getNumPartitions === 2) // no shuffle
+    // deterministic
+    val again = Multimodal.resizeStub(in, "payload", "id", targetBytes = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(again(1L) === rows(1L).toSeq)
+  }
+
+  private def unhexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(s => Integer.parseInt(s, 16).toByte).toArray
+
   test("decodeImageStub: real plumbing, deterministic fake decode") {
     val in = payloads.repartition(3)
     val out = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
