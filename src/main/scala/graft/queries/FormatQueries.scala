@@ -166,5 +166,31 @@ object FormatQueries {
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01)
+  // ---------------------------------------------------------------- w01
+  // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
+  // layout (dynamic overwrite, snappy), then scan the layout back. The
+  // oracle aggregates the SOURCE table — so the row proves the whole
+  // write → partition layout → read pipeline preserves the data, not just
+  // that the engine can re-read its own files.
+  private val w01 = QueryDef(
+    "w01_copy_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_w01"
+      val cust = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 0)
+      graft.catalog.Sinks.copyTo(cust, out, "parquet",
+        Map("partition_by" -> "c_mktsegment", "overwrite" -> "true",
+          "compression" -> "snappy"))
+      s.read.option("basePath", out).parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 0
+      GROUP BY c_mktsegment"""))
+
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, w01)
 }
