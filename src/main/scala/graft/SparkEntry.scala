@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FormatQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{FormatQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,7 +10,8 @@ import graft.queries.{FormatQueries, PipelineQueries, RelationalQueries}
   */
 object SparkEntry {
 
-  private def defs = RelationalQueries.all ++ PipelineQueries.all ++ FormatQueries.all
+  private def defs =
+    RelationalQueries.all ++ PipelineQueries.all ++ FormatQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
