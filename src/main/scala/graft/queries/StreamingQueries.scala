@@ -17,6 +17,18 @@ import graft.streaming.Streams
   * keeper the batch d01 operator marks. */
 object StreamingQueries {
 
+  /** Stateful streaming ops allocate one state-store partition per shuffle
+    * partition at query start — for a bounded replay that fixed cost
+    * dominates, so the replay runs with a small partition count (scoped:
+    * the session conf is restored afterwards). On a real unbounded feed
+    * the deployment's partition count applies unchanged. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private val x01 = QueryDef(
     "x01_stream_dedup",
     (s, dir) => {
@@ -28,16 +40,18 @@ object StreamingQueries {
       val out = Streams.dedupDocsStream(
         in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
         .select(col("doc_id"), col("h"))
-      val q = out.writeStream.format("memory").queryName("x01_out")
-        .outputMode("append").start()
-      try {
-        val rows = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
-          .map(r => (r.getLong(0), r.getString(1),
-            java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
-        in.addData(rows.toSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = out.writeStream.format("memory").queryName("x01_out")
+          .outputMode("append").start()
+        try {
+          val rows = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1),
+              java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+          in.addData(rows.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table("x01_out")
     },
     Some("""
@@ -47,5 +61,45 @@ object StreamingQueries {
         SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS m FROM h) x
       WHERE doc_id = m"""))
 
-  val all: Seq[QueryDef] = Seq(x01)
+  // ---------------------------------------------------------------- x02
+  // Windowed streaming counts vs the batch day-bucket GROUP BY: the events
+  // table replays through the watermarked tumbling-window aggregation; a
+  // sentinel event two days past the corpus maximum advances the watermark
+  // so every REAL window closes (append mode emits closed windows only —
+  // the sentinel's own window stays open and is therefore excluded, which
+  // is exactly what the oracle's plain GROUP BY over the corpus expects).
+  // Counts are order-free → fully deterministic.
+  private val x02 = QueryDef(
+    "x02_stream_windowed_counts",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[java.sql.Timestamp]
+      val out = Streams.windowedCounts(in.toDF().toDF("ts"), "ts", "1 day", "0 seconds")
+        .select(col("window.start").as("day_start"), col("n"))
+      withShufflePartitions(s, 4) {
+        val q = out.writeStream.format("memory").queryName("x02_out")
+          .outputMode("append").start()
+        try {
+          // deterministic 2% slice: a replay of every event would dominate
+          // the bench for no extra signal — the oracle mirrors the filter
+          val ts = Tables.load(s, dir, "events")
+            .filter(col("user_id") % 50 === 0)
+            .select(col("ts")).collect()
+            .map(_.getTimestamp(0))
+          in.addData(ts.toSeq)
+          q.processAllAvailable()
+          val sentinel = new java.sql.Timestamp(ts.map(_.getTime).max + 2L * 86400 * 1000)
+          in.addData(sentinel)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x02_out")
+    },
+    Some("""
+      SELECT date_trunc('day', ts) AS day_start, count(*) AS n
+      FROM events WHERE user_id % 50 = 0 GROUP BY 1"""))
+
+  val all: Seq[QueryDef] = Seq(x01, x02)
 }
