@@ -403,23 +403,35 @@ object Catalog {
     }
   }
 
-  /** Top-level string columns whose values ALL match an integer literal are
-    * cast to BIGINT. The integral check scans the full column (one cheap
-    * min() aggregate at attach time): deciding from a sample and then
-    * casting would silently NULL any later non-integral value — silent data
-    * corruption on mixed columns. The reference leaves non-conforming
-    * columns as strings; so does this. */
-  private def integerizeStrings(df: DataFrame): DataFrame = {
+  /** Top-level string columns whose values look integral are cast to BIGINT.
+    * The DECISION comes from a bounded sample (first `sampleRows` rows) so
+    * attach never scans the corpus — at the 100 TB design point an attach
+    * option must not trigger a full-column aggregate. EXACTNESS is kept by
+    * the cast expression itself: a later value that is not a bounded integer
+    * literal raises a loud error at scan time instead of silently casting to
+    * NULL (the corruption a bare sample-then-cast would cause). Digits are
+    * bounded to 18 so values beyond Long range keep the column a string
+    * (sample) or error loudly (post-sample) rather than overflow to NULL.
+    * The reference leaves non-conforming columns as strings; so does this
+    * whenever the sample shows the mix. */
+  private[graft] def integerizeStrings(df: DataFrame, sampleRows: Int = 20480): DataFrame = {
     import org.apache.spark.sql.types._
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (strCols.isEmpty) return df
+    val intRe = "^[+-]?\\d{1,18}$"
     val checks = strCols.map(c =>
-      min(when(col(c).isNull || col(c).rlike("^[+-]?\\d+$"), 1).otherwise(0)).as(c))
-    val row = df.select(strCols.map(col): _*).agg(checks.head, checks.tail: _*).collect()(0)
+      min(when(col(c).isNull || col(c).rlike(intRe), 1).otherwise(0)).as(c))
+    val row = df.select(strCols.map(col): _*).limit(sampleRows)
+      .agg(checks.head, checks.tail: _*).collect()(0)
     val integral = strCols.zipWithIndex.collect {
       case (c, i) if !row.isNullAt(i) && row.getInt(i) == 1 => c
     }
-    integral.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
+    integral.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col(c).isNull, lit(null).cast(LongType))
+        .when(col(c).rlike(intRe), col(c).cast(LongType))
+        .otherwise(raise_error(concat(
+          lit(s"convert_strings_to_integers: non-integral value in column `$c`: "),
+          col(c))).cast(LongType))))
   }
 
   /** "name1:TYPE1,name2:TYPE2" (DuckDB type names) → StructType. */

@@ -62,14 +62,21 @@ object MinhashSig {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Null for empty arrays (a doc with no shingles has no signature). */
+  /** Null for empty (or all-null-element) arrays — a doc with no shingles
+    * has no signature. Null ELEMENTS are skipped, matching the replaced
+    * explode+agg chain where md5(NULL) was ignored by min().
+    */
   def sig(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
     val mins = Array.fill(K)(Long.MaxValue)
     val digest = md5.get()
+    var seen = false
     var i = 0
     while (i < n) {
+      if (shingles.isNullAt(i)) { i += 1 }
+      else {
+      seen = true
       digest.reset()
       val d = digest.digest(shingles.getUTF8String(i).getBytes)
       // first 15 hex chars == first 8 bytes as big-endian u64, >>> 4
@@ -85,7 +92,9 @@ object MinhashSig {
         j += 1
       }
       i += 1
+      }
     }
+    if (!seen) return null
     new GenericArrayData(mins)
   }
 }

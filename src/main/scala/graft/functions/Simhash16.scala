@@ -32,11 +32,16 @@ case class Simhash16Expr(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     Simhash16.hash(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: two simhash16 calls over non-nullable children share one
+    // codegen scope (nullSafeCodeGen only braces nullable children), so a
+    // fixed local name would be a janino duplicate-declaration error.
+    val h = ctx.freshName("simhash")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Long h = graft.functions.Simhash16.hash($c);
-      if (h == null) { ${ev.isNull} = true; } else { ${ev.value} = h.longValue(); }
+      Long $h = graft.functions.Simhash16.hash($c);
+      if ($h == null) { ${ev.isNull} = true; } else { ${ev.value} = $h.longValue(); }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash16Expr =
     copy(child = newChild)
@@ -48,15 +53,21 @@ object Simhash16 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Null for empty arrays (a doc with no tokens has no hash). Boxed so the
-    * codegen call site can branch on null. */
+  /** Null for empty (or all-null-element) arrays — a doc with no tokens has
+    * no hash. Null ELEMENTS are skipped, matching the replaced explode+agg
+    * chain where md5(NULL) rows vanished from the conditional sums. Boxed so
+    * the codegen call site can branch on null. */
   def hash(tokens: ArrayData): java.lang.Long = {
     val n = tokens.numElements()
     if (n == 0) return null
     val sums = new Array[Long](16)
     val digest = md5.get()
+    var seen = false
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i)) { i += 1 }
+      else {
+      seen = true
       digest.reset()
       val d = digest.digest(tokens.getUTF8String(i).getBytes)
       // first 8 hex chars == first 4 bytes as a big-endian u32
@@ -68,7 +79,9 @@ object Simhash16 {
         b += 1
       }
       i += 1
+      }
     }
+    if (!seen) return null
     var packed = 0L
     var b = 0
     while (b < 16) {

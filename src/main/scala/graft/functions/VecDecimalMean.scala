@@ -87,7 +87,10 @@ case class VecDecimalMean(
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // containsNull: a dimension present only as nulls (or the trailing dims of
+  // ragged inputs) has count 0 — its mean is NULL, matching the replaced
+  // posexplode+SUM chain where that (group,pos) simply had no row.
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_decimal_mean"
 
@@ -103,10 +106,12 @@ case class VecDecimalMean(
 
   override def eval(b: VecMeanBuffer): Any = {
     if (b.sums == null) return null
-    val out = new Array[Double](b.sums.length)
+    val out = new Array[Any](b.sums.length)
     var i = 0
     while (i < out.length) {
-      out(i) = b.sums(i).doubleValue() / b.counts(i)
+      // zero-count dimension → null, not NaN (0/0): keeps parity with the
+      // posexplode chain / DuckDB oracle, which emit no row for that pos
+      out(i) = if (b.counts(i) == 0) null else b.sums(i).doubleValue() / b.counts(i)
       i += 1
     }
     new GenericArrayData(out)

@@ -79,7 +79,13 @@ object Streams {
             val rs = rows.toSeq
             val n = state.getOption.getOrElse(0L) + rs.size
             state.update(n)
-            state.setTimeoutTimestamp(rs.map(_._2.getTime).max, ttl)
+            // Clamp the timeout base to the current watermark: a batch of
+            // late-but-in-watermark rows (or delay > ttl) would otherwise
+            // put base+ttl at-or-below the watermark, which Spark rejects
+            // with IllegalArgumentException and kills the query.
+            val base = math.max(rs.map(_._2.getTime).max,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base, ttl)
             (key, n)
           }
       }

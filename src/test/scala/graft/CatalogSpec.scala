@@ -397,6 +397,28 @@ class CatalogSpec extends SparkSpec {
     assert(typed.schema("p").dataType === LongType)
   }
 
+  test("convert_strings_to_integers: late non-integral value errors loudly, never NULLs") {
+    import spark.implicits._
+    // sample (first 2 rows) looks integral; row 3 is not — the cast must
+    // raise, not silently corrupt the column to NULL
+    val df = Seq("1", "2", "oops").toDF("n")
+    val cast = Catalog.integerizeStrings(df, sampleRows = 2)
+    assert(cast.schema("n").dataType === LongType)
+    val e = intercept[Exception] { cast.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-integral value in column `n`")), e.getMessage)
+  }
+
+  test("convert_strings_to_integers: beyond-Long digits keep the column a string") {
+    import spark.implicits._
+    // 20+ digit integers would overflow a BIGINT cast to NULL; the bounded
+    // regex must treat them as non-integral instead
+    val df = Seq("1", "99999999999999999999999").toDF("n")
+    val out = Catalog.integerizeStrings(df, sampleRows = 10)
+    assert(out.schema("n").dataType === StringType)
+  }
+
   test("re-attach replaces the view (idempotent by name)") {
     Catalog.attach(spark, "idem", "parquet", Map("files" -> s"$sf/region.parquet"))
     val n1 = spark.sql("SELECT count(*) FROM idem").head().getLong(0)

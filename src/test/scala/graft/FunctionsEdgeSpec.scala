@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the native codegen expressions: null ELEMENTS inside
+  * input arrays must behave like the explode+aggregate chains the natives
+  * replaced (md5(NULL) rows were ignored by min()/conditional sums), and
+  * codegen locals must not collide when one projection evaluates the same
+  * expression twice over non-nullable children. */
+class FunctionsEdgeSpec extends SparkSpec {
+
+  test("minhash_sig skips null elements; all-null array hashes like empty") {
+    val rows = spark.sql(
+      """SELECT minhash_sig(array('ab','cd')) AS full,
+        |       minhash_sig(array('ab', CAST(NULL AS STRING), 'cd')) AS holey,
+        |       minhash_sig(array(CAST(NULL AS STRING))) AS allnull,
+        |       minhash_sig(CAST(array() AS ARRAY<STRING>)) AS empty""".stripMargin).head()
+    assert(rows.getSeq[Long](0) === rows.getSeq[Long](1),
+      "null elements must not perturb the signature")
+    assert(rows.isNullAt(2), "all-null shingle array carries no signature")
+    assert(rows.isNullAt(3))
+  }
+
+  test("simhash16 skips null elements; all-null array hashes like empty") {
+    val r = spark.sql(
+      """SELECT simhash16(array('tok','ken')) AS full,
+        |       simhash16(array('tok', CAST(NULL AS STRING), 'ken')) AS holey,
+        |       simhash16(array(CAST(NULL AS STRING))) AS allnull""".stripMargin).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.isNullAt(2))
+  }
+
+  test("two simhash16 calls over non-nullable children codegen in one projection") {
+    // non-nullable children → nullSafeCodeGen emits both snippets into one
+    // scope; a fixed local name would be a janino duplicate declaration
+    // fallback off: a janino compile error (duplicate local) THROWS here
+    // instead of silently reverting to interpreted evaluation
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(3).selectExpr(
+        "simhash16(array(concat('a', CAST(id AS STRING)))) AS h1",
+        "simhash16(array(concat('b', CAST(id AS STRING)))) AS h2")
+      val got = df.collect()
+      assert(got.length === 3)
+      assert(got.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), s"expected a codegen'd projection, got:\n$plan")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("vec_decimal_mean emits null for zero-count dimensions") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array[java.lang.Double](null, 2.0)),
+      (1, Array[java.lang.Double](null, 4.0))).toDF("g", "v")
+    val r = df.groupBy("g").agg(expr("vec_decimal_mean(v)").as("m"))
+      .head().getSeq[Any](1)
+    assert(r(0) === null, "dimension with zero non-null inputs must be NULL, not NaN")
+    assert(r(1) === 3.0)
+  }
+
+  test("vec_decimal_mean ragged inputs: short vectors leave trailing dims partial") {
+    import spark.implicits._
+    val df = Seq((1, Array(1.0)), (1, Array(3.0, 8.0))).toDF("g", "v")
+    val r = df.groupBy("g").agg(expr("vec_decimal_mean(v)").as("m"))
+      .head().getSeq[Any](1)
+    assert(r(0) === 2.0)
+    assert(r(1) === 8.0) // count 1, not divided by the group size
+  }
+}
