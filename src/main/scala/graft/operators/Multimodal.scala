@@ -128,17 +128,40 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val n = if (bytes == null) 0 else bytes.length
-        val frames = n / frameBytes // trailing partial frame is dropped
-        (0 until frames).iterator.map { f =>
-          val slice = bytes.slice(f * frameBytes, (f + 1) * frameBytes)
-          // --- STUB: real frame decode goes here --------------------------
-          val hex = slice.map(b => f"${b & 0xff}%02X").mkString
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(hex.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-          // ----------------------------------------------------------------
-          (id, f.toLong, digest, f * 40L)
+      .mapPartitions { rows =>
+        // PER-PARTITION scratch state — one MessageDigest and one hex buffer
+        // reused across every frame (a per-frame getInstance + format-string
+        // hex was the hot spot at bench scale), and the template for where a
+        // real decoder would keep its codec context.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val HEXU = "0123456789ABCDEF".getBytes("US-ASCII")
+        val HEXL = "0123456789abcdef".toCharArray
+        val hexBuf = new Array[Byte](frameBytes * 2) // ASCII hex of one frame
+        rows.flatMap { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val frames = n / frameBytes // trailing partial frame is dropped
+          (0 until frames).iterator.map { f =>
+            // --- STUB: real frame decode goes here --------------------------
+            var i = 0
+            while (i < frameBytes) {
+              val b = bytes(f * frameBytes + i) & 0xff
+              hexBuf(2 * i) = HEXU(b >> 4)
+              hexBuf(2 * i + 1) = HEXU(b & 0xf)
+              i += 1
+            }
+            md.reset()
+            md.update(hexBuf)
+            val d = md.digest()
+            val out = new Array[Char](32)
+            var j = 0
+            while (j < 16) {
+              out(2 * j) = HEXL((d(j) >> 4) & 0xf)
+              out(2 * j + 1) = HEXL(d(j) & 0xf)
+              j += 1
+            }
+            // ----------------------------------------------------------------
+            (id, f.toLong, new String(out), f * 40L)
+          }
         }
       }
       .toDF(idCol, "frame_idx", "frame_md5", "ts_ms")

@@ -306,6 +306,51 @@ object PipelineQueries {
              CAST(fi * 40 AS BIGINT) AS ts_ms
       FROM f"""))
 
+  // ---------------------------------------------------------------- m03
+  // Binary-in/binary-out multimodal transform shape: resize subsamples every
+  // step-th body byte after the 12-byte header down to a 64-byte budget
+  // (payloads already under budget pass through). The arithmetic is exactly
+  // replayable over hex(payload) in DuckDB — range() with a step + substr
+  // per sampled byte — so the imperative mapPartitions payload transform
+  // carries a full hash oracle like m02.
+  private val m03 = QueryDef(
+    "m03_resize",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val payload =
+        when(col("doc_id") % 3 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          concat(unhex(lit("FFD8FFE000104A46")), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8"))
+      Multimodal.resizeStub(
+        d.select(col("doc_id"), payload.as("payload")), "payload", "doc_id",
+        targetBytes = 64)
+        .select(col("doc_id"), col("size_bytes").cast("long").as("size_bytes"),
+          md5(hex(col("payload"))).as("resized_md5"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E470D0A1A0A') || text::BLOB
+                    WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE000104A46') || text::BLOB
+                    ELSE text::BLOB END AS payload
+        FROM documents),
+      h AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM p),
+      r AS (
+        SELECT doc_id,
+               CASE WHEN n <= 64 THEN hx
+                    ELSE substr(hx, 1, 24) ||
+                         array_to_string(
+                           list_transform(
+                             list_slice(range(0, n - 12, greatest(1, (n - 12) // 52)), 1, 52),
+                             i -> substr(hx, 24 + i * 2 + 1, 2)), '')
+               END AS rhx
+        FROM h)
+      SELECT doc_id, CAST(len(rhx) // 2 AS BIGINT) AS size_bytes,
+             md5(rhx) AS resized_md5
+      FROM r"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -420,5 +465,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, m02, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, m02, m03, t01, t02, t03, t04, t05)
 }
