@@ -27,7 +27,13 @@ object Bench {
     // real breakage) but they WARN — a warm-up-only failure (e.g. a missing
     // warm dir) must not stay invisible.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SPARK_GRAFT_ONLY=q01_x,q02_y — iterate on a subset without paying for
+    // the whole inventory; the driver never sets it, so contract runs are
+    // always the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     queries.foreach { case (name, fn) =>
       try run(fn, warmDir) catch {
         case e: Throwable => System.err.println(

@@ -18,15 +18,46 @@ import graft.streaming.Streams
 object StreamingQueries {
 
   /** Stateful streaming ops allocate one state-store partition per shuffle
-    * partition at query start — for a bounded replay that fixed cost
-    * dominates, so the replay runs with a small partition count (scoped:
-    * the session conf is restored afterwards). On a real unbounded feed
-    * the deployment's partition count applies unchanged. */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    * partition at query start, and every micro-batch commits offset/state
+    * files per partition — for a bounded replay those fixed costs dominate,
+    * so the replay runs with ONE state partition (the input is one ordered
+    * MemoryStream partition anyway) and, when the host offers it, checkpoints
+    * to tmpfs so per-batch offset/commit-log fsyncs stay off disk. Scoped:
+    * the session conf is restored afterwards. On a real unbounded feed the
+    * deployment's partition count and durable checkpoint dir apply
+    * unchanged — this is replay-harness tuning, not operator semantics. */
+  private def withReplayConf[A](s: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpointLocation"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevCk = s.conf.getOption(ckKey)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+    // no-data batches exist to advance wall-clock-ish state on a live feed;
+    // a deterministic replay advances the watermark with sentinel DATA
+    // batches instead, so the empty batches are pure per-batch overhead here
+    s.conf.set(ndKey, "false")
+    val tmpCk: Option[java.nio.file.Path] =
+      if (!new java.io.File("/dev/shm").isDirectory) None
+      else Some(java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft-ck-"))
+    tmpCk.foreach(p => s.conf.set(ckKey, p.toString))
+    try f finally {
+      s.conf.set(key, prev)
+      s.conf.set(ndKey, prevNd)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
+      tmpCk.foreach { p => // reclaim tmpfs — replays must not leak into RAM
+        import java.nio.file._
+        import java.util.Comparator
+        try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q))
+        catch { case _: Exception => () }
+      }
+    }
   }
 
   private val x01 = QueryDef(
@@ -40,7 +71,7 @@ object StreamingQueries {
       val out = Streams.dedupDocsStream(
         in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
         .select(col("doc_id"), col("h"))
-      withShufflePartitions(s, 4) {
+      withReplayConf(s, 1) {
         val q = out.writeStream.format("memory").queryName("x01_out")
           .outputMode("append").start()
         try {
@@ -78,7 +109,7 @@ object StreamingQueries {
       val in = MemoryStream[java.sql.Timestamp]
       val out = Streams.windowedCounts(in.toDF().toDF("ts"), "ts", "1 day", "0 seconds")
         .select(col("window.start").as("day_start"), col("n"))
-      withShufflePartitions(s, 4) {
+      withReplayConf(s, 1) {
         val q = out.writeStream.format("memory").queryName("x02_out")
           .outputMode("append").start()
         try {
@@ -90,8 +121,15 @@ object StreamingQueries {
             .map(_.getTimestamp(0))
           in.addData(ts.toSeq)
           q.processAllAvailable()
-          val sentinel = new java.sql.Timestamp(ts.map(_.getTime).max + 2L * 86400 * 1000)
-          in.addData(sentinel)
+          // with no-data batches off, watermark-driven eviction only runs in
+          // DATA batches: sentinel1 advances the watermark past every real
+          // window; sentinel2's batch starts with that watermark and emits
+          // them. Both sentinel windows stay open (watermark never passes
+          // them), so neither leaks into the append output.
+          val maxTs = ts.map(_.getTime).max
+          in.addData(new java.sql.Timestamp(maxTs + 2L * 86400 * 1000))
+          q.processAllAvailable()
+          in.addData(new java.sql.Timestamp(maxTs + 2L * 86400 * 1000 + 1))
           q.processAllAvailable()
         } finally q.stop()
       }
