@@ -59,6 +59,7 @@ object Catalog {
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
         case "spatial" => graft.sources.GeoJson.read(spark, files, options)
+        case "delta" | "iceberg" => readConnector(spark, spec, files, options, schema)
         case other => throw Formats.UnsupportedFormatException(other)
       }
     }
@@ -166,6 +167,23 @@ object Catalog {
     r.load(files: _*)
   }
 
+  /** Delta/Iceberg dispatch for jar-present deployments: a table ROOT path
+    * handed to the connector's DataSource (reference reads one location,
+    * src/fdw/delta.rs:41-61, src/duckdb/iceberg.rs:48-89). Format-specific
+    * option keys are forwarded verbatim — the connector owns their
+    * semantics. Reached only when the capability probe found the jars
+    * (Formats.delta/iceberg `available`). */
+  private def readConnector(spark: SparkSession, spec: Formats.FormatSpec,
+      files: Seq[String], options: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    if (files.length != 1) throw InvalidOptionException(
+      s"${spec.name} attaches a single table root path; got ${files.length} paths")
+    var r = spark.read.format(spec.name)
+    schema.foreach(s => r = r.schema(s))
+    (options -- Formats.commonOptions).foreach { case (k, v) => r = r.option(k, v) }
+    r.load(files.head)
+  }
+
   private def readCsv(spark: SparkSession, files: Seq[String],
       options: Map[String, String], schema: Option[StructType]): DataFrame = {
     import org.apache.spark.sql.types._
@@ -215,6 +233,9 @@ object Catalog {
     }
 
     val skip = options.get("skip").map(_.toInt).getOrElse(0)
+    // pre-sliced text has no file _metadata struct to index rows against
+    if (skip > 0 && options.get("file_row_number").exists(_.toBoolean))
+      throw InvalidOptionException("file_row_number is not supported together with skip > 0")
     // sample_size: rows used for schema inference (-1 = all, DuckDB default
     // 20480 rows; csv.rs:164-168). Bounded inference reads only a prefix —
     // at 100 TB inference must never scan the corpus.
@@ -244,12 +265,46 @@ object Catalog {
     effective.foreach(s => r = r.option("inferSchema", "false").schema(s))
 
     var df =
-      if (skip > 0) {
+      if (skip > 0 && !options.get("filename").exists(_.toBoolean)) {
         // DuckDB skips `skip` lines PER FILE (csv.rs:185-187); Spark has no
-        // native skip-N, so pre-slice and parse each file independently —
-        // header detection stays per file, `filename` metadata survives via
-        // a carried __file_path column, and the union is by name. Attach-time
-        // cost only; documents the pushdown loss for skip>0 sources.
+        // native skip-N. ONE distributed read covers every file (the old
+        // per-file pre-slice issued 2 Spark jobs per file — a 10k-file attach
+        // was 20k jobs): `_metadata.file_block_start == 0` marks rows from
+        // each file's FIRST split, and rows within a partition arrive in file
+        // order, so dropping the leading `skip` (+ header) rows of each
+        // file-head run slices all files in a single pass. Bound: the skipped
+        // prelude must fit in one file split (files.maxPartitionBytes) —
+        // DuckDB's skip is a small prelude count, never data-scale.
+        import spark.implicits._
+        val hasHeader = options.get("header").exists(_.toBoolean)
+        val target = skip + (if (hasHeader) 1 else 0)
+        val sliced = spark.read.text(files: _*)
+          .select(col("value"), col("_metadata.file_path").as("__fp"),
+            col("_metadata.file_block_start").as("__bs"))
+          .as[(String, String, Long)]
+          .mapPartitions { it =>
+            var cur: String = null
+            var dropped = 0
+            it.flatMap { case (v, fp, bs) =>
+              if (fp != cur) { cur = fp; dropped = if (bs == 0L) 0 else target }
+              if (dropped < target) { dropped += 1; Iterator.empty }
+              else Iterator.single(v)
+            }
+          }
+        val parsed = r.option("header", "false").csv(sliced) // headers pre-dropped
+        if (hasHeader && effective.isEmpty) {
+          // Column names come from the first file's header line — one bounded
+          // look at one file, not a job per file.
+          val headerLine = spark.read.textFile(files.head).limit(skip + 1).collect().last
+          val names = cloneCsvReader(spark, options).option("header", "true")
+            .csv(spark.createDataset(Seq(headerLine))).schema.fieldNames
+          val use = (names ++ parsed.columns.drop(names.length)).take(parsed.columns.length)
+          parsed.toDF(use: _*)
+        } else parsed
+      } else if (skip > 0) {
+        // filename=true needs a per-row file path carried THROUGH the text
+        // parse, which csv(Dataset[String]) cannot do — keep the per-file
+        // slice for that combination only (attach-time cost, documented).
         import spark.implicits._
         def sliced(f: String) = spark.createDataset(
           spark.read.textFile(f).rdd.zipWithIndex().filter(_._2 >= skip).map(_._1))

@@ -53,11 +53,14 @@ object Formats {
 
   // Connector jars are not present in /opt/spark/jars (offline container);
   // the format keys exist so a deployment with the jars flips `available`.
-  val delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"), available = jarPresent("delta"))
-  val iceberg: FormatSpec = FormatSpec(
+  // These are defs (probed per attach) so a spec can point the probe at a
+  // synthetic jar dir and exercise the jar-present dispatch path offline.
+  def delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"),
+    available = jarPresent("delta", connectorJarDir))
+  def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
-    Set("files"), available = jarPresent("iceberg"))
+    Set("files"), available = jarPresent("iceberg", connectorJarDir))
 
   // GDAL-driver options (layer selection, spatial filters, driver lists,
   // sibling files, sequential scan) are NOT accepted: this deployment reads
@@ -68,8 +71,12 @@ object Formats {
     commonOptions ++ Set("keep_wkb"),
     Set("files"))
 
-  val all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)
+  def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)
     .map(f => f.name -> f).toMap
+
+  /** Deployment jar dir the capability probe inspects — a var only so specs
+    * can substitute a synthetic dir and assert both sides of the gate. */
+  @volatile private[graft] var connectorJarDir: String = "/opt/spark/jars"
 
   /** Classpath probe: a connector format is available iff a jar carrying its
     * marker is on the deployment's jar dir (reference analogue: lazy INSTALL

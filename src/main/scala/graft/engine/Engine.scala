@@ -35,7 +35,14 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // File-split bin size. Spark's 128 MB default is right for a cluster
+      // (100 TB → ~800k map tasks); on local[N] it bins a whole multi-file
+      // table into 1-2 scan partitions and leaves N-2 cores idle on every
+      // CPU-bound scan (measured: the sf1 stress ladder ran 6 M lineitem
+      // rows through ONE task — q01 38 s instead of ~4). 8 MB keeps local
+      // scans at ~cores-wide parallelism; cluster deployments override via
+      // --conf (runtime-settable, nothing re-reads this value).
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   @volatile private var cached: SparkSession = _

@@ -28,8 +28,8 @@ object PipelineQueries {
     * per shingle, integer arithmetic after. */
   private val constsValues = Dedup.coeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-  private val minhashCte = s"""
-      WITH $toksCte,
+  private def minhashCteFor(src: String, cap: Int) = s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
       idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
       sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
       hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM sh),
@@ -44,10 +44,12 @@ object PipelineQueries {
       bandsok AS (SELECT b.doc_id, b.band, b.band_sig
                   FROM bands b JOIN bcount c
                     ON b.band = c.band AND b.band_sig = c.band_sig
-                   AND c.bucket_n <= 1000),
+                   AND c.bucket_n <= $cap),
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bandsok a JOIN bandsok b
                   ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"""
+
+  private val minhashCte = minhashCteFor("documents", 1000)
 
   // ---------------------------------------------------------------- d01
   private val d01 = QueryDef(
@@ -71,6 +73,30 @@ object PipelineQueries {
     (s, dir) => Dedup.candidatePairs(
       Dedup.bandSignatures(Dedup.minhashWide(docs(s, dir), "text", "doc_id"), "doc_id"), "doc_id"),
     Some(s"""$minhashCte
+      SELECT doc_a, doc_b FROM pairs"""))
+
+  // ---------------------------------------------------------------- d08
+  // Skew torture for the LSH chain (VERDICT r3 "Next round #2"): 30% of the
+  // corpus rewritten to ONE shared boilerplate text — the 100 TB norm. All
+  // those docs collide into a single (band, band_sig) bucket per band; the
+  // maxBucket guard must drop the hot buckets (m² pair emission for no
+  // near-dup signal) while organic candidates among untouched docs survive.
+  // cap=100 so the guard ENGAGES at oracle scale (450 boilerplate docs at
+  // sf0.01) — the default 1000 is exercised by d03 on the organic corpus.
+  private val skewBoiler =
+    "standard corporate boilerplate header this document is provided as is " +
+      "without warranty of any kind express or implied"
+  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 10 < 3, lit(skewBoiler)).otherwise(col("text")))
+  private val skewedSql =
+    s"(SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN '$skewBoiler' ELSE text END AS text FROM documents)"
+  private val d08 = QueryDef(
+    "d08_lsh_skew_guard",
+    (s, dir) => Dedup.candidatePairs(
+      Dedup.bandSignatures(Dedup.minhashWide(skewedDocs(s, dir), "text", "doc_id"), "doc_id"),
+      "doc_id", maxBucket = 100),
+    Some(s"""${minhashCteFor(skewedSql, 100)}
       SELECT doc_a, doc_b FROM pairs"""))
 
   // ---------------------------------------------------------------- d04
@@ -465,5 +491,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, s01, s02, s03, s04, m01, m02, m03, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, t01, t02, t03, t04, t05)
 }

@@ -75,7 +75,27 @@ object Secrets {
         // Real ABFS (hadoop-azure) property names. An account key may arrive
         // inline or inside a connection string (`AccountName=..;AccountKey=..`);
         // service-principal creds map to the OAuth provider properties.
-        val account = options.get("account_name")
+        //
+        // SCOPE semantics: hadoop-azure holds credentials per storage ACCOUNT
+        // (`fs.azure.account.key.<account>.dfs.core.windows.net`) — there is
+        // no per-container conf convention. A scope therefore narrows to the
+        // account derivable from the scope URI itself
+        // (`abfss://container@account.dfs.core.windows.net/...`) or from the
+        // secret's own account_name/connection string. A container-only scope
+        // with no derivable account cannot be honored at ANY granularity —
+        // error loudly rather than silently applying the secret globally.
+        val scopedAccount = options.get("scope").map { sc =>
+          azureScopeAccount(sc)
+            .orElse(options.get("account_name"))
+            .orElse(connStringField(options, "AccountName"))
+            .getOrElse(throw InvalidSecretException(
+              s"azure scope `$sc` names no storage account and the secret has no " +
+                "account_name/connection_string; hadoop-azure scopes credentials per " +
+                "account (fs.azure.account.key.<account>), so a container-only scope " +
+                "cannot be honored"))
+        }
+        val account = scopedAccount
+          .orElse(options.get("account_name"))
           .orElse(connStringField(options, "AccountName"))
         val suffix = account.map(a => s".$a.dfs.core.windows.net").getOrElse("")
         val accountKey = connStringField(options, "AccountKey")
@@ -107,6 +127,22 @@ object Secrets {
     typ match {
       case "s3" | "r2" | "gcs" => s"fs.s3a.bucket.$bucket."
       case _ => prefixFor(typ) // azure: no per-bucket conf convention; global
+    }
+  }
+
+  /** Storage account named by an Azure scope URI, if any:
+    * `abfss://container@account.dfs.core.windows.net/...` → `account`. The
+    * reference's container-only shapes (`azure://container/...`, `az://...`)
+    * carry no account — those return None and must find one elsewhere. */
+  private def azureScopeAccount(scope: String): Option[String] = {
+    val noScheme = scope.indexOf("://") match {
+      case -1 => scope
+      case i => scope.substring(i + 3)
+    }
+    val authority = noScheme.takeWhile(_ != '/')
+    authority.indexOf('@') match {
+      case -1 => None
+      case i => Some(authority.substring(i + 1).takeWhile(_ != '.')).filter(_.nonEmpty)
     }
   }
 

@@ -23,7 +23,11 @@ object PgDialect {
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
     "text" -> "STRING", "varchar" -> "STRING", "bytea" -> "BINARY",
     "bool" -> "BOOLEAN", "timestamptz" -> "TIMESTAMP",
-    "numeric" -> "DECIMAL(38,18)")
+    "numeric" -> "DECIMAL(38,18)",
+    // PG json/jsonb values are TEXT on the wire; Spark's analogue of a
+    // json-typed expression is the json string itself (extraction below
+    // maps the `->>` operator). reference: tests/tests/json.rs:295-305.
+    "json" -> "STRING", "jsonb" -> "STRING")
 
   private def mapType(t: String): String =
     typeMap.getOrElse(t.toLowerCase, t.toUpperCase)
@@ -79,6 +83,15 @@ object PgDialect {
   private val innerExpr = """(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"""
   private val encodeHexRe = ("""(?i)\bencode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
   private val decodeHexRe = ("""(?i)\bdecode\s*\((""" + innerExpr + """?),\s*'hex'\s*\)""").r
+
+  // PG `expr ->> 'key'` (json field as text) → get_json_object(expr,
+  // '$.key'). Runs after cast rewriting, so the LHS is either a CAST(..)
+  // produced from `col::json` or a bare identifier. `->` (field as json) is
+  // NOT mapped — its PG result keeps json quoting, which get_json_object
+  // strips; an unmapped `->` errors loudly in Spark rather than silently
+  // returning different text. reference: tests/tests/json.rs:295-305.
+  private val jsonArrowRe =
+    ("""(CAST\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][A-Za-z_0-9.]*)\s*->>\s*'([^']*)'""").r
 
   // DuckDB table functions in their BARE single-path form map to Spark's
   // path-table syntax: read_parquet('p') → parquet.`p` (likewise csv/json).
@@ -150,6 +163,9 @@ object PgDialect {
       res = decodeHexRe.replaceAllIn(res, m =>
         java.util.regex.Matcher.quoteReplacement(s"unhex(${m.group(1).trim})"))
     }
+    res = jsonArrowRe.replaceAllIn(res, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
     res = readFnRe.replaceAllIn(res, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1).toLowerCase}.`${m.group(2)}`"))

@@ -309,6 +309,38 @@ class CatalogSpec extends SparkSpec {
     assert(df.count() === 3) // headers + junk of BOTH files are gone
   }
 
+  test("csv skip>0 multi-file attach issues O(1) jobs, not O(files)") {
+    // 12 files, each forced to several input splits (tiny maxPartitionBytes)
+    // so the block_start>0 run logic is exercised and any regression to
+    // per-file slicing (zipWithIndex count job per file) trips the job cap.
+    val files = (0 until 12).map(i =>
+      writeText(dir, s"skj$i.csv", s"junk line\na,b\n$i,${i * 2}\nx$i,y$i\n"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Catalog.attach(spark, "skip_jobs", "csv",
+        Map("files" -> files.mkString(","), "skip" -> "1", "header" -> "true"))
+      assert(df.columns.toSeq === Seq("a", "b"))
+      assert(df.count() === 24) // 2 data rows per file; junk + header gone
+      // let the async listener bus drain before reading the counter
+      var waited = 0
+      var last = -1
+      while (waited < 2000 && last != jobs.get) { last = jobs.get; Thread.sleep(100); waited += 100 }
+      assert(jobs.get <= 8,
+        s"expected O(1) jobs for a 12-file skip attach+count, got ${jobs.get}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
   test("csv skip composes with filename metadata; file_row_number rejects") {
     val p1 = writeText(dir, "skf1.csv", "junk\na,b\n1,2\n")
     val p2 = writeText(dir, "skf2.csv", "junk\na,b\n5,6\n")

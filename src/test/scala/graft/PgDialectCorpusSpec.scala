@@ -1,23 +1,30 @@
 package graft
 
+import graft.catalog.Catalog
 import graft.sqlapi.SqlApi
 
 /** The reference's own test SQL, run through `executePg` unchanged — the
   * normalizer is validated against real reference inputs, not synthetic
   * ones. Statements and the 3-row `primitive` fixture are transcribed from
-  * /root/reference/tests/tests/scan.rs:336-501 and
+  * /root/reference/tests/tests/scan.rs:336-501,
+  * tests/tests/json.rs:295-305, tests/tests/datetime.rs:56, and
   * tests/tests/fixtures/arrow.rs:167-213 (values: ints 1/-1/0, uints 1/2/0,
   * dates 2020-01-01.., timestamps 2021-01-01.., binaries
   * 'hello'/''/'parquet', strings Hello/There/World).
   *
-  * Harness substitutions (documented deltas, not dialect gaps):
-  *   - `CREATE TABLE t1 (a int)` → an empty temp view (this engine's DDL
-  *     surface is ViewCtasSpec's; the corpus targets query dialect).
-  *   - the fixture arrives via VALUES instead of an Arrow parquet write.
+  * Fixtures are written to parquet and registered through `Catalog.attach` —
+  * the engine's CREATE FOREIGN TABLE — matching the reference's FDW tables
+  * (each test there attaches a parquet file through the wrapper), so every
+  * statement exercises the dialect layer AND the attach path end-to-end.
+  *
+  * Harness substitution (a documented delta, not a dialect gap):
+  * `CREATE TABLE t1 (a int)` → an empty temp view (this engine's DDL
+  * surface is ViewCtasSpec's; the corpus targets query dialect).
   */
 class PgDialectCorpusSpec extends SparkSpec {
 
   private lazy val fixture: Unit = {
+    val dir = tempDir("pgcorpus")
     spark.sql("""
       SELECT * FROM VALUES
         (true,  CAST(1  AS TINYINT), CAST(1  AS SMALLINT), 1,  CAST(1  AS BIGINT),
@@ -39,8 +46,17 @@ class PgDialectCorpusSpec extends SparkSpec {
            uint8_col, uint16_col, uint32_col, uint64_col,
            float32_col, float64_col, date32_col, date64_col,
            binary_col, large_binary_col, utf8_col, large_utf8_col)
-      """).createOrReplaceTempView("primitive")
+      """).write.mode("overwrite").parquet(s"$dir/primitive.parquet")
+    Catalog.attach(spark, "primitive", "parquet", Map("files" -> s"$dir/primitive.parquet"))
     spark.sql("SELECT CAST(1 AS INT) AS a WHERE false").createOrReplaceTempView("t1")
+  }
+
+  private lazy val jsonFixture: Unit = {
+    val dir = tempDir("pgjson")
+    spark.sql("""SELECT '{"name": "joe", "age": 12}' AS string_col,
+                        '{"name": "joe", "age": 12}' AS large_string_col""")
+      .write.mode("overwrite").parquet(s"$dir/json_table.parquet")
+    Catalog.attach(spark, "json_table", "parquet", Map("files" -> s"$dir/json_table.parquet"))
   }
 
   // (where-clause, expected int32_col) pairs verbatim from
@@ -122,6 +138,40 @@ class PgDialectCorpusSpec extends SparkSpec {
         )"""
     val vals = SqlApi.executePg(spark, q).collect().map(_.getLong(0)).sorted.toSeq
     assert(vals === Seq(0L, 1L))
+  }
+
+  test("reference json-operator corpus (json.rs:295-305)") {
+    jsonFixture
+    val r1 = SqlApi.executePg(spark,
+      "SELECT string_col::json->>'name', large_string_col::json->>'age' FROM json_table")
+      .collect()
+    assert(r1.length === 1)
+    assert(r1.head.getString(0) === "joe")
+    assert(r1.head.getString(1) === "12")
+    val r2 = SqlApi.executePg(spark,
+      "SELECT string_col::jsonb->>'name', large_string_col::jsonb->>'age' FROM json_table")
+      .collect()
+    assert(r2.head.getString(0) === "joe")
+    assert(r2.head.getString(1) === "12")
+    val r3 = SqlApi.executePg(spark,
+      "SELECT string_col::json, large_string_col::jsonb FROM json_table").collect()
+    assert(r3.head.getString(0) === """{"name": "joe", "age": 12}""")
+    assert(r3.head.getString(1) === """{"name": "joe", "age": 12}""")
+  }
+
+  test("reference date_trunc corpus statement (datetime.rs:56)") {
+    val dir = tempDir("pgdt")
+    spark.sql("SELECT TIMESTAMP'2023-06-27 12:34:56' AS timestamp_col")
+      .write.mode("overwrite").parquet(s"$dir/duckdb_types_test.parquet")
+    Catalog.attach(spark, "duckdb_types_test", "parquet",
+      Map("files" -> s"$dir/duckdb_types_test.parquet"))
+    // the reference statement, verbatim
+    assert(SqlApi.executePg(spark,
+      "SELECT date_trunc('day', timestamp_col) FROM duckdb_types_test").collect().length === 1)
+    // value check stays in-engine (TZ-proof): truncation lands on midnight
+    assert(SqlApi.executePg(spark,
+      "SELECT date_trunc('day', timestamp_col) = TIMESTAMP'2023-06-27 00:00:00' " +
+        "FROM duckdb_types_test").head().getBoolean(0))
   }
 
   test("bare read_parquet/read_csv/read_json map to Spark path tables") {

@@ -49,6 +49,33 @@ class SecretsSpec extends AnyFunSuite {
       .contains("tid"))
   }
 
+  test("azure abfss scope narrows to the account named in the scope URI") {
+    val conf = Secrets.toHadoopConf(Map(
+      "type" -> "azure", "client_id" -> "cid", "client_secret" -> "cs", "tenant_id" -> "tid",
+      "scope" -> "abfss://mycontainer@scopedacct.dfs.core.windows.net/prefix"))
+    assert(conf("fs.azure.account.auth.type.scopedacct.dfs.core.windows.net") === "OAuth")
+    assert(conf("fs.azure.account.oauth2.client.id.scopedacct.dfs.core.windows.net") === "cid")
+    // nothing lands on the global (un-suffixed) properties
+    assert(!conf.contains("fs.azure.account.auth.type"))
+  }
+
+  test("azure container-only scope falls back to the secret's own account") {
+    val conf = Secrets.toHadoopConf(Map(
+      "type" -> "azure", "scope" -> "azure://mycontainer/path",
+      "connection_string" -> "AccountName=connacct;AccountKey=KEY=="))
+    assert(conf("fs.azure.account.key.connacct.dfs.core.windows.net") === "KEY==")
+    assert(!conf.contains("fs.azure.account.key"))
+  }
+
+  test("azure container-only scope with no derivable account errors loudly") {
+    val e = intercept[Secrets.InvalidSecretException] {
+      Secrets.toHadoopConf(Map(
+        "type" -> "azure", "scope" -> "azure://mycontainer/path", "client_id" -> "cid"))
+    }
+    assert(e.getMessage.contains("container-only scope"))
+    assert(e.getMessage.contains("azure://mycontainer/path"))
+  }
+
   test("gcs HMAC rides the s3 interop endpoint") {
     val conf = Secrets.toHadoopConf(Map(
       "type" -> "gcs", "key_id" -> "HMACK", "secret" -> "HMACS"))
