@@ -220,13 +220,20 @@ object RelationalQueries {
       WHERE rn <= 3"""))
 
   // ---------------------------------------------------------------- q09
-  // Running-total window over a unique total order (shipdate, orderkey,
-  // linenumber) — prefix sums of integral quantities are exact.
+  // Running-total window; prefix sums of integral quantities are exact.
+  // (shipdate, orderkey, linenumber) is NOT a total order in this corpus —
+  // the generator duplicates (orderkey, linenumber), and sf0.1 carries one
+  // full-key tie whose members differ in quantity (found by the sf1 stress
+  // oracle gate: engine-specific ROWS-frame tie order swapped two prefix
+  // sums). l_quantity as the final key makes any remaining tie
+  // value-identical in every output column, so the result multiset is
+  // deterministic in both engines without assuming a unique key the data
+  // doesn't have.
   private val q09 = QueryDef(
     "q09_running_total",
     (s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -235,7 +242,7 @@ object RelationalQueries {
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
              sum(l_quantity) OVER (PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       FROM lineitem"""))
 

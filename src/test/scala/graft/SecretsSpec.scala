@@ -87,6 +87,32 @@ class SecretsSpec extends AnyFunSuite {
     assert(scoped("fs.s3a.bucket.gbucket.access.key") === "K")
   }
 
+  test("apply writes secret conf onto the live session's Hadoop configuration") {
+    Secrets.apply(graft.engine.Engine.session("local[4]"), Map(
+      "type" -> "s3", "key_id" -> "LIVEKEY", "secret" -> "LIVESECRET",
+      "scope" -> "s3://livebucket/prefix"))
+    val hc = graft.engine.Engine.session("local[4]").sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.livebucket.access.key") === "LIVEKEY")
+    assert(hc.get("fs.s3a.bucket.livebucket.secret.key") === "LIVESECRET")
+  }
+
+  test("s3a reads route into the Hadoop FS layer (jar-absent deployments fail loudly there)") {
+    // The s3a connector jar is absent in this container; what this pins is
+    // that a read AFTER Secrets.apply reaches the Hadoop filesystem lookup
+    // for the s3a scheme — the jar-present deployment inherits a tested
+    // path: secret → per-bucket conf → FileSystem dispatch.
+    val spark = graft.engine.Engine.session("local[4]")
+    Secrets.apply(spark, Map(
+      "type" -> "s3", "key_id" -> "K", "secret" -> "S", "scope" -> "s3://livebucket"))
+    val e = intercept[Throwable] {
+      spark.read.parquet("s3a://livebucket/some/table").collect()
+    }
+    def mentionsS3a(t: Throwable): Boolean =
+      t != null && ((t.getMessage != null && t.getMessage.toLowerCase.contains("s3a"))
+        || mentionsS3a(t.getCause))
+    assert(mentionsS3a(e), s"expected the failure to come from the s3a FS lookup: $e")
+  }
+
   test("unknown option errors, listing valid ones (reference error shape)") {
     val e = intercept[Secrets.InvalidSecretException] {
       Secrets.toHadoopConf(Map("type" -> "s3", "bogus" -> "x"))

@@ -5,7 +5,11 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name> parquet (Spark result), runs <outDir>/oracle_sql.json
 in DuckDB over the sfDir tables, sorts columns by name + rows by all columns,
-and compares values exactly (with a small report of diffs)."""
+and compares values exactly (with a small report of diffs).
+
+SELFCHECK_SKIP=name1,name2 skips queries whose oracles are pinned to a
+different scale's export paths (c01/j01/h01 pin sf0.01 — the driver's
+correctness scale) when checking a derived stress set."""
 import sys, json, glob, os
 import duckdb
 import pandas as pd
@@ -32,6 +36,10 @@ def main():
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    skip = set(x for x in os.environ.get("SELFCHECK_SKIP", "").split(",") if x)
+    oracle = {k: v for k, v in oracle.items() if k not in skip}
+    if skip:
+        print(f"(skipping {sorted(skip)}: oracle pinned to another scale)")
     results = {}
     for name, sql in sorted(oracle.items()):
         spark_path = os.path.join(out_dir, name)
@@ -59,6 +67,15 @@ def main():
                 bf = pd.to_numeric(o[c], errors="coerce").values.astype(float)
                 an, bn = np.isnan(af), np.isnan(bf)
                 eq = (an & bn) | (af == bf)
+                # SELFCHECK_ULP=N (default 0 = exact, the driver's gate):
+                # opt-in tolerance for DuckDB's decimal->double conversion,
+                # which is not correctly rounded once sums exceed double's
+                # 16 significant digits (stress-scale q01: DuckDB 1 ulp off
+                # the correctly-rounded value Spark produces).
+                ulp = int(os.environ.get("SELFCHECK_ULP", "0"))
+                if ulp:
+                    tol = ulp * np.maximum(np.spacing(np.abs(af)), np.spacing(np.abs(bf)))
+                    eq = eq | (np.abs(af - bf) <= tol)
                 if not eq.all():
                     i = int(np.argmin(eq))
                     bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. row{i} {af[i]!r}!={bf[i]!r}")
