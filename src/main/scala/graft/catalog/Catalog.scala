@@ -59,6 +59,10 @@ object Catalog {
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
         case "spatial" => graft.sources.GeoJson.read(spark, files, options)
+        case "delta" if !Formats.deltaConnectorPresent =>
+          if (files.length != 1) throw InvalidOptionException(
+            s"delta attaches a single table root path; got ${files.length} paths")
+          graft.sources.DeltaNative.read(spark, files.head, options)
         case "delta" | "iceberg" => readConnector(spark, spec, files, options, schema)
         case other => throw Formats.UnsupportedFormatException(other)
       }

@@ -51,16 +51,21 @@ object Formats {
       "compression", "columns", "auto_detect", "sample_size", "ignore_errors"),
     Set("files"))
 
-  // Connector jars are not present in /opt/spark/jars (offline container);
-  // the format keys exist so a deployment with the jars flips `available`.
+  // Delta is ALWAYS available: jar-present deployments dispatch to the
+  // connector DataSource, jar-absent ones fall back to the built-in native
+  // log reader (graft.sources.DeltaNative — reader protocol v1). Iceberg
+  // stays capability-gated (its manifests are Avro; no offline reader).
   // These are defs (probed per attach) so a spec can point the probe at a
   // synthetic jar dir and exercise the jar-present dispatch path offline.
-  def delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"),
-    available = jarPresent("delta", connectorJarDir))
+  def delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
     Set("files"), available = jarPresent("iceberg", connectorJarDir))
+
+  /** Whether a delta connector jar is deployed (picks connector over the
+    * native minimal reader — the connector covers newer reader protocols). */
+  private[graft] def deltaConnectorPresent: Boolean = jarPresent("delta", connectorJarDir)
 
   // GDAL-driver options (layer selection, spatial filters, driver lists,
   // sibling files, sequential scan) are NOT accepted: this deployment reads

@@ -72,6 +72,54 @@ object FormatQueries {
     f.getPath
   }
 
+  /** customer → a two-commit native DELTA table (driver-side scaffolding,
+    * like nationGeo): commit 0 adds an evens file and an odds file; commit 1
+    * REMOVES the odds file and adds a positive-balance rewrite of it. A
+    * correct reader must honor the tombstone — re-reading both files would
+    * double-count odds. Log JSON is written per the public protocol
+    * (delta.io PROTOCOL.md), not by any delta writer, so the scan is tested
+    * against the format. */
+  private def customerDelta(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/customer_delta"
+    val done = new java.io.File(s"$out/_delta_log/00000000000000000001.json")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      val cust = Tables.load(s, dir, "customer")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      def part(sub: String, df: org.apache.spark.sql.DataFrame): String = {
+        val tmp = new java.io.File(root, s"_tmp_$sub")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(p.toPath, new java.io.File(root, sub).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        sub
+      }
+      val evens = part("part-evens.parquet", cust.filter(col("c_custkey") % 2 === 0))
+      val odds = part("part-odds.parquet", cust.filter(col("c_custkey") % 2 =!= 0))
+      val oddsPos = part("part-odds-pos.parquet",
+        cust.filter(col("c_custkey") % 2 =!= 0 && col("c_acctbal") > 0))
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      def add(p: String) =
+        s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      val log = new java.io.File(root, "_delta_log")
+      log.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(log, "00000000000000000000.json").toPath,
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+           |{"metaData":{"id":"customer-delta","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+           |${add(evens)}
+           |${add(odds)}
+           |""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath,
+        s"""{"remove":{"path":"$odds","deletionTimestamp":0,"dataChange":true}}
+           |${add(oddsPos)}
+           |""".stripMargin)
+    }
+    out
+  }
+
   /** Little-endian IEEE-754 hex of a double — the WKB coordinate layout. */
   private def hexLE(d: Double): String = {
     val bits = java.lang.Double.doubleToLongBits(d)
@@ -83,6 +131,7 @@ object FormatQueries {
     * one-time test-scaffolding export write. */
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
+    customerDelta(s, dir)
   }
 
   private val custCols =
@@ -166,6 +215,25 @@ object FormatQueries {
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
+  // ---------------------------------------------------------------- l01
+  // Native Delta scan (reference src/fdw/delta.rs:1-149 reads the latest
+  // snapshot of a table root). The attached table was built in two commits
+  // with a tombstone (see customerDelta) — the oracle recomputes the
+  // surviving snapshot from the SOURCE table, so a reader that ignored the
+  // remove action (double-reading the odds file) or replayed commits out of
+  // order fails the row AND hash check.
+  private val l01 = QueryDef(
+    "l01_delta_scan",
+    (s, dir) => {
+      val path = customerDelta(s, dir)
+      Catalog.attach(s, "l01_customer_delta", "delta", Map("files" -> path))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      WHERE c_custkey % 2 = 0 OR (c_custkey % 2 <> 0 AND c_acctbal > 0)"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -192,5 +260,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, w01)
 }

@@ -1,0 +1,158 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.sources.DeltaNative
+
+/** Native Delta reader against hand-built tables: the _delta_log JSON is
+  * written by the spec itself per the public protocol (delta.io
+  * PROTOCOL.md), so the reader is tested against the FORMAT, not against
+  * its own writer. */
+class DeltaNativeSpec extends SparkSpec {
+
+  private def metaAction(schemaJson: String, partCols: Seq[String] = Nil): String = {
+    val pc = partCols.map(c => s""""$c"""").mkString(",")
+    s"""{"metaData":{"id":"test-table","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
+      s""""partitionColumns":[$pc],"configuration":{},"createdTime":0}}"""
+  }
+  private val protocolV1 = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def commit(dir: File, version: Long, lines: Seq[String]): Unit = {
+    val log = new File(dir, "_delta_log")
+    log.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(log, f"$version%020d.json").toPath, lines.mkString("\n") + "\n")
+  }
+
+  /** Write rows as a single parquet part under the table root, return the
+    * RELATIVE path of the part file (what an `add` action records). */
+  private def writePart(root: File, sub: String, df: org.apache.spark.sql.DataFrame): String = {
+    val tmp = new File(root, s"_tmp_$sub")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new File(root, sub)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    sub
+  }
+
+  private def add(path: String, pv: Map[String, String] = Map.empty): String = {
+    val pvs = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"add":{"path":"$path","partitionValues":{$pvs},"size":1,"modificationTime":0,"dataChange":true}}"""
+  }
+  private def remove(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
+
+  test("multi-commit snapshot honors add + remove tombstones") {
+    val root = tempDir("delta_basic")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-001.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val f2 = writePart(root, "part-002.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val f3 = writePart(root, "part-003.parquet", Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema), add(f1), add(f2)))
+    commit(root, 1, Seq(remove(f2), add(f3))) // rewrite: drop f2's rows, add f3's
+    val df = Catalog.attach(spark, "delta_basic", "delta", Map("files" -> root.getPath))
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("partitioned table: hive layout, types pinned by the Delta schema") {
+    val root = tempDir("delta_part")
+    import spark.implicits._
+    val full = Seq((1L, "x", 10)).toDF("id", "v", "p")
+    val schema = full.schema.json // includes partition column p INT
+    val f1 = writePart(root, "p=10/part-0.parquet", Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val f2 = writePart(root, "p=20/part-0.parquet", Seq((3L, "z")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema, Seq("p")),
+      add(f1, Map("p" -> "10")), add(f2, Map("p" -> "20"))))
+    val df = Catalog.attach(spark, "delta_part", "delta", Map("files" -> root.getPath))
+    assert(df.schema("p").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(df.filter(col("p") === 20).select("id").head().getLong(0) === 3L)
+    assert(df.count() === 3)
+  }
+
+  test("partitioned table: non-hive layout takes values from the log") {
+    val root = tempDir("delta_nonhive")
+    import spark.implicits._
+    val schema = Seq((1L, "x", 10)).toDF("id", "v", "p").schema.json
+    val f1 = writePart(root, "opaque-0.parquet", Seq((1L, "x")).toDF("id", "v"))
+    val f2 = writePart(root, "opaque-1.parquet", Seq((2L, "y")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema, Seq("p")),
+      add(f1, Map("p" -> "10")), add(f2, Map("p" -> "20"))))
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(2))).toSeq === Seq((1L, 10), (2L, 20)))
+  }
+
+  test("checkpoint + later commit replay") {
+    val root = tempDir("delta_cp")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-cp1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-cp2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = writePart(root, "part-cp3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    // checkpoint at version 1 carries the live adds (f1, f2) as structs,
+    // written via Spark SQL — the checkpoint IS a parquet file of actions
+    val log = new File(root, "_delta_log")
+    log.mkdirs()
+    val cpDir = new File(root, "_cp_tmp")
+    spark.sql(
+      s"""SELECT * FROM VALUES
+         (named_struct('path', '$f1', 'partitionValues', map(), 'size', 1L,
+                       'modificationTime', 0L, 'dataChange', true),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (named_struct('path', '$f2', 'partitionValues', map(), 'size', 1L,
+                       'modificationTime', 0L, 'dataChange', true),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+                              modificationTime: BIGINT, dataChange: BOOLEAN>),
+          named_struct('minReaderVersion', 1, 'minWriterVersion', 2),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+                              modificationTime: BIGINT, dataChange: BOOLEAN>),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          named_struct('id', 't', 'schemaString', '$schema',
+                       'partitionColumns', array()))
+         AS t(add, protocol, metaData)"""
+    ).coalesce(1).write.mode("overwrite").parquet(cpDir.getPath)
+    val cpPart = cpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cpPart.toPath,
+      new File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(cpDir)
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":4}""")
+    // a commit AFTER the checkpoint removes f1 and adds f3
+    commit(root, 2, Seq(remove(f1), add(f3)))
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("reader protocol v2+ rejects loudly instead of misreading") {
+    val root = tempDir("delta_v2")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-0.parquet", Seq((1L, "a")).toDF("id", "v"))
+    commit(root, 0, Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaAction(schema), add(f1)))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaNative.read(spark, root.getPath, Map.empty)
+    }
+    assert(e.getMessage.contains("protocol version 3"))
+  }
+
+  test("non-delta directory errors with a clear message") {
+    val root = tempDir("delta_none")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaNative.read(spark, root.getPath, Map.empty)
+    }
+    assert(e.getMessage.contains("_delta_log"))
+  }
+}
