@@ -63,6 +63,10 @@ object Catalog {
           if (files.length != 1) throw InvalidOptionException(
             s"delta attaches a single table root path; got ${files.length} paths")
           graft.sources.DeltaNative.read(spark, files.head, options)
+        case "iceberg" if !Formats.icebergConnectorPresent =>
+          if (files.length != 1) throw InvalidOptionException(
+            s"iceberg attaches a single table root path; got ${files.length} paths")
+          graft.sources.IcebergNative.read(spark, files.head, options)
         case "delta" | "iceberg" => readConnector(spark, spec, files, options, schema)
         case other => throw Formats.UnsupportedFormatException(other)
       }

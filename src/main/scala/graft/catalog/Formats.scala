@@ -51,21 +51,22 @@ object Formats {
       "compression", "columns", "auto_detect", "sample_size", "ignore_errors"),
     Set("files"))
 
-  // Delta is ALWAYS available: jar-present deployments dispatch to the
-  // connector DataSource, jar-absent ones fall back to the built-in native
-  // log reader (graft.sources.DeltaNative — reader protocol v1). Iceberg
-  // stays capability-gated (its manifests are Avro; no offline reader).
-  // These are defs (probed per attach) so a spec can point the probe at a
-  // synthetic jar dir and exercise the jar-present dispatch path offline.
+  // Delta and Iceberg are ALWAYS available: jar-present deployments dispatch
+  // to the connector DataSource; jar-absent ones fall back to the built-in
+  // native log/metadata readers (graft.sources.DeltaNative — reader protocol
+  // v1; graft.sources.IcebergNative — v1/v2 append-only snapshots; newer
+  // protocol features reject loudly and recommend the connector).
   def delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
-    Set("files"), available = jarPresent("iceberg", connectorJarDir))
+    Set("files"))
 
-  /** Whether a delta connector jar is deployed (picks connector over the
-    * native minimal reader — the connector covers newer reader protocols). */
+  /** Whether a connector jar is deployed (picks the connector over the
+    * native minimal reader — connectors cover the newer protocol features).
+    * Probed per attach so a spec can flip via connectorJarDir. */
   private[graft] def deltaConnectorPresent: Boolean = jarPresent("delta", connectorJarDir)
+  private[graft] def icebergConnectorPresent: Boolean = jarPresent("iceberg", connectorJarDir)
 
   // GDAL-driver options (layer selection, spatial filters, driver lists,
   // sibling files, sequential scan) are NOT accepted: this deployment reads

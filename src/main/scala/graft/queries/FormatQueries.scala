@@ -87,18 +87,9 @@ object FormatQueries {
       val cust = Tables.load(s, dir, "customer")
       val root = new java.io.File(out)
       root.mkdirs()
-      def part(sub: String, df: org.apache.spark.sql.DataFrame): String = {
-        val tmp = new java.io.File(root, s"_tmp_$sub")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(p.toPath, new java.io.File(root, sub).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        tmp.listFiles().foreach(_.delete()); tmp.delete()
-        sub
-      }
-      val evens = part("part-evens.parquet", cust.filter(col("c_custkey") % 2 === 0))
-      val odds = part("part-odds.parquet", cust.filter(col("c_custkey") % 2 =!= 0))
-      val oddsPos = part("part-odds-pos.parquet",
+      val evens = singlePart(root, "part-evens.parquet", cust.filter(col("c_custkey") % 2 === 0))
+      val odds = singlePart(root, "part-odds.parquet", cust.filter(col("c_custkey") % 2 =!= 0))
+      val oddsPos = singlePart(root, "part-odds-pos.parquet",
         cust.filter(col("c_custkey") % 2 =!= 0 && col("c_acctbal") > 0))
       val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
       def add(p: String) =
@@ -120,6 +111,91 @@ object FormatQueries {
     out
   }
 
+  /** Write df as ONE parquet part at root/sub, return sub (the relative
+    * path a table-format log records). Driver-side export scaffolding. */
+  private def singlePart(root: java.io.File, sub: String,
+      df: org.apache.spark.sql.DataFrame): String = {
+    val tmp = new java.io.File(root, s"_tmp_${sub.replace('/', '_')}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(root, sub)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(p.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    sub
+  }
+
+  /** orders → a native ICEBERG table (driver-side scaffolding, like
+    * customerDelta): one snapshot whose manifest carries an ADDED evens
+    * file, a DELETED odds file, and an EXISTING high-price rewrite of it —
+    * a correct reader must drop the DELETED entry. Manifests are written
+    * with the stock Avro library, metadata.json by hand, per the public
+    * Iceberg spec. */
+  private def ordersIceberg(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/orders_iceberg"
+    val done = new java.io.File(s"$out/metadata/version-hint.text")
+    if (!done.exists()) {
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import org.apache.spark.sql.functions._
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val evens = singlePart(root, "data/evens.parquet", o.filter(col("o_orderkey") % 2 === 0))
+      val odds = singlePart(root, "data/odds.parquet", o.filter(col("o_orderkey") % 2 =!= 0))
+      val oddsHi = singlePart(root, "data/odds_hi.parquet",
+        o.filter(col("o_orderkey") % 2 =!= 0 && col("o_totalprice") > 150000))
+      val dfSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"r2","fields":[
+          {"name":"content","type":["null","int"],"default":null},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"record_count","type":"long"}]}""")
+      val entrySchema = new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"data_file","type":${dfSchema.toString}}]}""")
+      val listSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"content","type":["null","int"],"default":null}]}""")
+      def entry(status: Int, path: String): GenericRecord = {
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", null); d.put("file_path", path)
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", status); e.put("data_file", d)
+        e
+      }
+      def writeAvro(f: java.io.File, sch: Schema, rows: Seq[GenericRecord]): Unit = {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+        w.create(sch, f)
+        try rows.foreach(w.append) finally w.close()
+      }
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      writeAvro(new java.io.File(md, "m1.avro"), entrySchema,
+        Seq(entry(1, evens), entry(2, odds), entry(0, oddsHi)))
+      val ml = new GenericData.Record(listSchema)
+      ml.put("manifest_path", "metadata/m1.avro"); ml.put("content", null)
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema, Seq(ml))
+      java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
+        s"""{"format-version": 2, "table-uuid": "orders-iceberg",
+           |"location": "${root.getPath}", "current-schema-id": 0,
+           |"schemas": [{"type":"struct","schema-id":0,"fields":[
+           |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+           |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
+           |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
+           |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
+           |"current-snapshot-id": 1,
+           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    out
+  }
+
   /** Little-endian IEEE-754 hex of a double — the WKB coordinate layout. */
   private def hexLE(d: Double): String = {
     val bits = java.lang.Double.doubleToLongBits(d)
@@ -131,7 +207,7 @@ object FormatQueries {
     * one-time test-scaffolding export write. */
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
-    customerDelta(s, dir)
+    customerDelta(s, dir); ordersIceberg(s, dir)
   }
 
   private val custCols =
@@ -234,6 +310,24 @@ object FormatQueries {
       FROM customer
       WHERE c_custkey % 2 = 0 OR (c_custkey % 2 <> 0 AND c_acctbal > 0)"""))
 
+  // ---------------------------------------------------------------- l02
+  // Native Iceberg scan (reference src/fdw/iceberg.rs, iceberg_scan of a
+  // table root, latest snapshot). The manifest carries an ADDED, a DELETED,
+  // and an EXISTING entry — the oracle recomputes the surviving snapshot
+  // from the SOURCE table, so a reader that kept the DELETED file (or
+  // dropped the EXISTING one) fails the row and hash check.
+  private val l02 = QueryDef(
+    "l02_iceberg_scan",
+    (s, dir) => {
+      val path = ordersIceberg(s, dir)
+      Catalog.attach(s, "l02_orders_iceberg", "iceberg", Map("files" -> path))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 <> 0 AND o_totalprice > 150000)"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -260,5 +354,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, w01)
 }

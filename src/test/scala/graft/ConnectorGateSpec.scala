@@ -10,19 +10,19 @@ import graft.catalog.{Catalog, Formats}
   * that deployments WITH the jars inherit a tested dispatch path. */
 class ConnectorGateSpec extends SparkSpec {
 
-  test("jar-absent deployments: iceberg gates with the exact error, delta goes native") {
+  test("jar-absent deployments dispatch delta and iceberg to the native readers") {
     assume(!Formats.jarPresent("delta") && !Formats.jarPresent("iceberg"))
-    val e2 = intercept[Formats.UnsupportedFormatException] {
-      Catalog.attach(spark, "gate_i", "iceberg", Map("files" -> "/tmp/no_such_table"))
-    }
-    assert(e2.getMessage === "format `iceberg` requires connector jars not present in this deployment")
-    // delta is NOT gated: with no connector jar the native log reader runs
-    // (full behavior in DeltaNativeSpec) — here, its not-a-delta-table error
-    // proves the native path was dispatched
+    // neither format is gated anymore: with no connector jar the native
+    // readers run (full behavior in DeltaNativeSpec / IcebergNativeSpec) —
+    // here, each reader's not-a-table error proves its path was dispatched
     val e = intercept[graft.sources.DeltaNative.DeltaReadException] {
       Catalog.attach(spark, "gate_d", "delta", Map("files" -> "/tmp/no_such_table"))
     }
     assert(e.getMessage.contains("_delta_log"))
+    val e2 = intercept[graft.sources.IcebergNative.IcebergReadException] {
+      Catalog.attach(spark, "gate_i", "iceberg", Map("files" -> "/tmp/no_such_table"))
+    }
+    assert(e2.getMessage.contains("metadata"))
   }
 
   test("jar-present deployments dispatch attach to the connector DataSource") {
