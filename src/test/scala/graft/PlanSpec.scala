@@ -104,6 +104,23 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas.forall(rs => !rs.contains("lang") && !rs.contains("source")))
   }
 
+  test("l01/l02: native delta/iceberg attaches stay Catalyst-transparent") {
+    // the table-format layers resolve FILES, not rows — the data read is a
+    // plain parquet scan, so pushdown and pruning must survive through an
+    // attached lakehouse table exactly as through raw parquet
+    import org.apache.spark.sql.functions.col
+    Seq(("l01_delta_scan", "c_acctbal", 5000.0), ("l02_iceberg_scan", "o_totalprice", 150000.0))
+      .foreach { case (q, c, v) =>
+        val df = SparkEntry.queries(q)(spark, sf).filter(col(c) > v).select(c)
+        val p = df.queryExecution.explainString(FormattedMode)
+        assert(p.contains("PushedFilters:") && p.contains(s"GreaterThan($c,$v)"),
+          s"$q lost filter pushdown through the native table-format reader")
+        val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+        assert(readSchemas.nonEmpty && readSchemas.forall(rs => !rs.contains("name")),
+          s"$q lost column pruning through the native table-format reader")
+      }
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
