@@ -105,21 +105,49 @@ object Similarity {
   def hyperplaneDot(vecCol: String, a: Long, b: Long): Column =
     expr(s"vec_signdot($vecCol, ${a}L, ${b}L)")
 
+  /** 64 hyperplane-coefficient pairs for sign-LSH. The first 16 are the
+    * shared minhash family (existing oracles pin those literals); the rest
+    * derive deterministically from md5 so the family extends to the plane
+    * counts a billion-document corpus needs. Bucket occupancy is
+    * n / 2^bitsPerBand: with fixed bits, candidates grow linearly in n per
+    * bucket (quadratically overall) until the maxBucket cap starts DROPPING
+    * buckets — so at scale, bits must grow with log2(n). 64 planes support
+    * 32 bits/band × 2 bands: ~4G buckets/band, enough for 10^11 docs at
+    * occupancy ~64. */
+  val planeCoeffs: Seq[(Long, Long)] = Dedup.coeffs ++ (Dedup.coeffs.length until 64).map { i =>
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (BigInt(1, d) mod BigInt(Dedup.P - 2)).toLong + 1 // 1..P-2, deterministic
+    }
+    (h(s"plane-a-$i") | 1L, h(s"plane-b-$i"))
+  }
+
+  /** Bits per band for a corpus of n vectors targeting ~targetBucket
+    * occupancy: ceil(log2(n / targetBucket)), clamped to [8, planes/bands].
+    * The caller re-derives it from a count(), so the choice replays
+    * deterministically in an oracle. */
+  def lshBitsFor(n: Long, targetBucket: Int = 64, nBands: Int = 2): Int = {
+    val want = math.max(1L, n / math.max(1, targetBucket))
+    val bits = if (want <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(want - 1)
+    math.min(planeCoeffs.length / nBands, math.max(8, bits))
+  }
+
   /** (id, band, band_sig) rows from k sign bits split into k/rowsPerBand
     * bands — random-hyperplane LSH (SimHash for cosine space). Same banded
     * shape as Dedup.bandSignatures, so candidate generation reuses the
-    * capped, join-free bucket grouping. */
+    * capped, join-free bucket grouping. Size rowsPerBand with lshBitsFor
+    * when the corpus outgrows the 8-bit default. */
   def cosineLshBands(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    require(k <= Dedup.coeffs.length && k % rowsPerBand == 0)
-    val bits = Dedup.coeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+    require(k <= planeCoeffs.length && k % rowsPerBand == 0)
+    val bits = planeCoeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
       when(hyperplaneDot(vecCol, a, b) > 0, 1).otherwise(0).as(s"b$j")
     }
     val withBits = emb.select(col(idCol) +: bits: _*)
     val nBands = k / rowsPerBand
     val entries = (0 until nBands).map { bd =>
       val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
-        .map(j => s"b$j * ${1 << (j % rowsPerBand)}").mkString(" + ")
+        .map(j => s"b$j * ${1L << (j % rowsPerBand)}L").mkString(" + ")
       s"CAST($bd AS BIGINT), CAST($sig AS STRING)"
     }.mkString(", ")
     withBits.selectExpr(idCol, s"stack($nBands, $entries) AS (band, band_sig)")
@@ -144,7 +172,7 @@ object Similarity {
   /** DuckDB rendering of the same LSH chain (oracle side). */
   def cosineLshSql(threshold: Double = 0.9, k: Int = 16, rowsPerBand: Int = 8,
       maxBucket: Int = 1000): String = {
-    val dots = Dedup.coeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+    val dots = planeCoeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
       s"CASE WHEN list_reduce(list_transform(generate_series(1, len(embedding)), " +
         s"i -> embedding[i]::DOUBLE * (CASE WHEN (($a * i + $b) % ${Dedup.P}) % 2 = 0 " +
         s"THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS b$j"
@@ -152,7 +180,7 @@ object Similarity {
     val nBands = k / rowsPerBand
     val bandSelects = (0 until nBands).map { bd =>
       val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
-        .map(j => s"b$j * ${1 << (j % rowsPerBand)}").mkString(" + ")
+        .map(j => s"b$j * ${1L << (j % rowsPerBand)}::BIGINT").mkString(" + ")
       s"SELECT vec_id, CAST($bd AS BIGINT) AS band, CAST($sig AS VARCHAR) AS band_sig FROM bits"
     }.mkString("\n        UNION ALL\n        ")
     s"""
