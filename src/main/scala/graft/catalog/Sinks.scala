@@ -16,7 +16,8 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   val validOptions: Map[String, Set[String]] = Map(
-    "parquet" -> Set("compression", "partition_by", "overwrite", "max_file_size_rows"),
+    "parquet" -> Set("compression", "partition_by", "overwrite", "max_file_size_rows",
+      "bucket_by", "buckets", "sort_by", "table"),
     "csv" -> Set("header", "delim", "quote", "escape", "nullstr", "compression",
       "partition_by", "overwrite", "dateformat", "timestampformat"),
     "json" -> Set("compression", "partition_by", "overwrite", "dateformat", "timestampformat"))
@@ -49,6 +50,27 @@ object Sinks {
       if (partitioned) w = w.option("partitionOverwriteMode", "dynamic")
       w = w.mode("overwrite")
     }
-    w.save(path)
+    // bucket_by: the co-located-join lever. Bucketed layouts pre-shuffle the
+    // data once at write time; two tables bucketed the same way then join
+    // with NO Exchange on either side (plan-pinned in SinksUdfSpec) — at
+    // 100 TB that deletes the dominant cost of every repeated fact-fact
+    // join. Spark only records bucket metadata through the session catalog,
+    // so this path requires `table` (and `path` still pins the location).
+    options.get("bucket_by").map(_.trim).filter(_.nonEmpty) match {
+      case Some(bucketCol) =>
+        val n = options.getOrElse("buckets",
+          throw Catalog.InvalidOptionException("bucket_by requires `buckets` (bucket count)")).toInt
+        val table = options.getOrElse("table",
+          throw Catalog.InvalidOptionException(
+            "bucket_by requires `table`: Spark keeps bucket metadata in the session " +
+              "catalog, a bare-path write would silently lose the bucketing"))
+        w = w.option("path", path).bucketBy(n, bucketCol)
+        options.get("sort_by").foreach { c =>
+          val cols = c.split(",").map(_.trim).filter(_.nonEmpty)
+          w = w.sortBy(cols.head, cols.tail: _*)
+        }
+        w.saveAsTable(table)
+      case None => w.save(path)
+    }
   }
 }

@@ -20,6 +20,44 @@ class SinksUdfSpec extends SparkSpec {
     assert(back.columns.toSeq === spark.table("sk_nation").columns.toSeq)
   }
 
+  test("copyTo bucket_by: co-located tables join with zero Exchange") {
+    val wh = tempDir("bucketed")
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val items = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Sinks.copyTo(orders, s"$wh/orders_b", "parquet", Map(
+      "bucket_by" -> "o_orderkey", "buckets" -> "4", "sort_by" -> "o_orderkey",
+      "table" -> "sk_orders_bucketed", "overwrite" -> "true"))
+    Sinks.copyTo(items, s"$wh/items_b", "parquet", Map(
+      "bucket_by" -> "l_orderkey", "buckets" -> "4", "sort_by" -> "l_orderkey",
+      "table" -> "sk_items_bucketed", "overwrite" -> "true"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("sk_orders_bucketed")
+        .join(spark.table("sk_items_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point of the bucketed layout: the write pre-shuffled both
+      // sides once, so the repeated join carries NO Exchange at all
+      assert(!plan.contains("Exchange"),
+        s"bucketed-bucketed join still shuffles:\n$plan")
+      assert(joined.count() === items.count()) // every lineitem finds its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
+  test("copyTo bucket_by validates its required companions") {
+    val df = Tables.load(spark, sf, "nation")
+    val e = intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(df, "/tmp/x", "parquet", Map("bucket_by" -> "n_nationkey"))
+    }
+    assert(e.getMessage.contains("buckets"))
+    val e2 = intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(df, "/tmp/x", "parquet",
+        Map("bucket_by" -> "n_nationkey", "buckets" -> "4"))
+    }
+    assert(e2.getMessage.contains("table"))
+  }
+
   test("copyTo parquet with partition_by lays out prunable directories") {
     Catalog.attach(spark, "sk_nation2", "parquet", Map("files" -> s"$sf/nation.parquet"))
     val out = new java.io.File(tempDir("sink2"), "nation_part").getAbsolutePath
