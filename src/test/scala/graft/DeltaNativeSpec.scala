@@ -135,6 +135,47 @@ class DeltaNativeSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
   }
 
+  test("multi-part checkpoint parts all contribute") {
+    val root = tempDir("delta_mpcp")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-mp1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-mp2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val log = new File(root, "_delta_log")
+    log.mkdirs()
+    // part 1 carries protocol+metaData, part 2 carries the adds — a reader
+    // that only opened one part would miss either the schema or the files
+    def cpSql(rows: String) = spark.sql(
+      s"""SELECT * FROM VALUES $rows AS t(add, protocol, metaData)""")
+    val addT = "STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>"
+    val protoT = "STRUCT<minReaderVersion: INT, minWriterVersion: INT>"
+    val metaT = "STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>"
+    def writeCp(i: Int, rows: String): Unit = {
+      val tmp = new File(root, s"_cp$i")
+      cpSql(rows).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath,
+        new File(log, f"${1L}%020d.checkpoint.$i%010d.${2}%010d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    writeCp(1, s"""(CAST(NULL AS $addT),
+       named_struct('minReaderVersion', 1, 'minWriterVersion', 2),
+       named_struct('id', 't', 'schemaString', '$schema',
+                    'partitionColumns', CAST(array() AS ARRAY<STRING>)))""")
+    writeCp(2, s"""(named_struct('path', '$f1',
+         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', 1L,
+         'modificationTime', 0L, 'dataChange', true),
+       CAST(NULL AS $protoT), CAST(NULL AS $metaT)),
+      (named_struct('path', '$f2',
+         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', 1L,
+         'modificationTime', 0L, 'dataChange', true),
+       CAST(NULL AS $protoT), CAST(NULL AS $metaT))""")
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":4,"parts":2}""")
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("reader protocol v2+ rejects loudly instead of misreading") {
     val root = tempDir("delta_v2")
     import spark.implicits._
