@@ -56,6 +56,16 @@ object Sinks {
     // 100 TB that deletes the dominant cost of every repeated fact-fact
     // join. Spark only records bucket metadata through the session catalog,
     // so this path requires `table` (and `path` still pins the location).
+    // The companions are only meaningful WITH bucket_by — accepting them
+    // alone would validate, run, and silently write an unbucketed/unsorted
+    // layout, the accepting-then-ignoring wrongness rejected above.
+    if (options.get("bucket_by").forall(_.trim.isEmpty)) {
+      Seq("sort_by", "buckets", "table").filter(options.contains).foreach { k =>
+        throw Catalog.InvalidOptionException(
+          s"COPY option `$k` requires `bucket_by`: without bucketing Spark would " +
+            "silently ignore it and write a plain layout")
+      }
+    }
     options.get("bucket_by").map(_.trim).filter(_.nonEmpty) match {
       case Some(bucketCol) =>
         val n = options.getOrElse("buckets",

@@ -58,6 +58,19 @@ class SinksUdfSpec extends SparkSpec {
     assert(e2.getMessage.contains("table"))
   }
 
+  test("copyTo rejects orphan bucketing companions without bucket_by") {
+    val df = Tables.load(spark, sf, "nation")
+    // sort_by/buckets/table are only meaningful with bucket_by; accepting
+    // them alone would silently write an unsorted/unbucketed layout
+    for (orphan <- Seq("sort_by" -> "n_name", "buckets" -> "4", "table" -> "sk_orphan")) {
+      val e = intercept[Catalog.InvalidOptionException] {
+        Sinks.copyTo(df, "/tmp/never", "parquet", Map(orphan))
+      }
+      assert(e.getMessage.contains(orphan._1), s"message names the orphan: ${e.getMessage}")
+      assert(e.getMessage.contains("bucket_by"))
+    }
+  }
+
   test("copyTo parquet with partition_by lays out prunable directories") {
     Catalog.attach(spark, "sk_nation2", "parquet", Map("files" -> s"$sf/nation.parquet"))
     val out = new java.io.File(tempDir("sink2"), "nation_part").getAbsolutePath
