@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * stops at BLOB→TEXT passthrough, src/schema/cell.rs:691-712 — this is the
   * beyond-reference training-pipeline surface).
   *
-  * Design for 100 TB: every helper here is a pure Column expression over a
-  * bounded byte PREFIX of the payload (magic sniffing hexes 12 bytes, never
-  * the blob), so scans stay in whole-stage codegen and projection pruning
-  * can drop the payload column entirely when only metadata is queried.
-  * Decoding is the only per-row imperative step and is isolated behind
-  * `decodeImageStub` (mapPartitions), which this container cannot back with
-  * a real codec — the Spark-side plumbing (schema, batching, partitioning)
-  * is real and tested; the pixel decode is a clearly-marked deterministic
-  * fake.
+  * Design for 100 TB: every metadata helper is a pure Column expression over
+  * a bounded byte PREFIX of the payload (magic sniffing hexes 12 bytes,
+  * never the blob), so scans stay in whole-stage codegen and projection
+  * pruning can drop the payload column entirely when only metadata is
+  * queried. Decoding is the only per-row imperative step and is isolated in
+  * partition-local `mapPartitions` (no shuffle, linear cost, data-local).
+  *
+  * IMAGE decode/resize are REAL: `javax.imageio` ships with the JDK and
+  * runs headless, so `decodeImage`/`resizeImage` do actual PNG/JPEG/GIF/BMP
+  * pixel work (undecodable payloads degrade to `decode_ok = false`, never
+  * throw). Only VIDEO remains environment-blocked (no ffmpeg/codec libs in
+  * this container): `frameSampleStub` keeps the one-to-many decode shape
+  * with a clearly-marked deterministic frame fake.
   */
 object Multimodal {
 
@@ -46,70 +50,175 @@ object Multimodal {
   def isValid(payload: Column, declaredMime: Column): Column =
     payload.isNotNull && length(payload) > 0 && sniffMime(payload) === declaredMime
 
-  /** Decode layer — STUB. This container ships no image/audio codecs
-    * (no javax.imageio plugins beyond JDK defaults, no ffmpeg), so the pixel
-    * decode below is a DETERMINISTIC FAKE (dimensions and features derived
-    * arithmetically from the payload bytes). Replace the marked block with a
-    * real decoder to productionize; everything around it — the typed
-    * mapPartitions pipeline, fixed output schema, per-partition batching,
-    * no shuffle — is the real 100 TB shape: decode cost scales linearly and
-    * stays data-local.
-    */
-  def decodeImageStub(df: DataFrame, payloadCol: String, idCol: String, dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          // --- STUB: real `decode(bytes)` goes here -----------------------
-          val n = if (bytes == null) 0 else bytes.length
-          val width = n % 640
-          val height = (n * 7) % 480
-          val features = Array.tabulate(dim) { i =>
-            if (n == 0) 0f else (bytes(i % n) & 0xff).toFloat / 255f
+  // ------------------------------------------------------------------ image
+  // Real image codec layer over `javax.imageio` (stock JDK, headless-safe).
+
+  /** Decompression-bomb guard: a 100-byte payload can declare a
+    * 100k×100k canvas; refuse anything whose DECODED pixel count
+    * exceeds this (64 Mpx ≈ 192 MB of RGB) before allocating it. */
+  private val MaxPixels: Long = 64L * 1024 * 1024
+
+  /** Decode bytes → component-raster BufferedImage, or None. Never throws:
+    * at 100 TB a corrupt payload is data, not an exception. */
+  private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    import java.awt.image.BufferedImage
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth.toLong * img.getHeight <= MaxPixels)
+        .map { img =>
+          // Palette (GIF / indexed PNG) rasters hold palette INDICES —
+          // arithmetic over them is meaningless; expand to 8-bit RGB.
+          // 8-bit gray / RGB / RGBA component rasters pass through losslessly.
+          val cm = img.getColorModel
+          val bands = img.getRaster.getNumBands
+          val componentOk = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+            cm.getComponentSize.forall(_ == 8) && (bands == 1 || bands == 3 || bands == 4)
+          if (componentOk) img
+          else {
+            val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+            val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); out
           }
-          // ----------------------------------------------------------------
-          (id, width, height, features)
         }
-      }
-      .toDF(idCol, "width", "height", "features")
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Resize — the payload-transform decode shape (image → smaller image).
-    * STUB: with no codec in-container the "resize" deterministically
-    * subsamples the payload bytes to a `targetBytes` budget (every k-th
-    * byte) after the 12-byte header, preserving the magic prefix so the
-    * sniffer still classifies the output. The plumbing is the real shape:
-    * partition-local mapPartitions, binary in → binary out + new size, no
-    * shuffle, linear cost. */
-  def resizeStub(df: DataFrame, payloadCol: String, idCol: String,
-      targetBytes: Int = 1024): DataFrame = {
-    require(targetBytes > 16)
+  private def pixSum(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    val bands = r.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var b = 0
+        while (b < bands) { sum += r.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Real image decode (PNG/JPEG/GIF/BMP via ImageIO): true decoded
+    * dimensions, band count, and the exact integer sum of every raster
+    * sample — the pixel-data proof a header sniff can't fake. Undecodable
+    * payloads (truncated, not an image, pixel bomb) yield `decode_ok=false`
+    * with null metrics. Partition-local mapPartitions: no shuffle, linear
+    * cost, decode stays data-local — the 100 TB shape. */
+  def decodeImage(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per decode
         rows.map { case (id, bytes) =>
-          // --- STUB: real decode → scale → re-encode goes here ------------
-          val out =
-            if (bytes == null) null
-            else if (bytes.length <= targetBytes) bytes
-            else {
-              val header = bytes.take(12)
-              val body = bytes.drop(12)
-              val budget = targetBytes - header.length
-              val step = math.max(1, body.length / budget)
-              header ++ body.indices.collect { case i if i % step == 0 => body(i) }
-                .take(budget)
-            }
-          // ----------------------------------------------------------------
-          (id, out, if (out == null) 0 else out.length)
+          decode(bytes) match {
+            case Some(img) =>
+              (id, Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+                Some(img.getRaster.getNumBands.toLong), Some(pixSum(img)), true)
+            case None => (id, None, None, None, None, false)
+          }
         }
       }
-      .toDF(idCol, "payload", "size_bytes")
+      .toDF(idCol, "width", "height", "channels", "pix_sum", "decode_ok")
   }
+
+  /** Bilinear half-scale on a component raster: at an exact 2× downscale
+    * with pixel-center alignment, bilinear interpolation IS the 2×2 box
+    * average (floor on integer samples). Odd trailing row/column is
+    * dropped (floor dims). Implemented directly on the raster — integer
+    * in, integer out, no colorspace round-trip — so the result is exactly
+    * replayable by any engine (this is what gives m03 a DuckDB oracle). */
+  private def halfScale(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    val w = img.getWidth / 2
+    val h = img.getHeight / 2
+    val bands = img.getRaster.getNumBands
+    val outType = bands match {
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case 4 => BufferedImage.TYPE_4BYTE_ABGR
+      case _ => BufferedImage.TYPE_3BYTE_BGR
+    }
+    val out = new BufferedImage(w, h, outType)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) {
+          val s = src.getSample(2 * x, 2 * y, b) + src.getSample(2 * x + 1, 2 * y, b) +
+            src.getSample(2 * x, 2 * y + 1, b) + src.getSample(2 * x + 1, 2 * y + 1, b)
+          dst.setSample(x, y, b, s / 4)
+          b += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real resize: decode → bilinear half-scale → re-encode PNG → RE-DECODE
+    * the emitted bytes and report THEIR dims/pixel-sum (round-trip proof:
+    * the output payload is a valid image whose pixels are the resize
+    * arithmetic, not whatever the in-memory raster held). Binary-in /
+    * binary-out, partition-local, no shuffle. Failures → `decode_ok=false`,
+    * null payload. */
+  def resizeImage(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          decode(bytes).filter(i => i.getWidth >= 2 && i.getHeight >= 2).flatMap { img =>
+            val half = halfScale(img)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(half, "png", bos)
+            val png = bos.toByteArray
+            decode(png).map { back =>
+              (id, png, Some(back.getWidth.toLong), Some(back.getHeight.toLong),
+                Some(pixSum(back)), true)
+            }
+          }.getOrElse((id, null: Array[Byte], None: Option[Long], None: Option[Long],
+            None: Option[Long], false))
+        }
+      }
+      .toDF(idCol, "payload", "out_width", "out_height", "out_pix_sum", "decode_ok")
+  }
+
+  /** 8-bit grayscale PNG encoder (real ImageIO encode; also the fixture
+    * generator for the m03/m04 oracles). */
+  def encodePngGray(width: Int, height: Int, sample: (Int, Int) => Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { r.setSample(x, y, 0, sample(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG fixture family shared by the m03/m04 queries, their
+    * DuckDB oracles, and MultimodalSpec: every dimension/pixel is pure
+    * integer arithmetic of `id`, so an engine with NO codec can replay the
+    * DECODED geometry and pixel sums in closed form while this engine
+    * proves it actually decoded the bytes. All dims even (clean 2× resize). */
+  def fixtureWidth(id: Long): Int = 8 + 2 * (id % 16).toInt
+  def fixtureHeight(id: Long): Int = 8 + 2 * ((id * 7) % 12).toInt
+  def fixtureSample(id: Long)(x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  def fixturePng(id: Long): Array[Byte] =
+    encodePngGray(fixtureWidth(id), fixtureHeight(id), fixtureSample(id))
 
   /** Frame sampling — the one-to-many decode shape (video → frames). Each
     * payload explodes into one row per fixed-size "frame" with its index,

@@ -332,50 +332,93 @@ object PipelineQueries {
              CAST(fi * 40 AS BIGINT) AS ts_ms
       FROM f"""))
 
+  /** m03/m04 fixture frame: one REAL PNG per doc (deterministic geometry +
+    * pixels, Multimodal.fixturePng), except every 5th doc carries a PNG
+    * magic followed by text bytes — a payload that passes any magic sniff
+    * but fails actual decoding, exercising the decode_ok=false path. */
+  private def imageFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload =
+            if (id % 5 == 4)
+              Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+                text.getBytes("UTF-8")
+            else Multimodal.fixturePng(id)
+          (id, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Oracle arithmetic mirror of Multimodal.fixture{Width,Height,Sample}. */
+  private val fixtureDimsSql =
+    "8 + 2*(doc_id % 16) AS w, 8 + 2*((doc_id*7) % 12) AS h"
+  private def fixtureSampleSql(xExpr: String, yExpr: String) =
+    s"(doc_id*31 + 7*($xExpr) + 13*($yExpr)) % 256"
+
   // ---------------------------------------------------------------- m03
-  // Binary-in/binary-out multimodal transform shape: resize subsamples every
-  // step-th body byte after the 12-byte header down to a 64-byte budget
-  // (payloads already under budget pass through). The arithmetic is exactly
-  // replayable over hex(payload) in DuckDB — range() with a step + substr
-  // per sampled byte — so the imperative mapPartitions payload transform
-  // carries a full hash oracle like m02.
+  // REAL image resize: decode the fixture PNG with ImageIO, bilinear
+  // half-scale (exact 2× bilinear = 2×2 box average, floor), re-encode PNG,
+  // re-decode the emitted bytes and report their dims + pixel sum. The
+  // oracle replays the DECODED geometry and resize arithmetic in closed
+  // form (it cannot replay PNG bytes — zlib — which is exactly the point:
+  // only a real decode of the re-encoded output produces these numbers).
   private val m03 = QueryDef(
     "m03_resize",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val payload =
-        when(col("doc_id") % 3 === 0,
-          concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
-        .when(col("doc_id") % 3 === 1,
-          concat(unhex(lit("FFD8FFE000104A46")), encode(col("text"), "UTF-8")))
-        .otherwise(encode(col("text"), "UTF-8"))
-      Multimodal.resizeStub(
-        d.select(col("doc_id"), payload.as("payload")), "payload", "doc_id",
-        targetBytes = 64)
-        .select(col("doc_id"), col("size_bytes").cast("long").as("size_bytes"),
-          md5(hex(col("payload"))).as("resized_md5"))
-    },
+    (s, dir) =>
+      Multimodal.resizeImage(imageFixture(s, dir), "payload", "doc_id")
+        .select(col("doc_id"), col("out_width"), col("out_height"),
+          col("out_pix_sum"), col("decode_ok")),
     Some("""
-      WITH p AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E470D0A1A0A') || text::BLOB
-                    WHEN doc_id % 3 = 1 THEN from_hex('FFD8FFE000104A46') || text::BLOB
-                    ELSE text::BLOB END AS payload
-        FROM documents),
-      h AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n FROM p),
-      r AS (
-        SELECT doc_id,
-               CASE WHEN n <= 64 THEN hx
-                    ELSE substr(hx, 1, 24) ||
-                         array_to_string(
-                           list_transform(
-                             list_slice(range(0, n - 12, greatest(1, (n - 12) // 52)), 1, 52),
-                             i -> substr(hx, 24 + i * 2 + 1, 2)), '')
-               END AS rhx
-        FROM h)
-      SELECT doc_id, CAST(len(rhx) // 2 AS BIGINT) AS size_bytes,
-             md5(rhx) AS resized_md5
-      FROM r"""))
+      WITH ok AS (
+        SELECT doc_id, (8 + 2*(doc_id % 16)) // 2 AS ow,
+               (8 + 2*((doc_id*7) % 12)) // 2 AS oh
+        FROM documents WHERE doc_id % 5 <> 4),
+      xs AS (SELECT doc_id, ow, oh, unnest(generate_series(0, ow - 1)) AS x FROM ok),
+      px AS (SELECT doc_id, ow, oh, x, unnest(generate_series(0, oh - 1)) AS y FROM xs),
+      summed AS (
+        SELECT doc_id, any_value(ow) AS ow, any_value(oh) AS oh,
+               sum(((doc_id*31 + 7*(2*x)   + 13*(2*y))   % 256
+                  + (doc_id*31 + 7*(2*x+1) + 13*(2*y))   % 256
+                  + (doc_id*31 + 7*(2*x)   + 13*(2*y+1)) % 256
+                  + (doc_id*31 + 7*(2*x+1) + 13*(2*y+1)) % 256) // 4) AS ps
+        FROM px GROUP BY doc_id)
+      SELECT doc_id, CAST(ow AS BIGINT) AS out_width, CAST(oh AS BIGINT) AS out_height,
+             CAST(ps AS BIGINT) AS out_pix_sum, true AS decode_ok
+      FROM summed
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), false
+      FROM documents WHERE doc_id % 5 = 4"""))
+
+  // ---------------------------------------------------------------- m04
+  // REAL image decode: true ImageIO-decoded width/height/band-count plus
+  // the exact integer sum of every raster sample. The corrupt fifth (PNG
+  // magic + text bytes) fools any sniffer but not the decoder.
+  private val m04 = QueryDef(
+    "m04_image_decode",
+    (s, dir) => Multimodal.decodeImage(imageFixture(s, dir), "payload", "doc_id"),
+    Some(s"""
+      WITH ok AS (
+        SELECT doc_id, $fixtureDimsSql
+        FROM documents WHERE doc_id % 5 <> 4),
+      xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM ok),
+      px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      summed AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+               sum(${fixtureSampleSql("x", "y")}) AS ps
+        FROM px GROUP BY doc_id)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(1 AS BIGINT) AS channels, CAST(ps AS BIGINT) AS pix_sum,
+             true AS decode_ok
+      FROM summed
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false
+      FROM documents WHERE doc_id % 5 = 4"""))
 
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
@@ -491,5 +534,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, m04, t01, t02, t03, t04, t05)
 }

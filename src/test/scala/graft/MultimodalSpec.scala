@@ -66,37 +66,111 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 2)
   }
 
-  test("resizeStub: bounded output, magic preserved, partition-local") {
-    import spark.implicits._
-    val big = Array.tabulate(5000)(_.toByte)
-    val png = unhexBytes("89504E470D0A1A0A") ++ big
-    val in = Seq(1L -> png, 2L -> Array[Byte](1, 2, 3)).toDF("id", "payload").repartition(2)
-    val out = Multimodal.resizeStub(in, "payload", "id", targetBytes = 256)
-    val rows = out.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    assert(rows(1L).length <= 256)
-    assert(rows(1L).take(8).toSeq === unhexBytes("89504E470D0A1A0A").toSeq) // magic survives
-    assert(rows(2L).toSeq === Seq[Byte](1, 2, 3)) // already under budget: untouched
-    assert(out.rdd.getNumPartitions === 2) // no shuffle
-    // deterministic
-    val again = Multimodal.resizeStub(in, "payload", "id", targetBytes = 256)
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(again(1L) === rows(1L).toSeq)
-  }
-
   private def unhexBytes(h: String): Array[Byte] =
     h.grouped(2).map(s => Integer.parseInt(s, 16).toByte).toArray
 
-  test("decodeImageStub: real plumbing, deterministic fake decode") {
-    val in = payloads.repartition(3)
-    val out = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
-    assert(out.columns.toSeq === Seq("id", "width", "height", "features"))
-    assert(out.count() === 7)
-    // no shuffle: decode is partition-local
-    assert(out.rdd.getNumPartitions === 3)
-    val f1 = out.filter(col("id") === 1L).head()
-    val f2 = Multimodal.decodeImageStub(in, "payload", "id", dim = 4)
-      .filter(col("id") === 1L).head()
-    assert(f1.getSeq[Float](3) === f2.getSeq[Float](3)) // deterministic
-    assert(f1.getInt(1) === 16 % 640)
+  // ------------------------------------------------------------ real codec
+
+  test("encodePngGray round-trips byte-for-byte through ImageIO") {
+    // a known 4×4 image: every sample distinct
+    val samples = Array(
+      Array(0, 10, 20, 30), Array(40, 50, 60, 70),
+      Array(80, 90, 100, 110), Array(120, 130, 255, 7))
+    val png = Multimodal.encodePngGray(4, 4, (x, y) => samples(y)(x))
+    assert(png.take(8).toSeq === unhexBytes("89504E470D0A1A0A").toSeq) // real PNG container
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 4 && img.getHeight === 4)
+    assert(img.getRaster.getNumBands === 1)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(img.getRaster.getSample(x, y, 0) === samples(y)(x),
+        s"decoded sample ($x,$y) differs")
+  }
+
+  test("decodeImage: true dims + exact pixel sum; garbage degrades, never throws") {
+    import spark.implicits._
+    val png = Multimodal.encodePngGray(6, 3, (x, y) => x * 40 + y * 3)
+    val expectedSum = (for (y <- 0 until 3; x <- 0 until 6) yield x * 40 + y * 3).sum.toLong
+    val fakePng = unhexBytes("89504E470D0A1A0A") ++ "not really pixels".getBytes("UTF-8")
+    val in = Seq(1L -> png, 2L -> fakePng, 3L -> null.asInstanceOf[Array[Byte]])
+      .toDF("id", "payload").repartition(2)
+    val out = Multimodal.decodeImage(in, "payload", "id")
+    assert(out.columns.toSeq === Seq("id", "width", "height", "channels", "pix_sum", "decode_ok"))
+    assert(out.rdd.getNumPartitions === 2) // partition-local: no shuffle
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) === 6L && rows(1L).getLong(2) === 3L)
+    assert(rows(1L).getLong(3) === 1L)
+    assert(rows(1L).getLong(4) === expectedSum)
+    assert(rows(1L).getBoolean(5))
+    // magic-correct but undecodable: sniffers pass it, the decoder must not
+    assert(!rows(2L).getBoolean(5) && rows(2L).isNullAt(1))
+    assert(!rows(3L).getBoolean(5))
+  }
+
+  test("decodeImage handles JPEG and BMP containers from ImageIO encoders") {
+    import spark.implicits._
+    val src = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 8; x <- 0 until 10; b <- 0 until 3)
+      src.getRaster.setSample(x, y, b, (x * 9 + y * 5 + b * 77) % 256)
+    def enc(fmt: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos), s"no $fmt writer in JDK")
+      bos.toByteArray
+    }
+    val in = Seq(1L -> enc("jpg"), 2L -> enc("bmp")).toDF("id", "payload")
+    val rows = Multimodal.decodeImage(in, "payload", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(rows(id).getBoolean(5), s"decode_ok for $id")
+      assert(rows(id).getLong(1) === 10L && rows(id).getLong(2) === 8L)
+      assert(rows(id).getLong(3) === 3L)
+    }
+    // BMP is lossless: exact pixel sum; JPEG is lossy: sum only bounded
+    val exact = (for (y <- 0 until 8; x <- 0 until 10; b <- 0 until 3)
+      yield (x * 9 + y * 5 + b * 77) % 256).sum.toLong
+    assert(rows(2L).getLong(4) === exact)
+    assert(math.abs(rows(1L).getLong(4) - exact) < exact / 2)
+  }
+
+  test("resizeImage: bilinear half-scale is the exact 2×2 floor-average") {
+    import spark.implicits._
+    val samples = Array(
+      Array(0, 10, 20, 30), Array(40, 50, 60, 70),
+      Array(80, 90, 100, 110), Array(120, 130, 255, 7))
+    val png = Multimodal.encodePngGray(4, 4, (x, y) => samples(y)(x))
+    val in = Seq(1L -> png).toDF("id", "payload")
+    val row = Multimodal.resizeImage(in, "payload", "id").head()
+    assert(row.getLong(2) === 2L && row.getLong(3) === 2L)
+    val expected = Array(
+      Array((0 + 10 + 40 + 50) / 4, (20 + 30 + 60 + 70) / 4),
+      Array((80 + 90 + 120 + 130) / 4, (100 + 110 + 255 + 7) / 4))
+    assert(row.getLong(4) === expected.flatten.sum.toLong)
+    // the emitted payload is a REAL PNG holding exactly those pixels
+    val outPng = row.getAs[Array[Byte]](1)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outPng))
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(img.getRaster.getSample(x, y, 0) === expected(y)(x),
+        s"resized pixel ($x,$y)")
+  }
+
+  test("resizeImage: odd trailing row/col dropped; failures yield decode_ok=false") {
+    import spark.implicits._
+    val png53 = Multimodal.encodePngGray(5, 3, (x, y) => x + y)
+    val in = Seq(1L -> png53, 2L -> "garbage".getBytes("UTF-8")).toDF("id", "payload")
+    val rows = Multimodal.resizeImage(in, "payload", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(2) === 2L && rows(1L).getLong(3) === 1L)
+    assert(!rows(2L).getBoolean(5) && rows(2L).isNullAt(1))
+  }
+
+  test("fixturePng family: decoded geometry matches the closed-form oracle") {
+    for (id <- Seq(0L, 7L, 123L, 499L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.fixturePng(id)))
+      assert(img.getWidth === Multimodal.fixtureWidth(id))
+      assert(img.getHeight === Multimodal.fixtureHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(img.getRaster.getSample(x, y, 0) === Multimodal.fixtureSample(id)(x, y))
+    }
   }
 }
