@@ -41,8 +41,10 @@ object Engine {
       // CPU-bound scan (measured: the sf1 stress ladder ran 6 M lineitem
       // rows through ONE task — q01 38 s instead of ~4). 8 MB keeps local
       // scans at ~cores-wide parallelism; cluster deployments override via
-      // --conf (runtime-settable, nothing re-reads this value).
-      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      // --conf or SPARK_GRAFT_MAX_PARTITION_BYTES (also the A/B lever —
+      // BASELINE.md "bin-size A/B" documents the measured trade).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (8L * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
 
   @volatile private var cached: SparkSession = _
