@@ -4,9 +4,9 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, element_at, regexp_replace}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Minimal native Delta Lake reader — no connector jar required.
   *
@@ -24,21 +24,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (exactly what delta-kernel does on the driver — checkpoints keep the
   * replayed tail short at any table size), while all DATA stays in a
   * distributed `spark.read.parquet` over the resolved live files.
+  * Driver-side state is one (path, partitionValues) entry per live file,
+  * read from checkpoints as TYPED Rows (no JSON text round-trip) — the
+  * same O(live files) footprint delta-kernel carries.
   * `schemaString` is Spark schema JSON verbatim (Delta's own format), so
   * types round-trip exactly.
   *
-  * Supported: reader protocol v1 (plain parquet files), multi-commit
-  * replay, single + multi-part checkpoints, partitioned tables (hive-style
-  * layouts read with basePath + explicit schema; non-hive layouts
-  * reconstruct partition values from the log per file group).
-  * NOT supported — rejected loudly, never silently misread: reader
-  * protocol ≥ 2 (column mapping, deletion vectors).
+  * Supported: reader protocol v1 (plain parquet files), v2 column mapping
+  * (mode = name/id: physical-name indirection from the same PROTOCOL.md —
+  * data files carry physical names, the reader maps them back to logical),
+  * v3 when its readerFeatures need nothing beyond columnMapping/
+  * timestampNtz, multi-commit replay, single + multi-part checkpoints,
+  * partitioned tables (hive-style layouts read with basePath + explicit
+  * schema; non-hive layouts attach partition values from the log through a
+  * broadcast file-path lookup — ONE scan, plan size O(1) in partition
+  * count). NOT supported — rejected loudly, never silently misread:
+  * deletion vectors and any other reader feature outside that set.
   */
 object DeltaNative {
 
   final case class DeltaReadException(msg: String) extends IllegalArgumentException(msg)
 
   private val mapper = new ObjectMapper()
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz")
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val rootPath = new Path(root)
@@ -50,20 +60,27 @@ object DeltaNative {
     // --- resolve the snapshot from the log (driver-side metadata work) ---
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
-    var adds = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    var tableConf: Map[String, String] = Map.empty
+    // protocol demands are VALIDATED AFTER replay: whether reader v2/v3 is
+    // satisfiable depends on metaData.configuration (column mapping mode),
+    // and the actions may arrive in either order within the log
+    var readerVersion = 1
+    var readerFeatures: Set[String] = Set.empty
+    val adds = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
 
-    def applyProtocol(p: JsonNode): Unit = {
-      val v = p.path("minReaderVersion").asInt(1)
-      if (v > 1) throw DeltaReadException(
-        s"Delta reader protocol version $v requires features (column mapping / " +
-          "deletion vectors) this native reader does not implement; install a " +
-          "delta connector jar for this table")
+    def applyProtocolJson(p: JsonNode): Unit = {
+      readerVersion = math.max(readerVersion, p.path("minReaderVersion").asInt(1))
+      if (p.has("readerFeatures"))
+        readerFeatures ++= p.path("readerFeatures").elements().asScala.map(_.asText())
     }
-    def applyMeta(m: JsonNode): Unit = {
+    def applyMetaJson(m: JsonNode): Unit = {
       schemaJson = Some(m.path("schemaString").asText())
       partCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+      if (m.has("configuration"))
+        tableConf = m.path("configuration").fields().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
     }
-    def partValues(a: JsonNode): Map[String, String] =
+    def partValuesJson(a: JsonNode): Map[String, String] =
       a.path("partitionValues").fields().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
 
@@ -80,17 +97,48 @@ object DeltaNative {
         case Some(n) => (1 to n).map(i => f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
         case None => Seq(f"$version%020d.checkpoint.parquet")
       }
-      val cp = spark.read.parquet(names.map(n => new Path(logDir, n).toString): _*)
-      val cols = cp.columns.toSet
-      // the checkpoint's add set IS the snapshot at that version (its remove
+      // mergeSchema: multi-part checkpoints may split action kinds across
+      // parts; the union of part schemas is the action schema
+      val cp = spark.read.option("mergeSchema", "true")
+        .parquet(names.map(n => new Path(logDir, n).toString): _*)
+      val topFields = cp.schema.fieldNames.toSet
+      def structFields(c: String): Set[String] =
+        cp.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
+      def sub(c: String, f: String): Option[String] =
+        if (topFields.contains(c) && structFields(c).contains(f)) Some(s"$c.$f") else None
+
+      // protocol / metaData: one live row each — typed Row access, and the
+      // checkpoint's add set IS the snapshot at that version (its remove
       // entries are expired tombstones kept for vacuum, not live deletes)
-      def rows(c: String): Seq[JsonNode] =
-        if (!cols.contains(c)) Nil
-        else cp.select(c).filter(col(c).isNotNull).toJSON.collect().toSeq
-          .map(s => mapper.readTree(s).path(c))
-      rows("protocol").foreach(applyProtocol)
-      rows("metaData").foreach(applyMeta)
-      rows("add").foreach(a => adds(a.path("path").asText()) = partValues(a))
+      if (topFields.contains("protocol")) {
+        val sel = Seq(Some("protocol.minReaderVersion"), sub("protocol", "readerFeatures")).flatten
+        cp.filter(col("protocol").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
+          readerVersion = math.max(readerVersion, if (r.isNullAt(0)) 1 else r.getInt(0))
+          if (r.length > 1 && !r.isNullAt(1)) readerFeatures ++= r.getSeq[String](1)
+        }
+      }
+      if (topFields.contains("metaData")) {
+        val sel = Seq(Some("metaData.schemaString"), Some("metaData.partitionColumns"),
+          sub("metaData", "configuration")).flatten
+        cp.filter(col("metaData").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
+          schemaJson = Some(r.getString(0))
+          partCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+          if (r.length > 2 && !r.isNullAt(2))
+            tableConf = r.getMap[String, String](2).toMap
+        }
+      }
+      if (topFields.contains("add")) {
+        // the scale-bearing column: millions of adds on a 100 TB table.
+        // Typed (path, partitionValues) Rows — no per-entry JSON text.
+        val hasPv = structFields("add").contains("partitionValues")
+        val sel = Seq(Some("add.path"), if (hasPv) Some("add.partitionValues") else None).flatten
+        cp.filter(col("add").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
+          val pv =
+            if (hasPv && !r.isNullAt(1)) r.getMap[String, String](1).toMap
+            else Map.empty[String, String]
+          adds(r.getString(0)) = pv
+        }
+      }
     }
 
     // JSON commits after the checkpoint, in version order
@@ -109,11 +157,11 @@ object DeltaNative {
       finally in.close()
       lines.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("protocol")) applyProtocol(node.path("protocol"))
-        if (node.has("metaData")) applyMeta(node.path("metaData"))
+        if (node.has("protocol")) applyProtocolJson(node.path("protocol"))
+        if (node.has("metaData")) applyMetaJson(node.path("metaData"))
         if (node.has("add")) {
           val a = node.path("add")
-          adds(a.path("path").asText()) = partValues(a)
+          adds(a.path("path").asText()) = partValuesJson(a)
         }
         if (node.has("remove")) adds.remove(node.path("remove").path("path").asText())
       }
@@ -123,6 +171,55 @@ object DeltaNative {
       throw DeltaReadException(s"`$root`: no metaData action found in the Delta log")))
       .asInstanceOf[StructType]
 
+    // --- protocol gate (now that configuration + features are known) ---
+    val cmMode = tableConf.getOrElse("delta.columnMapping.mode", "none")
+    if (readerVersion == 2 && cmMode != "none" && cmMode != "name" && cmMode != "id")
+      throw DeltaReadException(
+        s"`$root`: unknown column mapping mode `$cmMode`; this native reader " +
+          "implements modes name/id from the public protocol")
+    if (readerVersion > 3) throw DeltaReadException(
+      s"`$root`: Delta reader protocol version $readerVersion is newer than this " +
+        "native reader understands; install a delta connector jar for this table")
+    if (readerVersion == 3) {
+      if (readerFeatures.isEmpty) throw DeltaReadException(
+        s"`$root`: Delta reader protocol version 3 lists no readerFeatures — " +
+          "malformed log; refusing to guess what the table needs")
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      if (unsupported.nonEmpty) throw DeltaReadException(
+        s"`$root`: Delta reader protocol version 3 features " +
+          unsupported.toSeq.sorted.mkString(", ") +
+          " (e.g. deletion vectors) are not implemented by this native reader; " +
+          "install a delta connector jar for this table")
+    }
+
+    // --- column mapping (PROTOCOL.md Column Mapping): data files carry
+    // PHYSICAL column names; the logical schema's field metadata holds the
+    // mapping. Read with the physical schema, then rename back — top level
+    // by alias, nested levels by position-cast (Cast on structs matches by
+    // position and rewrites names). Pure metadata, zero data movement.
+    val mappingActive = cmMode != "none" &&
+      schema.fields.exists(_.metadata.contains(PhysNameKey))
+    def physName(f: StructField): String =
+      if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+    def toPhysical(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(name = physName(f), dataType = toPhysical(f.dataType))))
+      case a: ArrayType => a.copy(elementType = toPhysical(a.elementType))
+      case m: MapType => m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+      case other => other
+    }
+    val physSchema = if (mappingActive) toPhysical(schema).asInstanceOf[StructType] else schema
+    val physByLogical: Map[String, String] =
+      schema.fields.map(f => f.name -> physName(f)).toMap
+    // partitionColumns are logical names; add.partitionValues (and hive dir
+    // names) are keyed by PHYSICAL names when mapping is active
+    val physPartCols = partCols.map(c => physByLogical.getOrElse(c, c))
+    def unmapped(df: DataFrame): DataFrame =
+      if (!mappingActive) df
+      else df.select(schema.fields.map { f =>
+        col(physName(f)).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+
     def resolve(p: String): String = {
       val decoded = java.net.URLDecoder.decode(p, "UTF-8")
       val dp = new Path(decoded)
@@ -130,30 +227,46 @@ object DeltaNative {
     }
 
     // --- distributed data read over the resolved live files ---
-    if (adds.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (adds.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (partCols.isEmpty)
-      spark.read.schema(schema).parquet(adds.keys.map(resolve).toSeq: _*)
+      unmapped(spark.read.schema(physSchema).parquet(adds.keys.map(resolve).toSeq: _*))
     else {
-      val hiveLayout = adds.keys.forall(p => partCols.forall(c => p.contains(s"$c=")))
+      val hiveLayout = adds.keys.forall(p => physPartCols.forall(c => p.contains(s"$c=")))
       if (hiveLayout)
         // standard writer layout: partition values live in the dir names;
         // explicit schema pins the partition column types Delta declares
-        spark.read.schema(schema).option("basePath", root)
-          .parquet(adds.keys.map(resolve).toSeq: _*)
+        unmapped(spark.read.schema(physSchema).option("basePath", root)
+          .parquet(adds.keys.map(resolve).toSeq: _*))
       else {
-        // non-hive layout: partition values come from the log itself. Read
-        // each distinct partition-value group once and attach the values as
-        // typed literals (group count = live partitions of the snapshot).
-        val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-        val byPart = adds.toSeq.groupBy(_._2)
-        val parts = byPart.map { case (pv, files) =>
-          val base = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
-          partCols.foldLeft(base) { (df, c) =>
-            val dt = schema(c).dataType
-            df.withColumn(c, lit(pv.getOrElse(c, null)).cast(dt))
-          }
+        // Non-hive layout: partition values come from the log itself. ONE
+        // distributed scan of every live file; each row finds its partition
+        // values through a BROADCAST lookup on _metadata.file_path. Plan
+        // size is O(1) in partition count — the previous per-partition-group
+        // unionByName built an O(live partitions) plan that would choke the
+        // analyzer around 10^3 partitions (a plain day-partitioned decade
+        // at 100 TB). The lookup frame is file metadata: tiny, broadcast.
+        val physDataSchema =
+          StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
+        import spark.implicits._
+        val lookup = adds.toSeq.map { case (p, pv) =>
+          val uriPath = new Path(resolve(p)).toUri.getPath
+          (uriPath, physPartCols.map(c => pv.get(c).orNull))
+        }.toDF("__graft_fp", "__graft_pv")
+        // normalize scheme'd URIs ("file:///x", "file:/x") to the bare path
+        // so driver-side Path strings and executor-side file_path agree
+        def stripScheme(c: Column): Column =
+          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+        val base = spark.read.schema(physDataSchema)
+          .parquet(adds.keys.map(resolve).toSeq: _*)
+          .withColumn("__graft_fp", stripScheme(col("_metadata.file_path")))
+        val joined = base.join(broadcast(lookup), Seq("__graft_fp"), "left")
+        val withParts = partCols.foldLeft(joined) { (df, c) =>
+          val idx = physPartCols.indexOf(physByLogical.getOrElse(c, c))
+          df.withColumn(physByLogical.getOrElse(c, c),
+            element_at(col("__graft_pv"), idx + 1).cast(schema(c).dataType))
         }
-        parts.reduce(_ unionByName _).select(schema.fieldNames.map(col).toSeq: _*)
+        unmapped(withParts.select(physSchema.fieldNames.map(col).toSeq: _*))
       }
     }
   }

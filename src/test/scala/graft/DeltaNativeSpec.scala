@@ -13,11 +13,13 @@ import graft.sources.DeltaNative
   * its own writer. */
 class DeltaNativeSpec extends SparkSpec {
 
-  private def metaAction(schemaJson: String, partCols: Seq[String] = Nil): String = {
+  private def metaAction(schemaJson: String, partCols: Seq[String] = Nil,
+      conf: Map[String, String] = Map.empty): String = {
     val pc = partCols.map(c => s""""$c"""").mkString(",")
+    val cf = conf.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
     s"""{"metaData":{"id":"test-table","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${schemaJson.replace("\\", "\\\\").replace("\"", "\\\"")}",""" +
-      s""""partitionColumns":[$pc],"configuration":{},"createdTime":0}}"""
+      s""""partitionColumns":[$pc],"configuration":{$cf},"createdTime":0}}"""
   }
   private val protocolV1 = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
@@ -174,6 +176,81 @@ class DeltaNativeSpec extends SparkSpec {
       """{"version":1,"size":4,"parts":2}""")
     val df = DeltaNative.read(spark, root.getPath, Map.empty)
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("non-hive layout scales: 120 log-valued partitions read through ONE scan") {
+    val root = tempDir("delta_nonhive_many")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("p", IntegerType))).json
+    // 120 one-row files written in ONE job; the fid=N dirs are writer
+    // artifacts, NOT the Delta partition column p, so the reader must take
+    // every p from the log
+    val dataDir = new File(root, "data")
+    spark.range(120).select(col("id"), col("id").cast("int").as("fid"))
+      .write.partitionBy("fid").mode("overwrite").parquet(dataDir.getPath)
+    val addLines = dataDir.listFiles().filter(_.getName.startsWith("fid=")).map { d =>
+      val fid = d.getName.stripPrefix("fid=").toInt
+      val f = d.listFiles().find(_.getName.endsWith(".parquet")).get
+      add(s"data/fid=$fid/${f.getName}", Map("p" -> fid.toString))
+    }.toSeq
+    commit(root, 0, Seq(protocolV1, metaAction(schema, Seq("p"))) ++ addLines)
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.count() === 120)
+    // every row's log-attached p equals the id its file was built from —
+    // full per-file mapping verified in one distributed pass
+    assert(df.filter(col("p") === col("id")).count() === 120)
+    // the 100 TB pin: ONE parquet scan + a broadcast lookup, never a
+    // per-partition union (plan size must stay O(1) in partition count)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllMatchIn(plan).size === 1, s"expected one scan:\n$plan")
+    assert(!plan.contains("Union"), s"per-partition union resurfaced:\n$plan")
+  }
+
+  test("column mapping mode=name: physical parquet names map back to logical") {
+    val root = tempDir("delta_cm")
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def fld(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-9f3a", 1), fld("v", StringType, "col-77b0", 2)))
+    // the data file knows ONLY physical names — that's the point of mapping
+    val f1 = writePart(root, "part-cm.parquet",
+      Seq((1L, "a"), (2L, "b")).toDF("col-9f3a", "col-77b0"))
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(logical.json, Nil, Map("delta.columnMapping.mode" -> "name")),
+      add(f1)))
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    // and through the v3 feature gate too
+    val root3 = tempDir("delta_cm3")
+    val f3 = writePart(root3, "part-cm3.parquet", Seq((9L, "z")).toDF("col-9f3a", "col-77b0"))
+    commit(root3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaAction(logical.json, Nil, Map("delta.columnMapping.mode" -> "name")),
+      add(f3)))
+    assert(DeltaNative.read(spark, root3.getPath, Map.empty)
+      .select("id").head().getLong(0) === 9L)
+  }
+
+  test("reader features beyond column mapping reject loudly") {
+    val root = tempDir("delta_dv")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-dv.parquet", Seq((1L, "a")).toDF("id", "v"))
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaAction(schema), add(f1)))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaNative.read(spark, root.getPath, Map.empty)
+    }
+    assert(e.getMessage.contains("deletionVectors"))
   }
 
   test("reader protocol v2+ rejects loudly instead of misreading") {
