@@ -309,10 +309,69 @@ object Catalog {
           val use = (names ++ parsed.columns.drop(names.length)).take(parsed.columns.length)
           parsed.toDF(use: _*)
         } else parsed
+      } else if (skip > 0 && !options.get("ignore_errors").exists(_.toBoolean)) {
+        // filename=true rides the SAME one-pass run-slicing as above: the
+        // file path travels next to each line and the parse happens per-row
+        // via from_csv, so a 10k-file attach stays a bounded job count
+        // (previously this combo regressed to 2 jobs per file).
+        import spark.implicits._
+        val hasHeader = options.get("header").exists(_.toBoolean)
+        val target = skip + (if (hasHeader) 1 else 0)
+        val sliced = spark.read.text(files: _*)
+          .select(col("value"), col("_metadata.file_path").as("__fp"),
+            col("_metadata.file_block_start").as("__bs"))
+          .as[(String, String, Long)]
+          .mapPartitions { it =>
+            var cur: String = null
+            var dropped = 0
+            it.flatMap { case (v, fp, bs) =>
+              if (fp != cur) { cur = fp; dropped = if (bs == 0L) 0 else target }
+              if (dropped < target) { dropped += 1; Iterator.empty }
+              else Iterator.single((v, fp))
+            }
+          }
+          .toDF("value", "__file_path")
+          // local URIs back to the bare attach path ("file:///x" → "/x"),
+          // matching what the per-file path reported
+          .withColumn("__file_path", regexp_replace(col("__file_path"), "^file:/+", "/"))
+        // schema: declared, else ONE bounded inference over the sliced lines
+        val parseSchema = effective.getOrElse {
+          cloneCsvReader(spark, options).option("header", "false")
+            .option("inferSchema", "true")
+            .csv(sliced.select("value").as[String].limit(sampleSize.getOrElse(20480)))
+            .schema
+        }
+        // from_csv mirrors the reader's parse-shape options; headers are
+        // pre-dropped by the slicer. DROPMALFORMED has no from_csv
+        // equivalent — that combo keeps the legacy per-file path below.
+        val fcOpts = scala.collection.mutable.LinkedHashMap("header" -> "false")
+        Seq("delim" -> "sep", "quote" -> "quote", "escape" -> "escape",
+          "nullstr" -> "nullValue", "dateformat" -> "dateFormat",
+          "timestampformat" -> "timestampFormat", "new_line" -> "lineSep",
+          "max_line_size" -> "maxCharsPerColumn")
+          .foreach { case (from, to) => options.get(from).foreach(v => fcOpts(to) = v) }
+        if (!options.get("null_padding").forall(_.toBoolean)) fcOpts("mode") = "FAILFAST"
+        if (options.get("allow_quoted_nulls").exists(v => !v.toBoolean) &&
+          !options.contains("nullstr")) {
+          fcOpts("nullValue") = "\u0000"; fcOpts("emptyValue") = ""
+        }
+        val flat = sliced
+          .select(from_csv(col("value"), parseSchema, fcOpts.toMap).as("__row"),
+            col("__file_path"))
+          .select(parseSchema.fieldNames.map(n => col(s"__row.`$n`")).toSeq
+            :+ col("__file_path"): _*)
+        if (hasHeader && effective.isEmpty) {
+          val headerLine = spark.read.textFile(files.head).limit(skip + 1).collect().last
+          val names = cloneCsvReader(spark, options).option("header", "true")
+            .csv(spark.createDataset(Seq(headerLine))).schema.fieldNames
+          val dataCols = flat.columns.dropRight(1)
+          val use = (names ++ dataCols.drop(names.length)).take(dataCols.length) :+ "__file_path"
+          flat.toDF(use: _*)
+        } else flat
       } else if (skip > 0) {
-        // filename=true needs a per-row file path carried THROUGH the text
-        // parse, which csv(Dataset[String]) cannot do — keep the per-file
-        // slice for that combination only (attach-time cost, documented).
+        // skip + filename + ignore_errors: DROPMALFORMED cannot be expressed
+        // through from_csv — keep the per-file slice for this triple combo
+        // only (attach-time cost O(files), documented).
         import spark.implicits._
         def sliced(f: String) = spark.createDataset(
           spark.read.textFile(f).rdd.zipWithIndex().filter(_._2 >= skip).map(_._1))

@@ -341,6 +341,35 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("csv skip+filename multi-file attach issues O(1) jobs, not O(files)") {
+    // the r4 gap: filename=true used to fall back to per-file slicing
+    // (2 jobs per file); it now rides the same one-pass _metadata slice
+    val files = (0 until 12).map(i =>
+      writeText(dir, s"skf_j$i.csv", s"junk line\na,b\n$i,${i * 2}\nx$i,y$i\n"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Catalog.attach(spark, "skip_fn_jobs", "csv",
+        Map("files" -> files.mkString(","), "skip" -> "1", "header" -> "true",
+          "filename" -> "true"))
+      assert(df.columns.toSeq === Seq("a", "b", "filename"))
+      assert(df.count() === 24)
+      assert(df.select("filename").distinct().count() === 12) // every file tagged
+      var waited = 0
+      var last = -1
+      while (waited < 2000 && last != jobs.get) { last = jobs.get; Thread.sleep(100); waited += 100 }
+      // constant budget: inference limit + header probe + 2 counted actions
+      // (~11 jobs); the legacy per-file path spent 2 jobs PER FILE (24+ here)
+      assert(jobs.get <= 14,
+        s"expected O(1) jobs for a 12-file skip+filename attach+count, got ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("csv skip composes with filename metadata; file_row_number rejects") {
     val p1 = writeText(dir, "skf1.csv", "junk\na,b\n1,2\n")
     val p2 = writeText(dir, "skf2.csv", "junk\na,b\n5,6\n")
