@@ -55,7 +55,9 @@ object Catalog {
     if (spec.name == "csv" || spec.name == "json") enforceCompression(files, options)
     var df = withPartitionAutocast(spark, options) {
       spec.name match {
-        case "parquet" => readParquet(spark, files, options, schema)
+        case "parquet" =>
+          attachBucketed(spark, table, files).getOrElse(
+            readParquet(spark, files, options, schema))
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
         case "spatial" => graft.sources.GeoJson.read(spark, files, options)
@@ -158,6 +160,42 @@ object Catalog {
     spec.requiredOptions.find(r => !options.contains(r)).foreach { r =>
       throw InvalidOptionException(s"required option `$r` missing for format `${spec.name}`")
     }
+  }
+
+  /** Bucketed-layout round-trip: if the single attach path carries the
+    * bucket-spec sidecar a bucketed COPY sink wrote (Sinks.BucketSidecar),
+    * re-register the layout as a catalog table (`CREATE TABLE ... CLUSTERED
+    * BY ... LOCATION`) and read THROUGH the catalog — the only channel Spark
+    * carries bucket metadata on. Without this, re-attaching a bucketed path
+    * in a fresh session silently reads plain parquet and every co-located
+    * join pays its Exchanges back. */
+  private def attachBucketed(spark: SparkSession, table: String,
+      files: Seq[String]): Option[DataFrame] = {
+    if (files.length != 1 || files.head.exists("*?[{".contains(_))) return None
+    val sp = new org.apache.hadoop.fs.Path(files.head, Sinks.BucketSidecar)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(sp)) return None
+    val in = fs.open(sp)
+    val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    val bucketCol = node.path("bucket_by").asText()
+    val buckets = node.path("buckets").asInt()
+    val sortCols = {
+      import scala.jdk.CollectionConverters._
+      node.path("sort_by").elements().asScala.map(_.asText()).toSeq
+    }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(node.path("schema").toString).asInstanceOf[StructType]
+    val sorted =
+      if (sortCols.isEmpty) ""
+      else s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")}) "
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(
+      s"""CREATE TABLE `$table` (${schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (`$bucketCol`) ${sorted}INTO $buckets BUCKETS
+         |LOCATION '${files.head}'""".stripMargin)
+    Some(spark.table(table))
   }
 
   private def readParquet(spark: SparkSession, files: Seq[String],

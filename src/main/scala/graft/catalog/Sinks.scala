@@ -75,12 +75,28 @@ object Sinks {
             "bucket_by requires `table`: Spark keeps bucket metadata in the session " +
               "catalog, a bare-path write would silently lose the bucketing"))
         w = w.option("path", path).bucketBy(n, bucketCol)
-        options.get("sort_by").foreach { c =>
-          val cols = c.split(",").map(_.trim).filter(_.nonEmpty)
-          w = w.sortBy(cols.head, cols.tail: _*)
-        }
+        val sortCols = options.get("sort_by").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
         w.saveAsTable(table)
+        // Sidecar: the session catalog is the ONLY place Spark keeps bucket
+        // metadata, and an in-memory catalog dies with the session — a
+        // re-attach of the same path would silently read plain parquet and
+        // re-Exchange every join. Persist the bucket spec next to the data
+        // (underscore prefix: invisible to plain parquet scans) so
+        // Catalog.attach can re-register the layout in ANY later session.
+        val sidecar =
+          s"""{"bucket_by":"$bucketCol","buckets":$n,""" +
+            s""""sort_by":[${sortCols.map(c => s""""$c"""").mkString(",")}],""" +
+            s""""schema":${df.schema.json}}"""
+        val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
+        val fs = sp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+        val out = fs.create(sp, true)
+        try out.write(sidecar.getBytes("UTF-8")) finally out.close()
       case None => w.save(path)
     }
   }
+
+  /** Bucket-spec sidecar file name (see copyTo's bucketed branch). */
+  val BucketSidecar = "_graft_bucket_spec.json"
 }

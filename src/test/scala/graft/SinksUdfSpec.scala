@@ -58,6 +58,33 @@ class SinksUdfSpec extends SparkSpec {
     assert(e2.getMessage.contains("table"))
   }
 
+  test("bucketed sink round-trips through attach after catalog loss") {
+    val wh = tempDir("bucketed_rt")
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val items = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    Sinks.copyTo(orders, s"$wh/o", "parquet", Map(
+      "bucket_by" -> "o_orderkey", "buckets" -> "4",
+      "table" -> "sk_rt_orders", "overwrite" -> "true"))
+    Sinks.copyTo(items, s"$wh/i", "parquet", Map(
+      "bucket_by" -> "l_orderkey", "buckets" -> "4",
+      "table" -> "sk_rt_items", "overwrite" -> "true"))
+    // simulate a fresh session: the in-memory catalog entries are GONE —
+    // only the data + sidecar on disk remain
+    spark.sql("DROP TABLE sk_rt_orders")
+    spark.sql("DROP TABLE sk_rt_items")
+    val o = Catalog.attach(spark, "rt_orders", "parquet", Map("files" -> s"$wh/o"))
+    val i = Catalog.attach(spark, "rt_items", "parquet", Map("files" -> s"$wh/i"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = o.join(i, col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-attached bucketed layout lost its bucket metadata:\n$plan")
+      assert(joined.count() === items.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("copyTo rejects orphan bucketing companions without bucket_by") {
     val df = Tables.load(spark, sf, "nation")
     // sort_by/buckets/table are only meaningful with bucket_by; accepting
