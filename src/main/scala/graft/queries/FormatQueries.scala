@@ -196,6 +196,97 @@ object FormatQueries {
     out
   }
 
+  /** orders → a native ICEBERG v2 table WITH row-level deletes (the delete
+    * path of IcebergNative): evens+odds data files at sequence 1 (each
+    * written SORTED by key so row positions are deterministic), a LIVE
+    * positional delete (seq 2) killing the first 10 rows of the evens file,
+    * a LIVE equality delete (seq 2) on o_orderstatus='F', plus STALE
+    * positional (seq 0) and equality (seq 1) deletes that must NOT apply
+    * under the spec's sequence-visibility rules. The l03 oracle recomputes
+    * the expected snapshot from the SOURCE table, so a reader that skipped
+    * a live delete, applied a stale one, or mixed up <= vs < fails the
+    * row and hash check. */
+  private def ordersIcebergDeletes(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/orders_iceberg_del"
+    val done = new java.io.File(s"$out/metadata/version-hint.text")
+    if (!done.exists()) {
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      import org.apache.spark.sql.functions._
+      import scala.jdk.CollectionConverters._
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val evens = singlePart(root, "data/evens.parquet",
+        o.filter(col("o_orderkey") % 2 === 0).coalesce(1).sortWithinPartitions("o_orderkey"))
+      val odds = singlePart(root, "data/odds.parquet",
+        o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1).sortWithinPartitions("o_orderkey"))
+      val posLive = singlePart(root, "data/pos_live.parquet",
+        (0L until 10L).map(p => (s"$out/data/evens.parquet", p)).toDF("file_path", "pos"))
+      val posStale = singlePart(root, "data/pos_stale.parquet",
+        Seq((s"$out/data/odds.parquet", 0L)).toDF("file_path", "pos"))
+      val eqLive = singlePart(root, "data/eq_live.parquet", Seq("F").toDF("o_orderstatus"))
+      val eqStale = singlePart(root, "data/eq_stale.parquet", Seq("O").toDF("o_orderstatus"))
+      val dfSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"r2","fields":[
+          {"name":"content","type":["null","int"],"default":null},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+      val entrySchema = new Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"sequence_number","type":["null","long"],"default":null},
+          {"name":"data_file","type":${dfSchema.toString}}]}""")
+      val listSchema = new Schema.Parser().parse(
+        """{"type":"record","name":"manifest_file","fields":[
+          {"name":"manifest_path","type":"string"},
+          {"name":"content","type":["null","int"],"default":null},
+          {"name":"sequence_number","type":["null","long"],"default":null}]}""")
+      def entry(path: String, content: Int, seq: Long, eqIds: Seq[Int] = Nil): GenericRecord = {
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", Int.box(content)); d.put("file_path", path)
+        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
+        d.put("file_size_in_bytes", Long.box(1024L))
+        d.put("equality_ids", if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("sequence_number", Long.box(seq)); e.put("data_file", d)
+        e
+      }
+      def writeAvro(f: java.io.File, sch: Schema, rows: Seq[GenericRecord]): Unit = {
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+        w.create(sch, f)
+        try rows.foreach(w.append) finally w.close()
+      }
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      writeAvro(new java.io.File(md, "m1.avro"), entrySchema, Seq(
+        entry(evens, 0, 1L), entry(odds, 0, 1L),
+        entry(posLive, 1, 2L), entry(posStale, 1, 0L),
+        entry(eqLive, 2, 2L, Seq(3)), entry(eqStale, 2, 1L, Seq(3))))
+      val ml = new GenericData.Record(listSchema)
+      ml.put("manifest_path", "metadata/m1.avro"); ml.put("content", null)
+      ml.put("sequence_number", Long.box(2L))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema, Seq(ml))
+      java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
+        s"""{"format-version": 2, "table-uuid": "orders-iceberg-del",
+           |"location": "${root.getPath}", "current-schema-id": 0,
+           |"schemas": [{"type":"struct","schema-id":0,"fields":[
+           |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+           |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
+           |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
+           |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
+           |"current-snapshot-id": 1,
+           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    out
+  }
+
   /** Little-endian IEEE-754 hex of a double — the WKB coordinate layout. */
   private def hexLE(d: Double): String = {
     val bits = java.lang.Double.doubleToLongBits(d)
@@ -207,7 +298,7 @@ object FormatQueries {
     * one-time test-scaffolding export write. */
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
-    customerDelta(s, dir); ordersIceberg(s, dir)
+    customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
   }
 
   private val custCols =
@@ -328,6 +419,27 @@ object FormatQueries {
       FROM orders
       WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 <> 0 AND o_totalprice > 150000)"""))
 
+  // ---------------------------------------------------------------- l03
+  // Native Iceberg v2 ROW-LEVEL DELETE scan: positional deletes (file pos),
+  // equality deletes (column match), and stale variants of both that the
+  // sequence rules must suppress. The oracle recomputes the expectation
+  // from the source table: the 10 lowest even orderkeys (the positional
+  // range of the sorted evens file) and every 'F'-status row are gone.
+  private val l03 = QueryDef(
+    "l03_iceberg_v2_deletes",
+    (s, dir) => {
+      val path = ordersIcebergDeletes(s, dir)
+      Catalog.attach(s, "l03_orders_iceberg_del", "iceberg", Map("files" -> path))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey NOT IN (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey LIMIT 10)
+        AND o_orderstatus <> 'F'"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -354,5 +466,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, w01)
 }

@@ -30,11 +30,15 @@ import org.apache.spark.sql.types._
   * carry every table column in the file itself, so no partition-value
   * reconstruction is needed.
   *
-  * Supported: format v1 and v2 append-only snapshots (`manifest-list` or
-  * inline v1 `manifests`), DELETED manifest entries, multiple schemas via
-  * `current-schema-id`. NOT supported — rejected loudly, never misread:
-  * v2 row-level delete files (content != data), non-parquet data files,
-  * `time`-typed columns (no Spark analogue).
+  * Supported: format v1 and v2 snapshots (`manifest-list` or inline v1
+  * `manifests`), DELETED manifest entries, multiple schemas via
+  * `current-schema-id`, and v2 ROW-LEVEL DELETES — positional delete files
+  * anti-joined on `(_metadata.file_path, _metadata.row_index)` and equality
+  * delete files anti-joined on their equality columns, both honoring the
+  * spec's sequence-number visibility rules. NOT supported — rejected
+  * loudly, never misread: non-parquet files (including v3 puffin deletion
+  * vectors), nested-field equality deletes, `time`-typed columns (no Spark
+  * analogue).
   */
 object IcebergNative {
 
@@ -94,42 +98,123 @@ object IcebergNative {
       val rdr = DataFileReader.openReader(new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
       try rdr.iterator().asScala.toList finally rdr.close()
     }
+    // optional-field access: GenericRecord.get THROWS on fields the writer
+    // schema never had (older manifests predate sequence numbers etc.)
+    def opt(r: GenericRecord, field: String): Option[AnyRef] =
+      Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
 
-    val manifestPaths: Seq[Path] =
+    // --- walk manifests: data files + v2 row-level delete files, each with
+    // its sequence number (entry-level, inherited from the manifest-list row
+    // when null — the spec's inheritance rule) ---
+    final case class ManifestRef(path: Path, seq: Long)
+    val manifestRefs: Seq[ManifestRef] =
       if (snapshot.has("manifest-list")) {
         avroRows(resolve(snapshot.path("manifest-list").asText())).map { r =>
-          // v2 manifest lists mark delete manifests via `content` (0=data,1=deletes)
-          val content = Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
-          if (content != 0) throw IcebergReadException(
-            "table has row-level delete manifests (format v2 deletes); this native " +
-              "reader only supports append-only snapshots — use an iceberg connector jar")
-          resolve(r.get("manifest_path").toString)
+          val seq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
+          ManifestRef(resolve(r.get("manifest_path").toString), seq)
         }
       } else if (snapshot.has("manifests"))
-        snapshot.path("manifests").elements().asScala.map(m => resolve(m.asText())).toSeq
+        snapshot.path("manifests").elements().asScala
+          .map(m => ManifestRef(resolve(m.asText()), 0L)).toSeq
       else throw IcebergReadException("snapshot carries neither manifest-list nor manifests")
 
-    val files = manifestPaths.flatMap { mp =>
-      avroRows(mp).flatMap { entry =>
+    final case class FileRef(path: String, seq: Long, bytes: Long)
+    val dataFiles = Seq.newBuilder[FileRef]
+    val posDeletes = Seq.newBuilder[FileRef]
+    val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int])]
+    manifestRefs.foreach { mref =>
+      avroRows(mref.path).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
-        if (status == 2) None // DELETED
-        else {
+        if (status != 2) { // 2 = DELETED entry: file left the snapshot
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          Option(df.get("content")).map(_.asInstanceOf[Int]).filter(_ != 0).foreach { c =>
-            throw IcebergReadException(
-              s"data_file content=$c (delete file) — append-only snapshots only")
-          }
+          val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet"))
-            throw IcebergReadException(s"data file format `$fmt` unsupported (parquet only)")
-          Some(resolve(df.get("file_path").toString).toString)
+          if (!fmt.equalsIgnoreCase("parquet")) throw IcebergReadException(
+            s"file format `$fmt` unsupported (parquet only; v3 deletion-vector " +
+              "puffin blobs need an iceberg connector jar)")
+          val seq = opt(entry, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mref.seq)
+          val bytes = opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
+          val ref = FileRef(resolve(df.get("file_path").toString).toString, seq, bytes)
+          content match {
+            case 0 => dataFiles += ref
+            case 1 => posDeletes += ref
+            case 2 =>
+              val ids = opt(df, "equality_ids").orNull match {
+                case l: java.util.List[_] =>
+                  l.asScala.map(x => x.asInstanceOf[Number].intValue()).toSeq
+                case _ => throw IcebergReadException(
+                  "equality delete file lists no equality_ids")
+              }
+              eqDeletes += ((ref, ids))
+            case c => throw IcebergReadException(s"unknown data_file content=$c")
+          }
         }
       }
     }
+    val (data, pos, eqs) = (dataFiles.result(), posDeletes.result(), eqDeletes.result())
 
-    if (files.isEmpty)
+    if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (pos.isEmpty && eqs.isEmpty)
+      spark.read.schema(schema).parquet(data.map(_.path): _*)
+    else {
+      // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
+      // work. Positional deletes anti-join on (file path, row position) via
+      // the _metadata columns; equality deletes anti-join on their equality
+      // columns. Sequence-number semantics per the spec: positional deletes
+      // apply to data sequence <= delete sequence, equality deletes to data
+      // sequence < delete sequence. Per-file sequences ride broadcast
+      // lookups (file lists are manifest-scale); a delete side under 64 MB
+      // (manifest-reported bytes) is broadcast, larger sets shuffle — both
+      // shapes survive a 100 TB table. ---
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
+      def uriPath(p: String) = new Path(p).toUri.getPath
+      def capped(df: DataFrame, bytes: Long) =
+        if (bytes <= 64L * 1024 * 1024) broadcast(df) else df
+
+      val seqLookup = data.map(f => (uriPath(f.path), f.seq)).toDF("__if", "__iseq")
+      var cur = spark.read.schema(schema).parquet(data.map(_.path): _*)
+        .withColumn("__if", norm(col("_metadata.file_path")))
+        .withColumn("__ipos", col("_metadata.row_index"))
+        .join(broadcast(seqLookup), Seq("__if"), "left")
+
+      if (pos.nonEmpty) {
+        // ONE scan of all positional delete files; per-file sequence joined in
+        val pLookup = pos.map(f => (uriPath(f.path), f.seq)).toDF("__pf", "__dseq")
+        val del = spark.read.parquet(pos.map(_.path): _*)
+          .select(norm(col("file_path")).as("__df"), col("pos").cast("long").as("__dpos"),
+            norm(col("_metadata.file_path")).as("__pf"))
+          .join(broadcast(pLookup), Seq("__pf"), "left").drop("__pf")
+        val delB = capped(del, pos.map(_.bytes).sum)
+        cur = cur.join(delB,
+          cur("__if") === delB("__df") && cur("__ipos") === delB("__dpos") &&
+            cur("__iseq") <= delB("__dseq"),
+          "left_anti")
+      }
+
+      // equality deletes group by their equality_ids set (one anti-join per
+      // distinct column set; null-safe equality — a null deletes a null)
+      val idToName: Map[Int, String] = schemaNode.path("fields").elements().asScala
+        .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+      eqs.groupBy(_._2).foreach { case (ids, group) =>
+        val names = ids.map(id => idToName.getOrElse(id, throw IcebergReadException(
+          s"equality delete references field id $id outside the table's top-level " +
+            "schema (nested equality deletes need an iceberg connector jar)")))
+        val eLookup = group.map { case (f, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
+        val del = spark.read.parquet(group.map(_._1.path): _*)
+          .withColumn("__ef", norm(col("_metadata.file_path")))
+          .join(broadcast(eLookup), Seq("__ef"), "left")
+          .select(names.map(n => col(n).as(s"__eq_$n")) :+ col("__dseq"): _*)
+        val delB = capped(del, group.map(_._1.bytes).sum)
+        val cond = names.map(n => cur(n) <=> delB(s"__eq_$n")).reduce(_ && _) &&
+          cur("__iseq") < delB("__dseq")
+        cur = cur.join(delB, cond, "left_anti")
+      }
+      cur.select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map). */

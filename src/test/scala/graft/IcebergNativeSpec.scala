@@ -24,15 +24,19 @@ class IcebergNativeSpec extends SparkSpec {
       {"name":"content","type":["null","int"],"default":null},
       {"name":"file_path","type":"string"},
       {"name":"file_format","type":"string"},
-      {"name":"record_count","type":"long"}]}""")
+      {"name":"record_count","type":"long"},
+      {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
   private val entrySchema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
       {"name":"data_file","type":${dataFileSchema.toString}}]}""")
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string"},
-      {"name":"content","type":["null","int"],"default":null}]}""")
+      {"name":"content","type":["null","int"],"default":null},
+      {"name":"sequence_number","type":["null","long"],"default":null}]}""")
 
   private def writeAvro(path: File, schema: Schema, rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
@@ -40,22 +44,30 @@ class IcebergNativeSpec extends SparkSpec {
     try rows.foreach(w.append) finally w.close()
   }
 
-  private def entry(status: Int, filePath: String, content: Option[Int] = None): GenericRecord = {
+  private def entry(status: Int, filePath: String, content: Option[Int] = None,
+      seq: Option[Long] = None, eqIds: Seq[Int] = Nil,
+      format: String = "PARQUET"): GenericRecord = {
     val df = new GenericData.Record(dataFileSchema)
     df.put("content", content.map(Int.box).orNull)
     df.put("file_path", filePath)
-    df.put("file_format", "PARQUET")
+    df.put("file_format", format)
     df.put("record_count", 1L)
+    df.put("file_size_in_bytes", Long.box(1024L))
+    df.put("equality_ids",
+      if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
+    e.put("sequence_number", seq.map(Long.box).orNull)
     e.put("data_file", df)
     e
   }
 
-  private def manifestListRow(path: String, content: Option[Int] = None): GenericRecord = {
+  private def manifestListRow(path: String, content: Option[Int] = None,
+      seq: Option[Long] = None): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", path)
     r.put("content", content.map(Int.box).orNull)
+    r.put("sequence_number", seq.map(Long.box).orNull)
     r
   }
 
@@ -119,29 +131,95 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
   }
 
-  test("row-level delete files reject loudly") {
-    val root = tempDir("ice_del")
-    import spark.implicits._
-    val f1 = writePart(root, "data/a.parquet", Seq((1L, "a")).toDF("id", "v"))
-    val md = new File(root, "metadata"); md.mkdirs()
-    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1, content = Some(1))))
-    writeAvro(new File(md, "ml.avro"), manifestListSchema, Seq(manifestListRow("metadata/m1.avro")))
-    writeMeta(root, s"""{
+  private def v2Meta(root: File, snapshotId: Long = 1): String = s"""{
       "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
       "current-schema-id": 0, "schemas": [$tableSchemaJson],
-      "current-snapshot-id": 1,
-      "snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""")
+      "current-snapshot-id": $snapshotId,
+      "snapshots": [{"snapshot-id": $snapshotId, "manifest-list": "metadata/ml.avro"}]}"""
+
+  test("v2 positional deletes drop (path, pos) rows with sequence visibility") {
+    val root = tempDir("ice_posdel")
+    import spark.implicits._
+    val fA = writePart(root, "data/a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val fB = writePart(root, "data/b.parquet", Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    // positional delete file per the spec: (file_path, pos) columns. One
+    // LIVE delete kills pos 1 of file A (id=2); one STALE delete (sequence
+    // BELOW the data's) targets pos 0 of file B and must NOT apply.
+    val live = writePart(root, "data/del_live.parquet",
+      Seq((s"${root.getPath}/data/a.parquet", 1L)).toDF("file_path", "pos"))
+    val stale = writePart(root, "data/del_stale.parquet",
+      Seq((s"${root.getPath}/data/b.parquet", 0L)).toDF("file_path", "pos"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)), entry(1, fB, seq = Some(1L)),
+      entry(1, live, content = Some(1), seq = Some(2L)),
+      entry(1, stale, content = Some(1), seq = Some(0L))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("v2 equality deletes drop matching rows, strict-sequence, null-safe") {
+    val root = tempDir("ice_eqdel")
+    import spark.implicits._
+    val fA = writePart(root, "data/a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, null.asInstanceOf[String])).toDF("id", "v"))
+    // equality delete on field id 2 (column v): v='a' and v=null at seq 2
+    // delete ids 1,3,4; a same-sequence delete (seq 1, NOT < data seq 1)
+    // targeting 'b' must not apply
+    val live = writePart(root, "data/eq_live.parquet",
+      Seq("a", null.asInstanceOf[String]).toDF("v"))
+    val same = writePart(root, "data/eq_same.parquet", Seq("b").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, live, content = Some(2), seq = Some(2L), eqIds = Seq(2)),
+      entry(1, same, content = Some(2), seq = Some(1L), eqIds = Seq(2))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("entry sequence numbers inherit from the manifest-list row when null") {
+    val root = tempDir("ice_seqinherit")
+    import spark.implicits._
+    val fA = writePart(root, "data/a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val del = writePart(root, "data/del.parquet",
+      Seq((s"${root.getPath}/data/a.parquet", 0L)).toDF("file_path", "pos"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    // data manifest at seq 1, delete manifest at seq 2 — entries carry NO
+    // explicit sequence, so visibility must come from inheritance
+    writeAvro(new File(md, "m_data.avro"), entrySchema, Seq(entry(1, fA)))
+    writeAvro(new File(md, "m_del.avro"), entrySchema,
+      Seq(entry(1, del, content = Some(1))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema, Seq(
+      manifestListRow("metadata/m_data.avro", seq = Some(1L)),
+      manifestListRow("metadata/m_del.avro", content = Some(1), seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("v3 puffin deletion vectors reject loudly") {
+    val root = tempDir("ice_puffin")
+    import spark.implicits._
+    val fA = writePart(root, "data/a.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, "data/dv.puffin", content = Some(1), seq = Some(2L), format = "PUFFIN")))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
     val e = intercept[IcebergNative.IcebergReadException] {
       IcebergNative.read(spark, root.getPath, Map.empty)
     }
-    assert(e.getMessage.contains("delete file"))
-    // delete MANIFESTS (content=1 in the manifest list) reject the same way
-    writeAvro(new File(md, "ml.avro"), manifestListSchema,
-      Seq(manifestListRow("metadata/m1.avro", content = Some(1))))
-    val e2 = intercept[IcebergNative.IcebergReadException] {
-      IcebergNative.read(spark, root.getPath, Map.empty)
-    }
-    assert(e2.getMessage.contains("delete manifests"))
+    assert(e.getMessage.toLowerCase.contains("puffin"))
   }
 
   test("schema conversion covers primitives, struct, list, map, decimal") {
