@@ -239,6 +239,34 @@ class DeltaNativeSpec extends SparkSpec {
       .select("id").head().getLong(0) === 9L)
   }
 
+  test("column mapping mode=name on a PARTITIONED table: physical dirs + pv keys") {
+    val root = tempDir("delta_cm_part")
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def fld(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-aa11", 1), fld("v", StringType, "col-bb22", 2),
+      fld("p", IntegerType, "col-cc33", 3)))
+    // with mapping active, hive dir names AND partitionValues keys are
+    // PHYSICAL; partitionColumns stays logical
+    val f1 = writePart(root, "col-cc33=10/part-0.parquet",
+      Seq((1L, "x")).toDF("col-aa11", "col-bb22"))
+    val f2 = writePart(root, "col-cc33=20/part-0.parquet",
+      Seq((2L, "y")).toDF("col-aa11", "col-bb22"))
+    commit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(logical.json, Seq("p"), Map("delta.columnMapping.mode" -> "name")),
+      add(f1, Map("col-cc33" -> "10")), add(f2, Map("col-cc33" -> "20"))))
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.columns.toSeq === Seq("id", "v", "p"))
+    assert(df.schema("p").dataType === IntegerType)
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      === Seq((1L, 10), (2L, 20)))
+  }
+
   test("reader features beyond column mapping reject loudly") {
     val root = tempDir("delta_dv")
     import spark.implicits._

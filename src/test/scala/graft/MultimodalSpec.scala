@@ -131,6 +131,30 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(rows(1L).getLong(4) - exact) < exact / 2)
   }
 
+  test("decodeImage expands palette (GIF) images to component rasters") {
+    import spark.implicits._
+    // an 8×8 two-color INDEXED checkerboard through the JDK GIF writer
+    // (8×8 because the JDK's GIF LZW path mis-packs 1-bit rows at
+    // non-multiple-of-8 widths — probed; PNG is exact everywhere); the
+    // decoder must expand palette indices to real RGB bands, never sum
+    // raw palette indices
+    val icm = new java.awt.image.IndexColorModel(8, 2,
+      Array[Byte](0, -1), Array[Byte](0, -1), Array[Byte](0, -1))
+    val src = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 8; x <- 0 until 8)
+      src.getRaster.setSample(x, y, 0, if ((x + y) % 2 == 0) 1 else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos), "no gif writer in JDK")
+    val in = Seq(1L -> bos.toByteArray).toDF("id", "payload")
+    val row = Multimodal.decodeImage(in, "payload", "id").head()
+    assert(row.getBoolean(5))
+    assert(row.getLong(1) === 8L && row.getLong(2) === 8L)
+    assert(row.getLong(3) === 3L, "palette must expand to 3 component bands")
+    // checkerboard: half the 64 pixels are white (255×3), half black
+    assert(row.getLong(4) === 32L * 255 * 3)
+  }
+
   test("resizeImage: bilinear half-scale is the exact 2×2 floor-average") {
     import spark.implicits._
     val samples = Array(

@@ -121,6 +121,18 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("l03: v2 delete anti-joins hash, never nested-loop; delete sides broadcast") {
+    // positional deletes carry equi keys (file, pos) and equality deletes a
+    // null-safe equi key — both must plan as (broadcast) HASH anti-joins; a
+    // BroadcastNestedLoopJoin here would be all-pairs over a 100 TB fact
+    val p = plan("l03_iceberg_v2_deletes")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"v2 delete anti-join fell back to nested-loop:\n$p")
+    val antiJoins = p.linesIterator.count(l =>
+      l.contains("HashJoin") && l.contains("LeftAnti"))
+    assert(antiJoins >= 2, s"expected hash anti-joins for pos+eq deletes:\n$p")
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
