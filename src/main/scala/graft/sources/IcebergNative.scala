@@ -153,10 +153,28 @@ object IcebergNative {
     }
     val (data, pos, eqs) = (dataFiles.result(), posDeletes.result(), eqDeletes.result())
 
+    // Field-id resolution (the spec's rule; survives column renames): if the
+    // data files carry parquet field ids — every iceberg-written file does —
+    // read with id metadata and Spark's fieldId matching. Hand-assembled
+    // id-less files (this repo's fixtures) keep name resolution, so the
+    // ignoreMissing trap never arms. One bounded footer probe.
+    val useFieldIds = data.nonEmpty && {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(data.head.path), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+      finally r.close()
+    }
+    val readSchema =
+      if (useFieldIds) {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        toStruct(schemaNode, withFieldIds = true)
+      } else schema
+
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (pos.isEmpty && eqs.isEmpty)
-      spark.read.schema(schema).parquet(data.map(_.path): _*)
+      spark.read.schema(readSchema).parquet(data.map(_.path): _*)
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
       // work. Positional deletes anti-join on (file path, row position) via
@@ -176,7 +194,7 @@ object IcebergNative {
         if (bytes <= 64L * 1024 * 1024) broadcast(df) else df
 
       val seqLookup = data.map(f => (uriPath(f.path), f.seq)).toDF("__if", "__iseq")
-      var cur = spark.read.schema(schema).parquet(data.map(_.path): _*)
+      var cur = spark.read.schema(readSchema).parquet(data.map(_.path): _*)
         .withColumn("__if", norm(col("_metadata.file_path")))
         .withColumn("__ipos", col("_metadata.row_index"))
         .join(broadcast(seqLookup), Seq("__if"), "left")
@@ -217,11 +235,19 @@ object IcebergNative {
     }
   }
 
-  /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map). */
-  private[graft] def toStruct(node: JsonNode): StructType =
+  /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map).
+    * With `withFieldIds`, every field carries `parquet.field.id` metadata so
+    * Spark's parquet reader resolves columns by FIELD ID instead of name —
+    * the Iceberg spec's resolution rule, which survives column renames
+    * (a name-based read of a renamed column silently returns nulls). */
+  private[graft] def toStruct(node: JsonNode, withFieldIds: Boolean = false): StructType =
     StructType(node.path("fields").elements().asScala.map { f =>
+      val meta =
+        if (withFieldIds && f.has("id"))
+          new MetadataBuilder().putLong("parquet.field.id", f.path("id").asLong()).build()
+        else Metadata.empty
       StructField(f.path("name").asText(), toSpark(f.path("type")),
-        nullable = !f.path("required").asBoolean(false))
+        nullable = !f.path("required").asBoolean(false), metadata = meta)
     }.toSeq)
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r

@@ -205,6 +205,33 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("renamed columns resolve by parquet field id, not name") {
+    val root = tempDir("ice_rename")
+    import org.apache.spark.sql.types._
+    // the data file predates a rename: parquet columns old_id/old_v carry
+    // field ids 1/2 (spark writes ids when the schema metadata has them);
+    // current table schema names them id/v — the spec resolves by ID, a
+    // name-based read would return all nulls
+    val writeSchema = StructType(Seq(
+      StructField("old_id", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("old_v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val rows = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(7L, "seven"), org.apache.spark.sql.Row(8L, "eight")), 1)
+    val f1 = writePart(root, "data/renamed.parquet",
+      spark.createDataFrame(rows, writeSchema))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro")))
+    writeMeta(root, v2Meta(root))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((7L, "seven"), (8L, "eight")))
+  }
+
   test("v3 puffin deletion vectors reject loudly") {
     val root = tempDir("ice_puffin")
     import spark.implicits._
