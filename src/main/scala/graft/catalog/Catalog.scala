@@ -180,21 +180,29 @@ object Catalog {
     finally in.close()
     val bucketCol = node.path("bucket_by").asText()
     val buckets = node.path("buckets").asInt()
-    val sortCols = {
-      import scala.jdk.CollectionConverters._
-      node.path("sort_by").elements().asScala.map(_.asText()).toSeq
-    }
+    import scala.jdk.CollectionConverters._
+    val sortCols = node.path("sort_by").elements().asScala.map(_.asText()).toSeq
+    val partCols = node.path("partition_by").elements().asScala.map(_.asText()).toSeq
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(node.path("schema").toString).asInstanceOf[StructType]
     val sorted =
       if (sortCols.isEmpty) ""
       else s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")}) "
+    val partitioned =
+      if (partCols.isEmpty) ""
+      else s"\nPARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
+    // idempotent re-attach: the temp view from a previous attach shadows the
+    // catalog table for DROP TABLE resolution — drop it explicitly first,
+    // else DROP TABLE eats the view, CREATE TABLE hits the survivor and throws
+    spark.catalog.dropTempView(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.sql(
       s"""CREATE TABLE `$table` (${schema.toDDL})
-         |USING PARQUET
+         |USING PARQUET$partitioned
          |CLUSTERED BY (`$bucketCol`) ${sorted}INTO $buckets BUCKETS
          |LOCATION '${files.head}'""".stripMargin)
+    // hive-partitioned layouts need partition discovery before any read
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$table`")
     Some(spark.table(table))
   }
 

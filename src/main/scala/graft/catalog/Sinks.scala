@@ -85,9 +85,12 @@ object Sinks {
         // re-Exchange every join. Persist the bucket spec next to the data
         // (underscore prefix: invisible to plain parquet scans) so
         // Catalog.attach can re-register the layout in ANY later session.
+        val partCols = options.get("partition_by").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
         val sidecar =
           s"""{"bucket_by":"$bucketCol","buckets":$n,""" +
             s""""sort_by":[${sortCols.map(c => s""""$c"""").mkString(",")}],""" +
+            s""""partition_by":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
             s""""schema":${df.schema.json}}"""
         val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
         val fs = sp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())

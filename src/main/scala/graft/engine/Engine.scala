@@ -34,6 +34,11 @@ object Engine {
       // unless read as raw nanos (Tables.load converts to micros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Field-id column resolution (Iceberg's rule; survives renames). Inert
+      // unless a read schema carries parquet.field.id metadata — only the
+      // native Iceberg reader produces one, and only after probing that the
+      // data files actually store ids (IcebergNative).
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // File-split bin size. Spark's 128 MB default is right for a cluster
       // (100 TB → ~800k map tasks); on local[N] it bins a whole multi-file

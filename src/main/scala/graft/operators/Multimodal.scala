@@ -59,27 +59,40 @@ object Multimodal {
   private val MaxPixels: Long = 64L * 1024 * 1024
 
   /** Decode bytes → component-raster BufferedImage, or None. Never throws:
-    * at 100 TB a corrupt payload is data, not an exception. */
+    * at 100 TB a corrupt payload is data, not an exception. The bomb guard
+    * probes declared dimensions from the HEADER (ImageReader.getWidth reads
+    * no pixel data) BEFORE any raster allocation — filtering after a full
+    * ImageIO.read would OOM the executor first. */
   private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     import java.awt.image.BufferedImage
     if (bytes == null || bytes.isEmpty) None
     else try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .filter(img => img.getWidth.toLong * img.getHeight <= MaxPixels)
-        .map { img =>
-          // Palette (GIF / indexed PNG) rasters hold palette INDICES —
-          // arithmetic over them is meaningless; expand to 8-bit RGB.
-          // 8-bit gray / RGB / RGBA component rasters pass through losslessly.
-          val cm = img.getColorModel
-          val bands = img.getRaster.getNumBands
-          val componentOk = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
-            cm.getComponentSize.forall(_ == 8) && (bands == 1 || bands == 3 || bands == 4)
-          if (componentOk) img
-          else {
-            val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
-            val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); out
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w, h) = (reader.getWidth(0), reader.getHeight(0)) // header-only
+          if (w.toLong * h > MaxPixels || w <= 0 || h <= 0) None
+          else Option(reader.read(0)).map { img =>
+            // Palette (GIF / indexed PNG) rasters hold palette INDICES —
+            // arithmetic over them is meaningless; expand to 8-bit RGB.
+            // 8-bit gray / RGB / RGBA component rasters pass through losslessly.
+            val cm = img.getColorModel
+            val bands = img.getRaster.getNumBands
+            val componentOk = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+              cm.getComponentSize.forall(_ == 8) && (bands == 1 || bands == 3 || bands == 4)
+            if (componentOk) img
+            else {
+              val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_3BYTE_BGR)
+              val g = out.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); out
+            }
           }
-        }
+        } finally { reader.dispose(); iis.close() }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

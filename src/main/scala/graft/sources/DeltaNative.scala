@@ -250,16 +250,11 @@ object DeltaNative {
           StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
         import spark.implicits._
         val lookup = adds.toSeq.map { case (p, pv) =>
-          val uriPath = new Path(resolve(p)).toUri.getPath
-          (uriPath, physPartCols.map(c => pv.get(c).orNull))
+          (PathKeys.key(resolve(p)), physPartCols.map(c => pv.get(c).orNull))
         }.toDF("__graft_fp", "__graft_pv")
-        // normalize scheme'd URIs ("file:///x", "file:/x") to the bare path
-        // so driver-side Path strings and executor-side file_path agree
-        def stripScheme(c: Column): Column =
-          regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
         val base = spark.read.schema(physDataSchema)
           .parquet(adds.keys.map(resolve).toSeq: _*)
-          .withColumn("__graft_fp", stripScheme(col("_metadata.file_path")))
+          .withColumn("__graft_fp", PathKeys.keyCol(col("_metadata.file_path")))
         val joined = base.join(broadcast(lookup), Seq("__graft_fp"), "left")
         val withParts = partCols.foldLeft(joined) { (df, c) =>
           val idx = physPartCols.indexOf(physByLogical.getOrElse(c, c))

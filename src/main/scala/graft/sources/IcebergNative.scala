@@ -165,6 +165,10 @@ object IcebergNative {
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
       finally r.close()
     }
+    // the engine default enables fieldId matching (Engine.configure); for
+    // sessions built outside the engine it is enabled here — a session-level
+    // setting by necessity (Spark consults it at plan time, not read time),
+    // inert for any schema that carries no parquet.field.id metadata
     val readSchema =
       if (useFieldIds) {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -186,10 +190,9 @@ object IcebergNative {
       // (manifest-reported bytes) is broadcast, larger sets shuffle — both
       // shapes survive a 100 TB table. ---
       import spark.implicits._
-      import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+", "/")
-      def uriPath(p: String) = new Path(p).toUri.getPath
+      import org.apache.spark.sql.functions.{broadcast, col}
+      def norm(c: org.apache.spark.sql.Column) = PathKeys.keyCol(c)
+      def uriPath(p: String) = PathKeys.key(p)
       def capped(df: DataFrame, bytes: Long) =
         if (bytes <= 64L * 1024 * 1024) broadcast(df) else df
 

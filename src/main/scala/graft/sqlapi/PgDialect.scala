@@ -139,6 +139,13 @@ object PgDialect {
             java.util.regex.Matcher.quoteReplacement(
               s"CAST(${m.group(1)} AS ${mapType(m.group(2).trim)})"))
         }
+        // PG CREATE VIEW over foreign tables lands in the session namespace,
+        // exactly as the reference pushes CREATE VIEW into its engine
+        // (src/hooks/utility/view.rs:31-98): attached tables ARE session temp
+        // views here, and a permanent Spark view cannot reference them. An
+        // explicit TEMP/TEMPORARY/MATERIALIZED keyword is left untouched.
+        // Per-SEGMENT so a string literal mentioning CREATE VIEW stays data.
+        s = createViewRe.replaceAllIn(s, "$1TEMP VIEW")
         // a quoted literal directly before `::type` spans two segments:
         // stitch `'lit'` + leading `::type` here
         leadingCast.findFirstMatchIn(s) match {
@@ -169,12 +176,6 @@ object PgDialect {
     res = readFnRe.replaceAllIn(res, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1).toLowerCase}.`${m.group(2)}`"))
-    // PG CREATE VIEW over foreign tables lands in the session namespace,
-    // exactly as the reference pushes CREATE VIEW into its engine
-    // (src/hooks/utility/view.rs:31-98): attached tables ARE session temp
-    // views here, and a permanent Spark view cannot reference them. An
-    // explicit TEMP/TEMPORARY/MATERIALIZED keyword is left untouched.
-    res = createViewRe.replaceAllIn(res, "$1TEMP VIEW")
     res
   }
 

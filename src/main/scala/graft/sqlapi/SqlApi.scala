@@ -153,14 +153,14 @@ object SqlApi {
         }
       } finally reader.close()
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(
-        StructField("file_name", StringType), StructField("name", StringType),
-        StructField("type", StringType), StructField("repetition_type", StringType),
-        StructField("logical_type", StringType), StructField("scale", IntegerType),
-        StructField("precision", IntegerType), StructField("field_id", IntegerType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), footerSchema)
   }
+
+  private val footerSchema = StructType(Seq(
+    StructField("file_name", StringType), StructField("name", StringType),
+    StructField("type", StringType), StructField("repetition_type", StringType),
+    StructField("logical_type", StringType), StructField("scale", IntegerType),
+    StructField("precision", IntegerType), StructField("field_id", IntegerType)))
 
   /** Logical schema description (reference: parquet_describe(),
     * src/api/parquet.rs:53-71): (column_name, column_type, null, key,
@@ -212,9 +212,12 @@ object SqlApi {
 
   private def schemaAny(spark: SparkSession, nameOrPath: String): DataFrame =
     if (spark.catalog.tableExists(nameOrPath)) {
-      // footer rows of the table's actual backing files
+      // footer rows of the table's actual backing files; a file-less
+      // relation (VALUES view, empty lakehouse table) lists zero footers
       val files = spark.table(nameOrPath).inputFiles.toSeq
-      files.map(f => parquetSchema(spark, f)).reduce(_ unionByName _)
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], footerSchema)
+      else files.map(f => parquetSchema(spark, f)).reduce(_ unionByName _)
     } else parquetSchema(spark, nameOrPath)
 
   private def registerTableFunctions(spark: SparkSession, sql: String): String = {

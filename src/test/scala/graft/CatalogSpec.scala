@@ -370,6 +370,24 @@ class CatalogSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("PathKeys: driver and executor key forms agree across filesystems") {
+    import graft.sources.PathKeys
+    // the object-store hazard: URIs carry an authority that Path.toUri.getPath
+    // drops — both sides must keep it or every delete/partition lookup misses
+    for ((uri, expected) <- Seq(
+      "s3a://bucket/wh/data/f.parquet" -> "/bucket/wh/data/f.parquet",
+      "hdfs://nn:8020/wh/f.parquet" -> "/nn:8020/wh/f.parquet",
+      "file:///tmp/x/f.parquet" -> "/tmp/x/f.parquet",
+      "file:/tmp/x/f.parquet" -> "/tmp/x/f.parquet",
+      "/tmp/x/f.parquet" -> "/tmp/x/f.parquet")) {
+      assert(PathKeys.key(uri) === expected, s"driver key of $uri")
+      val colSide = spark.range(1)
+        .select(PathKeys.keyCol(org.apache.spark.sql.functions.lit(uri)))
+        .head().getString(0)
+      assert(colSide === expected, s"executor key of $uri")
+    }
+  }
+
   test("csv skip composes with filename metadata; file_row_number rejects") {
     val p1 = writeText(dir, "skf1.csv", "junk\na,b\n1,2\n")
     val p2 = writeText(dir, "skf2.csv", "junk\na,b\n5,6\n")

@@ -187,6 +187,26 @@ class MultimodalSpec extends SparkSpec {
     assert(!rows(2L).getBoolean(5) && rows(2L).isNullAt(1))
   }
 
+  test("pixel bomb rejected from the HEADER, before any raster allocation") {
+    import spark.implicits._
+    // a real tiny PNG whose IHDR is patched to declare a 60000×60000 canvas
+    // (3.6 Gpx ≈ 10+ GB raster) with the chunk CRC recomputed so the reader
+    // trusts the header; the guard must refuse before decoding
+    val png = Multimodal.encodePngGray(4, 4, (x, y) => x + y)
+    def be(i: Int) = Array[Byte]((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    val bombed = png.clone()
+    System.arraycopy(be(60000), 0, bombed, 16, 4) // IHDR width
+    System.arraycopy(be(60000), 0, bombed, 20, 4) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bombed, 12, 17) // chunk type "IHDR" + 13 data bytes
+    System.arraycopy(be(crc.getValue.toInt), 0, bombed, 29, 4)
+    val in = Seq(1L -> bombed).toDF("id", "payload")
+    val t0 = System.nanoTime()
+    val row = Multimodal.decodeImage(in, "payload", "id").head()
+    assert(!row.getBoolean(5) && row.isNullAt(1))
+    assert((System.nanoTime() - t0) < 30e9, "bomb guard must not attempt the decode")
+  }
+
   test("fixturePng family: decoded geometry matches the closed-form oracle") {
     for (id <- Seq(0L, 7L, 123L, 499L)) {
       val img = javax.imageio.ImageIO.read(

@@ -304,6 +304,18 @@ class PgDialectCorpusSpec extends SparkSpec {
       "SELECT COUNT(DISTINCT name) FROM parquet_schema('primitive')").head().getLong(0) === 17)
   }
 
+  test("CREATE VIEW inside a string literal stays literal text") {
+    val r = SqlApi.executePg(spark, "SELECT 'CREATE VIEW audit_step' AS msg").head()
+    assert(r.getString(0) === "CREATE VIEW audit_step")
+  }
+
+  test("parquet_schema over a file-less relation returns empty, not a crash") {
+    spark.sql("SELECT 1 AS a").createOrReplaceTempView("no_files_view")
+    val df = SqlApi.executePg(spark, "SELECT * FROM parquet_schema('no_files_view')")
+    assert(df.count() === 0)
+    assert(df.columns.contains("field_id"))
+  }
+
   test("bare read_parquet/read_csv/read_json map to Spark path tables") {
     val q = SqlApi.executePg(spark,
       s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")

@@ -85,6 +85,26 @@ class SinksUdfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("bucketed attach is idempotent and honors partition_by in the sidecar") {
+    val wh = tempDir("bucketed_part_rt")
+    val cust = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    Sinks.copyTo(cust, s"$wh/c", "parquet", Map(
+      "partition_by" -> "c_mktsegment", "bucket_by" -> "c_custkey", "buckets" -> "4",
+      "table" -> "sk_part_bucketed", "overwrite" -> "true"))
+    spark.sql("DROP TABLE sk_part_bucketed") // catalog loss
+    val first = Catalog.attach(spark, "rt_pb", "parquet", Map("files" -> s"$wh/c"))
+    // partition column recovered from the hive layout, values intact
+    assert(first.columns.contains("c_mktsegment"))
+    assert(first.count() === cust.count())
+    assert(first.groupBy("c_mktsegment").count().count() === 5)
+    assert(first.filter(col("c_mktsegment").isNull).count() === 0)
+    // re-attach under the SAME name must replace, not throw (the temp view
+    // from the first attach used to shadow DROP TABLE resolution)
+    val again = Catalog.attach(spark, "rt_pb", "parquet", Map("files" -> s"$wh/c"))
+    assert(again.count() === cust.count())
+  }
+
   test("copyTo rejects orphan bucketing companions without bucket_by") {
     val df = Tables.load(spark, sf, "nation")
     // sort_by/buckets/table are only meaningful with bucket_by; accepting
