@@ -157,14 +157,15 @@ object IcebergNative {
     // data files carry parquet field ids — every iceberg-written file does —
     // read with id metadata and Spark's fieldId matching. Hand-assembled
     // id-less files (this repo's fixtures) keep name resolution, so the
-    // ignoreMissing trap never arms. One bounded footer probe.
-    val useFieldIds = data.nonEmpty && {
+    // ignoreMissing trap never arms. One bounded footer probe per file kind.
+    def hasFieldIds(path: String): Boolean = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(data.head.path), conf))
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
       finally r.close()
     }
+    val useFieldIds = data.nonEmpty && hasFieldIds(data.head.path)
     // the engine default enables fieldId matching (Engine.configure); for
     // sessions built outside the engine it is enabled here — a session-level
     // setting by necessity (Spark consults it at plan time, not read time),
@@ -225,7 +226,18 @@ object IcebergNative {
           s"equality delete references field id $id outside the table's top-level " +
             "schema (nested equality deletes need an iceberg connector jar)")))
         val eLookup = group.map { case (f, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
-        val del = spark.read.parquet(group.map(_._1.path): _*)
+        // delete-file columns resolve by field id too when the files carry
+        // ids (a renamed table's older delete files store the OLD names);
+        // types come from the table schema, never re-inferred
+        val delHasIds = hasFieldIds(group.head._1.path)
+        val delSchema = StructType(names.zip(ids).map { case (n, id) =>
+          val meta =
+            if (delHasIds)
+              new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+            else Metadata.empty
+          StructField(n, schema(n).dataType, nullable = true, metadata = meta)
+        })
+        val del = spark.read.schema(delSchema).parquet(group.map(_._1.path): _*)
           .withColumn("__ef", norm(col("_metadata.file_path")))
           .join(broadcast(eLookup), Seq("__ef"), "left")
           .select(names.map(n => col(n).as(s"__eq_$n")) :+ col("__dseq"): _*)

@@ -221,15 +221,26 @@ class IcebergNativeSpec extends SparkSpec {
       org.apache.spark.sql.Row(7L, "seven"), org.apache.spark.sql.Row(8L, "eight")), 1)
     val f1 = writePart(root, "data/renamed.parquet",
       spark.createDataFrame(rows, writeSchema))
+    // an equality delete file ALSO written pre-rename: old column name
+    // old_v under field id 2, deleting 'seven' — id resolution must reach
+    // delete files too
+    val delSchema = StructType(Seq(
+      StructField("old_v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val delRows = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("seven")), 1)
+    val fDel = writePart(root, "data/eq_renamed.parquet",
+      spark.createDataFrame(delRows, delSchema))
     val md = new File(root, "metadata"); md.mkdirs()
-    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1)))
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, f1, seq = Some(1L)),
+      entry(1, fDel, content = Some(2), seq = Some(2L), eqIds = Seq(2))))
     writeAvro(new File(md, "ml.avro"), manifestListSchema,
-      Seq(manifestListRow("metadata/m1.avro")))
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
     writeMeta(root, v2Meta(root))
     val df = IcebergNative.read(spark, root.getPath, Map.empty)
     assert(df.columns.toSeq === Seq("id", "v"))
-    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-      === Seq((7L, "seven"), (8L, "eight")))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((8L, "eight")))
   }
 
   test("v3 puffin deletion vectors reject loudly") {
