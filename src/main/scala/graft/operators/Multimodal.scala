@@ -233,6 +233,120 @@ object Multimodal {
   def fixturePng(id: Long): Array[Byte] =
     encodePngGray(fixtureWidth(id), fixtureHeight(id), fixtureSample(id))
 
+  // ------------------------------------------------------------------ video
+  // REAL container demux (RIFF/AVI chunk grammar from the public spec):
+  // the frame PAYLOADS are extracted for real — only pixel decode of those
+  // payloads still needs codecs this container lacks.
+
+  /** Parse RIFF/AVI bytes → (streamId, frameIndex, absoluteOffset, bytes)
+    * per frame chunk (##dc/##db/##wb) inside the `movi` LIST. Tolerant
+    * demuxer: non-AVI payloads and truncated tails yield the frames parsed
+    * so far (corrupt payloads are data, not exceptions). */
+  private def parseAviFrames(bytes: Array[Byte]): Seq[(String, Int, Long, Array[Byte])] = {
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes == null || bytes.length < 12) return Nil
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = Seq.newBuilder[(String, Int, Long, Array[Byte])]
+    var frameIdx = 0
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32le(4))
+    var p = 12L
+    while (p + 8 <= riffEnd) {
+      val id = fourcc(p.toInt)
+      val sz = u32le(p.toInt + 4)
+      if (id == "LIST" && p + 12 <= riffEnd && fourcc(p.toInt + 8) == "movi") {
+        var q = p + 12
+        val listEnd = math.min(riffEnd, p + 8 + sz)
+        while (q + 8 <= listEnd) {
+          val cid = fourcc(q.toInt)
+          val csz = u32le(q.toInt + 4)
+          val isFrame = cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+            (cid.endsWith("dc") || cid.endsWith("db") || cid.endsWith("wb"))
+          if (isFrame && q + 8 + csz <= listEnd) {
+            val data = java.util.Arrays.copyOfRange(bytes, (q + 8).toInt, (q + 8 + csz).toInt)
+            out += ((cid.substring(0, 2), frameIdx, q + 8, data))
+            frameIdx += 1
+          }
+          q += 8 + csz + (csz & 1) // chunks pad to even
+        }
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    out.result()
+  }
+
+  /** Real AVI frame demux as a DataFrame op: one row per frame chunk with
+    * its stream id, index, absolute payload offset, size, and the md5 of
+    * the UPPERCASE-hex rendering of the frame bytes (the same replayable
+    * hash contract as frameSampleStub — any SQL engine can recompute it).
+    * Partition-local, no shuffle, linear in payload bytes. */
+  def aviFrames(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val HEXU = "0123456789ABCDEF".getBytes("US-ASCII")
+        val HEXL = "0123456789abcdef".toCharArray
+        rows.flatMap { case (id, bytes) =>
+          parseAviFrames(bytes).map { case (stream, k, off, data) =>
+            val hexBuf = new Array[Byte](data.length * 2)
+            var i = 0
+            while (i < data.length) {
+              val b = data(i) & 0xff
+              hexBuf(2 * i) = HEXU(b >> 4); hexBuf(2 * i + 1) = HEXU(b & 0xf)
+              i += 1
+            }
+            md.reset(); md.update(hexBuf)
+            val d = md.digest()
+            val hex = new Array[Char](32)
+            var j = 0
+            while (j < 16) {
+              hex(2 * j) = HEXL((d(j) >> 4) & 0xf); hex(2 * j + 1) = HEXL(d(j) & 0xf)
+              j += 1
+            }
+            (id, k.toLong, stream, off, data.length.toLong, new String(hex))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "stream", "offset", "size_bytes", "frame_md5")
+  }
+
+  /** Minimal spec-conform AVI container around raw frame payloads: RIFF
+    * form `AVI ` holding one `movi` LIST of `<stream>dc` chunks. Real
+    * container bytes (players' demuxers accept the grammar); the fixture
+    * half of the m05 oracle. */
+  def buildAvi(frames: Seq[Array[Byte]], streamId: String = "00"): Array[Byte] = {
+    require(streamId.length == 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w4(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def wle(v: Long): Unit =
+      (0 until 4).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    val moviSize = 4L + frames.map(f => 8L + f.length + (f.length & 1)).sum
+    w4("RIFF"); wle(4L + 8L + moviSize); w4("AVI ")
+    w4("LIST"); wle(moviSize); w4("movi")
+    frames.foreach { f =>
+      w4(s"${streamId}dc"); wle(f.length.toLong); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // pad to even
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic AVI fixture family for the m05 oracle: frame k of doc
+    * `id` is `32 + 8*(k%2)` bytes of `(id*7 + k*11 + i) % 256` — payload
+    * offsets and hashes are closed-form arithmetic for an engine with no
+    * demuxer. */
+  def fixtureAviFrameCount(id: Long): Int = 2 + (id % 4).toInt
+  def fixtureAviFrameSize(k: Int): Int = 32 + 8 * (k % 2)
+  def fixtureAvi(id: Long): Array[Byte] =
+    buildAvi((0 until fixtureAviFrameCount(id)).map { k =>
+      Array.tabulate(fixtureAviFrameSize(k))(i => ((id * 7 + k * 11 + i) % 256).toByte)
+    })
+
   /** Frame sampling — the one-to-many decode shape (video → frames). Each
     * payload explodes into one row per fixed-size "frame" with its index,
     * a content hash, and a synthetic timestamp (25 fps → 40 ms stride).

@@ -420,6 +420,36 @@ object PipelineQueries {
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false
       FROM documents WHERE doc_id % 5 = 4"""))
 
+  // ---------------------------------------------------------------- m05
+  // REAL video-container demux: each doc carries a spec-conform RIFF/AVI
+  // file (deterministic frame payloads), and Multimodal.aviFrames walks the
+  // actual chunk grammar — ids, sizes, even-padding, movi LIST — to emit
+  // every frame payload's stream/index/offset/size/hash. The oracle knows
+  // NO demuxer: it recomputes offsets and hashes in closed form, so a
+  // parser that mis-walks the grammar by one byte fails the hash. Only the
+  // pixel decode of the demuxed payloads still needs codecs (stub m02).
+  private val m05 = QueryDef(
+    "m05_avi_demux",
+    (s, dir) => {
+      import s.implicits._
+      val withPayload = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureAvi(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.aviFrames(withPayload, "payload", "doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nframes FROM documents),
+      f AS (SELECT doc_id, unnest(generate_series(0, nframes - 1)) AS k FROM d),
+      sized AS (SELECT doc_id, k, 32 + 8 * (k % 2) AS sz FROM f)
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx, '00' AS stream,
+             CAST(32 + 40 * k + 8 * (k // 2) AS BIGINT) AS offset,
+             CAST(sz AS BIGINT) AS size_bytes,
+             md5(array_to_string(
+               list_transform(range(0, sz),
+                 i -> printf('%02X', (doc_id * 7 + k * 11 + i) % 256)), '')) AS frame_md5
+      FROM sized"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -534,5 +564,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, m04, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, m04, m05, t01, t02, t03, t04, t05)
 }

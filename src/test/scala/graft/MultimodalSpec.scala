@@ -187,6 +187,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!rows(2L).getBoolean(5) && rows(2L).isNullAt(1))
   }
 
+  test("aviFrames: real RIFF walk — hdrl skipped, padding honored, wb/db frames kept") {
+    import spark.implicits._
+    // hand-assembled per the public RIFF/AVI grammar, NOT via buildAvi — the
+    // parser is tested against the format: an hdrl LIST before movi, an
+    // odd-sized frame (pad byte), an audio '01wb' frame, and a non-frame
+    // JUNK chunk inside movi
+    val bos = new java.io.ByteArrayOutputStream()
+    def w4(s: String) = bos.write(s.getBytes("US-ASCII"))
+    def wle(v: Int) = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    w4("RIFF"); wle(86); w4("AVI ")
+    w4("LIST"); wle(16); w4("hdrl"); w4("avih"); wle(4); bos.write(Array[Byte](0, 0, 0, 0))
+    w4("LIST"); wle(50); w4("movi")
+    w4("00dc"); wle(5); bos.write(Array[Byte](1, 2, 3, 4, 5)); bos.write(0) // pad
+    w4("01wb"); wle(4); bos.write(Array[Byte](9, 9, 9, 9))
+    w4("JUNK"); wle(2); bos.write(Array[Byte](0, 0))
+    w4("00db"); wle(2); bos.write(Array[Byte](7, 8))
+    val avi = bos.toByteArray
+    assert(avi.length === 94)
+    val in = Seq(1L -> avi, 2L -> "not an avi at all".getBytes("UTF-8"),
+      3L -> avi.take(62)).toDF("id", "payload").repartition(2)
+    val out = Multimodal.aviFrames(in, "payload", "id")
+    assert(out.columns.toSeq ===
+      Seq("id", "frame_idx", "stream", "offset", "size_bytes", "frame_md5"))
+    assert(out.rdd.getNumPartitions === 2) // demux is partition-local
+    val rows = out.collect().groupBy(_.getLong(0))
+    val f1 = rows(1L).sortBy(_.getLong(1))
+    assert(f1.map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((0L, "00", 56L, 5L), (1L, "01", 70L, 4L), (2L, "00", 92L, 2L)))
+    def hexMd5(bs: Array[Byte]): String = {
+      val hex = bs.map(b => f"${b & 0xff}%02X").mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("US-ASCII")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(f1(0).getString(5) === hexMd5(Array[Byte](1, 2, 3, 4, 5)))
+    assert(f1(2).getString(5) === hexMd5(Array[Byte](7, 8)))
+    assert(!rows.contains(2L)) // non-AVI: zero frames, no exception
+    // truncated mid-movi: the complete leading frames survive
+    assert(rows(3L).map(_.getLong(1)).toSeq.sorted === Seq(0L))
+    // and the deterministic fixture round-trips through its own builder
+    val fx = Seq(5L -> Multimodal.fixtureAvi(5L)).toDF("id", "payload")
+    val fxRows = Multimodal.aviFrames(fx, "payload", "id").collect()
+    assert(fxRows.length === Multimodal.fixtureAviFrameCount(5L))
+    assert(fxRows.map(_.getLong(4)).sorted.toSeq
+      === (0 until 3).map(k => Multimodal.fixtureAviFrameSize(k).toLong).sorted)
+  }
+
   test("pixel bomb rejected from the HEADER, before any raster allocation") {
     import spark.implicits._
     // a real tiny PNG whose IHDR is patched to declare a 60000×60000 canvas
