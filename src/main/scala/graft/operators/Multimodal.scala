@@ -253,26 +253,33 @@ object Multimodal {
     val out = Seq.newBuilder[(String, Int, Long, Array[Byte])]
     var frameIdx = 0
     val riffEnd = math.min(bytes.length.toLong, 8L + u32le(4))
-    var p = 12L
-    while (p + 8 <= riffEnd) {
-      val id = fourcc(p.toInt)
-      val sz = u32le(p.toInt + 4)
-      if (id == "LIST" && p + 12 <= riffEnd && fourcc(p.toInt + 8) == "movi") {
-        var q = p + 12
-        val listEnd = math.min(riffEnd, p + 8 + sz)
-        while (q + 8 <= listEnd) {
-          val cid = fourcc(q.toInt)
-          val csz = u32le(q.toInt + 4)
+    // walk a chunk run, descending into nested LISTs — interleaved AVIs
+    // group frames as `LIST ... rec ` inside movi (the CD-ROM layout)
+    def walkFrames(start: Long, end: Long): Unit = {
+      var q = start
+      while (q + 8 <= end) {
+        val cid = fourcc(q.toInt)
+        val csz = u32le(q.toInt + 4)
+        if (cid == "LIST" && q + 12 <= end)
+          walkFrames(q + 12, math.min(end, q + 8 + csz))
+        else {
           val isFrame = cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
             (cid.endsWith("dc") || cid.endsWith("db") || cid.endsWith("wb"))
-          if (isFrame && q + 8 + csz <= listEnd) {
+          if (isFrame && q + 8 + csz <= end) {
             val data = java.util.Arrays.copyOfRange(bytes, (q + 8).toInt, (q + 8 + csz).toInt)
             out += ((cid.substring(0, 2), frameIdx, q + 8, data))
             frameIdx += 1
           }
-          q += 8 + csz + (csz & 1) // chunks pad to even
         }
+        q += 8 + csz + (csz & 1) // chunks pad to even
       }
+    }
+    var p = 12L
+    while (p + 8 <= riffEnd) {
+      val id = fourcc(p.toInt)
+      val sz = u32le(p.toInt + 4)
+      if (id == "LIST" && p + 12 <= riffEnd && fourcc(p.toInt + 8) == "movi")
+        walkFrames(p + 12, math.min(riffEnd, p + 8 + sz))
       p += 8 + sz + (sz & 1)
     }
     out.result()

@@ -118,10 +118,68 @@ object IcebergNative {
           .map(m => ManifestRef(resolve(m.asText()), 0L)).toSeq
       else throw IcebergReadException("snapshot carries neither manifest-list nor manifests")
 
+    // partition specs (for delete-scope resolution): field name →
+    // (transform, source column name). Names are unique within a spec and
+    // stable across the common evolution paths, so a flat map suffices —
+    // an unknown name rejects loudly below, never misapplies a delete.
+    val idToName: Map[Int, String] = schemaNode.path("fields").elements().asScala
+      .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+    val specFields: Map[String, (String, Option[String])] = {
+      val specs =
+        if (meta.has("partition-specs")) meta.path("partition-specs").elements().asScala.toSeq
+        else Seq(meta.path("partition-spec")).filter(!_.isMissingNode)
+      specs.flatMap { sp =>
+        val fields = if (sp.has("fields")) sp.path("fields") else sp
+        fields.elements().asScala.map { f =>
+          f.path("name").asText() ->
+            (f.path("transform").asText("identity"),
+              idToName.get(f.path("source-id").asInt(-1)))
+        }
+      }.toMap
+    }
+
+    /** Equality-delete partition scope (spec: a partition-scoped equality
+      * delete applies only within its partition tuple): identity-transform
+      * fields become extra null-safe predicates on the anti-join; anything
+      * not cleanly resolvable rejects loudly — scoping silently widened to
+      * the whole table would delete rows from other partitions. */
+    def eqScope(df: GenericRecord): Seq[(String, Any)] =
+      opt(df, "partition").map(_.asInstanceOf[GenericRecord]) match {
+        case None => Nil
+        case Some(pt) =>
+          pt.getSchema.getFields.asScala.toSeq.flatMap { f =>
+            val v = pt.get(f.pos())
+            if (v == null) None // void/absent tuple slot: no constraint
+            else {
+              val (transform, srcCol) = specFields.getOrElse(f.name(),
+                throw IcebergReadException(
+                  s"equality delete carries partition field `${f.name()}` not in any " +
+                    "known partition spec; use an iceberg connector jar"))
+              if (transform != "identity") throw IcebergReadException(
+                s"equality delete scoped by non-identity partition transform " +
+                  s"`$transform` — not implemented; use an iceberg connector jar")
+              val col = srcCol.getOrElse(throw IcebergReadException(
+                s"partition field `${f.name()}` has no resolvable source column"))
+              val value: Any = v match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case n: java.lang.Integer => n
+                case n: java.lang.Long => n
+                case n: java.lang.Float => n
+                case n: java.lang.Double => n
+                case b: java.lang.Boolean => b
+                case other => throw IcebergReadException(
+                  s"unsupported partition value type ${other.getClass.getSimpleName} " +
+                    "for equality-delete scoping; use an iceberg connector jar")
+              }
+              Some(col -> value)
+            }
+          }
+      }
+
     final case class FileRef(path: String, seq: Long, bytes: Long)
     val dataFiles = Seq.newBuilder[FileRef]
     val posDeletes = Seq.newBuilder[FileRef]
-    val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int])]
+    val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[(String, Any)])]
     manifestRefs.foreach { mref =>
       avroRows(mref.path).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
@@ -137,7 +195,7 @@ object IcebergNative {
           val ref = FileRef(resolve(df.get("file_path").toString).toString, seq, bytes)
           content match {
             case 0 => dataFiles += ref
-            case 1 => posDeletes += ref
+            case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
               val ids = opt(df, "equality_ids").orNull match {
                 case l: java.util.List[_] =>
@@ -145,7 +203,7 @@ object IcebergNative {
                 case _ => throw IcebergReadException(
                   "equality delete file lists no equality_ids")
               }
-              eqDeletes += ((ref, ids))
+              eqDeletes += ((ref, ids, eqScope(df)))
             case c => throw IcebergReadException(s"unknown data_file content=$c")
           }
         }
@@ -165,7 +223,19 @@ object IcebergNative {
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
       finally r.close()
     }
-    val useFieldIds = data.nonEmpty && hasFieldIds(data.head.path)
+    val useFieldIds = data.nonEmpty && {
+      val headIds = hasFieldIds(data.head.path)
+      // mixed id/id-less files (add_files/migrate imports next to native
+      // writes) can neither resolve by id (id-less files would fail or
+      // silently null) nor safely by name (renames) — reject loudly. A
+      // head+last probe catches the common append-migration orderings
+      // without an O(files) footer sweep.
+      if (data.length > 1 && hasFieldIds(data.last.path) != headIds)
+        throw IcebergReadException(
+          s"`$root`: data files mix parquet field-id presence (some carry ids, " +
+            "some do not) — id resolution is ambiguous; use an iceberg connector jar")
+      headIds
+    }
     // the engine default enables fieldId matching (Engine.configure); for
     // sessions built outside the engine it is enabled here — a session-level
     // setting by necessity (Spark consults it at plan time, not read time),
@@ -217,15 +287,14 @@ object IcebergNative {
           "left_anti")
       }
 
-      // equality deletes group by their equality_ids set (one anti-join per
-      // distinct column set; null-safe equality — a null deletes a null)
-      val idToName: Map[Int, String] = schemaNode.path("fields").elements().asScala
-        .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
-      eqs.groupBy(_._2).foreach { case (ids, group) =>
+      // equality deletes group by (equality_ids set, partition scope) — one
+      // anti-join per distinct combination; null-safe equality (a null
+      // deletes a null), scope fields as extra predicates on the data side
+      eqs.groupBy(g => (g._2, g._3)).foreach { case ((ids, scope), group) =>
         val names = ids.map(id => idToName.getOrElse(id, throw IcebergReadException(
           s"equality delete references field id $id outside the table's top-level " +
             "schema (nested equality deletes need an iceberg connector jar)")))
-        val eLookup = group.map { case (f, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
+        val eLookup = group.map { case (f, _, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
         // delete-file columns resolve by field id too when the files carry
         // ids (a renamed table's older delete files store the OLD names);
         // types come from the table schema, never re-inferred
@@ -242,8 +311,11 @@ object IcebergNative {
           .join(broadcast(eLookup), Seq("__ef"), "left")
           .select(names.map(n => col(n).as(s"__eq_$n")) :+ col("__dseq"): _*)
         val delB = capped(del, group.map(_._1.bytes).sum)
-        val cond = names.map(n => cur(n) <=> delB(s"__eq_$n")).reduce(_ && _) &&
-          cur("__iseq") < delB("__dseq")
+        val scopeCond = scope.map { case (c, v) =>
+          cur(c) <=> org.apache.spark.sql.functions.lit(v)
+        }
+        val cond = (names.map(n => cur(n) <=> delB(s"__eq_$n")) ++ scopeCond)
+          .reduce(_ && _) && cur("__iseq") < delB("__dseq")
         cur = cur.join(delB, cond, "left_anti")
       }
       cur.select(schema.fieldNames.map(col).toSeq: _*)
@@ -261,14 +333,14 @@ object IcebergNative {
         if (withFieldIds && f.has("id"))
           new MetadataBuilder().putLong("parquet.field.id", f.path("id").asLong()).build()
         else Metadata.empty
-      StructField(f.path("name").asText(), toSpark(f.path("type")),
+      StructField(f.path("name").asText(), toSpark(f.path("type"), withFieldIds),
         nullable = !f.path("required").asBoolean(false), metadata = meta)
     }.toSeq)
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r
   private val fixedRe = """fixed\[(\d+)\]""".r
 
-  private def toSpark(t: JsonNode): DataType =
+  private def toSpark(t: JsonNode, withFieldIds: Boolean = false): DataType =
     if (t.isTextual) t.asText() match {
       case "boolean" => BooleanType
       case "int" => IntegerType
@@ -287,11 +359,12 @@ object IcebergNative {
         "Iceberg `time` columns have no Spark analogue; drop or cast the column")
       case other => throw IcebergReadException(s"unsupported Iceberg type `$other`")
     } else t.path("type").asText() match {
-      case "struct" => toStruct(t)
+      case "struct" => toStruct(t, withFieldIds) // nested renames resolve by id too
       case "list" =>
-        ArrayType(toSpark(t.path("element")), containsNull = !t.path("element-required").asBoolean(false))
+        ArrayType(toSpark(t.path("element"), withFieldIds),
+          containsNull = !t.path("element-required").asBoolean(false))
       case "map" =>
-        MapType(toSpark(t.path("key")), toSpark(t.path("value")),
+        MapType(toSpark(t.path("key"), withFieldIds), toSpark(t.path("value"), withFieldIds),
           valueContainsNull = !t.path("value-required").asBoolean(false))
       case other => throw IcebergReadException(s"unsupported Iceberg nested type `$other`")
     }

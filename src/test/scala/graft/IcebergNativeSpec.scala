@@ -26,7 +26,10 @@ class IcebergNativeSpec extends SparkSpec {
       {"name":"file_format","type":"string"},
       {"name":"record_count","type":"long"},
       {"name":"file_size_in_bytes","type":["null","long"],"default":null},
-      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      {"name":"partition","type":["null",{"type":"record","name":"ptuple","fields":[
+        {"name":"p","type":["null","int"],"default":null},
+        {"name":"p_bucket","type":["null","int"],"default":null}]}],"default":null}]}""")
   private val entrySchema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
@@ -46,9 +49,15 @@ class IcebergNativeSpec extends SparkSpec {
 
   private def entry(status: Int, filePath: String, content: Option[Int] = None,
       seq: Option[Long] = None, eqIds: Seq[Int] = Nil,
-      format: String = "PARQUET"): GenericRecord = {
+      format: String = "PARQUET", partition: Map[String, Int] = Map.empty): GenericRecord = {
     val df = new GenericData.Record(dataFileSchema)
     df.put("content", content.map(Int.box).orNull)
+    if (partition.nonEmpty) {
+      val pt = new GenericData.Record(
+        dataFileSchema.getField("partition").schema().getTypes.get(1))
+      partition.foreach { case (k, v) => pt.put(k, Int.box(v)) }
+      df.put("partition", pt)
+    }
     df.put("file_path", filePath)
     df.put("file_format", format)
     df.put("record_count", 1L)
@@ -131,10 +140,11 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((9L, "z")))
   }
 
-  private def v2Meta(root: File, snapshotId: Long = 1): String = s"""{
+  private def v2Meta(root: File, snapshotId: Long = 1, extra: String = "",
+      schemaJson: String = tableSchemaJson): String = s"""{
       "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
-      "current-schema-id": 0, "schemas": [$tableSchemaJson],
-      "current-snapshot-id": $snapshotId,
+      "current-schema-id": 0, "schemas": [$schemaJson],
+      "current-snapshot-id": $snapshotId, $extra
       "snapshots": [{"snapshot-id": $snapshotId, "manifest-list": "metadata/ml.avro"}]}"""
 
   test("v2 positional deletes drop (path, pos) rows with sequence visibility") {
@@ -183,6 +193,62 @@ class IcebergNativeSpec extends SparkSpec {
     writeMeta(root, v2Meta(root))
     val df = IcebergNative.read(spark, root.getPath, Map.empty)
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("partition-scoped equality deletes stay inside their partition") {
+    val root = tempDir("ice_eqscope")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"p","required":false,"type":"int"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p","transform":"identity","source-id":2,"field-id":1000}]}],"""
+    // same v in BOTH partitions; the delete is scoped to p=2 only
+    val fA = writePart(root, "data/p1.parquet", Seq((1L, 1, "x")).toDF("id", "p", "v"))
+    val fB = writePart(root, "data/p2.parquet", Seq((2L, 2, "x")).toDF("id", "p", "v"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p" -> 1)),
+      entry(1, fB, seq = Some(1L), partition = Map("p" -> 2)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p" -> 2))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    // the p=1 row shares the deleted v but lives outside the delete's scope
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("non-identity partition transforms on equality deletes reject loudly") {
+    val root = tempDir("ice_eqbucket")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"p","required":false,"type":"int"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p_bucket","transform":"bucket[4]","source-id":2,"field-id":1000}]}],"""
+    val fA = writePart(root, "data/a.parquet", Seq((1L, 1, "x")).toDF("id", "p", "v"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p_bucket" -> 1))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath, Map.empty)
+    }
+    assert(e.getMessage.contains("bucket"))
   }
 
   test("entry sequence numbers inherit from the manifest-list row when null") {

@@ -225,6 +225,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!rows.contains(2L)) // non-AVI: zero frames, no exception
     // truncated mid-movi: the complete leading frames survive
     assert(rows(3L).map(_.getLong(1)).toSeq.sorted === Seq(0L))
+    // interleaved layout: frames grouped under `LIST rec ` inside movi
+    // (the CD-ROM interleave) must still be found
+    val bos2 = new java.io.ByteArrayOutputStream()
+    def w4b(s: String) = bos2.write(s.getBytes("US-ASCII"))
+    def wle2(v: Int) = (0 until 4).foreach(i => bos2.write((v >> (8 * i)) & 0xff))
+    w4b("RIFF"); wle2(50); w4b("AVI ")
+    w4b("LIST"); wle2(38); w4b("movi")
+    w4b("LIST"); wle2(14); w4b("rec ")   // nested rec list holds one frame
+    w4b("00dc"); wle2(2); bos2.write(Array[Byte](1, 2))
+    w4b("00dc"); wle2(4); bos2.write(Array[Byte](3, 4, 5, 6)) // sibling after the rec list
+    val recAvi = bos2.toByteArray
+    val recRows = Multimodal.aviFrames(
+      Seq(9L -> recAvi).toDF("id", "payload"), "payload", "id")
+      .collect().sortBy(_.getLong(1))
+    assert(recRows.map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((0L, 44L, 2L), (1L, 54L, 4L)))
     // and the deterministic fixture round-trips through its own builder
     val fx = Seq(5L -> Multimodal.fixtureAvi(5L)).toDF("id", "payload")
     val fxRows = Multimodal.aviFrames(fx, "payload", "id").collect()
