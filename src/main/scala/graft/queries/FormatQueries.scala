@@ -132,14 +132,83 @@ object FormatQueries {
     * a correct reader must drop the DELETED entry. Manifests are written
     * with the stock Avro library, metadata.json by hand, per the public
     * Iceberg spec. */
+  /** Shared Iceberg manifest-writing scaffolding (one copy; the spec keeps
+    * its own independent writer on purpose — the reader must be tested
+    * against the FORMAT, not this code). Superset Avro schemas: optional
+    * fields read as null by consumers that predate them. */
+  private object IcebergScaffold {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+
+    val dfSchema: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"r2","fields":[
+        {"name":"content","type":["null","int"],"default":null},
+        {"name":"file_path","type":"string"},
+        {"name":"file_format","type":"string"},
+        {"name":"record_count","type":"long"},
+        {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+    val entrySchema: Schema = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"sequence_number","type":["null","long"],"default":null},
+        {"name":"data_file","type":${dfSchema.toString}}]}""")
+    val listSchema: Schema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"content","type":["null","int"],"default":null},
+        {"name":"sequence_number","type":["null","long"],"default":null}]}""")
+
+    def entry(status: Int, path: String, content: Option[Int] = None,
+        seq: Option[Long] = None, eqIds: Seq[Int] = Nil): GenericRecord = {
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", content.map(Int.box).orNull)
+      d.put("file_path", path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 1L)
+      d.put("file_size_in_bytes", Long.box(1024L))
+      d.put("equality_ids", if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("sequence_number", seq.map(Long.box).orNull)
+      e.put("data_file", d)
+      e
+    }
+
+    def manifestListRow(path: String, seq: Option[Long] = None): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", path)
+      r.put("content", null)
+      r.put("sequence_number", seq.map(Long.box).orNull)
+      r
+    }
+
+    def writeAvro(f: java.io.File, sch: Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, f)
+      try rows.foreach(w.append) finally w.close()
+    }
+
+    def ordersMetaJson(root: java.io.File, uuid: String): String =
+      s"""{"format-version": 2, "table-uuid": "$uuid",
+         |"location": "${root.getPath}", "current-schema-id": 0,
+         |"schemas": [{"type":"struct","schema-id":0,"fields":[
+         |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
+         |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
+         |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
+         |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
+         |"current-snapshot-id": 1,
+         |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin
+  }
+
   private def ordersIceberg(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/orders_iceberg"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
     if (!done.exists()) {
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
       import org.apache.spark.sql.functions._
+      import IcebergScaffold._
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val root = new java.io.File(out)
@@ -148,49 +217,13 @@ object FormatQueries {
       val odds = singlePart(root, "data/odds.parquet", o.filter(col("o_orderkey") % 2 =!= 0))
       val oddsHi = singlePart(root, "data/odds_hi.parquet",
         o.filter(col("o_orderkey") % 2 =!= 0 && col("o_totalprice") > 150000))
-      val dfSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"r2","fields":[
-          {"name":"content","type":["null","int"],"default":null},
-          {"name":"file_path","type":"string"},
-          {"name":"file_format","type":"string"},
-          {"name":"record_count","type":"long"}]}""")
-      val entrySchema = new Schema.Parser().parse(
-        s"""{"type":"record","name":"manifest_entry","fields":[
-          {"name":"status","type":"int"},
-          {"name":"data_file","type":${dfSchema.toString}}]}""")
-      val listSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          {"name":"manifest_path","type":"string"},
-          {"name":"content","type":["null","int"],"default":null}]}""")
-      def entry(status: Int, path: String): GenericRecord = {
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", null); d.put("file_path", path)
-        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", status); e.put("data_file", d)
-        e
-      }
-      def writeAvro(f: java.io.File, sch: Schema, rows: Seq[GenericRecord]): Unit = {
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
-        w.create(sch, f)
-        try rows.foreach(w.append) finally w.close()
-      }
       val md = new java.io.File(root, "metadata"); md.mkdirs()
       writeAvro(new java.io.File(md, "m1.avro"), entrySchema,
         Seq(entry(1, evens), entry(2, odds), entry(0, oddsHi)))
-      val ml = new GenericData.Record(listSchema)
-      ml.put("manifest_path", "metadata/m1.avro"); ml.put("content", null)
-      writeAvro(new java.io.File(md, "ml.avro"), listSchema, Seq(ml))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema,
+        Seq(manifestListRow("metadata/m1.avro")))
       java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
-        s"""{"format-version": 2, "table-uuid": "orders-iceberg",
-           |"location": "${root.getPath}", "current-schema-id": 0,
-           |"schemas": [{"type":"struct","schema-id":0,"fields":[
-           |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
-           |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
-           |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
-           |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
-           |"current-snapshot-id": 1,
-           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+        ordersMetaJson(root, "orders-iceberg"))
       java.nio.file.Files.writeString(done.toPath, "1")
     }
     out
@@ -210,12 +243,9 @@ object FormatQueries {
     val out = s"${exportRoot(dir)}/orders_iceberg_del"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
     if (!done.exists()) {
-      import org.apache.avro.Schema
-      import org.apache.avro.file.DataFileWriter
-      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
       import org.apache.spark.sql.functions._
-      import scala.jdk.CollectionConverters._
       import s.implicits._
+      import IcebergScaffold._
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val root = new java.io.File(out)
@@ -230,58 +260,18 @@ object FormatQueries {
         Seq((s"$out/data/odds.parquet", 0L)).toDF("file_path", "pos"))
       val eqLive = singlePart(root, "data/eq_live.parquet", Seq("F").toDF("o_orderstatus"))
       val eqStale = singlePart(root, "data/eq_stale.parquet", Seq("O").toDF("o_orderstatus"))
-      val dfSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"r2","fields":[
-          {"name":"content","type":["null","int"],"default":null},
-          {"name":"file_path","type":"string"},
-          {"name":"file_format","type":"string"},
-          {"name":"record_count","type":"long"},
-          {"name":"file_size_in_bytes","type":["null","long"],"default":null},
-          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
-      val entrySchema = new Schema.Parser().parse(
-        s"""{"type":"record","name":"manifest_entry","fields":[
-          {"name":"status","type":"int"},
-          {"name":"sequence_number","type":["null","long"],"default":null},
-          {"name":"data_file","type":${dfSchema.toString}}]}""")
-      val listSchema = new Schema.Parser().parse(
-        """{"type":"record","name":"manifest_file","fields":[
-          {"name":"manifest_path","type":"string"},
-          {"name":"content","type":["null","int"],"default":null},
-          {"name":"sequence_number","type":["null","long"],"default":null}]}""")
-      def entry(path: String, content: Int, seq: Long, eqIds: Seq[Int] = Nil): GenericRecord = {
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", Int.box(content)); d.put("file_path", path)
-        d.put("file_format", "PARQUET"); d.put("record_count", 1L)
-        d.put("file_size_in_bytes", Long.box(1024L))
-        d.put("equality_ids", if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1); e.put("sequence_number", Long.box(seq)); e.put("data_file", d)
-        e
-      }
-      def writeAvro(f: java.io.File, sch: Schema, rows: Seq[GenericRecord]): Unit = {
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
-        w.create(sch, f)
-        try rows.foreach(w.append) finally w.close()
-      }
       val md = new java.io.File(root, "metadata"); md.mkdirs()
       writeAvro(new java.io.File(md, "m1.avro"), entrySchema, Seq(
-        entry(evens, 0, 1L), entry(odds, 0, 1L),
-        entry(posLive, 1, 2L), entry(posStale, 1, 0L),
-        entry(eqLive, 2, 2L, Seq(3)), entry(eqStale, 2, 1L, Seq(3))))
-      val ml = new GenericData.Record(listSchema)
-      ml.put("manifest_path", "metadata/m1.avro"); ml.put("content", null)
-      ml.put("sequence_number", Long.box(2L))
-      writeAvro(new java.io.File(md, "ml.avro"), listSchema, Seq(ml))
+        entry(1, evens, content = Some(0), seq = Some(1L)),
+        entry(1, odds, content = Some(0), seq = Some(1L)),
+        entry(1, posLive, content = Some(1), seq = Some(2L)),
+        entry(1, posStale, content = Some(1), seq = Some(0L)),
+        entry(1, eqLive, content = Some(2), seq = Some(2L), eqIds = Seq(3)),
+        entry(1, eqStale, content = Some(2), seq = Some(1L), eqIds = Seq(3))))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema,
+        Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
       java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
-        s"""{"format-version": 2, "table-uuid": "orders-iceberg-del",
-           |"location": "${root.getPath}", "current-schema-id": 0,
-           |"schemas": [{"type":"struct","schema-id":0,"fields":[
-           |  {"id":1,"name":"o_orderkey","required":true,"type":"long"},
-           |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
-           |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
-           |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
-           |"current-snapshot-id": 1,
-           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+        ordersMetaJson(root, "orders-iceberg-del"))
       java.nio.file.Files.writeString(done.toPath, "1")
     }
     out
