@@ -128,14 +128,20 @@ object IcebergNative {
       val specs =
         if (meta.has("partition-specs")) meta.path("partition-specs").elements().asScala.toSeq
         else Seq(meta.path("partition-spec")).filter(!_.isMissingNode)
-      specs.flatMap { sp =>
+      val pairs = specs.flatMap { sp =>
         val fields = if (sp.has("fields")) sp.path("fields") else sp
         fields.elements().asScala.map { f =>
           f.path("name").asText() ->
             (f.path("transform").asText("identity"),
               idToName.get(f.path("source-id").asInt(-1)))
         }
-      }.toMap
+      }
+      // a name reused across specs with a DIFFERENT meaning would make
+      // tuple resolution ambiguous — reject at scope-resolution time
+      pairs.groupBy(_._1).map {
+        case (n, vs) if vs.map(_._2).distinct.size == 1 => n -> vs.head._2
+        case (n, _) => n -> (("__ambiguous__", None: Option[String]))
+      }
     }
 
     /** Equality-delete partition scope (spec: a partition-scoped equality
@@ -155,6 +161,10 @@ object IcebergNative {
                 throw IcebergReadException(
                   s"equality delete carries partition field `${f.name()}` not in any " +
                     "known partition spec; use an iceberg connector jar"))
+              if (transform == "__ambiguous__") throw IcebergReadException(
+                s"partition field `${f.name()}` carries conflicting definitions " +
+                  "across partition specs — delete scope is ambiguous; use an " +
+                  "iceberg connector jar")
               if (transform != "identity") throw IcebergReadException(
                 s"equality delete scoped by non-identity partition transform " +
                   s"`$transform` — not implemented; use an iceberg connector jar")
