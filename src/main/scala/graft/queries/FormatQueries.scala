@@ -111,6 +111,62 @@ object FormatQueries {
     out
   }
 
+  /** customer → a native DELTA table with DELETION VECTORS (protocol v3,
+    * readerFeatures=["deletionVectors"], per delta.io PROTOCOL.md): the
+    * evens file carries an INLINE Z85 DV killing its 10 lowest rows; the
+    * odds file carries an ON-DISK "u" DV (prefix dir, uuid file name,
+    * offset seek, CRC-32) killing every 3rd position. Both DVs are written
+    * straight from the protocol — no delta writer — so the scan is tested
+    * against the FORMAT. Data files are written sorted so row positions
+    * are deterministic and the oracle can replay them with a window. */
+  private def customerDeltaDv(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/customer_delta_dv"
+    val done = new java.io.File(s"$out/_delta_log/00000000000000000000.json")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      import graft.sources.DeletionVectors
+      val cust = Tables.load(s, dir, "customer")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val evens = singlePart(root, "part-evens.parquet",
+        cust.filter(col("c_custkey") % 2 === 0).coalesce(1).sortWithinPartitions("c_custkey"))
+      val odds = singlePart(root, "part-odds.parquet",
+        cust.filter(col("c_custkey") % 2 =!= 0).coalesce(1).sortWithinPartitions("c_custkey"))
+      val oddsN = cust.filter(col("c_custkey") % 2 =!= 0).count()
+      val evensData = DeletionVectors.RoaringBitmapArray.serialize(0L until 10L)
+      val oddsPositions = 0L.until(oddsN, 3L)
+      val oddsData = DeletionVectors.RoaringBitmapArray.serialize(oddsPositions)
+      // on-disk DV file layout: version byte, then BE size + data + BE CRC-32
+      val uuid = java.util.UUID.fromString("00112233-4455-6677-8899-aabbccddeeff")
+      val dvDir = new java.io.File(root, "ab"); dvDir.mkdirs()
+      val os = new java.io.DataOutputStream(new java.io.FileOutputStream(
+        new java.io.File(dvDir, s"deletion_vector_$uuid.bin")))
+      os.writeByte(1)
+      os.writeInt(oddsData.length); os.write(oddsData)
+      val crc = new java.util.zip.CRC32(); crc.update(oddsData)
+      os.writeInt(crc.getValue.toInt)
+      os.close()
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+      val uPayload = "ab/" + DeletionVectors.Z85.encode(bb.array())
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      def addDv(p: String, dv: String) =
+        s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dv}}"""
+      val inlineDv = s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.Z85.encode(evensData)}",""" +
+        s""""sizeInBytes":${evensData.length},"cardinality":10}"""
+      val diskDv = s"""{"storageType":"u","pathOrInlineDv":"$uPayload","offset":1,""" +
+        s""""sizeInBytes":${oddsData.length},"cardinality":${oddsPositions.size}}"""
+      done.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(done.toPath,
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+           |{"metaData":{"id":"customer-delta-dv","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+           |${addDv(evens, inlineDv)}
+           |${addDv(odds, diskDv)}
+           |""".stripMargin)
+    }
+    out
+  }
+
   /** Write df as ONE parquet part at root/sub, return sub (the relative
     * path a table-format log records). Driver-side export scaffolding. */
   private def singlePart(root: java.io.File, sub: String,
@@ -289,6 +345,7 @@ object FormatQueries {
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
+    customerDeltaDv(s, dir)
   }
 
   private val custCols =
@@ -430,6 +487,32 @@ object FormatQueries {
               WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey LIMIT 10)
         AND o_orderstatus <> 'F'"""))
 
+  // ---------------------------------------------------------------- l04
+  // Native Delta DELETION VECTOR scan (PROTOCOL.md "Deletion Vectors"; the
+  // reference reaches this through DuckDB's delta extension,
+  // src/duckdb/delta.rs:41-61): one INLINE DV and one ON-DISK DV, decoded
+  // in executors and anti-joined away on (_metadata.file_path, row_index).
+  // The oracle replays the deleted positions from the SOURCE table with a
+  // window — evens lose their 10 lowest keys, odds lose every 3rd position
+  // — so a reader that skipped a DV, misdecoded the bitmap, or applied a
+  // DV to the wrong file fails the row and hash check.
+  private val l04 = QueryDef(
+    "l04_delta_deletion_vectors",
+    (s, dir) => {
+      val path = customerDeltaDv(s, dir)
+      Catalog.attach(s, "l04_customer_delta_dv", "delta", Map("files" -> path))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               row_number() OVER (PARTITION BY c_custkey % 2 ORDER BY c_custkey) - 1 AS p
+        FROM customer)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM pos
+      WHERE NOT (c_custkey % 2 = 0 AND p < 10)
+        AND NOT (c_custkey % 2 <> 0 AND p % 3 = 0)"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -456,5 +539,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, l04, w01)
 }

@@ -34,12 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * (mode = name/id: physical-name indirection from the same PROTOCOL.md —
   * data files carry physical names, the reader maps them back to logical),
   * v3 when its readerFeatures need nothing beyond columnMapping/
-  * timestampNtz, multi-commit replay, single + multi-part checkpoints,
+  * timestampNtz/deletionVectors, DELETION VECTORS (inline, relative-uuid
+  * and absolute-path storage — decoded in executors and anti-joined away
+  * on `(_metadata.file_path, _metadata.row_index)`, see DeletionVectors),
+  * multi-commit replay, single + multi-part checkpoints,
   * partitioned tables (hive-style layouts read with basePath + explicit
   * schema; non-hive layouts attach partition values from the log through a
   * broadcast file-path lookup — ONE scan, plan size O(1) in partition
-  * count). NOT supported — rejected loudly, never silently misread:
-  * deletion vectors and any other reader feature outside that set.
+  * count). NOT supported — rejected loudly, never silently misread: any
+  * other reader feature outside that set.
   */
 object DeltaNative {
 
@@ -48,7 +51,11 @@ object DeltaNative {
   private val mapper = new ObjectMapper()
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
-  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz")
+  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz", "deletionVectors")
+
+  /** Live-file entry after log reconciliation. */
+  private final case class AddEntry(partitionValues: Map[String, String],
+      dv: Option[DeletionVectors.Descriptor])
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val rootPath = new Path(root)
@@ -66,7 +73,12 @@ object DeltaNative {
     // and the actions may arrive in either order within the log
     var readerVersion = 1
     var readerFeatures: Set[String] = Set.empty
-    val adds = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    // reconciliation key per PROTOCOL.md: (path, deletion-vector unique id)
+    // — a DV update commits remove(path, oldDv) + add(path, newDv), so path
+    // alone would let the remove kill the fresh add
+    val adds = scala.collection.mutable.LinkedHashMap[(String, String), AddEntry]()
+    def dvKey(dv: Option[DeletionVectors.Descriptor]): String =
+      dv.map(_.uniqueKey).getOrElse("")
 
     def applyProtocolJson(p: JsonNode): Unit = {
       readerVersion = math.max(readerVersion, p.path("minReaderVersion").asInt(1))
@@ -83,6 +95,16 @@ object DeltaNative {
     def partValuesJson(a: JsonNode): Map[String, String] =
       a.path("partitionValues").fields().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+    def dvJson(a: JsonNode): Option[DeletionVectors.Descriptor] = {
+      val d = a.path("deletionVector")
+      if (d.isMissingNode || d.isNull) None
+      else Some(DeletionVectors.Descriptor(
+        d.path("storageType").asText(),
+        d.path("pathOrInlineDv").asText(),
+        Option(d.path("offset")).filter(n => !n.isMissingNode && !n.isNull).map(_.asInt()),
+        d.path("sizeInBytes").asInt(),
+        d.path("cardinality").asLong()))
+    }
 
     // checkpoint, if any
     val lastCp = Option(fs.exists(new Path(logDir, "_last_checkpoint")))
@@ -129,14 +151,33 @@ object DeltaNative {
       }
       if (topFields.contains("add")) {
         // the scale-bearing column: millions of adds on a 100 TB table.
-        // Typed (path, partitionValues) Rows — no per-entry JSON text.
+        // Typed (path, partitionValues, deletionVector) Rows — no per-entry
+        // JSON text.
         val hasPv = structFields("add").contains("partitionValues")
-        val sel = Seq(Some("add.path"), if (hasPv) Some("add.partitionValues") else None).flatten
+        val hasDv = structFields("add").contains("deletionVector")
+        val sel = Seq(Some("add.path"),
+          if (hasPv) Some("add.partitionValues") else None,
+          if (hasDv) Some("add.deletionVector") else None).flatten
         cp.filter(col("add").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
           val pv =
             if (hasPv && !r.isNullAt(1)) r.getMap[String, String](1).toMap
             else Map.empty[String, String]
-          adds(r.getString(0)) = pv
+          val dvIdx = if (hasPv) 2 else 1
+          val dv =
+            if (hasDv && !r.isNullAt(dvIdx)) {
+              val s = r.getStruct(dvIdx)
+              def fld(n: String): Option[AnyRef] =
+                if (s.schema.fieldNames.contains(n) && !s.isNullAt(s.fieldIndex(n)))
+                  Some(s.get(s.fieldIndex(n)).asInstanceOf[AnyRef])
+                else None
+              Some(DeletionVectors.Descriptor(
+                fld("storageType").map(_.toString).getOrElse(""),
+                fld("pathOrInlineDv").map(_.toString).getOrElse(""),
+                fld("offset").map(_.asInstanceOf[Number].intValue()),
+                fld("sizeInBytes").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+                fld("cardinality").map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
+            } else None
+          adds((r.getString(0), dvKey(dv))) = AddEntry(pv, dv)
         }
       }
     }
@@ -161,9 +202,13 @@ object DeltaNative {
         if (node.has("metaData")) applyMetaJson(node.path("metaData"))
         if (node.has("add")) {
           val a = node.path("add")
-          adds(a.path("path").asText()) = partValuesJson(a)
+          val dv = dvJson(a)
+          adds((a.path("path").asText(), dvKey(dv))) = AddEntry(partValuesJson(a), dv)
         }
-        if (node.has("remove")) adds.remove(node.path("remove").path("path").asText())
+        if (node.has("remove")) {
+          val rm = node.path("remove")
+          adds.remove((rm.path("path").asText(), dvKey(dvJson(rm))))
+        }
       }
     }
 
@@ -188,9 +233,17 @@ object DeltaNative {
       if (unsupported.nonEmpty) throw DeltaReadException(
         s"`$root`: Delta reader protocol version 3 features " +
           unsupported.toSeq.sorted.mkString(", ") +
-          " (e.g. deletion vectors) are not implemented by this native reader; " +
+          " are not implemented by this native reader; " +
           "install a delta connector jar for this table")
     }
+
+    // --- flatten reconciliation keys back to one live entry per file ---
+    val live: Seq[(String, AddEntry)] = adds.toSeq.map { case ((p, _), e) => p -> e }
+    val dupPaths = live.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    if (dupPaths.nonEmpty) throw DeltaReadException(
+      s"`$root`: log reconciliation left ${dupPaths.size} file path(s) live more " +
+        s"than once (first: ${dupPaths.head}) — a remove action is missing its " +
+        "deletionVector id; refusing to double-read")
 
     // --- column mapping (PROTOCOL.md Column Mapping): data files carry
     // PHYSICAL column names; the logical schema's field metadata holds the
@@ -226,18 +279,27 @@ object DeltaNative {
       (if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
     }
 
+    // deletion vectors on live files: decoded in executors, removed via a
+    // positional anti-join on the direct scan (before any rename/join makes
+    // `_metadata` unaddressable)
+    val dvs: Seq[(String, DeletionVectors.Descriptor)] =
+      live.collect { case (p, e) if e.dv.isDefined => (resolve(p), e.dv.get) }
+    def withoutDeleted(df: DataFrame): DataFrame =
+      DeletionVectors.applyTo(spark, df, dvs, rootPath)
+
     // --- distributed data read over the resolved live files ---
-    if (adds.isEmpty)
+    if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (partCols.isEmpty)
-      unmapped(spark.read.schema(physSchema).parquet(adds.keys.map(resolve).toSeq: _*))
+      unmapped(withoutDeleted(
+        spark.read.schema(physSchema).parquet(live.map(f => resolve(f._1)): _*)))
     else {
-      val hiveLayout = adds.keys.forall(p => physPartCols.forall(c => p.contains(s"$c=")))
+      val hiveLayout = live.forall(f => physPartCols.forall(c => f._1.contains(s"$c=")))
       if (hiveLayout)
         // standard writer layout: partition values live in the dir names;
         // explicit schema pins the partition column types Delta declares
-        unmapped(spark.read.schema(physSchema).option("basePath", root)
-          .parquet(adds.keys.map(resolve).toSeq: _*))
+        unmapped(withoutDeleted(spark.read.schema(physSchema).option("basePath", root)
+          .parquet(live.map(f => resolve(f._1)): _*)))
       else {
         // Non-hive layout: partition values come from the log itself. ONE
         // distributed scan of every live file; each row finds its partition
@@ -249,12 +311,12 @@ object DeltaNative {
         val physDataSchema =
           StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
         import spark.implicits._
-        val lookup = adds.toSeq.map { case (p, pv) =>
-          (PathKeys.key(resolve(p)), physPartCols.map(c => pv.get(c).orNull))
+        val lookup = live.map { case (p, e) =>
+          (PathKeys.key(resolve(p)), physPartCols.map(c => e.partitionValues.get(c).orNull))
         }.toDF("__graft_fp", "__graft_pv")
-        val base = spark.read.schema(physDataSchema)
-          .parquet(adds.keys.map(resolve).toSeq: _*)
-          .withColumn("__graft_fp", PathKeys.keyCol(col("_metadata.file_path")))
+        val base = withoutDeleted(spark.read.schema(physDataSchema)
+          .parquet(live.map(f => resolve(f._1)): _*)
+          .withColumn("__graft_fp", PathKeys.keyCol(col("_metadata.file_path"))))
         val joined = base.join(broadcast(lookup), Seq("__graft_fp"), "left")
         val withParts = partCols.foldLeft(joined) { (df, c) =>
           val idx = physPartCols.indexOf(physByLogical.getOrElse(c, c))

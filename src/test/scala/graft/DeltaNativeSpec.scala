@@ -267,18 +267,188 @@ class DeltaNativeSpec extends SparkSpec {
       === Seq((1L, 10), (2L, 20)))
   }
 
-  test("reader features beyond column mapping reject loudly") {
-    val root = tempDir("delta_dv")
+  test("reader features beyond the supported set reject loudly") {
+    val root = tempDir("delta_v2cp")
     import spark.implicits._
     val schema = Seq((1L, "a")).toDF("id", "v").schema.json
-    val f1 = writePart(root, "part-dv.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f1 = writePart(root, "part-v2cp.parquet", Seq((1L, "a")).toDF("id", "v"))
     commit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       metaAction(schema), add(f1)))
     val e = intercept[DeltaNative.DeltaReadException] {
       DeltaNative.read(spark, root.getPath, Map.empty)
     }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
+
+  // ------------------------------------------------------ deletion vectors
+
+  private val protocolDv =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def dvDescJson(storageType: String, payload: String, offset: Option[Int],
+      size: Int, card: Long): String = {
+    val off = offset.map(o => s""","offset":$o""").getOrElse("")
+    s""""deletionVector":{"storageType":"$storageType","pathOrInlineDv":"$payload"$off,"sizeInBytes":$size,"cardinality":$card}"""
+  }
+  private def addDv(path: String, dvJson: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,$dvJson}}"""
+  private def removeDv(path: String, dvJson: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true,$dvJson}}"""
+
+  /** Write a DV file per the on-disk layout (version byte, then per DV a
+    * big-endian size, the bitmap bytes, a big-endian CRC-32); returns the
+    * "u" pathOrInlineDv (prefix + Z85 uuid) and each DV's offset. */
+  private def writeDvFile(root: File, prefix: String, uuid: java.util.UUID,
+      datas: Seq[Array[Byte]]): (String, Seq[Int]) = {
+    import graft.sources.DeletionVectors
+    val dir = if (prefix.isEmpty) root else new File(root, prefix)
+    dir.mkdirs()
+    val f = new File(dir, s"deletion_vector_$uuid.bin")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    out.writeByte(1)
+    var pos = 1
+    val offsets = datas.map { d =>
+      val at = pos
+      out.writeInt(d.length)
+      out.write(d)
+      val crc = new java.util.zip.CRC32(); crc.update(d)
+      out.writeInt(crc.getValue.toInt)
+      pos += 8 + d.length
+      at
+    }
+    out.close()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    (prefix + DeletionVectors.Z85.encode(bb.array()), offsets)
+  }
+
+  test("inline deletion vector removes exactly the flagged positions") {
+    import graft.sources.DeletionVectors
+    val root = tempDir("delta_dv_inline")
+    import spark.implicits._
+    val df10 = (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+    val schema = df10.schema.json
+    val f1 = writePart(root, "part-dvi.parquet",
+      df10.coalesce(1).sortWithinPartitions("id"))
+    val data = DeletionVectors.RoaringBitmapArray.serialize(Seq(1L, 3L, 7L))
+    commit(root, 0, Seq(protocolDv, metaAction(schema),
+      addDv(f1, dvDescJson("i", DeletionVectors.Z85.encode(data), None, data.length, 3L))))
+    val got = DeltaNative.read(spark, root.getPath, Map.empty)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 2L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("on-disk 'u' deletion vector: prefix dir, offset seek, CRC verify") {
+    import graft.sources.DeletionVectors
+    val root = tempDir("delta_dv_disk")
+    import spark.implicits._
+    val df10 = (0L until 10L).map(i => (i, s"r$i")).toDF("id", "v")
+    val schema = df10.schema.json
+    val f1 = writePart(root, "part-dvu1.parquet",
+      df10.filter(col("id") < 5).coalesce(1).sortWithinPartitions("id"))
+    val f2 = writePart(root, "part-dvu2.parquet",
+      df10.filter(col("id") >= 5).coalesce(1).sortWithinPartitions("id"))
+    // ONE DV file holding TWO vectors at different offsets — the layout a
+    // real writer produces when it packs a commit's DVs together
+    val d1 = DeletionVectors.RoaringBitmapArray.serialize(Seq(0L, 4L)) // kills ids 0,4
+    val d2 = DeletionVectors.RoaringBitmapArray.serialize(Seq(2L))     // kills id 7
+    val (payload, offs) = writeDvFile(root, "ab/",
+      java.util.UUID.fromString("12345678-9abc-def0-1234-56789abcdef0"), Seq(d1, d2))
+    commit(root, 0, Seq(protocolDv, metaAction(schema),
+      addDv(f1, dvDescJson("u", payload, Some(offs(0)), d1.length, 2L)),
+      addDv(f2, dvDescJson("u", payload, Some(offs(1)), d2.length, 1L))))
+    val got = DeltaNative.read(spark, root.getPath, Map.empty)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L))
+  }
+
+  test("DV update reconciliation keys on (path, dv id), not path alone") {
+    import graft.sources.DeletionVectors
+    val root = tempDir("delta_dv_update")
+    import spark.implicits._
+    val df4 = (0L until 4L).map(i => (i, s"r$i")).toDF("id", "v")
+    val schema = df4.schema.json
+    val f1 = writePart(root, "part-dvup.parquet",
+      df4.coalesce(1).sortWithinPartitions("id"))
+    commit(root, 0, Seq(protocolDv, metaAction(schema), add(f1)))
+    // commit 1 attaches a DV: add(path, dv) FIRST, remove(path, no-dv)
+    // SECOND — path-keyed replay would wrongly kill the fresh add
+    val data = DeletionVectors.RoaringBitmapArray.serialize(Seq(2L))
+    val dv = dvDescJson("i", DeletionVectors.Z85.encode(data), None, data.length, 1L)
+    commit(root, 1, Seq(addDv(f1, dv), remove(f1)))
+    val got = DeltaNative.read(spark, root.getPath, Map.empty)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 1L, 3L))
+  }
+
+  test("roaring portable decode: run + bitmap containers, multi-key, 64-bit") {
+    import graft.sources.DeletionVectors.RoaringBitmapArray
+    // round-trip through the writer: array + bitmap containers across two
+    // 16-bit keys and two 32-bit bitmaps (a >4 GiB row index)
+    val big = (0L until 5000L).map(_ * 2) ++ Seq(70000L, (1L << 32) + 17L)
+    assert(RoaringBitmapArray.deserialize(RoaringBitmapArray.serialize(big)).toSeq
+      === big.sorted)
+    // hand-built RUN container per the RoaringFormatSpec (the writer never
+    // emits runs, so this is decoder-only coverage): values 5..9 at key 0
+    val buf = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(RoaringBitmapArray.Magic)
+    buf.putLong(1L)            // one 32-bit bitmap
+    buf.putInt(0)              // high key 0
+    buf.putInt(12347)          // run cookie, (containers-1)=0 in high bits
+    buf.put(1.toByte)          // run-flag bitset: container 0 is a run
+    buf.putShort(0.toShort)    // key16
+    buf.putShort(4.toShort)    // cardinality-1
+    buf.putShort(1.toShort)    // one run
+    buf.putShort(5.toShort)    // start
+    buf.putShort(4.toShort)    // length-1
+    val bytes = java.util.Arrays.copyOf(buf.array(), buf.position())
+    assert(RoaringBitmapArray.deserialize(bytes).toSeq === Seq(5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("checkpoint adds carry deletion vectors through typed rows") {
+    import graft.sources.DeletionVectors
+    val root = tempDir("delta_dv_cp")
+    import spark.implicits._
+    val df6 = (0L until 6L).map(i => (i, s"r$i")).toDF("id", "v")
+    val schema = df6.schema.json
+    val f1 = writePart(root, "part-dvcp.parquet",
+      df6.coalesce(1).sortWithinPartitions("id"))
+    val data = DeletionVectors.RoaringBitmapArray.serialize(Seq(0L, 5L))
+    val payload = DeletionVectors.Z85.encode(data)
+    val log = new File(root, "_delta_log")
+    log.mkdirs()
+    val cpDir = new File(root, "_cp_tmp_dv")
+    spark.sql(
+      s"""SELECT * FROM VALUES
+         (named_struct('path', '$f1', 'partitionValues', map(),
+            'deletionVector', named_struct('storageType', 'i',
+              'pathOrInlineDv', '$payload', 'offset', CAST(NULL AS INT),
+              'sizeInBytes', ${data.length}, 'cardinality', 2L)),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,
+            deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
+              offset: INT, sizeInBytes: INT, cardinality: BIGINT>>),
+          named_struct('minReaderVersion', 3, 'readerFeatures', array('deletionVectors')),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,
+            deletionVector: STRUCT<storageType: STRING, pathOrInlineDv: STRING,
+              offset: INT, sizeInBytes: INT, cardinality: BIGINT>>),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>),
+          named_struct('id', 't', 'schemaString', '$schema',
+                       'partitionColumns', CAST(array() AS ARRAY<STRING>)))
+         AS t(add, protocol, metaData)"""
+    ).coalesce(1).write.mode("overwrite").parquet(cpDir.getPath)
+    val cpPart = cpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cpPart.toPath,
+      new File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(cpDir)
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":3}""")
+    val got = DeltaNative.read(spark, root.getPath, Map.empty)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L))
   }
 
   test("reader protocol v2+ rejects loudly instead of misreading") {
