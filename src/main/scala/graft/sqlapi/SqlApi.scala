@@ -19,8 +19,13 @@ object SqlApi {
     val df = spark.sql(sql)
     val timing =
       if (analyze) {
+        // materialize through the noop sink, exactly like Bench.run — the
+        // wall-clock must time THE query's plan. (A count() here lets
+        // Catalyst collapse the projection; with parquet aggregate pushdown
+        // a SELECT * analyze would reduce to footer metadata and report
+        // microseconds for a scan of gigabytes.)
         val t0 = System.nanoTime()
-        df.count() // execute once for wall-clock, like EXPLAIN ANALYZE
+        df.write.format("noop").mode("overwrite").save()
         val ms = (System.nanoTime() - t0) / 1e6
         f"%nExecution Time: $ms%.3f ms"
       } else ""
@@ -200,8 +205,6 @@ object SqlApi {
     * table functions here, so executePg materializes each occurrence into a
     * temp view and swaps the call text for the view name — the reference
     * statements run verbatim. Bounded metadata work per call. */
-  private val pdRe = """(?i)parquet_describe\('([^']*)'\)""".r
-  private val psRe = """(?i)parquet_schema\('([^']*)'\)""".r
   private val dsRe = """(?i)duckdb_settings\(\)""".r
   private val deRe = """(?i)duckdb_extensions\(\)""".r
 
@@ -220,20 +223,48 @@ object SqlApi {
       else files.map(f => parquetSchema(spark, f)).reduce(_ unionByName _)
     } else parquetSchema(spark, nameOrPath)
 
+  // a one-arg call's tail in an unquoted segment: text, the function name,
+  // an open paren — the quoted argument is the NEXT segment
+  private val fnTailRe = """(?is)^(.*?)(parquet_describe|parquet_schema)\(\s*$""".r
+
+  /** QUOTE-AWARE swap: the replacement runs per unquoted segment
+    * (PgDialect.segments), so a string literal containing
+    * `duckdb_settings()` stays data. One-arg calls span three segments —
+    * `fn(` / `'arg'` / `)…` — and are stitched across them. */
   private def registerTableFunctions(spark: SparkSession, sql: String): String = {
     def viewFor(prefix: String, arg: String, df: => DataFrame): String = {
       val name = prefix + java.lang.Long.toHexString(arg.hashCode.toLong & 0xffffffffL)
       df.createOrReplaceTempView(name)
       name
     }
-    var out = sql
-    out = pdRe.replaceAllIn(out,
-      m => viewFor("graft_pd_", m.group(1), describeAny(spark, m.group(1))))
-    out = psRe.replaceAllIn(out,
-      m => viewFor("graft_ps_", m.group(1), schemaAny(spark, m.group(1))))
-    out = dsRe.replaceAllIn(out, _ => viewFor("graft_ds_", "", settings(spark)))
-    out = deRe.replaceAllIn(out, _ => viewFor("graft_de_", "", extensions(spark)))
-    out
+    def zeroArg(seg: String): String = {
+      val t = dsRe.replaceAllIn(seg, _ => viewFor("graft_ds_", "", settings(spark)))
+      deRe.replaceAllIn(t, _ => viewFor("graft_de_", "", extensions(spark)))
+    }
+    val segs = PgDialect.segments(sql).toArray
+    val out = new StringBuilder
+    var i = 0
+    while (i < segs.length) {
+      val (seg, quoted) = segs(i)
+      if (quoted) { out.append(seg); i += 1 }
+      else seg match {
+        case fnTailRe(pre, fn)
+            if i + 2 < segs.length && segs(i + 1)._2 && segs(i + 1)._1.startsWith("'") &&
+              segs(i + 2)._1.matches("""(?s)^\s*\).*""") =>
+          val arg = segs(i + 1)._1.stripPrefix("'").stripSuffix("'").replace("''", "'")
+          val view =
+            if (fn.equalsIgnoreCase("parquet_describe"))
+              viewFor("graft_pd_", arg, describeAny(spark, arg))
+            else viewFor("graft_ps_", arg, schemaAny(spark, arg))
+          out.append(zeroArg(pre)).append(view)
+          // consume the close paren and re-process the remainder (it may
+          // hold another table-function call)
+          segs(i + 2) = (segs(i + 2)._1.replaceFirst("""^\s*\)""", ""), false)
+          i += 2
+        case _ => out.append(zeroArg(seg)); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Run Postgres-flavored SQL (the reference's native dialect): `::` casts,

@@ -309,6 +309,22 @@ class PgDialectCorpusSpec extends SparkSpec {
     assert(r.getString(0) === "CREATE VIEW audit_step")
   }
 
+  test("table-function names inside string literals stay literal text") {
+    // the swap is segment-aware: quoted occurrences are DATA, never calls
+    val r1 = SqlApi.executePg(spark, "SELECT 'duckdb_settings()' AS s").head()
+    assert(r1.getString(0) === "duckdb_settings()")
+    val r2 = SqlApi.executePg(spark,
+      "SELECT 'call parquet_describe(''t'') later' AS s").head()
+    assert(r2.getString(0) === "call parquet_describe('t') later")
+    // and a literal RIGHT NEXT TO a real call: the call swaps, the literal
+    // survives verbatim
+    fixture
+    val r3 = SqlApi.executePg(spark,
+      "SELECT 'duckdb_extensions()' AS lit, count(*) AS n FROM parquet_describe('primitive')").head()
+    assert(r3.getString(0) === "duckdb_extensions()")
+    assert(r3.getLong(1) === 17)
+  }
+
   test("parquet_schema over a file-less relation returns empty, not a crash") {
     spark.sql("SELECT 1 AS a").createOrReplaceTempView("no_files_view")
     val df = SqlApi.executePg(spark, "SELECT * FROM parquet_schema('no_files_view')")

@@ -24,6 +24,21 @@ class SqlApiSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SqlApi.explain(spark, "SELECT 1", "verbose") }
   }
 
+  test("EXPLAIN ANALYZE executes the actual plan, not a count shortcut") {
+    // raise_error only fires when the projection is MATERIALIZED; the old
+    // count() timing path let Catalyst prune the projection away, so it
+    // timed a different (sometimes metadata-only) plan than the query
+    val e = intercept[Exception] {
+      SqlApi.explain(spark, "SELECT raise_error('analyzed for real') AS x",
+        style = "duckdb", analyze = true)
+    }
+    assert(Option(e.getMessage).exists(_.contains("analyzed for real")))
+    // without analyze, explain must stay plan-only — nothing executes
+    val out = SqlApi.explain(spark, "SELECT raise_error('never runs') AS x",
+      style = "duckdb", analyze = false)
+    assert(!out.contains("Execution Time"))
+  }
+
   test("prepare/execute/deallocate with $n parameters") {
     Tables.registerAll(spark, sf)
     val reg = SqlApi.newPreparedRegistry()
