@@ -185,24 +185,52 @@ object Catalog {
     val partCols = node.path("partition_by").elements().asScala.map(_.asText()).toSeq
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(node.path("schema").toString).asInstanceOf[StructType]
+    // the sidecar is a FILE FOUND AT THE DATA PATH — untrusted input. Its
+    // column names must exist in its own declared schema (no smuggling DDL
+    // through bucket_by), and every identifier/literal is escaped.
+    def qid(c: String): String = "`" + c.replace("`", "``") + "`"
+    val known = schema.fieldNames.toSet
+    (Seq(bucketCol) ++ sortCols ++ partCols).find(!known.contains(_)).foreach { c =>
+      throw InvalidOptionException(
+        s"bucket-spec sidecar at `${files.head}` names column `$c` not present in " +
+          "its own schema — corrupt or tampered sidecar; refusing to attach")
+    }
+    if (buckets <= 0) throw InvalidOptionException(
+      s"bucket-spec sidecar at `${files.head}` declares $buckets buckets — corrupt sidecar")
     val sorted =
       if (sortCols.isEmpty) ""
-      else s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")}) "
+      else s"SORTED BY (${sortCols.map(qid).mkString(", ")}) "
     val partitioned =
       if (partCols.isEmpty) ""
-      else s"\nPARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
+      else s"\nPARTITIONED BY (${partCols.map(qid).mkString(", ")})"
     // idempotent re-attach: the temp view from a previous attach shadows the
     // catalog table for DROP TABLE resolution — drop it explicitly first,
     // else DROP TABLE eats the view, CREATE TABLE hits the survivor and throws
     spark.catalog.dropTempView(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // never clobber a PRE-EXISTING catalog table this attach flow did not
+    // create: only drop when the existing table already points at the path
+    // being attached (same layout, safe to re-register)
+    if (spark.catalog.tableExists(table)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      // PathKeys: catalog URIs carry a scheme (`file:/...`), the attach
+      // path usually does not — compare the scheme-free form of both
+      val samePath = Option(meta.storage.locationUri).flatten.exists { uri =>
+        graft.sources.PathKeys.key(uri.toString) ==
+          graft.sources.PathKeys.key(files.head)
+      }
+      if (!samePath) throw InvalidOptionException(
+        s"catalog already holds a table `$table` at a different location; " +
+          "refusing to drop it to attach a bucketed layout — pick another name")
+      spark.sql(s"DROP TABLE IF EXISTS ${qid(table)}")
+    }
     spark.sql(
-      s"""CREATE TABLE `$table` (${schema.toDDL})
+      s"""CREATE TABLE ${qid(table)} (${schema.toDDL})
          |USING PARQUET$partitioned
-         |CLUSTERED BY (`$bucketCol`) ${sorted}INTO $buckets BUCKETS
-         |LOCATION '${files.head}'""".stripMargin)
+         |CLUSTERED BY (${qid(bucketCol)}) ${sorted}INTO $buckets BUCKETS
+         |LOCATION '${files.head.replace("'", "''")}'""".stripMargin)
     // hive-partitioned layouts need partition discovery before any read
-    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE `$table`")
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE ${qid(table)}")
     Some(spark.table(table))
   }
 

@@ -87,11 +87,20 @@ object Sinks {
         // Catalog.attach can re-register the layout in ANY later session.
         val partCols = options.get("partition_by").toSeq
           .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        val sidecar =
-          s"""{"bucket_by":"$bucketCol","buckets":$n,""" +
-            s""""sort_by":[${sortCols.map(c => s""""$c"""").mkString(",")}],""" +
-            s""""partition_by":[${partCols.map(c => s""""$c"""").mkString(",")}],""" +
-            s""""schema":${df.schema.json}}"""
+        // Jackson, not string interpolation: a quote or backslash in a
+        // column name must serialize as valid JSON, or every later attach
+        // of this path dies parsing the sidecar
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val spec = mapper.createObjectNode()
+        spec.put("bucket_by", bucketCol)
+        spec.put("buckets", n)
+        val sortArr = spec.putArray("sort_by"); sortCols.foreach(sortArr.add)
+        val partArr = spec.putArray("partition_by"); partCols.foreach(partArr.add)
+        // explicit type param: Jackson's generic set[T] must not infer T
+        // from an ascribed expected type
+        spec.set[com.fasterxml.jackson.databind.JsonNode](
+          "schema", mapper.readTree(df.schema.json))
+        val sidecar = mapper.writeValueAsString(spec)
         val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
         val fs = sp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
         val out = fs.create(sp, true)

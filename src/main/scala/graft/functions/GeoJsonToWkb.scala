@@ -79,7 +79,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VecDecimalMean].getName, "vec_decimal_mean"),
     (children: Seq[Expression]) => VecDecimalMean(children.head))
 
+  val icebergBucket: FunctionDescription = (
+    FunctionIdentifier("iceberg_bucket"),
+    new ExpressionInfo(classOf[IcebergBucketExpr].getName, "iceberg_bucket"),
+    (children: Seq[Expression]) => IcebergBucketExpr(children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
-      vecCosine, vecDecimalMean)
+      vecCosine, vecDecimalMean, icebergBucket)
 }

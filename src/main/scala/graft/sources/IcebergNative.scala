@@ -35,7 +35,11 @@ import org.apache.spark.sql.types._
   * `current-schema-id`, and v2 ROW-LEVEL DELETES — positional delete files
   * anti-joined on `(_metadata.file_path, _metadata.row_index)` and equality
   * delete files anti-joined on their equality columns, both honoring the
-  * spec's sequence-number visibility rules. NOT supported — rejected
+  * spec's sequence-number visibility rules. Equality deletes may be
+  * partition-scoped by identity, bucket, truncate, and the date/time
+  * transforms — the transform is recomputed per data row, closed-form per
+  * the spec (bucket via the seed-0 murmur3 codegen expression
+  * IcebergBucketExpr). NOT supported — rejected
   * loudly, never misread: non-parquet files (including v3 puffin deletion
   * vectors), nested-field equality deletes, `time`-typed columns (no Spark
   * analogue).
@@ -45,6 +49,16 @@ object IcebergNative {
   final case class IcebergReadException(msg: String) extends IllegalArgumentException(msg)
 
   private val mapper = new ObjectMapper()
+
+  /** One equality-delete scope predicate: source column, partition
+    * transform, and the tuple's stored (transformed) value — null means
+    * the delete is scoped to the NULL partition of that source. */
+  private final case class ScopeField(col: String, transform: String, value: Any)
+
+  // spec transform names; metadata emits singular or plural by version
+  private val SupportedScopeTransforms: Seq[String] = Seq(
+    "identity", """bucket\[\d+\]""", """truncate\[\d+\]""",
+    "year", "years", "month", "months", "day", "days", "hour", "hours")
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
@@ -145,32 +159,38 @@ object IcebergNative {
     }
 
     /** Equality-delete partition scope (spec: a partition-scoped equality
-      * delete applies only within its partition tuple): identity-transform
-      * fields become extra null-safe predicates on the anti-join; anything
-      * not cleanly resolvable rejects loudly — scoping silently widened to
-      * the whole table would delete rows from other partitions. */
-    def eqScope(df: GenericRecord): Seq[(String, Any)] =
+      * delete applies only within its partition tuple): each tuple field
+      * becomes an extra predicate on the anti-join — identity compares the
+      * source column, bucket/truncate/days/months/years/hours recompute the
+      * transform per data row (closed-form per the spec; bucket uses the
+      * spec's seed-0 murmur3, see IcebergBucketExpr). A NULL tuple slot is
+      * NOT "no constraint": every supported transform preserves null, so it
+      * scopes the delete to the `source IS NULL` partition. Only a `void`
+      * transform (or a field absent from the tuple) carries no constraint.
+      * Anything not cleanly resolvable rejects loudly — scoping silently
+      * widened to the whole table would delete rows from other partitions. */
+    def eqScope(df: GenericRecord): Seq[ScopeField] =
       opt(df, "partition").map(_.asInstanceOf[GenericRecord]) match {
         case None => Nil
         case Some(pt) =>
           pt.getSchema.getFields.asScala.toSeq.flatMap { f =>
-            val v = pt.get(f.pos())
-            if (v == null) None // void/absent tuple slot: no constraint
+            val (transform, srcCol) = specFields.getOrElse(f.name(),
+              throw IcebergReadException(
+                s"equality delete carries partition field `${f.name()}` not in any " +
+                  "known partition spec; use an iceberg connector jar"))
+            if (transform == "__ambiguous__") throw IcebergReadException(
+              s"partition field `${f.name()}` carries conflicting definitions " +
+                "across partition specs — delete scope is ambiguous; use an " +
+                "iceberg connector jar")
+            if (transform == "void") None
             else {
-              val (transform, srcCol) = specFields.getOrElse(f.name(),
-                throw IcebergReadException(
-                  s"equality delete carries partition field `${f.name()}` not in any " +
-                    "known partition spec; use an iceberg connector jar"))
-              if (transform == "__ambiguous__") throw IcebergReadException(
-                s"partition field `${f.name()}` carries conflicting definitions " +
-                  "across partition specs — delete scope is ambiguous; use an " +
-                  "iceberg connector jar")
-              if (transform != "identity") throw IcebergReadException(
-                s"equality delete scoped by non-identity partition transform " +
-                  s"`$transform` — not implemented; use an iceberg connector jar")
+              if (!SupportedScopeTransforms.exists(transform.matches)) throw IcebergReadException(
+                s"equality delete scoped by partition transform `$transform` — not " +
+                  "implemented; use an iceberg connector jar")
               val col = srcCol.getOrElse(throw IcebergReadException(
                 s"partition field `${f.name()}` has no resolvable source column"))
-              val value: Any = v match {
+              val value: Any = pt.get(f.pos()) match {
+                case null => null
                 case u: org.apache.avro.util.Utf8 => u.toString
                 case n: java.lang.Integer => n
                 case n: java.lang.Long => n
@@ -181,7 +201,7 @@ object IcebergNative {
                   s"unsupported partition value type ${other.getClass.getSimpleName} " +
                     "for equality-delete scoping; use an iceberg connector jar")
               }
-              Some(col -> value)
+              Some(ScopeField(col, transform, value))
             }
           }
       }
@@ -189,7 +209,7 @@ object IcebergNative {
     final case class FileRef(path: String, seq: Long, bytes: Long)
     val dataFiles = Seq.newBuilder[FileRef]
     val posDeletes = Seq.newBuilder[FileRef]
-    val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[(String, Any)])]
+    val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[ScopeField])]
     manifestRefs.foreach { mref =>
       avroRows(mref.path).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
@@ -234,25 +254,32 @@ object IcebergNative {
       finally r.close()
     }
     val useFieldIds = data.nonEmpty && {
-      val headIds = hasFieldIds(data.head.path)
       // mixed id/id-less files (add_files/migrate imports next to native
       // writes) can neither resolve by id (id-less files would fail or
       // silently null) nor safely by name (renames) — reject loudly. A
-      // head+last probe catches the common append-migration orderings
-      // without an O(files) footer sweep.
-      if (data.length > 1 && hasFieldIds(data.last.path) != headIds)
-        throw IcebergReadException(
-          s"`$root`: data files mix parquet field-id presence (some carry ids, " +
-            "some do not) — id resolution is ambiguous; use an iceberg connector jar")
-      headIds
+      // deterministic evenly-spaced sample of min(8, n) footers catches
+      // interleaved histories head+last probing missed, still O(1) probes.
+      val n = data.length
+      val k = math.min(8, n)
+      val idxs = (0 until k)
+        .map(i => if (k == 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt).distinct
+      val probes = idxs.map(i => hasFieldIds(data(i).path))
+      if (probes.distinct.size > 1) throw IcebergReadException(
+        s"`$root`: data files mix parquet field-id presence (some carry ids, " +
+          "some do not) — id resolution is ambiguous; use an iceberg connector jar")
+      probes.head
     }
-    // the engine default enables fieldId matching (Engine.configure); for
-    // sessions built outside the engine it is enabled here — a session-level
-    // setting by necessity (Spark consults it at plan time, not read time),
-    // inert for any schema that carries no parquet.field.id metadata
+    // field-id matching needs spark.sql.parquet.fieldId.read.enabled, which
+    // Spark consults at PLAN time — flipping it here would silently mutate
+    // the session for every later parquet read. Engine.configure sets it;
+    // a session built elsewhere must opt in, so fail fast instead.
     val readSchema =
       if (useFieldIds) {
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        if (!spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+          throw IcebergReadException(
+            s"`$root`: this table's files resolve by parquet field id, which needs " +
+              "spark.sql.parquet.fieldId.read.enabled=true on the session " +
+              "(graft.engine.Engine.configure sets it); set it and re-read")
         toStruct(schemaNode, withFieldIds = true)
       } else schema
 
@@ -297,6 +324,59 @@ object IcebergNative {
           "left_anti")
       }
 
+      // one scope predicate per partition-tuple field, recomputing the
+      // transform on the data side (closed-form per the spec). A null
+      // stored value scopes to the NULL partition — every supported
+      // transform preserves null, so `source IS NULL` is exact.
+      def scopePredicate(cur: DataFrame, sf: ScopeField): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.functions.{datediff, expr, lit, month, pmod, substring, unix_micros, year}
+        val src = cur(sf.col)
+        val dt = schema(sf.col).dataType
+        val quotedCol = "`" + sf.col.replace("`", "``") + "`"
+        def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
+          ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+        def unsupported() = throw IcebergReadException(
+          s"equality-delete scope transform `${sf.transform}` over ${dt.simpleString} " +
+            s"column `${sf.col}` is not implemented; use an iceberg connector jar")
+        val bucketRe = """bucket\[(\d+)\]""".r
+        val truncRe = """truncate\[(\d+)\]""".r
+        if (sf.value == null) src.isNull
+        else sf.transform match {
+          case "identity" => src <=> lit(sf.value)
+          case bucketRe(n) => dt match {
+            case IntegerType | LongType | DateType | TimestampType | StringType =>
+              expr(s"iceberg_bucket($quotedCol, $n)") === lit(sf.value)
+            case _ => unsupported()
+          }
+          case truncRe(w) => dt match {
+            case IntegerType | LongType => (src - pmod(src, lit(w.toLong))) === lit(sf.value)
+            case StringType => substring(src, 1, w.toInt) === lit(sf.value)
+            case _ => unsupported()
+          }
+          case "year" | "years" => dt match {
+            case DateType | TimestampType => (year(src) - lit(1970)) === lit(sf.value)
+            case _ => unsupported()
+          }
+          case "month" | "months" => dt match {
+            case DateType | TimestampType =>
+              ((year(src) - lit(1970)) * lit(12) + month(src) - lit(1)) === lit(sf.value)
+            case _ => unsupported()
+          }
+          case "day" | "days" => dt match {
+            case DateType =>
+              datediff(src, lit(java.sql.Date.valueOf("1970-01-01"))) === lit(sf.value)
+            case TimestampType =>
+              floorDiv(unix_micros(src), 86400000000L) === lit(sf.value)
+            case _ => unsupported()
+          }
+          case "hour" | "hours" => dt match {
+            case TimestampType => floorDiv(unix_micros(src), 3600000000L) === lit(sf.value)
+            case _ => unsupported()
+          }
+          case _ => unsupported() // unreachable: eqScope validated the name
+        }
+      }
+
       // equality deletes group by (equality_ids set, partition scope) — one
       // anti-join per distinct combination; null-safe equality (a null
       // deletes a null), scope fields as extra predicates on the data side
@@ -321,9 +401,7 @@ object IcebergNative {
           .join(broadcast(eLookup), Seq("__ef"), "left")
           .select(names.map(n => col(n).as(s"__eq_$n")) :+ col("__dseq"): _*)
         val delB = capped(del, group.map(_._1.bytes).sum)
-        val scopeCond = scope.map { case (c, v) =>
-          cur(c) <=> org.apache.spark.sql.functions.lit(v)
-        }
+        val scopeCond = scope.map(sf => scopePredicate(cur, sf))
         val cond = (names.map(n => cur(n) <=> delB(s"__eq_$n")) ++ scopeCond)
           .reduce(_ && _) && cur("__iseq") < delB("__dseq")
         cur = cur.join(delB, cond, "left_anti")

@@ -41,21 +41,52 @@ class IcebergNativeSpec extends SparkSpec {
       {"name":"content","type":["null","int"],"default":null},
       {"name":"sequence_number","type":["null","long"],"default":null}]}""")
 
+  /** Per-test schemas whose partition tuple carries EXACTLY the given
+    * fields — a delete file's tuple lists its spec's fields, and a null
+    * slot now MEANS something (the NULL partition), so tests must not leak
+    * unrelated tuple fields into each other. */
+  private def schemasFor(tupleFields: Seq[String]): (Schema, Schema) = {
+    val fieldsJson = tupleFields
+      .map(f => s"""{"name":"$f","type":["null","int"],"default":null}""").mkString(",")
+    val df = new Schema.Parser().parse(
+      s"""{"type":"record","name":"r2","fields":[
+        {"name":"content","type":["null","int"],"default":null},
+        {"name":"file_path","type":"string"},
+        {"name":"file_format","type":"string"},
+        {"name":"record_count","type":"long"},
+        {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+        {"name":"partition","type":["null",{"type":"record","name":"ptuple","fields":[
+          $fieldsJson]}],"default":null}]}""")
+    val e = new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int"},
+        {"name":"sequence_number","type":["null","long"],"default":null},
+        {"name":"data_file","type":${df.toString}}]}""")
+    (df, e)
+  }
+
   private def writeAvro(path: File, schema: Schema, rows: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, path)
     try rows.foreach(w.append) finally w.close()
   }
 
+  /** `partition` values may be null (java.lang.Integer) — an explicit NULL
+    * tuple slot. `schemas` defaults to the shared pair; scoped-delete tests
+    * pass schemasFor(...) so the tuple shape matches their spec. */
   private def entry(status: Int, filePath: String, content: Option[Int] = None,
       seq: Option[Long] = None, eqIds: Seq[Int] = Nil,
-      format: String = "PARQUET", partition: Map[String, Int] = Map.empty): GenericRecord = {
-    val df = new GenericData.Record(dataFileSchema)
+      format: String = "PARQUET",
+      partition: Map[String, java.lang.Integer] = Map.empty,
+      schemas: (Schema, Schema) = (dataFileSchema, entrySchema)): GenericRecord = {
+    val (dfSchema, eSchema) = schemas
+    val df = new GenericData.Record(dfSchema)
     df.put("content", content.map(Int.box).orNull)
     if (partition.nonEmpty) {
       val pt = new GenericData.Record(
-        dataFileSchema.getField("partition").schema().getTypes.get(1))
-      partition.foreach { case (k, v) => pt.put(k, Int.box(v)) }
+        dfSchema.getField("partition").schema().getTypes.get(1))
+      partition.foreach { case (k, v) => pt.put(k, v) }
       df.put("partition", pt)
     }
     df.put("file_path", filePath)
@@ -64,7 +95,7 @@ class IcebergNativeSpec extends SparkSpec {
     df.put("file_size_in_bytes", Long.box(1024L))
     df.put("equality_ids",
       if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
-    val e = new GenericData.Record(entrySchema)
+    val e = new GenericData.Record(eSchema)
     e.put("status", status)
     e.put("sequence_number", seq.map(Long.box).orNull)
     e.put("data_file", df)
@@ -207,15 +238,16 @@ class IcebergNativeSpec extends SparkSpec {
       """"partition-specs": [{"spec-id":0,"fields":[
         {"name":"p","transform":"identity","source-id":2,"field-id":1000}]}],"""
     // same v in BOTH partitions; the delete is scoped to p=2 only
+    val sch = schemasFor(Seq("p"))
     val fA = writePart(root, "data/p1.parquet", Seq((1L, 1, "x")).toDF("id", "p", "v"))
     val fB = writePart(root, "data/p2.parquet", Seq((2L, 2, "x")).toDF("id", "p", "v"))
     val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
     val md = new File(root, "metadata"); md.mkdirs()
-    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
-      entry(1, fA, seq = Some(1L), partition = Map("p" -> 1)),
-      entry(1, fB, seq = Some(1L), partition = Map("p" -> 2)),
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p" -> 1), schemas = sch),
+      entry(1, fB, seq = Some(1L), partition = Map("p" -> 2), schemas = sch),
       entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
-        partition = Map("p" -> 2))))
+        partition = Map("p" -> 2), schemas = sch)))
     writeAvro(new File(md, "ml.avro"), manifestListSchema,
       Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
     writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
@@ -224,7 +256,51 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
-  test("non-identity partition transforms on equality deletes reject loudly") {
+  test("a NULL partition-tuple slot scopes the delete to the NULL partition") {
+    val root = tempDir("ice_eqnullscope")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"p","required":false,"type":"int"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p","transform":"identity","source-id":2,"field-id":1000}]}],"""
+    val sch = schemasFor(Seq("p"))
+    // v='x' in the NULL partition AND in p=5 — the delete's tuple slot is
+    // NULL, so only the NULL-partition row may die. Treating the null slot
+    // as "no constraint" (the old bug) would also kill id=2.
+    val fN = writePart(root, "data/pnull.parquet",
+      Seq((1L, null.asInstanceOf[java.lang.Integer], "x")).toDF("id", "p", "v"))
+    val f5 = writePart(root, "data/p5.parquet",
+      Seq((2L, 5: java.lang.Integer, "x")).toDF("id", "p", "v"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fN, seq = Some(1L), partition = Map("p" -> null), schemas = sch),
+      entry(1, f5, seq = Some(1L), partition = Map("p" -> 5), schemas = sch),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p" -> null), schemas = sch)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("bucket transform matches the spec's Appendix B murmur3 vectors") {
+    import graft.functions.IcebergTransforms._
+    // published test vectors from the Iceberg spec (Appendix B): these pin
+    // the hash independently of this repo's implementation
+    assert(hashLong(34L) === 2017239379)                         // int + long 34
+    assert(hashBytes("iceberg".getBytes("UTF-8")) === 1210000089) // string
+    assert(hashLong(17486L) === -653330422)                      // date 2017-11-16
+    assert(hashLong(1510871468000000L) === -2047944441)          // ts 2017-11-16T22:31:08
+  }
+
+  test("bucket-scoped equality deletes recompute the transform per data row") {
+    import graft.functions.IcebergTransforms
     val root = tempDir("ice_eqbucket")
     import spark.implicits._
     val schemaJson =
@@ -234,21 +310,124 @@ class IcebergNativeSpec extends SparkSpec {
         {"id":3,"name":"v","required":false,"type":"string"}]}"""
     val specsJson =
       """"partition-specs": [{"spec-id":0,"fields":[
-        {"name":"p_bucket","transform":"bucket[4]","source-id":2,"field-id":1000}]}],"""
+        {"name":"p_bucket","transform":"bucket[16]","source-id":2,"field-id":1000}]}],"""
+    // Appendix B pins bucket16(34) = 2017239379 % 16 = 3 (vector-tested
+    // above); pOther is any value landing in a DIFFERENT bucket
+    val pOther = (35 to 99)
+      .find(p => IcebergTransforms.bucketLong(p.toLong, 16) != 3).get
+    val sch = schemasFor(Seq("p_bucket"))
+    val fA = writePart(root, "data/b3.parquet",
+      Seq((1L, 34, "x"), (3L, 34, "y")).toDF("id", "p", "v"))
+    val fB = writePart(root, "data/bx.parquet",
+      Seq((2L, pOther, "x")).toDF("id", "p", "v"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p_bucket" -> 3), schemas = sch),
+      entry(1, fB, seq = Some(1L),
+        partition = Map("p_bucket" -> IcebergTransforms.bucketLong(pOther.toLong, 16)),
+        schemas = sch),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p_bucket" -> 3), schemas = sch)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    // id=1 (v='x', bucket 3) dies; id=2 ('x' but a different bucket) and
+    // id=3 ('y') survive
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("truncate-scoped equality deletes apply closed-form") {
+    val root = tempDir("ice_eqtrunc")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"p","required":false,"type":"int"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p_trunc","transform":"truncate[10]","source-id":2,"field-id":1000}]}],"""
+    val sch = schemasFor(Seq("p_trunc"))
+    // truncate[10]: 34 → 30, 47 → 40. Delete 'x' scoped to the 30-bucket.
+    val fA = writePart(root, "data/t30.parquet", Seq((1L, 34, "x")).toDF("id", "p", "v"))
+    val fB = writePart(root, "data/t40.parquet", Seq((2L, 47, "x")).toDF("id", "p", "v"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p_trunc" -> 30), schemas = sch),
+      entry(1, fB, seq = Some(1L), partition = Map("p_trunc" -> 40), schemas = sch),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p_trunc" -> 30), schemas = sch)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    assert(IcebergNative.read(spark, root.getPath, Map.empty)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("days-scoped equality deletes recompute the day ordinal per row") {
+    val root = tempDir("ice_eqdays")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p_day","transform":"days","source-id":2,"field-id":1000}]}],"""
+    val sch = schemasFor(Seq("p_day"))
+    // day ordinal 18000 = 2019-04-14 (UTC session); mid-day timestamps must
+    // still land in their day's partition
+    val fA = writePart(root, "data/d0.parquet",
+      Seq((1L, "2019-04-14 12:30:00", "x")).toDF("id", "s", "v")
+        .select(col("id"), col("s").cast("timestamp").as("ts"), col("v")))
+    val fB = writePart(root, "data/d1.parquet",
+      Seq((2L, "2019-04-15 01:00:00", "x")).toDF("id", "s", "v")
+        .select(col("id"), col("s").cast("timestamp").as("ts"), col("v")))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p_day" -> 18000), schemas = sch),
+      entry(1, fB, seq = Some(1L), partition = Map("p_day" -> 18001), schemas = sch),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p_day" -> 18000), schemas = sch)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    assert(IcebergNative.read(spark, root.getPath, Map.empty)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("unknown partition transforms on equality deletes still reject loudly") {
+    val root = tempDir("ice_equnknown")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"p","required":false,"type":"int"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p_z","transform":"zorder[2]","source-id":2,"field-id":1000}]}],"""
+    val sch = schemasFor(Seq("p_z"))
     val fA = writePart(root, "data/a.parquet", Seq((1L, 1, "x")).toDF("id", "p", "v"))
     val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
     val md = new File(root, "metadata"); md.mkdirs()
-    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
-      entry(1, fA, seq = Some(1L)),
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), schemas = sch),
       entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
-        partition = Map("p_bucket" -> 1))))
+        partition = Map("p_z" -> 1), schemas = sch)))
     writeAvro(new File(md, "ml.avro"), manifestListSchema,
       Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
     writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
     val e = intercept[IcebergNative.IcebergReadException] {
       IcebergNative.read(spark, root.getPath, Map.empty)
     }
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("zorder"))
   }
 
   test("entry sequence numbers inherit from the manifest-list row when null") {
@@ -307,6 +486,38 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "v"))
     assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((8L, "eight")))
+  }
+
+  test("INTERLEAVED mixed field-id presence rejects (head+last agree)") {
+    val root = tempDir("ice_mixedid")
+    import org.apache.spark.sql.types._
+    def idSchema(n1: String, n2: String) = StructType(Seq(
+      StructField(n1, LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField(n2, StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    def rowsDf(schema: StructType, id: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(id, s"r$id")), 1), schema)
+    import spark.implicits._
+    // files 1,2,4,5 carry ids; file 3 (an import) does not — the old
+    // head+last probe saw agreement and silently resolved file 3 by id
+    // (nulls); the evenly-spaced sample must reject
+    val withIds = idSchema("id", "v")
+    val f1 = writePart(root, "data/f1.parquet", rowsDf(withIds, 1L))
+    val f2 = writePart(root, "data/f2.parquet", rowsDf(withIds, 2L))
+    val f3 = writePart(root, "data/f3.parquet", Seq((3L, "r3")).toDF("id", "v"))
+    val f4 = writePart(root, "data/f4.parquet", rowsDf(withIds, 4L))
+    val f5 = writePart(root, "data/f5.parquet", rowsDf(withIds, 5L))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema,
+      Seq(f1, f2, f3, f4, f5).map(f => entry(1, f, seq = Some(1L))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(1L))))
+    writeMeta(root, v2Meta(root))
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath, Map.empty)
+    }
+    assert(e.getMessage.contains("mix parquet field-id presence"))
   }
 
   test("v3 puffin deletion vectors reject loudly") {

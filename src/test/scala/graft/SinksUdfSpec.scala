@@ -85,6 +85,45 @@ class SinksUdfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("bucketed attach refuses to clobber an unrelated catalog table") {
+    val wh = tempDir("bucketed_clobber")
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    Sinks.copyTo(orders, s"$wh/o", "parquet", Map(
+      "bucket_by" -> "o_orderkey", "buckets" -> "4",
+      "table" -> "sk_clb_orders", "overwrite" -> "true"))
+    spark.sql("DROP TABLE sk_clb_orders")
+    // a PERMANENT table at a DIFFERENT location already owns the attach name
+    spark.sql(s"CREATE TABLE sk_clb_victim (x INT) USING PARQUET LOCATION '$wh/victim'")
+    try {
+      val e = intercept[Catalog.InvalidOptionException] {
+        Catalog.attach(spark, "sk_clb_victim", "parquet", Map("files" -> s"$wh/o"))
+      }
+      assert(e.getMessage.contains("different location"))
+      assert(spark.catalog.tableExists("sk_clb_victim")) // survivor intact
+    } finally spark.sql("DROP TABLE IF EXISTS sk_clb_victim")
+  }
+
+  test("tampered bucket-spec sidecar rejects instead of injecting DDL") {
+    val wh = tempDir("bucketed_tamper")
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    Sinks.copyTo(orders, s"$wh/o", "parquet", Map(
+      "bucket_by" -> "o_orderkey", "buckets" -> "4",
+      "table" -> "sk_tmp_orders", "overwrite" -> "true"))
+    spark.sql("DROP TABLE sk_tmp_orders")
+    // tamper: bucket_by names a column the sidecar's own schema lacks
+    val sp = new java.io.File(s"$wh/o", Sinks.BucketSidecar)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(sp).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("bucket_by", "o_orderkey`) LOCATION '/pwned' --")
+    java.nio.file.Files.writeString(sp.toPath, node.toString)
+    // local FS keeps a checksum sidecar; the rewrite above invalidates it
+    new java.io.File(s"$wh/o", s".${Sinks.BucketSidecar}.crc").delete()
+    val e = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "sk_tampered", "parquet", Map("files" -> s"$wh/o"))
+    }
+    assert(e.getMessage.contains("not present in its own schema"))
+  }
+
   test("bucketed attach is idempotent and honors partition_by in the sidecar") {
     val wh = tempDir("bucketed_part_rt")
     val cust = Tables.load(spark, sf, "customer")
