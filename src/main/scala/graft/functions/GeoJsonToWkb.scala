@@ -84,7 +84,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[IcebergBucketExpr].getName, "iceberg_bucket"),
     (children: Seq[Expression]) => IcebergBucketExpr(children.head, children(1)))
 
+  val pgJsonGet: FunctionDescription = (
+    FunctionIdentifier("pg_json_get"),
+    new ExpressionInfo(classOf[PgJsonGetExpr].getName, "pg_json_get"),
+    (children: Seq[Expression]) => PgJsonGetExpr(children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
-      vecCosine, vecDecimalMean, icebergBucket)
+      vecCosine, vecDecimalMean, icebergBucket, pgJsonGet)
 }

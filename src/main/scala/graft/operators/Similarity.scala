@@ -169,6 +169,62 @@ object Similarity {
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("cos_sim"))
   }
 
+  /** Near-dup with LADDER-DERIVED band width: bits = lshBitsFor(count), so
+    * bucket occupancy stays ~targetBucket at ANY corpus size instead of
+    * letting per-bucket candidates grow linearly at a fixed 8 bits. The
+    * count is one cheap aggregate (parquet footer metadata at best); the
+    * oracle replays the identical derivation in SQL, so the sizing lever
+    * itself is under the correctness gate at every scale the gate runs. */
+  def cosineNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, maxBucket: Int = 1000): DataFrame = {
+    val bits = lshBitsFor(emb.count())
+    cosineNearDupLsh(emb, idCol, vecCol, threshold,
+      k = bits * 2, rowsPerBand = bits, maxBucket = maxBucket)
+  }
+
+  /** DuckDB rendering of the AUTO-SIZED chain: bits derive from count(*) in
+    * SQL (`floor(log2(want - 0.5)) + 1` = exact ceil-log2 without float
+    * edge cases), planes come from the same 64-pair deterministic family as
+    * a VALUES table, and signatures build with dynamic list arithmetic —
+    * the SQL stays one static string valid at EVERY scale factor. */
+  def cosineLshAutoSql(threshold: Double = 0.9, maxBucket: Int = 1000,
+      targetBucket: Int = 64): String = {
+    val planeRows = planeCoeffs.zipWithIndex
+      .map { case ((a, b), j) => s"($j, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(", ")
+    val dot = "list_reduce(list_transform(generate_series(1, len(e.embedding)), " +
+      s"i -> e.embedding[i]::DOUBLE * (CASE WHEN ((p.a * i + p.b) % ${Dedup.P}) % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v)"
+    s"""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      params AS (SELECT LEAST(${planeCoeffs.length / 2}, GREATEST(8,
+                   CASE WHEN GREATEST(1, cnt // $targetBucket) <= 1 THEN 1
+                        ELSE CAST(floor(log2((cnt // $targetBucket) - 0.5)) AS INT) + 1
+                   END)) AS bits
+                 FROM n),
+      planes(j, a, b) AS (VALUES $planeRows),
+      bitrows AS (
+        SELECT e.vec_id, p.j,
+               CASE WHEN $dot > 0 THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, planes p, params
+        WHERE p.j < 2 * params.bits),
+      bands AS (
+        SELECT vec_id, CAST(j // params.bits AS BIGINT) AS band,
+               CAST(CAST(SUM(CAST(bit AS BIGINT) << (j % params.bits)) AS BIGINT) AS VARCHAR) AS band_sig
+        FROM bitrows, params
+        GROUP BY vec_id, j // params.bits),
+      bcount AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig),
+      bandsok AS (SELECT b.vec_id, b.band, b.band_sig FROM bands b
+                  JOIN bcount c ON b.band = c.band AND b.band_sig = c.band_sig AND c.n <= $maxBucket),
+      pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM bandsok a JOIN bandsok b
+                  ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id)
+      SELECT p.vec_a, p.vec_b, ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
+      FROM pairs p JOIN embeddings x ON p.vec_a = x.vec_id
+                   JOIN embeddings y ON p.vec_b = y.vec_id
+      WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
+  }
+
   /** DuckDB rendering of the same LSH chain (oracle side). */
   def cosineLshSql(threshold: Double = 0.9, k: Int = 16, rowsPerBand: Int = 8,
       maxBucket: Int = 1000): String = {

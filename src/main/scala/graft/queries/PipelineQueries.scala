@@ -249,6 +249,20 @@ object PipelineQueries {
     (s, dir) => Similarity.cosineNearDupLsh(emb(s, dir), "vec_id", "embedding", threshold = 0.35),
     Some(Similarity.cosineLshSql(threshold = 0.35)))
 
+  // ---------------------------------------------------------------- s05
+  // The SIZING LEVER under the gate: same near-dup chain as s03 but the
+  // band width derives from lshBitsFor(count(*)) — at sf0.01 that lands on
+  // the 8-bit floor (same buckets as s03); at the stress ladder's sf1 the
+  // corpus is 10× and bits grow to keep bucket occupancy ~64 instead of
+  // letting candidates grow linearly per bucket. The oracle replays the
+  // derivation in SQL, so the auto-sizing itself is hash-checked at every
+  // scale the gate runs — not dead code exercised only at toy k.
+  private val s05 = QueryDef(
+    "s05_cosine_lsh_autosized",
+    (s, dir) => Similarity.cosineNearDupLshAuto(emb(s, dir), "vec_id", "embedding",
+      threshold = 0.35),
+    Some(Similarity.cosineLshAutoSql(threshold = 0.35)))
+
   // ---------------------------------------------------------------- m01
   // Multimodal metadata pipeline over binary payloads with planted container
   // magics: size, content hash, magic-byte mime sniff, and validity against
@@ -564,5 +578,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, m01, m02, m03, m04, m05, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, m01, m02, m03, m04, m05, t01, t02, t03, t04, t05)
 }

@@ -86,12 +86,23 @@ object PgDialect {
 
   // PG `expr ->> 'key'` (json field as text) → get_json_object(expr,
   // '$.key'). Runs after cast rewriting, so the LHS is either a CAST(..)
-  // produced from `col::json` or a bare identifier. `->` (field as json) is
-  // NOT mapped — its PG result keeps json quoting, which get_json_object
-  // strips; an unmapped `->` errors loudly in Spark rather than silently
-  // returning different text. reference: tests/tests/json.rs:295-305.
-  private val jsonArrowRe =
-    ("""(CAST\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][A-Za-z_0-9.]*)\s*->>\s*'([^']*)'""").r
+  // produced from `col::json` or a bare identifier. `->` (field as JSON,
+  // result KEEPS json quoting — get_json_object would strip it) maps to
+  // the native pg_json_get expression instead; text keys select object
+  // fields, integer keys select array elements, PG-faithful NULLs.
+  // reference: tests/tests/json.rs:295-305 and the PG operator family.
+  // Caveat (documented tradeoff): PG input has no lambda syntax, so a
+  // SPARK-dialect lambda with a bare integer body (`x -> 0`) fed through
+  // executePg would be read as a json arrow; parenthesize the body to
+  // opt out. The reference's dialect never produces that shape.
+  // LHS forms an arrow can hang off: a CAST(..) from `col::json`, a
+  // pg_json_get(..) emitted by a previous arrow pass (chains), or a bare
+  // identifier
+  private val arrowLhs =
+    """(CAST\((?:[^()]|\([^()]*\))*\)|pg_json_get\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][A-Za-z_0-9.]*)"""
+  private val jsonArrowRe = (arrowLhs + """\s*->>\s*'([^']*)'""").r
+  private val jsonArrowJsonRe =
+    (arrowLhs + """\s*->(?!>)\s*(?:'([^']*)'|(-?\d+))""").r
 
   // DuckDB table functions in their BARE single-path form map to Spark's
   // path-table syntax: read_parquet('p') → parquet.`p` (likewise csv/json).
@@ -170,9 +181,21 @@ object PgDialect {
       res = decodeHexRe.replaceAllIn(res, m =>
         java.util.regex.Matcher.quoteReplacement(s"unhex(${m.group(1).trim})"))
     }
-    res = jsonArrowRe.replaceAllIn(res, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+    // arrows to fixpoint so chains nest left-to-right: `a -> 'b' ->> 'c'`
+    // first wraps `a -> 'b'` into pg_json_get(a,'b'), then the next pass
+    // sees that call as the ->> LHS
+    var prevArrow: String = null
+    while (prevArrow != res) {
+      prevArrow = res
+      res = jsonArrowJsonRe.replaceAllIn(res, m => java.util.regex.Matcher.quoteReplacement {
+        val key = Option(m.group(2)).map(k => s"'${k.replace("'", "''")}'")
+          .getOrElse(m.group(3))
+        s"pg_json_get(${m.group(1)}, $key)"
+      })
+      res = jsonArrowRe.replaceAllIn(res, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
+    }
     res = readFnRe.replaceAllIn(res, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1).toLowerCase}.`${m.group(2)}`"))

@@ -304,6 +304,37 @@ class PgDialectCorpusSpec extends SparkSpec {
       "SELECT COUNT(DISTINCT name) FROM parquet_schema('primitive')").head().getLong(0) === 17)
   }
 
+  test("PG `->` operator keeps json quoting (field-as-json semantics)") {
+    // `->` differs from `->>` exactly in quoting: strings keep their json
+    // quotes, objects/arrays come back as json text, missing keys are SQL
+    // NULL — 8 statements in the shape of the reference's json family
+    // (tests/tests/json.rs:295-305 pins `->>`; `->` is the same operator
+    // family in PG)
+    def one(sql: String): org.apache.spark.sql.Row = SqlApi.executePg(spark, sql).head()
+    assert(one("""SELECT '{"name": "joe"}'::json -> 'name' AS j""").getString(0) === "\"joe\"")
+    assert(one("""SELECT '{"age": 12}'::json -> 'age' AS j""").getString(0) === "12")
+    assert(one("""SELECT '{"a": {"b": 1}}'::jsonb -> 'a' AS j""").getString(0) === """{"b":1}""")
+    assert(one("""SELECT '[10, 20, 30]'::json -> 1 AS j""").getString(0) === "20")
+    assert(one("""SELECT '[10, 20, 30]'::json -> -1 AS j""").getString(0) === "30")
+    assert(one("""SELECT '{"a": 1}'::json -> 'missing' AS j""").isNullAt(0))
+    assert(one("""SELECT '{"n": null}'::json -> 'n' AS j""").getString(0) === "null")
+    // chain: `->` then `->>` — the json hop keeps structure, the text hop
+    // strips quotes
+    assert(one("""SELECT '{"a": {"b": "c"}}'::json -> 'a' ->> 'b' AS j""").getString(0) === "c")
+    // and `->>` alone still strips quotes (unchanged behavior)
+    assert(one("""SELECT '{"name": "joe"}'::json ->> 'name' AS j""").getString(0) === "joe")
+  }
+
+  test("reference whole-value json casts round-trip (json.rs:304-306)") {
+    fixture
+    // SELECT string_col::json, large_string_col::jsonb — the cast itself
+    // must hand back the json text unchanged
+    val r = SqlApi.executePg(spark,
+      "SELECT utf8_col::json AS a, large_utf8_col::jsonb AS b FROM primitive WHERE int32_col = 1").head()
+    assert(r.getString(0) === "Hello")
+    assert(r.getString(1) === "Hello")
+  }
+
   test("CREATE VIEW inside a string literal stays literal text") {
     val r = SqlApi.executePg(spark, "SELECT 'CREATE VIEW audit_step' AS msg").head()
     assert(r.getString(0) === "CREATE VIEW audit_step")
