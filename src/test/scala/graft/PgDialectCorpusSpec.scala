@@ -325,6 +325,18 @@ class PgDialectCorpusSpec extends SparkSpec {
     assert(one("""SELECT '{"name": "joe"}'::json ->> 'name' AS j""").getString(0) === "joe")
   }
 
+  test("pg_json_get compiles against column input (not constant-folded)") {
+    // literal LHS constant-folds through eval; a COLUMN forces the codegen
+    // path, and malformed json must be NULL, never a crash
+    spark.sql("""SELECT * FROM VALUES ('{"k": "v"}'), ('[1, 2]'), ('not json') AS t(j)""")
+      .createOrReplaceTempView("jt_codegen")
+    val rows = SqlApi.executePg(spark,
+      "SELECT j -> 'k' AS a, j -> 0 AS b FROM jt_codegen ORDER BY j").collect()
+    // ORDER BY j: '[1, 2]' < 'not json' < '{"k": "v"}' (ASCII)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(
+      (null, "1"), (null, null), ("\"v\"", null)))
+  }
+
   test("reference whole-value json casts round-trip (json.rs:304-306)") {
     fixture
     // SELECT string_col::json, large_string_col::jsonb — the cast itself
