@@ -34,10 +34,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * (mode = name/id: physical-name indirection from the same PROTOCOL.md —
   * data files carry physical names, the reader maps them back to logical),
   * v3 when its readerFeatures need nothing beyond columnMapping/
-  * timestampNtz/deletionVectors, DELETION VECTORS (inline, relative-uuid
-  * and absolute-path storage — decoded in executors and anti-joined away
-  * on `(_metadata.file_path, _metadata.row_index)`, see DeletionVectors),
-  * multi-commit replay, single + multi-part checkpoints,
+  * timestampNtz/deletionVectors/v2Checkpoint, DELETION VECTORS (inline,
+  * relative-uuid and absolute-path storage — decoded in executors and
+  * anti-joined away on `(_metadata.file_path, _metadata.row_index)`, see
+  * DeletionVectors), multi-commit replay, single + multi-part + V2
+  * (UUID-named manifest + `_sidecars/` files, json or parquet) checkpoints,
   * partitioned tables (hive-style layouts read with basePath + explicit
   * schema; non-hive layouts attach partition values from the log through a
   * broadcast file-path lookup — ONE scan, plan size O(1) in partition
@@ -51,7 +52,8 @@ object DeltaNative {
   private val mapper = new ObjectMapper()
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
-  private val SupportedReaderFeatures = Set("columnMapping", "timestampNtz", "deletionVectors")
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
 
   /** Live-file entry after log reconciliation. */
   private final case class AddEntry(partitionValues: Map[String, String],
@@ -114,24 +116,19 @@ object DeltaNative {
         val node = try mapper.readTree(in) finally in.close()
         (node.path("version").asLong(), Option(node.path("parts")).filter(!_.isMissingNode).map(_.asInt()))
       }
-    lastCp.foreach { case (version, parts) =>
-      val names = parts match {
-        case Some(n) => (1 to n).map(i => f"$version%020d.checkpoint.$i%010d.$n%010d.parquet")
-        case None => Seq(f"$version%020d.checkpoint.parquet")
-      }
-      // mergeSchema: multi-part checkpoints may split action kinds across
-      // parts; the union of part schemas is the action schema
-      val cp = spark.read.option("mergeSchema", "true")
-        .parquet(names.map(n => new Path(logDir, n).toString): _*)
+    /** Ingest one checkpoint-shaped parquet frame (classic checkpoint,
+      * multi-part part set, V2 manifest, or V2 sidecar): protocol/metaData
+      * rows apply when present; the add column is the scale-bearing one —
+      * typed Rows, no per-entry JSON text. A checkpoint's remove entries
+      * are expired tombstones kept for vacuum, not live deletes. Returns
+      * any `sidecar` action paths (V2 manifests only). */
+    def ingestCheckpointFrame(cp: DataFrame): Seq[String] = {
       val topFields = cp.schema.fieldNames.toSet
       def structFields(c: String): Set[String] =
         cp.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
       def sub(c: String, f: String): Option[String] =
         if (topFields.contains(c) && structFields(c).contains(f)) Some(s"$c.$f") else None
 
-      // protocol / metaData: one live row each — typed Row access, and the
-      // checkpoint's add set IS the snapshot at that version (its remove
-      // entries are expired tombstones kept for vacuum, not live deletes)
       if (topFields.contains("protocol")) {
         val sel = Seq(Some("protocol.minReaderVersion"), sub("protocol", "readerFeatures")).flatten
         cp.filter(col("protocol").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
@@ -150,9 +147,6 @@ object DeltaNative {
         }
       }
       if (topFields.contains("add")) {
-        // the scale-bearing column: millions of adds on a 100 TB table.
-        // Typed (path, partitionValues, deletionVector) Rows — no per-entry
-        // JSON text.
         val hasPv = structFields("add").contains("partitionValues")
         val hasDv = structFields("add").contains("deletionVector")
         val sel = Seq(Some("add.path"),
@@ -179,6 +173,72 @@ object DeltaNative {
             } else None
           adds((r.getString(0), dvKey(dv))) = AddEntry(pv, dv)
         }
+      }
+      if (topFields.contains("sidecar"))
+        cp.filter(col("sidecar").isNotNull).select(col("sidecar.path"))
+          .collect().map(_.getString(0)).toSeq
+      else Nil
+    }
+
+    // sidecar paths resolve against _delta_log/_sidecars/ unless absolute
+    // (PROTOCOL.md "V2 Checkpoint Table Feature")
+    def resolveSidecar(p: String): String = {
+      val raw = new Path(java.net.URLDecoder.decode(p, "UTF-8"))
+      (if (raw.isAbsolute) raw else new Path(new Path(logDir, "_sidecars"), raw)).toString
+    }
+
+    lastCp.foreach { case (version, parts) =>
+      val files: Seq[Path] = parts match {
+        case Some(n) =>
+          (1 to n).map(i => new Path(logDir, f"$version%020d.checkpoint.$i%010d.$n%010d.parquet"))
+        case None =>
+          val classic = new Path(logDir, f"$version%020d.checkpoint.parquet")
+          if (fs.exists(classic)) Seq(classic)
+          else {
+            // V2 checkpoints are UUID-named (`v.checkpoint.<unique>.parquet`
+            // or `.json`) and found by LISTING, not name construction. Each
+            // V2 manifest is complete on its own — pick one deterministically.
+            val prefix = f"$version%020d.checkpoint."
+            val cands = fs.listStatus(logDir).map(_.getPath).filter { p =>
+              val n = p.getName
+              n.startsWith(prefix) && (n.endsWith(".parquet") || n.endsWith(".json"))
+            }
+            if (cands.isEmpty) throw DeltaReadException(
+              s"`$root`: _last_checkpoint names version $version but no matching " +
+                "checkpoint file exists in _delta_log")
+            Seq(cands.maxBy(_.getName))
+          }
+      }
+      val sidecars: Seq[String] =
+        if (files.length == 1 && files.head.getName.endsWith(".json")) {
+          // V2 JSON manifest: one action per line, like a commit, plus
+          // sidecar actions; checkpoint add/remove semantics (removes are
+          // expired tombstones — ignored)
+          val in = fs.open(files.head)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+          lines.filter(_.nonEmpty).flatMap { line =>
+            val node = mapper.readTree(line)
+            if (node.has("protocol")) applyProtocolJson(node.path("protocol"))
+            if (node.has("metaData")) applyMetaJson(node.path("metaData"))
+            if (node.has("add")) {
+              val a = node.path("add")
+              val dv = dvJson(a)
+              adds((a.path("path").asText(), dvKey(dv))) = AddEntry(partValuesJson(a), dv)
+            }
+            if (node.has("sidecar")) Some(node.path("sidecar").path("path").asText()) else None
+          }
+        } else
+          // mergeSchema: multi-part checkpoints may split action kinds
+          // across parts; the union of part schemas is the action schema
+          ingestCheckpointFrame(spark.read.option("mergeSchema", "true")
+            .parquet(files.map(_.toString): _*))
+      if (sidecars.nonEmpty) {
+        val more = ingestCheckpointFrame(spark.read.option("mergeSchema", "true")
+          .parquet(sidecars.map(resolveSidecar): _*))
+        if (more.nonEmpty) throw DeltaReadException(
+          s"`$root`: V2 checkpoint sidecar files must not reference further " +
+            "sidecars — malformed checkpoint")
       }
     }
 

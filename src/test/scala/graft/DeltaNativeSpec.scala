@@ -178,6 +178,98 @@ class DeltaNativeSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("V2 checkpoint: UUID-named parquet manifest + sidecar files") {
+    val root = tempDir("delta_v2cp_pq")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-v2a.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-v2b.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = writePart(root, "part-v2c.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val log = new File(root, "_delta_log"); log.mkdirs()
+    val sidecars = new File(log, "_sidecars"); sidecars.mkdirs()
+    val addT = "STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>>"
+    def writeAsParquet(sql: String, dest: File): Unit = {
+      val tmp = new File(root, s"_tmp_${dest.getName}")
+      spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, dest.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    // two sidecars carrying one add each
+    writeAsParquet(
+      s"""SELECT named_struct('path', '$f1',
+            'partitionValues', CAST(map() AS MAP<STRING,STRING>)) AS add""",
+      new File(sidecars, "sc-1.parquet"))
+    writeAsParquet(
+      s"""SELECT named_struct('path', '$f2',
+            'partitionValues', CAST(map() AS MAP<STRING,STRING>)) AS add""",
+      new File(sidecars, "sc-2.parquet"))
+    // the manifest: protocol (v3 + v2Checkpoint), metaData, checkpoint
+    // metadata, and the two sidecar pointers — NO classic-named file exists
+    writeAsParquet(
+      s"""SELECT * FROM VALUES
+         (CAST(NULL AS $addT),
+          named_struct('minReaderVersion', 3, 'readerFeatures', array('v2Checkpoint')),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>),
+          CAST(NULL AS STRUCT<path: STRING, sizeInBytes: BIGINT>),
+          named_struct('version', 1L)),
+         (CAST(NULL AS $addT),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>),
+          named_struct('id', 't', 'schemaString', '$schema',
+                       'partitionColumns', CAST(array() AS ARRAY<STRING>)),
+          CAST(NULL AS STRUCT<path: STRING, sizeInBytes: BIGINT>),
+          CAST(NULL AS STRUCT<version: BIGINT>)),
+         (CAST(NULL AS $addT),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>),
+          named_struct('path', 'sc-1.parquet', 'sizeInBytes', 1L),
+          CAST(NULL AS STRUCT<version: BIGINT>)),
+         (CAST(NULL AS $addT),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, readerFeatures: ARRAY<STRING>>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>),
+          named_struct('path', 'sc-2.parquet', 'sizeInBytes', 1L),
+          CAST(NULL AS STRUCT<version: BIGINT>))
+         AS t(add, protocol, metaData, sidecar, checkpointMetadata)""",
+      new File(log, f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":4}""")
+    // a commit AFTER the v2 checkpoint adds f3
+    commit(root, 2, Seq(add(f3)))
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("V2 checkpoint: JSON manifest with inline add + sidecar pointer") {
+    val root = tempDir("delta_v2cp_json")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-j1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-j2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val log = new File(root, "_delta_log"); log.mkdirs()
+    val sidecars = new File(log, "_sidecars"); sidecars.mkdirs()
+    val tmp = new File(root, "_tmp_scj")
+    spark.sql(
+      s"""SELECT named_struct('path', '$f2',
+            'partitionValues', CAST(map() AS MAP<STRING,STRING>)) AS add""")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.move(
+      tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(sidecars, "scj-1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    java.nio.file.Files.writeString(
+      new File(log, f"${0L}%020d.checkpoint.1f6f5a0f-6b7d-41b1-b1c6-4a6a30fcd1b2.json").toPath,
+      s"""{"checkpointMetadata":{"version":0}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"${schema.replace("\\", "\\\\").replace("\"", "\\\"")}","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |${add(f1)}
+         |{"sidecar":{"path":"scj-1.parquet","sizeInBytes":1,"modificationTime":0}}
+         |""".stripMargin)
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":0,"size":5}""")
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
   test("non-hive layout scales: 120 log-valued partitions read through ONE scan") {
     val root = tempDir("delta_nonhive_many")
     import org.apache.spark.sql.types._
@@ -268,17 +360,17 @@ class DeltaNativeSpec extends SparkSpec {
   }
 
   test("reader features beyond the supported set reject loudly") {
-    val root = tempDir("delta_v2cp")
+    val root = tempDir("delta_vtype")
     import spark.implicits._
     val schema = Seq((1L, "a")).toDF("id", "v").schema.json
-    val f1 = writePart(root, "part-v2cp.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f1 = writePart(root, "part-vt.parquet", Seq((1L, "a")).toDF("id", "v"))
     commit(root, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""",
       metaAction(schema), add(f1)))
     val e = intercept[DeltaNative.DeltaReadException] {
       DeltaNative.read(spark, root.getPath, Map.empty)
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("variantType"))
   }
 
   // ------------------------------------------------------ deletion vectors
