@@ -205,7 +205,10 @@ object FormatQueries {
         {"name":"file_format","type":"string"},
         {"name":"record_count","type":"long"},
         {"name":"file_size_in_bytes","type":["null","long"],"default":null},
-        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}""")
+        {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+        {"name":"referenced_data_file","type":["null","string"],"default":null},
+        {"name":"content_offset","type":["null","long"],"default":null},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}""")
     val entrySchema: Schema = new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int"},
@@ -218,14 +221,21 @@ object FormatQueries {
         {"name":"sequence_number","type":["null","long"],"default":null}]}""")
 
     def entry(status: Int, path: String, content: Option[Int] = None,
-        seq: Option[Long] = None, eqIds: Seq[Int] = Nil): GenericRecord = {
+        seq: Option[Long] = None, eqIds: Seq[Int] = Nil,
+        format: String = "PARQUET",
+        dvLocator: Option[(String, Long, Long)] = None): GenericRecord = {
       val d = new GenericData.Record(dfSchema)
       d.put("content", content.map(Int.box).orNull)
       d.put("file_path", path)
-      d.put("file_format", "PARQUET")
+      d.put("file_format", format)
       d.put("record_count", 1L)
       d.put("file_size_in_bytes", Long.box(1024L))
       d.put("equality_ids", if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
+      dvLocator.foreach { case (refFile, off, sz) =>
+        d.put("referenced_data_file", refFile)
+        d.put("content_offset", Long.box(off))
+        d.put("content_size_in_bytes", Long.box(sz))
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       e.put("sequence_number", seq.map(Long.box).orNull)
@@ -333,6 +343,72 @@ object FormatQueries {
     out
   }
 
+  /** orders → a native ICEBERG table whose row-level deletes live in V3
+    * PUFFIN DELETION VECTORS (iceberg spec v3 + puffin spec; blob layout is
+    * Delta-compatible by design): ONE puffin file holds TWO
+    * deletion-vector-v1 blobs at different offsets — evens lose their 10
+    * lowest positions, odds lose every 7th — located purely through the
+    * manifest's content_offset/content_size (no footer parse). Data files
+    * are written sorted so the oracle can replay positions with a window. */
+  private def ordersIcebergPuffin(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/orders_iceberg_puffin"
+    val done = new java.io.File(s"$out/metadata/version-hint.text")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      import graft.sources.DeletionVectors
+      import IcebergScaffold._
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val evens = singlePart(root, "data/evens.parquet",
+        o.filter(col("o_orderkey") % 2 === 0).coalesce(1).sortWithinPartitions("o_orderkey"))
+      val odds = singlePart(root, "data/odds.parquet",
+        o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1).sortWithinPartitions("o_orderkey"))
+      val oddsN = o.filter(col("o_orderkey") % 2 =!= 0).count()
+      val blobEvens = DeletionVectors.RoaringBitmapArray.serialize(0L until 10L)
+      val blobOdds = DeletionVectors.RoaringBitmapArray.serialize(0L.until(oddsN, 7L))
+      // puffin layout: PFA1, blobs (BE len + payload + BE crc32), footer
+      // (PFA1 + payload json + LE size + flags + PFA1)
+      val pf = new java.io.File(root, "data/deletes.puffin")
+      val os = new java.io.DataOutputStream(new java.io.FileOutputStream(pf))
+      os.write("PFA1".getBytes("UTF-8"))
+      var pos = 4L
+      val locs = Seq(blobEvens, blobOdds).map { b =>
+        val at = pos
+        os.writeInt(b.length); os.write(b)
+        val crc = new java.util.zip.CRC32(); crc.update(b)
+        os.writeInt(crc.getValue.toInt)
+        pos += 8L + b.length
+        (at, 8L + b.length)
+      }
+      val footer = locs.map { case (at, sz) =>
+        s"""{"type":"deletion-vector-v1","fields":[],"offset":$at,"length":$sz}"""
+      }.mkString("""{"blobs":[""", ",", "]}").getBytes("UTF-8")
+      os.write("PFA1".getBytes("UTF-8")); os.write(footer)
+      val n = footer.length
+      os.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      os.write(Array[Byte](0, 0, 0, 0))
+      os.write("PFA1".getBytes("UTF-8"))
+      os.close()
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      writeAvro(new java.io.File(md, "m1.avro"), entrySchema, Seq(
+        entry(1, evens, content = Some(0), seq = Some(1L)),
+        entry(1, odds, content = Some(0), seq = Some(1L)),
+        entry(1, "data/deletes.puffin", content = Some(1), seq = Some(2L),
+          format = "PUFFIN", dvLocator = Some((evens, locs(0)._1, locs(0)._2))),
+        entry(1, "data/deletes.puffin", content = Some(1), seq = Some(2L),
+          format = "PUFFIN", dvLocator = Some((odds, locs(1)._1, locs(1)._2)))))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema,
+        Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+      java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
+        ordersMetaJson(root, "orders-iceberg-puffin"))
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    out
+  }
+
   /** Little-endian IEEE-754 hex of a double — the WKB coordinate layout. */
   private def hexLE(d: Double): String = {
     val bits = java.lang.Double.doubleToLongBits(d)
@@ -345,7 +421,7 @@ object FormatQueries {
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
-    customerDeltaDv(s, dir)
+    customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir)
   }
 
   private val custCols =
@@ -513,6 +589,30 @@ object FormatQueries {
       WHERE NOT (c_custkey % 2 = 0 AND p < 10)
         AND NOT (c_custkey % 2 <> 0 AND p % 3 = 0)"""))
 
+  // ---------------------------------------------------------------- l05
+  // Native Iceberg V3 PUFFIN DELETION VECTOR scan: one puffin file, two
+  // blobs at different offsets, each applying to EXACTLY its referenced
+  // data file. The oracle replays the deleted positions from the SOURCE
+  // table with a window — evens lose their 10 lowest keys, odds lose every
+  // 7th position — so a reader that mislocated a blob (offset/CRC), applied
+  // a DV to the wrong file, or misdecoded the bitmap fails the hash check.
+  private val l05 = QueryDef(
+    "l05_iceberg_puffin_dv",
+    (s, dir) => {
+      val path = ordersIcebergPuffin(s, dir)
+      Catalog.attach(s, "l05_orders_iceberg_puffin", "iceberg", Map("files" -> path))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1 AS p
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM pos
+      WHERE NOT (o_orderkey % 2 = 0 AND p < 10)
+        AND NOT (o_orderkey % 2 <> 0 AND p % 7 = 0)"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -539,5 +639,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, l04, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, l04, l05, w01)
 }

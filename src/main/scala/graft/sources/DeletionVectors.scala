@@ -249,9 +249,14 @@ object DeletionVectors {
     }
   }
 
-  /** One executor-side decode task (absolute path resolved on the driver). */
+  /** One executor-side decode task (absolute path resolved on the driver).
+    * `container` says what file holds the bytes: "dv" = a Delta
+    * `deletion_vector_*.bin` (1-byte format version at the head), "puffin"
+    * = an Iceberg v3 puffin file ("PFA1" magic at the head; the
+    * `deletion-vector-v1` blob layout is Delta-compatible by design —
+    * 4-byte BE length, magic+bitmap, 4-byte BE CRC-32). "" = inline. */
   final case class Task(fileKey: String, storageType: String, payload: String,
-      dvPath: String, offset: Int, sizeInBytes: Int)
+      dvPath: String, offset: Long, sizeInBytes: Int, container: String)
 
   /** Decode one DV to its deleted row indices. Runs in executors. */
   def decodeTask(t: Task, conf: Configuration): Array[Long] = {
@@ -261,10 +266,17 @@ object DeletionVectors {
         val p = new Path(t.dvPath)
         val in = p.getFileSystem(conf).open(p)
         try {
-          val version = in.readByte()
-          if (version != 1)
-            throw DeltaReadException(s"deletion vector file ${t.dvPath} has format version $version (expected 1)")
-          in.seek(t.offset.toLong)
+          if (t.container == "puffin") {
+            val head = new Array[Byte](4)
+            in.readFully(head)
+            if (!java.util.Arrays.equals(head, "PFA1".getBytes("UTF-8")))
+              throw DeltaReadException(s"${t.dvPath} is not a puffin file (no PFA1 magic)")
+          } else {
+            val version = in.readByte()
+            if (version != 1)
+              throw DeltaReadException(s"deletion vector file ${t.dvPath} has format version $version (expected 1)")
+          }
+          in.seek(t.offset)
           val stored = in.readInt() // big-endian, per the on-disk layout
           if (stored != t.sizeInBytes)
             throw DeltaReadException(
@@ -281,6 +293,24 @@ object DeletionVectors {
     RoaringBitmapArray.deserialize(data)
   }
 
+  /** Distributed decode: a dataset of tasks → one (file key, row index)
+    * frame of dead positions. The caller anti-joins it against its scan. */
+  def deletedRows(spark: SparkSession, tasks: Seq[Task]): DataFrame = {
+    val confEntries: Seq[(String, String)] =
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    val slices = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(tasks)(Encoders.product[Task])
+      .repartition(slices)
+      .flatMap { t =>
+        val c = new Configuration(false)
+        confBc.value.foreach { case (k, v) => c.set(k, v) }
+        decodeTask(t, c).map(i => (t.fileKey, i))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("__dv_file", "__dv_pos")
+  }
+
   /** Remove DV-dead rows from `df` (a direct parquet scan — `_metadata` must
     * still be addressable). `dvs` maps resolved data-file paths to their
     * descriptors. */
@@ -291,23 +321,9 @@ object DeletionVectors {
       Task(PathKeys.key(filePath), d.storageType,
         if (d.storageType == "i") d.pathOrInlineDv else "",
         d.absolutePath(tableRoot).map(_.toString).getOrElse(""),
-        d.offset.getOrElse(0), d.sizeInBytes)
+        d.offset.getOrElse(0).toLong, d.sizeInBytes, "dv")
     }
-    // hadoop conf must reach executors for on-disk DVs (object-store creds
-    // etc.); plain entries broadcast — Configuration itself isn't serializable
-    val confEntries: Seq[(String, String)] =
-      spark.sessionState.newHadoopConf().iterator().asScala
-        .map(e => e.getKey -> e.getValue).toSeq
-    val confBc = spark.sparkContext.broadcast(confEntries)
-    val slices = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
-    val deleted = spark.createDataset(tasks)(Encoders.product[Task])
-      .repartition(slices)
-      .flatMap { t =>
-        val c = new Configuration(false)
-        confBc.value.foreach { case (k, v) => c.set(k, v) }
-        decodeTask(t, c).map(i => (t.fileKey, i))
-      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-      .toDF("__dv_file", "__dv_pos")
+    val deleted = deletedRows(spark, tasks)
     // descriptor cardinality is declared in the log: a cheap, honest sizing
     // signal. ~16 bytes per decoded position; small sets broadcast, big
     // sets shuffle — never a nested loop.

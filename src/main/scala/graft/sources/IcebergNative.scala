@@ -39,10 +39,13 @@ import org.apache.spark.sql.types._
   * partition-scoped by identity, bucket, truncate, and the date/time
   * transforms — the transform is recomputed per data row, closed-form per
   * the spec (bucket via the seed-0 murmur3 codegen expression
-  * IcebergBucketExpr). NOT supported — rejected
-  * loudly, never misread: non-parquet files (including v3 puffin deletion
-  * vectors), nested-field equality deletes, `time`-typed columns (no Spark
-  * analogue).
+  * IcebergBucketExpr). V3 PUFFIN DELETION VECTORS apply too: the manifest's
+  * content_offset/content_size locate the blob, executors decode the
+  * Delta-compatible roaring bitmap (DeletionVectors), and dead positions
+  * anti-join the scan keyed by the referenced data file. NOT supported —
+  * rejected loudly, never misread: other non-parquet files, DV entries
+  * missing their blob locator fields, nested-field equality deletes,
+  * `time`-typed columns (no Spark analogue).
   */
 object IcebergNative {
 
@@ -207,9 +210,12 @@ object IcebergNative {
       }
 
     final case class FileRef(path: String, seq: Long, bytes: Long)
+    /** V3 puffin deletion vector: blob location + the data file it covers. */
+    final case class DvRef(puffinPath: String, offset: Long, size: Long, dataFile: String)
     val dataFiles = Seq.newBuilder[FileRef]
     val posDeletes = Seq.newBuilder[FileRef]
     val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[ScopeField])]
+    val dvRefs = Seq.newBuilder[DvRef]
     manifestRefs.foreach { mref =>
       avroRows(mref.path).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
@@ -217,13 +223,27 @@ object IcebergNative {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0)
           val fmt = df.get("file_format").toString
-          if (!fmt.equalsIgnoreCase("parquet")) throw IcebergReadException(
-            s"file format `$fmt` unsupported (parquet only; v3 deletion-vector " +
-              "puffin blobs need an iceberg connector jar)")
+          val isPuffinDv = content == 1 && fmt.equalsIgnoreCase("puffin")
+          if (!fmt.equalsIgnoreCase("parquet") && !isPuffinDv) throw IcebergReadException(
+            s"file format `$fmt` unsupported for content=$content " +
+              "(parquet data/delete files and puffin deletion vectors only)")
           val seq = opt(entry, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(mref.seq)
           val bytes = opt(df, "file_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L)
           val ref = FileRef(resolve(df.get("file_path").toString).toString, seq, bytes)
           content match {
+            case 1 if isPuffinDv =>
+              // v3 deletion vector (spec "Position Delete Vectors"): the
+              // manifest carries the blob's offset/length so no puffin
+              // footer parse is needed; a DV applies to EXACTLY its
+              // referenced data file (no sequence comparison — it replaces
+              // that file's delete state). Missing fields reject loudly.
+              def need(f: String): AnyRef = opt(df, f).getOrElse(throw IcebergReadException(
+                s"puffin deletion vector entry lacks `$f` — cannot locate the " +
+                  "blob; use an iceberg connector jar"))
+              dvRefs += DvRef(ref.path,
+                need("content_offset").asInstanceOf[Long],
+                need("content_size_in_bytes").asInstanceOf[Long],
+                resolve(need("referenced_data_file").toString).toString)
             case 0 => dataFiles += ref
             case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
@@ -239,7 +259,8 @@ object IcebergNative {
         }
       }
     }
-    val (data, pos, eqs) = (dataFiles.result(), posDeletes.result(), eqDeletes.result())
+    val (data, pos, eqs, dvs) =
+      (dataFiles.result(), posDeletes.result(), eqDeletes.result(), dvRefs.result())
 
     // Field-id resolution (the spec's rule; survives column renames): if the
     // data files carry parquet field ids — every iceberg-written file does —
@@ -285,7 +306,7 @@ object IcebergNative {
 
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (pos.isEmpty && eqs.isEmpty)
+    else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty)
       spark.read.schema(readSchema).parquet(data.map(_.path): _*)
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
@@ -309,6 +330,22 @@ object IcebergNative {
         .withColumn("__if", norm(col("_metadata.file_path")))
         .withColumn("__ipos", col("_metadata.row_index"))
         .join(broadcast(seqLookup), Seq("__if"), "left")
+
+      if (dvs.nonEmpty) {
+        // v3 puffin DVs: bitmap decode is DATA work — executors decode the
+        // blobs (DeletionVectors.deletedRows, the same machinery the Delta
+        // DV path uses; the v3 blob layout is Delta-compatible by design),
+        // then the dead (file, position) pairs anti-join the scan. No
+        // sequence predicate: a DV names its exact referenced file.
+        val tasks = dvs.map(r => DeletionVectors.Task(
+          uriPath(r.dataFile), "puffin", "", r.puffinPath, r.offset,
+          (r.size - 8).toInt, "puffin")) // blob = 4B len + payload + 4B crc
+        val dead = DeletionVectors.deletedRows(spark, tasks)
+        val deadB = capped(dead, dvs.map(_.size).sum)
+        cur = cur.join(deadB,
+          cur("__if") === deadB("__dv_file") && cur("__ipos") === deadB("__dv_pos"),
+          "left_anti")
+      }
 
       if (pos.nonEmpty) {
         // ONE scan of all positional delete files; per-file sequence joined in

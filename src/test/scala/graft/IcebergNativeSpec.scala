@@ -27,6 +27,9 @@ class IcebergNativeSpec extends SparkSpec {
       {"name":"record_count","type":"long"},
       {"name":"file_size_in_bytes","type":["null","long"],"default":null},
       {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+      {"name":"referenced_data_file","type":["null","string"],"default":null},
+      {"name":"content_offset","type":["null","long"],"default":null},
+      {"name":"content_size_in_bytes","type":["null","long"],"default":null},
       {"name":"partition","type":["null",{"type":"record","name":"ptuple","fields":[
         {"name":"p","type":["null","int"],"default":null},
         {"name":"p_bucket","type":["null","int"],"default":null}]}],"default":null}]}""")
@@ -79,10 +82,16 @@ class IcebergNativeSpec extends SparkSpec {
       seq: Option[Long] = None, eqIds: Seq[Int] = Nil,
       format: String = "PARQUET",
       partition: Map[String, java.lang.Integer] = Map.empty,
-      schemas: (Schema, Schema) = (dataFileSchema, entrySchema)): GenericRecord = {
+      schemas: (Schema, Schema) = (dataFileSchema, entrySchema),
+      dvLocator: Option[(String, Long, Long)] = None): GenericRecord = {
     val (dfSchema, eSchema) = schemas
     val df = new GenericData.Record(dfSchema)
     df.put("content", content.map(Int.box).orNull)
+    dvLocator.foreach { case (refFile, off, sz) =>
+      df.put("referenced_data_file", refFile)
+      df.put("content_offset", Long.box(off))
+      df.put("content_size_in_bytes", Long.box(sz))
+    }
     if (partition.nonEmpty) {
       val pt = new GenericData.Record(
         dfSchema.getField("partition").schema().getTypes.get(1))
@@ -520,8 +529,65 @@ class IcebergNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("mix parquet field-id presence"))
   }
 
-  test("v3 puffin deletion vectors reject loudly") {
-    val root = tempDir("ice_puffin")
+  /** Write a REAL puffin file: PFA1 head, one deletion-vector-v1 blob
+    * (4-byte BE length, Delta-compatible magic+bitmap payload, 4-byte BE
+    * CRC-32), and a structurally complete footer (payload JSON, its LE
+    * size, flags, closing magic). Returns (blob offset, blob size). */
+  private def writePuffinDv(f: File, positions: Seq[Long]): (Long, Long) = {
+    import graft.sources.DeletionVectors
+    val payload = DeletionVectors.RoaringBitmapArray.serialize(positions)
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+    out.write("PFA1".getBytes("UTF-8"))
+    val blobOffset = 4L
+    out.writeInt(payload.length)
+    out.write(payload)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    out.writeInt(crc.getValue.toInt)
+    val blobSize = 4L + payload.length + 4L
+    val footerJson =
+      s"""{"blobs":[{"type":"deletion-vector-v1","fields":[],"offset":$blobOffset,"length":$blobSize}]}"""
+        .getBytes("UTF-8")
+    out.write("PFA1".getBytes("UTF-8"))
+    out.write(footerJson)
+    // footer payload size, 4-byte LITTLE-endian, then flags, then magic
+    val n = footerJson.length
+    out.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write("PFA1".getBytes("UTF-8"))
+    out.close()
+    (blobOffset, blobSize)
+  }
+
+  test("v3 puffin deletion vectors apply to their referenced data file") {
+    val root = tempDir("ice_puffin_dv")
+    import spark.implicits._
+    // two sorted data files; the DV kills positions 0 and 2 of file A ONLY
+    // — file B shares the same row shapes and must be untouched
+    val fA = writePart(root, "data/a.parquet",
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "v")
+        .coalesce(1).sortWithinPartitions("id"))
+    val fB = writePart(root, "data/b.parquet",
+      Seq((4L, "x"), (5L, "y")).toDF("id", "v")
+        .coalesce(1).sortWithinPartitions("id"))
+    val puffin = new File(root, "data/deletes.puffin")
+    val (off, sz) = writePuffinDv(puffin, Seq(0L, 2L))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, fB, seq = Some(1L)),
+      entry(1, "data/deletes.puffin", content = Some(1), seq = Some(2L),
+        format = "PUFFIN", dvLocator = Some((fA, off, sz)))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
+    val got = IcebergNative.read(spark, root.getPath, Map.empty)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 4L, 5L))
+  }
+
+  test("puffin DV entries without blob locator fields reject loudly") {
+    val root = tempDir("ice_puffin_bad")
     import spark.implicits._
     val fA = writePart(root, "data/a.parquet", Seq((1L, "a")).toDF("id", "v"))
     val md = new File(root, "metadata"); md.mkdirs()
@@ -534,7 +600,7 @@ class IcebergNativeSpec extends SparkSpec {
     val e = intercept[IcebergNative.IcebergReadException] {
       IcebergNative.read(spark, root.getPath, Map.empty)
     }
-    assert(e.getMessage.toLowerCase.contains("puffin"))
+    assert(e.getMessage.contains("content_offset"))
   }
 
   test("schema conversion covers primitives, struct, list, map, decimal") {
