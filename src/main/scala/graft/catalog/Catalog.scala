@@ -60,6 +60,15 @@ object Catalog {
             readParquet(spark, files, options, schema))
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
+        case "spatial" if files.exists(f => f.endsWith(".shp") || f.endsWith(".SHP")) =>
+          if (!files.forall(f => f.endsWith(".shp") || f.endsWith(".SHP")))
+            throw InvalidOptionException(
+              "spatial attach mixes shapefiles with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a shapefile's geometry is delivered as WKB")
+          graft.sources.Shapefile.read(spark, files, options)
         case "spatial" => graft.sources.GeoJson.read(spark, files, options)
         case "delta" if !Formats.deltaConnectorPresent =>
           if (files.length != 1) throw InvalidOptionException(

@@ -72,6 +72,60 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → an ESRI SHAPEFILE layer (.shp points + .dbf attributes),
+    * bytes written per the public format spec — same planted Point(k/2, k)
+    * geometries as nationGeo, so the oracle reuses g01's independent WKB
+    * encoder. Driver-side write is test scaffolding, not a data path. */
+  private def nationShp(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_shp"
+    val shp = new java.io.File(s"$out/nation.shp")
+    if (!shp.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+        .sortBy(_.getLong(0))
+      shp.getParentFile.mkdirs()
+      val n = rows.length
+      val sb = java.nio.ByteBuffer.allocate(100 + n * 28)
+      sb.order(java.nio.ByteOrder.BIG_ENDIAN)
+      sb.putInt(0, 9994); sb.putInt(24, (100 + n * 28) / 2)
+      sb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      sb.putInt(28, 1000); sb.putInt(32, 1)
+      sb.position(100)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val k = r.getLong(0)
+        sb.order(java.nio.ByteOrder.BIG_ENDIAN); sb.putInt(i + 1); sb.putInt(10)
+        sb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        sb.putInt(1); sb.putDouble(k / 2.0); sb.putDouble(k.toDouble)
+      }
+      java.nio.file.Files.write(shp.toPath, sb.array())
+      // companion .dbf: nationkey N(4,0), name C(25)
+      val fields = Seq(("nationkey", 'N', 4), ("name", 'C', 25))
+      val headerSize = 32 + 32 * fields.length + 1
+      val recordSize = 1 + fields.map(_._3).sum
+      val db = java.nio.ByteBuffer.allocate(headerSize + recordSize * n + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      db.put(0, 0x03.toByte); db.putInt(4, n)
+      db.putShort(8, headerSize.toShort); db.putShort(10, recordSize.toShort)
+      fields.zipWithIndex.foreach { case ((name, typ, len), i) =>
+        val off = 32 + 32 * i
+        db.position(off); db.put(name.getBytes("US-ASCII"))
+        db.put(off + 11, typ.toByte); db.put(off + 16, len.toByte)
+      }
+      db.put(32 + 32 * fields.length, 0x0d.toByte)
+      var off = headerSize
+      rows.foreach { r =>
+        db.position(off); db.put(' '.toByte)
+        db.put(r.getLong(0).toString.padTo(4, ' ').getBytes("US-ASCII"))
+        db.put(r.getString(1).padTo(25, ' ').take(25).getBytes("US-ASCII"))
+        off += recordSize
+      }
+      db.put(off, 0x1a.toByte)
+      java.nio.file.Files.write(new java.io.File(s"$out/nation.dbf").toPath, db.array())
+    }
+    shp.getPath
+  }
+
   /** customer → a two-commit native DELTA table (driver-side scaffolding,
     * like nationGeo): commit 0 adds an evens file and an odds file; commit 1
     * REMOVES the odds file and adds a positive-balance rewrite of it. A
@@ -421,7 +475,7 @@ object FormatQueries {
   def ensureExports(s: SparkSession, dir: String): Unit = {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
-    customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir)
+    customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir); nationShp(s, dir)
   }
 
   private val custCols =
@@ -493,6 +547,30 @@ object FormatQueries {
       val path = nationGeo(s, dir)
       import org.apache.spark.sql.functions._
       Catalog.attach(s, "g01_nation_geo", "spatial", Map("files" -> path))
+        .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  // ---------------------------------------------------------------- g02
+  // Native SHAPEFILE attach: .shp points + .dbf attributes → the same WKB
+  // `geom` contract as g01, oracle-checked against the identical
+  // independently-encoded Point(k/2, k) WKB hex. A reader that misparsed
+  // the record framing, the dBASE fixed-width attributes, or the
+  // little-endian coordinate layout fails the hash check.
+  private val g02 = QueryDef(
+    "g02_shapefile_scan",
+    (s, dir) => {
+      val path = nationShp(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g02_nation_shp", "spatial", Map("files" -> path))
         .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
     },
     Some {
@@ -639,5 +717,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, l01, l02, l03, l04, l05, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, g02, l01, l02, l03, l04, l05, w01)
 }
