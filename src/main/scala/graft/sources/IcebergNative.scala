@@ -210,8 +210,12 @@ object IcebergNative {
       }
 
     final case class FileRef(path: String, seq: Long, bytes: Long)
-    /** V3 puffin deletion vector: blob location + the data file it covers. */
-    final case class DvRef(puffinPath: String, offset: Long, size: Long, dataFile: String)
+    /** V3 puffin deletion vector: blob location + the data file it covers.
+      * `cardinality` = the entry's record_count (the spec stores the DV's
+      * deleted-position count there) — the broadcast-sizing signal, since
+      * decoded positions dwarf the compressed blob bytes. */
+    final case class DvRef(puffinPath: String, offset: Long, size: Long,
+        dataFile: String, cardinality: Long)
     val dataFiles = Seq.newBuilder[FileRef]
     val posDeletes = Seq.newBuilder[FileRef]
     val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[ScopeField])]
@@ -243,7 +247,8 @@ object IcebergNative {
               dvRefs += DvRef(ref.path,
                 need("content_offset").asInstanceOf[Long],
                 need("content_size_in_bytes").asInstanceOf[Long],
-                resolve(need("referenced_data_file").toString).toString)
+                resolve(need("referenced_data_file").toString).toString,
+                opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L))
             case 0 => dataFiles += ref
             case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
@@ -341,7 +346,8 @@ object IcebergNative {
           uriPath(r.dataFile), "puffin", "", r.puffinPath, r.offset,
           (r.size - 8).toInt, "puffin")) // blob = 4B len + payload + 4B crc
         val dead = DeletionVectors.deletedRows(spark, tasks)
-        val deadB = capped(dead, dvs.map(_.size).sum)
+        // size by DECODED positions (~16 B each), not compressed blob bytes
+        val deadB = capped(dead, dvs.map(_.cardinality).sum * 16)
         cur = cur.join(deadB,
           cur("__if") === deadB("__dv_file") && cur("__ipos") === deadB("__dv_pos"),
           "left_anti")

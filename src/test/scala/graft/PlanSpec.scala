@@ -133,6 +133,28 @@ class PlanSpec extends SparkSpec {
     assert(antiJoins >= 2, s"expected hash anti-joins for pos+eq deletes:\n$p")
   }
 
+  test("l04/l05: deletion-vector anti-joins hash on (file, position), never nested-loop") {
+    // Delta DVs and Iceberg puffin DVs share the join shape: decoded dead
+    // positions anti-join the scan on two equi keys. A nested-loop or
+    // cartesian here multiplies a 100 TB fact by its delete set.
+    Seq("l04_delta_deletion_vectors", "l05_iceberg_puffin_dv").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q deletion-vector anti-join fell back to nested-loop:\n$p")
+      assert(p.linesIterator.exists(l => l.contains("HashJoin") && l.contains("LeftAnti")),
+        s"$q expected a hash anti-join for the deletion vector:\n$p")
+    }
+  }
+
+  test("s05: auto-sized LSH keeps the join-free candidate shape of s03") {
+    val p = plan("s05_cosine_lsh_autosized")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"auto-sized LSH fell back to all-pairs:\n$p")
+    // signatures stay row-local: no shuffle below the bucket groupBy other
+    // than the aggregate's own exchange (same bound s03 pins)
+    assert(p.contains("vec_signdot"), s"native sign-dot missing from plan:\n$p")
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
