@@ -354,6 +354,103 @@ object Multimodal {
       Array.tabulate(fixtureAviFrameSize(k))(i => ((id * 7 + k * 11 + i) % 256).toByte)
     })
 
+  // ------------------------------------------------------------ audio WAV
+  /** REAL PCM audio decode: parse the RIFF/WAVE container (fmt chunk,
+    * chunk-walk with even padding, data chunk) AND the 16-bit little-endian
+    * samples themselves — channels, sample rate, sample count, peak
+    * amplitude, and the exact energy (sum of squared samples). No codec
+    * library needed: PCM WAV is the uncompressed baseline every audio
+    * pipeline normalizes to, and the JDK-free byte walk keeps this
+    * partition-local, zero shuffle, linear in payload bytes. Corrupt or
+    * non-PCM payloads degrade to `decode_ok=false` rows — data, never
+    * exceptions (the m04 contract). */
+  def wavFeatures(df: DataFrame, payloadCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWav(bytes) match {
+          case Some((ch, rate, n, peak, energy)) =>
+            (id, Option(ch.toLong), Option(rate.toLong), Option(n.toLong),
+              Option(peak.toLong), Option(energy), true)
+          case None => (id, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long], false)
+        }
+      })
+      .toDF(idCol, "channels", "sample_rate", "n_samples", "peak_abs", "energy",
+        "decode_ok")
+  }
+
+  /** WAV bytes → (channels, sampleRate, nSamples, peakAbs, energy). None on
+    * anything that is not plain 16-bit PCM. */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes == null || bytes.length < 12) return None
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    val end = math.min(bytes.length.toLong, 8L + u32(4))
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var pcm = false
+    var data: Option[(Int, Int)] = None // (offset, size)
+    var p = 12L
+    while (p + 8 <= end) {
+      val id = fourcc(p.toInt)
+      val sz = u32(p.toInt + 4)
+      if (id == "fmt " && p + 8 + 16 <= end) {
+        pcm = u16(p.toInt + 8) == 1
+        channels = u16(p.toInt + 10)
+        rate = u32(p.toInt + 12).toInt
+        bits = u16(p.toInt + 22)
+      } else if (id == "data" && p + 8 + sz <= end)
+        data = Some(((p + 8).toInt, sz.toInt))
+      p += 8 + sz + (sz & 1) // chunks pad to even, like every RIFF
+    }
+    if (!pcm || bits != 16 || channels < 1 || data.isEmpty) return None
+    val (off, sz) = data.get
+    val n = sz / 2
+    var peak = 0
+    var energy = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)).toShort.toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      energy += s.toLong * s
+      i += 1
+    }
+    Some((channels, rate, n, peak, energy))
+  }
+
+  /** Deterministic PCM WAV fixture: mono 8 kHz 16-bit, `50 + id % 37`
+    * samples of `((id*31 + i*17) mod 65536) - 32768` — count, peak and
+    * energy are closed-form arithmetic for an engine with no WAV parser. A
+    * JUNK chunk with an ODD size sits before `data`, so a walker that
+    * forgets RIFF even-padding misreads every payload. */
+  def fixtureWavSampleCount(id: Long): Int = 50 + (id % 37).toInt
+  def fixtureWav(id: Long): Array[Byte] = {
+    val n = fixtureWavSampleCount(id)
+    val dataSize = 2 * n
+    val junk = 3 // odd on purpose
+    val riffSize = 4 + (8 + 16) + (8 + junk + 1) + (8 + dataSize)
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("JUNK".getBytes("US-ASCII")).putInt(junk).put(Array[Byte](7, 7, 7)).put(0.toByte)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until n).foreach { i =>
+      b.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
+    }
+    b.array()
+  }
+
   /** Frame sampling — the one-to-many decode shape (video → frames). Each
     * payload explodes into one row per fixed-size "frame" with its index,
     * a content hash, and a synthetic timestamp (25 fps → 40 ms stride).

@@ -464,6 +464,45 @@ object PipelineQueries {
                  i -> printf('%02X', (doc_id * 7 + k * 11 + i) % 256)), '')) AS frame_md5
       FROM sized"""))
 
+  // ---------------------------------------------------------------- m06
+  // REAL audio decode: each doc carries a spec-conform PCM WAV (16-bit
+  // mono, deterministic samples, an ODD-sized JUNK chunk to force the RIFF
+  // even-padding rule), and Multimodal.wavFeatures parses the container AND
+  // the samples — count, peak, exact energy. The oracle knows NO wav
+  // parser: it replays the sample arithmetic closed-form, so a reader that
+  // miswalks a chunk, flips endianness, or drops a sample fails the hash.
+  // Corrupt payloads (every 7th doc) must degrade to decode_ok=false rows.
+  private val m06 = QueryDef(
+    "m06_wav_decode",
+    (s, dir) => {
+      import s.implicits._
+      val withPayload = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val payload =
+            if (id % 7 == 3) s"not a wav $id".getBytes("UTF-8")
+            else Multimodal.fixtureWav(id)
+          (id, payload)
+        }).toDF("doc_id", "payload")
+      Multimodal.wavFeatures(withPayload, "payload", "doc_id")
+    },
+    Some("""
+      WITH ok AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents
+                  WHERE doc_id % 7 <> 3),
+      seqs AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM ok),
+      v AS (SELECT doc_id, n, ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp FROM seqs),
+      agg AS (SELECT doc_id, any_value(n) AS n, max(abs(smp)) AS peak,
+                     sum(smp * smp) AS energy
+              FROM v GROUP BY doc_id)
+      SELECT doc_id, CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(n AS BIGINT) AS n_samples, CAST(peak AS BIGINT) AS peak_abs,
+             CAST(energy AS BIGINT) AS energy, true AS decode_ok
+      FROM agg
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false AS decode_ok
+      FROM documents WHERE doc_id % 7 = 3"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -578,5 +617,5 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, m01, m02, m03, m04, m05, t01, t02, t03, t04, t05)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05)
 }

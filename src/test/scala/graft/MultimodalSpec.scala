@@ -269,6 +269,29 @@ class MultimodalSpec extends SparkSpec {
     assert((System.nanoTime() - t0) < 30e9, "bomb guard must not attempt the decode")
   }
 
+  test("wavFeatures: exact PCM math; non-PCM and truncation degrade to rows") {
+    import spark.implicits._
+    val good = Multimodal.fixtureWav(10L)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt audioFormat → IEEE float
+    val truncated = java.util.Arrays.copyOf(good, good.length - 5)
+    val in = Seq((1L, good), (2L, nonPcm), (3L, truncated), (4L, "nope".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.wavFeatures(in, "payload", "id")
+      .orderBy("id").collect()
+    // exact replay of the fixture arithmetic, independent of the parser
+    val n = Multimodal.fixtureWavSampleCount(10L)
+    val samples = (0 until n).map(i => (((10L * 31 + i * 17) % 65536) - 32768).toInt)
+    assert(rows(0).getBoolean(6))
+    assert(rows(0).getLong(1) === 1L && rows(0).getLong(2) === 8000L)
+    assert(rows(0).getLong(3) === n.toLong)
+    assert(rows(0).getLong(4) === samples.map(math.abs).max.toLong)
+    assert(rows(0).getLong(5) === samples.map(s => s.toLong * s).sum)
+    // degraded payloads are rows with decode_ok=false, never exceptions
+    Seq(1, 2, 3).foreach { i =>
+      assert(!rows(i).getBoolean(6) && rows(i).isNullAt(3), s"row $i")
+    }
+  }
+
   test("fixturePng family: decoded geometry matches the closed-form oracle") {
     for (id <- Seq(0L, 7L, 123L, 499L)) {
       val img = javax.imageio.ImageIO.read(
