@@ -139,5 +139,48 @@ object StreamingQueries {
       SELECT date_trunc('day', ts) AS day_start, count(*) AS n
       FROM events WHERE user_id % 50 = 0 GROUP BY 1"""))
 
-  val all: Seq[QueryDef] = Seq(x01, x02)
+  // ---------------------------------------------------------------- x03
+  // Stream-stream INTERVAL JOIN (the impression ⋈ click shape) vs the batch
+  // join with the identical time-bound predicate. Both sides feed the SAME
+  // first micro-batch (inner joins emit on match; feeding one side first
+  // would advance the watermark and drop the other side's older rows as
+  // late — a replay artifact, not join semantics). The pair set is
+  // order-free → deterministic.
+  private val x03 = QueryDef(
+    "x03_stream_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val clicks = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val out = Streams.intervalJoin(
+        purchases.toDF().toDF("user_id", "ts_p"),
+        clicks.toDF().toDF("user_id", "ts_c"),
+        "user_id", "ts_p", "ts_c", "24 hours", "0 seconds")
+        .select(col("user_id"), col("ts_p"), col("ts_c"))
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x03_out")
+          .outputMode("append").start()
+        try {
+          val ev = Tables.load(s, dir, "events")
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_type"), col("user_id"), col("ts")).collect()
+          purchases.addData(ev.filter(_.getString(0) == "purchase")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          clicks.addData(ev.filter(_.getString(0) == "click")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x03_out")
+    },
+    Some("""
+      SELECT p.user_id, p.ts AS ts_p, c.ts AS ts_c
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03)
 }
