@@ -97,12 +97,14 @@ object PgDialect {
   // opt out. The reference's dialect never produces that shape.
   // LHS forms an arrow can hang off: a CAST(..) from `col::json`, a
   // pg_json_get(..) emitted by a previous arrow pass (chains), or a bare
-  // identifier
+  // identifier. SEGMENT-AWARE: a text key is the NEXT quoted segment, so
+  // the stitch happens across the boundary and a string literal that
+  // merely CONTAINS arrow text stays data (same discipline as the
+  // table-function swap in SqlApi).
   private val arrowLhs =
     """(CAST\((?:[^()]|\([^()]*\))*\)|pg_json_get\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][A-Za-z_0-9.]*)"""
-  private val jsonArrowRe = (arrowLhs + """\s*->>\s*'([^']*)'""").r
-  private val jsonArrowJsonRe =
-    (arrowLhs + """\s*->(?!>)\s*(?:'([^']*)'|(-?\d+))""").r
+  private val arrowTailRe = (arrowLhs + """\s*(->>|->)\s*$""").r
+  private val arrowIntRe = (arrowLhs + """\s*->(?!>)\s*(-?\d+)""").r
 
   // DuckDB table functions in their BARE single-path form map to Spark's
   // path-table syntax: read_parquet('p') → parquet.`p` (likewise csv/json).
@@ -169,6 +171,63 @@ object PgDialect {
         out += ((s, false))
       }
     }
+    // --- json arrows, SEGMENT-AWARE, to fixpoint for chains: the stitch
+    // joins an unquoted tail `lhs ->(>)` with its quoted-literal key, so
+    // `a -> 'b' ->> 'c'` nests left-to-right and literals containing arrow
+    // text are never rewritten
+    def coalesceUnquoted(): Unit = {
+      var i = 0
+      while (i + 1 < out.length) {
+        if (!out(i)._2 && !out(i + 1)._2) {
+          out(i) = ((out(i)._1 + out(i + 1)._1, false)); out.remove(i + 1)
+        } else i += 1
+      }
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      coalesceUnquoted()
+      // integer-key arrows live entirely inside one unquoted segment
+      var i = 0
+      while (i < out.length) {
+        val (seg, q) = out(i)
+        if (!q) {
+          val r2 = arrowIntRe.replaceAllIn(seg, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"pg_json_get(${m.group(1)}, ${m.group(2)})"))
+          if (r2 != seg) { out(i) = ((r2, false)); changed = true }
+        }
+        i += 1
+      }
+      // text-key arrows: unquoted tail + quoted key segment
+      i = 1
+      while (i < out.length) {
+        val (lit, q) = out(i)
+        if (q && lit.startsWith("'") && !out(i - 1)._2) {
+          arrowTailRe.findFirstMatchIn(out(i - 1)._1) match {
+            case Some(m) =>
+              val rawInner = lit.substring(1, lit.length - 1)
+              val callOpt =
+                if (m.group(2) == "->")
+                  // SQL escaping ('' pairs) passes through verbatim
+                  Some(s"pg_json_get(${m.group(1)}, '$rawInner')")
+                else if (!rawInner.contains("'"))
+                  // ->> builds a json-path literal: plain keys only
+                  Some(s"get_json_object(${m.group(1)}, '$$.$rawInner')")
+                else None
+              callOpt match {
+                case Some(call) =>
+                  out(i - 1) = ((out(i - 1)._1.substring(0, m.start) + call, false))
+                  out.remove(i)
+                  changed = true
+                case None => i += 1
+              }
+            case None => i += 1
+          }
+        } else i += 1
+      }
+    }
+
     // whole-string post-pass: hex-codec function mapping spans quoted and
     // unquoted segments (the arguments are string literals), so it runs on
     // the reassembled text, to fixpoint for nested calls
@@ -180,21 +239,6 @@ object PgDialect {
         java.util.regex.Matcher.quoteReplacement(s"lower(hex(${m.group(1).trim}))"))
       res = decodeHexRe.replaceAllIn(res, m =>
         java.util.regex.Matcher.quoteReplacement(s"unhex(${m.group(1).trim})"))
-    }
-    // arrows to fixpoint so chains nest left-to-right: `a -> 'b' ->> 'c'`
-    // first wraps `a -> 'b'` into pg_json_get(a,'b'), then the next pass
-    // sees that call as the ->> LHS
-    var prevArrow: String = null
-    while (prevArrow != res) {
-      prevArrow = res
-      res = jsonArrowJsonRe.replaceAllIn(res, m => java.util.regex.Matcher.quoteReplacement {
-        val key = Option(m.group(2)).map(k => s"'${k.replace("'", "''")}'")
-          .getOrElse(m.group(3))
-        s"pg_json_get(${m.group(1)}, $key)"
-      })
-      res = jsonArrowRe.replaceAllIn(res, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$$.${m.group(2)}')"))
     }
     res = readFnRe.replaceAllIn(res, m =>
       java.util.regex.Matcher.quoteReplacement(

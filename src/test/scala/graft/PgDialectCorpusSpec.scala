@@ -325,6 +325,20 @@ class PgDialectCorpusSpec extends SparkSpec {
     assert(one("""SELECT '{"name": "joe"}'::json ->> 'name' AS j""").getString(0) === "joe")
   }
 
+  test("arrow text inside string literals stays literal data") {
+    // the arrow rewrite is segment-stitched: only a REAL `lhs -> 'key'`
+    // shape (unquoted tail + quoted key) rewrites; a literal merely
+    // containing arrow text survives verbatim
+    val r1 = SqlApi.executePg(spark, "SELECT 'apply -> ''next'' step' AS s").head()
+    assert(r1.getString(0) === "apply -> 'next' step")
+    val r2 = SqlApi.executePg(spark, "SELECT 'a ->> ''b''' AS s").head()
+    assert(r2.getString(0) === "a ->> 'b'")
+    // and a real arrow right after such a literal still rewrites
+    val r3 = SqlApi.executePg(spark,
+      """SELECT 'x -> ''y''' AS lit, '{"k": 1}'::json -> 'k' AS j""").head()
+    assert(r3.getString(0) === "x -> 'y'" && r3.getString(1) === "1")
+  }
+
   test("pg_json_get compiles against column input (not constant-folded)") {
     // literal LHS constant-folds through eval; a COLUMN forces the codegen
     // path, and malformed json must be NULL, never a crash
