@@ -56,10 +56,14 @@ object Formats {
   // native log/metadata readers (graft.sources.DeltaNative — reader protocol
   // v1; graft.sources.IcebergNative — v1/v2 append-only snapshots; newer
   // protocol features reject loudly and recommend the connector).
-  def delta: FormatSpec = FormatSpec("delta", commonOptions, Set("files"))
+  // version_as_of / snapshot_id: TIME TRAVEL on the native readers (replay
+  // the log to a version / pin a snapshot) — beyond the reference's
+  // latest-snapshot-only scans, standard lakehouse surface
+  def delta: FormatSpec = FormatSpec("delta", commonOptions ++ Set("version_as_of"), Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
-    commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec", "skip_schema_inference"),
+    commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",
+      "skip_schema_inference", "snapshot_id"),
     Set("files"))
 
   /** Whether a connector jar is deployed (picks the connector over the

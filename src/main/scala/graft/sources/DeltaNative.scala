@@ -108,7 +108,20 @@ object DeltaNative {
         d.path("cardinality").asLong()))
     }
 
-    // checkpoint, if any
+    // TIME TRAVEL: `version_as_of` pins the replay at that commit version.
+    // A checkpoint NEWER than the pin cannot be used (it already folded
+    // later commits), so the replay falls back to commits from 0 — and
+    // errors loudly if those commits were vacuumed away.
+    val asOf: Option[Long] = options.get("version_as_of").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException =>
+          throw DeltaReadException(s"version_as_of `$v` is not a number")
+      }
+      if (n < 0) throw DeltaReadException(s"version_as_of $n is negative")
+      n
+    }
+
+    // checkpoint, if any (skipped when it post-dates the time-travel pin)
     val lastCp = Option(fs.exists(new Path(logDir, "_last_checkpoint")))
       .filter(identity)
       .map { _ =>
@@ -116,6 +129,7 @@ object DeltaNative {
         val node = try mapper.readTree(in) finally in.close()
         (node.path("version").asLong(), Option(node.path("parts")).filter(!_.isMissingNode).map(_.asInt()))
       }
+      .filter { case (v, _) => asOf.forall(v <= _) }
     /** Ingest one checkpoint-shaped parquet frame (classic checkpoint,
       * multi-part part set, V2 manifest, or V2 sidecar): protocol/metaData
       * rows apply when present; the add column is the scale-bearing one —
@@ -242,14 +256,33 @@ object DeltaNative {
       }
     }
 
-    // JSON commits after the checkpoint, in version order
+    // JSON commits after the checkpoint (and up to the time-travel pin),
+    // in version order
     val commitRe = """(\d{20})\.json""".r
-    val commits = fs.listStatus(logDir).toSeq
+    val allCommitVersions = fs.listStatus(logDir).toSeq
       .flatMap(st => st.getPath.getName match {
-        case commitRe(v) if lastCp.forall(_._1 < v.toLong) => Some((v.toLong, st.getPath))
+        case commitRe(v) => Some((v.toLong, st.getPath))
         case _ => None
       })
       .sortBy(_._1)
+    val commits = allCommitVersions.filter { case (v, _) =>
+      lastCp.forall(_._1 < v) && asOf.forall(v <= _)
+    }
+    asOf.foreach { pin =>
+      val maxAvail = (lastCp.map(_._1).toSeq ++ allCommitVersions.map(_._1)).maxOption
+      if (maxAvail.forall(_ < pin))
+        throw DeltaReadException(
+          s"`$root`: version_as_of $pin does not exist" +
+            maxAvail.map(m => s" (latest available: $m)").getOrElse(""))
+      // contiguity: the replay must cover [base, pin] with no vacuumed gap
+      val base = lastCp.map(_._1 + 1).getOrElse(0L)
+      val have = commits.map(_._1).toSet
+      (base to pin).find(!have.contains(_)).foreach { missing =>
+        throw DeltaReadException(
+          s"`$root`: version_as_of $pin needs commit $missing, which is not in " +
+            "_delta_log (vacuumed?) — this version is no longer reconstructible")
+      }
+    }
     if (lastCp.isEmpty && commits.isEmpty)
       throw DeltaReadException(s"`$root`: _delta_log holds no checkpoint and no commits")
     commits.foreach { case (_, path) =>

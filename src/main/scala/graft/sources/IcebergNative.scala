@@ -99,13 +99,27 @@ object IcebergNative {
       } else meta.path("schema")
     val schema = toStruct(schemaNode)
 
-    // --- current snapshot → live parquet files ---
-    val snapId = meta.path("current-snapshot-id").asLong(-1L)
+    // --- snapshot → live parquet files (TIME TRAVEL: `snapshot_id` pins
+    // any snapshot the metadata still lists; default = current) ---
+    val requested: Option[Long] = options.get("snapshot_id").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          throw IcebergReadException(s"snapshot_id `$v` is not a number")
+      }
+    }
+    val snapId = requested.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L) // an empty table has no snapshot yet
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val snapshot = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapId)
-      .getOrElse(throw IcebergReadException(s"current-snapshot-id $snapId not found in snapshots"))
+      .getOrElse {
+        val known = meta.path("snapshots").elements().asScala
+          .map(_.path("snapshot-id").asLong()).mkString(", ")
+        throw IcebergReadException(
+          if (requested.isDefined)
+            s"snapshot_id $snapId not found in table metadata (known: $known) — expired?"
+          else s"current-snapshot-id $snapId not found in snapshots")
+      }
 
     def resolve(p: String): Path = {
       val raw = new Path(p)

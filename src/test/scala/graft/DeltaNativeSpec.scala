@@ -178,6 +178,68 @@ class DeltaNativeSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
   }
 
+  test("version_as_of replays the log to the pinned version") {
+    val root = tempDir("delta_timetravel")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-tt1.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val f2 = writePart(root, "part-tt2.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val f3 = writePart(root, "part-tt3.parquet", Seq((4L, "d")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema), add(f1)))
+    commit(root, 1, Seq(add(f2)))
+    commit(root, 2, Seq(remove(f1), add(f3)))
+    def ids(opts: Map[String, String]): Seq[Long] =
+      DeltaNative.read(spark, root.getPath, opts)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids(Map.empty) === Seq(3L, 4L))                       // latest
+    assert(ids(Map("version_as_of" -> "0")) === Seq(1L, 2L))
+    assert(ids(Map("version_as_of" -> "1")) === Seq(1L, 2L, 3L))
+    assert(ids(Map("version_as_of" -> "2")) === Seq(3L, 4L))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      ids(Map("version_as_of" -> "9"))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("version_as_of below a checkpoint needs the vacuumed commits — loud") {
+    val root = tempDir("delta_tt_vacuumed")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f2 = writePart(root, "part-v2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = writePart(root, "part-v3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    // checkpoint at version 1 exists; commits 0 and 1 were VACUUMED away
+    val log = new File(root, "_delta_log"); log.mkdirs()
+    val cpDir = new File(root, "_cp_tt")
+    spark.sql(
+      s"""SELECT * FROM VALUES
+         (named_struct('path', '$f2', 'partitionValues', map()),
+          CAST(NULL AS STRUCT<minReaderVersion: INT>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>>),
+          named_struct('minReaderVersion', 1),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>>),
+          CAST(NULL AS STRUCT<minReaderVersion: INT>),
+          named_struct('id', 't', 'schemaString', '$schema',
+                       'partitionColumns', CAST(array() AS ARRAY<STRING>)))
+         AS t(add, protocol, metaData)""")
+      .coalesce(1).write.mode("overwrite").parquet(cpDir.getPath)
+    java.nio.file.Files.move(
+      cpDir.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(cpDir)
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":3}""")
+    commit(root, 2, Seq(add(f3)))
+    // latest works through the checkpoint
+    assert(DeltaNative.read(spark, root.getPath, Map.empty).count() === 2)
+    // version 0 pre-dates the checkpoint and its commits are gone
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaNative.read(spark, root.getPath, Map("version_as_of" -> "0"))
+    }
+    assert(e.getMessage.contains("no longer reconstructible"))
+  }
+
   test("V2 checkpoint: UUID-named parquet manifest + sidecar files") {
     val root = tempDir("delta_v2cp_pq")
     import spark.implicits._

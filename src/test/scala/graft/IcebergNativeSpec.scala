@@ -625,6 +625,31 @@ class IcebergNativeSpec extends SparkSpec {
     assert(st("s").dataType.asInstanceOf[StructType]("x").dataType === IntegerType)
   }
 
+  test("snapshot_id time travel pins an older snapshot; unknown ids reject") {
+    val root = tempDir("ice_timetravel")
+    import spark.implicits._
+    val f1 = writePart(root, "data/s1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "data/s2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1)))
+    writeAvro(new File(md, "m2.avro"), entrySchema, Seq(entry(1, f1), entry(1, f2)))
+    writeAvro(new File(md, "ml1.avro"), manifestListSchema, Seq(manifestListRow("metadata/m1.avro")))
+    writeAvro(new File(md, "ml2.avro"), manifestListSchema, Seq(manifestListRow("metadata/m2.avro")))
+    writeMeta(root, s"""{
+      "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
+      "current-schema-id": 0, "schemas": [$tableSchemaJson],
+      "current-snapshot-id": 20,
+      "snapshots": [{"snapshot-id": 10, "manifest-list": "metadata/ml1.avro"},
+                    {"snapshot-id": 20, "manifest-list": "metadata/ml2.avro"}]}""")
+    assert(IcebergNative.read(spark, root.getPath, Map.empty).count() === 2)
+    assert(IcebergNative.read(spark, root.getPath, Map("snapshot_id" -> "10"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath, Map("snapshot_id" -> "99"))
+    }
+    assert(e.getMessage.contains("99") && e.getMessage.contains("known"))
+  }
+
   test("non-iceberg directory and missing metadata error clearly") {
     val root = tempDir("ice_none")
     val e = intercept[IcebergNative.IcebergReadException] {
