@@ -70,7 +70,9 @@ object Bench {
           } catch {
             case e: Throwable =>
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              timed(name) = (System.nanoTime() - t0) / 1e9
+              // keep a successful earlier sample's min — a fast failure on a
+              // later pass must not understate the query's reported time
+              if (!timed.contains(name)) timed(name) = (System.nanoTime() - t0) / 1e9
           }
         }
       }

@@ -386,12 +386,19 @@ object IcebergNative {
       // stored value scopes to the NULL partition — every supported
       // transform preserves null, so `source IS NULL` is exact.
       def scopePredicate(cur: DataFrame, sf: ScopeField): org.apache.spark.sql.Column = {
-        import org.apache.spark.sql.functions.{datediff, expr, lit, month, pmod, substring, unix_micros, year}
+        import org.apache.spark.sql.functions.{date_add, datediff, expr, lit, month, pmod, substring, unix_micros, year}
         val src = cur(sf.col)
         val dt = schema(sf.col).dataType
         val quotedCol = "`" + sf.col.replace("`", "``") + "`"
         def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
           ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+        // Iceberg timestamp transforms are defined in UTC; Spark's year()/
+        // month() evaluate in the session timezone. Recover the UTC calendar
+        // date from the absolute instant (unix_micros is TZ-independent) so
+        // the scope is correct under any spark.sql.session.timeZone.
+        def utcDate(ts: org.apache.spark.sql.Column) =
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            floorDiv(unix_micros(ts), 86400000000L).cast("int"))
         def unsupported() = throw IcebergReadException(
           s"equality-delete scope transform `${sf.transform}` over ${dt.simpleString} " +
             s"column `${sf.col}` is not implemented; use an iceberg connector jar")
@@ -411,12 +418,15 @@ object IcebergNative {
             case _ => unsupported()
           }
           case "year" | "years" => dt match {
-            case DateType | TimestampType => (year(src) - lit(1970)) === lit(sf.value)
+            case DateType => (year(src) - lit(1970)) === lit(sf.value)
+            case TimestampType => (year(utcDate(src)) - lit(1970)) === lit(sf.value)
             case _ => unsupported()
           }
           case "month" | "months" => dt match {
-            case DateType | TimestampType =>
+            case DateType =>
               ((year(src) - lit(1970)) * lit(12) + month(src) - lit(1)) === lit(sf.value)
+            case TimestampType =>
+              ((year(utcDate(src)) - lit(1970)) * lit(12) + month(utcDate(src)) - lit(1)) === lit(sf.value)
             case _ => unsupported()
           }
           case "day" | "days" => dt match {

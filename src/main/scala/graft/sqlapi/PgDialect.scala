@@ -91,10 +91,10 @@ object PgDialect {
   // the native pg_json_get expression instead; text keys select object
   // fields, integer keys select array elements, PG-faithful NULLs.
   // reference: tests/tests/json.rs:295-305 and the PG operator family.
-  // Caveat (documented tradeoff): PG input has no lambda syntax, so a
-  // SPARK-dialect lambda with a bare integer body (`x -> 0`) fed through
-  // executePg would be read as a json arrow; parenthesize the body to
-  // opt out. The reference's dialect never produces that shape.
+  // PG input has no lambda syntax, but a SPARK-dialect lambda with a bare
+  // integer body (`transform(a, x -> 0)`) could be fed through executePg;
+  // isLambdaParam detects the higher-order-function context and leaves the
+  // arrow alone rather than silently turning it into a json access.
   // LHS forms an arrow can hang off: a CAST(..) from `col::json`, a
   // pg_json_get(..) emitted by a previous arrow pass (chains), or a bare
   // identifier. SEGMENT-AWARE: a text key is the NEXT quoted segment, so
@@ -105,6 +105,46 @@ object PgDialect {
     """(CAST\((?:[^()]|\([^()]*\))*\)|pg_json_get\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][A-Za-z_0-9.]*)"""
   private val arrowTailRe = (arrowLhs + """\s*(->>|->)\s*$""").r
   private val arrowIntRe = (arrowLhs + """\s*->(?!>)\s*(-?\d+)""").r
+  private val bareIdentRe = """[A-Za-z_][A-Za-z_0-9.]*""".r
+
+  // Spark's higher-order functions, whose last arguments are lambdas
+  private val hofNames = Set("transform", "filter", "exists", "forall",
+    "aggregate", "reduce", "zip_with", "map_filter", "map_zip_with",
+    "transform_keys", "transform_values", "array_sort")
+
+  /** True when the bare identifier starting at `identStart` is a lambda
+    * parameter of a Spark higher-order function — directly after `(` or `,`
+    * of a call whose callee is in [[hofNames]]. Such an `x -> 0` must NOT
+    * be rewritten to a json access. Conservative: when the enclosing open
+    * paren is outside this segment the answer is false (rewrite proceeds,
+    * the pre-existing behavior).
+    */
+  private def isLambdaParam(seg: String, identStart: Int): Boolean = {
+    var j = identStart - 1
+    while (j >= 0 && seg(j).isWhitespace) j -= 1
+    if (j < 0 || (seg(j) != '(' && seg(j) != ',')) return false
+    if (seg(j) == ',') {
+      // walk back to the unmatched '(' that opens this argument list
+      var depth = 0
+      var k = j - 1
+      var open = -1
+      while (k >= 0 && open < 0) {
+        seg(k) match {
+          case ')' => depth += 1
+          case '(' => if (depth == 0) open = k else depth -= 1
+          case _ =>
+        }
+        k -= 1
+      }
+      if (open < 0) return false
+      j = open
+    }
+    var e = j - 1
+    while (e >= 0 && seg(e).isWhitespace) e -= 1
+    var s = e
+    while (s >= 0 && (seg(s).isLetterOrDigit || seg(s) == '_')) s -= 1
+    s < e && hofNames.contains(seg.substring(s + 1, e + 1).toLowerCase)
+  }
 
   // DuckDB table functions in their BARE single-path form map to Spark's
   // path-table syntax: read_parquet('p') → parquet.`p` (likewise csv/json).
@@ -192,9 +232,14 @@ object PgDialect {
       while (i < out.length) {
         val (seg, q) = out(i)
         if (!q) {
-          val r2 = arrowIntRe.replaceAllIn(seg, m =>
-            java.util.regex.Matcher.quoteReplacement(
-              s"pg_json_get(${m.group(1)}, ${m.group(2)})"))
+          val r2 = arrowIntRe.replaceAllIn(seg, m => {
+            val lhsIsBareIdent = bareIdentRe.pattern.matcher(m.group(1)).matches()
+            if (lhsIsBareIdent && isLambdaParam(seg, m.start(1)))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else
+              java.util.regex.Matcher.quoteReplacement(
+                s"pg_json_get(${m.group(1)}, ${m.group(2)})")
+          })
           if (r2 != seg) { out(i) = ((r2, false)); changed = true }
         }
         i += 1

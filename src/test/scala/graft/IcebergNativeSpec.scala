@@ -411,6 +411,49 @@ class IcebergNativeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("month-scoped equality deletes stay UTC under a non-UTC session TZ") {
+    // Iceberg defines timestamp transforms in UTC; an instant just past a
+    // month boundary in UTC sits in the PREVIOUS month in a western session
+    // timezone, so a TZ-naive month() scope would skip the delete
+    val root = tempDir("ice_eqmonth_tz")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"ts","required":false,"type":"timestamptz"},
+        {"id":3,"name":"v","required":false,"type":"string"}]}"""
+    val specsJson =
+      """"partition-specs": [{"spec-id":0,"fields":[
+        {"name":"p_month","transform":"month","source-id":2,"field-id":1000}]}],"""
+    val sch = schemasFor(Seq("p_month"))
+    // written under the default UTC session: 2019-05-01 00:30 UTC is month
+    // ordinal (2019-1970)*12 + 4 = 592; in America/Los_Angeles it reads as
+    // 2019-04-30 17:30 (ordinal 591)
+    val fA = writePart(root, "data/m0.parquet",
+      Seq((1L, "2019-05-01 00:30:00", "x")).toDF("id", "s", "v")
+        .select(col("id"), col("s").cast("timestamp").as("ts"), col("v")))
+    val fB = writePart(root, "data/m1.parquet",
+      Seq((2L, "2019-04-15 12:00:00", "x")).toDF("id", "s", "v")
+        .select(col("id"), col("s").cast("timestamp").as("ts"), col("v")))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), sch._2, Seq(
+      entry(1, fA, seq = Some(1L), partition = Map("p_month" -> 592), schemas = sch),
+      entry(1, fB, seq = Some(1L), partition = Map("p_month" -> 591), schemas = sch),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3),
+        partition = Map("p_month" -> 592), schemas = sch)))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, extra = specsJson, schemaJson = schemaJson))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(IcebergNative.read(spark, root.getPath, Map.empty)
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("unknown partition transforms on equality deletes still reject loudly") {
     val root = tempDir("ice_equnknown")
     import spark.implicits._

@@ -351,6 +351,23 @@ class PgDialectCorpusSpec extends SparkSpec {
       (null, "1"), (null, null), ("\"v\"", null)))
   }
 
+  test("higher-order-function lambda params survive the int-arrow rewrite") {
+    // `x -> 0` inside transform(...) is a Spark lambda, not a json access;
+    // the HOF-context guard must leave it alone while a REAL json arrow in
+    // the same statement still rewrites
+    val r1 = SqlApi.executePg(spark,
+      "SELECT transform(array(1, 2, 3), x -> 0) AS z").head()
+    assert(r1.getSeq[Int](0) === Seq(0, 0, 0))
+    // lambda as first token after '(' (filter's predicate position differs)
+    val r2 = SqlApi.executePg(spark,
+      "SELECT filter(array(1, 2, 3), x -> x > 1) AS f, aggregate(array(1, 2), 0, (a, b) -> a + b) AS s").head()
+    assert(r2.getSeq[Int](0) === Seq(2, 3) && r2.getInt(1) === 3)
+    // mixed: a genuine arrow on a json column coexists with a lambda
+    val r3 = SqlApi.executePg(spark,
+      """SELECT '[7, 8]'::json -> 1 AS j, transform(array(5), x -> 0) AS z""").head()
+    assert(r3.getString(0) === "8" && r3.getSeq[Int](1) === Seq(0))
+  }
+
   test("reference whole-value json casts round-trip (json.rs:304-306)") {
     fixture
     // SELECT string_col::json, large_string_col::jsonb — the cast itself

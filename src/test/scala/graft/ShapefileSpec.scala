@@ -157,4 +157,18 @@ class ShapefileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(".dbf"))
   }
+
+  test("uppercase legacy layer NATION.SHP + NATION.DBF reads") {
+    // legacy DOS-era tooling ships all-uppercase companions; the reader
+    // probes .DBF when .dbf is absent on case-sensitive filesystems
+    val dir = tempDir("shp_upper")
+    shpFile(new File(dir, "NATION.SHP"), 1, Seq(pointContent(3.0, 4.0)))
+    dbfFile(new File(dir, "NATION.DBF"),
+      Seq(("ID", 'N', 4, 0)), Seq(Seq("9")))
+    val df = Catalog.attach(spark, "shp_upper", "spatial",
+      Map("files" -> s"$dir/NATION.SHP"))
+    val r = df.head()
+    assert(r.getLong(0) === 9L)
+    assert(r.getAs[Array[Byte]]("geom").toSeq === (wkb(1) ++ le(3.0) ++ le(4.0)).toSeq)
+  }
 }
