@@ -57,13 +57,16 @@ object Formats {
   // v1; graft.sources.IcebergNative — v1/v2 append-only snapshots; newer
   // protocol features reject loudly and recommend the connector).
   // version_as_of / snapshot_id: TIME TRAVEL on the native readers (replay
-  // the log to a version / pin a snapshot) — beyond the reference's
-  // latest-snapshot-only scans, standard lakehouse surface
-  def delta: FormatSpec = FormatSpec("delta", commonOptions ++ Set("version_as_of"), Set("files"))
+  // the log to a version / pin a snapshot); timestamp_as_of /
+  // as_of_timestamp resolve an instant against the commit / snapshot-log
+  // history — beyond the reference's latest-snapshot-only scans, standard
+  // lakehouse surface
+  def delta: FormatSpec = FormatSpec("delta",
+    commonOptions ++ Set("version_as_of", "timestamp_as_of"), Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",
-      "skip_schema_inference", "snapshot_id"),
+      "skip_schema_inference", "snapshot_id", "as_of_timestamp"),
     Set("files"))
 
   /** Whether a connector jar is deployed (picks the connector over the

@@ -133,10 +133,17 @@ object FormatQueries {
     * double-count odds. Log JSON is written per the public protocol
     * (delta.io PROTOCOL.md), not by any delta writer, so the scan is tested
     * against the format. */
+  // fixed commitInfo timestamps so l06 can pin "between the two commits"
+  // deterministically (2023-11-14T22:13:20Z and +100 s)
+  private[graft] val DeltaT0 = 1700000000000L
+  private[graft] val DeltaT1 = 1700000100000L
+
   private def customerDelta(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/customer_delta"
     val done = new java.io.File(s"$out/_delta_log/00000000000000000001.json")
-    if (!done.exists()) {
+    val built = done.exists() &&
+      java.nio.file.Files.readString(done.toPath).contains("commitInfo")
+    if (!built) {
       import org.apache.spark.sql.functions._
       val cust = Tables.load(s, dir, "customer")
       val root = new java.io.File(out)
@@ -152,13 +159,15 @@ object FormatQueries {
       log.mkdirs()
       java.nio.file.Files.writeString(
         new java.io.File(log, "00000000000000000000.json").toPath,
-        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+        s"""{"commitInfo":{"timestamp":$DeltaT0}}
+           |{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
            |{"metaData":{"id":"customer-delta","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
            |${add(evens)}
            |${add(odds)}
            |""".stripMargin)
       java.nio.file.Files.writeString(done.toPath,
-        s"""{"remove":{"path":"$odds","deletionTimestamp":0,"dataChange":true}}
+        s"""{"commitInfo":{"timestamp":$DeltaT1}}
+           |{"remove":{"path":"$odds","deletionTimestamp":0,"dataChange":true}}
            |${add(oddsPos)}
            |""".stripMargin)
     }
@@ -311,7 +320,10 @@ object FormatQueries {
       try rows.foreach(w.append) finally w.close()
     }
 
-    def ordersMetaJson(root: java.io.File, uuid: String): String =
+    def ordersMetaJson(root: java.io.File, uuid: String,
+        snapshotsJson: String = """[{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]""",
+        currentId: Long = 1,
+        snapshotLogJson: Option[String] = None): String =
       s"""{"format-version": 2, "table-uuid": "$uuid",
          |"location": "${root.getPath}", "current-schema-id": 0,
          |"schemas": [{"type":"struct","schema-id":0,"fields":[
@@ -319,14 +331,22 @@ object FormatQueries {
          |  {"id":2,"name":"o_custkey","required":true,"type":"long"},
          |  {"id":3,"name":"o_orderstatus","required":false,"type":"string"},
          |  {"id":4,"name":"o_totalprice","required":false,"type":"double"}]}],
-         |"current-snapshot-id": 1,
-         |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin
+         |"current-snapshot-id": $currentId,${snapshotLogJson.map(l => s"""
+         |"snapshot-log": $l,""").getOrElse("")}
+         |"snapshots": $snapshotsJson}""".stripMargin
   }
+
+  // fixed snapshot-log timestamps for l07's as-of pin (mirrors DeltaT0/T1)
+  private[graft] val IceT0 = 1700000000000L
+  private[graft] val IceT1 = 1700000100000L
 
   private def ordersIceberg(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/orders_iceberg"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
-    if (!done.exists()) {
+    val meta = new java.io.File(s"$out/metadata/v1.metadata.json")
+    val built = done.exists() && meta.exists() &&
+      java.nio.file.Files.readString(meta.toPath).contains("snapshot-log")
+    if (!built) {
       import org.apache.spark.sql.functions._
       import IcebergScaffold._
       val o = Tables.load(s, dir, "orders")
@@ -338,12 +358,26 @@ object FormatQueries {
       val oddsHi = singlePart(root, "data/odds_hi.parquet",
         o.filter(col("o_orderkey") % 2 =!= 0 && col("o_totalprice") > 150000))
       val md = new java.io.File(root, "metadata"); md.mkdirs()
+      // snapshot 1 (historical): the full evens+odds table; snapshot 2
+      // (current): odds replaced by odds_hi — l02 reads the current one,
+      // l07 time-travels to snapshot 1 via the snapshot-log
+      writeAvro(new java.io.File(md, "m0.avro"), entrySchema,
+        Seq(entry(1, evens), entry(1, odds)))
+      writeAvro(new java.io.File(md, "ml0.avro"), listSchema,
+        Seq(manifestListRow("metadata/m0.avro")))
       writeAvro(new java.io.File(md, "m1.avro"), entrySchema,
         Seq(entry(1, evens), entry(2, odds), entry(0, oddsHi)))
       writeAvro(new java.io.File(md, "ml.avro"), listSchema,
         Seq(manifestListRow("metadata/m1.avro")))
-      java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
-        ordersMetaJson(root, "orders-iceberg"))
+      java.nio.file.Files.writeString(meta.toPath,
+        ordersMetaJson(root, "orders-iceberg",
+          snapshotsJson =
+            """[{"snapshot-id": 1, "manifest-list": "metadata/ml0.avro"},
+              | {"snapshot-id": 2, "manifest-list": "metadata/ml.avro"}]""".stripMargin,
+          currentId = 2,
+          snapshotLogJson = Some(
+            s"""[{"timestamp-ms": $IceT0, "snapshot-id": 1},
+               | {"timestamp-ms": $IceT1, "snapshot-id": 2}]""".stripMargin)))
       java.nio.file.Files.writeString(done.toPath, "1")
     }
     out
@@ -691,6 +725,44 @@ object FormatQueries {
       WHERE NOT (o_orderkey % 2 = 0 AND p < 10)
         AND NOT (o_orderkey % 2 <> 0 AND p % 7 = 0)"""))
 
+  // ---------------------------------------------------------------- l06
+  // Delta TIMESTAMP time travel: the fixture's two commits carry fixed
+  // commitInfo timestamps (DeltaT0/DeltaT1); pinning an instant BETWEEN
+  // them must replay only commit 0 — the full customer table, BEFORE the
+  // odds file was swapped for its positive-balance subset. A reader that
+  // resolved to the wrong commit returns l01's (latest) rows and fails the
+  // hash. Exceeds the reference surface (DuckDB delta_scan is latest-only,
+  // src/duckdb/delta.rs:41-61).
+  private val l06 = QueryDef(
+    "l06_delta_timestamp_travel",
+    (s, dir) => {
+      val path = customerDelta(s, dir)
+      Catalog.attach(s, "l06_customer_delta_asof", "delta",
+        Map("files" -> path, "timestamp_as_of" -> (DeltaT0 + 50000L).toString))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer"""))
+
+  // ---------------------------------------------------------------- l07
+  // Iceberg TIMESTAMP time travel via the metadata snapshot-log: pinning
+  // an instant between the two logged snapshots resolves to snapshot 1 —
+  // the full evens+odds orders table, before odds was replaced by the
+  // high-price subset. Exceeds the reference surface (DuckDB iceberg_scan
+  // reads the current snapshot, src/duckdb/iceberg.rs:48-89).
+  private val l07 = QueryDef(
+    "l07_iceberg_timestamp_travel",
+    (s, dir) => {
+      val path = ordersIceberg(s, dir)
+      Catalog.attach(s, "l07_orders_iceberg_asof", "iceberg",
+        Map("files" -> path, "as_of_timestamp" -> (IceT0 + 50000L).toString))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders"""))
+
   // ---------------------------------------------------------------- w01
   // COPY sink round-trip: COPY (SELECT ...) TO a hive-partitioned parquet
   // layout (dynamic overwrite, snappy), then scan the layout back. The
@@ -717,5 +789,5 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, g02, l01, l02, l03, l04, l05, w01)
+  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, g02, l01, l02, l03, l04, l05, l06, l07, w01)
 }

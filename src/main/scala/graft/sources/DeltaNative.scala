@@ -108,11 +108,24 @@ object DeltaNative {
         d.path("cardinality").asLong()))
     }
 
-    // TIME TRAVEL: `version_as_of` pins the replay at that commit version.
-    // A checkpoint NEWER than the pin cannot be used (it already folded
-    // later commits), so the replay falls back to commits from 0 — and
-    // errors loudly if those commits were vacuumed away.
-    val asOf: Option[Long] = options.get("version_as_of").map { v =>
+    // all commit JSON files present in the log, version-ordered (statuses
+    // kept: modification time is the timestamp fallback for time travel)
+    val commitRe = """(\d{20})\.json""".r
+    val allCommitStatuses = fs.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case commitRe(v) => Some((v.toLong, st))
+        case _ => None
+      })
+      .sortBy(_._1)
+
+    // TIME TRAVEL: `version_as_of` pins the replay at that commit version;
+    // `timestamp_as_of` resolves an instant to the last commit at or before
+    // it via commitInfo timestamps (protocol order: inCommitTimestamp >
+    // commitInfo.timestamp > log-file modification time, monotonized per
+    // the protocol's clock-skew note). A checkpoint NEWER than the pin
+    // cannot be used (it already folded later commits), so the replay falls
+    // back to commits from 0 — and errors loudly if those were vacuumed.
+    val versionPin: Option[Long] = options.get("version_as_of").map { v =>
       val n = try v.toLong catch {
         case _: NumberFormatException =>
           throw DeltaReadException(s"version_as_of `$v` is not a number")
@@ -120,6 +133,34 @@ object DeltaNative {
       if (n < 0) throw DeltaReadException(s"version_as_of $n is negative")
       n
     }
+    val tsPin: Option[Long] = options.get("timestamp_as_of").map { v =>
+      try TimeTravel.parseMillis("timestamp_as_of", v)
+      catch { case e: IllegalArgumentException => throw DeltaReadException(e.getMessage) }
+    }
+    if (versionPin.isDefined && tsPin.isDefined) throw DeltaReadException(
+      "version_as_of and timestamp_as_of are mutually exclusive; pass one")
+    def commitTimestamp(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val in = fs.open(st.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.iterator.filter(_.nonEmpty).map(mapper.readTree)
+        .collectFirst { case n if n.has("commitInfo") => n.path("commitInfo") }
+        .map { ci =>
+          if (ci.has("inCommitTimestamp")) ci.path("inCommitTimestamp").asLong()
+          else if (ci.has("timestamp")) ci.path("timestamp").asLong()
+          else st.getModificationTime
+        }
+        .getOrElse(st.getModificationTime)
+    }
+    val asOf: Option[Long] = versionPin.orElse(tsPin.map { target =>
+      if (allCommitStatuses.isEmpty) throw DeltaReadException(
+        s"`$root`: timestamp_as_of needs commit files in _delta_log, none found")
+      val history = allCommitStatuses.map { case (v, st) => (v, commitTimestamp(st)) }
+      try TimeTravel.resolve(history, target, "timestamp_as_of", "commit")
+      catch {
+        case e: IllegalArgumentException => throw DeltaReadException(s"`$root`: ${e.getMessage}")
+      }
+    })
 
     // checkpoint, if any (skipped when it post-dates the time-travel pin)
     val lastCp = Option(fs.exists(new Path(logDir, "_last_checkpoint")))
@@ -258,13 +299,7 @@ object DeltaNative {
 
     // JSON commits after the checkpoint (and up to the time-travel pin),
     // in version order
-    val commitRe = """(\d{20})\.json""".r
-    val allCommitVersions = fs.listStatus(logDir).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case commitRe(v) => Some((v.toLong, st.getPath))
-        case _ => None
-      })
-      .sortBy(_._1)
+    val allCommitVersions = allCommitStatuses.map { case (v, st) => (v, st.getPath) }
     val commits = allCommitVersions.filter { case (v, _) =>
       lastCp.forall(_._1 < v) && asOf.forall(v <= _)
     }

@@ -100,13 +100,35 @@ object IcebergNative {
     val schema = toStruct(schemaNode)
 
     // --- snapshot → live parquet files (TIME TRAVEL: `snapshot_id` pins
-    // any snapshot the metadata still lists; default = current) ---
-    val requested: Option[Long] = options.get("snapshot_id").map { v =>
+    // any snapshot the metadata still lists; `as_of_timestamp` resolves an
+    // instant to the last snapshot-log entry at or before it; default =
+    // current) ---
+    val requestedId: Option[Long] = options.get("snapshot_id").map { v =>
       try v.toLong catch {
         case _: NumberFormatException =>
           throw IcebergReadException(s"snapshot_id `$v` is not a number")
       }
     }
+    val requestedTs: Option[Long] = options.get("as_of_timestamp").map { v =>
+      try TimeTravel.parseMillis("as_of_timestamp", v)
+      catch { case e: IllegalArgumentException => throw IcebergReadException(e.getMessage) }
+    }
+    if (requestedId.isDefined && requestedTs.isDefined) throw IcebergReadException(
+      "snapshot_id and as_of_timestamp are mutually exclusive; pass one")
+    val requested: Option[Long] = requestedId.orElse(requestedTs.map { target =>
+      // snapshot-log is the table's append-only (timestamp-ms, snapshot-id)
+      // history per the Iceberg spec; entries are already time-ordered
+      val history = meta.path("snapshot-log").elements().asScala
+        .map(e => (e.path("snapshot-id").asLong(), e.path("timestamp-ms").asLong()))
+        .toSeq
+      if (history.isEmpty) throw IcebergReadException(
+        s"`$root`: as_of_timestamp needs a snapshot-log in the table metadata, " +
+          "but it is empty or absent")
+      try TimeTravel.resolve(history, target, "as_of_timestamp", "snapshot")
+      catch {
+        case e: IllegalArgumentException => throw IcebergReadException(s"`$root`: ${e.getMessage}")
+      }
+    })
     val snapId = requested.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
     if (snapId == -1L) // an empty table has no snapshot yet
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -201,6 +201,49 @@ class DeltaNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("timestamp_as_of resolves commitInfo timestamps; skew is monotonized") {
+    val root = tempDir("delta_ts_travel")
+    import spark.implicits._
+    def commitInfo(ts: Long): String = s"""{"commitInfo":{"timestamp":$ts}}"""
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-ts1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-ts2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = writePart(root, "part-ts3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    commit(root, 0, Seq(commitInfo(1000000L), protocolV1, metaAction(schema), add(f1)))
+    // commit 1's clock ran BEHIND commit 0 (writer clock skew): the
+    // protocol's monotonic reading adjusts it to 1000001
+    commit(root, 1, Seq(commitInfo(900000L), add(f2)))
+    commit(root, 2, Seq(commitInfo(3000000L), add(f3)))
+    def ids(opts: Map[String, String]): Seq[Long] =
+      DeltaNative.read(spark, root.getPath, opts)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    // between commit 1 (adjusted 1000001) and commit 2 → version 1
+    assert(ids(Map("timestamp_as_of" -> "2999999")) === Seq(1L, 2L))
+    // exactly at commit 0; the skewed commit 1 adjusts PAST it
+    assert(ids(Map("timestamp_as_of" -> "1000000")) === Seq(1L))
+    // at/after the last commit → full table
+    assert(ids(Map("timestamp_as_of" -> "3000000")) === Seq(1L, 2L, 3L))
+    // ISO instant form parses (3M ms = 1970-01-01T00:50:00Z)
+    assert(ids(Map("timestamp_as_of" -> "1970-01-01T00:50:00Z")) === Seq(1L, 2L, 3L))
+    // before all history → loud, names the valid window
+    val e = intercept[DeltaNative.DeltaReadException] {
+      ids(Map("timestamp_as_of" -> "1000"))
+    }
+    assert(e.getMessage.contains("predates"))
+    // mutually exclusive with version_as_of
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      ids(Map("timestamp_as_of" -> "1000000", "version_as_of" -> "0"))
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+    // a commit WITHOUT commitInfo falls back to file modification time:
+    // push commit 2's file mtime far into the future and re-pin before it
+    val log2 = new File(root, "_delta_log/00000000000000000002.json")
+    java.nio.file.Files.writeString(log2.toPath, Seq(add(f3)).mkString("\n") + "\n")
+    log2.setLastModified(5000000L)
+    assert(ids(Map("timestamp_as_of" -> "4999999")) === Seq(1L, 2L))
+    assert(ids(Map("timestamp_as_of" -> "5000000")) === Seq(1L, 2L, 3L))
+  }
+
   test("version_as_of below a checkpoint needs the vacuumed commits — loud") {
     val root = tempDir("delta_tt_vacuumed")
     import spark.implicits._

@@ -693,6 +693,47 @@ class IcebergNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("99") && e.getMessage.contains("known"))
   }
 
+  test("as_of_timestamp resolves via snapshot-log; out-of-range rejects with window") {
+    val root = tempDir("ice_ts_travel")
+    import spark.implicits._
+    val f1 = writePart(root, "data/t1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "data/t2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1)))
+    writeAvro(new File(md, "m2.avro"), entrySchema, Seq(entry(1, f1), entry(1, f2)))
+    writeAvro(new File(md, "ml1.avro"), manifestListSchema, Seq(manifestListRow("metadata/m1.avro")))
+    writeAvro(new File(md, "ml2.avro"), manifestListSchema, Seq(manifestListRow("metadata/m2.avro")))
+    // snapshot-log: snap 10 at t=1_000_000, snap 20 at t=2_000_000
+    writeMeta(root, s"""{
+      "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
+      "current-schema-id": 0, "schemas": [$tableSchemaJson],
+      "current-snapshot-id": 20,
+      "snapshot-log": [{"timestamp-ms": 1000000, "snapshot-id": 10},
+                       {"timestamp-ms": 2000000, "snapshot-id": 20}],
+      "snapshots": [{"snapshot-id": 10, "manifest-list": "metadata/ml1.avro"},
+                    {"snapshot-id": 20, "manifest-list": "metadata/ml2.avro"}]}""")
+    def ids(opts: Map[String, String]): Seq[Long] =
+      IcebergNative.read(spark, root.getPath, opts)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    // between the two snapshots → the older one
+    assert(ids(Map("as_of_timestamp" -> "1500000")) === Seq(1L))
+    // exactly at / after the newer one → the newer one
+    assert(ids(Map("as_of_timestamp" -> "2000000")) === Seq(1L, 2L))
+    assert(ids(Map("as_of_timestamp" -> "9999999")) === Seq(1L, 2L))
+    // ISO instant form parses (1.5M ms = 1970-01-01T00:25:00Z)
+    assert(ids(Map("as_of_timestamp" -> "1970-01-01T00:25:00Z")) === Seq(1L))
+    // before all history → loud, names the valid window
+    val e = intercept[IcebergNative.IcebergReadException] {
+      ids(Map("as_of_timestamp" -> "999999"))
+    }
+    assert(e.getMessage.contains("predates") && e.getMessage.contains("1970-01-01T00:16:40Z"))
+    // mutually exclusive with snapshot_id
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      ids(Map("as_of_timestamp" -> "1500000", "snapshot_id" -> "10"))
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("non-iceberg directory and missing metadata error clearly") {
     val root = tempDir("ice_none")
     val e = intercept[IcebergNative.IcebergReadException] {
