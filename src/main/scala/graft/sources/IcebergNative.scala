@@ -315,22 +315,24 @@ object IcebergNative {
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
       finally r.close()
     }
-    val useFieldIds = data.nonEmpty && {
-      // mixed id/id-less files (add_files/migrate imports next to native
-      // writes) can neither resolve by id (id-less files would fail or
-      // silently null) nor safely by name (renames) — reject loudly. A
-      // deterministic evenly-spaced sample of min(8, n) footers catches
-      // interleaved histories head+last probing missed, still O(1) probes.
-      val n = data.length
+    // mixed id/id-less files (add_files/migrate imports next to native
+    // writes) can neither resolve by id (id-less files would fail or
+    // silently null) nor safely by name (renames) — reject loudly. A
+    // deterministic evenly-spaced sample of min(8, n) footers catches
+    // interleaved histories head+last probing missed, still O(1) probes.
+    // Applies to DATA files and to each equality-DELETE file group alike.
+    def sampledIdProbe(paths: Seq[String], what: String): Boolean = {
+      val n = paths.length
       val k = math.min(8, n)
       val idxs = (0 until k)
         .map(i => if (k == 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt).distinct
-      val probes = idxs.map(i => hasFieldIds(data(i).path))
+      val probes = idxs.map(i => hasFieldIds(paths(i)))
       if (probes.distinct.size > 1) throw IcebergReadException(
-        s"`$root`: data files mix parquet field-id presence (some carry ids, " +
+        s"`$root`: $what mix parquet field-id presence (some carry ids, " +
           "some do not) — id resolution is ambiguous; use an iceberg connector jar")
       probes.head
     }
+    val useFieldIds = data.nonEmpty && sampledIdProbe(data.map(_.path), "data files")
     // field-id matching needs spark.sql.parquet.fieldId.read.enabled, which
     // Spark consults at PLAN time — flipping it here would silently mutate
     // the session for every later parquet read. Engine.configure sets it;
@@ -476,8 +478,10 @@ object IcebergNative {
         val eLookup = group.map { case (f, _, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
         // delete-file columns resolve by field id too when the files carry
         // ids (a renamed table's older delete files store the OLD names);
-        // types come from the table schema, never re-inferred
-        val delHasIds = hasFieldIds(group.head._1.path)
+        // types come from the table schema, never re-inferred. The probe
+        // samples the whole group — one id-less import among id-carrying
+        // files would otherwise resolve to silent nulls
+        val delHasIds = sampledIdProbe(group.map(_._1.path), "equality-delete files")
         val delSchema = StructType(names.zip(ids).map { case (n, id) =>
           val meta =
             if (delHasIds)

@@ -131,14 +131,34 @@ object SqlApi {
     * repetition, logical type, precision/scale, field id. Reads footers via
     * parquet-hadoop (on the Spark classpath). */
   def parquetSchema(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
-    val files = if (fs.getFileStatus(new Path(path)).isDirectory)
-      fs.listStatus(new Path(path)).map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
-    else Seq(new Path(path))
+    val files = if (fs.getFileStatus(new Path(path)).isDirectory) {
+      // RECURSIVE listing: hive-partitioned layouts keep their files in
+      // key=value subdirectories; a shallow listing would return zero rows
+      // — the one failure shape introspection must not have
+      val it = fs.listFiles(new Path(path), true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      val found = b.result()
+      if (found.isEmpty) throw new IllegalArgumentException(
+        s"parquet_schema: no .parquet files under `$path` (searched recursively)")
+      found
+    } else Seq(new Path(path))
+    footerFrame(spark, files)
+  }
+
+  /** One driver loop over footers → one DataFrame: O(files) metadata reads
+    * with a flat O(1) plan, never a per-file plan-tree union. */
+  private def footerFrame(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
     val rows = files.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
@@ -220,7 +240,7 @@ object SqlApi {
       val files = spark.table(nameOrPath).inputFiles.toSeq
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], footerSchema)
-      else files.map(f => parquetSchema(spark, f)).reduce(_ unionByName _)
+      else footerFrame(spark, files.map(new org.apache.hadoop.fs.Path(_)))
     } else parquetSchema(spark, nameOrPath)
 
   // a one-arg call's tail in an unquoted segment: text, the function name,

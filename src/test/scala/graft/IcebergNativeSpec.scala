@@ -572,6 +572,43 @@ class IcebergNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("mix parquet field-id presence"))
   }
 
+  test("mixed field-id presence WITHIN an equality-delete group rejects") {
+    val root = tempDir("ice_mixedid_del")
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // data files all carry ids → id resolution engages table-wide
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1).build()),
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    def rowsDf(id: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(id, s"r$id")), 1), dataSchema)
+    val f1 = writePart(root, "data/f1.parquet", rowsDf(1L))
+    val f2 = writePart(root, "data/f2.parquet", rowsDf(2L))
+    // the delete group mixes an id-carrying file with an id-less import —
+    // a head-only probe would trust file #1 and resolve the id-less one to
+    // silent nulls; the sampled group probe must reject
+    val delIdSchema = StructType(Seq(
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2).build())))
+    val d1 = writePart(root, "data/d1.parquet", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("r1")), 1), delIdSchema))
+    val d2 = writePart(root, "data/d2.parquet", Seq("r2").toDF("v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, f1, seq = Some(1L)), entry(1, f2, seq = Some(1L)),
+      entry(1, d1, content = Some(2), seq = Some(2L), eqIds = Seq(2)),
+      entry(1, d2, content = Some(2), seq = Some(2L), eqIds = Seq(2))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root))
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath, Map.empty).collect()
+    }
+    assert(e.getMessage.contains("equality-delete files mix parquet field-id presence"))
+  }
+
   /** Write a REAL puffin file: PFA1 head, one deletion-vector-v1 blob
     * (4-byte BE length, Delta-compatible magic+bitmap payload, 4-byte BE
     * CRC-32), and a structurally complete footer (payload JSON, its LE

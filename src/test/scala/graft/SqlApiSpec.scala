@@ -124,6 +124,29 @@ class SqlApiSpec extends SparkSpec {
     assert(byName("l_quantity") === "DOUBLE")
   }
 
+  test("parquet_schema on a hive-partitioned dir lists all leaf footers") {
+    // files live under key=value subdirectories — the path form must
+    // recurse, not return a silent empty frame
+    val dir = tempDir("pschema_hive")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+      .write.partitionBy("grp").parquet(s"$dir/t")
+    val df = SqlApi.parquetSchema(spark, s"$dir/t")
+    val files = df.collect().map(_.getString(0)).distinct
+    assert(files.length === 2)
+    assert(files.forall(f => f.contains("grp=a") || f.contains("grp=b")))
+  }
+
+  test("parquet_schema on a dir with no parquet errors loudly") {
+    val dir = tempDir("pschema_none")
+    new java.io.File(dir, "sub").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(dir, "notes.txt").toPath, "x")
+    val e = intercept[IllegalArgumentException] {
+      SqlApi.parquetSchema(spark, dir.getPath)
+    }
+    assert(e.getMessage.contains("no .parquet files"))
+  }
+
   test("parquet_describe shows engine-visible logical types") {
     val df = SqlApi.parquetDescribe(spark, s"$sf/lineitem.parquet")
     // full reference column parity incl. its always-NULL key/default/extra
