@@ -82,6 +82,24 @@ object Catalog {
         case other => throw Formats.UnsupportedFormatException(other)
       }
     }
+    // spatial predicate pushdown (≙ st_read's spatial_filter_box,
+    // src/duckdb/spatial.rs:29-82): envelope-intersect test per row via the
+    // native wkb_env_intersects expression, applied directly above the scan
+    // so rows drop before any downstream operator. keep_wkb=false delivers
+    // GeoJSON text — encode to WKB just for the test, the column unchanged.
+    options.get("spatial_filter_box").foreach { boxStr =>
+      if (spec.name != "spatial") throw InvalidOptionException(
+        "spatial_filter_box applies to spatial attaches only")
+      val (minX, minY, maxX, maxY) =
+        try graft.functions.WkbEnvelope.parseBox(boxStr)
+        catch { case e: IllegalArgumentException => throw InvalidOptionException(e.getMessage) }
+      val geomWkb =
+        if (options.get("keep_wkb").exists(_.toBoolean == false))
+          s"geojson_to_wkb(geom)"
+        else "geom"
+      df = df.filter(org.apache.spark.sql.functions.expr(
+        s"wkb_env_intersects($geomWkb, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D)"))
+    }
     df = withMetadataColumns(df, options)
     df = withHiveTypes(df, options)
     df = withCasing(df, options)

@@ -75,13 +75,15 @@ object Formats {
   private[graft] def deltaConnectorPresent: Boolean = jarPresent("delta", connectorJarDir)
   private[graft] def icebergConnectorPresent: Boolean = jarPresent("iceberg", connectorJarDir)
 
-  // GDAL-driver options (layer selection, spatial filters, driver lists,
+  // GDAL-driver options (layer selection, WKT spatial_filter, driver lists,
   // sibling files, sequential scan) are NOT accepted: this deployment reads
-  // GeoJSON natively without GDAL, and accepting-then-ignoring an option is
-  // silent wrongness — attach errors listing what IS supported.
+  // GeoJSON + shapefiles natively without GDAL, and accepting-then-ignoring
+  // an option is silent wrongness — attach errors listing what IS
+  // supported. spatial_filter_box IS accepted: a bbox envelope test over
+  // the parsed geometry needs no GDAL (functions.WkbEnvelope).
   val spatial: FormatSpec = FormatSpec(
     "spatial",
-    commonOptions ++ Set("keep_wkb"),
+    commonOptions ++ Set("keep_wkb", "spatial_filter_box"),
     Set("files"))
 
   def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)

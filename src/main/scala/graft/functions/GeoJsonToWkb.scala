@@ -89,7 +89,22 @@ object GraftFunctions {
     new ExpressionInfo(classOf[PgJsonGetExpr].getName, "pg_json_get"),
     (children: Seq[Expression]) => PgJsonGetExpr(children.head, children(1)))
 
+  val wkbEnvIntersects: FunctionDescription = (
+    FunctionIdentifier("wkb_env_intersects"),
+    new ExpressionInfo(classOf[WkbEnvIntersects].getName, "wkb_env_intersects"),
+    (children: Seq[Expression]) => {
+      // box bounds are attach-time constants — fold them at build so the
+      // expression stays unary (standard null propagation, simple codegen)
+      def d(i: Int): Double = children(i).eval() match {
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"wkb_env_intersects bound ${i} must be a numeric literal, got $other")
+      }
+      WkbEnvIntersects(children.head, d(1), d(2), d(3), d(4))
+    })
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
-      vecCosine, vecDecimalMean, icebergBucket, pgJsonGet)
+      vecCosine, vecDecimalMean, icebergBucket, pgJsonGet, wkbEnvIntersects)
 }

@@ -617,6 +617,34 @@ object FormatQueries {
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
+  // ---------------------------------------------------------------- g03
+  // Spatial predicate pushdown: st_read's spatial_filter_box as a native
+  // per-row envelope test (functions.WkbEnvelope) applied right above the
+  // scan. The fixture's Point(k/2, k) geometries make the box [3,5]×[9,18]
+  // keep exactly nationkeys 6..18 — the oracle replays the envelope test
+  // arithmetically in SQL, so a filter that used the wrong bound, open
+  // intervals, or the wrong axis fails the row and hash check.
+  private val g03 = QueryDef(
+    "g03_spatial_filter_box",
+    (s, dir) => {
+      val path = nationGeo(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g03_nation_geo_bbox", "spatial",
+        Map("files" -> path, "spatial_filter_box" -> "3, 5, 9, 18"))
+        .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey
+      WHERE (n.n_nationkey / 2.0) BETWEEN 3 AND 9
+        AND CAST(n.n_nationkey AS DOUBLE) BETWEEN 5 AND 18"""
+    })
+
   // ---------------------------------------------------------------- l01
   // Native Delta scan (reference src/fdw/delta.rs:1-149 reads the latest
   // snapshot of a table root). The attached table was built in two commits
@@ -789,5 +817,6 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
-  val all: Seq[QueryDef] = Seq(c01, j01, h01, g01, g02, l01, l02, l03, l04, l05, l06, l07, w01)
+  val all: Seq[QueryDef] =
+    Seq(c01, j01, h01, g01, g02, g03, l01, l02, l03, l04, l05, l06, l07, w01)
 }

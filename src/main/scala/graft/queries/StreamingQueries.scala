@@ -182,5 +182,61 @@ object StreamingQueries {
        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03)
+  // ---------------------------------------------------------------- x04
+  // LEFT-OUTER stream-stream interval join: purchases that saw no click in
+  // the next 24 h must STILL emit (null ts_c) — exercising Spark's
+  // watermark-expiry null-emission state machine, a different path than
+  // x03's match-time emission. Replay shape: all real rows in one batch on
+  // both sides (pairs emit on match), then two far-future sentinels with
+  // DISTINCT negative keys (they can never join) advance the watermark —
+  // sentinel 1 moves it past every real interval, sentinel 2's batch
+  // evicts the expired unmatched purchases as null-extended rows. The
+  // sentinels themselves stay buffered (watermark never passes them) and
+  // are filtered out of the result. Oracle: the batch LEFT JOIN with the
+  // identical predicate.
+  private val x04 = QueryDef(
+    "x04_stream_interval_left_join",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val clicks = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val out = Streams.intervalJoin(
+        purchases.toDF().toDF("user_id", "ts_p"),
+        clicks.toDF().toDF("user_id", "ts_c"),
+        "user_id", "ts_p", "ts_c", "24 hours", "0 seconds", "left_outer")
+        .select(col("user_id"), col("ts_p"), col("ts_c"))
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x04_out")
+          .outputMode("append").start()
+        try {
+          val ev = Tables.load(s, dir, "events")
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_type"), col("user_id"), col("ts")).collect()
+          purchases.addData(ev.filter(_.getString(0) == "purchase")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          clicks.addData(ev.filter(_.getString(0) == "click")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          q.processAllAvailable()
+          val maxTs = ev.map(_.getTimestamp(2).getTime).max
+          val far1 = new java.sql.Timestamp(maxTs + 2L * 86400 * 1000)
+          val far2 = new java.sql.Timestamp(maxTs + 2L * 86400 * 1000 + 1)
+          purchases.addData(Seq((-1L, far1))); clicks.addData(Seq((-2L, far1)))
+          q.processAllAvailable()
+          purchases.addData(Seq((-1L, far2))); clicks.addData(Seq((-2L, far2)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x04_out").filter(col("user_id") >= 0)
+    },
+    Some("""
+      SELECT p.user_id, p.ts AS ts_p, c.ts AS ts_c
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
+      WHERE p.event_type = 'purchase'"""))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04)
 }

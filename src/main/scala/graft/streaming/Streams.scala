@@ -98,14 +98,22 @@ object Streams {
     * interval bound in the join condition let the engine expire buffered
     * rows — join state is bounded on an unbounded feed; without the time
     * bound Spark would buffer both streams forever. Inner join: unmatched
-    * rows drop once the watermark passes their interval. */
+    * rows drop once the watermark passes their interval. LEFT OUTER (the
+    * "impressions that never clicked" ask): an unmatched left row is HELD
+    * until the watermark passes the end of its interval, then emitted with
+    * nulls on the right — a distinct null-emission state machine in Spark,
+    * same bounded-state shape. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsL: String, tsR: String, within: String, delay: String): DataFrame = {
+      tsL: String, tsR: String, within: String, delay: String,
+      joinType: String = "inner"): DataFrame = {
     require(tsL != tsR, "left/right timestamp columns must be named differently")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner and left_outer, got `$joinType`")
     val l = left.withWatermark(tsL, delay).alias("l")
     val r = right.withWatermark(tsR, delay).alias("r")
     l.join(r, expr(
-      s"l.$keyCol = r.$keyCol AND r.$tsR >= l.$tsL AND r.$tsR <= l.$tsL + interval $within"))
+      s"l.$keyCol = r.$keyCol AND r.$tsR >= l.$tsL AND r.$tsR <= l.$tsL + interval $within"),
+      joinType)
       .drop(col(s"r.$keyCol"))
   }
 

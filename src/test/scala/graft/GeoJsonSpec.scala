@@ -53,12 +53,66 @@ class GeoJsonSpec extends SparkSpec {
   test("GDAL-only spatial options are rejected, not ignored") {
     val dir = tempDir("geo_rej")
     val p = writeText(dir, "x.geojson", fc)
-    Seq("layer", "spatial_filter_box", "allowed_drivers").foreach { opt =>
+    Seq("layer", "spatial_filter", "allowed_drivers").foreach { opt =>
       val e = intercept[Catalog.InvalidOptionException] {
         Catalog.attach(spark, "rej_spatial", "spatial", Map("files" -> p, opt -> "v"))
       }
       assert(e.getMessage.contains(opt))
     }
+  }
+
+  test("spatial_filter_box keeps envelope-intersecting features only") {
+    val dir = tempDir("geo_bbox")
+    val p = writeText(dir, "b.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"inside"},
+        | "geometry":{"type":"Point","coordinates":[5.0,5.0]}},
+        |{"type":"Feature","properties":{"name":"outside"},
+        | "geometry":{"type":"Point","coordinates":[50.0,50.0]}},
+        |{"type":"Feature","properties":{"name":"straddle"},
+        | "geometry":{"type":"LineString","coordinates":[[-100.0,5.0],[100.0,5.0]]}},
+        |{"type":"Feature","properties":{"name":"env_only"},
+        | "geometry":{"type":"LineString","coordinates":[[-1.0,-1.0],[11.0,11.0]]}}
+        |]}""".stripMargin)
+    def names(opts: Map[String, String]): Seq[String] =
+      Catalog.attach(spark, "bbox_t", "spatial", opts + ("files" -> p))
+        .select("name").collect().map(_.getString(0)).toSeq.sorted
+    // box 0..10: the outside point drops; the wide line's envelope
+    // straddles the box (no vertex inside); env_only has both vertices
+    // outside but envelope overlap
+    assert(names(Map("spatial_filter_box" -> "0,0,10,10")) ===
+      Seq("env_only", "inside", "straddle"))
+    // same result over the keep_wkb=false (GeoJSON text) representation
+    assert(names(Map("spatial_filter_box" -> "0,0,10,10", "keep_wkb" -> "false")) ===
+      Seq("env_only", "inside", "straddle"))
+    // a tiny far box keeps nothing
+    assert(names(Map("spatial_filter_box" -> "200,200,201,201")) === Seq.empty)
+    // malformed boxes reject loudly
+    val e1 = intercept[Catalog.InvalidOptionException] {
+      names(Map("spatial_filter_box" -> "1,2,3"))
+    }
+    assert(e1.getMessage.contains("minx,miny,maxx,maxy"))
+    val e2 = intercept[Catalog.InvalidOptionException] {
+      names(Map("spatial_filter_box" -> "9,0,1,10"))
+    }
+    assert(e2.getMessage.contains("inverted"))
+  }
+
+  test("wkb_env_intersects is a native SQL function over WKB") {
+    val wkbInside = spark.sql(
+      """SELECT wkb_env_intersects(geojson_to_wkb('{"type":"Point","coordinates":[2.0,3.0]}'),
+        |0D, 0D, 10D, 10D) AS r""".stripMargin).head().getBoolean(0)
+    assert(wkbInside)
+    val wkbOutside = spark.sql(
+      """SELECT wkb_env_intersects(geojson_to_wkb('{"type":"Point","coordinates":[20.0,3.0]}'),
+        |0D, 0D, 10D, 10D) AS r""".stripMargin).head().getBoolean(0)
+    assert(!wkbOutside)
+    // polygon whose ring surrounds the box: envelopes intersect
+    val poly = spark.sql(
+      """SELECT wkb_env_intersects(geojson_to_wkb(
+        |'{"type":"Polygon","coordinates":[[[-5.0,-5.0],[15.0,-5.0],[15.0,15.0],[-5.0,15.0],[-5.0,-5.0]]]}'),
+        |0D, 0D, 10D, 10D) AS r""".stripMargin).head().getBoolean(0)
+    assert(poly)
   }
 
   test("geojson_to_wkb is a native SQL function (SparkSessionExtensions)") {

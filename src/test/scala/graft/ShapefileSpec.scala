@@ -158,6 +158,17 @@ class ShapefileSpec extends SparkSpec {
     assert(e.getMessage.contains(".dbf"))
   }
 
+  test("spatial_filter_box composes with the shapefile source") {
+    val dir = tempDir("shp_bbox")
+    shpFile(new File(dir, "pts.shp"), 1,
+      Seq(pointContent(2.0, 3.0), pointContent(50.0, 60.0)))
+    dbfFile(new File(dir, "pts.dbf"), Seq(("ID", 'N', 4, 0)),
+      Seq(Seq("1"), Seq("2")))
+    val df = Catalog.attach(spark, "shp_bbox", "spatial",
+      Map("files" -> s"$dir/pts.shp", "spatial_filter_box" -> "0,0,10,10"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("uppercase legacy layer NATION.SHP + NATION.DBF reads") {
     // legacy DOS-era tooling ships all-uppercase companions; the reader
     // probes .DBF when .dbf is absent on case-sensitive filesystems

@@ -145,6 +145,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows with nulls after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = Streams.intervalJoin(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      "user_id", "imp_ts", "click_ts", within = "10 minutes", delay = "0 seconds",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      clicks.addData((1L, ts("2024-01-01 10:05:00"))) // user 1 clicks, user 2 never
+      q.processAllAvailable()
+      // two sentinel rounds (distinct keys so they cannot join): round 1
+      // advances the watermark past user 2's interval end, round 2's data
+      // batch evicts it as a null-extended row
+      imps.addData((-1L, ts("2024-01-01 12:00:00")))
+      clicks.addData((-2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      imps.addData((-1L, ts("2024-01-01 12:00:01")))
+      clicks.addData((-2L, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out").filter($"user_id" >= 0)
+        .collect().map(r => (r.getLong(0), r.isNullAt(2))).sortBy(_._1)
+      // user 1: matched pair (click ts present); user 2: null right side
+      assert(rows.toSeq === Seq((1L, false), (2L, true)))
+    } finally q.stop()
+  }
+
   test("transforms are source-agnostic: file source feeds the same dedup") {
     // the module claims readStream-source agnosticism — prove it on a real
     // file source, not just MemoryStream
