@@ -105,8 +105,17 @@ object Catalog {
     df = withCasing(df, options)
     options.get("select").foreach { sel => df = df.selectExpr(sel.split(",").map(_.trim): _*) }
     df.createOrReplaceTempView(table)
+    attachMeta.put(table.toLowerCase, (spec.name, options))
     df
   }
+
+  // Attach metadata (format + options as last attached, by lowercase view
+  // name) — lets the SQL layer re-attach with a time-travel pin for
+  // `FROM t FOR TIMESTAMP|VERSION AS OF ...`. Driver-side metadata only.
+  private val attachMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, String])]()
+  def attachedMeta(table: String): Option[(String, Map[String, String])] =
+    Option(attachMeta.get(table.toLowerCase))
 
   /** hive_types 'col:TYPE,...' declares partition-column types explicitly
     * (≙ read_parquet's hive_types struct, src/duckdb/parquet.rs:82-92):

@@ -3,10 +3,10 @@ package graft.sqlapi
 /** Conservative Postgres-dialect → Spark SQL normalizer, for running the
   * reference's PG-flavored queries unchanged (SURVEY §7 "Dialect" risk:
   * the reference accepts `expr::type` casts and `'\xAB'` bytea literals,
-  * e.g. tests/tests/scan.rs:453). Token-aware: single-quoted strings and
-  * double-quoted identifiers pass through untouched; only clearly-shaped
-  * constructs rewrite, anything ambiguous is left as-is (Spark then reports
-  * the original text, never a silently different query).
+  * e.g. tests/tests/scan.rs:453). Token-aware: single-quoted strings pass
+  * through untouched; only clearly-shaped constructs rewrite, anything
+  * ambiguous is left as-is (Spark then reports the original text, never a
+  * silently different query).
   *
   * Rewrites:
   *   - `X::type` → `CAST(X AS type)` where X is an identifier, a number, a
@@ -15,6 +15,15 @@ package graft.sqlapi
   *   - PG type names → Spark (int2/int4/int8, float4/float8, text, bytea,
   *     timestamptz, bool).
   *   - `E'\xAB'` / `'\xAB'` hex bytea literals → `X'AB'`.
+  *   - `"Ident"` double-quoted identifiers → backtick-quoted. In PG a
+  *     double-quoted token is ALWAYS an identifier; passing it through
+  *     would make Spark (ANSI double-quoted-identifiers off) read it as a
+  *     STRING LITERAL — `WHERE "VendorID" = 1` silently comparing a
+  *     constant, the exact wrongness a dialect layer exists to prevent
+  *     (reference usage: tests/tests/scan.rs:577).
+  *   - `ROW(a, b)` constructors → `struct(a, b)` (the reference's
+  *     duckdb_types fixture uses ROW for struct values,
+  *     tests/tests/fixtures/tables/duckdb_types.rs:143).
   */
 object PgDialect {
 
@@ -47,9 +56,9 @@ object PgDialect {
         if (cur.nonEmpty) { out += ((cur.toString, false)); cur.clear() }
         quote = c; cur.append(c)
       } else if (quote != 0 && c == quote) {
-        // '' inside a string is an escaped quote, not a terminator
-        if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-          cur.append("''"); i += 1
+        // '' (and "" in identifiers) is an escaped quote, not a terminator
+        if (i + 1 < sql.length && sql.charAt(i + 1) == c) {
+          cur.append(c).append(c); i += 1
         } else {
           cur.append(c); out += ((cur.toString, true)); cur.clear(); quote = 0
         }
@@ -154,6 +163,8 @@ object PgDialect {
   private val readFnRe =
     """(?i)\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*\)""".r
 
+  private val rowCtorRe = """(?i)(?<![A-Za-z_0-9.])ROW\s*\(""".r
+
   def rewrite(sql: String): String = {
     val segs = segments(sql)
     // build output as a segment list so "the previous segment" is exact
@@ -171,6 +182,12 @@ object PgDialect {
                 out(out.length - 1) = (p.dropRight(1), false)
             }
             out += ((s"X'$h'", true))
+          case _ if seg.startsWith("\"") =>
+            // PG double-quoted identifier → Spark backticks ("" unescapes
+            // to ", backticks in the name escape as ``)
+            val inner = seg.substring(1, seg.length - 1)
+              .replace("\"\"", "\"").replace("`", "``")
+            out += ((s"`$inner`", true))
           case _ =>
             // PG escape-string E'...' with no backslash escapes is a plain
             // string — drop the bare E prefix (e.g. the reference's E''
@@ -192,6 +209,9 @@ object PgDialect {
             java.util.regex.Matcher.quoteReplacement(
               s"CAST(${m.group(1)} AS ${mapType(m.group(2).trim)})"))
         }
+        // PG ROW(...) constructor → struct(...). Guarded by the immediate
+        // open paren: ROW_NUMBER()/ROWS BETWEEN never match.
+        s = rowCtorRe.replaceAllIn(s, "struct(")
         // PG CREATE VIEW over foreign tables lands in the session namespace,
         // exactly as the reference pushes CREATE VIEW into its engine
         // (src/hooks/utility/view.rs:31-98): attached tables ARE session temp

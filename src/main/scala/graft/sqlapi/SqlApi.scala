@@ -64,7 +64,14 @@ object SqlApi {
 
     def prepare(name: String, sql: String): Unit = stmts(name) = sql
 
-    def execute(spark: SparkSession, name: String, args: Seq[Any] = Seq.empty): DataFrame = {
+    def execute(spark: SparkSession, name: String, args: Seq[Any] = Seq.empty): DataFrame =
+      executeRewritten(spark, name, args, identity)
+
+    /** Execute with a final-SQL hook — executePg routes EXECUTE through the
+      * dialect rewrite so PG-isms in prepared bodies (quoted identifiers,
+      * `::` casts) normalize exactly like direct statements. */
+    def executeRewritten(spark: SparkSession, name: String, args: Seq[Any],
+        finish: String => String): DataFrame = {
       val sql = stmts.getOrElse(name, throw NoSuchStatement(name))
       // $n binds by PARAMETER INDEX, not textual position (reference semantics:
       // src/hooks/utility/prepare.rs:27-108): `WHERE a = $2 AND b = $1` takes
@@ -79,13 +86,14 @@ object SqlApi {
       val positional = segs.map { case (seg, quoted) =>
         if (quoted) seg else markers.replaceAllIn(seg, "?")
       }.mkString
-      if (indices.isEmpty) spark.sql(positional)
+      val finished = finish(positional)
+      if (indices.isEmpty) spark.sql(finished)
       else {
         indices.find(i => i < 1 || i > args.length).foreach { i =>
           throw new IllegalArgumentException(
             s"prepared statement `$name` references $$$i but only ${args.length} argument(s) given")
         }
-        spark.sql(positional, indices.map(i => args(i - 1)).toArray[Any])
+        spark.sql(finished, indices.map(i => args(i - 1)).toArray[Any])
       }
     }
 
@@ -287,12 +295,168 @@ object SqlApi {
     out.toString
   }
 
+  // ---------------------------------------- PG utility-statement routing
+  // Per-session state for the statement forms the reference's tests issue
+  // as plain SQL: prepared statements and the search-path registry.
+  // WeakHashMap: state dies with the session, never leaks across restarts.
+  private val pgState =
+    new java.util.WeakHashMap[SparkSession, (PreparedStatements, graft.catalog.Schemas)]()
+  private def stateFor(spark: SparkSession): (PreparedStatements, graft.catalog.Schemas) =
+    pgState.synchronized {
+      var s = pgState.get(spark)
+      if (s == null) {
+        s = (new PreparedStatements, graft.catalog.Schemas(spark))
+        pgState.put(spark, s)
+      }
+      s
+    }
+  /** The search-path registry executePg statements resolve against (so a
+    * caller can mix API-level attachIn with SQL-level SET search_path). */
+  def pgSchemas(spark: SparkSession): graft.catalog.Schemas = stateFor(spark)._2
+
+  private val prepareRe =
+    """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val executeRe =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  private val deallocRe =
+    """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)\s*;?\s*$""".r
+  private val searchPathRe =
+    """(?is)^\s*SET\s+search_path\s*(?:TO|=)\s*(.+?)\s*;?\s*$""".r
+  private val createSchemaRe =
+    """(?is)^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+
+  /** EXECUTE argument list → Scala literals (quote-aware comma split; PG
+    * literal grammar subset: strings, numbers, booleans, NULL). */
+  private def parseExecuteArgs(text: String): Seq[Any] = {
+    if (text == null || text.trim.isEmpty) return Seq.empty
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    PgDialect.segments(text).foreach { case (seg, quoted) =>
+      if (quoted) cur.append(seg)
+      else {
+        var rest = seg
+        while (rest.contains(',')) {
+          val i = rest.indexOf(',')
+          cur.append(rest.substring(0, i)); parts += cur.toString; cur.clear()
+          rest = rest.substring(i + 1)
+        }
+        cur.append(rest)
+      }
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).map {
+      case t if t.equalsIgnoreCase("null") => null
+      case t if t.equalsIgnoreCase("true") => true
+      case t if t.equalsIgnoreCase("false") => false
+      case t if t.startsWith("'") && t.endsWith("'") && t.length >= 2 =>
+        t.substring(1, t.length - 1).replace("''", "'")
+      case t if t.matches("-?\\d+") => t.toLong
+      case t if t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?") => t.toDouble
+      case t => throw new IllegalArgumentException(
+        s"EXECUTE argument `$t` is not a literal (strings, numbers, booleans, NULL)")
+    }
+  }
+
+  /** PG command tags return no rows; a typed empty frame keeps the
+    * DataFrame contract for utility statements. */
+  private def commandOk(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("status", StringType))))
+
+  // `FROM t FOR TIMESTAMP AS OF '...'` / `FOR VERSION AS OF n`: resolve by
+  // RE-ATTACHING the table with the matching time-travel option (the attach
+  // registry remembers format + options) under a derived view name, then
+  // swap the clause for that name. Spark's own AS-OF syntax only reaches
+  // DSv2 tables; attached lakehouse tables here are temp views.
+  private val asOfVersionRe =
+    """(?is)([A-Za-z_][\w.]*)\s+FOR\s+(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val asOfTsTailRe =
+    """(?is)^(.*?)([A-Za-z_][\w.]*)\s+FOR\s+(?:SYSTEM_)?TIME(?:STAMP)?\s+AS\s+OF\s*$""".r
+
+  private def asOfView(spark: SparkSession, tbl: String, kind: String,
+      value: String): String = {
+    val (fmt, opts) = graft.catalog.Catalog.attachedMeta(tbl).getOrElse(
+      throw new IllegalArgumentException(
+        s"FOR $kind AS OF: `$tbl` is not an attached table"))
+    val optKey = (fmt, kind) match {
+      case ("delta", "TIMESTAMP") => "timestamp_as_of"
+      case ("delta", "VERSION") => "version_as_of"
+      case ("iceberg", "TIMESTAMP") => "as_of_timestamp"
+      case ("iceberg", "VERSION") => "snapshot_id"
+      case _ => throw new IllegalArgumentException(
+        s"FOR $kind AS OF needs a delta or iceberg attach; `$tbl` is $fmt")
+    }
+    val view = tbl + "__asof_" +
+      java.lang.Long.toHexString((kind + value).hashCode.toLong & 0xffffffffL)
+    graft.catalog.Catalog.attach(spark, view, fmt,
+      opts - "timestamp_as_of" - "version_as_of" - "as_of_timestamp" - "snapshot_id" +
+        (optKey -> value))
+    view
+  }
+
+  /** Quote-aware AS-OF normalization: VERSION pins live in one unquoted
+    * segment; TIMESTAMP pins stitch an unquoted tail with the next quoted
+    * literal (same discipline as the table-function swap). */
+  private def rewriteAsOf(spark: SparkSession, sql: String): String = {
+    val segs = PgDialect.segments(sql).toBuffer
+    var i = 0
+    while (i < segs.length) {
+      val (seg, quoted) = segs(i)
+      if (!quoted) {
+        var s = asOfVersionRe.replaceAllIn(seg, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            asOfView(spark, m.group(1), "VERSION", m.group(2))))
+        asOfTsTailRe.findFirstMatchIn(s) match {
+          case Some(m) if i + 1 < segs.length && segs(i + 1)._2 &&
+              segs(i + 1)._1.startsWith("'") =>
+            val lit = segs(i + 1)._1
+            val ts = lit.substring(1, lit.length - 1).replace("''", "'")
+            s = m.group(1) + asOfView(spark, m.group(2), "TIMESTAMP", ts)
+            segs.remove(i + 1)
+          case _ => ()
+        }
+        segs(i) = (s, false)
+      }
+      i += 1
+    }
+    segs.map(_._1).mkString
+  }
+
   /** Run Postgres-flavored SQL (the reference's native dialect): `::` casts,
-    * PG type names, and `E'\x..'` bytea literals normalize to Spark SQL
-    * first (SURVEY §7 dialect risk — migration path for reference users). */
+    * PG type names, `E'\x..'` bytea literals, double-quoted identifiers and
+    * ROW constructors normalize to Spark SQL; utility statements the
+    * reference issues as SQL — PREPARE/EXECUTE/DEALLOCATE, SET search_path,
+    * CREATE SCHEMA — route to the session registries; FOR TIMESTAMP|VERSION
+    * AS OF re-attaches with the matching time-travel pin (SURVEY §7 dialect
+    * risk — migration path for reference users). */
   def executePg(spark: SparkSession, sql: String): DataFrame = sql match {
     case duckdbExecRe(dollar, quoted) =>
       spark.sql(Option(dollar).getOrElse(quoted.replace("''", "'")))
-    case _ => spark.sql(PgDialect.rewrite(registerTableFunctions(spark, sql)))
+    case prepareRe(name, _, body) =>
+      stateFor(spark)._1.prepare(name, body)
+      commandOk(spark)
+    case executeRe(name, args) =>
+      // body re-plans here (PG replan-on-catalog-change semantics) and runs
+      // through the same dialect rewrite as direct statements
+      stateFor(spark)._1.executeRewritten(spark, name, parseExecuteArgs(args),
+        s => PgDialect.rewrite(registerTableFunctions(spark, s)))
+    case deallocRe(name) =>
+      if (name.equalsIgnoreCase("ALL")) stateFor(spark)._1.deallocateAll()
+      else stateFor(spark)._1.deallocate(name)
+      commandOk(spark)
+    case searchPathRe(pathList) =>
+      val names = pathList.split(",").map(_.trim)
+        .map(n => if (n.startsWith("\"") && n.endsWith("\"") && n.length >= 2)
+          n.substring(1, n.length - 1).replace("\"\"", "\"") else n)
+        .filter(_.nonEmpty)
+      stateFor(spark)._2.setSearchPath(names.toIndexedSeq)
+      commandOk(spark)
+    case createSchemaRe(_) =>
+      // schemas materialize on first attachIn; the registry needs no
+      // pre-declaration — accept the statement for sequence compatibility
+      commandOk(spark)
+    case _ =>
+      spark.sql(PgDialect.rewrite(registerTableFunctions(spark,
+        rewriteAsOf(spark, sql))))
   }
 }

@@ -244,6 +244,37 @@ class DeltaNativeSpec extends SparkSpec {
     assert(ids(Map("timestamp_as_of" -> "5000000")) === Seq(1L, 2L, 3L))
   }
 
+  test("FOR TIMESTAMP|VERSION AS OF through executePg re-attaches with the pin") {
+    val root = tempDir("delta_sql_asof")
+    import spark.implicits._
+    def commitInfo(ts: Long): String = s"""{"commitInfo":{"timestamp":$ts}}"""
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-sq1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-sq2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    commit(root, 0, Seq(commitInfo(1000000L), protocolV1, metaAction(schema), add(f1)))
+    commit(root, 1, Seq(commitInfo(2000000L), add(f2)))
+    graft.catalog.Catalog.attach(spark, "sql_asof_t", "delta", Map("files" -> root.getPath))
+    import graft.sqlapi.SqlApi
+    // latest
+    assert(SqlApi.executePg(spark, "SELECT * FROM sql_asof_t").count() === 2L)
+    // timestamp pin between commits → commit 0 only (epoch-millis literal)
+    assert(SqlApi.executePg(spark,
+      "SELECT id FROM sql_asof_t FOR TIMESTAMP AS OF '1500000' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // version pin
+    assert(SqlApi.executePg(spark,
+      "SELECT id FROM sql_asof_t FOR VERSION AS OF 0").count() === 1L)
+    // a literal merely containing the AS OF text stays data
+    val lit = SqlApi.executePg(spark,
+      "SELECT 'x FOR TIMESTAMP AS OF y' AS s FROM sql_asof_t").head().getString(0)
+    assert(lit === "x FOR TIMESTAMP AS OF y")
+    // unattached table rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      SqlApi.executePg(spark, "SELECT * FROM never_attached FOR VERSION AS OF 1")
+    }
+    assert(e.getMessage.contains("not an attached table"))
+  }
+
   test("version_as_of below a checkpoint needs the vacuumed commits — loud") {
     val root = tempDir("delta_tt_vacuumed")
     import spark.implicits._

@@ -428,4 +428,104 @@ class PgDialectCorpusSpec extends SparkSpec {
     assert(rows.head.getString(0) === "Hello")
     assert(rows.head.getString(1) === "price: $5")
   }
+
+  test("reference prepare corpus as SQL statements (scan.rs:577-590)") {
+    // the reference issues PREPARE/EXECUTE/DEALLOCATE as plain SQL text;
+    // the trips fixture plants the reference's expected counts (39 rows of
+    // VendorID=1). `"VendorID"` is a PG double-quoted identifier — a
+    // dialect layer that passed it through would have Spark read a string
+    // LITERAL and silently compare a constant.
+    val dir = tempDir("pgtrips")
+    spark.range(0, 39).selectExpr("1 AS `VendorID`", "id AS fare")
+      .unionAll(spark.range(0, 5).selectExpr("2 AS `VendorID`", "id AS fare"))
+      .write.mode("overwrite").parquet(s"$dir/trips.parquet")
+    Catalog.attach(spark, "trips", "parquet", Map("files" -> s"$dir/trips.parquet"))
+    SqlApi.executePg(spark,
+      """PREPARE test_query(int) AS SELECT count(*) FROM trips WHERE "VendorID" = $1;""")
+    val c1 = SqlApi.executePg(spark, "EXECUTE test_query(1)").head().getLong(0)
+    assert(c1 === 39L)
+    val c3 = SqlApi.executePg(spark, "EXECUTE test_query(3)").head().getLong(0)
+    assert(c3 === 0L)
+    SqlApi.executePg(spark, "DEALLOCATE test_query")
+    intercept[IllegalArgumentException] {
+      SqlApi.executePg(spark, "EXECUTE test_query(3)")
+    }
+  }
+
+  test("reference prepare + search_path corpus (scan.rs:601-650)") {
+    // two same-named tables in different schemas; EXECUTE re-plans, so a
+    // search-path switch changes which table the prepared body sees —
+    // the reference's replan-on-catalog-change semantics
+    val dir = tempDir("pgsp")
+    spark.sql("""SELECT * FROM VALUES (true, 1), (true, 2), (false, 3)
+                 AS t(boolean_col, v)""")
+      .write.mode("overwrite").parquet(s"$dir/full.parquet")
+    spark.sql("SELECT * FROM VALUES (true, 9) AS t(boolean_col, v)")
+      .write.mode("overwrite").parquet(s"$dir/single.parquet")
+    SqlApi.executePg(spark, "CREATE SCHEMA tpch1")
+    SqlApi.executePg(spark, "CREATE SCHEMA tpch2")
+    val schemas = SqlApi.pgSchemas(spark)
+    schemas.attachIn("tpch1", "sp_t1", "parquet", Map("files" -> s"$dir/full.parquet"))
+    schemas.attachIn("tpch2", "sp_t1", "parquet", Map("files" -> s"$dir/single.parquet"))
+    SqlApi.executePg(spark, "SET search_path TO tpch1")
+    SqlApi.executePg(spark, "PREPARE q1 AS SELECT * FROM sp_t1 WHERE boolean_col = $1")
+    assert(SqlApi.executePg(spark, "EXECUTE q1(true)").count() === 2L)
+    SqlApi.executePg(spark, "SET search_path TO tpch2")
+    assert(SqlApi.executePg(spark, "EXECUTE q1(true)").count() === 1L)
+    SqlApi.executePg(spark, "DEALLOCATE q1")
+    intercept[IllegalArgumentException] {
+      SqlApi.executePg(spark, "EXECUTE q1(true)")
+    }
+  }
+
+  test("reference search-path visibility corpus (scan.rs:504-559)") {
+    // t3 attached unqualified (public), t1/t2 only in their schemas: before
+    // the path includes them an unqualified SELECT must fail; after SET
+    // search_path TO tpch1, tpch2, public all three resolve, including the
+    // reference's triple left join. (`SET paradedb.disable_fdw` from the
+    // same test is the reference's executor-hook toggle — engine-specific,
+    // deliberately out of dialect.)
+    val dir = tempDir("pgvis")
+    spark.sql("SELECT * FROM VALUES (1) AS t(a)")
+      .write.mode("overwrite").parquet(s"$dir/p.parquet")
+    val schemas = SqlApi.pgSchemas(spark)
+    Catalog.attach(spark, "vis_t3", "parquet", Map("files" -> s"$dir/p.parquet"))
+    schemas.attachIn("vtpch1", "vis_t1", "parquet", Map("files" -> s"$dir/p.parquet"))
+    schemas.attachIn("vtpch2", "vis_t2", "parquet", Map("files" -> s"$dir/p.parquet"))
+    SqlApi.executePg(spark, "SET search_path TO public")
+    intercept[Exception] { SqlApi.executePg(spark, "SELECT * FROM vis_t1").collect() }
+    intercept[Exception] { SqlApi.executePg(spark, "SELECT * FROM vis_t2").collect() }
+    assert(SqlApi.executePg(spark, "SELECT * FROM vis_t3").count() === 1L)
+    SqlApi.executePg(spark, "SET search_path TO vtpch1, vtpch2, public")
+    assert(SqlApi.executePg(spark, "SELECT * FROM vis_t1").count() === 1L)
+    assert(SqlApi.executePg(spark, "SELECT * FROM vis_t2").count() === 1L)
+    assert(SqlApi.executePg(spark,
+      "SELECT * FROM vis_t1 LEFT JOIN vis_t2 ON true LEFT JOIN vis_t3 on true")
+      .count() === 1L)
+  }
+
+  test("reference ROW constructor corpus (duckdb_types.rs:143)") {
+    // the duckdb_types fixture builds struct values with ROW('abc','def');
+    // ROW( maps to struct( — and ROW_NUMBER()/ROWS BETWEEN stay untouched
+    val r = SqlApi.executePg(spark, "SELECT ROW('abc', 'def') AS struct_col").head()
+    val s = r.getStruct(0)
+    assert(s.getString(0) === "abc" && s.getString(1) === "def")
+    fixture
+    val wf = SqlApi.executePg(spark,
+      """SELECT int32_col, ROW_NUMBER() OVER (ORDER BY int32_col) AS rn,
+         sum(int32_col) OVER (ORDER BY int32_col ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS rs
+         FROM primitive""").collect()
+    assert(wf.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+  }
+
+  test("reference heap CTAS corpus (scan.rs:326-329)") {
+    fixture
+    spark.sql("DROP TABLE IF EXISTS primitive_copy")
+    SqlApi.executePg(spark, "CREATE TABLE primitive_copy AS SELECT * FROM primitive")
+    val count = SqlApi.executePg(spark, "SELECT COUNT(*) FROM primitive_copy")
+      .head().getLong(0)
+    assert(count === 3L)
+    spark.sql("DROP TABLE IF EXISTS primitive_copy")
+  }
 }
