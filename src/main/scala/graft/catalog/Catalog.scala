@@ -87,18 +87,27 @@ object Catalog {
     // native wkb_env_intersects expression, applied directly above the scan
     // so rows drop before any downstream operator. keep_wkb=false delivers
     // GeoJSON text — encode to WKB just for the test, the column unchanged.
+    val spatialGeomExpr =
+      if (options.get("keep_wkb").exists(_.toBoolean == false)) "geojson_to_wkb(geom)"
+      else "geom"
     options.get("spatial_filter_box").foreach { boxStr =>
       if (spec.name != "spatial") throw InvalidOptionException(
         "spatial_filter_box applies to spatial attaches only")
       val (minX, minY, maxX, maxY) =
         try graft.functions.WkbEnvelope.parseBox(boxStr)
         catch { case e: IllegalArgumentException => throw InvalidOptionException(e.getMessage) }
-      val geomWkb =
-        if (options.get("keep_wkb").exists(_.toBoolean == false))
-          s"geojson_to_wkb(geom)"
-        else "geom"
       df = df.filter(org.apache.spark.sql.functions.expr(
-        s"wkb_env_intersects($geomWkb, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D)"))
+        s"wkb_env_intersects($spatialGeomExpr, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D)"))
+    }
+    // exact WKT polygon filter (st_read's spatial_filter) — point layers;
+    // the WKT parses here so malformed filters fail at ATTACH, loudly
+    options.get("spatial_filter").foreach { wkt =>
+      if (spec.name != "spatial") throw InvalidOptionException(
+        "spatial_filter applies to spatial attaches only")
+      try graft.functions.WktFilter.parseWktPolygon(wkt)
+      catch { case e: IllegalArgumentException => throw InvalidOptionException(e.getMessage) }
+      df = df.filter(org.apache.spark.sql.functions.expr(
+        s"wkb_point_in_wkt($spatialGeomExpr, '${wkt.replace("'", "''")}')"))
     }
     df = withMetadataColumns(df, options)
     df = withHiveTypes(df, options)

@@ -75,15 +75,17 @@ object Formats {
   private[graft] def deltaConnectorPresent: Boolean = jarPresent("delta", connectorJarDir)
   private[graft] def icebergConnectorPresent: Boolean = jarPresent("iceberg", connectorJarDir)
 
-  // GDAL-driver options (layer selection, WKT spatial_filter, driver lists,
-  // sibling files, sequential scan) are NOT accepted: this deployment reads
-  // GeoJSON + shapefiles natively without GDAL, and accepting-then-ignoring
-  // an option is silent wrongness — attach errors listing what IS
-  // supported. spatial_filter_box IS accepted: a bbox envelope test over
-  // the parsed geometry needs no GDAL (functions.WkbEnvelope).
+  // GDAL-driver options (layer selection, driver lists, sibling files,
+  // sequential scan) are NOT accepted: this deployment reads GeoJSON +
+  // shapefiles natively without GDAL, and accepting-then-ignoring an option
+  // is silent wrongness — attach errors listing what IS supported.
+  // spatial_filter_box IS accepted (bbox envelope test,
+  // functions.WkbEnvelope); spatial_filter IS accepted for POLYGON WKT
+  // over Point layers (exact even-odd test, functions.WktFilter) and
+  // rejects loudly for other geometry kinds.
   val spatial: FormatSpec = FormatSpec(
     "spatial",
-    commonOptions ++ Set("keep_wkb", "spatial_filter_box"),
+    commonOptions ++ Set("keep_wkb", "spatial_filter_box", "spatial_filter"),
     Set("files"))
 
   def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)

@@ -426,4 +426,30 @@ object Similarity {
                  FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
   }
+
+  /** Per-vector int8 scalar quantization — the storage/bandwidth lever an
+    * embedding store pulls first at 100 TB (4 B→1 B per dimension before
+    * any indexing). Symmetric max-abs scheme: scale = max |x_i|, code =
+    * round(x·127/scale) ∈ [-127, 127]; a zero vector quantizes to zero
+    * codes with zero error. Row-local projection — zero shuffle — and the
+    * whole derivation (codes, checksum, reconstruction error) replays in
+    * SQL, so the oracle hash-checks the quantizer itself, not just shapes.
+    * All arithmetic in DOUBLE from the float inputs: ties in round() land
+    * identically in both engines (both round half away from zero). */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    emb.select(col(idCol), col(vecCol)).withColumn("scale", scale)
+      .withColumn("q", when(col("scale") > 0,
+          transform(col(vecCol),
+            x => round(x.cast("double") * 127 / col("scale")).cast("int")))
+        .otherwise(transform(col(vecCol), _ => lit(0))))
+      .select(col(idCol),
+        size(col("q")).cast("long").as("dim"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        when(col("scale") > 0, array_max(zip_with(col(vecCol), col("q"),
+            (x, q) => abs(x.cast("double") - q * col("scale") / 127))))
+          .otherwise(lit(0.0)).as("max_abs_err"))
+  }
 }

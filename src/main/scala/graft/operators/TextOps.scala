@@ -88,6 +88,45 @@ object TextOps {
     }
   }
 
+  /** Repetition statistics — the Gopher/Dolma-family quality rules, adapted
+    * token-wise (the synthetic corpus has no line structure; the published
+    * top-n-gram and duplicate-n-gram rules are token-based anyway):
+    * most-frequent-bigram mass, duplicated-trigram mass, and the longest
+    * same-token run. Computed over the first `cap` tokens — the standard
+    * prefix-window trick: the distinct-count folds are O(cap²) per doc and
+    * INDEPENDENT of document length, so the operator stays row-local and
+    * bounded at any corpus size (100 TB shape: zero shuffle, scan speed).
+    * Docs shorter than the n-gram width yield NULL fractions, never a
+    * division error. */
+  def repetitionColumns(text: Column, cap: Int = 256): Seq[(String, Column)] = {
+    val tk = slice(tokens(text), 1, cap)
+    val n = size(tk)
+    // n-grams as joined strings; guarded — Spark's sequence(1, 0) would
+    // generate a DESCENDING [1, 0], not an empty array
+    def grams(k: Int): Column = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val bg = grams(2)
+    val tg = grams(3)
+    val topBigram = array_max(transform(array_distinct(bg),
+      b => size(filter(bg, x => x === b))))
+    val dupTri = size(filter(tg, t => size(filter(tg, x => x === t)) > 1))
+    // longest consecutive same-token run in ONE left fold (struct state)
+    val maxRun = aggregate(tk,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val r = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), r.as("run"), greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+    Seq(
+      "n_window_tokens" -> n.cast("long"),
+      "top_bigram_frac" -> when(size(bg) > 0, topBigram.cast("double") / size(bg)),
+      "dup_trigram_frac" -> when(size(tg) > 0, dupTri.cast("double") / size(tg)),
+      "max_token_run" -> maxRun.cast("long"))
+  }
+
   /** Quality components: token count, unique-token ratio, mean token length,
     * alpha-character ratio. Single divisions only — deterministic doubles. */
   def qualityColumns(text: Column, nChars: Column): Seq[(String, Column)] = {

@@ -645,6 +645,41 @@ object FormatQueries {
         AND CAST(n.n_nationkey AS DOUBLE) BETWEEN 5 AND 18"""
     })
 
+  // ---------------------------------------------------------------- g04
+  // Exact WKT spatial_filter over a point layer: the triangle's edges are
+  // offset by 0.1 so no fixture point Point(k/2, k) lies on a boundary
+  // (even-odd is indeterminate there). The oracle replays the interior
+  // test as three half-plane sign conditions — valid for a convex ring and
+  // algorithmically INDEPENDENT of the engine's crossing walk, so the two
+  // sides cross-check different point-in-polygon derivations.
+  private val g04 = QueryDef(
+    "g04_spatial_filter_wkt",
+    (s, dir) => {
+      val path = nationGeo(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g04_nation_geo_wkt", "spatial",
+        Map("files" -> path,
+          "spatial_filter" -> "POLYGON((0.1 0.1, 20.1 0.1, 0.1 40.1, 0.1 0.1))"))
+        .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      // CCW triangle A(0.1,0.1) B(20.1,0.1) C(0.1,40.1): interior iff all
+      // three edge cross-products are positive
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected),
+      pts AS (
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex,
+               n.n_nationkey / 2.0 AS px, CAST(n.n_nationkey AS DOUBLE) AS py
+        FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey)
+      SELECT nationkey, name, wkb_hex FROM pts
+      WHERE (20.1 - 0.1) * (py - 0.1) - (0.1 - 0.1) * (px - 0.1) > 0
+        AND (0.1 - 20.1) * (py - 0.1) - (40.1 - 0.1) * (px - 20.1) > 0
+        AND (0.1 - 0.1) * (py - 40.1) - (0.1 - 40.1) * (px - 0.1) > 0"""
+    })
+
   // ---------------------------------------------------------------- l01
   // Native Delta scan (reference src/fdw/delta.rs:1-149 reads the latest
   // snapshot of a table root). The attached table was built in two commits
@@ -818,5 +853,5 @@ object FormatQueries {
       GROUP BY c_mktsegment"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, j01, h01, g01, g02, g03, l01, l02, l03, l04, l05, l06, l07, w01)
+    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, w01)
 }

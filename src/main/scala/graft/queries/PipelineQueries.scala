@@ -617,5 +617,71 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05)
+  // ---------------------------------------------------------------- t06
+  // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
+  // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
+  // run — over a 256-token prefix window so the per-doc cost is bounded at
+  // any document length. The oracle derives the run length independently
+  // via gaps-and-islands (i - row_number()) instead of the fold, so the two
+  // engines cross-check different algorithms for the same statistic.
+  private val t06 = QueryDef(
+    "t06_repetition_stats",
+    (s, dir) => {
+      val cols = TextOps.repetitionColumns(col("text"))
+      docs(s, dir).select(
+        Seq(col("doc_id")) ++ cols.map { case (n, c) => c.as(n) }: _*)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')[1:256] AS tk
+                    FROM documents),
+      g AS (SELECT doc_id, tk, len(tk) AS n,
+              CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS bg,
+              CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END AS tg
+            FROM toks),
+      u AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM toks),
+      u2 AS (SELECT doc_id, tk[i] AS tok, i FROM u),
+      r AS (SELECT doc_id, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+            FROM u2),
+      runlen AS (SELECT doc_id, count(*) AS rl FROM r GROUP BY doc_id, tok, grp),
+      mr AS (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY doc_id)
+      SELECT g.doc_id,
+             CAST(g.n AS BIGINT) AS n_window_tokens,
+             CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                 b -> len(list_filter(bg, x -> x = b))))::DOUBLE / len(bg) END AS top_bigram_frac,
+             CASE WHEN len(tg) > 0 THEN
+               len(list_filter(tg, t -> len(list_filter(tg, x -> x = t)) > 1))::DOUBLE / len(tg)
+             END AS dup_trigram_frac,
+             CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_token_run
+      FROM g LEFT JOIN mr ON mr.doc_id = g.doc_id"""))
+
+  // ---------------------------------------------------------------- s06
+  // int8 scalar quantization of the embedding column: scale, code checksum
+  // and max reconstruction error all replayed in SQL — the oracle checks
+  // the QUANTIZER (rounding, symmetric scale, reconstruction), not just
+  // result shapes.
+  private val s06 = QueryDef(
+    "s06_embedding_quantize_int8",
+    (s, dir) => Similarity.quantizeInt8(emb(s, dir)),
+    Some("""
+      WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      sc AS (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x::DOUBLE))) AS scale FROM e),
+      q AS (SELECT vec_id, v, scale,
+              CASE WHEN scale > 0 THEN
+                list_transform(v, x -> CAST(round(x::DOUBLE * 127 / scale) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qc
+            FROM sc)
+      SELECT vec_id, CAST(len(qc) AS BIGINT) AS dim, scale,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(qc, x -> CAST(x AS BIGINT))), (a, b) -> a + b) AS q_sum,
+             CASE WHEN scale > 0 THEN
+               list_max(list_transform(generate_series(1, len(v)),
+                 i -> abs(v[i]::DOUBLE - qc[i] * scale / 127)))
+             ELSE 0.0 END AS max_abs_err
+      FROM q"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06)
 }

@@ -238,5 +238,47 @@ object StreamingQueries {
        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR
       WHERE p.event_type = 'purchase'"""))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04)
+  // ---------------------------------------------------------------- x05
+  // Stream-static enrichment: the event stream joins the customer dimension
+  // (broadcast per micro-batch, no stream state). Rows are batch-order-free
+  // and every event either matches its customer or drops (inner) — exactly
+  // the batch join, whatever the batch boundaries, so the replay is
+  // deterministic without watermark choreography.
+  private val x05 = QueryDef(
+    "x05_stream_static_enrich",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val events = MemoryStream[(Long, Long, Double)](1)
+      val customers = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val out = Streams.enrichStatic(
+        events.toDF().toDF("event_id", "user_id", "value"),
+        customers, "user_id", "c_custkey")
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("mktsegment"), col("value"))
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x05_out")
+          .outputMode("append").start()
+        try {
+          val ev = Tables.load(s, dir, "events")
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("value")).collect()
+          // two batches — the dim re-broadcasts per batch, result invariant
+          val (a, b) = ev.splitAt(ev.length / 2)
+          events.addData(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+          q.processAllAvailable()
+          events.addData(b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x05_out")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment, e.value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      WHERE e.event_type = 'purchase'"""))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05)
 }

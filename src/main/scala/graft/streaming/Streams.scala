@@ -117,6 +117,16 @@ object Streams {
       .drop(col(s"r.$keyCol"))
   }
 
+  /** Stream-static enrichment join — the dimension-lookup shape every
+    * event pipeline needs (event stream ⋈ slowly-changing dim table). The
+    * static side broadcasts per micro-batch, so the stream side never
+    * shuffles and no join state accumulates: at 100 TB/day of events the
+    * cost is one broadcast per batch, independent of stream history. */
+  def enrichStatic(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
+      .drop(dim(dimKey))
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here

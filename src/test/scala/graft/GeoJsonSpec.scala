@@ -53,7 +53,7 @@ class GeoJsonSpec extends SparkSpec {
   test("GDAL-only spatial options are rejected, not ignored") {
     val dir = tempDir("geo_rej")
     val p = writeText(dir, "x.geojson", fc)
-    Seq("layer", "spatial_filter", "allowed_drivers").foreach { opt =>
+    Seq("layer", "open_options", "allowed_drivers").foreach { opt =>
       val e = intercept[Catalog.InvalidOptionException] {
         Catalog.attach(spark, "rej_spatial", "spatial", Map("files" -> p, opt -> "v"))
       }
@@ -96,6 +96,48 @@ class GeoJsonSpec extends SparkSpec {
       names(Map("spatial_filter_box" -> "9,0,1,10"))
     }
     assert(e2.getMessage.contains("inverted"))
+  }
+
+  test("spatial_filter WKT polygon keeps exactly the interior points") {
+    val dir = tempDir("geo_wkt")
+    val p = writeText(dir, "w.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"in_outer"},
+        | "geometry":{"type":"Point","coordinates":[5.0,5.0]}},
+        |{"type":"Feature","properties":{"name":"in_hole"},
+        | "geometry":{"type":"Point","coordinates":[5.0,4.0]}},
+        |{"type":"Feature","properties":{"name":"outside"},
+        | "geometry":{"type":"Point","coordinates":[50.0,5.0]}}
+        |]}""".stripMargin)
+    // square with a square hole around (5,4): in_outer stays, in_hole and
+    // outside drop — the even-odd walk must honor the hole ring
+    val wkt = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 3, 6 3, 6 5, 4 5, 4 3))"
+    val df = Catalog.attach(spark, "wkt_t", "spatial",
+      Map("files" -> p, "spatial_filter" -> wkt))
+    assert(df.select("name").collect().map(_.getString(0)).toSeq === Seq("in_outer"))
+    // keep_wkb=false path composes the same way
+    val df2 = Catalog.attach(spark, "wkt_t2", "spatial",
+      Map("files" -> p, "spatial_filter" -> wkt, "keep_wkb" -> "false"))
+    assert(df2.select("name").collect().map(_.getString(0)).toSeq === Seq("in_outer"))
+    // malformed / non-polygon WKT rejects at attach
+    val e1 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "wkt_bad", "spatial",
+        Map("files" -> p, "spatial_filter" -> "LINESTRING(0 0, 1 1)"))
+    }
+    assert(e1.getMessage.contains("POLYGON"))
+    // non-point geometry under the exact filter rejects loudly at scan
+    val pl = writeText(dir, "l.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"line"},
+        | "geometry":{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}}
+        |]}""".stripMargin)
+    val e2 = intercept[Throwable] {
+      Catalog.attach(spark, "wkt_line", "spatial",
+        Map("files" -> pl, "spatial_filter" -> "POLYGON((0 0, 10 0, 0 10, 0 0))"))
+        .collect()
+    }
+    val chain = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain.exists(t => Option(t.getMessage).exists(_.contains("spatial_filter_box"))))
   }
 
   test("wkb_env_intersects is a native SQL function over WKB") {
