@@ -82,6 +82,18 @@ object Catalog {
         case other => throw Formats.UnsupportedFormatException(other)
       }
     }
+    // Declared columns (a typed CREATE FOREIGN TABLE) over readers that take
+    // no read schema — the native lakehouse log readers and the spatial
+    // parsers: project+cast to the declared shape. PG FDW semantics: the
+    // declared column list IS the table's shape (reference
+    // src/fdw/base.rs:60-92); columns the source lacks fail loudly here.
+    schema.foreach { s =>
+      val castOnly = spec.name == "spatial" ||
+        (spec.name == "delta" && !Formats.deltaConnectorPresent) ||
+        (spec.name == "iceberg" && !Formats.icebergConnectorPresent)
+      if (castOnly)
+        df = df.select(s.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
     // spatial predicate pushdown (≙ st_read's spatial_filter_box,
     // src/duckdb/spatial.rs:29-82): envelope-intersect test per row via the
     // native wkb_env_intersects expression, applied directly above the scan

@@ -35,11 +35,13 @@ final class Schemas(spark: SparkSession) {
   /** Attach `table` into `schema` (≙ CREATE FOREIGN TABLE in a schema).
     * Registers the qualified entry and refreshes unqualified resolution. */
   def attachIn(schema: String, table: String, format: String,
-      options: Map[String, String]): DataFrame = {
+      options: Map[String, String],
+      userMapping: Map[String, String] = Map.empty,
+      declared: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     // Catalog.attach registers an unqualified temp view as a side effect —
     // that view is registry-materialized by definition (claim it before
     // resolution, which may need to drop it again for an off-path schema).
-    val df = Catalog.attach(spark, table, format, options)
+    val df = Catalog.attach(spark, table, format, options, userMapping, declared)
     registry((schema.toLowerCase, table.toLowerCase)) = df
     materialized += table.toLowerCase
     resolveAll()

@@ -852,6 +852,32 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- f01
+  // The reference's own FDW lifecycle, verbatim DDL: CREATE FOREIGN DATA
+  // WRAPPER → SERVER → USER MAPPING → typed FOREIGN TABLE → query
+  // (tests/tests/fixtures/arrow.rs:287-340 shape). The leading DROP ...
+  // CASCADE makes the statement sequence re-runnable (bench min-of-N runs
+  // every query twice in one session). The oracle aggregates the same
+  // parquet directly — proving the DDL path attaches the identical table.
+  private val f01 = QueryDef(
+    "f01_fdw_ddl",
+    (s, dir) => {
+      graft.sqlapi.SqlApi.executePgScript(s, s"""
+        DROP FOREIGN DATA WRAPPER IF EXISTS f01_wrapper CASCADE;
+        CREATE FOREIGN DATA WRAPPER f01_wrapper HANDLER parquet_fdw_handler VALIDATOR parquet_fdw_validator;
+        CREATE SERVER f01_server FOREIGN DATA WRAPPER f01_wrapper;
+        CREATE USER MAPPING FOR public SERVER f01_server;
+        CREATE FOREIGN TABLE f01_nation (n_nationkey bigint, n_name text, n_regionkey bigint, n_comment text) SERVER f01_server OPTIONS (files '$dir/nation.parquet');
+      """)
+      graft.sqlapi.SqlApi.executePg(s, """
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        FROM f01_nation GROUP BY n_regionkey""")
+    },
+    Some("""
+      SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      FROM nation GROUP BY n_regionkey"""))
+
   val all: Seq[QueryDef] =
-    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, w01)
+    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, w01,
+      f01)
 }

@@ -38,7 +38,7 @@ object PgDialect {
     // maps the `->>` operator). reference: tests/tests/json.rs:295-305.
     "json" -> "STRING", "jsonb" -> "STRING")
 
-  private def mapType(t: String): String =
+  private[sqlapi] def mapType(t: String): String =
     typeMap.getOrElse(t.toLowerCase, t.toUpperCase)
 
   /** Split into alternating unquoted/quoted segments (quoted kept verbatim,

@@ -359,7 +359,7 @@ object SqlApi {
 
   /** PG command tags return no rows; a typed empty frame keeps the
     * DataFrame contract for utility statements. */
-  private def commandOk(spark: SparkSession): DataFrame =
+  private[sqlapi] def commandOk(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("status", StringType))))
 
@@ -455,8 +455,39 @@ object SqlApi {
       // schemas materialize on first attachIn; the registry needs no
       // pre-declaration — accept the statement for sequence compatibility
       commandOk(spark)
+    case s if FdwDdl.isDdl(s) =>
+      // the reference's own lifecycle: CREATE FOREIGN DATA WRAPPER /
+      // SERVER / USER MAPPING / FOREIGN TABLE, and their DROPs
+      FdwDdl.execute(spark, s, pgSchemas(spark))
     case _ =>
       spark.sql(PgDialect.rewrite(registerTableFunctions(spark,
         rewriteAsOf(spark, sql))))
+  }
+
+  /** Run a multi-statement PG script — the shape the reference's fixtures
+    * emit (one string holding wrapper;server;mapping;table, e.g.
+    * tests/tests/fixtures/arrow.rs:330-340) — statement by statement
+    * through executePg. Returns the last statement's frame. Quote-aware
+    * split: a `;` inside a string literal stays literal text. */
+  def executePgScript(spark: SparkSession, sql: String): DataFrame = {
+    val stmts = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    PgDialect.segments(sql).foreach { case (seg, quoted) =>
+      if (quoted) cur.append(seg)
+      else {
+        var rest = seg
+        var i = rest.indexOf(';')
+        while (i >= 0) {
+          cur.append(rest.substring(0, i)); stmts += cur.toString; cur.clear()
+          rest = rest.substring(i + 1)
+          i = rest.indexOf(';')
+        }
+        cur.append(rest)
+      }
+    }
+    stmts += cur.toString
+    val nonEmpty = stmts.map(_.trim).filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) return commandOk(spark)
+    nonEmpty.map(executePg(spark, _)).last
   }
 }
