@@ -141,8 +141,12 @@ object FormatQueries {
   private def customerDelta(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/customer_delta"
     val done = new java.io.File(s"$out/_delta_log/00000000000000000001.json")
-    val built = done.exists() &&
-      java.nio.file.Files.readString(done.toPath).contains("commitInfo")
+    // require the post-r7 format: real add.size values (a cached pre-r7 log
+    // declares size:1, which split planning would now trust — rebuild it)
+    val built = done.exists() && {
+      val text = java.nio.file.Files.readString(done.toPath)
+      text.contains("commitInfo") && !text.contains("\"size\":1,")
+    }
     if (!built) {
       import org.apache.spark.sql.functions._
       val cust = Tables.load(s, dir, "customer")
@@ -154,7 +158,7 @@ object FormatQueries {
         cust.filter(col("c_custkey") % 2 =!= 0 && col("c_acctbal") > 0))
       val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
       def add(p: String) =
-        s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        s"""{"add":{"path":"$p","partitionValues":{},"size":${new java.io.File(root, p).length()},"modificationTime":0,"dataChange":true}}"""
       val log = new java.io.File(root, "_delta_log")
       log.mkdirs()
       java.nio.file.Files.writeString(
@@ -185,7 +189,9 @@ object FormatQueries {
   private def customerDeltaDv(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/customer_delta_dv"
     val done = new java.io.File(s"$out/_delta_log/00000000000000000000.json")
-    if (!done.exists()) {
+    val built = done.exists() &&
+      !java.nio.file.Files.readString(done.toPath).contains("\"size\":1,")
+    if (!built) {
       import org.apache.spark.sql.functions._
       import graft.sources.DeletionVectors
       val cust = Tables.load(s, dir, "customer")
@@ -214,7 +220,7 @@ object FormatQueries {
       val uPayload = "ab/" + DeletionVectors.Z85.encode(bb.array())
       val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
       def addDv(p: String, dv: String) =
-        s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":$dv}}"""
+        s"""{"add":{"path":"$p","partitionValues":{},"size":${new java.io.File(root, p).length()},"modificationTime":0,"dataChange":true,"deletionVector":$dv}}"""
       val inlineDv = s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.Z85.encode(evensData)}",""" +
         s""""sizeInBytes":${evensData.length},"cardinality":10}"""
       val diskDv = s"""{"storageType":"u","pathOrInlineDv":"$uPayload","offset":1,""" +

@@ -55,9 +55,13 @@ object DeltaNative {
   private val SupportedReaderFeatures =
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
 
-  /** Live-file entry after log reconciliation. */
+  /** Live-file entry after log reconciliation. `size`/`modificationTime`
+    * come from the add action (the protocol requires them accurate — split
+    * planning trusts them, exactly as delta-kernel does); `stats` is the
+    * writer's per-file statistics JSON, fuel for planning-time skipping. */
   private final case class AddEntry(partitionValues: Map[String, String],
-      dv: Option[DeletionVectors.Descriptor])
+      dv: Option[DeletionVectors.Descriptor], size: Long = 0L,
+      modificationTime: Long = 0L, stats: Option[String] = None)
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val rootPath = new Path(root)
@@ -97,6 +101,12 @@ object DeltaNative {
     def partValuesJson(a: JsonNode): Map[String, String] =
       a.path("partitionValues").fields().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+    def addEntryJson(a: JsonNode, dv: Option[DeletionVectors.Descriptor]): AddEntry =
+      AddEntry(partValuesJson(a), dv,
+        a.path("size").asLong(0L),
+        a.path("modificationTime").asLong(0L),
+        Option(a.path("stats")).filter(n => n.isTextual && n.asText().nonEmpty)
+          .map(_.asText()))
     def dvJson(a: JsonNode): Option[DeletionVectors.Descriptor] = {
       val d = a.path("deletionVector")
       if (d.isMissingNode || d.isNull) None
@@ -202,31 +212,37 @@ object DeltaNative {
         }
       }
       if (topFields.contains("add")) {
-        val hasPv = structFields("add").contains("partitionValues")
-        val hasDv = structFields("add").contains("deletionVector")
-        val sel = Seq(Some("add.path"),
-          if (hasPv) Some("add.partitionValues") else None,
-          if (hasDv) Some("add.deletionVector") else None).flatten
-        cp.filter(col("add").isNotNull).select(sel.map(col): _*).collect().foreach { r =>
-          val pv =
-            if (hasPv && !r.isNullAt(1)) r.getMap[String, String](1).toMap
-            else Map.empty[String, String]
-          val dvIdx = if (hasPv) 2 else 1
-          val dv =
-            if (hasDv && !r.isNullAt(dvIdx)) {
-              val s = r.getStruct(dvIdx)
-              def fld(n: String): Option[AnyRef] =
-                if (s.schema.fieldNames.contains(n) && !s.isNullAt(s.fieldIndex(n)))
-                  Some(s.get(s.fieldIndex(n)).asInstanceOf[AnyRef])
-                else None
-              Some(DeletionVectors.Descriptor(
-                fld("storageType").map(_.toString).getOrElse(""),
-                fld("pathOrInlineDv").map(_.toString).getOrElse(""),
-                fld("offset").map(_.asInstanceOf[Number].intValue()),
-                fld("sizeInBytes").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
-                fld("cardinality").map(_.asInstanceOf[Number].longValue()).getOrElse(0L)))
-            } else None
-          adds((r.getString(0), dvKey(dv))) = AddEntry(pv, dv)
+        val sub = structFields("add")
+        val sel = Seq("path" -> "p", "partitionValues" -> "pv",
+          "deletionVector" -> "dvv", "size" -> "sz",
+          "modificationTime" -> "mt", "stats" -> "st")
+          .collect { case (f, alias) if f == "path" || sub.contains(f) =>
+            col(s"add.$f").as(alias)
+          }
+        cp.filter(col("add").isNotNull).select(sel: _*).collect().foreach { r =>
+          def at(alias: String): Option[Int] = {
+            val i = r.schema.fieldNames.indexOf(alias)
+            if (i >= 0 && !r.isNullAt(i)) Some(i) else None
+          }
+          val pv = at("pv").map(i => r.getMap[String, String](i).toMap)
+            .getOrElse(Map.empty[String, String])
+          val dv = at("dvv").map { i =>
+            val s = r.getStruct(i)
+            def fld(n: String): Option[AnyRef] =
+              if (s.schema.fieldNames.contains(n) && !s.isNullAt(s.fieldIndex(n)))
+                Some(s.get(s.fieldIndex(n)).asInstanceOf[AnyRef])
+              else None
+            DeletionVectors.Descriptor(
+              fld("storageType").map(_.toString).getOrElse(""),
+              fld("pathOrInlineDv").map(_.toString).getOrElse(""),
+              fld("offset").map(_.asInstanceOf[Number].intValue()),
+              fld("sizeInBytes").map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+              fld("cardinality").map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+          }
+          adds((r.getString(0), dvKey(dv))) = AddEntry(pv, dv,
+            at("sz").map(r.getLong).getOrElse(0L),
+            at("mt").map(r.getLong).getOrElse(0L),
+            at("st").map(r.getString).filter(_.nonEmpty))
         }
       }
       if (topFields.contains("sidecar"))
@@ -279,7 +295,7 @@ object DeltaNative {
             if (node.has("add")) {
               val a = node.path("add")
               val dv = dvJson(a)
-              adds((a.path("path").asText(), dvKey(dv))) = AddEntry(partValuesJson(a), dv)
+              adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv)
             }
             if (node.has("sidecar")) Some(node.path("sidecar").path("path").asText()) else None
           }
@@ -331,7 +347,7 @@ object DeltaNative {
         if (node.has("add")) {
           val a = node.path("add")
           val dv = dvJson(a)
-          adds((a.path("path").asText(), dvKey(dv))) = AddEntry(partValuesJson(a), dv)
+          adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv)
         }
         if (node.has("remove")) {
           val rm = node.path("remove")
@@ -416,43 +432,45 @@ object DeltaNative {
       DeletionVectors.applyTo(spark, df, dvs, rootPath)
 
     // --- distributed data read over the resolved live files ---
+    // The scan goes through a log-backed FileIndex (LogFileIndex): partition
+    // values come FROM THE LOG as typed partition columns (hive and non-hive
+    // layouts identically — Catalyst partition-prunes both), per-file
+    // `add.stats` min/max/nullCount prune files at PLAN time against the
+    // pushed data filters (the delta-kernel skipping design), and
+    // sizeInBytes is the log's true byte count (honest broadcast decisions).
     if (live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (partCols.isEmpty)
-      unmapped(withoutDeleted(
-        spark.read.schema(physSchema).parquet(live.map(f => resolve(f._1)): _*)))
     else {
-      val hiveLayout = live.forall(f => physPartCols.forall(c => f._1.contains(s"$c=")))
-      if (hiveLayout)
-        // standard writer layout: partition values live in the dir names;
-        // explicit schema pins the partition column types Delta declares
-        unmapped(withoutDeleted(spark.read.schema(physSchema).option("basePath", root)
-          .parquet(live.map(f => resolve(f._1)): _*)))
-      else {
-        // Non-hive layout: partition values come from the log itself. ONE
-        // distributed scan of every live file; each row finds its partition
-        // values through a BROADCAST lookup on _metadata.file_path. Plan
-        // size is O(1) in partition count — the previous per-partition-group
-        // unionByName built an O(live partitions) plan that would choke the
-        // analyzer around 10^3 partitions (a plain day-partitioned decade
-        // at 100 TB). The lookup frame is file metadata: tiny, broadcast.
-        val physDataSchema =
-          StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
-        import spark.implicits._
-        val lookup = live.map { case (p, e) =>
-          (PathKeys.key(resolve(p)), physPartCols.map(c => e.partitionValues.get(c).orNull))
-        }.toDF("__graft_fp", "__graft_pv")
-        val base = withoutDeleted(spark.read.schema(physDataSchema)
-          .parquet(live.map(f => resolve(f._1)): _*)
-          .withColumn("__graft_fp", PathKeys.keyCol(col("_metadata.file_path"))))
-        val joined = base.join(broadcast(lookup), Seq("__graft_fp"), "left")
-        val withParts = partCols.foldLeft(joined) { (df, c) =>
-          val idx = physPartCols.indexOf(physByLogical.getOrElse(c, c))
-          df.withColumn(physByLogical.getOrElse(c, c),
-            element_at(col("__graft_pv"), idx + 1).cast(schema(c).dataType))
-        }
-        unmapped(withParts.select(physSchema.fieldNames.map(col).toSeq: _*))
+      val physDataSchema =
+        StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
+      val partSchemaPhys = StructType(physPartCols.map { c =>
+        physSchema(physSchema.fieldIndex(c)).copy(nullable = true)
+      })
+      val entries = live.map { case (p, e) =>
+        val resolved = resolve(p)
+        new LogFileIndex.IndexedFile(
+          resolved,
+          // the protocol requires add.size accurate and split planning
+          // trusts it (as delta-kernel does); a size no parquet file can
+          // have (< the 12-byte magic+footer minimum) marks a malformed
+          // log entry and falls back to one driver stat for that file
+          if (e.size >= 12) e.size
+          else new Path(resolved).getFileSystem(spark.sessionState.newHadoopConf())
+            .getFileStatus(new Path(resolved)).getLen,
+          e.modificationTime,
+          e.partitionValues,
+          () => e.stats.flatMap(LogFileIndex.parseDeltaStats(_, physDataSchema, mapper)))
       }
+      val index = new LogFileIndex(spark, rootPath, entries, partSchemaPhys)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, partSchemaPhys, physDataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      val scan = spark.baseRelationToDataFrame(relation)
+      // DV anti-join FIRST (it addresses _metadata, gone after any select),
+      // then restore the declared column order (the relation appends
+      // partition columns last), then the logical rename
+      unmapped(withoutDeleted(scan).select(physSchema.fieldNames.map(col).toSeq: _*))
     }
   }
 }

@@ -31,7 +31,10 @@ class DeltaNativeSpec extends SparkSpec {
   }
 
   /** Write rows as a single parquet part under the table root, return the
-    * RELATIVE path of the part file (what an `add` action records). */
+    * RELATIVE path of the part file (what an `add` action records). The
+    * true byte size is remembered — the protocol requires `add.size`
+    * accurate, and the reader's split planning trusts it. */
+  private val partSizes = scala.collection.mutable.Map[String, Long]()
   private def writePart(root: File, sub: String, df: org.apache.spark.sql.DataFrame): String = {
     val tmp = new File(root, s"_tmp_$sub")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
@@ -40,12 +43,17 @@ class DeltaNativeSpec extends SparkSpec {
     dest.getParentFile.mkdirs()
     java.nio.file.Files.move(part.toPath, dest.toPath)
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    partSizes(sub) = dest.length()
     sub
   }
+  private def psz(path: String): Long = partSizes.getOrElse(path, 1L)
 
-  private def add(path: String, pv: Map[String, String] = Map.empty): String = {
+  private def add(path: String, pv: Map[String, String] = Map.empty,
+      stats: Option[String] = None): String = {
     val pvs = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-    s"""{"add":{"path":"$path","partitionValues":{$pvs},"size":1,"modificationTime":0,"dataChange":true}}"""
+    val st = stats.fold("")(s =>
+      s""","stats":"${s.replace("\\", "\\\\").replace("\"", "\\\"")}"""")
+    s"""{"add":{"path":"$path","partitionValues":{$pvs},"size":${psz(path)},"modificationTime":0,"dataChange":true$st}}"""
   }
   private def remove(path: String): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true}}"""
@@ -106,11 +114,11 @@ class DeltaNativeSpec extends SparkSpec {
     val cpDir = new File(root, "_cp_tmp")
     spark.sql(
       s"""SELECT * FROM VALUES
-         (named_struct('path', '$f1', 'partitionValues', map(), 'size', 1L,
+         (named_struct('path', '$f1', 'partitionValues', map(), 'size', ${psz(f1)}L,
                        'modificationTime', 0L, 'dataChange', true),
           CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
           CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
-         (named_struct('path', '$f2', 'partitionValues', map(), 'size', 1L,
+         (named_struct('path', '$f2', 'partitionValues', map(), 'size', ${psz(f2)}L,
                        'modificationTime', 0L, 'dataChange', true),
           CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
           CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
@@ -165,11 +173,11 @@ class DeltaNativeSpec extends SparkSpec {
        named_struct('id', 't', 'schemaString', '$schema',
                     'partitionColumns', CAST(array() AS ARRAY<STRING>)))""")
     writeCp(2, s"""(named_struct('path', '$f1',
-         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', 1L,
+         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', ${psz(f1)}L,
          'modificationTime', 0L, 'dataChange', true),
        CAST(NULL AS $protoT), CAST(NULL AS $metaT)),
       (named_struct('path', '$f2',
-         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', 1L,
+         'partitionValues', CAST(map() AS MAP<STRING,STRING>), 'size', ${psz(f2)}L,
          'modificationTime', 0L, 'dataChange', true),
        CAST(NULL AS $protoT), CAST(NULL AS $metaT))""")
     java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
@@ -420,7 +428,9 @@ class DeltaNativeSpec extends SparkSpec {
     val addLines = dataDir.listFiles().filter(_.getName.startsWith("fid=")).map { d =>
       val fid = d.getName.stripPrefix("fid=").toInt
       val f = d.listFiles().find(_.getName.endsWith(".parquet")).get
-      add(s"data/fid=$fid/${f.getName}", Map("p" -> fid.toString))
+      val rel = s"data/fid=$fid/${f.getName}"
+      partSizes(rel) = f.length()
+      add(rel, Map("p" -> fid.toString))
     }.toSeq
     commit(root, 0, Seq(protocolV1, metaAction(schema, Seq("p"))) ++ addLines)
     val df = DeltaNative.read(spark, root.getPath, Map.empty)
@@ -520,7 +530,7 @@ class DeltaNativeSpec extends SparkSpec {
     s""""deletionVector":{"storageType":"$storageType","pathOrInlineDv":"$payload"$off,"sizeInBytes":$size,"cardinality":$card}"""
   }
   private def addDv(path: String, dvJson: String): String =
-    s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,$dvJson}}"""
+    s"""{"add":{"path":"$path","partitionValues":{},"size":${psz(path)},"modificationTime":0,"dataChange":true,$dvJson}}"""
   private def removeDv(path: String, dvJson: String): String =
     s"""{"remove":{"path":"$path","deletionTimestamp":0,"dataChange":true,$dvJson}}"""
 
