@@ -238,6 +238,11 @@ object FormatQueries {
 
   /** Write df as ONE parquet part at root/sub, return sub (the relative
     * path a table-format log records). Driver-side export scaffolding. */
+  // true byte size per part, keyed by relative path — manifest/log actions
+  // must declare accurate sizes (split planning trusts them). Keys repeat
+  // across fixture roots, but each fixture writes its parts immediately
+  // before its manifest, so the lookup is always the fresh value.
+  private val partBytes = scala.collection.mutable.Map[String, Long]()
   private def singlePart(root: java.io.File, sub: String,
       df: org.apache.spark.sql.DataFrame): String = {
     val tmp = new java.io.File(root, s"_tmp_${sub.replace('/', '_')}")
@@ -248,6 +253,7 @@ object FormatQueries {
     java.nio.file.Files.move(p.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     tmp.listFiles().foreach(_.delete()); tmp.delete()
+    partBytes(sub) = dest.length()
     sub
   }
 
@@ -298,7 +304,7 @@ object FormatQueries {
       d.put("file_path", path)
       d.put("file_format", format)
       d.put("record_count", 1L)
-      d.put("file_size_in_bytes", Long.box(1024L))
+      d.put("file_size_in_bytes", Long.box(partBytes.getOrElse(path, 1024L)))
       d.put("equality_ids", if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
       dvLocator.foreach { case (refFile, off, sz) =>
         d.put("referenced_data_file", refFile)
@@ -350,7 +356,8 @@ object FormatQueries {
     val out = s"${exportRoot(dir)}/orders_iceberg"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
     val meta = new java.io.File(s"$out/metadata/v1.metadata.json")
-    val built = done.exists() && meta.exists() &&
+    val sizesOk = new java.io.File(s"$out/_graft_true_sizes").exists()
+    val built = done.exists() && meta.exists() && sizesOk &&
       java.nio.file.Files.readString(meta.toPath).contains("snapshot-log")
     if (!built) {
       import org.apache.spark.sql.functions._
@@ -385,6 +392,11 @@ object FormatQueries {
             s"""[{"timestamp-ms": $IceT0, "snapshot-id": 1},
                | {"timestamp-ms": $IceT1, "snapshot-id": 2}]""".stripMargin)))
       java.nio.file.Files.writeString(done.toPath, "1")
+      // sentinel: manifests in this root declare TRUE file sizes (split
+      // planning trusts them since the FileIndex change) — absence forces
+      // a rebuild of pre-change cached fixtures
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/_graft_true_sizes"), "1")
     }
     out
   }
@@ -402,7 +414,8 @@ object FormatQueries {
   private def ordersIcebergDeletes(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/orders_iceberg_del"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
-    if (!done.exists()) {
+    val built = done.exists() && new java.io.File(s"$out/_graft_true_sizes").exists()
+    if (!built) {
       import org.apache.spark.sql.functions._
       import s.implicits._
       import IcebergScaffold._
@@ -433,6 +446,11 @@ object FormatQueries {
       java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
         ordersMetaJson(root, "orders-iceberg-del"))
       java.nio.file.Files.writeString(done.toPath, "1")
+      // sentinel: manifests in this root declare TRUE file sizes (split
+      // planning trusts them since the FileIndex change) — absence forces
+      // a rebuild of pre-change cached fixtures
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/_graft_true_sizes"), "1")
     }
     out
   }
@@ -447,7 +465,8 @@ object FormatQueries {
   private def ordersIcebergPuffin(s: SparkSession, dir: String): String = {
     val out = s"${exportRoot(dir)}/orders_iceberg_puffin"
     val done = new java.io.File(s"$out/metadata/version-hint.text")
-    if (!done.exists()) {
+    val built = done.exists() && new java.io.File(s"$out/_graft_true_sizes").exists()
+    if (!built) {
       import org.apache.spark.sql.functions._
       import graft.sources.DeletionVectors
       import IcebergScaffold._
@@ -499,6 +518,11 @@ object FormatQueries {
       java.nio.file.Files.writeString(new java.io.File(md, "v1.metadata.json").toPath,
         ordersMetaJson(root, "orders-iceberg-puffin"))
       java.nio.file.Files.writeString(done.toPath, "1")
+      // sentinel: manifests in this root declare TRUE file sizes (split
+      // planning trusts them since the FileIndex change) — absence forces
+      // a rebuild of pre-change cached fixtures
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/_graft_true_sizes"), "1")
     }
     out
   }

@@ -245,7 +245,66 @@ object IcebergNative {
           }
       }
 
-    final case class FileRef(path: String, seq: Long, bytes: Long)
+    final case class FileRef(path: String, seq: Long, bytes: Long,
+        stats: Option[LogFileIndex.FileStats] = None)
+
+    // field id → (column name, iceberg type text) for top-level primitives —
+    // the key space of the manifest's lower_bounds/upper_bounds/
+    // null_value_counts maps (nested/complex ids are skipped: no pruning)
+    val idToPrim: Map[Int, (String, String)] =
+      schemaNode.path("fields").elements().asScala
+        .filter(_.path("type").isTextual)
+        .map(f => f.path("id").asInt() ->
+          (f.path("name").asText().toLowerCase, f.path("type").asText()))
+        .toMap
+
+    // manifest map fields arrive as Avro array-of-{key,value} records (the
+    // spec's int-keyed maps) or as plain Avro maps (string keys)
+    def kvPairs(v: AnyRef): Seq[(Int, AnyRef)] = v match {
+      case null => Nil
+      case l: java.util.List[_] => l.asScala.toSeq.flatMap {
+        case r: GenericRecord =>
+          (Option(r.get("key")), Option(r.get("value"))) match {
+            case (Some(k: Number), Some(value)) => Some(k.intValue() -> value)
+            case _ => None
+          }
+        case _ => None
+      }
+      case m: java.util.Map[_, _] => m.asScala.toSeq.flatMap { case (k, value) =>
+        try Some(k.toString.toInt -> value.asInstanceOf[AnyRef])
+        catch { case _: NumberFormatException => None }
+      }
+      case _ => Nil
+    }
+    def byteArray(v: AnyRef): Option[Array[Byte]] = v match {
+      case b: java.nio.ByteBuffer =>
+        val d = b.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); Some(a)
+      case a: Array[Byte] => Some(a)
+      case f: org.apache.avro.generic.GenericFixed => Some(f.bytes())
+      case _ => None
+    }
+    def boundsMap(v: AnyRef): Map[String, Any] =
+      kvPairs(v).flatMap { case (id, raw) =>
+        for {
+          (name, typeText) <- idToPrim.get(id)
+          bytes <- byteArray(raw)
+          value <- decodeBound(bytes, typeText)
+        } yield name -> value
+      }.toMap
+    /** Manifest-entry column statistics → the shared pruning model (the
+      * same skipping fuel Iceberg's own planner burns: spec "Manifests",
+      * lower_bounds/upper_bounds/null_value_counts). */
+    def statsOf(df: GenericRecord): Option[LogFileIndex.FileStats] = {
+      val lower = boundsMap(opt(df, "lower_bounds").orNull)
+      val upper = boundsMap(opt(df, "upper_bounds").orNull)
+      val nulls = kvPairs(opt(df, "null_value_counts").orNull).flatMap {
+        case (id, n: Number) => idToPrim.get(id).map(_._1 -> n.longValue())
+        case _ => None
+      }.toMap
+      if (lower.isEmpty && upper.isEmpty && nulls.isEmpty) None
+      else Some(LogFileIndex.FileStats(
+        opt(df, "record_count").map(_.asInstanceOf[Long]), lower, upper, nulls))
+    }
     /** V3 puffin deletion vector: blob location + the data file it covers.
       * `cardinality` = the entry's record_count (the spec stores the DV's
       * deleted-position count there) — the broadcast-sizing signal, since
@@ -285,7 +344,7 @@ object IcebergNative {
                 need("content_size_in_bytes").asInstanceOf[Long],
                 resolve(need("referenced_data_file").toString).toString,
                 opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L))
-            case 0 => dataFiles += ref
+            case 0 => dataFiles += ref.copy(stats = statsOf(df))
             case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
               val ids = opt(df, "equality_ids").orNull match {
@@ -347,10 +406,34 @@ object IcebergNative {
         toStruct(schemaNode, withFieldIds = true)
       } else schema
 
+    // Data scan through the manifest-backed FileIndex: per-file
+    // lower/upper bounds + null counts prune files at PLAN time against the
+    // pushed filters (the skipping Iceberg's own planner does), and
+    // sizeInBytes reports the manifests' true byte count. Iceberg data
+    // files are identity-complete (partition columns live in the files), so
+    // the partition schema is empty and pruning rides the stats.
+    def indexedScan(files: Seq[FileRef]): DataFrame = {
+      val entries = files.map { f =>
+        new LogFileIndex.IndexedFile(
+          f.path,
+          // manifests must carry accurate sizes (split planning trusts
+          // them); below the 12-byte parquet minimum → one driver stat
+          if (f.bytes >= 12) f.bytes
+          else fs.getFileStatus(new Path(f.path)).getLen,
+          0L, Map.empty, () => f.stats)
+      }
+      val index = new LogFileIndex(spark, rootPath, entries, StructType(Nil))
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, StructType(Nil), readSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      spark.baseRelationToDataFrame(relation)
+    }
+
     if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty)
-      spark.read.schema(readSchema).parquet(data.map(_.path): _*)
+      indexedScan(data)
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
       // work. Positional deletes anti-join on (file path, row position) via
@@ -369,7 +452,7 @@ object IcebergNative {
         if (bytes <= 64L * 1024 * 1024) broadcast(df) else df
 
       val seqLookup = data.map(f => (uriPath(f.path), f.seq)).toDF("__if", "__iseq")
-      var cur = spark.read.schema(readSchema).parquet(data.map(_.path): _*)
+      var cur = indexedScan(data)
         .withColumn("__if", norm(col("_metadata.file_path")))
         .withColumn("__ipos", col("_metadata.row_index"))
         .join(broadcast(seqLookup), Seq("__if"), "left")
@@ -519,6 +602,25 @@ object IcebergNative {
     }.toSeq)
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+
+  /** Iceberg single-value serialization (spec Appendix D: bounds are
+    * little-endian primitives, UTF-8 strings, big-endian unscaled decimals)
+    * → the LogFileIndex compare domain. Unknown or malformed bytes decode
+    * to None — that column simply never prunes. */
+  private[graft] def decodeBound(bytes: Array[Byte], typeText: String): Option[Any] = {
+    def le = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try typeText match {
+      case "int" | "date" if bytes.length == 4 => Some(le.getInt.toLong)
+      case "long" | "timestamp" | "timestamptz" if bytes.length == 8 => Some(le.getLong)
+      case "float" if bytes.length == 4 => Some(le.getFloat.toDouble)
+      case "double" if bytes.length == 8 => Some(le.getDouble)
+      case "string" => Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case "boolean" if bytes.length == 1 => Some(bytes(0) != 0)
+      case decimalRe(_, s) =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), s.toInt))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
   private val fixedRe = """fixed\[(\d+)\]""".r
 
   private def toSpark(t: JsonNode, withFieldIds: Boolean = false): DataType =

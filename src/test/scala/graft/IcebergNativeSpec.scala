@@ -101,7 +101,7 @@ class IcebergNativeSpec extends SparkSpec {
     df.put("file_path", filePath)
     df.put("file_format", format)
     df.put("record_count", 1L)
-    df.put("file_size_in_bytes", Long.box(1024L))
+    df.put("file_size_in_bytes", Long.box(partSizes.getOrElse(filePath, 1024L)))
     df.put("equality_ids",
       if (eqIds.isEmpty) null else eqIds.map(Int.box).asJava)
     val e = new GenericData.Record(eSchema)
@@ -133,8 +133,11 @@ class IcebergNativeSpec extends SparkSpec {
     dest.getParentFile.mkdirs()
     java.nio.file.Files.move(part.toPath, dest.toPath)
     tmp.listFiles().foreach(_.delete()); tmp.delete()
+    partSizes(sub) = dest.length()
     sub
   }
+  // manifests must declare TRUE sizes — split planning trusts them
+  private val partSizes = scala.collection.mutable.Map[String, Long]()
 
   private def writeMeta(root: File, body: String, version: Int = 1): Unit = {
     val md = new File(root, "metadata"); md.mkdirs()
