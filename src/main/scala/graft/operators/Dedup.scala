@@ -173,6 +173,96 @@ object Dedup {
         (inter.cast("double") / (size(col("tk_a")) + size(col("tk_b")) - inter)).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014). Each half-round is one
+    * hash shuffle on a node id plus an equi-join against the per-node
+    * neighborhood minimum — no neighbor list is ever materialized, so a
+    * hot node (a million-member boilerplate cluster at 100 TB) costs rows,
+    * not executor memory, and converges in O(log n) rounds to a star
+    * forest rooted at each component's minimum id.
+    *
+    * Returns (node, root) for every node that appears in a pair — roots
+    * included, mapped to themselves. Deterministic: component membership
+    * and the min-id root are algorithm-independent, which is what lets a
+    * recursive-CTE transitive closure act as the oracle.
+    */
+  def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // localCheckpoint (eager), NOT persist: each round must truncate the
+    // logical plan, or the lineage nests one whole round per iteration and
+    // planning itself blows the stack by ~round 8. Iterative graph
+    // algorithms on Spark require per-round lineage cuts; on a cluster
+    // with executor churn, swap for reliable checkpoint via
+    // spark.sparkContext.setCheckpointDir + .checkpoint().
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // fixed-point detection: (count, order-free xxhash XOR fold — overflow-
+    // free under ANSI, collision-safe because the edge set is distinct) —
+    // two cheap aggregates per round instead of an except() join
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = sig(edges)
+    var done = cur._1 == 0L
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      require(rounds <= 50, "components: no fixed point in 50 rounds (cycle in edge canon?)")
+      // large-star: every strictly-larger neighbor re-points at the
+      // neighborhood minimum. Edges stay canonical (u < v) throughout.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(lmins, "u")
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: orient each edge at its larger endpoint; all smaller
+      // neighbors (and the endpoint itself) re-point at the minimum.
+      val o = ls.select(col("v").as("u"), col("u").as("v"))
+      val smins = o.groupBy("u").agg(min("v").as("m"))
+      val next = o.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .union(smins.select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+        .localCheckpoint() // eager: materialized before the old blocks drop
+      val nsig = sig(next)
+      edges.unpersist()
+      edges = next
+      done = nsig == cur
+      cur = nsig
+    }
+    // the converged forest is a star per component, but min() keeps the
+    // mapping well-defined even on the (impossible-by-paper) multi-parent
+    // shape rather than silently duplicating nodes. The final checkpoint
+    // blocks stay alive — the returned frame reads them.
+    edges.select(col("v").as("node"), col("u").as("root"))
+      .union(edges.select(col("u").as("node"), col("u").as("root")))
+      .groupBy("node").agg(min("root").as("root"))
+  }
+
+  /** Near-dup cluster assignment over a whole corpus: every doc gets its
+    * component's min doc_id as cluster_id and a keeper flag (the cluster's
+    * canonical survivor — the full "dedup the corpus" step). Docs in no
+    * verified pair are their own singleton cluster. The component map only
+    * holds near-dup members — tiny next to the corpus — so AQE broadcasts
+    * the join; the corpus itself is never shuffled. */
+  def clusterAssign(docs: DataFrame, verifiedPairs: DataFrame, idCol: String): DataFrame = {
+    val comp = components(verifiedPairs).select(col("node").as(idCol), col("root"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("root"), col(idCol)).as("cluster_id"),
+        (coalesce(col("root"), col(idCol)) === col(idCol)).as("keeper"))
+  }
+
   /** 16-bit SimHash over the token stream (weighted by occurrence). Bits come
     * from the first 8 hex chars of md5(token); contribution is ±1 per bit per
     * occurrence; the final hash packs sign bits. Pure integer arithmetic —

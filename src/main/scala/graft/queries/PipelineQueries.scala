@@ -99,6 +99,43 @@ object PipelineQueries {
     Some(s"""${minhashCteFor(skewedSql, 100)}
       SELECT doc_a, doc_b FROM pairs"""))
 
+  // ---------------------------------------------------------------- d09
+  // The full "dedup the corpus" step: LSH candidates → Jaccard verify →
+  // CONNECTED COMPONENTS (near-dup is not transitive, clusters are) →
+  // every doc labeled with its cluster's min doc_id + a keeper flag.
+  // Spark side runs alternating large-star/small-star (O(log n) shuffle
+  // rounds, no neighbor lists); the oracle replays the same clusters as a
+  // recursive-CTE transitive closure — valid because min-id component
+  // labeling is algorithm-independent.
+  private val d09 = QueryDef(
+    "d09_dedup_cluster",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.candidatePairs(
+        Dedup.bandSignatures(Dedup.minhashWide(d, "text", "doc_id"), "doc_id"), "doc_id")
+        .persist()
+      val verified = Dedup.jaccardOnPairs(pairs, d, "text", "doc_id")
+        .filter(col("jaccard") >= 0.8)
+      Dedup.clusterAssign(d, verified, "doc_id")
+    },
+    Some(s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      shsets AS (SELECT doc_id, list_distinct(list(shingle)) AS dtk FROM sh GROUP BY doc_id),
+      jac AS (SELECT p.doc_a, p.doc_b
+              FROM pairs p JOIN shsets a ON p.doc_a = a.doc_id
+                           JOIN shsets b ON p.doc_b = b.doc_id
+              WHERE len(list_intersect(a.dtk, b.dtk))::DOUBLE
+                    / (len(a.dtk) + len(b.dtk) - len(list_intersect(a.dtk, b.dtk))) >= 0.8),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM jac
+                UNION SELECT doc_b, doc_a FROM jac),
+      reach(src, dst) AS (SELECT u, v FROM edges
+                          UNION
+                          SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+               FROM reach GROUP BY src)
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keeper
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""))
+
   // ---------------------------------------------------------------- d04
   private val d04 = QueryDef(
     "d04_simhash",
@@ -683,5 +720,5 @@ object PipelineQueries {
              ELSE 0.0 END AS max_abs_err
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06)
 }

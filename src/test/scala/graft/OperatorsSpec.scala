@@ -229,4 +229,38 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === Some(150L)) // purchase@200 ← click@150
     assert(out(4L) === None)       // purchase@50: no prior click
   }
+
+  test("components: chains, cycles, disjoint parts, singleton roots") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), isolated pair 20-21,
+    // self-loop 30-30 (dropped), duplicate + reversed edges
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 20L), (20L, 21L),
+      (30L, 30L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: long path converges (log-round contraction, not diameter)") {
+    import spark.implicits._
+    // a 200-node path — diameter 199; star contraction must close it well
+    // inside the 50-round guard
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200 && got.forall(_._2 === 0L))
+  }
+
+  test("clusterAssign: unpaired docs are singleton keepers") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val verified = Seq((1L, 3L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterAssign(docs, verified, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got === Seq((1L, 1L, true), (2L, 2L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 1L, false), (6L, 6L, true)))
+  }
 }
