@@ -34,6 +34,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** PII patterns as (name, regex, replacement-token). RE2-compatible (no
+    * backreferences/lookarounds) so DuckDB's regexp functions replay them
+    * exactly — that's what makes the scrub oracle-checkable. Toy breadth
+    * (email / IPv4 / NANP-ish phone), honestly labeled: production
+    * scrubbing needs a curated pattern battery + validation, but the
+    * ENGINE shape is the real design — count and redact are row-local
+    * codegen'd projections, so a 100 TB scrub costs exactly one scan,
+    * zero shuffle. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}", "<PHONE>"))
+
+  /** Per-pattern match counts over the ORIGINAL text (each independent —
+    * counts don't shift with redaction order). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (n, p, _) =>
+      s"n_$n" -> size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+    }
+
+  /** Redacted text: patterns applied in declaration order (email first, so
+    * an address's host octets never half-match as an IP afterwards). */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p, tok)) =>
+      regexp_replace(t, p, tok)
+    }
+
   /** Stopword vocabularies for the n-gram language-ID heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist"),

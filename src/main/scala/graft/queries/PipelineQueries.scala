@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -694,6 +694,70 @@ object PipelineQueries {
              CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_token_run
       FROM g LEFT JOIN mr ON mr.doc_id = g.doc_id"""))
 
+  // ---------------------------------------------------------------- t07
+  // PII scrub: per-pattern counts + redacted text, both hash-checked. The
+  // synthetic corpus carries no PII, so a deterministic injection (1 doc
+  // in 7 gains an email + IP + phone tail) makes the detector's hits —
+  // and the redaction — observable; both engines apply the same injection.
+  private val piiTail =
+    " reach me at jane.doe+spam@mail-example.org or 10.0.42.7 or call 415-555-2671"
+  private val t07 = QueryDef(
+    "t07_pii_scrub",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(piiTail)))
+          .otherwise(col("text")))
+      val counts = TextOps.piiCounts(col("text"))
+      d.select(Seq(col("doc_id")) ++ counts.map { case (n, c) => c.as(n) }
+        :+ TextOps.piiRedact(col("text")).as("text_clean"): _*)
+    },
+    Some {
+      val Seq((_, email, eTok), (_, ipv4, iTok), (_, phone, pTok)) = TextOps.piiPatterns
+      s"""
+      WITH p AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || '$piiTail' ELSE text END AS text
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '$email', '$eTok', 'g'), '$ipv4', '$iTok', 'g'), '$phone', '$pTok', 'g') AS text_clean
+      FROM p"""
+    })
+
+  // ---------------------------------------------------------------- t08
+  // Deterministic train/val/test split: md5-bucket assignment, stable
+  // across reruns and engines (Sampling.scala scaladoc). Membership is
+  // hash-checked row by row — not just the split sizes.
+  private val t08 = QueryDef(
+    "t08_split_assign",
+    (s, dir) => Sampling.splitAssign(docs(s, dir).select(col("doc_id")), "doc_id"),
+    Some("""
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- t09
+  // Stratified deterministic sampling over the events stream table:
+  // per-stratum keep rates ride as a projection (no join, no shuffle);
+  // unlisted strata drop. Exercises a second table + downsampling the
+  // over-represented classes, the classic training-mix rebalance.
+  private val t09 = QueryDef(
+    "t09_stratified_sample",
+    (s, dir) => Sampling.stratifiedSample(
+      Tables.load(s, dir, "events").select(col("event_id"), col("event_type")),
+      "event_id", "event_type",
+      Map("click" -> 10, "view" -> 3, "purchase" -> 100)),
+    Some("""
+      SELECT event_id, event_type FROM events
+      WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT % 100 <
+            CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 3
+                            WHEN 'purchase' THEN 100 ELSE -1 END"""))
+
   // ---------------------------------------------------------------- s06
   // int8 scalar quantization of the embedding column: scale, code checksum
   // and max reconstruction error all replayed in SQL — the oracle checks
@@ -720,5 +784,5 @@ object PipelineQueries {
              ELSE 0.0 END AS max_abs_err
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 class OperatorsSpec extends SparkSpec {
@@ -252,6 +252,44 @@ class OperatorsSpec extends SparkSpec {
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = Dedup.components(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 200 && got.forall(_._2 === 0L))
+  }
+
+  test("pii: counts and redaction hit emails, ips, phones; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c_d%x+tag@sub.example.co.uk and 192.168.0.1 then +1 415-555-0000 ok"),
+      (2L, "no pii here, just v1.2 and x@y (not an address)"),
+      (3L, "two mails: a@b.io b@c.org; ip 8.8.8.8")).toDF("doc_id", "text")
+    val counts = TextOps.piiCounts(col("text"))
+    val got = df.select(Seq(col("doc_id")) ++ counts.map { case (n, c) => c.as(n) }
+      :+ TextOps.piiRedact(col("text")).as("clean"): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(1L)._4 === "mail <EMAIL> and <IP> then +1 <PHONE> ok")
+    assert(got(2L) === ((0L, 0L, 0L, "no pii here, just v1.2 and x@y (not an address)")))
+    assert(got(3L)._1 === 2L && got(3L)._2 === 1L)
+  }
+
+  test("sampling: split is deterministic, exhaustive, and ~80/10/10") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    val a = Sampling.splitAssign(ids, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = Sampling.splitAssign(ids, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.sortBy(_._1) === b.sortBy(_._1)) // rerun-stable
+    val byS = a.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byS.values.sum === 2000)
+    assert(byS("train") > 1400 && byS("train") < 1800)
+    assert(byS("val") > 100 && byS("val") < 300)
+    assert(a.forall { case (_, b2, s) =>
+      (b2 < 80) == (s == "train") && (b2 >= 90) == (s == "test") })
+    // stratified: unlisted strata drop; 100% stratum keeps everything
+    val ev = (1L to 100L).map(i => (i, if (i % 2 == 0) "keep" else "other"))
+      .toDF("event_id", "event_type")
+    val kept = Sampling.stratifiedSample(ev, "event_id", "event_type",
+      Map("keep" -> 100)).collect()
+    assert(kept.length === 50 && kept.forall(_.getString(1) == "keep"))
   }
 
   test("clusterAssign: unpaired docs are singleton keepers") {
