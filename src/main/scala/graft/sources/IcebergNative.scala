@@ -42,10 +42,14 @@ import org.apache.spark.sql.types._
   * IcebergBucketExpr). V3 PUFFIN DELETION VECTORS apply too: the manifest's
   * content_offset/content_size locate the blob, executors decode the
   * Delta-compatible roaring bitmap (DeletionVectors), and dead positions
-  * anti-join the scan keyed by the referenced data file. NOT supported —
+  * anti-join the scan keyed by the referenced data file. NESTED-FIELD
+  * equality deletes resolve ids through struct paths (a.b.c) with the
+  * spec's projected-table-schema delete-file layout; `time` columns read
+  * as their exact micros-of-day longs and surface as TimestampNTZ on the
+  * epoch date (Spark has no file-source TIME support). NOT supported —
   * rejected loudly, never misread: other non-parquet files, DV entries
-  * missing their blob locator fields, nested-field equality deletes,
-  * `time`-typed columns (no Spark analogue).
+  * missing their blob locator fields, equality deletes on ids inside
+  * list/map element types, `time` nested inside a struct.
   */
 object IcebergNative {
 
@@ -97,7 +101,7 @@ object IcebergNative {
           .find(_.path("schema-id").asInt(-1) == cur)
           .getOrElse(throw IcebergReadException(s"current-schema-id $cur not found in schemas"))
       } else meta.path("schema")
-    val schema = toStruct(schemaNode)
+    val schema = toStruct(schemaNode, timeAsLong = true)
 
     // --- snapshot → live parquet files (TIME TRAVEL: `snapshot_id` pins
     // any snapshot the metadata still lists; `as_of_timestamp` resolves an
@@ -130,8 +134,13 @@ object IcebergNative {
       }
     })
     val snapId = requested.getOrElse(meta.path("current-snapshot-id").asLong(-1L))
-    if (snapId == -1L) // an empty table has no snapshot yet
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (snapId == -1L) // an empty table has no snapshot yet (time cols
+      // still surface as TimestampNTZ — same schema as a populated read)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.map(f =>
+          if (f.metadata.contains(TimeMarker))
+            f.copy(dataType = TimestampNTZType, metadata = Metadata.empty)
+          else f)))
     val snapshot = meta.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapId)
       .getOrElse {
@@ -177,6 +186,21 @@ object IcebergNative {
     // an unknown name rejects loudly below, never misapplies a delete.
     val idToName: Map[Int, String] = schemaNode.path("fields").elements().asScala
       .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+
+    // field id → access path, descending into STRUCT nesting (a.b.c). Ids
+    // inside list/map element types are deliberately absent: an equality
+    // delete can't address a repeated element row-wise, so those reject.
+    val idToPath: Map[Int, Seq[String]] = {
+      def walk(node: JsonNode, prefix: Seq[String]): Seq[(Int, Seq[String])] =
+        node.path("fields").elements().asScala.toSeq.flatMap { f =>
+          val p = prefix :+ f.path("name").asText()
+          val self = f.path("id").asInt() -> p
+          val t = f.path("type")
+          if (!t.isTextual && t.path("type").asText() == "struct") self +: walk(t, p)
+          else Seq(self)
+        }
+      walk(schemaNode, Nil).toMap
+    }
     val specFields: Map[String, (String, Option[String])] = {
       val specs =
         if (meta.has("partition-specs")) meta.path("partition-specs").elements().asScala.toSeq
@@ -403,7 +427,7 @@ object IcebergNative {
             s"`$root`: this table's files resolve by parquet field id, which needs " +
               "spark.sql.parquet.fieldId.read.enabled=true on the session " +
               "(graft.engine.Engine.configure sets it); set it and re-read")
-        toStruct(schemaNode, withFieldIds = true)
+        toStruct(schemaNode, withFieldIds = true, timeAsLong = true)
       } else schema
 
     // Data scan through the manifest-backed FileIndex: per-file
@@ -430,7 +454,31 @@ object IcebergNative {
       spark.baseRelationToDataFrame(relation)
     }
 
-    if (data.isEmpty)
+    // `time` columns surface as TimestampNTZ on the epoch date (the SURVEY
+    // §7 mapping): pure integer decomposition of the micros-of-day long —
+    // no session-timezone dependence anywhere. Runs ABOVE deletes/scoping,
+    // which all operate on the exact underlying long.
+    val timeCols = schema.fields.collect {
+      case f if f.metadata.contains(TimeMarker) => f.name
+    }.toSet
+    def surfaceTimes(df: DataFrame): DataFrame =
+      if (timeCols.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.{call_function, col, lit}
+        df.select(schema.fieldNames.map { n =>
+          if (!timeCols.contains(n)) col(n)
+          else {
+            val c = col(n)
+            call_function("make_timestamp_ntz",
+              lit(1970), lit(1), lit(1),
+              (c / 3600000000L).cast("int"),
+              (c % 3600000000L / 60000000L).cast("int"),
+              (c % 60000000L).cast("double") / 1e6).as(n)
+          }
+        }.toSeq: _*)
+      }
+
+    surfaceTimes(if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty)
       indexedScan(data)
@@ -554,10 +602,34 @@ object IcebergNative {
       // equality deletes group by (equality_ids set, partition scope) — one
       // anti-join per distinct combination; null-safe equality (a null
       // deletes a null), scope fields as extra predicates on the data side
+      // Prune a schema to the referenced paths: partially-referenced structs
+      // keep only the referenced subfields (the spec's projected-table-schema
+      // layout for equality delete files); a path ending AT a struct keeps
+      // the whole struct (whole-struct equality). Delete columns are always
+      // nullable — a null deletes a null.
+      def pruneTo(st: StructType, paths: Seq[Seq[String]]): StructType = {
+        val byHead = paths.filter(_.nonEmpty).groupBy(_.head)
+        StructType(st.fields.flatMap { f =>
+          byHead.get(f.name).map { ps =>
+            val rest = ps.map(_.tail).filter(_.nonEmpty)
+            val dt = f.dataType match {
+              case s: StructType if rest.nonEmpty && rest.size == ps.size =>
+                pruneTo(s, rest)
+              case other => other
+            }
+            StructField(f.name, dt, nullable = true, metadata = f.metadata)
+          }
+        })
+      }
+      lazy val fullIdSchema = toStruct(schemaNode, withFieldIds = true, timeAsLong = true)
       eqs.groupBy(g => (g._2, g._3)).foreach { case ((ids, scope), group) =>
-        val names = ids.map(id => idToName.getOrElse(id, throw IcebergReadException(
-          s"equality delete references field id $id outside the table's top-level " +
-            "schema (nested equality deletes need an iceberg connector jar)")))
+        // ids resolve to access paths — top-level columns or struct
+        // subfields (a.b.c). Ids inside list/map element types stay
+        // unaddressable and reject loudly.
+        val paths = ids.map(id => idToPath.getOrElse(id, throw IcebergReadException(
+          s"equality delete references field id $id that is neither a column nor " +
+            "a struct subfield of the table schema (ids inside list/map element " +
+            "types cannot be equality-deleted; use an iceberg connector jar)")))
         val eLookup = group.map { case (f, _, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
         // delete-file columns resolve by field id too when the files carry
         // ids (a renamed table's older delete files store the OLD names);
@@ -565,40 +637,54 @@ object IcebergNative {
         // samples the whole group — one id-less import among id-carrying
         // files would otherwise resolve to silent nulls
         val delHasIds = sampledIdProbe(group.map(_._1.path), "equality-delete files")
-        val delSchema = StructType(names.zip(ids).map { case (n, id) =>
-          val meta =
-            if (delHasIds)
-              new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
-            else Metadata.empty
-          StructField(n, schema(n).dataType, nullable = true, metadata = meta)
-        })
-        val del = spark.read.schema(delSchema).parquet(group.map(_._1.path): _*)
+        val delSchema = pruneTo(if (delHasIds) fullIdSchema else schema, paths)
+        val aliases = paths.indices.map(i => s"__eq_$i")
+        def pathCol(root: org.apache.spark.sql.Column, p: Seq[String]) =
+          p.tail.foldLeft(root)(_.getField(_))
+        val delRead = spark.read.schema(delSchema).parquet(group.map(_._1.path): _*)
+        val del = delRead
           .withColumn("__ef", norm(col("_metadata.file_path")))
           .join(broadcast(eLookup), Seq("__ef"), "left")
-          .select(names.map(n => col(n).as(s"__eq_$n")) :+ col("__dseq"): _*)
+          .select(paths.zip(aliases).map { case (p, a) =>
+            pathCol(delRead(p.head), p).as(a)
+          } :+ col("__dseq"): _*)
         val delB = capped(del, group.map(_._1.bytes).sum)
         val scopeCond = scope.map(sf => scopePredicate(cur, sf))
-        val cond = (names.map(n => cur(n) <=> delB(s"__eq_$n")) ++ scopeCond)
-          .reduce(_ && _) && cur("__iseq") < delB("__dseq")
+        val cond = (paths.zip(aliases).map { case (p, a) =>
+          pathCol(cur(p.head), p) <=> delB(a)
+        } ++ scopeCond).reduce(_ && _) && cur("__iseq") < delB("__dseq")
         cur = cur.join(delB, cond, "left_anti")
       }
       cur.select(schema.fieldNames.map(col).toSeq: _*)
-    }
+    })
   }
 
   /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map).
     * With `withFieldIds`, every field carries `parquet.field.id` metadata so
     * Spark's parquet reader resolves columns by FIELD ID instead of name —
     * the Iceberg spec's resolution rule, which survives column renames
-    * (a name-based read of a renamed column silently returns nulls). */
-  private[graft] def toStruct(node: JsonNode, withFieldIds: Boolean = false): StructType =
+    * (a name-based read of a renamed column silently returns nulls).
+    *
+    * With `timeAsLong`, TOP-LEVEL `time` columns map to LongType (Spark's
+    * parquet reader decodes an INT64 TIME(MICROS) column as a plain long
+    * when the requested type is long — Spark 4.1's TimeType is still
+    * blocked at the datasource layer) plus a marker the read path uses to
+    * surface the column as TimestampNTZ-on-epoch-date; deletes, bounds and
+    * partition scoping all run on the exact micros-of-day long underneath.
+    * `time` NESTED inside struct/list/map still rejects loudly. */
+  private[graft] val TimeMarker = "graft.iceberg.time"
+  private[graft] def toStruct(node: JsonNode, withFieldIds: Boolean = false,
+      timeAsLong: Boolean = false): StructType =
     StructType(node.path("fields").elements().asScala.map { f =>
-      val meta =
-        if (withFieldIds && f.has("id"))
-          new MetadataBuilder().putLong("parquet.field.id", f.path("id").asLong()).build()
-        else Metadata.empty
-      StructField(f.path("name").asText(), toSpark(f.path("type"), withFieldIds),
-        nullable = !f.path("required").asBoolean(false), metadata = meta)
+      val mb = new MetadataBuilder()
+      if (withFieldIds && f.has("id"))
+        mb.putLong("parquet.field.id", f.path("id").asLong())
+      val isTime = timeAsLong && f.path("type").isTextual &&
+        f.path("type").asText() == "time"
+      if (isTime) mb.putBoolean(TimeMarker, true)
+      val dt = if (isTime) LongType else toSpark(f.path("type"), withFieldIds)
+      StructField(f.path("name").asText(), dt,
+        nullable = !f.path("required").asBoolean(false), metadata = mb.build())
     }.toSeq)
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r
@@ -611,7 +697,7 @@ object IcebergNative {
     def le = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     try typeText match {
       case "int" | "date" if bytes.length == 4 => Some(le.getInt.toLong)
-      case "long" | "timestamp" | "timestamptz" if bytes.length == 8 => Some(le.getLong)
+      case "long" | "timestamp" | "timestamptz" | "time" if bytes.length == 8 => Some(le.getLong)
       case "float" if bytes.length == 4 => Some(le.getFloat.toDouble)
       case "double" if bytes.length == 8 => Some(le.getDouble)
       case "string" => Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))

@@ -10,6 +10,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 
 import graft.catalog.Catalog
 import graft.sources.IcebergNative
+import org.apache.spark.sql.functions.{col, struct}
 
 /** Native Iceberg reader against hand-built tables: manifests are written
   * with the stock Avro library and metadata.json by hand, per the public
@@ -236,6 +237,106 @@ class IcebergNativeSpec extends SparkSpec {
     writeMeta(root, v2Meta(root))
     val df = IcebergNative.read(spark, root.getPath, Map.empty)
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("nested-field equality deletes match struct subfields by id path") {
+    val root = tempDir("ice_eqnested")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"info","required":false,"type":{"type":"struct","fields":[
+          {"id":3,"name":"city","required":false,"type":"string"},
+          {"id":4,"name":"zip","required":false,"type":"int"}]}}]}"""
+    val data = Seq(
+      (1L, Some(("paris", 75)), "keep? no — city matches"),
+      (2L, Some(("lyon", 69)), "keep"),
+      (3L, Some((null.asInstanceOf[String], 0)), "keep — city null vs 'paris'"),
+      (4L, None, "keep — whole struct null")).map { case (id, info, _) =>
+      (id, info.map { case (c, z) => (c, z) })
+    }.toDF("id", "info")
+      .select(col("id"), col("info").cast("struct<city:string,zip:int>"))
+    val fA = writePart(root, "data/a.parquet", data)
+    // delete file stores the spec's projected-table-schema layout: a
+    // struct `info` holding ONLY `city` (equality id 3)
+    val del = writePart(root, "data/eq_nested.parquet",
+      Seq("paris").toDF("city").select(struct(col("city")).as("info")))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("equality delete on an id inside a list element still rejects loudly") {
+    val root = tempDir("ice_eqlist")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"tags","required":false,"type":{"type":"list",
+          "element-id":3,"element":"string","element-required":false}}]}"""
+    val fA = writePart(root, "data/a.parquet",
+      Seq((1L, Seq("x"))).toDF("id", "tags"))
+    val del = writePart(root, "data/eq.parquet", Seq("x").toDF("tag"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, schemaJson = schemaJson))
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath, Map.empty).collect()
+    }
+    assert(e.getMessage.contains("field id 3"))
+  }
+
+  test("time columns read as exact micros and surface as TimestampNTZ on epoch date") {
+    val root = tempDir("ice_time")
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    // hand-written INT64 TIME(MICROS) column — what an Iceberg writer emits
+    val msg: MessageType = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("id")
+      .optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timeType(false, TimeUnit.MICROS)).named("t")
+      .named("r")
+    val dataDir = new File(root, "data"); dataDir.mkdirs()
+    val pqPath = new org.apache.hadoop.fs.Path(
+      new File(dataDir, "a.parquet").getPath)
+    val w = ExampleParquetWriter.builder(pqPath).withType(msg).build()
+    val gf = new SimpleGroupFactory(msg)
+    val micros = (12L * 3600 + 34 * 60 + 56) * 1000000L + 123456L // 12:34:56.123456
+    try {
+      w.write(gf.newGroup().append("id", 1L).append("t", micros))
+      w.write(gf.newGroup().append("id", 2L)) // null time
+    } finally w.close()
+    partSizes("data/a.parquet") = new File(dataDir, "a.parquet").length()
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"t","required":false,"type":"time"}]}"""
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, "data/a.parquet", seq = Some(1L))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(1L))))
+    writeMeta(root, v2Meta(root, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.schema("t").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(0).getAs[java.time.LocalDateTime]("t") ===
+      java.time.LocalDateTime.of(1970, 1, 1, 12, 34, 56, 123456000))
+    assert(rows(1).isNullAt(1))
   }
 
   test("partition-scoped equality deletes stay inside their partition") {
