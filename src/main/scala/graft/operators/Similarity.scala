@@ -427,6 +427,185 @@ object Similarity {
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Squared L2 distance as three sequential-fold dots with fixed
+    * association ((a·a − 2·a·b) + b·b) — replays bit-identically in SQL. */
+  private def l2sqCols(a: Column, b: Column): Column =
+    call_function("vec_dot", a, a) - lit(2.0) * call_function("vec_dot", a, b) +
+      call_function("vec_dot", b, b)
+
+  private def subCol(vecCol: String, s: Int, subDim: Int): Column =
+    expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)")
+
+  private def pqDistCols(sv: Column, cb: Seq[(Long, Array[Double])]): Seq[Column] =
+    cb.map { case (code, c) => l2sqCols(sv, typedLit(c.toSeq)).as(s"__d$code") }
+
+  /** Argmin over the literal code distances, ties to the smaller code id
+    * (first-equal CASE scan in code order ≡ (dist ASC, code) row_number). */
+  private def pqArgmin(cb: Seq[(Long, Array[Double])]): Column = {
+    val dists = cb.map { case (code, _) => col(s"__d$code") }
+    val mn = least(dists: _*)
+    cb.map { case (code, _) => (col(s"__d$code") === mn, lit(code)) }
+      .foldRight(lit(null).cast("long")) { case ((cond, v), acc) =>
+        when(cond, v).otherwise(acc)
+      }
+  }
+
+  /** PRODUCT-QUANTIZATION codebooks — the ANN memory lever at 100 TB: an
+    * n-dim float vector (4n bytes) compresses to m one-byte codes, so a
+    * trillion-vector candidate set rides RAM and shuffle at 4n/m×
+    * compression and query scoring touches a k×m literal table instead of
+    * the vectors. Deterministic end to end, same contract as kmeansModel:
+    * md5-ordered seed vectors (shared across subspaces), L2-argmin
+    * assignment with ties to the smaller code, exact decimal-mean updates
+    * (a code that loses every member drops out) — training, encoding and
+    * ADC search all replay in DuckDB (s07's oracle), so the hash gate
+    * checks the QUANTIZER, not just shapes. Training is m×iters bounded
+    * aggregations over subvector projections of the corpus (k×subDim
+    * doubles return to the driver each) — the vectors themselves never
+    * shuffle. */
+  def pqModel(candidates: DataFrame, m: Int, kCodes: Int, iters: Int,
+      dim: Int): Seq[Seq[(Long, Array[Double])]] = {
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val seeds = candidates
+      .withColumn("hkey", md5(col("vec_id").cast("string")))
+      .orderBy(col("hkey"), col("vec_id")) // TakeOrdered: distributed top-k
+      .limit(kCodes)
+      .select(col("hkey"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect()
+      .sortBy(r => (r.getString(0), r.getLong(1)))
+      .map(_.getSeq[Double](2).toArray)
+    (0 until m).map { s =>
+      var cb: Seq[(Long, Array[Double])] = seeds.zipWithIndex
+        .map { case (v, i) => i.toLong -> v.slice(s * subDim, s * subDim + subDim) }
+        .toSeq
+      val sub = candidates.select(subCol("embedding", s, subDim).as("sv"))
+      (1 to iters).foreach { _ =>
+        cb = sub
+          .select(col("sv") +: pqDistCols(col("sv"), cb): _*)
+          .select(col("sv"), pqArgmin(cb).as("code"))
+          .groupBy(col("code"))
+          .agg(call_function("vec_decimal_mean", col("sv")).as("centroid"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .sortBy(_._1).toSeq
+      }
+      cb
+    }
+  }
+
+  /** Encode the corpus: (vec_id, code_0..code_{m-1}) as a pure projection —
+    * zero shuffle; this m-byte row IS what an index at 100 TB stores. */
+  def pqEncode(candidates: DataFrame, model: Seq[Seq[(Long, Array[Double])]],
+      dim: Int): DataFrame = {
+    val m = model.length
+    val subDim = dim / m
+    var df = candidates
+    model.zipWithIndex.foreach { case (cb, s) =>
+      df = df
+        .select(df.columns.map(col).toSeq ++ pqDistCols(subCol("embedding", s, subDim), cb): _*)
+        .withColumn(s"code_$s", pqArgmin(cb))
+        .drop(cb.map { case (c, _) => s"__d$c" }: _*)
+    }
+    df.select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+  }
+
+  /** PQ ANN search via asymmetric distance computation: each (query,
+    * candidate) pair costs a CASE lookup per subspace against the literal
+    * codebook — the candidate's floats are never touched after encoding.
+    * Output ranks ascend by approximate squared-L2 distance, ties to the
+    * smaller vec_id; the two-phase top-k keeps the straggler-free shape. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 8, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val dim = candidates.select(size(col("embedding"))).head().getInt(0)
+    val subDim = dim / m
+    val model = pqModel(candidates, m, kCodes, iters, dim)
+    val coded = pqEncode(candidates, model, dim)
+    val adc = (0 until m).map { s =>
+      val q = subCol("q_vec", s, subDim)
+      model(s).foldRight(lit(null).cast("double")) { case ((code, c), acc) =>
+        when(col(s"code_$s") === code, l2sqCols(q, typedLit(c.toSeq))).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+    val scored = coded.crossJoin(broadcast(queries)).withColumn("adc_dist", adc)
+    val local = Window.partitionBy(col("q_id"), col("__part"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc_dist"))
+  }
+
+  /** DuckDB rendering of the full PQ chain (oracle side): per-subspace
+    * k-means unrolls like ivfLearnedSql, encoding joins the final
+    * codebooks, and the ADC sum folds in subspace order (list_reduce over
+    * `list(d ORDER BY s)` ≡ the engine's left-assoc Σ). Expects relations
+    * `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
+  def pqSql(k: Int, m: Int = 8, kCodes: Int = 8, iters: Int = 2,
+      dim: Int = 64): String = {
+    val subDim = dim / m
+    def d(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, len($x)), i -> $x[i]::DOUBLE * $y[i]::DOUBLE), (acc, v) -> acc + v)"
+    def l2(x: String, y: String) = s"(${d(x, x)} - 2 * ${d(x, y)} + ${d(y, y)})"
+    def slice(rel: String, s: String) = s"$rel[($s * $subDim + 1):(($s + 1) * $subDim)]"
+    val seed = s"""
+      seedpick AS (SELECT vec_id, cv, md5(vec_id::VARCHAR) AS hkey FROM c
+                   ORDER BY hkey, vec_id LIMIT $kCodes),
+      seeds AS (SELECT CAST(row_number() OVER (ORDER BY hkey, vec_id) - 1 AS BIGINT) AS code,
+                       list_transform(cv, x -> x::DOUBLE) AS v
+                FROM seedpick)"""
+    val perSub = (0 until m).map { s =>
+      val lo = s * subDim
+      val sub = s"""
+      sub_$s AS (SELECT vec_id, ${slice("cv", s.toString)} AS sv FROM c),
+      cb_${s}_0 AS (SELECT code, v[${lo + 1}:${lo + subDim}] AS centroid FROM seeds)"""
+      val steps = (1 to iters).map { t =>
+        val prev = s"cb_${s}_${t - 1}"
+        s"""
+      asg_${s}_$t AS (SELECT sv, code FROM (
+                 SELECT b.sv, p.code,
+                        row_number() OVER (PARTITION BY b.vec_id
+                          ORDER BY ${l2("b.sv", "p.centroid")} ASC, p.code) AS ar
+                 FROM sub_$s b, $prev p) x WHERE ar = 1),
+      ux_${s}_$t AS (SELECT code, sv, unnest(generate_series(1, len(sv))) AS pos FROM asg_${s}_$t),
+      ps_${s}_$t AS (SELECT code, pos, sum(sv[pos]::DOUBLE::DECIMAL(38,12)) AS sum_v, count(*) AS n
+               FROM ux_${s}_$t GROUP BY code, pos),
+      cb_${s}_$t AS (SELECT code, list(sum_v::DOUBLE / n ORDER BY pos) AS centroid
+                  FROM ps_${s}_$t GROUP BY code)"""
+      }.mkString(",")
+      val enc = s"""
+      codes_$s AS (SELECT vec_id, CAST($s AS BIGINT) AS s, code FROM (
+                 SELECT b.vec_id, p.code,
+                        row_number() OVER (PARTITION BY b.vec_id
+                          ORDER BY ${l2("b.sv", "p.centroid")} ASC, p.code) AS ar
+                 FROM sub_$s b, cb_${s}_$iters p) x WHERE ar = 1)"""
+      s"$sub,$steps,$enc"
+    }.mkString(",")
+    val cents = (0 until m)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS s, code, centroid FROM cb_${s}_$iters")
+      .mkString(" UNION ALL ")
+    val codes = (0 until m).map(s => s"SELECT * FROM codes_$s").mkString(" UNION ALL ")
+    s"""$seed,$perSub,
+      cents AS ($cents),
+      codes AS ($codes),
+      dists AS (SELECT q.q_id, kd.vec_id, kd.s,
+                       ${l2(slice("q.qv", "kd.s"), "ct.centroid")} AS dd
+                FROM q, codes kd JOIN cents ct ON ct.s = kd.s AND ct.code = kd.code),
+      adc AS (SELECT q_id, vec_id,
+                     list_reduce(list(dd ORDER BY s), (acc, v) -> acc + v) AS adc_dist
+              FROM dists GROUP BY q_id, vec_id),
+      ranked AS (SELECT q_id, vec_id,
+                        CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY adc_dist ASC, vec_id) AS BIGINT) AS rank, adc_dist
+                 FROM adc)
+      SELECT q_id, vec_id, rank, adc_dist FROM ranked WHERE rank <= $k"""
+  }
+
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever an
     * embedding store pulls first at 100 TB (4 B→1 B per dimension before
     * any indexing). Symmetric max-abs scheme: scale = max |x_i|, code =

@@ -758,6 +758,24 @@ object PipelineQueries {
             CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 3
                             WHEN 'purchase' THEN 100 ELSE -1 END"""))
 
+  // ---------------------------------------------------------------- s07
+  // Product quantization with ADC search: per-subspace seeded L2 k-means
+  // codebooks, m-byte encoding, and the asymmetric-distance top-k, all
+  // replayed in SQL -- the oracle hash-checks the whole quantizer.
+  private val s07 = QueryDef(
+    "s07_ann_pq_adc",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.pqTopK(queries, candidates, 10)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.pqSql(10)}"""))
+
   // ---------------------------------------------------------------- s06
   // int8 scalar quantization of the embedding column: scale, code checksum
   // and max reconstruction error all replayed in SQL — the oracle checks
@@ -784,5 +802,5 @@ object PipelineQueries {
              ELSE 0.0 END AS max_abs_err
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

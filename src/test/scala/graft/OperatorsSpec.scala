@@ -254,6 +254,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length === 200 && got.forall(_._2 === 0L))
   }
 
+  test("pq: codes bounded+deterministic; self-queries rank first; recall beats random") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val candidates = emb.filter(col("vec_id") >= 3)
+    val dim = candidates.select(size(col("embedding"))).head().getInt(0)
+    val model = Similarity.pqModel(candidates, m = 8, kCodes = 8, iters = 2, dim = dim)
+    assert(model.length === 8 && model.forall(_.forall(_._2.length == dim / 8)))
+    val coded = Similarity.pqEncode(candidates, model, dim).collect()
+    assert(coded.forall(r => (1 to 8).forall(i => r.getLong(i) >= 0 && r.getLong(i) < 8)))
+    val a = Similarity.pqTopK(queries, candidates, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.pqTopK(queries, candidates, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq) // deterministic
+    assert(a.length === 30)
+    // machinery proof: querying a candidate's OWN vector must rank that
+    // candidate #1 (its ADC distance is pure quantization error)
+    val selfQ = emb.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top1 = Similarity.pqTopK(selfQ, candidates, 3).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(100L -> 100L, 200L -> 200L, 300L -> 300L))
+    // recall context: the synthetic corpus is near-isotropic (pairwise L2
+    // distances concentrate), so ANY quantizer's neighbor recall is
+    // modest here — demand well above the ~2% random-overlap baseline
+    // against the exact L2 top-10, not a tuned-corpus number.
+    val l2 = expr("vec_dot(embedding, embedding) - 2.0 * vec_dot(q_vec, embedding)" +
+      " + vec_dot(q_vec, q_vec)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("vec_id"))
+    val exact = candidates.crossJoin(broadcast(queries)).withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & a.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.1, s"ADC recall $recall vs exact L2 top-10")
+  }
+
   test("pii: counts and redaction hit emails, ips, phones; clean text untouched") {
     import spark.implicits._
     val df = Seq(
