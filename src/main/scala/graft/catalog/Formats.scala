@@ -62,7 +62,7 @@ object Formats {
   // history — beyond the reference's latest-snapshot-only scans, standard
   // lakehouse surface
   def delta: FormatSpec = FormatSpec("delta",
-    commonOptions ++ Set("version_as_of", "timestamp_as_of"), Set("files"))
+    commonOptions ++ Set("version_as_of", "timestamp_as_of", "changes_since"), Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",

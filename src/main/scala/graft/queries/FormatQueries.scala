@@ -838,6 +838,24 @@ object FormatQueries {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer"""))
 
+  // ---------------------------------------------------------------- l08
+  // Delta INCREMENTAL read: changes_since=0 over the two-commit customer
+  // table returns only commit 1's files — the odd-key positive-balance
+  // re-add — i.e. "what landed after version 0", the poll an incremental
+  // ingestion pipeline runs. Exceeds the reference surface (DuckDB
+  // delta_scan is latest-full-snapshot only, src/duckdb/delta.rs:41-61).
+  private val l08 = QueryDef(
+    "l08_delta_incremental",
+    (s, dir) => {
+      val path = customerDelta(s, dir)
+      Catalog.attach(s, "l08_customer_delta_changes", "delta",
+        Map("files" -> path, "changes_since" -> "0"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal > 0"""))
+
   // ---------------------------------------------------------------- l07
   // Iceberg TIMESTAMP time travel via the metadata snapshot-log: pinning
   // an instant between the two logged snapshots resolves to snapshot 1 —
@@ -908,6 +926,6 @@ object FormatQueries {
       FROM nation GROUP BY n_regionkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, w01,
-      f01)
+    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
+      w01, f01)
 }

@@ -61,7 +61,8 @@ object DeltaNative {
     * writer's per-file statistics JSON, fuel for planning-time skipping. */
   private final case class AddEntry(partitionValues: Map[String, String],
       dv: Option[DeletionVectors.Descriptor], size: Long = 0L,
-      modificationTime: Long = 0L, stats: Option[String] = None)
+      modificationTime: Long = 0L, stats: Option[String] = None,
+      addVersion: Long = 0L)
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val rootPath = new Path(root)
@@ -101,12 +102,14 @@ object DeltaNative {
     def partValuesJson(a: JsonNode): Map[String, String] =
       a.path("partitionValues").fields().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-    def addEntryJson(a: JsonNode, dv: Option[DeletionVectors.Descriptor]): AddEntry =
+    def addEntryJson(a: JsonNode, dv: Option[DeletionVectors.Descriptor],
+        version: Long): AddEntry =
       AddEntry(partValuesJson(a), dv,
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
         Option(a.path("stats")).filter(n => n.isTextual && n.asText().nonEmpty)
-          .map(_.asText()))
+          .map(_.asText()),
+        addVersion = version)
     def dvJson(a: JsonNode): Option[DeletionVectors.Descriptor] = {
       val d = a.path("deletionVector")
       if (d.isMissingNode || d.isNull) None
@@ -149,6 +152,20 @@ object DeltaNative {
     }
     if (versionPin.isDefined && tsPin.isDefined) throw DeltaReadException(
       "version_as_of and timestamp_as_of are mutually exclusive; pass one")
+    // INCREMENTAL READ: `changes_since = N` keeps only rows from files
+    // committed AFTER version N that are still live at the read's end
+    // version (current, or the time-travel pin) — the add-file diff an
+    // incremental ingestion pipeline polls for. Granularity is the log's
+    // own dataChange unit (whole files): an update/merge surfaces as its
+    // rewritten files, not row-level CDC.
+    val changesSince: Option[Long] = options.get("changes_since").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException =>
+          throw DeltaReadException(s"changes_since `$v` is not a number")
+      }
+      if (n < 0) throw DeltaReadException(s"changes_since $n is negative")
+      n
+    }
     def commitTimestamp(st: org.apache.hadoop.fs.FileStatus): Long = {
       val in = fs.open(st.getPath)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -187,7 +204,7 @@ object DeltaNative {
       * typed Rows, no per-entry JSON text. A checkpoint's remove entries
       * are expired tombstones kept for vacuum, not live deletes. Returns
       * any `sidecar` action paths (V2 manifests only). */
-    def ingestCheckpointFrame(cp: DataFrame): Seq[String] = {
+    def ingestCheckpointFrame(cp: DataFrame, cpVersion: Long): Seq[String] = {
       val topFields = cp.schema.fieldNames.toSet
       def structFields(c: String): Set[String] =
         cp.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSet
@@ -242,7 +259,8 @@ object DeltaNative {
           adds((r.getString(0), dvKey(dv))) = AddEntry(pv, dv,
             at("sz").map(r.getLong).getOrElse(0L),
             at("mt").map(r.getLong).getOrElse(0L),
-            at("st").map(r.getString).filter(_.nonEmpty))
+            at("st").map(r.getString).filter(_.nonEmpty),
+            addVersion = cpVersion)
         }
       }
       if (topFields.contains("sidecar"))
@@ -295,7 +313,7 @@ object DeltaNative {
             if (node.has("add")) {
               val a = node.path("add")
               val dv = dvJson(a)
-              adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv)
+              adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv, version)
             }
             if (node.has("sidecar")) Some(node.path("sidecar").path("path").asText()) else None
           }
@@ -303,10 +321,10 @@ object DeltaNative {
           // mergeSchema: multi-part checkpoints may split action kinds
           // across parts; the union of part schemas is the action schema
           ingestCheckpointFrame(spark.read.option("mergeSchema", "true")
-            .parquet(files.map(_.toString): _*))
+            .parquet(files.map(_.toString): _*), version)
       if (sidecars.nonEmpty) {
         val more = ingestCheckpointFrame(spark.read.option("mergeSchema", "true")
-          .parquet(sidecars.map(resolveSidecar): _*))
+          .parquet(sidecars.map(resolveSidecar): _*), version)
         if (more.nonEmpty) throw DeltaReadException(
           s"`$root`: V2 checkpoint sidecar files must not reference further " +
             "sidecars — malformed checkpoint")
@@ -336,7 +354,23 @@ object DeltaNative {
     }
     if (lastCp.isEmpty && commits.isEmpty)
       throw DeltaReadException(s"`$root`: _delta_log holds no checkpoint and no commits")
-    commits.foreach { case (_, path) =>
+    changesSince.foreach { since =>
+      // a checkpoint folds per-file add versions away: every folded file
+      // reports the checkpoint version. A `since` BELOW the checkpoint
+      // would silently misreport folded files as fresh changes — reject.
+      lastCp.foreach { case (cpV, _) =>
+        if (since < cpV) throw DeltaReadException(
+          s"`$root`: changes_since $since predates checkpoint $cpV, which no " +
+            "longer records per-file add versions; pass changes_since >= " +
+            s"$cpV or keep the commit JSON history")
+      }
+      val end = asOf.orElse(
+        (lastCp.map(_._1).toSeq ++ commits.map(_._1)).maxOption).getOrElse(0L)
+      if (since > end) throw DeltaReadException(
+        s"`$root`: changes_since $since is beyond the read's end version $end " +
+          "(nothing has been committed after it)")
+    }
+    commits.foreach { case (v, path) =>
       val in = fs.open(path)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
@@ -347,7 +381,7 @@ object DeltaNative {
         if (node.has("add")) {
           val a = node.path("add")
           val dv = dvJson(a)
-          adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv)
+          adds((a.path("path").asText(), dvKey(dv))) = addEntryJson(a, dv, v)
         }
         if (node.has("remove")) {
           val rm = node.path("remove")
@@ -382,8 +416,12 @@ object DeltaNative {
     }
 
     // --- flatten reconciliation keys back to one live entry per file ---
-    val live: Seq[(String, AddEntry)] = adds.toSeq.map { case ((p, _), e) => p -> e }
-    val dupPaths = live.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    val liveAll: Seq[(String, AddEntry)] = adds.toSeq.map { case ((p, _), e) => p -> e }
+    val live: Seq[(String, AddEntry)] = changesSince match {
+      case Some(since) => liveAll.filter(_._2.addVersion > since)
+      case None => liveAll
+    }
+    val dupPaths = liveAll.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
     if (dupPaths.nonEmpty) throw DeltaReadException(
       s"`$root`: log reconciliation left ${dupPaths.size} file path(s) live more " +
         s"than once (first: ${dupPaths.head}) — a remove action is missing its " +

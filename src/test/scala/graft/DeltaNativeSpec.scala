@@ -72,6 +72,92 @@ class DeltaNativeSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("changes_since keeps only still-live files committed after the version") {
+    val root = tempDir("delta_changes")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-001.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val f2 = writePart(root, "part-002.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val f3 = writePart(root, "part-003.parquet", Seq((4L, "d")).toDF("id", "v"))
+    val f4 = writePart(root, "part-004.parquet", Seq((5L, "e")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema), add(f1), add(f2)))
+    commit(root, 1, Seq(remove(f2), add(f3)))
+    commit(root, 2, Seq(add(f4)))
+    def ids(opts: Map[String, String]) =
+      graft.sources.DeltaNative.read(spark, root.getPath,
+        opts).collect().map(_.getLong(0)).sorted.toSeq
+    // since 0: commit 1's rewrite + commit 2's append (f2 was removed —
+    // its replacement f3 counts, the tombstoned file never resurfaces)
+    assert(ids(Map("changes_since" -> "0")) === Seq(4L, 5L))
+    assert(ids(Map("changes_since" -> "1")) === Seq(5L))
+    // since == end version: legitimately nothing new
+    assert(ids(Map("changes_since" -> "2")) === Seq())
+    // composes with time travel: changes in (0, 1] as of version 1
+    assert(ids(Map("changes_since" -> "0", "version_as_of" -> "1")) === Seq(4L))
+    // beyond the end version: loud
+    val e = intercept[graft.sources.DeltaNative.DeltaReadException] {
+      ids(Map("changes_since" -> "3"))
+    }
+    assert(e.getMessage.contains("end version 2"))
+    val e2 = intercept[graft.sources.DeltaNative.DeltaReadException] {
+      ids(Map("changes_since" -> "-1"))
+    }
+    assert(e2.getMessage.contains("negative"))
+  }
+
+  test("changes_since below a checkpoint rejects (folded add versions)") {
+    val root = tempDir("delta_changes_cp")
+    import spark.implicits._
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+    val f1 = writePart(root, "part-001.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "part-002.parquet", Seq((2L, "b")).toDF("id", "v"))
+    commit(root, 0, Seq(protocolV1, metaAction(schema), add(f1)))
+    commit(root, 1, Seq(add(f2)))
+    // classic checkpoint at version 1 + _last_checkpoint (typed action
+    // structs via Spark SQL, same layout the cp-replay test writes)
+    val log = new File(root, "_delta_log")
+    log.mkdirs()
+    val cpDir = new File(root, "_cp_tmp")
+    spark.sql(
+      s"""SELECT * FROM VALUES
+         (named_struct('path', '$f1', 'partitionValues', map(), 'size', ${psz(f1)}L,
+                       'modificationTime', 0L, 'dataChange', true),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (named_struct('path', '$f2', 'partitionValues', map(), 'size', ${psz(f2)}L,
+                       'modificationTime', 0L, 'dataChange', true),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+                              modificationTime: BIGINT, dataChange: BOOLEAN>),
+          named_struct('minReaderVersion', 1, 'minWriterVersion', 2),
+          CAST(NULL AS STRUCT<id: STRING, schemaString: STRING, partitionColumns: ARRAY<STRING>>)),
+         (CAST(NULL AS STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+                              modificationTime: BIGINT, dataChange: BOOLEAN>),
+          CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>),
+          named_struct('id', 't', 'schemaString', '$schema',
+                       'partitionColumns', array()))
+         AS t(add, protocol, metaData)"""
+    ).coalesce(1).write.mode("overwrite").parquet(cpDir.getPath)
+    val part = cpDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(cpDir)
+    java.nio.file.Files.writeString(new File(log, "_last_checkpoint").toPath,
+      """{"version":1,"size":2}""")
+    // commits 0/1 vacuumed away
+    new File(log, f"${0L}%020d.json").delete()
+    new File(log, f"${1L}%020d.json").delete()
+    val e = intercept[graft.sources.DeltaNative.DeltaReadException] {
+      graft.sources.DeltaNative.read(spark, root.getPath,
+        Map("changes_since" -> "0")).collect()
+    }
+    assert(e.getMessage.contains("predates checkpoint"))
+    // at/after the checkpoint it works: nothing after version 1 → empty
+    assert(graft.sources.DeltaNative.read(spark, root.getPath,
+      Map("changes_since" -> "1")).count() === 0L)
+  }
+
   test("partitioned table: hive layout, types pinned by the Delta schema") {
     val root = tempDir("delta_part")
     import spark.implicits._
