@@ -66,7 +66,8 @@ object Formats {
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",
-      "skip_schema_inference", "snapshot_id", "as_of_timestamp"),
+      "skip_schema_inference", "snapshot_id", "as_of_timestamp",
+      "changes_since_snapshot"),
     Set("files"))
 
   /** Whether a connector jar is deployed (picks the connector over the

@@ -856,6 +856,24 @@ object FormatQueries {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal > 0"""))
 
+  // ---------------------------------------------------------------- l09
+  // Iceberg INCREMENTAL read: the set-diff of live data files between
+  // snapshot 1 and the current snapshot 2 is exactly the high-price odds
+  // re-add -- "what landed since the last processed snapshot", two driver
+  // manifest walks and zero extra data scan. Exceeds the reference surface
+  // (src/duckdb/iceberg.rs:48-89 reads one snapshot, no diffs).
+  private val l09 = QueryDef(
+    "l09_iceberg_incremental",
+    (s, dir) => {
+      val path = ordersIceberg(s, dir)
+      Catalog.attach(s, "l09_orders_iceberg_changes", "iceberg",
+        Map("files" -> path, "changes_since_snapshot" -> "1"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 <> 0 AND o_totalprice > 150000"""))
+
   // ---------------------------------------------------------------- l07
   // Iceberg TIMESTAMP time travel via the metadata snapshot-log: pinning
   // an instant between the two logged snapshots resolves to snapshot 1 —
@@ -927,5 +945,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      w01, f01)
+      l09, w01, f01)
 }

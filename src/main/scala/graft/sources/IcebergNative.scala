@@ -169,16 +169,17 @@ object IcebergNative {
     // its sequence number (entry-level, inherited from the manifest-list row
     // when null — the spec's inheritance rule) ---
     final case class ManifestRef(path: Path, seq: Long)
-    val manifestRefs: Seq[ManifestRef] =
-      if (snapshot.has("manifest-list")) {
-        avroRows(resolve(snapshot.path("manifest-list").asText())).map { r =>
+    def manifestRefsOf(snap: JsonNode): Seq[ManifestRef] =
+      if (snap.has("manifest-list")) {
+        avroRows(resolve(snap.path("manifest-list").asText())).map { r =>
           val seq = opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)
           ManifestRef(resolve(r.get("manifest_path").toString), seq)
         }
-      } else if (snapshot.has("manifests"))
-        snapshot.path("manifests").elements().asScala
+      } else if (snap.has("manifests"))
+        snap.path("manifests").elements().asScala
           .map(m => ManifestRef(resolve(m.asText()), 0L)).toSeq
       else throw IcebergReadException("snapshot carries neither manifest-list nor manifests")
+    val manifestRefs: Seq[ManifestRef] = manifestRefsOf(snapshot)
 
     // partition specs (for delete-scope resolution): field name →
     // (transform, source column name). Names are unique within a spec and
@@ -383,8 +384,44 @@ object IcebergNative {
         }
       }
     }
-    val (data, pos, eqs, dvs) =
+    val (dataAll, pos, eqs, dvs) =
       (dataFiles.result(), posDeletes.result(), eqDeletes.result(), dvRefs.result())
+
+    // INCREMENTAL READ: `changes_since_snapshot = S` keeps only data files
+    // live at the end snapshot but NOT live at snapshot S — a pure
+    // metadata set-diff (the same manifest walk, paths only), so "what
+    // landed since yesterday's snapshot" costs two driver-side manifest
+    // reads and no data scan beyond the new files. Row-level deletes of
+    // the END snapshot still apply to the surviving files.
+    val data: Seq[FileRef] = options.get("changes_since_snapshot") match {
+      case None => dataAll
+      case Some(v) =>
+        val baseId = try v.toLong catch {
+          case _: NumberFormatException =>
+            throw IcebergReadException(s"changes_since_snapshot `$v` is not a number")
+        }
+        val baseSnap = meta.path("snapshots").elements().asScala
+          .find(_.path("snapshot-id").asLong() == baseId)
+          .getOrElse {
+            val known = meta.path("snapshots").elements().asScala
+              .map(_.path("snapshot-id").asLong()).mkString(", ")
+            throw IcebergReadException(
+              s"changes_since_snapshot $baseId not found in table metadata " +
+                s"(known: $known) — expired?")
+          }
+        val basePaths: Set[String] = manifestRefsOf(baseSnap).flatMap { mref =>
+          avroRows(mref.path).flatMap { entry =>
+            if (entry.get("status").asInstanceOf[Int] == 2) None
+            else {
+              val df = entry.get("data_file").asInstanceOf[GenericRecord]
+              if (opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(0) == 0)
+                Some(resolve(df.get("file_path").toString).toString)
+              else None
+            }
+          }
+        }.toSet
+        dataAll.filterNot(f => basePaths.contains(f.path))
+    }
 
     // Field-id resolution (the spec's rule; survives column renames): if the
     // data files carry parquet field ids — every iceberg-written file does —

@@ -875,6 +875,41 @@ class IcebergNativeSpec extends SparkSpec {
     assert(e2.getMessage.contains("mutually exclusive"))
   }
 
+  test("changes_since_snapshot diffs live data-file sets between snapshots") {
+    val root = tempDir("ice_changes")
+    import spark.implicits._
+    val f1 = writePart(root, "data/a.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "data/b.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = writePart(root, "data/c.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    // snapshot 1: {a, b}; snapshot 2: {a, c} (b replaced by c)
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1), entry(1, f2)))
+    writeAvro(new File(md, "ml1.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(1L))))
+    writeAvro(new File(md, "m2.avro"), entrySchema, Seq(entry(0, f1), entry(1, f3)))
+    writeAvro(new File(md, "ml2.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m2.avro", seq = Some(2L))))
+    java.nio.file.Files.writeString(new File(md, "v1.metadata.json").toPath,
+      s"""{
+        "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
+        "current-schema-id": 0, "schemas": [$tableSchemaJson],
+        "current-snapshot-id": 2,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml1.avro"},
+                      {"snapshot-id": 2, "manifest-list": "metadata/ml2.avro"}]}""")
+    java.nio.file.Files.writeString(new File(md, "version-hint.text").toPath, "1")
+    val diff = IcebergNative.read(spark, root.getPath,
+      Map("changes_since_snapshot" -> "1"))
+    assert(diff.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // diff against the current snapshot itself: nothing new
+    assert(IcebergNative.read(spark, root.getPath,
+      Map("changes_since_snapshot" -> "2")).count() === 0L)
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root.getPath,
+        Map("changes_since_snapshot" -> "99")).collect()
+    }
+    assert(e.getMessage.contains("known: 1, 2"))
+  }
+
   test("non-iceberg directory and missing metadata error clearly") {
     val root = tempDir("ice_none")
     val e = intercept[IcebergNative.IcebergReadException] {
