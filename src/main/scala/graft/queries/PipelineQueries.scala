@@ -663,11 +663,7 @@ object PipelineQueries {
   // engines cross-check different algorithms for the same statistic.
   private val t06 = QueryDef(
     "t06_repetition_stats",
-    (s, dir) => {
-      val cols = TextOps.repetitionColumns(col("text"))
-      docs(s, dir).select(
-        Seq(col("doc_id")) ++ cols.map { case (n, c) => c.as(n) }: _*)
-    },
+    (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
     Some("""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')[1:256] AS tk
                     FROM documents),
