@@ -484,13 +484,20 @@ object Similarity {
         .toSeq
       val sub = candidates.select(subCol("embedding", s, subDim).as("sv"))
       (1 to iters).foreach { _ =>
+        // centroids quantize to FLOAT32 after each mean — the standard PQ
+        // codebook storage — which also pins the cross-engine replay:
+        // double→decimal conversion in the exact mean can differ between
+        // engines by ~1e-12 per addend (shortest-string vs binary-multiply
+        // rounding), and at large member counts that 1-ulp drift flips
+        // iteration-2 assignments; float rounding absorbs it in both.
         cb = sub
           .select(col("sv") +: pqDistCols(col("sv"), cb): _*)
           .select(col("sv"), pqArgmin(cb).as("code"))
           .groupBy(col("code"))
           .agg(call_function("vec_decimal_mean", col("sv")).as("centroid"))
           .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+          .map(r => r.getLong(0) ->
+            r.getSeq[Double](1).toArray.map(v => v.toFloat.toDouble))
           .sortBy(_._1).toSeq
       }
       cb
@@ -575,7 +582,8 @@ object Similarity {
       ux_${s}_$t AS (SELECT code, sv, unnest(generate_series(1, len(sv))) AS pos FROM asg_${s}_$t),
       ps_${s}_$t AS (SELECT code, pos, sum(sv[pos]::DOUBLE::DECIMAL(38,12)) AS sum_v, count(*) AS n
                FROM ux_${s}_$t GROUP BY code, pos),
-      cb_${s}_$t AS (SELECT code, list(sum_v::DOUBLE / n ORDER BY pos) AS centroid
+      cb_${s}_$t AS (SELECT code,
+                       list((sum_v::DOUBLE / n)::FLOAT::DOUBLE ORDER BY pos) AS centroid
                   FROM ps_${s}_$t GROUP BY code)"""
       }.mkString(",")
       val enc = s"""
