@@ -173,6 +173,43 @@ object Dedup {
         (inter.cast("double") / (size(col("tk_a")) + size(col("tk_b")) - inter)).as("jaccard"))
   }
 
+  /** k-token n-grams from a bound token-array column (the generalized
+    * shinglesFromTokens; same short-doc guard). */
+  def kGramsFromTokens(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(tk, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** EVAL-SET DECONTAMINATION — the check every training corpus needs
+    * before benchmark numbers mean anything: mark each training doc that
+    * shares at least one k-token n-gram with the held-out eval set, with
+    * the shared-distinct-gram count as evidence. Scale shape: the eval
+    * side is tiny by construction (it is the benchmark), so its distinct
+    * gram set broadcasts; the training corpus explodes its distinct grams
+    * once and semi-joins — one scan, one broadcast join, one count
+    * aggregation keyed by doc. Token/gram arrays materialize through
+    * dedicated selects (the no-CSE-in-lambdas rule). */
+  def contaminationMark(docs: DataFrame, textCol: String, idCol: String,
+      isEval: Column, k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol), isEval.as("__eval"),
+      TextOps.tokens(col(textCol)).as("__tk"))
+    val grams = base.select(col(idCol), col("__eval"),
+      array_distinct(kGramsFromTokens(col("__tk"), k)).as("__g"))
+    val exploded = grams.select(col(idCol), col("__eval"),
+      explode(col("__g")).as("gram"))
+    val evalGrams = exploded.filter(col("__eval")).select("gram").distinct()
+    val hits = exploded.filter(!col("__eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+    grams.filter(!col("__eval")).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected pair list via alternating
     * large-star / small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", 2014). Each half-round is one

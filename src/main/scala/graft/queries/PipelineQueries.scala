@@ -136,6 +136,35 @@ object PipelineQueries {
              coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keeper
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""))
 
+  // ---------------------------------------------------------------- d10
+  // Eval-set decontamination: training docs sharing any 8-token n-gram
+  // with the held-out set (doc_id % 50 == 0 plays the benchmark) get
+  // flagged with the shared-distinct-gram count. The near-dup structure
+  // planted in the corpus guarantees real hits (an eval doc has a train
+  // near-duplicate), so the flag path is exercised, not vacuously green.
+  private val d10 = QueryDef(
+    "d10_decontaminate",
+    (s, dir) => Dedup.contaminationMark(docs(s, dir), "text", "doc_id",
+      col("doc_id") % 50 === 0),
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      ng AS (SELECT doc_id,
+               CASE WHEN len(tk) >= 8 THEN list_distinct(list_transform(
+                 generate_series(1, len(tk) - 7),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])))
+               ELSE [] END AS g
+             FROM toks),
+      ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+      ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 50 = 0),
+      hits AS (SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared
+               FROM ex t JOIN ev e ON t.gram = e.gram
+               WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id)
+      SELECT n.doc_id,
+             coalesce(h.n_shared, 0) AS n_shared_grams,
+             coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM ng n LEFT JOIN hits h ON n.doc_id = h.doc_id
+      WHERE n.doc_id % 50 <> 0"""))
+
   // ---------------------------------------------------------------- d04
   private val d04 = QueryDef(
     "d04_simhash",
@@ -798,5 +827,5 @@ object PipelineQueries {
              ELSE 0.0 END AS max_abs_err
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -254,6 +254,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.length === 200 && got.forall(_._2 === 0L))
   }
 
+  test("contaminationMark flags 8-gram overlap with the eval set, counts distinct") {
+    import spark.implicits._
+    val leak = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val df = Seq(
+      (1L, leak),                                           // train: verbatim leak
+      (2L, "completely unrelated words about spark shuffles and broadcast tuning"),
+      (3L, s"prefix words here $leak suffix words"),        // train: embedded leak
+      (50L, leak),                                          // EVAL doc
+      (100L, "another eval doc with its own private text nobody copied ever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationMark(df, "text", "doc_id", col("doc_id") % 50 === 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // eval docs excluded from output
+    assert(got(1L)._2 && got(1L)._1 > 0)
+    assert(got(3L)._2 && got(3L)._1 === got(1L)._1) // same distinct leak grams
+    assert(got(2L) === ((0L, false)))
+  }
+
   test("pq: codes bounded+deterministic; self-queries rank first; recall beats random") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
