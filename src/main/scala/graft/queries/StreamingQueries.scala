@@ -280,5 +280,57 @@ object StreamingQueries {
       FROM events e JOIN customer c ON c.c_custkey = e.user_id
       WHERE e.event_type = 'purchase'"""))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05)
+  // ---------------------------------------------------------------- x06
+  // Streaming curation scrub: the SAME PII/quality kernels the batch t07
+  // query uses, applied to a document stream as stateless projections —
+  // scrub-on-arrival with batch-backfill parity (one code path). The
+  // oracle is the batch rendering of the identical arithmetic; two-batch
+  // replay proves output is batch-boundary invariant.
+  private val x06 = QueryDef(
+    "x06_stream_scrub",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[(Long, String)](1)
+      val out = Streams.scrubStream(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x06_out")
+          .outputMode("append").start()
+        try {
+          val piiTail =
+            " reach me at jane.doe+spam@mail-example.org or 10.0.42.7 or call 415-555-2671"
+          val rows = Tables.load(s, dir, "documents")
+            .withColumn("text",
+              when(col("doc_id") % 7 === 0, concat(col("text"), lit(piiTail)))
+                .otherwise(col("text")))
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x06_out")
+    },
+    Some {
+      val Seq((_, email, eTok), (_, ipv4, iTok), (_, phone, pTok)) =
+        graft.operators.TextOps.piiPatterns
+      s"""
+      WITH p AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                     THEN text || ' reach me at jane.doe+spam@mail-example.org or 10.0.42.7 or call 415-555-2671'
+                     ELSE text END AS text
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '$email', '$eTok', 'g'), '$ipv4', '$iTok', 'g'), '$phone', '$pTok', 'g') AS text_clean,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10 AS keep
+      FROM p"""
+    })
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06)
 }

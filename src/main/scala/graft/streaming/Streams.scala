@@ -127,6 +127,20 @@ object Streams {
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "inner")
       .drop(dim(dimKey))
 
+  /** Stateless streaming curation scrub: the BATCH kernels
+    * (TextOps.piiCounts / piiRedact / tokenCount) applied unchanged to a
+    * stream — row-local projections carry no state, no watermark, no
+    * output-mode constraint, so the 100 TB batch scrub and the live-feed
+    * scrub are literally one code path (the lakehouse-ingest shape:
+    * scrub-on-arrival, backfill with the identical batch job). */
+  def scrubStream(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.operators.TextOps
+    val counts = TextOps.piiCounts(col(textCol))
+    docs.select(Seq(col(idCol)) ++ counts.map { case (n, c) => c.as(n) }
+      :+ TextOps.piiRedact(col(textCol)).as("text_clean")
+      :+ (TextOps.tokenCount(col(textCol)) >= 10).as("keep"): _*)
+  }
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here
