@@ -155,6 +155,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_signdot"), s"native sign-dot missing from plan:\n$p")
   }
 
+  test("t07/t08/t09: scrub, split and stratified sample are pure projections — zero Exchange") {
+    Seq("t07_pii_scrub", "t08_split_assign", "t09_stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — a 100 TB scan would too")
+    }
+  }
+
+  test("d10: eval grams broadcast; the corpus side never shuffles its grams wide") {
+    val p = plan("d10_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s07: PQ encoding is shuffle-free; ADC scoring broadcasts the query set") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sf, "embeddings")
+    val candidates = e.filter(col("vec_id") >= 5)
+    val model = graft.operators.Similarity.pqModel(candidates, 8, 8, 2, 64)
+    val enc = graft.operators.Similarity.pqEncode(candidates, model, 64)
+    val pEnc = enc.queryExecution.explainString(FormattedMode)
+    assert(!pEnc.contains("Exchange"), "pqEncode must be a pure projection")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pTop = graft.operators.Similarity.pqTopK(queries, candidates, 10)
+      .queryExecution.explainString(FormattedMode)
+    assert(pTop.contains("BroadcastExchange"))
+    assert(!pTop.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
