@@ -14,16 +14,28 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) in parquet. Spark 4 can only read it
-    * as raw nanos (spark.sql.legacy.parquet.nanosAsLong=true, set by
-    * Engine.configure); convert to a microsecond TimestampType by integer
-    * division — the same truncation DuckDB applies when it scans ns parquet
-    * as TIMESTAMP, so oracle comparisons line up exactly. */
+  /** events.ts normalization to a microsecond TimestampType, whatever shape
+    * the driver generated this round:
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark 4 reads it as raw nanos
+    *     (spark.sql.legacy.parquet.nanosAsLong=true, set by
+    *     Engine.configure); integer-divide to micros — the same truncation
+    *     DuckDB applies scanning ns parquet as TIMESTAMP;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ; the session is pinned UTC, so casting to
+    *     TimestampType preserves the exact micros and matches DuckDB's
+    *     naive-TIMESTAMP scan of the same column;
+    *   - TIMESTAMP(MICROS, adjusted): already TimestampType, pass through. */
   private def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Register tables as temp views so spark.sql(...) can reference them by
     * bare name — the Spark analogue of the reference's per-schema view
