@@ -318,4 +318,39 @@ object Dedup {
       // twice per row (filter + project)
       .select(col(idCol), explode(array(expr("simhash16(tk)"))).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** LINE-LEVEL corpus scrub (CCNet / Dolma style): a line that appears in
+    * `minFreq`+ places across the WHOLE corpus is boilerplate (nav bars,
+    * cookie banners, license footers) and is removed from every document;
+    * surviving lines are reassembled in original order. Returns one row per
+    * doc: total/removed line counts plus the cleaned text (NULL when every
+    * line was boilerplate — matching SQL `string_agg` over an empty group).
+    *
+    * Scale shape: frequency is a map-side-combined count keyed by the
+    * 16-byte md5 of the line, so the shuffle carries (hash, count) — never
+    * the corpus. The decision join is hash-to-hash shuffle (the frequent
+    * set is unbounded in adversarial corpora, so no broadcast; a hot
+    * boilerplate hash skews one key and AQE's skew-join split handles it).
+    * Reassembly groups by doc id — one exchange of surviving lines. */
+  def lineScrub(df: DataFrame, textCol: String, idCol: String,
+      minFreq: Int = 3): DataFrame = {
+    require(minFreq >= 2, s"lineScrub minFreq must be >= 2, got $minFreq")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)))
+      .toDF(idCol, "__pos", "__line")
+      .withColumn("__h", md5(col("__line")))
+    val freq = lines.groupBy("__h").agg(count(lit(1)).as("__c"))
+    val kept = struct(col("__pos"), col("__line"))
+    lines.join(freq, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__c") >= minFreq, lit(1))).as("n_removed"),
+        sort_array(collect_list(when(col("__c") < minFreq, kept))).as("__kept"))
+      .select(col(idCol), col("n_lines"), col("n_removed"),
+        when(size(col("__kept")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(col("__kept"), x => x.getField("__line")), "\n"))
+          .as("clean_text"))
+  }
 }

@@ -70,6 +70,96 @@ object Sketches {
   def kmvDistinct(c: Column, k: Int = 64): Column =
     udaf(new KmvAggregator(k)).apply(hash60(c))
 
+  /** Misra-Gries summary state: candidate counters plus the TRUE total
+    * item count (the total rides along so frequent-item thresholds need no
+    * second scan). */
+  final case class MgState(counts: Map[String, Long], total: Long)
+
+  /** Misra-Gries frequent-items summary over token arrays as a typed
+    * `Aggregator`: at most k counters per buffer, so the shuffle carries
+    * k-entry sketches, not token streams. The classic guarantee holds
+    * under merging (Agarwal et al., "Mergeable Summaries", PODS'12):
+    * every item with frequency > N/k survives in `counts`. Candidates are
+    * a SUPERSET of the heavy hitters — [[Sketches.frequentTokens]] makes
+    * the final answer exact (and therefore deterministic, despite MG's
+    * merge-order-dependent counter values) with a candidates-only count
+    * pass. */
+  final class MgAggregator(k: Int)
+      extends Aggregator[Seq[String], MgState, MgState] {
+    override def zero: MgState = MgState(Map.empty, 0L)
+
+    override def reduce(st: MgState, toks: Seq[String]): MgState = {
+      var c = st.counts
+      toks.foreach { t =>
+        c.get(t) match {
+          case Some(n) => c = c.updated(t, n + 1)
+          case None if c.size < k => c = c.updated(t, 1L)
+          // counter pool full: the decrement-all step (amortized O(1) per
+          // item — each decrement pays down a previous increment)
+          case None => c = c.collect { case (w, n) if n > 1 => (w, n - 1) }
+        }
+      }
+      MgState(c, st.total + toks.size)
+    }
+
+    override def merge(a: MgState, b: MgState): MgState = {
+      var c = a.counts
+      b.counts.foreach { case (t, n) => c = c.updated(t, c.getOrElse(t, 0L) + n) }
+      if (c.size > k) {
+        // subtract the (k+1)-st largest count from all, keep positives —
+        // the standard MG merge; at most k entries survive
+        val d = c.valuesIterator.toArray.sortBy(-_).apply(k)
+        c = c.collect { case (w, n) if n > d => (w, n - d) }
+      }
+      MgState(c, a.total + b.total)
+    }
+
+    override def finish(st: MgState): MgState = st
+    override def bufferEncoder: Encoder[MgState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgState]()
+    override def outputEncoder: Encoder[MgState] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgState]()
+  }
+
+  /** EXACT corpus-frequent tokens (support >= supportPpm parts-per-million
+    * of all tokens) without ever group-by-ing the full token stream — the
+    * two-pass heavy-hitters shape:
+    *
+    *   pass 1: MG sketch (k >= 1e6/supportPpm counters, so nothing above
+    *           the support threshold can be evicted) + the exact total,
+    *           one scan, sketch-sized shuffle;
+    *   pass 2: exact counts of the <= k candidates only — the filter drops
+    *           the long tail BEFORE the exchange, so the group-by shuffles
+    *           candidate tokens, not the corpus.
+    *
+    * Output (token, cnt, n_total) is exact, so a plain HAVING-count SQL
+    * replay hash-matches it. */
+  def frequentTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      supportPpm: Long, k: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(supportPpm > 0 && supportPpm <= 1000000L,
+      s"supportPpm out of range: $supportPpm")
+    require(k.toLong * supportPpm >= 1000000L,
+      s"k=$k too small for support $supportPpm ppm (need k >= 1e6/ppm " +
+        s"= ${1000000L / supportPpm + 1} for the MG no-miss guarantee)")
+    import graft.operators.TextOps
+    val mg = udaf(new MgAggregator(k))
+    val st = df.select(TextOps.tokens(col(textCol)).as("tk"))
+      .agg(mg(col("tk")).as("s"))
+      .select(col("s.counts").as("c"), col("s.total").as("t"))
+      .head()
+    val total = st.getLong(1)
+    val candidates = st.getMap[String, Long](0).keys.toSeq
+    // cnt >= ceil(total * ppm / 1e6)  ⇔  cnt * 1e6 >= total * ppm (ints)
+    val threshold =
+      if (total == 0L) 1L
+      else (total * supportPpm + 999999L) / 1000000L
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(col("token").isInCollection(candidates))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(threshold))
+      .withColumn("n_total", lit(total))
+  }
+
   /** DuckDB rendering of the identical estimate: rank the distinct hashes,
     * exact count below k, else the same (k-1)·2^60/kth arithmetic. */
   def kmvDistinctSql(valueExpr: String, relation: String, groupCol: String,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -827,5 +827,100 @@ object PipelineQueries {
              ELSE 0.0 END AS max_abs_err
       FROM q"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // ---------------------------------------------------------------- d11
+  // LINE-LEVEL corpus scrub (CCNet/Dolma boilerplate removal). The base
+  // corpus is single-line, so the query first derives a deterministic
+  // multi-line corpus — token stream chunked into 4-token lines, plus
+  // PLANTED boilerplate lines on doc_id%5 / doc_id%7 (the d08/d10/t07
+  // planted-signal pattern: the oracle replays the construction, and the
+  // plants guarantee the scrub has real work to do at every scale).
+  private val lineChunk = 4
+  private val boiler1 = "subscribe to our newsletter today"
+  private val boiler2 = "all rights reserved worldwide"
+
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      // nChunks as its own projection step (the no-CSE-in-lambdas rule)
+      .withColumn("__nc", expr(s"(size(__tk) + ${lineChunk - 1}) DIV $lineChunk"))
+      .select(col("doc_id"), concat(
+        array_join(transform(sequence(lit(1L), col("__nc")),
+          i => concat_ws(" ",
+            slice(col("__tk"), ((i - lit(1L)) * lineChunk + 1).cast("int"), lit(lineChunk)))), "\n"),
+        when(col("doc_id") % 5 === 0, lit("\n" + boiler1)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\n" + boiler2)).otherwise(lit("")))
+        .as("text"))
+
+  private val d11 = QueryDef(
+    "d11_line_dedup",
+    (s, dir) => Dedup.lineScrub(linedDocs(s, dir), "text", "doc_id", 3),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      chunks AS (SELECT doc_id, i,
+                   array_to_string(tk[((i-1)*$lineChunk+1):((i-1)*$lineChunk+$lineChunk)], ' ') AS line
+                 FROM (SELECT doc_id, tk, unnest(generate_series(1, (len(tk)+${lineChunk - 1})//$lineChunk)) AS i
+                       FROM toks WHERE len(tk) > 0)),
+      lined AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS body
+                FROM chunks GROUP BY doc_id),
+      corpus AS (SELECT doc_id, body
+                   || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$boiler1' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '$boiler2' ELSE '' END AS text
+                 FROM lined),
+      la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+      lx AS (SELECT doc_id, i, ls[i] AS line
+             FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM la)),
+      freq AS (SELECT md5(line) AS h, count(*) AS c FROM lx GROUP BY 1),
+      j AS (SELECT doc_id, i, line, c FROM lx JOIN freq ON md5(line) = h)
+      SELECT doc_id,
+             count(*) AS n_lines,
+             count(*) FILTER (WHERE c >= 3) AS n_removed,
+             string_agg(line, chr(10) ORDER BY i) FILTER (WHERE c < 3) AS clean_text
+      FROM j GROUP BY doc_id"""))
+
+  // ---------------------------------------------------------------- t10
+  // Deterministic sequence packing: every doc's offset on the global token
+  // stream + its training-sequence assignment, via the distributed prefix
+  // sum in Packing.scala (NO single-partition window — see its scaladoc).
+  // The oracle IS the naive global window: the two must agree exactly,
+  // which is precisely the partition-independence claim under test.
+  private val seqLen = 256
+  private val t10 = QueryDef(
+    "t10_sequence_pack",
+    (s, dir) => Packing.packOffsets(
+      docs(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", seqLen),
+    Some(s"""
+      WITH n AS (SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+            FROM n)
+      SELECT doc_id, n_tokens,
+             CAST(start_off AS BIGINT) AS start_off,
+             CAST(start_off // $seqLen AS BIGINT) AS seq_id,
+             (start_off // $seqLen) != ((start_off + greatest(n_tokens, 1) - 1) // $seqLen) AS crosses_seq
+      FROM c"""))
+
+  // ---------------------------------------------------------------- t11
+  // EXACT corpus heavy hitters via the two-pass Misra-Gries shape
+  // (Sketches.frequentTokens): the oracle is the brute-force HAVING-count
+  // — agreement proves the sketch pass lost nothing above the support
+  // threshold, per the mergeable-summaries guarantee.
+  private val hhPpm = 30000L // 3% support
+  private val t11 = QueryDef(
+    "t11_heavy_hitters",
+    (s, dir) => Sketches.frequentTokens(docs(s, dir), "text", hhPpm),
+    Some(s"""
+      WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+      tok AS (SELECT unnest(tk) AS token FROM toks)
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+             (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_total
+      FROM tok
+      GROUP BY token
+      HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

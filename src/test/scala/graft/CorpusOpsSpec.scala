@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Packing, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators added in r7: line-level boilerplate scrub,
+  * distributed-prefix-sum sequence packing, two-pass exact heavy hitters. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("lineScrub removes corpus-frequent lines, keeps rare ones, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "unique alpha\nBOILER\nunique beta"),
+      (2L, "BOILER\nonly here"),
+      (3L, "BOILER\nanother one\nBOILER")).toDF("doc_id", "text")
+    val out = Dedup.lineScrub(df, "text", "doc_id", minFreq = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 3L) // n_lines
+    assert(out(1L).getLong(2) === 1L) // n_removed
+    assert(out(1L).getString(3) === "unique alpha\nunique beta")
+    assert(out(2L).getString(3) === "only here")
+    // doc 3: two BOILER copies (corpus freq 4) removed, order preserved
+    assert(out(3L).getLong(2) === 2L)
+    assert(out(3L).getString(3) === "another one")
+  }
+
+  test("lineScrub yields NULL clean_text when every line is boilerplate") {
+    import spark.implicits._
+    val df = Seq((1L, "x\nx"), (2L, "x"), (3L, "keep\nx")).toDF("doc_id", "text")
+    val out = Dedup.lineScrub(df, "text", "doc_id", minFreq = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(3) && out(1L).getLong(2) === 2L)
+    assert(out(2L).isNullAt(3))
+    assert(out(3L).getString(3) === "keep")
+  }
+
+  test("packOffsets equals the sequential prefix sum, any partitioning") {
+    import spark.implicits._
+    val rows = (1L to 257L).map(i => (i, i % 7)) // counts 0..6, incl. zeros
+    var acc = 0L
+    val expected = rows.sortBy(_._1).map { case (id, n) =>
+      val off = acc
+      acc += n
+      val end = off + math.max(n, 1) - 1
+      (id, n, off, off / 64, off / 64 != end / 64)
+    }
+    for (parts <- Seq(1, 5)) {
+      val df = rows.toDF("doc_id", "n_tokens").repartition(parts)
+      val got = Packing.packOffsets(df, "doc_id", "n_tokens", 64)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
+  test("packOffsets marks exactly the docs straddling a sequence boundary") {
+    import spark.implicits._
+    // 100+100+100: doc 3 starts at 200 and ends at 299 — crosses 256
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("id", "n")
+    val got = Packing.packOffsets(df, "id", "n", 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) === ((0L, false)))
+    assert(got(2L) === ((0L, false))) // 100..199 inside seq 0
+    assert(got(3L) === ((0L, true))) // starts in seq 0, ends in seq 1
+  }
+
+  test("frequentTokens is exact vs brute force at several supports") {
+    import spark.implicits._
+    val docs = (1 to 50).map { i =>
+      val common = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta")
+      val rare = if (i % 10 == 0) Seq("gamma") else Seq(s"tail$i")
+      (i.toLong, (common ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (ppm <- Seq(10000L, 50000L, 400000L)) {
+      val got = Sketches.frequentTokens(docs, "text", ppm, k = 128)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = docs
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+        .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.values.sum
+      val thr = (total * ppm + 999999L) / 1000000L
+      val want = counts.filter(_._2 >= thr)
+      assert(got === want, s"support=$ppm ppm")
+    }
+  }
+
+  test("frequentTokens rejects k below the MG no-miss bound") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.frequentTokens(df, "text", supportPpm = 1000L, k = 64)
+    }
+    assert(e.getMessage.contains("no-miss"))
+  }
+}
