@@ -918,6 +918,38 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- l10
+  // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg
+  // reader in ONE plan — the interop query a real lakehouse migration
+  // runs daily. Nothing special-cased: both attaches yield ordinary
+  // DataFrames; the log-backed FileIndexes report true surviving-file
+  // sizes, so AQE broadcasts the small Delta dim on its own (pinned in
+  // PlanSpec). The oracle recomputes BOTH surviving snapshots from the
+  // source tables, so a protocol error on either side breaks the join's
+  // hash.
+  private val l10 = QueryDef(
+    "l10_lakehouse_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cust = Catalog.attach(s, "l10_customer_delta", "delta",
+        Map("files" -> customerDelta(s, dir)))
+      val ord = Catalog.attach(s, "l10_orders_iceberg", "iceberg",
+        Map("files" -> ordersIceberg(s, dir)))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    },
+    Some("""
+      WITH dc AS (SELECT * FROM customer
+                  WHERE c_custkey % 2 = 0 OR (c_custkey % 2 <> 0 AND c_acctbal > 0)),
+      io AS (SELECT * FROM orders
+             WHERE o_orderkey % 2 = 0 OR (o_orderkey % 2 <> 0 AND o_totalprice > 150000))
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM dc JOIN io ON c_custkey = o_custkey
+      GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- f01
   // The reference's own FDW lifecycle, verbatim DDL: CREATE FOREIGN DATA
   // WRAPPER → SERVER → USER MAPPING → typed FOREIGN TABLE → query
@@ -945,5 +977,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, w01, f01)
+      l09, l10, w01, f01)
 }

@@ -121,6 +121,18 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("l10: cross-lakehouse join broadcasts off the log-served sizes") {
+    // Delta ⋈ Iceberg in one plan: the log-backed FileIndexes report true
+    // surviving-file sizes, so the planner must pick a broadcast hash join
+    // (at scale the Delta dim stays broadcast-able while the Iceberg fact
+    // grows) — a sort-merge here would shuffle the fact for a dim lookup
+    val p = plan("l10_lakehouse_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cross-lakehouse join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-lakehouse join fell back to nested-loop:\n$p")
+  }
+
   test("l03: v2 delete anti-joins hash, never nested-loop; delete sides broadcast") {
     // positional deletes carry equi keys (file, pos) and equality deletes a
     // null-safe equi key — both must plan as (broadcast) HASH anti-joins; a
