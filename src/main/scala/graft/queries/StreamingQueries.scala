@@ -332,5 +332,71 @@ object StreamingQueries {
       FROM p"""
     })
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06)
+  // ---------------------------------------------------------------- x07
+  // STREAMING LAKEHOUSE INGESTION: readStream follows a native Delta log
+  // (delta-follow V1 source, no delta-spark jar). The fixture is rebuilt
+  // every run because its THIRD commit lands MID-STREAM: the first
+  // processAllAvailable drains the 2-commit snapshot, commit 2 is written
+  // while the query is live, and the second drain must pick up exactly the
+  // new file's rows. The memory sink then holds every customer row EXACTLY
+  // once — the oracle is the plain batch SELECT, so a double-read
+  // (snapshot overlapping a diff) or a missed commit fails rows AND hash.
+  private val x07 = QueryDef(
+    "x07_stream_delta_follow",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = new java.io.File(
+        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_follow_x07")
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      root.mkdirs()
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      def part(sub: String, m: Int): Long = {
+        val tmp = new java.io.File(root, s"_tmp_$sub")
+        cust.filter(col("c_custkey") % 3 === m)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(root, sub)
+        java.nio.file.Files.move(p.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        dest.length()
+      }
+      def add(sub: String, size: Long) =
+        s"""{"add":{"path":"$sub","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}"""
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val log = new java.io.File(root, "_delta_log")
+        log.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(log, f"$v%020d.json").toPath,
+          lines.mkString("", "\n", "\n"))
+      }
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      commit(0L, Seq(
+        s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT0}}}""",
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"x07-follow","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        add("part-m0.parquet", part("part-m0.parquet", 0))))
+      commit(1L, Seq(add("part-m1.parquet", part("part-m1.parquet", 1))))
+      withReplayConf(s, 1) {
+        val q = Streams.followDelta(s, root.getPath)
+          .writeStream.format("memory").queryName("x07_out")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // snapshot: commits 0-1
+          // the live-table moment: a commit lands while the query runs
+          commit(2L, Seq(add("part-m2.parquet", part("part-m2.parquet", 2))))
+          q.processAllAvailable() // diff: (1, 2] — part-m2 only
+        } finally q.stop()
+      }
+      s.table("x07_out")
+    },
+    Some("SELECT c_custkey, c_name, c_acctbal FROM customer"))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07)
 }

@@ -141,6 +141,16 @@ object Streams {
       :+ (TextOps.tokenCount(col(textCol)) >= 10).as("keep"): _*)
   }
 
+  /** Structured Streaming over a native Delta table root — follows the
+    * `_delta_log`, emitting the full snapshot first and then each commit's
+    * add-file diff (see org.apache.spark.sql.graftstream.DeltaFollow for
+    * the offset/version contract). All delta read options (column mapping,
+    * etc.) pass through. */
+  def followDelta(s: org.apache.spark.sql.SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.readStream.format("delta-follow").options(options)
+      .option("files", root).load()
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here

@@ -1,0 +1,125 @@
+package org.apache.spark.sql.graftstream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.DeltaNative
+
+/** STRUCTURED STREAMING over the native Delta log — `readStream` follows a
+  * Delta table with no delta-spark jar, the streaming face of the batch
+  * `changes_since` incremental read (`sources/DeltaNative.scala`):
+  *
+  *   - offsets ARE Delta commit versions (`LongOffset(v)` = "rows visible
+  *     through version v"), so the streaming checkpoint is exactly the
+  *     log position and recovery replays the same version interval;
+  *   - the first batch is the full snapshot at the then-latest version;
+  *     every later batch is the add-file diff `(prevVersion, endVersion]`
+  *     — files committed after the last seen version and still live at
+  *     the batch end, precisely the batch `changes_since` contract;
+  *   - `getBatch` returns the SAME plan the batch reader builds (file
+  *     skipping, log-served partitions, column mapping all intact) with
+  *     its data-scan leaf re-marked `isStreaming` — the V1 `Source`
+  *     contract (the shape FileStreamSource uses; this class lives in an
+  *     `org.apache.spark.sql` subpackage for exactly that access, the
+  *     same arrangement as the Kafka connector).
+  *
+  * Granularity is the log's own dataChange unit (whole files): an
+  * append-driven feed streams cleanly; a commit that rewrites files
+  * re-emits the rewritten files' rows (documented Delta CDF-less
+  * behavior). Deletion-vector commits keep their anti-joins — the DV
+  * sides stay batch relations, a stream-static anti-join. */
+class DeltaFollowProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "delta-follow"
+
+  private def root(parameters: Map[String, String]): String =
+    parameters.getOrElse("files", parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "delta-follow needs `files` (table root) in options")))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val s = schema.getOrElse(
+      DeltaNative.read(sqlContext.sparkSession, root(parameters),
+        DeltaFollowSource.passThrough(parameters)).schema)
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaFollowSource(
+      sqlContext.sparkSession.asInstanceOf[CSparkSession],
+      root(parameters), parameters)
+}
+
+object DeltaFollowSource {
+  /** Options forwarded to every underlying batch read (the time-travel and
+    * incremental keys are owned by the source itself). */
+  private[graftstream] def passThrough(parameters: Map[String, String]): Map[String, String] =
+    parameters -- Seq("files", "path", "version_as_of", "timestamp_as_of", "changes_since")
+}
+
+class DeltaFollowSource(spark: CSparkSession, root: String,
+    parameters: Map[String, String]) extends Source {
+
+  private val baseOpts = DeltaFollowSource.passThrough(parameters)
+
+  override val schema: StructType =
+    DeltaNative.read(spark, root, baseOpts).schema
+
+  /** Latest commit version by listing `_delta_log` — the same bounded
+    * driver metadata read the batch reader does; no data is touched. */
+  private def latestVersion(): Option[Long] = {
+    val logDir = new Path(root, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return None
+    val commitRe = """(\d{20})\.json""".r
+    val versions = fs.listStatus(logDir).iterator.flatMap(_.getPath.getName match {
+      case commitRe(v) => Some(v.toLong)
+      case _ => None
+    }).toSeq
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  override def getOffset: Option[Offset] = latestVersion().map(LongOffset(_))
+
+  private def version(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    // SerializedOffset on recovery: LongOffset.json is the bare number
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = version(end)
+    val opts = baseOpts ++
+      Map("files" -> root, "version_as_of" -> endV.toString) ++
+      start.map(s => "changes_since" -> version(s).toString)
+    val batch = DeltaNative.read(spark, root, opts)
+    // Re-mark the data-scan leaf streaming. Traversal is depth-first
+    // left-to-right, so the FIRST LogicalRelation is the data side; DV
+    // anti-join right sides stay batch (stream-static anti-joins).
+    var marked = false
+    val plan = batch.queryExecution.logical.transformUp {
+      case lr: LogicalRelation if !marked =>
+        marked = true
+        lr.copy(isStreaming = true)
+    }
+    if (marked) CDataset.ofRows(spark, plan)
+    else
+      // empty snapshot (no live files): no relation leaf to mark — emit an
+      // explicitly-streaming empty frame with the declared schema
+      spark.sqlContext.internalCreateDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"DeltaFollowSource[$root]"
+}
