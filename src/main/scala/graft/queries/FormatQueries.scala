@@ -242,8 +242,8 @@ object FormatQueries {
   // must declare accurate sizes (split planning trusts them). Keys repeat
   // across fixture roots, but each fixture writes its parts immediately
   // before its manifest, so the lookup is always the fresh value.
-  private val partBytes = scala.collection.mutable.Map[String, Long]()
-  private def singlePart(root: java.io.File, sub: String,
+  private[graft] val partBytes = scala.collection.mutable.Map[String, Long]()
+  private[graft] def singlePart(root: java.io.File, sub: String,
       df: org.apache.spark.sql.DataFrame): String = {
     val tmp = new java.io.File(root, s"_tmp_${sub.replace('/', '_')}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
@@ -267,7 +267,7 @@ object FormatQueries {
     * its own independent writer on purpose — the reader must be tested
     * against the FORMAT, not this code). Superset Avro schemas: optional
     * fields read as null by consumers that predate them. */
-  private object IcebergScaffold {
+  private[graft] object IcebergScaffold {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}

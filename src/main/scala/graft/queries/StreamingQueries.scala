@@ -398,5 +398,75 @@ object StreamingQueries {
     },
     Some("SELECT c_custkey, c_name, c_acctbal FROM customer"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07)
+  // ---------------------------------------------------------------- x08
+  // STREAMING ICEBERG INGESTION: the snapshot-log is the offset ledger
+  // (iceberg-follow V1 source). Snapshot 1 is live when the query starts;
+  // snapshot 2 (a new manifest adding the odds file, metadata.json + and
+  // version-hint swapped — a real Iceberg commit) lands MID-STREAM. The
+  // second drain must emit exactly the set-diff; the sink then holds every
+  // orders row exactly once and the oracle is the plain batch SELECT.
+  private val x08 = QueryDef(
+    "x08_stream_iceberg_follow",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import FormatQueries.IcebergScaffold._
+      val root = new java.io.File(
+        s"/root/repo/target/export/${new java.io.File(dir).getName}/iceberg_follow_x08")
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val evens = FormatQueries.singlePart(root, "data/evens.parquet",
+        o.filter(col("o_orderkey") % 2 === 0))
+      val hint = new java.io.File(md, "version-hint.text").toPath
+      writeAvro(new java.io.File(md, "m0.avro"), entrySchema, Seq(entry(1, evens)))
+      writeAvro(new java.io.File(md, "ml0.avro"), listSchema,
+        Seq(manifestListRow("metadata/m0.avro")))
+      java.nio.file.Files.writeString(
+        new java.io.File(md, "v1.metadata.json").toPath,
+        ordersMetaJson(root, "x08-follow",
+          snapshotsJson = """[{"snapshot-id": 1, "manifest-list": "metadata/ml0.avro"}]""",
+          currentId = 1,
+          snapshotLogJson = Some(
+            s"""[{"timestamp-ms": ${FormatQueries.IceT0}, "snapshot-id": 1}]""")))
+      java.nio.file.Files.writeString(hint, "1")
+      withReplayConf(s, 1) {
+        val q = Streams.followIceberg(s, root.getPath)
+          .writeStream.format("memory").queryName("x08_out")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // snapshot 1: evens
+          // the live-table moment: snapshot 2 commits while the query runs
+          // (new manifest = EXISTING evens + ADDED odds, new metadata.json,
+          // version-hint swap — the shape of a real Iceberg append)
+          val odds = FormatQueries.singlePart(root, "data/odds.parquet",
+            o.filter(col("o_orderkey") % 2 =!= 0))
+          writeAvro(new java.io.File(md, "m1.avro"), entrySchema,
+            Seq(entry(0, evens), entry(1, odds)))
+          writeAvro(new java.io.File(md, "ml1.avro"), listSchema,
+            Seq(manifestListRow("metadata/m1.avro")))
+          java.nio.file.Files.writeString(
+            new java.io.File(md, "v2.metadata.json").toPath,
+            ordersMetaJson(root, "x08-follow",
+              snapshotsJson =
+                """[{"snapshot-id": 1, "manifest-list": "metadata/ml0.avro"},
+                  | {"snapshot-id": 2, "manifest-list": "metadata/ml1.avro"}]""".stripMargin,
+              currentId = 2,
+              snapshotLogJson = Some(
+                s"""[{"timestamp-ms": ${FormatQueries.IceT0}, "snapshot-id": 1},
+                   | {"timestamp-ms": ${FormatQueries.IceT1}, "snapshot-id": 2}]""".stripMargin)))
+          java.nio.file.Files.writeString(hint, "2")
+          q.processAllAvailable() // set-diff: odds only
+        } finally q.stop()
+      }
+      s.table("x08_out")
+    },
+    Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
 }

@@ -67,15 +67,12 @@ object IcebergNative {
     "identity", """bucket\[\d+\]""", """truncate\[\d+\]""",
     "year", "years", "month", "months", "day", "days", "hour", "hours")
 
-  def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    val metaDir = new Path(rootPath, "metadata")
+  /** Locate the CURRENT metadata.json (version-hint.text, else latest by
+    * name) and parse it — the bounded driver read every entry point shares. */
+  private def currentMeta(fs: org.apache.hadoop.fs.FileSystem, root: String): JsonNode = {
+    val metaDir = new Path(new Path(root), "metadata")
     if (!fs.exists(metaDir))
       throw IcebergReadException(s"`$root` is not an Iceberg table: no metadata directory")
-
-    // --- locate current metadata.json (version-hint, else latest by name) ---
     val hint = new Path(metaDir, "version-hint.text")
     val metaFile: Path =
       if (fs.exists(hint)) {
@@ -91,7 +88,25 @@ object IcebergNative {
         metas.maxBy(_.getName)
       }
     val metaIn = fs.open(metaFile)
-    val meta = try mapper.readTree(metaIn) finally metaIn.close()
+    try mapper.readTree(metaIn) finally metaIn.close()
+  }
+
+  /** The table's append-only snapshot-log as (timestamp-ms, snapshot-id)
+    * entries, oldest first — the offset ledger a streaming follower polls.
+    * Empty when the table has no snapshot-log yet. */
+  def snapshotLog(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    import scala.jdk.CollectionConverters._
+    currentMeta(fs, root).path("snapshot-log").elements().asScala
+      .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong()))
+      .toSeq
+  }
+
+  def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val meta = currentMeta(fs, root)
 
     // --- current schema → Spark StructType ---
     val schemaNode: JsonNode =

@@ -151,6 +151,15 @@ object Streams {
     s.readStream.format("delta-follow").options(options)
       .option("files", root).load()
 
+  /** Structured Streaming over a native Iceberg table root — follows the
+    * snapshot-log, emitting the full snapshot first and then each new
+    * snapshot's file set-diff (see
+    * org.apache.spark.sql.graftstream.IcebergFollow). */
+  def followIceberg(s: org.apache.spark.sql.SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.readStream.format("iceberg-follow").options(options)
+      .option("files", root).load()
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here

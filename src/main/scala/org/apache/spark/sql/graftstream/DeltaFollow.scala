@@ -2,8 +2,7 @@ package org.apache.spark.sql.graftstream
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -100,23 +99,7 @@ class DeltaFollowSource(spark: CSparkSession, root: String,
     val opts = baseOpts ++
       Map("files" -> root, "version_as_of" -> endV.toString) ++
       start.map(s => "changes_since" -> version(s).toString)
-    val batch = DeltaNative.read(spark, root, opts)
-    // Re-mark the data-scan leaf streaming. Traversal is depth-first
-    // left-to-right, so the FIRST LogicalRelation is the data side; DV
-    // anti-join right sides stay batch (stream-static anti-joins).
-    var marked = false
-    val plan = batch.queryExecution.logical.transformUp {
-      case lr: LogicalRelation if !marked =>
-        marked = true
-        lr.copy(isStreaming = true)
-    }
-    if (marked) CDataset.ofRows(spark, plan)
-    else
-      // empty snapshot (no live files): no relation leaf to mark — emit an
-      // explicitly-streaming empty frame with the declared schema
-      spark.sqlContext.internalCreateDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
-        schema, isStreaming = true)
+    FollowSupport.asStreamingBatch(spark, DeltaNative.read(spark, root, opts), schema)
   }
 
   override def commit(end: Offset): Unit = ()
