@@ -194,8 +194,14 @@ object Dedup {
       isEval: Column, k: Int = 8): DataFrame = {
     val base = docs.select(col(idCol), isEval.as("__eval"),
       TextOps.tokens(col(textCol)).as("__tk"))
+    // Generate BARRIER (explode of a 1-element array): materializes the
+    // gram array exactly once per doc before the real explode consumes it.
+    // A plain projection is NOT enough here — a higher-order-function
+    // array feeding a downstream Generate gets re-evaluated per EMITTED
+    // row (measured 72x on this operator at sf0.1: 40 s -> 0.55 s).
+    // Same trick as simhash16's barrier; keep both in sync.
     val grams = base.select(col(idCol), col("__eval"),
-      array_distinct(kGramsFromTokens(col("__tk"), k)).as("__g"))
+      explode(array(array_distinct(kGramsFromTokens(col("__tk"), k)))).as("__g"))
     val exploded = grams.select(col(idCol), col("__eval"),
       explode(col("__g")).as("gram"))
     val evalGrams = exploded.filter(col("__eval")).select("gram").distinct()
@@ -203,7 +209,10 @@ object Dedup {
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_shared"))
-    grams.filter(!col("__eval")).select(col(idCol))
+    // id list from `base`, not `grams`: the barrier Generate cannot be
+    // column-pruned away, so deriving ids from it would re-run the gram
+    // build a third time for rows whose grams are never read
+    base.filter(!col("__eval")).select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
