@@ -62,7 +62,8 @@ object Formats {
   // history — beyond the reference's latest-snapshot-only scans, standard
   // lakehouse surface
   def delta: FormatSpec = FormatSpec("delta",
-    commonOptions ++ Set("version_as_of", "timestamp_as_of", "changes_since"), Set("files"))
+    commonOptions ++ Set("version_as_of", "timestamp_as_of", "changes_since",
+      "read_change_feed", "starting_version", "ending_version"), Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",

@@ -236,6 +236,67 @@ object FormatQueries {
     out
   }
 
+  /** customer → a native DELTA table with CHANGE DATA FEED enabled
+    * (delta.enableChangeDataFeed=true) and three commits exercising every
+    * CDF reader rule (delta.io PROTOCOL.md "Add CDC File"):
+    *   commit 0 — adds evens + odds (no cdc) → whole-file `insert`s;
+    *   commit 1 — an UPDATE (odd negative balances flipped positive)
+    *     carried by a `cdc` action whose change file holds
+    *     update_preimage/update_postimage rows; the commit's own
+    *     remove+add pair must contribute NO feed rows;
+    *   commit 2 — removes the evens file (no cdc) → whole-file `delete`s.
+    * Fixed commitInfo timestamps (DeltaT0/T1/T2) pin _commit_timestamp. */
+  private[graft] val DeltaT2 = 1700000200000L
+
+  private def customerDeltaCdf(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/customer_delta_cdf"
+    val done = new java.io.File(s"$out/_delta_log/00000000000000000002.json")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      val cust = Tables.load(s, dir, "customer")
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val odd = col("c_custkey") % 2 =!= 0
+      val evens = singlePart(root, "part-evens.parquet", cust.filter(!odd))
+      val odds = singlePart(root, "part-odds.parquet", cust.filter(odd))
+      val updated = cust.filter(odd)
+        .withColumn("c_acctbal",
+          when(col("c_acctbal") < 0, -col("c_acctbal")).otherwise(col("c_acctbal")))
+      val oddsFixed = singlePart(root, "part-odds-fixed.parquet", updated)
+      val touched = cust.filter(odd && col("c_acctbal") < 0)
+      val cdc = singlePart(root, "_change_data/cdc-0.parquet",
+        touched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(touched
+            .withColumn("c_acctbal", -col("c_acctbal"))
+            .withColumn("_change_type", lit("update_postimage"))))
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      def add(p: String) =
+        s"""{"add":{"path":"$p","partitionValues":{},"size":${partBytes(p)},"modificationTime":0,"dataChange":true}}"""
+      val log = new java.io.File(root, "_delta_log")
+      log.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(log, "00000000000000000000.json").toPath,
+        s"""{"commitInfo":{"timestamp":$DeltaT0}}
+           |{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}
+           |{"metaData":{"id":"customer-delta-cdf","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}
+           |${add(evens)}
+           |${add(odds)}
+           |""".stripMargin)
+      java.nio.file.Files.writeString(
+        new java.io.File(log, "00000000000000000001.json").toPath,
+        s"""{"commitInfo":{"timestamp":$DeltaT1}}
+           |{"cdc":{"path":"$cdc","partitionValues":{},"size":${partBytes(cdc)},"dataChange":false}}
+           |{"remove":{"path":"$odds","deletionTimestamp":0,"dataChange":true}}
+           |${add(oddsFixed)}
+           |""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath,
+        s"""{"commitInfo":{"timestamp":$DeltaT2}}
+           |{"remove":{"path":"$evens","deletionTimestamp":0,"dataChange":true}}
+           |""".stripMargin)
+    }
+    out
+  }
+
   /** Write df as ONE parquet part at root/sub, return sub (the relative
     * path a table-format log records). Driver-side export scaffolding. */
   // true byte size per part, keyed by relative path — manifest/log actions
@@ -856,6 +917,42 @@ object FormatQueries {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal > 0"""))
 
+  // ---------------------------------------------------------------- l11
+  // Delta CHANGE DATA FEED: the three-commit CDF fixture replayed as a row
+  // history — inserts from commit 0, a cdc-carried update (preimage +
+  // postimage, negative odd balances flipped) from commit 1 whose
+  // remove/add pair must contribute nothing, and whole-file deletes from
+  // commit 2 — each row stamped with its commit version and timestamp. The
+  // oracle rebuilds the identical feed from the base table. Exceeds the
+  // reference surface (DuckDB delta_scan is latest-snapshot-only,
+  // src/duckdb/delta.rs:41-61).
+  private val l11 = QueryDef(
+    "l11_delta_change_feed",
+    (s, dir) => {
+      val path = customerDeltaCdf(s, dir)
+      Catalog.attach(s, "l11_customer_delta_cdf", "delta",
+        Map("files" -> path, "read_change_feed" -> "true", "starting_version" -> "0"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment",
+          "_change_type", "_commit_version", "_commit_timestamp")
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+             TIMESTAMP '2023-11-14 22:13:20' AS _commit_timestamp
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             'update_preimage', 1, TIMESTAMP '2023-11-14 22:15:00'
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, -c_acctbal, c_mktsegment,
+             'update_postimage', 1, TIMESTAMP '2023-11-14 22:15:00'
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             'delete', 2, TIMESTAMP '2023-11-14 22:16:40'
+      FROM customer WHERE c_custkey % 2 = 0"""))
+
   // ---------------------------------------------------------------- l09
   // Iceberg INCREMENTAL read: the set-diff of live data files between
   // snapshot 1 and the current snapshot 2 is exactly the high-price odds
@@ -977,5 +1074,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, w01, f01)
+      l09, l10, l11, w01, f01)
 }

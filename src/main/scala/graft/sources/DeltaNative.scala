@@ -51,7 +51,7 @@ object DeltaNative {
 
   private val mapper = new ObjectMapper()
 
-  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private[sources] val PhysNameKey = "delta.columnMapping.physicalName"
   private val SupportedReaderFeatures =
     Set("columnMapping", "timestampNtz", "deletionVectors", "v2Checkpoint")
 
@@ -65,6 +65,14 @@ object DeltaNative {
       addVersion: Long = 0L)
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
+    // CHANGE DATA FEED dispatch: `read_change_feed=true` switches from
+    // snapshot semantics to the row-level change history (DeltaChanges)
+    if (options.get("read_change_feed").exists(_.toBoolean))
+      return DeltaChanges.read(spark, root, options)
+    Seq("starting_version", "ending_version").foreach { o =>
+      if (options.contains(o)) throw DeltaReadException(
+        s"$o applies to change-feed reads only; pass read_change_feed=true")
+    }
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
