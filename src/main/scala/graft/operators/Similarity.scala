@@ -381,11 +381,11 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** DuckDB rendering of the full learned-IVF chain (oracle side): the
-    * k-means iterations unroll into one assign+update CTE pair each.
-    * Expects relations `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
-  def ivfLearnedSql(k: Int, kCells: Int = 4, iters: Int = 2,
-      nprobe: Int = 2): String = {
+  /** DuckDB rendering of the deterministic k-means + final cell assignment
+    * (shared by the learned-IVF and SemDeDup oracles): seeds, `iters`
+    * unrolled assign+update CTE pairs, and a `celled(vec_id, cv, cell)`
+    * relation. Expects `c(vec_id, cv)` defined upstream. */
+  def kmeansCelledSql(kCells: Int, iters: Int): String = {
     def cos(a: String, b: String) = cosineSql(a, b)
     val seed = s"""
       seedpick AS (SELECT vec_id, cv, md5(vec_id::VARCHAR) AS hkey FROM c
@@ -412,7 +412,16 @@ object Similarity {
                   SELECT c.vec_id, c.cv, p.cell,
                          row_number() OVER (PARTITION BY c.vec_id
                            ORDER BY ${cos("c.cv", "p.centroid")} DESC, p.cell) AS ar
-                  FROM c, cents$iters p) x WHERE ar = 1),
+                  FROM c, cents$iters p) x WHERE ar = 1)"""
+  }
+
+  /** DuckDB rendering of the full learned-IVF chain (oracle side): the
+    * k-means iterations unroll into one assign+update CTE pair each.
+    * Expects relations `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
+  def ivfLearnedSql(k: Int, kCells: Int = 4, iters: Int = 2,
+      nprobe: Int = 2): String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    s"""${kmeansCelledSql(kCells, iters)},
       routed AS (SELECT q_id, qv, cell FROM (
                   SELECT q.q_id, q.qv, p.cell,
                          row_number() OVER (PARTITION BY q.q_id
@@ -426,6 +435,49 @@ object Similarity {
                  FROM scored)
       SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
   }
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** SEMANTIC DEDUPLICATION (the SemDeDup recipe, arXiv:2303.09540,
+    * deterministic rendering): k-means clusters bound the candidate set —
+    * pairwise cosine runs ONLY within a cluster, never corpus-wide — and a
+    * row is a semantic duplicate iff some LOWER-ID row in its cluster sits
+    * at cosine ≥ `threshold` (id-anchored keeper, not the paper's
+    * centroid-proximity keeper, so the decision is order-independent and
+    * replays exactly in SQL).
+    *
+    * Scale shape: the model is kCells bounded driver literals (same as the
+    * learned IVF); assignment is a pure projection; the only shuffle is the
+    * self-join keyed by cell. At 100 TB, kCells grows with the corpus
+    * (cells stay ~constant-sized), so per-cell pair work stays bounded —
+    * the same lever the paper uses to keep dedup O(n·c) instead of O(n²).
+    * Output: (vec_id, cell, is_semantic_dup) for every input row. */
+  def semDedup(emb: DataFrame, threshold: Double, kCells: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val model = kmeansModel(emb.select(col("vec_id"), col("embedding")), kCells, iters)
+    val celled = assignCells(emb, model).select(col("vec_id"), col("embedding"), col("cell"))
+    val dupIds = celled.as("a")
+      .join(celled.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(call_function("vec_cosine", col("a.embedding"), col("b.embedding"))
+        >= lit(threshold))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    celled
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_semantic_dup"))
+  }
+
+  /** DuckDB rendering of the SemDeDup chain (oracle side). Expects
+    * `c(vec_id, cv)` defined upstream. */
+  def semDedupSql(threshold: Double, kCells: Int = 4, iters: Int = 2): String =
+    s"""${kmeansCelledSql(kCells, iters)},
+      dup AS (SELECT DISTINCT a.vec_id
+              FROM celled a JOIN celled b
+                ON b.cell = a.cell AND b.vec_id < a.vec_id
+              WHERE ${cosineSql("a.cv", "b.cv")} >= $threshold)
+      SELECT c2.vec_id, c2.cell, (d.vec_id IS NOT NULL) AS is_semantic_dup
+      FROM celled c2 LEFT JOIN dup d ON d.vec_id = c2.vec_id"""
 
   // ------------------------------------------------------------------ PQ
 

@@ -287,6 +287,22 @@ object PipelineQueries {
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${Similarity.ivfLearnedSql(10, kCells = 4, iters = 2, nprobe = 2)}"""))
 
+  // ---------------------------------------------------------------- s08
+  // SEMDEDUP: semantic dedup where the learned k-means clusters BOUND the
+  // pairwise work — cosine runs only within a cluster, never corpus-wide.
+  // The oracle replays the whole chain (k-means included) in SQL, so the
+  // cluster-bounding itself is under the hash gate. Threshold 0.35 matches
+  // s03's corpus calibration (max pairwise cosine ≈ 0.51) so the flag is
+  // observably true for some rows.
+  private val s08 = QueryDef(
+    "s08_semdedup",
+    (s, dir) => Similarity.semDedup(
+      emb(s, dir).select(col("vec_id"), col("embedding")),
+      threshold = 0.35, kCells = 4, iters = 2),
+    Some(s"""
+      WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      ${Similarity.semDedupSql(threshold = 0.35, kCells = 4, iters = 2)}"""))
+
   // ---------------------------------------------------------------- d07
   // KMV distinct sketch vs exact: deterministic over a fixed hash, so the
   // ESTIMATE itself hash-matches DuckDB (unlike HLL). Buffer is 64 longs —
@@ -922,5 +938,5 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
