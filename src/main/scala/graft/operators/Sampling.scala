@@ -46,6 +46,57 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < pct)
   }
 
+  /** TEMPERATURE-MIXED domain sampling — the multi-source pretraining
+    * recipe (α-sampling as in XLM-R / mBERT, arXiv:1901.07291): domain d's
+    * target share ∝ count_d^α, with α<1 flattening the mix toward uniform
+    * so head domains stop drowning the tail. Downsample-only rendering:
+    *
+    *   rate_d = min(1, (count_d^α / count_d) · min_e(count_e / count_e^α))
+    *
+    * — the Σ count^α normalizer CANCELS out of the rate, so every
+    * arithmetic step is a correctly-rounded IEEE single op (integer count,
+    * sqrt/pow, divide, multiply, min) with NO order-dependent sum — which
+    * is what lets DuckDB replay the rates bit-identically. The domain at
+    * the min is kept whole; α=1 keeps everything.
+    *
+    * Scale shape: the rate table is one tiny aggregate (|domains| rows)
+    * broadcast back; membership is the same md5 lattice as every sampler
+    * here (16-bit fraction vs rate — reproducible, engine-independent).
+    * The corpus-side cost is one scan + one broadcast-join projection. */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    // α=0.5 goes through sqrt explicitly: Math.pow(x, 0.5) and sqrt(x) are
+    // not the same IEEE operation, and only sqrt is correctly rounded
+    def powA(c: Column): Column = if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val w = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", powA(col("__n")))
+    val rates = w
+      .withColumn("__cmin", min(col("__n") / col("__w"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(domainCol),
+        least(lit(1.0), col("__w") / col("__n") * col("__cmin")).as("keep_rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(idCol), 65536).cast("double") / lit(65536.0)
+        < col("keep_rate"))
+      .select(col(idCol), col(domainCol), col("keep_rate"))
+  }
+
+  /** DuckDB rendering of the α=0.5 temperature mix over `rel(idCol,
+    * domainCol)` — same cancelled-normalizer arithmetic, same md5 lattice. */
+  def temperatureMixSql(rel: String, idCol: String, domainCol: String): String =
+    s"""
+      WITH n AS (SELECT $domainCol, CAST(count(*) AS DOUBLE) AS nd
+                 FROM $rel AS src0 GROUP BY $domainCol),
+      w AS (SELECT $domainCol, nd, sqrt(nd) AS wd FROM n),
+      cm AS (SELECT min(nd / wd) AS cmin FROM w),
+      r AS (SELECT $domainCol, least(1.0, wd / nd * cmin) AS keep_rate FROM w, cm)
+      SELECT d.$idCol, d.$domainCol, r.keep_rate
+      FROM $rel AS d JOIN r USING ($domainCol)
+      WHERE ('0x' || substr(md5(CAST(d.$idCol AS VARCHAR)), 1, 4))::BIGINT % 65536
+              / 65536.0 < r.keep_rate"""
+
   /** Stratified deterministic sample: per-stratum keep-percentages, rows
     * in unlisted strata are dropped. Rates ride along as a CASE projection
     * — no join, no shuffle, any corpus size. */

@@ -799,6 +799,30 @@ object PipelineQueries {
             CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 3
                             WHEN 'purchase' THEN 100 ELSE -1 END"""))
 
+  // ---------------------------------------------------------------- t12
+  // Temperature-mixed domain sampling (α=0.5): per-source keep rates from
+  // the cancelled-normalizer form — every arithmetic step a single
+  // correctly-rounded IEEE op, so the RATES (not just membership)
+  // hash-match DuckDB. The synthetic sources are uniform, so the corpus is
+  // re-skewed first (60% head / 30% mid / tail = real sources, the 100 TB
+  // web-crawl shape): head's rate lands at sqrt(n_tail/n_head) ≈ 0.08 and
+  // the smallest tail source is kept whole — the α-flattening is
+  // OBSERVABLE, not a vacuous all-rates-1 pass.
+  private def skewedDomain(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 < 6, lit("head"))
+        .when(col("doc_id") % 10 < 9, lit("mid"))
+        .otherwise(col("source")).as("domain"))
+  private val skewedDomainSql =
+    """(SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'head'
+                            WHEN doc_id % 10 < 9 THEN 'mid'
+                            ELSE source END AS domain FROM documents)"""
+  private val t12 = QueryDef(
+    "t12_temperature_mix",
+    (s, dir) => Sampling.temperatureMix(
+      skewedDomain(s, dir), "doc_id", "domain", alpha = 0.5),
+    Some(Sampling.temperatureMixSql(skewedDomainSql, "doc_id", "domain")))
+
   // ---------------------------------------------------------------- s07
   // Product quantization with ADC search: per-subspace seeded L2 k-means
   // codebooks, m-byte encoding, and the asymmetric-distance top-k, all
@@ -938,5 +962,5 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
