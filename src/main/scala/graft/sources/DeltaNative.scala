@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, element_at, regexp_replace}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType, TimestampType}
 
 /** Minimal native Delta Lake reader — no connector jar required.
   *
@@ -63,6 +63,58 @@ object DeltaNative {
       dv: Option[DeletionVectors.Descriptor], size: Long = 0L,
       modificationTime: Long = 0L, stats: Option[String] = None,
       addVersion: Long = 0L)
+
+  /** Table-history introspection (`delta_history('<root>')`): one row per
+    * commit JSON in the log — version, resolved timestamp (the time-travel
+    * order: inCommitTimestamp > commitInfo.timestamp > file mtime),
+    * operation + parameters from commitInfo, and action counts. Bounded
+    * driver metadata work, O(commits); the frame is history-sized. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    if (!fs.exists(logDir))
+      throw DeltaReadException(s"`$root` is not a Delta table: no _delta_log directory")
+    val commitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case commitRe(v) => Some((v.toLong, st))
+        case _ => None
+      })
+      .sortBy(_._1)
+    if (commits.isEmpty) throw DeltaReadException(
+      s"`$root`: _delta_log holds no commit JSON files (checkpoint-only logs " +
+        "carry no per-commit history)")
+    val rows = commits.map { case (v, st) =>
+      val in = fs.open(st.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+      val ci = nodes.collectFirst { case n if n.has("commitInfo") => n.path("commitInfo") }
+      val ts = ci.map { c =>
+        if (c.has("inCommitTimestamp")) c.path("inCommitTimestamp").asLong()
+        else if (c.has("timestamp")) c.path("timestamp").asLong()
+        else st.getModificationTime
+      }.getOrElse(st.getModificationTime)
+      Row(v,
+        new java.sql.Timestamp(ts),
+        ci.filter(_.has("operation")).map(_.path("operation").asText()).orNull,
+        ci.filter(_.has("operationParameters"))
+          .map(_.path("operationParameters").toString).orNull,
+        nodes.count(_.has("add")).toLong,
+        nodes.count(_.has("remove")).toLong,
+        nodes.count(_.has("cdc")).toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType),
+      StructField("operation_parameters", StringType),
+      StructField("num_added_files", LongType, nullable = false),
+      StructField("num_removed_files", LongType, nullable = false),
+      StructField("num_cdc_files", LongType, nullable = false))))
+  }
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     // CHANGE DATA FEED dispatch: `read_change_feed=true` switches from

@@ -102,6 +102,41 @@ object IcebergNative {
       .toSeq
   }
 
+  /** Snapshot-history introspection (`iceberg_snapshots('<root>')`): one
+    * row per snapshot in the current metadata.json — id, parent, sequence
+    * number, commit timestamp, operation from the summary, manifest list,
+    * and whether it is the current snapshot. Bounded driver metadata work;
+    * the frame is history-sized. */
+  def snapshots(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = currentMeta(fs, root)
+    val currentId = meta.path("current-snapshot-id").asLong(-1L)
+    val rows = meta.path("snapshots").elements().asScala.toSeq.map { sn =>
+      Row(
+        sn.path("snapshot-id").asLong(),
+        if (sn.has("parent-snapshot-id")) java.lang.Long.valueOf(sn.path("parent-snapshot-id").asLong())
+        else null,
+        sn.path("sequence-number").asLong(0L),
+        new java.sql.Timestamp(sn.path("timestamp-ms").asLong()),
+        if (sn.path("summary").has("operation"))
+          sn.path("summary").path("operation").asText()
+        else null,
+        if (sn.has("manifest-list")) sn.path("manifest-list").asText() else null,
+        sn.path("snapshot-id").asLong() == currentId)
+    }
+    if (rows.isEmpty) throw IcebergReadException(
+      s"`$root`: metadata.json lists no snapshots")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType),
+      StructField("is_current", BooleanType, nullable = false))))
+  }
+
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)

@@ -253,7 +253,16 @@ object SqlApi {
 
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
-  private val fnTailRe = """(?is)^(.*?)(parquet_describe|parquet_schema)\(\s*$""".r
+  private val fnTailRe =
+    """(?is)^(.*?)(parquet_describe|parquet_schema|delta_history|iceberg_snapshots)\(\s*$""".r
+
+  /** Commit history of a native Delta table (one row per commit JSON). */
+  def deltaHistory(spark: SparkSession, root: String): DataFrame =
+    graft.sources.DeltaNative.history(spark, root)
+
+  /** Snapshot history of a native Iceberg table (current metadata.json). */
+  def icebergSnapshots(spark: SparkSession, root: String): DataFrame =
+    graft.sources.IcebergNative.snapshots(spark, root)
 
   /** QUOTE-AWARE swap: the replacement runs per unquoted segment
     * (PgDialect.segments), so a string literal containing
@@ -280,10 +289,15 @@ object SqlApi {
             if i + 2 < segs.length && segs(i + 1)._2 && segs(i + 1)._1.startsWith("'") &&
               segs(i + 2)._1.matches("""(?s)^\s*\).*""") =>
           val arg = segs(i + 1)._1.stripPrefix("'").stripSuffix("'").replace("''", "'")
-          val view =
-            if (fn.equalsIgnoreCase("parquet_describe"))
+          val view = fn.toLowerCase match {
+            case "parquet_describe" =>
               viewFor("graft_pd_", arg, describeAny(spark, arg))
-            else viewFor("graft_ps_", arg, schemaAny(spark, arg))
+            case "delta_history" =>
+              viewFor("graft_dh_", arg, deltaHistory(spark, arg))
+            case "iceberg_snapshots" =>
+              viewFor("graft_is_", arg, icebergSnapshots(spark, arg))
+            case _ => viewFor("graft_ps_", arg, schemaAny(spark, arg))
+          }
           out.append(zeroArg(pre)).append(view)
           // consume the close paren and re-process the remainder (it may
           // hold another table-function call)

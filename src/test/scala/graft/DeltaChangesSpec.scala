@@ -177,6 +177,23 @@ class DeltaChangesSpec extends SparkSpec {
       Seq("delete"))
   }
 
+  test("delta_history introspection: one row per commit, action counts + SQL path") {
+    val root = tempDir("cdf_history")
+    buildStandard(root)
+    val h = DeltaNative.history(spark, root.getPath).orderBy("version").collect()
+    assert(h.length === 3)
+    assert(h(0).getLong(0) === 0L && h(0).getTimestamp(1).getTime === 1000L &&
+      h(0).getLong(4) === 2L && h(0).getLong(5) === 0L && h(0).getLong(6) === 0L)
+    assert(h(1).getLong(0) === 1L && h(1).getLong(4) === 1L &&
+      h(1).getLong(5) === 1L && h(1).getLong(6) === 1L)
+    assert(h(2).getLong(0) === 2L && h(2).getLong(5) === 1L)
+    // SQL-callable through executePg's table-function swap
+    val viaSql = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT version FROM delta_history('${root.getPath}') WHERE num_cdc_files > 0")
+      .collect()
+    assert(viaSql.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("column mapping mode=name: feed renames physical columns back") {
     val root = tempDir("cdf_mapping")
     import org.apache.spark.sql.types._

@@ -834,6 +834,40 @@ class IcebergNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("99") && e.getMessage.contains("known"))
   }
 
+  test("iceberg_snapshots introspection: one row per snapshot, current flagged") {
+    val root = tempDir("ice_snapshots")
+    import spark.implicits._
+    val f1 = writePart(root, "data/s1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = writePart(root, "data/s2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(entry(1, f1)))
+    writeAvro(new File(md, "m2.avro"), entrySchema, Seq(entry(1, f1), entry(1, f2)))
+    writeAvro(new File(md, "ml1.avro"), manifestListSchema, Seq(manifestListRow("metadata/m1.avro")))
+    writeAvro(new File(md, "ml2.avro"), manifestListSchema, Seq(manifestListRow("metadata/m2.avro")))
+    writeMeta(root, s"""{
+      "format-version": 2, "table-uuid": "t", "location": "${root.getPath}",
+      "current-schema-id": 0, "schemas": [$tableSchemaJson],
+      "current-snapshot-id": 20,
+      "snapshots": [{"snapshot-id": 10, "sequence-number": 1, "timestamp-ms": 1000000,
+                     "summary": {"operation": "append"},
+                     "manifest-list": "metadata/ml1.avro"},
+                    {"snapshot-id": 20, "parent-snapshot-id": 10, "sequence-number": 2,
+                     "timestamp-ms": 2000000, "summary": {"operation": "overwrite"},
+                     "manifest-list": "metadata/ml2.avro"}]}""")
+    val sn = IcebergNative.snapshots(spark, root.getPath).orderBy("snapshot_id").collect()
+    assert(sn.length === 2)
+    assert(sn(0).getLong(0) === 10L && sn(0).isNullAt(1) &&
+      sn(0).getString(4) === "append" && !sn(0).getBoolean(6))
+    assert(sn(1).getLong(0) === 20L && sn(1).getLong(1) === 10L &&
+      sn(1).getTimestamp(3).getTime === 2000000L &&
+      sn(1).getString(4) === "overwrite" && sn(1).getBoolean(6))
+    // SQL-callable through executePg's table-function swap
+    val viaSql = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT snapshot_id, is_current FROM iceberg_snapshots('${root.getPath}') " +
+        "WHERE is_current").collect()
+    assert(viaSql.map(_.getLong(0)).toSeq === Seq(20L))
+  }
+
   test("as_of_timestamp resolves via snapshot-log; out-of-range rejects with window") {
     val root = tempDir("ice_ts_travel")
     import spark.implicits._
