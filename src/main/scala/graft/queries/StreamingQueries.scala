@@ -398,6 +398,110 @@ object StreamingQueries {
     },
     Some("SELECT c_custkey, c_name, c_acctbal FROM customer"))
 
+  // ---------------------------------------------------------------- x09
+  // STREAMING CHANGE DATA FEED: readStream over a native Delta CDF (the
+  // delta-follow source in read_change_feed mode). Commit 0's inserts
+  // drain first; THEN a cdc-carried update (negative odd balances flipped,
+  // preimage+postimage, whose remove/add pair must emit nothing) and a
+  // whole-file delete land MID-STREAM, each drained in its own batch. The
+  // memory sink must hold the exact l11-shaped feed — the oracle replays
+  // it from the base table. A snapshot/diff confusion, a double-emit, or
+  // a missed cdc action fails rows AND hash.
+  private val x09 = QueryDef(
+    "x09_stream_delta_cdf",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val root = new java.io.File(
+        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_cdf_x09")
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      root.mkdirs()
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val odd = col("c_custkey") % 2 =!= 0
+      def part(sub: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = new java.io.File(root, s"_tmp_${sub.replace('/', '_')}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(root, sub)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(p.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        dest.length()
+      }
+      def add(sub: String, size: Long) =
+        s"""{"add":{"path":"$sub","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}"""
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val log = new java.io.File(root, "_delta_log")
+        log.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(log, f"$v%020d.json").toPath,
+          lines.mkString("", "\n", "\n"))
+      }
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val evensSz = part("part-evens.parquet", cust.filter(!odd))
+      val oddsSz = part("part-odds.parquet", cust.filter(odd))
+      commit(0L, Seq(
+        s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT0}}}""",
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"x09-cdf","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+        add("part-evens.parquet", evensSz),
+        add("part-odds.parquet", oddsSz)))
+      withReplayConf(s, 1) {
+        val q = Streams.followDeltaChanges(s, root.getPath, startingVersion = 0L)
+          .writeStream.format("memory").queryName("x09_out")
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // feed [0, 0]: every row as insert
+          // live-table moment 1: a cdc-carried UPDATE lands mid-stream
+          val touched = cust.filter(odd && col("c_acctbal") < 0)
+          val cdcSz = part("_change_data/cdc-1.parquet",
+            touched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(touched
+                .withColumn("c_acctbal", -col("c_acctbal"))
+                .withColumn("_change_type", lit("update_postimage"))))
+          val fixedSz = part("part-odds-fixed.parquet", cust.filter(odd)
+            .withColumn("c_acctbal",
+              when(col("c_acctbal") < 0, -col("c_acctbal")).otherwise(col("c_acctbal"))))
+          commit(1L, Seq(
+            s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT1}}}""",
+            s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":$cdcSz,"dataChange":false}}""",
+            s"""{"remove":{"path":"part-odds.parquet","deletionTimestamp":0,"dataChange":true}}""",
+            add("part-odds-fixed.parquet", fixedSz)))
+          q.processAllAvailable() // feed (0, 1]: cdc rows ONLY
+          // live-table moment 2: a whole-file DELETE lands mid-stream
+          commit(2L, Seq(
+            s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT2}}}""",
+            s"""{"remove":{"path":"part-evens.parquet","deletionTimestamp":0,"dataChange":true}}"""))
+          q.processAllAvailable() // feed (1, 2]: evens rows as delete
+        } finally q.stop()
+      }
+      s.table("x09_out")
+        .select("c_custkey", "c_acctbal", "_change_type", "_commit_version",
+          "_commit_timestamp")
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal, 'insert' AS _change_type,
+             CAST(0 AS BIGINT) AS _commit_version,
+             TIMESTAMP '2023-11-14 22:13:20' AS _commit_timestamp
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal, 'update_preimage', 1,
+             TIMESTAMP '2023-11-14 22:15:00'
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, -c_acctbal, 'update_postimage', 1,
+             TIMESTAMP '2023-11-14 22:15:00'
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, 'delete', 2, TIMESTAMP '2023-11-14 22:16:40'
+      FROM customer WHERE c_custkey % 2 = 0"""))
+
   // ---------------------------------------------------------------- x08
   // STREAMING ICEBERG INGESTION: the snapshot-log is the offset ledger
   // (iceberg-follow V1 source). Snapshot 1 is live when the query starts;
@@ -468,5 +572,5 @@ object StreamingQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
 }

@@ -151,6 +151,19 @@ object Streams {
     s.readStream.format("delta-follow").options(options)
       .option("files", root).load()
 
+  /** Structured Streaming over a native Delta table's CHANGE DATA FEED —
+    * each micro-batch carries the row-level changes (insert / delete /
+    * update_preimage / update_postimage) of the commits it covers, stamped
+    * _change_type / _commit_version / _commit_timestamp. The streaming
+    * face of the batch CDF reader (sources/DeltaChanges.scala). */
+  def followDeltaChanges(s: org.apache.spark.sql.SparkSession, root: String,
+      startingVersion: Long,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.readStream.format("delta-follow").options(options)
+      .option("read_change_feed", "true")
+      .option("starting_version", startingVersion.toString)
+      .option("files", root).load()
+
   /** Structured Streaming over a native Iceberg table root — follows the
     * snapshot-log, emitting the full snapshot first and then each new
     * snapshot's file set-diff (see

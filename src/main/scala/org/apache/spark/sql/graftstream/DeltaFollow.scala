@@ -44,8 +44,9 @@ class DeltaFollowProvider extends StreamSourceProvider with DataSourceRegister {
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val s = schema.getOrElse(
-      DeltaNative.read(sqlContext.sparkSession, root(parameters),
-        DeltaFollowSource.passThrough(parameters)).schema)
+      new DeltaFollowSource(
+        sqlContext.sparkSession.asInstanceOf[CSparkSession],
+        root(parameters), parameters).schema)
     (shortName(), s)
   }
 
@@ -58,10 +59,11 @@ class DeltaFollowProvider extends StreamSourceProvider with DataSourceRegister {
 }
 
 object DeltaFollowSource {
-  /** Options forwarded to every underlying batch read (the time-travel and
-    * incremental keys are owned by the source itself). */
+  /** Options forwarded to every underlying batch read (the time-travel,
+    * incremental, and change-feed keys are owned by the source itself). */
   private[graftstream] def passThrough(parameters: Map[String, String]): Map[String, String] =
-    parameters -- Seq("files", "path", "version_as_of", "timestamp_as_of", "changes_since")
+    parameters -- Seq("files", "path", "version_as_of", "timestamp_as_of",
+      "changes_since", "read_change_feed", "starting_version", "ending_version")
 }
 
 class DeltaFollowSource(spark: CSparkSession, root: String,
@@ -69,8 +71,25 @@ class DeltaFollowSource(spark: CSparkSession, root: String,
 
   private val baseOpts = DeltaFollowSource.passThrough(parameters)
 
+  /** CHANGE-FEED mode (`read_change_feed=true` + `starting_version=N`):
+    * batches carry the row-level change history instead of snapshot+diffs —
+    * every row stamped _change_type/_commit_version/_commit_timestamp, the
+    * streaming face of the batch DeltaChanges reader. The first batch is
+    * the feed [starting_version, latest]; each later batch is
+    * (prevVersion, endVersion]. Offsets stay commit versions either way. */
+  private val cdfMode = parameters.get("read_change_feed").exists(_.toBoolean)
+  private val cdfStart: Long =
+    if (!cdfMode) 0L
+    else parameters.getOrElse("starting_version", throw new IllegalArgumentException(
+      "delta-follow with read_change_feed=true needs starting_version")).toLong
+
   override val schema: StructType =
-    DeltaNative.read(spark, root, baseOpts).schema
+    if (cdfMode)
+      DeltaNative.read(spark, root, baseOpts ++ Map(
+        "read_change_feed" -> "true",
+        "starting_version" -> cdfStart.toString,
+        "ending_version" -> cdfStart.toString)).schema
+    else DeltaNative.read(spark, root, baseOpts).schema
 
   /** Latest commit version by listing `_delta_log` — the same bounded
     * driver metadata read the batch reader does; no data is touched. */
@@ -96,6 +115,22 @@ class DeltaFollowSource(spark: CSparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    if (cdfMode) {
+      val from = start.map(version(_) + 1).getOrElse(cdfStart)
+      if (from > endV)
+        // restart edge: the checkpointed offset already covers endV
+        return FollowSupport.asStreamingBatch(spark,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          schema, markAll = true)
+      val feed = DeltaNative.read(spark, root, baseOpts ++ Map(
+        "read_change_feed" -> "true",
+        "starting_version" -> from.toString,
+        "ending_version" -> endV.toString))
+      // every scan in the feed union (cdc + synthesized insert/delete) is
+      // part of THIS source's batch — mark them all streaming; the tiny
+      // version→timestamp frame stays a batch local relation
+      return FollowSupport.asStreamingBatch(spark, feed, schema, markAll = true)
+    }
     val opts = baseOpts ++
       Map("files" -> root, "version_as_of" -> endV.toString) ++
       start.map(s => "changes_since" -> version(s).toString)

@@ -16,10 +16,10 @@ private[graftstream] object FollowSupport {
     * (stream-static anti-joins). An empty snapshot has no relation leaf —
     * emit an explicitly-streaming empty frame with the declared schema. */
   def asStreamingBatch(spark: CSparkSession, batch: DataFrame,
-      schema: StructType): DataFrame = {
+      schema: StructType, markAll: Boolean = false): DataFrame = {
     var marked = false
     val plan = batch.queryExecution.logical.transformUp {
-      case lr: LogicalRelation if !marked =>
+      case lr: LogicalRelation if markAll || !marked =>
         marked = true
         lr.copy(isStreaming = true)
     }

@@ -93,6 +93,51 @@ class DeltaFollowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-follow CDF mode: per-commit change batches, cdc overrides add/remove") {
+    import spark.implicits._
+    val root = tempDir("delta-follow-cdf")
+    val metaCdf = {
+      val df = Seq((1L, "a")).toDF("id", "v")
+      val schemaJson = df.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      Seq(
+        s"""{"commitInfo":{"timestamp":1000}}""",
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"follow-cdf","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""")
+    }
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val szA = writePart(root, "part-a.parquet", a)
+    commit(root, 0L, metaCdf :+ addJson("part-a.parquet", szA))
+
+    val q = Streams.followDeltaChanges(spark, root.getPath, startingVersion = 0L)
+      .writeStream.format("memory").queryName("follow_cdf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // feed columns present; commit 0 rows arrive as inserts
+      val t0 = spark.table("follow_cdf")
+      assert(t0.columns.toSeq ===
+        Seq("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+      assert(t0.select("_change_type").distinct().as[String].collect().toSeq
+        === Seq("insert"))
+      assert(t0.count() === 2L)
+      // mid-stream cdc commit: ONLY the cdc rows append, not the add/remove
+      val szCdc = writePart(root, "cdc-1.parquet",
+        Seq((2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+          .toDF("id", "v", "_change_type"))
+      val szB = writePart(root, "part-b.parquet", Seq((1L, "a"), (2L, "B")).toDF("id", "v"))
+      commit(root, 1L, Seq(
+        s"""{"commitInfo":{"timestamp":2000}}""",
+        s"""{"cdc":{"path":"cdc-1.parquet","partitionValues":{},"size":$szCdc,"dataChange":false}}""",
+        s"""{"remove":{"path":"part-a.parquet","deletionTimestamp":0,"dataChange":true}}""",
+        addJson("part-b.parquet", szB)))
+      q.processAllAvailable()
+      val v1 = spark.table("follow_cdf").filter(col("_commit_version") === 1L)
+      assert(v1.select("_change_type").as[String].collect().sorted.toSeq
+        === Seq("update_postimage", "update_preimage"))
+      assert(spark.table("follow_cdf").count() === 4L)
+    } finally q.stop()
+  }
+
   test("delta-follow: omitting the files option rejects loudly at load()") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("delta-follow").load()
