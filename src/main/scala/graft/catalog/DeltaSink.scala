@@ -1,0 +1,270 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Native DELTA LAKE writer — `COPY (SELECT ...) TO '<root>' (FORMAT
+  * delta)` with no delta-spark jar, the write-side mirror of
+  * `sources/DeltaNative`. Commit JSON is written per the public protocol
+  * (delta.io PROTOCOL.md): create lays down protocol+metaData+adds, append
+  * adds, overwrite tombstones every live file and adds. Each `add` carries
+  * the TRUE byte size and a `stats` JSON (numRecords + per-column min/max/
+  * nullCount read back from the parquet footers this very write produced)
+  * — so a later read through the log-backed FileIndex plan-time-prunes the
+  * files this writer laid down, write→read closing the skipping loop.
+  *
+  * Scale shape: the DATA write is a plain distributed
+  * `df.write.parquet` (partitioned layouts via partitionBy); everything
+  * else is driver metadata — one footer read per written file (the same
+  * O(new files) delta-spark pays to collect stats) and one commit JSON.
+  *
+  * Single-writer contract: the commit fails loudly if the target version
+  * file already exists — optimistic-concurrency retry is a coordinator
+  * feature this library intentionally leaves to a connector jar. */
+object DeltaSink {
+  import graft.sources.DeltaNative.DeltaReadException
+
+  private val mapper = new ObjectMapper()
+
+  val validOptions: Set[String] =
+    Set("partition_by", "overwrite", "change_data_feed", "compression",
+      "max_file_size_rows")
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    options.keys.find(k => !validOptions.contains(k.toLowerCase)).foreach { k =>
+      throw Catalog.InvalidOptionException(
+        s"invalid COPY option `$k` for format `delta`; valid options: " +
+          validOptions.toSeq.sorted.mkString(", "))
+    }
+    val spark = df.sparkSession
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val partCols: Seq[String] = options.get("partition_by").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    partCols.find(c => !df.schema.fieldNames.contains(c)).foreach { c =>
+      throw Catalog.InvalidOptionException(
+        s"partition_by column `$c` is not in the frame's schema")
+    }
+    val overwrite = options.get("overwrite").exists(_.toBoolean)
+    val cdf = options.get("change_data_feed").exists(_.toBoolean)
+
+    // ---- existing-table state (driver replay of the commit JSONs) ----
+    val commitRe = """(\d{20})\.json""".r
+    val commits: Seq[(Long, Path)] =
+      if (!fs.exists(logDir)) Nil
+      else fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+        case commitRe(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }).sortBy(_._1)
+    if (fs.exists(logDir) &&
+      fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
+      throw DeltaReadException(
+        s"`$path`: the log holds a checkpoint — this native writer replays " +
+          "commit JSONs only; use a delta connector jar for checkpointed tables")
+    val creating = commits.isEmpty
+    // live files + declared table shape, replayed for append-validation and
+    // overwrite tombstones
+    var tableSchemaJson: Option[String] = None
+    var tablePartCols: Seq[String] = Nil
+    var tableConf: Map[String, String] = Map.empty
+    val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          tableSchemaJson = Some(m.path("schemaString").asText())
+          tablePartCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          tableConf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (n.has("add")) live(n.path("add").path("path").asText()) = ()
+        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+      }
+    }
+    if (!creating) {
+      if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+        throw DeltaReadException(
+          s"`$path`: appending to a column-mapped table is not implemented by " +
+            "this native writer; use a delta connector jar")
+      val existing = DataType.fromJson(tableSchemaJson.getOrElse(
+        throw DeltaReadException(s"`$path`: existing log has no metaData action")))
+        .asInstanceOf[StructType]
+      val incoming = df.schema
+      if (existing.fields.map(f => (f.name, f.dataType)).toSeq !=
+        incoming.fields.map(f => (f.name, f.dataType)).toSeq)
+        throw DeltaReadException(
+          s"`$path`: frame schema ${incoming.simpleString} does not match the " +
+            s"table's ${existing.simpleString}; this writer does not evolve schemas")
+      if (tablePartCols != partCols)
+        throw DeltaReadException(
+          s"`$path`: partition_by ${partCols.mkString(",")} does not match the " +
+            s"table's partitioning ${tablePartCols.mkString(",")}")
+      if (options.contains("change_data_feed"))
+        throw Catalog.InvalidOptionException(
+          "change_data_feed is a table property set at creation; it cannot be " +
+            "changed by a later COPY")
+    }
+
+    // ---- distributed data write into a temp dir, then move under root ----
+    val tmp = new Path(rootPath,
+      s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    var w = df.write.mode("overwrite")
+    options.get("compression").foreach(v => w = w.option("compression", v))
+    options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    w.parquet(tmp.toString)
+
+    final case class NewFile(rel: String, size: Long, modTime: Long,
+      partitionValues: Map[String, String], stats: String)
+    val moved = Seq.newBuilder[NewFile]
+    try {
+      val tmpQ = fs.makeQualified(tmp).toString
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          // partition values from the hive path components Spark laid down
+          val relToTmp = fs.makeQualified(st.getPath).toString
+            .stripPrefix(tmpQ).stripPrefix("/")
+          val comps = relToTmp.split('/')
+          val pv: Map[String, String] = comps.dropRight(1).flatMap { c =>
+            c.split("=", 2) match {
+              case Array(k, v) =>
+                val dec = java.net.URLDecoder.decode(v, "UTF-8")
+                Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
+              case _ => None
+            }
+          }.toMap
+          val dest = new Path(rootPath, relToTmp)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw DeltaReadException(s"`$path`: failed to move ${st.getPath} into the table")
+          val destSt = fs.getFileStatus(dest)
+          moved += NewFile(relToTmp, destSt.getLen, destSt.getModificationTime,
+            pv, footerStats(spark, dest, df.schema, partCols))
+        }
+      }
+    } finally fs.delete(tmp, true)
+    val newFiles = moved.result()
+
+    // ---- one commit JSON, atomically placed at the next version ----
+    val version = if (creating) 0L else commits.last._1 + 1
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    val op = if (creating) "CREATE TABLE AS SELECT"
+      else if (overwrite) "WRITE (overwrite)" else "WRITE (append)"
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${esc(op)}}}"""
+    if (creating) {
+      lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${if (cdf) 4 else 2}}}"""
+      val conf = mapper.createObjectNode()
+      if (cdf) conf.put("delta.enableChangeDataFeed", "true")
+      val meta = mapper.createObjectNode()
+      meta.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", df.schema.json)
+      val pa = meta.putArray("partitionColumns"); partCols.foreach(pa.add)
+      meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration", conf)
+      meta.put("createdTime", System.currentTimeMillis())
+      lines += s"""{"metaData":${mapper.writeValueAsString(meta)}}"""
+    }
+    if (overwrite && !creating) live.keys.foreach { p =>
+      lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    newFiles.foreach { f =>
+      val pv = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""stats":${esc(f.stats)}}}"""
+    }
+    fs.mkdirs(logDir)
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw DeltaReadException(
+      s"`$path`: commit $version already exists — another writer got there " +
+        "first; this native writer does not do optimistic-concurrency retry")
+    val staged = new Path(logDir, s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(staged, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      throw DeltaReadException(
+        s"`$path`: commit $version already exists — another writer got there " +
+          "first; this native writer does not do optimistic-concurrency retry")
+    }
+  }
+
+  /** Delta `add.stats` JSON from the written file's parquet footer:
+    * numRecords + per-top-level-column min/max (types whose footer bounds
+    * are faithful skipping fuel) + nullCount. Bounded driver work, one
+    * footer per new file. */
+  private def footerStats(spark: org.apache.spark.sql.SparkSession, file: Path,
+      schema: StructType, partCols: Seq[String]): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val numRecords = blocks.map(_.getRowCount).sum
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val minV = root.putObject("minValues")
+      val maxV = root.putObject("maxValues")
+      val nullC = root.putObject("nullCount")
+      val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+      dataFields.foreach { f =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == f.name))
+        val sts = chunks.map(_.getStatistics).filter(s => s != null)
+        if (sts.nonEmpty && sts.forall(_.isNumNullsSet))
+          nullC.put(f.name, sts.map(_.getNumNulls).sum)
+        val bounded = sts.filter(_.hasNonNullValue)
+        if (bounded.nonEmpty && bounded.size == chunks.size) f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].longValue())
+            val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].longValue())
+            minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
+          case FloatType | DoubleType =>
+            val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].doubleValue())
+            val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].doubleValue())
+            // NaN poisons ordering; footer bounds with NaN present are not
+            // reliable skipping fuel — emit nothing for this column then
+            if (!mins.exists(_.isNaN) && !maxs.exists(_.isNaN)) {
+              minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
+            }
+          case StringType =>
+            val mins = bounded.map(_.genericGetMin.toString)
+            val maxs = bounded.map(_.genericGetMax.toString)
+            minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
+          case DateType =>
+            val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].intValue())
+            val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].intValue())
+            minV.put(f.name, java.time.LocalDate.ofEpochDay(mins.min.toLong).toString)
+            maxV.put(f.name, java.time.LocalDate.ofEpochDay(maxs.max.toLong).toString)
+          case TimestampType | TimestampNTZType =>
+            val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].longValue())
+            val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].longValue())
+            minV.put(f.name, microsIso(mins.min)); maxV.put(f.name, microsIso(maxs.max))
+          case _ => () // nested/decimal/binary: no stats → no pruning, never wrong
+        }
+      }
+      mapper.writeValueAsString(root)
+    } finally reader.close()
+  }
+
+  private def microsIso(us: Long): String =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L).toString
+}

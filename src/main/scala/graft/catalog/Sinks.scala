@@ -24,6 +24,9 @@ object Sinks {
 
   def copyTo(df: DataFrame, path: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): Unit = {
+    // FORMAT delta → the native Delta writer (protocol commit JSON, true
+    // sizes, footer-derived add.stats; see DeltaSink)
+    if (format.equalsIgnoreCase("delta")) return DeltaSink.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

@@ -1015,6 +1015,41 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- w02
+  // NATIVE DELTA WRITE → NATIVE DELTA READ round-trip: COPY the positive-
+  // balance customers into a partitioned Delta table (protocol commit
+  // JSON, true sizes, footer-derived add.stats — graft.catalog.DeltaSink),
+  // attach it back through the native log reader, and aggregate. The
+  // oracle aggregates the SOURCE table, so the row proves write → log →
+  // read preserves the data. DuckDB's delta extension is read-only
+  // (src/duckdb/delta.rs) — the write side exceeds the reference surface.
+  private val w02 = QueryDef(
+    "w02_delta_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_w02_delta"
+      // rebuild each run: the writer itself is under test
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val cust = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 0)
+      graft.catalog.Sinks.copyTo(cust, out, "delta",
+        Map("partition_by" -> "c_mktsegment"))
+      Catalog.attach(s, "w02_customer_delta_rt", "delta", Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 0
+      GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- l10
   // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg
   // reader in ONE plan — the interop query a real lakehouse migration
@@ -1074,5 +1109,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, w01, f01)
+      l09, l10, l11, w01, w02, f01)
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, DeltaSink, Sinks}
+import graft.sources.DeltaNative
+
+/** Native Delta writer → native Delta reader round-trips: protocol commit
+  * JSON, true add.size, footer-derived stats that the log-backed FileIndex
+  * then prunes with, partitioned layouts, append/overwrite, CDF tables,
+  * and the loud-reject paths. */
+class DeltaSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def readBack(path: String) =
+    DeltaNative.read(spark, path, Map.empty)
+
+  test("create: write → read round-trip, stats prune at plan time") {
+    val root = tempDir("dsink_create").getPath
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+    // two files so skipping has something to drop
+    Sinks.copyTo(df.repartitionByRange(2, col("id")), root, "delta")
+    val back = readBack(root)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // add.stats written by the sink fuel the reader's plan-time skipping:
+    // a predicate outside one file's [min,max] opens only the other file
+    // (numFiles = files the EXECUTED scan actually touched)
+    val pruned = back.filter(col("id") >= 3L)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(s) => s }
+    }
+    val scan = findScan(pruned.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    assert(scan.metrics("numFiles").value === 1L,
+      "sink-written add.stats should prune the out-of-range file at plan time")
+  }
+
+  test("append accumulates; schema and partitioning mismatches reject") {
+    val root = tempDir("dsink_append").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "delta")
+    assert(readBack(root).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      Sinks.copyTo(Seq((3, "c")).toDF("id", "v"), root, "delta") // int vs long
+    }
+    assert(e.getMessage.contains("does not match"))
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta",
+        Map("partition_by" -> "v"))
+    }
+    assert(e2.getMessage.contains("partitioning"))
+  }
+
+  test("overwrite tombstones every live file") {
+    val root = tempDir("dsink_over").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta")
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "delta",
+      Map("overwrite" -> "true"))
+    assert(readBack(root).as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // history shows the tombstones
+    val h = DeltaNative.history(spark, root).orderBy("version").collect()
+    assert(h.last.getLong(5) >= 1L) // num_removed_files
+  }
+
+  test("partitioned create: log-served partition values, plan-time pruning, null partition") {
+    val root = tempDir("dsink_part").getPath
+    val df = Seq((1L, "us"), (2L, "eu"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "region")
+    Sinks.copyTo(df, root, "delta", Map("partition_by" -> "region"))
+    val back = readBack(root)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+      === Seq((1L, "us"), (2L, "eu"), (3L, null)))
+    val pruned = back.filter(col("region") === "us")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() === 1L)
+    // the NULL partition row is addressable
+    assert(back.filter(col("region").isNull).select("id").as[Long].collect().toSeq
+      === Seq(3L))
+  }
+
+  test("change_data_feed table: writes stream out as CDF inserts") {
+    val root = tempDir("dsink_cdf").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta",
+      Map("change_data_feed" -> "true"))
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "delta")
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "0"))
+    assert(feed.select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === Set((1L, "insert", 0L), (2L, "insert", 1L)))
+    // the property is create-time only
+    val e = intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta",
+        Map("change_data_feed" -> "true"))
+    }
+    assert(e.getMessage.contains("creation"))
+  }
+
+  test("unknown options and checkpointed logs reject loudly") {
+    val root = tempDir("dsink_rej").getPath
+    intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta",
+        Map("bogus" -> "1"))
+    }
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta")
+    // a checkpointed log is a connector-jar table for this writer
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_delta_log/00000000000000000000.checkpoint.parquet").toPath, "")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "delta")
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+}
