@@ -34,7 +34,13 @@ object DeltaSink {
     Set("partition_by", "overwrite", "change_data_feed", "compression",
       "max_file_size_rows")
 
-  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+  /** `txn = Some((appId, version))` makes the commit IDEMPOTENT per the
+    * protocol's transaction-identifier rule: the log's highest committed
+    * `txn.version` for `appId` is replayed first, and a write at or below
+    * it is silently skipped — exactly-once for streaming micro-batch
+    * replays (the delta-spark streaming-sink arrangement). */
+  def write(df: DataFrame, path: String, options: Map[String, String],
+      txn: Option[(String, Long)] = None): Unit = {
     options.keys.find(k => !validOptions.contains(k.toLowerCase)).foreach { k =>
       throw Catalog.InvalidOptionException(
         s"invalid COPY option `$k` for format `delta`; valid options: " +
@@ -73,11 +79,18 @@ object DeltaSink {
     var tablePartCols: Seq[String] = Nil
     var tableConf: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    val txnVersions = scala.collection.mutable.Map[String, Long]()
     commits.foreach { case (_, p) =>
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
       lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("txn")) {
+          val t = n.path("txn")
+          val app = t.path("appId").asText()
+          val v = t.path("version").asLong()
+          txnVersions(app) = math.max(v, txnVersions.getOrElse(app, Long.MinValue))
+        }
         if (n.has("metaData")) {
           val m = n.path("metaData")
           tableSchemaJson = Some(m.path("schemaString").asText())
@@ -111,6 +124,11 @@ object DeltaSink {
         throw Catalog.InvalidOptionException(
           "change_data_feed is a table property set at creation; it cannot be " +
             "changed by a later COPY")
+    }
+
+    // idempotence gate: this txn (micro-batch) already landed → no-op
+    txn.foreach { case (appId, v) =>
+      if (txnVersions.get(appId).exists(_ >= v)) return
     }
 
     // ---- distributed data write into a temp dir, then move under root ----
@@ -162,6 +180,9 @@ object DeltaSink {
     val op = if (creating) "CREATE TABLE AS SELECT"
       else if (overwrite) "WRITE (overwrite)" else "WRITE (append)"
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${esc(op)}}}"""
+    txn.foreach { case (appId, v) =>
+      lines += s"""{"txn":{"appId":${esc(appId)},"version":$v}}"""
+    }
     if (creating) {
       lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${if (cdf) 4 else 2}}}"""
       val conf = mapper.createObjectNode()

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.catalog.Catalog
 import graft.streaming.Streams
 
 /** Streaming operators under the SAME DuckDB-oracle gate as batch: the
@@ -502,6 +503,55 @@ object StreamingQueries {
       SELECT c_custkey, c_acctbal, 'delete', 2, TIMESTAMP '2023-11-14 22:16:40'
       FROM customer WHERE c_custkey % 2 = 0"""))
 
+  // ---------------------------------------------------------------- x10
+  // STREAMING INTO THE LAKEHOUSE: a document stream lands in a NATIVE
+  // Delta table through the delta-commit sink — one protocol commit per
+  // micro-batch, each carrying a txn identifier for exactly-once — and the
+  // result frame re-reads the table through the NATIVE log reader. Two
+  // addData/drain rounds force two separate commits, so the oracle (the
+  // plain batch aggregate of the source slice) catches a lost batch, a
+  // doubled batch, or a log/reader disagreement. Both the write side and
+  // the read side exceed the reference surface (DuckDB's delta extension
+  // is read-only, src/duckdb/delta.rs).
+  private val x10 = QueryDef(
+    "x10_stream_delta_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = new java.io.File(
+        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_sink_x10")
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val in = MemoryStream[(Long, String, Long)](1)
+      withReplayConf(s, 1) {
+        val q = Streams.writeDeltaStream(
+          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x10-app").start()
+        try {
+          val rows = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .orderBy(col("doc_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          val (first, second) = rows.splitAt(rows.length / 2)
+          in.addData(first.toSeq)
+          q.processAllAvailable() // commit 0 (creates the table)
+          in.addData(second.toSeq)
+          q.processAllAvailable() // commit 1 (append)
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x10_delta_rt", "delta", Map("files" -> root.getPath))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      FROM documents GROUP BY lang"""))
+
   // ---------------------------------------------------------------- x08
   // STREAMING ICEBERG INGESTION: the snapshot-log is the offset ledger
   // (iceberg-follow V1 source). Snapshot 1 is live when the query starts;
@@ -572,5 +622,5 @@ object StreamingQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
 }

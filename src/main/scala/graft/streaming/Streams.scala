@@ -164,6 +164,17 @@ object Streams {
       .option("starting_version", startingVersion.toString)
       .option("files", root).load()
 
+  /** Structured Streaming INTO a native Delta table — append-mode writer
+    * through the delta-commit sink: each micro-batch becomes one protocol
+    * commit carrying a `txn` identifier, so batch re-delivery after a
+    * crash is recognized and skipped (exactly-once). `appId` must be
+    * stable across restarts of this logical stream. */
+  def writeDeltaStream(stream: DataFrame, root: String,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.format("delta-commit")
+      .option("files", root).option("app_id", appId)
+      .outputMode("append")
+
   /** Structured Streaming over a native Iceberg table root — follows the
     * snapshot-log, emitting the full snapshot first and then each new
     * snapshot's file set-diff (see

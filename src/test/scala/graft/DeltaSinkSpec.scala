@@ -106,6 +106,52 @@ class DeltaSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("creation"))
   }
 
+  test("txn identifiers make commits idempotent (streaming exactly-once)") {
+    val root = tempDir("dsink_txn").getPath
+    val df = Seq((1L, "a")).toDF("id", "v")
+    DeltaSink.write(df, root, Map.empty, txn = Some(("app1", 0L)))
+    // batch re-delivery after a crash: same appId + version → silent no-op
+    DeltaSink.write(df, root, Map.empty, txn = Some(("app1", 0L)))
+    assert(readBack(root).count() === 1L)
+    // a LATER batch of the same app lands
+    DeltaSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("app1", 1L)))
+    // a DIFFERENT app with a low version also lands (independent ledgers)
+    DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("app2", 0L)))
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("streaming delta-commit sink: per-batch commits, append-only, app_id required") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tempDir("dsink_stream").getPath
+    val in = MemoryStream[(Long, String)](1)
+    val q = graft.streaming.Streams.writeDeltaStream(
+      in.toDF().toDF("id", "v"), root, "spec-app")
+      .option("checkpointLocation", tempDir("dsink_stream_ck").getPath)
+      .start()
+    try {
+      in.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      in.addData(Seq((3L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // one commit per non-empty micro-batch, each carrying the txn ledger
+    val h = graft.sources.DeltaNative.history(spark, root)
+    assert(h.count() === 2L)
+    // output-mode and option contracts reject loudly
+    intercept[IllegalArgumentException] {
+      in.toDF().toDF("id", "v").writeStream.format("delta-commit")
+        .option("files", root)
+        .option("checkpointLocation", tempDir("dsink_stream_ck2").getPath)
+        .outputMode("append").start() // no app_id
+    }
+  }
+
   test("unknown options and checkpointed logs reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
