@@ -1,0 +1,294 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Native ICEBERG writer — `COPY (SELECT ...) TO '<root>' (FORMAT
+  * iceberg)` with no iceberg jar, the write-side mirror of
+  * `sources/IcebergNative`, built from the public table spec
+  * (iceberg.apache.org/spec; reference surface is read-only
+  * `iceberg_scan`, /root/reference/src/duckdb/iceberg.rs:48-89).
+  *
+  * Create lays down `metadata/v1.metadata.json` (format v2: schema with
+  * field ids, empty default partition spec, snapshot + snapshot-log) plus
+  * one Avro manifest list and manifest; append adds a new manifest and a
+  * new snapshot whose list carries the previous snapshot's manifests too;
+  * overwrite's new snapshot references only the new manifest. Data files
+  * are written WITH parquet field ids matching the table schema (Spark's
+  * fieldId.write path), so the native reader's id-based column resolution
+  * — and any real Iceberg reader — resolves renames correctly later.
+  *
+  * Scale shape: the data write is a plain distributed parquet write;
+  * manifests/metadata are bounded driver work (one footer stat per new
+  * file, one Avro manifest per commit — the iceberg-core arrangement).
+  *
+  * Scope (rejects loudly otherwise): flat schemas of the primitive types
+  * the reader round-trips (nested field-id assignment through Spark's
+  * writer needs per-level metadata plumbing — a connector-jar feature),
+  * unpartitioned layouts, single writer (version-file collision errors). */
+object IcebergSink {
+  import graft.sources.IcebergNative.IcebergReadException
+
+  private val mapper = new ObjectMapper()
+
+  val validOptions: Set[String] = Set("overwrite", "compression", "max_file_size_rows")
+
+  // ------------------------------------------------------- Avro schemas
+  // Written per the spec's manifest/manifest-list required core; optional
+  // columns consumers may want but this writer doesn't track are omitted —
+  // Avro readers resolve by name, absent optional fields read as null.
+  private val dfSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"r2","fields":[
+      {"name":"content","type":["null","int"],"default":null},
+      {"name":"file_path","type":"string"},
+      {"name":"file_format","type":"string"},
+      {"name":"record_count","type":"long"},
+      {"name":"file_size_in_bytes","type":["null","long"],"default":null}]}""")
+  private val entrySchema = new org.apache.avro.Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int"},
+      {"name":"sequence_number","type":["null","long"],"default":null},
+      {"name":"data_file","type":${dfSchema.toString}}]}""")
+  private val listSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string"},
+      {"name":"content","type":["null","int"],"default":null},
+      {"name":"sequence_number","type":["null","long"],"default":null}]}""")
+
+  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+    options.keys.find(k => !validOptions.contains(k.toLowerCase)).foreach { k =>
+      throw Catalog.InvalidOptionException(
+        s"invalid COPY option `$k` for format `iceberg`; valid options: " +
+          validOptions.toSeq.sorted.mkString(", "))
+    }
+    val spark = df.sparkSession
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = new Path(rootPath, "metadata")
+    val overwrite = options.get("overwrite").exists(_.toBoolean)
+
+    // ---- schema with field ids (flat; the scope gate) ----
+    df.schema.fields.foreach { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          throw IcebergReadException(
+            s"column `${f.name}`: nested types are not supported by this native " +
+              "iceberg writer (field-id plumbing through Spark's parquet writer " +
+              "is top-level only); use an iceberg connector jar")
+        case _ => ()
+      }
+    }
+    def iceType(dt: DataType): String = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw IcebergReadException(
+        s"type ${other.simpleString} has no iceberg mapping in this native writer")
+    }
+    val fieldIds: Seq[(StructField, Int)] = df.schema.fields.toSeq.zipWithIndex
+      .map { case (f, i) => (f, i + 1) }
+    val schemaJson: String = {
+      val sch = mapper.createObjectNode()
+      sch.put("type", "struct"); sch.put("schema-id", 0)
+      val arr = sch.putArray("fields")
+      fieldIds.foreach { case (f, id) =>
+        val fn = arr.addObject()
+        fn.put("id", id); fn.put("name", f.name)
+        fn.put("required", !f.nullable); fn.put("type", iceType(f.dataType))
+      }
+      mapper.writeValueAsString(sch)
+    }
+
+    // ---- existing-table state ----
+    val hint = new Path(metaDir, "version-hint.text")
+    val creating = !fs.exists(hint)
+    var prevManifests: Seq[(String, Long)] = Nil // (path, sequence_number)
+    var prevVersion = 0L
+    var prevSnapshotsJson: Seq[String] = Nil
+    var prevSnapshotLog: Seq[(Long, Long)] = Nil // (timestamp-ms, snapshot-id)
+    var lastSeq = 0L
+    var lastSnapshotId = 0L
+    if (!creating) {
+      val v = {
+        val in = fs.open(hint)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+      prevVersion = v
+      val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
+        .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
+          throw IcebergReadException(
+            s"`$path`: version-hint.text names version $v but no matching metadata.json"))
+      val meta = {
+        val in = fs.open(metaFile)
+        try mapper.readTree(in) finally in.close()
+      }
+      val existingSchema = if (meta.has("schemas")) {
+        val cur = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == cur).get
+      } else meta.path("schema")
+      val existingShape = existingSchema.path("fields").elements().asScala
+        .map(f => (f.path("name").asText(), f.path("type").asText())).toSeq
+      val incomingShape = fieldIds.map { case (f, _) => (f.name, iceType(f.dataType)) }
+      if (existingShape != incomingShape) throw IcebergReadException(
+        s"`$path`: frame schema $incomingShape does not match the table's " +
+          s"$existingShape; this writer does not evolve schemas")
+      val currentId = meta.path("current-snapshot-id").asLong()
+      lastSnapshotId = meta.path("snapshots").elements().asScala
+        .map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L)
+      lastSeq = meta.path("snapshots").elements().asScala
+        .map(_.path("sequence-number").asLong(0L)).maxOption.getOrElse(0L)
+      prevSnapshotsJson = meta.path("snapshots").elements().asScala
+        .map(mapper.writeValueAsString).toSeq
+      prevSnapshotLog = meta.path("snapshot-log").elements().asScala
+        .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
+      val current = meta.path("snapshots").elements().asScala
+        .find(_.path("snapshot-id").asLong() == currentId).getOrElse(
+          throw IcebergReadException(s"`$path`: current snapshot $currentId not listed"))
+      if (!overwrite) {
+        // carry the current snapshot's manifests forward
+        val mlPath = current.path("manifest-list").asText()
+        val mlAbs = {
+          val p = new Path(mlPath)
+          if (p.isAbsolute) p else new Path(rootPath, p)
+        }
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(mlAbs, spark.sessionState.newHadoopConf()),
+          new GenericDatumReader[GenericRecord]())
+        try prevManifests = reader.iterator().asScala.map { r =>
+          (r.get("manifest_path").toString,
+            Option(r.get("sequence_number")).map(_.asInstanceOf[Long])
+              .getOrElse(current.path("sequence-number").asLong(0L)))
+        }.toSeq
+        finally reader.close()
+      }
+    }
+
+    // ---- distributed data write (with parquet field ids), move under root ----
+    val writeDf = df.select(fieldIds.map { case (f, id) =>
+      org.apache.spark.sql.functions.col(f.name).as(f.name,
+        new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    }: _*)
+    val tmp = new Path(rootPath,
+      s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    var w = writeDf.write.mode("overwrite")
+    options.get("compression").foreach(v => w = w.option("compression", v))
+    options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    w.parquet(tmp.toString)
+
+    final case class NewFile(rel: String, size: Long, records: Long)
+    val moved = Seq.newBuilder[NewFile]
+    try {
+      val tmpQ = fs.makeQualified(tmp).toString
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val name = st.getPath.getName
+          val dest = new Path(new Path(rootPath, "data"), name)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw IcebergReadException(s"`$path`: failed to move ${st.getPath}")
+          val records = {
+            import org.apache.parquet.hadoop.ParquetFileReader
+            import org.apache.parquet.hadoop.util.HadoopInputFile
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(dest,
+              spark.sessionState.newHadoopConf()))
+            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally r.close()
+          }
+          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records)
+        }
+      }
+    } finally fs.delete(tmp, true)
+    val newFiles = moved.result()
+
+    // ---- one manifest + one manifest list + one metadata.json ----
+    val version = prevVersion + 1
+    val snapshotId = lastSnapshotId + 1
+    val seq = lastSeq + 1
+    val nowMs = System.currentTimeMillis()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    fs.mkdirs(metaDir)
+    def writeAvro(rel: String, sch: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+      val out = fs.create(new Path(rootPath, rel), false)
+      val w2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+      w2.create(sch, out)
+      try rows.foreach(w2.append) finally w2.close()
+    }
+    val manifestRel = s"metadata/m-$snapshotId-$stamp.avro"
+    writeAvro(manifestRel, entrySchema, newFiles.map { f =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", null)
+      d.put("file_path", f.rel)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", f.records)
+      d.put("file_size_in_bytes", Long.box(f.size))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e
+    })
+    val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
+    writeAvro(mlRel, listSchema,
+      (prevManifests :+ (manifestRel, seq)).map { case (p, sq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("content", null)
+        r.put("sequence_number", Long.box(sq))
+        r
+      })
+    val snapshotJson = {
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", snapshotId)
+      if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", nowMs)
+      sn.putObject("summary").put("operation", if (overwrite) "overwrite" else "append")
+      sn.put("manifest-list", mlRel)
+      mapper.writeValueAsString(sn)
+    }
+    val logJson = (prevSnapshotLog :+ ((nowMs, snapshotId))).map { case (ts, id) =>
+      s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
+    }.mkString("[", ", ", "]")
+    val metaJson =
+      s"""{"format-version": 2,
+         |"table-uuid": "${java.util.UUID.randomUUID()}",
+         |"location": ${mapper.writeValueAsString(path)},
+         |"last-updated-ms": $nowMs,
+         |"last-column-id": ${fieldIds.map(_._2).maxOption.getOrElse(0)},
+         |"last-sequence-number": $seq,
+         |"current-schema-id": 0,
+         |"schemas": [$schemaJson],
+         |"default-spec-id": 0,
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"current-snapshot-id": $snapshotId,
+         |"snapshot-log": $logJson,
+         |"snapshots": ${(prevSnapshotsJson :+ snapshotJson).mkString("[", ", ", "]")}}""".stripMargin
+    val metaTarget = new Path(metaDir, s"v$version.metadata.json")
+    if (fs.exists(metaTarget)) throw IcebergReadException(
+      s"`$path`: metadata version $version already exists — another writer got " +
+        "there first; this native writer does not do commit retries")
+    val out = fs.create(metaTarget, false)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+    val hintOut = fs.create(hint, true)
+    try hintOut.write(version.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+}

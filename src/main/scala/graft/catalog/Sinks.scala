@@ -27,6 +27,9 @@ object Sinks {
     // FORMAT delta → the native Delta writer (protocol commit JSON, true
     // sizes, footer-derived add.stats; see DeltaSink)
     if (format.equalsIgnoreCase("delta")) return DeltaSink.write(df, path, options)
+    // FORMAT iceberg → the native Iceberg writer (metadata.json + Avro
+    // manifests with field-id parquet; see IcebergSink)
+    if (format.equalsIgnoreCase("iceberg")) return IcebergSink.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

@@ -1050,6 +1050,40 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- w03
+  // NATIVE ICEBERG WRITE → NATIVE ICEBERG READ round-trip: COPY the orders
+  // slice into an Iceberg table (metadata.json + Avro manifests +
+  // field-id parquet — graft.catalog.IcebergSink), attach it back through
+  // the native metadata reader, aggregate. Oracle aggregates the SOURCE.
+  // DuckDB's iceberg extension is read-only (src/duckdb/iceberg.rs) — the
+  // write side exceeds the reference surface.
+  private val w03 = QueryDef(
+    "w03_iceberg_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_w03_iceberg"
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .filter(col("o_totalprice") > 100000)
+      graft.catalog.Sinks.copyTo(orders, out, "iceberg")
+      Catalog.attach(s, "w03_orders_iceberg_rt", "iceberg", Map("files" -> out))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_totalprice > 100000
+      GROUP BY o_orderstatus"""))
+
   // ---------------------------------------------------------------- l10
   // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg
   // reader in ONE plan — the interop query a real lakehouse migration
@@ -1109,5 +1143,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, w01, w02, f01)
+      l09, l10, l11, w01, w02, w03, f01)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, IcebergSink, Sinks}
+import graft.sources.IcebergNative
+
+/** Native Iceberg writer → native Iceberg reader round-trips: metadata.json
+  * versions, Avro manifests/manifest lists, snapshot-log growth, field-id
+  * parquet, append/overwrite, and the loud-reject scope gates. */
+class IcebergSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def readBack(path: String) = IcebergNative.read(spark, path, Map.empty)
+
+  test("create: write → read round-trip; snapshots/introspection populated") {
+    val root = tempDir("isink_create").getPath
+    Sinks.copyTo(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "x"),
+      root, "iceberg")
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      === Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    val sn = IcebergNative.snapshots(spark, root).collect()
+    assert(sn.length === 1 && sn.head.getString(4) === "append" && sn.head.getBoolean(6))
+  }
+
+  test("append adds a snapshot carrying the previous manifests; time travel sees both") {
+    val root = tempDir("isink_append").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "iceberg")
+    assert(readBack(root).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    // snapshot 1 still reads the pre-append state
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // snapshot-log grew — as-of between the two commits resolves to snap 1
+    val log = IcebergNative.snapshotLog(spark, root)
+    assert(log.map(_._2) === Seq(1L, 2L))
+  }
+
+  test("overwrite's snapshot references only the new manifest") {
+    val root = tempDir("isink_over").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg",
+      Map("overwrite" -> "true"))
+    assert(readBack(root).as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // history intact: the replaced snapshot still time-travels
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 2L)
+  }
+
+  test("data files carry parquet field ids (rename-proof resolution)") {
+    val root = tempDir("isink_ids").getPath
+    Sinks.copyTo(Seq((7L, "q")).toDF("id", "v"), root, "iceberg")
+    val dataFile = new java.io.File(root, "data").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dataFile.getPath),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val cols = r.getFooter.getFileMetaData.getSchema.getColumns
+      import scala.jdk.CollectionConverters._
+      val ids = cols.asScala.map(c => c.getPrimitiveType.getId.intValue()).toSeq
+      assert(ids === Seq(1, 2))
+    } finally r.close()
+  }
+
+  test("schema mismatch, nested types, and unknown options reject loudly") {
+    val root = tempDir("isink_rej").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    val e = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((1, "a")).toDF("id", "v"), root, "iceberg") // int vs long
+    }
+    assert(e.getMessage.contains("does not match"))
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((1L, Seq("a"))).toDF("id", "vs"),
+        tempDir("isink_rej2").getPath, "iceberg")
+    }
+    assert(e2.getMessage.contains("nested"))
+    intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"),
+        tempDir("isink_rej3").getPath, "iceberg", Map("partition_by" -> "v"))
+    }
+  }
+}
