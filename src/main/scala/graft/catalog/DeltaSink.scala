@@ -226,6 +226,174 @@ object DeltaSink {
     }
   }
 
+  /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that
+    * keeps a 100 TB table's file count sane): live files under
+    * `min_file_bytes` are grouped per partition tuple, each group with ≥2
+    * candidates is re-read (a distributed scan over just those files) and
+    * rewritten as one file, and ONE commit tombstones the originals and
+    * adds the replacements with `dataChange=false` — snapshot-identical,
+    * invisible to the change feed and to streaming followers (both honor
+    * the dataChange flag). Returns (filesCompacted, filesWritten).
+    *
+    * Scope gates mirror the writer: no checkpointed logs, no column
+    * mapping (rewritten files must carry the same physical names). */
+  def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
+      minFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    if (!fs.exists(logDir))
+      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
+    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
+      throw DeltaReadException(
+        s"`$path`: the log holds a checkpoint — use a delta connector jar")
+    val commitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    }).sortBy(_._1)
+    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
+    final case class LiveF(partitionValues: Map[String, String], size: Long)
+    var tableConf = Map.empty[String, String]
+    var partColsT: Seq[String] = Nil
+    var schemaJsonT: Option[String] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, LiveF]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          schemaJsonT = Some(m.path("schemaString").asText())
+          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          tableConf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
+            throw DeltaReadException(
+              s"`$path`: deletion-vector files cannot be compacted by this native " +
+                "OPTIMIZE; use a delta connector jar")
+          live(a.path("path").asText()) = LiveF(
+            a.path("partitionValues").fields().asScala
+              .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
+            a.path("size").asLong(0L))
+        }
+        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+      }
+    }
+    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables cannot be compacted by this native OPTIMIZE")
+    val groups = live.toSeq.filter(_._2.size < minFileBytes)
+      .groupBy(_._2.partitionValues).filter(_._2.size >= 2)
+    if (groups.isEmpty) return (0, 0)
+    val dataSchema = DataType.fromJson(schemaJsonT.get).asInstanceOf[StructType]
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    var removed = 0
+    var added = 0
+    groups.foreach { case (pv, files) =>
+      val abs = files.map { case (rel, _) =>
+        val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+        (if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+      }
+      // distributed rewrite of exactly this group's files into one part
+      val tmp = new Path(rootPath,
+        s"_graft_opt_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.parquet(abs: _*).coalesce(1).write.parquet(tmp.toString)
+      val part = {
+        val it = fs.listFiles(tmp, true)
+        var found: Option[Path] = None
+        while (it.hasNext && found.isEmpty) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = Some(st.getPath)
+        }
+        found.getOrElse(throw DeltaReadException(s"`$path`: compaction wrote no part"))
+      }
+      // destination keeps the partition dir of the first source file when
+      // the layout is hive-style; otherwise lands at the root
+      val relDir = files.head._1.split('/').dropRight(1).mkString("/")
+      val destRel = (if (relDir.nonEmpty) relDir + "/" else "") +
+        s"part-opt-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val dest = new Path(rootPath, destRel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(part, dest))
+        throw DeltaReadException(s"`$path`: failed to move compacted file")
+      fs.delete(tmp, true)
+      val destSt = fs.getFileStatus(dest)
+      val pvNode = mapper.createObjectNode()
+      pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
+      files.foreach { case (rel, _) =>
+        lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+        removed += 1
+      }
+      lines += s"""{"add":{"path":${esc(destRel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
+        s""""size":${destSt.getLen},"modificationTime":${destSt.getModificationTime},"dataChange":false,""" +
+        s""""stats":${esc(footerStats(spark, dest, dataSchema, partColsT))}}}"""
+      added += 1
+    }
+    val version = commits.last._1 + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw DeltaReadException(
+      s"`$path`: commit $version already exists — another writer got there first")
+    val out = fs.create(target, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    (removed, added)
+  }
+
+  /** VACUUM — delete data files no live snapshot references, once they are
+    * older than `retentionMs` (default 7 days, the delta-spark default;
+    * pass 0 only when no reader could still be pinned to an old version).
+    * Never touches `_delta_log`. Returns the number of files deleted. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    if (!fs.exists(logDir))
+      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
+    val commitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    }).sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("add")) live += n.path("add").path("path").asText()
+        if (n.has("remove")) live -= n.path("remove").path("path").asText()
+      }
+    }
+    val rootQ = fs.makeQualified(rootPath).toString
+    val liveAbs = live.map { rel =>
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val q = fs.makeQualified(st.getPath).toString
+      val relTop = q.stripPrefix(rootQ).stripPrefix("/").split('/').head
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        relTop != "_delta_log" && !relTop.startsWith("_graft_tmp") &&
+        !liveAbs.contains(q) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Delta `add.stats` JSON from the written file's parquet footer:
     * numRecords + per-top-level-column min/max (types whose footer bounds
     * are faithful skipping fuel) + nullCount. Bounded driver work, one

@@ -152,6 +152,44 @@ class DeltaSinkSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE bin-packs small files per partition; snapshot and CDF unchanged") {
+    val root = tempDir("dsink_opt").getPath
+    Sinks.copyTo(Seq((1L, "us"), (2L, "eu")).toDF("id", "region"), root, "delta",
+      Map("partition_by" -> "region", "change_data_feed" -> "true"))
+    Sinks.copyTo(Seq((3L, "us"), (4L, "eu")).toDF("id", "region"), root, "delta",
+      Map("partition_by" -> "region"))
+    Sinks.copyTo(Seq((5L, "us")).toDF("id", "region"), root, "delta",
+      Map("partition_by" -> "region"))
+    val (removed, added) = DeltaSink.optimize(spark, root)
+    // us had 3 small files, eu had 2 — both compact to one each
+    assert(removed === 5 && added === 2)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L))
+    // dataChange=false: the OPTIMIZE commit contributes NOTHING to the feed
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "0"))
+    assert(feed.count() === 5L)
+    assert(feed.select("_change_type").distinct().as[String].collect().toSeq
+      === Seq("insert"))
+    // idempotent second pass: nothing left to compact
+    assert(DeltaSink.optimize(spark, root) === ((0, 0)))
+  }
+
+  test("VACUUM deletes only unreferenced, out-of-retention data files") {
+    val root = tempDir("dsink_vac").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta")
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "delta",
+      Map("overwrite" -> "true"))
+    // inside retention: nothing deleted
+    assert(DeltaSink.vacuum(spark, root) === 0)
+    // zero retention: the overwritten files go; the live file stays
+    assert(DeltaSink.vacuum(spark, root, retentionMs = 0L) >= 1)
+    assert(readBack(root).as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // time travel to the vacuumed version now fails at scan, not silently
+    val old = DeltaNative.read(spark, root, Map("version_as_of" -> "0"))
+    intercept[Exception] { old.collect() }
+  }
+
   test("unknown options and checkpointed logs reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
