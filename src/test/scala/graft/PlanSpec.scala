@@ -197,6 +197,39 @@ class PlanSpec extends SparkSpec {
     assert(!pTop.contains("CartesianProduct"))
   }
 
+  test("l11: change feed joins its tiny timestamp frame by broadcast; no cartesian") {
+    val p = plan("l11_delta_change_feed")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"version→timestamp stamping should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"feed stamping must never shuffle the corpus:\n$p")
+  }
+
+  test("s08: SemDeDup pairs only within a cell — no all-pairs fallback") {
+    val p = plan("s08_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup fell back to all-pairs:\n$p")
+    // assignment is a literal-centroid projection, not a join against a model table
+    assert(p.contains("vec_cosine"), s"native cosine missing:\n$p")
+  }
+
+  test("t12: temperature mix broadcasts its domain-rate table; corpus side is one scan") {
+    val p = plan("t12_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |domains|-row rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for a rate lookup:\n$p")
+  }
+
+  test("w02: the delta table written by the native sink reads back with pushdown intact") {
+    val p = plan("w02_delta_sink")
+    // the sink's partitioned layout serves typed partition columns through
+    // the log — the aggregate groups on the partition column with no
+    // cartesian and partial aggregation before the exchange
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
