@@ -97,6 +97,33 @@ object Sampling {
       WHERE ('0x' || substr(md5(CAST(d.$idCol AS VARCHAR)), 1, 4))::BIGINT % 65536
               / 65536.0 < r.keep_rate"""
 
+  /** PER-DOMAIN CAP — the crawl-curation rule "no domain contributes more
+    * than N documents": rows rank within their domain by (md5(id), id) —
+    * the same engine-independent lattice as every sampler here, so WHICH
+    * rows survive is deterministic and rerun-stable, not arrival-order —
+    * and rank > cap drops. One shuffle on the domain key (the unavoidable
+    * one); a skewed megadomain is one partition's window, bounded because
+    * the window computes rank only (no buffering of the frame). */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= cap)
+  }
+
+  /** DuckDB rendering of the same cap over `rel(idCol, domainCol)`. */
+  def domainCapSql(rel: String, idCol: String, domainCol: String, cap: Int): String =
+    s"""
+      SELECT * FROM (
+        SELECT $idCol, $domainCol,
+               CAST(row_number() OVER (PARTITION BY $domainCol
+                 ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS BIGINT) AS domain_rank
+        FROM $rel) x
+      WHERE domain_rank <= $cap"""
+
   /** Stratified deterministic sample: per-stratum keep-percentages, rows
     * in unlisted strata are dropped. Rates ride along as a CASE projection
     * — no join, no shuffle, any corpus size. */

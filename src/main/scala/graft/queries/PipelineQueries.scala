@@ -823,6 +823,17 @@ object PipelineQueries {
       skewedDomain(s, dir), "doc_id", "domain", alpha = 0.5),
     Some(Sampling.temperatureMixSql(skewedDomainSql, "doc_id", "domain")))
 
+  // ---------------------------------------------------------------- t13
+  // Per-domain document cap over the SAME re-skewed corpus as t12 (60%
+  // head / 30% mid / tail): cap=40 bites hard on head (300→40) and mid
+  // (150→40) while the 25-doc tail sources pass untouched. Membership is
+  // the md5 lattice, so the oracle checks WHICH rows survive, not just
+  // how many.
+  private val t13 = QueryDef(
+    "t13_domain_cap",
+    (s, dir) => Sampling.domainCap(skewedDomain(s, dir), "doc_id", "domain", cap = 40),
+    Some(Sampling.domainCapSql(skewedDomainSql, "doc_id", "domain", cap = 40)))
+
   // ---------------------------------------------------------------- s07
   // Product quantization with ADC search: per-subspace seeded L2 k-means
   // codebooks, m-byte encoding, and the asymmetric-distance top-k, all
@@ -962,5 +973,5 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
