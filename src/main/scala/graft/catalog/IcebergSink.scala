@@ -291,4 +291,99 @@ object IcebergSink {
     val hintOut = fs.create(hint, true)
     try hintOut.write(version.toString.getBytes("UTF-8")) finally hintOut.close()
   }
+
+  /** EXPIRE SNAPSHOTS — the Iceberg maintenance pass that stops metadata
+    * (and the orphaned data behind it) growing without bound: snapshots
+    * older than `retentionMs` that are NOT current are dropped from a new
+    * metadata.json version (snapshot-log trimmed to match), then any
+    * manifest, manifest-list, or data file referenced ONLY by expired
+    * snapshots is deleted. Mirrors `expireSnapshots` in iceberg-core; all
+    * bounded driver metadata work. Returns (snapshotsExpired,
+    * filesDeleted). */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
+    val rootPath = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val metaDir = new Path(rootPath, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint)) throw IcebergReadException(
+      s"`$path`: no version-hint.text — not a table this native writer manages")
+    val v = {
+      val in = fs.open(hint)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
+      .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
+        throw IcebergReadException(s"`$path`: metadata version $v missing"))
+    val meta = {
+      val in = fs.open(metaFile)
+      try mapper.readTree(in) finally in.close()
+    }
+    val currentId = meta.path("current-snapshot-id").asLong()
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val snaps = meta.path("snapshots").elements().asScala.toSeq
+    val (expired, kept) = snaps.partition { sn =>
+      sn.path("snapshot-id").asLong() != currentId &&
+        sn.path("timestamp-ms").asLong() < cutoff
+    }
+    if (expired.isEmpty) return (0, 0)
+
+    def abs(rel: String): Path = {
+      val p = new Path(rel)
+      if (p.isAbsolute) p else new Path(rootPath, p)
+    }
+    /** manifest-list path → its manifests → their data files (all as the
+      * relative/absolute strings the metadata records). */
+    def reachable(sn: com.fasterxml.jackson.databind.JsonNode): (Set[String], Set[String]) = {
+      val ml = sn.path("manifest-list").asText()
+      val manifests = {
+        val r = new DataFileReader[GenericRecord](
+          new FsInput(abs(ml), conf), new GenericDatumReader[GenericRecord]())
+        try r.iterator().asScala.map(_.get("manifest_path").toString).toSeq
+        finally r.close()
+      }
+      val dataFiles = manifests.flatMap { m =>
+        val r = new DataFileReader[GenericRecord](
+          new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
+        try r.iterator().asScala
+          .map(_.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+          .toSeq
+        finally r.close()
+      }
+      (manifests.toSet + ml, dataFiles.toSet)
+    }
+    // read EVERY reachability set before deleting anything — expired
+    // snapshots share manifests with each other (appends carry them
+    // forward), so delete-as-you-go would tear files out from under the
+    // next snapshot's walk
+    val keptRefs = kept.map(reachable)
+    val keptMeta = keptRefs.flatMap(_._1).toSet
+    val keptData = keptRefs.flatMap(_._2).toSet
+    val expiredRefs = expired.map(reachable)
+    val doomed = (expiredRefs.flatMap(_._1).toSet -- keptMeta) ++
+      (expiredRefs.flatMap(_._2).toSet -- keptData)
+    var deleted = 0
+    doomed.foreach { rel => if (fs.delete(abs(rel), false)) deleted += 1 }
+    val keptIds = kept.map(_.path("snapshot-id").asLong()).toSet
+    val newLog = meta.path("snapshot-log").elements().asScala.toSeq
+      .filter(e => keptIds.contains(e.path("snapshot-id").asLong()))
+    val newMeta = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshots",
+      mapper.createArrayNode().addAll(kept.map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()).asJava))
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log",
+      mapper.createArrayNode().addAll(newLog.map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()).asJava))
+    val newVersion = v + 1
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    if (fs.exists(target)) throw IcebergReadException(
+      s"`$path`: metadata version $newVersion already exists — another writer " +
+        "got there first")
+    val out = fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = fs.create(hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+    (expired.size, deleted)
+  }
 }

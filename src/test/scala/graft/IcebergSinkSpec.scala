@@ -67,6 +67,28 @@ class IcebergSinkSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("expireSnapshots drops old history and only its exclusively-owned files") {
+    val root = tempDir("isink_expire").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "iceberg")        // append
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg",
+      Map("overwrite" -> "true"))
+    // inside retention: nothing expires
+    assert(IcebergSink.expireSnapshots(spark, root) === ((0, 0)))
+    // zero retention: snapshots 1+2 expire; snapshot 2's manifests carried
+    // snapshot 1's files forward, and the CURRENT snapshot is the
+    // overwrite, so the old data files are exclusively-owned → deleted
+    val (expired, deleted) = IcebergSink.expireSnapshots(spark, root, retentionMs = 0L)
+    assert(expired === 2 && deleted >= 2)
+    // the table still reads (current snapshot untouched)
+    assert(readBack(root).as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    // time travel to the expired snapshots now rejects loudly at resolve
+    intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+    }
+    assert(IcebergNative.snapshots(spark, root).count() === 1L)
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
