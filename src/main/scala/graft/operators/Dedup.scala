@@ -362,4 +362,35 @@ object Dedup {
             transform(col("__kept"), x => x.getField("__line")), "\n"))
           .as("clean_text"))
   }
+
+  /** DUPLICATE-PASSAGE PAIR DETECTION — the practical rendering of exact
+    * substring dedup (the Lee et al. 2021 concern): two documents sharing
+    * ≥ `minShared` winnowing fingerprints share, by the MOSS guarantee,
+    * that many distinct ≥(shingle+window−1)-token passages — suffix-array
+    * precision without a global suffix sort. Reuses the O(n) native
+    * `winnow_minima` pass (t05), then the SAME join-free bucket shape as
+    * the LSH candidate generator: fingerprints group once, hot buckets
+    * (boilerplate passages — the 100 TB norm) are capped OUT before any
+    * pair emission, and in-bucket pairs explode from the member array —
+    * one shuffle on the fingerprint key, one on the pair key, no
+    * self-join, never all-pairs. */
+  def passagePairs(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 4, maxBucket: Int = 1000, minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), shinglesFromTokens(col("tk")).as("sh"))
+      .select(col(idCol), TextOps.hashShingles(col("sh")).as("hs"))
+      .select(col(idCol), explode(TextOps.winnowFromHashes(col("hs"), w)).as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col(idCol))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

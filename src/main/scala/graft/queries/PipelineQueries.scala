@@ -699,6 +699,36 @@ object PipelineQueries {
              list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> a + x) AS fp_sum
       FROM fp"""))
 
+  // ---------------------------------------------------------------- d12
+  // Duplicate-passage pairs: docs sharing >= 2 winnowing fingerprints (the
+  // MOSS guarantee: that many distinct multi-token passages in common) —
+  // suffix-array-style substring dedup without a global suffix sort. Same
+  // join-free capped-bucket shape as d03; the corpus's planted near-dups
+  // guarantee observable pairs. The oracle replays winnowing + buckets +
+  // pair counting in SQL.
+  private val d12 = QueryDef(
+    "d12_passage_pairs",
+    (s, dir) => Dedup.passagePairs(docs(s, dir), "text", "doc_id", minShared = 2),
+    Some(s"""
+      WITH $toksCte,
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+      sh AS (SELECT doc_id, i, ('0x' || substr(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15))::BIGINT % ${Dedup.P} AS h
+             FROM idx),
+      hs AS (SELECT doc_id, list(h ORDER BY i) AS hl FROM sh GROUP BY doc_id),
+      fp AS (SELECT doc_id,
+                    CASE WHEN len(hl) >= 4 THEN
+                      list_distinct(list_transform(generate_series(1, len(hl) - 3),
+                        i -> list_aggregate(hl[i:i+3], 'min')))
+                    ELSE [list_aggregate(hl, 'min')] END AS fps
+             FROM hs),
+      u AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+      b AS (SELECT f, count(*) AS n FROM u GROUP BY f),
+      ok AS (SELECT u.doc_id, u.f FROM u JOIN b USING (f) WHERE b.n BETWEEN 2 AND 1000),
+      p AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM ok a JOIN ok b2 ON a.f = b2.f AND a.doc_id < b2.doc_id)
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2"""))
+
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
   // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
@@ -973,5 +1003,5 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
