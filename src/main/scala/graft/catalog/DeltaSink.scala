@@ -120,7 +120,10 @@ object DeltaSink {
         throw DeltaReadException(
           s"`$path`: partition_by ${partCols.mkString(",")} does not match the " +
             s"table's partitioning ${tablePartCols.mkString(",")}")
-      if (options.contains("change_data_feed"))
+      // re-stating the CURRENT property is a no-op (a streaming sink sends
+      // its options on every batch); CHANGING it post-creation rejects
+      val tableCdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+      if (options.contains("change_data_feed") && cdf != tableCdf)
         throw Catalog.InvalidOptionException(
           "change_data_feed is a table property set at creation; it cannot be " +
             "changed by a later COPY")

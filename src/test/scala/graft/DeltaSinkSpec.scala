@@ -98,10 +98,13 @@ class DeltaSinkSpec extends SparkSpec {
     assert(feed.select("id", "_change_type", "_commit_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       === Set((1L, "insert", 0L), (2L, "insert", 1L)))
-    // the property is create-time only
+    // re-stating the current property is a no-op (streaming sinks re-send
+    // options every batch); CHANGING it post-creation rejects
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta",
+      Map("change_data_feed" -> "true"))
     val e = intercept[Catalog.InvalidOptionException] {
-      Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta",
-        Map("change_data_feed" -> "true"))
+      Sinks.copyTo(Seq((4L, "d")).toDF("id", "v"), root, "delta",
+        Map("change_data_feed" -> "false"))
     }
     assert(e.getMessage.contains("creation"))
   }
