@@ -332,6 +332,28 @@ object SqlApi {
     """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*$""".r
   private val executeRe =
     """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // COPY (SELECT ...) TO '<path>' (FORMAT ..., KEY value, ...)  |
+  // COPY table TO '<path>' (...) — the source is a parenthesized query or
+  // a (possibly schema-qualified, possibly quoted) table name
+  private val copyRe =
+    """(?is)^\s*COPY\s+(\(.+\)|[A-Za-z_"][\w".]*)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+
+  /** Split on commas at paren depth 0 (COPY option lists may carry
+    * parenthesized values like PARTITION_BY (a, b)). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   private val deallocRe =
     """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)\s*;?\s*$""".r
   private val searchPathRe =
@@ -473,6 +495,33 @@ object SqlApi {
       // the reference's own lifecycle: CREATE FOREIGN DATA WRAPPER /
       // SERVER / USER MAPPING / FOREIGN TABLE, and their DROPs
       FdwDdl.execute(spark, s, pgSchemas(spark))
+    case copyRe(src, path, opts) =>
+      // the reference's COPY statements run as plain SQL through its
+      // executor hook (tests/tests/fixtures/tables/duckdb_types.rs:65:
+      // `COPY t TO '<path>' (FORMAT PARQUET)`); here COPY routes to the
+      // validated Sinks surface — subquery or table source, options as
+      // (KEY value, ...) pairs, FORMAT picking the writer (parquet/csv/
+      // json/delta/iceberg)
+      val frame =
+        if (src.trim.startsWith("("))
+          executePg(spark, src.trim.stripPrefix("(").stripSuffix(")"))
+        else executePg(spark, s"SELECT * FROM ${src.trim}")
+      val parsed: Map[String, String] = Option(opts).filter(_.trim.nonEmpty)
+        .map(splitTopLevel(_).flatMap { kv =>
+          val t = kv.trim
+          if (t.isEmpty) None
+          else {
+            val sp = t.indexWhere(_.isWhitespace)
+            val (k, v) = if (sp < 0) (t, "true") else (t.take(sp), t.drop(sp).trim)
+            val clean = v.stripPrefix("(").stripSuffix(")")
+              .stripPrefix("'").stripSuffix("'").trim
+            Some(k.toLowerCase -> clean)
+          }
+        }.toMap)
+        .getOrElse(Map.empty)
+      val format = parsed.getOrElse("format", "parquet").toLowerCase
+      graft.catalog.Sinks.copyTo(frame, path, format, parsed - "format")
+      commandOk(spark)
     case _ =>
       spark.sql(PgDialect.rewrite(registerTableFunctions(spark,
         rewriteAsOf(spark, sql))))

@@ -504,6 +504,31 @@ class PgDialectCorpusSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("reference COPY corpus (duckdb_types.rs:65): COPY table/query TO path") {
+    fixture
+    val dir = tempDir("pgcopy")
+    // the reference's exact statement shape, table source
+    SqlApi.executePg(spark,
+      s"COPY primitive TO '$dir/prim_out' (FORMAT PARQUET)")
+    assert(spark.read.parquet(s"$dir/prim_out").count() === 3L)
+    // subquery source + options (partitioned parquet)
+    SqlApi.executePg(spark,
+      s"""COPY (SELECT int32_col, utf8_col FROM primitive WHERE int32_col >= 0)
+          TO '$dir/part_out' (FORMAT PARQUET, PARTITION_BY utf8_col)""")
+    val back = spark.read.parquet(s"$dir/part_out")
+    assert(back.count() === 2L && back.columns.contains("utf8_col"))
+    // FORMAT delta routes to the native Delta writer, readable back natively
+    SqlApi.executePg(spark,
+      s"COPY (SELECT int32_col, utf8_col FROM primitive) TO '$dir/delta_out' (FORMAT delta)")
+    assert(graft.sources.DeltaNative.read(spark, s"$dir/delta_out", Map.empty)
+      .count() === 3L)
+    // unknown option still rejects loudly through the Sinks validation
+    intercept[graft.catalog.Catalog.InvalidOptionException] {
+      SqlApi.executePg(spark,
+        s"COPY primitive TO '$dir/bad' (FORMAT PARQUET, BOGUS 1)")
+    }
+  }
+
   test("reference ROW constructor corpus (duckdb_types.rs:143)") {
     // the duckdb_types fixture builds struct values with ROW('abc','def');
     // ROW( maps to struct( — and ROW_NUMBER()/ROWS BETWEEN stay untouched
