@@ -62,7 +62,14 @@ object IcebergSink {
       {"name":"content","type":["null","int"],"default":null},
       {"name":"sequence_number","type":["null","long"],"default":null}]}""")
 
-  def write(df: DataFrame, path: String, options: Map[String, String]): Unit = {
+  /** `txn = Some((appId, version))` makes the commit IDEMPOTENT for
+    * streaming micro-batch replays: the pair lands in the snapshot summary
+    * (`graft-app-id` / `graft-batch-version` — the summary is a free-form
+    * string map per the spec, the same place iceberg's own Spark sink
+    * records its checkpoint lineage) and a write at or below the app's
+    * highest committed version is silently skipped. */
+  def write(df: DataFrame, path: String, options: Map[String, String],
+      txn: Option[(String, Long)] = None): Unit = {
     options.keys.find(k => !validOptions.contains(k.toLowerCase)).foreach { k =>
       throw Catalog.InvalidOptionException(
         s"invalid COPY option `$k` for format `iceberg`; valid options: " +
@@ -156,6 +163,15 @@ object IcebergSink {
         .map(_.path("sequence-number").asLong(0L)).maxOption.getOrElse(0L)
       prevSnapshotsJson = meta.path("snapshots").elements().asScala
         .map(mapper.writeValueAsString).toSeq
+      // idempotence gate: this txn (micro-batch) already landed → no-op
+      txn.foreach { case (appId, v2) =>
+        val committed = meta.path("snapshots").elements().asScala
+          .map(_.path("summary"))
+          .filter(s0 => s0.path("graft-app-id").asText("") == appId)
+          .map(_.path("graft-batch-version").asText("-1").toLong)
+          .maxOption.getOrElse(Long.MinValue)
+        if (committed >= v2) return
+      }
       prevSnapshotLog = meta.path("snapshot-log").elements().asScala
         .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
       val current = meta.path("snapshots").elements().asScala
@@ -261,7 +277,12 @@ object IcebergSink {
       if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
-      sn.putObject("summary").put("operation", if (overwrite) "overwrite" else "append")
+      val summary = sn.putObject("summary")
+      summary.put("operation", if (overwrite) "overwrite" else "append")
+      txn.foreach { case (appId, v2) =>
+        summary.put("graft-app-id", appId)
+        summary.put("graft-batch-version", v2.toString)
+      }
       sn.put("manifest-list", mlRel)
       mapper.writeValueAsString(sn)
     }

@@ -552,6 +552,52 @@ object StreamingQueries {
       SELECT lang, count(*) AS n, sum(n_chars) AS chars
       FROM documents GROUP BY lang"""))
 
+  // ---------------------------------------------------------------- x11
+  // STREAMING INTO ICEBERG: the iceberg-commit sink lands each micro-batch
+  // as one snapshot (summary carries the exactly-once app/batch ledger);
+  // the result re-reads through the NATIVE metadata reader. Two drains →
+  // two snapshots; the oracle is the plain batch aggregate, so a lost or
+  // doubled batch fails rows AND hash. Both sides exceed the reference
+  // (DuckDB's iceberg extension is read-only, src/duckdb/iceberg.rs).
+  private val x11 = QueryDef(
+    "x11_stream_iceberg_sink",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = new java.io.File(
+        s"/root/repo/target/export/${new java.io.File(dir).getName}/iceberg_sink_x11")
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val in = MemoryStream[(Long, String, Long)](1)
+      withReplayConf(s, 1) {
+        val q = Streams.writeIcebergStream(
+          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x11-app").start()
+        try {
+          val rows = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .orderBy(col("doc_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          val (first, second) = rows.splitAt(rows.length / 2)
+          in.addData(first.toSeq)
+          q.processAllAvailable() // snapshot 1 (creates the table)
+          in.addData(second.toSeq)
+          q.processAllAvailable() // snapshot 2 (append)
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x11_iceberg_rt", "iceberg", Map("files" -> root.getPath))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      FROM documents GROUP BY lang"""))
+
   // ---------------------------------------------------------------- x08
   // STREAMING ICEBERG INGESTION: the snapshot-log is the offset ledger
   // (iceberg-follow V1 source). Snapshot 1 is live when the query starts;
@@ -622,5 +668,5 @@ object StreamingQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
 }

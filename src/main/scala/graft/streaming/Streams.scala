@@ -175,6 +175,16 @@ object Streams {
       .option("files", root).option("app_id", appId)
       .outputMode("append")
 
+  /** Structured Streaming INTO a native Iceberg table — append-mode
+    * writer through the iceberg-commit sink: each micro-batch becomes one
+    * snapshot whose summary records the (appId, batchId) ledger, so batch
+    * re-delivery after a crash is recognized and skipped (exactly-once). */
+  def writeIcebergStream(stream: DataFrame, root: String,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.format("iceberg-commit")
+      .option("files", root).option("app_id", appId)
+      .outputMode("append")
+
   /** Structured Streaming over a native Iceberg table root — follows the
     * snapshot-log, emitting the full snapshot first and then each new
     * snapshot's file set-diff (see

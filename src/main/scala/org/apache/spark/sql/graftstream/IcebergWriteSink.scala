@@ -1,0 +1,57 @@
+package org.apache.spark.sql.graftstream
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.catalog.IcebergSink
+
+/** STRUCTURED STREAMING into a native Iceberg table — `writeStream
+  * .format("iceberg-commit")` with no iceberg jar, the streaming face of
+  * the batch writer (`catalog/IcebergSink`). Exactly-once: every
+  * micro-batch's snapshot summary records `graft-app-id` +
+  * `graft-batch-version` (the summary is a free-form string map per the
+  * spec), and a re-delivered batchId at or below the app's highest
+  * committed version is recognized from the metadata and skipped — the
+  * same ledger shape the delta-commit sink derives from Delta's txn
+  * actions. `app_id` is REQUIRED and stable per logical stream. */
+class IcebergWriteSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  override def shortName(): String = "iceberg-commit"
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    if (outputMode != OutputMode.Append())
+      throw new IllegalArgumentException(
+        s"iceberg-commit supports Append output mode only (got $outputMode): a " +
+          "snapshot append cannot retract rows")
+    if (partitionColumns.nonEmpty)
+      throw new IllegalArgumentException(
+        "iceberg-commit writes unpartitioned layouts (the native writer's scope); " +
+          "drop partitionBy or use an iceberg connector jar")
+    val root = parameters.getOrElse("files", parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "iceberg-commit needs `files` (table root) in options")))
+    val appId = parameters.getOrElse("app_id", throw new IllegalArgumentException(
+      "iceberg-commit needs `app_id` (stable stream identity for exactly-once " +
+        "batch tracking)"))
+    new IcebergWriteSink(sqlContext.sparkSession.asInstanceOf[CSparkSession],
+      root, appId, parameters)
+  }
+}
+
+class IcebergWriteSink(spark: CSparkSession, root: String, appId: String,
+    parameters: Map[String, String]) extends Sink {
+
+  private val writeOpts: Map[String, String] =
+    parameters -- Seq("files", "path", "app_id", "checkpointLocation")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    IcebergSink.write(batch, root, writeOpts, txn = Some((appId, batchId)))
+  }
+
+  override def toString: String = s"IcebergWriteSink[$root, app=$appId]"
+}

@@ -67,6 +67,22 @@ class IcebergSinkSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("snapshot-summary batch ledger makes streaming commits idempotent") {
+    val root = tempDir("isink_txn").getPath
+    val df = Seq((1L, "a")).toDF("id", "v")
+    IcebergSink.write(df, root, Map.empty, txn = Some(("app1", 0L)))
+    // re-delivered batch: same app + version → silent no-op
+    IcebergSink.write(df, root, Map.empty, txn = Some(("app1", 0L)))
+    assert(readBack(root).count() === 1L)
+    IcebergSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("app1", 1L)))
+    IcebergSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("app2", 0L))) // independent app ledger
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    assert(IcebergNative.snapshots(spark, root).count() === 3L)
+  }
+
   test("expireSnapshots drops old history and only its exclusively-owned files") {
     val root = tempDir("isink_expire").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
