@@ -415,11 +415,10 @@ object Similarity {
                   FROM c, cents$iters p) x WHERE ar = 1)"""
   }
 
-  /** DuckDB rendering of the full learned-IVF chain (oracle side): the
-    * k-means iterations unroll into one assign+update CTE pair each.
-    * Expects relations `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
-  def ivfLearnedSql(k: Int, kCells: Int = 4, iters: Int = 2,
-      nprobe: Int = 2): String = {
+  /** CTE chain of the learned-IVF search, ending at
+    * `ranked(q_id, vec_id, rank, cos_sim)` — shared by the full oracle and
+    * the recall evaluator. Expects `q(q_id, qv)` / `c(vec_id, cv)`. */
+  def ivfRankedCtes(kCells: Int, iters: Int, nprobe: Int): String = {
     def cos(a: String, b: String) = cosineSql(a, b)
     s"""${kmeansCelledSql(kCells, iters)},
       routed AS (SELECT q_id, qv, cell FROM (
@@ -432,9 +431,51 @@ object Similarity {
       ranked AS (SELECT q_id, vec_id,
                         CAST(row_number() OVER (PARTITION BY q_id
                           ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
-                 FROM scored)
-      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
+                 FROM scored)"""
   }
+
+  /** DuckDB rendering of the full learned-IVF chain (oracle side): the
+    * k-means iterations unroll into one assign+update CTE pair each.
+    * Expects relations `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
+  def ivfLearnedSql(k: Int, kCells: Int = 4, iters: Int = 2,
+      nprobe: Int = 2): String =
+    s"""${ivfRankedCtes(kCells, iters, nprobe)}
+      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= $k"""
+
+  /** RECALL@K EVALUATION — the measurement every ANN deployment owes its
+    * users: per query, the fraction of the EXACT cosine top-k that the
+    * learned-IVF search (kCells cells, nprobe probes) recovered. Both
+    * sides are the deterministic operators above, so recall itself is
+    * deterministic and replays in SQL — quality measured under the same
+    * hash gate as the operators it measures. */
+  def recallAtK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(queries, candidates, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = ivfTopKLearned(queries, candidates, k, kCells, iters, nprobe)
+      .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("__hit")).as("n_hits"),
+        (count(col("__hit")).cast("double") / lit(k)).as("recall_at_k"))
+  }
+
+  /** DuckDB rendering of recallAtK. Expects `q(q_id, qv)` / `c(vec_id, cv)`. */
+  def recallAtKSql(k: Int, kCells: Int = 4, iters: Int = 2,
+      nprobe: Int = 2): String =
+    s"""${ivfRankedCtes(kCells, iters, nprobe)},
+      approx AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $k),
+      ex_scored AS (SELECT q_id, vec_id, ${cosineSql("qv", "cv")} AS cos_sim FROM q, c),
+      ex_ranked AS (SELECT q_id, vec_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS r
+                    FROM ex_scored),
+      exact AS (SELECT q_id, vec_id FROM ex_ranked WHERE r <= $k)
+      SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             CAST(count(a.vec_id) AS DOUBLE) / $k AS recall_at_k
+      FROM exact e LEFT JOIN approx a
+        ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id"""
 
   // ------------------------------------------------------------ SemDeDup
 

@@ -303,6 +303,25 @@ object PipelineQueries {
       WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
       ${Similarity.semDedupSql(threshold = 0.35, kCells = 4, iters = 2)}"""))
 
+  // ---------------------------------------------------------------- s09
+  // RECALL@10 of the learned-IVF search against the exact top-10 — ANN
+  // quality measured under the same hash gate as the operators themselves
+  // (nprobe=2 of 4 cells recovers a verifiable, non-trivial fraction).
+  private val s09 = QueryDef(
+    "s09_ann_recall_eval",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.recallAtK(queries, candidates, 10, kCells = 4, iters = 2, nprobe = 2)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.recallAtKSql(10, kCells = 4, iters = 2, nprobe = 2)}"""))
+
   // ---------------------------------------------------------------- d07
   // KMV distinct sketch vs exact: deterministic over a fixed hash, so the
   // ESTIMATE itself hash-matches DuckDB (unlike HLL). Buffer is 64 longs —
@@ -1003,5 +1022,5 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
