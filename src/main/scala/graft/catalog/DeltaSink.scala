@@ -135,46 +135,7 @@ object DeltaSink {
     }
 
     // ---- distributed data write into a temp dir, then move under root ----
-    val tmp = new Path(rootPath,
-      s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    var w = df.write.mode("overwrite")
-    options.get("compression").foreach(v => w = w.option("compression", v))
-    options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
-    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-    w.parquet(tmp.toString)
-
-    final case class NewFile(rel: String, size: Long, modTime: Long,
-      partitionValues: Map[String, String], stats: String)
-    val moved = Seq.newBuilder[NewFile]
-    try {
-      val tmpQ = fs.makeQualified(tmp).toString
-      val it = fs.listFiles(tmp, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          // partition values from the hive path components Spark laid down
-          val relToTmp = fs.makeQualified(st.getPath).toString
-            .stripPrefix(tmpQ).stripPrefix("/")
-          val comps = relToTmp.split('/')
-          val pv: Map[String, String] = comps.dropRight(1).flatMap { c =>
-            c.split("=", 2) match {
-              case Array(k, v) =>
-                val dec = java.net.URLDecoder.decode(v, "UTF-8")
-                Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
-              case _ => None
-            }
-          }.toMap
-          val dest = new Path(rootPath, relToTmp)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw DeltaReadException(s"`$path`: failed to move ${st.getPath} into the table")
-          val destSt = fs.getFileStatus(dest)
-          moved += NewFile(relToTmp, destSt.getLen, destSt.getModificationTime,
-            pv, footerStats(spark, dest, df.schema, partCols))
-        }
-      }
-    } finally fs.delete(tmp, true)
-    val newFiles = moved.result()
+    val newFiles = writeDataFiles(df, rootPath, partCols, options)
 
     // ---- one commit JSON, atomically placed at the next version ----
     val version = if (creating) 0L else commits.last._1 + 1
@@ -227,6 +188,205 @@ object DeltaSink {
         s"`$path`: commit $version already exists — another writer got there " +
           "first; this native writer does not do optimistic-concurrency retry")
     }
+  }
+
+  private final case class NewFile(rel: String, size: Long, modTime: Long,
+    partitionValues: Map[String, String], stats: String)
+
+  /** Distributed parquet write into a temp dir under `rootPath`, then move
+    * each part (preserving hive partition dirs) under the root — returns
+    * one NewFile per part with true size and footer-derived stats. */
+  private def writeDataFiles(df: DataFrame, rootPath: Path, partCols: Seq[String],
+      options: Map[String, String],
+      subDir: Option[String] = None): Seq[NewFile] = {
+    val spark = df.sparkSession
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(rootPath,
+      s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    var w = df.write.mode("overwrite")
+    options.get("compression").foreach(v => w = w.option("compression", v))
+    options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    w.parquet(tmp.toString)
+    val moved = Seq.newBuilder[NewFile]
+    try {
+      val tmpQ = fs.makeQualified(tmp).toString
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          // partition values from the hive path components Spark laid down
+          val inTmp = fs.makeQualified(st.getPath).toString
+            .stripPrefix(tmpQ).stripPrefix("/")
+          val relToRoot = subDir.fold(inTmp)(d => s"$d/$inTmp")
+          val comps = inTmp.split('/')
+          val pv: Map[String, String] = comps.dropRight(1).flatMap { c =>
+            c.split("=", 2) match {
+              case Array(k, v) =>
+                val dec = java.net.URLDecoder.decode(v, "UTF-8")
+                Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
+              case _ => None
+            }
+          }.toMap
+          val dest = new Path(rootPath, relToRoot)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw DeltaReadException(s"`$rootPath`: failed to move ${st.getPath} into the table")
+          val destSt = fs.getFileStatus(dest)
+          moved += NewFile(relToRoot, destSt.getLen, destSt.getModificationTime,
+            pv, footerStats(spark, dest, df.schema, partCols))
+        }
+      }
+    } finally fs.delete(tmp, true)
+    moved.result()
+  }
+
+  /** DELETE FROM — row-level deletion on a native Delta table (copy-on-
+    * write, the delta-spark DELETE arrangement): ONE pruned scan finds the
+    * files that actually hold matching rows (predicate pushdown + the
+    * log's stats skip everything else), only those files rewrite — their
+    * surviving rows land as new files via the same partitioned write path
+    * as COPY — and one commit tombstones the originals (dataChange=true)
+    * and adds the rewrites. On a `change_data_feed` table the commit also
+    * carries a `cdc` action whose change file holds the deleted rows as
+    * `_change_type='delete'` — so the CDF reader (l11) reports EXACTLY the
+    * deleted rows, not whole-file noise. Returns the number of rows
+    * deleted (0 = no commit written).
+    *
+    * `predicateSql` may reference data AND partition columns (files are
+    * scanned with their log partition values attached). Scope gates as the
+    * writer: no checkpoints, no column mapping, no deletion vectors. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    if (!fs.exists(logDir))
+      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
+    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
+      throw DeltaReadException(
+        s"`$path`: the log holds a checkpoint — use a delta connector jar")
+    val commitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    }).sortBy(_._1)
+    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
+    var schemaJsonT: Option[String] = None
+    var partColsT: Seq[String] = Nil
+    var tableConf = Map.empty[String, String]
+    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          schemaJsonT = Some(m.path("schemaString").asText())
+          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          tableConf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
+            throw DeltaReadException(
+              s"`$path`: deletion-vector files — use a delta connector jar for DELETE")
+          live(a.path("path").asText()) = a.path("partitionValues").fields().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+        }
+        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+      }
+    }
+    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables — use a delta connector jar for DELETE")
+    if (live.isEmpty) return 0L
+    val schema = DataType.fromJson(schemaJsonT.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    val cdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+
+    def resolve(rel: String): String = {
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    // input_file_name() emits URI forms (file:///x); Path normalizes both
+    // spellings to one key space
+    def norm(s: String): String = new Path(s).toString
+    val relByAbs: Map[String, String] = live.keys.map(r => norm(resolve(r)) -> r).toMap
+
+    // one scan over the live files, log partition values attached per file
+    // (union of per-partition-tuple scans — hive AND non-hive layouts);
+    // within each branch the predicate pushes down to parquet as usual
+    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val byTuple = live.toSeq.groupBy(_._2)
+    val scans = byTuple.toSeq.map { case (pv, files) =>
+      var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      partColsT.foreach { pc =>
+        val f = schema(schema.fieldIndex(pc))
+        s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+      }
+      s0.select(schema.fieldNames.map(col).toSeq :+
+        input_file_name().as("__file"): _*)
+    }
+    val full = scans.reduce(_ unionByName _)
+    val pred = expr(predicateSql)
+    val affectedAbs = full.filter(pred).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affectedAbs.isEmpty) return 0L
+    val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
+      throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
+
+    // survivors + deleted rows come from the SAME bounded re-scan of only
+    // the affected files
+    val affectedScan = full.filter(col("__file").isin(affectedAbs: _*))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val survivors = affectedScan.filter(!pred)
+    val deletedCount = affectedScan.filter(pred).count()
+    val newFiles = writeDataFiles(survivors, rootPath, partColsT, Map.empty)
+    // cdc files follow the data-file shape: partition columns live in the
+    // ACTION's partitionValues (hive dirs under _change_data), the file
+    // holds data columns + _change_type — exactly what the CDF reader
+    // (DeltaChanges) reconstructs
+    val cdcFiles =
+      if (!cdf) Nil
+      else writeDataFiles(
+        affectedScan.filter(pred)
+          .withColumn("_change_type", lit("delete")),
+        rootPath, partColsT, Map.empty, subDir = Some("_change_data"))
+
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DELETE","operationParameters":{"predicate":${esc(predicateSql)}}}}"""
+    cdcFiles.foreach { f =>
+      val pvNode = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      lines += s"""{"cdc":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},"size":${f.size},"dataChange":false}}"""
+    }
+    affectedRel.foreach { rel =>
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    newFiles.foreach { f =>
+      val pvNode = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""stats":${esc(f.stats)}}}"""
+    }
+    val version = commits.last._1 + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw DeltaReadException(
+      s"`$path`: commit $version already exists — another writer got there first")
+    val out = fs.create(target, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    deletedCount
   }
 
   /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that

@@ -332,6 +332,10 @@ object SqlApi {
     """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*$""".r
   private val executeRe =
     """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // DELETE FROM <table> WHERE <predicate>
+  private val deleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
   // COPY (SELECT ...) TO '<path>' (FORMAT ..., KEY value, ...)  |
   // COPY table TO '<path>' (...) — the source is a parenthesized query or
   // a (possibly schema-qualified, possibly quoted) table name
@@ -495,6 +499,25 @@ object SqlApi {
       // the reference's own lifecycle: CREATE FOREIGN DATA WRAPPER /
       // SERVER / USER MAPPING / FOREIGN TABLE, and their DROPs
       FdwDdl.execute(spark, s, pgSchemas(spark))
+    case deleteRe(table, where) =>
+      // DELETE FROM <attached delta table> WHERE ... — routes to the native
+      // copy-on-write deleter and re-attaches so the view sees the new
+      // snapshot. Only delta attaches carry a rewrite path; others reject.
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"DELETE FROM `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta"))
+        throw new IllegalArgumentException(
+          s"DELETE FROM `$name`: row-level delete is implemented for delta " +
+            s"attaches (got format `$fmt`)")
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"DELETE FROM `$name`: attach carries no files path"))
+      val n = graft.catalog.DeltaSink.deleteWhere(spark,
+        rootOpt, PgDialect.rewrite(where))
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      import spark.implicits._
+      Seq(n).toDF("rows_deleted")
     case copyRe(src, path, opts) =>
       // the reference's COPY statements run as plain SQL through its
       // executor hook (tests/tests/fixtures/tables/duckdb_types.rs:65:

@@ -193,6 +193,64 @@ class DeltaSinkSpec extends SparkSpec {
     intercept[Exception] { old.collect() }
   }
 
+  test("DELETE FROM: copy-on-write rewrite of only the files holding matches") {
+    val root = tempDir("dsink_del").getPath
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    Sinks.copyTo(df.repartitionByRange(2, col("id")), root, "delta")
+    // ids 1,2 in file A; 3,4 in file B — deleting id=4 must touch only B
+    val n = DeltaSink.deleteWhere(spark, root, "id = 4")
+    assert(n === 1L)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    val h = DeltaNative.history(spark, root).orderBy("version").collect()
+    assert(h.last.getString(2) === "DELETE")
+    assert(h.last.getLong(5) === 1L, "only the matching file tombstones")
+    // no-match predicate: no commit at all
+    assert(DeltaSink.deleteWhere(spark, root, "id = 99") === 0L)
+    assert(DeltaNative.history(spark, root).count() === h.length.toLong)
+  }
+
+  test("DELETE on a partitioned CDF table emits exact row-level cdc deletes") {
+    val root = tempDir("dsink_del_cdf").getPath
+    Sinks.copyTo(
+      Seq((1L, "us"), (2L, "us"), (3L, "eu")).toDF("id", "region"),
+      root, "delta",
+      Map("partition_by" -> "region", "change_data_feed" -> "true"))
+    // predicate mixes a data column and a partition column
+    val n = DeltaSink.deleteWhere(spark, root, "region = 'us' AND id >= 2")
+    assert(n === 1L)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L))
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+    val ch = feed.select("id", "region", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // EXACTLY the deleted row — not whole-file noise: id=1 shares the us
+    // file and must NOT appear in the feed
+    assert(ch === Set((2L, "us", "delete")))
+  }
+
+  test("DELETE FROM routes through executePg on an attached delta table") {
+    val root = tempDir("dsink_del_sql").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root, "delta")
+    Catalog.attach(spark, "del_sql_t", "delta", Map("files" -> root))
+    val r = graft.sqlapi.SqlApi.executePg(spark,
+      "DELETE FROM del_sql_t WHERE id >= 2").head()
+    assert(r.getLong(0) === 2L)
+    // the attached view sees the post-delete snapshot without re-attaching
+    assert(spark.table("del_sql_t").select("id").as[Long].collect().toSeq
+      === Seq(1L))
+    // non-delta attaches reject loudly
+    val pq = tempDir("dsink_del_sql_pq")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(pq.getPath + "/t.parquet")
+    Catalog.attach(spark, "del_sql_pq", "parquet",
+      Map("files" -> (pq.getPath + "/t.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "DELETE FROM del_sql_pq WHERE id = 1")
+    }
+    assert(e.getMessage.contains("delta"))
+  }
+
   test("unknown options and checkpointed logs reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
