@@ -257,7 +257,24 @@ object DeltaSink {
     * scanned with their log partition values attached). Scope gates as the
     * writer: no checkpoints, no column mapping, no deletion vectors. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
-      predicateSql: String): Long = {
+      predicateSql: String): Long =
+    copyOnWriteDml(spark, path, predicateSql, Map.empty)
+
+  /** UPDATE — row-level update on a native Delta table, same copy-on-write
+    * core as DELETE: only files holding matching rows rewrite, carrying
+    * their non-matching rows unchanged and their matching rows transformed
+    * by `setExprs` (column → SQL expression over the PRE-update row; a
+    * partition column may be set — rewritten rows land in their new
+    * partition directories). On a CDF table the commit's cdc files carry
+    * update_preimage + update_postimage rows. Returns rows updated. */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, setExprs: Map[String, String]): Long = {
+    require(setExprs.nonEmpty, "updateWhere needs at least one SET column")
+    copyOnWriteDml(spark, path, predicateSql, setExprs)
+  }
+
+  private def copyOnWriteDml(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, setExprs: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -339,27 +356,49 @@ object DeltaSink {
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
       throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
 
-    // survivors + deleted rows come from the SAME bounded re-scan of only
+    // survivors + changed rows come from the SAME bounded re-scan of only
     // the affected files
     val affectedScan = full.filter(col("__file").isin(affectedAbs: _*))
       .select(schema.fieldNames.map(col).toSeq: _*)
-    val survivors = affectedScan.filter(!pred)
-    val deletedCount = affectedScan.filter(pred).count()
+    val isUpdate = setExprs.nonEmpty
+    setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
+      throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
+    }
+    val matching = affectedScan.filter(pred)
+    // SET expressions evaluate against the PRE-update row (one projection,
+    // standard UPDATE semantics — a SET referencing another SET column
+    // sees the old value)
+    val updated =
+      if (!isUpdate) null
+      else matching.select(schema.fields.map { f =>
+        setExprs.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+    val survivors =
+      if (isUpdate) affectedScan.filter(!pred).unionByName(updated)
+      else affectedScan.filter(!pred)
+    val changedCount = matching.count()
     val newFiles = writeDataFiles(survivors, rootPath, partColsT, Map.empty)
     // cdc files follow the data-file shape: partition columns live in the
     // ACTION's partitionValues (hive dirs under _change_data), the file
     // holds data columns + _change_type — exactly what the CDF reader
     // (DeltaChanges) reconstructs
+    val cdcFrame =
+      if (!cdf) null
+      else if (isUpdate)
+        matching.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
+      else matching.withColumn("_change_type", lit("delete"))
     val cdcFiles =
-      if (!cdf) Nil
-      else writeDataFiles(
-        affectedScan.filter(pred)
-          .withColumn("_change_type", lit("delete")),
-        rootPath, partColsT, Map.empty, subDir = Some("_change_data"))
+      if (cdcFrame == null) Nil
+      else writeDataFiles(cdcFrame, rootPath, partColsT, Map.empty,
+        subDir = Some("_change_data"))
 
     def esc(s: String): String = mapper.writeValueAsString(s)
+    val opName = if (isUpdate) "UPDATE" else "DELETE"
     val lines = Seq.newBuilder[String]
-    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DELETE","operationParameters":{"predicate":${esc(predicateSql)}}}}"""
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"$opName","operationParameters":{"predicate":${esc(predicateSql)}}}}"""
     cdcFiles.foreach { f =>
       val pvNode = mapper.createObjectNode()
       f.partitionValues.foreach { case (k, v) =>
@@ -386,7 +425,7 @@ object DeltaSink {
     val out = fs.create(target, false)
     try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    deletedCount
+    changedCount
   }
 
   /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that

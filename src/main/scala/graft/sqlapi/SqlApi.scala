@@ -332,6 +332,10 @@ object SqlApi {
     """(?is)^\s*PREPARE\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*$""".r
   private val executeRe =
     """(?is)^\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // UPDATE <table> SET <col = expr, ...> WHERE <predicate>
+  private val updateRe =
+    """(?is)^\s*UPDATE\s+("?[A-Za-z_][\w"]*"?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
   // DELETE FROM <table> WHERE <predicate>
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
@@ -518,6 +522,31 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(n).toDF("rows_deleted")
+    case updateRe(table, sets, where) =>
+      // UPDATE <attached delta table> SET col = expr, ... WHERE ... — the
+      // copy-on-write updater; SET expressions see the PRE-update row
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta"))
+        throw new IllegalArgumentException(
+          s"UPDATE `$name`: row-level update is implemented for delta " +
+            s"attaches (got format `$fmt`)")
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"UPDATE `$name`: attach carries no files path"))
+      val setMap: Map[String, String] = splitTopLevel(sets).map { s =>
+        val i = s.indexOf('=')
+        if (i <= 0) throw new IllegalArgumentException(
+          s"UPDATE `$name`: malformed SET item `${s.trim}`")
+        s.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
+          PgDialect.rewrite(s.drop(i + 1).trim)
+      }.toMap
+      val n = graft.catalog.DeltaSink.updateWhere(spark, rootOpt,
+        PgDialect.rewrite(where), setMap)
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      import spark.implicits._
+      Seq(n).toDF("rows_updated")
     case copyRe(src, path, opts) =>
       // the reference's COPY statements run as plain SQL through its
       // executor hook (tests/tests/fixtures/tables/duckdb_types.rs:65:

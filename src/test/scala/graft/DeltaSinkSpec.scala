@@ -251,6 +251,49 @@ class DeltaSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("delta"))
   }
 
+  test("UPDATE: copy-on-write, SET sees the pre-update row, CDF pre/postimage") {
+    val root = tempDir("dsink_upd").getPath
+    Sinks.copyTo(Seq((1L, 10L, "us"), (2L, 20L, "us"), (3L, 30L, "eu"))
+      .toDF("id", "amount", "region"),
+      root, "delta",
+      Map("partition_by" -> "region", "change_data_feed" -> "true"))
+    // swap-style SET: both expressions see the PRE-update row
+    val n = DeltaSink.updateWhere(spark, root, "region = 'us' AND id >= 2",
+      Map("amount" -> "amount + id", "id" -> "id * 100"))
+    assert(n === 1L)
+    assert(readBack(root).select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (200L, 22L), (3L, 30L)))
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+    val ch = feed.select("id", "amount", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch === Set((2L, 20L, "update_preimage"), (200L, 22L, "update_postimage")))
+    // SQL route
+    Catalog.attach(spark, "upd_sql_t", "delta", Map("files" -> root))
+    val r = graft.sqlapi.SqlApi.executePg(spark,
+      "UPDATE upd_sql_t SET amount = amount * 2 WHERE id = 1").head()
+    assert(r.getLong(0) === 1L)
+    assert(spark.table("upd_sql_t").filter(col("id") === 1L)
+      .select("amount").as[Long].head() === 20L)
+    // unknown SET column rejects loudly
+    intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.updateWhere(spark, root, "id = 1", Map("bogus" -> "1"))
+    }
+  }
+
+  test("UPDATE moving a partition value lands rows in the new partition") {
+    val root = tempDir("dsink_upd_part").getPath
+    Sinks.copyTo(Seq((1L, "us"), (2L, "eu")).toDF("id", "region"),
+      root, "delta", Map("partition_by" -> "region"))
+    assert(DeltaSink.updateWhere(spark, root, "id = 2",
+      Map("region" -> "'us'")) === 1L)
+    val back = readBack(root)
+    assert(back.filter(col("region") === "us").select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    assert(back.filter(col("region") === "eu").count() === 0L)
+  }
+
   test("unknown options and checkpointed logs reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
