@@ -428,6 +428,194 @@ object DeltaSink {
     changedCount
   }
 
+  /** MERGE INTO — the upsert: `source` rows joining the table on `condSql`
+    * (reference the sides as `t.` and `s.`) update the matched target rows
+    * with `matchedSet` (column → expression over BOTH sides' pre-update
+    * values); source rows matching nothing insert (when
+    * `insertNotMatched`). Copy-on-write like DELETE/UPDATE: one join pass
+    * finds the files holding matches, only those rewrite, inserts append
+    * as new files, one commit carries it all (+ cdc rows on a CDF table:
+    * update_preimage/update_postimage/insert). Two source rows matching
+    * ONE target row is ambiguous and rejects loudly (the SQL MERGE
+    * cardinality rule). Returns (rowsUpdated, rowsInserted). */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, condSql: String,
+      matchedSet: Map[String, String],
+      insertNotMatched: Boolean = true): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    if (!fs.exists(logDir))
+      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
+    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
+      throw DeltaReadException(
+        s"`$path`: the log holds a checkpoint — use a delta connector jar")
+    val commitRe = """(\d{20})\.json""".r
+    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    }).sortBy(_._1)
+    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
+    var schemaJsonT: Option[String] = None
+    var partColsT: Seq[String] = Nil
+    var tableConf = Map.empty[String, String]
+    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val jlines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      jlines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          schemaJsonT = Some(m.path("schemaString").asText())
+          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          tableConf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
+            throw DeltaReadException(
+              s"`$path`: deletion-vector files — use a delta connector jar for MERGE")
+          live(a.path("path").asText()) = a.path("partitionValues").fields().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+        }
+        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+      }
+    }
+    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables — use a delta connector jar for MERGE")
+    val schema = DataType.fromJson(schemaJsonT.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    matchedSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
+      throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
+    }
+    schema.fieldNames.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
+      throw DeltaReadException(
+        s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
+    }
+    val cdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+
+    def resolve(rel: String): String = {
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    def norm(s: String): String = new Path(s).toString
+    val relByAbs: Map[String, String] = live.keys.map(r => norm(resolve(r)) -> r).toMap
+
+    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val target: DataFrame =
+      if (live.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.fields :+ StructField("__file", StringType)))
+      else live.toSeq.groupBy(_._2).toSeq.map { case (pv, files) =>
+        var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+        partColsT.foreach { pc =>
+          val f = schema(schema.fieldIndex(pc))
+          s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+        }
+        s0.select(schema.fieldNames.map(col).toSeq :+
+          input_file_name().as("__file"): _*)
+      }.reduce(_ unionByName _)
+
+    val srcCols = schema.fieldNames.toSeq
+    val s1 = source.select(srcCols.map(col): _*).withColumn("__s_matched", lit(true))
+    val cond = expr(condSql)
+
+    // matched pairs (cardinality-checked: one source row per target row)
+    val matchedPairs = target.alias("t").join(s1.alias("s"), cond, "inner")
+    val dupCount = matchedPairs
+      .groupBy(col("t.__file"),
+        org.apache.spark.sql.functions.xxhash64(srcCols.map(c => col(s"t.$c")): _*))
+      .count().filter(col("count") > 1).count()
+    if (dupCount > 0) throw DeltaReadException(
+      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    val affectedAbs = matchedPairs.select(col("t.__file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
+      throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
+
+    // rewrites: affected files' rows, matched ones transformed by SET
+    val doRewrite = matchedSet.nonEmpty && affectedAbs.nonEmpty
+    val joinedAff =
+      if (!doRewrite) null
+      else target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
+        .join(s1.alias("s"), cond, "left")
+    def newVal(f: StructField) =
+      matchedSet.get(f.name)
+        .map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(s"t.${f.name}"))
+    val rewritten =
+      if (!doRewrite) null
+      else joinedAff.select(schema.fields.map { f =>
+        org.apache.spark.sql.functions
+          .when(coalesce(col("s.__s_matched"), lit(false)), newVal(f))
+          .otherwise(col(s"t.${f.name}")).as(f.name)
+      }.toSeq: _*)
+    val updatedRows =
+      if (!doRewrite) null
+      else matchedPairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq: _*)
+    val preRows =
+      if (!doRewrite) null
+      else matchedPairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
+    val updatedCount = if (matchedSet.isEmpty) 0L else matchedPairs.count()
+
+    // inserts: source rows matching NOTHING in the whole table
+    val inserts =
+      if (!insertNotMatched) null
+      else s1.alias("s").join(target.alias("t"), cond, "left_anti")
+        .select(srcCols.map(col): _*)
+    val insertCount = if (inserts == null) 0L else inserts.count()
+    if (updatedCount == 0L && insertCount == 0L) return (0L, 0L)
+
+    val newFiles =
+      (if (doRewrite) writeDataFiles(rewritten, rootPath, partColsT, Map.empty) else Nil) ++
+        (if (insertCount > 0) writeDataFiles(inserts, rootPath, partColsT, Map.empty) else Nil)
+    val cdcFrames = Seq(
+      if (cdf && doRewrite)
+        Some(preRows.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updatedRows.withColumn("_change_type", lit("update_postimage"))))
+      else None,
+      if (cdf && insertCount > 0)
+        Some(inserts.withColumn("_change_type", lit("insert")))
+      else None).flatten
+    val cdcFiles = cdcFrames.flatMap(f =>
+      writeDataFiles(f, rootPath, partColsT, Map.empty, subDir = Some("_change_data")))
+
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"MERGE","operationParameters":{"predicate":${esc(condSql)}}}}"""
+    cdcFiles.foreach { f =>
+      val pvNode = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      lines += s"""{"cdc":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},"size":${f.size},"dataChange":false}}"""
+    }
+    if (doRewrite) affectedRel.foreach { rel =>
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    }
+    newFiles.foreach { f =>
+      val pvNode = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""stats":${esc(f.stats)}}}"""
+    }
+    val version = commits.last._1 + 1
+    val target2 = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target2)) throw DeltaReadException(
+      s"`$path`: commit $version already exists — another writer got there first")
+    val out = fs.create(target2, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    (updatedCount, insertCount)
+  }
+
   /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that
     * keeps a 100 TB table's file count sane): live files under
     * `min_file_bytes` are grouped per partition tuple, each group with ≥2

@@ -294,6 +294,42 @@ class DeltaSinkSpec extends SparkSpec {
     assert(back.filter(col("region") === "eu").count() === 0L)
   }
 
+  test("MERGE INTO: upsert — matched rows update, unmatched source inserts, CDF exact") {
+    val root = tempDir("dsink_merge").getPath
+    Sinks.copyTo(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "amount")
+      .repartitionByRange(2, col("id")),
+      root, "delta", Map("change_data_feed" -> "true"))
+    // source updates id=3 (amount += s.amount) and inserts id=9
+    val src = Seq((3L, 5L), (9L, 90L)).toDF("id", "amount")
+    val (u, i) = DeltaSink.mergeInto(spark, root, src, "t.id = s.id",
+      Map("amount" -> "t.amount + s.amount"))
+    assert(u === 1L && i === 1L)
+    assert(readBack(root).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L), (3L, 35L), (9L, 90L)))
+    // only the file holding id=3 tombstoned (id=1,2 file untouched)
+    val h = DeltaNative.history(spark, root).orderBy("version").collect()
+    assert(h.last.getString(2) === "MERGE" && h.last.getLong(5) === 1L)
+    // CDF: exact update pre/post + insert rows, nothing for untouched ids
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+    val ch = feed.select("id", "amount", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch === Set((3L, 30L, "update_preimage"), (3L, 35L, "update_postimage"),
+      (9L, 90L, "insert")))
+    // ambiguous source (two rows match one target) rejects loudly
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("id", "amount")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.mergeInto(spark, root, dup, "t.id = s.id",
+        Map("amount" -> "s.amount"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // insert-only merge (no matched clause): no rewrite, pure append
+    val (u2, i2) = DeltaSink.mergeInto(spark, root,
+      Seq((7L, 70L)).toDF("id", "amount"), "t.id = s.id", Map.empty)
+    assert(u2 === 0L && i2 === 1L)
+    assert(readBack(root).count() === 5L)
+  }
+
   test("unknown options and checkpointed logs reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
