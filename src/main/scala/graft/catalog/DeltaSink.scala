@@ -59,49 +59,14 @@ object DeltaSink {
     val overwrite = options.get("overwrite").exists(_.toBoolean)
     val cdf = options.get("change_data_feed").exists(_.toBoolean)
 
-    // ---- existing-table state (driver replay of the commit JSONs) ----
-    val commitRe = """(\d{20})\.json""".r
-    val commits: Seq[(Long, Path)] =
-      if (!fs.exists(logDir)) Nil
-      else fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-        case commitRe(v) => Some((v.toLong, st.getPath))
-        case _ => None
-      }).sortBy(_._1)
-    if (fs.exists(logDir) &&
-      fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
-      throw DeltaReadException(
-        s"`$path`: the log holds a checkpoint — this native writer replays " +
-          "commit JSONs only; use a delta connector jar for checkpointed tables")
-    val creating = commits.isEmpty
-    // live files + declared table shape, replayed for append-validation and
-    // overwrite tombstones
-    var tableSchemaJson: Option[String] = None
-    var tablePartCols: Seq[String] = Nil
-    var tableConf: Map[String, String] = Map.empty
-    val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
-    val txnVersions = scala.collection.mutable.Map[String, Long]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("txn")) {
-          val t = n.path("txn")
-          val app = t.path("appId").asText()
-          val v = t.path("version").asLong()
-          txnVersions(app) = math.max(v, txnVersions.getOrElse(app, Long.MinValue))
-        }
-        if (n.has("metaData")) {
-          val m = n.path("metaData")
-          tableSchemaJson = Some(m.path("schemaString").asText())
-          tablePartCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          tableConf = m.path("configuration").fields().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        }
-        if (n.has("add")) live(n.path("add").path("path").asText()) = ()
-        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
-      }
-    }
+    // ---- existing-table state (checkpoint + commit JSONs after it) ----
+    val st = replayState(spark, rootPath)
+    val creating = !st.exists
+    val tableSchemaJson = st.schemaJson
+    val tablePartCols = st.partCols
+    val tableConf = st.conf
+    val live = st.live
+    val txnVersions = st.txnVersions
     if (!creating) {
       if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
         throw DeltaReadException(
@@ -138,7 +103,7 @@ object DeltaSink {
     val newFiles = writeDataFiles(df, rootPath, partCols, options)
 
     // ---- one commit JSON, atomically placed at the next version ----
-    val version = if (creating) 0L else commits.last._1 + 1
+    val version = st.version + 1
     def esc(s: String): String = mapper.writeValueAsString(s)
     val lines = Seq.newBuilder[String]
     val op = if (creating) "CREATE TABLE AS SELECT"
@@ -192,6 +157,205 @@ object DeltaSink {
 
   private final case class NewFile(rel: String, size: Long, modTime: Long,
     partitionValues: Map[String, String], stats: String)
+
+  /** One live file in the replayed writer-side state. */
+  private final case class LiveEntry(partitionValues: Map[String, String],
+    size: Long, modTime: Long, stats: Option[String], hasDv: Boolean)
+
+  /** Writer-side table state: latest version, declared shape, live files,
+    * and the txn ledger — from a classic single-file checkpoint (when
+    * present) plus the commit JSONs after it. The same bounded driver
+    * replay every method here shares; multi-part/V2 checkpoints stay a
+    * connector-jar feature and reject loudly. */
+  private final case class TableState(version: Long, schemaJson: Option[String],
+    partCols: Seq[String], conf: Map[String, String],
+    live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
+    txnVersions: Map[String, Long], exists: Boolean)
+
+  private def replayState(spark: org.apache.spark.sql.SparkSession,
+      rootPath: Path, forbidDv: String = ""): TableState = {
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val live = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
+    if (!fs.exists(logDir))
+      return TableState(-1L, None, Nil, Map.empty, live, Map.empty, exists = false)
+    val commitRe = """(\d{20})\.json""".r
+    val allCommits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case commitRe(v) => Some((v.toLong, st.getPath))
+      case _ => None
+    }).sortBy(_._1)
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    var conf = Map.empty[String, String]
+    val txns = scala.collection.mutable.Map[String, Long]()
+    // classic checkpoint: ingest its protocol/metaData/add rows as state
+    val lastCp: Option[Long] = {
+      val lc = new Path(logDir, "_last_checkpoint")
+      if (!fs.exists(lc)) None
+      else {
+        val in = fs.open(lc)
+        val node = try mapper.readTree(in) finally in.close()
+        if (node.has("parts")) throw DeltaReadException(
+          s"`$rootPath`: multi-part checkpoints are read-only here; use a delta " +
+            "connector jar to write after one")
+        Some(node.path("version").asLong())
+      }
+    }
+    lastCp.foreach { cpV =>
+      val cpFile = new Path(logDir, f"$cpV%020d.checkpoint.parquet")
+      if (!fs.exists(cpFile)) throw DeltaReadException(
+        s"`$rootPath`: _last_checkpoint names version $cpV but " +
+          s"${cpFile.getName} does not exist (V2/UUID checkpoints are " +
+          "read-only here; use a delta connector jar)")
+      val cp = spark.read.parquet(cpFile.toString)
+      val cols = cp.schema.fieldNames.toSet
+      if (cols.contains("metaData")) {
+        cp.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
+          .selectExpr("metaData.schemaString", "metaData.partitionColumns",
+            "metaData.configuration")
+          .collect().foreach { r =>
+            schemaJson = Some(r.getString(0))
+            partCols = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+            conf = if (r.isNullAt(2)) Map.empty else r.getMap[String, String](2).toMap
+          }
+      }
+      if (cols.contains("txn")) {
+        cp.filter(org.apache.spark.sql.functions.col("txn").isNotNull)
+          .selectExpr("txn.appId", "txn.version").collect().foreach { r =>
+            txns(r.getString(0)) = math.max(r.getLong(1),
+              txns.getOrElse(r.getString(0), Long.MinValue))
+          }
+      }
+      if (cols.contains("add")) {
+        val sub = cp.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val dvSel = if (sub.contains("deletionVector"))
+          "add.deletionVector IS NOT NULL" else "false"
+        cp.filter(org.apache.spark.sql.functions.col("add").isNotNull)
+          .selectExpr("add.path", "add.partitionValues", "add.size",
+            "add.modificationTime", "add.stats", s"$dvSel AS hasDv")
+          .collect().foreach { r =>
+            if (r.getBoolean(5) && forbidDv.nonEmpty) throw DeltaReadException(
+              s"`$rootPath`: deletion-vector files — use a delta connector jar " +
+                s"for $forbidDv")
+            live(r.getString(0)) = LiveEntry(
+              if (r.isNullAt(1)) Map.empty else r.getMap[String, String](1).toMap,
+              if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3),
+              Option(r.getString(4)).filter(_.nonEmpty),
+              r.getBoolean(5))
+          }
+      }
+    }
+    val commits = allCommits.filter { case (v, _) => lastCp.forall(v > _) }
+    commits.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("txn")) {
+          val t = n.path("txn")
+          val app = t.path("appId").asText()
+          txns(app) = math.max(t.path("version").asLong(),
+            txns.getOrElse(app, Long.MinValue))
+        }
+        if (n.has("metaData")) {
+          val m = n.path("metaData")
+          schemaJson = Some(m.path("schemaString").asText())
+          partCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+          conf = m.path("configuration").fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }
+        if (n.has("add")) {
+          val a = n.path("add")
+          val hasDv = !a.path("deletionVector").isMissingNode &&
+            !a.path("deletionVector").isNull
+          if (hasDv && forbidDv.nonEmpty) throw DeltaReadException(
+            s"`$rootPath`: deletion-vector files — use a delta connector jar " +
+              s"for $forbidDv")
+          live(a.path("path").asText()) = LiveEntry(
+            a.path("partitionValues").fields().asScala
+              .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
+            a.path("size").asLong(0L),
+            a.path("modificationTime").asLong(0L),
+            Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
+              .map(_.asText()),
+            hasDv)
+        }
+        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+      }
+    }
+    val version = (lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L)
+    TableState(version, schemaJson, partCols, conf, live, txns.toMap,
+      exists = lastCp.isDefined || allCommits.nonEmpty)
+  }
+
+  /** CHECKPOINT — fold the log into one classic checkpoint parquet at the
+    * latest version + `_last_checkpoint`, so readers (including this
+    * library's own native reader and followers) replay O(live files)
+    * instead of O(all commits) — the log-bounding lever a long-lived
+    * 100 TB table needs. Commit JSONs are left in place (time travel and
+    * CDF keep their history). Returns the checkpointed version. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.spark.sql.Row
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val schemaJson = st.schemaJson.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))
+    val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+    val pvType = MapType(StringType, StringType, valueContainsNull = true)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", pvType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pvType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
+    val rows =
+      Seq(Row(Row(1, if (cdf) 4 else 2), null, null, null),
+        Row(null, Row("graft-checkpoint", schemaJson, st.partCols, st.conf), null, null)) ++
+        st.txnVersions.toSeq.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
+        st.live.toSeq.map { case (p, e) =>
+          Row(null, null, null,
+            Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull))
+        }
+    val logDir = new Path(rootPath, "_delta_log")
+    val tmp = new Path(logDir, s"_cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), cpSchema)
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = {
+      val it = fs.listFiles(tmp, true)
+      var found: Option[Path] = None
+      while (it.hasNext && found.isEmpty) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) found = Some(f.getPath)
+      }
+      found.getOrElse(throw DeltaReadException(s"`$path`: checkpoint write produced no part"))
+    }
+    val dest = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
+    if (!fs.rename(part, dest)) {
+      fs.delete(tmp, true)
+      throw DeltaReadException(s"`$path`: checkpoint at version ${st.version} already exists")
+    }
+    fs.delete(tmp, true)
+    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":${st.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    finally lc.close()
+    st.version
+  }
 
   /** Distributed parquet write into a temp dir under `rootPath`, then move
     * each part (preserving hive partition dirs) under the root — returns
@@ -279,51 +443,19 @@ object DeltaSink {
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
-    if (!fs.exists(logDir))
-      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
-    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
+    val st = replayState(spark, rootPath,
+      forbidDv = if (setExprs.nonEmpty) "UPDATE" else "DELETE")
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val partColsT = st.partCols
+    val live: Map[String, Map[String, String]] =
+      st.live.toMap.map { case (p, e) => p -> e.partitionValues }
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
       throw DeltaReadException(
-        s"`$path`: the log holds a checkpoint — use a delta connector jar")
-    val commitRe = """(\d{20})\.json""".r
-    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-      case commitRe(v) => Some((v.toLong, st.getPath))
-      case _ => None
-    }).sortBy(_._1)
-    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
-    var schemaJsonT: Option[String] = None
-    var partColsT: Seq[String] = Nil
-    var tableConf = Map.empty[String, String]
-    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("metaData")) {
-          val m = n.path("metaData")
-          schemaJsonT = Some(m.path("schemaString").asText())
-          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          tableConf = m.path("configuration").fields().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        }
-        if (n.has("add")) {
-          val a = n.path("add")
-          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
-            throw DeltaReadException(
-              s"`$path`: deletion-vector files — use a delta connector jar for DELETE")
-          live(a.path("path").asText()) = a.path("partitionValues").fields().asScala
-            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-        }
-        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
-      }
-    }
-    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
-      throw DeltaReadException(
-        s"`$path`: column-mapped tables — use a delta connector jar for DELETE")
+        s"`$path`: column-mapped tables — use a delta connector jar for DML")
     if (live.isEmpty) return 0L
-    val schema = DataType.fromJson(schemaJsonT.getOrElse(
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
-    val cdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+    val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
 
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
@@ -418,7 +550,7 @@ object DeltaSink {
         s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = commits.last._1 + 1
+    val version = st.version + 1
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -446,48 +578,15 @@ object DeltaSink {
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
-    if (!fs.exists(logDir))
-      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
-    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
-      throw DeltaReadException(
-        s"`$path`: the log holds a checkpoint — use a delta connector jar")
-    val commitRe = """(\d{20})\.json""".r
-    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-      case commitRe(v) => Some((v.toLong, st.getPath))
-      case _ => None
-    }).sortBy(_._1)
-    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
-    var schemaJsonT: Option[String] = None
-    var partColsT: Seq[String] = Nil
-    var tableConf = Map.empty[String, String]
-    val live = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val jlines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      jlines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("metaData")) {
-          val m = n.path("metaData")
-          schemaJsonT = Some(m.path("schemaString").asText())
-          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          tableConf = m.path("configuration").fields().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        }
-        if (n.has("add")) {
-          val a = n.path("add")
-          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
-            throw DeltaReadException(
-              s"`$path`: deletion-vector files — use a delta connector jar for MERGE")
-          live(a.path("path").asText()) = a.path("partitionValues").fields().asScala
-            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
-        }
-        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
-      }
-    }
-    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val st = replayState(spark, rootPath, forbidDv = "MERGE")
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val partColsT = st.partCols
+    val live: Map[String, Map[String, String]] =
+      st.live.toMap.map { case (p, e) => p -> e.partitionValues }
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
       throw DeltaReadException(
         s"`$path`: column-mapped tables — use a delta connector jar for MERGE")
-    val schema = DataType.fromJson(schemaJsonT.getOrElse(
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
     matchedSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
       throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
@@ -496,7 +595,7 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
     }
-    val cdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+    val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
 
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
@@ -606,7 +705,7 @@ object DeltaSink {
         s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = commits.last._1 + 1
+    val version = st.version + 1
     val target2 = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target2)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -632,55 +731,17 @@ object DeltaSink {
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
-    if (!fs.exists(logDir))
-      throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
-    if (fs.listStatus(logDir).exists(_.getPath.getName.contains("checkpoint")))
-      throw DeltaReadException(
-        s"`$path`: the log holds a checkpoint — use a delta connector jar")
-    val commitRe = """(\d{20})\.json""".r
-    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-      case commitRe(v) => Some((v.toLong, st.getPath))
-      case _ => None
-    }).sortBy(_._1)
-    if (commits.isEmpty) throw DeltaReadException(s"`$path`: empty _delta_log")
-    final case class LiveF(partitionValues: Map[String, String], size: Long)
-    var tableConf = Map.empty[String, String]
-    var partColsT: Seq[String] = Nil
-    var schemaJsonT: Option[String] = None
-    val live = scala.collection.mutable.LinkedHashMap[String, LiveF]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("metaData")) {
-          val m = n.path("metaData")
-          schemaJsonT = Some(m.path("schemaString").asText())
-          partColsT = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          tableConf = m.path("configuration").fields().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        }
-        if (n.has("add")) {
-          val a = n.path("add")
-          if (!a.path("deletionVector").isMissingNode && !a.path("deletionVector").isNull)
-            throw DeltaReadException(
-              s"`$path`: deletion-vector files cannot be compacted by this native " +
-                "OPTIMIZE; use a delta connector jar")
-          live(a.path("path").asText()) = LiveF(
-            a.path("partitionValues").fields().asScala
-              .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
-            a.path("size").asLong(0L))
-        }
-        if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
-      }
-    }
-    if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val st = replayState(spark, rootPath, forbidDv = "OPTIMIZE")
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val partColsT = st.partCols
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
       throw DeltaReadException(
         s"`$path`: column-mapped tables cannot be compacted by this native OPTIMIZE")
-    val groups = live.toSeq.filter(_._2.size < minFileBytes)
+    val groups = st.live.toSeq.map { case (p, e) => p -> e }
+      .filter(_._2.size < minFileBytes)
       .groupBy(_._2.partitionValues).filter(_._2.size >= 2)
     if (groups.isEmpty) return (0, 0)
-    val dataSchema = DataType.fromJson(schemaJsonT.get).asInstanceOf[StructType]
+    val dataSchema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
     def esc(s: String): String = mapper.writeValueAsString(s)
@@ -726,7 +787,7 @@ object DeltaSink {
         s""""stats":${esc(footerStats(spark, dest, dataSchema, partColsT))}}}"""
       added += 1
     }
-    val version = commits.last._1 + 1
+    val version = st.version + 1
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -747,21 +808,7 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     if (!fs.exists(logDir))
       throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
-    val commitRe = """(\d{20})\.json""".r
-    val commits = fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-      case commitRe(v) => Some((v.toLong, st.getPath))
-      case _ => None
-    }).sortBy(_._1)
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    commits.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("add")) live += n.path("add").path("path").asText()
-        if (n.has("remove")) live -= n.path("remove").path("path").asText()
-      }
-    }
+    val live = replayState(spark, rootPath).live.keySet
     val rootQ = fs.makeQualified(rootPath).toString
     val liveAbs = live.map { rel =>
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))

@@ -330,19 +330,54 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).count() === 5L)
   }
 
-  test("unknown options and checkpointed logs reject loudly") {
+  test("unknown options and foreign checkpoint layouts reject loudly") {
     val root = tempDir("dsink_rej").getPath
     intercept[Catalog.InvalidOptionException] {
       Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta",
         Map("bogus" -> "1"))
     }
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta")
-    // a checkpointed log is a connector-jar table for this writer
+    // a MULTI-PART checkpoint is a connector-jar table for this writer
     java.nio.file.Files.writeString(
-      new java.io.File(root, "_delta_log/00000000000000000000.checkpoint.parquet").toPath, "")
+      new java.io.File(root, "_delta_log/_last_checkpoint").toPath,
+      """{"version":0,"size":3,"parts":2}""")
     val e = intercept[DeltaNative.DeltaReadException] {
       Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "delta")
     }
     assert(e.getMessage.contains("checkpoint"))
+    // a UUID/V2 checkpoint (named file missing) also rejects
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "_delta_log/_last_checkpoint").toPath,
+      """{"version":0,"size":3}""")
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "delta")
+    }
+    assert(e2.getMessage.contains("checkpoint"))
+  }
+
+  test("checkpoint folds the log; writer AND reader continue past it") {
+    val root = tempDir("dsink_cp").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta",
+      Map("change_data_feed" -> "true"))
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta")
+    DeltaSink.deleteWhere(spark, root, "id = 2")
+    val cpV = DeltaSink.checkpoint(spark, root)
+    assert(cpV === 2L)
+    // the native READER resolves the snapshot through the checkpoint
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L))
+    // the WRITER continues past its own checkpoint: append + DML + txn
+    Sinks.copyTo(Seq((4L, "d")).toDF("id", "v"), root, "delta")
+    assert(DeltaSink.updateWhere(spark, root, "id = 4",
+      Map("v" -> "'dd'")) === 1L)
+    assert(readBack(root).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (3L, "c"), (4L, "dd")))
+    // txn ledger survives the fold: a pre-checkpoint batch id stays committed
+    DeltaSink.write(Seq((5L, "e")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("cp-app", 0L)))
+    DeltaSink.checkpoint(spark, root)
+    DeltaSink.write(Seq((5L, "dup")).toDF("id", "v"), root, Map.empty,
+      txn = Some(("cp-app", 0L))) // replay after fold → must no-op
+    assert(readBack(root).filter(col("id") === 5L).count() === 1L)
   }
 }
