@@ -45,10 +45,22 @@ class DeltaWriteSink(spark: CSparkSession, root: String, appId: String,
     parameters: Map[String, String], partitionColumns: Seq[String]) extends Sink {
 
   private val writeOpts: Map[String, String] =
-    (parameters -- Seq("files", "path", "app_id", "checkpointLocation")) ++
+    (parameters -- Seq("files", "path", "app_id", "checkpointLocation",
+      "checkpoint_interval")) ++
       (if (partitionColumns.nonEmpty)
         Map("partition_by" -> partitionColumns.mkString(","))
       else Map.empty)
+
+  /** Every N batches, fold the table's log into a classic checkpoint —
+    * without this a long-lived stream grows the commit list without bound
+    * and every restart's first read replays all of it. */
+  private val checkpointInterval: Option[Long] =
+    parameters.get("checkpoint_interval").map { v =>
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"checkpoint_interval must be positive: $n")
+      n
+    }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame is flagged streaming; re-wrap its executed RDD as
@@ -57,6 +69,9 @@ class DeltaWriteSink(spark: CSparkSession, root: String, appId: String,
     val batch = spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
     DeltaSink.write(batch, root, writeOpts, txn = Some((appId, batchId)))
+    checkpointInterval.foreach { n =>
+      if ((batchId + 1) % n == 0) DeltaSink.checkpoint(spark, root)
+    }
   }
 
   override def toString: String = s"DeltaWriteSink[$root, app=$appId]"

@@ -146,6 +146,20 @@ class DeltaSinkSpec extends SparkSpec {
     // one commit per non-empty micro-batch, each carrying the txn ledger
     val h = graft.sources.DeltaNative.history(spark, root)
     assert(h.count() === 2L)
+    // checkpoint_interval folds the log as the stream runs
+    val root2 = tempDir("dsink_stream_cp").getPath
+    val in2 = MemoryStream[(Long, String)](1)
+    val q2 = graft.streaming.Streams.writeDeltaStream(
+      in2.toDF().toDF("id", "v"), root2, "spec-app-cp")
+      .option("checkpoint_interval", "2")
+      .option("checkpointLocation", tempDir("dsink_stream_cp_ck").getPath)
+      .start()
+    try {
+      in2.addData(Seq((1L, "a"))); q2.processAllAvailable()
+      in2.addData(Seq((2L, "b"))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(new java.io.File(root2, "_delta_log/_last_checkpoint").exists())
+    assert(readBack(root2).count() === 2L)
     // output-mode and option contracts reject loudly
     intercept[IllegalArgumentException] {
       in.toDF().toDF("id", "v").writeStream.format("delta-commit")
