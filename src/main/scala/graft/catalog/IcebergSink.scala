@@ -321,6 +321,198 @@ object IcebergSink {
     * snapshots is deleted. Mirrors `expireSnapshots` in iceberg-core; all
     * bounded driver metadata work. Returns (snapshotsExpired,
     * filesDeleted). */
+  /** DELETE FROM — MERGE-ON-READ row-level deletion (the Iceberg v2
+    * arrangement, the OTHER industry strategy to Delta's copy-on-write):
+    * matching rows become POSITIONAL DELETE FILES — parquet of
+    * `(file_path, pos)` per the spec — referenced by a delete manifest in
+    * a new snapshot at a HIGHER sequence number, so readers (including
+    * this library's native reader) anti-join the dead positions without
+    * any data file rewriting. One pruned scan finds the positions via
+    * `_metadata.row_index`; no data moves at all — the write is
+    * O(deleted rows). Returns rows deleted (0 = no new snapshot). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rootPath = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val metaDir = new Path(rootPath, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint)) throw IcebergReadException(
+      s"`$path`: no version-hint.text — not a table this native writer manages")
+    val v = {
+      val in = fs.open(hint)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
+      .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
+        throw IcebergReadException(s"`$path`: metadata version $v missing"))
+    val meta = {
+      val in = fs.open(metaFile)
+      try mapper.readTree(in) finally in.close()
+    }
+    val currentId = meta.path("current-snapshot-id").asLong()
+    val lastSnapshotId = meta.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L)
+    val lastSeq = meta.path("snapshots").elements().asScala
+      .map(_.path("sequence-number").asLong(0L)).maxOption.getOrElse(0L)
+    val current = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == currentId).getOrElse(
+        throw IcebergReadException(s"`$path`: current snapshot $currentId not listed"))
+    def abs(rel: String): Path = {
+      val p = new Path(rel)
+      if (p.isAbsolute) p else new Path(rootPath, p)
+    }
+    val prevManifests: Seq[(String, Long)] = {
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(abs(current.path("manifest-list").asText()), conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map { rec =>
+        (rec.get("manifest_path").toString,
+          Option(rec.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse(current.path("sequence-number").asLong(0L)))
+      }.toSeq
+      finally r.close()
+    }
+    // live DATA files of the current snapshot (status != DELETED, content
+    // data) + any EXISTING positional delete files (their dead positions
+    // must not re-delete, or the returned count lies)
+    val dataFiles = Seq.newBuilder[String]
+    val priorDeleteFiles = Seq.newBuilder[String]
+    prevManifests.foreach { case (m, _) =>
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        if (status != 2) {
+          if (content == 0) dataFiles += abs(dfr.get("file_path").toString).toString
+          else if (content == 1 &&
+            dfr.get("file_format").toString.equalsIgnoreCase("PARQUET"))
+            priorDeleteFiles += abs(dfr.get("file_path").toString).toString
+        }
+      }
+      finally r.close()
+    }
+    val dataPaths = dataFiles.result()
+    if (dataPaths.isEmpty) return 0L
+
+    // one scan over the live data files: predicate finds (file, row_index);
+    // positions already dead under a prior delete file are excluded (same
+    // normalized path key space the reader uses)
+    val key = graft.sources.PathKeys.keyCol _
+    val scan = spark.read.parquet(dataPaths: _*)
+    var matches = scan.filter(expr(predicateSql))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").cast("long").as("pos"))
+    val priors = priorDeleteFiles.result()
+    if (priors.nonEmpty) {
+      val dead = spark.read.parquet(priors: _*)
+        .select(key(col("file_path")).as("__df"), col("pos").cast("long").as("__dp"))
+      matches = matches.join(dead,
+        key(col("file_path")) === col("__df") && col("pos") === col("__dp"),
+        "left_anti")
+    }
+    val deleted = matches.count()
+    if (deleted == 0L) return 0L
+
+    val snapshotId = lastSnapshotId + 1
+    val seq = lastSeq + 1
+    val nowMs = System.currentTimeMillis()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // the positional delete file(s): plain parquet (file_path, pos)
+    val tmp = new Path(rootPath, s"_graft_tmp_del_$stamp")
+    matches.write.parquet(tmp.toString)
+    val delFiles = Seq.newBuilder[(String, Long, Long)] // (rel, size, records)
+    try {
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val name = f.getPath.getName
+          val dest = new Path(new Path(rootPath, "data"), s"del-$stamp-$name")
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw IcebergReadException(s"`$path`: failed to move delete file")
+          delFiles += ((s"data/del-$stamp-$name", fs.getFileStatus(dest).getLen, 0L))
+        }
+      }
+    } finally fs.delete(tmp, true)
+
+    val manifestRel = s"metadata/m-del-$snapshotId-$stamp.avro"
+    writeAvroAt(fs, rootPath, manifestRel, entrySchema, delFiles.result().map {
+      case (rel, size, _) =>
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", Int.box(1)) // POSITION DELETES
+        d.put("file_path", rel)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", deleted)
+        d.put("file_size_in_bytes", Long.box(size))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1)
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", d)
+        e
+    })
+    val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
+    writeAvroAt(fs, rootPath, mlRel, listSchema,
+      (prevManifests :+ (manifestRel, seq)).map { case (p, sq) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", p)
+        r.put("content", if (p == manifestRel) Int.box(1) else null)
+        r.put("sequence_number", Long.box(sq))
+        r
+      })
+    val snapshotJson = {
+      val sn = mapper.createObjectNode()
+      sn.put("snapshot-id", snapshotId)
+      if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
+      sn.put("sequence-number", seq)
+      sn.put("timestamp-ms", nowMs)
+      val summary = sn.putObject("summary")
+      summary.put("operation", "delete")
+      summary.put("graft-predicate", predicateSql)
+      sn.put("manifest-list", mlRel)
+      mapper.writeValueAsString(sn)
+    }
+    val prevSnapshotsJson = meta.path("snapshots").elements().asScala
+      .map(mapper.writeValueAsString).toSeq
+    val prevSnapshotLog = meta.path("snapshot-log").elements().asScala
+      .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
+    val logJson = (prevSnapshotLog :+ ((nowMs, snapshotId))).map { case (ts, id) =>
+      s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
+    }.mkString("[", ", ", "]")
+    val newMeta = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    newMeta.put("last-updated-ms", nowMs)
+    newMeta.put("last-sequence-number", seq)
+    newMeta.put("current-snapshot-id", snapshotId)
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshots",
+      mapper.readTree((prevSnapshotsJson :+ snapshotJson).mkString("[", ",", "]")))
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log",
+      mapper.readTree(logJson))
+    val newVersion = v + 1
+    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    if (fs.exists(target)) throw IcebergReadException(
+      s"`$path`: metadata version $newVersion already exists — another writer " +
+        "got there first")
+    val out = fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = fs.create(hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+    deleted
+  }
+
+  private def writeAvroAt(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      rel: String, sch: org.apache.avro.Schema, rows: Seq[GenericRecord]): Unit = {
+    val out = fs.create(new Path(rootPath, rel), false)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, out)
+    try rows.foreach(w.append) finally w.close()
+  }
+
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val rootPath = new Path(path)

@@ -83,6 +83,37 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergNative.snapshots(spark, root).count() === 3L)
   }
 
+  test("merge-on-read DELETE: positional delete files, no data rewritten") {
+    val root = tempDir("isink_del").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), root, "iceberg")
+    val dataBefore = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val n = IcebergSink.deleteWhere(spark, root, "id = 2 OR id = 4")
+    assert(n === 2L)
+    // the native reader applies the delete files
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 3L))
+    // merge-on-read: every original data file still present, only delete
+    // files were added
+    val dataAfter = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataBefore.subsetOf(dataAfter))
+    assert((dataAfter -- dataBefore).forall(_.startsWith("del-")))
+    // repeating the predicate finds nothing new (dead positions excluded)
+    assert(IcebergSink.deleteWhere(spark, root, "id = 2 OR id = 4") === 0L)
+    // a second, different delete stacks on top
+    assert(IcebergSink.deleteWhere(spark, root, "id = 1") === 1L)
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(3L))
+    // time travel BEFORE the deletes still sees every row
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 4L)
+    // appends after a delete: new rows land at a HIGHER sequence than the
+    // delete file, so the delete must not touch them
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg")
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(3L, 9L))
+  }
+
   test("expireSnapshots drops old history and only its exclusively-owned files") {
     val root = tempDir("isink_expire").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
