@@ -598,6 +598,94 @@ object StreamingQueries {
       SELECT lang, count(*) AS n, sum(n_chars) AS chars
       FROM documents GROUP BY lang"""))
 
+  // ---------------------------------------------------------------- x12
+  // COMPOSED STREAMING LAKEHOUSE PIPELINE: table A's CHANGE DATA FEED
+  // streams through a stateless filter (keep inserts + update postimages —
+  // the "current-truth audit" shape) INTO table B via the delta-commit
+  // sink, commit 1's cdc update landing mid-stream; the result re-reads B
+  // through the native log reader. Source follow, feed semantics, the
+  // exactly-once sink, and the reader all compose in ONE query — the
+  // end-to-end pipeline a real CDC replication job runs.
+  private val x12 = QueryDef(
+    "x12_stream_cdf_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val base = s"/root/repo/target/export/${new java.io.File(dir).getName}"
+      val rootA = new java.io.File(s"$base/cdf_pipe_a_x12")
+      val rootB = new java.io.File(s"$base/cdf_pipe_b_x12")
+      Seq(rootA, rootB).foreach { r =>
+        if (r.exists()) {
+          import java.nio.file._
+          import java.util.Comparator
+          Files.walk(r.toPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        r.mkdirs()
+      }
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val odd = col("c_custkey") % 2 =!= 0
+      def part(sub: String, df: org.apache.spark.sql.DataFrame): Long = {
+        val tmp = new java.io.File(rootA, s"_tmp_${sub.replace('/', '_')}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(rootA, sub)
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.move(p.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        dest.length()
+      }
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val log = new java.io.File(rootA, "_delta_log")
+        log.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(log, f"$v%020d.json").toPath,
+          lines.mkString("", "\n", "\n"))
+      }
+      val schemaJson = cust.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val allSz = part("part-all.parquet", cust)
+      commit(0L, Seq(
+        s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT0}}}""",
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"x12-a","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+        s"""{"add":{"path":"part-all.parquet","partitionValues":{},"size":$allSz,"modificationTime":0,"dataChange":true}}"""))
+      withReplayConf(s, 1) {
+        val q = Streams.writeDeltaStream(
+          Streams.followDeltaChanges(s, rootA.getPath, startingVersion = 0L)
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(col("c_custkey"), col("c_acctbal"), col("_change_type")),
+          rootB.getPath, "x12-app").start()
+        try {
+          q.processAllAvailable() // inserts flow A → B
+          // mid-stream cdc UPDATE on A: flip negative odd balances
+          val touched = cust.filter(odd && col("c_acctbal") < 0)
+          val cdcSz = part("_change_data/cdc-1.parquet",
+            touched.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(touched
+                .withColumn("c_acctbal", -col("c_acctbal"))
+                .withColumn("_change_type", lit("update_postimage"))))
+          val fixedSz = part("part-fixed.parquet", cust
+            .withColumn("c_acctbal",
+              org.apache.spark.sql.functions.when(odd && col("c_acctbal") < 0,
+                -col("c_acctbal")).otherwise(col("c_acctbal"))))
+          commit(1L, Seq(
+            s"""{"commitInfo":{"timestamp":${FormatQueries.DeltaT1}}}""",
+            s"""{"cdc":{"path":"_change_data/cdc-1.parquet","partitionValues":{},"size":$cdcSz,"dataChange":false}}""",
+            s"""{"remove":{"path":"part-all.parquet","deletionTimestamp":0,"dataChange":true}}""",
+            s"""{"add":{"path":"part-fixed.parquet","partitionValues":{},"size":$fixedSz,"modificationTime":0,"dataChange":true}}"""))
+          q.processAllAvailable() // postimages flow A → B
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x12_pipe_b", "delta", Map("files" -> rootB.getPath))
+        .select("c_custkey", "c_acctbal", "_change_type")
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal, 'insert' AS _change_type FROM customer
+      UNION ALL
+      SELECT c_custkey, -c_acctbal, 'update_postimage'
+      FROM customer WHERE c_custkey % 2 <> 0 AND c_acctbal < 0"""))
+
   // ---------------------------------------------------------------- x08
   // STREAMING ICEBERG INGESTION: the snapshot-log is the offset ledger
   // (iceberg-follow V1 source). Snapshot 1 is live when the query starts;
@@ -668,5 +756,5 @@ object StreamingQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
 }
