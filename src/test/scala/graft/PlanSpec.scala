@@ -230,6 +230,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d12: passage pairs keep the join-free capped-bucket shape") {
+    val p = plan("d12_passage_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"passage pairing fell back to all-pairs:\n$p")
+    assert(p.contains("winnow_minima"), s"native winnow pass missing:\n$p")
+  }
+
+  test("t13: domain cap is one shuffle on the domain key, no join") {
+    val p = plan("t13_domain_cap")
+    assert(!p.contains("Join"), s"a rank cap needs no join:\n$p")
+    // exactly one Exchange: the window's partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"domain cap should shuffle once, saw $exchanges:\n$p")
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
