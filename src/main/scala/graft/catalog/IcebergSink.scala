@@ -313,26 +313,21 @@ object IcebergSink {
     try hintOut.write(version.toString.getBytes("UTF-8")) finally hintOut.close()
   }
 
-  /** EXPIRE SNAPSHOTS — the Iceberg maintenance pass that stops metadata
-    * (and the orphaned data behind it) growing without bound: snapshots
-    * older than `retentionMs` that are NOT current are dropped from a new
-    * metadata.json version (snapshot-log trimmed to match), then any
-    * manifest, manifest-list, or data file referenced ONLY by expired
-    * snapshots is deleted. Mirrors `expireSnapshots` in iceberg-core; all
-    * bounded driver metadata work. Returns (snapshotsExpired,
-    * filesDeleted). */
-  /** DELETE FROM — MERGE-ON-READ row-level deletion (the Iceberg v2
-    * arrangement, the OTHER industry strategy to Delta's copy-on-write):
-    * matching rows become POSITIONAL DELETE FILES — parquet of
-    * `(file_path, pos)` per the spec — referenced by a delete manifest in
-    * a new snapshot at a HIGHER sequence number, so readers (including
-    * this library's native reader) anti-join the dead positions without
-    * any data file rewriting. One pruned scan finds the positions via
-    * `_metadata.row_index`; no data moves at all — the write is
-    * O(deleted rows). Returns rows deleted (0 = no new snapshot). */
-  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
-      predicateSql: String): Long = {
-    import org.apache.spark.sql.functions.{col, expr}
+  // ------------------------------------------------- merge-on-read core
+  /** Current-snapshot state a row-level DML pass needs: live data files,
+    * prior positional-delete files, the manifest carry-forward list, and
+    * the counters the next commit increments. Bounded driver metadata
+    * work (the iceberg-core arrangement). */
+  private final case class MorState(
+      fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+      metaDir: Path, hint: Path, version: Long,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      lastSnapshotId: Long, lastSeq: Long,
+      prevManifests: Seq[(String, Long)],
+      dataPaths: Seq[String], priorDeleteFiles: Seq[String])
+
+  private def loadMorState(spark: org.apache.spark.sql.SparkSession,
+      path: String): MorState = {
     val rootPath = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = rootPath.getFileSystem(conf)
@@ -377,7 +372,7 @@ object IcebergSink {
     }
     // live DATA files of the current snapshot (status != DELETED, content
     // data) + any EXISTING positional delete files (their dead positions
-    // must not re-delete, or the returned count lies)
+    // must not re-affect rows, or the returned counts lie)
     val dataFiles = Seq.newBuilder[String]
     val priorDeleteFiles = Seq.newBuilder[String]
     prevManifests.foreach { case (m, _) =>
@@ -396,95 +391,165 @@ object IcebergSink {
       }
       finally r.close()
     }
-    val dataPaths = dataFiles.result()
-    if (dataPaths.isEmpty) return 0L
+    MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
+      prevManifests, dataFiles.result(), priorDeleteFiles.result())
+  }
 
-    // one scan over the live data files: predicate finds (file, row_index);
-    // positions already dead under a prior delete file are excluded (same
-    // normalized path key space the reader uses)
+  /** Table column (name, field-id) pairs from the current schema. */
+  private def schemaFieldIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Int)] = {
+    val sch = if (meta.has("schemas")) {
+      val cur = meta.path("current-schema-id").asInt(0)
+      meta.path("schemas").elements().asScala
+        .find(_.path("schema-id").asInt(-1) == cur).getOrElse(
+          throw IcebergReadException("current schema not listed in metadata"))
+    } else meta.path("schema")
+    sch.path("fields").elements().asScala
+      .map(f => (f.path("name").asText(), f.path("id").asInt())).toSeq
+  }
+
+  /** Every live row of the current snapshot with its physical coordinates
+    * (`__file`, `__pos`) — prior dead positions already anti-joined out.
+    * The one distributed scan DELETE/UPDATE/MERGE all start from; a
+    * predicate applied on top pushes below the anti-join into the parquet
+    * scan (it references only data columns). */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+      st: MorState): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val key = graft.sources.PathKeys.keyCol _
-    val scan = spark.read.parquet(dataPaths: _*)
-    var matches = scan.filter(expr(predicateSql))
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").cast("long").as("pos"))
-    val priors = priorDeleteFiles.result()
-    if (priors.nonEmpty) {
-      val dead = spark.read.parquet(priors: _*)
+    var rows = spark.read.parquet(st.dataPaths: _*)
+      .select(col("*"), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").cast("long").as("__pos"))
+    if (st.priorDeleteFiles.nonEmpty) {
+      val dead = spark.read.parquet(st.priorDeleteFiles: _*)
         .select(key(col("file_path")).as("__df"), col("pos").cast("long").as("__dp"))
-      matches = matches.join(dead,
-        key(col("file_path")) === col("__df") && col("pos") === col("__dp"),
+      rows = rows.join(dead,
+        key(col("__file")) === col("__df") && col("__pos") === col("__dp"),
         "left_anti")
     }
-    val deleted = matches.count()
-    if (deleted == 0L) return 0L
+    rows
+  }
 
-    val snapshotId = lastSnapshotId + 1
-    val seq = lastSeq + 1
-    val nowMs = System.currentTimeMillis()
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
-    // the positional delete file(s): plain parquet (file_path, pos)
-    val tmp = new Path(rootPath, s"_graft_tmp_del_$stamp")
-    matches.write.parquet(tmp.toString)
-    val delFiles = Seq.newBuilder[(String, Long, Long)] // (rel, size, records)
+  private def footerRows(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
+
+  /** Distributed parquet write of `df` → parts moved under `data/` with
+    * `prefix`, returning (rel, size, footer rows) per file. Zero-row parts
+    * are never moved, so an empty frame leaves the table untouched and
+    * returns Nil. */
+  private def writeMoved(df: DataFrame, st: MorState,
+      prefix: String): Seq[(String, Long, Long)] = {
+    val fs = st.fs
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
+    df.write.parquet(tmp.toString)
+    val out = Seq.newBuilder[(String, Long, Long)]
     try {
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val name = f.getPath.getName
-          val dest = new Path(new Path(rootPath, "data"), s"del-$stamp-$name")
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(f.getPath, dest))
-            throw IcebergReadException(s"`$path`: failed to move delete file")
-          delFiles += ((s"data/del-$stamp-$name", fs.getFileStatus(dest).getLen, 0L))
+          val rows = footerRows(f.getPath, conf)
+          if (rows > 0) {
+            val name = s"$prefix-${f.getPath.getName}"
+            val dest = new Path(new Path(st.rootPath, "data"), name)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(f.getPath, dest))
+              throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
+            out += ((s"data/$name", fs.getFileStatus(dest).getLen, rows))
+          }
         }
       }
     } finally fs.delete(tmp, true)
+    out.result()
+  }
 
-    val manifestRel = s"metadata/m-del-$snapshotId-$stamp.avro"
-    writeAvroAt(fs, rootPath, manifestRel, entrySchema, delFiles.result().map {
-      case (rel, size, _) =>
+  /** `writeMoved` with the table's parquet FIELD IDS attached (appended
+    * data files must resolve by id like the create/append path's). */
+  private def writeMorData(df: DataFrame, st: MorState,
+      prefix: String): Seq[(String, Long, Long)] = {
+    val ids = schemaFieldIds(st.meta)
+    val writeDf = df.select(ids.map { case (n, id) =>
+      org.apache.spark.sql.functions.col(n).as(n,
+        new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    }: _*)
+    writeMoved(writeDf, st, prefix)
+  }
+
+  /** One merge-on-read commit: optional positional-delete manifest +
+    * optional appended-data manifest joined to the carried-forward list,
+    * one new snapshot at the next sequence number, one new metadata.json
+    * version. Files are (rel, size, rows). */
+  private def commitMor(st: MorState, operation: String,
+      summaryExtra: Seq[(String, String)],
+      deleteFiles: Seq[(String, Long, Long)],
+      dataFiles: Seq[(String, Long, Long)]): Unit = {
+    val fs = st.fs
+    val snapshotId = st.lastSnapshotId + 1
+    val seq = st.lastSeq + 1
+    val nowMs = System.currentTimeMillis()
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    def entries(files: Seq[(String, Long, Long)], content: Option[Int]) =
+      files.map { case (rel, size, rows) =>
         val d = new GenericData.Record(dfSchema)
-        d.put("content", Int.box(1)) // POSITION DELETES
+        d.put("content", content.map(Int.box).orNull)
         d.put("file_path", rel)
         d.put("file_format", "PARQUET")
-        d.put("record_count", deleted)
+        d.put("record_count", rows)
         d.put("file_size_in_bytes", Long.box(size))
         val e = new GenericData.Record(entrySchema)
-        e.put("status", 1)
+        e.put("status", 1) // ADDED
         e.put("sequence_number", Long.box(seq))
         e.put("data_file", d)
         e
-    })
+      }
+    val newManifests = Seq.newBuilder[(String, Option[Int])]
+    if (deleteFiles.nonEmpty) {
+      val rel = s"metadata/m-del-$snapshotId-$stamp.avro"
+      writeAvroAt(fs, st.rootPath, rel, entrySchema, entries(deleteFiles, Some(1)))
+      newManifests += ((rel, Some(1)))
+    }
+    if (dataFiles.nonEmpty) {
+      val rel = s"metadata/m-$snapshotId-$stamp.avro"
+      writeAvroAt(fs, st.rootPath, rel, entrySchema, entries(dataFiles, None))
+      newManifests += ((rel, None))
+    }
     val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
-    writeAvroAt(fs, rootPath, mlRel, listSchema,
-      (prevManifests :+ (manifestRel, seq)).map { case (p, sq) =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", p)
-        r.put("content", if (p == manifestRel) Int.box(1) else null)
-        r.put("sequence_number", Long.box(sq))
-        r
-      })
+    writeAvroAt(fs, st.rootPath, mlRel, listSchema,
+      (st.prevManifests.map { case (p, sq) => (p, sq, None: Option[Int]) } ++
+        newManifests.result().map { case (p, c) => (p, seq, c) })
+        .map { case (p, sq, c) =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p)
+          r.put("content", c.map(Int.box).orNull)
+          r.put("sequence_number", Long.box(sq))
+          r
+        })
     val snapshotJson = {
       val sn = mapper.createObjectNode()
       sn.put("snapshot-id", snapshotId)
-      if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
+      if (st.lastSnapshotId > 0) sn.put("parent-snapshot-id", st.lastSnapshotId)
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
       val summary = sn.putObject("summary")
-      summary.put("operation", "delete")
-      summary.put("graft-predicate", predicateSql)
+      summary.put("operation", operation)
+      summaryExtra.foreach { case (k, v2) => summary.put(k, v2) }
       sn.put("manifest-list", mlRel)
       mapper.writeValueAsString(sn)
     }
-    val prevSnapshotsJson = meta.path("snapshots").elements().asScala
+    val prevSnapshotsJson = st.meta.path("snapshots").elements().asScala
       .map(mapper.writeValueAsString).toSeq
-    val prevSnapshotLog = meta.path("snapshot-log").elements().asScala
+    val prevSnapshotLog = st.meta.path("snapshot-log").elements().asScala
       .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
     val logJson = (prevSnapshotLog :+ ((nowMs, snapshotId))).map { case (ts, id) =>
       s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
     }.mkString("[", ", ", "]")
-    val newMeta = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     newMeta.put("last-updated-ms", nowMs)
     newMeta.put("last-sequence-number", seq)
     newMeta.put("current-snapshot-id", snapshotId)
@@ -492,17 +557,148 @@ object IcebergSink {
       mapper.readTree((prevSnapshotsJson :+ snapshotJson).mkString("[", ",", "]")))
     newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log",
       mapper.readTree(logJson))
-    val newVersion = v + 1
-    val target = new Path(metaDir, s"v$newVersion.metadata.json")
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
     if (fs.exists(target)) throw IcebergReadException(
-      s"`$path`: metadata version $newVersion already exists — another writer " +
-        "got there first")
+      s"`${st.rootPath}`: metadata version $newVersion already exists — " +
+        "another writer got there first")
     val out = fs.create(target, false)
     try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
     finally out.close()
-    val hintOut = fs.create(hint, true)
+    val hintOut = fs.create(st.hint, true)
     try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+
+  /** DELETE FROM — MERGE-ON-READ row-level deletion (the Iceberg v2
+    * arrangement, the OTHER industry strategy to Delta's copy-on-write):
+    * matching rows become POSITIONAL DELETE FILES — parquet of
+    * `(file_path, pos)` per the spec — referenced by a delete manifest in
+    * a new snapshot at a HIGHER sequence number, so readers (including
+    * this library's native reader) anti-join the dead positions without
+    * any data file rewriting. One pruned scan finds the positions via
+    * `_metadata.row_index`; no data moves at all — the write is
+    * O(deleted rows). Returns rows deleted (0 = no new snapshot). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val st = loadMorState(spark, path)
+    if (st.dataPaths.isEmpty) return 0L
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val matches = liveRows(spark, st).filter(expr(predicateSql))
+      .select(col("__file").as("file_path"), col("__pos").as("pos"))
+    val delFiles = writeMoved(matches, st, s"del-$stamp")
+    val deleted = delFiles.map(_._3).sum
+    if (deleted == 0L) return 0L
+    commitMor(st, "delete", Seq("graft-predicate" -> predicateSql), delFiles, Nil)
     deleted
+  }
+
+  /** UPDATE — merge-on-read: matched rows' positions become a positional
+    * delete file and their SET-transformed images append as new data
+    * files in the SAME snapshot — no data rewrites, O(changed rows), the
+    * mirror strategy to `DeltaSink.updateWhere`'s copy-on-write. SET
+    * expressions see the PRE-update row (the Delta writer's contract).
+    * Returns rows updated (0 = no new snapshot). */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, sets: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val st = loadMorState(spark, path)
+    if (st.dataPaths.isEmpty) return 0L
+    val names = schemaFieldIds(st.meta).map(_._1)
+    sets.keys.find(k => !names.contains(k)).foreach { k =>
+      throw IcebergReadException(
+        s"`$path`: SET column `$k` is not in the table schema")
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val rows = liveRows(spark, st)
+    val matches = rows.filter(expr(predicateSql))
+    val delFiles = writeMoved(
+      matches.select(col("__file").as("file_path"), col("__pos").as("pos")),
+      st, s"del-$stamp")
+    val updated = delFiles.map(_._3).sum
+    if (updated == 0L) return 0L
+    val dataCols = rows.schema.fields
+      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+    val updatedRows = matches.select(dataCols.map { f =>
+      sets.get(f.name).map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(f.name)).as(f.name)
+    }: _*)
+    val dataFiles = writeMorData(updatedRows, st, s"upd-$stamp")
+    commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql),
+      delFiles, dataFiles)
+    updated
+  }
+
+  /** MERGE — merge-on-read: matched target rows' positions become a
+    * positional delete file; their SET-transformed images plus unmatched
+    * source rows append as new data files — ONE snapshot, no data
+    * rewrites. `condSql` sees aliases `t` (target, incl. `__file`/`__pos`)
+    * and `s` (source); matched-SET expressions may reference both. A
+    * target row matching more than one source row rejects loudly (the
+    * SQL MERGE cardinality rule). Returns (rowsUpdated, rowsInserted). */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, condSql: String,
+      matchedSet: Map[String, String],
+      insertNotMatched: Boolean = true): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val st = loadMorState(spark, path)
+    val names = schemaFieldIds(st.meta).map(_._1)
+    matchedSet.keys.find(k => !names.contains(k)).foreach { k =>
+      throw IcebergReadException(
+        s"`$path`: SET column `$k` is not in the table schema")
+    }
+    names.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
+      throw IcebergReadException(
+        s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    if (st.dataPaths.isEmpty) {
+      // empty table: nothing matches, every source row inserts
+      if (!insertNotMatched) return (0L, 0L)
+      val dataFiles = writeMorData(source.select(names.map(col): _*), st, s"mrg-$stamp")
+      val inserted = dataFiles.map(_._3).sum
+      if (inserted == 0L) return (0L, 0L)
+      commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
+      return (0L, inserted)
+    }
+    val live0 = liveRows(spark, st)
+    val scanFields = live0.schema.fields
+      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+    val target = live0.alias("t")
+    val s1 = source.select(names.map(col): _*).alias("s")
+    val cond = expr(condSql)
+    val matchedPairs = target.join(s1, cond, "inner")
+    val dup = matchedPairs.groupBy(col("t.__file"), col("t.__pos"))
+      .count().filter(col("count") > 1).count()
+    if (dup > 0) throw IcebergReadException(
+      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    val doUpdate = matchedSet.nonEmpty
+    val delFiles =
+      if (doUpdate)
+        writeMoved(matchedPairs.select(
+          col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+          st, s"del-$stamp")
+      else Nil
+    val updated = delFiles.map(_._3).sum
+    def newVal(f: StructField) =
+      matchedSet.get(f.name).map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(s"t.${f.name}"))
+    val updFiles =
+      if (updated > 0)
+        writeMorData(matchedPairs.select(
+          scanFields.map(f => newVal(f).as(f.name)): _*), st, s"mrgu-$stamp")
+      else Nil
+    val insFiles =
+      if (insertNotMatched)
+        writeMorData(s1.join(target, cond, "left_anti").select(
+          scanFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*),
+          st, s"mrgi-$stamp")
+      else Nil
+    val inserted = insFiles.map(_._3).sum
+    if (updated == 0L && inserted == 0L) return (0L, 0L)
+    commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql),
+      delFiles, updFiles ++ insFiles)
+    (updated, inserted)
   }
 
   private def writeAvroAt(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
@@ -513,6 +709,14 @@ object IcebergSink {
     try rows.foreach(w.append) finally w.close()
   }
 
+  /** EXPIRE SNAPSHOTS — the Iceberg maintenance pass that stops metadata
+    * (and the orphaned data behind it) growing without bound: snapshots
+    * older than `retentionMs` that are NOT current are dropped from a new
+    * metadata.json version (snapshot-log trimmed to match), then any
+    * manifest, manifest-list, or data file referenced ONLY by expired
+    * snapshots is deleted. Mirrors `expireSnapshots` in iceberg-core; all
+    * bounded driver metadata work. Returns (snapshotsExpired,
+    * filesDeleted). */
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val rootPath = new Path(path)

@@ -1146,6 +1146,67 @@ object FormatQueries {
       UNION ALL
       SELECT c_custkey, c_acctbal, c_mktsegment FROM ins"""))
 
+  // ---------------------------------------------------------------- w05
+  // THE DML TRIAD, MERGE-ON-READ: the same CTAS→DELETE→UPDATE→MERGE
+  // sequence as w04 but on a native ICEBERG table, where every change is
+  // positional delete files + appended images — zero data rewrites — and
+  // the final state reads back through the native manifest reader's
+  // sequence-visibility rules. The oracle replays the identical sequence
+  // in SQL, so a delete leaking through, an update image lost, or a
+  // misapplied sequence number fails the hash. Same per-row arithmetic as
+  // w04, so the two strategies are hash-checked AGAINST EACH OTHER too.
+  private val w05 = QueryDef(
+    "w05_iceberg_dml",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w05_iceberg"
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "iceberg")
+      graft.catalog.IcebergSink.deleteWhere(s, out, "c_acctbal < 0")
+      graft.catalog.IcebergSink.updateWhere(s, out, "c_mktsegment = 'BUILDING'",
+        Map("c_acctbal" -> "c_acctbal * 2"))
+      val src = cust.filter(col("c_custkey") % 100 === 0)
+        .unionByName(cust.filter(col("c_custkey") % 100 === 1)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.catalog.IcebergSink.mergeInto(s, out, src, "t.c_custkey = s.c_custkey",
+        Map("c_acctbal" -> "t.c_acctbal + s.c_acctbal"))
+      Catalog.attach(s, "w05_customer_iceberg_dml", "iceberg", Map("files" -> out))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      d AS (SELECT * FROM base WHERE NOT (c_acctbal < 0)),
+      u AS (SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM d),
+      src AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+              WHERE c_custkey % 100 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM base
+              WHERE c_custkey % 100 = 1),
+      m AS (SELECT u.c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN u.c_acctbal + s.c_acctbal
+                        ELSE u.c_acctbal END AS c_acctbal,
+                   u.c_mktsegment
+            FROM u LEFT JOIN src s ON u.c_custkey = s.c_custkey),
+      ins AS (SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment
+              FROM src s LEFT JOIN u ON u.c_custkey = s.c_custkey
+              WHERE u.c_custkey IS NULL)
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM m
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM ins"""))
+
   // ---------------------------------------------------------------- l10
   // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg
   // reader in ONE plan — the interop query a real lakehouse migration
@@ -1205,5 +1266,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, w01, w02, w03, w04, f01)
+      l09, l10, l11, w01, w02, w03, w04, w05, f01)
 }

@@ -504,35 +504,36 @@ object SqlApi {
       // SERVER / USER MAPPING / FOREIGN TABLE, and their DROPs
       FdwDdl.execute(spark, s, pgSchemas(spark))
     case deleteRe(table, where) =>
-      // DELETE FROM <attached delta table> WHERE ... — routes to the native
-      // copy-on-write deleter and re-attaches so the view sees the new
-      // snapshot. Only delta attaches carry a rewrite path; others reject.
+      // DELETE FROM <attached lakehouse table> WHERE ... — routes to the
+      // format's native row-level strategy (delta: copy-on-write rewrite;
+      // iceberg: merge-on-read positional delete files) and re-attaches so
+      // the view sees the new snapshot. Other formats reject.
       val name = table.trim.stripPrefix("\"").stripSuffix("\"")
       val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
         throw new IllegalArgumentException(
           s"DELETE FROM `$name`: not an attached foreign table"))
-      if (!fmt.equalsIgnoreCase("delta"))
-        throw new IllegalArgumentException(
-          s"DELETE FROM `$name`: row-level delete is implemented for delta " +
-            s"attaches (got format `$fmt`)")
       val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
         s"DELETE FROM `$name`: attach carries no files path"))
-      val n = graft.catalog.DeltaSink.deleteWhere(spark,
-        rootOpt, PgDialect.rewrite(where))
+      val n = fmt.toLowerCase match {
+        case "delta" =>
+          graft.catalog.DeltaSink.deleteWhere(spark, rootOpt, PgDialect.rewrite(where))
+        case "iceberg" =>
+          graft.catalog.IcebergSink.deleteWhere(spark, rootOpt, PgDialect.rewrite(where))
+        case other => throw new IllegalArgumentException(
+          s"DELETE FROM `$name`: row-level delete is implemented for delta " +
+            s"and iceberg attaches (got format `$other`)")
+      }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(n).toDF("rows_deleted")
     case updateRe(table, sets, where) =>
-      // UPDATE <attached delta table> SET col = expr, ... WHERE ... — the
-      // copy-on-write updater; SET expressions see the PRE-update row
+      // UPDATE <attached lakehouse table> SET col = expr, ... WHERE ... —
+      // delta updates copy-on-write, iceberg merge-on-read (positional
+      // deletes + appended images); SET expressions see the PRE-update row
       val name = table.trim.stripPrefix("\"").stripSuffix("\"")
       val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
         throw new IllegalArgumentException(
           s"UPDATE `$name`: not an attached foreign table"))
-      if (!fmt.equalsIgnoreCase("delta"))
-        throw new IllegalArgumentException(
-          s"UPDATE `$name`: row-level update is implemented for delta " +
-            s"attaches (got format `$fmt`)")
       val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
         s"UPDATE `$name`: attach carries no files path"))
       val setMap: Map[String, String] = splitTopLevel(sets).map { s =>
@@ -542,8 +543,17 @@ object SqlApi {
         s.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
           PgDialect.rewrite(s.drop(i + 1).trim)
       }.toMap
-      val n = graft.catalog.DeltaSink.updateWhere(spark, rootOpt,
-        PgDialect.rewrite(where), setMap)
+      val n = fmt.toLowerCase match {
+        case "delta" =>
+          graft.catalog.DeltaSink.updateWhere(spark, rootOpt,
+            PgDialect.rewrite(where), setMap)
+        case "iceberg" =>
+          graft.catalog.IcebergSink.updateWhere(spark, rootOpt,
+            PgDialect.rewrite(where), setMap)
+        case other => throw new IllegalArgumentException(
+          s"UPDATE `$name`: row-level update is implemented for delta " +
+            s"and iceberg attaches (got format `$other`)")
+      }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(n).toDF("rows_updated")

@@ -114,6 +114,73 @@ class IcebergSinkSpec extends SparkSpec {
       === Seq(3L, 9L))
   }
 
+  test("merge-on-read UPDATE: positional deletes + appended images, no rewrites") {
+    val root = tempDir("isink_upd").getPath
+    Sinks.copyTo(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+      .repartition(2), root, "iceberg")
+    val dataBefore = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val n = IcebergSink.updateWhere(spark, root, "id >= 2",
+      Map("bal" -> "bal * 2"))
+    assert(n === 2L)
+    assert(readBack(root).orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 40.0), (3L, 60.0)))
+    // merge-on-read: every original data file survives; only delete files
+    // and appended update images were added
+    val dataAfter = new java.io.File(root, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataBefore.subsetOf(dataAfter))
+    assert((dataAfter -- dataBefore).forall(f =>
+      f.startsWith("del-") || f.startsWith("upd-")))
+    // SET sees the PRE-update row: a second update doubles again, and the
+    // appended images (not the dead originals) are what it matches
+    assert(IcebergSink.updateWhere(spark, root, "id = 2",
+      Map("bal" -> "bal + 1")) === 1L)
+    assert(readBack(root).filter("id = 2").select("bal").as[Double].head() === 41.0)
+    // no matches → no new snapshot
+    assert(IcebergSink.updateWhere(spark, root, "id = 99",
+      Map("bal" -> "0.0")) === 0L)
+    // unknown SET column rejects loudly
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.updateWhere(spark, root, "id = 1", Map("nope" -> "1"))
+    }
+    assert(e.getMessage.contains("not in the table schema"))
+    // time travel BEFORE the updates still sees the original values
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+      .filter("id = 2").select("bal").as[Double].head() === 20.0)
+  }
+
+  test("merge-on-read MERGE: matched update + unmatched insert in one snapshot") {
+    val root = tempDir("isink_mrg").getPath
+    Sinks.copyTo(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), root, "iceberg")
+    val src = Seq((2L, 5.0), (9L, 90.0)).toDF("id", "bal")
+    val (upd, ins) = IcebergSink.mergeInto(spark, root, src,
+      "t.id = s.id", Map("bal" -> "t.bal + s.bal"))
+    assert((upd, ins) === ((1L, 1L)))
+    assert(readBack(root).orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 25.0), (9L, 90.0)))
+    // one snapshot for the whole merge
+    assert(IcebergNative.snapshots(spark, root).count() === 2L)
+    // ambiguous source (two rows match one target row) rejects loudly
+    val dupSrc = Seq((1L, 1.0), (1L, 2.0)).toDF("id", "bal")
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.mergeInto(spark, root, dupSrc, "t.id = s.id",
+        Map("bal" -> "s.bal"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    // insert-only merge (no matched clause): matched rows untouched
+    val src2 = Seq((2L, 99.0), (7L, 70.0)).toDF("id", "bal")
+    assert(IcebergSink.mergeInto(spark, root, src2, "t.id = s.id", Map.empty)
+      === ((0L, 1L)))
+    assert(readBack(root).filter("id = 2").select("bal").as[Double].head() === 25.0)
+    assert(readBack(root).filter("id = 7").count() === 1L)
+    // source lacking a table column rejects loudly
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.mergeInto(spark, root, Seq(1L).toDF("id"), "t.id = s.id", Map.empty)
+    }
+    assert(e2.getMessage.contains("lacks table column"))
+  }
+
   test("expireSnapshots drops old history and only its exclusively-owned files") {
     val root = tempDir("isink_expire").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
