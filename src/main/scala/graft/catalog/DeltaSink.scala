@@ -172,8 +172,12 @@ object DeltaSink {
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
     txnVersions: Map[String, Long], exists: Boolean)
 
+  /** `stopAt = Some(v)` replays only through commit v — the historical
+    * state RESTORE diffs against. Rejects loudly when v is below a folded
+    * checkpoint (its commits may be gone) or does not exist. */
   private def replayState(spark: org.apache.spark.sql.SparkSession,
-      rootPath: Path, forbidDv: String = ""): TableState = {
+      rootPath: Path, forbidDv: String = "",
+      stopAt: Option[Long] = None): TableState = {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
     val live = scala.collection.mutable.LinkedHashMap[String, LiveEntry]()
@@ -246,7 +250,19 @@ object DeltaSink {
           }
       }
     }
-    val commits = allCommits.filter { case (v, _) => lastCp.forall(v > _) }
+    stopAt.foreach { v =>
+      if (lastCp.exists(_ > v)) throw DeltaReadException(
+        s"`$rootPath`: state at version $v is below the folded checkpoint " +
+          s"(${lastCp.get}) — its commits may be vacuumed; use a delta " +
+          "connector jar")
+      if (!allCommits.exists(_._1 == v) && !lastCp.contains(v))
+        throw DeltaReadException(
+          s"`$rootPath`: version $v does not exist (latest: " +
+            s"${(lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L)})")
+    }
+    val commits = allCommits.filter { case (v, _) =>
+      lastCp.forall(v > _) && stopAt.forall(v <= _)
+    }
     commits.foreach { case (_, p) =>
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -284,9 +300,63 @@ object DeltaSink {
         if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
       }
     }
-    val version = (lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L)
+    val version = stopAt.getOrElse(
+      (lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L))
     TableState(version, schemaJson, partCols, conf, live, txns.toMap,
       exists = lastCp.isDefined || allCommits.nonEmpty)
+  }
+
+  /** RESTORE TABLE ... TO VERSION — Delta's RESTORE command: ONE new
+    * commit whose add/remove set flips the live-file set back to version
+    * `version`'s. Files removed since then RE-ADD with their original
+    * entries (partitionValues/size/stats intact, so file skipping keeps
+    * working); files added since then REMOVE — content equals the old
+    * version, history stays, every intermediate version keeps
+    * time-traveling, and on a CDF table the bare dataChange add/removes
+    * synthesize whole-file insert/delete rows in the feed (the protocol's
+    * reading of non-cdc commits). A version below a folded checkpoint or
+    * a schema changed since then rejects loudly (schema-evolving RESTORE
+    * is a connector-jar feature). Pure bounded driver log work — zero
+    * data bytes move. Returns (filesAdded, filesRemoved). */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): (Int, Int) = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val cur = replayState(spark, rootPath, forbidDv = "RESTORE")
+    if (!cur.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val old = replayState(spark, rootPath, forbidDv = "RESTORE",
+      stopAt = Some(version))
+    if (cur.schemaJson != old.schemaJson) throw DeltaReadException(
+      s"`$path`: schema changed since version $version — schema-evolving " +
+        "RESTORE needs a delta connector jar")
+    val removes = cur.live.keys.filterNot(old.live.contains).toSeq
+    val adds = old.live.toSeq.filterNot { case (p, _) => cur.live.contains(p) }
+    if (removes.isEmpty && adds.isEmpty) return (0, 0)
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":$version}}}"""
+    removes.foreach { rel =>
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { case (rel, e) =>
+      val pvNode = mapper.createObjectNode()
+      e.partitionValues.foreach { case (k, v) =>
+        if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
+      }
+      val statsPart = e.stats.map(s0 => s""","stats":${esc(s0)}""").getOrElse("")
+      lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true$statsPart}}"""
+    }
+    val newVersion = cur.version + 1
+    val target = new Path(logDir, f"$newVersion%020d.json")
+    if (fs.exists(target)) throw DeltaReadException(
+      s"`$path`: commit $newVersion already exists — another writer got there first")
+    val out = fs.create(target, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    (adds.size, removes.size)
   }
 
   /** CHECKPOINT — fold the log into one classic checkpoint parquet at the

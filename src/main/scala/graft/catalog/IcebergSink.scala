@@ -488,7 +488,8 @@ object IcebergSink {
   private def commitMor(st: MorState, operation: String,
       summaryExtra: Seq[(String, String)],
       deleteFiles: Seq[(String, Long, Long)],
-      dataFiles: Seq[(String, Long, Long)]): Unit = {
+      dataFiles: Seq[(String, Long, Long)],
+      carryPrev: Boolean = true): Unit = {
     val fs = st.fs
     val snapshotId = st.lastSnapshotId + 1
     val seq = st.lastSeq + 1
@@ -520,9 +521,11 @@ object IcebergSink {
       newManifests += ((rel, None))
     }
     val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
+    val carried =
+      if (carryPrev) st.prevManifests.map { case (p, sq) => (p, sq, None: Option[Int]) }
+      else Nil
     writeAvroAt(fs, st.rootPath, mlRel, listSchema,
-      (st.prevManifests.map { case (p, sq) => (p, sq, None: Option[Int]) } ++
-        newManifests.result().map { case (p, c) => (p, seq, c) })
+      (carried ++ newManifests.result().map { case (p, c) => (p, seq, c) })
         .map { case (p, sq, c) =>
           val r = new GenericData.Record(listSchema)
           r.put("manifest_path", p)
@@ -707,6 +710,94 @@ object IcebergSink {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
     w.create(sch, out)
     try rows.foreach(w.append) finally w.close()
+  }
+
+  /** COMPACTION — `rewrite_data_files` plus positional-delete compaction
+    * in one pass: the current snapshot's surviving rows (delete files
+    * applied) rewrite as fresh bin-packed data files in a REPLACE snapshot
+    * that references ONLY the new manifest. Table content is
+    * snapshot-identical; fragmented data files and every positional delete
+    * file drop out of the live set (their bytes reclaim via
+    * `expireSnapshots` once history ages out — the iceberg-core
+    * arrangement). File count targets `targetFileRows` per file, sized
+    * from the manifests' record counts — no extra count job. Returns
+    * (dataFilesBefore, dataFilesAfter); (0, 0) = empty table, no commit. */
+  def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileRows: Long = 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val st = loadMorState(spark, path)
+    if (st.dataPaths.isEmpty) return (0, 0)
+    // manifest-declared row counts size the output without a count() job;
+    // delete-file record counts subtract (each dead position kills a row)
+    val conf = spark.sessionState.newHadoopConf()
+    var dataRows = 0L
+    var deadRows = 0L
+    st.prevManifests.foreach { case (m, _) =>
+      val p = new Path(m)
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(if (p.isAbsolute) p else new Path(st.rootPath, p), conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          val rows = dfr.get("record_count").asInstanceOf[Long]
+          if (content == 0) dataRows += rows else deadRows += rows
+        }
+      }
+      finally r.close()
+    }
+    val liveEstimate = math.max(1L, dataRows - deadRows)
+    val numFiles = math.max(1L, (liveEstimate + targetFileRows - 1) / targetFileRows).toInt
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val rows = liveRows(spark, st)
+    val dataCols = rows.schema.fields
+      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+    // repartition, not coalesce: coalesce would fold the scan itself down
+    // to numFiles tasks — on a large fragmented table the read must stay
+    // parallel, and the one shuffle is the same order as the write itself
+    val compacted = rows.select(dataCols.map(f => col(f.name)): _*).repartition(numFiles)
+    val dataFiles = writeMorData(compacted, st, s"cmp-$stamp")
+    commitMor(st, "replace",
+      Seq("graft-compaction" -> s"target-file-rows=$targetFileRows"),
+      Nil, dataFiles, carryPrev = false)
+    (st.dataPaths.size, dataFiles.size)
+  }
+
+  /** ROLLBACK — re-points `current-snapshot-id` at an existing (usually
+    * older) snapshot in a new metadata.json version, appending to the
+    * snapshot-log; nothing else changes, so the rolled-past snapshots stay
+    * time-travelable until expired. The iceberg `rollback_to_snapshot`
+    * procedure's arrangement. */
+  def rollbackTo(spark: org.apache.spark.sql.SparkSession, path: String,
+      snapshotId: Long): Unit = {
+    val st = loadMorState(spark, path)
+    val known = st.meta.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSeq
+    if (!known.contains(snapshotId)) throw IcebergReadException(
+      s"`$path`: cannot roll back to snapshot $snapshotId — table knows " +
+        s"snapshots ${known.sorted.mkString(", ")}")
+    val nowMs = System.currentTimeMillis()
+    val prevSnapshotLog = st.meta.path("snapshot-log").elements().asScala
+      .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
+    val logJson = (prevSnapshotLog :+ ((nowMs, snapshotId))).map { case (ts, id) =>
+      s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
+    }.mkString("[", ", ", "]")
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("last-updated-ms", nowMs)
+    newMeta.put("current-snapshot-id", snapshotId)
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log",
+      mapper.readTree(logJson))
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
+    if (st.fs.exists(target)) throw IcebergReadException(
+      s"`$path`: metadata version $newVersion already exists — another writer " +
+        "got there first")
+    val out = st.fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = st.fs.create(st.hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
   }
 
   /** EXPIRE SNAPSHOTS — the Iceberg maintenance pass that stops metadata

@@ -207,6 +207,39 @@ class DeltaSinkSpec extends SparkSpec {
     intercept[Exception] { old.collect() }
   }
 
+  test("RESTORE flips the live set back to an old version in one commit") {
+    val root = tempDir("dsink_restore").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta") // v0
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "delta")            // v1 append
+    DeltaSink.deleteWhere(spark, root, "id = 1")                           // v2 rewrite
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L))
+    val (added, removed) = DeltaSink.restore(spark, root, 0L)
+    assert(added >= 1 && removed >= 1)
+    // content equals version 0; history intact — v2's state still travels
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "2"))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val h = DeltaNative.history(spark, root).orderBy("version").collect()
+    assert(h.last.getString(2) === "RESTORE")
+    // restoring to the current state is a no-op (no new commit)
+    assert(DeltaSink.restore(spark, root, 3L) === ((0, 0)))
+    assert(DeltaNative.history(spark, root).count() === h.length.toLong)
+    // a version that never existed rejects loudly
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.restore(spark, root, 42L)
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // below a folded checkpoint rejects loudly
+    DeltaSink.checkpoint(spark, root)
+    Sinks.copyTo(Seq((7L, "g")).toDF("id", "v"), root, "delta")
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.restore(spark, root, 1L)
+    }
+    assert(e2.getMessage.contains("checkpoint"))
+  }
+
   test("DELETE FROM: copy-on-write rewrite of only the files holding matches") {
     val root = tempDir("dsink_del").getPath
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")

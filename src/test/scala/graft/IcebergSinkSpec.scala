@@ -181,6 +181,50 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("lacks table column"))
   }
 
+  test("rewriteDataFiles compacts fragments + positional deletes into a replace snapshot") {
+    val root = tempDir("isink_cmp").getPath
+    // 3 appends → 3+ data files, then a MOR delete → a delete file on top
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((4L, "d")).toDF("id", "v"), root, "iceberg")
+    IcebergSink.deleteWhere(spark, root, "id = 2")
+    val before = readBack(root).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(before === Seq((1L, "a"), (3L, "c"), (4L, "d")))
+    val (nBefore, nAfter) = IcebergSink.rewriteDataFiles(spark, root)
+    assert(nBefore >= 3 && nAfter === 1)
+    // snapshot-identical content through the native reader
+    assert(readBack(root).orderBy("id").as[(Long, String)].collect().toSeq === before)
+    // the replace snapshot carries NO delete files: deleting id=2 again
+    // finds nothing (the row is physically gone from the live set)
+    assert(IcebergSink.deleteWhere(spark, root, "id = 2") === 0L)
+    // pre-compaction history still time-travels
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 2L)
+    // appends after compaction stack normally
+    Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg")
+    assert(readBack(root).count() === 4L)
+  }
+
+  test("rollbackTo re-points the current snapshot; history intact") {
+    val root = tempDir("isink_rb").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "iceberg")
+    IcebergSink.deleteWhere(spark, root, "id = 1")
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(2L))
+    IcebergSink.rollbackTo(spark, root, 2L) // before the delete
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the rolled-past snapshot still exists (no history rewrite)
+    assert(IcebergNative.snapshots(spark, root).count() === 3L)
+    // writes after a rollback branch from the restored state
+    Sinks.copyTo(Seq((5L, "e")).toDF("id", "v"), root, "iceberg")
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 5L))
+    // unknown snapshot rejects loudly with the valid ids
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.rollbackTo(spark, root, 99L)
+    }
+    assert(e.getMessage.contains("cannot roll back"))
+  }
+
   test("expireSnapshots drops old history and only its exclusively-owned files") {
     val root = tempDir("isink_expire").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
