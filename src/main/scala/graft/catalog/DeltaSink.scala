@@ -639,11 +639,21 @@ object DeltaSink {
     * as new files, one commit carries it all (+ cdc rows on a CDF table:
     * update_preimage/update_postimage/insert). Two source rows matching
     * ONE target row is ambiguous and rejects loudly (the SQL MERGE
-    * cardinality rule). Returns (rowsUpdated, rowsInserted). */
+    * cardinality rule).
+    *
+    * Conditional clauses (the CDC-apply shape): `matchedDeleteCond` is a
+    * `WHEN MATCHED AND <cond> THEN DELETE` — matched pairs satisfying it
+    * drop the target row (cdc: `delete` rows) instead of updating;
+    * `insertCond` gates `WHEN NOT MATCHED` on a condition over the source
+    * row (e.g. `s._change_type != 'delete'`). Returns
+    * (rowsUpdated, rowsInserted); deleted rows show in the table itself
+    * and the feed. */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
       source: DataFrame, condSql: String,
       matchedSet: Map[String, String],
-      insertNotMatched: Boolean = true): (Long, Long) = {
+      insertNotMatched: Boolean = true,
+      matchedDeleteCond: Option[String] = None,
+      insertCond: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -690,7 +700,11 @@ object DeltaSink {
       }.reduce(_ unionByName _)
 
     val srcCols = schema.fieldNames.toSeq
-    val s1 = source.select(srcCols.map(col): _*).withColumn("__s_matched", lit(true))
+    // extra source columns (CDC metadata like _change_type) stay visible to
+    // matchedDeleteCond/insertCond; inserts project them away below
+    val extraCols = source.schema.fieldNames.toSeq.filterNot(srcCols.contains)
+    val s1 = source.select((srcCols ++ extraCols).map(col): _*)
+      .withColumn("__s_matched", lit(true))
     val cond = expr(condSql)
 
     // matched pairs (cardinality-checked: one source row per target row)
@@ -706,8 +720,18 @@ object DeltaSink {
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
       throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
 
-    // rewrites: affected files' rows, matched ones transformed by SET
-    val doRewrite = matchedSet.nonEmpty && affectedAbs.nonEmpty
+    // matched pairs split by the optional WHEN MATCHED ... THEN DELETE
+    // condition (over `t.` and `s.`): delete-matched rows drop out of the
+    // rewrite; the rest transform by SET. Evaluated per pair, the SQL
+    // MERGE conditional-clause rule.
+    val delPairCond = matchedDeleteCond.map(expr).getOrElse(lit(false))
+    val updatePairs = matchedPairs.filter(!delPairCond)
+    val deletePairs = matchedPairs.filter(delPairCond)
+    val deletedCount = if (matchedDeleteCond.isEmpty) 0L else deletePairs.count()
+
+    // rewrites: affected files' rows — delete-matched dropped, SET-matched
+    // transformed, unmatched carried unchanged
+    val doRewrite = (matchedSet.nonEmpty || deletedCount > 0) && affectedAbs.nonEmpty
     val joinedAff =
       if (!doRewrite) null
       else target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
@@ -716,36 +740,48 @@ object DeltaSink {
       matchedSet.get(f.name)
         .map(e => expr(e).cast(f.dataType))
         .getOrElse(col(s"t.${f.name}"))
+    val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
     val rewritten =
       if (!doRewrite) null
-      else joinedAff.select(schema.fields.map { f =>
-        org.apache.spark.sql.functions
-          .when(coalesce(col("s.__s_matched"), lit(false)), newVal(f))
-          .otherwise(col(s"t.${f.name}")).as(f.name)
-      }.toSeq: _*)
+      else joinedAff.filter(!(matchedFlag && delPairCond))
+        .select(schema.fields.map { f =>
+          org.apache.spark.sql.functions
+            .when(matchedFlag, newVal(f))
+            .otherwise(col(s"t.${f.name}")).as(f.name)
+        }.toSeq: _*)
     val updatedRows =
       if (!doRewrite) null
-      else matchedPairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq: _*)
+      else updatePairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq: _*)
     val preRows =
       if (!doRewrite) null
-      else matchedPairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
-    val updatedCount = if (matchedSet.isEmpty) 0L else matchedPairs.count()
+      else updatePairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
+    val updatedCount = if (matchedSet.isEmpty) 0L else updatePairs.count()
 
-    // inserts: source rows matching NOTHING in the whole table
+    // inserts: source rows matching NOTHING in the whole table, gated by
+    // the optional WHEN NOT MATCHED AND <cond> (over `s.` columns)
     val inserts =
       if (!insertNotMatched) null
-      else s1.alias("s").join(target.alias("t"), cond, "left_anti")
-        .select(srcCols.map(col): _*)
+      else {
+        val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
+        insertCond.map(c => unmatched.filter(expr(c))).getOrElse(unmatched)
+          .select(srcCols.map(col): _*)
+      }
     val insertCount = if (inserts == null) 0L else inserts.count()
-    if (updatedCount == 0L && insertCount == 0L) return (0L, 0L)
+    if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L)
+      return (0L, 0L)
 
     val newFiles =
       (if (doRewrite) writeDataFiles(rewritten, rootPath, partColsT, Map.empty) else Nil) ++
         (if (insertCount > 0) writeDataFiles(inserts, rootPath, partColsT, Map.empty) else Nil)
     val cdcFrames = Seq(
-      if (cdf && doRewrite)
+      if (cdf && doRewrite && updatedCount > 0)
         Some(preRows.withColumn("_change_type", lit("update_preimage"))
           .unionByName(updatedRows.withColumn("_change_type", lit("update_postimage"))))
+      else None,
+      if (cdf && deletedCount > 0)
+        Some(deletePairs
+          .select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
+          .withColumn("_change_type", lit("delete")))
       else None,
       if (cdf && insertCount > 0)
         Some(inserts.withColumn("_change_type", lit("insert")))

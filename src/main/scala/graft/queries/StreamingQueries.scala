@@ -756,5 +756,81 @@ object StreamingQueries {
     },
     Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"))
 
-  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11, x12)
+  // ---------------------------------------------------------------- x13
+  // STREAMING CDC APPLY — the continuous-replication pipeline: table A
+  // (CDF-enabled) streams its change feed into table B, each micro-batch
+  // applied as ONE conditional MERGE (delete rows remove the key,
+  // insert/update_postimage rows upsert the full row, latest-per-key
+  // within the batch). A undergoes the full w04 DML triad MID-STREAM
+  // (DELETE, UPDATE, MERGE through the native writer, which emits exact
+  // cdc rows); when the feed drains, B's content must EQUAL A's final
+  // state — the oracle replays that state in SQL, so a lost delete, a
+  // double-applied update, or a missed insert breaks the hash.
+  private val x13 = QueryDef(
+    "x13_stream_cdc_apply",
+    (s, dir) => {
+      val base = s"/root/repo/target/export/${new java.io.File(dir).getName}"
+      val rootA = new java.io.File(s"$base/cdc_apply_a_x13")
+      val rootB = new java.io.File(s"$base/cdc_apply_b_x13")
+      Seq(rootA, rootB).foreach { r =>
+        if (r.exists()) {
+          import java.nio.file._
+          import java.util.Comparator
+          Files.walk(r.toPath).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, rootA.getPath, "delta",
+        Map("change_data_feed" -> "true"))
+      withReplayConf(s, 1) {
+        val q = Streams.applyDeltaChanges(s, rootA.getPath, rootB.getPath,
+          Seq("c_custkey")).start()
+        try {
+          q.processAllAvailable() // bootstrap: the snapshot batch creates B
+          graft.catalog.DeltaSink.deleteWhere(s, rootA.getPath, "c_acctbal < 0")
+          graft.catalog.DeltaSink.updateWhere(s, rootA.getPath,
+            "c_mktsegment = 'BUILDING'", Map("c_acctbal" -> "c_acctbal * 2"))
+          q.processAllAvailable() // delete + update cdc apply to B
+          val src = cust.filter(col("c_custkey") % 100 === 0)
+            .unionByName(cust.filter(col("c_custkey") % 100 === 1)
+              .withColumn("c_custkey", col("c_custkey") + 1000000L))
+          graft.catalog.DeltaSink.mergeInto(s, rootA.getPath, src,
+            "t.c_custkey = s.c_custkey",
+            Map("c_acctbal" -> "t.c_acctbal + s.c_acctbal"))
+          q.processAllAvailable() // merge cdc (updates + inserts) applies
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x13_apply_b", "delta", Map("files" -> rootB.getPath))
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      d AS (SELECT * FROM base WHERE NOT (c_acctbal < 0)),
+      u AS (SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM d),
+      src AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM base
+              WHERE c_custkey % 100 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, c_acctbal, c_mktsegment FROM base
+              WHERE c_custkey % 100 = 1),
+      m AS (SELECT u.c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN u.c_acctbal + s.c_acctbal
+                        ELSE u.c_acctbal END AS c_acctbal,
+                   u.c_mktsegment
+            FROM u LEFT JOIN src s ON u.c_custkey = s.c_custkey),
+      ins AS (SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment
+              FROM src s LEFT JOIN u ON u.c_custkey = s.c_custkey
+              WHERE u.c_custkey IS NULL)
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM m
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM ins"""))
+
+  val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x11, x12, x13)
 }

@@ -185,6 +185,62 @@ object Streams {
       .option("files", root).option("app_id", appId)
       .outputMode("append")
 
+  /** STREAMING CDC APPLY — continuous table replication, the pattern a
+    * real CDC pipeline runs: follow the SOURCE native Delta table's change
+    * feed and apply each micro-batch to the TARGET native Delta table as
+    * ONE conditional MERGE keyed on `keyCols` — insert/update_postimage
+    * rows upsert the full row, delete rows remove the key (`WHEN MATCHED
+    * AND s._change_type = 'delete' THEN DELETE`). Within a batch spanning
+    * several source commits only the LATEST change per key applies
+    * (ordered by `_commit_version`, a same-version re-insert outranking
+    * the delete), so the target converges in one commit per batch.
+    *
+    * Exactly-once without a ledger: full-row upserts and key deletes are
+    * IDEMPOTENT against a target only this stream writes, so a
+    * re-delivered batch after a crash re-applies harmlessly (the
+    * foreachBatch arrangement). A missing target bootstraps from the
+    * feed's snapshot batch (`startingVersion = 0`). State: none held in
+    * the stream — the merge reads the target's log per batch, O(changed
+    * files) like every copy-on-write commit. */
+  def applyDeltaChanges(s: org.apache.spark.sql.SparkSession, sourceRoot: String,
+      targetRoot: String, keyCols: Seq[String], startingVersion: Long = 0L,
+      options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    val feed = followDeltaChanges(s, sourceRoot, startingVersion, options)
+    val dataCols = feed.schema.fieldNames.toSeq
+      .filterNot(Set("_change_type", "_commit_version", "_commit_timestamp"))
+    feed.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        // latest change per key in this batch: preimages drop, a re-insert
+        // at the same commit outranks its delete
+        val rank = when(col("_change_type") === "delete", 0).otherwise(1)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_commit_version").desc, rank.desc)
+        val latest = batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") === 1).drop("__rank")
+        val fs = new org.apache.hadoop.fs.Path(targetRoot)
+          .getFileSystem(sp.sessionState.newHadoopConf())
+        val exists = fs.exists(
+          new org.apache.hadoop.fs.Path(targetRoot, "_delta_log"))
+        if (!exists) {
+          // bootstrap: the feed's first batch is the source snapshot
+          val rows = latest.filter(col("_change_type") =!= "delete")
+            .select(dataCols.map(col): _*)
+          graft.catalog.DeltaSink.write(rows, targetRoot, Map.empty)
+        } else if (!latest.isEmpty) {
+          graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
+            keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
+            matchedSet = dataCols.map(c => c -> s"s.$c").toMap,
+            matchedDeleteCond = Some("s._change_type = 'delete'"),
+            insertCond = Some("s._change_type != 'delete'"))
+        }
+        ()
+    }
+  }
+
   /** Structured Streaming over a native Iceberg table root — follows the
     * snapshot-log, emitting the full snapshot first and then each new
     * snapshot's file set-diff (see

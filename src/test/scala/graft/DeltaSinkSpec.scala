@@ -207,6 +207,40 @@ class DeltaSinkSpec extends SparkSpec {
     intercept[Exception] { old.collect() }
   }
 
+  test("MERGE conditional clauses: WHEN MATCHED AND <cond> DELETE, gated insert") {
+    val root = tempDir("dsink_mrg_cond").getPath
+    Sinks.copyTo(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"),
+      root, "delta", Map("change_data_feed" -> "true"))
+    // CDC-shaped source: id=2 deletes, id=3 updates, id=9 inserts, and a
+    // delete for an unseen key (id=8) must NOT insert
+    val src = Seq(
+      (2L, 0.0, "delete"), (3L, 33.0, "update_postimage"),
+      (9L, 90.0, "insert"), (8L, 0.0, "delete"))
+      .toDF("id", "bal", "_change_type")
+    val (upd, ins) = DeltaSink.mergeInto(spark, root, src, "t.id = s.id",
+      matchedSet = Map("bal" -> "s.bal"),
+      matchedDeleteCond = Some("s._change_type = 'delete'"),
+      insertCond = Some("s._change_type != 'delete'"))
+    assert((upd, ins) === ((1L, 1L)))
+    assert(readBack(root).orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (3L, 33.0), (9L, 90.0)))
+    // the feed carries exact rows: delete for 2, pre+post for 3, insert for 9
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+    assert(feed.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((2L, "delete"), (3L, "update_preimage"),
+        (3L, "update_postimage"), (9L, "insert")))
+    // delete-only merge (no SET, no inserts) still commits the removals
+    val src2 = Seq((1L, 0.0, "delete")).toDF("id", "bal", "_change_type")
+    assert(DeltaSink.mergeInto(spark, root, src2, "t.id = s.id",
+      matchedSet = Map.empty,
+      matchedDeleteCond = Some("s._change_type = 'delete'"),
+      insertCond = Some("false")) === ((0L, 0L)))
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq
+      === Seq(3L, 9L))
+  }
+
   test("RESTORE flips the live set back to an old version in one commit") {
     val root = tempDir("dsink_restore").getPath
     Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta") // v0
