@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -1022,5 +1022,43 @@ object PipelineQueries {
       GROUP BY token
       HAVING count(*) * 1000000 >= (SELECT count(*) FROM tok) * $hhPpm"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+  // ---------------------------------------------------------------- t14
+  // URL-LEVEL DEDUP (crawl curation): documents get deterministic synthetic
+  // URLs exercising every canonicalization hazard — mixed-case scheme/host,
+  // explicit default port, www. prefix, trailing slash, tracking query,
+  // fragment, two-part TLDs — then canonicalize + registrable-domain +
+  // min-id keeper mark. The oracle replays the URL synthesis AND the whole
+  // regex chain in DuckDB (RE2-compatible by construction), so a single
+  // mis-canonicalized byte or a wrong keeper breaks the hash.
+  private val urlSynthSql =
+    """SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                   WHEN doc_id % 3 = 1 THEN 'https://www.'
+                   ELSE 'http://' END ||
+              source || '-site' ||
+              CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END ||
+              CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+              '/P/' || CAST(doc_id % 211 AS VARCHAR) ||
+              CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+              CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=1' ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+       FROM documents"""
+  private def urlSynth(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+        .when(col("doc_id") % 3 === 1, lit("https://www."))
+        .otherwise(lit("http://")),
+      col("source"), lit("-site"),
+      when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+      when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/P/"), (col("doc_id") % 211).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&id=1")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+  private val t14 = QueryDef(
+    "t14_url_dedup",
+    (s, dir) => UrlOps.urlDedupMark(urlSynth(s, dir), "url", "doc_id"),
+    Some(UrlOps.urlDedupMarkSql(urlSynthSql, "url", "doc_id")))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

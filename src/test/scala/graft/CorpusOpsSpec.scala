@@ -93,4 +93,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no-miss"))
   }
+
+  test("urlCanonicalize handles case/port/www/query/fragment/trailing-slash") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    val cases = Seq(
+      // the same page in five disguises → one canonical form
+      "HTTPS://WWW.Example.COM:443/A/b/" -> "https://example.com/A/b",
+      "https://example.com/A/b?utm_source=x&id=2" -> "https://example.com/A/b",
+      "https://www.example.com/A/b#frag" -> "https://example.com/A/b",
+      "https://example.com/A/b" -> "https://example.com/A/b",
+      "https://EXAMPLE.com/A/b/////" -> "https://example.com/A/b",
+      // :80 strips for http only; a real port stays
+      "http://h.org:80/x" -> "http://h.org/x",
+      "https://h.org:80/x" -> "https://h.org:80/x",
+      "http://h.org:8080/x" -> "http://h.org:8080/x",
+      // path case is preserved (RFC 3986: only scheme/host are case-free)
+      "http://H.org/CaseSensitive" -> "http://h.org/CaseSensitive",
+      // root URL collapses to bare authority
+      "https://www.h.org/" -> "https://h.org",
+      // no scheme: query/fragment still strip, nothing else assumed
+      "h.org/x?q=1" -> "h.org/x")
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.urlCanonicalize(col("u"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("registrableDomain: two-part suffixes, userinfo, label-less hosts") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    val cases = Seq(
+      "https://news.bbc.co.uk/x" -> "bbc.co.uk",
+      "https://a.b.example.com.au/x" -> "example.com.au",
+      "https://deep.sub.example.com/x" -> "example.com",
+      "https://user:pw@example.org/x" -> "example.org",
+      "http://localhost/x" -> "localhost",
+      "https://ex.co/x" -> "ex.co") // .co alone is NOT a two-part suffix
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.registrableDomain(col("u"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("urlDedupMark keeps the min-id row per canonical URL") {
+    import spark.implicits._
+    import graft.operators.UrlOps
+    val df = Seq(
+      (1L, "https://www.site.com/p/1"),
+      (2L, "HTTPS://SITE.com:443/p/1?utm_source=x"),
+      (3L, "https://site.com/p/2"),
+      (4L, "https://site.com/p/1#f")).toDF("id", "url")
+    val out = UrlOps.urlDedupMark(df, "url", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toSeq
+    assert(out === Seq(
+      (1L, "https://site.com/p/1", true),
+      (2L, "https://site.com/p/1", false),
+      (3L, "https://site.com/p/2", true),
+      (4L, "https://site.com/p/1", false)))
+  }
 }
