@@ -79,6 +79,7 @@ object Catalog {
             s"iceberg attaches a single table root path; got ${files.length} paths")
           graft.sources.IcebergNative.read(spark, files.head, options)
         case "delta" | "iceberg" => readConnector(spark, spec, files, options, schema)
+        case "warc" => graft.sources.Warc.read(spark, files, options)
         case other => throw Formats.UnsupportedFormatException(other)
       }
     }

@@ -90,8 +90,16 @@ object Formats {
     commonOptions ++ Set("keep_wkb", "spatial_filter_box", "spatial_filter"),
     Set("files"))
 
-  def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg, spatial)
-    .map(f => f.name -> f).toMap
+  // WARC (ISO 28500) — the crawl-archive container; native streaming
+  // record parser (sources/Warc.scala). record_type filters (e.g.
+  // 'response'); max_payload_bytes bounds per-record executor memory.
+  val warc: FormatSpec = FormatSpec(
+    "warc",
+    Set("files", "record_type", "max_payload_bytes"),
+    Set("files"))
+
+  def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg,
+    spatial, warc).map(f => f.name -> f).toMap
 
   /** Deployment jar dir the capability probe inspects — a var only so specs
     * can substitute a synthetic dir and assert both sides of the gate. */

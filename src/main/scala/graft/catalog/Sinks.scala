@@ -30,6 +30,10 @@ object Sinks {
     // FORMAT iceberg → the native Iceberg writer (metadata.json + Avro
     // manifests with field-id parquet; see IcebergSink)
     if (format.equalsIgnoreCase("iceberg")) return IcebergSink.write(df, path, options)
+    // FORMAT warc → the native WARC writer (one archive file per
+    // partition, HTTP response records; see sources/Warc)
+    if (format.equalsIgnoreCase("warc"))
+      return graft.sources.Warc.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

@@ -623,6 +623,42 @@ object FormatQueries {
         columns={'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
                  'c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'})"""))
 
+  // ---------------------------------------------------------------- c02
+  // WARC round trip under the hash gate: documents export as a REAL WARC
+  // archive (HTTP response records, one file per partition) through the
+  // native writer, then attach back through the native streaming record
+  // parser. The oracle recomputes every per-record field from the source
+  // table — URI synthesis, HTTP status, exact BODY BYTE length (UTF-8),
+  // and the body md5 — so one mis-framed byte anywhere in the record
+  // grammar (header block, Content-Length, HTTP sub-parse, terminator)
+  // breaks the hash. Unlike c01/j01 the oracle reads `documents`, so the
+  // gate scales to every stress rung.
+  private val c02 = QueryDef(
+    "c02_warc_scan",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/warc_c02"
+      val docsW = Tables.load(s, dir, "documents")
+        .select(concat(lit("http://"), col("source"), lit(".example/doc/"),
+          col("doc_id").cast("string")).as("target_uri"),
+          lit("2017-03-06T04:03:53Z").cast("timestamp").as("warc_date"),
+          lit("text/plain").as("content_type"),
+          col("text").cast("binary").as("body"))
+      graft.catalog.Sinks.copyTo(docsW, out, "warc", Map("overwrite" -> "true"))
+      Catalog.attach(s, "c02_warc", "warc",
+        Map("files" -> out, "record_type" -> "response"))
+        .select(col("target_uri"),
+          col("http_status").cast("long").as("status"),
+          length(col("http_body")).cast("long").as("n_bytes"),
+          md5(col("http_body")).as("body_md5"))
+    },
+    Some("""
+      SELECT 'http://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(200 AS BIGINT) AS status,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS body_md5
+      FROM documents"""))
+
   // ---------------------------------------------------------------- j01
   private val j01 = QueryDef(
     "j01_json_scan",
@@ -1265,6 +1301,6 @@ object FormatQueries {
       FROM nation GROUP BY n_regionkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, w01, w02, w03, w04, w05, f01)
 }
