@@ -180,4 +180,69 @@ object TextOps {
       "avg_token_len" -> (sumLen.cast("double") / nTok),
       "alpha_ratio" -> (nAlpha.cast("double") / nChars))
   }
+
+  /** CORPUS-LM QUALITY SCORE (the CCNet/Gopher perplexity-filter idea,
+    * log-free): train a Laplace-smoothed bigram model on the corpus itself
+    * — two counting passes — then score each document as the MEAN smoothed
+    * conditional probability of its bigrams,
+    * `P(b|a) = (c(a,b)+1) / (c(a)+V)`. Documents that read like the corpus
+    * score high; token salad scores near the smoothing floor. Output:
+    * (idCol, n_bigrams, lm_score); docs with <2 tokens carry no bigrams
+    * and drop.
+    *
+    * Log-free BY DESIGN: perplexity's ln() has no cross-libm bit contract,
+    * but counts are exact integers, int→double casts are exact below 2^53,
+    * IEEE division is correctly rounded, and the per-doc sum is a FIXED
+    * position-ordered left fold — so Spark and the DuckDB oracle produce
+    * bit-identical doubles (the vec_cosine discipline).
+    *
+    * Scale shape: bigram counting is one map-side-combined shuffle on
+    * (a,b); scoring joins each doc bigram to its two count tables (AQE
+    * broadcasts them when the vocab is small); V is one bounded scalar on
+    * the driver. No all-pairs, no transcendentals, no UDFs. */
+  def lmQualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(col(idCol), posexplode(expr(
+      "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS a, tk[i + 1] AS b))")))
+      .select(col(idCol), col("pos"), col("col.a").as("a"), col("col.b").as("b"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = toks.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val scored = bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .withColumn("p", (col("c_ab") + 1).cast("double") /
+        (col("c_a") + lit(vocab)).cast("double"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("lm_score",
+        expr("aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)")
+          / col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("lm_score"))
+  }
+
+  /** Oracle for [[lmQualityScore]]: `fromSql` must yield (`idCol`,
+    * `textCol`). The list_reduce left fold replays Spark's aggregate()
+    * bit-for-bit (0.0 + p1 == p1 in IEEE, every later step identical). */
+  def lmQualityScoreSql(fromSql: String, textCol: String, idCol: String): String =
+    s"""WITH src AS ($fromSql),
+        t2 AS (SELECT $idCol, regexp_extract_all(lower($textCol), '[a-z0-9]+') AS tk
+               FROM src),
+        toks AS (SELECT $idCol, tk FROM t2 WHERE len(tk) >= 2),
+        bi AS (SELECT $idCol, i AS pos, tk[i + 1] AS a, tk[i + 2] AS b
+               FROM toks, unnest(generate_series(0, len(tk) - 2)) AS u(i)),
+        cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY a, b),
+        ca AS (SELECT a, count(*) AS c_a FROM bi GROUP BY a),
+        v AS (SELECT count(DISTINCT t) AS vocab
+              FROM (SELECT unnest(tk) AS t FROM toks)),
+        scored AS (SELECT bi.$idCol, bi.pos,
+                          CAST(c_ab + 1 AS DOUBLE) /
+                          CAST(c_a + (SELECT vocab FROM v) AS DOUBLE) AS p
+                   FROM bi JOIN cab USING (a, b) JOIN ca USING (a)),
+        lists AS (SELECT $idCol, list(p ORDER BY pos) AS ps, count(*) AS n_bigrams
+                  FROM scored GROUP BY $idCol)
+        SELECT $idCol, n_bigrams,
+               list_reduce(ps, (acc, x) -> acc + x) / n_bigrams AS lm_score
+        FROM lists"""
 }

@@ -1060,5 +1060,17 @@ object PipelineQueries {
     (s, dir) => UrlOps.urlDedupMark(urlSynth(s, dir), "url", "doc_id"),
     Some(UrlOps.urlDedupMarkSql(urlSynthSql, "url", "doc_id")))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+  // ---------------------------------------------------------------- t15
+  // Corpus-LM quality score (the CCNet perplexity-filter idea, log-free so
+  // the cross-engine gate is EXACT — see TextOps.lmQualityScore): the
+  // bigram model trains on the documents themselves, every count and every
+  // smoothed probability replays in SQL, and the per-doc fold order is
+  // pinned, so the hash gate checks the model AND the scoring.
+  private val t15 = QueryDef(
+    "t15_lm_quality",
+    (s, dir) => TextOps.lmQualityScore(docs(s, dir), "text", "doc_id"),
+    Some(TextOps.lmQualityScoreSql("SELECT doc_id, text FROM documents",
+      "text", "doc_id")))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

@@ -94,6 +94,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("no-miss"))
   }
 
+  test("lmQualityScore ranks corpus-typical text above token salad") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // a tiny corpus dominated by one phrasing; doc 99 is out-of-model salad
+    val docs = ((1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog")) :+
+      ((99L, "zxq vvk blorp wug snark fizzle"))).toDF("doc_id", "text")
+    val out = TextOps.lmQualityScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the toy vocab keeps the Laplace floor high (V≈14 → salad floors at
+    // 2/15 per bigram); real corpora separate by orders of magnitude
+    assert(out(1L) > out(99L) * 3,
+      "in-model text must score well above out-of-model salad")
+    // every doc has 8 bigrams of the phrase; all identical scores
+    assert(out(1L) === out(20L))
+    // docs with <2 tokens drop
+    val tiny = Seq((1L, "single"), (2L, "two tokens")).toDF("doc_id", "text")
+    assert(TextOps.lmQualityScore(tiny, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("urlCanonicalize handles case/port/www/query/fragment/trailing-slash") {
     import spark.implicits._
     import graft.operators.UrlOps
