@@ -245,6 +245,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"domain cap should shuffle once, saw $exchanges:\n$p")
   }
 
+  test("t14: URL dedup is one shuffle on the canonical key, no join") {
+    val p = plan("t14_url_dedup")
+    assert(!p.contains("Join"), s"URL dedup needs no join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"URL dedup should shuffle once, saw $exchanges:\n$p")
+    // the regex chain stays codegen (a UDF here would break the span)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("t15: LM scoring has no cartesian; count tables join hash or broadcast") {
+    val p = plan("t15_lm_quality")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must never all-pairs:\n$p")
+    // counting passes are partial before their exchanges (map-side combine)
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
