@@ -1,6 +1,7 @@
 package graft.sqlapi
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 
@@ -254,7 +255,113 @@ object SqlApi {
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
   private val fnTailRe =
-    """(?is)^(.*?)(parquet_describe|parquet_schema|delta_history|iceberg_snapshots)\(\s*$""".r
+    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|glob|read_text|read_blob)\(\s*$""".r
+
+  /** DuckDB's `glob('pattern')` — one row per matching path, sorted. The
+    * DuckDB file-system helper the reference's users reach through
+    * duckdb_execute; bounded driver listing. */
+  def globFiles(spark: SparkSession, pattern: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hp = new Path(pattern)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      .map(_.getPath.toString).sorted
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(matched.map(Row(_)), 1),
+      StructType(Seq(StructField("file", StringType))))
+  }
+
+  /** DuckDB's `read_text('glob')` / `read_blob('glob')` — one row per
+    * file: (filename, content, size, last_modified). DISTRIBUTED via
+    * Spark's binaryFile source (file-per-task; column pruning means a
+    * `SELECT filename` never reads the bytes). read_text decodes UTF-8. */
+  def readBlob(spark: SparkSession, pattern: String): DataFrame =
+    spark.read.format("binaryFile").load(pattern)
+      .select(col("path").as("filename"), col("content"),
+        col("length").as("size"), col("modificationTime").as("last_modified"))
+
+  def readText(spark: SparkSession, pattern: String): DataFrame =
+    readBlob(spark, pattern).withColumn("content", col("content").cast("string"))
+
+  /** DuckDB's `parquet_metadata('t')` — one row per (row group, column
+    * chunk) with sizes, value counts, codec, encodings, and chunk-level
+    * min/max/null-count stats (the rows DuckDB users read to judge
+    * skipping health). Table-or-path like parquet_schema; bounded driver
+    * footer reads. */
+  def parquetMetadata(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = if (fs.getFileStatus(new Path(path)).isDirectory) {
+      val it = fs.listFiles(new Path(path), true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st.getPath
+      }
+      val found = b.result()
+      if (found.isEmpty) throw new IllegalArgumentException(
+        s"parquet_metadata: no .parquet files under `$path` (searched recursively)")
+      found
+    } else Seq(new Path(path))
+    parquetMetadataFiles(spark, files)
+  }
+
+  private def parquetMetadataFiles(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    import scala.jdk.CollectionConverters._
+    val rows = files.flatMap { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getFooter.getBlocks.asScala.zipWithIndex.flatMap { case (bl, gi) =>
+        bl.getColumns.asScala.zipWithIndex.map { case (cc, ci) =>
+          val st = cc.getStatistics
+          val hasStats = st != null && !st.isEmpty
+          Row(
+            p.toString, gi, bl.getRowCount, bl.getColumns.size.toLong,
+            bl.getTotalByteSize, ci.toLong,
+            cc.getPath.asScala.mkString("."),
+            cc.getPrimitiveType.getPrimitiveTypeName.toString,
+            cc.getValueCount, cc.getTotalSize, cc.getTotalUncompressedSize,
+            if (hasStats && st.hasNonNullValue) st.minAsString else null,
+            if (hasStats && st.hasNonNullValue) st.maxAsString else null,
+            if (hasStats && st.isNumNullsSet) Long.box(st.getNumNulls) else null,
+            cc.getEncodings.asScala.map(_.toString).toSeq.sorted.mkString(","),
+            cc.getCodec.toString)
+        }.toSeq
+      }.toSeq
+      finally reader.close()
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), parquetMetaSchema)
+  }
+
+  private val parquetMetaSchema = StructType(Seq(
+    StructField("file_name", StringType), StructField("row_group_id", IntegerType),
+    StructField("row_group_num_rows", LongType),
+    StructField("row_group_num_columns", LongType),
+    StructField("row_group_bytes", LongType), StructField("column_id", LongType),
+    StructField("path_in_schema", StringType), StructField("type", StringType),
+    StructField("num_values", LongType),
+    StructField("total_compressed_size", LongType),
+    StructField("total_uncompressed_size", LongType),
+    StructField("stats_min_value", StringType), StructField("stats_max_value", StringType),
+    StructField("stats_null_count", LongType), StructField("encodings", StringType),
+    StructField("compression", StringType)))
+
+  private def parquetMetadataAny(spark: SparkSession, nameOrPath: String): DataFrame =
+    if (spark.catalog.tableExists(nameOrPath)) {
+      // single driver loop over the table's backing footers — one flat
+      // frame, never a per-file plan-tree union (the schemaAny discipline)
+      val files = spark.table(nameOrPath).inputFiles.toSeq
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], parquetMetaSchema)
+      else parquetMetadataFiles(spark,
+        files.map(new org.apache.hadoop.fs.Path(_)))
+    } else parquetMetadata(spark, nameOrPath)
 
   /** Commit history of a native Delta table (one row per commit JSON). */
   def deltaHistory(spark: SparkSession, root: String): DataFrame =
@@ -292,10 +399,18 @@ object SqlApi {
           val view = fn.toLowerCase match {
             case "parquet_describe" =>
               viewFor("graft_pd_", arg, describeAny(spark, arg))
+            case "parquet_metadata" =>
+              viewFor("graft_pm_", arg, parquetMetadataAny(spark, arg))
             case "delta_history" =>
               viewFor("graft_dh_", arg, deltaHistory(spark, arg))
             case "iceberg_snapshots" =>
               viewFor("graft_is_", arg, icebergSnapshots(spark, arg))
+            case "glob" =>
+              viewFor("graft_gl_", arg, globFiles(spark, arg))
+            case "read_text" =>
+              viewFor("graft_rt_", arg, readText(spark, arg))
+            case "read_blob" =>
+              viewFor("graft_rb_", arg, readBlob(spark, arg))
             case _ => viewFor("graft_ps_", arg, schemaAny(spark, arg))
           }
           out.append(zeroArg(pre)).append(view)

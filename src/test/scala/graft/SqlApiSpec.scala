@@ -200,6 +200,57 @@ class SqlApiSpec extends SparkSpec {
     assert(SniffCsv.detectDateFormat(Seq("06/27/2023", "01/02/2023")) === Some("%m/%d/%Y"))
   }
 
+  test("glob/read_text/read_blob table functions: listing + distributed file reads") {
+    val dir = tempDir("sqlapi_files")
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.txt").toPath, "alpha")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.txt").toPath, "bravo!")
+    java.nio.file.Files.writeString(new java.io.File(dir, "c.bin").toPath, "xx")
+    // glob: sorted matching paths
+    val g = SqlApi.globFiles(spark, s"${dir.getPath}/*.txt").collect().map(_.getString(0))
+    assert(g.length === 2 && g(0).endsWith("a.txt") && g(1).endsWith("b.txt"))
+    // read_text: content + size; pruning a SELECT filename never reads bytes
+    val t = SqlApi.readText(spark, s"${dir.getPath}/*.txt")
+      .orderBy("filename").collect()
+    assert(t.map(_.getAs[String]("content")).toSeq === Seq("alpha", "bravo!"))
+    assert(t.map(_.getAs[Long]("size")).toSeq === Seq(5L, 6L))
+    // read_blob: bytes intact
+    val b = SqlApi.readBlob(spark, s"${dir.getPath}/c.bin").collect()
+    assert(new String(b.head.getAs[Array[Byte]]("content"), "UTF-8") === "xx")
+    // SQL-callable through the quote-aware swap
+    val viaSql = SqlApi.executePg(spark,
+      s"SELECT count(*) AS n FROM read_text('${dir.getPath}/*.txt')")
+    assert(viaSql.collect().head.getLong(0) === 2L)
+    val viaGlob = SqlApi.executePg(spark,
+      s"SELECT * FROM glob('${dir.getPath}/*.txt') ORDER BY file")
+    assert(viaGlob.count() === 2L)
+  }
+
+  test("parquet_metadata: row-group/chunk rows with stats, table-or-path, SQL-callable") {
+    val df = SqlApi.parquetMetadata(spark, s"$sf/lineitem.parquet")
+    assert(df.count() > 0)
+    val cols = df.columns.toSet
+    assert(Set("file_name", "row_group_id", "row_group_num_rows", "path_in_schema",
+      "num_values", "total_compressed_size", "stats_min_value", "stats_max_value",
+      "compression").subsetOf(cols))
+    // chunk stats populated for a plain numeric column
+    val key = df.filter(org.apache.spark.sql.functions.col("path_in_schema") === "l_orderkey").collect()
+    assert(key.nonEmpty && key.forall(r => r.getAs[String]("stats_min_value") != null))
+    // num_values per chunk sums to row counts summed over groups
+    val rows = df.filter(org.apache.spark.sql.functions.col("path_in_schema") === "l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum("num_values")).head.getLong(0)
+    assert(rows === spark.read.parquet(s"$sf/lineitem.parquet").count())
+    // attached-table form + SQL-callable swap
+    Tables.registerAll(spark, sf)
+    val viaSql = SqlApi.executePg(spark,
+      "SELECT count(*) AS n FROM parquet_metadata('lineitem')")
+    assert(viaSql.collect().head.getLong(0) > 0L)
+    // empty dir rejects loudly, not silently zero rows
+    val e = intercept[IllegalArgumentException] {
+      SqlApi.parquetMetadata(spark, tempDir("sqlapi_pm_empty").getPath)
+    }
+    assert(e.getMessage.contains("no .parquet files"))
+  }
+
   test("debug flags force observable plan changes (reference debug GUCs)") {
     import graft.sqlapi.DebugFlags
     Tables.registerAll(spark, sf)
