@@ -455,6 +455,10 @@ object SqlApi {
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
 
+  // INSERT INTO <table> [(cols)] VALUES ... | SELECT ...
+  private val insertRe =
+    """(?is)^\s*INSERT\s+INTO\s+("?[A-Za-z_][\w"]*"?)\s*(\([^)]*\))?\s*(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$""".r
+
   // COPY (SELECT ...) TO '<path>' (FORMAT ..., KEY value, ...)  |
   // COPY table TO '<path>' (...) — the source is a parenthesized query or
   // a (possibly schema-qualified, possibly quoted) table name
@@ -618,6 +622,62 @@ object SqlApi {
       // the reference's own lifecycle: CREATE FOREIGN DATA WRAPPER /
       // SERVER / USER MAPPING / FOREIGN TABLE, and their DROPs
       FdwDdl.execute(spark, s, pgSchemas(spark))
+    case insertRe(table, colList, body) =>
+      // INSERT INTO <attached lakehouse table> [(cols)] VALUES ...|SELECT
+      // ... — appends through the format's native writer and re-attaches.
+      // Incoming columns cast to the table's declared types (a VALUES
+      // literal types its ints as INT; the table may hold BIGINT); columns
+      // the statement omits must not exist — partial-row inserts would
+      // need column defaults, which these writers don't model.
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT INTO `$name`: not an attached foreign table"))
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"INSERT INTO `$name`: attach carries no files path"))
+      val targetSchema = spark.table(name).schema
+      val declared: Seq[String] = Option(colList) match {
+        case Some(cl) => cl.stripPrefix("(").stripSuffix(")").split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq.filter(_.nonEmpty)
+        case None => targetSchema.fieldNames.toSeq
+      }
+      targetSchema.fieldNames.find(c => !declared.contains(c)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"INSERT INTO `$name`: column `$c` is missing — these writers have " +
+            "no column defaults, every table column must be supplied")
+      }
+      declared.find(c => !targetSchema.fieldNames.contains(c)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"INSERT INTO `$name`: unknown column `$c`")
+      }
+      val incoming: DataFrame = {
+        val b = body.trim
+        val base =
+          if (b.toUpperCase.startsWith("VALUES"))
+            spark.sql(s"SELECT * FROM (${PgDialect.rewrite(b)}) AS " +
+              s"t(${declared.map(c => s"`$c`").mkString(", ")})")
+          else executePg(spark, b)
+        if (base.schema.length != declared.length) throw new IllegalArgumentException(
+          s"INSERT INTO `$name`: ${declared.length} target columns but the " +
+            s"source yields ${base.schema.length}")
+        // positional: source column i feeds declared column i, cast to type
+        base.select(base.schema.fieldNames.zip(declared).map { case (src, dst) =>
+          org.apache.spark.sql.functions.col(s"`$src`")
+            .cast(targetSchema(targetSchema.fieldIndex(dst)).dataType).as(dst)
+        }: _*).select(targetSchema.fieldNames.map(
+          c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+      }
+      val inserted = incoming.count()
+      fmt.toLowerCase match {
+        case "delta" => graft.catalog.DeltaSink.write(incoming, rootOpt, Map.empty)
+        case "iceberg" => graft.catalog.IcebergSink.write(incoming, rootOpt, Map.empty)
+        case other => throw new IllegalArgumentException(
+          s"INSERT INTO `$name`: appends are implemented for delta and " +
+            s"iceberg attaches (got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      import spark.implicits._
+      Seq(inserted).toDF("rows_inserted")
     case deleteRe(table, where) =>
       // DELETE FROM <attached lakehouse table> WHERE ... — routes to the
       // format's native row-level strategy (delta: copy-on-write rewrite;

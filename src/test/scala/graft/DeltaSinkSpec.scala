@@ -332,6 +332,47 @@ class DeltaSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("delta"))
   }
 
+  test("INSERT INTO routes appends through the native writers") {
+    val root = tempDir("dsink_ins_sql").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta")
+    Catalog.attach(spark, "ins_sql_t", "delta", Map("files" -> root))
+    // VALUES form: literal INTs cast to the table's BIGINT
+    val r = graft.sqlapi.SqlApi.executePg(spark,
+      "INSERT INTO ins_sql_t VALUES (2, 'b'), (3, 'c')").head()
+    assert(r.getLong(0) === 2L)
+    assert(spark.table("ins_sql_t").select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // column-list form in a DIFFERENT order than the table
+    graft.sqlapi.SqlApi.executePg(spark,
+      "INSERT INTO ins_sql_t (v, id) VALUES ('d', 4)")
+    assert(spark.table("ins_sql_t").filter(col("id") === 4L)
+      .select("v").as[String].head() === "d")
+    // SELECT form
+    graft.sqlapi.SqlApi.executePg(spark,
+      "INSERT INTO ins_sql_t SELECT id + 10, v FROM ins_sql_t WHERE id <= 2")
+    assert(spark.table("ins_sql_t").count() === 6L)
+    // iceberg attach appends through its native writer too
+    val iroot = tempDir("dsink_ins_ice").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), iroot, "iceberg")
+    Catalog.attach(spark, "ins_sql_ice", "iceberg", Map("files" -> iroot))
+    graft.sqlapi.SqlApi.executePg(spark, "INSERT INTO ins_sql_ice VALUES (2, 'b')")
+    assert(spark.table("ins_sql_ice").count() === 2L)
+    // missing a table column rejects loudly (no column defaults)
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "INSERT INTO ins_sql_t (id) VALUES (9)")
+    }
+    assert(e.getMessage.contains("no column defaults"))
+    // non-lakehouse attach rejects loudly
+    val pq = tempDir("dsink_ins_pq")
+    Seq((1L, "x")).toDF("id", "v").write.parquet(pq.getPath + "/t.parquet")
+    Catalog.attach(spark, "ins_sql_pq", "parquet",
+      Map("files" -> (pq.getPath + "/t.parquet")))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "INSERT INTO ins_sql_pq VALUES (2, 'y')")
+    }
+    assert(e2.getMessage.contains("delta and"))
+  }
+
   test("UPDATE: copy-on-write, SET sees the pre-update row, CDF pre/postimage") {
     val root = tempDir("dsink_upd").getPath
     Sinks.copyTo(Seq((1L, 10L, "us"), (2L, 20L, "us"), (3L, 30L, "eu"))
