@@ -153,6 +153,26 @@ object Similarity {
     withBits.selectExpr(idCol, s"stack($nBands, $entries) AS (band, band_sig)")
   }
 
+  /** [[cosineLshBands]] with the vector column CARRIED THROUGH — the
+    * streaming gate needs bands AND the vector on one row (re-joining the
+    * stream to itself for the vector would be a stream-stream join with
+    * state; carrying it is free). */
+  def cosineLshBandsKeep(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    require(k <= planeCoeffs.length && k % rowsPerBand == 0)
+    val bits = planeCoeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+      when(hyperplaneDot(vecCol, a, b) > 0, 1).otherwise(0).as(s"b$j")
+    }
+    val withBits = emb.select(col(idCol) +: col(vecCol) +: bits: _*)
+    val nBands = k / rowsPerBand
+    val entries = (0 until nBands).map { bd =>
+      val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(j => s"b$j * ${1L << (j % rowsPerBand)}L").mkString(" + ")
+      s"CAST($bd AS BIGINT), CAST($sig AS STRING)"
+    }.mkString(", ")
+    withBits.selectExpr(idCol, vecCol, s"stack($nBands, $entries) AS (band, band_sig)")
+  }
+
   /** Embedding near-dup at scale: hyperplane-LSH bucket join (never
     * all-pairs), capped hot buckets, exact cosine verification on the
     * candidates only. The 100 TB shape: one groupBy for buckets, pairs from
@@ -251,6 +271,41 @@ object Similarity {
       SELECT p.vec_a, p.vec_b, ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
       FROM pairs p JOIN embeddings x ON p.vec_a = x.vec_id
                    JOIN embeddings y ON p.vec_b = y.vec_id
+      WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
+  }
+
+  /** Oracle for the STREAMING near-dup gate (Streams.nearDupGate replayed
+    * as batch SQL): corpus rows under `corpusPred` form the banded index
+    * (hot buckets capped), arrivals under `arrivalPred` band identically,
+    * candidates share (band, band_sig), exact cosine verifies — DISTINCT
+    * collapses band multiplicity like the batch pass after the replay. */
+  def nearDupGateSql(corpusPred: String, arrivalPred: String,
+      threshold: Double = 0.9, k: Int = 16, rowsPerBand: Int = 8,
+      maxBucket: Int = 1000): String = {
+    val dots = planeCoeffs.take(k).zipWithIndex.map { case ((a, b), j) =>
+      s"CASE WHEN list_reduce(list_transform(generate_series(1, len(embedding)), " +
+        s"i -> embedding[i]::DOUBLE * (CASE WHEN (($a * i + $b) % ${Dedup.P}) % 2 = 0 " +
+        s"THEN 1.0 ELSE -1.0 END)), (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END AS b$j"
+    }.mkString(",\n               ")
+    val nBands = k / rowsPerBand
+    def bandSelects(src: String) = (0 until nBands).map { bd =>
+      val sig = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(j => s"b$j * ${1L << (j % rowsPerBand)}::BIGINT").mkString(" + ")
+      s"SELECT vec_id, CAST($bd AS BIGINT) AS band, CAST($sig AS VARCHAR) AS band_sig FROM $src"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH cbits AS (SELECT vec_id, $dots FROM embeddings WHERE $corpusPred),
+      abits AS (SELECT vec_id, $dots FROM embeddings WHERE $arrivalPred),
+      cbands AS (${bandSelects("cbits")}),
+      abands AS (${bandSelects("abits")}),
+      bcount AS (SELECT band, band_sig, count(*) AS n FROM cbands GROUP BY band, band_sig),
+      cok AS (SELECT b.vec_id, b.band, b.band_sig FROM cbands b
+              JOIN bcount c ON b.band = c.band AND b.band_sig = c.band_sig AND c.n <= $maxBucket),
+      pairs AS (SELECT DISTINCT a.vec_id AS vec_new, c.vec_id AS vec_corpus
+                FROM abands a JOIN cok c ON a.band = c.band AND a.band_sig = c.band_sig)
+      SELECT p.vec_new, p.vec_corpus, ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
+      FROM pairs p JOIN embeddings x ON p.vec_new = x.vec_id
+                   JOIN embeddings y ON p.vec_corpus = y.vec_id
       WHERE ${cosineSql("x.embedding", "y.embedding")} >= $threshold"""
   }
 

@@ -831,6 +831,43 @@ object StreamingQueries {
       UNION ALL
       SELECT c_custkey, c_acctbal, c_mktsegment FROM ins"""))
 
+  // ---------------------------------------------------------------- x14
+  // STREAMING NEAR-DUP GATE: arrivals (every 4th embedding) replay in two
+  // micro-batches against the banded static index of the remaining corpus;
+  // every emitted (arrival, corpus match, cosine) row must hash-match the
+  // batch SQL replay of the identical LSH family + bucket cap + verify —
+  // proving the ingest-time gate admits/flags exactly what the batch dedup
+  // pass would, mid-stream batching included. One batch DISTINCT collapses
+  // band multiplicity after the replay (kept out of the stream by design —
+  // no unbounded dedup state).
+  private val x14 = QueryDef(
+    "x14_stream_neardup_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 4 =!= 0).select("vec_id", "embedding")
+      val in = MemoryStream[(Long, Array[Float])](1)
+      val out = Streams.nearDupGate(in.toDF().toDF("vec_id", "embedding"),
+        corpus, "vec_id", "embedding", threshold = 0.35)
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x14_out")
+          .outputMode("append").start()
+        try {
+          val rows = emb.filter(col("vec_id") % 4 === 0)
+            .select("vec_id", "embedding").orderBy("vec_id").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val (b1, b2) = rows.splitAt(rows.length / 2)
+          in.addData(b1.toSeq); q.processAllAvailable()
+          in.addData(b2.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x14_out").select("vec_new", "vec_corpus", "cos_sim").distinct()
+    },
+    Some(graft.operators.Similarity.nearDupGateSql(
+      "vec_id % 4 <> 0", "vec_id % 4 = 0", threshold = 0.35)))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13)
+    x11, x12, x13, x14)
 }

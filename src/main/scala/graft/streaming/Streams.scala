@@ -250,6 +250,39 @@ object Streams {
     s.readStream.format("iceberg-follow").options(options)
       .option("files", root).load()
 
+  /** STREAMING NEAR-DUP GATE — ingest-time dedup against an EXISTING
+    * corpus, the gate a continuously-fed training pipeline puts in front
+    * of its store: each arriving embedding hashes into the same
+    * hyperplane-LSH band space as the pre-banded static index (row-local
+    * codegen sign bits, no state), candidates surface by bucket join —
+    * STREAM-STATIC both times, so the stream never self-joins and no
+    * stream-stream state accumulates — and the exact `vec_cosine` verify
+    * runs on candidates only (the batch cosineNearDupLsh arrangement with
+    * the left side live). Hot corpus buckets are capped batch-side before
+    * the stream starts. Emits one row per (arrival, match, band);
+    * band-multiplicity collapse is one batch DISTINCT downstream (or the
+    * sink's idempotence), kept OUT of the stream so no unbounded dedup
+    * state builds. */
+  def nearDupGate(stream: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.9, k: Int = 16,
+      rowsPerBand: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    import graft.operators.Similarity
+    val idx = Similarity.cosineLshBands(corpus, idCol, vecCol, k, rowsPerBand)
+    val counts = idx.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+    val idxOk = idx.join(counts, Seq("band", "band_sig"))
+      .select(col(idCol).as("vec_corpus"), col("band"), col("band_sig"))
+    val corpusVec = corpus.select(col(idCol).as("vec_corpus"), col(vecCol).as("__vc"))
+    val sBands = Similarity.cosineLshBandsKeep(stream, idCol, vecCol, k, rowsPerBand)
+      .select(col(idCol).as("vec_new"), col(vecCol).as("__vn"),
+        col("band"), col("band_sig"))
+    sBands.join(idxOk, Seq("band", "band_sig"))
+      .join(corpusVec, Seq("vec_corpus"))
+      .withColumn("cos_sim", Similarity.cosine("__vn", "__vc"))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_new"), col("vec_corpus"), col("cos_sim"))
+  }
+
   /** Gap-based sessionization via session_window: a session closes when no
     * event arrives for `gap`; watermark bounds open-session state. The
     * batch analogue is q33_sessionization's lag-over-window chain — here
