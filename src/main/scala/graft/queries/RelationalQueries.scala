@@ -869,8 +869,23 @@ object RelationalQueries {
              CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
       FROM orders"""))
 
+  // ---------------------------------------------------------------- q41
+  // TIME-SERIES RESAMPLE + GAP-FILL (pandas resample().ffill() /
+  // TimescaleDB time_bucket_gapfill): hourly grid per event type over each
+  // type's observed span, empty buckets carry n_events=0 and forward-fill
+  // the last observed hourly average. Grid steps materialize via
+  // sequence+explode in executors — no driver loop; fill is a per-key
+  // window, never a global sort. Decimal-cast bucket sums keep the
+  // averages bit-deterministic vs the oracle.
+  private val q41 = QueryDef(
+    "q41_resample_gapfill",
+    (s, dir) => graft.operators.TimeSeries.resampleFill(
+      t(s, dir, "events"), "event_type", "ts", "value"),
+    Some(graft.operators.TimeSeries.resampleFillSql(
+      "SELECT event_type, ts, value FROM events", "event_type", "ts", "value")))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40)
+    q38, q39, q40, q41)
 }
