@@ -63,7 +63,8 @@ object DeltaFollowSource {
     * incremental, and change-feed keys are owned by the source itself). */
   private[graftstream] def passThrough(parameters: Map[String, String]): Map[String, String] =
     parameters -- Seq("files", "path", "version_as_of", "timestamp_as_of",
-      "changes_since", "read_change_feed", "starting_version", "ending_version")
+      "changes_since", "read_change_feed", "starting_version", "ending_version",
+      "max_commits_per_trigger")
 }
 
 class DeltaFollowSource(spark: CSparkSession, root: String,
@@ -105,7 +106,29 @@ class DeltaFollowSource(spark: CSparkSession, root: String,
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  override def getOffset: Option[Offset] = latestVersion().map(LongOffset(_))
+  /** `max_commits_per_trigger=N` bounds how many NEW commits one
+    * micro-batch may cover — the maxFilesPerTrigger lever for a log
+    * follower: a backlogged 100 TB table catches up in bounded,
+    * checkpointable steps instead of one giant batch. V1-source caveat:
+    * the cap keys off the last batch THIS instance served, so the first
+    * trigger after a restart is uncapped (the checkpoint supplies its
+    * start only at getBatch time); every later trigger is capped. */
+  private val maxCommits: Option[Long] =
+    parameters.get("max_commits_per_trigger").map { v =>
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"max_commits_per_trigger must be positive, got $v")
+      n
+    }
+  @volatile private var lastServedEnd: Option[Long] = None
+
+  override def getOffset: Option[Offset] = latestVersion().map { latest =>
+    val capped = (maxCommits, lastServedEnd) match {
+      case (Some(m), Some(prev)) => math.min(latest, prev + m)
+      case _ => latest
+    }
+    LongOffset(capped)
+  }
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -115,6 +138,7 @@ class DeltaFollowSource(spark: CSparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    lastServedEnd = Some(endV)
     if (cdfMode) {
       val from = start.map(version(_) + 1).getOrElse(cdfStart)
       if (from > endV)

@@ -53,7 +53,7 @@ class IcebergFollowProvider extends StreamSourceProvider with DataSourceRegister
 object IcebergFollowSource {
   private[graftstream] def passThrough(parameters: Map[String, String]): Map[String, String] =
     parameters -- Seq("files", "path", "snapshot_id", "as_of_timestamp",
-      "changes_since_snapshot")
+      "changes_since_snapshot", "max_snapshots_per_trigger")
 }
 
 class IcebergFollowSource(spark: CSparkSession, root: String,
@@ -64,9 +64,29 @@ class IcebergFollowSource(spark: CSparkSession, root: String,
   override val schema: StructType =
     IcebergNative.read(spark, root, baseOpts).schema
 
+  /** `max_snapshots_per_trigger=N` bounds how many NEW snapshot-log
+    * entries one micro-batch may cover (the DeltaFollow
+    * max_commits_per_trigger lever; same V1 caveat — the first trigger
+    * after a restart is uncapped, every later one capped). */
+  private val maxSnapshots: Option[Long] =
+    parameters.get("max_snapshots_per_trigger").map { v =>
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"max_snapshots_per_trigger must be positive, got $v")
+      n
+    }
+  @volatile private var lastServedEnd: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
     val n = IcebergNative.snapshotLog(spark, root).size
-    if (n == 0) None else Some(LongOffset(n.toLong))
+    if (n == 0) None
+    else {
+      val capped = (maxSnapshots, lastServedEnd) match {
+        case (Some(m), Some(prev)) => math.min(n.toLong, prev + m)
+        case _ => n.toLong
+      }
+      Some(LongOffset(capped))
+    }
   }
 
   private def version(o: Offset): Long = o match {
@@ -75,6 +95,7 @@ class IcebergFollowSource(spark: CSparkSession, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastServedEnd = Some(version(end))
     val log = IcebergNative.snapshotLog(spark, root)
     def idAt(n: Long): Long = {
       require(n >= 1 && n <= log.size,

@@ -138,6 +138,47 @@ class DeltaFollowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-follow: max_commits_per_trigger caps batch width on a backlog") {
+    import spark.implicits._
+    val root = tempDir("delta-follow-cap")
+    val a = Seq((1L, "a")).toDF("id", "v")
+    commit(root, 0L, metaLines(a) :+ addJson("part-a.parquet",
+      writePart(root, "part-a.parquet", a)))
+    val q = spark.readStream.format("delta-follow")
+      .option("files", root.getPath)
+      .option("max_commits_per_trigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("follow_cap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // snapshot through v0
+      // backlog: three commits land while the stream sits between triggers
+      (1 to 3).foreach { i =>
+        commit(root, i.toLong, Seq(addJson(s"part-$i.parquet",
+          writePart(root, s"part-$i.parquet", Seq((10L + i, s"x$i")).toDF("id", "v")))))
+      }
+      q.processAllAvailable()
+      // completeness: every row arrived exactly once
+      assert(spark.table("follow_cap").select("id").as[Long].collect().sorted
+        === Array(1L, 11L, 12L, 13L))
+      // throttling: the backlog drained in THREE one-commit batches, not one
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 4, // 1 snapshot + 3 capped catch-up batches
+        s"expected 4 data batches, saw $dataBatches:\n" +
+          q.recentProgress.map(p => s"${p.batchId}: ${p.numInputRows}").mkString("\n"))
+    } finally q.stop()
+    // zero/negative caps reject loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("delta-follow")
+        .option("files", root.getPath)
+        .option("max_commits_per_trigger", "0").load()
+        .writeStream.format("memory").queryName("follow_cap_bad")
+        .outputMode("append").start().processAllAvailable()
+    }
+    assert(e.getMessage.contains("positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive")))
+  }
+
   test("delta-follow: omitting the files option rejects loudly at load()") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("delta-follow").load()

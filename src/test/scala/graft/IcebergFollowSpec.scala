@@ -13,6 +13,31 @@ class IcebergFollowSpec extends SparkSpec {
     assert(e.getMessage.contains("files"))
   }
 
+  test("iceberg-follow: max_snapshots_per_trigger caps catch-up batches") {
+    import spark.implicits._
+    val root = tempDir("ice-follow-cap").getPath
+    graft.catalog.Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    val q = spark.readStream.format("iceberg-follow")
+      .option("files", root)
+      .option("max_snapshots_per_trigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("ice_follow_cap")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // snapshot 1
+      (2 to 4).foreach { i => // backlog of three appends between triggers
+        graft.catalog.Sinks.copyTo(Seq((10L + i, s"x$i")).toDF("id", "v"),
+          root, "iceberg")
+      }
+      q.processAllAvailable()
+      assert(spark.table("ice_follow_cap").select("id").as[Long].collect().sorted
+        === Array(1L, 12L, 13L, 14L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches === 4, // 1 snapshot + 3 capped catch-up batches
+        s"expected 4 data batches, saw $dataBatches")
+    } finally q.stop()
+  }
+
   test("snapshotLog surfaces the append-only (ts, id) ledger in order") {
     val dir = tempDir("ice-log")
     val md = new java.io.File(dir, "metadata"); md.mkdirs()
