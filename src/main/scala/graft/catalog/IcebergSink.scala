@@ -62,6 +62,39 @@ object IcebergSink {
       {"name":"content","type":["null","int"],"default":null},
       {"name":"sequence_number","type":["null","long"],"default":null}]}""")
 
+  /** Current (version, metadata file): the hint when it's readable, numeric,
+    * and its file exists; else the NUMERICALLY highest *.metadata.json.
+    * The hint is ADVISORY (iceberg's HadoopTableOperations semantics) — a
+    * concurrent hint rewrite can expose an empty/truncated file to a
+    * polling reader, and lexicographic max would pick v9 over v10. None =
+    * no table here. */
+  private def resolveCurrent(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path): Option[(Long, Path)] = {
+    val hint = new Path(metaDir, "version-hint.text")
+    def fromHint: Option[(Long, Path)] =
+      if (!fs.exists(hint)) None
+      else {
+        val in = fs.open(hint)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        if (s.isEmpty || !s.forall(_.isDigit)) None
+        else Seq(s"v$s.metadata.json", s"$s.metadata.json")
+          .map(new Path(metaDir, _)).find(fs.exists).map((s.toLong, _))
+      }
+    def fromListing: Option[(Long, Path)] =
+      if (!fs.exists(metaDir)) None
+      else {
+        val re = """v?(\d+)\.metadata\.json""".r
+        fs.listStatus(metaDir).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case re(v) => Some((v.toLong, st.getPath))
+            case _ => None
+          }
+        }.maxByOption(_._1)
+      }
+    fromHint.orElse(fromListing)
+  }
+
   /** `txn = Some((appId, version))` makes the commit IDEMPOTENT for
     * streaming micro-batch replays: the pair lands in the snapshot summary
     * (`graft-app-id` / `graft-batch-version` — the summary is a free-form
@@ -123,7 +156,8 @@ object IcebergSink {
 
     // ---- existing-table state ----
     val hint = new Path(metaDir, "version-hint.text")
-    val creating = !fs.exists(hint)
+    val resolved = resolveCurrent(fs, metaDir)
+    val creating = resolved.isEmpty
     var prevManifests: Seq[(String, Long)] = Nil // (path, sequence_number)
     var prevVersion = 0L
     var prevSnapshotsJson: Seq[String] = Nil
@@ -131,16 +165,8 @@ object IcebergSink {
     var lastSeq = 0L
     var lastSnapshotId = 0L
     if (!creating) {
-      val v = {
-        val in = fs.open(hint)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
+      val (v, metaFile) = resolved.get
       prevVersion = v
-      val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
-        .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
-          throw IcebergReadException(
-            s"`$path`: version-hint.text names version $v but no matching metadata.json"))
       val meta = {
         val in = fs.open(metaFile)
         try mapper.readTree(in) finally in.close()
@@ -333,16 +359,9 @@ object IcebergSink {
     val fs = rootPath.getFileSystem(conf)
     val metaDir = new Path(rootPath, "metadata")
     val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) throw IcebergReadException(
-      s"`$path`: no version-hint.text — not a table this native writer manages")
-    val v = {
-      val in = fs.open(hint)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
-    val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
-      .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
-        throw IcebergReadException(s"`$path`: metadata version $v missing"))
+    val (v, metaFile) = resolveCurrent(fs, metaDir).getOrElse(
+      throw IcebergReadException(
+        s"`$path`: no metadata — not a table this native writer manages"))
     val meta = {
       val in = fs.open(metaFile)
       try mapper.readTree(in) finally in.close()
@@ -815,16 +834,9 @@ object IcebergSink {
     val fs = rootPath.getFileSystem(conf)
     val metaDir = new Path(rootPath, "metadata")
     val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) throw IcebergReadException(
-      s"`$path`: no version-hint.text — not a table this native writer manages")
-    val v = {
-      val in = fs.open(hint)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
-    val metaFile = Seq(s"v$v.metadata.json", s"$v.metadata.json")
-      .map(new Path(metaDir, _)).find(fs.exists).getOrElse(
-        throw IcebergReadException(s"`$path`: metadata version $v missing"))
+    val (v, metaFile) = resolveCurrent(fs, metaDir).getOrElse(
+      throw IcebergReadException(
+        s"`$path`: no metadata — not a table this native writer manages"))
     val meta = {
       val in = fs.open(metaFile)
       try mapper.readTree(in) finally in.close()

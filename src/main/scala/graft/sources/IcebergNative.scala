@@ -74,19 +74,32 @@ object IcebergNative {
     if (!fs.exists(metaDir))
       throw IcebergReadException(s"`$root` is not an Iceberg table: no metadata directory")
     val hint = new Path(metaDir, "version-hint.text")
+    // The hint is ADVISORY (iceberg's own HadoopTableOperations semantics):
+    // a concurrent writer rewriting it can expose an empty/truncated file
+    // to a poller (streaming followers hit this), so any unreadable,
+    // non-numeric, or dangling hint falls back to the NUMERICALLY highest
+    // *.metadata.json — numeric, because lexicographic max would pick
+    // v9 over v10 from version 10 onward.
+    def fromListing: Path = {
+      val re = """v?(\d+)\.metadata\.json""".r
+      val metas = fs.listStatus(metaDir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case re(v) => Some((v.toLong, st.getPath))
+          case _ => None
+        }
+      }
+      if (metas.isEmpty) throw IcebergReadException(
+        s"`$root`: no *.metadata.json in metadata/")
+      metas.maxBy(_._1)._2
+    }
     val metaFile: Path =
       if (fs.exists(hint)) {
         val in = fs.open(hint)
         val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        val candidates = Seq(s"v$v.metadata.json", s"$v.metadata.json")
-        candidates.map(new Path(metaDir, _)).find(fs.exists).getOrElse(
-          throw IcebergReadException(s"version-hint.text names version $v but no matching metadata.json exists"))
-      } else {
-        val metas = fs.listStatus(metaDir).map(_.getPath)
-          .filter(_.getName.endsWith(".metadata.json"))
-        if (metas.isEmpty) throw IcebergReadException(s"`$root`: no *.metadata.json in metadata/")
-        metas.maxBy(_.getName)
-      }
+        if (v.isEmpty || !v.forall(_.isDigit)) fromListing
+        else Seq(s"v$v.metadata.json", s"$v.metadata.json")
+          .map(new Path(metaDir, _)).find(fs.exists).getOrElse(fromListing)
+      } else fromListing
     val metaIn = fs.open(metaFile)
     try mapper.readTree(metaIn) finally metaIn.close()
   }
