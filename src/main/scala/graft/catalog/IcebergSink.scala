@@ -32,13 +32,19 @@ import org.apache.spark.sql.types._
   * Scope (rejects loudly otherwise): flat schemas of the primitive types
   * the reader round-trips (nested field-id assignment through Spark's
   * writer needs per-level metadata plumbing — a connector-jar feature),
-  * unpartitioned layouts, single writer (version-file collision errors). */
+  * single writer (version-file collision errors). Identity partitioning
+  * via `partition_by=c1,c2` (int/long/string/boolean sources): dynamic
+  * fanout on COPIES of the partition columns, so each data file holds one
+  * partition tuple (recorded in the manifest's r102 record) while the
+  * real columns stay in the files as the spec expects; other transforms
+  * and spec evolution reject loudly. */
 object IcebergSink {
   import graft.sources.IcebergNative.IcebergReadException
 
   private val mapper = new ObjectMapper()
 
-  val validOptions: Set[String] = Set("overwrite", "compression", "max_file_size_rows")
+  val validOptions: Set[String] =
+    Set("overwrite", "compression", "max_file_size_rows", "partition_by")
 
   // ------------------------------------------------------- Avro schemas
   // Written per the spec's manifest/manifest-list required core; optional
@@ -93,6 +99,17 @@ object IcebergSink {
         }.maxByOption(_._1)
       }
     fromHint.orElse(fromListing)
+  }
+
+  /** The default partition spec's field (source-column) names; Nil =
+    * unpartitioned. */
+  private def defaultSpecFields(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val specId = meta.path("default-spec-id").asInt(0)
+    meta.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == specId)
+      .map(_.path("fields").elements().asScala.map(_.path("name").asText()).toSeq)
+      .getOrElse(Nil)
   }
 
   /** `txn = Some((appId, version))` makes the commit IDEMPOTENT for
@@ -154,6 +171,22 @@ object IcebergSink {
       mapper.writeValueAsString(sch)
     }
 
+    // ---- identity partition spec (partition_by=c1,c2) ----
+    val partColsOpt: Option[Seq[String]] = options.get("partition_by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    partColsOpt.foreach(_.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw IcebergReadException(s"partition_by column `$c` is not in the frame"))
+      f.dataType match {
+        case IntegerType | LongType | StringType | BooleanType |
+          ShortType | ByteType => ()
+        case other => throw IcebergReadException(
+          s"partition_by column `$c`: identity partitioning on " +
+            s"${other.simpleString} is not supported by this native writer " +
+            "(int/long/string/boolean)")
+      }
+    })
+
     // ---- existing-table state ----
     val hint = new Path(metaDir, "version-hint.text")
     val resolved = resolveCurrent(fs, metaDir)
@@ -164,6 +197,7 @@ object IcebergSink {
     var prevSnapshotLog: Seq[(Long, Long)] = Nil // (timestamp-ms, snapshot-id)
     var lastSeq = 0L
     var lastSnapshotId = 0L
+    var partColsEff: Seq[String] = partColsOpt.getOrElse(Nil)
     if (!creating) {
       val (v, metaFile) = resolved.get
       prevVersion = v
@@ -171,6 +205,16 @@ object IcebergSink {
         val in = fs.open(metaFile)
         try mapper.readTree(in) finally in.close()
       }
+      // the table's spec wins; a conflicting explicit option rejects (spec
+      // evolution is a connector-jar feature)
+      val tableSpec = defaultSpecFields(meta)
+      partColsOpt.foreach { pc =>
+        if (pc != tableSpec) throw IcebergReadException(
+          s"`$path`: partition_by ${pc.mkString(",")} conflicts with the " +
+            s"table's partition spec (${tableSpec.mkString(",")}); this " +
+            "writer does not evolve partition specs")
+      }
+      partColsEff = tableSpec
       val existingSchema = if (meta.has("schemas")) {
         val cur = meta.path("current-schema-id").asInt(0)
         meta.path("schemas").elements().asScala
@@ -223,26 +267,58 @@ object IcebergSink {
     }
 
     // ---- distributed data write (with parquet field ids), move under root ----
-    val writeDf = df.select(fieldIds.map { case (f, id) =>
+    // Partitioned layouts: the partition columns are COPIED to __gpk$i and
+    // the copy drives Spark's dynamic-partition fanout — so each written
+    // file holds exactly ONE partition tuple (parsed back from the dir
+    // name below, for the manifest), while the REAL columns stay in the
+    // data files as the iceberg spec expects (unlike hive layouts).
+    val writeDf0 = df.select(fieldIds.map { case (f, id) =>
       org.apache.spark.sql.functions.col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
+    val writeDf = partColsEff.zipWithIndex.foldLeft(writeDf0) { case (d, (c, i)) =>
+      d.withColumn(s"__gpk$i", org.apache.spark.sql.functions.col(c).cast("string"))
+    }
     val tmp = new Path(rootPath,
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     var w = writeDf.write.mode("overwrite")
+    if (partColsEff.nonEmpty)
+      w = w.partitionBy(partColsEff.indices.map(i => s"__gpk$i"): _*)
     options.get("compression").foreach(v => w = w.option("compression", v))
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
     w.parquet(tmp.toString)
 
-    final case class NewFile(rel: String, size: Long, records: Long)
+    final case class NewFile(rel: String, size: Long, records: Long,
+      partValues: Seq[Any])
+    def partValuesOf(p: Path): Seq[Any] =
+      partColsEff.zipWithIndex.map { case (c, i) =>
+        val re = (s"__gpk$i=([^/]*)").r
+        val raw = re.findFirstMatchIn(p.toString).map(_.group(1)).getOrElse(
+          throw IcebergReadException(
+            s"`$path`: partitioned write produced a file outside __gpk$i=: $p"))
+        val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+        if (decoded == "__HIVE_DEFAULT_PARTITION__") null
+        else df.schema(c).dataType match {
+          case IntegerType | ShortType | ByteType => Int.box(decoded.toInt)
+          case LongType => Long.box(decoded.toLong)
+          case BooleanType => Boolean.box(decoded.toBoolean)
+          case _ => decoded
+        }
+      }
     val moved = Seq.newBuilder[NewFile]
+    var fileIdx = 0
     try {
-      val tmpQ = fs.makeQualified(tmp).toString
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          val name = st.getPath.getName
+          val pv = partValuesOf(st.getPath)
+          // flat data/ layout; the index prefix disambiguates identical
+          // task-file names coming from different partition directories
+          val name =
+            if (partColsEff.isEmpty) st.getPath.getName
+            else s"p$fileIdx-${st.getPath.getName}"
+          fileIdx += 1
           val dest = new Path(new Path(rootPath, "data"), name)
           fs.mkdirs(dest.getParent)
           if (!fs.rename(st.getPath, dest))
@@ -255,7 +331,7 @@ object IcebergSink {
             try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
             finally r.close()
           }
-          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records)
+          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records, pv)
         }
       }
     } finally fs.delete(tmp, true)
@@ -274,15 +350,53 @@ object IcebergSink {
       w2.create(sch, out)
       try rows.foreach(w2.append) finally w2.close()
     }
+    // dynamic manifest schema when partitioned: data_file gains the spec's
+    // r102 partition record (one tuple per file by construction above)
+    def avroTypeFor(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType => "\"int\""
+      case LongType => "\"long\""
+      case BooleanType => "\"boolean\""
+      case _ => "\"string\""
+    }
+    val (dfSch, eSch) =
+      if (partColsEff.isEmpty) (dfSchema, entrySchema)
+      else {
+        val pf = partColsEff.map { c =>
+          s"""{"name":${mapper.writeValueAsString(c)},"type":["null",${
+            avroTypeFor(df.schema(c).dataType)}],"default":null}"""
+        }.mkString(",")
+        val d = new org.apache.avro.Schema.Parser().parse(
+          s"""{"type":"record","name":"r2","fields":[
+            {"name":"content","type":["null","int"],"default":null},
+            {"name":"file_path","type":"string"},
+            {"name":"file_format","type":"string"},
+            {"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$pf]}],"default":null},
+            {"name":"record_count","type":"long"},
+            {"name":"file_size_in_bytes","type":["null","long"],"default":null}]}""")
+        val e = new org.apache.avro.Schema.Parser().parse(
+          s"""{"type":"record","name":"manifest_entry","fields":[
+            {"name":"status","type":"int"},
+            {"name":"sequence_number","type":["null","long"],"default":null},
+            {"name":"data_file","type":${d.toString}}]}""")
+        (d, e)
+      }
+    val partRecordSchema: Option[org.apache.avro.Schema] =
+      if (partColsEff.isEmpty) None
+      else Some(dfSch.getField("partition").schema().getTypes.get(1))
     val manifestRel = s"metadata/m-$snapshotId-$stamp.avro"
-    writeAvro(manifestRel, entrySchema, newFiles.map { f =>
-      val d = new GenericData.Record(dfSchema)
+    writeAvro(manifestRel, eSch, newFiles.map { f =>
+      val d = new GenericData.Record(dfSch)
       d.put("content", null)
       d.put("file_path", f.rel)
       d.put("file_format", "PARQUET")
+      partRecordSchema.foreach { prs =>
+        val pr = new GenericData.Record(prs)
+        partColsEff.zip(f.partValues).foreach { case (c, v) => pr.put(c, v) }
+        d.put("partition", pr)
+      }
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", Long.box(f.size))
-      val e = new GenericData.Record(entrySchema)
+      val e = new GenericData.Record(eSch)
       e.put("status", 1) // ADDED
       e.put("sequence_number", Long.box(seq))
       e.put("data_file", d)
@@ -325,7 +439,13 @@ object IcebergSink {
          |"current-schema-id": 0,
          |"schemas": [$schemaJson],
          |"default-spec-id": 0,
-         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"partition-specs": [{"spec-id": 0, "fields": [${
+      partColsEff.zipWithIndex.map { case (c, i) =>
+        val srcId = fieldIds.find(_._1.name == c).map(_._2).getOrElse(
+          throw IcebergReadException(s"partition column `$c` missing a field id"))
+        s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
+          s""""source-id": $srcId, "field-id": ${1000 + i}}"""
+      }.mkString(", ")}]}],
          |"current-snapshot-id": $snapshotId,
          |"snapshot-log": $logJson,
          |"snapshots": ${(prevSnapshotsJson :+ snapshotJson).mkString("[", ", ", "]")}}""".stripMargin
@@ -412,6 +532,20 @@ object IcebergSink {
     }
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
       prevManifests, dataFiles.result(), priorDeleteFiles.result())
+  }
+
+  /** DELETE stays available on partitioned tables (positional delete files
+    * are path-scoped), but ops that APPEND data files (UPDATE/MERGE images,
+    * compaction rewrites) would need partition-aware file splitting to
+    * record correct tuples — reject loudly rather than write files whose
+    * manifest claims the wrong partition. */
+  private def rejectPartitionedAppend(path: String, st: MorState,
+      what: String): Unit = {
+    val spec = defaultSpecFields(st.meta)
+    if (spec.nonEmpty) throw IcebergReadException(
+      s"`$path`: $what appends data files and needs partition-aware file " +
+        s"splitting on a partitioned table (spec: ${spec.mkString(",")}); " +
+        "use DELETE + INSERT (append) or an iceberg connector jar")
   }
 
   /** Table column (name, field-id) pairs from the current schema. */
@@ -625,6 +759,7 @@ object IcebergSink {
       predicateSql: String, sets: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
+    rejectPartitionedAppend(path, st, "merge-on-read UPDATE")
     if (st.dataPaths.isEmpty) return 0L
     val names = schemaFieldIds(st.meta).map(_._1)
     sets.keys.find(k => !names.contains(k)).foreach { k =>
@@ -664,6 +799,7 @@ object IcebergSink {
       insertNotMatched: Boolean = true): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
+    rejectPartitionedAppend(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
     matchedSet.keys.find(k => !names.contains(k)).foreach { k =>
       throw IcebergReadException(
@@ -745,6 +881,7 @@ object IcebergSink {
       targetFileRows: Long = 1024 * 1024): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val st = loadMorState(spark, path)
+    rejectPartitionedAppend(path, st, "compaction")
     if (st.dataPaths.isEmpty) return (0, 0)
     // manifest-declared row counts size the output without a count() job;
     // delete-file record counts subtract (each dead position kills a row)

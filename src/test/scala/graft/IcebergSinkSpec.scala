@@ -261,7 +261,64 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("nested"))
     intercept[Catalog.InvalidOptionException] {
       Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"),
-        tempDir("isink_rej3").getPath, "iceberg", Map("partition_by" -> "v"))
+        tempDir("isink_rej3").getPath, "iceberg", Map("nope" -> "v"))
     }
+  }
+
+  test("identity-partitioned create/append: one tuple per file, spec recorded") {
+    val root = tempDir("isink_part").getPath
+    val df = Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, "us", 3.0),
+      (4L, null.asInstanceOf[String], 4.0)).toDF("id", "region", "x")
+    Sinks.copyTo(df, root, "iceberg", Map("partition_by" -> "region"))
+    // the real column stays IN the data files (spec layout, not hive)
+    assert(readBack(root).orderBy("id").select("region").collect()
+      .map(r => Option(r.getString(0)).orNull).toSeq
+      === Seq("us", "eu", "us", null))
+    // metadata records the identity spec
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "metadata/v1.metadata.json").toPath), "UTF-8")
+    assert(meta.contains(""""transform": "identity"""") &&
+      meta.contains(""""name": "region""""))
+    // every manifest data_file carries a one-value partition tuple
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val mf = new java.io.File(root, "metadata").listFiles()
+      .find(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).get
+    val rd = new DataFileReader[GenericRecord](mf,
+      new GenericDatumReader[GenericRecord]())
+    val tuples = try {
+      import scala.jdk.CollectionConverters._
+      rd.iterator().asScala.map { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        Option(d.get("partition").asInstanceOf[GenericRecord])
+          .map(p => Option(p.get("region")).map(_.toString).orNull)
+      }.toSeq
+    } finally rd.close()
+    assert(tuples.forall(_.isDefined))
+    assert(tuples.flatten.toSet === Set("us", "eu", null))
+    // append inherits the table's spec; a conflicting spec rejects
+    Sinks.copyTo(Seq((5L, "apac", 5.0)).toDF("id", "region", "x"), root, "iceberg")
+    assert(readBack(root).count() === 5L)
+    val e = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((6L, "x", 6.0)).toDF("id", "region", "x"), root, "iceberg",
+        Map("partition_by" -> "id"))
+    }
+    assert(e.getMessage.contains("partition spec"))
+    // MOR DELETE works on partitioned tables; UPDATE/compaction reject
+    assert(IcebergSink.deleteWhere(spark, root, "id = 2") === 1L)
+    assert(readBack(root).count() === 4L)
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.updateWhere(spark, root, "id = 1", Map("x" -> "9.0"))
+    }
+    assert(e2.getMessage.contains("partition-aware"))
+    intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.rewriteDataFiles(spark, root)
+    }
+    // unsupported partition source type rejects loudly
+    val e3 = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((1L, 1.5)).toDF("id", "x"),
+        tempDir("isink_part_bad").getPath, "iceberg", Map("partition_by" -> "x"))
+    }
+    assert(e3.getMessage.contains("identity partitioning"))
   }
 }
