@@ -39,8 +39,22 @@ object Packing {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val slim = df.select(col(idCol), col(nCol).cast("long").as(nCol))
-    val parted = slim.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
+    // Range-bucket ids against DRIVER-LITERAL boundaries (one approx-
+    // quantile pass), NOT repartitionByRange + spark_partition_id: range
+    // partitioning re-SAMPLES its boundaries per job, and this frame runs
+    // two jobs (the totals collect, then the final join) — boundaries that
+    // land differently between them mis-map every partition offset. A
+    // literal id→bucket expression is identical in every job by
+    // construction; boundary QUALITY only affects balance, never
+    // correctness, so a coarse quantile error is fine.
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds: Array[Double] =
+      if (probs.isEmpty) Array.empty
+      else slim.stat.approxQuantile(idCol, probs, 0.01).distinct.sorted
+    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(idCol) >= lit(b), 1).otherwise(0)
+    }
+    val parted = slim.withColumn("__pid", pidExpr)
     val w = Window.partitionBy("__pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(col(nCol)).over(w))

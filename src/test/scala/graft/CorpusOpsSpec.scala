@@ -54,6 +54,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packOffsets stays internally consistent at scale-shaped id gaps") {
+    // regression: the old repartitionByRange + spark_partition_id mapping
+    // re-sampled range boundaries PER JOB, so the totals job and the final
+    // join could land different partitionings and mis-map every partition
+    // offset — surfaced at sf1 (50k docs, 100M-stride id copies). The
+    // stress shape in miniature: big strided id blocks, many buckets.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val rows = (0 until 10).flatMap { copy =>
+        (0L until 500L).map(i => (copy * 100000000L + i, (i % 37) + 1))
+      }
+      val got = Packing.packOffsets(rows.toDF("doc_id", "n"), "doc_id", "n", 128)
+        .select("doc_id", "n", "start_off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var acc = 0L
+      got.foreach { case (id, n, off) =>
+        assert(off === acc, s"doc $id: start_off $off != running sum $acc")
+        acc += n
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("packOffsets marks exactly the docs straddling a sequence boundary") {
     import spark.implicits._
     // 100+100+100: doc 3 starts at 200 and ends at 299 — crosses 256
