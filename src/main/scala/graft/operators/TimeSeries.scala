@@ -26,7 +26,19 @@ object TimeSeries {
     * interval literal body, e.g. "1 hour". */
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
       valCol: String, step: String = "1 hour"): DataFrame = {
-    val unit = step.trim.split("\\s+").last // "1 hour" -> date_trunc("hour")
+    // single-unit steps only: the bucket is date_trunc(unit), which aligns
+    // with the grid ONLY when the step is one whole unit — "30 minutes"
+    // would silently bucket wrong, so anything else rejects loudly
+    val unit = step.trim.toLowerCase match {
+      case "1 minute" => "minute"
+      case "1 hour" => "hour"
+      case "1 day" => "day"
+      case "1 week" => "week"
+      case other => throw new IllegalArgumentException(
+        s"resampleFill step `$other`: supported steps are 1 minute / 1 hour " +
+          "/ 1 day / 1 week (the bucket is date_trunc of the step's unit, " +
+          "which only aligns for whole single-unit steps)")
+    }
     val hourly = df
       .groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("h"))
       .agg(count(lit(1)).as("n"),
