@@ -702,6 +702,13 @@ object Similarity {
     * `list(d ORDER BY s)` ≡ the engine's left-assoc Σ). Expects relations
     * `q(q_id, qv)` and `c(vec_id, cv)` defined upstream. */
   def pqSql(k: Int, m: Int = 8, kCodes: Int = 8, iters: Int = 2,
+      dim: Int = 64): String =
+    s"""${pqCtes(m, kCodes, iters, dim)}
+      SELECT q_id, vec_id, rank, adc_dist FROM ranked WHERE rank <= $k"""
+
+  /** The PQ chain through the `ranked` CTE (train + encode + ADC + rank),
+    * for callers that extend it (the rerank oracle). */
+  def pqCtes(m: Int = 8, kCodes: Int = 8, iters: Int = 2,
       dim: Int = 64): String = {
     val subDim = dim / m
     def d(x: String, y: String) =
@@ -758,9 +765,45 @@ object Similarity {
       ranked AS (SELECT q_id, vec_id,
                         CAST(row_number() OVER (PARTITION BY q_id
                           ORDER BY adc_dist ASC, vec_id) AS BIGINT) AS rank, adc_dist
-                 FROM adc)
-      SELECT q_id, vec_id, rank, adc_dist FROM ranked WHERE rank <= $k"""
+                 FROM adc)"""
   }
+
+  /** TWO-STAGE ANN — the production retrieval shape: the PQ/ADC coarse
+    * stage surfaces `kCand` candidates per query from compressed codes
+    * (recall, cheap), then an EXACT cosine rerank over only those
+    * candidates picks the final top-k (precision, paid on ≪ n rows). The
+    * rerank join touches kCand × queries rows — the whole point: full
+    * vectors are read for a bounded candidate set, never the corpus. */
+  def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCand: Int = 30, m: Int = 8, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = pqTopK(queries, candidates, kCand, m, kCodes, iters)
+      .select(col("q_id"), col("vec_id"))
+    val rer = cand
+      .join(candidates.select(col("vec_id"), col("embedding").as("__cv")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", cosine("q_vec", "__cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Oracle for [[pqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
+    * upstream, replays the PQ chain then the exact-cosine rerank. */
+  def pqRerankSql(k: Int, kCand: Int = 30, m: Int = 8, kCodes: Int = 8,
+      iters: Int = 2, dim: Int = 64): String =
+    s"""${pqCtes(m, kCodes, iters, dim)},
+      cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $kCand),
+      rer AS (SELECT ca.q_id, ca.vec_id,
+                     ${cosineSql("qq.qv", "cc.cv")} AS cos_sim
+              FROM cand ca JOIN q qq ON ca.q_id = qq.q_id
+                           JOIN c cc ON ca.vec_id = cc.vec_id),
+      rr AS (SELECT q_id, vec_id,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
+             FROM rer)
+      SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
 
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever an
     * embedding store pulls first at 100 TB (4 B→1 B per dimension before

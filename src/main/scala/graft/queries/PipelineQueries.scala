@@ -1060,6 +1060,28 @@ object PipelineQueries {
     (s, dir) => UrlOps.urlDedupMark(urlSynth(s, dir), "url", "doc_id"),
     Some(UrlOps.urlDedupMarkSql(urlSynthSql, "url", "doc_id")))
 
+  // ---------------------------------------------------------------- s10
+  // TWO-STAGE ANN under the gate: the PQ/ADC coarse stage surfaces 30
+  // candidates per query from compressed codes, the exact cosine rerank
+  // picks the final top-10 over only those rows — the production
+  // retrieval shape (quantizer recall, exact precision, full vectors read
+  // for a bounded candidate set only). The oracle replays BOTH stages, so
+  // a drifted codebook, a mis-ranked candidate, or a rerank tie broken
+  // differently all fail the hash.
+  private val s10 = QueryDef(
+    "s10_ann_pq_rerank",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.pqRerankTopK(queries, candidates, k = 10, kCand = 30)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.pqRerankSql(10, kCand = 30)}"""))
+
   // ---------------------------------------------------------------- t15
   // Corpus-LM quality score (the CCNet perplexity-filter idea, log-free so
   // the cross-engine gate is EXACT — see TextOps.lmQualityScore): the
@@ -1072,5 +1094,5 @@ object PipelineQueries {
     Some(TextOps.lmQualityScoreSql("SELECT doc_id, text FROM documents",
       "text", "doc_id")))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, s10)
 }
