@@ -262,6 +262,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
   }
 
+  test("s10: rerank joins only the candidate set; queries broadcast") {
+    val p = plan("s10_ann_pq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"the exact stage must never cartesian the corpus:\n$p")
+    // the query side broadcasts in the rerank join (bounded row count)
+    assert(p.contains("BroadcastExchange"), s"expected a broadcast:\n$p")
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     Seq("q01_pricing_summary", "q02_filter_project", "q30_math_kernels").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
