@@ -150,6 +150,67 @@ object IcebergNative {
       StructField("is_current", BooleanType, nullable = false))))
   }
 
+  /** The CURRENT snapshot's manifests with their entry tallies — the
+    * iceberg `table.manifests` metadata-table shape: one row per manifest
+    * (path, sequence number, data vs delete content, live/deleted entry
+    * counts, row totals). Bounded driver Avro walks, no data touched;
+    * the rows an operator reads to judge compaction/expiry health. */
+  def manifests(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.mapred.FsInput
+    import org.apache.spark.sql.Row
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val meta = currentMeta(fs, root)
+    val currentId = meta.path("current-snapshot-id").asLong(-1L)
+    val current = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == currentId).getOrElse(
+        throw IcebergReadException(s"`$root`: current snapshot $currentId not listed"))
+    def abs(rel: String): Path = {
+      val p = new Path(rel)
+      if (p.isAbsolute) p else new Path(rootPath, p)
+    }
+    val mlPath = abs(current.path("manifest-list").asText())
+    val list = {
+      val r = new DataFileReader[GenericRecord](new FsInput(mlPath, conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map { rec =>
+        (rec.get("manifest_path").toString,
+          Option(rec.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse(current.path("sequence-number").asLong(0L)))
+      }.toSeq
+      finally r.close()
+    }
+    val rows = list.map { case (mp, seq) =>
+      var liveData = 0L; var liveDeletes = 0L; var removed = 0L; var rowsTotal = 0L
+      val r = new DataFileReader[GenericRecord](new FsInput(abs(mp), conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.foreach { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        if (status == 2) removed += 1
+        else {
+          if (content == 0) liveData += 1 else liveDeletes += 1
+          rowsTotal += Option(dfr.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
+      }
+      finally r.close()
+      Row(mp, seq, if (liveDeletes > 0 && liveData == 0) "deletes" else "data",
+        liveData, liveDeletes, removed, rowsTotal)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("live_data_files", LongType, nullable = false),
+      StructField("live_delete_files", LongType, nullable = false),
+      StructField("removed_entries", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false))))
+  }
+
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)

@@ -255,7 +255,7 @@ object SqlApi {
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
   private val fnTailRe =
-    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|glob|read_text|read_blob)\(\s*$""".r
+    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|glob|read_text|read_blob)\(\s*$""".r
 
   /** DuckDB's `glob('pattern')` — one row per matching path, sorted. The
     * DuckDB file-system helper the reference's users reach through
@@ -405,6 +405,9 @@ object SqlApi {
               viewFor("graft_dh_", arg, deltaHistory(spark, arg))
             case "iceberg_snapshots" =>
               viewFor("graft_is_", arg, icebergSnapshots(spark, arg))
+            case "iceberg_manifests" =>
+              viewFor("graft_im_", arg,
+                graft.sources.IcebergNative.manifests(spark, arg))
             case "glob" =>
               viewFor("graft_gl_", arg, globFiles(spark, arg))
             case "read_text" =>

@@ -247,6 +247,25 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergNative.snapshots(spark, root).count() === 1L)
   }
 
+  test("iceberg_manifests tallies the current snapshot's manifests, SQL-callable") {
+    val root = tempDir("isink_mans").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      root, "iceberg")
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v").coalesce(1), root, "iceberg")
+    IcebergSink.deleteWhere(spark, root, "id = 1")                // delete manifest
+    val m = IcebergNative.manifests(spark, root).collect()
+    assert(m.length === 3) // two data manifests carried + one delete manifest
+    val byContent = m.groupBy(_.getString(2))
+    assert(byContent("data").map(_.getLong(3)).sum === 2L)   // two live data files
+    assert(byContent("deletes").map(_.getLong(4)).sum === 1L) // one delete file
+    // data rows tally: 3 data rows + 1 dead position row
+    assert(m.map(_.getLong(6)).sum === 4L)
+    // SQL-callable through the quote-aware swap
+    val viaSql = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT count(*) AS n FROM iceberg_manifests('$root')")
+    assert(viaSql.collect().head.getLong(0) === 3L)
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
