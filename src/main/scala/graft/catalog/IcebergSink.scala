@@ -50,13 +50,19 @@ object IcebergSink {
   // Written per the spec's manifest/manifest-list required core; optional
   // columns consumers may want but this writer doesn't track are omitted —
   // Avro readers resolve by name, absent optional fields read as null.
+  // lower/upper bounds + null counts ride as Avro MAPS keyed by the field
+  // id's decimal string — one of the two key encodings the spec's readers
+  // (including this library's own) accept for the int-keyed stats maps
   private val dfSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"r2","fields":[
       {"name":"content","type":["null","int"],"default":null},
       {"name":"file_path","type":"string"},
       {"name":"file_format","type":"string"},
       {"name":"record_count","type":"long"},
-      {"name":"file_size_in_bytes","type":["null","long"],"default":null}]}""")
+      {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+      {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+      {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+      {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
   private val entrySchema = new org.apache.avro.Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_entry","fields":[
       {"name":"status","type":"int"},
@@ -99,6 +105,63 @@ object IcebergSink {
         }.maxByOption(_._1)
       }
     fromHint.orElse(fromListing)
+  }
+
+  /** Record count + Appendix-D single-value bounds + null counts from one
+    * parquet footer, keyed by field-id decimal string — the skipping fuel
+    * the manifest-backed FileIndex burns at plan time (the write→read
+    * loop DeltaSink already closes with add.stats). Parquet CHUNK
+    * statistics are exact or absent (truncation is a column-index
+    * feature), so a present bound is a true bound; block stats merge via
+    * parquet's own typed comparators. Unsupported types just omit. */
+  private def footerInfo(p: Path, conf: org.apache.hadoop.conf.Configuration,
+      fieldIds: Seq[(StructField, Int)]): (Long,
+        java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.lang.Long]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import java.nio.{ByteBuffer, ByteOrder}
+    val lower = new java.util.HashMap[String, ByteBuffer]()
+    val upper = new java.util.HashMap[String, ByteBuffer]()
+    val nulls = new java.util.HashMap[String, java.lang.Long]()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val records = blocks.map(_.getRowCount).sum
+      fieldIds.foreach { case (f, id) =>
+        val stats = blocks.flatMap(_.getColumns.asScala.find(
+          _.getPath.asScala.toSeq == Seq(f.name))).map(_.getStatistics)
+        if (stats.nonEmpty && stats.forall(s => s != null && !s.isEmpty)) {
+          val merged = stats.head.copy()
+          stats.tail.foreach(merged.mergeStatistics(_))
+          if (merged.isNumNullsSet)
+            nulls.put(id.toString, Long.box(merged.getNumNulls))
+          def le(n: Int)(fill: ByteBuffer => Unit): ByteBuffer = {
+            val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+            fill(b); b.flip(); b
+          }
+          def enc(v: Any): Option[ByteBuffer] = (f.dataType, v) match {
+            case (IntegerType | ShortType | ByteType | DateType, i: Number) =>
+              Some(le(4)(_.putInt(i.intValue())))
+            case (LongType | TimestampType | TimestampNTZType, l: Number) =>
+              Some(le(8)(_.putLong(l.longValue())))
+            case (FloatType, x: Number) => Some(le(4)(_.putFloat(x.floatValue())))
+            case (DoubleType, x: Number) => Some(le(8)(_.putDouble(x.doubleValue())))
+            case (BooleanType, b0: java.lang.Boolean) =>
+              Some(ByteBuffer.wrap(Array[Byte](if (b0) 1 else 0)))
+            case (StringType, b0: org.apache.parquet.io.api.Binary) =>
+              Some(ByteBuffer.wrap(b0.getBytes))
+            case _ => None
+          }
+          if (merged.hasNonNullValue) {
+            enc(merged.genericGetMin()).foreach(lower.put(id.toString, _))
+            enc(merged.genericGetMax()).foreach(upper.put(id.toString, _))
+          }
+        }
+      }
+      (records, lower, upper, nulls)
+    } finally reader.close()
   }
 
   /** The default partition spec's field (source-column) names; Nil =
@@ -289,7 +352,10 @@ object IcebergSink {
     w.parquet(tmp.toString)
 
     final case class NewFile(rel: String, size: Long, records: Long,
-      partValues: Seq[Any])
+      partValues: Seq[Any],
+      lower: java.util.Map[String, java.nio.ByteBuffer],
+      upper: java.util.Map[String, java.nio.ByteBuffer],
+      nullCounts: java.util.Map[String, java.lang.Long])
     def partValuesOf(p: Path): Seq[Any] =
       partColsEff.zipWithIndex.map { case (c, i) =>
         val re = (s"__gpk$i=([^/]*)").r
@@ -323,15 +389,10 @@ object IcebergSink {
           fs.mkdirs(dest.getParent)
           if (!fs.rename(st.getPath, dest))
             throw IcebergReadException(s"`$path`: failed to move ${st.getPath}")
-          val records = {
-            import org.apache.parquet.hadoop.ParquetFileReader
-            import org.apache.parquet.hadoop.util.HadoopInputFile
-            val r = ParquetFileReader.open(HadoopInputFile.fromPath(dest,
-              spark.sessionState.newHadoopConf()))
-            try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-            finally r.close()
-          }
-          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records, pv)
+          val (records, lb, ub, nvc) =
+            footerInfo(dest, spark.sessionState.newHadoopConf(), fieldIds)
+          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records,
+            pv, lb, ub, nvc)
         }
       }
     } finally fs.delete(tmp, true)
@@ -372,7 +433,10 @@ object IcebergSink {
             {"name":"file_format","type":"string"},
             {"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$pf]}],"default":null},
             {"name":"record_count","type":"long"},
-            {"name":"file_size_in_bytes","type":["null","long"],"default":null}]}""")
+            {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+            {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+            {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+            {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
         val e = new org.apache.avro.Schema.Parser().parse(
           s"""{"type":"record","name":"manifest_entry","fields":[
             {"name":"status","type":"int"},
@@ -396,6 +460,9 @@ object IcebergSink {
       }
       d.put("record_count", f.records)
       d.put("file_size_in_bytes", Long.box(f.size))
+      if (!f.lower.isEmpty) d.put("lower_bounds", f.lower)
+      if (!f.upper.isEmpty) d.put("upper_bounds", f.upper)
+      if (!f.nullCounts.isEmpty) d.put("null_value_counts", f.nullCounts)
       val e = new GenericData.Record(eSch)
       e.put("status", 1) // ADDED
       e.put("sequence_number", Long.box(seq))

@@ -247,6 +247,44 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergNative.snapshots(spark, root).count() === 1L)
   }
 
+  test("sink-written bounds stats prune files at plan time (write→read skipping)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(plan: SparkPlan): Option[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(s) => s }
+    }
+    val root = tempDir("isink_stats").getPath
+    // two files with disjoint id ranges + disjoint string ranges
+    Sinks.copyTo(
+      Seq((1L, "alpha", 1.5), (2L, "bravo", 2.5), (11L, "xray", 3.5),
+        (12L, "zulu", 4.5)).toDF("id", "name", "x")
+        .repartitionByRange(2, col("id")),
+      root, "iceberg")
+    val back = readBack(root)
+    // long-range predicate outside file A's [min,max] opens only file B
+    val pruned = back.filter(col("id") >= 11L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(11L, 12L))
+    assert(findScan(pruned.queryExecution.executedPlan).get
+      .metrics("numFiles").value === 1L,
+      "sink-written long bounds should prune the out-of-range file")
+    // string bounds prune too
+    val prunedS = back.filter(col("name") >= "xray")
+    assert(prunedS.collect().map(_.getString(1)).sorted.toSeq === Seq("xray", "zulu"))
+    assert(findScan(prunedS.queryExecution.executedPlan).get
+      .metrics("numFiles").value === 1L,
+      "sink-written string bounds should prune the out-of-range file")
+    // double bounds
+    val prunedD = back.filter(col("x") < 2.0)
+    // collect(), not count(): count() plans its own execution and would
+    // leave THIS df's scan metrics unpopulated
+    assert(prunedD.collect().length === 1)
+    assert(findScan(prunedD.queryExecution.executedPlan).get
+      .metrics("numFiles").value === 1L)
+  }
+
   test("iceberg_manifests tallies the current snapshot's manifests, SQL-callable") {
     val root = tempDir("isink_mans").getPath
     Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
