@@ -903,6 +903,116 @@ object DeltaSink {
     (removed, added)
   }
 
+  /** OPTIMIZE ZORDER BY — multi-dimensional data clustering, the
+    * file-skipping lever for tables queried on SEVERAL columns: every live
+    * file rewrites with rows range-partitioned by a Z-VALUE that
+    * interleaves the bit-buckets of the given columns, so each output
+    * file covers a tight z-range and its min/max stats are tight on EVERY
+    * zorder column simultaneously (a plain sort tightens one column only).
+    * `dataChange=false`: content is snapshot-identical — the change feed
+    * and followers see nothing.
+    *
+    * Bucketing: numeric/date/timestamp columns rank equal-width over their
+    * observed [min, max] (driver literals, one stats pass); string columns
+    * bucket by xxhash64 — equal values cluster (point-lookup skipping);
+    * range locality over strings needs a sort key, not a hash. NULLs land
+    * in bucket 0. Unpartitioned, non-column-mapped tables (per-partition
+    * z-subdivision is a connector-grade feature; loud reject). Returns
+    * (filesRemoved, filesAdded). */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession, path: String,
+      zorderBy: Seq[String], targetFileRows: Long = 1024 * 1024): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    require(zorderBy.nonEmpty, "optimizeZOrder needs at least one column")
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val st = replayState(spark, rootPath, forbidDv = "OPTIMIZE ZORDER")
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    if (st.partCols.nonEmpty) throw DeltaReadException(
+      s"`$path`: ZORDER on a partitioned table needs per-partition " +
+        "z-subdivision — use a delta connector jar")
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables cannot be z-ordered by this native OPTIMIZE")
+    val dataSchema = DataType.fromJson(st.schemaJson.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    zorderBy.find(c => !dataSchema.fieldNames.contains(c)).foreach { c =>
+      throw DeltaReadException(s"`$path`: ZORDER column `$c` is not in the table schema")
+    }
+    if (st.live.isEmpty) return (0, 0)
+    val abs = st.live.keys.toSeq.map { rel =>
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      (if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    val df = spark.read.schema(dataSchema).parquet(abs: _*)
+    // per-column bucket expressions (256 buckets = 8 bits each)
+    val numericish: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
+    val zFields = zorderBy.map(c => dataSchema(dataSchema.fieldIndex(c)))
+    val needStats = zFields.filter(f => numericish.contains(f.dataType))
+    val ranges: Map[String, (Double, Double)] =
+      if (needStats.isEmpty) Map.empty
+      else {
+        val aggs = needStats.flatMap(f => Seq(
+          min(col(f.name).cast("double")), max(col(f.name).cast("double"))))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        needStats.zipWithIndex.map { case (f, i) =>
+          val lo = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+          val hi = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+          f.name -> (lo, hi)
+        }.toMap
+      }
+    val bucketExprs = zFields.map { f =>
+      if (numericish.contains(f.dataType)) {
+        val (lo, hi) = ranges(f.name)
+        if (hi <= lo) lit(0L)
+        else coalesce(least(lit(255L), greatest(lit(0L),
+          floor((col(f.name).cast("double") - lit(lo)) * 256.0 / (hi - lo))
+            .cast("long"))), lit(0L))
+      } else coalesce(pmod(xxhash64(col(f.name)), lit(256L)), lit(0L))
+    }
+    val n = zFields.length
+    val zExpr = (0 until 8).flatMap { b =>
+      bucketExprs.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    // log-served row counts size the output; any file without stats falls
+    // back to one count job (a partial sum would under-size silently)
+    val recordCounts = st.live.values.toSeq.map(_.stats.flatMap(s =>
+      Option(mapper.readTree(s).path("numRecords"))
+        .filter(_.isNumber).map(_.asLong())))
+    val totalRows =
+      if (recordCounts.nonEmpty && recordCounts.forall(_.isDefined))
+        recordCounts.flatten.sum
+      else df.count()
+    val numFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val clustered = df.withColumn("__z", zExpr)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val newFiles = writeDataFiles(clustered, rootPath, Nil, Map.empty)
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${esc(zorderBy.mkString(","))}}}}"""
+    st.live.keys.foreach { rel =>
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+    }
+    newFiles.foreach { f =>
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":{},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false,""" +
+        s""""stats":${esc(f.stats)}}}"""
+    }
+    val version = st.version + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw DeltaReadException(
+      s"`$path`: commit $version already exists — another writer got there first")
+    val out = fs.create(target, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    (st.live.size, newFiles.size)
+  }
+
   /** VACUUM — delete data files no live snapshot references, once they are
     * older than `retentionMs` (default 7 days, the delta-spark default;
     * pass 0 only when no reader could still be pinned to an old version).

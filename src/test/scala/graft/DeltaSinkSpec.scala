@@ -241,6 +241,59 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq(3L, 9L))
   }
 
+  test("OPTIMIZE ZORDER clusters both columns; skipping tightens on each") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(plan: SparkPlan): Option[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(s) => s }
+    }
+    def filesFor(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      findScan(df.queryExecution.executedPlan).get.metrics("numFiles").value
+    }
+    val root = tempDir("dsink_zorder").getPath
+    // two INDEPENDENT dimensions, written in an order that correlates with
+    // NEITHER: every original file spans both full ranges, so pre-zorder
+    // skipping on (a, b) prunes nothing
+    val n = 4096
+    val df = spark.range(n.toLong).toDF("i").selectExpr(
+      "CAST(i % 64 AS BIGINT) AS a",
+      "CAST((i * 37) % 64 AS BIGINT) AS b",
+      "CAST(i AS DOUBLE) AS payload")
+    Sinks.copyTo(df.repartition(8), root, "delta")
+    val before = readBack(root)
+    val totalFiles = filesFor(before.filter(org.apache.spark.sql.functions.lit(true)))
+    assert(filesFor(before.filter(col("a") < 8)) === totalFiles,
+      "pre-zorder: random layout should give no a-pruning")
+    val (removed, added) = DeltaSink.optimizeZOrder(spark, root, Seq("a", "b"),
+      targetFileRows = 512)
+    assert(removed === 8 && added >= 4)
+    val after = readBack(root)
+    // snapshot-identical content
+    assert(after.agg(org.apache.spark.sql.functions.sum("payload")).head.getDouble(0)
+      === before.agg(org.apache.spark.sql.functions.sum("payload")).head.getDouble(0))
+    assert(after.count() === n.toLong)
+    // BOTH dimensions now prune
+    assert(filesFor(after.filter(col("a") < 8)) < added,
+      "post-zorder: a-range should skip files")
+    assert(filesFor(after.filter(col("b") < 8)) < added,
+      "post-zorder: b-range should skip files")
+    // dataChange=false: a CDF-less follower diff sees no rewritten rows
+    val h = DeltaNative.history(spark, root).orderBy("version").collect()
+    assert(h.last.getString(2) === "OPTIMIZE")
+    // partitioned tables reject loudly
+    val proot = tempDir("dsink_zorder_part").getPath
+    Sinks.copyTo(Seq((1L, "us")).toDF("id", "region"), proot, "delta",
+      Map("partition_by" -> "region"))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.optimizeZOrder(spark, proot, Seq("id"))
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("RESTORE flips the live set back to an old version in one commit") {
     val root = tempDir("dsink_restore").getPath
     Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "delta") // v0
