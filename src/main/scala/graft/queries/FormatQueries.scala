@@ -1243,6 +1243,44 @@ object FormatQueries {
       UNION ALL
       SELECT c_custkey, c_acctbal, c_mktsegment FROM ins"""))
 
+  // ---------------------------------------------------------------- w06
+  // IDENTITY-PARTITIONED ICEBERG WRITE under the hash gate: orders CTAS
+  // partitioned by o_orderstatus (three partitions, each data file one
+  // tuple, manifests carrying partition records AND bounds stats), then a
+  // merge-on-read DELETE on one partition, read back through the native
+  // manifest reader. The oracle replays the filter+delete over the source
+  // table — a partition tuple mis-parsed, a bounds-pruned file wrongly
+  // dropped, or a delete leaking across partitions all break the hash.
+  private val w06 = QueryDef(
+    "w06_iceberg_partitioned",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_w06_iceberg_part"
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.catalog.Sinks.copyTo(orders, out, "iceberg",
+        Map("partition_by" -> "o_orderstatus"))
+      graft.catalog.IcebergSink.deleteWhere(s, out,
+        "o_orderstatus = 'F' AND o_totalprice < 50000")
+      Catalog.attach(s, "w06_orders_iceberg_part", "iceberg", Map("files" -> out))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+      GROUP BY o_orderstatus"""))
+
   // ---------------------------------------------------------------- l10
   // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg
   // reader in ONE plan — the interop query a real lakehouse migration
@@ -1302,5 +1340,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, w01, w02, w03, w04, w05, f01)
+      l09, l10, l11, w01, w02, w03, w04, w05, w06, f01)
 }
