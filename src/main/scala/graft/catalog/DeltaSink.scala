@@ -441,7 +441,10 @@ object DeltaSink {
     options.get("compression").foreach(v => w = w.option("compression", v))
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-    w.parquet(tmp.toString)
+    // INT64-micros timestamps (not Spark's INT96 default): INT96 chunk
+    // stats are unusable (deprecated ordering), so add.stats would lose
+    // timestamp bounds — no skipping, no metadata-only min/max
+    IcebergSink.withMicrosTimestamps(spark) { w.parquet(tmp.toString) }
     val moved = Seq.newBuilder[NewFile]
     try {
       val tmpQ = fs.makeQualified(tmp).toString
@@ -861,7 +864,9 @@ object DeltaSink {
       // distributed rewrite of exactly this group's files into one part
       val tmp = new Path(rootPath,
         s"_graft_opt_${java.util.UUID.randomUUID().toString.take(8)}")
-      spark.read.parquet(abs: _*).coalesce(1).write.parquet(tmp.toString)
+      IcebergSink.withMicrosTimestamps(spark) {
+        spark.read.parquet(abs: _*).coalesce(1).write.parquet(tmp.toString)
+      }
       val part = {
         val it = fs.listFiles(tmp, true)
         var found: Option[Path] = None
@@ -1099,7 +1104,20 @@ object DeltaSink {
             val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].longValue())
             val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].longValue())
             minV.put(f.name, microsIso(mins.min)); maxV.put(f.name, microsIso(maxs.max))
-          case _ => () // nested/decimal/binary: no stats → no pruning, never wrong
+          case d: DecimalType =>
+            // physical INT32/INT64 or FIXED/BINARY big-endian unscaled —
+            // decode exactly, emit as a plain JSON number per the protocol
+            def dec(v: Any): java.math.BigDecimal = v match {
+              case n: Number => java.math.BigDecimal.valueOf(n.longValue(), d.scale)
+              case b: org.apache.parquet.io.api.Binary =>
+                new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale)
+              case other => throw new IllegalStateException(
+                s"unexpected decimal stat class ${other.getClass}")
+            }
+            val mins = bounded.map(s => dec(s.genericGetMin))
+            val maxs = bounded.map(s => dec(s.genericGetMax))
+            minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
+          case _ => () // nested/binary: no stats → no pruning, never wrong
         }
       }
       mapper.writeValueAsString(root)

@@ -349,7 +349,7 @@ object IcebergSink {
       w = w.partitionBy(partColsEff.indices.map(i => s"__gpk$i"): _*)
     options.get("compression").foreach(v => w = w.option("compression", v))
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
-    w.parquet(tmp.toString)
+    withMicrosTimestamps(df.sparkSession) { w.parquet(tmp.toString) }
 
     final case class NewFile(rel: String, size: Long, records: Long,
       partValues: Seq[Any],
@@ -658,6 +658,21 @@ object IcebergSink {
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
   }
 
+  /** The Iceberg spec mandates int64-micros timestamps in data files —
+    * Spark's INT96 default is invalid Iceberg AND carries no usable footer
+    * statistics (parquet deprecated INT96 ordering), so bounds would go
+    * missing too. Pin the output type for the duration of a write even on
+    * externally built sessions. (Session-conf flip: writes from concurrent
+    * threads of the SAME session during this window would also produce
+    * micros — a strict improvement, never corruption.) */
+  private[catalog] def withMicrosTimestamps[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = try spark.conf.get(key) catch { case _: Exception => null }
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally if (prev == null) spark.conf.unset(key) else spark.conf.set(key, prev)
+  }
+
   /** Distributed parquet write of `df` → parts moved under `data/` with
     * `prefix`, returning (rel, size, footer rows) per file. Zero-row parts
     * are never moved, so an empty frame leaves the table untouched and
@@ -667,7 +682,7 @@ object IcebergSink {
     val fs = st.fs
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
-    df.write.parquet(tmp.toString)
+    withMicrosTimestamps(df.sparkSession) { df.write.parquet(tmp.toString) }
     val out = Seq.newBuilder[(String, Long, Long)]
     try {
       val it = fs.listFiles(tmp, true)

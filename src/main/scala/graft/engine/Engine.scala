@@ -23,6 +23,10 @@ object Engine {
   def configure(b: SparkSession.Builder, cores: Int = defaultParallelism): SparkSession.Builder =
     b.withExtensions { ext =>
       graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
+      // metadata-only count/min/max over the native lakehouse readers —
+      // answered from log/manifest stats, zero file reads (plans/
+      // MetadataAggregates; kill-switch spark.graft.metadataAgg=false)
+      ext.injectOptimizerRule(_ => graft.plans.MetadataAggregates)
     }
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -25,6 +25,15 @@ object FormatQueries {
     out
   }
 
+  private def rmTree(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (root.exists()) {
+      import java.nio.file._
+      Files.walk(root.toPath).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** customer → CSV with header. escape='"' doubles quotes, the dialect
     * DuckDB's reader expects by default. */
   private def customerCsv(s: SparkSession, dir: String): String =
@@ -1313,6 +1322,67 @@ object FormatQueries {
       FROM dc JOIN io ON c_custkey = o_custkey
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- l12
+  // METADATA-ONLY AGGREGATES over a native Delta write: count/min/max over
+  // an attached table answer straight from the log's add.stats (plans/
+  // MetadataAggregates) — the executed plan is a one-row LocalRelation,
+  // zero data files opened (pinned in MetadataAggSpec). At 100 TB this is
+  // the difference between a driver fold over log metadata and a full
+  // cluster scan. The oracle recomputes the same aggregates from the
+  // SOURCE table, so a stats bug in the writer OR a fold bug in the rule
+  // breaks the hash. Exceeds the reference surface (DuckDB's delta_scan
+  // has no stats fast path through pg_analytics, src/duckdb/delta.rs).
+  private val l12 = QueryDef(
+    "l12_delta_metadata_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_l12_delta"
+      if (!new java.io.File(s"$out/_delta_log/00000000000000000001.json").exists()) {
+        rmTree(out)
+        val cust = Tables.load(s, dir, "customer")
+        // two commits → stats folded across log versions, not one file
+        graft.catalog.Sinks.copyTo(cust.filter(col("c_custkey") % 2 === 0), out, "delta")
+        graft.catalog.Sinks.copyTo(cust.filter(col("c_custkey") % 2 =!= 0), out, "delta")
+      }
+      Catalog.attach(s, "l12_customer_delta_stats", "delta", Map("files" -> out))
+        .agg(count(lit(1)).as("n_rows"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"), min(col("c_nationkey")).as("min_nat"),
+          count(col("c_name")).as("n_names"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows, min(c_custkey) AS min_key,
+             max(c_custkey) AS max_key, min(c_nationkey) AS min_nat,
+             count(c_name) AS n_names
+      FROM customer"""))
+
+  // ---------------------------------------------------------------- l13
+  // METADATA-ONLY AGGREGATES over a native Iceberg write: the same fold
+  // served from manifest record_count + Appendix-D lower/upper bounds —
+  // including TIMESTAMP bounds decoded from their little-endian micros.
+  // Two appends → two snapshots → stats folded across manifests.
+  private val l13 = QueryDef(
+    "l13_iceberg_metadata_agg",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_l13_iceberg"
+      if (!new java.io.File(s"$out/metadata/v2.metadata.json").exists()) {
+        rmTree(out)
+        val ord = Tables.load(s, dir, "orders")
+        graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 0), out, "iceberg")
+        graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 =!= 0), out, "iceberg")
+      }
+      Catalog.attach(s, "l13_orders_iceberg_stats", "iceberg", Map("files" -> out))
+        .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+             max(o_orderkey) AS max_key, min(o_orderdate) AS first_date,
+             max(o_orderdate) AS last_date
+      FROM orders"""))
+
   // ---------------------------------------------------------------- f01
   // The reference's own FDW lifecycle, verbatim DDL: CREATE FOREIGN DATA
   // WRAPPER → SERVER → USER MAPPING → typed FOREIGN TABLE → query
@@ -1340,5 +1410,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, w01, w02, w03, w04, w05, w06, f01)
+      l09, l10, l11, l12, l13, w01, w02, w03, w04, w05, w06, f01)
 }

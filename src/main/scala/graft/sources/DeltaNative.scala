@@ -559,7 +559,10 @@ object DeltaNative {
           e.partitionValues,
           () => e.stats.flatMap(LogFileIndex.parseDeltaStats(_, physDataSchema, mapper)))
       }
-      val index = new LogFileIndex(spark, rootPath, entries, partSchemaPhys)
+      // rowsExact: with no deletion vectors, the scan returns exactly the
+      // rows the log's add.stats describe → metadata-only aggregates apply
+      val index = new LogFileIndex(spark, rootPath, entries, partSchemaPhys,
+        rowsExact = dvs.isEmpty)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partSchemaPhys, physDataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,

@@ -597,7 +597,7 @@ object IcebergNative {
     // sizeInBytes reports the manifests' true byte count. Iceberg data
     // files are identity-complete (partition columns live in the files), so
     // the partition schema is empty and pruning rides the stats.
-    def indexedScan(files: Seq[FileRef]): DataFrame = {
+    def indexedScan(files: Seq[FileRef], rowsExact: Boolean = false): DataFrame = {
       val entries = files.map { f =>
         new LogFileIndex.IndexedFile(
           f.path,
@@ -607,7 +607,9 @@ object IcebergNative {
           else fs.getFileStatus(new Path(f.path)).getLen,
           0L, Map.empty, () => f.stats)
       }
-      val index = new LogFileIndex(spark, rootPath, entries, StructType(Nil))
+      // rowsExact only on the no-deletes read: manifest record_count/bounds
+      // then describe exactly what the scan returns → metadata aggregates
+      val index = new LogFileIndex(spark, rootPath, entries, StructType(Nil), rowsExact)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, StructType(Nil), readSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -642,7 +644,7 @@ object IcebergNative {
     surfaceTimes(if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty)
-      indexedScan(data)
+      indexedScan(data, rowsExact = true)
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
       // work. Positional deletes anti-join on (file path, row position) via

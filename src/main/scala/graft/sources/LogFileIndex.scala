@@ -131,7 +131,7 @@ object LogFileIndex {
   }
 
   // ---------------------------------------------------- pruning algebra
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[graft] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Double, y: Double) =>
       if (x.isNaN || y.isNaN) None else Some(java.lang.Double.compare(x, y))
@@ -249,13 +249,24 @@ object LogFileIndex {
 
 /** FileIndex over log-resolved entries. `partitionSchema` fields use the
   * PHYSICAL column names (the names `partitionValues` is keyed by and the
-  * pushed filters reference below any logical rename). */
+  * pushed filters reference below any logical rename).
+  *
+  * `rowsExact` declares that the log-recorded per-file statistics describe
+  * the rows the scan will actually RETURN — i.e. no row-level deletes,
+  * deletion vectors, or other post-scan filtering apply to these files.
+  * It licenses metadata-only aggregate answering (graft.plans
+  * .MetadataAggregates); readers set it only on their no-deletes path. */
 final class LogFileIndex(
     spark: SparkSession,
     root: Path,
     entries: Seq[LogFileIndex.IndexedFile],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    val rowsExact: Boolean = false) extends FileIndex {
   import LogFileIndex._
+
+  /** Log entries backing this index (metadata-aggregate answering reads
+    * per-file stats; one object per live file, already driver-resident). */
+  def files: Seq[IndexedFile] = entries
 
   private val tz = spark.sessionState.conf.sessionLocalTimeZone
 
