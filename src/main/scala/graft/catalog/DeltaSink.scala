@@ -159,7 +159,7 @@ object DeltaSink {
     partitionValues: Map[String, String], stats: String)
 
   /** One live file in the replayed writer-side state. */
-  private final case class LiveEntry(partitionValues: Map[String, String],
+  private[catalog] final case class LiveEntry(partitionValues: Map[String, String],
     size: Long, modTime: Long, stats: Option[String], hasDv: Boolean)
 
   /** Writer-side table state: latest version, declared shape, live files,
@@ -167,7 +167,7 @@ object DeltaSink {
     * present) plus the commit JSONs after it. The same bounded driver
     * replay every method here shares; multi-part/V2 checkpoints stay a
     * connector-jar feature and reject loudly. */
-  private final case class TableState(version: Long, schemaJson: Option[String],
+  private[catalog] final case class TableState(version: Long, schemaJson: Option[String],
     partCols: Seq[String], conf: Map[String, String],
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
     txnVersions: Map[String, Long], exists: Boolean)
@@ -175,7 +175,7 @@ object DeltaSink {
   /** `stopAt = Some(v)` replays only through commit v — the historical
     * state RESTORE diffs against. Rejects loudly when v is below a folded
     * checkpoint (its commits may be gone) or does not exist. */
-  private def replayState(spark: org.apache.spark.sql.SparkSession,
+  private[catalog] def replayState(spark: org.apache.spark.sql.SparkSession,
       rootPath: Path, forbidDv: String = "",
       stopAt: Option[Long] = None): TableState = {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())

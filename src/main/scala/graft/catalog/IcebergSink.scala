@@ -80,7 +80,7 @@ object IcebergSink {
     * concurrent hint rewrite can expose an empty/truncated file to a
     * polling reader, and lexicographic max would pick v9 over v10. None =
     * no table here. */
-  private def resolveCurrent(fs: org.apache.hadoop.fs.FileSystem,
+  private[catalog] def resolveCurrent(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path): Option[(Long, Path)] = {
     val hint = new Path(metaDir, "version-hint.text")
     def fromHint: Option[(Long, Path)] =
@@ -114,7 +114,7 @@ object IcebergSink {
     * statistics are exact or absent (truncation is a column-index
     * feature), so a present bound is a true bound; block stats merge via
     * parquet's own typed comparators. Unsupported types just omit. */
-  private def footerInfo(p: Path, conf: org.apache.hadoop.conf.Configuration,
+  private[catalog] def footerInfo(p: Path, conf: org.apache.hadoop.conf.Configuration,
       fieldIds: Seq[(StructField, Int)]): (Long,
         java.util.Map[String, java.nio.ByteBuffer],
         java.util.Map[String, java.nio.ByteBuffer],

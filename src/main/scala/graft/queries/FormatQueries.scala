@@ -1383,6 +1383,41 @@ object FormatQueries {
              max(o_orderdate) AS last_date
       FROM orders"""))
 
+  // ---------------------------------------------------------------- l14
+  // IN-PLACE DELTA→ICEBERG CONVERSION (the "UniForm" shape): a hive-
+  // partitioned Delta write gains Iceberg metadata over the SAME parquet
+  // files (catalog/Convert — zero data movement), then attaches through
+  // the native ICEBERG reader. The partition columns are not in the data
+  // files, so the Iceberg side serves them from each manifest entry's
+  // r102 identity tuple (the spec's migrated-table rule; plan-time
+  // partition pruning pinned in ConvertSpec). The oracle recomputes from
+  // the SOURCE table — a conversion that dropped a file, mis-typed a
+  // tuple, or lost the NULL partition breaks the hash. Exceeds the
+  // reference surface (its delta/iceberg extensions are disjoint readers,
+  // src/duckdb/delta.rs + iceberg.rs — no conversion path).
+  private val l14 = QueryDef(
+    "l14_delta_to_iceberg_convert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_l14_uniform"
+      if (!new java.io.File(s"$out/metadata/version-hint.text").exists()) {
+        rmTree(out)
+        val cust = Tables.load(s, dir, "customer").filter(col("c_acctbal") > 0)
+        graft.catalog.Sinks.copyTo(cust, out, "delta",
+          Map("partition_by" -> "c_mktsegment"))
+        graft.catalog.Convert.deltaToIceberg(s, out)
+      }
+      Catalog.attach(s, "l14_customer_uniform", "iceberg", Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 0
+      GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- f01
   // The reference's own FDW lifecycle, verbatim DDL: CREATE FOREIGN DATA
   // WRAPPER → SERVER → USER MAPPING → typed FOREIGN TABLE → query
@@ -1410,5 +1445,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, w01, w02, w03, w04, w05, w06, f01)
+      l09, l10, l11, l12, l13, l14, w01, w02, w03, w04, w05, w06, f01)
 }

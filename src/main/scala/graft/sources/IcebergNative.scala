@@ -395,7 +395,8 @@ object IcebergNative {
       }
 
     final case class FileRef(path: String, seq: Long, bytes: Long,
-        stats: Option[LogFileIndex.FileStats] = None)
+        stats: Option[LogFileIndex.FileStats] = None,
+        tuple: Map[String, AnyRef] = Map.empty)
 
     // field id → (column name, iceberg type text) for top-level primitives —
     // the key space of the manifest's lower_bounds/upper_bounds/
@@ -493,7 +494,17 @@ object IcebergNative {
                 need("content_size_in_bytes").asInstanceOf[Long],
                 resolve(need("referenced_data_file").toString).toString,
                 opt(df, "record_count").map(_.asInstanceOf[Long]).getOrElse(0L))
-            case 0 => dataFiles += ref.copy(stats = statsOf(df))
+            case 0 =>
+              // keep the r102 partition tuple: identity values in it are
+              // authoritative (spec) — served as partition columns when the
+              // data files don't physically carry them (migrated tables)
+              val tuple = opt(df, "partition") match {
+                case Some(r: GenericRecord) =>
+                  r.getSchema.getFields.asScala
+                    .map(fld => fld.name() -> r.get(fld.pos())).toMap
+                case _ => Map.empty[String, AnyRef]
+              }
+              dataFiles += ref.copy(stats = statsOf(df), tuple = tuple)
             case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
               val ids = opt(df, "equality_ids").orNull match {
@@ -576,7 +587,78 @@ object IcebergNative {
           "some do not) — id resolution is ambiguous; use an iceberg connector jar")
       probes.head
     }
-    val useFieldIds = data.nonEmpty && sampledIdProbe(data.map(_.path), "data files")
+    // One footer probe per sampled data file answers BOTH questions: field
+    // ids present, and which top-level columns physically exist (the
+    // identity-partition serving decision below).
+    def footerTop(path: String): (Boolean, Set[String]) = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try {
+        val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        (fields.exists(_.getId != null), fields.map(_.getName).toSet)
+      } finally r.close()
+    }
+    val dataProbes: Seq[(Boolean, Set[String])] =
+      if (data.isEmpty) Nil
+      else {
+        val n = data.length
+        val k = math.min(8, n)
+        (0 until k).map(i => if (k == 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt)
+          .distinct.map(i => footerTop(data(i).path))
+      }
+    val useFieldIds = data.nonEmpty && {
+      val probes = dataProbes.map(_._1)
+      if (probes.distinct.size > 1) throw IcebergReadException(
+        s"`$root`: data files mix parquet field-id presence (some carry ids, " +
+          "some do not) — id resolution is ambiguous; use an iceberg connector jar")
+      probes.head
+    }
+
+    // Identity partition columns ABSENT from the data files (hive-migrated
+    // or Delta-converted tables): the spec makes the manifest's r102 tuple
+    // authoritative for identity transforms, so serve those columns as
+    // typed PARTITION columns through the FileIndex — plan-time partition
+    // pruning included — exactly as the Delta reader serves log partitions.
+    // Mixed presence across files (partition evolution mid-history) rejects
+    // loudly: half-null columns would silently corrupt results.
+    val servedIdentity: Seq[(String, String)] = // (tuple field, column name)
+      if (data.isEmpty) Nil
+      else specFields.toSeq.collect {
+        case (fname, ("identity", Some(src))) => (fname, src)
+      }.filter { case (fname, src) =>
+        val present = dataProbes.map(_._2.contains(src)).distinct
+        if (present.size > 1) throw IcebergReadException(
+          s"`$root`: identity partition column `$src` exists in some data files " +
+            "but not others — cannot serve it consistently; rewrite the old " +
+            "files or use an iceberg connector jar")
+        val absent = !present.head
+        if (absent) {
+          schema(src).dataType match {
+            case IntegerType | LongType | StringType | BooleanType |
+                 ShortType | ByteType | DateType => ()
+            case other => throw IcebergReadException(
+              s"`$root`: identity partition column `$src` (${other.simpleString}) " +
+                "is not in the data files and its type cannot be served from the " +
+                "partition tuple (int/long/string/boolean/date only); use an " +
+                "iceberg connector jar")
+          }
+          if (!data.forall(_.tuple.contains(fname))) throw IcebergReadException(
+            s"`$root`: identity partition field `$fname` is missing from some " +
+              "manifests' partition tuples (partition evolution?) while the " +
+              "column is absent from the data files — cannot serve it")
+        }
+        absent
+      }
+    /** r102 value → the string LogFileIndex casts to the column type. */
+    def tupleString(v: AnyRef, dt: DataType): String = v match {
+      case null => null
+      case _ => dt match {
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+        case _ => v.toString
+      }
+    }
     // field-id matching needs spark.sql.parquet.fieldId.read.enabled, which
     // Spark consults at PLAN time — flipping it here would silently mutate
     // the session for every later parquet read. Engine.configure sets it;
@@ -605,13 +687,26 @@ object IcebergNative {
           // them); below the 12-byte parquet minimum → one driver stat
           if (f.bytes >= 12) f.bytes
           else fs.getFileStatus(new Path(f.path)).getLen,
-          0L, Map.empty, () => f.stats)
+          0L,
+          servedIdentity.map { case (fname, src) =>
+            src -> tupleString(f.tuple.getOrElse(fname, null), schema(src).dataType)
+          }.toMap,
+          () => f.stats)
       }
+      // tuple-served identity columns become true partition columns of the
+      // relation (typed via Cast in the index); the file-read schema drops
+      // them — the files don't carry those columns
+      val servedNames = servedIdentity.map(_._2).toSet
+      val partSchema = StructType(servedIdentity.map { case (_, src) =>
+        readSchema(readSchema.fieldIndex(src)).copy(nullable = true)
+      })
+      val dataSchema =
+        StructType(readSchema.fields.filterNot(f => servedNames.contains(f.name)))
       // rowsExact only on the no-deletes read: manifest record_count/bounds
       // then describe exactly what the scan returns → metadata aggregates
-      val index = new LogFileIndex(spark, rootPath, entries, StructType(Nil), rowsExact)
+      val index = new LogFileIndex(spark, rootPath, entries, partSchema, rowsExact)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, StructType(Nil), readSchema, None,
+        index, partSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty[String, String])(spark)
       spark.baseRelationToDataFrame(relation)
@@ -643,8 +738,12 @@ object IcebergNative {
 
     surfaceTimes(if (data.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty)
-      indexedScan(data, rowsExact = true)
+    else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty) {
+      val scanned = indexedScan(data, rowsExact = true)
+      // partition columns append last; restore the declared order
+      if (servedIdentity.isEmpty) scanned
+      else scanned.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    }
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
       // work. Positional deletes anti-join on (file path, row position) via

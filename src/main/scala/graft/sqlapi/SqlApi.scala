@@ -255,7 +255,7 @@ object SqlApi {
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
   private val fnTailRe =
-    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|glob|read_text|read_blob)\(\s*$""".r
+    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|convert_to_iceberg|glob|read_text|read_blob)\(\s*$""".r
 
   /** DuckDB's `glob('pattern')` — one row per matching path, sorted. The
     * DuckDB file-system helper the reference's users reach through
@@ -408,6 +408,14 @@ object SqlApi {
             case "iceberg_manifests" =>
               viewFor("graft_im_", arg,
                 graft.sources.IcebergNative.manifests(spark, arg))
+            case "convert_to_iceberg" =>
+              // in-place Delta→Iceberg metadata conversion; one row:
+              // (files, synced) — files = -1 means already in sync
+              val n = graft.catalog.Convert.deltaToIceberg(spark, arg)
+              viewFor("graft_ci_", arg + ":" + n, {
+                import spark.implicits._
+                Seq((n, n >= 0)).toDF("files", "synced")
+              })
             case "glob" =>
               viewFor("graft_gl_", arg, globFiles(spark, arg))
             case "read_text" =>
