@@ -309,4 +309,296 @@ object Convert {
     try hintOut.write(version.toString.getBytes("UTF-8")) finally hintOut.close()
     entries.size.toLong
   }
+
+  // ------------------------------------------------------------------
+  // Iceberg → Delta (the reverse migration, same zero-copy contract)
+  // ------------------------------------------------------------------
+
+  /** Marker key in commitInfo recording which Iceberg snapshot a
+    * conversion commit mirrors. */
+  private[graft] val IcebergSnapshotKey = "graftConvertedIcebergSnapshot"
+
+  private def sparkTypeOf(typeText: String): DataType = typeText match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case dec if dec.startsWith("decimal(") =>
+      val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case "timestamp" => throw IcebergReadException(
+      "convert_to_delta: `timestamp` (no zone) maps to Delta's timestampNtz " +
+        "reader feature (protocol v3) — out of this converter's scope; " +
+        "timestamptz converts")
+    case other => throw IcebergReadException(
+      s"convert_to_delta: iceberg type `$other` has no flat Delta mapping")
+  }
+
+  /** Convert (or re-sync) the Iceberg table at `path` to a Delta
+    * transaction log in the same root — `_delta_log/` commits referencing
+    * the SAME parquet data files the current snapshot references, with
+    * footer-derived add.stats so plan-time skipping works immediately.
+    * Zero data movement, O(live files) driver work. Re-running after
+    * further Iceberg snapshots appends a diff commit (idempotent per
+    * snapshot via a commitInfo marker). Returns the live-file count of
+    * the new Delta version; -1 if the current snapshot is already
+    * converted.
+    *
+    * Correctness gates (reject loudly, never misconvert):
+    *   - row-level deletes (positional/equality/puffin DVs) are invisible
+    *     to a Delta reader — compact first (`rewriteDataFiles`);
+    *   - non-identity partition transforms have no Delta equivalent;
+    *   - a data file whose footer column names don't cover the schema
+    *     (rename history — ids resolve it, Delta mode=none names can't);
+    *   - an existing `_delta_log` this converter did not produce.
+    *
+    * Identity partition values come from each manifest entry's partition
+    * tuple → add.partitionValues (the protocol's string serialization);
+    * the columns stay IN the data files per the Iceberg spec, which the
+    * Delta scan simply never requests (partition columns are served from
+    * the log). */
+  def icebergToDelta(spark: SparkSession, path: String): Long = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.avro.mapred.FsInput
+
+    val rootPath = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val metaDir = new Path(rootPath, "metadata")
+
+    val (_, metaFile) = IcebergSink.resolveCurrent(fs, metaDir).getOrElse(
+      throw IcebergReadException(
+        s"convert_to_delta: `$path` has no metadata/*.metadata.json — not an " +
+          "Iceberg table"))
+    val meta = {
+      val in = fs.open(metaFile)
+      try mapper.readTree(in) finally in.close()
+    }
+    val snapId = meta.path("current-snapshot-id").asLong(-1L)
+    if (snapId == -1L) throw IcebergReadException(
+      s"convert_to_delta: `$path` has no current snapshot — nothing to convert")
+    val snap = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == snapId).getOrElse(
+        throw IcebergReadException(
+          s"convert_to_delta: `$path` current-snapshot-id $snapId not in snapshots"))
+
+    // ---- schema: current-schema-id, flat primitives only ----
+    val curSchemaId = meta.path("current-schema-id").asInt(0)
+    val schemaNode = meta.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curSchemaId)
+      .orElse(Option(meta.path("schema")).filter(!_.isMissingNode))
+      .getOrElse(throw IcebergReadException(
+        s"convert_to_delta: `$path` declares no schema $curSchemaId"))
+    val fields: Seq[(Int, StructField)] = schemaNode.path("fields").elements().asScala.map { f =>
+      val t = f.path("type")
+      if (!t.isTextual) throw IcebergReadException(
+        s"convert_to_delta: column `${f.path("name").asText()}` is nested — " +
+          "out of this converter's scope (same flat-schema gate as the " +
+          "delta→iceberg direction)")
+      (f.path("id").asInt(),
+        StructField(f.path("name").asText(), sparkTypeOf(t.asText()),
+          nullable = !f.path("required").asBoolean(false)))
+    }.toSeq
+    val schema = StructType(fields.map(_._2))
+    val nameOfId: Map[Int, String] = fields.map { case (id, f) => id -> f.name }.toMap
+
+    // ---- partition spec: identity transforms only ----
+    val specId = meta.path("default-spec-id").asInt(0)
+    val specFields = meta.path("partition-specs").elements().asScala
+      .find(_.path("spec-id").asInt(-1) == specId)
+      .map(_.path("fields").elements().asScala.toSeq)
+      .orElse(Option(meta.path("partition-spec")).filter(!_.isMissingNode)
+        .map(_.elements().asScala.toSeq))
+      .getOrElse(Seq.empty)
+    val partCols: Seq[String] = specFields.map { sf =>
+      val tr = sf.path("transform").asText("identity")
+      if (tr != "identity" && tr != "void") throw IcebergReadException(
+        s"convert_to_delta: partition transform `$tr` has no Delta equivalent — " +
+          "identity-partitioned tables only")
+      nameOfId.getOrElse(sf.path("source-id").asInt(),
+        throw IcebergReadException(
+          s"convert_to_delta: partition source-id ${sf.path("source-id").asInt()} " +
+            "not in the current schema"))
+    }
+
+    // ---- walk the manifest list: live parquet data files, no deletes ----
+    def resolve(p: String): Path = {
+      val raw = new Path(p)
+      if (raw.isAbsolute || p.contains(":/")) raw else new Path(rootPath, raw)
+    }
+    def avroRows(p: Path): Seq[GenericRecord] = {
+      val rdr = DataFileReader.openReader(new FsInput(p, conf),
+        new GenericDatumReader[GenericRecord]())
+      try rdr.iterator().asScala.toList finally rdr.close()
+    }
+    def opt(r: GenericRecord, field: String): Option[AnyRef] =
+      Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+    val manifestPaths: Seq[(Path, Int)] =
+      if (snap.has("manifest-list"))
+        avroRows(resolve(snap.path("manifest-list").asText())).map { r =>
+          (resolve(r.get("manifest_path").toString),
+            opt(r, "content").map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+        }
+      else snap.path("manifests").elements().asScala.toSeq.map(m => (resolve(m.asText()), 0))
+    if (manifestPaths.exists(_._2 == 1)) throw IcebergReadException(
+      s"convert_to_delta: `$path` snapshot $snapId carries row-level delete " +
+        "manifests — their dead rows are invisible to a Delta reader; run " +
+        "rewriteDataFiles (compaction) first")
+
+    final case class LiveFile(rel: String, abs: Path, size: Long,
+        partitionValues: Map[String, String])
+    def pvString(v: AnyRef, dt: DataType): String = (dt, v) match {
+      case (_, null) => null
+      case (DateType, n: Number) =>
+        java.time.LocalDate.ofEpochDay(n.longValue()).toString
+      case (_, other) => other.toString
+    }
+    val live: Seq[LiveFile] = manifestPaths.flatMap { case (mp, _) =>
+      avroRows(mp).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Number].intValue()
+        if (status == 2) None // DELETED entry
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = opt(df, "content").map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          if (content != 0) throw IcebergReadException(
+            s"convert_to_delta: `$path` snapshot $snapId references delete " +
+              s"file ${df.get("file_path")} — compact first (rewriteDataFiles)")
+          val fmt = df.get("file_format").toString.toUpperCase
+          if (fmt != "PARQUET") throw IcebergReadException(
+            s"convert_to_delta: data file format $fmt — Delta data files are " +
+              "parquet only")
+          val fp = df.get("file_path").toString
+          val abs = resolve(fp)
+          val rootStr = fs.makeQualified(rootPath).toString
+          val absStr = fs.makeQualified(abs).toString
+          if (!absStr.startsWith(rootStr + "/")) throw IcebergReadException(
+            s"convert_to_delta: data file `$fp` lives outside the table root — " +
+              "a same-root Delta log cannot reference it relatively")
+          val rel = absStr.stripPrefix(rootStr + "/")
+          val size = opt(df, "file_size_in_bytes").map(_.asInstanceOf[Number].longValue())
+            .filter(_ > 0).getOrElse(fs.getFileStatus(abs).getLen)
+          val pv: Map[String, String] = opt(df, "partition") match {
+            case Some(pr: GenericRecord) =>
+              // pair r102 fields positionally with the spec fields — the
+              // spec's rule; identity field names usually match anyway
+              val recFields = pr.getSchema.getFields.asScala.toSeq
+              partCols.zip(recFields).map { case (c, rf) =>
+                c -> pvString(pr.get(rf.pos()), schema(c).dataType)
+              }.toMap
+            case _ => Map.empty
+          }
+          if (partCols.nonEmpty && pv.size != partCols.size) throw IcebergReadException(
+            s"convert_to_delta: data file `$fp` carries ${pv.size} partition " +
+              s"values for ${partCols.size} spec fields — refusing to guess")
+          Some(LiveFile(rel, abs, size, pv))
+        }
+      }
+    }
+
+    // ---- sampled footer-name probe: Delta mode=none resolves by NAME ----
+    val dataCols = schema.fieldNames.filterNot(partCols.contains).toSet
+    val probeIdx =
+      if (live.size <= 8) live.indices
+      else (0 until 8).map(i => (i.toLong * (live.size - 1) / 7).toInt).distinct
+    probeIdx.foreach { i =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(live(i).abs, conf))
+      val names = try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet finally rdr.close()
+      val missing = dataCols -- names
+      if (missing.nonEmpty) throw IcebergReadException(
+        s"convert_to_delta: data file `${live(i).rel}` lacks columns " +
+          s"${missing.toSeq.sorted.mkString(", ")} by name (a rename in the " +
+          "iceberg history — field ids resolve it, Delta mode=none names " +
+          "cannot); rewrite the table first")
+    }
+
+    // ---- existing _delta_log: only our own conversions may re-sync ----
+    val logDir = new Path(rootPath, "_delta_log")
+    val st = DeltaSink.replayState(spark, rootPath)
+    if (st.exists) {
+      val commitRe = """(\d{20})\.json""".r
+      val commits = fs.listStatus(logDir).toSeq
+        .filter(s0 => commitRe.pattern.matcher(s0.getPath.getName).matches())
+        .sortBy(_.getPath.getName)
+      val markers = commits.map { c =>
+        val in = fs.open(c.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.linesIterator.flatMap { ln =>
+          val node = mapper.readTree(ln)
+          Option(node.path("commitInfo").path(IcebergSnapshotKey))
+            .filter(!_.isMissingNode).map(_.asLong())
+        }.toSeq.headOption
+      }
+      if (markers.exists(_.isEmpty)) throw IcebergReadException(
+        s"convert_to_delta: `$path` already has a _delta_log this converter " +
+          "did not produce — it IS a Delta table; refusing to fork its history")
+      if (markers.flatten.contains(snapId)) return -1L // snapshot already synced
+      val prevSchema = st.schemaJson.map(DataType.fromJson)
+      if (prevSchema.exists(_ != schema)) throw IcebergReadException(
+        s"convert_to_delta: `$path` schema changed since the last conversion — " +
+          "schema-evolving re-syncs are out of scope; convert into a fresh root")
+    }
+
+    // ---- one commit: metaData on create, then set-diff adds/removes ----
+    val creating = !st.exists
+    val version = st.version + 1
+    val nowMs = System.currentTimeMillis()
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"CONVERT","$IcebergSnapshotKey":$snapId}}"""
+    if (creating) {
+      lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val m = mapper.createObjectNode()
+      m.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", schema.json)
+      val pa = m.putArray("partitionColumns"); partCols.foreach(pa.add)
+      m.putObject("configuration")
+      m.put("createdTime", nowMs)
+      lines += s"""{"metaData":${mapper.writeValueAsString(m)}}"""
+    }
+    val prevLive: Set[String] = st.live.keySet.toSet
+    val newLive: Set[String] = live.map(_.rel).toSet
+    (prevLive -- newLive).toSeq.sorted.foreach { p =>
+      lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":$nowMs,"dataChange":true}}"""
+    }
+    live.filter(f => !prevLive.contains(f.rel)).foreach { f =>
+      val pv = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      val stats = DeltaSink.footerStats(spark, f.abs, schema, partCols)
+      val modTime = fs.getFileStatus(f.abs).getModificationTime
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
+        s""""size":${f.size},"modificationTime":$modTime,"dataChange":true,""" +
+        s""""stats":${esc(stats)}}}"""
+    }
+    fs.mkdirs(logDir)
+    val target = new Path(logDir, f"$version%020d.json")
+    if (fs.exists(target)) throw IcebergReadException(
+      s"convert_to_delta: `$path` Delta commit $version already exists — " +
+        "another writer got there first")
+    val staged = new Path(logDir,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(staged, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      throw IcebergReadException(
+        s"convert_to_delta: `$path` Delta commit $version already exists — " +
+          "another writer got there first")
+    }
+    live.size.toLong
+  }
 }

@@ -1056,7 +1056,7 @@ object DeltaSink {
     * numRecords + per-top-level-column min/max (types whose footer bounds
     * are faithful skipping fuel) + nullCount. Bounded driver work, one
     * footer per new file. */
-  private def footerStats(spark: org.apache.spark.sql.SparkSession, file: Path,
+  private[catalog] def footerStats(spark: org.apache.spark.sql.SparkSession, file: Path,
       schema: StructType, partCols: Seq[String]): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -1418,6 +1418,45 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- l15
+  // IN-PLACE ICEBERG→DELTA CONVERSION (the reverse migration): an
+  // identity-PARTITIONED native Iceberg write (two appends, partition
+  // tuples in the manifests, columns kept in the files per spec) gains a
+  // `_delta_log/` over the SAME parquet files (catalog/Convert — zero
+  // data movement), then attaches through the native DELTA reader.
+  // Partition values cross formats as manifest r102 tuple →
+  // add.partitionValues, and add.stats come from the footers, so Delta
+  // plan-time skipping works immediately (pinned in ConvertSpec). The
+  // oracle recomputes from the SOURCE table — a dropped file, a
+  // mis-serialized tuple, or a double-counted re-sync breaks the hash.
+  // Exceeds the reference surface (disjoint delta/iceberg readers, no
+  // conversion path: src/duckdb/delta.rs + iceberg.rs).
+  private val l15 = QueryDef(
+    "l15_iceberg_to_delta_convert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_l15_reverse"
+      if (!new java.io.File(s"$out/_delta_log").exists()) {
+        rmTree(out)
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 0), out,
+          "iceberg", Map("partition_by" -> "o_orderpriority"))
+        graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 =!= 0), out,
+          "iceberg", Map("partition_by" -> "o_orderpriority"))
+        graft.catalog.Convert.icebergToDelta(s, out)
+      }
+      Catalog.attach(s, "l15_orders_delta_conv", "delta", Map("files" -> out))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority"""))
+
   // ---------------------------------------------------------------- f01
   // The reference's own FDW lifecycle, verbatim DDL: CREATE FOREIGN DATA
   // WRAPPER → SERVER → USER MAPPING → typed FOREIGN TABLE → query
@@ -1445,5 +1484,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, w01, w02, w03, w04, w05, w06, f01)
+      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, f01)
 }

@@ -255,7 +255,7 @@ object SqlApi {
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
   private val fnTailRe =
-    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|convert_to_iceberg|glob|read_text|read_blob)\(\s*$""".r
+    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|convert_to_iceberg|convert_to_delta|glob|read_text|read_blob)\(\s*$""".r
 
   /** DuckDB's `glob('pattern')` — one row per matching path, sorted. The
     * DuckDB file-system helper the reference's users reach through
@@ -413,6 +413,13 @@ object SqlApi {
               // (files, synced) — files = -1 means already in sync
               val n = graft.catalog.Convert.deltaToIceberg(spark, arg)
               viewFor("graft_ci_", arg + ":" + n, {
+                import spark.implicits._
+                Seq((n, n >= 0)).toDF("files", "synced")
+              })
+            case "convert_to_delta" =>
+              // the reverse direction: Iceberg→Delta, same one-row contract
+              val n = graft.catalog.Convert.icebergToDelta(spark, arg)
+              viewFor("graft_cd_", arg + ":" + n, {
                 import spark.implicits._
                 Seq((n, n >= 0)).toDF("files", "synced")
               })

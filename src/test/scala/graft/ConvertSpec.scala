@@ -104,6 +104,107 @@ class ConvertSpec extends SparkSpec {
     assert(r2.getLong(0) == -1L)
   }
 
+  // ---------------- the reverse direction: Iceberg → Delta ----------------
+
+  test("reverse: delta read == iceberg read over the same files") {
+    val root = tempDir("rconv1").getPath + "/t"
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "v", "x")
+    Sinks.copyTo(df.repartition(2), root, "iceberg")
+    Sinks.copyTo(Seq((9L, "z", 90.0)).toDF("id", "v", "x"), root, "iceberg")
+    val n = Convert.icebergToDelta(spark, root)
+    assert(n >= 2)
+    val i = Catalog.attach(spark, "rconv1_i", "iceberg", Map("files" -> root))
+    val d = Catalog.attach(spark, "rconv1_d", "delta", Map("files" -> root))
+    assert(rows(d) == rows(i))
+    assert(d.count() == 4L)
+    assert(d.inputFiles.toSet == i.inputFiles.toSet) // no data copied
+  }
+
+  test("reverse: converted table plan-time-prunes from footer add.stats") {
+    val root = tempDir("rconv2").getPath + "/t"
+    Sinks.copyTo(Seq((1L, "lo"), (2L, "lo")).toDF("k", "v").coalesce(1), root, "iceberg")
+    Sinks.copyTo(Seq((100L, "hi"), (200L, "hi")).toDF("k", "v").coalesce(1), root, "iceberg")
+    Convert.icebergToDelta(spark, root)
+    val d = Catalog.attach(spark, "rconv2_d", "delta", Map("files" -> root))
+    val pruned = d.filter($"k" > 50L)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value == 1L, scan.metrics("numFiles").value)
+    assert(pruned.count() == 2L)
+  }
+
+  test("reverse: partition tuples become add.partitionValues, pruning pinned") {
+    val root = tempDir("rconv3").getPath + "/t"
+    val df = Seq((1L, "US", 10.0), (2L, "US", 20.0), (3L, "DE", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("id", "region", "x")
+    Sinks.copyTo(df, root, "iceberg", Map("partition_by" -> "region"))
+    Convert.icebergToDelta(spark, root)
+    val i = Catalog.attach(spark, "rconv3_i", "iceberg", Map("files" -> root))
+    val d = Catalog.attach(spark, "rconv3_d", "delta", Map("files" -> root))
+    assert(rows(d) == rows(i))
+    val pruned = d.filter($"region" === "DE")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+    assert(scan.metadata("PartitionFilters").contains("region"), scan.metadata)
+    assert(scan.metrics("numFiles").value == 1L, scan.metrics("numFiles").value)
+    // null partition survives the tuple→partitionValues serialization
+    assert(d.filter($"region".isNull).select($"id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("reverse: re-sync diffs the live set; no-op when current") {
+    val root = tempDir("rconv4").getPath + "/t"
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
+    assert(Convert.icebergToDelta(spark, root) == 1L)
+    assert(Convert.icebergToDelta(spark, root) == -1L) // already synced
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v"), root, "iceberg")
+    assert(Convert.icebergToDelta(spark, root) == 2L)
+    val d = Catalog.attach(spark, "rconv4_d", "delta", Map("files" -> root))
+    assert(d.count() == 2L)
+    // two conversion commits → delta history shows both
+    assert(graft.sources.DeltaNative.history(spark, root).count() == 2L)
+  }
+
+  test("reverse: row-level deletes reject loudly (compact first), then convert") {
+    val root = tempDir("rconv5").getPath + "/t"
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), root, "iceberg")
+    graft.catalog.IcebergSink.deleteWhere(spark, root, "id = 2")
+    val e = intercept[IllegalArgumentException] {
+      Convert.icebergToDelta(spark, root)
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    graft.catalog.IcebergSink.rewriteDataFiles(spark, root)
+    assert(Convert.icebergToDelta(spark, root) >= 1L)
+    val d = Catalog.attach(spark, "rconv5_d", "delta", Map("files" -> root))
+    assert(d.select($"id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("reverse: a foreign _delta_log refuses to be forked") {
+    val root = tempDir("rconv6").getPath + "/t"
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "delta") // real delta table
+    Convert.deltaToIceberg(spark, root) // root now reads as both
+    val e = intercept[IllegalArgumentException] {
+      Convert.icebergToDelta(spark, root)
+    }
+    assert(e.getMessage.contains("did not produce"), e.getMessage)
+  }
+
+  test("reverse: SQL surface convert_to_delta('<path>')") {
+    val root = tempDir("rconv7").getPath + "/t"
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "iceberg")
+    val r = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT files, synced FROM convert_to_delta('$root')").collect().head
+    assert(r.getLong(0) >= 1L && r.getBoolean(1))
+    val d = Catalog.attach(spark, "rconv7_d", "delta", Map("files" -> root))
+    assert(d.count() == 2L)
+    val r2 = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT files FROM convert_to_delta('$root')").collect().head
+    assert(r2.getLong(0) == -1L)
+  }
+
   test("foreign iceberg metadata refuses to be overwritten") {
     val root = tempDir("conv6").getPath + "/t"
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg") // a real iceberg table
