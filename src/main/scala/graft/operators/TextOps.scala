@@ -245,4 +245,95 @@ object TextOps {
         SELECT $idCol, n_bigrams,
                list_reduce(ps, (acc, x) -> acc + x) / n_bigrams AS lm_score
         FROM lists"""
+
+  /** The stop-word list of the Gopher quality filter (Rae et al. 2021,
+    * §A1.1): a doc must contain at least 2 of these to pass. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY-FILTER RULES (Rae et al. 2021, appendix A1.1 — the
+    * published MassiveWeb document filter, also the core of Dolma/RefinedWeb
+    * curation): per-document measures + per-rule verdicts + the combined
+    * keep decision, all as row-local codegen projections — a 100 TB filter
+    * pass costs exactly one scan, zero shuffle.
+    *
+    * Rules (document drops when any fails):
+    *   1. 50 ≤ word count ≤ 100,000            (words = \\S+ runs)
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ≤ 0.1           (# glyphs + "..." runs)
+    *   4. ≤ 90% of lines start with a bullet ("- ")
+    *   5. ≤ 30% of lines end with an ellipsis ("...")
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct stop words present
+    *
+    * Each measure is expressible 1:1 in DuckDB (list_filter / regexp /
+    * starts_with), so the whole filter sits under the hash gate (t16). */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    val words = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val nWords = size(words).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+    val meanLen = sumLen.cast("double") / nWords
+    val nSym = (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))).cast("long")
+    val symRatio = nSym.cast("double") / nWords
+    val bulletRatio = size(filter(lines, l => startswith(l, lit("- "))))
+      .cast("double") / nLines
+    val ellipsisRatio = size(filter(lines, l => endswith(l, lit("..."))))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val distinctToks = array_distinct(tokens(text))
+    val nStop = size(filter(
+      array(gopherStopWords.map(lit): _*), sw => array_contains(distinctToks, sw)))
+      .cast("long")
+    val keep = (nWords >= 50L) && (nWords <= 100000L) &&
+      (meanLen >= 3.0) && (meanLen <= 10.0) &&
+      (symRatio <= 0.1) && (bulletRatio <= 0.9) && (ellipsisRatio <= 0.3) &&
+      (alphaRatio >= 0.8) && (nStop >= 2L)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symRatio,
+      "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio,
+      "alpha_word_ratio" -> alphaRatio,
+      "n_stop_words" -> nStop,
+      "keep" -> keep)
+  }
+
+  /** RAG-STYLE CHUNK WINDOWS: split each document into fixed-length token
+    * windows with overlap — the indexing shape every retrieval pipeline
+    * needs before embedding. Chunk i (1-based) covers tokens
+    * [(i-1)·stride + 1, (i-1)·stride + chunkLen] where
+    * stride = chunkLen − overlap; the chunk count
+    * 1 + ⌈max(0, n − chunkLen) / stride⌉ is computed in exact integer
+    * arithmetic, so every token lands in ≥ 1 chunk and the last chunk is
+    * the only short one.
+    *
+    * Scale shape: tokenize + sequence + explode are all row-local — the
+    * output is ~n/stride rows per doc with NO shuffle; at 100 TB the
+    * chunker runs at scan speed and feeds the embedding stage directly.
+    * Output: (idCol, chunk_id, start_tok, n_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"chunkWindows: need 0 <= overlap < chunkLen, got $chunkLen/$overlap")
+    val stride = chunkLen - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      // chunk count as its own projection step (no CSE in HOF lambdas)
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__nc", // DIV: Column./ is double division — stay integral
+        expr(s"1 + (greatest(__n - $chunkLen, 0L) + ${stride - 1}) DIV $stride"))
+      .select(col(idCol), col("__tk"), explode(sequence(lit(1L), col("__nc"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        ((col("chunk_id") - 1L) * stride + 1L).as("start_tok"),
+        slice(col("__tk"), ((col("chunk_id") - 1L) * stride + 1L).cast("int"),
+          lit(chunkLen)).as("__c"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
 }

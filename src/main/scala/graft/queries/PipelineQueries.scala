@@ -1094,5 +1094,106 @@ object PipelineQueries {
     Some(TextOps.lmQualityScoreSql("SELECT doc_id, text FROM documents",
       "text", "doc_id")))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, s10)
+  // ---------------------------------------------------------------- t16
+  // GOPHER QUALITY-FILTER RULES (Rae et al. 2021 §A1.1) — the published
+  // MassiveWeb document filter, all 7 rules as row-local projections. The
+  // synthetic corpus is token soup (no lines, no symbols, no stop words),
+  // so a deterministic derivation plants every failure mode: doc_id%4
+  // repeats the tokens 8× (word-count rule varies), %13 bullets every
+  // line, %17 ellipsis-ends every line, %11 appends a hash-glyph line
+  // (symbol ratio), %3 appends stop words. The oracle replays the
+  // derivation AND all 7 measures in DuckDB — every ratio is one integer
+  // count divided once, so the doubles hash-match bit-for-bit.
+  private val gChunk = 4
+  private val gHashes = Seq.fill(24)("#").mkString(" ")
+  private val gStops = "the and of that have with"
+  private def gopherDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk0"))
+      .filter(size(col("__tk0")) > 0)
+      // every derived column its own projection step (no CSE in lambdas)
+      .withColumn("__tk", flatten(transform(
+        sequence(lit(1), when(col("doc_id") % 4 === 0, 8).otherwise(1)),
+        _ => col("__tk0"))))
+      .withColumn("__nc", expr(s"(size(__tk) + ${gChunk - 1}) DIV $gChunk"))
+      .select(col("doc_id"), concat(
+        array_join(transform(sequence(lit(1L), col("__nc")), i => concat(
+          when(col("doc_id") % 13 === 0, lit("- ")).otherwise(lit("")),
+          concat_ws(" ",
+            slice(col("__tk"), ((i - lit(1L)) * gChunk + 1).cast("int"), lit(gChunk))),
+          when(col("doc_id") % 17 === 0, lit(" ...")).otherwise(lit("")))), "\n"),
+        when(col("doc_id") % 11 === 0, lit("\n" + gHashes)).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\n" + gStops)).otherwise(lit("")))
+        .as("text"))
+  private val t16 = QueryDef(
+    "t16_gopher_rules",
+    (s, dir) => {
+      val cols = TextOps.gopherColumns(col("text"))
+      gopherDocs(s, dir).select(
+        col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk0
+                    FROM documents),
+      nz AS (SELECT doc_id, tk0 FROM toks WHERE len(tk0) > 0),
+      rep AS (SELECT doc_id, flatten(list_transform(
+                generate_series(1, CASE WHEN doc_id % 4 = 0 THEN 8 ELSE 1 END),
+                x -> tk0)) AS tk FROM nz),
+      chunks AS (SELECT doc_id, i,
+          CASE WHEN doc_id % 13 = 0 THEN '- ' ELSE '' END ||
+          array_to_string(tk[((i-1)*$gChunk+1):((i-1)*$gChunk+$gChunk)], ' ') ||
+          CASE WHEN doc_id % 17 = 0 THEN ' ...' ELSE '' END AS line
+        FROM (SELECT doc_id, tk,
+                unnest(generate_series(1, (len(tk)+${gChunk - 1})//$gChunk)) AS i
+              FROM rep)),
+      corpus AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i)
+          || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '$gHashes' ELSE '' END
+          || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$gStops' ELSE '' END AS text
+        FROM chunks GROUP BY doc_id),
+      m AS (SELECT doc_id,
+          regexp_extract_all(text, '\\S+') AS words,
+          string_split(text, chr(10)) AS lines,
+          list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tkd,
+          len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM corpus),
+      x AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          list_reduce(list_transform(words, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b)::DOUBLE / len(words) AS mean_word_len,
+          n_sym::DOUBLE / len(words) AS symbol_ratio,
+          len(list_filter(lines, l -> l LIKE '- %'))::DOUBLE / len(lines) AS bullet_ratio,
+          len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines) AS ellipsis_ratio,
+          len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words) AS alpha_word_ratio,
+          CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+            sw -> list_contains(tkd, sw))) AS BIGINT) AS n_stop_words
+        FROM m)
+      SELECT *, (n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+             AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+             AND n_stop_words >= 2) AS keep
+      FROM x"""))
+
+  // ---------------------------------------------------------------- t17
+  // RAG CHUNK WINDOWS: 32-token chunks, 8-token overlap (stride 24) —
+  // the retrieval-indexing shape. Exact integer chunk-count arithmetic,
+  // row-local explode, zero shuffle; the oracle replays the windowing
+  // with generate_series + list slices, chunk text included, so a
+  // off-by-one in stride or a dropped tail token breaks the hash.
+  private val t17 = QueryDef(
+    "t17_chunk_windows",
+    (s, dir) => TextOps.chunkWindows(docs(s, dir), "text", "doc_id", 32, 8),
+    Some("""
+      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                    FROM documents),
+      c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0),
+      x AS (SELECT doc_id, tk,
+              unnest(generate_series(1, 1 + (greatest(n - 32, 0) + 23) // 24)) AS i
+            FROM c)
+      SELECT doc_id, i AS chunk_id,
+             CAST((i-1)*24 + 1 AS BIGINT) AS start_tok,
+             CAST(len(tk[((i-1)*24+1):((i-1)*24+32)]) AS BIGINT) AS n_tokens,
+             array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
+      FROM x"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10)
 }

@@ -195,4 +195,60 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, "https://site.com/p/2", true),
       (4L, "https://site.com/p/1", false)))
   }
+
+  test("gopherColumns: a clean document passes all 7 rules") {
+    import spark.implicits._
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and of that have with"
+    val df = Seq((1L, clean)).toDF("doc_id", "text")
+    val cols = graft.operators.TextOps.gopherColumns(col("text"))
+    val r = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(r.getAs[Long]("n_words") == 66L)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherColumns: each rule fails independently") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ") + " the and"
+    def keepOf(text: String): Boolean = {
+      val cols = graft.operators.TextOps.gopherColumns(col("text"))
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(cols.map { case (n, c) => c.as(n) }: _*)
+        .collect().head.getAs[Boolean]("keep")
+    }
+    assert(keepOf(base))
+    assert(!keepOf("too few words the and")) // rule 1: < 50 words
+    assert(!keepOf(base + " " + Seq.fill(12)("#").mkString(" "))) // rule 3: symbols
+    assert(!keepOf((1 to 60).map(i => s"- w$i").mkString("\n") + "\nthe and")) // rule 4: bullets
+    assert(!keepOf((1 to 60).map(i => s"w$i ...").mkString("\n") + "\nthe and")) // rule 5: ellipsis
+    assert(!keepOf((1 to 60).map(_.toString).mkString(" ") + " the and")) // rule 6: no alpha
+    assert(!keepOf((1 to 60).map(i => s"word$i").mkString(" "))) // rule 7: no stop words
+  }
+
+  test("chunkWindows covers every token; overlap region repeats exactly") {
+    import spark.implicits._
+    // 80 tokens, chunkLen 32 stride 24 -> chunks at 1, 25, 49 (=3 chunks)
+    val text = (1 to 80).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunkWindows(df, "text", "doc_id", 32, 8)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("start_tok")).toSeq == Seq(1L, 25L, 49L))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(32L, 32L, 32L))
+    // chunk 2 begins with the last 8 tokens of chunk 1
+    val c1 = out(0).getAs[String]("chunk_text").split(" ")
+    val c2 = out(1).getAs[String]("chunk_text").split(" ")
+    assert(c1.takeRight(8).toSeq == c2.take(8).toSeq)
+    // last token of the doc is in the final chunk
+    assert(out(2).getAs[String]("chunk_text").endsWith("t80"))
+    // short doc -> one short chunk
+    val one = graft.operators.TextOps.chunkWindows(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "text", "doc_id", 32, 8).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_tokens") == 3L)
+    // invalid overlap rejects loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.chunkWindows(df, "text", "doc_id", 16, 16)
+    }
+  }
 }
