@@ -72,6 +72,37 @@ class DeltaNativeSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("add-column schema evolution mid-log: old files read the new column as NULL") {
+    val root = tempDir("delta_addcol")
+    import spark.implicits._
+    // v0 schema (id, v); v1 evolves to (id, v, w) via a new metaData action
+    // — the protocol's schema-evolution shape. Files written before the
+    // evolution lack `w`; the read must serve them as NULL, not fail, and
+    // filters on the evolved column must still plan.
+    val s0 = Seq((1L, "a")).toDF("id", "v").schema.json
+    // an ADDED column is always nullable (old files can't carry it) — a
+    // required `w` would make the protocol state unsatisfiable
+    val s1 = org.apache.spark.sql.types.StructType(
+      Seq((1L, "a")).toDF("id", "v").schema.fields :+
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = true)).json
+    val fOld = writePart(root, "part-old.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val fNew = writePart(root, "part-new.parquet", Seq((3L, "c", 30.5)).toDF("id", "v", "w"))
+    commit(root, 0, Seq(protocolV1, metaAction(s0), add(fOld)))
+    commit(root, 1, Seq(metaAction(s1), add(fNew)))
+    val df = Catalog.attach(spark, "delta_addcol", "delta", Map("files" -> root.getPath))
+    assert(df.columns.toSeq === Seq("id", "v", "w"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    assert(rows(2).getDouble(2) == 30.5)
+    assert(df.filter($"w" > 10.0).count() === 1L)
+    // time travel to v0 serves the PRE-evolution schema
+    val v0 = Catalog.attach(spark, "delta_addcol_v0", "delta",
+      Map("files" -> root.getPath, "version_as_of" -> "0"))
+    assert(v0.columns.toSeq === Seq("id", "v"))
+  }
+
   test("changes_since keeps only still-live files committed after the version") {
     val root = tempDir("delta_changes")
     import spark.implicits._

@@ -606,6 +606,33 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("add-column schema evolution: pre-evolution files read the new column as NULL") {
+    val root = tempDir("ice_addcol")
+    import spark.implicits._
+    // both files id-less (consistent, so name resolution applies); the
+    // older one predates the column add — the evolved schema must serve
+    // its missing `w` as NULL, and predicates on `w` must still plan
+    val fOld = writePart(root, "data/old.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val fNew = writePart(root, "data/new.parquet", Seq((3L, "c", 30.5)).toDF("id", "v", "w"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fOld, seq = Some(1L)), entry(1, fNew, seq = Some(2L))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    val evolved = """{"type": "struct", "schema-id": 0, "fields": [
+      {"id": 1, "name": "id", "required": false, "type": "long"},
+      {"id": 2, "name": "v", "required": false, "type": "string"},
+      {"id": 3, "name": "w", "required": false, "type": "double"}]}"""
+    writeMeta(root, v2Meta(root, schemaJson = evolved))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.columns.toSeq === Seq("id", "v", "w"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    assert(rows(2).getDouble(2) == 30.5)
+    assert(df.filter($"w" > 10.0).count() === 1L)
+  }
+
   test("renamed columns resolve by parquet field id, not name") {
     val root = tempDir("ice_rename")
     import org.apache.spark.sql.types._
