@@ -318,6 +318,79 @@ object DeltaSink {
     * a schema changed since then rejects loudly (schema-evolving RESTORE
     * is a connector-jar feature). Pure bounded driver log work — zero
     * data bytes move. Returns (filesAdded, filesRemoved). */
+  /** ADD COLUMN schema evolution: one log-only commit carrying an updated
+    * metaData action (the protocol's evolution shape — data files are
+    * untouched). The new column is always nullable: pre-evolution files
+    * cannot carry it, and the reader serves it as NULL (pinned in
+    * DeltaNativeSpec). Appends after evolution must supply the full new
+    * schema. The table id is preserved across the metaData rewrite. */
+  def addColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, typeDdl: String): Unit = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(
+      s"ALTER TABLE: `$path` has no _delta_log — not a Delta table")
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(throw DeltaReadException(
+      s"ALTER TABLE: `$path` log declares no schema"))).asInstanceOf[StructType]
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(colName))) throw DeltaReadException(
+      s"ALTER TABLE: column `$colName` already exists in `$path`")
+    val dt = try DataType.fromDDL(typeDdl) catch {
+      case e: Exception => throw DeltaReadException(
+        s"ALTER TABLE: `$typeDdl` is not a Spark type: ${e.getMessage}")
+    }
+    val newSchema = StructType(schema.fields :+ StructField(colName, dt, nullable = true))
+    // preserve the table id: latest commit metaData, else the checkpoint's
+    val logDir = new Path(rootPath, "_delta_log")
+    val commitRe = """(\d{20})\.json""".r
+    val tableId: String = {
+      val fromCommits = fs.listStatus(logDir).toSeq
+        .filter(s0 => commitRe.pattern.matcher(s0.getPath.getName).matches())
+        .sortBy(_.getPath.getName).reverseIterator.flatMap { c =>
+          val in = fs.open(c.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.linesIterator.map(mapper.readTree)
+            .collectFirst { case n if n.has("metaData") =>
+              n.path("metaData").path("id").asText() }
+        }.find(_.nonEmpty)
+      fromCommits.orElse {
+        val cpFile = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".checkpoint.parquet")).sorted.lastOption
+        cpFile.flatMap { name =>
+          spark.read.parquet(new Path(logDir, name).toString)
+            .where("metaData is not null").selectExpr("metaData.id")
+            .collect().headOption.map(_.getString(0))
+        }
+      }.getOrElse(java.util.UUID.randomUUID().toString)
+    }
+    val nowMs = System.currentTimeMillis()
+    val meta = mapper.createObjectNode()
+    meta.put("id", tableId)
+    val fmtN = meta.putObject("format")
+    fmtN.put("provider", "parquet"); fmtN.putObject("options")
+    meta.put("schemaString", newSchema.json)
+    val pa = meta.putArray("partitionColumns"); st.partCols.foreach(pa.add)
+    val confN = mapper.createObjectNode()
+    st.conf.foreach { case (k, v) => confN.put(k, v) }
+    meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confN)
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$nowMs,"operation":"ADD COLUMNS","operationParameters":{"column":${esc(colName)},"type":${esc(typeDdl)}}}}""",
+      s"""{"metaData":${mapper.writeValueAsString(meta)}}""")
+    val version = st.version + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    val staged = new Path(logDir,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(staged, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      throw DeltaReadException(
+        s"`$path`: commit $version already exists — another writer got there first")
+    }
+  }
+
   def restore(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Long): (Int, Int) = {
     val rootPath = new Path(path)

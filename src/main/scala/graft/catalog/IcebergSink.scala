@@ -220,9 +220,12 @@ object IcebergSink {
       case other => throw IcebergReadException(
         s"type ${other.simpleString} has no iceberg mapping in this native writer")
     }
-    val fieldIds: Seq[(StructField, Int)] = df.schema.fields.toSeq.zipWithIndex
+    // positional ids on create; an APPEND re-derives them from the table's
+    // current schema below (after ADD COLUMN evolution they still match by
+    // name, and the table's ids are the protocol truth)
+    var fieldIds: Seq[(StructField, Int)] = df.schema.fields.toSeq.zipWithIndex
       .map { case (f, i) => (f, i + 1) }
-    val schemaJson: String = {
+    lazy val schemaJson: String = {
       val sch = mapper.createObjectNode()
       sch.put("type", "struct"); sch.put("schema-id", 0)
       val arr = sch.putArray("fields")
@@ -261,6 +264,16 @@ object IcebergSink {
     var lastSeq = 0L
     var lastSnapshotId = 0L
     var partColsEff: Seq[String] = partColsOpt.getOrElse(Nil)
+    // preserved verbatim on existing tables: the table identity and the
+    // declared schema/spec history are COMMIT-INVARIANT — regenerating them
+    // from the incoming frame would let an append rewrite nullability
+    // (required flags) or reset evolution history
+    var prevUuid: Option[String] = None
+    var prevSchemasJson: Option[String] = None
+    var prevCurrentSchemaId = 0
+    var prevLastColumnId = 0
+    var prevSpecsJson: Option[String] = None
+    var prevDefaultSpecId = 0
     if (!creating) {
       val (v, metaFile) = resolved.get
       prevVersion = v
@@ -289,6 +302,21 @@ object IcebergSink {
       if (existingShape != incomingShape) throw IcebergReadException(
         s"`$path`: frame schema $incomingShape does not match the table's " +
           s"$existingShape; this writer does not evolve schemas")
+      // data files carry the TABLE's field ids (by name; the shape check
+      // above guarantees every frame column exists in the table schema)
+      val idByName = existingSchema.path("fields").elements().asScala
+        .map(f => f.path("name").asText() -> f.path("id").asInt()).toMap
+      fieldIds = df.schema.fields.toSeq.map(f => (f, idByName(f.name)))
+      prevUuid = Some(meta.path("table-uuid").asText()).filter(_.nonEmpty)
+      if (meta.has("schemas")) {
+        prevSchemasJson = Some(mapper.writeValueAsString(meta.path("schemas")))
+        prevCurrentSchemaId = meta.path("current-schema-id").asInt(0)
+        prevLastColumnId = meta.path("last-column-id").asInt(0)
+      }
+      if (meta.has("partition-specs")) {
+        prevSpecsJson = Some(mapper.writeValueAsString(meta.path("partition-specs")))
+        prevDefaultSpecId = meta.path("default-spec-id").asInt(0)
+      }
       val currentId = meta.path("current-snapshot-id").asLong()
       lastSnapshotId = meta.path("snapshots").elements().asScala
         .map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L)
@@ -498,21 +526,23 @@ object IcebergSink {
     }.mkString("[", ", ", "]")
     val metaJson =
       s"""{"format-version": 2,
-         |"table-uuid": "${java.util.UUID.randomUUID()}",
+         |"table-uuid": "${prevUuid.getOrElse(java.util.UUID.randomUUID().toString)}",
          |"location": ${mapper.writeValueAsString(path)},
          |"last-updated-ms": $nowMs,
-         |"last-column-id": ${fieldIds.map(_._2).maxOption.getOrElse(0)},
+         |"last-column-id": ${
+      if (prevSchemasJson.isDefined) math.max(prevLastColumnId, fieldIds.map(_._2).maxOption.getOrElse(0))
+      else fieldIds.map(_._2).maxOption.getOrElse(0)},
          |"last-sequence-number": $seq,
-         |"current-schema-id": 0,
-         |"schemas": [$schemaJson],
-         |"default-spec-id": 0,
-         |"partition-specs": [{"spec-id": 0, "fields": [${
+         |"current-schema-id": ${if (prevSchemasJson.isDefined) prevCurrentSchemaId else 0},
+         |"schemas": ${prevSchemasJson.getOrElse(s"[$schemaJson]")},
+         |"default-spec-id": ${if (prevSpecsJson.isDefined) prevDefaultSpecId else 0},
+         |"partition-specs": ${prevSpecsJson.getOrElse(s"""[{"spec-id": 0, "fields": [${
       partColsEff.zipWithIndex.map { case (c, i) =>
         val srcId = fieldIds.find(_._1.name == c).map(_._2).getOrElse(
           throw IcebergReadException(s"partition column `$c` missing a field id"))
         s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
           s""""source-id": $srcId, "field-id": ${1000 + i}}"""
-      }.mkString(", ")}]}],
+      }.mkString(", ")}]}]""")},
          |"current-snapshot-id": $snapshotId,
          |"snapshot-log": $logJson,
          |"snapshots": ${(prevSnapshotsJson :+ snapshotJson).mkString("[", ", ", "]")}}""".stripMargin
@@ -1007,6 +1037,74 @@ object IcebergSink {
     * snapshot-log; nothing else changes, so the rolled-past snapshots stay
     * time-travelable until expired. The iceberg `rollback_to_snapshot`
     * procedure's arrangement. */
+  /** ADD COLUMN schema evolution: a new metadata.json version whose
+    * schemas array gains an evolved schema (new schema-id, new field with
+    * id = last-column-id + 1) and whose current-schema-id points at it —
+    * the spec's evolution shape; snapshots, manifests, and data files are
+    * untouched. Pre-evolution files read the new column as NULL (the
+    * field id is absent from their footers). The new column is always
+    * optional — old files cannot satisfy a required one. */
+  def addColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, typeDdl: String): Unit = {
+    val st = loadMorState(spark, path)
+    if (!st.meta.has("schemas")) throw IcebergReadException(
+      s"ALTER TABLE: `$path` metadata carries no schemas array (v1 single-" +
+        "schema layout) — evolution needs the v2 metadata shape")
+    val curId = st.meta.path("current-schema-id").asInt(0)
+    val schemas = st.meta.path("schemas")
+    val cur = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curId).getOrElse(
+        throw IcebergReadException(s"`$path`: current-schema-id $curId not in schemas"))
+    val existing = cur.path("fields").elements().asScala
+      .map(_.path("name").asText()).toSeq
+    if (existing.exists(_.equalsIgnoreCase(colName))) throw IcebergReadException(
+      s"ALTER TABLE: column `$colName` already exists in `$path`")
+    val dt = try org.apache.spark.sql.types.DataType.fromDDL(typeDdl) catch {
+      case e: Exception => throw IcebergReadException(
+        s"ALTER TABLE: `$typeDdl` is not a Spark type: ${e.getMessage}")
+    }
+    val iceT: String = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw IcebergReadException(
+        s"ALTER TABLE: type ${other.simpleString} has no iceberg mapping")
+    }
+    val maxFieldId = schemas.elements().asScala.flatMap(
+      _.path("fields").elements().asScala.map(_.path("id").asInt(0))).maxOption.getOrElse(0)
+    val newFieldId = math.max(st.meta.path("last-column-id").asInt(0), maxFieldId) + 1
+    val newSchemaId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).maxOption.getOrElse(0) + 1
+    val evolved = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    evolved.put("schema-id", newSchemaId)
+    val nf = evolved.withArray("fields").addObject()
+    nf.put("id", newFieldId); nf.put("name", colName)
+    nf.put("required", false); nf.put("type", iceT)
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.withArray("schemas").add(evolved)
+    newMeta.put("current-schema-id", newSchemaId)
+    newMeta.put("last-column-id", newFieldId)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
+    if (st.fs.exists(target)) throw IcebergReadException(
+      s"`$path`: metadata version $newVersion already exists — another writer " +
+        "got there first")
+    val out = st.fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = st.fs.create(st.hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+
   def rollbackTo(spark: org.apache.spark.sql.SparkSession, path: String,
       snapshotId: Long): Unit = {
     val st = loadMorState(spark, path)

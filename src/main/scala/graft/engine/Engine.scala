@@ -43,6 +43,10 @@ object Engine {
       // native Iceberg reader produces one, and only after probing that the
       // data files actually store ids (IcebergNative).
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // A requested field id ABSENT from a data file reads as NULL — the
+      // Iceberg add-column evolution rule (old files predate the column).
+      // Without this, Spark errors on the first post-evolution scan.
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // File-split bin size. Spark's 128 MB default is right for a cluster
       // (100 TB → ~800k map tasks); on local[N] it bins a whole multi-file

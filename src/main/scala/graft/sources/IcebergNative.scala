@@ -217,15 +217,18 @@ object IcebergNative {
     val fs = rootPath.getFileSystem(conf)
     val meta = currentMeta(fs, root)
 
-    // --- current schema → Spark StructType ---
-    val schemaNode: JsonNode =
+    // --- schema → Spark StructType (by schema-id; default = current) ---
+    def schemaNodeById(idOpt: Option[Int]): JsonNode =
       if (meta.has("schemas")) {
-        val cur = meta.path("current-schema-id").asInt(0)
+        val want = idOpt.getOrElse(meta.path("current-schema-id").asInt(0))
         meta.path("schemas").elements().asScala
-          .find(_.path("schema-id").asInt(-1) == cur)
-          .getOrElse(throw IcebergReadException(s"current-schema-id $cur not found in schemas"))
+          .find(_.path("schema-id").asInt(-1) == want)
+          .getOrElse(throw IcebergReadException(
+            s"schema-id $want not found in schemas" +
+              (if (idOpt.isEmpty) " (current-schema-id)" else " (named by the snapshot)")))
       } else meta.path("schema")
-    val schema = toStruct(schemaNode, timeAsLong = true)
+    val curSchemaNode: JsonNode = schemaNodeById(None)
+    val curSchema = toStruct(curSchemaNode, timeAsLong = true)
 
     // --- snapshot → live parquet files (TIME TRAVEL: `snapshot_id` pins
     // any snapshot the metadata still lists; `as_of_timestamp` resolves an
@@ -261,7 +264,7 @@ object IcebergNative {
     if (snapId == -1L) // an empty table has no snapshot yet (time cols
       // still surface as TimestampNTZ — same schema as a populated read)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields.map(f =>
+        StructType(curSchema.fields.map(f =>
           if (f.metadata.contains(TimeMarker))
             f.copy(dataType = TimestampNTZType, metadata = Metadata.empty)
           else f)))
@@ -275,6 +278,19 @@ object IcebergNative {
             s"snapshot_id $snapId not found in table metadata (known: $known) — expired?"
           else s"current-snapshot-id $snapId not found in snapshots")
       }
+
+    // A TIME-TRAVEL read serves the schema of the pinned snapshot (the
+    // spec's snapshot `schema-id` field), not today's — a column added
+    // since must not appear in a historical read. Snapshots written before
+    // the field existed (v1) fall back to the current schema.
+    val schemaNode: JsonNode = {
+      val snapSchemaId = Option(snapshot.path("schema-id"))
+        .filter(n => !n.isMissingNode && !n.isNull).map(_.asInt())
+      if (requested.isDefined && snapSchemaId.isDefined)
+        schemaNodeById(snapSchemaId) else curSchemaNode
+    }
+    val schema = if (schemaNode eq curSchemaNode) curSchema
+      else toStruct(schemaNode, timeAsLong = true)
 
     def resolve(p: String): Path = {
       val raw = new Path(p)

@@ -469,6 +469,10 @@ object SqlApi {
   private val updateRe =
     """(?is)^\s*UPDATE\s+("?[A-Za-z_][\w"]*"?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
 
+  // ALTER TABLE <table> ADD COLUMN <name> <pg-type>
+  private val alterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s+([A-Za-z_][\w ()\[\],]*?)\s*;?\s*$""".r
+
   // DELETE FROM <table> WHERE <predicate>
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
@@ -696,6 +700,31 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(inserted).toDF("rows_inserted")
+    case alterAddRe(table, colRaw, typeRaw) =>
+      // ALTER TABLE <attached lakehouse table> ADD COLUMN — schema
+      // evolution through the format's native writer (Delta: log-only
+      // metaData commit; Iceberg: new schemas entry + current-schema-id),
+      // PG column types mapped the same way CREATE FOREIGN TABLE maps
+      // them; the re-attach makes the evolved schema visible immediately.
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val colName = colRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      val sparkType = FdwDdl.pgColumnType(typeRaw.trim)
+      fmt.toLowerCase match {
+        case "delta" =>
+          graft.catalog.DeltaSink.addColumn(spark, rootOpt, colName, sparkType)
+        case "iceberg" =>
+          graft.catalog.IcebergSink.addColumn(spark, rootOpt, colName, sparkType)
+        case other => throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: ADD COLUMN is implemented for delta and " +
+            s"iceberg attaches (got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      commandOk(spark)
     case deleteRe(table, where) =>
       // DELETE FROM <attached lakehouse table> WHERE ... — routes to the
       // format's native row-level strategy (delta: copy-on-write rewrite;

@@ -555,4 +555,27 @@ class DeltaSinkSpec extends SparkSpec {
       txn = Some(("cp-app", 0L))) // replay after fold → must no-op
     assert(readBack(root).filter(col("id") === 5L).count() === 1L)
   }
+  test("addColumn: log-only evolution; old files NULL; appends carry the column") {
+    val root = tempDir("dsink_addcol").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.addColumn(spark, root, "score", "double")
+    val evolved = readBack(root)
+    assert(evolved.columns.toSeq === Seq("id", "v", "score"))
+    assert(evolved.filter(col("score").isNull).count() === 2L)
+    // table id is preserved across the metaData rewrite
+    // append AFTER evolution must supply the new schema...
+    val e = intercept[Exception] {
+      DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("does not match"))
+    // ...and with it, lands normally
+    DeltaSink.write(Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .select(col("id"), col("v"), col("score").cast("double")), root, Map.empty)
+    val rows = readBack(root).orderBy("id").collect()
+    assert(rows.length === 3 && rows(2).getDouble(2) == 9.5)
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    // duplicate column rejects loudly
+    val dup = intercept[Exception] { DeltaSink.addColumn(spark, root, "SCORE", "int") }
+    assert(dup.getMessage.contains("already exists"))
+  }
 }

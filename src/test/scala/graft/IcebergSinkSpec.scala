@@ -378,4 +378,51 @@ class IcebergSinkSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("identity partitioning"))
   }
+  test("addColumn: metadata-only evolution; id'd old files NULL; appends carry it") {
+    val root = tempDir("isink_addcol").getPath + "/t"
+    IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    IcebergSink.addColumn(spark, root, "score", "double")
+    val evolved = readBack(root)
+    assert(evolved.columns.toSeq === Seq("id", "v", "score"))
+    // the old data files carry parquet field ids 1..2; the evolved column's
+    // id 3 is absent from their footers -> NULL per the evolution rule
+    assert(evolved.filter(col("score").isNull).count() === 2L)
+    // append with the evolved schema lands; old + new rows coexist
+    IcebergSink.write(Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .select(col("id"), col("v"), col("score").cast("double")), root, Map.empty)
+    val rows = readBack(root).orderBy("id").collect()
+    assert(rows.length === 3 && rows(2).getDouble(2) == 9.5)
+    assert(rows.take(2).forall(_.isNullAt(2)))
+    // pre-evolution shape now rejects
+    val e = intercept[Exception] {
+      IcebergSink.write(Seq((4L, "d")).toDF("id", "v"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("schema"))
+    // duplicate column rejects loudly
+    val dup = intercept[Exception] { IcebergSink.addColumn(spark, root, "Score", "int") }
+    assert(dup.getMessage.contains("already exists"))
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN routes to the native writers and re-attaches") {
+    val root = tempDir("isink_alter").getPath + "/t"
+    IcebergSink.write(Seq((1L, "x")).toDF("id", "v"), root, Map.empty)
+    Catalog.attach(spark, "alter_ice", "iceberg", Map("files" -> root))
+    graft.sqlapi.SqlApi.executePg(spark,
+      "ALTER TABLE alter_ice ADD COLUMN score double precision")
+    val df = spark.table("alter_ice")
+    assert(df.columns.toSeq === Seq("id", "v", "score"))
+    assert(df.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    // and the delta side through the same route
+    val droot = tempDir("dsink_alter").getPath + "/t"
+    graft.catalog.DeltaSink.write(Seq((1L, "x")).toDF("id", "v"), droot, Map.empty)
+    Catalog.attach(spark, "alter_del", "delta", Map("files" -> droot))
+    graft.sqlapi.SqlApi.executePg(spark,
+      "ALTER TABLE alter_del ADD COLUMN note text")
+    assert(spark.table("alter_del").columns.toSeq === Seq("id", "v", "note"))
+    // a non-lakehouse attach rejects loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE nope ADD COLUMN x int")
+    }
+    assert(e.getMessage.contains("not an attached"))
+  }
 }
