@@ -512,6 +512,9 @@ object IcebergSink {
       if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
+      // pin the schema this snapshot was written under — a time-travel
+      // read serves THIS schema, not a later evolution's (spec field)
+      sn.put("schema-id", if (prevSchemasJson.isDefined) prevCurrentSchemaId else 0)
       val summary = sn.putObject("summary")
       summary.put("operation", if (overwrite) "overwrite" else "append")
       txn.foreach { case (appId, v2) =>
@@ -804,6 +807,7 @@ object IcebergSink {
       if (st.lastSnapshotId > 0) sn.put("parent-snapshot-id", st.lastSnapshotId)
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
+      sn.put("schema-id", st.meta.path("current-schema-id").asInt(0))
       val summary = sn.putObject("summary")
       summary.put("operation", operation)
       summaryExtra.foreach { case (k, v2) => summary.put(k, v2) }

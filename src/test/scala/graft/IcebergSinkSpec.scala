@@ -425,4 +425,20 @@ class IcebergSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not an attached"))
   }
+  test("time travel serves the schema of the pinned snapshot, not today's") {
+    val root = tempDir("isink_snapschema").getPath + "/t"
+    IcebergSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)   // snap 1, schema 0
+    IcebergSink.addColumn(spark, root, "score", "double")                 // evolution
+    IcebergSink.write(Seq((2L, "b", 5.0)).toDF("id", "v", "score")
+      .select(col("id"), col("v"), col("score").cast("double")), root, Map.empty) // snap 2, schema 1
+    // current read: evolved schema over both snapshots' files
+    assert(readBack(root).columns.toSeq === Seq("id", "v", "score"))
+    // pinned read of snapshot 1: the PRE-evolution schema (spec schema-id)
+    val old = IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+    assert(old.columns.toSeq === Seq("id", "v"))
+    assert(old.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // snapshot 2 pinned: evolved schema
+    val cur = IcebergNative.read(spark, root, Map("snapshot_id" -> "2"))
+    assert(cur.columns.toSeq === Seq("id", "v", "score"))
+  }
 }
