@@ -1109,6 +1109,119 @@ object IcebergSink {
     try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
   }
 
+  /** Shared tail of the metadata-only evolution ops: append an evolved
+    * schema (new schema-id), point current-schema-id at it, write the next
+    * metadata.json version + hint. */
+  private def commitEvolvedSchema(st: MorState,
+      mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val curId = st.meta.path("current-schema-id").asInt(0)
+    val schemas = st.meta.path("schemas")
+    val cur = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curId).getOrElse(
+        throw IcebergReadException(s"current-schema-id $curId not in schemas"))
+    val newSchemaId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).maxOption.getOrElse(0) + 1
+    val evolved = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    evolved.put("schema-id", newSchemaId)
+    mutate(evolved)
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.withArray("schemas").add(evolved)
+    newMeta.put("current-schema-id", newSchemaId)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
+    if (st.fs.exists(target)) throw IcebergReadException(
+      s"metadata version $newVersion already exists — another writer got there first")
+    val out = st.fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = st.fs.create(st.hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+
+  /** DROP COLUMN (metadata-only): the field leaves the current schema; the
+    * bytes stay in the data files, simply never projected again — O(1),
+    * no rewrite, the spec's drop semantics. Rejects when the column feeds
+    * the partition spec, or when live equality-delete files reference its
+    * field id (their match tuples would dangle). */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String): Unit = {
+    val st = loadMorState(spark, path)
+    if (!st.meta.has("schemas")) throw IcebergReadException(
+      s"ALTER TABLE: `$path` metadata carries no schemas array — evolution " +
+        "needs the v2 metadata shape")
+    val curId = st.meta.path("current-schema-id").asInt(0)
+    val cur = st.meta.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curId).get
+    val field = cur.path("fields").elements().asScala
+      .find(_.path("name").asText() == colName).getOrElse(
+        throw IcebergReadException(
+          s"ALTER TABLE: column `$colName` does not exist in `$path`"))
+    val fieldId = field.path("id").asInt()
+    val specSources = st.meta.path("partition-specs").elements().asScala
+      .flatMap(_.path("fields").elements().asScala.map(_.path("source-id").asInt())).toSet
+    if (specSources.contains(fieldId)) throw IcebergReadException(
+      s"ALTER TABLE: column `$colName` feeds the partition spec — dropping it " +
+        "would orphan the partition tuples; this writer does not evolve specs")
+    if (st.priorDeleteFiles.nonEmpty) throw IcebergReadException(
+      s"ALTER TABLE: `$path` carries live row-level delete files — compact " +
+        "first (rewriteDataFiles), then drop the column (an equality delete " +
+        "referencing the dropped field id would dangle)")
+    commitEvolvedSchema(st, { evolved =>
+      val fields = evolved.withArray("fields")
+      val keep = fields.elements().asScala
+        .filter(_.path("name").asText() != colName).toSeq
+      fields.removeAll()
+      keep.foreach(fields.add)
+    })
+  }
+
+  /** RENAME COLUMN (metadata-only): same field id, new name — data files
+    * resolve by parquet field id, so reads keep working across the rename
+    * (the reader's rename test pins this). Rejects on id-less data files
+    * (imported/converted tables resolve by NAME; a rename would silently
+    * null the column) via the same sampled footer probe the reader uses. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      oldName: String, newName: String): Unit = {
+    val st = loadMorState(spark, path)
+    if (!st.meta.has("schemas")) throw IcebergReadException(
+      s"ALTER TABLE: `$path` metadata carries no schemas array — evolution " +
+        "needs the v2 metadata shape")
+    val curId = st.meta.path("current-schema-id").asInt(0)
+    val cur = st.meta.path("schemas").elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curId).get
+    val names = cur.path("fields").elements().asScala.map(_.path("name").asText()).toSeq
+    if (!names.contains(oldName)) throw IcebergReadException(
+      s"ALTER TABLE: column `$oldName` does not exist in `$path`")
+    if (names.exists(_.equalsIgnoreCase(newName))) throw IcebergReadException(
+      s"ALTER TABLE: column `$newName` already exists in `$path`")
+    // sampled probe: every data file must carry field ids, else the rename
+    // breaks name-resolved reads
+    val paths = st.dataPaths
+    val probeIdx =
+      if (paths.size <= 8) paths.indices
+      else (0 until 8).map(i => (i.toLong * (paths.size - 1) / 7).toInt).distinct
+    probeIdx.foreach { i =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(paths(i)), spark.sessionState.newHadoopConf()))
+      val hasIds = try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .forall(_.getId != null) finally rdr.close()
+      if (!hasIds) throw IcebergReadException(
+        s"ALTER TABLE: data file `${paths(i)}` carries no parquet field ids — " +
+          "it resolves by NAME, so renaming would silently null the column; " +
+          "rewrite the table first (rewriteDataFiles)")
+    }
+    commitEvolvedSchema(st, { evolved =>
+      evolved.withArray("fields").elements().asScala.foreach {
+        case f: com.fasterxml.jackson.databind.node.ObjectNode
+          if f.path("name").asText() == oldName => f.put("name", newName)
+        case _ => ()
+      }
+    })
+  }
+
   def rollbackTo(spark: org.apache.spark.sql.SparkSession, path: String,
       snapshotId: Long): Unit = {
     val st = loadMorState(spark, path)

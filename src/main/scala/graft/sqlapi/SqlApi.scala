@@ -473,6 +473,12 @@ object SqlApi {
   private val alterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s+([A-Za-z_][\w ()\[\],]*?)\s*;?\s*$""".r
 
+  // ALTER TABLE <table> DROP COLUMN <name>  |  RENAME COLUMN <a> TO <b>
+  private val alterDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+  private val alterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+RENAME\s+COLUMN\s+("?[A-Za-z_][\w"]*"?)\s+TO\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+
   // DELETE FROM <table> WHERE <predicate>
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
@@ -722,6 +728,56 @@ object SqlApi {
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE `$name`: ADD COLUMN is implemented for delta and " +
             s"iceberg attaches (got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      commandOk(spark)
+    case alterDropRe(table, colRaw) =>
+      // DROP COLUMN: metadata-only on Iceberg (field leaves the schema,
+      // bytes stay in the files); Delta mode=none CANNOT drop (the
+      // protocol requires column mapping so readers skip the physical
+      // column) — loud reject over silent corruption.
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val colName = colRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      fmt.toLowerCase match {
+        case "iceberg" =>
+          graft.catalog.IcebergSink.dropColumn(spark, rootOpt, colName)
+        case "delta" => throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: DROP COLUMN on Delta requires column " +
+            "mapping (delta.columnMapping.mode=name), which this native " +
+            "writer does not enable; use a delta connector jar")
+        case other => throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: DROP COLUMN is implemented for iceberg " +
+            s"attaches (got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      commandOk(spark)
+    case alterRenameRe(table, oldRaw, newRaw) =>
+      // RENAME COLUMN: metadata-only on Iceberg (same field id, reads
+      // resolve by id across the rename); Delta mode=none rejects for the
+      // same column-mapping reason as DROP.
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val oldName = oldRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val newName = newRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      fmt.toLowerCase match {
+        case "iceberg" =>
+          graft.catalog.IcebergSink.renameColumn(spark, rootOpt, oldName, newName)
+        case "delta" => throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: RENAME COLUMN on Delta requires column " +
+            "mapping (delta.columnMapping.mode=name), which this native " +
+            "writer does not enable; use a delta connector jar")
+        case other => throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: RENAME COLUMN is implemented for iceberg " +
+            s"attaches (got format `$other`)")
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)

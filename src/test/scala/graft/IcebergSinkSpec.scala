@@ -441,4 +441,51 @@ class IcebergSinkSpec extends SparkSpec {
     val cur = IcebergNative.read(spark, root, Map("snapshot_id" -> "2"))
     assert(cur.columns.toSeq === Seq("id", "v", "score"))
   }
+  test("dropColumn and renameColumn are metadata-only; rejects are loud") {
+    val root = tempDir("isink_droprename").getPath + "/t"
+    IcebergSink.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x")
+      .select(col("id"), col("v"), col("x").cast("double")), root, Map.empty)
+    // rename: same field id, reads resolve by id across the rename
+    IcebergSink.renameColumn(spark, root, "v", "label")
+    val renamed = readBack(root)
+    assert(renamed.columns.toSeq === Seq("id", "label", "x"))
+    assert(renamed.orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    // drop: bytes stay in the files, never projected again
+    IcebergSink.dropColumn(spark, root, "x")
+    val dropped = readBack(root)
+    assert(dropped.columns.toSeq === Seq("id", "label"))
+    // time travel to snapshot 1 still sees the ORIGINAL names via schema-id...
+    // (snapshot written pre-evolution pins schema 0)
+    val old = IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+    assert(old.columns.toSeq === Seq("id", "v", "x"))
+    // unknown / duplicate columns reject
+    assert(intercept[Exception] { IcebergSink.dropColumn(spark, root, "nope") }
+      .getMessage.contains("does not exist"))
+    assert(intercept[Exception] { IcebergSink.renameColumn(spark, root, "id", "label") }
+      .getMessage.contains("already exists"))
+    // SQL routes: rename back through executePg; delta rejects loudly
+    Catalog.attach(spark, "dr_ice", "iceberg", Map("files" -> root))
+    graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_ice RENAME COLUMN label TO v")
+    assert(spark.table("dr_ice").columns.toSeq === Seq("id", "v"))
+    val droot = tempDir("dsink_droprename").getPath + "/t"
+    graft.catalog.DeltaSink.write(Seq((1L, "x")).toDF("id", "v"), droot, Map.empty)
+    Catalog.attach(spark, "dr_del", "delta", Map("files" -> droot))
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_del DROP COLUMN v")
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("dropColumn rejects on a partition source or live delete files") {
+    val root = tempDir("isink_dropguard").getPath + "/t"
+    IcebergSink.write(Seq((1L, "US", 1.0), (2L, "DE", 2.0)).toDF("id", "region", "x")
+      .select(col("id"), col("region"), col("x").cast("double")), root,
+      Map("partition_by" -> "region"))
+    assert(intercept[Exception] { IcebergSink.dropColumn(spark, root, "region") }
+      .getMessage.contains("partition spec"))
+    // live positional deletes block the drop until compaction
+    IcebergSink.deleteWhere(spark, root, "id = 1")
+    assert(intercept[Exception] { IcebergSink.dropColumn(spark, root, "x") }
+      .getMessage.contains("compact"))
+  }
 }
