@@ -159,8 +159,16 @@ object DeltaSink {
     partitionValues: Map[String, String], stats: String)
 
   /** One live file in the replayed writer-side state. */
+  /** `add.deletionVector` carried through replay verbatim — checkpoints
+    * and re-emitted adds must not lose it (a dropped DV resurrects
+    * deleted rows). */
+  private[catalog] final case class DvInfo(storageType: String, payload: String,
+    offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
   private[catalog] final case class LiveEntry(partitionValues: Map[String, String],
-    size: Long, modTime: Long, stats: Option[String], hasDv: Boolean)
+    size: Long, modTime: Long, stats: Option[String], dv: Option[DvInfo]) {
+    def hasDv: Boolean = dv.isDefined
+  }
 
   /** Writer-side table state: latest version, declared shape, live files,
     * and the txn ledger — from a classic single-file checkpoint (when
@@ -232,13 +240,23 @@ object DeltaSink {
       }
       if (cols.contains("add")) {
         val sub = cp.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
-        val dvSel = if (sub.contains("deletionVector"))
-          "add.deletionVector IS NOT NULL" else "false"
+        val dvSels =
+          if (sub.contains("deletionVector")) Seq(
+            "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
+            "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
+            "add.deletionVector.cardinality")
+          else Seq("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+            "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS BIGINT)")
         cp.filter(org.apache.spark.sql.functions.col("add").isNotNull)
-          .selectExpr("add.path", "add.partitionValues", "add.size",
-            "add.modificationTime", "add.stats", s"$dvSel AS hasDv")
+          .selectExpr(Seq("add.path", "add.partitionValues", "add.size",
+            "add.modificationTime", "add.stats") ++ dvSels: _*)
           .collect().foreach { r =>
-            if (r.getBoolean(5) && forbidDv.nonEmpty) throw DeltaReadException(
+            val dvInfo: Option[DvInfo] =
+              if (r.isNullAt(5)) None
+              else Some(DvInfo(r.getString(5), r.getString(6),
+                if (r.isNullAt(7)) None else Some(r.getInt(7)),
+                r.getInt(8), r.getLong(9)))
+            if (dvInfo.isDefined && forbidDv.nonEmpty) throw DeltaReadException(
               s"`$rootPath`: deletion-vector files — use a delta connector jar " +
                 s"for $forbidDv")
             live(r.getString(0)) = LiveEntry(
@@ -246,7 +264,7 @@ object DeltaSink {
               if (r.isNullAt(2)) 0L else r.getLong(2),
               if (r.isNullAt(3)) 0L else r.getLong(3),
               Option(r.getString(4)).filter(_.nonEmpty),
-              r.getBoolean(5))
+              dvInfo)
           }
       }
     }
@@ -283,9 +301,15 @@ object DeltaSink {
         }
         if (n.has("add")) {
           val a = n.path("add")
-          val hasDv = !a.path("deletionVector").isMissingNode &&
-            !a.path("deletionVector").isNull
-          if (hasDv && forbidDv.nonEmpty) throw DeltaReadException(
+          val dvNode = a.path("deletionVector")
+          val dvInfo: Option[DvInfo] =
+            if (dvNode.isMissingNode || dvNode.isNull) None
+            else Some(DvInfo(dvNode.path("storageType").asText(),
+              dvNode.path("pathOrInlineDv").asText(),
+              Option(dvNode.path("offset")).filter(!_.isMissingNode).map(_.asInt()),
+              dvNode.path("sizeInBytes").asInt(),
+              dvNode.path("cardinality").asLong()))
+          if (dvInfo.isDefined && forbidDv.nonEmpty) throw DeltaReadException(
             s"`$rootPath`: deletion-vector files — use a delta connector jar " +
               s"for $forbidDv")
           live(a.path("path").asText()) = LiveEntry(
@@ -295,7 +319,7 @@ object DeltaSink {
             a.path("modificationTime").asLong(0L),
             Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
               .map(_.asText()),
-            hasDv)
+            dvInfo)
         }
         if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
       }
@@ -466,14 +490,24 @@ object DeltaSink {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        // a checkpoint that dropped this would RESURRECT deleted rows
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     val rows =
       Seq(Row(Row(1, if (cdf) 4 else 2), null, null, null),
         Row(null, Row("graft-checkpoint", schemaJson, st.partCols, st.conf), null, null)) ++
         st.txnVersions.toSeq.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
         st.live.toSeq.map { case (p, e) =>
+          val dvRow = e.dv.map(d =>
+            Row(d.storageType, d.payload, d.offset.map(Int.box).orNull,
+              d.sizeInBytes, d.cardinality)).orNull
           Row(null, null, null,
-            Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull))
+            Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow))
         }
     val logDir = new Path(rootPath, "_delta_log")
     val tmp = new Path(logDir, s"_cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -581,6 +615,231 @@ object DeltaSink {
       predicateSql: String, setExprs: Map[String, String]): Long = {
     require(setExprs.nonEmpty, "updateWhere needs at least one SET column")
     copyOnWriteDml(spark, path, predicateSql, setExprs)
+  }
+
+  /** DELETE via DELETION VECTORS — Delta's merge-on-read strategy: matched
+    * physical row positions per file serialize to a roaring bitmap
+    * (`sources/DeletionVectors.RoaringBitmapArray`, the same codec the
+    * reader decodes), and one commit re-adds each affected file with a
+    * `deletionVector` descriptor — NO data rewritten, O(matched rows).
+    * Small bitmaps inline into the log (storageType "i", Z85); larger ones
+    * land in `deletion_vector_<uuid>.bin` files written BY EXECUTORS
+    * (storageType "u" — 1-byte format version, 4-byte BE length, bitmap,
+    * CRC-32), so the driver only ever sees bounded per-file descriptors.
+    * The write→read DV loop closes against the native reader (spec + w07).
+    *
+    * Rejects: tables already carrying DVs (merging decode+union is a
+    * compaction concern — OPTIMIZE first), CDF tables (use copy-on-write
+    * DELETE, which emits exact cdc rows), column mapping. */
+  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import graft.sources.DeletionVectors
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables — use a delta connector jar for DML")
+    if (st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean))
+      throw DeltaReadException(
+        s"`$path`: DV deletes on a change-data-feed table would skip the cdc " +
+          "rows the feed promises; use the copy-on-write DELETE instead")
+    if (st.live.values.exists(_.hasDv)) throw DeltaReadException(
+      s"`$path`: table already carries deletion vectors — this writer does " +
+        "not merge DV generations; purgeDeletionVectors first (materializes " +
+        "survivors), then delete again")
+    if (st.live.isEmpty) return 0L
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    val partColsT = st.partCols
+
+    def resolve(rel: String): String = {
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    def norm(s: String): String = new Path(s).toString
+    val relByAbs: Map[String, String] =
+      st.live.keys.map(r => norm(resolve(r)) -> r).toMap
+
+    // one scan, log partitions attached, physical row index per file
+    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val byTuple = st.live.toSeq.groupBy(_._2.partitionValues)
+    val scans = byTuple.toSeq.map { case (pv, files) =>
+      var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      partColsT.foreach { pc =>
+        val f = schema(schema.fieldIndex(pc))
+        s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+      }
+      s0.select(schema.fieldNames.map(col).toSeq ++ Seq(
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos")): _*)
+    }
+    val matched = scans.reduce(_ unionByName _)
+      .filter(expr(predicateSql)).select(col("__file"), col("__pos"))
+
+    // per-file bitmaps built and (when large) written in EXECUTORS; the
+    // driver collects only one descriptor row per affected file
+    val confEntries: Seq[(String, String)] =
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    val rootStr = rootPath.toString
+    import spark.implicits._
+    val descriptors: Seq[(String, String, String, Int, Long)] =
+      matched.as[(String, Long)].groupByKey(_._1).mapGroups { (file, it) =>
+        val positions = it.map(_._2).toArray.toSeq
+        val bytes = DeletionVectors.RoaringBitmapArray.serialize(positions)
+        if (bytes.length <= 1024) {
+          (file, "i", DeletionVectors.Z85.encode(bytes), bytes.length, positions.size.toLong)
+        } else {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confBc.value.foreach { case (k, v) => c.set(k, v) }
+          val uuid = java.util.UUID.randomUUID()
+          val dvPath = new Path(rootStr, s"deletion_vector_$uuid.bin")
+          val out = dvPath.getFileSystem(c).create(dvPath, false)
+          try {
+            out.write(1) // format version
+            out.writeInt(bytes.length) // big-endian
+            out.write(bytes)
+            val crc = new java.util.zip.CRC32(); crc.update(bytes)
+            out.writeInt(crc.getValue.toInt)
+          } finally out.close()
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+          (file, "u", DeletionVectors.Z85.encode(bb.array()), bytes.length, positions.size.toLong)
+        }
+      }.collect().toSeq
+    if (descriptors.isEmpty) return 0L
+
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val nowMs = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"DELETE","operationParameters":{"predicate":${esc(predicateSql)},"strategy":"deletion-vector"}}}"""
+    descriptors.foreach { case (abs, storage, payload, size, card) =>
+      val rel = relByAbs.getOrElse(norm(abs),
+        throw DeltaReadException(s"`$path`: scanned file $abs is not in the live set"))
+      val e = st.live(rel)
+      val pv = mapper.createObjectNode()
+      e.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      val dv = mapper.createObjectNode()
+      dv.put("storageType", storage)
+      dv.put("pathOrInlineDv", payload)
+      if (storage == "u") dv.put("offset", 1)
+      dv.put("sizeInBytes", size)
+      dv.put("cardinality", card)
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true}}"""
+      lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true,""" +
+        e.stats.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
+        s""""deletionVector":${mapper.writeValueAsString(dv)}}}"""
+    }
+    val version = st.version + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    val staged = new Path(logDir,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(staged, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      throw DeltaReadException(
+        s"`$path`: commit $version already exists — another writer got there first")
+    }
+    descriptors.map(_._5).sum
+  }
+
+  /** REORG ... APPLY (PURGE): materialize deletion vectors — ONLY the
+    * DV-carrying files rewrite (their survivors, decoded by the same
+    * executor-side DV machinery the reader uses); clean files are
+    * untouched. After a purge the table is DV-free, so OPTIMIZE, RESTORE,
+    * and further DML (all forbidDv) work again. Returns
+    * (filesRewritten, rowsDropped). */
+  def purgeDeletionVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.DeletionVectors
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(rootPath, "_delta_log")
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      throw DeltaReadException(
+        s"`$path`: column-mapped tables — use a delta connector jar")
+    val dvFiles = st.live.toSeq.filter(_._2.hasDv)
+    if (dvFiles.isEmpty) return (0, 0L)
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(
+      throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    val partColsT = st.partCols
+    def resolve(rel: String): String = {
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    }
+    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    // survivors of ONLY the DV'd files, dead positions anti-joined in
+    // executors via the reader's decode machinery
+    val dvPairs: Seq[(String, DeletionVectors.Descriptor)] = dvFiles.map { case (rel, e) =>
+      val d = e.dv.get
+      resolve(rel) -> DeletionVectors.Descriptor(
+        d.storageType, d.payload, d.offset, d.sizeInBytes, d.cardinality)
+    }
+    val byTuple = dvFiles.groupBy(_._2.partitionValues)
+    val scans = byTuple.toSeq.map { case (pv, files) =>
+      var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      val cleaned = DeletionVectors.applyTo(spark, s0, dvPairs, rootPath)
+      var s1 = cleaned
+      partColsT.foreach { pc =>
+        val f = schema(schema.fieldIndex(pc))
+        s1 = s1.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+      }
+      s1.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    val survivors = scans.reduce(_ unionByName _)
+    val newFiles = writeDataFiles(survivors, rootPath, partColsT, Map.empty)
+    def esc(s: String): String = mapper.writeValueAsString(s)
+    val nowMs = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"REORG","operationParameters":{"applyPurge":"true"}}}"""
+    dvFiles.foreach { case (rel, e) =>
+      // the remove must carry the removed version's DV: the protocol
+      // reconciles on (path, dv-id), so a bare remove would leave the
+      // DV'd add live and DUPLICATE the purged rows
+      val d = e.dv.get
+      val dv = mapper.createObjectNode()
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.payload)
+      d.offset.foreach(o => dv.put("offset", o))
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":false,"deletionVector":${mapper.writeValueAsString(dv)}}}"""
+    }
+    newFiles.foreach { f =>
+      val pv = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false,""" +
+        s""""stats":${esc(f.stats)}}}"""
+    }
+    val version = st.version + 1
+    val target = new Path(logDir, f"$version%020d.json")
+    val staged = new Path(logDir,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(staged, false)
+    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(staged, target)) {
+      fs.delete(staged, false)
+      throw DeltaReadException(
+        s"`$path`: commit $version already exists — another writer got there first")
+    }
+    (dvFiles.size, dvFiles.map(_._2.dv.get.cardinality).sum)
   }
 
   private def copyOnWriteDml(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -1139,6 +1139,41 @@ object FormatQueries {
   // wrong rewrite, a lost insert, or a double-applied update fails the
   // hash. Every step exceeds the reference surface (DuckDB's delta
   // extension is read-only, src/duckdb/delta.rs).
+  // ---------------------------------------------------------------- w07
+  // DELETION-VECTOR DELETE on a native Delta write (merge-on-read, the
+  // strategy delta-spark defaults to): matched row positions serialize to
+  // roaring bitmaps (inline Z85 or deletion_vector_*.bin per size), ONE
+  // log-only commit re-adds the affected files with DV descriptors, and
+  // the read applies them through the native DV decode path (l04's
+  // machinery) — write→read DV loop closed under the oracle. A second
+  // predicate lands after purgeDeletionVectors (REORG PURGE), exercising
+  // the DV→clean→DV lifecycle. The oracle replays both deletes over the
+  // source table — a mis-serialized bitmap, an off-by-one position, or a
+  // purge that resurrects rows all break the hash.
+  private val w07 = QueryDef(
+    "w07_delta_dv_delete",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w07_dv"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "delta")
+      graft.catalog.DeltaSink.deleteWhereDv(s, out, "c_acctbal < 0")
+      graft.catalog.DeltaSink.purgeDeletionVectors(s, out)
+      graft.catalog.DeltaSink.deleteWhereDv(s, out, "c_mktsegment = 'MACHINERY'")
+      Catalog.attach(s, "w07_customer_delta_dv", "delta", Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer
+      WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY')
+      GROUP BY c_mktsegment"""))
+
   private val w04 = QueryDef(
     "w04_delta_dml",
     (s, dir) => {
@@ -1484,5 +1519,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, f01)
+      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, w07, f01)
 }

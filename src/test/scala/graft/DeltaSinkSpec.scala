@@ -578,4 +578,59 @@ class DeltaSinkSpec extends SparkSpec {
     val dup = intercept[Exception] { DeltaSink.addColumn(spark, root, "SCORE", "int") }
     assert(dup.getMessage.contains("already exists"))
   }
+  test("deleteWhereDv: DV DELETE round-trips through the native reader; purge clears") {
+    val root = tempDir("dsink_dv").getPath + "/t"
+    DeltaSink.write(Seq(1L, 2L, 3L).toDF("id").withColumn("v", col("id").cast("string")),
+      root, Map.empty)
+    DeltaSink.write(Seq(4L, 5L, 6L).toDF("id").withColumn("v", col("id").cast("string")),
+      root, Map.empty)
+    val n = DeltaSink.deleteWhereDv(spark, root, "id % 2 = 0")
+    assert(n === 3L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    // small bitmaps inline into the log
+    val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000002.json"))
+    assert(log1.contains("\"deletionVector\"") && log1.contains("\"storageType\":\"i\""))
+    // time travel to the pre-delete version still sees every row
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "1")).count() === 6L)
+    // a second DV delete rejects until the DVs are purged
+    val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 1") }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+    val (files, dropped) = DeltaSink.purgeDeletionVectors(spark, root)
+    assert(files >= 2 && dropped === 3L, (files, dropped))
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    // DV-free again: further DML works
+    assert(DeltaSink.deleteWhereDv(spark, root, "id = 1") === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
+  }
+
+  test("deleteWhereDv: large bitmap lands in a DV file; checkpoint preserves DVs") {
+    val root = tempDir("dsink_dvfile").getPath + "/t"
+    DeltaSink.write(spark.range(0, 3000).toDF("id").coalesce(1), root, Map.empty)
+    assert(DeltaSink.deleteWhereDv(spark, root, "id < 2000") === 2000L)
+    val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json"))
+    assert(log1.contains("\"storageType\":\"u\""), log1.take(400))
+    assert(new java.io.File(root).listFiles().exists(_.getName.startsWith("deletion_vector_")))
+    assert(readBack(root).count() === 1000L)
+    // fold into a classic checkpoint, drop the commit JSONs it covers —
+    // the DV must survive the fold (else deleted rows resurrect)
+    DeltaSink.checkpoint(spark, root)
+    Seq(0L, 1L).foreach { v =>
+      new java.io.File(f"$root/_delta_log/$v%020d.json").delete()
+    }
+    assert(readBack(root).count() === 1000L)
+    // and the writer-side replay (e.g. another DV delete post-purge path)
+    // sees the DV through the checkpoint too
+    val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 2500") }
+    assert(e.getMessage.contains("purge"), e.getMessage)
+  }
+
+  test("deleteWhereDv guards: CDF tables and DV'd tables reject loudly") {
+    val root = tempDir("dsink_dvcdf").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root,
+      Map("change_data_feed" -> "true"))
+    val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 1") }
+    assert(e.getMessage.contains("change-data-feed"), e.getMessage)
+  }
 }
