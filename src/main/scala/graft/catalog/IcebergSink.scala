@@ -60,6 +60,9 @@ object IcebergSink {
       {"name":"file_format","type":"string"},
       {"name":"record_count","type":"long"},
       {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+      {"name":"content_offset","type":["null","long"],"default":null},
+      {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+      {"name":"referenced_data_file","type":["null","string"],"default":null},
       {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
       {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
       {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
@@ -564,13 +567,18 @@ object IcebergSink {
     * prior positional-delete files, the manifest carry-forward list, and
     * the counters the next commit increments. Bounded driver metadata
     * work (the iceberg-core arrangement). */
+  /** (referencedDataFileAbs, puffinPathAbs, blobOffset, blobSize,
+    * cardinality) for each live v3 deletion vector. */
+  private type DvRef = (String, String, Long, Long, Long)
+
   private final case class MorState(
       fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
       metaDir: Path, hint: Path, version: Long,
       meta: com.fasterxml.jackson.databind.JsonNode,
       lastSnapshotId: Long, lastSeq: Long,
       prevManifests: Seq[(String, Long)],
-      dataPaths: Seq[String], priorDeleteFiles: Seq[String])
+      dataPaths: Seq[String], priorDeleteFiles: Seq[String],
+      dvRefs: Seq[DvRef], hasEqDeletes: Boolean)
 
   private def loadMorState(spark: org.apache.spark.sql.SparkSession,
       path: String): MorState = {
@@ -614,6 +622,8 @@ object IcebergSink {
     // must not re-affect rows, or the returned counts lie)
     val dataFiles = Seq.newBuilder[String]
     val priorDeleteFiles = Seq.newBuilder[String]
+    val dvRefs = Seq.newBuilder[DvRef]
+    var hasEqDeletes = false
     prevManifests.foreach { case (m, _) =>
       val r = new DataFileReader[GenericRecord](
         new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
@@ -621,17 +631,31 @@ object IcebergSink {
         val status = e.get("status").asInstanceOf[Int]
         val dfr = e.get("data_file").asInstanceOf[GenericRecord]
         val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        def fld(n: String): Option[AnyRef] =
+          Option(dfr.getSchema.getField(n)).flatMap(_ => Option(dfr.get(n)))
         if (status != 2) {
           if (content == 0) dataFiles += abs(dfr.get("file_path").toString).toString
           else if (content == 1 &&
             dfr.get("file_format").toString.equalsIgnoreCase("PARQUET"))
             priorDeleteFiles += abs(dfr.get("file_path").toString).toString
+          else if (content == 1 &&
+            dfr.get("file_format").toString.equalsIgnoreCase("PUFFIN"))
+            dvRefs += ((
+              abs(fld("referenced_data_file").map(_.toString).getOrElse(
+                throw IcebergReadException(
+                  s"`$path`: puffin DV entry lacks referenced_data_file"))).toString,
+              abs(dfr.get("file_path").toString).toString,
+              fld("content_offset").map(_.asInstanceOf[Long]).getOrElse(4L),
+              fld("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
+              dfr.get("record_count").asInstanceOf[Long]))
+          else if (content == 2) hasEqDeletes = true
         }
       }
       finally r.close()
     }
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
-      prevManifests, dataFiles.result(), priorDeleteFiles.result())
+      prevManifests, dataFiles.result(), priorDeleteFiles.result(),
+      dvRefs.result(), hasEqDeletes)
   }
 
   /** DELETE stays available on partitioned tables (positional delete files
@@ -639,6 +663,15 @@ object IcebergSink {
     * compaction rewrites) would need partition-aware file splitting to
     * record correct tuples — reject loudly rather than write files whose
     * manifest claims the wrong partition. */
+  /** Positional deletes layered over live deletion vectors are ambiguous
+    * (a DV replaces its file's delete state per the v3 spec) — reject
+    * rather than risk resurrecting rows. Compaction clears DVs. */
+  private def rejectOnDvs(path: String, st: MorState, what: String): Unit =
+    if (st.dvRefs.nonEmpty) throw IcebergReadException(
+      s"`$path`: table carries live deletion vectors — $what would layer " +
+        "positional deletes over them, which the v3 spec resolves by DV " +
+        "replacement (rows would resurrect); compact first (rewriteDataFiles)")
+
   private def rejectPartitionedAppend(path: String, st: MorState,
       what: String): Unit = {
     val spec = defaultSpecFields(st.meta)
@@ -669,6 +702,10 @@ object IcebergSink {
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
       st: MorState): DataFrame = {
     import org.apache.spark.sql.functions.col
+    if (st.hasEqDeletes) throw IcebergReadException(
+      s"`${st.rootPath}`: table carries live EQUALITY delete files, which " +
+        "this writer's row-level ops do not evaluate — their rows would " +
+        "silently resurrect; compact with an iceberg connector jar first")
     val key = graft.sources.PathKeys.keyCol _
     var rows = spark.read.parquet(st.dataPaths: _*)
       .select(col("*"), col("_metadata.file_path").as("__file"),
@@ -678,6 +715,19 @@ object IcebergSink {
         .select(key(col("file_path")).as("__df"), col("pos").cast("long").as("__dp"))
       rows = rows.join(dead,
         key(col("__file")) === col("__df") && col("__pos") === col("__dp"),
+        "left_anti")
+    }
+    if (st.dvRefs.nonEmpty) {
+      // v3 deletion vectors: dead positions decoded in executors through
+      // the reader's own machinery, anti-joined the same way
+      val tasks = st.dvRefs.map { case (refd, pf, off, size, _) =>
+        graft.sources.DeletionVectors.Task(
+          graft.sources.PathKeys.key(refd), "p", "", pf, off,
+          (size - 8).toInt, "puffin") // blob = 4B len + payload + 4B crc
+      }
+      val dead = graft.sources.DeletionVectors.deletedRows(spark, tasks)
+      rows = rows.join(dead,
+        key(col("__file")) === col("__dv_file") && col("__pos") === col("__dv_pos"),
         "left_anti")
     }
     rows
@@ -753,11 +803,17 @@ object IcebergSink {
     * optional appended-data manifest joined to the carried-forward list,
     * one new snapshot at the next sequence number, one new metadata.json
     * version. Files are (rel, size, rows). */
+  /** One puffin deletion-vector manifest entry: (relPath, fileSize,
+    * cardinality, blobOffset, blobSize, referencedDataFile). */
+  private[catalog] final case class DvEntry(rel: String, fileSize: Long,
+    cardinality: Long, blobOffset: Long, blobSize: Long, referencedDataFile: String)
+
   private def commitMor(st: MorState, operation: String,
       summaryExtra: Seq[(String, String)],
       deleteFiles: Seq[(String, Long, Long)],
       dataFiles: Seq[(String, Long, Long)],
-      carryPrev: Boolean = true): Unit = {
+      carryPrev: Boolean = true,
+      dvEntries: Seq[DvEntry] = Nil): Unit = {
     val fs = st.fs
     val snapshotId = st.lastSnapshotId + 1
     val seq = st.lastSeq + 1
@@ -777,10 +833,27 @@ object IcebergSink {
         e.put("data_file", d)
         e
       }
+    val dvRecords = dvEntries.map { dv =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Int.box(1))
+      d.put("file_path", dv.rel)
+      d.put("file_format", "PUFFIN")
+      d.put("record_count", dv.cardinality)
+      d.put("file_size_in_bytes", Long.box(dv.fileSize))
+      d.put("content_offset", Long.box(dv.blobOffset))
+      d.put("content_size_in_bytes", Long.box(dv.blobSize))
+      d.put("referenced_data_file", dv.referencedDataFile)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e
+    }
     val newManifests = Seq.newBuilder[(String, Option[Int])]
-    if (deleteFiles.nonEmpty) {
+    if (deleteFiles.nonEmpty || dvRecords.nonEmpty) {
       val rel = s"metadata/m-del-$snapshotId-$stamp.avro"
-      writeAvroAt(fs, st.rootPath, rel, entrySchema, entries(deleteFiles, Some(1)))
+      writeAvroAt(fs, st.rootPath, rel, entrySchema,
+        entries(deleteFiles, Some(1)) ++ dvRecords)
       newManifests += ((rel, Some(1)))
     }
     if (dataFiles.nonEmpty) {
@@ -822,6 +895,9 @@ object IcebergSink {
       s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
     }.mkString("[", ", ", "]")
     val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    // deletion vectors are a format-v3 feature — declare it honestly
+    if (dvEntries.nonEmpty && newMeta.path("format-version").asInt(2) < 3)
+      newMeta.put("format-version", 3)
     newMeta.put("last-updated-ms", nowMs)
     newMeta.put("last-sequence-number", seq)
     newMeta.put("current-snapshot-id", snapshotId)
@@ -855,6 +931,7 @@ object IcebergSink {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return 0L
+    rejectOnDvs(path, st, "DELETE")
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val matches = liveRows(spark, st).filter(expr(predicateSql))
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
@@ -863,6 +940,88 @@ object IcebergSink {
     if (deleted == 0L) return 0L
     commitMor(st, "delete", Seq("graft-predicate" -> predicateSql), delFiles, Nil)
     deleted
+  }
+
+  /** DELETE via format-v3 DELETION VECTORS (puffin): matched physical row
+    * positions per data file serialize to a roaring bitmap (the same
+    * codec the native reader decodes for l05) inside a PUFFIN container
+    * written BY EXECUTORS — `PFA1` magic, the `deletion-vector-v1` blob
+    * (4-byte BE length, bitmap, CRC-32), and a spec-shaped footer — and
+    * the delete manifest carries `content_offset`/`content_size_in_bytes`
+    * /`referenced_data_file` so readers locate the blob without a footer
+    * parse. One snapshot, no data rewritten, O(matched rows); the commit
+    * bumps `format-version` to 3 (DVs are a v3 feature). The driver sees
+    * one descriptor row per affected file.
+    *
+    * Rejects tables already carrying row-level delete files: the spec
+    * says a DV REPLACES a file's whole delete state, so layering one over
+    * live positional deletes without subsuming them would resurrect rows
+    * — compact first (`rewriteDataFiles`). */
+  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.sources.DeletionVectors
+    val st = loadMorState(spark, path)
+    if (st.dataPaths.isEmpty) return 0L
+    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty) throw IcebergReadException(
+      s"`$path`: table carries live row-level delete state — a deletion " +
+        "vector REPLACES a file's delete state (spec), so writing one now " +
+        "without subsuming it would resurrect rows; compact first " +
+        "(rewriteDataFiles applies existing deletes), then delete again")
+    val matches = liveRows(spark, st).filter(expr(predicateSql))
+      .select(col("__file"), col("__pos"))
+    val confEntries: Seq[(String, String)] =
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    val rootStr = st.rootPath.toString
+    import spark.implicits._
+    val entries: Seq[(String, String, Long, Long, Long, Long)] =
+      matches.as[(String, Long)].groupByKey(_._1).mapGroups { (file, it) =>
+        val positions = it.map(_._2).toArray.toSeq
+        val bytes = DeletionVectors.RoaringBitmapArray.serialize(positions)
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => c.set(k, v) }
+        val rel = s"data/dv-${java.util.UUID.randomUUID()}.puffin"
+        val p = new Path(rootStr, rel)
+        val out = p.getFileSystem(c).create(p, false)
+        val magic = "PFA1".getBytes("UTF-8")
+        try {
+          out.write(magic) // header
+          out.writeInt(bytes.length) // blob: BE length, bitmap, BE CRC-32
+          out.write(bytes)
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          out.writeInt(crc.getValue.toInt)
+          // footer: Magic, FooterPayload, payload size (LE), flags, Magic
+          val payload = (s"""{"blobs": [{"type": "deletion-vector-v1", """ +
+            s""""fields": [], "offset": 4, "length": ${bytes.length + 8}, """ +
+            s""""properties": {"referenced-data-file": ${mapper.writeValueAsString(file)}, """ +
+            s""""cardinality": "${positions.size}"}}]}""").getBytes("UTF-8")
+          out.write(magic)
+          out.write(payload)
+          val le = java.nio.ByteBuffer.allocate(4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length)
+          out.write(le.array())
+          out.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed footer
+          out.write(magic)
+        } finally out.close()
+        val size = p.getFileSystem(c).getFileStatus(p).getLen
+        // content_size_in_bytes covers the WHOLE blob incl. the 4-byte
+        // length word and CRC (the l05 convention the reader expects)
+        (file, rel, size, positions.size.toLong, 4L, bytes.length + 8L)
+      }.collect().toSeq
+    if (entries.isEmpty) return 0L
+    val rootQ = st.fs.makeQualified(st.rootPath).toString
+    val dvEntries = entries.map { case (file, rel, size, card, off, blobLen) =>
+      // reference the data file table-root-relative when possible (the
+      // spec's portable form; the reader resolves either)
+      val fq = st.fs.makeQualified(new Path(file)).toString
+      val refd = if (fq.startsWith(rootQ + "/")) fq.stripPrefix(rootQ + "/") else file
+      DvEntry(rel, size, card, off, blobLen, refd)
+    }
+    commitMor(st, "delete", Seq("graft-predicate" -> predicateSql,
+      "graft-strategy" -> "deletion-vector"), Nil, Nil, dvEntries = dvEntries)
+    entries.map(_._4).sum
   }
 
   /** UPDATE — merge-on-read: matched rows' positions become a positional
@@ -875,6 +1034,7 @@ object IcebergSink {
       predicateSql: String, sets: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
+    rejectOnDvs(path, st, "UPDATE")
     rejectPartitionedAppend(path, st, "merge-on-read UPDATE")
     if (st.dataPaths.isEmpty) return 0L
     val names = schemaFieldIds(st.meta).map(_._1)
@@ -915,6 +1075,7 @@ object IcebergSink {
       insertNotMatched: Boolean = true): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
+    rejectOnDvs(path, st, "MERGE")
     rejectPartitionedAppend(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
     matchedSet.keys.find(k => !names.contains(k)).foreach { k =>

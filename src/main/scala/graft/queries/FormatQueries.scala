@@ -1174,6 +1174,40 @@ object FormatQueries {
       WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY')
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- w08
+  // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
+  // matched positions become roaring bitmaps inside executor-written
+  // puffin containers (PFA1 + deletion-vector-v1 blob + spec footer), the
+  // delete manifest carries content_offset/size + referenced_data_file,
+  // and the read decodes the blobs through the l05 machinery. Compaction
+  // (rewriteDataFiles) then APPLIES the DV — survivors rewrite, the DV
+  // drops — and a second DV delete lands on the clean table: the full v3
+  // DV lifecycle under one oracle. The SQL replay recomputes both
+  // deletes from the source table.
+  private val w08 = QueryDef(
+    "w08_iceberg_dv_delete",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w08_dv"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      graft.catalog.Sinks.copyTo(ord, out, "iceberg")
+      graft.catalog.IcebergSink.deleteWhereDv(s, out, "o_totalprice < 50000")
+      graft.catalog.IcebergSink.rewriteDataFiles(s, out)
+      graft.catalog.IcebergSink.deleteWhereDv(s, out, "o_orderstatus = 'F'")
+      Catalog.attach(s, "w08_orders_iceberg_dv", "iceberg", Map("files" -> out))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE NOT (o_totalprice < 50000) AND NOT (o_orderstatus = 'F')
+      GROUP BY o_orderstatus"""))
+
   private val w04 = QueryDef(
     "w04_delta_dml",
     (s, dir) => {
@@ -1519,5 +1553,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, w07, f01)
+      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, w07, w08, f01)
 }

@@ -488,4 +488,43 @@ class IcebergSinkSpec extends SparkSpec {
     assert(intercept[Exception] { IcebergSink.dropColumn(spark, root, "x") }
       .getMessage.contains("compact"))
   }
+  test("deleteWhereDv: puffin DV delete round-trips through the native reader") {
+    val root = tempDir("isink_dv").getPath + "/t"
+    IcebergSink.write(spark.range(0, 100).toDF("id").coalesce(2), root, Map.empty)
+    val n = IcebergSink.deleteWhereDv(spark, root, "id % 2 = 0")
+    assert(n === 50L)
+    val df = readBack(root)
+    assert(df.count() === 50L)
+    assert(df.filter(col("id") % 2 === 0).count() === 0L)
+    // the puffin container exists and the table declares format v3
+    assert(new java.io.File(root, "data").listFiles().exists(_.getName.endsWith(".puffin")))
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/metadata/v2.metadata.json"))
+    assert(meta.contains("\"format-version\": 3") || meta.contains("\"format-version\":3"),
+      meta.take(100))
+    // time travel to the pre-delete snapshot sees every row
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 100L)
+    // DML over live DVs rejects loudly; compaction applies the DV ...
+    assert(intercept[Exception] { IcebergSink.deleteWhere(spark, root, "id = 1") }
+      .getMessage.contains("deletion vectors"))
+    assert(intercept[Exception] { IcebergSink.deleteWhereDv(spark, root, "id = 1") }
+      .getMessage.contains("compact"))
+    val (was, now) = IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).count() === 50L) // content identical post-compaction
+    // ... and the table is DV-free again: another DV delete lands
+    assert(IcebergSink.deleteWhereDv(spark, root, "id = 1") === 1L)
+    assert(readBack(root).count() === 49L)
+  }
+
+  test("deleteWhereDv over existing positional deletes rejects until compaction") {
+    val root = tempDir("isink_dvmix").getPath + "/t"
+    IcebergSink.write(spark.range(0, 20).toDF("id").coalesce(1), root, Map.empty)
+    IcebergSink.deleteWhere(spark, root, "id = 3") // positional delete file
+    val e = intercept[Exception] { IcebergSink.deleteWhereDv(spark, root, "id = 4") }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(IcebergSink.deleteWhereDv(spark, root, "id = 4") === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSet
+      === (0L until 20L).toSet -- Set(3L, 4L))
+  }
 }
