@@ -479,6 +479,16 @@ object SqlApi {
   private val alterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+RENAME\s+COLUMN\s+("?[A-Za-z_][\w"]*"?)\s+TO\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
 
+  // Maintenance statements (the delta-spark SQL shapes, routed natively):
+  // OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n HOURS] |
+  // REORG TABLE t APPLY (PURGE)
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+("?[A-Za-z_][\w"]*"?)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val vacuumRe =
+    """(?is)^\s*VACUUM\s+("?[A-Za-z_][\w"]*"?)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val reorgRe =
+    """(?is)^\s*REORG\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+
   // DELETE FROM <table> WHERE <predicate>
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("?[A-Za-z_][\w"]*"?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
@@ -546,6 +556,19 @@ object SqlApi {
       case t => throw new IllegalArgumentException(
         s"EXECUTE argument `$t` is not a literal (strings, numbers, booleans, NULL)")
     }
+  }
+
+  /** Resolve a statement's table name to its attach registration:
+    * (name, format, files root, attach options). */
+  private def attachTarget(spark: SparkSession, table: String,
+      what: String): (String, String, String, Map[String, String]) = {
+    val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+    val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what `$name`: not an attached foreign table"))
+    val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+      s"$what `$name`: attach carries no files path"))
+    (name, fmt, rootOpt, attachOpts)
   }
 
   /** PG command tags return no rows; a typed empty frame keeps the
@@ -781,6 +804,59 @@ object SqlApi {
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
+    case optimizeRe(table, zorderCols) =>
+      // OPTIMIZE <attach> [ZORDER BY (cols)]: delta bin-packs (or
+      // z-orders); iceberg compacts via rewriteDataFiles (which also
+      // applies live row-level deletes — its purge). One row of counts.
+      val (name, fmt, rootOpt, attachOpts) = attachTarget(spark, table, "OPTIMIZE")
+      val (a, b) = (fmt.toLowerCase, Option(zorderCols)) match {
+        case ("delta", None) => graft.catalog.DeltaSink.optimize(spark, rootOpt)
+        case ("delta", Some(cols)) =>
+          val cs = cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+          graft.catalog.DeltaSink.optimizeZOrder(spark, rootOpt, cs)
+        case ("iceberg", None) =>
+          graft.catalog.IcebergSink.rewriteDataFiles(spark, rootOpt)
+        case ("iceberg", Some(_)) => throw new IllegalArgumentException(
+          s"OPTIMIZE `$name`: ZORDER is implemented for delta attaches")
+        case (other, _) => throw new IllegalArgumentException(
+          s"OPTIMIZE `$name`: implemented for delta and iceberg attaches " +
+            s"(got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      import spark.implicits._
+      Seq((a, b)).toDF("files_removed", "files_added")
+    case vacuumRe(table, retainHours) =>
+      // VACUUM <attach> [RETAIN n HOURS]: delta deletes unreferenced data
+      // files past retention; iceberg expires old snapshots + orphans.
+      val (name, fmt, rootOpt, attachOpts) = attachTarget(spark, table, "VACUUM")
+      val retainMs = Option(retainHours).map(_.toLong * 3600 * 1000)
+        .getOrElse(7L * 24 * 3600 * 1000)
+      import spark.implicits._
+      val out = fmt.toLowerCase match {
+        case "delta" =>
+          Seq(graft.catalog.DeltaSink.vacuum(spark, rootOpt, retainMs).toLong)
+            .toDF("files_deleted")
+        case "iceberg" =>
+          val (snaps, files) = graft.catalog.IcebergSink.expireSnapshots(
+            spark, rootOpt, retainMs)
+          Seq((snaps.toLong, files.toLong)).toDF("snapshots_expired", "files_deleted")
+        case other => throw new IllegalArgumentException(
+          s"VACUUM `$name`: implemented for delta and iceberg attaches " +
+            s"(got format `$other`)")
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      out
+    case reorgRe(table) =>
+      // REORG TABLE <attach> APPLY (PURGE): materialize Delta deletion
+      // vectors (iceberg's equivalent is OPTIMIZE — compaction applies DVs)
+      val (name, fmt, rootOpt, attachOpts) = attachTarget(spark, table, "REORG")
+      if (fmt.toLowerCase != "delta") throw new IllegalArgumentException(
+        s"REORG `$name`: APPLY (PURGE) is a delta operation; on iceberg " +
+          "run OPTIMIZE (compaction applies deletion vectors)")
+      val (files, rows) = graft.catalog.DeltaSink.purgeDeletionVectors(spark, rootOpt)
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
+      import spark.implicits._
+      Seq((files.toLong, rows)).toDF("files_rewritten", "rows_dropped")
     case deleteRe(table, where) =>
       // DELETE FROM <attached lakehouse table> WHERE ... — routes to the
       // format's native row-level strategy (delta: copy-on-write rewrite;

@@ -273,4 +273,37 @@ class SqlApiSpec extends SparkSpec {
     assert(plan().contains("codegen id"))
     intercept[IllegalArgumentException] { DebugFlags.set(spark, "nope", true) }
   }
+  test("maintenance SQL: OPTIMIZE / ZORDER / VACUUM / REORG PURGE route natively") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tempDir("sqlapi_maint").getPath + "/t"
+    // two small delta files -> OPTIMIZE bin-packs them
+    graft.catalog.DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)
+    graft.catalog.DeltaSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty)
+    graft.catalog.Catalog.attach(spark, "maint_d", "delta", Map("files" -> root))
+    val opt = SqlApi.executePg(spark, "OPTIMIZE maint_d").collect().head
+    assert(opt.getInt(0) >= 2 && opt.getInt(1) === 1, opt) // 2+ removed, 1 added
+    assert(spark.table("maint_d").count() === 2L)
+    // DV delete then REORG PURGE through SQL
+    graft.catalog.DeltaSink.deleteWhereDv(spark, root, "id = 2")
+    val re = SqlApi.executePg(spark, "REORG TABLE maint_d APPLY (PURGE)").collect().head
+    assert(re.getLong(1) === 1L, re) // one row dropped
+    assert(spark.table("maint_d").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // VACUUM RETAIN 0 HOURS deletes the pre-optimize files
+    val vac = SqlApi.executePg(spark, "VACUUM maint_d RETAIN 0 HOURS").collect().head
+    assert(vac.getLong(0) >= 2L, vac)
+    assert(spark.table("maint_d").count() === 1L)
+    // iceberg: OPTIMIZE compacts; ZORDER rejects loudly
+    val iroot = tempDir("sqlapi_maint_i").getPath + "/t"
+    graft.catalog.IcebergSink.write(Seq((1L, "a")).toDF("id", "v"), iroot, Map.empty)
+    graft.catalog.IcebergSink.write(Seq((2L, "b")).toDF("id", "v"), iroot, Map.empty)
+    graft.catalog.Catalog.attach(spark, "maint_i", "iceberg", Map("files" -> iroot))
+    val iopt = SqlApi.executePg(spark, "OPTIMIZE maint_i").collect().head
+    assert(iopt.getInt(0) >= 2, iopt)
+    assert(spark.table("maint_i").count() === 2L)
+    val e = intercept[IllegalArgumentException] {
+      SqlApi.executePg(spark, "OPTIMIZE maint_i ZORDER BY (id)")
+    }
+    assert(e.getMessage.contains("delta"))
+  }
 }
