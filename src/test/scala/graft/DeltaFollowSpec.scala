@@ -185,4 +185,26 @@ class DeltaFollowSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("files"))
   }
+  test("delta-follow: a mid-stream DV delete re-emits only the survivors") {
+    import spark.implicits._
+    val root = tempDir("delta-follow-dv").getPath + "/t"
+    graft.catalog.DeltaSink.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), root, Map.empty)
+    val q = Streams.followDelta(spark, root)
+      .writeStream.format("memory").queryName("follow_dv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("follow_dv").select("id").as[Long].collect().sorted
+        === Array(1L, 2L, 3L))
+      // mid-stream DELETION-VECTOR delete: the commit re-adds the file
+      // with a DV — whole-file granularity re-emits it, but the DV
+      // anti-join must ride along, so only survivors appear again
+      graft.catalog.DeltaSink.deleteWhereDv(spark, root, "id = 2")
+      q.processAllAvailable()
+      val counts = spark.table("follow_dv").groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(counts === Map(1L -> 2L, 2L -> 1L, 3L -> 2L), counts)
+    } finally q.stop()
+  }
 }
