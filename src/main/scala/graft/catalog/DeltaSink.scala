@@ -632,7 +632,23 @@ object DeltaSink {
     * compaction concern — OPTIMIZE first), CDF tables (use copy-on-write
     * DELETE, which emits exact cdc rows), column mapping. */
   def deleteWhereDv(spark: org.apache.spark.sql.SparkSession, path: String,
-      predicateSql: String): Long = {
+      predicateSql: String): Long = dvDml(spark, path, predicateSql, Map.empty)
+
+  /** UPDATE via DELETION VECTORS — the other half of Delta's merge-on-read
+    * DML (what delta-spark does when DVs are enabled): matched rows' old
+    * positions go dead through per-file DVs, and their SET-transformed
+    * images append as NEW data files in the SAME commit — no survivor
+    * rewriting, O(matched rows). SET expressions see the PRE-update row.
+    * Same gates as the DV delete (no CDF, no existing DVs, no column
+    * mapping). */
+  def updateWhereDv(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, sets: Map[String, String]): Long = {
+    require(sets.nonEmpty, "updateWhereDv needs at least one SET expression")
+    dvDml(spark, path, predicateSql, sets)
+  }
+
+  private def dvDml(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, setExprs: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     import graft.sources.DeletionVectors
     val rootPath = new Path(path)
@@ -677,8 +693,12 @@ object DeltaSink {
         col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").as("__pos")): _*)
     }
-    val matched = scans.reduce(_ unionByName _)
-      .filter(expr(predicateSql)).select(col("__file"), col("__pos"))
+    val isUpdate = setExprs.nonEmpty
+    setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
+      throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
+    }
+    val matchedRows = scans.reduce(_ unionByName _).filter(expr(predicateSql))
+    val matched = matchedRows.select(col("__file"), col("__pos"))
 
     // per-file bitmaps built and (when large) written in EXECUTORS; the
     // driver collects only one descriptor row per affected file
@@ -714,10 +734,21 @@ object DeltaSink {
       }.collect().toSeq
     if (descriptors.isEmpty) return 0L
 
+    // UPDATE: the SET-transformed images of the matched rows append as
+    // new data files in the same commit (SET sees the PRE-update row)
+    val imageFiles =
+      if (!isUpdate) Nil
+      else writeDataFiles(matchedRows.select(schema.fields.map { f =>
+        setExprs.get(f.name)
+          .map(e => expr(e).cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*), rootPath, partColsT, Map.empty)
+
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
+    val opName = if (isUpdate) "UPDATE" else "DELETE"
     val lines = Seq.newBuilder[String]
-    lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"DELETE","operationParameters":{"predicate":${esc(predicateSql)},"strategy":"deletion-vector"}}}"""
+    lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"$opName","operationParameters":{"predicate":${esc(predicateSql)},"strategy":"deletion-vector"}}}"""
     descriptors.foreach { case (abs, storage, payload, size, card) =>
       val rel = relByAbs.getOrElse(norm(abs),
         throw DeltaReadException(s"`$path`: scanned file $abs is not in the live set"))
@@ -737,6 +768,15 @@ object DeltaSink {
         s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true,""" +
         e.stats.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
         s""""deletionVector":${mapper.writeValueAsString(dv)}}}"""
+    }
+    imageFiles.foreach { f =>
+      val pv = mapper.createObjectNode()
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
+      lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""stats":${esc(f.stats)}}}"""
     }
     val version = st.version + 1
     val target = new Path(logDir, f"$version%020d.json")

@@ -1162,17 +1162,25 @@ object FormatQueries {
       graft.catalog.DeltaSink.deleteWhereDv(s, out, "c_acctbal < 0")
       graft.catalog.DeltaSink.purgeDeletionVectors(s, out)
       graft.catalog.DeltaSink.deleteWhereDv(s, out, "c_mktsegment = 'MACHINERY'")
+      graft.catalog.DeltaSink.purgeDeletionVectors(s, out)
+      graft.catalog.DeltaSink.updateWhereDv(s, out,
+        "c_mktsegment = 'BUILDING'", Map("c_acctbal" -> "c_acctbal * 2"))
       Catalog.attach(s, "w07_customer_delta_dv", "delta", Map("files" -> out))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
     },
     Some("""
+      WITH d AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+                 WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY')),
+      u AS (SELECT c_custkey,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM d)
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-      FROM customer
-      WHERE NOT (c_acctbal < 0) AND NOT (c_mktsegment = 'MACHINERY')
-      GROUP BY c_mktsegment"""))
+      FROM u GROUP BY c_mktsegment"""))
 
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):

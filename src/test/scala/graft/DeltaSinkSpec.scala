@@ -633,4 +633,25 @@ class DeltaSinkSpec extends SparkSpec {
     val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 1") }
     assert(e.getMessage.contains("change-data-feed"), e.getMessage)
   }
+  test("updateWhereDv: DV update appends images, old positions go dead") {
+    val root = tempDir("dsink_dvupd").getPath + "/t"
+    DeltaSink.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+      .coalesce(1), root, Map.empty)
+    val n = DeltaSink.updateWhereDv(spark, root, "id = 2", Map("bal" -> "bal * 10"))
+    assert(n === 1L)
+    val rows = readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)))
+    // one commit: DV re-add + image add; no survivor rewriting
+    val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json"))
+    assert(log1.contains("\"deletionVector\"") && log1.contains("\"operation\":\"UPDATE\""))
+    // time travel shows the pre-update value
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "0"))
+      .filter(col("id") === 2L).collect().head.getDouble(1) === 20.0)
+    // purge materializes; content unchanged
+    DeltaSink.purgeDeletionVectors(spark, root)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
+  }
 }
