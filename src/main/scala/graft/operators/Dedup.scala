@@ -233,6 +233,35 @@ object Dedup {
     * and the min-id root are algorithm-independent, which is what lets a
     * recursive-CTE transitive closure act as the oracle.
     */
+  /** FUZZY eval-set decontamination: MinHash-LSH banding flags training
+    * docs that NEAR-duplicate a held-out document — the paraphrase-level
+    * overlap the exact k-gram marker ([[contaminationMark]]) cannot see.
+    * The eval side's distinct (band, band_sig) keys BROADCAST (an eval
+    * set is always tiny next to a 100 TB corpus); corpus docs band
+    * row-locally (zero-shuffle signatures via `minhash_sig`), so the
+    * whole flag pass is one scan plus a broadcast semi-join — no
+    * corpus-side self-join anywhere. Output: one row per corpus doc that
+    * carries a signature (≥ 3 tokens): (idCol, n_shared_bands,
+    * fuzzy_contaminated). */
+  def fuzzyContaminationMark(docs: DataFrame, textCol: String, idCol: String,
+      isEval: Column): DataFrame = {
+    val flagged = docs.select(col(idCol), col(textCol), isEval.as("__eval"))
+    val evalBands = bandSignatures(
+      minhashWide(flagged.filter(col("__eval")), textCol, idCol), idCol)
+      .select("band", "band_sig").distinct()
+    val corpusBands = bandSignatures(
+      minhashWide(flagged.filter(!col("__eval")), textCol, idCol), idCol)
+    val hits = corpusBands
+      .join(broadcast(evalBands), Seq("band", "band_sig"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("band")).as("__n"))
+    corpusBands.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared_bands"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("fuzzy_contaminated"))
+  }
+
   def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     // localCheckpoint (eager), NOT persist: each round must truncate the
     // logical plan, or the lineage nests one whole round per iteration and

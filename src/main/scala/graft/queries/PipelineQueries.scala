@@ -1094,6 +1094,53 @@ object PipelineQueries {
     Some(TextOps.lmQualityScoreSql("SELECT doc_id, text FROM documents",
       "text", "doc_id")))
 
+  // ---------------------------------------------------------------- d13
+  // FUZZY eval-set decontamination: MinHash-LSH banding against a
+  // broadcast held-out set — catches the paraphrase-level overlap d10's
+  // exact 8-gram marker cannot. Planted near-dups (doc e+1 becomes eval
+  // doc e's text plus a short suffix, jaccard ≈ 0.9 — NOT exact copies)
+  // guarantee real fuzzy hits; the oracle replays the self-join
+  // derivation AND the full minhash/band/flag chain in SQL, so a band
+  // boundary off-by-one or a dropped eval signature breaks the hash.
+  private def contamDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val eval = d.filter(col("doc_id") % 23 === 0)
+      .select((col("doc_id") + 1).as("doc_id"), col("text").as("__etext"))
+    d.join(broadcast(eval), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__etext").isNotNull,
+          concat(col("__etext"), lit(" zz extra trailing token")))
+          .otherwise(col("text")).as("text"))
+  }
+  private val d13 = QueryDef(
+    "d13_fuzzy_decontaminate",
+    (s, dir) => Dedup.fuzzyContaminationMark(contamDocs(s, dir), "text", "doc_id",
+      col("doc_id") % 23 === 0),
+    Some(s"""
+      WITH src AS (SELECT d.doc_id,
+              CASE WHEN e.doc_id IS NOT NULL
+                   THEN e.text || ' zz extra trailing token' ELSE d.text END AS text
+            FROM documents d LEFT JOIN
+              (SELECT doc_id + 1 AS doc_id, text FROM documents WHERE doc_id % 23 = 0) e
+              USING (doc_id)),
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM src),
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+      sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM sh),
+      consts(seed, a, b) AS (VALUES $constsValues),
+      sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
+              FROM hh, consts GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS band_sig
+                FROM sig GROUP BY doc_id, seed // 4),
+      eb AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 23 = 0),
+      cb AS (SELECT * FROM bands WHERE doc_id % 23 <> 0),
+      hits AS (SELECT doc_id, CAST(count(DISTINCT band) AS BIGINT) AS n
+               FROM cb JOIN eb USING (band, band_sig) GROUP BY doc_id)
+      SELECT b.doc_id, coalesce(n, 0) AS n_shared_bands,
+             coalesce(n, 0) > 0 AS fuzzy_contaminated
+      FROM (SELECT DISTINCT doc_id FROM cb) b LEFT JOIN hits USING (doc_id)"""))
+
   // ---------------------------------------------------------------- t16
   // GOPHER QUALITY-FILTER RULES (Rae et al. 2021 §A1.1) — the published
   // MassiveWeb document filter, all 7 rules as row-local projections. The
@@ -1195,5 +1242,5 @@ object PipelineQueries {
              array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
       FROM x"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10)
 }
