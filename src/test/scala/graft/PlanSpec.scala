@@ -280,4 +280,18 @@ class PlanSpec extends SparkSpec {
         s"$q lost codegen")
     }
   }
+  test("t16/t17: gopher rules and chunk windows are row-local — zero Exchange") {
+    Seq("t16_gopher_rules", "t17_chunk_windows").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — a 100 TB scan would too")
+    }
+  }
+
+  test("d13: fuzzy decontamination broadcasts eval bands; corpus never self-joins") {
+    val p = plan("d13_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "eval band keys must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "an all-pairs shape would be quadratic at 100 TB")
+  }
 }
