@@ -868,6 +868,65 @@ object StreamingQueries {
     Some(graft.operators.Similarity.nearDupGateSql(
       "vec_id % 4 <> 0", "vec_id % 4 = 0", threshold = 0.35)))
 
+  // ---------------------------------------------------------------- x15
+  // STREAMING RAG INGESTION: Gopher keep-filter + overlapping chunk
+  // windows (the t16/t17 batch kernels, unchanged) on a document stream —
+  // the ingest-time retrieval-indexing shape. A stop-word tail makes the
+  // corpus satisfy rule 7 so the word-count rule becomes the live gate
+  // (~half the docs pass). Two-batch replay pins batch-boundary
+  // invariance; the oracle replays the derivation, all 7 rules, and the
+  // exact chunk arithmetic in SQL.
+  private val ragTail = " the and of that have with"
+  private val x15 = QueryDef(
+    "x15_stream_rag_ingest",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[(Long, String)](1)
+      val out = Streams.ragIngestStream(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x15_out")
+          .outputMode("append").start()
+        try {
+          val rows = Tables.load(s, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(ragTail)))
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x15_out")
+    },
+    Some(s"""
+      WITH src AS (SELECT doc_id, text || '$ragTail' AS text FROM documents),
+      m AS (SELECT doc_id, text,
+              regexp_extract_all(text, '\\S+') AS words,
+              string_split(text, chr(10)) AS lines,
+              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tkd,
+              len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+            FROM src),
+      k AS (SELECT doc_id, text FROM m
+            WHERE len(words) >= 50 AND len(words) <= 100000
+              AND list_reduce(list_transform(words, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b)::DOUBLE / len(words) BETWEEN 3.0 AND 10.0
+              AND n_sym::DOUBLE / len(words) <= 0.1
+              AND len(list_filter(lines, l -> l LIKE '- %'))::DOUBLE / len(lines) <= 0.9
+              AND len(list_filter(lines, l -> l LIKE '%...'))::DOUBLE / len(lines) <= 0.3
+              AND len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words) >= 0.8
+              AND CAST(len(list_filter(['the','be','to','of','and','that','have','with'], sw -> list_contains(tkd, sw))) AS BIGINT) >= 2),
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM k),
+      c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks WHERE len(tk) > 0),
+      x AS (SELECT doc_id, tk,
+              unnest(generate_series(1, 1 + (greatest(n - 32, 0) + 23) // 24)) AS i
+            FROM c)
+      SELECT doc_id, i AS chunk_id,
+             CAST((i-1)*24 + 1 AS BIGINT) AS start_tok,
+             CAST(len(tk[((i-1)*24+1):((i-1)*24+32)]) AS BIGINT) AS n_tokens,
+             array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
+      FROM x"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14)
+    x11, x12, x13, x14, x15)
 }

@@ -141,6 +141,21 @@ object Streams {
       :+ (TextOps.tokenCount(col(textCol)) >= 10).as("keep"): _*)
   }
 
+  /** Streaming RAG ingestion: the batch curation kernels unchanged on a
+    * document stream — the full 7-rule Gopher keep-filter
+    * (TextOps.gopherColumns, row-local) gates each arriving doc, and the
+    * survivors explode into overlapping chunk windows
+    * (TextOps.chunkWindows) ready for the embedding stage. Stateless
+    * (projection + filter + explode): no watermark, no state store,
+    * batch-boundary invariant — ingest-time chunking and the 100 TB
+    * backfill are one code path. */
+  def ragIngestStream(docs: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int = 32, overlap: Int = 8): DataFrame = {
+    import graft.operators.TextOps
+    val keep = TextOps.gopherColumns(col(textCol)).toMap.apply("keep")
+    TextOps.chunkWindows(docs.filter(keep), textCol, idCol, chunkLen, overlap)
+  }
+
   /** Structured Streaming over a native Delta table root — follows the
     * `_delta_log`, emitting the full snapshot first and then each commit's
     * add-file diff (see org.apache.spark.sql.graftstream.DeltaFollow for
