@@ -479,6 +479,15 @@ object SqlApi {
   private val alterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+RENAME\s+COLUMN\s+("?[A-Za-z_][\w"]*"?)\s+TO\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
 
+  // SET graft.delta_dml_strategy = 'copy_on_write' | 'deletion_vector' —
+  // the session GUC the SQL DELETE/UPDATE routing consults for delta
+  // attaches (the delta.enableDeletionVectors idea as a session knob)
+  private val dmlStrategyRe =
+    """(?is)^\s*SET\s+graft\.delta_dml_strategy\s*(?:TO|=)\s*'?([A-Za-z_]+)'?\s*;?\s*$""".r
+  private[sqlapi] val DmlStrategyKey = "graft.delta_dml_strategy"
+  private def deltaDvStrategy(spark: SparkSession): Boolean =
+    spark.conf.getOption(DmlStrategyKey).contains("deletion_vector")
+
   // Maintenance statements (the delta-spark SQL shapes, routed natively):
   // OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n HOURS] |
   // REORG TABLE t APPLY (PURGE)
@@ -729,6 +738,13 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(inserted).toDF("rows_inserted")
+    case dmlStrategyRe(v) =>
+      val valid = Set("copy_on_write", "deletion_vector")
+      if (!valid.contains(v.toLowerCase)) throw new IllegalArgumentException(
+        s"SET graft.delta_dml_strategy: `$v` is not a strategy; valid: " +
+          valid.toSeq.sorted.mkString(", "))
+      spark.conf.set(DmlStrategyKey, v.toLowerCase)
+      commandOk(spark)
     case alterAddRe(table, colRaw, typeRaw) =>
       // ALTER TABLE <attached lakehouse table> ADD COLUMN — schema
       // evolution through the format's native writer (Delta: log-only
@@ -869,6 +885,8 @@ object SqlApi {
       val rootOpt = attachOpts.getOrElse("files", throw new IllegalArgumentException(
         s"DELETE FROM `$name`: attach carries no files path"))
       val n = fmt.toLowerCase match {
+        case "delta" if deltaDvStrategy(spark) =>
+          graft.catalog.DeltaSink.deleteWhereDv(spark, rootOpt, PgDialect.rewrite(where))
         case "delta" =>
           graft.catalog.DeltaSink.deleteWhere(spark, rootOpt, PgDialect.rewrite(where))
         case "iceberg" =>
@@ -898,6 +916,9 @@ object SqlApi {
           PgDialect.rewrite(s.drop(i + 1).trim)
       }.toMap
       val n = fmt.toLowerCase match {
+        case "delta" if deltaDvStrategy(spark) =>
+          graft.catalog.DeltaSink.updateWhereDv(spark, rootOpt,
+            PgDialect.rewrite(where), setMap)
         case "delta" =>
           graft.catalog.DeltaSink.updateWhere(spark, rootOpt,
             PgDialect.rewrite(where), setMap)

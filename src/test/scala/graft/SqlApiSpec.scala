@@ -306,4 +306,37 @@ class SqlApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("delta"))
   }
+  test("SET graft.delta_dml_strategy routes SQL DELETE/UPDATE through DVs") {
+    import spark.implicits._
+    val root = tempDir("sqlapi_dvguc").getPath + "/t"
+    graft.catalog.DeltaSink.write(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal").coalesce(1),
+      root, Map.empty)
+    graft.catalog.Catalog.attach(spark, "dvguc_t", "delta", Map("files" -> root))
+    try {
+      SqlApi.executePg(spark, "SET graft.delta_dml_strategy = 'deletion_vector'")
+      val n = SqlApi.executePg(spark, "DELETE FROM dvguc_t WHERE id = 2")
+        .collect().head.getLong(0)
+      assert(n === 1L)
+      // the commit is a DV commit, not a rewrite
+      val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$root/_delta_log/00000000000000000001.json"))
+      assert(log1.contains("\"deletionVector\""), log1.take(200))
+      // purge, then a DV UPDATE through the same GUC
+      graft.catalog.DeltaSink.purgeDeletionVectors(spark, root)
+      val u = SqlApi.executePg(spark, "UPDATE dvguc_t SET bal = bal + 1 WHERE id = 3")
+        .collect().head.getLong(0)
+      assert(u === 1L)
+      val rows = spark.table("dvguc_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows === Seq((1L, 10.0), (3L, 31.0)))
+      // bad value rejects naming the valid set
+      val e = intercept[IllegalArgumentException] {
+        SqlApi.executePg(spark, "SET graft.delta_dml_strategy = 'nope'")
+      }
+      assert(e.getMessage.contains("copy_on_write"))
+    } finally {
+      SqlApi.executePg(spark, "SET graft.delta_dml_strategy = 'copy_on_write'")
+    }
+  }
 }
