@@ -139,6 +139,14 @@ object Catalog {
   def attachedMeta(table: String): Option[(String, Map[String, String])] =
     Option(attachMeta.get(table.toLowerCase))
 
+  /** All attach registrations: (view name, format, files root). */
+  def attachedTables: Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    attachMeta.asScala.toSeq.map { case (n, (fmt, opts)) =>
+      (n, fmt, opts.getOrElse("files", ""))
+    }.sortBy(_._1)
+  }
+
   /** hive_types 'col:TYPE,...' declares partition-column types explicitly
     * (≙ read_parquet's hive_types struct, src/duckdb/parquet.rs:82-92):
     * cast the named columns to the declared engine types after discovery. */

@@ -488,6 +488,11 @@ object SqlApi {
   private def deltaDvStrategy(spark: SparkSession): Boolean =
     spark.conf.getOption(DmlStrategyKey).contains("deletion_vector")
 
+  // DESCRIBE t | SHOW TABLES — the DuckDB introspection shapes
+  private val describeRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+  private val showTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+
   // Maintenance statements (the delta-spark SQL shapes, routed natively):
   // OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n HOURS] |
   // REORG TABLE t APPLY (PURGE)
@@ -738,6 +743,37 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(inserted).toDF("rows_inserted")
+    case describeRe(table) =>
+      // DuckDB's DESCRIBE shape: one row per column with the ENGINE-visible
+      // type name (the same mapper the FDW DDL path uses in reverse)
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      if (spark.catalog.tableExists(name) ||
+          graft.catalog.Catalog.attachedMeta(name).isDefined) {
+        val fields = spark.table(name).schema.fields.toSeq
+        val rows = fields.map { f =>
+          Row(f.name, graft.types.TypeMap.toEngineName(f.dataType),
+            if (f.nullable) "YES" else "NO", null, null, null)
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("column_name", StringType),
+            StructField("column_type", StringType),
+            StructField("null", StringType),
+            StructField("key", StringType, nullable = true),
+            StructField("default", StringType, nullable = true),
+            StructField("extra", StringType, nullable = true))))
+      } else throw new IllegalArgumentException(
+        s"DESCRIBE `$name`: no such table or attached view")
+    case showTablesRe() =>
+      // attached foreign tables with their format + root — what a reference
+      // user's \d-style listing needs
+      val rows = graft.catalog.Catalog.attachedTables.map { case (n, f, r) =>
+        Row(n, f, r)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("name", StringType), StructField("format", StringType),
+          StructField("files", StringType))))
     case dmlStrategyRe(v) =>
       val valid = Set("copy_on_write", "deletion_vector")
       if (!valid.contains(v.toLowerCase)) throw new IllegalArgumentException(

@@ -339,4 +339,22 @@ class SqlApiSpec extends SparkSpec {
       SqlApi.executePg(spark, "SET graft.delta_dml_strategy = 'copy_on_write'")
     }
   }
+  test("DESCRIBE and SHOW TABLES: DuckDB-shape introspection over attaches") {
+    import spark.implicits._
+    val root = tempDir("sqlapi_desc").getPath + "/t"
+    graft.catalog.DeltaSink.write(Seq((1L, "a", 2.5)).toDF("id", "v", "x"), root, Map.empty)
+    graft.catalog.Catalog.attach(spark, "desc_t", "delta", Map("files" -> root))
+    val d = SqlApi.executePg(spark, "DESCRIBE desc_t").collect()
+    assert(d.map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("id", "bigint"), ("v", "text"), ("x", "double precision")))
+    // nullability comes from the declared schema (toDF primitives are NOT NULL)
+    assert(d.map(_.getString(2)).toSeq === Seq("NO", "YES", "NO"))
+    val tables = SqlApi.executePg(spark, "SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(tables.get("desc_t").contains("delta"))
+    val e = intercept[IllegalArgumentException] {
+      SqlApi.executePg(spark, "DESCRIBE no_such_table_xyz")
+    }
+    assert(e.getMessage.contains("no such table"))
+  }
 }
