@@ -805,6 +805,78 @@ object Similarity {
              FROM rer)
       SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
 
+  /** TWO-STAGE ANN via int8 SCALAR QUANTIZATION — the SQ8 production
+    * retrieval shape, the compressed-domain sibling of [[pqRerankTopK]]:
+    * corpus vectors carry only their symmetric max-abs int8 codes
+    * ([[quantizeInt8]]'s scheme, 4× smaller), and the COARSE score is
+    * `cosine(query, codes)` — the per-vector scale CANCELS out of cosine,
+    * so the coarse pass needs no dequantization at all. Two-phase
+    * local-then-global top-kCand per query (never one task per query),
+    * then an exact-cosine rerank reads full vectors for ONLY the
+    * candidate set. Quantization, coarse ranking, and rerank all replay
+    * in SQL ([[sqRerankSql]]). */
+  def sqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCand: Int = 30): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val codes = candidates.select(col("vec_id"), col("embedding"))
+      .withColumn("__scale", scale)
+      // codes as FLOATs: |code| <= 127 is float-exact, and vec_cosine's
+      // float-array/double-arith contract then matches the oracle fold
+      .withColumn("__qcf", when(col("__scale") > 0,
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127 / col("__scale")).cast("float")))
+        .otherwise(transform(col("embedding"), _ => lit(0.0f))))
+      .select(col("vec_id"), col("__qcf"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .withColumn("coarse_sim", cosine("q_vec", "__qcf"))
+    val local = Window.partitionBy(col("q_id"), col("__part"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= kCand)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val cand = pruned.withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= kCand).select(col("q_id"), col("vec_id"))
+    val rer = cand
+      .join(candidates.select(col("vec_id"), col("embedding").as("__cv")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", cosine("q_vec", "__cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Oracle for [[sqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
+    * upstream; replays the quantizer, the scale-free coarse cosine over
+    * the codes, and the exact rerank. */
+  def sqRerankSql(k: Int, kCand: Int = 30): String =
+    s"""sq AS (SELECT vec_id, cv,
+               list_max(list_transform(cv, x -> abs(x::DOUBLE))) AS scale FROM c),
+      codes AS (SELECT vec_id,
+               CASE WHEN scale > 0 THEN
+                 list_transform(cv, x -> CAST(round(x::DOUBLE * 127 / scale) AS FLOAT))
+               ELSE list_transform(cv, x -> CAST(0 AS FLOAT)) END AS qcf
+             FROM sq),
+      coarse AS (SELECT q.q_id, codes.vec_id,
+                        ${cosineSql("q.qv", "codes.qcf")} AS coarse_sim
+                 FROM codes, q),
+      cr AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY coarse_sim DESC, vec_id) AS crank
+             FROM coarse),
+      cand AS (SELECT q_id, vec_id FROM cr WHERE crank <= $kCand),
+      rer AS (SELECT ca.q_id, ca.vec_id,
+                     ${cosineSql("qq.qv", "cc.cv")} AS cos_sim
+              FROM cand ca JOIN q qq ON ca.q_id = qq.q_id
+                           JOIN c cc ON ca.vec_id = cc.vec_id),
+      rr AS (SELECT q_id, vec_id,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
+             FROM rer)
+      SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
+
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever an
     * embedding store pulls first at 100 TB (4 B→1 B per dimension before
     * any indexing). Symmetric max-abs scheme: scale = max |x_i|, code =

@@ -1082,6 +1082,28 @@ object PipelineQueries {
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${Similarity.pqRerankSql(10, kCand = 30)}"""))
 
+  // ---------------------------------------------------------------- s11
+  // TWO-STAGE ANN via int8 SCALAR QUANTIZATION (the SQ8 production shape,
+  // sibling to s10's PQ/ADC): coarse ranking over the 4×-smaller codes —
+  // the per-vector scale cancels out of cosine, so the coarse pass never
+  // dequantizes — then an exact cosine rerank over only the candidates.
+  // The oracle replays the quantizer, the scale-free coarse cosine, and
+  // the rerank; a rounding drift in the codes or a candidate-set
+  // off-by-one breaks the hash.
+  private val s11 = QueryDef(
+    "s11_ann_sq_rerank",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.sqRerankTopK(queries, candidates, k = 10, kCand = 30)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.sqRerankSql(10, kCand = 30)}"""))
+
   // ---------------------------------------------------------------- t15
   // Corpus-LM quality score (the CCNet perplexity-filter idea, log-free so
   // the cross-engine gate is EXACT — see TextOps.lmQualityScore): the
@@ -1242,5 +1264,5 @@ object PipelineQueries {
              array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
       FROM x"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10, s11)
 }
