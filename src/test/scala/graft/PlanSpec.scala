@@ -294,4 +294,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "an all-pairs shape would be quadratic at 100 TB")
   }
+  test("s11: SQ coarse pass broadcasts queries; rerank hash-joins the candidate set") {
+    val p = plan("s11_ann_sq_rerank")
+    assert(p.contains("BroadcastExchange"), "the tiny query set must broadcast")
+    // the rerank's candidate join must hash, not nested-loop over the corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "rerank joins must be equi-joins")
+  }
 }
