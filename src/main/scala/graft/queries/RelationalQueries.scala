@@ -884,8 +884,45 @@ object RelationalQueries {
     Some(graft.operators.TimeSeries.resampleFillSql(
       "SELECT event_type, ts, value FROM events", "event_type", "ts", "value")))
 
+  // ---------------------------------------------------------------- q42
+  // RECURSIVE CTE (Spark 4.x WITH RECURSIVE): a recursive month calendar
+  // spanning the order history, LEFT-joined to monthly order counts and
+  // decimal-exact revenue — the gap-surfacing calendar shape (months with
+  // no orders appear with NULL revenue). The recursion runs through
+  // spark.sql verbatim; the oracle is DuckDB's own recursive CTE over the
+  // same span, so the two engines' recursion must agree month-for-month.
+  private val q42 = QueryDef(
+    "q42_recursive_months",
+    (s, dir) => {
+      Seq("orders").foreach(n => t(s, dir, n).createOrReplaceTempView(s"q42_$n"))
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT (SELECT min(trunc(o_orderdate, 'MM')) FROM q42_orders)
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < (SELECT max(trunc(o_orderdate, 'MM')) FROM q42_orders)
+        )
+        SELECT m AS month_start,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM months LEFT JOIN q42_orders ON trunc(o_orderdate, 'MM') = m
+        GROUP BY m""")
+    },
+    Some("""
+      WITH RECURSIVE months(m) AS (
+        SELECT (SELECT min(date_trunc('month', o_orderdate))::DATE FROM orders)
+        UNION ALL
+        SELECT (m + INTERVAL 1 MONTH)::DATE FROM months
+        WHERE m < (SELECT max(date_trunc('month', o_orderdate))::DATE FROM orders)
+      )
+      SELECT m AS month_start,
+             count(o_orderkey) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate)::DATE = m
+      GROUP BY m"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41)
+    q38, q39, q40, q41, q42)
 }
