@@ -970,6 +970,59 @@ object IcebergSink {
         "(rewriteDataFiles applies existing deletes), then delete again")
     val matches = liveRows(spark, st).filter(expr(predicateSql))
       .select(col("__file"), col("__pos"))
+    val dvEntries = writePuffinDvs(spark, st, matches)
+    if (dvEntries.isEmpty) return 0L
+    commitMor(st, "delete", Seq("graft-predicate" -> predicateSql,
+      "graft-strategy" -> "deletion-vector"), Nil, Nil, dvEntries = dvEntries)
+    dvEntries.map(_.cardinality).sum
+  }
+
+  /** UPDATE via format-v3 DELETION VECTORS: matched rows' old positions go
+    * dead through per-file puffin DVs and their SET-transformed images
+    * append as new data files in ONE snapshot — the v3 sibling of the
+    * positional-delete UPDATE and the mirror of `DeltaSink.updateWhereDv`.
+    * Same gates as the DV delete. */
+  def updateWhereDv(spark: org.apache.spark.sql.SparkSession, path: String,
+      predicateSql: String, sets: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(sets.nonEmpty, "updateWhereDv needs at least one SET expression")
+    val st = loadMorState(spark, path)
+    rejectPartitionedAppend(path, st, "DV UPDATE")
+    if (st.dataPaths.isEmpty) return 0L
+    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty) throw IcebergReadException(
+      s"`$path`: table carries live row-level delete state — a deletion " +
+        "vector REPLACES a file's delete state (spec); compact first " +
+        "(rewriteDataFiles), then update again")
+    val names = schemaFieldIds(st.meta).map(_._1)
+    sets.keys.find(k => !names.contains(k)).foreach { k =>
+      throw IcebergReadException(
+        s"`$path`: SET column `$k` is not in the table schema")
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val rows = liveRows(spark, st)
+    val matches = rows.filter(expr(predicateSql))
+    val dvEntries = writePuffinDvs(spark, st,
+      matches.select(col("__file"), col("__pos")))
+    if (dvEntries.isEmpty) return 0L
+    val dataCols = rows.schema.fields
+      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+    val updatedRows = matches.select(dataCols.map { f =>
+      sets.get(f.name).map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(f.name)).as(f.name)
+    }: _*)
+    val dataFiles = writeMorData(updatedRows, st, s"updv-$stamp")
+    commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql,
+      "graft-strategy" -> "deletion-vector"), Nil, dataFiles,
+      dvEntries = dvEntries)
+    dvEntries.map(_.cardinality).sum
+  }
+
+  /** Executor-side puffin DV writer shared by the DV DELETE and UPDATE:
+    * one puffin container per affected data file (PFA1, deletion-vector-v1
+    * blob, spec footer), one DvEntry per file back to the driver. */
+  private def writePuffinDvs(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, matched: DataFrame): Seq[DvEntry] = {
+    import graft.sources.DeletionVectors
     val confEntries: Seq[(String, String)] =
       spark.sessionState.newHadoopConf().iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq
@@ -977,7 +1030,7 @@ object IcebergSink {
     val rootStr = st.rootPath.toString
     import spark.implicits._
     val entries: Seq[(String, String, Long, Long, Long, Long)] =
-      matches.as[(String, Long)].groupByKey(_._1).mapGroups { (file, it) =>
+      matched.as[(String, Long)].groupByKey(_._1).mapGroups { (file, it) =>
         val positions = it.map(_._2).toArray.toSeq
         val bytes = DeletionVectors.RoaringBitmapArray.serialize(positions)
         val c = new org.apache.hadoop.conf.Configuration(false)
@@ -1010,18 +1063,14 @@ object IcebergSink {
         // length word and CRC (the l05 convention the reader expects)
         (file, rel, size, positions.size.toLong, 4L, bytes.length + 8L)
       }.collect().toSeq
-    if (entries.isEmpty) return 0L
     val rootQ = st.fs.makeQualified(st.rootPath).toString
-    val dvEntries = entries.map { case (file, rel, size, card, off, blobLen) =>
+    entries.map { case (file, rel, size, card, off, blobLen) =>
       // reference the data file table-root-relative when possible (the
       // spec's portable form; the reader resolves either)
       val fq = st.fs.makeQualified(new Path(file)).toString
       val refd = if (fq.startsWith(rootQ + "/")) fq.stripPrefix(rootQ + "/") else file
       DvEntry(rel, size, card, off, blobLen, refd)
     }
-    commitMor(st, "delete", Seq("graft-predicate" -> predicateSql,
-      "graft-strategy" -> "deletion-vector"), Nil, Nil, dvEntries = dvEntries)
-    entries.map(_._4).sum
   }
 
   /** UPDATE — merge-on-read: matched rows' positions become a positional

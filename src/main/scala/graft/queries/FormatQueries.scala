@@ -1204,17 +1204,25 @@ object FormatQueries {
       graft.catalog.IcebergSink.deleteWhereDv(s, out, "o_totalprice < 50000")
       graft.catalog.IcebergSink.rewriteDataFiles(s, out)
       graft.catalog.IcebergSink.deleteWhereDv(s, out, "o_orderstatus = 'F'")
+      graft.catalog.IcebergSink.rewriteDataFiles(s, out)
+      graft.catalog.IcebergSink.updateWhereDv(s, out, "o_orderstatus = 'P'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
       Catalog.attach(s, "w08_orders_iceberg_dv", "iceberg", Map("files" -> out))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     },
     Some("""
+      WITH d AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                 WHERE NOT (o_totalprice < 50000) AND NOT (o_orderstatus = 'F')),
+      u AS (SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM d)
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM orders
-      WHERE NOT (o_totalprice < 50000) AND NOT (o_orderstatus = 'F')
-      GROUP BY o_orderstatus"""))
+      FROM u GROUP BY o_orderstatus"""))
 
   private val w04 = QueryDef(
     "w04_delta_dml",

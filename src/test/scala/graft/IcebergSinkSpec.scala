@@ -527,4 +527,26 @@ class IcebergSinkSpec extends SparkSpec {
     assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSet
       === (0L until 20L).toSet -- Set(3L, 4L))
   }
+  test("updateWhereDv: puffin DV update appends images; old positions go dead") {
+    val root = tempDir("isink_dvupd").getPath + "/t"
+    IcebergSink.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+      .select(col("id"), col("bal").cast("double")).coalesce(1), root, Map.empty)
+    val n = IcebergSink.updateWhereDv(spark, root, "id = 2", Map("bal" -> "bal * 10"))
+    assert(n === 1L)
+    val rows = readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 10.0), (2L, 200.0), (3L, 30.0)))
+    // one snapshot carrying BOTH the DV and the image file
+    assert(graft.sources.IcebergNative.snapshots(spark, root).count() === 2L)
+    // time travel shows the pre-update value
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1"))
+      .filter(col("id") === 2L).collect().head.getDouble(1) === 20.0)
+    // compaction applies the DV; content identical
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === rows)
+    // a second DV update now lands on the clean table
+    assert(IcebergSink.updateWhereDv(spark, root, "id = 1", Map("bal" -> "bal + 1")) === 1L)
+    assert(readBack(root).filter(col("id") === 1L).collect().head.getDouble(1) === 11.0)
+  }
 }
