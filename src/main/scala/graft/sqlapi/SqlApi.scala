@@ -483,10 +483,13 @@ object SqlApi {
   // the session GUC the SQL DELETE/UPDATE routing consults for delta
   // attaches (the delta.enableDeletionVectors idea as a session knob)
   private val dmlStrategyRe =
-    """(?is)^\s*SET\s+graft\.delta_dml_strategy\s*(?:TO|=)\s*'?([A-Za-z_]+)'?\s*;?\s*$""".r
+    """(?is)^\s*SET\s+graft\.(delta|iceberg)_dml_strategy\s*(?:TO|=)\s*'?([A-Za-z_]+)'?\s*;?\s*$""".r
   private[sqlapi] val DmlStrategyKey = "graft.delta_dml_strategy"
+  private[sqlapi] val IceDmlStrategyKey = "graft.iceberg_dml_strategy"
   private def deltaDvStrategy(spark: SparkSession): Boolean =
     spark.conf.getOption(DmlStrategyKey).contains("deletion_vector")
+  private def iceDvStrategy(spark: SparkSession): Boolean =
+    spark.conf.getOption(IceDmlStrategyKey).contains("deletion_vector")
 
   // DESCRIBE t | SHOW TABLES — the DuckDB introspection shapes
   private val describeRe =
@@ -774,12 +777,17 @@ object SqlApi {
         StructType(Seq(
           StructField("name", StringType), StructField("format", StringType),
           StructField("files", StringType))))
-    case dmlStrategyRe(v) =>
-      val valid = Set("copy_on_write", "deletion_vector")
+    case dmlStrategyRe(fmt0, v) =>
+      // per-format strategy knobs: delta copy_on_write|deletion_vector,
+      // iceberg positional|deletion_vector
+      val (key, valid) =
+        if (fmt0.equalsIgnoreCase("delta"))
+          (DmlStrategyKey, Set("copy_on_write", "deletion_vector"))
+        else (IceDmlStrategyKey, Set("positional", "deletion_vector"))
       if (!valid.contains(v.toLowerCase)) throw new IllegalArgumentException(
-        s"SET graft.delta_dml_strategy: `$v` is not a strategy; valid: " +
-          valid.toSeq.sorted.mkString(", "))
-      spark.conf.set(DmlStrategyKey, v.toLowerCase)
+        s"SET graft.${fmt0.toLowerCase}_dml_strategy: `$v` is not a strategy; " +
+          s"valid: ${valid.toSeq.sorted.mkString(", ")}")
+      spark.conf.set(key, v.toLowerCase)
       commandOk(spark)
     case alterAddRe(table, colRaw, typeRaw) =>
       // ALTER TABLE <attached lakehouse table> ADD COLUMN — schema
@@ -925,6 +933,8 @@ object SqlApi {
           graft.catalog.DeltaSink.deleteWhereDv(spark, rootOpt, PgDialect.rewrite(where))
         case "delta" =>
           graft.catalog.DeltaSink.deleteWhere(spark, rootOpt, PgDialect.rewrite(where))
+        case "iceberg" if iceDvStrategy(spark) =>
+          graft.catalog.IcebergSink.deleteWhereDv(spark, rootOpt, PgDialect.rewrite(where))
         case "iceberg" =>
           graft.catalog.IcebergSink.deleteWhere(spark, rootOpt, PgDialect.rewrite(where))
         case other => throw new IllegalArgumentException(
@@ -957,6 +967,9 @@ object SqlApi {
             PgDialect.rewrite(where), setMap)
         case "delta" =>
           graft.catalog.DeltaSink.updateWhere(spark, rootOpt,
+            PgDialect.rewrite(where), setMap)
+        case "iceberg" if iceDvStrategy(spark) =>
+          graft.catalog.IcebergSink.updateWhereDv(spark, rootOpt,
             PgDialect.rewrite(where), setMap)
         case "iceberg" =>
           graft.catalog.IcebergSink.updateWhere(spark, rootOpt,

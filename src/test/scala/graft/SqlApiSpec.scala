@@ -357,4 +357,26 @@ class SqlApiSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no such table"))
   }
+  test("SET graft.iceberg_dml_strategy routes SQL DML through puffin DVs") {
+    import spark.implicits._
+    val root = tempDir("sqlapi_icedv").getPath + "/t"
+    graft.catalog.IcebergSink.write(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal").coalesce(1), root, Map.empty)
+    graft.catalog.Catalog.attach(spark, "icedv_t", "iceberg", Map("files" -> root))
+    try {
+      SqlApi.executePg(spark, "SET graft.iceberg_dml_strategy = 'deletion_vector'")
+      val n = SqlApi.executePg(spark, "DELETE FROM icedv_t WHERE id = 2")
+        .collect().head.getLong(0)
+      assert(n === 1L)
+      assert(new java.io.File(root, "data").listFiles()
+        .exists(_.getName.endsWith(".puffin")))
+      assert(spark.table("icedv_t").collect().map(_.getLong(0)).toSeq === Seq(1L))
+      val e = intercept[IllegalArgumentException] {
+        SqlApi.executePg(spark, "SET graft.iceberg_dml_strategy = 'nah'")
+      }
+      assert(e.getMessage.contains("positional"))
+    } finally {
+      SqlApi.executePg(spark, "SET graft.iceberg_dml_strategy = 'positional'")
+    }
+  }
 }
