@@ -262,6 +262,11 @@ object Dedup {
         (coalesce(col("__n"), lit(0L)) > 0).as("fuzzy_contaminated"))
   }
 
+  /** The (seed, a, b) VALUES list the SQL oracles bind as `consts` —
+    * rendered once here so every oracle shares the exact coefficients. */
+  lazy val constsValuesSql: String = coeffs.zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   def components(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     // localCheckpoint (eager), NOT persist: each round must truncate the
     // logical plan, or the lineage nests one whole round per iteration and

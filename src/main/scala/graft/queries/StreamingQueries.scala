@@ -927,6 +927,67 @@ object StreamingQueries {
              array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
       FROM x"""))
 
+  // ---------------------------------------------------------------- x16
+  // STREAMING CONTAMINATION GATE: arrivals MinHash-band row-locally and
+  // stream-static join the eval set's broadcast band keys — d13's fuzzy
+  // decontamination enforced at ingest time. The replay plants the same
+  // jaccard≈0.9 near-dups as d13 (eval doc e's text + suffix arrives as
+  // doc e+1), so real hits flow mid-stream; the oracle replays the
+  // planting and the band chain, grouped to per-doc distinct-band counts.
+  private val x16 = QueryDef(
+    "x16_stream_contamination_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = Tables.load(s, dir, "documents")
+      val evalSet = d.filter(col("doc_id") % 23 === 0).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 23 =!= 0)
+        .join(broadcast(evalSet.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("__etext"))), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__etext").isNotNull,
+            concat(col("__etext"), lit(" zz extra trailing token")))
+            .otherwise(col("text")).as("text"))
+      val in = MemoryStream[(Long, String)](1)
+      val out = Streams.contaminationGate(
+        in.toDF().toDF("doc_id", "text"), evalSet, "text", "doc_id")
+      withReplayConf(s, 1) {
+        val q = out.writeStream.format("memory").queryName("x16_out")
+          .outputMode("append").start()
+        try {
+          val rows = planted.orderBy("doc_id").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x16_out").groupBy("doc_id")
+        .agg(countDistinct(col("band")).as("n_shared_bands"))
+    },
+    Some(s"""
+      WITH src AS (SELECT d.doc_id,
+              CASE WHEN e.doc_id IS NOT NULL
+                   THEN e.text || ' zz extra trailing token' ELSE d.text END AS text
+            FROM documents d LEFT JOIN
+              (SELECT doc_id + 1 AS doc_id, text FROM documents WHERE doc_id % 23 = 0) e
+              USING (doc_id)),
+      toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM src),
+      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+      sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
+      hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${graft.operators.Dedup.P} AS hm FROM sh),
+      consts(seed, a, b) AS (VALUES ${graft.operators.Dedup.constsValuesSql}),
+      sig AS (SELECT doc_id, seed, min((a * hm + b) % ${graft.operators.Dedup.P}) AS minh
+              FROM hh, consts GROUP BY doc_id, seed),
+      bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS band_sig
+                FROM sig GROUP BY doc_id, seed // 4),
+      eb AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 23 = 0),
+      cb AS (SELECT * FROM bands WHERE doc_id % 23 <> 0)
+      SELECT doc_id, CAST(count(DISTINCT band) AS BIGINT) AS n_shared_bands
+      FROM cb JOIN eb USING (band, band_sig) GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15)
+    x11, x12, x13, x14, x15, x16)
 }

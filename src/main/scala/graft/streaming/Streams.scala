@@ -156,6 +156,27 @@ object Streams {
     TextOps.chunkWindows(docs.filter(keep), textCol, idCol, chunkLen, overlap)
   }
 
+  /** STREAMING CONTAMINATION GATE — the ingest-time counterpart of the
+    * batch fuzzy decontamination (Dedup.fuzzyContaminationMark): arriving
+    * documents MinHash-band row-locally (zero-shuffle `minhash_sig` +
+    * stack, both stateless), and a STREAM-STATIC broadcast join against
+    * the eval set's distinct band keys emits one row per (arrival, band)
+    * hit — "don't train on what near-duplicates the eval set", enforced
+    * at arrival. No join state, no watermark: the eval side is a bounded
+    * batch relation, so an unbounded feed holds nothing. */
+  def contaminationGate(stream: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import graft.operators.Dedup
+    val evalBands = Dedup.bandSignatures(
+      Dedup.minhashWide(eval, textCol, idCol), idCol)
+      .select(col("band"), col("band_sig")).distinct()
+    val arriving = Dedup.bandSignatures(
+      Dedup.minhashWide(stream, textCol, idCol), idCol)
+    arriving.join(org.apache.spark.sql.functions.broadcast(evalBands),
+        Seq("band", "band_sig"))
+      .select(col(idCol), col("band"))
+  }
+
   /** Structured Streaming over a native Delta table root — follows the
     * `_delta_log`, emitting the full snapshot first and then each commit's
     * add-file diff (see org.apache.spark.sql.graftstream.DeltaFollow for
