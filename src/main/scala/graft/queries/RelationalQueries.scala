@@ -891,16 +891,26 @@ object RelationalQueries {
   // no orders appear with NULL revenue). The recursion runs through
   // spark.sql verbatim; the oracle is DuckDB's own recursive CTE over the
   // same span, so the two engines' recursion must agree month-for-month.
+  //
+  // Plan shape (the r7 verdict's scale-killer, fixed): the span's min/max
+  // are aggregated ONCE in a non-recursive `bounds` CTE and the max rides
+  // THROUGH the recursion as a column, so each of the ~80 iterations is a
+  // one-row projection — not the former per-iteration scalar subquery that
+  // re-scanned the whole orders table every UnionLoop step.
   private val q42 = QueryDef(
     "q42_recursive_months",
     (s, dir) => {
       Seq("orders").foreach(n => t(s, dir, n).createOrReplaceTempView(s"q42_$n"))
       s.sql("""
-        WITH RECURSIVE months(m) AS (
-          SELECT (SELECT min(trunc(o_orderdate, 'MM')) FROM q42_orders)
+        WITH RECURSIVE bounds AS (
+          SELECT min(trunc(o_orderdate, 'MM')) AS mn,
+                 max(trunc(o_orderdate, 'MM')) AS mx
+          FROM q42_orders
+        ),
+        months(m, mx) AS (
+          SELECT mn, mx FROM bounds
           UNION ALL
-          SELECT add_months(m, 1) FROM months
-          WHERE m < (SELECT max(trunc(o_orderdate, 'MM')) FROM q42_orders)
+          SELECT add_months(m, 1), mx FROM months WHERE m < mx
         )
         SELECT m AS month_start,
                count(o_orderkey) AS n_orders,
@@ -909,11 +919,15 @@ object RelationalQueries {
         GROUP BY m""")
     },
     Some("""
-      WITH RECURSIVE months(m) AS (
-        SELECT (SELECT min(date_trunc('month', o_orderdate))::DATE FROM orders)
+      WITH RECURSIVE bounds AS (
+        SELECT min(date_trunc('month', o_orderdate))::DATE AS mn,
+               max(date_trunc('month', o_orderdate))::DATE AS mx
+        FROM orders
+      ),
+      months(m, mx) AS (
+        SELECT mn, mx FROM bounds
         UNION ALL
-        SELECT (m + INTERVAL 1 MONTH)::DATE FROM months
-        WHERE m < (SELECT max(date_trunc('month', o_orderdate))::DATE FROM orders)
+        SELECT (m + INTERVAL 1 MONTH)::DATE, mx FROM months WHERE m < mx
       )
       SELECT m AS month_start,
              count(o_orderkey) AS n_orders,

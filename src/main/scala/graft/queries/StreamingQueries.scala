@@ -22,44 +22,73 @@ object StreamingQueries {
     * partition at query start, and every micro-batch commits offset/state
     * files per partition — for a bounded replay those fixed costs dominate,
     * so the replay runs with ONE state partition (the input is one ordered
-    * MemoryStream partition anyway) and, when the host offers it, checkpoints
-    * to tmpfs so per-batch offset/commit-log fsyncs stay off disk. Scoped:
-    * the session conf is restored afterwards. On a real unbounded feed the
-    * deployment's partition count and durable checkpoint dir apply
-    * unchanged — this is replay-harness tuning, not operator semantics. */
-  private def withReplayConf[A](s: SparkSession, n: Int)(f: => A): A = {
+    * MemoryStream partition anyway). The replay body receives a FRESH
+    * per-invocation checkpoint directory (tmpfs when the host offers it,
+    * `java.io.tmpdir` otherwise — never silently unset) that each
+    * writeStream passes as an EXPLICIT `checkpointLocation` option: no
+    * session-global conf mutation, so two harness processes (or a bench
+    * pass overlapping a verify pass) can never share checkpoint state.
+    * On a real unbounded feed the deployment's partition count and durable
+    * checkpoint dir apply unchanged — replay-harness tuning, not operator
+    * semantics. */
+  private def withReplayConf[A](s: SparkSession, n: Int)(f: String => A): A = {
     val key = "spark.sql.shuffle.partitions"
-    val ckKey = "spark.sql.streaming.checkpointLocation"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
-    val prevCk = s.conf.getOption(ckKey)
     val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
     // no-data batches exist to advance wall-clock-ish state on a live feed;
     // a deterministic replay advances the watermark with sentinel DATA
     // batches instead, so the empty batches are pure per-batch overhead here
     s.conf.set(ndKey, "false")
-    val tmpCk: Option[java.nio.file.Path] =
-      if (!new java.io.File("/dev/shm").isDirectory) None
-      else Some(java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get("/dev/shm"), "graft-ck-"))
-    tmpCk.foreach(p => s.conf.set(ckKey, p.toString))
-    try f finally {
+    val ckParent =
+      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmpCk = java.nio.file.Files.createTempDirectory(ckParent, "graft-ck-")
+    try f(tmpCk.toString) finally {
       s.conf.set(key, prev)
       s.conf.set(ndKey, prevNd)
-      prevCk match {
-        case Some(v) => s.conf.set(ckKey, v)
-        case None => s.conf.unset(ckKey)
-      }
-      tmpCk.foreach { p => // reclaim tmpfs — replays must not leak into RAM
-        import java.nio.file._
-        import java.util.Comparator
-        try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(q => Files.deleteIfExists(q))
-        catch { case _: Exception => () }
-      }
+      // reclaim the checkpoint — replays must not leak into tmpfs RAM
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(tmpCk).sorted(Comparator.reverseOrder[Path]())
+        .forEach(q => Files.deleteIfExists(q))
+      catch { case _: Exception => () }
     }
   }
+
+  /** Unique per-invocation fixture root: `<tag>-<uuid8>` under the sf's
+    * stream_fixtures dir. The r7 driver gate showed x10/x11 hash mismatches
+    * with the exact signature of a torn table — two harness processes
+    * sharing one FIXED on-disk root, one reading while the other rewrites.
+    * Unique roots make that structurally impossible; a best-effort sweep of
+    * stale siblings (>3 h old, safely past any live run) bounds disk. */
+  private def freshRoot(dir: String, tag: String): java.io.File = {
+    val base = new java.io.File(
+      s"/root/repo/target/export/${new java.io.File(dir).getName}/stream_fixtures")
+    base.mkdirs()
+    val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(tag + "-") && f.lastModified < cutoff)
+      .foreach { f =>
+        import java.nio.file._
+        import java.util.Comparator
+        try Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Exception => () }
+      }
+    val r = new java.io.File(base,
+      s"$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+    r.mkdirs()
+    r
+  }
+
+  /** Loud post-stop integrity gate: a torn/doubled sink table must fail as
+    * an explicit `err`, never surface as a silent hash mismatch. */
+  private def assertRowCount(what: String, got: Long, expected: Long): Unit =
+    if (got != expected) throw new IllegalStateException(
+      s"$what: sink table holds $got rows but the stream fed $expected — " +
+        "torn or doubled micro-batch commit")
 
   private val x01 = QueryDef(
     "x01_stream_dedup",
@@ -72,8 +101,9 @@ object StreamingQueries {
       val out = Streams.dedupDocsStream(
         in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "1 hour")
         .select(col("doc_id"), col("h"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x01_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val rows = Tables.load(s, dir, "documents")
@@ -110,8 +140,9 @@ object StreamingQueries {
       val in = MemoryStream[java.sql.Timestamp]
       val out = Streams.windowedCounts(in.toDF().toDF("ts"), "ts", "1 day", "0 seconds")
         .select(col("window.start").as("day_start"), col("n"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x02_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           // deterministic 2% slice: a replay of every event would dominate
@@ -160,8 +191,9 @@ object StreamingQueries {
         clicks.toDF().toDF("user_id", "ts_c"),
         "user_id", "ts_p", "ts_c", "24 hours", "0 seconds")
         .select(col("user_id"), col("ts_p"), col("ts_c"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x03_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val ev = Tables.load(s, dir, "events")
@@ -208,8 +240,9 @@ object StreamingQueries {
         clicks.toDF().toDF("user_id", "ts_c"),
         "user_id", "ts_p", "ts_c", "24 hours", "0 seconds", "left_outer")
         .select(col("user_id"), col("ts_p"), col("ts_c"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x04_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val ev = Tables.load(s, dir, "events")
@@ -259,8 +292,9 @@ object StreamingQueries {
         customers, "user_id", "c_custkey")
         .select(col("event_id"), col("user_id"),
           col("c_mktsegment").as("mktsegment"), col("value"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x05_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val ev = Tables.load(s, dir, "events")
@@ -295,8 +329,9 @@ object StreamingQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val in = MemoryStream[(Long, String)](1)
       val out = Streams.scrubStream(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x06_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val piiTail =
@@ -346,15 +381,7 @@ object StreamingQueries {
     "x07_stream_delta_follow",
     (s, dir) => {
       import org.apache.spark.sql.functions.col
-      val root = new java.io.File(
-        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_follow_x07")
-      if (root.exists()) {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      root.mkdirs()
+      val root = freshRoot(dir, "delta_follow_x07")
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       def part(sub: String, m: Int): Long = {
@@ -384,9 +411,10 @@ object StreamingQueries {
         s"""{"metaData":{"id":"x07-follow","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}""",
         add("part-m0.parquet", part("part-m0.parquet", 0))))
       commit(1L, Seq(add("part-m1.parquet", part("part-m1.parquet", 1))))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = Streams.followDelta(s, root.getPath)
           .writeStream.format("memory").queryName("x07_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           q.processAllAvailable() // snapshot: commits 0-1
@@ -412,15 +440,7 @@ object StreamingQueries {
     "x09_stream_delta_cdf",
     (s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, when}
-      val root = new java.io.File(
-        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_cdf_x09")
-      if (root.exists()) {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      root.mkdirs()
+      val root = freshRoot(dir, "delta_cdf_x09")
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val odd = col("c_custkey") % 2 =!= 0
@@ -453,9 +473,10 @@ object StreamingQueries {
         s"""{"metaData":{"id":"x09-cdf","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
         add("part-evens.parquet", evensSz),
         add("part-odds.parquet", oddsSz)))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = Streams.followDeltaChanges(s, root.getPath, startingVersion = 0L)
           .writeStream.format("memory").queryName("x09_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           q.processAllAvailable() // feed [0, 0]: every row as insert
@@ -520,23 +541,20 @@ object StreamingQueries {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val root = new java.io.File(
-        s"/root/repo/target/export/${new java.io.File(dir).getName}/delta_sink_x10")
-      if (root.exists()) {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      val root = freshRoot(dir, "delta_sink_x10")
+      root.delete() // the sink itself creates the table root on commit 0
       val in = MemoryStream[(Long, String, Long)](1)
-      withReplayConf(s, 1) {
+      var fed = 0L
+      withReplayConf(s, 1) { ck =>
         val q = Streams.writeDeltaStream(
-          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x10-app").start()
+          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x10-app")
+          .option("checkpointLocation", ck).start()
         try {
           val rows = Tables.load(s, dir, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
             .orderBy(col("doc_id")).collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          fed = rows.length.toLong
           val (first, second) = rows.splitAt(rows.length / 2)
           in.addData(first.toSeq)
           q.processAllAvailable() // commit 0 (creates the table)
@@ -544,8 +562,10 @@ object StreamingQueries {
           q.processAllAvailable() // commit 1 (append)
         } finally q.stop()
       }
-      Catalog.attach(s, "x10_delta_rt", "delta", Map("files" -> root.getPath))
-        .groupBy("lang")
+      val table = Catalog.attach(s, "x10_delta_rt", "delta",
+        Map("files" -> root.getPath))
+      assertRowCount("x10_stream_delta_sink", table.count(), fed)
+      table.groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     },
     Some("""
@@ -566,23 +586,20 @@ object StreamingQueries {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val root = new java.io.File(
-        s"/root/repo/target/export/${new java.io.File(dir).getName}/iceberg_sink_x11")
-      if (root.exists()) {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      val root = freshRoot(dir, "iceberg_sink_x11")
+      root.delete() // the sink itself creates the table root on snapshot 1
       val in = MemoryStream[(Long, String, Long)](1)
-      withReplayConf(s, 1) {
+      var fed = 0L
+      withReplayConf(s, 1) { ck =>
         val q = Streams.writeIcebergStream(
-          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x11-app").start()
+          in.toDF().toDF("doc_id", "lang", "n_chars"), root.getPath, "x11-app")
+          .option("checkpointLocation", ck).start()
         try {
           val rows = Tables.load(s, dir, "documents")
             .select(col("doc_id"), col("lang"), col("n_chars"))
             .orderBy(col("doc_id")).collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          fed = rows.length.toLong
           val (first, second) = rows.splitAt(rows.length / 2)
           in.addData(first.toSeq)
           q.processAllAvailable() // snapshot 1 (creates the table)
@@ -590,8 +607,10 @@ object StreamingQueries {
           q.processAllAvailable() // snapshot 2 (append)
         } finally q.stop()
       }
-      Catalog.attach(s, "x11_iceberg_rt", "iceberg", Map("files" -> root.getPath))
-        .groupBy("lang")
+      val table = Catalog.attach(s, "x11_iceberg_rt", "iceberg",
+        Map("files" -> root.getPath))
+      assertRowCount("x11_stream_iceberg_sink", table.count(), fed)
+      table.groupBy("lang")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
     },
     Some("""
@@ -610,18 +629,9 @@ object StreamingQueries {
     "x12_stream_cdf_pipeline",
     (s, dir) => {
       import org.apache.spark.sql.functions.{col, lit}
-      val base = s"/root/repo/target/export/${new java.io.File(dir).getName}"
-      val rootA = new java.io.File(s"$base/cdf_pipe_a_x12")
-      val rootB = new java.io.File(s"$base/cdf_pipe_b_x12")
-      Seq(rootA, rootB).foreach { r =>
-        if (r.exists()) {
-          import java.nio.file._
-          import java.util.Comparator
-          Files.walk(r.toPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-        r.mkdirs()
-      }
+      val rootA = freshRoot(dir, "cdf_pipe_a_x12")
+      val rootB = freshRoot(dir, "cdf_pipe_b_x12")
+      rootB.delete() // the sink itself creates table B on its first commit
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
       val odd = col("c_custkey") % 2 =!= 0
@@ -650,12 +660,13 @@ object StreamingQueries {
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
         s"""{"metaData":{"id":"x12-a","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
         s"""{"add":{"path":"part-all.parquet","partitionValues":{},"size":$allSz,"modificationTime":0,"dataChange":true}}"""))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = Streams.writeDeltaStream(
           Streams.followDeltaChanges(s, rootA.getPath, startingVersion = 0L)
             .filter(col("_change_type").isin("insert", "update_postimage"))
             .select(col("c_custkey"), col("c_acctbal"), col("_change_type")),
-          rootB.getPath, "x12-app").start()
+          rootB.getPath, "x12-app")
+          .option("checkpointLocation", ck).start()
         try {
           q.processAllAvailable() // inserts flow A → B
           // mid-stream cdc UPDATE on A: flip negative odd balances
@@ -677,8 +688,11 @@ object StreamingQueries {
           q.processAllAvailable() // postimages flow A → B
         } finally q.stop()
       }
-      Catalog.attach(s, "x12_pipe_b", "delta", Map("files" -> rootB.getPath))
-        .select("c_custkey", "c_acctbal", "_change_type")
+      val tableB = Catalog.attach(s, "x12_pipe_b", "delta",
+        Map("files" -> rootB.getPath))
+      assertRowCount("x12_stream_cdf_pipeline", tableB.count(),
+        cust.count() + cust.filter(odd && col("c_acctbal") < 0).count())
+      tableB.select("c_custkey", "c_acctbal", "_change_type")
     },
     Some("""
       SELECT c_custkey, c_acctbal, 'insert' AS _change_type FROM customer
@@ -698,14 +712,7 @@ object StreamingQueries {
     (s, dir) => {
       import org.apache.spark.sql.functions.col
       import FormatQueries.IcebergScaffold._
-      val root = new java.io.File(
-        s"/root/repo/target/export/${new java.io.File(dir).getName}/iceberg_follow_x08")
-      if (root.exists()) {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(root.toPath).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      val root = freshRoot(dir, "iceberg_follow_x08")
       val md = new java.io.File(root, "metadata"); md.mkdirs()
       val o = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -723,9 +730,10 @@ object StreamingQueries {
           snapshotLogJson = Some(
             s"""[{"timestamp-ms": ${FormatQueries.IceT0}, "snapshot-id": 1}]""")))
       java.nio.file.Files.writeString(hint, "1")
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = Streams.followIceberg(s, root.getPath)
           .writeStream.format("memory").queryName("x08_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           q.processAllAvailable() // snapshot 1: evens
@@ -769,24 +777,16 @@ object StreamingQueries {
   private val x13 = QueryDef(
     "x13_stream_cdc_apply",
     (s, dir) => {
-      val base = s"/root/repo/target/export/${new java.io.File(dir).getName}"
-      val rootA = new java.io.File(s"$base/cdc_apply_a_x13")
-      val rootB = new java.io.File(s"$base/cdc_apply_b_x13")
-      Seq(rootA, rootB).foreach { r =>
-        if (r.exists()) {
-          import java.nio.file._
-          import java.util.Comparator
-          Files.walk(r.toPath).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-      }
+      val rootA = freshRoot(dir, "cdc_apply_a_x13")
+      val rootB = freshRoot(dir, "cdc_apply_b_x13")
+      rootA.delete(); rootB.delete() // copyTo / the apply sink create them
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
       graft.catalog.Sinks.copyTo(cust, rootA.getPath, "delta",
         Map("change_data_feed" -> "true"))
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = Streams.applyDeltaChanges(s, rootA.getPath, rootB.getPath,
-          Seq("c_custkey")).start()
+          Seq("c_custkey")).option("checkpointLocation", ck).start()
         try {
           q.processAllAvailable() // bootstrap: the snapshot batch creates B
           graft.catalog.DeltaSink.deleteWhere(s, rootA.getPath, "c_acctbal < 0")
@@ -802,8 +802,13 @@ object StreamingQueries {
           q.processAllAvailable() // merge cdc (updates + inserts) applies
         } finally q.stop()
       }
-      Catalog.attach(s, "x13_apply_b", "delta", Map("files" -> rootB.getPath))
-        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val tableB = Catalog.attach(s, "x13_apply_b", "delta",
+        Map("files" -> rootB.getPath))
+      // B replicates A: same row count as A's final state, loudly checked
+      assertRowCount("x13_stream_cdc_apply", tableB.count(),
+        Catalog.attach(s, "x13_apply_a", "delta",
+          Map("files" -> rootA.getPath)).count())
+      tableB.select("c_custkey", "c_acctbal", "c_mktsegment")
     },
     Some("""
       WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
@@ -851,8 +856,9 @@ object StreamingQueries {
       val in = MemoryStream[(Long, Array[Float])](1)
       val out = Streams.nearDupGate(in.toDF().toDF("vec_id", "embedding"),
         corpus, "vec_id", "embedding", threshold = 0.35)
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x14_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val rows = emb.filter(col("vec_id") % 4 === 0)
@@ -885,8 +891,9 @@ object StreamingQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val in = MemoryStream[(Long, String)](1)
       val out = Streams.ragIngestStream(in.toDF().toDF("doc_id", "text"), "text", "doc_id")
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x15_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val rows = Tables.load(s, dir, "documents")
@@ -952,8 +959,9 @@ object StreamingQueries {
       val in = MemoryStream[(Long, String)](1)
       val out = Streams.contaminationGate(
         in.toDF().toDF("doc_id", "text"), evalSet, "text", "doc_id")
-      withReplayConf(s, 1) {
+      withReplayConf(s, 1) { ck =>
         val q = out.writeStream.format("memory").queryName("x16_out")
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           val rows = planted.orderBy("doc_id").collect()
