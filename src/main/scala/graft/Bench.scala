@@ -81,12 +81,22 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision: full-precision nanos ballooned the r7 line past
+    // the driver's stdout-capture window (BENCH_r07.json parsed null) — 3 dp
+    // keeps 137 queries near 3 KB with zero benchmarking signal lost
+    def num(v: Double): String = BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs}"""
+    // stop Spark BEFORE emitting the line so no shutdown logging can land
+    // after (or interleave with) it in a pty capture; emit on BOTH stdout
+    // and stderr so either channel alone carries a complete parseable copy
+    spark.stop()
     println(line)
+    System.err.println(line)
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -96,7 +106,6 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] WARN could not write $outPath: ${e.getMessage}")
     }
-    spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
       sys.exit(1)

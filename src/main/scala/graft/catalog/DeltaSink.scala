@@ -170,6 +170,41 @@ object DeltaSink {
     def hasDv: Boolean = dv.isDefined
   }
 
+  /** The table's protocol action, replayed so commits that NEED a feature
+    * (deletion vectors) can verify support and emit the spec's upgrade
+    * action when absent — an external protocol-compliant reader ignores
+    * features the protocol does not declare. */
+  private[catalog] final case class ProtoInfo(minReader: Int, minWriter: Int,
+      readerFeatures: Set[String], writerFeatures: Set[String]) {
+    def supportsDv: Boolean =
+      minReader >= 3 && minWriter >= 7 &&
+        readerFeatures.contains("deletionVectors") &&
+        writerFeatures.contains("deletionVectors")
+    /** PROTOCOL.md: upgrading a legacy protocol to table features must
+      * carry over every feature the legacy versions implied, or a writer
+      * honoring only the feature list would stop enforcing them. */
+    def withDeletionVectors: ProtoInfo = {
+      val legacyWriter = Seq(2 -> "appendOnly", 2 -> "invariants",
+        3 -> "checkConstraints", 4 -> "changeDataFeed", 4 -> "generatedColumns",
+        5 -> "columnMapping", 6 -> "identityColumns")
+        .collect { case (v, f) if minWriter >= v && minWriter < 7 => f }
+      val legacyReader =
+        if (minReader >= 2 && minReader < 3) Set("columnMapping") else Set.empty[String]
+      ProtoInfo(3, 7,
+        readerFeatures ++ legacyReader + "deletionVectors",
+        writerFeatures ++ legacyWriter + "deletionVectors")
+    }
+    def json: String = {
+      val rf = if (minReader >= 3)
+        s""","readerFeatures":[${readerFeatures.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+      else ""
+      val wf = if (minWriter >= 7)
+        s""","writerFeatures":[${writerFeatures.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+      else ""
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter$rf$wf}}"""
+    }
+  }
+
   /** Writer-side table state: latest version, declared shape, live files,
     * and the txn ledger — from a classic single-file checkpoint (when
     * present) plus the commit JSONs after it. The same bounded driver
@@ -178,7 +213,8 @@ object DeltaSink {
   private[catalog] final case class TableState(version: Long, schemaJson: Option[String],
     partCols: Seq[String], conf: Map[String, String],
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
-    txnVersions: Map[String, Long], exists: Boolean)
+    txnVersions: Map[String, Long], exists: Boolean,
+    protocol: Option[ProtoInfo] = None)
 
   /** `stopAt = Some(v)` replays only through commit v — the historical
     * state RESTORE diffs against. Rejects loudly when v is below a folded
@@ -199,6 +235,7 @@ object DeltaSink {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var conf = Map.empty[String, String]
+    var proto: Option[ProtoInfo] = None
     val txns = scala.collection.mutable.Map[String, Long]()
     // classic checkpoint: ingest its protocol/metaData/add rows as state
     val lastCp: Option[Long] = {
@@ -221,6 +258,21 @@ object DeltaSink {
           "read-only here; use a delta connector jar)")
       val cp = spark.read.parquet(cpFile.toString)
       val cols = cp.schema.fieldNames.toSet
+      if (cols.contains("protocol")) {
+        val sub = cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val featSels =
+          if (sub.contains("readerFeatures") && sub.contains("writerFeatures"))
+            Seq("protocol.readerFeatures", "protocol.writerFeatures")
+          else Seq("CAST(NULL AS ARRAY<STRING>)", "CAST(NULL AS ARRAY<STRING>)")
+        cp.filter(org.apache.spark.sql.functions.col("protocol").isNotNull)
+          .selectExpr(Seq("protocol.minReaderVersion", "protocol.minWriterVersion")
+            ++ featSels: _*)
+          .collect().foreach { r =>
+            proto = Some(ProtoInfo(r.getInt(0), r.getInt(1),
+              if (r.isNullAt(2)) Set.empty else r.getSeq[String](2).toSet,
+              if (r.isNullAt(3)) Set.empty else r.getSeq[String](3).toSet))
+          }
+      }
       if (cols.contains("metaData")) {
         cp.filter(org.apache.spark.sql.functions.col("metaData").isNotNull)
           .selectExpr("metaData.schemaString", "metaData.partitionColumns",
@@ -292,6 +344,17 @@ object DeltaSink {
           txns(app) = math.max(t.path("version").asLong(),
             txns.getOrElse(app, Long.MinValue))
         }
+        if (n.has("protocol")) {
+          val p = n.path("protocol")
+          def feats(k: String): Set[String] = {
+            val f = p.path(k)
+            if (f.isMissingNode || f.isNull) Set.empty
+            else f.elements().asScala.map(_.asText()).toSet
+          }
+          proto = Some(ProtoInfo(p.path("minReaderVersion").asInt(1),
+            p.path("minWriterVersion").asInt(2),
+            feats("readerFeatures"), feats("writerFeatures")))
+        }
         if (n.has("metaData")) {
           val m = n.path("metaData")
           schemaJson = Some(m.path("schemaString").asText())
@@ -327,7 +390,7 @@ object DeltaSink {
     val version = stopAt.getOrElse(
       (lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L))
     TableState(version, schemaJson, partCols, conf, live, txns.toMap,
-      exists = lastCp.isDefined || allCommits.nonEmpty)
+      exists = lastCp.isDefined || allCommits.nonEmpty, protocol = proto)
   }
 
   /** RESTORE TABLE ... TO VERSION — Delta's RESTORE command: ONE new
@@ -475,7 +538,11 @@ object DeltaSink {
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        // feature lists mirror the table's protocol action verbatim — a
+        // checkpoint that dropped them would un-declare deletionVectors
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -498,8 +565,14 @@ object DeltaSink {
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType)))))))))
+    val protoRow = st.protocol match {
+      case Some(p) => Row(p.minReader, p.minWriter,
+        if (p.minReader >= 3) p.readerFeatures.toSeq.sorted else null,
+        if (p.minWriter >= 7) p.writerFeatures.toSeq.sorted else null)
+      case None => Row(1, if (cdf) 4 else 2, null, null)
+    }
     val rows =
-      Seq(Row(Row(1, if (cdf) 4 else 2), null, null, null),
+      Seq(Row(protoRow, null, null, null),
         Row(null, Row("graft-checkpoint", schemaJson, st.partCols, st.conf), null, null)) ++
         st.txnVersions.toSeq.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
         st.live.toSeq.map { case (p, e) =>
@@ -749,6 +822,13 @@ object DeltaSink {
     val opName = if (isUpdate) "UPDATE" else "DELETE"
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":$nowMs,"operation":"$opName","operationParameters":{"predicate":${esc(predicateSql)},"strategy":"deletion-vector"}}}"""
+    // a DV commit against a protocol that never declared the feature is
+    // invisible to compliant external readers (they may ignore the
+    // descriptor and resurrect deleted rows) — the first DV commit
+    // upgrades to reader 3 / writer 7 with the deletionVectors feature,
+    // legacy-implied features carried over per PROTOCOL.md
+    val curProto = st.protocol.getOrElse(ProtoInfo(1, 2, Set.empty, Set.empty))
+    if (!curProto.supportsDv) lines += curProto.withDeletionVectors.json
     descriptors.foreach { case (abs, storage, payload, size, card) =>
       val rel = relByAbs.getOrElse(norm(abs),
         throw DeltaReadException(s"`$path`: scanned file $abs is not in the live set"))
@@ -763,10 +843,18 @@ object DeltaSink {
       if (storage == "u") dv.put("offset", 1)
       dv.put("sizeInBytes", size)
       dv.put("cardinality", card)
+      // stats keep the PHYSICAL numRecords (per protocol) but must flag
+      // tightBounds:false — external engines serve COUNT(*)/skipping from
+      // stats and would otherwise overcount the DV-deleted rows
+      val loosened = e.stats.map { s0 =>
+        val node = mapper.readTree(s0).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("tightBounds", false)
+        mapper.writeValueAsString(node)
+      }
       lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true}}"""
       lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
         s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true,""" +
-        e.stats.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
+        loosened.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
         s""""deletionVector":${mapper.writeValueAsString(dv)}}}"""
     }
     imageFiles.foreach { f =>

@@ -604,6 +604,38 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
   }
 
+  test("deleteWhereDv: first DV commit upgrades the protocol and loosens stats bounds") {
+    val root = tempDir("dsink_dvproto").getPath + "/t"
+    DeltaSink.write(Seq(1L, 2L, 3L, 4L).toDF("id").coalesce(1), root, Map.empty)
+    DeltaSink.deleteWhereDv(spark, root, "id = 2")
+    val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json"))
+    // the protocol action external compliant readers require before they
+    // will honor deletionVector descriptors (PROTOCOL.md table features)
+    assert(log1.contains("\"minReaderVersion\":3"), log1.take(400))
+    assert(log1.contains("\"minWriterVersion\":7"), log1.take(400))
+    assert(log1.contains("\"readerFeatures\":[\"deletionVectors\"]"), log1.take(400))
+    assert(log1.contains("\"writerFeatures\":[\"appendOnly\",\"deletionVectors\",\"invariants\"]"),
+      log1.take(400))
+    // stats keep physical numRecords but flag tightBounds:false so external
+    // engines stop serving COUNT(*) from them
+    assert(log1.contains("tightBounds\\\":false") || log1.contains("\"tightBounds\":false"),
+      log1.take(800))
+    // our own reader still reads the upgraded table
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    // the checkpoint mirrors the upgraded protocol row verbatim
+    DeltaSink.checkpoint(spark, root)
+    val cp = spark.read.parquet(s"$root/_delta_log/00000000000000000001.checkpoint.parquet")
+    val proto = cp.filter(col("protocol").isNotNull)
+      .selectExpr("protocol.minReaderVersion", "protocol.minWriterVersion",
+        "protocol.readerFeatures", "protocol.writerFeatures").collect()
+    assert(proto.length === 1)
+    assert(proto(0).getInt(0) === 3 && proto(0).getInt(1) === 7)
+    assert(proto(0).getSeq[String](2) === Seq("deletionVectors"))
+    assert(proto(0).getSeq[String](3).contains("deletionVectors"))
+    assert(readBack(root).count() === 3L)
+  }
+
   test("deleteWhereDv: large bitmap lands in a DV file; checkpoint preserves DVs") {
     val root = tempDir("dsink_dvfile").getPath + "/t"
     DeltaSink.write(spark.range(0, 3000).toDF("id").coalesce(1), root, Map.empty)
