@@ -416,16 +416,22 @@ object Convert {
       .orElse(Option(meta.path("partition-spec")).filter(!_.isMissingNode)
         .map(_.elements().asScala.toSeq))
       .getOrElse(Seq.empty)
-    val partCols: Seq[String] = specFields.map { sf =>
+    // (specFieldName, columnName) pairs: the avro partition record's field
+    // names are the SPEC field names, which is how entries resolve below —
+    // positional zipping would silently mispair entries written under an
+    // older evolved spec with the same field count
+    val partPairs: Seq[(String, String)] = specFields.map { sf =>
       val tr = sf.path("transform").asText("identity")
       if (tr != "identity" && tr != "void") throw IcebergReadException(
         s"convert_to_delta: partition transform `$tr` has no Delta equivalent — " +
           "identity-partitioned tables only")
-      nameOfId.getOrElse(sf.path("source-id").asInt(),
+      val colName = nameOfId.getOrElse(sf.path("source-id").asInt(),
         throw IcebergReadException(
           s"convert_to_delta: partition source-id ${sf.path("source-id").asInt()} " +
             "not in the current schema"))
+      sf.path("name").asText(colName) -> colName
     }
+    val partCols: Seq[String] = partPairs.map(_._2)
 
     // ---- walk the manifest list: live parquet data files, no deletes ----
     def resolve(p: String): Path = {
@@ -453,11 +459,22 @@ object Convert {
 
     final case class LiveFile(rel: String, abs: Path, size: Long,
         partitionValues: Map[String, String])
+    // Delta partition-value serialization (PROTOCOL.md Partition Value
+    // Serialization): only the types whose avro runtime form stringifies to
+    // the protocol's form are converted; timestamptz (avro micros Long),
+    // decimal/fixed/binary (ByteBuffer), and float/double (Java scientific
+    // notation) would silently serialize WRONG strings — reject loudly.
     def pvString(v: AnyRef, dt: DataType): String = (dt, v) match {
       case (_, null) => null
       case (DateType, n: Number) =>
         java.time.LocalDate.ofEpochDay(n.longValue()).toString
-      case (_, other) => other.toString
+      case (StringType | IntegerType | LongType | ShortType | ByteType |
+            BooleanType, other) => other.toString
+      case (other, _) => throw IcebergReadException(
+        s"convert_to_delta: identity partition on ${other.simpleString} has no " +
+          "implemented Delta partition-value serialization (string/int/long/" +
+          "date/bool only) — rewrite the table unpartitioned or on a " +
+          "supported column first")
     }
     val live: Seq[LiveFile] = manifestPaths.flatMap { case (mp, _) =>
       avroRows(mp).flatMap { e =>
@@ -485,10 +502,16 @@ object Convert {
             .filter(_ > 0).getOrElse(fs.getFileStatus(abs).getLen)
           val pv: Map[String, String] = opt(df, "partition") match {
             case Some(pr: GenericRecord) =>
-              // pair r102 fields positionally with the spec fields — the
-              // spec's rule; identity field names usually match anyway
-              val recFields = pr.getSchema.getFields.asScala.toSeq
-              partCols.zip(recFields).map { case (c, rf) =>
+              // resolve r102 fields by NAME against the spec fields — an
+              // entry written under an older evolved spec with the same
+              // field count would mispair silently under positional zip
+              partPairs.map { case (specName, c) =>
+                val rf = Option(pr.getSchema.getField(specName)).getOrElse(
+                  throw IcebergReadException(
+                    s"convert_to_delta: data file `$fp` partition record has " +
+                      s"no field `$specName` (fields: ${pr.getSchema.getFields
+                        .asScala.map(_.name).mkString(", ")}) — written under " +
+                      "a different partition spec; rewrite the table first"))
                 c -> pvString(pr.get(rf.pos()), schema(c).dataType)
               }.toMap
             case _ => Map.empty
@@ -501,11 +524,13 @@ object Convert {
       }
     }
 
-    // ---- sampled footer-name probe: Delta mode=none resolves by NAME ----
+    // ---- footer-name probe over EVERY live file: Delta mode=none resolves
+    // by NAME, and the doc promises "reject loudly, never misconvert" — a
+    // rename-history file outside a sample would convert silently and read
+    // NULL. Footer reads are bounded driver work the stats pass below
+    // already pays O(live files) for.
     val dataCols = schema.fieldNames.filterNot(partCols.contains).toSet
-    val probeIdx =
-      if (live.size <= 8) live.indices
-      else (0 until 8).map(i => (i.toLong * (live.size - 1) / 7).toInt).distinct
+    val probeIdx = live.indices
     probeIdx.foreach { i =>
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -1405,12 +1405,12 @@ object IcebergSink {
       s"ALTER TABLE: column `$oldName` does not exist in `$path`")
     if (names.exists(_.equalsIgnoreCase(newName))) throw IcebergReadException(
       s"ALTER TABLE: column `$newName` already exists in `$path`")
-    // sampled probe: every data file must carry field ids, else the rename
-    // breaks name-resolved reads
+    // probe EVERY live data file for parquet field ids, else the rename
+    // breaks name-resolved reads — a sampled probe would let an id-less
+    // file outside the sample silently null the renamed column (footer
+    // reads are bounded driver work, O(live files))
     val paths = st.dataPaths
-    val probeIdx =
-      if (paths.size <= 8) paths.indices
-      else (0 until 8).map(i => (i.toLong * (paths.size - 1) / 7).toInt).distinct
+    val probeIdx = paths.indices
     probeIdx.foreach { i =>
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
