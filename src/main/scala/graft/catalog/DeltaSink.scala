@@ -194,6 +194,19 @@ object DeltaSink {
         readerFeatures ++ legacyReader + "deletionVectors",
         writerFeatures ++ legacyWriter + "deletionVectors")
     }
+    def supportsColumnMapping: Boolean =
+      (minReader >= 2 && minWriter >= 5 && minWriter < 7) ||
+        (minWriter >= 7 && writerFeatures.contains("columnMapping") &&
+          (minReader < 3 || readerFeatures.contains("columnMapping")))
+    def withColumnMapping: ProtoInfo =
+      if (minReader >= 3 || minWriter >= 7) {
+        // table-features protocol: the feature must be declared explicitly
+        val nr = math.max(minReader, 2)
+        ProtoInfo(nr, minWriter,
+          if (nr >= 3) readerFeatures + "columnMapping" else readerFeatures,
+          if (minWriter >= 7) writerFeatures + "columnMapping" else writerFeatures)
+      } else ProtoInfo(math.max(minReader, 2), math.max(minWriter, 5),
+        readerFeatures, writerFeatures)
     def json: String = {
       val rf = if (minReader >= 3)
         s""","readerFeatures":[${readerFeatures.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
@@ -426,9 +439,130 @@ object DeltaSink {
       case e: Exception => throw DeltaReadException(
         s"ALTER TABLE: `$typeDdl` is not a Spark type: ${e.getMessage}")
     }
-    val newSchema = StructType(schema.fields :+ StructField(colName, dt, nullable = true))
-    // preserve the table id: latest commit metaData, else the checkpoint's
+    // with column mapping active, every field needs an id + physicalName
+    // (protocol: Column Mapping) — new columns get a fresh synthetic
+    // physical name so a later rename of THIS column stays metadata-only
+    val mapped = st.conf.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val newField =
+      if (!mapped) StructField(colName, dt, nullable = true)
+      else {
+        val nextId = st.conf.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(schema.fields.length.toLong) + 1
+        StructField(colName, dt, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", nextId)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            .build())
+      }
+    val newSchema = StructType(schema.fields :+ newField)
+    val newConf =
+      if (!mapped) st.conf
+      else st.conf + ("delta.columnMapping.maxColumnId" ->
+        newField.metadata.getLong("delta.columnMapping.id").toString)
     val logDir = new Path(rootPath, "_delta_log")
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"ADD COLUMNS","operationParameters":{"column":${esc(colName)},"type":${esc(typeDdl)}}}}""",
+      s"""{"metaData":${metaDataJson(spark, fs, logDir, newSchema, st.partCols, newConf)}}""")
+    writeCommit(fs, logDir, st.version + 1, lines, path)
+  }
+
+  /** DROP COLUMN — metadata-only on Delta via COLUMN MAPPING: the first
+    * drop/rename upgrades the table to `delta.columnMapping.mode = name`
+    * (each field pinned to its current name as physicalName, protocol
+    * raised per the spec), after which data files are never touched — the
+    * dropped field just leaves the logical schema. Partition columns and
+    * the last remaining column reject loudly. */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String): Unit =
+    alterMappedSchema(spark, path, "DROP COLUMNS", colName, None)
+
+  /** RENAME COLUMN — metadata-only on Delta via COLUMN MAPPING (same
+    * upgrade as dropColumn): the field keeps its physicalName (the
+    * original on-disk name), only the logical name changes, and the
+    * native reader's existing mapping support serves the data under the
+    * new name. */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      oldName: String, newName: String): Unit =
+    alterMappedSchema(spark, path, "RENAME COLUMN", oldName, Some(newName))
+
+  private def alterMappedSchema(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String, colName: String, renameTo: Option[String]): Unit = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(
+      s"ALTER TABLE: `$path` has no _delta_log — not a Delta table")
+    val schema = DataType.fromJson(st.schemaJson.getOrElse(throw DeltaReadException(
+      s"ALTER TABLE: `$path` log declares no schema"))).asInstanceOf[StructType]
+    if (!schema.fieldNames.contains(colName)) throw DeltaReadException(
+      s"ALTER TABLE: column `$colName` does not exist in `$path`")
+    renameTo.foreach { n =>
+      if (schema.fieldNames.exists(_.equalsIgnoreCase(n))) throw DeltaReadException(
+        s"ALTER TABLE: column `$n` already exists in `$path`")
+    }
+    if (st.partCols.contains(colName)) throw DeltaReadException(
+      s"ALTER TABLE: `$colName` is a partition column of `$path` — " +
+        "partition-column evolution needs a table rewrite")
+    if (renameTo.isEmpty && schema.fields.length <= 1) throw DeltaReadException(
+      s"ALTER TABLE: cannot drop the only column of `$path`")
+    val curMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (curMode != "none" && curMode != "name") throw DeltaReadException(
+      s"ALTER TABLE: `$path` uses column mapping mode `$curMode`; this writer " +
+        "evolves mode `name` tables only")
+    // first evolution upgrades to mode=name: every existing field pins its
+    // CURRENT name as physicalName (that is what the data files carry), so
+    // existing files keep resolving and THIS change becomes metadata-only
+    val upgrading = curMode == "none"
+    val pinned: Array[StructField] =
+      if (!upgrading) schema.fields
+      else schema.fields.zipWithIndex.map { case (f, i) =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (!f.metadata.contains("delta.columnMapping.id"))
+          mb.putLong("delta.columnMapping.id", (i + 1).toLong)
+        if (!f.metadata.contains("delta.columnMapping.physicalName"))
+          mb.putString("delta.columnMapping.physicalName", f.name)
+        f.copy(metadata = mb.build())
+      }
+    val newFields: Array[StructField] = renameTo match {
+      case Some(n) => pinned.map(f => if (f.name == colName) f.copy(name = n) else f)
+      case None => pinned.filterNot(_.name == colName)
+    }
+    val maxId = pinned.map { f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        f.metadata.getLong("delta.columnMapping.id")
+      else 0L
+    }.foldLeft(st.conf.get("delta.columnMapping.maxColumnId").map(_.toLong)
+      .getOrElse(0L))(math.max)
+    val newConf = st.conf +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    val logDir = new Path(rootPath, "_delta_log")
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    val lines = Seq.newBuilder[String]
+    val paramJson = renameTo match {
+      case Some(n) => s""""oldColumn":${esc(colName)},"newColumn":${esc(n)}"""
+      case None => s""""column":${esc(colName)}"""
+    }
+    lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${esc(op)},"operationParameters":{$paramJson}}}"""
+    // column mapping must be declared in the protocol before a compliant
+    // reader honors physicalName resolution (legacy reader 2 / writer 5,
+    // or the columnMapping feature on a table-features protocol)
+    val curProto = st.protocol.getOrElse(ProtoInfo(1, 2, Set.empty, Set.empty))
+    if (!curProto.supportsColumnMapping) lines += curProto.withColumnMapping.json
+    lines += s"""{"metaData":${metaDataJson(spark, fs, logDir,
+      StructType(newFields), st.partCols, newConf)}}"""
+    writeCommit(fs, logDir, st.version + 1, lines.result(), path)
+  }
+
+  /** metaData action JSON with the table id preserved (latest commit
+    * metaData, else the checkpoint's, else fresh). */
+  private def metaDataJson(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      newSchema: StructType, partCols: Seq[String],
+      conf: Map[String, String]): String = {
     val commitRe = """(\d{20})\.json""".r
     val tableId: String = {
       val fromCommits = fs.listStatus(logDir).toSeq
@@ -451,21 +585,21 @@ object DeltaSink {
         }
       }.getOrElse(java.util.UUID.randomUUID().toString)
     }
-    val nowMs = System.currentTimeMillis()
     val meta = mapper.createObjectNode()
     meta.put("id", tableId)
     val fmtN = meta.putObject("format")
     fmtN.put("provider", "parquet"); fmtN.putObject("options")
     meta.put("schemaString", newSchema.json)
-    val pa = meta.putArray("partitionColumns"); st.partCols.foreach(pa.add)
+    val pa = meta.putArray("partitionColumns"); partCols.foreach(pa.add)
     val confN = mapper.createObjectNode()
-    st.conf.foreach { case (k, v) => confN.put(k, v) }
+    conf.foreach { case (k, v) => confN.put(k, v) }
     meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confN)
-    lazy val esc = (s: String) => mapper.writeValueAsString(s)
-    val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$nowMs,"operation":"ADD COLUMNS","operationParameters":{"column":${esc(colName)},"type":${esc(typeDdl)}}}}""",
-      s"""{"metaData":${mapper.writeValueAsString(meta)}}""")
-    val version = st.version + 1
+    mapper.writeValueAsString(meta)
+  }
+
+  /** Stage + atomically rename one commit JSON at `version`. */
+  private def writeCommit(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      version: Long, lines: Seq[String], path: String): Unit = {
     val target = new Path(logDir, f"$version%020d.json")
     val staged = new Path(logDir,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")

@@ -1182,6 +1182,37 @@ object FormatQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM u GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- l16
+  // DELTA COLUMN MAPPING round-trip: RENAME + DROP COLUMN as metadata-only
+  // commits on a native Delta write — the first evolution upgrades the
+  // table to delta.columnMapping.mode=name (each field's physicalName
+  // pinned to its on-disk name, protocol raised to reader 2 / writer 5),
+  // then the native reader's column-mapping support serves the SAME data
+  // files under the NEW logical names. The oracle replays the surviving
+  // columns from the source table, so a reader that resolved the renamed
+  // column by logical name (NULLs) or kept serving the dropped one fails
+  // schema AND hash. Mirrors the Iceberg evolution loop format-for-format.
+  private val l16 = QueryDef(
+    "l16_delta_column_mapping",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/evolution_l16_cmap"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "delta")
+      graft.catalog.DeltaSink.renameColumn(s, out, "c_acctbal", "balance")
+      graft.catalog.DeltaSink.dropColumn(s, out, "c_name")
+      Catalog.attach(s, "l16_customer_delta_cmap", "delta", Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("balance").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -1569,5 +1600,5 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, w01, w02, w03, w04, w05, w06, w07, w08, f01)
+      l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07, w08, f01)
 }

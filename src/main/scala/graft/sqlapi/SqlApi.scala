@@ -815,10 +815,10 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
     case alterDropRe(table, colRaw) =>
-      // DROP COLUMN: metadata-only on Iceberg (field leaves the schema,
-      // bytes stay in the files); Delta mode=none CANNOT drop (the
-      // protocol requires column mapping so readers skip the physical
-      // column) — loud reject over silent corruption.
+      // DROP COLUMN: metadata-only on BOTH formats — Iceberg drops the
+      // field from the schema (ids keep reads correct); Delta upgrades to
+      // column mapping mode=name on first evolution (each field pinned to
+      // its current name as physicalName), then drops the logical field.
       val name = table.trim.stripPrefix("\"").stripSuffix("\"")
       val colName = colRaw.trim.stripPrefix("\"").stripSuffix("\"")
       val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
@@ -829,20 +829,18 @@ object SqlApi {
       fmt.toLowerCase match {
         case "iceberg" =>
           graft.catalog.IcebergSink.dropColumn(spark, rootOpt, colName)
-        case "delta" => throw new IllegalArgumentException(
-          s"ALTER TABLE `$name`: DROP COLUMN on Delta requires column " +
-            "mapping (delta.columnMapping.mode=name), which this native " +
-            "writer does not enable; use a delta connector jar")
+        case "delta" =>
+          graft.catalog.DeltaSink.dropColumn(spark, rootOpt, colName)
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE `$name`: DROP COLUMN is implemented for iceberg " +
-            s"attaches (got format `$other`)")
+            s"and delta attaches (got format `$other`)")
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
     case alterRenameRe(table, oldRaw, newRaw) =>
-      // RENAME COLUMN: metadata-only on Iceberg (same field id, reads
-      // resolve by id across the rename); Delta mode=none rejects for the
-      // same column-mapping reason as DROP.
+      // RENAME COLUMN: metadata-only on BOTH formats — Iceberg keeps the
+      // field id across the rename; Delta keeps the physicalName (column
+      // mapping, auto-enabled on first evolution as for DROP).
       val name = table.trim.stripPrefix("\"").stripSuffix("\"")
       val oldName = oldRaw.trim.stripPrefix("\"").stripSuffix("\"")
       val newName = newRaw.trim.stripPrefix("\"").stripSuffix("\"")
@@ -854,13 +852,11 @@ object SqlApi {
       fmt.toLowerCase match {
         case "iceberg" =>
           graft.catalog.IcebergSink.renameColumn(spark, rootOpt, oldName, newName)
-        case "delta" => throw new IllegalArgumentException(
-          s"ALTER TABLE `$name`: RENAME COLUMN on Delta requires column " +
-            "mapping (delta.columnMapping.mode=name), which this native " +
-            "writer does not enable; use a delta connector jar")
+        case "delta" =>
+          graft.catalog.DeltaSink.renameColumn(spark, rootOpt, oldName, newName)
         case other => throw new IllegalArgumentException(
           s"ALTER TABLE `$name`: RENAME COLUMN is implemented for iceberg " +
-            s"attaches (got format `$other`)")
+            s"and delta attaches (got format `$other`)")
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)

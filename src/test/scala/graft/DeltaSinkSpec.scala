@@ -604,6 +604,53 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
   }
 
+  test("dropColumn/renameColumn: metadata-only via column-mapping upgrade") {
+    val root = tempDir("dsink_cmap").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "score"),
+      root, Map.empty)
+    // RENAME upgrades to mode=name: physicalName pins the on-disk name
+    DeltaSink.renameColumn(spark, root, "v", "label")
+    val renamed = readBack(root)
+    assert(renamed.columns.toSeq === Seq("id", "label", "score"))
+    assert(renamed.orderBy("id").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    val log1 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json"))
+    assert(log1.contains("\"minReaderVersion\":2") && log1.contains("\"minWriterVersion\":5"),
+      log1.take(300))
+    assert(log1.contains("delta.columnMapping.mode"), log1.take(600))
+    assert(log1.contains("delta.columnMapping.physicalName"), log1.take(600))
+    // DROP leaves the bytes in place, the logical field disappears
+    DeltaSink.dropColumn(spark, root, "label")
+    val dropped = readBack(root)
+    assert(dropped.columns.toSeq === Seq("id", "score"))
+    assert(dropped.orderBy("id").collect().map(_.getDouble(1)).toSeq === Seq(1.5, 2.5))
+    // time travel to the pre-evolution version still sees the original shape
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "0"))
+      .columns.toSeq === Seq("id", "v", "score"))
+    // ADD COLUMN on the mapped table assigns a fresh id + synthetic physicalName
+    DeltaSink.addColumn(spark, root, "note", "string")
+    val withNote = readBack(root)
+    assert(withNote.columns.toSeq === Seq("id", "score", "note"))
+    assert(withNote.select("note").collect().forall(_.isNullAt(0)))
+    val log3 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000003.json"))
+    assert(log3.contains("col-"), log3.take(600)) // synthetic physical name
+    // guards: unknown column, duplicate target, partition column, last column
+    assert(intercept[Exception] { DeltaSink.dropColumn(spark, root, "nope") }
+      .getMessage.contains("does not exist"))
+    assert(intercept[Exception] { DeltaSink.renameColumn(spark, root, "id", "score") }
+      .getMessage.contains("already exists"))
+    val proot = tempDir("dsink_cmap_part").getPath + "/t"
+    DeltaSink.write(Seq((1L, "US")).toDF("id", "region"), proot,
+      Map("partition_by" -> "region"))
+    assert(intercept[Exception] { DeltaSink.dropColumn(spark, proot, "region") }
+      .getMessage.contains("partition column"))
+    val sroot = tempDir("dsink_cmap_single").getPath + "/t"
+    DeltaSink.write(Seq(1L).toDF("id"), sroot, Map.empty)
+    assert(intercept[Exception] { DeltaSink.dropColumn(spark, sroot, "id") }
+      .getMessage.contains("only column"))
+  }
+
   test("deleteWhereDv: first DV commit upgrades the protocol and loosens stats bounds") {
     val root = tempDir("dsink_dvproto").getPath + "/t"
     DeltaSink.write(Seq(1L, 2L, 3L, 4L).toDF("id").coalesce(1), root, Map.empty)

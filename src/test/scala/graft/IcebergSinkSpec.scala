@@ -463,17 +463,19 @@ class IcebergSinkSpec extends SparkSpec {
       .getMessage.contains("does not exist"))
     assert(intercept[Exception] { IcebergSink.renameColumn(spark, root, "id", "label") }
       .getMessage.contains("already exists"))
-    // SQL routes: rename back through executePg; delta rejects loudly
+    // SQL routes: rename back through executePg; delta routes through its
+    // own column-mapping evolution (behavior pinned in DeltaSinkSpec)
     Catalog.attach(spark, "dr_ice", "iceberg", Map("files" -> root))
     graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_ice RENAME COLUMN label TO v")
     assert(spark.table("dr_ice").columns.toSeq === Seq("id", "v"))
     val droot = tempDir("dsink_droprename").getPath + "/t"
-    graft.catalog.DeltaSink.write(Seq((1L, "x")).toDF("id", "v"), droot, Map.empty)
+    graft.catalog.DeltaSink.write(Seq((1L, "x", 2.0)).toDF("id", "v", "w"), droot, Map.empty)
     Catalog.attach(spark, "dr_del", "delta", Map("files" -> droot))
-    val e = intercept[IllegalArgumentException] {
-      graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_del DROP COLUMN v")
-    }
-    assert(e.getMessage.contains("column mapping"))
+    graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_del DROP COLUMN v")
+    assert(spark.table("dr_del").columns.toSeq === Seq("id", "w"))
+    graft.sqlapi.SqlApi.executePg(spark, "ALTER TABLE dr_del RENAME COLUMN w TO weight")
+    assert(spark.table("dr_del").select("id", "weight").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((1L, 2.0)))
   }
 
   test("dropColumn rejects on a partition source or live delete files") {
