@@ -112,15 +112,16 @@ object Catalog {
       df = df.filter(org.apache.spark.sql.functions.expr(
         s"wkb_env_intersects($spatialGeomExpr, ${minX}D, ${minY}D, ${maxX}D, ${maxY}D)"))
     }
-    // exact WKT polygon filter (st_read's spatial_filter) — point layers;
-    // the WKT parses here so malformed filters fail at ATTACH, loudly
+    // exact WKT polygon filter (st_read's spatial_filter) — point, line,
+    // polygon and Multi* layers, exact intersects per row; the WKT parses
+    // here so malformed filters fail at ATTACH, loudly
     options.get("spatial_filter").foreach { wkt =>
       if (spec.name != "spatial") throw InvalidOptionException(
         "spatial_filter applies to spatial attaches only")
       try graft.functions.WktFilter.parseWktPolygon(wkt)
       catch { case e: IllegalArgumentException => throw InvalidOptionException(e.getMessage) }
       df = df.filter(org.apache.spark.sql.functions.expr(
-        s"wkb_point_in_wkt($spatialGeomExpr, '${wkt.replace("'", "''")}')"))
+        s"wkb_intersects_wkt($spatialGeomExpr, '${wkt.replace("'", "''")}')"))
     }
     df = withMetadataColumns(df, options)
     df = withHiveTypes(df, options)

@@ -104,21 +104,21 @@ object GraftFunctions {
       WkbEnvIntersects(children.head, d(1), d(2), d(3), d(4))
     })
 
-  val wkbPointInWkt: FunctionDescription = (
-    FunctionIdentifier("wkb_point_in_wkt"),
-    new ExpressionInfo(classOf[WkbPointInWktPolygon].getName, "wkb_point_in_wkt"),
+  val wkbIntersectsWkt: FunctionDescription = (
+    FunctionIdentifier("wkb_intersects_wkt"),
+    new ExpressionInfo(classOf[WkbIntersectsWkt].getName, "wkb_intersects_wkt"),
     (children: Seq[Expression]) => {
       val wkt = children(1).eval() match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case s: String => s
         case other => throw new IllegalArgumentException(
-          s"wkb_point_in_wkt filter must be a WKT string literal, got $other")
+          s"wkb_intersects_wkt filter must be a WKT string literal, got $other")
       }
-      WkbPointInWktPolygon(children.head, WktFilter.parseWktPolygon(wkt), wkt)
+      WkbIntersectsWkt(children.head, WktFilter.parseWktPolygon(wkt), wkt)
     })
 
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
       vecCosine, vecDecimalMean, icebergBucket, pgJsonGet, wkbEnvIntersects,
-      wkbPointInWkt)
+      wkbIntersectsWkt)
 }

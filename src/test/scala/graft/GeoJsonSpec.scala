@@ -125,19 +125,61 @@ class GeoJsonSpec extends SparkSpec {
         Map("files" -> p, "spatial_filter" -> "LINESTRING(0 0, 1 1)"))
     }
     assert(e1.getMessage.contains("POLYGON"))
-    // non-point geometry under the exact filter rejects loudly at scan
-    val pl = writeText(dir, "l.geojson",
-      """{"type":"FeatureCollection","features":[
-        |{"type":"Feature","properties":{"name":"line"},
-        | "geometry":{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}}
-        |]}""".stripMargin)
-    val e2 = intercept[Throwable] {
-      Catalog.attach(spark, "wkt_line", "spatial",
-        Map("files" -> pl, "spatial_filter" -> "POLYGON((0 0, 10 0, 0 10, 0 0))"))
-        .collect()
+  }
+
+  test("spatial_filter intersects line, polygon and Multi* layers exactly") {
+    val dir = tempDir("geo_wkt_poly")
+    val filter = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+    def kept(file: String, body: String): Seq[String] = {
+      val p = writeText(dir, file, body)
+      Catalog.attach(spark, s"wkt_${file.takeWhile(_ != '.')}", "spatial",
+        Map("files" -> p, "spatial_filter" -> filter))
+        .select("name").collect().map(_.getString(0)).toSeq
     }
-    val chain = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).toSeq
-    assert(chain.exists(t => Option(t.getMessage).exists(_.contains("spatial_filter_box"))))
+    // lines: crossing (vertices outside, one segment crosses), inside,
+    // disjoint — the three LineString branches
+    assert(kept("lines.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"crossing"},
+        | "geometry":{"type":"LineString","coordinates":[[-5.0,5.0],[15.0,5.0]]}},
+        |{"type":"Feature","properties":{"name":"inside"},
+        | "geometry":{"type":"LineString","coordinates":[[2.0,2.0],[3.0,3.0]]}},
+        |{"type":"Feature","properties":{"name":"disjoint"},
+        | "geometry":{"type":"LineString","coordinates":[[20.0,20.0],[30.0,30.0]]}}
+        |]}""".stripMargin) === Seq("crossing", "inside"))
+    // polygons: geometry-inside-filter, filter-inside-geometry (no vertex
+    // of either inside the other is impossible there — the big square's
+    // vertices are outside but the FILTER's vertices are inside it),
+    // boundary-crossing, disjoint — all three exact branches plus the
+    // envelope fast-path
+    assert(kept("polys.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"inside"},
+        | "geometry":{"type":"Polygon","coordinates":[[[2.0,2.0],[4.0,2.0],[4.0,4.0],[2.0,4.0],[2.0,2.0]]]}},
+        |{"type":"Feature","properties":{"name":"surrounds_filter"},
+        | "geometry":{"type":"Polygon","coordinates":[[[-50.0,-50.0],[50.0,-50.0],[50.0,50.0],[-50.0,50.0],[-50.0,-50.0]]]}},
+        |{"type":"Feature","properties":{"name":"crossing"},
+        | "geometry":{"type":"Polygon","coordinates":[[[8.0,8.0],[15.0,8.0],[15.0,12.0],[8.0,12.0],[8.0,8.0]]]}},
+        |{"type":"Feature","properties":{"name":"disjoint"},
+        | "geometry":{"type":"Polygon","coordinates":[[[20.0,20.0],[25.0,20.0],[25.0,25.0],[20.0,25.0],[20.0,20.0]]]}}
+        |]}""".stripMargin) === Seq("inside", "surrounds_filter", "crossing"))
+    // a geometry sitting wholly inside a HOLE of the filter is outside
+    val holed = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    val p3 = writeText(dir, "hole.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"in_hole"},
+        | "geometry":{"type":"Polygon","coordinates":[[[4.5,4.5],[5.5,4.5],[5.5,5.5],[4.5,5.5],[4.5,4.5]]]}}
+        |]}""".stripMargin)
+    assert(Catalog.attach(spark, "wkt_hole", "spatial",
+      Map("files" -> p3, "spatial_filter" -> holed)).count() === 0L)
+    // Multi*: one member intersecting keeps the feature
+    assert(kept("multi.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"multi_hit"},
+        | "geometry":{"type":"MultiPoint","coordinates":[[50.0,50.0],[5.0,5.0]]}},
+        |{"type":"Feature","properties":{"name":"multi_miss"},
+        | "geometry":{"type":"MultiPolygon","coordinates":[[[[20.0,20.0],[25.0,20.0],[25.0,25.0],[20.0,25.0],[20.0,20.0]]]]}}
+        |]}""".stripMargin) === Seq("multi_hit"))
   }
 
   test("wkb_env_intersects is a native SQL function over WKB") {
