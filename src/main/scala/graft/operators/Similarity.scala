@@ -612,7 +612,15 @@ object Similarity {
     * checks the QUANTIZER, not just shapes. Training is m×iters bounded
     * aggregations over subvector projections of the corpus (k×subDim
     * doubles return to the driver each) — the vectors themselves never
-    * shuffle. */
+    * shuffle — and the m INDEPENDENT subspace loops run CONCURRENTLY
+    * (driver-thread job submission), so wall-clock is one subspace's
+    * iters, not m× the per-job fixed cost the r7 sequential loop paid.
+    * (The alternative single-job fusion — explode each row to its m
+    * (subspace, code, subvector) assignments — measured 3× SLOWER here:
+    * it pushes m× subvector rows through one wide shuffle, while the
+    * per-subspace plans shuffle only k×subDim partials.) Each subspace's
+    * plan is byte-identical to the sequential version, so the codebooks
+    * and every downstream hash are unchanged. */
   def pqModel(candidates: DataFrame, m: Int, kCodes: Int, iters: Int,
       dim: Int): Seq[Seq[(Long, Array[Double])]] = {
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
@@ -626,30 +634,37 @@ object Similarity {
       .collect()
       .sortBy(r => (r.getString(0), r.getLong(1)))
       .map(_.getSeq[Double](2).toArray)
-    (0 until m).map { s =>
-      var cb: Seq[(Long, Array[Double])] = seeds.zipWithIndex
-        .map { case (v, i) => i.toLong -> v.slice(s * subDim, s * subDim + subDim) }
-        .toSeq
-      val sub = candidates.select(subCol("embedding", s, subDim).as("sv"))
-      (1 to iters).foreach { _ =>
-        // centroids quantize to FLOAT32 after each mean — the standard PQ
-        // codebook storage — which also pins the cross-engine replay:
-        // double→decimal conversion in the exact mean can differ between
-        // engines by ~1e-12 per addend (shortest-string vs binary-multiply
-        // rounding), and at large member counts that 1-ulp drift flips
-        // iteration-2 assignments; float rounding absorbs it in both.
-        cb = sub
-          .select(col("sv") +: pqDistCols(col("sv"), cb): _*)
-          .select(col("sv"), pqArgmin(cb).as("code"))
-          .groupBy(col("code"))
-          .agg(call_function("vec_decimal_mean", col("sv")).as("centroid"))
-          .collect()
-          .map(r => r.getLong(0) ->
-            r.getSeq[Double](1).toArray.map(v => v.toFloat.toDouble))
-          .sortBy(_._1).toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val trained = (0 until m).map { s =>
+      Future {
+        var cb: Seq[(Long, Array[Double])] = seeds.zipWithIndex
+          .map { case (v, i) => i.toLong -> v.slice(s * subDim, s * subDim + subDim) }
+          .toSeq
+        val sub = candidates.select(subCol("embedding", s, subDim).as("sv"))
+        (1 to iters).foreach { _ =>
+          // centroids quantize to FLOAT32 after each mean — the standard PQ
+          // codebook storage — which also pins the cross-engine replay:
+          // double→decimal conversion in the exact mean can differ between
+          // engines by ~1e-12 per addend (shortest-string vs binary-multiply
+          // rounding), and at large member counts that 1-ulp drift flips
+          // iteration-2 assignments; float rounding absorbs it in both.
+          cb = sub
+            .select(col("sv") +: pqDistCols(col("sv"), cb): _*)
+            .select(col("sv"), pqArgmin(cb).as("code"))
+            .groupBy(col("code"))
+            .agg(call_function("vec_decimal_mean", col("sv")).as("centroid"))
+            .collect()
+            .map(r => r.getLong(0) ->
+              r.getSeq[Double](1).toArray.map(v => v.toFloat.toDouble))
+            .sortBy(_._1).toSeq
+        }
+        cb
       }
-      cb
     }
+    trained.map(Await.result(_, Duration.Inf))
   }
 
   /** Encode the corpus: (vec_id, code_0..code_{m-1}) as a pure projection —
