@@ -504,16 +504,53 @@ object Similarity {
     * deterministic and replays in SQL — quality measured under the same
     * hash gate as the operators it measures. */
   def recallAtK(queries: DataFrame, candidates: DataFrame, k: Int,
-      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame =
+    recallVsExact(queries, candidates, k,
+      ivfTopKLearned(queries, candidates, k, kCells, iters, nprobe))
+
+  /** RECALL@K of the TWO-STAGE rerank searches ([[pqRerankTopK]] /
+    * [[sqRerankTopK]]) against the exact cosine top-k — proving what the
+    * kCand lever buys at every rung, under the same hash gate as the
+    * searches themselves. */
+  def rerankRecallAtK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCand: Int, stage: String): DataFrame = {
+    val approx = stage match {
+      case "pq" => pqRerankTopK(queries, candidates, k, kCand)
+      case "sq" => sqRerankTopK(queries, candidates, k, kCand)
+      case other => throw new IllegalArgumentException(
+        s"rerankRecallAtK stage `$other` (pq|sq)")
+    }
+    recallVsExact(queries, candidates, k, approx)
+  }
+
+  private def recallVsExact(queries: DataFrame, candidates: DataFrame,
+      k: Int, approx: DataFrame): DataFrame = {
     val exact = bruteForceTopK(queries, candidates, k)
       .select(col("q_id"), col("vec_id"))
-    val approx = ivfTopKLearned(queries, candidates, k, kCells, iters, nprobe)
+    val hits = approx
       .select(col("q_id"), col("vec_id")).withColumn("__hit", lit(1))
-    exact.join(approx, Seq("q_id", "vec_id"), "left")
+    exact.join(hits, Seq("q_id", "vec_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(col("__hit")).as("n_hits"),
         (count(col("__hit")).cast("double") / lit(k)).as("recall_at_k"))
   }
+
+  /** Shared oracle tail: recall of `rr`'s top-k (any ranked CTE with
+    * (q_id, vec_id, rank)) against the exact cosine top-k. Expects
+    * `q(q_id, qv)` / `c(vec_id, cv)` upstream. */
+  def recallTailSql(k: Int): String = s""",
+      approx AS (SELECT q_id, vec_id FROM rr WHERE rank <= $k),
+      ex_scored AS (SELECT q_id, vec_id, ${cosineSql("qv", "cv")} AS cos_sim FROM q, c),
+      ex_ranked AS (SELECT q_id, vec_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, vec_id) AS r
+                    FROM ex_scored),
+      exact AS (SELECT q_id, vec_id FROM ex_ranked WHERE r <= $k)
+      SELECT e.q_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+             CAST(count(a.vec_id) AS DOUBLE) / $k AS recall_at_k
+      FROM exact e LEFT JOIN approx a
+        ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+      GROUP BY e.q_id"""
 
   /** DuckDB rendering of recallAtK. Expects `q(q_id, qv)` / `c(vec_id, cv)`. */
   def recallAtKSql(k: Int, kCells: Int = 4, iters: Int = 2,
@@ -804,9 +841,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
-  /** Oracle for [[pqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
-    * upstream, replays the PQ chain then the exact-cosine rerank. */
-  def pqRerankSql(k: Int, kCand: Int = 30, m: Int = 8, kCodes: Int = 8,
+  /** CTE chain of [[pqRerankTopK]]'s oracle up to the reranked `rr`
+    * relation — shared by the search oracle and the recall oracle. */
+  def pqRerankCtes(kCand: Int = 30, m: Int = 8, kCodes: Int = 8,
       iters: Int = 2, dim: Int = 64): String =
     s"""${pqCtes(m, kCodes, iters, dim)},
       cand AS (SELECT q_id, vec_id FROM ranked WHERE rank <= $kCand),
@@ -817,7 +854,13 @@ object Similarity {
       rr AS (SELECT q_id, vec_id,
                     CAST(row_number() OVER (PARTITION BY q_id
                       ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
-             FROM rer)
+             FROM rer)"""
+
+  /** Oracle for [[pqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
+    * upstream, replays the PQ chain then the exact-cosine rerank. */
+  def pqRerankSql(k: Int, kCand: Int = 30, m: Int = 8, kCodes: Int = 8,
+      iters: Int = 2, dim: Int = 64): String =
+    s"""${pqRerankCtes(kCand, m, kCodes, iters, dim)}
       SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
 
   /** TWO-STAGE ANN via int8 SCALAR QUANTIZATION — the SQ8 production
@@ -863,10 +906,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
-  /** Oracle for [[sqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
-    * upstream; replays the quantizer, the scale-free coarse cosine over
-    * the codes, and the exact rerank. */
-  def sqRerankSql(k: Int, kCand: Int = 30): String =
+  /** CTE chain of [[sqRerankTopK]]'s oracle up to the reranked `rr`
+    * relation — shared by the search oracle and the recall oracle. */
+  def sqRerankCtes(kCand: Int = 30): String =
     s"""sq AS (SELECT vec_id, cv,
                list_max(list_transform(cv, x -> abs(x::DOUBLE))) AS scale FROM c),
       codes AS (SELECT vec_id,
@@ -889,7 +931,13 @@ object Similarity {
       rr AS (SELECT q_id, vec_id,
                     CAST(row_number() OVER (PARTITION BY q_id
                       ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
-             FROM rer)
+             FROM rer)"""
+
+  /** Oracle for [[sqRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
+    * upstream; replays the quantizer, the scale-free coarse cosine over
+    * the codes, and the exact rerank. */
+  def sqRerankSql(k: Int, kCand: Int = 30): String =
+    s"""${sqRerankCtes(kCand)}
       SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
 
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever an

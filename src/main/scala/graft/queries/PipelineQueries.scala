@@ -1104,6 +1104,44 @@ object PipelineQueries {
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${Similarity.sqRerankSql(10, kCand = 30)}"""))
 
+  // ---------------------------------------------------------------- s12
+  // RECALL@10 of the s10 PQ-rerank search against the exact top-10 — the
+  // kCand lever's quality, measured under the same hash gate as the
+  // search (s09 covers learned-IVF only; the rerank paths answer a
+  // different question: how much recall the coarse quantizer's candidate
+  // set preserves before the exact rerank).
+  private val s12 = QueryDef(
+    "s12_ann_pq_rerank_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.rerankRecallAtK(queries, candidates, k = 10, kCand = 30, "pq")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.pqRerankCtes(kCand = 30)}${Similarity.recallTailSql(10)}"""))
+
+  // ---------------------------------------------------------------- s13
+  // RECALL@10 of the s11 SQ8-rerank search against the exact top-10 —
+  // same gate for the scalar-quantized sibling, pinning that the int8
+  // coarse pass loses (or keeps) exactly what the oracle's replay says.
+  private val s13 = QueryDef(
+    "s13_ann_sq_rerank_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.rerankRecallAtK(queries, candidates, k = 10, kCand = 30, "sq")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.sqRerankCtes(kCand = 30)}${Similarity.recallTailSql(10)}"""))
+
   // ---------------------------------------------------------------- t15
   // Corpus-LM quality score (the CCNet perplexity-filter idea, log-free so
   // the cross-engine gate is EXACT — see TextOps.lmQualityScore): the
@@ -1264,5 +1302,5 @@ object PipelineQueries {
              array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
       FROM x"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10, s11)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10, s11, s12, s13)
 }
