@@ -67,11 +67,18 @@ object DeltaSink {
     val tableConf = st.conf
     val live = st.live
     val txnVersions = st.txnVersions
+    // column-mapped tables (mode=name): the frame arrives under LOGICAL
+    // names; data files, partition dirs and stats keys carry PHYSICAL
+    // names per the protocol — rename before the write. mode=id would
+    // additionally need parquet field ids; reject that loudly.
+    var dfW = df
+    var partColsW = partCols
     if (!creating) {
-      if (tableConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      val cmMode = tableConf.getOrElse("delta.columnMapping.mode", "none")
+      if (cmMode != "none" && cmMode != "name")
         throw DeltaReadException(
-          s"`$path`: appending to a column-mapped table is not implemented by " +
-            "this native writer; use a delta connector jar")
+          s"`$path`: column mapping mode `$cmMode` needs parquet field ids; " +
+            "use a delta connector jar to append")
       val existing = DataType.fromJson(tableSchemaJson.getOrElse(
         throw DeltaReadException(s"`$path`: existing log has no metaData action")))
         .asInstanceOf[StructType]
@@ -85,6 +92,16 @@ object DeltaSink {
         throw DeltaReadException(
           s"`$path`: partition_by ${partCols.mkString(",")} does not match the " +
             s"table's partitioning ${tablePartCols.mkString(",")}")
+      if (cmMode == "name") {
+        def physName(f: org.apache.spark.sql.types.StructField): String =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        val physByLogical = existing.fields.map(f => f.name -> physName(f)).toMap
+        dfW = df.select(existing.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).as(physName(f))).toSeq: _*)
+        partColsW = partCols.map(c => physByLogical.getOrElse(c, c))
+      }
       // re-stating the CURRENT property is a no-op (a streaming sink sends
       // its options on every batch); CHANGING it post-creation rejects
       val tableCdf = tableConf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
@@ -100,7 +117,7 @@ object DeltaSink {
     }
 
     // ---- distributed data write into a temp dir, then move under root ----
-    val newFiles = writeDataFiles(df, rootPath, partCols, options)
+    val newFiles = writeDataFiles(dfW, rootPath, partColsW, options)
 
     // ---- one commit JSON, atomically placed at the next version ----
     val version = st.version + 1
@@ -250,26 +267,36 @@ object DeltaSink {
     var conf = Map.empty[String, String]
     var proto: Option[ProtoInfo] = None
     val txns = scala.collection.mutable.Map[String, Long]()
-    // classic checkpoint: ingest its protocol/metaData/add rows as state
-    val lastCp: Option[Long] = {
+    // classic checkpoint (single OR multi-part — delta-spark splits large
+    // logs across N parts; the union of parts is the state): ingest its
+    // protocol/metaData/add rows
+    val lastCpInfo: Option[(Long, Option[Int])] = {
       val lc = new Path(logDir, "_last_checkpoint")
       if (!fs.exists(lc)) None
       else {
         val in = fs.open(lc)
         val node = try mapper.readTree(in) finally in.close()
-        if (node.has("parts")) throw DeltaReadException(
-          s"`$rootPath`: multi-part checkpoints are read-only here; use a delta " +
-            "connector jar to write after one")
-        Some(node.path("version").asLong())
+        Some((node.path("version").asLong(),
+          Option(node.path("parts")).filter(!_.isMissingNode).map(_.asInt())))
       }
     }
-    lastCp.foreach { cpV =>
-      val cpFile = new Path(logDir, f"$cpV%020d.checkpoint.parquet")
-      if (!fs.exists(cpFile)) throw DeltaReadException(
-        s"`$rootPath`: _last_checkpoint names version $cpV but " +
-          s"${cpFile.getName} does not exist (V2/UUID checkpoints are " +
-          "read-only here; use a delta connector jar)")
-      val cp = spark.read.parquet(cpFile.toString)
+    val lastCp: Option[Long] = lastCpInfo.map(_._1)
+    lastCpInfo.foreach { case (cpV, parts) =>
+      val cpFiles: Seq[Path] = parts match {
+        case None => Seq(new Path(logDir, f"$cpV%020d.checkpoint.parquet"))
+        case Some(n) => (1 to n).map(i =>
+          new Path(logDir, f"$cpV%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      }
+      cpFiles.find(!fs.exists(_)).foreach { missing =>
+        throw DeltaReadException(
+          s"`$rootPath`: _last_checkpoint names version $cpV but " +
+            s"${missing.getName} does not exist (V2/UUID checkpoints are " +
+            "read-only here; use a delta connector jar)")
+      }
+      // mergeSchema: parts may split action kinds, the union of part
+      // schemas is the action schema (same rule as the native reader)
+      val cp = spark.read.option("mergeSchema", "true")
+        .parquet(cpFiles.map(_.toString): _*)
       val cols = cp.schema.fieldNames.toSet
       if (cols.contains("protocol")) {
         val sub = cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet

@@ -1253,10 +1253,14 @@ object FormatQueries {
   // table to delta.columnMapping.mode=name (each field's physicalName
   // pinned to its on-disk name, protocol raised to reader 2 / writer 5),
   // then the native reader's column-mapping support serves the SAME data
-  // files under the NEW logical names. The oracle replays the surviving
-  // columns from the source table, so a reader that resolved the renamed
-  // column by logical name (NULLs) or kept serving the dropped one fails
-  // schema AND hash. Mirrors the Iceberg evolution loop format-for-format.
+  // files under the NEW logical names — and a post-evolution APPEND lands
+  // under the new logical schema (the writer maps the frame back to
+  // physical names for the data files, so pre- and post-evolution files
+  // coexist under one mapping). The oracle replays the surviving columns
+  // + the appended slice from the source table, so a reader that resolved
+  // the renamed column by logical name (NULLs), kept serving the dropped
+  // one, or an append that wrote logical-named files fails schema AND
+  // hash. Mirrors the Iceberg evolution loop format-for-format.
   private val l16 = QueryDef(
     "l16_delta_column_mapping",
     (s, dir) => {
@@ -1268,15 +1272,26 @@ object FormatQueries {
       graft.catalog.Sinks.copyTo(cust, out, "delta")
       graft.catalog.DeltaSink.renameColumn(s, out, "c_acctbal", "balance")
       graft.catalog.DeltaSink.dropColumn(s, out, "c_name")
+      // append AFTER the evolution, under the NEW logical schema
+      graft.catalog.DeltaSink.write(
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal").as("balance"), col("c_mktsegment")),
+        out, Map.empty)
       Catalog.attach(s, "l16_customer_delta_cmap", "delta", Map("files" -> out))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(col("balance").cast("decimal(18,2)")).cast("double").as("bal"))
     },
     Some("""
+      WITH u AS (
+        SELECT c_mktsegment, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0)
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-      FROM customer GROUP BY c_mktsegment"""))
+      FROM u GROUP BY c_mktsegment"""))
 
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):

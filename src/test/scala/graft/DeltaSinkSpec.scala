@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 import graft.catalog.{Catalog, DeltaSink, Sinks}
 import graft.sources.DeltaNative
 
@@ -604,6 +606,45 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
   }
 
+  test("writer replay ingests MULTI-PART classic checkpoints") {
+    val root = tempDir("dsink_multicp").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.checkpoint(spark, root) // single-file checkpoint at v1
+    val logDir = new java.io.File(s"$root/_delta_log")
+    val single = new java.io.File(logDir, "00000000000000000001.checkpoint.parquet")
+    // split it into the delta-spark multi-part layout, action kinds split
+    // ACROSS parts (so the merged-schema union is exercised, not just the
+    // multi-file glob): part 1 = protocol+metaData, part 2 = txn+add
+    val cp = spark.read.parquet(single.getPath)
+    def writePart(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = new java.io.File(logDir, s"_part_tmp_$i")
+      df.coalesce(1).write.parquet(tmp.getPath)
+      val p = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath,
+        new java.io.File(logDir,
+          f"00000000000000000001.checkpoint.$i%010d.${2}%010d.parquet").toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    writePart(1, cp.filter(col("protocol").isNotNull || col("metaData").isNotNull)
+      .select("protocol", "metaData"))
+    writePart(2, cp.filter(col("add").isNotNull).select("add"))
+    assert(single.delete())
+    // Hadoop LocalFS keeps .crc sidecars; rewriting the file behind its
+    // back (as this fixture does) must drop the stale checksum too
+    new java.io.File(logDir, "._last_checkpoint.crc").delete()
+    new java.io.File(logDir, ".00000000000000000001.checkpoint.parquet.crc").delete()
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir, "_last_checkpoint").toPath,
+      """{"version":1,"size":4,"parts":2}""")
+    // drop the folded commits — state must come from the parts alone
+    Seq(0L, 1L).foreach(v => new java.io.File(logDir, f"$v%020d.json").delete())
+    // a writer DML replays through the parts and commits on top
+    assert(DeltaSink.deleteWhere(spark, root, "id = 2") === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+  }
+
   test("dropColumn/renameColumn: metadata-only via column-mapping upgrade") {
     val root = tempDir("dsink_cmap").getPath + "/t"
     DeltaSink.write(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "score"),
@@ -649,6 +690,35 @@ class DeltaSinkSpec extends SparkSpec {
     DeltaSink.write(Seq(1L).toDF("id"), sroot, Map.empty)
     assert(intercept[Exception] { DeltaSink.dropColumn(spark, sroot, "id") }
       .getMessage.contains("only column"))
+  }
+
+  test("append to a column-mapped table writes physical-named files") {
+    val root = tempDir("dsink_cmap_append").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a", "US")).toDF("id", "v", "region"), root,
+      Map("partition_by" -> "region"))
+    DeltaSink.renameColumn(spark, root, "v", "label")
+    // append under the NEW logical schema; data file must carry the OLD
+    // physical name `v` and partition dirs the physical partition key
+    DeltaSink.write(Seq((2L, "b", "DE")).toDF("id", "label", "region"), root,
+      Map("partition_by" -> "region"))
+    val rows = readBack(root).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "US"), (2L, "b", "DE")))
+    // the appended parquet file's footer carries the PHYSICAL column name
+    val newFile = new java.io.File(s"$root/region=DE").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(newFile.getPath),
+      spark.sessionState.newHadoopConf()))
+    val names = try rdr.getFooter.getFileMetaData.getSchema.getFields
+      .asScala.map(_.getName).toSet finally rdr.close()
+    assert(names.contains("v") && !names.contains("label"), names)
+    // overwrite works under the mapping too
+    DeltaSink.write(Seq((9L, "z", "FR")).toDF("id", "label", "region"), root,
+      Map("partition_by" -> "region", "overwrite" -> "true"))
+    assert(readBack(root).collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
   test("deleteWhereDv: first DV commit upgrades the protocol and loosens stats bounds") {
