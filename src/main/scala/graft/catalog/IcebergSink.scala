@@ -32,12 +32,17 @@ import org.apache.spark.sql.types._
   * Scope (rejects loudly otherwise): flat schemas of the primitive types
   * the reader round-trips (nested field-id assignment through Spark's
   * writer needs per-level metadata plumbing — a connector-jar feature),
-  * single writer (version-file collision errors). Identity partitioning
-  * via `partition_by=c1,c2` (int/long/string/boolean sources): dynamic
-  * fanout on COPIES of the partition columns, so each data file holds one
-  * partition tuple (recorded in the manifest's r102 record) while the
-  * real columns stay in the files as the spec expects; other transforms
-  * and spec evolution reject loudly. */
+  * single writer (version-file collision errors). Partitioning via
+  * `partition_by` with the spec's transforms — `c` (identity on
+  * int/long/string/boolean), `bucket(N, c)` (murmur3 per Appendix B, the
+  * reader's own iceberg_bucket expression), `truncate(W, c)` (floor for
+  * int/long, prefix for string), `year(c)`/`month(c)`/`day(c)`/`hour(c)`
+  * (UTC-correct, the same closed forms the reader's equality-delete
+  * scoping uses): dynamic fanout on COPIES of the transform values, so
+  * each data file holds one partition tuple (recorded in the manifest's
+  * r102 record, typed per the transform's result) while the real source
+  * columns stay in the files as the spec expects; spec evolution rejects
+  * loudly. */
 object IcebergSink {
   import graft.sources.IcebergNative.IcebergReadException
 
@@ -45,6 +50,124 @@ object IcebergSink {
 
   val validOptions: Set[String] =
     Set("overwrite", "compression", "max_file_size_rows", "partition_by")
+
+  // ------------------------------------------- partition-spec transforms
+
+  /** One partition-spec field: spec-convention name, the spec's transform
+    * string (`identity`, `bucket[N]`, `truncate[W]`, `year|month|day|hour`),
+    * its source column, and the transform's RESULT type (what the r102
+    * tuple and the fanout value carry). */
+  private[catalog] final case class PartField(name: String, transform: String,
+      srcCol: String, resultType: DataType)
+
+  private val bucketCallRe = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)$""".r
+  private val truncCallRe = """(?i)^truncate\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)$""".r
+  private val unaryCallRe = """(?i)^(years?|months?|days?|hours?)\s*\(\s*([^)]+?)\s*\)$""".r
+
+  /** Parse a `partition_by` entry list (`c`, `bucket(16, c)`,
+    * `truncate(4, c)`, `day(ts)`, …) against the frame schema, with the
+    * spec's per-transform source-type rules enforced loudly. */
+  private[catalog] def parsePartitionBy(entries: Seq[String],
+      schema: StructType): Seq[PartField] = entries.map { raw =>
+    def src(c: String): StructField = schema.fields.find(_.name == c).getOrElse(
+      throw IcebergReadException(s"partition_by column `$c` is not in the frame"))
+    raw match {
+      case bucketCallRe(n, c) =>
+        src(c).dataType match {
+          case IntegerType | LongType | DateType | TimestampType | StringType => ()
+          case other => throw IcebergReadException(
+            s"partition_by bucket($n, $c): bucket on ${other.simpleString} is " +
+              "not supported (int/long/date/timestamp/string)")
+        }
+        PartField(s"${c}_bucket", s"bucket[$n]", c, IntegerType)
+      case truncCallRe(w, c) =>
+        val dt = src(c).dataType
+        dt match {
+          case IntegerType | LongType | StringType => ()
+          case other => throw IcebergReadException(
+            s"partition_by truncate($w, $c): truncate on ${other.simpleString} " +
+              "is not supported (int/long/string)")
+        }
+        PartField(s"${c}_trunc", s"truncate[$w]", c, dt)
+      case unaryCallRe(t, c) =>
+        val canon = t.toLowerCase.stripSuffix("s")
+        (canon, src(c).dataType) match {
+          case ("hour", TimestampType) => ()
+          case ("year" | "month" | "day", DateType | TimestampType) => ()
+          case (_, other) => throw IcebergReadException(
+            s"partition_by $t($c): $canon on ${other.simpleString} is not " +
+              "supported (date/timestamp; hour needs timestamp)")
+        }
+        PartField(s"${c}_$canon", canon, c, IntegerType)
+      case c =>
+        src(c).dataType match {
+          case IntegerType | LongType | StringType | BooleanType |
+            ShortType | ByteType => ()
+          case other => throw IcebergReadException(
+            s"partition_by column `$c`: identity partitioning on " +
+              s"${other.simpleString} is not supported by this native writer " +
+              "(int/long/string/boolean)")
+        }
+        PartField(c, "identity", c, src(c).dataType)
+    }
+  }
+
+  private val bucketTrRe = """bucket\[(\d+)\]""".r
+  private val truncTrRe = """truncate\[(\d+)\]""".r
+
+  private def resultTypeOf(transform: String, srcType: DataType): DataType =
+    transform match {
+      case "identity" => srcType
+      case bucketTrRe(_) => IntegerType
+      case truncTrRe(_) => srcType
+      case "year" | "years" | "month" | "months" | "day" | "days" |
+        "hour" | "hours" => IntegerType
+      case other => throw IcebergReadException(
+        s"partition transform `$other` is not supported by this native writer")
+    }
+
+  /** The transform as a Column over the frame — the SAME closed forms the
+    * reader's equality-delete scoping recomputes (UTC-correct temporal
+    * decomposition, pmod floor truncation, the native iceberg_bucket
+    * murmur3), so writer tuples and reader scopes can never disagree. */
+  private def transformCol(schema: StructType, pf: PartField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, date_add, datediff, expr, lit,
+      month, pmod, substring, unix_micros, year}
+    val src = col(pf.srcCol)
+    val dt = schema(pf.srcCol).dataType
+    val quoted = "`" + pf.srcCol.replace("`", "``") + "`"
+    def floorDiv(c: org.apache.spark.sql.Column, d: Long) =
+      ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+    def utcDate(ts: org.apache.spark.sql.Column) =
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        floorDiv(unix_micros(ts), 86400000000L).cast("int"))
+    pf.transform match {
+      case "identity" => src
+      case bucketTrRe(n) => expr(s"iceberg_bucket($quoted, $n)")
+      case truncTrRe(w) => dt match {
+        case IntegerType | LongType => (src - pmod(src, lit(w.toLong))).cast(dt)
+        case StringType => substring(src, 1, w.toInt)
+        case other => throw IcebergReadException(
+          s"truncate over ${other.simpleString} is not supported")
+      }
+      case "year" | "years" => (dt match {
+        case DateType => year(src) - lit(1970)
+        case _ => year(utcDate(src)) - lit(1970)
+      }).cast("int")
+      case "month" | "months" => (dt match {
+        case DateType => (year(src) - lit(1970)) * lit(12) + month(src) - lit(1)
+        case _ =>
+          (year(utcDate(src)) - lit(1970)) * lit(12) + month(utcDate(src)) - lit(1)
+      }).cast("int")
+      case "day" | "days" => (dt match {
+        case DateType => datediff(src, lit(java.sql.Date.valueOf("1970-01-01")))
+        case _ => floorDiv(unix_micros(src), 86400000000L)
+      }).cast("int")
+      case "hour" | "hours" => floorDiv(unix_micros(src), 3600000000L).cast("int")
+      case other => throw IcebergReadException(
+        s"partition transform `$other` is not supported by this native writer")
+    }
+  }
 
   // ------------------------------------------------------- Avro schemas
   // Written per the spec's manifest/manifest-list required core; optional
@@ -169,12 +292,15 @@ object IcebergSink {
 
   /** The default partition spec's field (source-column) names; Nil =
     * unpartitioned. */
+  /** Default partition-spec fields as (name, transform, source-id). */
   private def defaultSpecFields(
-      meta: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[(String, String, Int)] = {
     val specId = meta.path("default-spec-id").asInt(0)
     meta.path("partition-specs").elements().asScala
       .find(_.path("spec-id").asInt(-1) == specId)
-      .map(_.path("fields").elements().asScala.map(_.path("name").asText()).toSeq)
+      .map(_.path("fields").elements().asScala.map(f =>
+        (f.path("name").asText(), f.path("transform").asText("identity"),
+          f.path("source-id").asInt(-1))).toSeq)
       .getOrElse(Nil)
   }
 
@@ -240,21 +366,21 @@ object IcebergSink {
       mapper.writeValueAsString(sch)
     }
 
-    // ---- identity partition spec (partition_by=c1,c2) ----
-    val partColsOpt: Option[Seq[String]] = options.get("partition_by")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    partColsOpt.foreach(_.foreach { c =>
-      val f = df.schema.fields.find(_.name == c).getOrElse(
-        throw IcebergReadException(s"partition_by column `$c` is not in the frame"))
-      f.dataType match {
-        case IntegerType | LongType | StringType | BooleanType |
-          ShortType | ByteType => ()
-        case other => throw IcebergReadException(
-          s"partition_by column `$c`: identity partitioning on " +
-            s"${other.simpleString} is not supported by this native writer " +
-            "(int/long/string/boolean)")
+    // ---- partition spec (partition_by=c1,bucket(16,c2),day(ts),…) ----
+    // split on TOP-LEVEL commas only: transform calls carry their own
+    val partColsOpt: Option[Seq[PartField]] = options.get("partition_by")
+      .map { s =>
+        val out = Seq.newBuilder[String]
+        var depth = 0; val cur = new StringBuilder
+        s.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case ch => cur += ch
+        }
+        out += cur.toString
+        parsePartitionBy(out.result().map(_.trim).filter(_.nonEmpty), df.schema)
       }
-    })
 
     // ---- existing-table state ----
     val hint = new Path(metaDir, "version-hint.text")
@@ -266,7 +392,7 @@ object IcebergSink {
     var prevSnapshotLog: Seq[(Long, Long)] = Nil // (timestamp-ms, snapshot-id)
     var lastSeq = 0L
     var lastSnapshotId = 0L
-    var partColsEff: Seq[String] = partColsOpt.getOrElse(Nil)
+    var partColsEff: Seq[PartField] = partColsOpt.getOrElse(Nil)
     // preserved verbatim on existing tables: the table identity and the
     // declared schema/spec history are COMMIT-INVARIANT — regenerating them
     // from the incoming frame would let an append rewrite nullability
@@ -286,12 +412,30 @@ object IcebergSink {
       }
       // the table's spec wins; a conflicting explicit option rejects (spec
       // evolution is a connector-jar feature)
-      val tableSpec = defaultSpecFields(meta)
+      val existingSchema0 = if (meta.has("schemas")) {
+        val cur = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == cur).get
+      } else meta.path("schema")
+      val nameById = existingSchema0.path("fields").elements().asScala
+        .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+      val tableSpec: Seq[PartField] = defaultSpecFields(meta).map {
+        case (nm, tr, srcId) =>
+          val srcName = nameById.getOrElse(srcId, throw IcebergReadException(
+            s"`$path`: partition spec source-id $srcId is not in the current schema"))
+          val srcType = df.schema.fields.find(_.name == srcName)
+            .map(_.dataType).getOrElse(throw IcebergReadException(
+              s"`$path`: partition source column `$srcName` is not in the frame"))
+          PartField(nm, tr, srcName, resultTypeOf(tr, srcType))
+      }
       partColsOpt.foreach { pc =>
-        if (pc != tableSpec) throw IcebergReadException(
-          s"`$path`: partition_by ${pc.mkString(",")} conflicts with the " +
-            s"table's partition spec (${tableSpec.mkString(",")}); this " +
-            "writer does not evolve partition specs")
+        if (pc.map(p => (p.transform, p.srcCol)) !=
+            tableSpec.map(p => (p.transform, p.srcCol)))
+          throw IcebergReadException(
+            s"`$path`: partition_by ${pc.map(p => s"${p.transform}(${p.srcCol})")
+              .mkString(",")} conflicts with the table's partition spec (${
+              tableSpec.map(p => s"${p.transform}(${p.srcCol})").mkString(",")}); " +
+              "this writer does not evolve partition specs")
       }
       partColsEff = tableSpec
       val existingSchema = if (meta.has("schemas")) {
@@ -370,8 +514,8 @@ object IcebergSink {
       org.apache.spark.sql.functions.col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
-    val writeDf = partColsEff.zipWithIndex.foldLeft(writeDf0) { case (d, (c, i)) =>
-      d.withColumn(s"__gpk$i", org.apache.spark.sql.functions.col(c).cast("string"))
+    val writeDf = partColsEff.zipWithIndex.foldLeft(writeDf0) { case (d, (pf, i)) =>
+      d.withColumn(s"__gpk$i", transformCol(df.schema, pf).cast("string"))
     }
     val tmp = new Path(rootPath,
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -388,14 +532,14 @@ object IcebergSink {
       upper: java.util.Map[String, java.nio.ByteBuffer],
       nullCounts: java.util.Map[String, java.lang.Long])
     def partValuesOf(p: Path): Seq[Any] =
-      partColsEff.zipWithIndex.map { case (c, i) =>
+      partColsEff.zipWithIndex.map { case (pf, i) =>
         val re = (s"__gpk$i=([^/]*)").r
         val raw = re.findFirstMatchIn(p.toString).map(_.group(1)).getOrElse(
           throw IcebergReadException(
             s"`$path`: partitioned write produced a file outside __gpk$i=: $p"))
         val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
         if (decoded == "__HIVE_DEFAULT_PARTITION__") null
-        else df.schema(c).dataType match {
+        else pf.resultType match {
           case IntegerType | ShortType | ByteType => Int.box(decoded.toInt)
           case LongType => Long.box(decoded.toLong)
           case BooleanType => Boolean.box(decoded.toBoolean)
@@ -453,9 +597,9 @@ object IcebergSink {
     val (dfSch, eSch) =
       if (partColsEff.isEmpty) (dfSchema, entrySchema)
       else {
-        val pf = partColsEff.map { c =>
-          s"""{"name":${mapper.writeValueAsString(c)},"type":["null",${
-            avroTypeFor(df.schema(c).dataType)}],"default":null}"""
+        val pf = partColsEff.map { p =>
+          s"""{"name":${mapper.writeValueAsString(p.name)},"type":["null",${
+            avroTypeFor(p.resultType)}],"default":null}"""
         }.mkString(",")
         val d = new org.apache.avro.Schema.Parser().parse(
           s"""{"type":"record","name":"r2","fields":[
@@ -486,7 +630,7 @@ object IcebergSink {
       d.put("file_format", "PARQUET")
       partRecordSchema.foreach { prs =>
         val pr = new GenericData.Record(prs)
-        partColsEff.zip(f.partValues).foreach { case (c, v) => pr.put(c, v) }
+        partColsEff.zip(f.partValues).foreach { case (p, v) => pr.put(p.name, v) }
         d.put("partition", pr)
       }
       d.put("record_count", f.records)
@@ -543,10 +687,11 @@ object IcebergSink {
          |"schemas": ${prevSchemasJson.getOrElse(s"[$schemaJson]")},
          |"default-spec-id": ${if (prevSpecsJson.isDefined) prevDefaultSpecId else 0},
          |"partition-specs": ${prevSpecsJson.getOrElse(s"""[{"spec-id": 0, "fields": [${
-      partColsEff.zipWithIndex.map { case (c, i) =>
-        val srcId = fieldIds.find(_._1.name == c).map(_._2).getOrElse(
-          throw IcebergReadException(s"partition column `$c` missing a field id"))
-        s"""{"name": ${mapper.writeValueAsString(c)}, "transform": "identity", """ +
+      partColsEff.zipWithIndex.map { case (p, i) =>
+        val srcId = fieldIds.find(_._1.name == p.srcCol).map(_._2).getOrElse(
+          throw IcebergReadException(s"partition column `${p.srcCol}` missing a field id"))
+        s"""{"name": ${mapper.writeValueAsString(p.name)}, "transform": ${
+          mapper.writeValueAsString(p.transform)}, """ +
           s""""source-id": $srcId, "field-id": ${1000 + i}}"""
       }.mkString(", ")}]}]""")},
          |"current-snapshot-id": $snapshotId,
@@ -677,7 +822,7 @@ object IcebergSink {
     val spec = defaultSpecFields(st.meta)
     if (spec.nonEmpty) throw IcebergReadException(
       s"`$path`: $what appends data files and needs partition-aware file " +
-        s"splitting on a partitioned table (spec: ${spec.mkString(",")}); " +
+        s"splitting on a partitioned table (spec: ${spec.map(_._1).mkString(",")}); " +
         "use DELETE + INSERT (append) or an iceberg connector jar")
   }
 

@@ -1335,6 +1335,42 @@ object FormatQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM u GROUP BY o_orderstatus"""))
 
+  // ---------------------------------------------------------------- w09
+  // TRANSFORM-PARTITIONED ICEBERG WRITE: the spec's day() + truncate()
+  // transforms drive the dynamic fanout (one data file per partition
+  // tuple, tuples typed per the transform result in the manifest r102
+  // record, transform strings in metadata.json) while the real source
+  // columns stay in the files. The read-back aggregate hash-matches the
+  // source replay, so a transform that bucketed rows into the wrong
+  // partition file, dropped rows at the fanout boundary, or double-wrote
+  // a tuple fails rows AND hash. (Tuple VALUES are pinned against an
+  // independent recomputation — murmur3 bucket included — in
+  // IcebergSinkSpec; DuckDB cannot express the murmur3 side.)
+  private val w09 = QueryDef(
+    "w09_iceberg_transform_partition",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w09_tpart"
+      rmTree(out)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 20 === 0)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts"), col("value"))
+      graft.catalog.Sinks.copyTo(ev, out, "iceberg",
+        Map("partition_by" -> "day(ts), truncate(2, event_type)"))
+      Catalog.attach(s, "w09_events_iceberg_tpart", "iceberg",
+        Map("files" -> out))
+        .filter(col("event_type") =!= "view")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE user_id % 20 = 0 AND event_type <> 'view'
+      GROUP BY event_type"""))
+
   private val w04 = QueryDef(
     "w04_delta_dml",
     (s, dir) => {
@@ -1680,5 +1716,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07, w08, f01)
+      l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07,
+      w08, w09, f01)
 }

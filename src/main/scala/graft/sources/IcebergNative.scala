@@ -329,8 +329,11 @@ object IcebergNative {
       .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
 
     // field id → access path, descending into STRUCT nesting (a.b.c). Ids
-    // inside list/map element types are deliberately absent: an equality
-    // delete can't address a repeated element row-wise, so those reject.
+    // inside list/map element types are deliberately absent: the Iceberg
+    // spec's equality-delete rule allows nested fields only when they are
+    // NOT inside a map or list (a repeated element can't address a row),
+    // so a delete file referencing one is MALFORMED — loud reject is the
+    // spec-correct terminal behavior, not a coverage gap.
     val idToPath: Map[Int, Seq[String]] = {
       def walk(node: JsonNode, prefix: Seq[String]): Seq[(Int, Seq[String])] =
         node.path("fields").elements().asScala.toSeq.flatMap { f =>

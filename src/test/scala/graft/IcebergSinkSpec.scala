@@ -378,6 +378,80 @@ class IcebergSinkSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("identity partitioning"))
   }
+  test("transform-partitioned write: bucket/truncate/day tuples, UTC, spec JSON") {
+    val root = tempDir("isink_tpart").getPath
+    // a pre-1970 timestamp pins the FLOOR day (negative), and two rows a
+    // UTC-midnight apart pin that the transform is UTC, not session-local
+    val ts = Seq(
+      "2024-03-05 23:59:59.0", "2024-03-06 00:00:01.0", "1969-12-31 22:00:00.0")
+      .map(java.sql.Timestamp.valueOf)
+    val df = Seq(
+      (100L, "alpha", ts(0)), (101L, "alphonse", ts(1)), (4L, "be", ts(2)))
+      .toDF("id", "name", "ts")
+    Sinks.copyTo(df, root, "iceberg",
+      Map("partition_by" -> "bucket(4, id), truncate(3, name), day(ts)"))
+    // data round-trips; real source columns stay in the files
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(4L, 100L, 101L))
+    // metadata.json records the three transforms with spec-convention names
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "metadata/v1.metadata.json").toPath), "UTF-8")
+    assert(meta.contains(""""transform": "bucket[4]"""") &&
+      meta.contains(""""name": "id_bucket""""), meta.take(2000))
+    assert(meta.contains(""""transform": "truncate[3]"""") &&
+      meta.contains(""""name": "name_trunc""""))
+    assert(meta.contains(""""transform": "day"""") &&
+      meta.contains(""""name": "ts_day""""))
+    // manifest tuples match an INDEPENDENT recomputation of every transform
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val mf = new java.io.File(root, "metadata").listFiles()
+      .find(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).get
+    val rd = new DataFileReader[GenericRecord](mf,
+      new GenericDatumReader[GenericRecord]())
+    val tuples = try {
+      import scala.jdk.CollectionConverters._
+      rd.iterator().asScala.map { e =>
+        val p = e.get("data_file").asInstanceOf[GenericRecord]
+          .get("partition").asInstanceOf[GenericRecord]
+        (p.get("id_bucket").asInstanceOf[Int], p.get("name_trunc").toString,
+          p.get("ts_day").asInstanceOf[Int])
+      }.toSet
+    } finally rd.close()
+    def epochDay(t: java.sql.Timestamp): Int =
+      Math.floorDiv(t.getTime, 86400000L).toInt
+    val expected = Seq((100L, "alpha", ts(0)), (101L, "alphonse", ts(1)),
+      (4L, "be", ts(2))).map { case (id, nm, t) =>
+      (graft.functions.IcebergTransforms.bucketLong(id, 4),
+        nm.take(3), epochDay(t))
+    }.toSet
+    assert(tuples === expected, s"tuples=$tuples expected=$expected")
+    assert(expected.exists(_._3 < 0)) // the pre-1970 row really pinned floor
+    // append with no partition_by derives the table's transform spec
+    Sinks.copyTo(Seq((7L, "gamma", ts(0))).toDF("id", "name", "ts"),
+      root, "iceberg")
+    assert(readBack(root).count() === 4L)
+    // a conflicting transform spec rejects loudly
+    val e = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((8L, "d", ts(0))).toDF("id", "name", "ts"), root,
+        "iceberg", Map("partition_by" -> "bucket(8, id), truncate(3, name), day(ts)"))
+    }
+    assert(e.getMessage.contains("partition spec"))
+    // unsupported transform source types reject loudly
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((1L, 1.5)).toDF("id", "x"),
+        tempDir("isink_tpart_bad").getPath, "iceberg",
+        Map("partition_by" -> "bucket(4, x)"))
+    }
+    assert(e2.getMessage.contains("bucket on double"))
+    val e3 = intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"),
+        tempDir("isink_tpart_bad2").getPath, "iceberg",
+        Map("partition_by" -> "hour(id)"))
+    }
+    assert(e3.getMessage.contains("hour needs timestamp"))
+  }
+
   test("addColumn: metadata-only evolution; id'd old files NULL; appends carry it") {
     val root = tempDir("isink_addcol").getPath + "/t"
     IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
