@@ -692,12 +692,88 @@ object IcebergNative {
         toStruct(schemaNode, withFieldIds = true, timeAsLong = true)
       } else schema
 
+    // The r102 partition tuple is SKIPPING FUEL too (the rest of what
+    // Iceberg's own planner burns): an identity tuple pins an exact
+    // min=max for its source column, and the temporal/truncate transforms
+    // pin the source-value INTERVAL the tuple covers (day d → micros
+    // [d·86400e6, (d+1)·86400e6)). Derived bounds feed the SAME FileStats
+    // pruning model as the manifest column bounds — crucial for tables
+    // written with column metrics disabled (write.metadata.metrics.default
+    // = none), where tuples are the only per-file statistics. Values are
+    // normalized exactly as decodeBound normalizes manifest bounds
+    // (int/date → Long days, timestamp → Long micros, string, boolean),
+    // so the comparator semantics are shared. Bucket tuples carry no
+    // source-range information and contribute nothing.
+    val primTypeOf: Map[String, String] = schemaNode.path("fields").elements().asScala
+      .collect { case f if f.path("type").isTextual =>
+        f.path("name").asText() -> f.path("type").asText() }.toMap
+    def tupleDerivedBounds(f: FileRef): (Map[String, Any], Map[String, Any]) = {
+      val mins = Map.newBuilder[String, Any]
+      val maxs = Map.newBuilder[String, Any]
+      val bucketRe = """bucket\[(\d+)\]""".r
+      val truncRe = """truncate\[(\d+)\]""".r
+      val epoch = java.time.LocalDate.ofEpochDay(0)
+      specFields.foreach { case (fname, (transform, srcOpt)) =>
+        for {
+          src <- srcOpt
+          typeText <- primTypeOf.get(src)
+          raw <- f.tuple.get(fname)
+          if raw != null
+        } {
+          def num = raw.asInstanceOf[Number].longValue()
+          val micros = typeText == "timestamp" || typeText == "timestamptz"
+          val days = typeText == "date"
+          def put(lo: Any, hi: Any): Unit = { mins += src -> lo; maxs += src -> hi }
+          def interval(start: java.time.LocalDate, end: java.time.LocalDate): Unit =
+            if (days) put(start.toEpochDay, end.toEpochDay - 1L)
+            else if (micros) put(start.toEpochDay * 86400000000L,
+              end.toEpochDay * 86400000000L - 1L)
+          transform match {
+            case "identity" => typeText match {
+              case "int" | "date" | "long" | "timestamp" | "timestamptz" =>
+                put(num, num)
+              case "string" => val s0 = raw.toString; put(s0, s0)
+              case "boolean" => val b = raw.asInstanceOf[Boolean]; put(b, b)
+              case _ => ()
+            }
+            case "day" | "days" if days || micros =>
+              interval(epoch.plusDays(num), epoch.plusDays(num + 1))
+            case "month" | "months" if days || micros =>
+              interval(epoch.plusMonths(num), epoch.plusMonths(num + 1))
+            case "year" | "years" if days || micros =>
+              interval(epoch.plusYears(num), epoch.plusYears(num + 1))
+            case "hour" | "hours" if micros =>
+              put(num * 3600000000L, (num + 1) * 3600000000L - 1L)
+            case truncRe(w) => typeText match {
+              case "int" | "long" => put(num, num + w.toLong - 1L)
+              case "string" => mins += src -> raw.toString // open above
+              case _ => ()
+            }
+            case bucketRe(_) => () // hash tuple: no source range
+            case _ => ()
+          }
+        }
+      }
+      (mins.result(), maxs.result())
+    }
+    def statsWithTupleBounds(f: FileRef): Option[LogFileIndex.FileStats] = {
+      val (tMin, tMax) = tupleDerivedBounds(f)
+      f.stats match {
+        case Some(s) => // manifest column bounds are at least as tight: they win
+          Some(s.copy(min = tMin ++ s.min, max = tMax ++ s.max))
+        case None if tMin.nonEmpty || tMax.nonEmpty =>
+          Some(LogFileIndex.FileStats(None, tMin, tMax, Map.empty))
+        case None => None
+      }
+    }
+
     // Data scan through the manifest-backed FileIndex: per-file
     // lower/upper bounds + null counts prune files at PLAN time against the
     // pushed filters (the skipping Iceberg's own planner does), and
     // sizeInBytes reports the manifests' true byte count. Iceberg data
     // files are identity-complete (partition columns live in the files), so
-    // the partition schema is empty and pruning rides the stats.
+    // the partition schema is empty and pruning rides the stats — manifest
+    // column bounds plus the tuple-derived bounds above.
     def indexedScan(files: Seq[FileRef], rowsExact: Boolean = false): DataFrame = {
       val entries = files.map { f =>
         new LogFileIndex.IndexedFile(
@@ -710,7 +786,7 @@ object IcebergNative {
           servedIdentity.map { case (fname, src) =>
             src -> tupleString(f.tuple.getOrElse(fname, null), schema(src).dataType)
           }.toMap,
-          () => f.stats)
+          () => statsWithTupleBounds(f))
       }
       // tuple-served identity columns become true partition columns of the
       // relation (typed via Cast in the index); the file-read schema drops

@@ -452,6 +452,90 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e3.getMessage.contains("hour needs timestamp"))
   }
 
+  test("partition-tuple bounds prune files when manifest column metrics are absent") {
+    val root = tempDir("isink_tprune").getPath
+    val ts = Seq("2024-03-05 10:00:00.0", "2024-03-05 20:00:00.0",
+      "2024-03-07 09:00:00.0").map(java.sql.Timestamp.valueOf)
+    Sinks.copyTo(Seq((1L, ts(0)), (2L, ts(1)), (3L, ts(2))).toDF("id", "ts")
+      .coalesce(1), // one file per day tuple, so numFiles pins the pruning
+      root, "iceberg", Map("partition_by" -> "day(ts)"))
+    // strip the manifest's column metrics — the shape of a table written
+    // with write.metadata.metrics.default=none, where the r102 tuple is
+    // the ONLY per-file statistic
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val mdDir = new java.io.File(root, "metadata")
+    val mf = mdDir.listFiles()
+      .find(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).get
+    val rd = new DataFileReader[GenericRecord](mf,
+      new GenericDatumReader[GenericRecord]())
+    val (sch, recs) = try {
+      import scala.jdk.CollectionConverters._
+      (rd.getSchema, rd.iterator().asScala.toList)
+    } finally rd.close()
+    recs.foreach { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      d.put("lower_bounds", null); d.put("upper_bounds", null)
+      d.put("null_value_counts", null)
+    }
+    val wr = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+    val tmpAvro = new java.io.File(mdDir, "m-stripped.avro.tmp")
+    wr.create(sch, tmpAvro)
+    try recs.foreach(wr.append) finally wr.close()
+    assert(mf.delete() && tmpAvro.renameTo(mf))
+    new java.io.File(mdDir, s".${mf.getName}.crc").delete() // stale LocalFS checksum
+    // a day-range filter opens ONLY the matching day's file — the tuple
+    // interval [d·86400e6, (d+1)·86400e6) is doing the pruning
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(plan: SparkPlan): Option[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(s) => s }
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+      val rows = df.collect().toSeq.map(_.getLong(0))
+      val scan = findScan(df.queryExecution.executedPlan).getOrElse(
+        fail("no FileSourceScanExec in the executed plan"))
+      (rows, scan.metrics("numFiles").value)
+    }
+    val t = readBack(root)
+    val (r1, n1) = filesRead(t.filter(col("ts") >=
+      java.sql.Timestamp.valueOf("2024-03-07 00:00:00.0")).select("id"))
+    assert(r1 === Seq(3L) && n1 === 1L, (r1, n1))
+    val (r2, n2) = filesRead(t.filter(col("ts") <
+      java.sql.Timestamp.valueOf("2024-03-06 00:00:00.0")).select("id"))
+    assert(r2.sorted === Seq(1L, 2L) && n2 === 1L, (r2, n2))
+    // identity tuples pin exact min=max the same way
+    val root2 = tempDir("isink_iprune").getPath
+    Sinks.copyTo(Seq((1L, "us"), (2L, "eu")).toDF("id", "region").coalesce(1),
+      root2, "iceberg", Map("partition_by" -> "region"))
+    val md2 = new java.io.File(root2, "metadata")
+    val mf2 = md2.listFiles()
+      .find(f => f.getName.startsWith("m-") && f.getName.endsWith(".avro")).get
+    val rd2 = new DataFileReader[GenericRecord](mf2,
+      new GenericDatumReader[GenericRecord]())
+    val (sch2, recs2) = try {
+      import scala.jdk.CollectionConverters._
+      (rd2.getSchema, rd2.iterator().asScala.toList)
+    } finally rd2.close()
+    recs2.foreach { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      d.put("lower_bounds", null); d.put("upper_bounds", null)
+      d.put("null_value_counts", null)
+    }
+    val wr2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch2))
+    val tmp2 = new java.io.File(md2, "m2.avro.tmp")
+    wr2.create(sch2, tmp2)
+    try recs2.foreach(wr2.append) finally wr2.close()
+    assert(mf2.delete() && tmp2.renameTo(mf2))
+    new java.io.File(md2, s".${mf2.getName}.crc").delete() // stale LocalFS checksum
+    val (r3, n3) = filesRead(readBack(root2)
+      .filter(col("region") === "eu").select("id"))
+    assert(r3 === Seq(2L) && n3 === 1L, (r3, n3))
+  }
+
   test("addColumn: metadata-only evolution; id'd old files NULL; appends carry it") {
     val root = tempDir("isink_addcol").getPath + "/t"
     IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
