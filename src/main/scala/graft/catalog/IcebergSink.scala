@@ -115,6 +115,106 @@ object IcebergSink {
   private val bucketTrRe = """bucket\[(\d+)\]""".r
   private val truncTrRe = """truncate\[(\d+)\]""".r
 
+  private def avroTypeFor(dt: DataType): String = dt match {
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType => "\"long\""
+    case BooleanType => "\"boolean\""
+    case _ => "\"string\""
+  }
+
+  private def icePrimToSpark(t: String): DataType = t match {
+    case "int" => IntegerType
+    case "long" => LongType
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case other => throw IcebergReadException(
+      s"partition source type `$other` is not supported for partitioned appends")
+  }
+
+  /** The table's default partition spec as PartFields, source types read
+    * from the current schema's (textual) field types. Empty when
+    * unpartitioned. */
+  private def morPartFields(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[PartField] = {
+    val specs = defaultSpecFields(meta)
+    if (specs.isEmpty) return Nil
+    val sch = if (meta.has("schemas")) {
+      val cur = meta.path("current-schema-id").asInt(0)
+      meta.path("schemas").elements().asScala
+        .find(_.path("schema-id").asInt(-1) == cur).get
+    } else meta.path("schema")
+    val byId: Map[Int, (String, String)] = sch.path("fields").elements().asScala
+      .collect { case f if f.path("type").isTextual =>
+        f.path("id").asInt() -> (f.path("name").asText(), f.path("type").asText())
+      }.toMap
+    specs.map { case (nm, tr, srcId) =>
+      val (src, typeText) = byId.getOrElse(srcId, throw IcebergReadException(
+        s"partition spec source-id $srcId is not a primitive current-schema field"))
+      PartField(nm, tr, src, resultTypeOf(tr, icePrimToSpark(typeText)))
+    }
+  }
+
+  /** Parse the one-tuple-per-file fanout directory values back into typed
+    * r102 partition values. */
+  private def parseTuple(p: Path, partFields: Seq[PartField]): Seq[Any] =
+    partFields.zipWithIndex.map { case (pf, i) =>
+      val re = (s"__gpk$i=([^/]*)").r
+      val raw = re.findFirstMatchIn(p.toString).map(_.group(1)).getOrElse(
+        throw IcebergReadException(
+          s"partitioned write produced a file outside __gpk$i=: $p"))
+      val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+      if (decoded == "__HIVE_DEFAULT_PARTITION__") null
+      else pf.resultType match {
+        case IntegerType | ShortType | ByteType => Int.box(decoded.toInt)
+        case LongType => Long.box(decoded.toLong)
+        case BooleanType => Boolean.box(decoded.toBoolean)
+        case _ => decoded
+      }
+    }
+
+  /** (data_file, manifest_entry) Avro schemas with the spec's r102
+    * partition record inserted, typed per each field's transform result —
+    * the object-level flat schemas when the spec is empty. */
+  private def manifestSchemasFor(partFields: Seq[PartField])
+      : (org.apache.avro.Schema, org.apache.avro.Schema) =
+    if (partFields.isEmpty) (dfSchema, entrySchema)
+    else {
+      val pf = partFields.map { p =>
+        s"""{"name":${mapper.writeValueAsString(p.name)},"type":["null",${
+          avroTypeFor(p.resultType)}],"default":null}"""
+      }.mkString(",")
+      val d = new org.apache.avro.Schema.Parser().parse(
+        s"""{"type":"record","name":"r2","fields":[
+          {"name":"content","type":["null","int"],"default":null},
+          {"name":"file_path","type":"string"},
+          {"name":"file_format","type":"string"},
+          {"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$pf]}],"default":null},
+          {"name":"record_count","type":"long"},
+          {"name":"file_size_in_bytes","type":["null","long"],"default":null},
+          {"name":"content_offset","type":["null","long"],"default":null},
+          {"name":"content_size_in_bytes","type":["null","long"],"default":null},
+          {"name":"referenced_data_file","type":["null","string"],"default":null},
+          {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+          {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
+          {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
+      val e = new org.apache.avro.Schema.Parser().parse(
+        s"""{"type":"record","name":"manifest_entry","fields":[
+          {"name":"status","type":"int"},
+          {"name":"sequence_number","type":["null","long"],"default":null},
+          {"name":"data_file","type":${d.toString}}]}""")
+      (d, e)
+    }
+
+  /** One appended merge-on-read data file: rel path, byte size, row count,
+    * and its (possibly empty) r102 partition tuple. */
+  private final case class MorDataFile(rel: String, size: Long, rows: Long,
+    tuple: Seq[Any])
+
   private def resultTypeOf(transform: String, srcType: DataType): DataType =
     transform match {
       case "identity" => srcType
@@ -531,21 +631,7 @@ object IcebergSink {
       lower: java.util.Map[String, java.nio.ByteBuffer],
       upper: java.util.Map[String, java.nio.ByteBuffer],
       nullCounts: java.util.Map[String, java.lang.Long])
-    def partValuesOf(p: Path): Seq[Any] =
-      partColsEff.zipWithIndex.map { case (pf, i) =>
-        val re = (s"__gpk$i=([^/]*)").r
-        val raw = re.findFirstMatchIn(p.toString).map(_.group(1)).getOrElse(
-          throw IcebergReadException(
-            s"`$path`: partitioned write produced a file outside __gpk$i=: $p"))
-        val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
-        if (decoded == "__HIVE_DEFAULT_PARTITION__") null
-        else pf.resultType match {
-          case IntegerType | ShortType | ByteType => Int.box(decoded.toInt)
-          case LongType => Long.box(decoded.toLong)
-          case BooleanType => Boolean.box(decoded.toBoolean)
-          case _ => decoded
-        }
-      }
+    def partValuesOf(p: Path): Seq[Any] = parseTuple(p, partColsEff)
     val moved = Seq.newBuilder[NewFile]
     var fileIdx = 0
     try {
@@ -588,37 +674,7 @@ object IcebergSink {
     }
     // dynamic manifest schema when partitioned: data_file gains the spec's
     // r102 partition record (one tuple per file by construction above)
-    def avroTypeFor(dt: DataType): String = dt match {
-      case IntegerType | ShortType | ByteType => "\"int\""
-      case LongType => "\"long\""
-      case BooleanType => "\"boolean\""
-      case _ => "\"string\""
-    }
-    val (dfSch, eSch) =
-      if (partColsEff.isEmpty) (dfSchema, entrySchema)
-      else {
-        val pf = partColsEff.map { p =>
-          s"""{"name":${mapper.writeValueAsString(p.name)},"type":["null",${
-            avroTypeFor(p.resultType)}],"default":null}"""
-        }.mkString(",")
-        val d = new org.apache.avro.Schema.Parser().parse(
-          s"""{"type":"record","name":"r2","fields":[
-            {"name":"content","type":["null","int"],"default":null},
-            {"name":"file_path","type":"string"},
-            {"name":"file_format","type":"string"},
-            {"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$pf]}],"default":null},
-            {"name":"record_count","type":"long"},
-            {"name":"file_size_in_bytes","type":["null","long"],"default":null},
-            {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
-            {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
-            {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
-        val e = new org.apache.avro.Schema.Parser().parse(
-          s"""{"type":"record","name":"manifest_entry","fields":[
-            {"name":"status","type":"int"},
-            {"name":"sequence_number","type":["null","long"],"default":null},
-            {"name":"data_file","type":${d.toString}}]}""")
-        (d, e)
-      }
+    val (dfSch, eSch) = manifestSchemasFor(partColsEff)
     val partRecordSchema: Option[org.apache.avro.Schema] =
       if (partColsEff.isEmpty) None
       else Some(dfSch.getField("partition").schema().getTypes.get(1))
@@ -817,15 +873,6 @@ object IcebergSink {
         "positional deletes over them, which the v3 spec resolves by DV " +
         "replacement (rows would resurrect); compact first (rewriteDataFiles)")
 
-  private def rejectPartitionedAppend(path: String, st: MorState,
-      what: String): Unit = {
-    val spec = defaultSpecFields(st.meta)
-    if (spec.nonEmpty) throw IcebergReadException(
-      s"`$path`: $what appends data files and needs partition-aware file " +
-        s"splitting on a partitioned table (spec: ${spec.map(_._1).mkString(",")}); " +
-        "use DELETE + INSERT (append) or an iceberg connector jar")
-  }
-
   /** Table column (name, field-id) pairs from the current schema. */
   private def schemaFieldIds(
       meta: com.fasterxml.jackson.databind.JsonNode): Seq[(String, Int)] = {
@@ -933,15 +980,55 @@ object IcebergSink {
   }
 
   /** `writeMoved` with the table's parquet FIELD IDS attached (appended
-    * data files must resolve by id like the create/append path's). */
+    * data files must resolve by id like the create/append path's). On a
+    * PARTITIONED table the append fans out by the spec's transforms —
+    * the same one-tuple-per-file arrangement as the create/append path —
+    * so merge-on-read UPDATE/MERGE images, compaction survivors and DV
+    * update images land with correct r102 tuples instead of rejecting. */
   private def writeMorData(df: DataFrame, st: MorState,
-      prefix: String): Seq[(String, Long, Long)] = {
+      prefix: String): Seq[MorDataFile] = {
     val ids = schemaFieldIds(st.meta)
     val writeDf = df.select(ids.map { case (n, id) =>
       org.apache.spark.sql.functions.col(n).as(n,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
-    writeMoved(writeDf, st, prefix)
+    val partFields = morPartFields(st.meta)
+    if (partFields.isEmpty)
+      return writeMoved(writeDf, st, prefix)
+        .map { case (rel, size, rows) => MorDataFile(rel, size, rows, Nil) }
+    val fan = partFields.zipWithIndex.foldLeft(writeDf) { case (d, (pf, i)) =>
+      d.withColumn(s"__gpk$i", transformCol(df.schema, pf).cast("string"))
+    }
+    val fs = st.fs
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
+    withMicrosTimestamps(df.sparkSession) {
+      fan.write.partitionBy(partFields.indices.map(i => s"__gpk$i"): _*)
+        .parquet(tmp.toString)
+    }
+    val out = Seq.newBuilder[MorDataFile]
+    var idx = 0
+    try {
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val rows = footerRows(f.getPath, conf)
+          if (rows > 0) {
+            val tuple = parseTuple(f.getPath, partFields)
+            val name = s"$prefix-p$idx-${f.getPath.getName}"
+            idx += 1
+            val dest = new Path(new Path(st.rootPath, "data"), name)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(f.getPath, dest))
+              throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
+            out += MorDataFile(s"data/$name", fs.getFileStatus(dest).getLen,
+              rows, tuple)
+          }
+        }
+      }
+    } finally fs.delete(tmp, true)
+    out.result()
   }
 
   /** One merge-on-read commit: optional positional-delete manifest +
@@ -956,7 +1043,7 @@ object IcebergSink {
   private def commitMor(st: MorState, operation: String,
       summaryExtra: Seq[(String, String)],
       deleteFiles: Seq[(String, Long, Long)],
-      dataFiles: Seq[(String, Long, Long)],
+      dataFiles: Seq[MorDataFile],
       carryPrev: Boolean = true,
       dvEntries: Seq[DvEntry] = Nil): Unit = {
     val fs = st.fs
@@ -973,6 +1060,31 @@ object IcebergSink {
         d.put("record_count", rows)
         d.put("file_size_in_bytes", Long.box(size))
         val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", d)
+        e
+      }
+    // appended data files on a partitioned table carry their r102 tuple
+    val partFields = morPartFields(st.meta)
+    val (dataDfSch, dataESch) = manifestSchemasFor(partFields)
+    val dataPartSchema: Option[org.apache.avro.Schema] =
+      if (partFields.isEmpty) None
+      else Some(dataDfSch.getField("partition").schema().getTypes.get(1))
+    def dataEntries(files: Seq[MorDataFile]) =
+      files.map { f =>
+        val d = new GenericData.Record(dataDfSch)
+        d.put("content", null)
+        d.put("file_path", f.rel)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", f.rows)
+        d.put("file_size_in_bytes", Long.box(f.size))
+        dataPartSchema.foreach { prs =>
+          val pr = new GenericData.Record(prs)
+          partFields.zip(f.tuple).foreach { case (p, v) => pr.put(p.name, v) }
+          d.put("partition", pr)
+        }
+        val e = new GenericData.Record(dataESch)
         e.put("status", 1) // ADDED
         e.put("sequence_number", Long.box(seq))
         e.put("data_file", d)
@@ -1003,7 +1115,7 @@ object IcebergSink {
     }
     if (dataFiles.nonEmpty) {
       val rel = s"metadata/m-$snapshotId-$stamp.avro"
-      writeAvroAt(fs, st.rootPath, rel, entrySchema, entries(dataFiles, None))
+      writeAvroAt(fs, st.rootPath, rel, dataESch, dataEntries(dataFiles))
       newManifests += ((rel, None))
     }
     val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
@@ -1132,7 +1244,6 @@ object IcebergSink {
     import org.apache.spark.sql.functions.{col, expr}
     require(sets.nonEmpty, "updateWhereDv needs at least one SET expression")
     val st = loadMorState(spark, path)
-    rejectPartitionedAppend(path, st, "DV UPDATE")
     if (st.dataPaths.isEmpty) return 0L
     if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty) throw IcebergReadException(
       s"`$path`: table carries live row-level delete state — a deletion " +
@@ -1229,7 +1340,6 @@ object IcebergSink {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "UPDATE")
-    rejectPartitionedAppend(path, st, "merge-on-read UPDATE")
     if (st.dataPaths.isEmpty) return 0L
     val names = schemaFieldIds(st.meta).map(_._1)
     sets.keys.find(k => !names.contains(k)).foreach { k =>
@@ -1270,7 +1380,6 @@ object IcebergSink {
     import org.apache.spark.sql.functions.{col, expr}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "MERGE")
-    rejectPartitionedAppend(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
     matchedSet.keys.find(k => !names.contains(k)).foreach { k =>
       throw IcebergReadException(
@@ -1285,7 +1394,7 @@ object IcebergSink {
       // empty table: nothing matches, every source row inserts
       if (!insertNotMatched) return (0L, 0L)
       val dataFiles = writeMorData(source.select(names.map(col): _*), st, s"mrg-$stamp")
-      val inserted = dataFiles.map(_._3).sum
+      val inserted = dataFiles.map(_.rows).sum
       if (inserted == 0L) return (0L, 0L)
       commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
       return (0L, inserted)
@@ -1323,7 +1432,7 @@ object IcebergSink {
           scanFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*),
           st, s"mrgi-$stamp")
       else Nil
-    val inserted = insFiles.map(_._3).sum
+    val inserted = insFiles.map(_.rows).sum
     if (updated == 0L && inserted == 0L) return (0L, 0L)
     commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql),
       delFiles, updFiles ++ insFiles)
@@ -1352,7 +1461,6 @@ object IcebergSink {
       targetFileRows: Long = 1024 * 1024): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val st = loadMorState(spark, path)
-    rejectPartitionedAppend(path, st, "compaction")
     if (st.dataPaths.isEmpty) return (0, 0)
     // manifest-declared row counts size the output without a count() job;
     // delete-file record counts subtract (each dead position kills a row)

@@ -1510,17 +1510,26 @@ object FormatQueries {
         Map("partition_by" -> "o_orderstatus"))
       graft.catalog.IcebergSink.deleteWhere(s, out,
         "o_orderstatus = 'F' AND o_totalprice < 50000")
+      // partitioned MOR UPDATE + compaction: the appended images and the
+      // compaction survivors fan out per partition tuple (r8) — a tuple
+      // landing in the wrong partition file double-counts under the gate
+      graft.catalog.IcebergSink.updateWhere(s, out,
+        "o_orderstatus = 'P'", Map("o_totalprice" -> "o_totalprice * 2"))
+      graft.catalog.IcebergSink.rewriteDataFiles(s, out)
       Catalog.attach(s, "w06_orders_iceberg_part", "iceberg", Map("files" -> out))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     },
     Some("""
+      WITH d AS (SELECT o_orderstatus,
+                        CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                             ELSE o_totalprice END AS o_totalprice
+                 FROM orders
+                 WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000))
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      FROM orders
-      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
-      GROUP BY o_orderstatus"""))
+      FROM d GROUP BY o_orderstatus"""))
 
   // ---------------------------------------------------------------- l10
   // CROSS-LAKEHOUSE JOIN: the native Delta reader and the native Iceberg

@@ -361,16 +361,36 @@ class IcebergSinkSpec extends SparkSpec {
         Map("partition_by" -> "id"))
     }
     assert(e.getMessage.contains("partition spec"))
-    // MOR DELETE works on partitioned tables; UPDATE/compaction reject
+    // the full MOR DML surface works on partitioned tables: DELETE via
+    // positional delete files, UPDATE/compaction fan their appended files
+    // out by the spec (one r102 tuple per file)
     assert(IcebergSink.deleteWhere(spark, root, "id = 2") === 1L)
     assert(readBack(root).count() === 4L)
-    val e2 = intercept[IcebergNative.IcebergReadException] {
-      IcebergSink.updateWhere(spark, root, "id = 1", Map("x" -> "9.0"))
+    assert(IcebergSink.updateWhere(spark, root, "id = 1", Map("x" -> "9.0")) === 1L)
+    assert(readBack(root).filter("id = 1").select("x").as[Double].head() === 9.0)
+    // the appended update image carries its region tuple in the manifest
+    locally {
+      import org.apache.avro.file.DataFileReader
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      import scala.jdk.CollectionConverters._
+      val updManifest = new java.io.File(root, "metadata").listFiles()
+        .filter(f => f.getName.startsWith("m-") && !f.getName.startsWith("m-del-")
+          && f.getName.endsWith(".avro"))
+        .maxBy(_.getName.stripPrefix("m-").takeWhile(_ != '-').toLong)
+      val rd2 = new DataFileReader[GenericRecord](updManifest,
+        new GenericDatumReader[GenericRecord]())
+      val tupleVals = try rd2.iterator().asScala.map { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        Option(d.get("partition").asInstanceOf[GenericRecord])
+          .map(p => Option(p.get("region")).map(_.toString).orNull)
+      }.toSeq finally rd2.close()
+      assert(tupleVals.flatten.nonEmpty, tupleVals) // id=1 lives in region us
     }
-    assert(e2.getMessage.contains("partition-aware"))
-    intercept[IcebergNative.IcebergReadException] {
-      IcebergSink.rewriteDataFiles(spark, root)
-    }
+    // compaction applies the deletes and rewrites per-partition
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L, 5L))
+    assert(readBack(root).filter("id = 1").select("x").as[Double].head() === 9.0)
     // unsupported partition source type rejects loudly
     val e3 = intercept[IcebergNative.IcebergReadException] {
       Sinks.copyTo(Seq((1L, 1.5)).toDF("id", "x"),
