@@ -1650,12 +1650,22 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     if (!fs.exists(logDir))
       throw DeltaReadException(s"`$path` is not a Delta table: no _delta_log directory")
-    val live = replayState(spark, rootPath).live.keySet
+    val state = replayState(spark, rootPath)
     val rootQ = fs.makeQualified(rootPath).toString
-    val liveAbs = live.map { rel =>
+    val liveAbs = state.live.keySet.map { rel =>
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
       fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
     }
+    // live DELETION-VECTOR files are reachable only through
+    // add.deletionVector descriptors, never add.path — resolve them the
+    // way the reader does, or vacuum could orphan-collect a live DV (a
+    // read error that resurfaces as unreadable deleted rows)
+    val liveDvAbs: Set[String] = state.live.values.flatMap(_.dv).flatMap { d =>
+      graft.sources.DeletionVectors.Descriptor(
+        d.storageType, d.payload, d.offset, d.sizeInBytes, d.cardinality)
+        .absolutePath(rootPath)
+        .map(p => fs.makeQualified(p).toString)
+    }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0
     val it = fs.listFiles(rootPath, true)
@@ -1663,9 +1673,15 @@ object DeltaSink {
       val st = it.next()
       val q = fs.makeQualified(st.getPath).toString
       val relTop = q.stripPrefix(rootQ).stripPrefix("/").split('/').head
-      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+      val name = st.getPath.getName
+      // candidates: data parquet files AND deletion-vector containers —
+      // an orphaned DV (post-purge, post-overwrite) otherwise leaks forever
+      val isCandidate = name.endsWith(".parquet") ||
+        (name.endsWith(".bin") && name.startsWith("deletion_vector_"))
+      if (st.isFile && isCandidate &&
         relTop != "_delta_log" && !relTop.startsWith("_graft_tmp") &&
-        !liveAbs.contains(q) && st.getModificationTime < cutoff) {
+        !liveAbs.contains(q) && !liveDvAbs.contains(q) &&
+        st.getModificationTime < cutoff) {
         fs.delete(st.getPath, false)
         deleted += 1
       }

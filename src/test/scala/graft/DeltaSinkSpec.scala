@@ -209,6 +209,24 @@ class DeltaSinkSpec extends SparkSpec {
     intercept[Exception] { old.collect() }
   }
 
+  test("VACUUM keeps live DV files and collects orphaned ones") {
+    val root = tempDir("dsink_vac_dv").getPath + "/t"
+    DeltaSink.write(spark.range(0, 3000).toDF("id").coalesce(1), root, Map.empty)
+    assert(DeltaSink.deleteWhereDv(spark, root, "id < 2000") === 2000L)
+    def dvFiles() = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).toSeq
+    assert(dvFiles().nonEmpty)
+    // the DV is LIVE: zero-retention vacuum must not touch it
+    DeltaSink.vacuum(spark, root, retentionMs = 0L)
+    assert(dvFiles().nonEmpty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 1000L)
+    // purge materializes survivors; the DV file is now orphaned and goes
+    DeltaSink.purgeDeletionVectors(spark, root)
+    assert(DeltaSink.vacuum(spark, root, retentionMs = 0L) >= 1)
+    assert(dvFiles().isEmpty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 1000L)
+  }
+
   test("MERGE conditional clauses: WHEN MATCHED AND <cond> DELETE, gated insert") {
     val root = tempDir("dsink_mrg_cond").getPath
     Sinks.copyTo(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"),
