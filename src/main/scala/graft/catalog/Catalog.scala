@@ -51,7 +51,10 @@ object Catalog {
     validateOptions(spec, options)
     if (userMapping.nonEmpty) Secrets(spark, userMapping)
 
-    val files = split_files(options("files"))
+    val files0 = split_files(options("files"))
+    val files =
+      if (spec.name == "spatial") resolveSpatialLayers(spark, files0, options)
+      else files0
     if (spec.name == "csv" || spec.name == "json") enforceCompression(files, options)
     var df = withPartitionAutocast(spark, options) {
       spec.name match {
@@ -180,6 +183,89 @@ object Catalog {
   /** files option: comma-separated path list; each entry may be a glob. */
   def split_files(files: String): Seq[String] =
     files.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** st_read's LAYER model over the native spatial drivers
+    * (src/duckdb/spatial.rs:29-82 options `layer`, `sequential_layer_scan`,
+    * `allowed_drivers`, `open_options`, `sibling_files`): a directory is a
+    * multi-layer dataset — one layer per .shp / .geojson file, layer name =
+    * basename sans extension. `layer=<name>` selects one; a multi-layer
+    * directory without `layer` rejects LOUDLY listing the names (GDAL's
+    * silent open-first-layer would drop data). `allowed_drivers` restricts
+    * which native driver may serve the attach ("GeoJSON", "ESRI Shapefile").
+    * `sequential_layer_scan` is a GDAL probing-strategy hint — the native
+    * reader always scans layer files sequentially, so both values are
+    * already the behavior (validated, no-op). `open_options` are GDAL
+    * driver switches with no native equivalent — non-empty rejects loudly.
+    * `sibling_files` bounds which auxiliary files GDAL may probe; the
+    * native shapefile reader auto-probes only `.dbf`, so entries are
+    * validated to exist and otherwise irrelevant. */
+  private def resolveSpatialLayers(spark: SparkSession, files: Seq[String],
+      options: Map[String, String]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    options.get("open_options").filter(_.trim.nonEmpty).foreach { oo =>
+      throw InvalidOptionException(
+        s"spatial open_options `$oo` are GDAL driver switches this native " +
+          "reader has no equivalent for; drop the option or use a GDAL deployment")
+    }
+    options.get("sequential_layer_scan").foreach { v =>
+      if (!Set("true", "false").contains(v.toLowerCase))
+        throw InvalidOptionException(
+          s"sequential_layer_scan must be true or false, got `$v`")
+    }
+    options.get("sibling_files").foreach { list =>
+      split_files(list).foreach { s =>
+        val p = new Path(s)
+        if (!p.getFileSystem(conf).exists(p)) throw InvalidOptionException(
+          s"sibling_files entry `$s` does not exist")
+      }
+    }
+    def isLayerFile(n: String): Boolean = {
+      val l = n.toLowerCase
+      l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json")
+    }
+    def base(n: String): String = {
+      val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
+    }
+    // a directory expands to its layer files; explicit paths pass through
+    val expanded: Seq[(String, Boolean)] = files.flatMap { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        val layers = fs.listStatus(p).toSeq
+          .filter(s => s.isFile && isLayerFile(s.getPath.getName))
+          .map(_.getPath.toString).sorted
+        if (layers.isEmpty) throw InvalidOptionException(
+          s"spatial attach: directory `$f` holds no .shp/.geojson layer files")
+        layers.map((_, true))
+      } else Seq((f, false))
+    }
+    def driverOf(p: String): String =
+      if (p.toLowerCase.endsWith(".shp")) "ESRI Shapefile" else "GeoJSON"
+    options.get("allowed_drivers").foreach { ad =>
+      val allowed = split_files(ad).toSet
+      expanded.map(_._1).find(p => !allowed.contains(driverOf(p))).foreach { p =>
+        throw InvalidOptionException(
+          s"spatial attach: `$p` needs driver `${driverOf(p)}`, which is not " +
+            s"in allowed_drivers ($ad)")
+      }
+    }
+    options.get("layer") match {
+      case Some(l) =>
+        val hit = expanded.map(_._1).filter(p => base(new Path(p).getName) == l)
+        if (hit.isEmpty) throw InvalidOptionException(
+          s"spatial attach: no layer named `$l`; available: " +
+            expanded.map(p => base(new Path(p._1).getName)).distinct.sorted
+              .mkString(", "))
+        hit
+      case None =>
+        val dirLayerNames = expanded.collect { case (p, true) => base(new Path(p).getName) }.distinct
+        if (dirLayerNames.size > 1) throw InvalidOptionException(
+          s"spatial attach: the directory holds ${dirLayerNames.size} layers " +
+            s"(${dirLayerNames.sorted.mkString(", ")}); select one with layer=<name>")
+        expanded.map(_._1)
+    }
+  }
 
   /** `compression` semantics: Spark's text readers select the decompression
     * codec from the file EXTENSION — there is no read-side codec override

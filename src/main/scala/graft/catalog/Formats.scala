@@ -87,7 +87,9 @@ object Formats {
   // rejects loudly for other geometry kinds.
   val spatial: FormatSpec = FormatSpec(
     "spatial",
-    commonOptions ++ Set("keep_wkb", "spatial_filter_box", "spatial_filter"),
+    commonOptions ++ Set("keep_wkb", "spatial_filter_box", "spatial_filter",
+      "layer", "sequential_layer_scan", "allowed_drivers", "open_options",
+      "sibling_files"),
     Set("files"))
 
   // WARC (ISO 28500) — the crawl-archive container; native streaming

@@ -28,6 +28,64 @@ class GeoJsonSpec extends SparkSpec {
     assert(bb.getDouble === 1.0); assert(bb.getDouble === 2.0)
   }
 
+  test("layer model: directory datasets, layer selection, driver/option gates") {
+    val dir = tempDir("geo_layers")
+    def fcOne(name: String, x: Double) =
+      s"""{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"$name"},
+        | "geometry":{"type":"Point","coordinates":[$x,0.0]}}
+        |]}""".stripMargin
+    writeText(dir, "cities.geojson", fcOne("c1", 1.0))
+    writeText(dir, "rivers.geojson", fcOne("r1", 2.0))
+    // multi-layer directory without `layer` rejects loudly, names listed
+    val e1 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "lyr_multi", "spatial", Map("files" -> dir.getPath))
+    }
+    assert(e1.getMessage.contains("cities") && e1.getMessage.contains("rivers"))
+    // layer=<name> selects exactly that layer's rows
+    val cities = Catalog.attach(spark, "lyr_cities", "spatial",
+      Map("files" -> dir.getPath, "layer" -> "cities"))
+    assert(cities.select("name").collect().map(_.getString(0)).toSeq === Seq("c1"))
+    // unknown layer rejects, available names listed
+    val e2 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "lyr_nope", "spatial",
+        Map("files" -> dir.getPath, "layer" -> "roads"))
+    }
+    assert(e2.getMessage.contains("no layer named `roads`"))
+    // single-layer directory attaches without `layer`
+    val solo = tempDir("geo_layers_solo")
+    writeText(solo, "only.geojson", fcOne("s1", 3.0))
+    assert(Catalog.attach(spark, "lyr_solo", "spatial",
+      Map("files" -> solo.getPath)).count() === 1L)
+    // allowed_drivers gates by native driver name
+    val e3 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "lyr_drv", "spatial",
+        Map("files" -> dir.getPath, "layer" -> "cities",
+          "allowed_drivers" -> "ESRI Shapefile"))
+    }
+    assert(e3.getMessage.contains("GeoJSON"))
+    assert(Catalog.attach(spark, "lyr_drv_ok", "spatial",
+      Map("files" -> dir.getPath, "layer" -> "cities",
+        "allowed_drivers" -> "GeoJSON,ESRI Shapefile")).count() === 1L)
+    // sequential_layer_scan validates; open_options rejects loudly;
+    // sibling_files entries must exist
+    assert(Catalog.attach(spark, "lyr_seq", "spatial",
+      Map("files" -> dir.getPath, "layer" -> "cities",
+        "sequential_layer_scan" -> "true")).count() === 1L)
+    val e4 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "lyr_oo", "spatial",
+        Map("files" -> dir.getPath, "layer" -> "cities",
+          "open_options" -> "FLATTEN_NESTED_ATTRIBUTES=YES"))
+    }
+    assert(e4.getMessage.contains("GDAL driver switches"))
+    val e5 = intercept[Catalog.InvalidOptionException] {
+      Catalog.attach(spark, "lyr_sib", "spatial",
+        Map("files" -> dir.getPath, "layer" -> "cities",
+          "sibling_files" -> s"${dir.getPath}/missing.prj"))
+    }
+    assert(e5.getMessage.contains("does not exist"))
+  }
+
   test("keep_wkb toggles representation, never column presence") {
     val dir = tempDir("geo_repr")
     val p = writeText(dir, "repr.geojson", fc)
