@@ -996,6 +996,56 @@ object StreamingQueries {
       SELECT doc_id, CAST(count(DISTINCT band) AS BIGINT) AS n_shared_bands
       FROM cb JOIN eb USING (band, band_sig) GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- x17
+  // STREAMING INTO A TRANSFORM-PARTITIONED ICEBERG TABLE — the canonical
+  // ingestion pipeline: each micro-batch's snapshot fans its files out by
+  // day(ts) + truncate(2, event_type) (the r8 transform-write machinery
+  // under the streaming sink's exactly-once ledger), and the result
+  // re-reads the table through the native reader grouped per UTC day. A
+  // row landing in the wrong partition file, a lost/doubled batch, or a
+  // tuple-typed manifest error fails rows AND hash against the batch
+  // replay of the same slice.
+  private val x17 = QueryDef(
+    "x17_stream_partitioned_ingest",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = freshRoot(dir, "iceberg_part_sink_x17")
+      root.delete() // the sink itself creates the table root on snapshot 1
+      val in = MemoryStream[(Long, String, java.sql.Timestamp, Double)](1)
+      var fed = 0L
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.writeIcebergStream(
+          in.toDF().toDF("event_id", "event_type", "ts", "value"),
+          root.getPath, "x17-app")
+          .option("partition_by", "day(ts), truncate(2, event_type)")
+          .option("checkpointLocation", ck).start()
+        try {
+          val rows = Tables.load(s, dir, "events")
+            .filter(col("user_id") % 50 === 0)
+            .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+            .orderBy(col("event_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getDouble(3)))
+          fed = rows.length.toLong
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable() // snapshot 1
+          in.addData(b.toSeq); q.processAllAvailable() // snapshot 2
+        } finally q.stop()
+      }
+      val table = Catalog.attach(s, "x17_iceberg_part_rt", "iceberg",
+        Map("files" -> root.getPath))
+      assertRowCount("x17_stream_partitioned_ingest", table.count(), fed)
+      table.groupBy(date_trunc("day", col("ts")).as("day_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT date_trunc('day', ts) AS day_start, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE user_id % 50 = 0 GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16)
+    x11, x12, x13, x14, x15, x16, x17)
 }

@@ -26,10 +26,18 @@ class IcebergWriteSinkProvider extends StreamSinkProvider with DataSourceRegiste
       throw new IllegalArgumentException(
         s"iceberg-commit supports Append output mode only (got $outputMode): a " +
           "snapshot append cannot retract rows")
-    if (partitionColumns.nonEmpty)
-      throw new IllegalArgumentException(
-        "iceberg-commit writes unpartitioned layouts (the native writer's scope); " +
-          "drop partitionBy or use an iceberg connector jar")
+    // partitioning flows to the batch writer: `partition_by` option (full
+    // transform syntax — day(ts), bucket(16, id), …) or `.partitionBy`
+    // (identity columns); both set and disagreeing rejects
+    val fromApi = Option(partitionColumns).filter(_.nonEmpty).map(_.mkString(","))
+    val params = (parameters.get("partition_by"), fromApi) match {
+      case (Some(opt), Some(api)) if opt.replaceAll("\\s", "") != api =>
+        throw new IllegalArgumentException(
+          s"iceberg-commit got partition_by=`$opt` AND .partitionBy($api) — " +
+            "they disagree; set one")
+      case (None, Some(api)) => parameters + ("partition_by" -> api)
+      case _ => parameters
+    }
     val root = parameters.getOrElse("files", parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "iceberg-commit needs `files` (table root) in options")))
@@ -37,7 +45,7 @@ class IcebergWriteSinkProvider extends StreamSinkProvider with DataSourceRegiste
       "iceberg-commit needs `app_id` (stable stream identity for exactly-once " +
         "batch tracking)"))
     new IcebergWriteSink(sqlContext.sparkSession.asInstanceOf[CSparkSession],
-      root, appId, parameters)
+      root, appId, params)
   }
 }
 
