@@ -1143,13 +1143,30 @@ object DeltaSink {
     val partColsT = st.partCols
     val live: Map[String, Map[String, String]] =
       st.live.toMap.map { case (p, e) => p -> e.partitionValues }
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables — use a delta connector jar for DML")
+        s"`$path`: column mapping mode `$cmMode` needs parquet field ids for " +
+          "DML; use a delta connector jar")
     if (live.isEmpty) return 0L
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
     val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+    // mode=name: data files, partitionValues keys, and rewritten/cdc files
+    // carry PHYSICAL names; the predicate and SET expressions see LOGICAL
+    // ones — read physical, rename to logical, rename back before writing
+    val mapped = cmMode == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val physByLogical: Map[String, String] =
+      schema.fields.map(f => f.name -> physName(f)).toMap
+    def physKey(c: String): String = physByLogical.getOrElse(c, c)
+    def toPhys(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(df.columns.map(c =>
+        col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
 
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
@@ -1163,13 +1180,18 @@ object DeltaSink {
     // one scan over the live files, log partition values attached per file
     // (union of per-partition-tuple scans — hive AND non-hive layouts);
     // within each branch the predicate pushes down to parquet as usual
-    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
     val byTuple = live.toSeq.groupBy(_._2)
     val scans = byTuple.toSeq.map { case (pv, files) =>
       var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      if (mapped) // physical file columns → the logical names the SQL sees
+        s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
-        s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+        // add.partitionValues are keyed by PHYSICAL names under mapping
+        s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
       s0.select(schema.fieldNames.map(col).toSeq :+
         input_file_name().as("__file"): _*)
@@ -1205,7 +1227,8 @@ object DeltaSink {
       if (isUpdate) affectedScan.filter(!pred).unionByName(updated)
       else affectedScan.filter(!pred)
     val changedCount = matching.count()
-    val newFiles = writeDataFiles(survivors, rootPath, partColsT, Map.empty)
+    val newFiles = writeDataFiles(toPhys(survivors), rootPath,
+      partColsT.map(physKey), Map.empty)
     // cdc files follow the data-file shape: partition columns live in the
     // ACTION's partitionValues (hive dirs under _change_data), the file
     // holds data columns + _change_type — exactly what the CDF reader
@@ -1218,8 +1241,8 @@ object DeltaSink {
       else matching.withColumn("_change_type", lit("delete"))
     val cdcFiles =
       if (cdcFrame == null) Nil
-      else writeDataFiles(cdcFrame, rootPath, partColsT, Map.empty,
-        subDir = Some("_change_data"))
+      else writeDataFiles(toPhys(cdcFrame), rootPath, partColsT.map(physKey),
+        Map.empty, subDir = Some("_change_data"))
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val opName = if (isUpdate) "UPDATE" else "DELETE"

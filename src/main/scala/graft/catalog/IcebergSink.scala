@@ -68,6 +68,16 @@ object IcebergSink {
     * `truncate(4, c)`, `day(ts)`, …) against the frame schema, with the
     * spec's per-transform source-type rules enforced loudly. */
   private[catalog] def parsePartitionBy(entries: Seq[String],
+      schema: StructType): Seq[PartField] = {
+    val parsed = parsePartitionBy0(entries, schema)
+    val dup = parsed.groupBy(_.name).collectFirst { case (n, fs) if fs.size > 1 => n }
+    dup.foreach(n => throw IcebergReadException(
+      s"partition_by produces duplicate spec field `$n` — each transform of a " +
+        "column may appear once"))
+    parsed
+  }
+
+  private def parsePartitionBy0(entries: Seq[String],
       schema: StructType): Seq[PartField] = entries.map { raw =>
     def src(c: String): StructField = schema.fields.find(_.name == c).getOrElse(
       throw IcebergReadException(s"partition_by column `$c` is not in the frame"))

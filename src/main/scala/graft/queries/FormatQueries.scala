@@ -1279,6 +1279,12 @@ object FormatQueries {
           .select((col("c_custkey") + 1000000L).as("c_custkey"),
             col("c_acctbal").as("balance"), col("c_mktsegment")),
         out, Map.empty)
+      // DML on the mapped table, predicate + SET on the RENAMED column:
+      // the copy-on-write rewrite reads physical files, rewrites physical
+      // survivors, and the result must still replay from the source
+      graft.catalog.DeltaSink.deleteWhere(s, out, "balance < 0")
+      graft.catalog.DeltaSink.updateWhere(s, out,
+        "c_mktsegment = 'BUILDING'", Map("balance" -> "balance * 2"))
       Catalog.attach(s, "l16_customer_delta_cmap", "delta", Map("files" -> out))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
@@ -1288,10 +1294,14 @@ object FormatQueries {
       WITH u AS (
         SELECT c_mktsegment, c_acctbal FROM customer
         UNION ALL
-        SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0)
+        SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 0),
+      d AS (SELECT c_mktsegment,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                        ELSE c_acctbal END AS c_acctbal
+            FROM u WHERE NOT (c_acctbal < 0))
       SELECT c_mktsegment, count(*) AS n,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-      FROM u GROUP BY c_mktsegment"""))
+      FROM d GROUP BY c_mktsegment"""))
 
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):

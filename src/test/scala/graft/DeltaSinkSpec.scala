@@ -710,6 +710,43 @@ class DeltaSinkSpec extends SparkSpec {
       .getMessage.contains("only column"))
   }
 
+  test("DELETE/UPDATE work on column-mapped tables, CDF and partitions included") {
+    val root = tempDir("dsink_cmap_dml").getPath + "/t"
+    DeltaSink.write(Seq((1L, 10.0, "US"), (2L, -20.0, "DE"), (3L, 30.0, "US"))
+      .toDF("id", "bal", "region"), root,
+      Map("partition_by" -> "region", "change_data_feed" -> "true"))
+    DeltaSink.renameColumn(spark, root, "bal", "balance")
+    // DELETE with a predicate on the RENAMED logical column: the scan reads
+    // the physical `bal` files, the rewrite emits physical-named survivors
+    assert(DeltaSink.deleteWhere(spark, root, "balance < 0") === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+    // UPDATE with SET on the logical name
+    assert(DeltaSink.updateWhere(spark, root, "region = 'US'",
+      Map("balance" -> "balance * 2")) === 2L)
+    assert(readBack(root).orderBy("id").collect().map(_.getDouble(1)).toSeq ===
+      Seq(20.0, 60.0))
+    // survivors' parquet files carry the PHYSICAL column name `bal`
+    val usFile = new java.io.File(s"$root/region=US").listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.lastModified)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(usFile.getPath),
+      spark.sessionState.newHadoopConf()))
+    val names = try rdr.getFooter.getFileMetaData.getSchema.getFields
+      .asScala.map(_.getName).toSet finally rdr.close()
+    assert(names.contains("bal") && !names.contains("balance"), names)
+    // the CDF reader serves the mapped change feed under LOGICAL names
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "2"))
+    val changes = feed.select("id", "balance", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(changes === Set((2L, -20.0, "delete"),
+      (1L, 10.0, "update_preimage"), (1L, 20.0, "update_postimage"),
+      (3L, 30.0, "update_preimage"), (3L, 60.0, "update_postimage")), changes)
+  }
+
   test("append to a column-mapped table writes physical-named files") {
     val root = tempDir("dsink_cmap_append").getPath + "/t"
     DeltaSink.write(Seq((1L, "a", "US")).toDF("id", "v", "region"), root,
