@@ -1310,11 +1310,27 @@ object DeltaSink {
     val partColsT = st.partCols
     val live: Map[String, Map[String, String]] =
       st.live.toMap.map { case (p, e) => p -> e.partitionValues }
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables — use a delta connector jar for MERGE")
+        s"`$path`: column mapping mode `$cmMode` needs parquet field ids for " +
+          "MERGE; use a delta connector jar")
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
+    // mode=name plumbing, same as copyOnWriteDml: physical files in/out,
+    // logical names for every expression the caller wrote
+    val mapped = cmMode == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val physByLogical: Map[String, String] =
+      schema.fields.map(f => f.name -> physName(f)).toMap
+    def physKey(c: String): String = physByLogical.getOrElse(c, c)
+    def toPhys(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(df.columns.map(c =>
+        col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
     matchedSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
       throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
     }
@@ -1331,16 +1347,20 @@ object DeltaSink {
     def norm(s: String): String = new Path(s).toString
     val relByAbs: Map[String, String] = live.keys.map(r => norm(resolve(r)) -> r).toMap
 
-    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
     val target: DataFrame =
       if (live.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(schema.fields :+ StructField("__file", StringType)))
       else live.toSeq.groupBy(_._2).toSeq.map { case (pv, files) =>
         var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+        if (mapped)
+          s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
         partColsT.foreach { pc =>
           val f = schema(schema.fieldIndex(pc))
-          s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+          s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
         }
         s0.select(schema.fieldNames.map(col).toSeq :+
           input_file_name().as("__file"): _*)
@@ -1418,8 +1438,12 @@ object DeltaSink {
       return (0L, 0L)
 
     val newFiles =
-      (if (doRewrite) writeDataFiles(rewritten, rootPath, partColsT, Map.empty) else Nil) ++
-        (if (insertCount > 0) writeDataFiles(inserts, rootPath, partColsT, Map.empty) else Nil)
+      (if (doRewrite)
+        writeDataFiles(toPhys(rewritten), rootPath, partColsT.map(physKey), Map.empty)
+      else Nil) ++
+        (if (insertCount > 0)
+          writeDataFiles(toPhys(inserts), rootPath, partColsT.map(physKey), Map.empty)
+        else Nil)
     val cdcFrames = Seq(
       if (cdf && doRewrite && updatedCount > 0)
         Some(preRows.withColumn("_change_type", lit("update_preimage"))
@@ -1434,7 +1458,8 @@ object DeltaSink {
         Some(inserts.withColumn("_change_type", lit("insert")))
       else None).flatten
     val cdcFiles = cdcFrames.flatMap(f =>
-      writeDataFiles(f, rootPath, partColsT, Map.empty, subDir = Some("_change_data")))
+      writeDataFiles(toPhys(f), rootPath, partColsT.map(physKey), Map.empty,
+        subDir = Some("_change_data")))
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val lines = Seq.newBuilder[String]

@@ -745,6 +745,16 @@ class DeltaSinkSpec extends SparkSpec {
     assert(changes === Set((2L, -20.0, "delete"),
       (1L, 10.0, "update_preimage"), (1L, 20.0, "update_postimage"),
       (3L, 30.0, "update_preimage"), (3L, 60.0, "update_postimage")), changes)
+    // MERGE on the mapped table: update by SET on the logical name, insert
+    // a new row — both land physical-named
+    val src = Seq((3L, 5.0, "US"), (9L, 90.0, "FR"))
+      .toDF("id", "balance", "region")
+    val (upd, ins) = DeltaSink.mergeInto(spark, root, src, "t.id = s.id",
+      Map("balance" -> "t.balance + s.balance"))
+    assert((upd, ins) === ((1L, 1L)))
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 20.0), (3L, 65.0), (9L, 90.0)))
   }
 
   test("append to a column-mapped table writes physical-named files") {
