@@ -1512,14 +1512,33 @@ object DeltaSink {
     val st = replayState(spark, rootPath, forbidDv = "OPTIMIZE")
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
     val partColsT = st.partCols
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables cannot be compacted by this native OPTIMIZE")
+        s"`$path`: column mapping mode `$cmMode` cannot be compacted by this " +
+          "native OPTIMIZE; use a delta connector jar")
     val groups = st.live.toSeq.map { case (p, e) => p -> e }
       .filter(_._2.size < minFileBytes)
       .groupBy(_._2.partitionValues).filter(_._2.size >= 2)
     if (groups.isEmpty) return (0, 0)
-    val dataSchema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val logicalSchema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    // compaction rewrites bytes verbatim (schema-less read), so mapped
+    // tables work as-is — but the rewritten file's stats must key by the
+    // PHYSICAL names its footer carries
+    val dataSchema =
+      if (cmMode == "none") logicalSchema
+      else StructType(logicalSchema.fields.map { f =>
+        val n = if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName") else f.name
+        StructField(n, f.dataType, f.nullable)
+      })
+    val partColsPhys =
+      if (cmMode == "none") partColsT
+      else partColsT.map { c =>
+        val f = logicalSchema(logicalSchema.fieldIndex(c))
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName") else c
+      }
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
     def esc(s: String): String = mapper.writeValueAsString(s)
@@ -1564,7 +1583,7 @@ object DeltaSink {
       }
       lines += s"""{"add":{"path":${esc(destRel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
         s""""size":${destSt.getLen},"modificationTime":${destSt.getModificationTime},"dataChange":false,""" +
-        s""""stats":${esc(footerStats(spark, dest, dataSchema, partColsT))}}}"""
+        s""""stats":${esc(footerStats(spark, dest, dataSchema, partColsPhys))}}}"""
       added += 1
     }
     val version = st.version + 1
@@ -1605,9 +1624,11 @@ object DeltaSink {
     if (st.partCols.nonEmpty) throw DeltaReadException(
       s"`$path`: ZORDER on a partitioned table needs per-partition " +
         "z-subdivision — use a delta connector jar")
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables cannot be z-ordered by this native OPTIMIZE")
+        s"`$path`: column mapping mode `$cmMode` cannot be z-ordered by this " +
+          "native OPTIMIZE; use a delta connector jar")
     val dataSchema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
     zorderBy.find(c => !dataSchema.fieldNames.contains(c)).foreach { c =>
@@ -1618,7 +1639,23 @@ object DeltaSink {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
       (if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
     }
-    val df = spark.read.schema(dataSchema).parquet(abs: _*)
+    // mode=name: read PHYSICAL file columns, rename to logical so the
+    // zorderBy expressions resolve; the clustered frame renames back to
+    // physical before the rewrite below
+    val mapped = cmMode == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val readSchema =
+      if (!mapped) dataSchema
+      else StructType(dataSchema.fields.map(f =>
+        StructField(physName(f), f.dataType, f.nullable)))
+    val df0 = spark.read.schema(readSchema).parquet(abs: _*)
+    val df =
+      if (!mapped) df0
+      else df0.select(dataSchema.fields.map(f =>
+        col(physName(f)).as(f.name)).toSeq: _*)
     // per-column bucket expressions (256 buckets = 8 bits each)
     val numericish: Set[DataType] = Set(ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
@@ -1661,10 +1698,14 @@ object DeltaSink {
         recordCounts.flatten.sum
       else df.count()
     val numFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
-    val clustered = df.withColumn("__z", zExpr)
+    val clustered0 = df.withColumn("__z", zExpr)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+    val clustered =
+      if (!mapped) clustered0
+      else clustered0.select(dataSchema.fields.map(f =>
+        col(f.name).as(physName(f))).toSeq: _*)
     val newFiles = writeDataFiles(clustered, rootPath, Nil, Map.empty)
     def esc(s: String): String = mapper.writeValueAsString(s)
     val lines = Seq.newBuilder[String]

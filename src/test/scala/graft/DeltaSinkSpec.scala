@@ -757,6 +757,31 @@ class DeltaSinkSpec extends SparkSpec {
       Seq((1L, 20.0), (3L, 65.0), (9L, 90.0)))
   }
 
+  test("OPTIMIZE and ZORDER work on column-mapped tables") {
+    val root = tempDir("dsink_cmap_opt").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.renameColumn(spark, root, "v", "label")
+    // bin-pack the two small files; snapshot content identical
+    val (rm, add0) = DeltaSink.optimize(spark, root)
+    assert(rm === 2 && add0 === 1)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+    // the compacted file's stats key by the PHYSICAL column name
+    val log = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000003.json"))
+    assert(log.contains("\\\"v\\\"") || log.contains("minValues"), log.take(500))
+    assert(!log.contains("label\\\":"), log.take(800))
+    // ZORDER on the LOGICAL column name clusters and round-trips
+    DeltaSink.write(Seq((3L, "c"), (4L, "d")).toDF("id", "label"), root, Map.empty)
+    val (zr, za) = DeltaSink.optimizeZOrder(spark, root, Seq("label", "id"))
+    assert(zr >= 2 && za >= 1)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
   test("append to a column-mapped table writes physical-named files") {
     val root = tempDir("dsink_cmap_append").getPath + "/t"
     DeltaSink.write(Seq((1L, "a", "US")).toDF("id", "v", "region"), root,
