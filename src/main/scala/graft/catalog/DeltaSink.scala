@@ -890,9 +890,11 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath)
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables — use a delta connector jar for DML")
+        s"`$path`: column mapping mode `$cmMode` needs parquet field ids for " +
+          "DML; use a delta connector jar")
     if (st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean))
       throw DeltaReadException(
         s"`$path`: DV deletes on a change-data-feed table would skip the cdc " +
@@ -905,6 +907,19 @@ object DeltaSink {
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
     val partColsT = st.partCols
+    // mode=name: files carry physical names, the predicate/SET see logical
+    val mapped = cmMode == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    val physByLogical: Map[String, String] =
+      schema.fields.map(f => f.name -> physName(f)).toMap
+    def physKey(c: String): String = physByLogical.getOrElse(c, c)
+    def toPhys(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else df.select(df.columns.map(c =>
+        col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
 
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
@@ -915,17 +930,24 @@ object DeltaSink {
       st.live.keys.map(r => norm(resolve(r)) -> r).toMap
 
     // one scan, log partitions attached, physical row index per file
-    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
     val byTuple = st.live.toSeq.groupBy(_._2.partitionValues)
     val scans = byTuple.toSeq.map { case (pv, files) =>
       var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      val metaCols = Seq(col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__pos"))
+      if (mapped)
+        s0 = s0.select(dataFields.map(f =>
+          col(physName(f)).as(f.name)).toSeq ++ metaCols: _*)
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
-        s0 = s0.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+        s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
-      s0.select(schema.fieldNames.map(col).toSeq ++ Seq(
-        col("_metadata.file_path").as("__file"),
-        col("_metadata.row_index").as("__pos")): _*)
+      if (mapped) s0.select(schema.fieldNames.map(col).toSeq ++ Seq(
+        col("__file"), col("__pos")): _*)
+      else s0.select(schema.fieldNames.map(col).toSeq ++ metaCols: _*)
     }
     val isUpdate = setExprs.nonEmpty
     setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
@@ -972,11 +994,11 @@ object DeltaSink {
     // new data files in the same commit (SET sees the PRE-update row)
     val imageFiles =
       if (!isUpdate) Nil
-      else writeDataFiles(matchedRows.select(schema.fields.map { f =>
+      else writeDataFiles(toPhys(matchedRows.select(schema.fields.map { f =>
         setExprs.get(f.name)
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
-      }.toSeq: _*), rootPath, partColsT, Map.empty)
+      }.toSeq: _*)), rootPath, partColsT.map(physKey), Map.empty)
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
@@ -1057,19 +1079,29 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath)
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
-    if (st.conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
-        s"`$path`: column-mapped tables — use a delta connector jar")
+        s"`$path`: column mapping mode `$cmMode` needs parquet field ids; " +
+          "use a delta connector jar")
     val dvFiles = st.live.toSeq.filter(_._2.hasDv)
     if (dvFiles.isEmpty) return (0, 0L)
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
     val partColsT = st.partCols
+    // mode=name: the purge never evaluates user expressions, so the whole
+    // rewrite runs in PHYSICAL column names end to end
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (cmMode == "name" && f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    def physKey(c: String): String = physName(schema(schema.fieldIndex(c)))
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
       fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
     }
-    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name))
+      .map(f => StructField(physName(f), f.dataType, f.nullable)))
     // survivors of ONLY the DV'd files, dead positions anti-joined in
     // executors via the reader's decode machinery
     val dvPairs: Seq[(String, DeletionVectors.Descriptor)] = dvFiles.map { case (rel, e) =>
@@ -1084,12 +1116,12 @@ object DeltaSink {
       var s1 = cleaned
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
-        s1 = s1.withColumn(pc, lit(pv.getOrElse(pc, null)).cast(f.dataType))
+        s1 = s1.withColumn(physKey(pc), lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
-      s1.select(schema.fieldNames.map(col).toSeq: _*)
+      s1.select(schema.fieldNames.map(n => col(physKey(n))).toSeq: _*)
     }
     val survivors = scans.reduce(_ unionByName _)
-    val newFiles = writeDataFiles(survivors, rootPath, partColsT, Map.empty)
+    val newFiles = writeDataFiles(survivors, rootPath, partColsT.map(physKey), Map.empty)
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]

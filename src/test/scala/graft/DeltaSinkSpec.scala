@@ -757,6 +757,28 @@ class DeltaSinkSpec extends SparkSpec {
       Seq((1L, 20.0), (3L, 65.0), (9L, 90.0)))
   }
 
+  test("DV DELETE/UPDATE + purge work on column-mapped tables") {
+    val root = tempDir("dsink_cmap_dv").getPath + "/t"
+    DeltaSink.write(Seq((1L, 10.0), (2L, -20.0), (3L, 30.0), (4L, -40.0))
+      .toDF("id", "bal").coalesce(1), root, Map.empty)
+    DeltaSink.renameColumn(spark, root, "bal", "balance")
+    // DV DELETE with the predicate on the RENAMED logical column
+    assert(DeltaSink.deleteWhereDv(spark, root, "balance < 0") === 2L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+    // purge materializes survivors under PHYSICAL names
+    val (pf, dropped) = DeltaSink.purgeDeletionVectors(spark, root)
+    assert(pf >= 1 && dropped === 2L)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 10.0), (3L, 30.0)))
+    // DV UPDATE: SET on the logical name, images land physical-named
+    assert(DeltaSink.updateWhereDv(spark, root, "id = 3",
+      Map("balance" -> "balance + 5")) === 1L)
+    assert(readBack(root).filter("id = 3").select("balance")
+      .head().getDouble(0) === 35.0)
+  }
+
   test("OPTIMIZE and ZORDER work on column-mapped tables") {
     val root = tempDir("dsink_cmap_opt").getPath + "/t"
     DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)
