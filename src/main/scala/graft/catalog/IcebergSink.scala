@@ -296,6 +296,7 @@ object IcebergSink {
       {"name":"content_offset","type":["null","long"],"default":null},
       {"name":"content_size_in_bytes","type":["null","long"],"default":null},
       {"name":"referenced_data_file","type":["null","string"],"default":null},
+      {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
       {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
       {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
       {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
@@ -789,7 +790,11 @@ object IcebergSink {
       lastSnapshotId: Long, lastSeq: Long,
       prevManifests: Seq[(String, Long)],
       dataPaths: Seq[String], priorDeleteFiles: Seq[String],
-      dvRefs: Seq[DvRef], hasEqDeletes: Boolean)
+      dvRefs: Seq[DvRef], hasEqDeletes: Boolean,
+      // equality-delete files (abs path, equality field ids, sequence) and
+      // each data file's sequence — eq deletes apply to STRICTLY LOWER seqs
+      eqDeletes: Seq[(String, Seq[Int], Long)] = Nil,
+      dataSeqs: Map[String, Long] = Map.empty)
 
   private def loadMorState(spark: org.apache.spark.sql.SparkSession,
       path: String): MorState = {
@@ -834,18 +839,27 @@ object IcebergSink {
     val dataFiles = Seq.newBuilder[String]
     val priorDeleteFiles = Seq.newBuilder[String]
     val dvRefs = Seq.newBuilder[DvRef]
+    val eqDeletes = Seq.newBuilder[(String, Seq[Int], Long)]
+    val dataSeqs = Map.newBuilder[String, Long]
     var hasEqDeletes = false
-    prevManifests.foreach { case (m, _) =>
+    prevManifests.foreach { case (m, mseq) =>
       val r = new DataFileReader[GenericRecord](
         new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
       try r.iterator().asScala.foreach { e =>
         val status = e.get("status").asInstanceOf[Int]
+        val entrySeq = Option(e.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(e.get("sequence_number")))
+          .map(_.asInstanceOf[Long]).getOrElse(mseq)
         val dfr = e.get("data_file").asInstanceOf[GenericRecord]
         val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
         def fld(n: String): Option[AnyRef] =
           Option(dfr.getSchema.getField(n)).flatMap(_ => Option(dfr.get(n)))
         if (status != 2) {
-          if (content == 0) dataFiles += abs(dfr.get("file_path").toString).toString
+          if (content == 0) {
+            val p = abs(dfr.get("file_path").toString).toString
+            dataFiles += p
+            dataSeqs += p -> entrySeq
+          }
           else if (content == 1 &&
             dfr.get("file_format").toString.equalsIgnoreCase("PARQUET"))
             priorDeleteFiles += abs(dfr.get("file_path").toString).toString
@@ -859,14 +873,24 @@ object IcebergSink {
               fld("content_offset").map(_.asInstanceOf[Long]).getOrElse(4L),
               fld("content_size_in_bytes").map(_.asInstanceOf[Long]).getOrElse(0L),
               dfr.get("record_count").asInstanceOf[Long]))
-          else if (content == 2) hasEqDeletes = true
+          else if (content == 2) {
+            hasEqDeletes = true
+            val ids = Option(dfr.getSchema.getField("equality_ids"))
+              .flatMap(_ => Option(dfr.get("equality_ids"))) match {
+              case Some(l: java.util.List[_]) =>
+                l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+              case _ => Nil
+            }
+            eqDeletes += ((abs(dfr.get("file_path").toString).toString,
+              ids, entrySeq))
+          }
         }
       }
       finally r.close()
     }
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
       prevManifests, dataFiles.result(), priorDeleteFiles.result(),
-      dvRefs.result(), hasEqDeletes)
+      dvRefs.result(), hasEqDeletes, eqDeletes.result(), dataSeqs.result())
   }
 
   /** DELETE stays available on partitioned tables (positional delete files
@@ -903,11 +927,7 @@ object IcebergSink {
     * scan (it references only data columns). */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
       st: MorState): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    if (st.hasEqDeletes) throw IcebergReadException(
-      s"`${st.rootPath}`: table carries live EQUALITY delete files, which " +
-        "this writer's row-level ops do not evaluate — their rows would " +
-        "silently resurrect; compact with an iceberg connector jar first")
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val key = graft.sources.PathKeys.keyCol _
     var rows = spark.read.parquet(st.dataPaths: _*)
       .select(col("*"), col("_metadata.file_path").as("__file"),
@@ -931,6 +951,40 @@ object IcebergSink {
       rows = rows.join(dead,
         key(col("__file")) === col("__dv_file") && col("__pos") === col("__dv_pos"),
         "left_anti")
+    }
+    if (st.eqDeletes.nonEmpty) {
+      // EQUALITY deletes: a key row kills every matching data row whose
+      // file sequence is STRICTLY LOWER than the delete's (the spec's
+      // sequence-visibility rule) — one null-safe anti-join per delete
+      // file, the file's sequence attached via a broadcast lookup
+      val nameById: Map[Int, String] = schemaFieldIds(st.meta)
+        .map { case (n, id) => id -> n }.toMap
+      import spark.implicits._
+      val seqDf = st.dataSeqs.toSeq
+        .map { case (p, s0) => (graft.sources.PathKeys.key(p), s0) }
+        .toDF("__sf", "__fseq")
+      rows = rows.join(broadcast(seqDf),
+        key(col("__file")) === col("__sf"), "left")
+      st.eqDeletes.foreach { case (delPath, ids, delSeq) =>
+        if (ids.isEmpty) throw IcebergReadException(
+          s"`${st.rootPath}`: equality delete file $delPath lists no " +
+            "equality_ids — malformed manifest")
+        val cols = ids.map(id => nameById.getOrElse(id, throw IcebergReadException(
+          s"`${st.rootPath}`: equality delete field id $id is not in the " +
+            "current schema")))
+        val keys = spark.read.parquet(delPath)
+        cols.find(c => !keys.schema.fieldNames.contains(c)).foreach { c =>
+          throw IcebergReadException(
+            s"`${st.rootPath}`: equality delete file $delPath lacks column " +
+              s"`$c` by name — id-renamed delete files need an iceberg " +
+              "connector jar")
+        }
+        val keysSel = keys.select(cols.map(c => col(c).as(s"__eq_$c")): _*)
+        val cond = cols.map(c => col(c) <=> col(s"__eq_$c"))
+          .reduce(_ && _) && col("__fseq") < lit(delSeq)
+        rows = rows.join(keysSel, cond, "left_anti")
+      }
+      rows = rows.drop("__sf", "__fseq")
     }
     rows
   }
@@ -1055,7 +1109,9 @@ object IcebergSink {
       deleteFiles: Seq[(String, Long, Long)],
       dataFiles: Seq[MorDataFile],
       carryPrev: Boolean = true,
-      dvEntries: Seq[DvEntry] = Nil): Unit = {
+      dvEntries: Seq[DvEntry] = Nil,
+      eqDeleteFiles: Seq[(String, Long, Long)] = Nil,
+      equalityIds: Seq[Int] = Nil): Unit = {
     val fs = st.fs
     val snapshotId = st.lastSnapshotId + 1
     val seq = st.lastSeq + 1
@@ -1116,11 +1172,28 @@ object IcebergSink {
       e.put("data_file", d)
       e
     }
+    // equality-delete entries (content=2): the delete file holds the KEY
+    // columns; equality_ids names the table field ids rows must match on
+    val eqRecords = eqDeleteFiles.map { case (rel, size, rows) =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", Int.box(2))
+      d.put("file_path", rel)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", rows)
+      d.put("file_size_in_bytes", Long.box(size))
+      d.put("equality_ids",
+        new java.util.ArrayList[Integer](equalityIds.map(Int.box).asJava))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", Long.box(seq))
+      e.put("data_file", d)
+      e
+    }
     val newManifests = Seq.newBuilder[(String, Option[Int])]
-    if (deleteFiles.nonEmpty || dvRecords.nonEmpty) {
+    if (deleteFiles.nonEmpty || dvRecords.nonEmpty || eqRecords.nonEmpty) {
       val rel = s"metadata/m-del-$snapshotId-$stamp.avro"
       writeAvroAt(fs, st.rootPath, rel, entrySchema,
-        entries(deleteFiles, Some(1)) ++ dvRecords)
+        entries(deleteFiles, Some(1)) ++ dvRecords ++ eqRecords)
       newManifests += ((rel, Some(1)))
     }
     if (dataFiles.nonEmpty) {
@@ -1207,6 +1280,101 @@ object IcebergSink {
     if (deleted == 0L) return 0L
     commitMor(st, "delete", Seq("graft-predicate" -> predicateSql), delFiles, Nil)
     deleted
+  }
+
+  /** EQUALITY DELETE — the Flink-CDC delete shape (spec "Equality Delete
+    * Files"): ONE parquet delete file holding the KEY columns (written
+    * with the table's field ids), referenced by a content=2 manifest entry
+    * whose `equality_ids` names those fields; it kills every matching row
+    * in data files at a STRICTLY LOWER sequence, evaluated by the native
+    * reader AND by this writer's own row-level ops/compaction
+    * (liveRows anti-joins it with the sequence-visibility rule). No data
+    * scanned, no rows rewritten — O(keys), the cheapest delete there is.
+    * Float/double keys reject (NaN equality is undefined skipping fuel);
+    * partitioned tables reject (global eq deletes need an unpartitioned
+    * delete spec — connector-jar territory). Returns the key-row count. */
+  def equalityDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val st = loadMorState(spark, path)
+    if (st.dataPaths.isEmpty) return 0L
+    if (morPartFields(st.meta).nonEmpty) throw IcebergReadException(
+      s"`$path`: global equality deletes on a partitioned table need " +
+        "partition-scoped delete manifests; use an iceberg connector jar")
+    val idByName = schemaFieldIds(st.meta).toMap
+    keys.schema.fields.foreach { f =>
+      if (!idByName.contains(f.name)) throw IcebergReadException(
+        s"`$path`: equality-delete column `${f.name}` is not in the table schema")
+      f.dataType match {
+        case FloatType | DoubleType => throw IcebergReadException(
+          s"`$path`: equality-delete key `${f.name}` is ${f.dataType.simpleString} " +
+            "— float equality (NaN) is undefined; use an exact-typed key")
+        case _ => ()
+      }
+    }
+    val eqIds = keys.schema.fields.map(f => idByName(f.name)).toSeq
+    val keyDf = keys.dropDuplicates().select(keys.schema.fields.map { f =>
+      col(f.name).as(f.name, new MetadataBuilder()
+        .putLong("parquet.field.id", idByName(f.name).toLong).build())
+    }.toSeq: _*)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val files = writeMoved(keyDf, st, s"eqdel-$stamp")
+    val n = files.map(_._3).sum
+    if (n == 0L) return 0L
+    commitMor(st, "delete",
+      Seq("graft-equality-ids" -> eqIds.mkString(",")),
+      Nil, Nil, eqDeleteFiles = files, equalityIds = eqIds)
+    n
+  }
+
+  /** UPSERT — the Flink/CDC writer arrangement: ONE snapshot carrying an
+    * equality delete on `keyCols` (killing the old images, which sit at
+    * strictly lower sequences) AND the new rows as appended data files
+    * (same sequence as the delete, so the delete cannot touch them — the
+    * spec's strictly-lower rule makes same-commit upserts safe by
+    * construction). Returns (keysDeleted, rowsInserted). */
+  def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val st = loadMorState(spark, path)
+    if (morPartFields(st.meta).nonEmpty) throw IcebergReadException(
+      s"`$path`: upsert on a partitioned table needs partition-scoped " +
+        "delete manifests; use an iceberg connector jar")
+    val names = schemaFieldIds(st.meta).map(_._1)
+    names.find(c => !rows.schema.fieldNames.contains(c)).foreach { c =>
+      throw IcebergReadException(
+        s"`$path`: upsert rows lack table column `$c` (the full row inserts)")
+    }
+    keyCols.find(c => !names.contains(c)).foreach { c =>
+      throw IcebergReadException(
+        s"`$path`: upsert key `$c` is not in the table schema")
+    }
+    val idByName = schemaFieldIds(st.meta).toMap
+    keyCols.foreach { c =>
+      rows.schema(rows.schema.fieldIndex(c)).dataType match {
+        case FloatType | DoubleType => throw IcebergReadException(
+          s"`$path`: upsert key `$c` is float-typed — NaN equality is undefined")
+        case _ => ()
+      }
+    }
+    val eqIds = keyCols.map(idByName)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val keyDf = rows.select(keyCols.map(col): _*).dropDuplicates()
+      .select(keyCols.map { c =>
+        col(c).as(c, new MetadataBuilder()
+          .putLong("parquet.field.id", idByName(c).toLong).build())
+      }: _*)
+    val eqFiles =
+      if (st.dataPaths.isEmpty) Nil // nothing older to kill
+      else writeMoved(keyDf, st, s"eqdel-$stamp")
+    val dataFiles = writeMorData(rows.select(names.map(col): _*), st, s"ups-$stamp")
+    val inserted = dataFiles.map(_.rows).sum
+    if (inserted == 0L && eqFiles.isEmpty) return (0L, 0L)
+    commitMor(st, "overwrite",
+      Seq("graft-upsert-keys" -> keyCols.mkString(",")),
+      Nil, dataFiles, eqDeleteFiles = eqFiles, equalityIds = eqIds)
+    (eqFiles.map(_._3).sum, inserted)
   }
 
   /** DELETE via format-v3 DELETION VECTORS (puffin): matched physical row

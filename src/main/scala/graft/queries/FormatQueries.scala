@@ -1381,6 +1381,51 @@ object FormatQueries {
       FROM events WHERE user_id % 20 = 0 AND event_type <> 'view'
       GROUP BY event_type"""))
 
+  // ---------------------------------------------------------------- w10
+  // ICEBERG UPSERT via EQUALITY DELETES — the Flink-CDC writer shape: ONE
+  // snapshot carries an equality-delete file on the key (content=2 +
+  // equality_ids, killing old images at strictly lower sequences) AND the
+  // new rows as appended data files at the delete's own sequence (immune
+  // by the spec's strictly-lower rule). The read-back aggregate goes
+  // through the native reader's equality-delete evaluation, so a
+  // resurrected old image, a same-commit self-delete, or a missed insert
+  // fails rows AND hash against the SQL replay.
+  private val w10 = QueryDef(
+    "w10_iceberg_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w10_upsert"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "iceberg")
+      val up = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(cust.filter(col("c_custkey") % 100 === 1)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.catalog.IcebergSink.upsert(s, out, up, Seq("c_custkey"))
+      Catalog.attach(s, "w10_customer_iceberg_upsert", "iceberg",
+        Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH up AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1),
+      survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN up ON up.c_custkey = c.c_custkey
+        WHERE up.c_custkey IS NULL),
+      final AS (SELECT * FROM survivors UNION ALL SELECT * FROM up)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment"""))
+
   private val w04 = QueryDef(
     "w04_delta_dml",
     (s, dir) => {
@@ -1736,5 +1781,5 @@ object FormatQueries {
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, f01)
+      w08, w09, w10, f01)
 }

@@ -556,6 +556,75 @@ class IcebergSinkSpec extends SparkSpec {
     assert(r3 === Seq(2L) && n3 === 1L, (r3, n3))
   }
 
+  test("equality deletes + upsert: write, read, writer-side evaluation, compaction") {
+    val root = tempDir("isink_eq").getPath
+    Sinks.copyTo(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "v", "x"), root, "iceberg")
+    // equality delete on id: the native reader applies it
+    assert(IcebergSink.equalityDelete(spark, root,
+      Seq(2L).toDF("id")) === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L))
+    // the delete manifest carries content=2 + equality_ids
+    val manifests = new java.io.File(root, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-del-") && f.getName.endsWith(".avro"))
+    assert(manifests.nonEmpty)
+    // writer-side ops EVALUATE the eq delete (sequence-visibility): a
+    // positional DELETE on the surviving rows works and never resurrects 2
+    assert(IcebergSink.deleteWhere(spark, root, "id = 3") === 1L)
+    assert(readBack(root).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // rows appended AFTER the eq delete sit at a higher sequence — immune
+    Sinks.copyTo(Seq((2L, "b2", 20.0)).toDF("id", "v", "x"), root, "iceberg")
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b2")))
+    // UPSERT: one snapshot replaces id=1 and inserts id=9; the same-commit
+    // rows are safe from their own delete by the strictly-lower rule
+    val (k, ins) = IcebergSink.upsert(spark, root,
+      Seq((1L, "a9", 10.0), (9L, "z", 90.0)).toDF("id", "v", "x"), Seq("id"))
+    assert(k === 2L && ins === 2L)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a9"), (2L, "b2"), (9L, "z")))
+    // compaction APPLIES the eq deletes; the table comes out clean
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a9"), (2L, "b2"), (9L, "z")))
+    assert(loadClean(root))
+    // float keys and unknown columns reject loudly
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.equalityDelete(spark, root, Seq(1.5).toDF("x"))
+    }.getMessage.contains("NaN"))
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.equalityDelete(spark, root, Seq(1L).toDF("nope"))
+    }.getMessage.contains("not in the table schema"))
+  }
+
+  /** After compaction no content=2 entries survive in the current snapshot. */
+  private def loadClean(root: String): Boolean = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    // current snapshot's manifest list via the snapshots introspection
+    val ml = IcebergNative.snapshots(spark, root)
+      .filter(col("is_current")).select("manifest_list").head().getString(0)
+    val mlAbs = if (new java.io.File(ml).isAbsolute) ml else s"$root/$ml"
+    val rd = new DataFileReader[GenericRecord](new java.io.File(mlAbs),
+      new GenericDatumReader[GenericRecord]())
+    val mans = try rd.iterator().asScala.map(_.get("manifest_path").toString).toList
+    finally rd.close()
+    mans.forall { m =>
+      val ma = if (new java.io.File(m).isAbsolute) m else s"$root/$m"
+      val r2 = new DataFileReader[GenericRecord](new java.io.File(ma),
+        new GenericDatumReader[GenericRecord]())
+      try r2.iterator().asScala.forall { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        Option(d.get("content")).forall(_.asInstanceOf[Int] != 2)
+      } finally r2.close()
+    }
+  }
+
   test("addColumn: metadata-only evolution; id'd old files NULL; appends carry it") {
     val root = tempDir("isink_addcol").getPath + "/t"
     IcebergSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
