@@ -1334,10 +1334,20 @@ object IcebergSink {
     * spec's strictly-lower rule makes same-commit upserts safe by
     * construction). Returns (keysDeleted, rowsInserted). */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
-      rows: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+      rows: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val st = loadMorState(spark, path)
+    // exactly-once for streaming micro-batch replays: same ledger as write()
+    txn.foreach { case (appId, v) =>
+      val committed = st.meta.path("snapshots").elements().asScala
+        .map(_.path("summary"))
+        .filter(s0 => s0.path("graft-app-id").asText("") == appId)
+        .map(_.path("graft-batch-version").asText("-1").toLong)
+        .maxOption.getOrElse(Long.MinValue)
+      if (committed >= v) return (0L, 0L)
+    }
     if (morPartFields(st.meta).nonEmpty) throw IcebergReadException(
       s"`$path`: upsert on a partitioned table needs partition-scoped " +
         "delete manifests; use an iceberg connector jar")
@@ -1372,7 +1382,10 @@ object IcebergSink {
     val inserted = dataFiles.map(_.rows).sum
     if (inserted == 0L && eqFiles.isEmpty) return (0L, 0L)
     commitMor(st, "overwrite",
-      Seq("graft-upsert-keys" -> keyCols.mkString(",")),
+      Seq("graft-upsert-keys" -> keyCols.mkString(",")) ++
+        txn.toSeq.flatMap { case (appId, v) =>
+          Seq("graft-app-id" -> appId, "graft-batch-version" -> v.toString)
+        },
       Nil, dataFiles, eqDeleteFiles = eqFiles, equalityIds = eqIds)
     (eqFiles.map(_._3).sum, inserted)
   }

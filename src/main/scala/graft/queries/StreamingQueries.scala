@@ -1046,6 +1046,66 @@ object StreamingQueries {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events WHERE user_id % 50 = 0 GROUP BY 1"""))
 
+  // ---------------------------------------------------------------- x18
+  // STREAMING UPSERT INTO ICEBERG — the Flink-CDC pattern end to end:
+  // batch 1 seeds every customer, batch 2 re-delivers a slice with doubled
+  // balances plus brand-new keys; each micro-batch is ONE snapshot
+  // carrying an equality delete on the key + the batch's rows, so the
+  // final table is latest-write-per-key. The read-back goes through the
+  // native reader's equality-delete evaluation; a resurrected stale image,
+  // a same-commit self-delete, or a doubled batch fails rows AND hash.
+  private val x18 = QueryDef(
+    "x18_stream_iceberg_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = freshRoot(dir, "iceberg_upsert_x18")
+      root.delete() // the sink itself creates the table root on batch 0
+      val in = MemoryStream[(Long, Double, String)](1)
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.upsertIcebergStream(
+          in.toDF().toDF("c_custkey", "c_acctbal", "c_mktsegment"),
+          root.getPath, "x18-app", Seq("c_custkey"))
+          .option("checkpointLocation", ck).start()
+        try {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+            .orderBy(col("c_custkey")).collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          in.addData(cust.toSeq)
+          q.processAllAvailable() // batch 0: creates the table, full seed
+          val updates = cust.filter(_._1 % 10 == 0)
+            .map { case (k, b, m) => (k, b * 2, m) } ++
+            cust.filter(_._1 % 100 == 1)
+              .map { case (k, b, m) => (k + 1000000L, b, m) }
+          in.addData(updates.toSeq)
+          q.processAllAvailable() // batch 1: ONE upsert snapshot
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x18_iceberg_upsert_rt", "iceberg",
+        Map("files" -> root.getPath))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH up AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1),
+      survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN up ON up.c_custkey = c.c_custkey
+        WHERE up.c_custkey IS NULL),
+      final AS (SELECT * FROM survivors UNION ALL SELECT * FROM up)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17)
+    x11, x12, x13, x14, x15, x16, x17, x18)
 }

@@ -221,6 +221,19 @@ object Streams {
       .option("files", root).option("app_id", appId)
       .outputMode("append")
 
+  /** STREAMING UPSERT into a native Iceberg table — the Flink-CDC writer
+    * arrangement: every micro-batch lands as ONE snapshot carrying an
+    * equality delete on `keyCols` plus the batch's rows (latest write per
+    * key wins across batches; same-commit rows are immune by the spec's
+    * strictly-lower sequence rule). Exactly-once through the same
+    * (appId, batchId) summary ledger as the append sink. */
+  def upsertIcebergStream(stream: DataFrame, root: String, appId: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.format("iceberg-commit")
+      .option("files", root).option("app_id", appId)
+      .option("upsert_keys", keyCols.mkString(","))
+      .outputMode("append")
+
   /** STREAMING CDC APPLY — continuous table replication, the pattern a
     * real CDC pipeline runs: follow the SOURCE native Delta table's change
     * feed and apply each micro-batch to the TARGET native Delta table as

@@ -22,10 +22,13 @@ class IcebergWriteSinkProvider extends StreamSinkProvider with DataSourceRegiste
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
-    if (outputMode != OutputMode.Append())
+    val upserting = parameters.get("upsert_keys").exists(_.trim.nonEmpty)
+    if (outputMode != OutputMode.Append() &&
+        !(upserting && outputMode == OutputMode.Update()))
       throw new IllegalArgumentException(
-        s"iceberg-commit supports Append output mode only (got $outputMode): a " +
-          "snapshot append cannot retract rows")
+        s"iceberg-commit supports Append output mode (got $outputMode); " +
+          "Update additionally requires `upsert_keys` — a plain snapshot " +
+          "append cannot retract rows")
     // partitioning flows to the batch writer: `partition_by` option (full
     // transform syntax — day(ts), bucket(16, id), …) or `.partitionBy`
     // (identity columns); both set and disagreeing rejects
@@ -53,12 +56,33 @@ class IcebergWriteSink(spark: CSparkSession, root: String, appId: String,
     parameters: Map[String, String]) extends Sink {
 
   private val writeOpts: Map[String, String] =
-    parameters -- Seq("files", "path", "app_id", "checkpointLocation")
+    parameters -- Seq("files", "path", "app_id", "checkpointLocation", "upsert_keys")
+
+  /** `upsert_keys=k1,k2` switches every micro-batch to ONE upsert snapshot
+    * (equality delete on the keys + the batch's rows, the Flink-CDC
+    * shape) — latest write per key wins across batches. The FIRST batch
+    * creates the table through the plain writer (nothing to delete yet). */
+  private val upsertKeys: Option[Seq[String]] =
+    parameters.get("upsert_keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  private def tableExists: Boolean = {
+    val md = new org.apache.hadoop.fs.Path(root, "metadata")
+    val fs = md.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(md) && fs.listStatus(md)
+      .exists(_.getPath.getName.endsWith(".metadata.json"))
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
-    IcebergSink.write(batch, root, writeOpts, txn = Some((appId, batchId)))
+    upsertKeys match {
+      case Some(keys) if tableExists =>
+        IcebergSink.upsert(spark, root, batch, keys, txn = Some((appId, batchId)))
+      case _ =>
+        IcebergSink.write(batch, root, writeOpts, txn = Some((appId, batchId)))
+    }
   }
 
   override def toString: String = s"IcebergWriteSink[$root, app=$appId]"
