@@ -1106,6 +1106,65 @@ object StreamingQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM final GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- x19
+  // STREAMING UPSERT INTO DELTA — x18's copy-on-write sibling: each
+  // micro-batch applies as ONE full-row MERGE keyed on c_custkey
+  // (idempotent under re-delivery, last-row-per-key within a batch), so
+  // the table converges to latest-write-per-key. Same feed shape and the
+  // SAME oracle replay as x18, so the two lakehouse upsert paths are
+  // pinned to identical semantics.
+  private val x19 = QueryDef(
+    "x19_stream_delta_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = freshRoot(dir, "delta_upsert_x19")
+      root.delete() // the sink bootstraps the table on batch 0
+      val in = MemoryStream[(Long, Double, String)](1)
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.upsertDeltaStream(
+          in.toDF().toDF("c_custkey", "c_acctbal", "c_mktsegment"),
+          root.getPath, Seq("c_custkey"))
+          .option("checkpointLocation", ck).start()
+        try {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+            .orderBy(col("c_custkey")).collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          in.addData(cust.toSeq)
+          q.processAllAvailable() // batch 0: bootstrap
+          val updates = cust.filter(_._1 % 10 == 0)
+            .map { case (k, b, m) => (k, b * 2, m) } ++
+            cust.filter(_._1 % 100 == 1)
+              .map { case (k, b, m) => (k + 1000000L, b, m) }
+          in.addData(updates.toSeq)
+          q.processAllAvailable() // batch 1: one MERGE
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x19_delta_upsert_rt", "delta",
+        Map("files" -> root.getPath))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH up AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1),
+      survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN up ON up.c_custkey = c.c_custkey
+        WHERE up.c_custkey IS NULL),
+      final AS (SELECT * FROM survivors UNION ALL SELECT * FROM up)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19)
 }

@@ -290,6 +290,43 @@ object Streams {
     }
   }
 
+  /** STREAMING UPSERT into a native Delta table — the copy-on-write
+    * sibling of [[upsertIcebergStream]]: each micro-batch applies as ONE
+    * conditional MERGE keyed on `keyCols` (full-row SET, so re-delivery
+    * after a crash re-applies IDEMPOTENTLY — the foreachBatch
+    * exactly-once arrangement, no ledger needed); batches may carry the
+    * same key several times — the LAST row per key within a batch wins
+    * (arrival order via a monotonic per-batch index), matching the
+    * latest-write-per-key contract across batches too. A missing target
+    * bootstraps from the first batch. */
+  def upsertDeltaStream(stream: DataFrame, targetRoot: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "upsertDeltaStream needs at least one key column")
+    val dataCols = stream.schema.fieldNames.toSeq
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        // last row per key within the batch (monotonic id = arrival order)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__arr").desc)
+        val latest = batch
+          .withColumn("__arr", monotonically_increasing_id())
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(dataCols.map(col): _*)
+        val fs = new org.apache.hadoop.fs.Path(targetRoot)
+          .getFileSystem(sp.sessionState.newHadoopConf())
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(targetRoot, "_delta_log"))
+        if (!exists) graft.catalog.DeltaSink.write(latest, targetRoot, Map.empty)
+        else if (!latest.isEmpty)
+          graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
+            keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
+            matchedSet = dataCols.map(c => c -> s"s.$c").toMap)
+        ()
+    }
+  }
+
   /** Structured Streaming over a native Iceberg table root — follows the
     * snapshot-log, emitting the full snapshot first and then each new
     * snapshot's file set-diff (see
