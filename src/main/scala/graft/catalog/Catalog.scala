@@ -63,6 +63,15 @@ object Catalog {
             readParquet(spark, files, options, schema))
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpkg")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".gpkg")))
+            throw InvalidOptionException(
+              "spatial attach mixes geopackages with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a geopackage's geometry is delivered as WKB")
+          graft.sources.GeoPackage.read(spark, files, options)
         case "spatial" if files.exists(f => f.endsWith(".shp") || f.endsWith(".SHP")) =>
           if (!files.forall(f => f.endsWith(".shp") || f.endsWith(".SHP")))
             throw InvalidOptionException(
@@ -222,7 +231,8 @@ object Catalog {
     }
     def isLayerFile(n: String): Boolean = {
       val l = n.toLowerCase
-      l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json")
+      l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
+        l.endsWith(".gpkg")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -240,8 +250,12 @@ object Catalog {
         layers.map((_, true))
       } else Seq((f, false))
     }
-    def driverOf(p: String): String =
-      if (p.toLowerCase.endsWith(".shp")) "ESRI Shapefile" else "GeoJSON"
+    def driverOf(p: String): String = {
+      val l = p.toLowerCase
+      if (l.endsWith(".shp")) "ESRI Shapefile"
+      else if (l.endsWith(".gpkg")) "GPKG"
+      else "GeoJSON"
+    }
     options.get("allowed_drivers").foreach { ad =>
       val allowed = split_files(ad).toSet
       expanded.map(_._1).find(p => !allowed.contains(driverOf(p))).foreach { p =>
@@ -250,6 +264,12 @@ object Catalog {
             s"in allowed_drivers ($ad)")
       }
     }
+    // GeoPackage layers live INSIDE the file (gpkg_contents feature
+    // tables), so the file-basename layer model below does not apply: the
+    // `layer` option passes through to the GeoPackage reader, which selects
+    // the feature table (or rejects loudly listing the candidates).
+    if (expanded.nonEmpty && expanded.forall(_._1.toLowerCase.endsWith(".gpkg")))
+      return expanded.map(_._1)
     options.get("layer") match {
       case Some(l) =>
         val hit = expanded.map(_._1).filter(p => base(new Path(p).getName) == l)

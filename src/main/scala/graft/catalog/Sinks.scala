@@ -34,6 +34,10 @@ object Sinks {
     // partition, HTTP response records; see sources/Warc)
     if (format.equalsIgnoreCase("warc"))
       return graft.sources.Warc.write(df, path, options)
+    // FORMAT gpkg → the native GeoPackage writer (single-file SQLite
+    // container, driver-side with a loud row guard; see sources/GeoPackage)
+    if (format.equalsIgnoreCase("gpkg"))
+      return graft.sources.GeoPackage.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

@@ -165,6 +165,37 @@ object FormatQueries {
     shp.getPath
   }
 
+  /** nation → a GEOPACKAGE feature layer via the native single-file sink
+    * (sources/GeoPackage) — same planted Point(k/2, k) geometries, WKB
+    * bytes built HERE with an inline encoder so the fixture's geometry is
+    * independent of the reader's GPB handling; the oracle reuses g01's
+    * independent WKB hex. Driver-side write is test scaffolding. */
+  private def nationGpkg(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_gpkg"
+    val f = new java.io.File(s"$out/nation.gpkg")
+    if (!f.exists()) {
+      import org.apache.spark.sql.types._
+      f.getParentFile.mkdirs()
+      val rows = Tables.load(s, dir, "nation")
+        .select(org.apache.spark.sql.functions.col("n_nationkey").cast("long"),
+          org.apache.spark.sql.functions.col("n_name")).collect()
+        .sortBy(_.getLong(0))
+        .map { r =>
+          val k = r.getLong(0)
+          val wkb = java.nio.ByteBuffer.allocate(21)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          wkb.put(1.toByte).putInt(1).putDouble(k / 2.0).putDouble(k.toDouble)
+          org.apache.spark.sql.Row(k, r.getString(1), wkb.array())
+        }
+      val schema = StructType(Seq(StructField("nationkey", LongType),
+        StructField("name", StringType), StructField("geom", BinaryType)))
+      val df = s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema)
+      graft.sources.GeoPackage.write(df, f.getPath,
+        Map("layer" -> "nation", "geometry_type" -> "POINT"))
+    }
+    f.getPath
+  }
+
   /** customer → a two-commit native DELTA table (driver-side scaffolding,
     * like nationGeo): commit 0 adds an evens file and an odds file; commit 1
     * REMOVES the odds file and adds a positive-balance rewrite of it. A
@@ -640,6 +671,7 @@ object FormatQueries {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
     customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir); nationShp(s, dir)
+    nationGpkg(s, dir)
   }
 
   private val custCols =
@@ -880,6 +912,35 @@ object FormatQueries {
         AND NOT (by1 < 0.125 OR by0 > 40.125)
         AND NOT (2*bx0 + by0 > 40.375 AND 2*bx0 + by1 > 40.375
              AND 2*bx1 + by0 > 40.375 AND 2*bx1 + by1 > 40.375)"""))
+
+  // ---------------------------------------------------------------- g06
+  // Native GEOPACKAGE scan (st_read's GPKG driver, src/duckdb/spatial.rs:
+  // 29-82): the SQLite container and GPB geometry blobs are parsed natively
+  // (sources/SqliteFile, sources/GeoPackage), layer selected by gpkg_contents.
+  // Same WKB contract and independently-encoded oracle as g01/g02 — a reader
+  // that misparsed the b-tree, the record serial types, the rowid-alias fid,
+  // or the GPB header fails the row AND hash check.
+  private val g06 = QueryDef(
+    "g06_geopackage_scan",
+    (s, dir) => {
+      val path = nationGpkg(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g06_nation_gpkg", "spatial",
+        Map("files" -> path, "layer" -> "nation"))
+        .select(col("fid"), col("nationkey"), col("name"),
+          upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      // fid is the 1-based write order = nationkey + 1 (rows sorted by key)
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) + 1 AS fid,
+             CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
 
   // ---------------------------------------------------------------- l01
   // Native Delta scan (reference src/fdw/delta.rs:1-149 reads the latest
@@ -1779,7 +1840,7 @@ object FormatQueries {
       FROM nation GROUP BY n_regionkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, f01)
 }
