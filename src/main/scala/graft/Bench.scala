@@ -108,7 +108,16 @@ object Bench {
     }
     if (errors.nonEmpty) {
       errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
-      sys.exit(1)
     }
+    // The driver's stdout-capture window is ~2 KB, smaller than the full
+    // per-query line can ever be at 147 queries (r8: tail started mid-line,
+    // parsed:null). Emit a ≤200-byte summary object as the VERY LAST line on
+    // both channels so any tail window holds one complete parseable JSON;
+    // the per-query map lives in the full line above and in $outPath.
+    val summary =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_errors":${errors.size},"queries_file":${jstr(outPath)}}"""
+    println(summary)
+    System.err.println(summary)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

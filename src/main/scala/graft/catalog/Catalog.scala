@@ -63,6 +63,16 @@ object Catalog {
             readParquet(spark, files, options, schema))
         case "csv" => readCsv(spark, files, options, schema)
         case "json" => readJson(spark, files, options, schema)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".xlsx")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".xlsx")))
+            throw InvalidOptionException(
+              "spatial attach mixes workbooks with other formats; attach them separately")
+          Seq("keep_wkb", "spatial_filter", "spatial_filter_box").foreach { o =>
+            if (options.contains(o)) throw InvalidOptionException(
+              s"`$o` needs a geometry layer; an .xlsx worksheet is attribute-" +
+                "only (the XLSX driver carries no geometry column)")
+          }
+          graft.sources.Xlsx.read(spark, files, options)
         case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpkg")) =>
           if (!files.forall(f => f.toLowerCase.endsWith(".gpkg")))
             throw InvalidOptionException(
@@ -212,10 +222,15 @@ object Catalog {
       options: Map[String, String]): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
+    // open_options are honored only where a native equivalent exists: the
+    // XLSX driver's HEADERS/FIELD_TYPES (validated in sources/Xlsx). For
+    // every other driver they are GDAL switches with no equivalent — reject.
     options.get("open_options").filter(_.trim.nonEmpty).foreach { oo =>
-      throw InvalidOptionException(
-        s"spatial open_options `$oo` are GDAL driver switches this native " +
-          "reader has no equivalent for; drop the option or use a GDAL deployment")
+      if (!files.forall(_.toLowerCase.endsWith(".xlsx")))
+        throw InvalidOptionException(
+          s"spatial open_options `$oo` are GDAL driver switches this native " +
+            "reader has no equivalent for outside the XLSX driver " +
+            "(HEADERS=, FIELD_TYPES=); drop the option or use a GDAL deployment")
     }
     options.get("sequential_layer_scan").foreach { v =>
       if (!Set("true", "false").contains(v.toLowerCase))
@@ -232,7 +247,7 @@ object Catalog {
     def isLayerFile(n: String): Boolean = {
       val l = n.toLowerCase
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
-        l.endsWith(".gpkg")
+        l.endsWith(".gpkg") || l.endsWith(".xlsx")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -254,6 +269,7 @@ object Catalog {
       val l = p.toLowerCase
       if (l.endsWith(".shp")) "ESRI Shapefile"
       else if (l.endsWith(".gpkg")) "GPKG"
+      else if (l.endsWith(".xlsx")) "XLSX"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>
@@ -264,12 +280,31 @@ object Catalog {
             s"in allowed_drivers ($ad)")
       }
     }
-    // GeoPackage layers live INSIDE the file (gpkg_contents feature
-    // tables), so the file-basename layer model below does not apply: the
-    // `layer` option passes through to the GeoPackage reader, which selects
-    // the feature table (or rejects loudly listing the candidates).
-    if (expanded.nonEmpty && expanded.forall(_._1.toLowerCase.endsWith(".gpkg")))
+    // GeoPackage/XLSX layers live INSIDE the file (gpkg_contents feature
+    // tables / worksheets), so the file-basename layer model below does not
+    // apply: the `layer` option passes through to the container reader,
+    // which selects the table/sheet (or rejects loudly listing candidates).
+    def isContainer(p: String): Boolean = {
+      val l = p.toLowerCase; l.endsWith(".gpkg") || l.endsWith(".xlsx")
+    }
+    if (expanded.nonEmpty && expanded.forall(p => isContainer(p._1))) {
+      if (expanded.exists(_._1.toLowerCase.endsWith(".gpkg")) &&
+        expanded.exists(_._1.toLowerCase.endsWith(".xlsx")))
+        throw InvalidOptionException(
+          "spatial attach mixes geopackages with workbooks; attach them separately")
       return expanded.map(_._1)
+    }
+    // A MIXED set (.gpkg/.xlsx alongside .shp/.geojson) would conflate the
+    // two layer namespaces: layer=<name> matching a container file's
+    // BASENAME would pass that file through with the same option, which its
+    // reader reinterprets as a table/sheet name INSIDE the file. Reject
+    // up front instead of attaching the wrong thing.
+    if (expanded.exists(p => isContainer(p._1)))
+      throw InvalidOptionException(
+        "spatial attach mixes container formats (.gpkg/.xlsx) with file-" +
+          "layer formats; a container's layers are tables/sheets inside the " +
+          "file (layer= selects one), while .shp/.geojson layers are file " +
+          "basenames — attach them separately")
     options.get("layer") match {
       case Some(l) =>
         val hit = expanded.map(_._1).filter(p => base(new Path(p).getName) == l)

@@ -112,11 +112,12 @@ object IcebergSink {
       case c =>
         src(c).dataType match {
           case IntegerType | LongType | StringType | BooleanType |
-            ShortType | ByteType => ()
+            ShortType | ByteType | DateType | TimestampType |
+            TimestampNTZType => ()
           case other => throw IcebergReadException(
             s"partition_by column `$c`: identity partitioning on " +
               s"${other.simpleString} is not supported by this native writer " +
-              "(int/long/string/boolean)")
+              "(int/long/string/boolean/date/timestamp)")
         }
         PartField(c, "identity", c, src(c).dataType)
     }
@@ -129,6 +130,10 @@ object IcebergSink {
     case IntegerType | ShortType | ByteType => "\"int\""
     case LongType => "\"long\""
     case BooleanType => "\"boolean\""
+    // spec partition-tuple encodings: date = int epoch days,
+    // timestamp/timestamptz = long micros (Iceberg spec, Appendix A Avro)
+    case DateType => "\"int\""
+    case TimestampType | TimestampNTZType => "\"long\""
     case _ => "\"string\""
   }
 
@@ -183,6 +188,10 @@ object IcebergSink {
         case IntegerType | ShortType | ByteType => Int.box(decoded.toInt)
         case LongType => Long.box(decoded.toLong)
         case BooleanType => Boolean.box(decoded.toBoolean)
+        // fanout columns carry these pre-converted to the spec's numeric
+        // encodings (transformCol identity): date = epoch days, ts = micros
+        case DateType => Int.box(decoded.toInt)
+        case TimestampType | TimestampNTZType => Long.box(decoded.toLong)
         case _ => decoded
       }
     }
@@ -209,6 +218,7 @@ object IcebergSink {
           {"name":"content_offset","type":["null","long"],"default":null},
           {"name":"content_size_in_bytes","type":["null","long"],"default":null},
           {"name":"referenced_data_file","type":["null","string"],"default":null},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
           {"name":"lower_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
           {"name":"upper_bounds","type":["null",{"type":"map","values":"bytes"}],"default":null},
           {"name":"null_value_counts","type":["null",{"type":"map","values":"long"}],"default":null}]}""")
@@ -252,7 +262,18 @@ object IcebergSink {
       date_add(lit(java.sql.Date.valueOf("1970-01-01")),
         floorDiv(unix_micros(ts), 86400000000L).cast("int"))
     pf.transform match {
-      case "identity" => src
+      // identity over temporals emits the spec's NUMERIC tuple encoding
+      // (date = int epoch days, timestamp = long micros) so the r102 record
+      // and the reader's tuple-derived bounds see typed values, never a
+      // rendered string. Session tz is pinned UTC (Engine.configure), so the
+      // NTZ→TZ cast is numerically a no-op and yields the local micros the
+      // spec's `timestamp` type stores.
+      case "identity" => dt match {
+        case DateType => datediff(src, lit(java.sql.Date.valueOf("1970-01-01")))
+        case TimestampType => unix_micros(src)
+        case TimestampNTZType => unix_micros(src.cast(TimestampType))
+        case _ => src
+      }
       case bucketTrRe(n) => expr(s"iceberg_bucket($quoted, $n)")
       case truncTrRe(w) => dt match {
         case IntegerType | LongType => (src - pmod(src, lit(w.toLong))).cast(dt)
@@ -794,7 +815,10 @@ object IcebergSink {
       // equality-delete files (abs path, equality field ids, sequence) and
       // each data file's sequence — eq deletes apply to STRICTLY LOWER seqs
       eqDeletes: Seq[(String, Seq[Int], Long)] = Nil,
-      dataSeqs: Map[String, Long] = Map.empty)
+      dataSeqs: Map[String, Long] = Map.empty,
+      // each live data file's r102 partition tuple (abs path → field name →
+      // avro value) — DV manifest entries echo their referenced file's tuple
+      dataTuples: Map[String, Map[String, AnyRef]] = Map.empty)
 
   private def loadMorState(spark: org.apache.spark.sql.SparkSession,
       path: String): MorState = {
@@ -841,6 +865,7 @@ object IcebergSink {
     val dvRefs = Seq.newBuilder[DvRef]
     val eqDeletes = Seq.newBuilder[(String, Seq[Int], Long)]
     val dataSeqs = Map.newBuilder[String, Long]
+    val dataTuples = Map.newBuilder[String, Map[String, AnyRef]]
     var hasEqDeletes = false
     prevManifests.foreach { case (m, mseq) =>
       val r = new DataFileReader[GenericRecord](
@@ -859,6 +884,16 @@ object IcebergSink {
             val p = abs(dfr.get("file_path").toString).toString
             dataFiles += p
             dataSeqs += p -> entrySeq
+            fld("partition").foreach {
+              case pr: GenericRecord =>
+                dataTuples += p -> pr.getSchema.getFields.asScala.map { f2 =>
+                  f2.name() -> (pr.get(f2.name()) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case other => other
+                  })
+                }.toMap
+              case _ => ()
+            }
           }
           else if (content == 1 &&
             dfr.get("file_format").toString.equalsIgnoreCase("PARQUET"))
@@ -890,7 +925,8 @@ object IcebergSink {
     }
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
       prevManifests, dataFiles.result(), priorDeleteFiles.result(),
-      dvRefs.result(), hasEqDeletes, eqDeletes.result(), dataSeqs.result())
+      dvRefs.result(), hasEqDeletes, eqDeletes.result(), dataSeqs.result(),
+      dataTuples.result())
   }
 
   /** DELETE stays available on partitioned tables (positional delete files
@@ -1117,26 +1153,44 @@ object IcebergSink {
     val seq = st.lastSeq + 1
     val nowMs = System.currentTimeMillis()
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    def entries(files: Seq[(String, Long, Long)], content: Option[Int]) =
-      files.map { case (rel, size, rows) =>
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", content.map(Int.box).orNull)
-        d.put("file_path", rel)
-        d.put("file_format", "PARQUET")
-        d.put("record_count", rows)
-        d.put("file_size_in_bytes", Long.box(size))
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("sequence_number", Long.box(seq))
-        e.put("data_file", d)
-        e
-      }
-    // appended data files on a partitioned table carry their r102 tuple
+    // appended data files on a partitioned table carry their r102 tuple;
+    // DELETE-side entries (positional, DV, equality) use the SAME
+    // partition-aware entry schema — spec readers expect every manifest
+    // entry's data_file.partition to match the spec's partition type.
+    // A DV's tuple is its referenced data file's, echoed from the live
+    // manifests (st.dataTuples); a positional/equality delete file spans
+    // partitions, so its partition record stays null (correct record
+    // schema, no tuple).
     val partFields = morPartFields(st.meta)
     val (dataDfSch, dataESch) = manifestSchemasFor(partFields)
     val dataPartSchema: Option[org.apache.avro.Schema] =
       if (partFields.isEmpty) None
       else Some(dataDfSch.getField("partition").schema().getTypes.get(1))
+    def tupleRecordOf(relPath: String): AnyRef =
+      dataPartSchema.flatMap { prs =>
+        val p0 = new Path(relPath)
+        val absKey = (if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)).toString
+        st.dataTuples.get(absKey).map { vals =>
+          val pr = new GenericData.Record(prs)
+          partFields.foreach(p => pr.put(p.name, vals.getOrElse(p.name, null)))
+          pr
+        }
+      }.orNull
+    def entries(files: Seq[(String, Long, Long)], content: Option[Int]) =
+      files.map { case (rel, size, rows) =>
+        val d = new GenericData.Record(dataDfSch)
+        d.put("content", content.map(Int.box).orNull)
+        d.put("file_path", rel)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", Long.box(size))
+        if (dataPartSchema.nonEmpty) d.put("partition", tupleRecordOf(rel))
+        val e = new GenericData.Record(dataESch)
+        e.put("status", 1) // ADDED
+        e.put("sequence_number", Long.box(seq))
+        e.put("data_file", d)
+        e
+      }
     def dataEntries(files: Seq[MorDataFile]) =
       files.map { f =>
         val d = new GenericData.Record(dataDfSch)
@@ -1157,7 +1211,7 @@ object IcebergSink {
         e
       }
     val dvRecords = dvEntries.map { dv =>
-      val d = new GenericData.Record(dfSchema)
+      val d = new GenericData.Record(dataDfSch)
       d.put("content", Int.box(1))
       d.put("file_path", dv.rel)
       d.put("file_format", "PUFFIN")
@@ -1166,7 +1220,11 @@ object IcebergSink {
       d.put("content_offset", Long.box(dv.blobOffset))
       d.put("content_size_in_bytes", Long.box(dv.blobSize))
       d.put("referenced_data_file", dv.referencedDataFile)
-      val e = new GenericData.Record(entrySchema)
+      // a DV is scoped to ONE data file — its partition tuple is that
+      // file's, recoverable from the fanout path
+      if (dataPartSchema.nonEmpty)
+        d.put("partition", tupleRecordOf(dv.referencedDataFile))
+      val e = new GenericData.Record(dataESch)
       e.put("status", 1)
       e.put("sequence_number", Long.box(seq))
       e.put("data_file", d)
@@ -1175,7 +1233,7 @@ object IcebergSink {
     // equality-delete entries (content=2): the delete file holds the KEY
     // columns; equality_ids names the table field ids rows must match on
     val eqRecords = eqDeleteFiles.map { case (rel, size, rows) =>
-      val d = new GenericData.Record(dfSchema)
+      val d = new GenericData.Record(dataDfSch)
       d.put("content", Int.box(2))
       d.put("file_path", rel)
       d.put("file_format", "PARQUET")
@@ -1183,7 +1241,7 @@ object IcebergSink {
       d.put("file_size_in_bytes", Long.box(size))
       d.put("equality_ids",
         new java.util.ArrayList[Integer](equalityIds.map(Int.box).asJava))
-      val e = new GenericData.Record(entrySchema)
+      val e = new GenericData.Record(dataESch)
       e.put("status", 1)
       e.put("sequence_number", Long.box(seq))
       e.put("data_file", d)
@@ -1192,7 +1250,7 @@ object IcebergSink {
     val newManifests = Seq.newBuilder[(String, Option[Int])]
     if (deleteFiles.nonEmpty || dvRecords.nonEmpty || eqRecords.nonEmpty) {
       val rel = s"metadata/m-del-$snapshotId-$stamp.avro"
-      writeAvroAt(fs, st.rootPath, rel, entrySchema,
+      writeAvroAt(fs, st.rootPath, rel, dataESch,
         entries(deleteFiles, Some(1)) ++ dvRecords ++ eqRecords)
       newManifests += ((rel, Some(1)))
     }
@@ -1370,7 +1428,25 @@ object IcebergSink {
     }
     val eqIds = keyCols.map(idByName)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val keyDf = rows.select(keyCols.map(col): _*).dropDuplicates()
+    // Duplicate keys WITHIN the batch land at the same sequence as the
+    // equality delete, which (spec: strictly-lower rule) cannot touch them —
+    // they'd survive as duplicate rows. Keep the LAST row per key first,
+    // matching upsertDeltaStream's semantics. "Last" = highest
+    // monotonically_increasing_id: exact arrival order within a partition;
+    // across partitions it is partition-index order (documented caveat —
+    // pass a single-partition batch or pre-aggregate upstream when
+    // cross-partition arrival order matters).
+    val dedupedRows = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__graft_seq").desc)
+      rows.withColumn("__graft_seq", monotonically_increasing_id())
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
+        .drop("__graft_seq", "__graft_rn")
+    }
+    val keyDf = dedupedRows.select(keyCols.map(col): _*).dropDuplicates()
       .select(keyCols.map { c =>
         col(c).as(c, new MetadataBuilder()
           .putLong("parquet.field.id", idByName(c).toLong).build())
@@ -1378,7 +1454,7 @@ object IcebergSink {
     val eqFiles =
       if (st.dataPaths.isEmpty) Nil // nothing older to kill
       else writeMoved(keyDf, st, s"eqdel-$stamp")
-    val dataFiles = writeMorData(rows.select(names.map(col): _*), st, s"ups-$stamp")
+    val dataFiles = writeMorData(dedupedRows.select(names.map(col): _*), st, s"ups-$stamp")
     val inserted = dataFiles.map(_.rows).sum
     if (inserted == 0L && eqFiles.isEmpty) return (0L, 0L)
     commitMor(st, "overwrite",

@@ -38,6 +38,10 @@ object Sinks {
     // container, driver-side with a loud row guard; see sources/GeoPackage)
     if (format.equalsIgnoreCase("gpkg"))
       return graft.sources.GeoPackage.write(df, path, options)
+    // FORMAT xlsx → the native OOXML workbook writer (single-file zip,
+    // driver-side with the spec's sheet row cap; see sources/Xlsx)
+    if (format.equalsIgnoreCase("xlsx"))
+      return graft.sources.Xlsx.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

@@ -537,7 +537,7 @@ object StreamingQueries {
   private val x10 = QueryDef(
     "x10_stream_delta_sink",
     (s, dir) => {
-      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import org.apache.spark.sql.functions.{avg, col, count, lit, sum}
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -565,12 +565,21 @@ object StreamingQueries {
       val table = Catalog.attach(s, "x10_delta_rt", "delta",
         Map("files" -> root.getPath))
       assertRowCount("x10_stream_delta_sink", table.count(), fed)
+      // DOUBLE-cast sum + derived avg: keeps every value the driver hashes
+      // in IEEE double space on both engines (DuckDB's sum(BIGINT) is a
+      // HUGEINT, whose rendering is hasher-dependent). Sums are exact —
+      // integer totals far below 2^53 — so order of aggregation is moot.
       table.groupBy("lang")
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("double")).as("chars"),
+          avg(col("n_chars").cast("double")).as("avg_chars"))
+        .orderBy(col("lang"))
     },
     Some("""
-      SELECT lang, count(*) AS n, sum(n_chars) AS chars
-      FROM documents GROUP BY lang"""))
+      SELECT lang, count(*) AS n,
+             sum(CAST(n_chars AS DOUBLE)) AS chars,
+             avg(CAST(n_chars AS DOUBLE)) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
 
   // ---------------------------------------------------------------- x11
   // STREAMING INTO ICEBERG: the iceberg-commit sink lands each micro-batch
@@ -582,7 +591,7 @@ object StreamingQueries {
   private val x11 = QueryDef(
     "x11_stream_iceberg_sink",
     (s, dir) => {
-      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import org.apache.spark.sql.functions.{avg, col, count, lit, sum}
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -610,12 +619,18 @@ object StreamingQueries {
       val table = Catalog.attach(s, "x11_iceberg_rt", "iceberg",
         Map("files" -> root.getPath))
       assertRowCount("x11_stream_iceberg_sink", table.count(), fed)
+      // Same DOUBLE-space shape as x10 (see comment there).
       table.groupBy("lang")
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("double")).as("chars"),
+          avg(col("n_chars").cast("double")).as("avg_chars"))
+        .orderBy(col("lang"))
     },
     Some("""
-      SELECT lang, count(*) AS n, sum(n_chars) AS chars
-      FROM documents GROUP BY lang"""))
+      SELECT lang, count(*) AS n,
+             sum(CAST(n_chars AS DOUBLE)) AS chars,
+             avg(CAST(n_chars AS DOUBLE)) AS avg_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
 
   // ---------------------------------------------------------------- x12
   // COMPOSED STREAMING LAKEHOUSE PIPELINE: table A's CHANGE DATA FEED

@@ -918,7 +918,19 @@ object IcebergNative {
         val truncRe = """truncate\[(\d+)\]""".r
         if (sf.value == null) src.isNull
         else sf.transform match {
-          case "identity" => src <=> lit(sf.value)
+          // identity tuples store temporals in the spec's numeric encoding
+          // (date = int epoch days, timestamp = long micros) — decode before
+          // comparing against the typed source column
+          case "identity" => dt match {
+            case DateType =>
+              src <=> lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+                sf.value.asInstanceOf[Number].longValue())))
+            case TimestampType | TimestampNTZType =>
+              val micros = sf.value.asInstanceOf[Number].longValue()
+              src.cast(TimestampType) <=> lit(java.sql.Timestamp.from(
+                java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)))
+            case _ => src <=> lit(sf.value)
+          }
           case bucketRe(n) => dt match {
             case IntegerType | LongType | DateType | TimestampType | StringType =>
               expr(s"iceberg_bucket($quotedCol, $n)") === lit(sf.value)

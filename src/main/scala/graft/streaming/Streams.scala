@@ -295,10 +295,15 @@ object Streams {
     * conditional MERGE keyed on `keyCols` (full-row SET, so re-delivery
     * after a crash re-applies IDEMPOTENTLY — the foreachBatch
     * exactly-once arrangement, no ledger needed); batches may carry the
-    * same key several times — the LAST row per key within a batch wins
-    * (arrival order via a monotonic per-batch index), matching the
-    * latest-write-per-key contract across batches too. A missing target
-    * bootstraps from the first batch. */
+    * same key several times — the LAST row per key within a batch wins.
+    * "Last" is the highest monotonically-increasing id, which is exact
+    * arrival order only within a single input partition; in a
+    * MULTI-partition micro-batch its high bits encode the partition index,
+    * so the winner is partition-layout order, not global arrival order.
+    * Sources that need a cross-partition winner must carry an explicit
+    * ordering column (event time / sequence) and pre-reduce per key
+    * upstream. Matching the latest-write-per-key contract across batches.
+    * A missing target bootstraps from the first batch. */
   def upsertDeltaStream(stream: DataFrame, targetRoot: String,
       keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.expressions.Window

@@ -80,7 +80,20 @@ class IcebergWriteSink(spark: CSparkSession, root: String, appId: String,
     upsertKeys match {
       case Some(keys) if tableExists =>
         IcebergSink.upsert(spark, root, batch, keys, txn = Some((appId, batchId)))
-      case _ =>
+      case Some(keys) =>
+        // bootstrap batch bypasses upsert() (nothing to delete yet) but must
+        // carry the SAME within-batch semantics: keep the last row per key,
+        // or duplicate keys in batch 0 land as duplicate rows
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__graft_seq").desc)
+        val deduped = batch.withColumn("__graft_seq", monotonically_increasing_id())
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_seq", "__graft_rn")
+        IcebergSink.write(deduped, root, writeOpts, txn = Some((appId, batchId)))
+      case None =>
         IcebergSink.write(batch, root, writeOpts, txn = Some((appId, batchId)))
     }
   }

@@ -154,7 +154,7 @@ class GeoPackageSpec extends SparkSpec {
     writeSample(f)
     // points are (1,2),(2,4),(3,6): box [1.5,3.5]×[0,10] keeps fid 2,3
     val df = Catalog.attach(spark, "gpkg_box", "spatial",
-      Map("files" -> f.getAbsolutePath, "spatial_filter_box" -> "1.5, 3.5, 0, 10"))
+      Map("files" -> f.getAbsolutePath, "spatial_filter_box" -> "1.5, 0, 3.5, 10"))
     assert(df.select("fid").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
