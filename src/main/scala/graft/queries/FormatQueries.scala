@@ -942,6 +942,56 @@ object FormatQueries {
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
+  /** supplier → a native .xlsx workbook (driver-side scaffolding, like
+    * nationGpkg): one worksheet written through sources/Xlsx — header row,
+    * shared-string interning for the text columns, inline numbers (long +
+    * double), booleans, and MISSING cells for the nullable column — so the
+    * read-back exercises every cell kind the OOXML spec defines. */
+  private def supplierXlsx(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/supplier_xlsx"
+    val f = new java.io.File(s"$out/supplier.xlsx")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      f.getParentFile.mkdirs()
+      val df = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("suppkey"),
+          col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"),
+          (col("s_acctbal") > 0.0).as("positive"),
+          when(col("s_suppkey") % 5 === 0, lit(null: String))
+            .otherwise(concat(lit("supplied by "), col("s_name"))).as("note"))
+        .orderBy(col("suppkey"))
+        .coalesce(1)
+      graft.sources.Xlsx.write(df, f.getPath, Map("layer" -> "supplier"))
+    }
+    f.getPath
+  }
+
+  // ---------------------------------------------------------------- g07
+  // Native XLSX scan (st_read's XLSX driver — the README's Excel row,
+  // src/duckdb/spatial.rs:29-82): the OOXML zip + SpreadsheetML parts are
+  // parsed natively (sources/Xlsx), sheet selected by the layer model. The
+  // workbook round-trips supplier through the native writer, so shared
+  // strings, long/double numerics, booleans and missing cells all cross the
+  // boundary; the oracle recomputes from the SOURCE parquet — a reader that
+  // misindexed the sst, misparsed a cell ref, or dropped a sparse cell
+  // fails the row AND hash check.
+  private val g07 = QueryDef(
+    "g07_xlsx_scan",
+    (s, dir) => {
+      val path = supplierXlsx(s, dir)
+      Catalog.attach(s, "g07_supplier_xlsx", "spatial",
+        Map("files" -> path, "layer" -> "supplier",
+          "open_options" -> "HEADERS=FORCE"))
+        .select("suppkey", "name", "acctbal", "positive", "note")
+    },
+    Some("""
+      SELECT s_suppkey AS suppkey, s_name AS name, s_acctbal AS acctbal,
+             s_acctbal > 0 AS positive,
+             CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                  ELSE 'supplied by ' || s_name END AS note
+      FROM supplier"""))
+
   // ---------------------------------------------------------------- l01
   // Native Delta scan (reference src/fdw/delta.rs:1-149 reads the latest
   // snapshot of a table root). The attached table was built in two commits
@@ -1840,7 +1890,7 @@ object FormatQueries {
       FROM nation GROUP BY n_regionkey"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, f01)
 }
