@@ -1414,6 +1414,74 @@ object FormatQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM d GROUP BY c_mktsegment"""))
 
+  /** customer → a native ICEBERG table with a LIST column (`tags =
+    * [c_mktsegment, custkey%3]`) and a LIST-TYPED equality delete: the
+    * delete file's `tags` column holds whole arrays (field id 3 — the list
+    * COLUMN, not the element id; element ids cannot address a row and
+    * reject loudly per the spec's nested-column rule). */
+  private def customerIcebergListEqdel(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/customer_iceberg_listdel"
+    val done = new java.io.File(s"$out/metadata/version-hint.text")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import IcebergScaffold._
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          array(col("c_mktsegment"), (col("c_custkey") % 3).cast("string")).as("tags"))
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val data = singlePart(root, "data/cust.parquet", c.coalesce(1))
+      val del = singlePart(root, "data/eq_tags.parquet",
+        Seq(Seq("BUILDING", "0"), Seq("MACHINERY", "1")).toDF("tags"))
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      writeAvro(new java.io.File(md, "m1.avro"), entrySchema, Seq(
+        entry(1, data, content = Some(0), seq = Some(1L)),
+        entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3))))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema,
+        Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+      java.nio.file.Files.writeString(
+        new java.io.File(md, "v1.metadata.json").toPath,
+        s"""{"format-version": 2, "table-uuid": "customer-iceberg-listdel",
+           |"location": "${root.getPath}", "current-schema-id": 0,
+           |"schemas": [{"type":"struct","schema-id":0,"fields":[
+           |  {"id":1,"name":"c_custkey","required":true,"type":"long"},
+           |  {"id":2,"name":"c_name","required":false,"type":"string"},
+           |  {"id":3,"name":"tags","required":false,"type":{"type":"list",
+           |    "element-id":4,"element":"string","element-required":false}}]}],
+           |"current-snapshot-id": 1,
+           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- l17
+  // LIST-TYPED EQUALITY DELETE on a native Iceberg scan: the equality id
+  // names a list COLUMN, so "values are equal" means WHOLE-ARRAY equality
+  // (order- and length-sensitive) — the well-defined complex-typed case
+  // the spec admits, while element ids inside list/map types stay loud
+  // rejects (a repeated element cannot address a row). The oracle replays
+  // the two deleted (segment, key%3) array values from the source table;
+  // a reader that compared element-wise-any, ignored order, or dropped
+  // the delete entirely fails rows AND hash.
+  private val l17 = QueryDef(
+    "l17_iceberg_list_eqdel",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = customerIcebergListEqdel(s, dir)
+      Catalog.attach(s, "l17_customer_iceberg_listdel", "iceberg",
+        Map("files" -> path))
+        .select(col("c_custkey"), col("c_name"),
+          array_join(col("tags"), "|").as("tags_str"))
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             c_mktsegment || '|' || CAST(c_custkey % 3 AS VARCHAR) AS tags_str
+      FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0)
+        AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 1)"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -1891,6 +1959,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, f01)
 }

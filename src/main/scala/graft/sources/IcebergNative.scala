@@ -997,8 +997,11 @@ object IcebergNative {
         // unaddressable and reject loudly.
         val paths = ids.map(id => idToPath.getOrElse(id, throw IcebergReadException(
           s"equality delete references field id $id that is neither a column nor " +
-            "a struct subfield of the table schema (ids inside list/map element " +
-            "types cannot be equality-deleted; use an iceberg connector jar)")))
+            "a struct subfield of the table schema. Ids INSIDE list/map element " +
+            "types cannot address a row (the spec's nested-column rule: delete " +
+            "columns may nest in structs but not in maps or lists) — such a " +
+            "delete file is malformed. Whole-LIST-typed delete columns (the " +
+            "list column's own id, whole-array equality) ARE supported")))
         val eLookup = group.map { case (f, _, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
         // delete-file columns resolve by field id too when the files carry
         // ids (a renamed table's older delete files store the OLD names);

@@ -272,6 +272,35 @@ class IcebergNativeSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("LIST-typed equality deletes match whole array values (spec: 'values are equal')") {
+    val root = tempDir("ice_eqlistcol")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"tags","required":false,"type":{"type":"list",
+          "element-id":3,"element":"string","element-required":false}}]}"""
+    val fA = writePart(root, "data/a.parquet", Seq(
+      (1L, Seq("x", "y")), (2L, Seq("x")), (3L, Seq("y", "x")),
+      (4L, Seq.empty[String])).toDF("id", "tags"))
+    // the delete column is the LIST COLUMN itself (field id 2): a row dies
+    // only when its whole array equals a delete row's array — order and
+    // length sensitive, per the spec's "values are equal to all delete
+    // columns". ["x","y"] kills id 1 but NOT id 3 (different order) or
+    // id 2 (prefix).
+    val del = writePart(root, "data/eq_list.parquet",
+      Seq(Seq("x", "y"), Seq.empty[String]).toDF("tags"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(2))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
   test("equality delete on an id inside a list element still rejects loudly") {
     val root = tempDir("ice_eqlist")
     import spark.implicits._
