@@ -1356,9 +1356,10 @@ object IcebergSink {
     import org.apache.spark.sql.functions.col
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return 0L
-    if (morPartFields(st.meta).nonEmpty) throw IcebergReadException(
-      s"`$path`: global equality deletes on a partitioned table need " +
-        "partition-scoped delete manifests; use an iceberg connector jar")
+    // Partitioned tables work: the delete entry rides the partition-aware
+    // manifest schema with a NULL partition record — the global scope (a
+    // key's old image may live in ANY partition), which both this library's
+    // reader and the writer's own liveRows evaluate partition-agnostically.
     val idByName = schemaFieldIds(st.meta).toMap
     keys.schema.fields.foreach { f =>
       if (!idByName.contains(f.name)) throw IcebergReadException(
@@ -1406,9 +1407,11 @@ object IcebergSink {
         .maxOption.getOrElse(Long.MinValue)
       if (committed >= v) return (0L, 0L)
     }
-    if (morPartFields(st.meta).nonEmpty) throw IcebergReadException(
-      s"`$path`: upsert on a partitioned table needs partition-scoped " +
-        "delete manifests; use an iceberg connector jar")
+    // Partitioned tables work: the new rows fan out per the spec's
+    // transforms (writeMorData), and the equality delete rides a NULL
+    // partition record = GLOBAL scope — correct for upsert, where a key's
+    // previous image may sit in a DIFFERENT partition than its new row
+    // (partition-scoped deletes would miss the move).
     val names = schemaFieldIds(st.meta).map(_._1)
     names.find(c => !rows.schema.fieldNames.contains(c)).foreach { c =>
       throw IcebergReadException(

@@ -1605,6 +1605,54 @@ object FormatQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM final GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- w11
+  // PARTITIONED UPSERT (the Flink-CDC writer on a PARTITIONED table): the
+  // equality delete rides a NULL partition record = GLOBAL scope, so a key
+  // whose new row lands in a DIFFERENT partition (every updated row moves
+  // to segment 'RELOCATED' here) still kills its old image; the new rows
+  // fan out per the spec's transforms (identity segment + bucket(4, key)),
+  // one r102 tuple per file. The oracle replays the upsert relationally —
+  // a partition-scoped delete (missing the moves) or a fanout that dropped
+  // a partition fails rows AND hash.
+  private val w11 = QueryDef(
+    "w11_iceberg_partitioned_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w11_part_upsert"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "iceberg",
+        Map("partition_by" -> "c_mktsegment, bucket(4, c_custkey)"))
+      val up = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .withColumn("c_mktsegment", lit("RELOCATED"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 1)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.catalog.IcebergSink.upsert(s, out, up, Seq("c_custkey"))
+      Catalog.attach(s, "w11_customer_iceberg_part_upsert", "iceberg",
+        Map("files" -> out))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH up AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal,
+               'RELOCATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1),
+      survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN up ON up.c_custkey = c.c_custkey
+        WHERE up.c_custkey IS NULL),
+      final AS (SELECT * FROM survivors UNION ALL SELECT * FROM up)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment"""))
+
   private val w04 = QueryDef(
     "w04_delta_dml",
     (s, dir) => {
@@ -1960,5 +2008,5 @@ object FormatQueries {
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, f01)
+      w08, w09, w10, w11, f01)
 }

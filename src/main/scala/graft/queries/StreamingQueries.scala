@@ -1180,6 +1180,68 @@ object StreamingQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM final GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- x20
+  // PARTITIONED STREAMING UPSERT — x17's transform partitioning composed
+  // with x18's upsert snapshots: batch 0 creates the table partitioned by
+  // (identity segment, bucket(4, key)); batch 1's upsert moves every
+  // updated key to segment 'RELOCATED' — a PARTITION MOVE — so the global-
+  // scope equality delete must kill old images in OTHER partitions while
+  // the new rows fan out per the spec. The w11 batch path and this
+  // streaming path replay the SAME oracle, pinning identical semantics.
+  private val x20 = QueryDef(
+    "x20_stream_partitioned_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val root = freshRoot(dir, "iceberg_part_upsert_x20")
+      root.delete() // the sink itself creates the table root on batch 0
+      val in = MemoryStream[(Long, Double, String)](1)
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.upsertIcebergStream(
+          in.toDF().toDF("c_custkey", "c_acctbal", "c_mktsegment"),
+          root.getPath, "x20-app", Seq("c_custkey"),
+          partitionBy = Some("c_mktsegment, bucket(4, c_custkey)"))
+          .option("checkpointLocation", ck).start()
+        try {
+          val cust = Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+            .orderBy(col("c_custkey")).collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+          in.addData(cust.toSeq)
+          q.processAllAvailable() // batch 0: creates the partitioned table
+          val updates = cust.filter(_._1 % 10 == 0)
+            .map { case (k, b, _) => (k, b * 2, "RELOCATED") } ++
+            cust.filter(_._1 % 100 == 1)
+              .map { case (k, b, m) => (k + 1000000L, b, m) }
+          in.addData(updates.toSeq)
+          q.processAllAvailable() // batch 1: ONE upsert snapshot, moves
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x20_iceberg_part_upsert_rt", "iceberg",
+        Map("files" -> root.getPath))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH up AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal,
+               'RELOCATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 1),
+      survivors AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+        FROM customer c LEFT JOIN up ON up.c_custkey = c.c_custkey
+        WHERE up.c_custkey IS NULL),
+      final AS (SELECT * FROM survivors UNION ALL SELECT * FROM up)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
 }

@@ -228,11 +228,18 @@ object Streams {
     * strictly-lower sequence rule). Exactly-once through the same
     * (appId, batchId) summary ledger as the append sink. */
   def upsertIcebergStream(stream: DataFrame, root: String, appId: String,
-      keyCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.format("iceberg-commit")
+      keyCols: Seq[String], partitionBy: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // partitionBy composes: batch 0 creates the table with the spec's
+    // transforms; later batches' upsert snapshots fan their rows out per
+    // the table spec while the equality delete stays GLOBAL scope (a key's
+    // previous image may sit in a different partition than its new row)
+    val w = stream.writeStream.format("iceberg-commit")
       .option("files", root).option("app_id", appId)
       .option("upsert_keys", keyCols.mkString(","))
       .outputMode("append")
+    partitionBy.fold(w)(p => w.option("partition_by", p))
+  }
 
   /** STREAMING CDC APPLY — continuous table replication, the pattern a
     * real CDC pipeline runs: follow the SOURCE native Delta table's change

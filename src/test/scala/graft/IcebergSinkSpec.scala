@@ -601,6 +601,60 @@ class IcebergSinkSpec extends SparkSpec {
     }.getMessage.contains("not in the table schema"))
   }
 
+  test("PARTITIONED upsert + equality delete: global-scope delete, fanout rows, moves") {
+    val root = tempDir("isink_eqpart").getPath
+    Sinks.copyTo(Seq((1L, "east", 1.0), (2L, "west", 2.0), (3L, "east", 3.0))
+      .toDF("id", "region", "x"), root, "iceberg",
+      Map("partition_by" -> "region"))
+    // upsert where a KEY MOVES PARTITION (id 1: east→west): the equality
+    // delete is GLOBAL scope (null partition record), so the old east image
+    // dies even though the new row lands in west
+    val (k, ins) = IcebergSink.upsert(spark, root,
+      Seq((1L, "west", 10.0), (9L, "north", 90.0)).toDF("id", "region", "x"),
+      Seq("id"))
+    assert(k === 2L && ins === 2L)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "west", 10.0), (2L, "west", 2.0), (3L, "east", 3.0),
+        (9L, "north", 90.0)))
+    // the delete manifest's entries carry the PARTITION-AWARE schema: a
+    // null partition record for the eq delete (global), real tuples for
+    // nothing (no DVs here) — and the new data entries carry their tuples
+    val delMan = new java.io.File(root, "metadata").listFiles()
+      .filter(f => f.getName.startsWith("m-del-") && f.getName.endsWith(".avro"))
+    assert(delMan.nonEmpty)
+    locally {
+      import org.apache.avro.file.DataFileReader
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      import scala.jdk.CollectionConverters._
+      val rd = new DataFileReader[GenericRecord](delMan.head,
+        new GenericDatumReader[GenericRecord]())
+      val entries = try rd.iterator().asScala.toList finally rd.close()
+      val d = entries.head.get("data_file").asInstanceOf[GenericRecord]
+      assert(Option(d.getSchema.getField("partition")).nonEmpty,
+        "delete manifest must use the partition-aware entry schema")
+      assert(d.get("partition") == null, "eq delete scope must be GLOBAL (null record)")
+      assert(Option(d.get("content")).map(_.asInstanceOf[Int]).contains(2))
+    }
+    // standalone global equality delete on the partitioned table
+    assert(IcebergSink.equalityDelete(spark, root, Seq(2L).toDF("id")) === 1L)
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L, 9L))
+    // within-batch duplicate keys: the LAST row per key wins (single
+    // input partition = arrival order), never a duplicate pair
+    IcebergSink.upsert(spark, root,
+      Seq((3L, "east", 30.0), (3L, "east", 33.0)).toDF("id", "region", "x")
+        .coalesce(1), Seq("id"))
+    assert(readBack(root).filter(col("id") === 3L).collect()
+      .map(_.getDouble(2)).toSeq === Seq(33.0))
+    // compaction applies everything and the table comes out clean
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 10.0), (3L, 33.0), (9L, 90.0)))
+    assert(loadClean(root))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
