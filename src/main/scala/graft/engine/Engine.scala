@@ -58,6 +58,12 @@ object Engine {
       // BASELINE.md "bin-size A/B" documents the measured trade).
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", (8L * 1024 * 1024).toString))
+      // HTTP(S) object-store reads (reference README "HTTP server" row) and
+      // Hugging Face dataset URLs: Hadoop ships no http filesystem — these
+      // are the native ranged-GET implementations (sources/HttpFs.scala).
+      .config("spark.hadoop.fs.http.impl", "graft.sources.HttpFileSystem")
+      .config("spark.hadoop.fs.https.impl", "graft.sources.HttpsFileSystem")
+      .config("spark.hadoop.fs.hf.impl", "graft.sources.HfFileSystem")
       .config("spark.ui.enabled", "false")
 
   @volatile private var cached: SparkSession = _

@@ -671,7 +671,7 @@ object FormatQueries {
     customerCsv(s, dir); documentsJsonl(s, dir); eventsHive(s, dir); nationGeo(s, dir)
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
     customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir); nationShp(s, dir)
-    nationGpkg(s, dir)
+    nationGpkg(s, dir); supplierXlsx(s, dir); customerIcebergListEqdel(s, dir)
   }
 
   private val custCols =
@@ -2005,8 +2005,85 @@ object FormatQueries {
       SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
       FROM nation GROUP BY n_regionkey"""))
 
+  /** JVM-singleton LOCAL HTTP server (daemon, one per served directory,
+    * never stopped — outlives lazy DataFrame materialization): the
+    * reference's "HTTP server" object store exercised without egress.
+    * Range requests honored, so parquet footer reads stay two small GETs. */
+  private[graft] object HttpServe {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    private val servers = scala.collection.concurrent.TrieMap.empty[String, Int]
+    def port(dir: String): Int = servers.getOrElseUpdate(dir, {
+      // the JDK server's HTTP-Dispatcher thread inherits daemon status from
+      // its CREATING thread — start from a daemon thread or the dispatcher
+      // pins the JVM open after main() returns (Verify would never exit)
+      var started: Either[Throwable, Int] = null
+      val t = new Thread(() => {
+        try started = Right(start0(dir))
+        catch { case e: Throwable => started = Left(e) }
+      })
+      t.setDaemon(true); t.start(); t.join()
+      started.fold(throw _, identity)
+    })
+    private def start0(dir: String): Int = {
+      val s = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/", new HttpHandler {
+        override def handle(x: HttpExchange): Unit = {
+          val f = new java.io.File(dir, x.getRequestURI.getPath.stripPrefix("/"))
+          if (!f.isFile) { x.sendResponseHeaders(404, -1); x.close(); return }
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          x.getResponseHeaders.set("Accept-Ranges", "bytes")
+          Option(x.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              val m = """bytes=(\d+)-(\d*)""".r.findFirstMatchIn(r).get
+              val from = m.group(1).toLong.toInt
+              val to = Option(m.group(2)).filter(_.nonEmpty)
+                .map(_.toLong.toInt).getOrElse(bytes.length - 1)
+              val slice = bytes.slice(from, to + 1)
+              x.getResponseHeaders.set("Content-Range", s"bytes $from-$to/${bytes.length}")
+              if (x.getRequestMethod == "HEAD") x.sendResponseHeaders(206, -1)
+              else { x.sendResponseHeaders(206, slice.length); x.getResponseBody.write(slice) }
+            case None =>
+              if (x.getRequestMethod == "HEAD") {
+                x.getResponseHeaders.set("Content-Length", bytes.length.toString)
+                x.sendResponseHeaders(200, -1)
+              } else { x.sendResponseHeaders(200, bytes.length); x.getResponseBody.write(bytes) }
+          }
+          x.close()
+        }
+      })
+      s.start()
+      s.getAddress.getPort
+    }
+  }
+
+  // ---------------------------------------------------------------- f02
+  // HTTP OBJECT-STORE SCAN (reference README "HTTP server"; DuckDB httpfs):
+  // the same customer parquet served over a LOCAL HTTP server and read
+  // through the native ranged-GET FileSystem (sources/HttpFs) — footer and
+  // pages arrive as Range requests, filters/projection push down like any
+  // parquet scan. The oracle reads the file straight from disk, so a
+  // misranged byte window, an off-by-one slice, or a silently truncated
+  // stream fails rows AND hash.
+  private val f02 = QueryDef(
+    "f02_http_parquet_scan",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val port = HttpServe.port(dir)
+      Catalog.attach(s, "f02_customer_http", "parquet",
+        Map("files" -> s"http://127.0.0.1:$port/customer.parquet"))
+        .filter(col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer WHERE c_acctbal > 0
+      GROUP BY c_mktsegment"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, f01)
+      w08, w09, w10, w11, f01, f02)
 }
