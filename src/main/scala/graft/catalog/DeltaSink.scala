@@ -74,6 +74,9 @@ object DeltaSink {
     var dfW = df
     var partColsW = partCols
     if (!creating) {
+      writerGates(st, path, removesData = overwrite,
+        if (overwrite) "overwrite" else "append")
+      validateIncomingRows(st, df, path)
       val cmMode = tableConf.getOrElse("delta.columnMapping.mode", "none")
       if (cmMode != "none" && cmMode != "name")
         throw DeltaReadException(
@@ -245,6 +248,110 @@ object DeltaSink {
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
     txnVersions: Map[String, Long], exists: Boolean,
     protocol: Option[ProtoInfo] = None)
+
+  // ------------------------------------------------ writer protocol gates
+  // PROTOCOL.md: "a writer must implement every writer feature the table's
+  // protocol lists (or implies through a legacy version) before committing"
+  // — committing anyway silently breaks the guarantee that feature encodes.
+  // Features this writer genuinely implements end-to-end:
+  private val ImplementedWriterFeatures = Set(
+    "appendOnly", // enforced below
+    "invariants", // enforced below (expression invariants + NOT NULL)
+    "checkConstraints", // enforced below (delta.constraints.*)
+    "changeDataFeed", // cdc files written by the DML paths
+    "columnMapping", // mode=name logical/physical plumbing
+    "deletionVectors", // native DV write + read
+    "timestampNtz") // a type gate; parquet NTZ round-trips
+  // Conditionally fine: generated/identity columns only oblige a writer to
+  // COMPUTE expressions when they exist — a table carrying the feature but
+  // no expression is writable; one with expressions is not (we don't
+  // evaluate them). domainMetadata/v2Checkpoint only constrain CHECKPOINT
+  // writing (our consolidation would drop their actions/format) — appends
+  // and DML never rewrite history, so they pass here and checkpoint() gates.
+  private val CheckpointOnlyFeatures = Set("domainMetadata", "v2Checkpoint",
+    "vacuumProtocolCheck", "inCommitTimestamp")
+
+  /** The writer features the table DEMANDS: the v7 list verbatim, or the
+    * set a legacy minWriterVersion implies. */
+  private def demandedWriterFeatures(p: ProtoInfo): Set[String] =
+    if (p.minWriter >= 7) p.writerFeatures
+    else Seq(2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect {
+      case (v, f) if p.minWriter >= v => f
+    }.toSet
+
+  /** Reject before the first byte moves when the table demands writer
+    * behavior this writer does not implement, or when delta.appendOnly
+    * forbids the operation. `removesData` = the op deletes or rewrites
+    * live rows (DELETE/UPDATE/MERGE/overwrite); OPTIMIZE's dataChange=false
+    * re-binning is explicitly allowed by the append-only rule. */
+  private[catalog] def writerGates(st: TableState, path: String,
+      removesData: Boolean, opName: String): Unit = {
+    st.protocol.foreach { p =>
+      val demanded = demandedWriterFeatures(p)
+      val schemaOpt = st.schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+      def schemaHas(metaKey: String): Boolean = schemaOpt.exists(_.fields.exists(f =>
+        f.metadata.contains(metaKey) ||
+          f.metadata.json.contains("\"" + metaKey)))
+      val unsupported = demanded.filterNot { f =>
+        ImplementedWriterFeatures(f) || CheckpointOnlyFeatures(f) ||
+          (f == "generatedColumns" && !schemaHas("delta.generationExpression")) ||
+          (f == "identityColumns" && !schemaHas("delta.identity.start"))
+      }
+      if (unsupported.nonEmpty) throw DeltaReadException(
+        s"`$path`: the table's protocol demands writer feature(s) " +
+          s"${unsupported.toSeq.sorted.mkString(", ")} this native writer does " +
+          "not implement — committing anyway would break what the feature " +
+          "guarantees; use a delta connector jar")
+    }
+    if (removesData && st.conf.get("delta.appendOnly").exists(_.toBoolean))
+      throw DeltaReadException(
+        s"`$path`: delta.appendOnly=true — $opName would delete or rewrite " +
+          "existing rows, which an append-only table forbids")
+  }
+
+  /** Enforce CHECK constraints (delta.constraints.*, writer v3), expression
+    * invariants (delta.invariants field metadata, writer v2) and NOT NULL
+    * (non-nullable schema fields) on every row this writer is about to add.
+    * One validation job per rule, each pruned to the first violation; rules
+    * are rare (0–2 per table), so this stays one cheap pass over the frame.
+    * NULL check-results PASS per SQL CHECK semantics. */
+  private[catalog] def validateIncomingRows(st: TableState, rows: DataFrame,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val schemaOpt = st.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val checks: Seq[(String, String)] =
+      st.conf.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint `${k.stripPrefix("delta.constraints.")}`", v)
+      }.toSeq ++
+        schemaOpt.toSeq.flatMap(_.fields.toSeq.collect {
+          case f if f.metadata.contains("delta.invariants") =>
+            val node = mapper.readTree(f.metadata.getString("delta.invariants"))
+            (s"column invariant on `${f.name}`",
+              node.path("expression").path("expression").asText())
+        })
+    checks.foreach { case (what, cond) =>
+      if (cond.nonEmpty) {
+        // violation = expression evaluates to FALSE (NULL passes, SQL CHECK)
+        val bad = rows.filter(expr(cond).cast("boolean") <=> false).take(1)
+        if (bad.nonEmpty) throw DeltaReadException(
+          s"`$path`: $what `$cond` is violated by an incoming row " +
+            s"(${bad.head.toString.take(200)}); the write is rejected whole")
+      }
+    }
+    schemaOpt.foreach { sch =>
+      sch.fields.filterNot(_.nullable).foreach { f =>
+        if (rows.schema.fieldNames.contains(f.name)) {
+          val bad = rows.filter(col(f.name).isNull).take(1)
+          if (bad.nonEmpty) throw DeltaReadException(
+            s"`$path`: column `${f.name}` is NOT NULL in the table schema but " +
+              "an incoming row carries null; the write is rejected whole")
+        }
+      }
+    }
+  }
 
   /** `stopAt = Some(v)` replays only through commit v — the historical
     * state RESTORE diffs against. Rejects loudly when v is below a folded
@@ -692,6 +799,17 @@ object DeltaSink {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val st = replayState(spark, rootPath)
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    // CHECKPOINT-only feature gates: consolidating the log into a CLASSIC
+    // checkpoint would drop domainMetadata actions and violate the
+    // v2Checkpoint format promise — refuse to fold such a table's history
+    // (appends/DML on it are fine; they never rewrite the log).
+    st.protocol.map(demandedWriterFeatures).foreach { demanded =>
+      val blocked = demanded.intersect(Set("domainMetadata", "v2Checkpoint"))
+      if (blocked.nonEmpty) throw DeltaReadException(
+        s"`$path`: checkpointing a table with writer feature(s) " +
+          s"${blocked.toSeq.sorted.mkString(", ")} needs a checkpoint format " +
+          "this native writer does not produce; use a delta connector jar")
+    }
     val schemaJson = st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))
     val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
@@ -778,7 +896,12 @@ object DeltaSink {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(rootPath,
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    var w = df.write.mode("overwrite")
+    // hash-distribute by the partition columns before a partitioned fanout
+    // (delta-spark's optimized-write shape): without it every task writes a
+    // file per distinct tuple it holds — T × P small files at scale
+    val dfW = if (partCols.isEmpty) df
+      else df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+    var w = dfW.write.mode("overwrite")
     options.get("compression").foreach(v => w = w.option("compression", v))
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
@@ -890,6 +1013,8 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath)
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    writerGates(st, path, removesData = true,
+      if (setExprs.nonEmpty) "DV UPDATE" else "DV DELETE")
     val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
     if (cmMode != "none" && cmMode != "name")
       throw DeltaReadException(
@@ -994,11 +1119,16 @@ object DeltaSink {
     // new data files in the same commit (SET sees the PRE-update row)
     val imageFiles =
       if (!isUpdate) Nil
-      else writeDataFiles(toPhys(matchedRows.select(schema.fields.map { f =>
-        setExprs.get(f.name)
-          .map(e => expr(e).cast(f.dataType).as(f.name))
-          .getOrElse(col(f.name))
-      }.toSeq: _*)), rootPath, partColsT.map(physKey), Map.empty)
+      else {
+        val images = matchedRows.select(schema.fields.map { f =>
+          setExprs.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }.toSeq: _*)
+        // post-SET images are rows this writer ADDS — constraint-check them
+        validateIncomingRows(st, images, path)
+        writeDataFiles(toPhys(images), rootPath, partColsT.map(physKey), Map.empty)
+      }
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
@@ -1172,6 +1302,8 @@ object DeltaSink {
     val st = replayState(spark, rootPath,
       forbidDv = if (setExprs.nonEmpty) "UPDATE" else "DELETE")
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    writerGates(st, path, removesData = true,
+      if (setExprs.nonEmpty) "UPDATE" else "DELETE")
     val partColsT = st.partCols
     val live: Map[String, Map[String, String]] =
       st.live.toMap.map { case (p, e) => p -> e.partitionValues }
@@ -1255,6 +1387,8 @@ object DeltaSink {
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
       }.toSeq: _*)
+    // the post-SET images are rows this writer ADDS — constraint-check them
+    if (isUpdate) validateIncomingRows(st, updated, path)
     val survivors =
       if (isUpdate) affectedScan.filter(!pred).unionByName(updated)
       else affectedScan.filter(!pred)
@@ -1339,6 +1473,7 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath, forbidDv = "MERGE")
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    writerGates(st, path, removesData = true, "MERGE")
     val partColsT = st.partCols
     val live: Map[String, Map[String, String]] =
       st.live.toMap.map { case (p, e) => p -> e.partitionValues }
@@ -1468,6 +1603,10 @@ object DeltaSink {
     val insertCount = if (inserts == null) 0L else inserts.count()
     if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L)
       return (0L, 0L)
+    // post-SET images and inserted rows are rows this writer ADDS —
+    // constraint-check them before any file moves
+    if (doRewrite && updatedCount > 0) validateIncomingRows(st, updatedRows, path)
+    if (insertCount > 0) validateIncomingRows(st, inserts, path)
 
     val newFiles =
       (if (doRewrite)

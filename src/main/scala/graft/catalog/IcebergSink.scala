@@ -231,9 +231,17 @@ object IcebergSink {
     }
 
   /** One appended merge-on-read data file: rel path, byte size, row count,
-    * and its (possibly empty) r102 partition tuple. */
+    * its (possibly empty) r102 partition tuple, and footer-derived column
+    * bounds — the same skipping fuel the create/append path records, so
+    * UPDATE/MERGE/upsert images and compaction survivors stay prunable. */
   private final case class MorDataFile(rel: String, size: Long, rows: Long,
-    tuple: Seq[Any])
+    tuple: Seq[Any],
+    lower: java.util.Map[String, java.nio.ByteBuffer] =
+      java.util.Collections.emptyMap[String, java.nio.ByteBuffer](),
+    upper: java.util.Map[String, java.nio.ByteBuffer] =
+      java.util.Collections.emptyMap[String, java.nio.ByteBuffer](),
+    nullCounts: java.util.Map[String, java.lang.Long] =
+      java.util.Collections.emptyMap[String, java.lang.Long]())
 
   private def resultTypeOf(transform: String, srcType: DataType): DataType =
     transform match {
@@ -646,9 +654,19 @@ object IcebergSink {
       org.apache.spark.sql.functions.col(f.name).as(f.name,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
-    val writeDf = partColsEff.zipWithIndex.foldLeft(writeDf0) { case (d, (pf, i)) =>
+    val writeDf1 = partColsEff.zipWithIndex.foldLeft(writeDf0) { case (d, (pf, i)) =>
       d.withColumn(s"__gpk$i", transformCol(df.schema, pf).cast("string"))
     }
+    // HASH-DISTRIBUTE by the partition tuple before the fanout (Iceberg's
+    // own write.distribution-mode=hash default): without it every task
+    // writes a file per distinct tuple it happens to hold — T tasks × P
+    // tuples files (measured: w09 at sf1 spent 30+ s moving thousands of
+    // tiny files). After the shuffle each tuple lands in exactly one task
+    // → at most one file per tuple (hot tuples = one big file, the same
+    // trade Iceberg's default makes).
+    val writeDf = if (partColsEff.isEmpty) writeDf1
+      else writeDf1.repartition(partColsEff.indices
+        .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
     val tmp = new Path(rootPath,
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     var w = writeDf.write.mode("overwrite")
@@ -1093,12 +1111,24 @@ object IcebergSink {
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
     }: _*)
     val partFields = morPartFields(st.meta)
-    if (partFields.isEmpty)
-      return writeMoved(writeDf, st, prefix)
-        .map { case (rel, size, rows) => MorDataFile(rel, size, rows, Nil) }
-    val fan = partFields.zipWithIndex.foldLeft(writeDf) { case (d, (pf, i)) =>
+    val statFields: Seq[(StructField, Int)] =
+      ids.flatMap { case (n, id) =>
+        writeDf.schema.fields.find(_.name == n).map(f => (f, id)) }
+    if (partFields.isEmpty) {
+      val conf0 = df.sparkSession.sessionState.newHadoopConf()
+      return writeMoved(writeDf, st, prefix).map { case (rel, size, rows) =>
+        val (_, lb, ub, nvc) =
+          footerInfo(new Path(st.rootPath, rel), conf0, statFields)
+        MorDataFile(rel, size, rows, Nil, lb, ub, nvc)
+      }
+    }
+    val fan0 = partFields.zipWithIndex.foldLeft(writeDf) { case (d, (pf, i)) =>
       d.withColumn(s"__gpk$i", transformCol(df.schema, pf).cast("string"))
     }
+    // hash-distribute by tuple before the fanout — same rationale as the
+    // append path (one file per tuple, not per task × tuple)
+    val fan = fan0.repartition(partFields.indices
+      .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
     val fs = st.fs
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
@@ -1122,8 +1152,9 @@ object IcebergSink {
             fs.mkdirs(dest.getParent)
             if (!fs.rename(f.getPath, dest))
               throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
+            val (_, lb, ub, nvc) = footerInfo(dest, conf, statFields)
             out += MorDataFile(s"data/$name", fs.getFileStatus(dest).getLen,
-              rows, tuple)
+              rows, tuple, lb, ub, nvc)
           }
         }
       }
@@ -1204,6 +1235,9 @@ object IcebergSink {
           partFields.zip(f.tuple).foreach { case (p, v) => pr.put(p.name, v) }
           d.put("partition", pr)
         }
+        if (!f.lower.isEmpty) d.put("lower_bounds", f.lower)
+        if (!f.upper.isEmpty) d.put("upper_bounds", f.upper)
+        if (!f.nullCounts.isEmpty) d.put("null_value_counts", f.nullCounts)
         val e = new GenericData.Record(dataESch)
         e.put("status", 1) // ADDED
         e.put("sequence_number", Long.box(seq))

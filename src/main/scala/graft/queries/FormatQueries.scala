@@ -2068,7 +2068,21 @@ object FormatQueries {
     "f02_http_parquet_scan",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val port = HttpServe.port(dir)
+      // serve a SINGLE-FILE export (an sf dir's customer.parquet may be a
+      // multi-part directory, which HTTP — one URL = one object — can't
+      // list; the reference's httpfs contract is concrete object URLs too)
+      val exp = s"${exportRoot(dir)}/http_customer"
+      val one = new java.io.File(exp, "customer.parquet")
+      if (!one.exists()) {
+        new java.io.File(exp).mkdirs()
+        val tmp = new java.io.File(exp, "_tmp")
+        Tables.load(s, dir, "customer").coalesce(1).write
+          .mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, one.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+      val port = HttpServe.port(exp)
       Catalog.attach(s, "f02_customer_http", "parquet",
         Map("files" -> s"http://127.0.0.1:$port/customer.parquet"))
         .filter(col("c_acctbal") > 0)

@@ -321,6 +321,40 @@ object IcebergNative {
       else throw IcebergReadException("snapshot carries neither manifest-list nor manifests")
     val manifestRefs: Seq[ManifestRef] = manifestRefsOf(snapshot)
 
+    // INCREMENTAL BOUND (`changes_since_snapshot`): manifest files are
+    // IMMUTABLE, so one shared by the base and end snapshots cannot
+    // contribute any change — new data files only live in END-ONLY
+    // manifests, and a shared manifest's delete entries sit at sequences
+    // at or below the base's (an equality delete applies strictly below
+    // itself and a positional/DV delete references a file that already
+    // existed — none can touch data committed after the base). Walking
+    // ONLY the end-only manifests (plus base-only ones for the
+    // rewrite-subtraction further down) makes a follow micro-batch
+    // O(changed manifests), not O(whole table) — the x08 scale bound.
+    val incrementalBase: Option[(JsonNode, Seq[ManifestRef])] =
+      options.get("changes_since_snapshot").map { v =>
+        val baseId = try v.toLong catch {
+          case _: NumberFormatException =>
+            throw IcebergReadException(s"changes_since_snapshot `$v` is not a number")
+        }
+        val baseSnap = meta.path("snapshots").elements().asScala
+          .find(_.path("snapshot-id").asLong() == baseId)
+          .getOrElse {
+            val known = meta.path("snapshots").elements().asScala
+              .map(_.path("snapshot-id").asLong()).mkString(", ")
+            throw IcebergReadException(
+              s"changes_since_snapshot $baseId not found in table metadata " +
+                s"(known: $known) — expired?")
+          }
+        (baseSnap, manifestRefsOf(baseSnap))
+      }
+    val walkRefs: Seq[ManifestRef] = incrementalBase match {
+      case None => manifestRefs
+      case Some((_, baseRefs)) =>
+        val basePathsSet = baseRefs.map(_.path).toSet
+        manifestRefs.filterNot(m => basePathsSet.contains(m.path))
+    }
+
     // partition specs (for delete-scope resolution): field name →
     // (transform, source column name). Names are unique within a spec and
     // stable across the common evolution paths, so a flat map suffices —
@@ -484,7 +518,7 @@ object IcebergNative {
     val posDeletes = Seq.newBuilder[FileRef]
     val eqDeletes = Seq.newBuilder[(FileRef, Seq[Int], Seq[ScopeField])]
     val dvRefs = Seq.newBuilder[DvRef]
-    manifestRefs.foreach { mref =>
+    walkRefs.foreach { mref =>
       avroRows(mref.path).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         if (status != 2) { // 2 = DELETED entry: file left the snapshot
@@ -547,23 +581,17 @@ object IcebergNative {
     // landed since yesterday's snapshot" costs two driver-side manifest
     // reads and no data scan beyond the new files. Row-level deletes of
     // the END snapshot still apply to the surviving files.
-    val data: Seq[FileRef] = options.get("changes_since_snapshot") match {
+    val data: Seq[FileRef] = incrementalBase match {
       case None => dataAll
-      case Some(v) =>
-        val baseId = try v.toLong catch {
-          case _: NumberFormatException =>
-            throw IcebergReadException(s"changes_since_snapshot `$v` is not a number")
-        }
-        val baseSnap = meta.path("snapshots").elements().asScala
-          .find(_.path("snapshot-id").asLong() == baseId)
-          .getOrElse {
-            val known = meta.path("snapshots").elements().asScala
-              .map(_.path("snapshot-id").asLong()).mkString(", ")
-            throw IcebergReadException(
-              s"changes_since_snapshot $baseId not found in table metadata " +
-                s"(known: $known) — expired?")
-          }
-        val basePaths: Set[String] = manifestRefsOf(baseSnap).flatMap { mref =>
+      case Some((_, baseRefs)) =>
+        // dataAll already holds only end-only-manifest files (walkRefs); a
+        // manifest REWRITE (compaction/merge) can re-list OLD data files in
+        // a new manifest as EXISTING entries, so subtract the files of the
+        // BASE-ONLY manifests — zero extra reads in the steady append case
+        // (base-only is empty when every base manifest carried forward).
+        val endPaths = manifestRefs.map(_.path).toSet
+        val baseOnly = baseRefs.filterNot(m => endPaths.contains(m.path))
+        val basePaths: Set[String] = baseOnly.flatMap { mref =>
           avroRows(mref.path).flatMap { entry =>
             if (entry.get("status").asInstanceOf[Int] == 2) None
             else {

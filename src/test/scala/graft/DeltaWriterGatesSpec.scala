@@ -1,0 +1,145 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{DeltaSink, Sinks}
+import graft.sources.DeltaNative
+
+/** PROTOCOL.md writer obligations on FOREIGN tables: a writer must
+  * implement every feature the table's protocol demands (or refuse), must
+  * honor delta.appendOnly, and must enforce CHECK constraints / column
+  * invariants / NOT NULL on every row it adds. Fixtures are hand-written
+  * log JSON straight from the public protocol text, so the gates are
+  * tested against the FORMAT, not against this writer's own output. */
+class DeltaWriterGatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTable(dir: File, conf: String, minWriter: Int = 3,
+      schemaExtra: String = "", features: String = ""): String = {
+    val root = new File(dir, "t"); root.mkdirs()
+    val log = new File(root, "_delta_log"); log.mkdirs()
+    val data = Seq((1L, 10.0)).toDF("id", "x").coalesce(1)
+    val tmp = new File(dir, "seed")
+    data.write.parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, new File(root, "part-0.parquet").toPath)
+    val schemaJson =
+      ("""{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":false,\"metadata\":{}},""" +
+        """{\"name\":\"x\",\"type\":\"double\",\"nullable\":true,\"metadata\":{""" +
+        schemaExtra + """}}]}""")
+    val protoLine =
+      if (features.nonEmpty)
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":[$features]}}"""
+      else s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+    java.nio.file.Files.writeString(
+      new File(log, f"${0L}%020d.json").toPath,
+      s"""$protoLine
+         |{"metaData":{"id":"gates-test","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{$conf},"createdTime":0}}
+         |{"add":{"path":"part-0.parquet","partitionValues":{},"size":${new File(root, "part-0.parquet").length()},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin)
+    root.getPath
+  }
+
+  test("CHECK constraints reject violating appends; conforming rows pass") {
+    val dir = tempDir("gates")
+    val root = writeTable(dir, """"delta.constraints.x_positive":"x > 0"""")
+    // conforming append commits
+    DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 2)
+    // violating append rejects WHOLE (null id also guarded separately)
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((3L, -1.0)).toDF("id", "x"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("x_positive") && e.getMessage.contains("violated"))
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 2, "no partial write")
+    // NULL check-result passes (SQL CHECK semantics)
+    DeltaSink.write(Seq((4L, Option.empty[Double])).toDF("id", "x"), root, Map.empty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 3)
+  }
+
+  test("CHECK constraints gate UPDATE images and MERGE outputs too") {
+    val dir = tempDir("gates")
+    val root = writeTable(dir, """"delta.constraints.x_positive":"x > 0"""")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.updateWhere(spark, root, "id = 1", Map("x" -> "-5.0"))
+    }
+    assert(e.getMessage.contains("x_positive"))
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.mergeInto(spark, root, Seq((9L, -2.0)).toDF("id", "x"),
+        "t.id = s.id", matchedSet = Map("x" -> "s.x"))
+    }
+    assert(e2.getMessage.contains("x_positive"))
+    // untouched after both rejects
+    assert(DeltaNative.read(spark, root, Map.empty)
+      .agg(sum("x")).head().getDouble(0) === 10.0)
+  }
+
+  test("column invariants and NOT NULL enforce on append") {
+    val dir = tempDir("gates")
+    val root = writeTable(dir, "", minWriter = 2,
+      schemaExtra = """\"delta.invariants\":\"{\\\"expression\\\":{\\\"expression\\\":\\\"x < 100\\\"}}\"""")
+    DeltaSink.write(Seq((2L, 50.0)).toDF("id", "x"), root, Map.empty)
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((3L, 200.0)).toDF("id", "x"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("invariant"))
+    // id is nullable=false in the table schema: a null id rejects
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((Option.empty[Long], 1.0)).toDF("id", "x"), root, Map.empty)
+    }
+    assert(e2.getMessage.contains("NOT NULL"))
+  }
+
+  test("delta.appendOnly permits appends, forbids DELETE/UPDATE/MERGE/overwrite") {
+    val dir = tempDir("gates")
+    val root = writeTable(dir, """"delta.appendOnly":"true"""")
+    DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 2)
+    Seq(
+      () => DeltaSink.deleteWhere(spark, root, "id = 1"),
+      () => DeltaSink.updateWhere(spark, root, "id = 1", Map("x" -> "0.0")),
+      () => DeltaSink.mergeInto(spark, root, Seq((1L, 0.0)).toDF("id", "x"),
+        "t.id = s.id", matchedSet = Map("x" -> "s.x")),
+      () => DeltaSink.write(Seq((9L, 9.0)).toDF("id", "x"), root,
+        Map("overwrite" -> "true"))
+    ).foreach { op =>
+      val e = intercept[DeltaNative.DeltaReadException] { op() }
+      assert(e.getMessage.contains("appendOnly"), e.getMessage)
+    }
+  }
+
+  test("unimplemented writer features refuse to write; implemented ones pass") {
+    val dir = tempDir("gates")
+    // rowTracking demands writer behavior (row id assignment) we don't have
+    val root = writeTable(dir, "", features = "\"rowTracking\",\"appendOnly\"")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    // a v7 table demanding only features we implement writes fine
+    val dir2 = tempDir("gates")
+    val root2 = writeTable(dir2, "",
+      features = "\"appendOnly\",\"invariants\",\"checkConstraints\"")
+    DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root2, Map.empty)
+    assert(DeltaNative.read(spark, root2, Map.empty).count() === 2)
+  }
+
+  test("generated/identity features pass only while no expression exists") {
+    val dir = tempDir("gates")
+    // minWriter 4 implies generatedColumns; schema has NO generation
+    // expression → append is legal
+    val root = writeTable(dir, "", minWriter = 4)
+    DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
+    // same protocol but x CARRIES a generation expression → we must refuse
+    val dir2 = tempDir("gates")
+    val root2 = writeTable(dir2, "", minWriter = 4,
+      schemaExtra = """\"delta.generationExpression\":\"id * 2\"""")
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root2, Map.empty)
+    }
+    assert(e.getMessage.contains("generatedColumns"))
+  }
+}

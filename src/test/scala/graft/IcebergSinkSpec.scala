@@ -285,6 +285,43 @@ class IcebergSinkSpec extends SparkSpec {
       .metrics("numFiles").value === 1L)
   }
 
+  test("MOR-written files (upsert/MERGE images) carry bounds like appends") {
+    val root = tempDir("isink_morstats").getPath
+    Sinks.copyTo(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "x")
+      .coalesce(1), root, "iceberg")
+    // upsert appends a NEW data file through the MOR path — far-range ids
+    IcebergSink.upsert(spark, root,
+      Seq((100L, "hi", 10.0), (101L, "lo", 11.0)).toDF("id", "v", "x")
+        .coalesce(1), Seq("id"))
+    assert(readBack(root).count() === 4)
+    // the upsert's data manifest must record lower/upper bounds for the
+    // new file — the same skipping fuel the append path writes. Pin it in
+    // the manifest BYTES: field id 1 (id) spans [100, 101] little-endian.
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val morMan = new java.io.File(root, "metadata").listFiles()
+      .filter(f => f.getName.matches("m-\\d+-.*\\.avro"))
+      .maxBy(_.getName) // the upsert's data manifest is the latest
+    val rd = new DataFileReader[GenericRecord](morMan,
+      new GenericDatumReader[GenericRecord]())
+    val entries = try rd.iterator().asScala.toList finally rd.close()
+    val ups = entries.map(_.get("data_file").asInstanceOf[GenericRecord])
+      .find(_.get("file_path").toString.contains("ups-"))
+      .getOrElse(fail(s"no upsert data file in ${morMan.getName}"))
+    def longAt(m: AnyRef, key: String): Long = {
+      val bb = m.asInstanceOf[java.util.Map[AnyRef, java.nio.ByteBuffer]]
+        .asScala.collectFirst { case (k, v) if k.toString == key => v }.get
+      bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    assert(longAt(ups.get("lower_bounds"), "1") === 100L)
+    assert(longAt(ups.get("upper_bounds"), "1") === 101L)
+    // a plain-filter read (no delete state after compaction) prunes on them
+    IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).filter(col("id") >= 100L).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+  }
+
   test("iceberg_manifests tallies the current snapshot's manifests, SQL-callable") {
     val root = tempDir("isink_mans").getPath
     Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
