@@ -543,6 +543,9 @@ object IcebergSink {
     var prevLastColumnId = 0
     var prevSpecsJson: Option[String] = None
     var prevDefaultSpecId = 0
+    // snapshot refs (branches/tags, spec v2 `refs`): tags and non-main
+    // branches stay pinned where they are; `main` advances with the commit
+    var prevRefs: Map[String, String] = Map.empty // name → ref json
     if (!creating) {
       val (v, metaFile) = resolved.get
       prevVersion = v
@@ -611,6 +614,9 @@ object IcebergSink {
         .map(_.path("sequence-number").asLong(0L)).maxOption.getOrElse(0L)
       prevSnapshotsJson = meta.path("snapshots").elements().asScala
         .map(mapper.writeValueAsString).toSeq
+      if (meta.has("refs"))
+        prevRefs = meta.path("refs").fields().asScala
+          .map(e => e.getKey -> mapper.writeValueAsString(e.getValue)).toMap
       // idempotence gate: this txn (micro-batch) already landed → no-op
       txn.foreach { case (appId, v2) =>
         val committed = meta.path("snapshots").elements().asScala
@@ -801,6 +807,11 @@ object IcebergSink {
           s""""source-id": $srcId, "field-id": ${1000 + i}}"""
       }.mkString(", ")}]}]""")},
          |"current-snapshot-id": $snapshotId,
+         |"refs": ${
+      (prevRefs + ("main" ->
+        s"""{"snapshot-id": $snapshotId, "type": "branch"}"""))
+        .map { case (n, j) => s"${mapper.writeValueAsString(n)}: $j" }
+        .mkString("{", ", ", "}")},
          |"snapshot-log": $logJson,
          |"snapshots": ${(prevSnapshotsJson :+ snapshotJson).mkString("[", ", ", "]")}}""".stripMargin
     val metaTarget = new Path(metaDir, s"v$version.metadata.json")
@@ -1337,6 +1348,17 @@ object IcebergSink {
       mapper.readTree((prevSnapshotsJson :+ snapshotJson).mkString("[", ",", "]")))
     newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshot-log",
       mapper.readTree(logJson))
+    // refs ride the deep copy verbatim (tags/branches stay pinned);
+    // `main` is the live branch and advances with the commit (spec v2)
+    locally {
+      val refsNode =
+        if (newMeta.has("refs"))
+          newMeta.path("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        else newMeta.putObject("refs")
+      val mainRef = refsNode.putObject("main")
+      mainRef.put("snapshot-id", snapshotId)
+      mainRef.put("type", "branch")
+    }
     val newVersion = st.version + 1
     val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
     if (fs.exists(target)) throw IcebergReadException(
@@ -2028,6 +2050,68 @@ object IcebergSink {
     * snapshots is deleted. Mirrors `expireSnapshots` in iceberg-core; all
     * bounded driver metadata work. Returns (snapshotsExpired,
     * filesDeleted). */
+  /** CREATE TAG / CREATE BRANCH (spec v2 `refs`): pin a name to a snapshot
+    * — a TAG marks an immutable point (the training-run reproducibility
+    * lever: `ref=run-2026-08` reads the exact corpus a job trained on), a
+    * BRANCH is a movable line this writer otherwise leaves where it is
+    * (only `main` advances with commits). `snapshotId` defaults to the
+    * current snapshot; `main` and existing names reject (drop first). */
+  def createRef(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, isBranch: Boolean = false,
+      snapshotId: Option[Long] = None): Long = {
+    val st = loadMorState(spark, path)
+    if (name == "main") throw IcebergReadException(
+      s"`$path`: ref `main` is the live branch — it advances with commits " +
+        "and cannot be re-pinned")
+    if (st.meta.path("refs").has(name)) throw IcebergReadException(
+      s"`$path`: ref `$name` already exists; dropRef first")
+    val known = st.meta.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSet
+    val target = snapshotId.getOrElse(st.meta.path("current-snapshot-id").asLong())
+    if (!known.contains(target)) throw IcebergReadException(
+      s"`$path`: snapshot $target not in table metadata (known: " +
+        s"${known.toSeq.sorted.mkString(", ")})")
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val refsNode =
+      if (newMeta.has("refs"))
+        newMeta.path("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      else newMeta.putObject("refs")
+    val r = refsNode.putObject(name)
+    r.put("snapshot-id", target)
+    r.put("type", if (isBranch) "branch" else "tag")
+    writeNextMetadata(st, newMeta)
+    target
+  }
+
+  /** Drop a tag/branch by name; `main` rejects. */
+  def dropRef(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Unit = {
+    val st = loadMorState(spark, path)
+    if (name == "main") throw IcebergReadException(
+      s"`$path`: ref `main` is the live branch and cannot be dropped")
+    if (!st.meta.path("refs").has(name)) throw IcebergReadException(
+      s"`$path`: no ref `$name`; known: " +
+        st.meta.path("refs").fieldNames().asScala.mkString(", "))
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.path("refs").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .remove(name)
+    writeNextMetadata(st, newMeta)
+  }
+
+  private def writeNextMetadata(st: MorState,
+      newMeta: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
+    if (st.fs.exists(target)) throw IcebergReadException(
+      s"`${st.rootPath}`: metadata version $newVersion already exists — " +
+        "another writer got there first")
+    val out = st.fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = st.fs.create(st.hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val rootPath = new Path(path)
@@ -2044,9 +2128,15 @@ object IcebergSink {
     }
     val currentId = meta.path("current-snapshot-id").asLong()
     val cutoff = System.currentTimeMillis() - retentionMs
+    // a snapshot pinned by any ref (tag/branch) is PROTECTED from
+    // expiration regardless of age — dropping it would break every
+    // `ref=` read that name promises (the spec's retention rule)
+    val refPinned: Set[Long] = meta.path("refs").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSet
     val snaps = meta.path("snapshots").elements().asScala.toSeq
     val (expired, kept) = snaps.partition { sn =>
-      sn.path("snapshot-id").asLong() != currentId &&
+      val id = sn.path("snapshot-id").asLong()
+      id != currentId && !refPinned.contains(id) &&
         sn.path("timestamp-ms").asLong() < cutoff
     }
     if (expired.isEmpty) return (0, 0)

@@ -1482,6 +1482,45 @@ object FormatQueries {
       WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0)
         AND NOT (c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 1)"""))
 
+  // ---------------------------------------------------------------- l18
+  // SNAPSHOT REFS (spec v2 `refs`) — the training-run reproducibility
+  // lever: CTAS a customer slice, TAG it (`v1-corpus`), then upsert a
+  // mutation wave on `main`; the ref read serves the EXACT tagged corpus
+  // while a plain read serves the mutated head, and snapshot expiration
+  // must keep the tagged snapshot alive. The oracle replays the tagged
+  // slice from the source — a ref resolving to the wrong snapshot, a
+  // main-advance clobbering the tag, or expiration dropping it fails
+  // rows AND hash.
+  private val l18 = QueryDef(
+    "l18_iceberg_ref_travel",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_l18_refs"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "iceberg")
+      graft.catalog.IcebergSink.createRef(s, out, "v1-corpus")
+      // head mutates twice; zero-retention expiration then drops the
+      // MIDDLE snapshot while the tag and the head stay protected
+      graft.catalog.IcebergSink.upsert(s, out,
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") * 2), Seq("c_custkey"))
+      graft.catalog.IcebergSink.upsert(s, out,
+        cust.filter(col("c_custkey") % 10 === 5)
+          .withColumn("c_acctbal", col("c_acctbal") * 3), Seq("c_custkey"))
+      graft.catalog.IcebergSink.expireSnapshots(s, out, retentionMs = 0L)
+      Catalog.attach(s, "l18_customer_iceberg_ref", "iceberg",
+        Map("files" -> out, "ref" -> "v1-corpus"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -2098,6 +2137,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

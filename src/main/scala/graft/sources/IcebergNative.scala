@@ -244,9 +244,23 @@ object IcebergNative {
       try TimeTravel.parseMillis("as_of_timestamp", v)
       catch { case e: IllegalArgumentException => throw IcebergReadException(e.getMessage) }
     }
-    if (requestedId.isDefined && requestedTs.isDefined) throw IcebergReadException(
-      "snapshot_id and as_of_timestamp are mutually exclusive; pass one")
-    val requested: Option[Long] = requestedId.orElse(requestedTs.map { target =>
+    // `ref=<name>` pins a snapshot by its REF (spec v2 `refs`): a tag is an
+    // immutable named point (reproducible corpus reads), a branch a movable
+    // line — both resolve to the ref's recorded snapshot-id.
+    val requestedRef: Option[Long] = options.get("ref").map { name =>
+      val node = meta.path("refs").path(name)
+      if (!node.has("snapshot-id")) {
+        val known = meta.path("refs").fieldNames().asScala.mkString(", ")
+        throw IcebergReadException(
+          s"`$root`: no ref `$name` in table metadata" +
+            (if (known.isEmpty) " (table has no refs)" else s" (known: $known)"))
+      }
+      node.path("snapshot-id").asLong()
+    }
+    if (Seq(requestedId, requestedTs, requestedRef).count(_.isDefined) > 1)
+      throw IcebergReadException(
+        "snapshot_id, as_of_timestamp and ref are mutually exclusive; pass one")
+    val requested: Option[Long] = requestedId.orElse(requestedRef).orElse(requestedTs.map { target =>
       // snapshot-log is the table's append-only (timestamp-ms, snapshot-id)
       // history per the Iceberg spec; entries are already time-ordered
       val history = meta.path("snapshot-log").elements().asScala

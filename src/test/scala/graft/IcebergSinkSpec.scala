@@ -692,6 +692,50 @@ class IcebergSinkSpec extends SparkSpec {
     assert(loadClean(root))
   }
 
+  test("refs: tags pin snapshots, main advances, expire protects, reads resolve") {
+    val root = tempDir("isink_refs").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v").coalesce(1), root, "iceberg")
+    val snap1 = IcebergSink.createRef(spark, root, "v1-corpus") // tag @ current
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v").coalesce(1), root, "iceberg")
+    // ref read serves the TAGGED snapshot; plain read serves main's
+    assert(IcebergNative.read(spark, root, Map("ref" -> "v1-corpus"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(IcebergNative.read(spark, root, Map.empty).count() === 2)
+    // the append advanced `main` in the refs map (spec: live branch)
+    val meta = {
+      val md = new java.io.File(root, "metadata")
+      val f = md.listFiles().filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    }
+    assert(meta.path("refs").path("v1-corpus").path("snapshot-id").asLong() === snap1)
+    assert(meta.path("refs").path("main").path("snapshot-id").asLong() ===
+      meta.path("current-snapshot-id").asLong())
+    // DML commits also keep the tag and move main
+    IcebergSink.deleteWhere(spark, root, "id = 2")
+    assert(IcebergNative.read(spark, root, Map("ref" -> "v1-corpus"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // expire with zero retention: the tagged snapshot SURVIVES
+    IcebergSink.expireSnapshots(spark, root, retentionMs = 0L)
+    assert(IcebergNative.read(spark, root, Map("ref" -> "v1-corpus"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // guards: unknown ref lists candidates; main re-pin and dup reject
+    val missing = intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root, Map("ref" -> "nope")).collect()
+    }
+    assert(missing.getMessage.contains("v1-corpus"))
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.createRef(spark, root, "main")
+    }.getMessage.contains("live branch"))
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.createRef(spark, root, "v1-corpus")
+    }.getMessage.contains("already exists"))
+    // dropRef removes it
+    IcebergSink.dropRef(spark, root, "v1-corpus")
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergNative.read(spark, root, Map("ref" -> "v1-corpus")).collect()
+    }.getMessage.contains("no ref"))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
