@@ -753,6 +753,7 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val cur = replayState(spark, rootPath, forbidDv = "RESTORE")
     if (!cur.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    writerGates(cur, path, removesData = true, "RESTORE")
     val old = replayState(spark, rootPath, forbidDv = "RESTORE",
       stopAt = Some(version))
     if (cur.schemaJson != old.schemaJson) throw DeltaReadException(
@@ -1682,6 +1683,8 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath, forbidDv = "OPTIMIZE")
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    // dataChange=false re-binning is legal under appendOnly (no rows change)
+    writerGates(st, path, removesData = false, "OPTIMIZE")
     val partColsT = st.partCols
     val cmMode = st.conf.getOrElse("delta.columnMapping.mode", "none")
     if (cmMode != "none" && cmMode != "name")
@@ -1792,6 +1795,7 @@ object DeltaSink {
     val logDir = new Path(rootPath, "_delta_log")
     val st = replayState(spark, rootPath, forbidDv = "OPTIMIZE ZORDER")
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    writerGates(st, path, removesData = false, "OPTIMIZE ZORDER")
     if (st.partCols.nonEmpty) throw DeltaReadException(
       s"`$path`: ZORDER on a partitioned table needs per-partition " +
         "z-subdivision — use a delta connector jar")
