@@ -473,6 +473,13 @@ object SqlApi {
   private val alterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s+([A-Za-z_][\w ()\[\],]*?)\s*;?\s*$""".r
 
+  // ALTER TABLE t CREATE TAG|BRANCH <name> [AS OF VERSION <snapshot>] and
+  // DROP TAG|BRANCH <name> — the iceberg-spark SQL ref-management shapes
+  private val alterRefCreateRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+CREATE\s+(TAG|BRANCH)\s+("?[A-Za-z_][-\w."]*"?)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val alterRefDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+(TAG|BRANCH)\s+("?[A-Za-z_][-\w."]*"?)\s*;?\s*$""".r
+
   // ALTER TABLE <table> DROP COLUMN <name>  |  RENAME COLUMN <a> TO <b>
   private val alterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
@@ -603,6 +610,10 @@ object SqlApi {
     """(?is)([A-Za-z_][\w.]*)\s+FOR\s+(?:SYSTEM_)?VERSION\s+AS\s+OF\s+(\d+)""".r
   private val asOfTsTailRe =
     """(?is)^(.*?)([A-Za-z_][\w.]*)\s+FOR\s+(?:SYSTEM_)?TIME(?:STAMP)?\s+AS\s+OF\s*$""".r
+  // a QUOTED version pin is a snapshot REF (branch/tag) name on iceberg —
+  // the iceberg-spark `VERSION AS OF 'tag'` convention
+  private val asOfVerTailRe =
+    """(?is)^(.*?)([A-Za-z_][\w.]*)\s+FOR\s+(?:SYSTEM_)?VERSION\s+AS\s+OF\s*$""".r
 
   private def asOfView(spark: SparkSession, tbl: String, kind: String,
       value: String): String = {
@@ -614,13 +625,18 @@ object SqlApi {
       case ("delta", "VERSION") => "version_as_of"
       case ("iceberg", "TIMESTAMP") => "as_of_timestamp"
       case ("iceberg", "VERSION") => "snapshot_id"
+      case ("iceberg", "REF") => "ref"
+      case ("delta", "REF") if value.forall(_.isDigit) => "version_as_of"
+      case ("delta", "REF") => throw new IllegalArgumentException(
+        s"FOR VERSION AS OF '$value': delta has no snapshot refs — named " +
+          "version pins are an iceberg feature (tags/branches)")
       case _ => throw new IllegalArgumentException(
         s"FOR $kind AS OF needs a delta or iceberg attach; `$tbl` is $fmt")
     }
     val view = tbl + "__asof_" +
       java.lang.Long.toHexString((kind + value).hashCode.toLong & 0xffffffffL)
     graft.catalog.Catalog.attach(spark, view, fmt,
-      opts - "timestamp_as_of" - "version_as_of" - "as_of_timestamp" - "snapshot_id" +
+      opts - "timestamp_as_of" - "version_as_of" - "as_of_timestamp" - "snapshot_id" - "ref" +
         (optKey -> value))
     view
   }
@@ -643,6 +659,16 @@ object SqlApi {
             val lit = segs(i + 1)._1
             val ts = lit.substring(1, lit.length - 1).replace("''", "'")
             s = m.group(1) + asOfView(spark, m.group(2), "TIMESTAMP", ts)
+            segs.remove(i + 1)
+          case _ => ()
+        }
+        // `FOR VERSION AS OF '<name>'` (quoted) = a snapshot REF pin
+        asOfVerTailRe.findFirstMatchIn(s) match {
+          case Some(m) if i + 1 < segs.length && segs(i + 1)._2 &&
+              segs(i + 1)._1.startsWith("'") =>
+            val lit = segs(i + 1)._1
+            val ref = lit.substring(1, lit.length - 1).replace("''", "'")
+            s = m.group(1) + asOfView(spark, m.group(2), "REF", ref)
             segs.remove(i + 1)
           case _ => ()
         }
@@ -788,6 +814,35 @@ object SqlApi {
         s"SET graft.${fmt0.toLowerCase}_dml_strategy: `$v` is not a strategy; " +
           s"valid: ${valid.toSeq.sorted.mkString(", ")}")
       spark.conf.set(key, v.toLowerCase)
+      commandOk(spark)
+    case alterRefCreateRe(table, kind, refRaw, snapOpt) =>
+      // ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n] — the
+      // iceberg-spark SQL shape, routed to the native refs writer; the tag
+      // pins a snapshot for reproducible `FOR VERSION AS OF 'name'` reads
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val refName = refRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("iceberg")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: CREATE $kind needs an iceberg attach (got `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.IcebergSink.createRef(spark, root, refName,
+        isBranch = kind.equalsIgnoreCase("BRANCH"),
+        snapshotId = Option(snapOpt).map(_.toLong))
+      commandOk(spark)
+    case alterRefDropRe(table, kind, refRaw) =>
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val refName = refRaw.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("iceberg")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: DROP $kind needs an iceberg attach (got `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.IcebergSink.dropRef(spark, root, refName)
       commandOk(spark)
     case alterAddRe(table, colRaw, typeRaw) =>
       // ALTER TABLE <attached lakehouse table> ADD COLUMN — schema

@@ -736,6 +736,27 @@ class IcebergSinkSpec extends SparkSpec {
     }.getMessage.contains("no ref"))
   }
 
+  test("refs SQL surface: CREATE/DROP TAG and quoted VERSION AS OF resolve refs") {
+    import graft.sqlapi.SqlApi
+    val root = tempDir("isink_refsql").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v").coalesce(1), root, "iceberg")
+    Catalog.attach(spark, "refsql_t", "iceberg", Map("files" -> root))
+    SqlApi.executePg(spark, "ALTER TABLE refsql_t CREATE TAG run_a")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v").coalesce(1), root, "iceberg")
+    Catalog.attach(spark, "refsql_t", "iceberg", Map("files" -> root))
+    // quoted VERSION AS OF = ref name (the iceberg-spark convention)
+    assert(SqlApi.executePg(spark,
+      "SELECT id FROM refsql_t FOR VERSION AS OF 'run_a'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(SqlApi.executePg(spark, "SELECT id FROM refsql_t").count() === 2L)
+    SqlApi.executePg(spark, "ALTER TABLE refsql_t DROP TAG run_a")
+    val gone = intercept[IcebergNative.IcebergReadException] {
+      SqlApi.executePg(spark,
+        "SELECT id FROM refsql_t FOR VERSION AS OF 'run_a'").collect()
+    }
+    assert(gone.getMessage.contains("no ref"))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
