@@ -49,7 +49,8 @@ object IcebergSink {
   private val mapper = new ObjectMapper()
 
   val validOptions: Set[String] =
-    Set("overwrite", "compression", "max_file_size_rows", "partition_by")
+    Set("overwrite", "compression", "max_file_size_rows", "partition_by",
+      "sort_by")
 
   // ------------------------------------------- partition-spec transforms
 
@@ -546,6 +547,8 @@ object IcebergSink {
     // snapshot refs (branches/tags, spec v2 `refs`): tags and non-main
     // branches stay pinned where they are; `main` advances with the commit
     var prevRefs: Map[String, String] = Map.empty // name → ref json
+    var prevSortOrdersJson: Option[String] = None
+    var prevDefaultSortOrderId = 0
     if (!creating) {
       val (v, metaFile) = resolved.get
       prevVersion = v
@@ -606,6 +609,10 @@ object IcebergSink {
       if (meta.has("partition-specs")) {
         prevSpecsJson = Some(mapper.writeValueAsString(meta.path("partition-specs")))
         prevDefaultSpecId = meta.path("default-spec-id").asInt(0)
+      }
+      if (meta.has("sort-orders")) {
+        prevSortOrdersJson = Some(mapper.writeValueAsString(meta.path("sort-orders")))
+        prevDefaultSortOrderId = meta.path("default-sort-order-id").asInt(0)
       }
       val currentId = meta.path("current-snapshot-id").asLong()
       lastSnapshotId = meta.path("snapshots").elements().asScala
@@ -670,9 +677,31 @@ object IcebergSink {
     // tiny files). After the shuffle each tuple lands in exactly one task
     // → at most one file per tuple (hot tuples = one big file, the same
     // trade Iceberg's default makes).
-    val writeDf = if (partColsEff.isEmpty) writeDf1
-      else writeDf1.repartition(partColsEff.indices
-        .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
+    //
+    // `sort_by=c1,c2` is the CLUSTERING lever (the spec's sort orders):
+    // unpartitioned, a RANGE shuffle + in-task sort yields files with
+    // DISJOINT key ranges — per-file min/max become maximally selective
+    // and the bounds-pruning scan opens O(matching) files at 100 TB;
+    // partitioned, rows sort within their tuple's task so each file is a
+    // sorted run. The order is recorded in metadata `sort-orders`.
+    val sortCols: Seq[String] = options.get("sort_by").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    sortCols.find(c => !df.schema.fieldNames.contains(c)).foreach { c =>
+      throw Catalog.InvalidOptionException(
+        s"sort_by column `$c` is not in the frame's schema")
+    }
+    val gpkCols = partColsEff.indices
+      .map(i => org.apache.spark.sql.functions.col(s"__gpk$i"))
+    val sCols = sortCols.map(org.apache.spark.sql.functions.col)
+    val writeDf = (partColsEff.isEmpty, sortCols.isEmpty) match {
+      case (true, true) => writeDf1
+      case (true, false) =>
+        writeDf1.repartitionByRange(sCols: _*).sortWithinPartitions(sCols: _*)
+      case (false, true) => writeDf1.repartition(gpkCols: _*)
+      case (false, false) =>
+        writeDf1.repartition(gpkCols: _*)
+          .sortWithinPartitions(gpkCols ++ sCols: _*)
+    }
     val tmp = new Path(rootPath,
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     var w = writeDf.write.mode("overwrite")
@@ -806,6 +835,20 @@ object IcebergSink {
           mapper.writeValueAsString(p.transform)}, """ +
           s""""source-id": $srcId, "field-id": ${1000 + i}}"""
       }.mkString(", ")}]}]""")},
+         |"sort-orders": ${
+      prevSortOrdersJson.getOrElse {
+        if (sortCols.isEmpty) """[{"order-id": 0, "fields": []}]"""
+        else s"""[{"order-id": 0, "fields": []}, {"order-id": 1, "fields": [${
+          sortCols.map { c =>
+            val srcId = fieldIds.find(_._1.name == c).map(_._2).getOrElse(
+              throw IcebergReadException(s"sort_by column `$c` missing a field id"))
+            s"""{"transform": "identity", "source-id": $srcId, """ +
+              """"direction": "asc", "null-order": "nulls-first"}"""
+          }.mkString(", ")}]}]"""
+      }},
+         |"default-sort-order-id": ${
+      prevSortOrdersJson.map(_ => prevDefaultSortOrderId)
+        .getOrElse(if (sortCols.isEmpty) 0 else 1)},
          |"current-snapshot-id": $snapshotId,
          |"refs": ${
       (prevRefs + ("main" ->

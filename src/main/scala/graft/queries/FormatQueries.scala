@@ -1293,7 +1293,11 @@ object FormatQueries {
       val orders = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .filter(col("o_totalprice") > 100000)
-      graft.catalog.Sinks.copyTo(orders, out, "iceberg")
+      // sort_by = the spec's sort-order clustering: files land with
+      // DISJOINT o_orderkey ranges (range shuffle + in-task sort), so the
+      // read-back aggregate rides maximally selective per-file bounds
+      graft.catalog.Sinks.copyTo(orders, out, "iceberg",
+        Map("sort_by" -> "o_orderkey"))
       Catalog.attach(s, "w03_orders_iceberg_rt", "iceberg", Map("files" -> out))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

@@ -757,6 +757,53 @@ class IcebergSinkSpec extends SparkSpec {
     assert(gone.getMessage.contains("no ref"))
   }
 
+  test("sort_by writes range-clustered files and records the spec's sort order") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(plan: SparkPlan): Option[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(s) => s }
+    }
+    val root = tempDir("isink_sort").getPath
+    // shuffled input, 4 partitions: without sort_by these files would have
+    // overlapping id ranges; with it the range shuffle clusters them
+    val rows = scala.util.Random.shuffle((1 to 400).toList)
+      .map(i => (i.toLong, s"v$i"))
+    Sinks.copyTo(rows.toDF("id", "v").repartition(4), root, "iceberg",
+      Map("sort_by" -> "id"))
+    val back = readBack(root)
+    assert(back.count() === 400)
+    // a narrow id predicate opens ONE file — only possible when file
+    // ranges are disjoint (range-clustered) and bounds recorded
+    val pruned = back.filter(col("id") === 7L)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    val scanned = findScan(pruned.queryExecution.executedPlan).get
+      .metrics("numFiles").value
+    assert(scanned === 1L, s"range-clustered write should prune to 1 file, got $scanned")
+    // metadata records the spec's sort order and appends preserve it
+    def meta = {
+      val md = new java.io.File(root, "metadata")
+      val f = md.listFiles().filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    }
+    assert(meta.path("default-sort-order-id").asInt() === 1)
+    val so = meta.path("sort-orders").elements().asScala.toSeq
+      .find(_.path("order-id").asInt() == 1).get
+    val f0 = so.path("fields").elements().asScala.toSeq.head
+    assert(f0.path("transform").asText() === "identity" &&
+      f0.path("direction").asText() === "asc")
+    Sinks.copyTo(Seq((1000L, "z")).toDF("id", "v"), root, "iceberg")
+    assert(meta.path("default-sort-order-id").asInt() === 1)
+    // unknown sort column rejects loudly
+    assert(intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), tempDir("isink_sort2").getPath,
+        "iceberg", Map("sort_by" -> "nope"))
+    }.getMessage.contains("nope"))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
