@@ -50,7 +50,7 @@ object IcebergSink {
 
   val validOptions: Set[String] =
     Set("overwrite", "compression", "max_file_size_rows", "partition_by",
-      "sort_by")
+      "sort_by", "branch")
 
   // ------------------------------------------- partition-spec transforms
 
@@ -549,6 +549,18 @@ object IcebergSink {
     var prevRefs: Map[String, String] = Map.empty // name → ref json
     var prevSortOrdersJson: Option[String] = None
     var prevDefaultSortOrderId = 0
+    // WRITE-AUDIT-PUBLISH: `branch=<name>` commits the snapshot to that
+    // REF instead of main — current-snapshot-id and the snapshot-log stay
+    // put, the branch ref advances, and `fastForward` publishes it to main
+    // after audit queries (`ref=<name>` reads) pass. A missing branch
+    // bootstraps at the current head (the WAP convention).
+    val branchOpt: Option[String] = options.get("branch").map(_.trim).filter(_.nonEmpty)
+    if (branchOpt.contains("main")) throw IcebergReadException(
+      s"`$path`: branch=main IS the default write target; drop the option")
+    if (creating && branchOpt.isDefined) throw IcebergReadException(
+      s"`$path`: branch writes need an existing table — create it on main first")
+    var prevCurrentId = -1L
+    var parentId = 0L
     if (!creating) {
       val (v, metaFile) = resolved.get
       prevVersion = v
@@ -615,6 +627,7 @@ object IcebergSink {
         prevDefaultSortOrderId = meta.path("default-sort-order-id").asInt(0)
       }
       val currentId = meta.path("current-snapshot-id").asLong()
+      prevCurrentId = currentId
       lastSnapshotId = meta.path("snapshots").elements().asScala
         .map(_.path("snapshot-id").asLong()).maxOption.getOrElse(0L)
       lastSeq = meta.path("snapshots").elements().asScala
@@ -635,9 +648,24 @@ object IcebergSink {
       }
       prevSnapshotLog = meta.path("snapshot-log").elements().asScala
         .map(e => (e.path("timestamp-ms").asLong(), e.path("snapshot-id").asLong())).toSeq
+      // the snapshot this write BUILDS ON: main's head, or the branch's
+      val headId = branchOpt match {
+        case None => currentId
+        case Some(b) =>
+          val r = meta.path("refs").path(b)
+          if (r.has("snapshot-id")) {
+            if (r.path("type").asText("branch") != "branch") throw IcebergReadException(
+              s"`$path`: ref `$b` is a TAG — tags are immutable points; " +
+                "branch writes need a branch (createRef(..., isBranch=true))")
+            r.path("snapshot-id").asLong()
+          } else currentId // bootstrap the branch at the current head
+      }
+      parentId = headId
       val current = meta.path("snapshots").elements().asScala
-        .find(_.path("snapshot-id").asLong() == currentId).getOrElse(
-          throw IcebergReadException(s"`$path`: current snapshot $currentId not listed"))
+        .find(_.path("snapshot-id").asLong() == headId).getOrElse(
+          throw IcebergReadException(
+            s"`$path`: ${branchOpt.fold("current")(b => s"branch `$b` head")} " +
+              s"snapshot $headId not listed"))
       if (!overwrite) {
         // carry the current snapshot's manifests forward
         val mlPath = current.path("manifest-list").asText()
@@ -797,7 +825,10 @@ object IcebergSink {
     val snapshotJson = {
       val sn = mapper.createObjectNode()
       sn.put("snapshot-id", snapshotId)
-      if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
+      // parent = the head this write BUILT ON (main's or the branch's) —
+      // NOT the max id, which may belong to another branch's snapshot
+      if (parentId > 0) sn.put("parent-snapshot-id", parentId)
+      else if (lastSnapshotId > 0) sn.put("parent-snapshot-id", lastSnapshotId)
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
       // pin the schema this snapshot was written under — a time-travel
@@ -812,9 +843,12 @@ object IcebergSink {
       sn.put("manifest-list", mlRel)
       mapper.writeValueAsString(sn)
     }
-    val logJson = (prevSnapshotLog :+ ((nowMs, snapshotId))).map { case (ts, id) =>
-      s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
-    }.mkString("[", ", ", "]")
+    // the snapshot-log tracks MAIN (spec): branch snapshots don't enter it
+    val logJson = (prevSnapshotLog ++
+      (if (branchOpt.isEmpty) Seq((nowMs, snapshotId)) else Nil))
+      .map { case (ts, id) =>
+        s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
+      }.mkString("[", ", ", "]")
     val metaJson =
       s"""{"format-version": 2,
          |"table-uuid": "${prevUuid.getOrElse(java.util.UUID.randomUUID().toString)}",
@@ -849,11 +883,18 @@ object IcebergSink {
          |"default-sort-order-id": ${
       prevSortOrdersJson.map(_ => prevDefaultSortOrderId)
         .getOrElse(if (sortCols.isEmpty) 0 else 1)},
-         |"current-snapshot-id": $snapshotId,
+         |"current-snapshot-id": ${
+      if (branchOpt.isDefined) prevCurrentId else snapshotId},
          |"refs": ${
-      (prevRefs + ("main" ->
-        s"""{"snapshot-id": $snapshotId, "type": "branch"}"""))
-        .map { case (n, j) => s"${mapper.writeValueAsString(n)}: $j" }
+      {
+        val base =
+          if (branchOpt.isDefined && !prevRefs.contains("main") && prevCurrentId > 0)
+            prevRefs + ("main" ->
+              s"""{"snapshot-id": $prevCurrentId, "type": "branch"}""")
+          else prevRefs
+        base + (branchOpt.getOrElse("main") ->
+          s"""{"snapshot-id": $snapshotId, "type": "branch"}""")
+      }.map { case (n, j) => s"${mapper.writeValueAsString(n)}: $j" }
         .mkString("{", ", ", "}")},
          |"snapshot-log": $logJson,
          |"snapshots": ${(prevSnapshotsJson :+ snapshotJson).mkString("[", ", ", "]")}}""".stripMargin
@@ -2122,6 +2163,39 @@ object IcebergSink {
     val r = refsNode.putObject(name)
     r.put("snapshot-id", target)
     r.put("type", if (isBranch) "branch" else "tag")
+    writeNextMetadata(st, newMeta)
+    target
+  }
+
+  /** FAST-FORWARD main to a branch's head — the PUBLISH step of
+    * write-audit-publish: after audit reads (`ref=<branch>`) pass, main's
+    * current-snapshot-id jumps to the branch head and the snapshot-log
+    * records the publish instant. The branch ref stays (drop it separately
+    * when the pipeline retires it). Returns the published snapshot id. */
+  def fastForward(spark: org.apache.spark.sql.SparkSession, path: String,
+      branch: String): Long = {
+    val st = loadMorState(spark, path)
+    val r = st.meta.path("refs").path(branch)
+    if (!r.has("snapshot-id")) throw IcebergReadException(
+      s"`$path`: no ref `$branch`; known: " +
+        st.meta.path("refs").fieldNames().asScala.mkString(", "))
+    if (r.path("type").asText("branch") != "branch") throw IcebergReadException(
+      s"`$path`: ref `$branch` is a TAG — fast-forward publishes a BRANCH")
+    val target = r.path("snapshot-id").asLong()
+    if (!st.meta.path("snapshots").elements().asScala
+      .exists(_.path("snapshot-id").asLong() == target)) throw IcebergReadException(
+      s"`$path`: branch `$branch` head $target is not in the snapshots list")
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    newMeta.put("current-snapshot-id", target)
+    val refsNode = newMeta.path("refs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val mainRef = refsNode.putObject("main")
+    mainRef.put("snapshot-id", target)
+    mainRef.put("type", "branch")
+    val log = newMeta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+    val entry = log.addObject()
+    entry.put("timestamp-ms", System.currentTimeMillis())
+    entry.put("snapshot-id", target)
     writeNextMetadata(st, newMeta)
     target
   }

@@ -1525,6 +1525,43 @@ object FormatQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM customer GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- l19
+  // WRITE-AUDIT-PUBLISH — the staging pattern a production ingest pipeline
+  // runs: the daily delta lands on an AUDIT BRANCH (main untouched), the
+  // audit query reads `ref=audit`, and fastForward publishes the branch
+  // head to main in one metadata commit. The result reads MAIN after
+  // publish + one more append, so a branch write that leaked into main
+  // early, a publish that lost the staged snapshots, or a post-publish
+  // append that built on the wrong head all fail rows AND hash.
+  private val l19 = QueryDef(
+    "l19_iceberg_wap",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_l19_wap"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 3 === 0), out, "iceberg")
+      // stage the other two thirds on the audit branch, two commits
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 3 === 1), out,
+        "iceberg", Map("branch" -> "audit"))
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 3 === 2), out,
+        "iceberg", Map("branch" -> "audit"))
+      // the audit gate: staged row count must match the full table before publish
+      val staged = Catalog.attach(s, "l19_audit_view", "iceberg",
+        Map("files" -> out, "ref" -> "audit")).count()
+      require(staged == ord.count(), s"audit saw $staged rows")
+      graft.catalog.IcebergSink.fastForward(s, out, "audit")
+      Catalog.attach(s, "l19_orders_iceberg_wap", "iceberg", Map("files" -> out))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -2141,6 +2178,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

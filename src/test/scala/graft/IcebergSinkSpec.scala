@@ -804,6 +804,57 @@ class IcebergSinkSpec extends SparkSpec {
     }.getMessage.contains("nope"))
   }
 
+  test("write-audit-publish: branch writes stage, audits read the ref, fastForward publishes") {
+    val root = tempDir("isink_wap").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v").coalesce(1), root, "iceberg")
+    // STAGE: two branch commits — main is untouched throughout
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v").coalesce(1), root, "iceberg",
+      Map("branch" -> "audit"))
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v").coalesce(1), root, "iceberg",
+      Map("branch" -> "audit"))
+    assert(readBack(root).collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "main must not see staged rows")
+    // AUDIT: the ref read sees the staged state (base + both commits)
+    assert(IcebergNative.read(spark, root, Map("ref" -> "audit"))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // PUBLISH: fast-forward main to the audited head
+    val published = IcebergSink.fastForward(spark, root, "audit")
+    assert(readBack(root).collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // post-publish appends build on the published head
+    Sinks.copyTo(Seq((4L, "d")).toDF("id", "v").coalesce(1), root, "iceberg")
+    assert(readBack(root).collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // the log shape: main's snapshot-log skipped the staged commits, the
+    // publish instant points at the branch head
+    val meta = {
+      val md = new java.io.File(root, "metadata")
+      val f = md.listFiles().filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    }
+    locally {
+      import scala.jdk.CollectionConverters._
+      val logIds = meta.path("snapshot-log").elements().asScala
+        .map(_.path("snapshot-id").asLong()).toSeq
+      assert(logIds.contains(published))
+      assert(logIds.size === 3, s"create + publish + append, got $logIds")
+    }
+    // guards: tag writes, main as a branch name, branch on create
+    IcebergSink.createRef(spark, root, "pinned") // tag
+    assert(intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg",
+        Map("branch" -> "pinned"))
+    }.getMessage.contains("TAG"))
+    assert(intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"), root, "iceberg",
+        Map("branch" -> "main"))
+    }.getMessage.contains("default write target"))
+    assert(intercept[IcebergNative.IcebergReadException] {
+      Sinks.copyTo(Seq((9L, "z")).toDF("id", "v"),
+        tempDir("isink_wap2").getPath, "iceberg", Map("branch" -> "stage"))
+    }.getMessage.contains("existing table"))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
