@@ -558,6 +558,107 @@ object DeltaSink {
     * cannot carry it, and the reader serves it as NULL (pinned in
     * DeltaNativeSpec). Appends after evolution must supply the full new
     * schema. The table id is preserved across the metaData rewrite. */
+  /** ADD CONSTRAINT <name> CHECK (<expr>) — installs a writer-v3 CHECK
+    * constraint (PROTOCOL.md): EXISTING rows must ALL satisfy it first
+    * (one scan through the native reader — DVs/deletes honored; a NULL
+    * check-result passes per SQL CHECK), then one commit carries the
+    * `delta.constraints.<name>` configuration plus, when the current
+    * protocol predates the feature, the minWriterVersion 3 bump (or the
+    * `checkConstraints` entry on a v7 feature list). Every later write
+    * through this engine enforces it (`validateIncomingRows`). */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(
+      s"ALTER TABLE: `$path` has no _delta_log — not a Delta table")
+    val key = s"delta.constraints.${name.toLowerCase}"
+    if (st.conf.contains(key)) throw DeltaReadException(
+      s"ALTER TABLE: constraint `$name` already exists on `$path`")
+    val live = graft.sources.DeltaNative.read(spark, path, Map.empty)
+    try live.filter(expr(exprSql).cast("boolean") <=> false).take(1) match {
+      case Array(r) => throw DeltaReadException(
+        s"ALTER TABLE: cannot add constraint `$name` — existing row " +
+          s"${r.toString.take(200)} violates CHECK ($exprSql)")
+      case _ => ()
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException => throw DeltaReadException(
+        s"ALTER TABLE: CHECK expression `$exprSql` does not resolve against " +
+          s"the table schema: ${e.getMessage.take(200)}")
+    }
+    val protoLine: Option[String] = st.protocol.flatMap { p =>
+      if (p.minWriter >= 7 && !p.writerFeatures.contains("checkConstraints"))
+        Some(p.copy(writerFeatures = p.writerFeatures + "checkConstraints").json)
+      else if (p.minWriter < 3) Some(p.copy(minWriter = 3).json)
+      else None
+    }
+    val logDir = new Path(rootPath, "_delta_log")
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"ADD CONSTRAINT","operationParameters":{"name":${esc(name)},"expr":${esc(exprSql)}}}}""") ++
+      protoLine ++
+      Seq(s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
+        st.conf + (key -> exprSql))}}""")
+    writeCommit(fs, logDir, st.version + 1, lines, path)
+  }
+
+  /** DROP CONSTRAINT <name> — removes the configuration key (the protocol
+    * stays; features are one-way declarations). */
+  def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Unit = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(
+      s"ALTER TABLE: `$path` has no _delta_log — not a Delta table")
+    val key = s"delta.constraints.${name.toLowerCase}"
+    if (!st.conf.contains(key)) throw DeltaReadException(
+      s"ALTER TABLE: no constraint `$name` on `$path`; known: " +
+        st.conf.keys.filter(_.startsWith("delta.constraints."))
+          .map(_.stripPrefix("delta.constraints.")).toSeq.sorted.mkString(", "))
+    val logDir = new Path(rootPath, "_delta_log")
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DROP CONSTRAINT","operationParameters":{"name":${esc(name)}}}}""",
+      s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
+        st.conf - key)}}""")
+    writeCommit(fs, logDir, st.version + 1, lines, path)
+  }
+
+  /** SET TBLPROPERTIES — `delta.appendOnly` (the writer-v2 gate this
+    * engine enforces) and user-namespace keys commit as configuration;
+    * OTHER `delta.*` keys reject loudly (accepting a protocol-relevant
+    * property this writer would not honor — enableChangeDataFeed
+    * retroactively, columnMapping by hand — is silent wrongness). */
+  def setTableProperties(spark: org.apache.spark.sql.SparkSession, path: String,
+      props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
+    props.keys.find(k => k.startsWith("delta.") && k != "delta.appendOnly")
+      .foreach { k =>
+        throw DeltaReadException(
+          s"ALTER TABLE: property `$k` changes protocol behavior this writer " +
+            "manages through dedicated surfaces (constraints DDL, the DV/" +
+            "column-mapping upgrades) or does not honor — refusing to record " +
+            "it; only delta.appendOnly and non-delta keys are settable here")
+      }
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(
+      s"ALTER TABLE: `$path` has no _delta_log — not a Delta table")
+    val logDir = new Path(rootPath, "_delta_log")
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"SET TBLPROPERTIES"}}""",
+      s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
+        st.conf ++ props)}}""")
+    writeCommit(fs, logDir, st.version + 1, lines, path)
+  }
+
   def addColumn(spark: org.apache.spark.sql.SparkSession, path: String,
       colName: String, typeDdl: String): Unit = {
     val rootPath = new Path(path)

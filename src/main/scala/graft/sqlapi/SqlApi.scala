@@ -480,6 +480,15 @@ object SqlApi {
   private val alterRefDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+(TAG|BRANCH)\s+("?[A-Za-z_][-\w."]*"?)\s*;?\s*$""".r
 
+  // ALTER TABLE t ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
+  // SET TBLPROPERTIES ('k'='v', ...) — the delta-spark DDL shapes
+  private val alterAddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+ADD\s+CONSTRAINT\s+("?[A-Za-z_][\w"]*"?)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val alterDropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+CONSTRAINT\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+  private val alterSetPropsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*$""".r
+
   // ALTER TABLE <table> DROP COLUMN <name>  |  RENAME COLUMN <a> TO <b>
   private val alterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
@@ -814,6 +823,58 @@ object SqlApi {
         s"SET graft.${fmt0.toLowerCase}_dml_strategy: `$v` is not a strategy; " +
           s"valid: ${valid.toSeq.sorted.mkString(", ")}")
       spark.conf.set(key, v.toLowerCase)
+      commandOk(spark)
+    case alterAddConstraintRe(table, cName, exprSql) =>
+      // CHECK constraints install on the delta writer (writer v3); every
+      // later write through this engine enforces them
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val cn = cName.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: CHECK constraints are a delta writer feature " +
+          s"(got format `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.DeltaSink.addCheckConstraint(spark, root, cn,
+        PgDialect.rewrite(exprSql.trim))
+      commandOk(spark)
+    case alterDropConstraintRe(table, cName) =>
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val cn = cName.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: CHECK constraints are a delta writer feature " +
+          s"(got format `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.DeltaSink.dropCheckConstraint(spark, root, cn)
+      commandOk(spark)
+    case alterSetPropsRe(table, propsRaw) =>
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: SET TBLPROPERTIES is a delta writer surface " +
+          s"(got format `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      val props: Map[String, String] = splitTopLevel(propsRaw).flatMap { kv =>
+        val t = kv.trim
+        if (t.isEmpty) None
+        else t.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k.trim.stripPrefix("'").stripSuffix("'") ->
+              v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => throw new IllegalArgumentException(
+            s"SET TBLPROPERTIES: `$t` is not a 'key'='value' pair")
+        }
+      }.toMap
+      graft.catalog.DeltaSink.setTableProperties(spark, root, props)
       commandOk(spark)
     case alterRefCreateRe(table, kind, refRaw, snapOpt) =>
       // ALTER TABLE t CREATE TAG|BRANCH name [AS OF VERSION n] — the

@@ -127,6 +127,48 @@ class DeltaWriterGatesSpec extends SparkSpec {
     assert(DeltaNative.read(spark, root2, Map.empty).count() === 2)
   }
 
+  test("constraint DDL: ADD/DROP CONSTRAINT + SET TBLPROPERTIES install the gates") {
+    import graft.catalog.{Catalog, Sinks}
+    import graft.sqlapi.SqlApi
+    val dir = tempDir("gates")
+    val root = new File(dir, "ddl").getPath
+    Sinks.copyTo(Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x").coalesce(1), root, "delta")
+    Catalog.attach(spark, "gates_ddl_t", "delta", Map("files" -> root))
+    // existing rows violate → ADD CONSTRAINT itself rejects, nothing commits
+    val pre = intercept[DeltaNative.DeltaReadException] {
+      SqlApi.executePg(spark, "ALTER TABLE gates_ddl_t ADD CONSTRAINT x_big CHECK (x > 6)")
+    }
+    assert(pre.getMessage.contains("existing row"))
+    // a satisfiable constraint installs; the NEXT bad write dies on it
+    SqlApi.executePg(spark, "ALTER TABLE gates_ddl_t ADD CONSTRAINT x_pos CHECK (x > 0)")
+    DeltaSink.write(Seq((3L, 1.0)).toDF("id", "x"), root, Map.empty)
+    val bad = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((4L, -1.0)).toDF("id", "x"), root, Map.empty)
+    }
+    assert(bad.getMessage.contains("x_pos"))
+    // protocol carries the obligation now (legacy bump to writer 3)
+    val metaLines = new File(root, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+    assert(metaLines.exists(_.contains("\"minWriterVersion\":3")))
+    // DROP frees it
+    SqlApi.executePg(spark, "ALTER TABLE gates_ddl_t DROP CONSTRAINT x_pos")
+    DeltaSink.write(Seq((4L, -1.0)).toDF("id", "x"), root, Map.empty)
+    assert(DeltaNative.read(spark, root, Map.empty).count() === 4)
+    // SET TBLPROPERTIES: appendOnly installs and bites; other delta.* reject
+    SqlApi.executePg(spark,
+      "ALTER TABLE gates_ddl_t SET TBLPROPERTIES ('delta.appendOnly'='true')")
+    val ao = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.deleteWhere(spark, root, "id = 1")
+    }
+    assert(ao.getMessage.contains("appendOnly"))
+    val refuse = intercept[DeltaNative.DeltaReadException] {
+      SqlApi.executePg(spark,
+        "ALTER TABLE gates_ddl_t SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')")
+    }
+    assert(refuse.getMessage.contains("refusing"))
+  }
+
   test("generated/identity features pass only while no expression exists") {
     val dir = tempDir("gates")
     // minWriter 4 implies generatedColumns; schema has NO generation
