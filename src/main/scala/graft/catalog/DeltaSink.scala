@@ -558,6 +558,65 @@ object DeltaSink {
     * cannot carry it, and the reader serves it as NULL (pinned in
     * DeltaNativeSpec). Appends after evolution must supply the full new
     * schema. The table id is preserved across the metaData rewrite. */
+  /** SHALLOW CLONE — a ZERO-COPY snapshot of a table (the delta-spark
+    * `CREATE TABLE ... SHALLOW CLONE` shape): the clone's commit 0 carries
+    * the source's protocol/schema/configuration and one `add` per live
+    * source file with its ABSOLUTE qualified path (the spec's add.path is
+    * a relative path OR an absolute URI — clones are the absolute case),
+    * stats and partition values riding along so skipping works unchanged.
+    * No data bytes move; DML on the clone rewrites into the CLONE's own
+    * directory while removes reference the absolute source paths — the
+    * source table never changes. The experimentation lever at 100 TB:
+    * clone production, test a migration, drop the clone.
+    *
+    * Sources carrying deletion vectors reject loudly ("u"-storage DV
+    * paths are table-root-relative, so a cloned descriptor would dangle;
+    * purge DVs first — the same gate delta-spark applies to older
+    * readers). VACUUMing the SOURCE breaks clones by design (documented
+    * delta behavior); time travel on the clone starts at its commit 0. */
+  def shallowClone(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String): Long = {
+    val srcRoot = new Path(srcPath)
+    val fs = srcRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = replayState(spark, srcRoot)
+    if (!st.exists) throw DeltaReadException(s"`$srcPath`: not a Delta table")
+    if (st.live.values.exists(_.hasDv)) throw DeltaReadException(
+      s"`$srcPath`: table carries deletion vectors — their storage paths are " +
+        "table-root-relative and would dangle from a clone; purge first " +
+        "(purgeDeletionVectors), then clone")
+    val dstRoot = new Path(dstPath)
+    val dstLog = new Path(dstRoot, "_delta_log")
+    if (fs.exists(dstLog)) throw DeltaReadException(
+      s"`$dstPath`: already a Delta table — clone needs a fresh destination")
+    val schemaJson = st.schemaJson.getOrElse(
+      throw DeltaReadException(s"`$srcPath`: no metaData action"))
+    lazy val esc = (s: String) => mapper.writeValueAsString(s)
+    def absUri(rel: String): String = {
+      val p = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      val abs = if (p.isAbsolute) p else new Path(srcRoot, p)
+      fs.makeQualified(abs).toUri.toString
+    }
+    val adds = st.live.toSeq.map { case (rel, e) =>
+      val pv = e.partitionValues.map { case (k, v) =>
+        s"${esc(k)}:${if (v == null) "null" else esc(v)}"
+      }.mkString("{", ",", "}")
+      s"""{"add":{"path":${esc(absUri(rel))},"partitionValues":$pv,""" +
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true""" +
+        e.stats.map(s0 => s""","stats":${esc(s0)}""").getOrElse("") + "}}"
+    }
+    val protoJson = st.protocol.map(_.json).getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    fs.mkdirs(dstLog) // metaDataJson probes the log dir for an existing id
+    val metaData = metaDataJson(spark, fs, dstLog,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], st.partCols, st.conf)
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"CLONE","operationParameters":{"source":${esc(srcPath)}}}}""",
+      protoJson,
+      s"""{"metaData":$metaData}""") ++ adds
+    writeCommit(fs, dstLog, 0L, lines, dstPath)
+    st.live.size.toLong
+  }
+
   /** ADD CONSTRAINT <name> CHECK (<expr>) — installs a writer-v3 CHECK
     * constraint (PROTOCOL.md): EXISTING rows must ALL satisfy it first
     * (one scan through the native reader — DVs/deletes honored; a NULL

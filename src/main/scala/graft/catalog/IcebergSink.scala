@@ -2229,6 +2229,78 @@ object IcebergSink {
     try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
   }
 
+  /** REMOVE ORPHAN FILES — the maintenance sibling of expireSnapshots for
+    * CRASHED writes: a data/metadata file no snapshot references (a task
+    * that wrote then died before commit, a torn fanout temp move) sits in
+    * the tree forever unless something diffs the LISTING against the
+    * REACHABLE set. Reachability = every listed snapshot's manifest list →
+    * manifests → every entry's file_path (data, positional/equality
+    * deletes, puffin DVs alike) + all metadata files. `graceMs` protects
+    * files younger than the window (a CONCURRENT writer's uncommitted
+    * output looks orphaned until its commit lands — the same race
+    * Iceberg's own remove_orphan_files defaults 3 days for). Returns the
+    * deleted count. */
+  def removeOrphanFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      graceMs: Long = 3L * 24 * 3600 * 1000): Int = {
+    val rootPath = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = rootPath.getFileSystem(conf)
+    val metaDir = new Path(rootPath, "metadata")
+    val (_, metaFile) = resolveCurrent(fs, metaDir).getOrElse(
+      throw IcebergReadException(
+        s"`$path`: no metadata — not a table this native writer manages"))
+    val meta = {
+      val in = fs.open(metaFile)
+      try mapper.readTree(in) finally in.close()
+    }
+    def abs(rel: String): String = {
+      val p = new Path(rel)
+      fs.makeQualified(if (p.isAbsolute) p else new Path(rootPath, p)).toString
+    }
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val reachable = scala.collection.mutable.Set.empty[String]
+    meta.path("snapshots").elements().asScala.foreach { sn =>
+      val ml = sn.path("manifest-list").asText()
+      if (ml.nonEmpty) {
+        reachable += abs(ml)
+        val r = new DataFileReader[GenericRecord](
+          new FsInput(new Path(abs(ml)), conf), new GenericDatumReader[GenericRecord]())
+        val manifests = try r.iterator().asScala
+          .map(_.get("manifest_path").toString).toList finally r.close()
+        manifests.foreach { m =>
+          reachable += abs(m)
+          val r2 = new DataFileReader[GenericRecord](
+            new FsInput(new Path(abs(m)), conf), new GenericDatumReader[GenericRecord]())
+          try r2.iterator().asScala.foreach { e =>
+            reachable += abs(e.get("data_file").asInstanceOf[GenericRecord]
+              .get("file_path").toString)
+          } finally r2.close()
+        }
+      }
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    // sweep data/ (orphaned task output) and metadata/ avro (torn manifest
+    // writes); metadata.json versions + version-hint stay — they ARE the
+    // table history, expireSnapshots owns trimming it
+    Seq(new Path(rootPath, "data"), metaDir).foreach { dirP =>
+      if (fs.exists(dirP)) {
+        val it = fs.listFiles(dirP, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          val isMetaJson = name.endsWith(".metadata.json") || name == "version-hint.text"
+          if (f.isFile && !isMetaJson && f.getModificationTime < cutoff &&
+            !reachable.contains(fs.makeQualified(f.getPath).toString)) {
+            if (fs.delete(f.getPath, false)) deleted += 1
+          }
+        }
+      }
+    }
+    deleted
+  }
+
   def expireSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val rootPath = new Path(path)

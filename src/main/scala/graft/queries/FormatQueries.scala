@@ -1562,6 +1562,47 @@ object FormatQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderstatus"""))
 
+  // ---------------------------------------------------------------- l20
+  // SHALLOW CLONE — the zero-copy experimentation snapshot: customer CTAS
+  // → clone (commit 0 = absolute-path adds, no bytes move) → DML ONLY on
+  // the clone (DELETE negatives, double BUILDING balances) → read the
+  // CLONE while asserting the SOURCE still replays untouched. The oracle
+  // recomputes the clone's state from the source table; a clone whose adds
+  // resolved wrong, whose DML leaked into the source, or whose removes
+  // missed the absolute paths fails rows AND hash.
+  private val l20 = QueryDef(
+    "l20_delta_clone",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val src = s"${exportRoot(dir)}/dml_l20_src"
+      val dst = s"${exportRoot(dir)}/dml_l20_clone"
+      rmTree(src); rmTree(dst)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, src, "delta")
+      graft.catalog.DeltaSink.shallowClone(s, src, dst)
+      graft.catalog.DeltaSink.deleteWhere(s, dst, "c_acctbal < 0")
+      graft.catalog.DeltaSink.updateWhere(s, dst,
+        "c_mktsegment = 'BUILDING'", Map("c_acctbal" -> "c_acctbal * 2"))
+      // the whole point: the source is byte-identical after clone DML
+      val srcCount = Catalog.attach(s, "l20_src_check", "delta",
+        Map("files" -> src)).count()
+      require(srcCount == cust.count(), s"clone DML leaked into source: $srcCount")
+      Catalog.attach(s, "l20_customer_delta_clone", "delta", Map("files" -> dst))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE NOT (c_acctbal < 0))
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM d GROUP BY c_mktsegment"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -2178,6 +2219,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

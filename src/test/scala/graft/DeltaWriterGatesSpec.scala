@@ -169,6 +169,38 @@ class DeltaWriterGatesSpec extends SparkSpec {
     assert(refuse.getMessage.contains("refusing"))
   }
 
+  test("shallow clone: zero-copy snapshot; clone DML leaves the source untouched") {
+    import graft.catalog.Sinks
+    val dir = tempDir("gates")
+    val src = new File(dir, "src").getPath
+    val dst = new File(dir, "clone").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(2), src, "delta")
+    assert(DeltaSink.shallowClone(spark, src, dst) === 2L) // 2 live files
+    // no data bytes moved: the clone dir holds ONLY the log
+    val cloneFiles = new File(dst).listFiles().map(_.getName).toSet
+    assert(cloneFiles === Set("_delta_log"))
+    assert(DeltaNative.read(spark, dst, Map.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // DML on the clone: source unchanged, clone diverges
+    DeltaSink.deleteWhere(spark, dst, "id = 2")
+    DeltaSink.write(Seq((9L, "z")).toDF("id", "v"), dst, Map.empty)
+    assert(DeltaNative.read(spark, dst, Map.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 9L))
+    assert(DeltaNative.read(spark, src, Map.empty)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // guards: existing destination and DV-carrying sources reject
+    assert(intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.shallowClone(spark, src, dst)
+    }.getMessage.contains("fresh destination"))
+    val dvSrc = new File(dir, "dvsrc").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dvSrc, "delta")
+    DeltaSink.deleteWhereDv(spark, dvSrc, "id = 2")
+    assert(intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.shallowClone(spark, dvSrc, new File(dir, "dvclone").getPath)
+    }.getMessage.contains("deletion vectors"))
+  }
+
   test("generated/identity features pass only while no expression exists") {
     val dir = tempDir("gates")
     // minWriter 4 implies generatedColumns; schema has NO generation

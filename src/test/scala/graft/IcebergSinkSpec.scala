@@ -855,6 +855,26 @@ class IcebergSinkSpec extends SparkSpec {
     }.getMessage.contains("existing table"))
   }
 
+  test("removeOrphanFiles: sweeps crashed-write leftovers, honors grace + reachability") {
+    val root = tempDir("isink_orphan").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), root, "iceberg")
+    IcebergSink.deleteWhere(spark, root, "id = 2") // delete manifests reachable too
+    // plant orphans: a fake crashed data file and a torn manifest avro
+    val orphanData = new java.io.File(root, "data/orphan-task-output.parquet")
+    java.nio.file.Files.write(orphanData.toPath, Array[Byte](1, 2, 3))
+    val orphanAvro = new java.io.File(root, "metadata/m-torn-write.avro")
+    java.nio.file.Files.write(orphanAvro.toPath, Array[Byte](4, 5, 6))
+    // young orphans survive the grace window
+    assert(IcebergSink.removeOrphanFiles(spark, root) === 0)
+    assert(orphanData.exists() && orphanAvro.exists())
+    // with zero grace they sweep; everything reachable survives
+    assert(IcebergSink.removeOrphanFiles(spark, root, graceMs = 0L) === 2)
+    assert(!orphanData.exists() && !orphanAvro.exists())
+    assert(readBack(root).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // idempotent
+    assert(IcebergSink.removeOrphanFiles(spark, root, graceMs = 0L) === 0)
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
