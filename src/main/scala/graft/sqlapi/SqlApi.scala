@@ -480,6 +480,16 @@ object SqlApi {
   private val alterRefDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+(TAG|BRANCH)\s+("?[A-Za-z_][-\w."]*"?)\s*;?\s*$""".r
 
+  // CREATE TABLE <new> SHALLOW CLONE <src> LOCATION '<path>' — the
+  // delta-spark clone DDL; LOCATION is required (tables here are paths)
+  private val shallowCloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+SHALLOW\s+CLONE\s+("?[A-Za-z_][\w"]*"?)\s+LOCATION\s+'([^']+)'\s*;?\s*$""".r
+
+  // CALL [catalog.]system.<proc>('t'[, n]) — the iceberg-spark maintenance
+  // procedures, routed to the native writer surfaces
+  private val callProcRe =
+    """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
+
   // ALTER TABLE t ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
   // SET TBLPROPERTIES ('k'='v', ...) — the delta-spark DDL shapes
   private val alterAddConstraintRe =
@@ -823,6 +833,46 @@ object SqlApi {
         s"SET graft.${fmt0.toLowerCase}_dml_strategy: `$v` is not a strategy; " +
           s"valid: ${valid.toSeq.sorted.mkString(", ")}")
       spark.conf.set(key, v.toLowerCase)
+      commandOk(spark)
+    case shallowCloneRe(newTbl, srcTbl, location) =>
+      val newName = newTbl.trim.stripPrefix("\"").stripSuffix("\"")
+      val srcName = srcTbl.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, srcOpts) = graft.catalog.Catalog.attachedMeta(srcName).getOrElse(
+        throw new IllegalArgumentException(
+          s"SHALLOW CLONE: `$srcName` is not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("delta")) throw new IllegalArgumentException(
+        s"SHALLOW CLONE: `$srcName` is a $fmt attach — clones are a delta feature")
+      val srcRoot = srcOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"SHALLOW CLONE: `$srcName` attach carries no files path"))
+      graft.catalog.DeltaSink.shallowClone(spark, srcRoot, location)
+      graft.catalog.Catalog.attach(spark, newName, "delta", Map("files" -> location))
+      commandOk(spark)
+    case callProcRe(proc, tbl, argOpt) =>
+      val name = tbl.trim
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"CALL system.$proc: `$name` is not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("iceberg")) throw new IllegalArgumentException(
+        s"CALL system.$proc: `$name` is a $fmt attach — these maintenance " +
+          "procedures are the iceberg surface")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"CALL system.$proc: `$name` attach carries no files path"))
+      proc.toLowerCase match {
+        case "expire_snapshots" =>
+          val ms = Option(argOpt).map(_.trim.toLong)
+            .getOrElse(7L * 24 * 3600 * 1000)
+          graft.catalog.IcebergSink.expireSnapshots(spark, root, ms)
+        case "remove_orphan_files" =>
+          val ms = Option(argOpt).map(_.trim.toLong)
+            .getOrElse(3L * 24 * 3600 * 1000)
+          graft.catalog.IcebergSink.removeOrphanFiles(spark, root, ms)
+        case "fast_forward" =>
+          val branch = Option(argOpt).map(_.trim).getOrElse(
+            throw new IllegalArgumentException(
+              "CALL system.fast_forward needs ('table', 'branch')"))
+          graft.catalog.IcebergSink.fastForward(spark, root, branch)
+      }
+      graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
     case alterAddConstraintRe(table, cName, exprSql) =>
       // CHECK constraints install on the delta writer (writer v3); every

@@ -201,6 +201,37 @@ class DeltaWriterGatesSpec extends SparkSpec {
     }.getMessage.contains("deletion vectors"))
   }
 
+  test("clone + maintenance SQL: SHALLOW CLONE LOCATION and CALL system.* route natively") {
+    import graft.catalog.{Catalog, Sinks}
+    import graft.sqlapi.SqlApi
+    val dir = tempDir("gates")
+    val src = new File(dir, "sqlsrc").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), src, "delta")
+    Catalog.attach(spark, "clone_sql_src", "delta", Map("files" -> src))
+    val dst = new File(dir, "sqlclone").getPath
+    SqlApi.executePg(spark,
+      s"CREATE TABLE clone_sql_copy SHALLOW CLONE clone_sql_src LOCATION '$dst'")
+    assert(SqlApi.executePg(spark, "SELECT count(*) AS n FROM clone_sql_copy")
+      .head().getLong(0) === 2L)
+    // iceberg maintenance procedures over an attached table
+    val ice = new File(dir, "sqlice").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v").coalesce(1), ice, "iceberg")
+    Catalog.attach(spark, "maint_sql_t", "iceberg", Map("files" -> ice))
+    SqlApi.executePg(spark, "ALTER TABLE maint_sql_t CREATE BRANCH stage")
+    Sinks.copyTo(Seq((2L, "b")).toDF("id", "v").coalesce(1), ice, "iceberg",
+      Map("branch" -> "stage"))
+    SqlApi.executePg(spark, "CALL system.fast_forward('maint_sql_t', 'stage')")
+    assert(SqlApi.executePg(spark, "SELECT count(*) AS n FROM maint_sql_t")
+      .head().getLong(0) === 2L)
+    val orphan = new File(ice, "data/orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1))
+    SqlApi.executePg(spark, "CALL system.remove_orphan_files('maint_sql_t', 0)")
+    assert(!orphan.exists())
+    SqlApi.executePg(spark, "CALL system.expire_snapshots('maint_sql_t', 0)")
+    assert(SqlApi.executePg(spark, "SELECT count(*) AS n FROM maint_sql_t")
+      .head().getLong(0) === 2L)
+  }
+
   test("generated/identity features pass only while no expression exists") {
     val dir = tempDir("gates")
     // minWriter 4 implies generatedColumns; schema has NO generation
