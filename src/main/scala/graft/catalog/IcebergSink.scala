@@ -50,7 +50,7 @@ object IcebergSink {
 
   val validOptions: Set[String] =
     Set("overwrite", "compression", "max_file_size_rows", "partition_by",
-      "sort_by", "branch")
+      "sort_by", "branch", "identifier_fields")
 
   // ------------------------------------------- partition-spec transforms
 
@@ -499,10 +499,36 @@ object IcebergSink {
       val sch = mapper.createObjectNode()
       sch.put("type", "struct"); sch.put("schema-id", 0)
       val arr = sch.putArray("fields")
+      // identifier_fields=c1,c2 → the spec's `identifier-field-ids`: the
+      // declared ROW IDENTITY (what upsert keys default to downstream).
+      // The spec's eligibility rules enforced: required (the frame column
+      // must be non-nullable), primitive, never float/double (NaN).
+      val idCols: Seq[String] = options.get("identifier_fields").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      idCols.foreach { c =>
+        val f = df.schema.fields.find(_.name == c).getOrElse(
+          throw Catalog.InvalidOptionException(
+            s"identifier_fields column `$c` is not in the frame's schema"))
+        if (f.nullable) throw Catalog.InvalidOptionException(
+          s"identifier_fields column `$c` is nullable — the spec requires " +
+            "identifier fields to be required; filter nulls and mark it " +
+            "non-nullable first")
+        f.dataType match {
+          case FloatType | DoubleType => throw Catalog.InvalidOptionException(
+            s"identifier_fields column `$c` is ${f.dataType.simpleString} — " +
+              "float identity (NaN equality) is undefined per the spec")
+          case _ => ()
+        }
+      }
       fieldIds.foreach { case (f, id) =>
         val fn = arr.addObject()
         fn.put("id", id); fn.put("name", f.name)
-        fn.put("required", !f.nullable); fn.put("type", iceType(f.dataType))
+        fn.put("required", !f.nullable || idCols.contains(f.name))
+        fn.put("type", iceType(f.dataType))
+      }
+      if (idCols.nonEmpty) {
+        val ids = sch.putArray("identifier-field-ids")
+        idCols.foreach(c => ids.add(fieldIds.find(_._1.name == c).get._2))
       }
       mapper.writeValueAsString(sch)
     }
@@ -1533,11 +1559,29 @@ object IcebergSink {
     * spec's strictly-lower rule makes same-commit upserts safe by
     * construction). Returns (keysDeleted, rowsInserted). */
   def upsert(spark: org.apache.spark.sql.SparkSession, path: String,
-      rows: DataFrame, keyCols: Seq[String],
+      rows: DataFrame, keyCols0: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
     val st = loadMorState(spark, path)
+    // empty keyCols → the table's DECLARED row identity (the spec's
+    // identifier-field-ids) — the create-time `identifier_fields` option
+    val keyCols: Seq[String] =
+      if (keyCols0.nonEmpty) keyCols0
+      else {
+        val sch = if (st.meta.has("schemas")) {
+          val cur = st.meta.path("current-schema-id").asInt(0)
+          st.meta.path("schemas").elements().asScala
+            .find(_.path("schema-id").asInt(-1) == cur).get
+        } else st.meta.path("schema")
+        val byId = sch.path("fields").elements().asScala
+          .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+        val ids = sch.path("identifier-field-ids").elements().asScala
+          .map(_.asInt()).toSeq
+        if (ids.isEmpty) throw IcebergReadException(
+          s"`$path`: upsert needs key columns — pass them explicitly or " +
+            "create the table with identifier_fields=...")
+        ids.map(byId)
+      }
     // exactly-once for streaming micro-batch replays: same ledger as write()
     txn.foreach { case (appId, v) =>
       val committed = st.meta.path("snapshots").elements().asScala

@@ -875,6 +875,43 @@ class IcebergSinkSpec extends SparkSpec {
     assert(IcebergSink.removeOrphanFiles(spark, root, graceMs = 0L) === 0)
   }
 
+  test("identifier_fields declare row identity; keyless upsert defaults to it") {
+    import scala.jdk.CollectionConverters._
+    val root = tempDir("isink_idf").getPath
+    Sinks.copyTo(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "v", "x")
+      .coalesce(1), root, "iceberg", Map("identifier_fields" -> "id"))
+    // the schema records the spec's identifier-field-ids
+    val meta = {
+      val md = new java.io.File(root, "metadata")
+      val f = md.listFiles().filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    }
+    val sch = meta.path("schemas").elements().asScala.next()
+    assert(sch.path("identifier-field-ids").elements().asScala
+      .map(_.asInt()).toSeq === Seq(1))
+    // keyless upsert uses the declared identity
+    IcebergSink.upsert(spark, root,
+      Seq((2L, "b2", 20.0), (3L, "c", 3.0)).toDF("id", "v", "x"))
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // guards: nullable and float identity columns reject at create
+    assert(intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((Some(1L), "a")).toDF("id", "v"),
+        tempDir("isink_idf2").getPath, "iceberg", Map("identifier_fields" -> "id"))
+    }.getMessage.contains("nullable"))
+    assert(intercept[Catalog.InvalidOptionException] {
+      Sinks.copyTo(Seq((1.5, "a")).toDF("x", "v"),
+        tempDir("isink_idf3").getPath, "iceberg", Map("identifier_fields" -> "x"))
+    }.getMessage.contains("NaN"))
+    // a table WITHOUT identity rejects keyless upsert loudly
+    val plain = tempDir("isink_idf4").getPath
+    Sinks.copyTo(Seq((1L, "a")).toDF("id", "v").coalesce(1), plain, "iceberg")
+    assert(intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.upsert(spark, plain, Seq((1L, "b")).toDF("id", "v"))
+    }.getMessage.contains("identifier_fields"))
+  }
+
   /** After compaction no content=2 entries survive in the current snapshot. */
   private def loadClean(root: String): Boolean = {
     import org.apache.avro.file.DataFileReader
