@@ -1603,6 +1603,82 @@ object FormatQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM d GROUP BY c_mktsegment"""))
 
+  /** customer → a native ICEBERG table with a MAP column (`props =
+    * {seg→c_mktsegment, mod→custkey%3}`) and a MAP-TYPED equality delete:
+    * the delete file's `props` column holds whole maps (field id 3 — the
+    * map COLUMN, not key/value ids, which cannot address a row). The
+    * delete file's maps are built with keys in the OPPOSITE insertion
+    * order from the data side, so a reader that compares raw entry order
+    * instead of canonicalized key/value sets deletes nothing. */
+  private def customerIcebergMapEqdel(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/customer_iceberg_mapdel"
+    val done = new java.io.File(s"$out/metadata/version-hint.text")
+    if (!done.exists()) {
+      import org.apache.spark.sql.functions._
+      import IcebergScaffold._
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          map(lit("seg"), col("c_mktsegment"),
+            lit("mod"), (col("c_custkey") % 3).cast("string")).as("props"))
+      val root = new java.io.File(out)
+      root.mkdirs()
+      val data = singlePart(root, "data/cust.parquet", c.coalesce(1))
+      val delDf = s.range(1).select(
+          map(lit("mod"), lit("0"), lit("seg"), lit("BUILDING")).as("props"))
+        .union(s.range(1).select(
+          map(lit("mod"), lit("2"), lit("seg"), lit("AUTOMOBILE")).as("props")))
+      val del = singlePart(root, "data/eq_props.parquet", delDf.coalesce(1))
+      val md = new java.io.File(root, "metadata"); md.mkdirs()
+      writeAvro(new java.io.File(md, "m1.avro"), entrySchema, Seq(
+        entry(1, data, content = Some(0), seq = Some(1L)),
+        entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(3))))
+      writeAvro(new java.io.File(md, "ml.avro"), listSchema,
+        Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+      java.nio.file.Files.writeString(
+        new java.io.File(md, "v1.metadata.json").toPath,
+        s"""{"format-version": 2, "table-uuid": "customer-iceberg-mapdel",
+           |"location": "${root.getPath}", "current-schema-id": 0,
+           |"schemas": [{"type":"struct","schema-id":0,"fields":[
+           |  {"id":1,"name":"c_custkey","required":true,"type":"long"},
+           |  {"id":2,"name":"c_name","required":false,"type":"string"},
+           |  {"id":3,"name":"props","required":false,"type":{"type":"map",
+           |    "key-id":4,"key":"string","value-id":5,"value":"string",
+           |    "value-required":false}}]}],
+           |"current-snapshot-id": 1,
+           |"snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/ml.avro"}]}""".stripMargin)
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- l21
+  // MAP-TYPED EQUALITY DELETE on a native Iceberg scan: the equality id
+  // names a map COLUMN, so "values are equal" means KEY/VALUE-SET equality
+  // — both sides canonicalize to key-sorted entry arrays before the
+  // null-safe compare, so the delete file's reversed insertion order must
+  // NOT matter. Key/value ids inside the map stay loud rejects (a repeated
+  // element cannot address a row). The oracle replays the two deleted
+  // (segment, key%3) combinations from the source table; a reader that
+  // compared raw entry order deletes nothing and fails rows, one that
+  // compared any-key-matches deletes too much.
+  private val l21 = QueryDef(
+    "l21_iceberg_map_eqdel",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = customerIcebergMapEqdel(s, dir)
+      Catalog.attach(s, "l21_customer_iceberg_mapdel", "iceberg",
+        Map("files" -> path))
+        .select(col("c_custkey"), col("c_name"),
+          concat_ws("|", element_at(col("props"), "seg"),
+            element_at(col("props"), "mod")).as("props_str"))
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             c_mktsegment || '|' || CAST(c_custkey % 3 AS VARCHAR) AS props_str
+      FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0)
+        AND NOT (c_mktsegment = 'AUTOMOBILE' AND c_custkey % 3 = 2)"""))
+
   // ---------------------------------------------------------------- w08
   // PUFFIN DELETION-VECTOR DELETE on a native Iceberg write (format v3):
   // matched positions become roaring bitmaps inside executor-written
@@ -2219,6 +2295,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

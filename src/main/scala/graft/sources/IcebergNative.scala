@@ -892,7 +892,7 @@ object IcebergNative {
       // (manifest-reported bytes) is broadcast, larger sets shuffle — both
       // shapes survive a 100 TB table. ---
       import spark.implicits._
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.{array_sort, broadcast, col, map_entries}
       def norm(c: org.apache.spark.sql.Column) = PathKeys.keyCol(c)
       def uriPath(p: String) = PathKeys.key(p)
       def capped(df: DataFrame, bytes: Long) =
@@ -1042,8 +1042,8 @@ object IcebergNative {
             "a struct subfield of the table schema. Ids INSIDE list/map element " +
             "types cannot address a row (the spec's nested-column rule: delete " +
             "columns may nest in structs but not in maps or lists) — such a " +
-            "delete file is malformed. Whole-LIST-typed delete columns (the " +
-            "list column's own id, whole-array equality) ARE supported")))
+            "delete file is malformed. Whole-LIST-typed and whole-MAP-typed " +
+            "delete columns (the container column's OWN id) ARE supported")))
         val eLookup = group.map { case (f, _, _) => (uriPath(f.path), f.seq) }.toDF("__ef", "__dseq")
         // delete-file columns resolve by field id too when the files carry
         // ids (a renamed table's older delete files store the OLD names);
@@ -1064,8 +1064,35 @@ object IcebergNative {
           } :+ col("__dseq"): _*)
         val delB = capped(del, group.map(_._1.bytes).sum)
         val scopeCond = scope.map(sf => scopePredicate(cur, sf))
+        // Whole-MAP equality: Spark cannot compare MapType directly, so both
+        // sides canonicalize to array_sort(map_entries(m)) — key-sorted
+        // entry arrays. Map keys are unique, so sorted-entry equality IS
+        // key/value-set equality (insertion order never matters, matching
+        // how engines define map equality). Maps nested anywhere INSIDE the
+        // key/value types stay unorderable → loud reject.
+        def typeAt(st: StructType, p: Seq[String]): DataType =
+          st(p.head).dataType match {
+            case s: StructType if p.tail.nonEmpty => typeAt(s, p.tail)
+            case dt => dt
+          }
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType => true
+          case ArrayType(e, _) => hasMap(e)
+          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+          case _ => false
+        }
+        def canon(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+          case MapType(k, v, _) =>
+            if (hasMap(k) || hasMap(v)) throw IcebergReadException(
+              "equality delete on a map column whose key or value type itself " +
+                "contains a map is not orderable and cannot be canonicalized — " +
+                "unsupported; flatten the nested map or delete by another column")
+            array_sort(map_entries(c))
+          case _ => c
+        }
         val cond = (paths.zip(aliases).map { case (p, a) =>
-          pathCol(cur(p.head), p) <=> delB(a)
+          val dt = typeAt(schema, p)
+          canon(pathCol(cur(p.head), p), dt) <=> canon(delB(a), dt)
         } ++ scopeCond).reduce(_ && _) && cur("__iseq") < delB("__dseq")
         cur = cur.join(delB, cond, "left_anti")
       }

@@ -10,7 +10,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 
 import graft.catalog.Catalog
 import graft.sources.IcebergNative
-import org.apache.spark.sql.functions.{col, struct}
+import org.apache.spark.sql.functions.{col, lit, map, struct, when}
 
 /** Native Iceberg reader against hand-built tables: manifests are written
   * with the stock Avro library and metadata.json by hand, per the public
@@ -290,6 +290,36 @@ class IcebergNativeSpec extends SparkSpec {
     // id 2 (prefix).
     val del = writePart(root, "data/eq_list.parquet",
       Seq(Seq("x", "y"), Seq.empty[String]).toDF("tags"))
+    val md = new File(root, "metadata"); md.mkdirs()
+    writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
+      entry(1, fA, seq = Some(1L)),
+      entry(1, del, content = Some(2), seq = Some(2L), eqIds = Seq(2))))
+    writeAvro(new File(md, "ml.avro"), manifestListSchema,
+      Seq(manifestListRow("metadata/m1.avro", seq = Some(2L))))
+    writeMeta(root, v2Meta(root, schemaJson = schemaJson))
+    val df = IcebergNative.read(spark, root.getPath, Map.empty)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("MAP-typed equality deletes match by key/value set, not entry order") {
+    val root = tempDir("ice_eqmapcol")
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        {"id":1,"name":"id","required":true,"type":"long"},
+        {"id":2,"name":"props","required":false,"type":{"type":"map",
+          "key-id":3,"key":"string","value-id":4,"value":"string",
+          "value-required":false}}]}"""
+    val fA = writePart(root, "data/a.parquet",
+      Seq(1L, 2L, 3L).toDF("id").select(col("id"),
+        when(col("id") === 1L, map(lit("a"), lit("1"), lit("b"), lit("2")))
+          .when(col("id") === 2L, map(lit("a"), lit("1")))
+          .otherwise(map(lit("a"), lit("9"), lit("b"), lit("2"))).as("props")))
+    // delete row's map is {b→2, a→1} — REVERSED insertion order vs id 1's
+    // {a→1, b→2}. Canonicalized key/value-set equality kills id 1 only:
+    // id 2 is a subset (missing b), id 3 differs in a value.
+    val del = writePart(root, "data/eq_map.parquet", spark.range(1).select(
+      map(lit("b"), lit("2"), lit("a"), lit("1")).as("props")))
     val md = new File(root, "metadata"); md.mkdirs()
     writeAvro(new File(md, "m1.avro"), entrySchema, Seq(
       entry(1, fA, seq = Some(1L)),
