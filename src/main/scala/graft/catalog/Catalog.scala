@@ -102,6 +102,8 @@ object Catalog {
           graft.sources.IcebergNative.read(spark, files.head, options)
         case "delta" | "iceberg" => readConnector(spark, spec, files, options, schema)
         case "warc" => graft.sources.Warc.read(spark, files, options)
+        case "orc" => readOrc(spark, files, options, schema)
+        case "avro" => graft.sources.AvroFile.read(spark, files, options)
         case other => throw Formats.UnsupportedFormatException(other)
       }
     }
@@ -450,6 +452,17 @@ object Catalog {
       r = r.option("binaryAsString", options("binary_as_string"))
     // hive_partitioning: Spark discovers hive-style partitions natively when
     // scanning a directory tree; `basePath` pins the partition root.
+    options.get("hive_partitioning").foreach { on =>
+      if (on.toBoolean && files.nonEmpty) r = r.option("basePath", partitionBase(files.head))
+    }
+    schema.foreach(s => r = r.schema(s))
+    r.load(files: _*)
+  }
+
+  private def readOrc(spark: SparkSession, files: Seq[String],
+      options: Map[String, String], schema: Option[StructType]): DataFrame = {
+    var r = spark.read.format("orc")
+    if (options.get("union_by_name").exists(_.toBoolean)) r = r.option("mergeSchema", "true")
     options.get("hive_partitioning").foreach { on =>
       if (on.toBoolean && files.nonEmpty) r = r.option("basePath", partitionBase(files.head))
     }

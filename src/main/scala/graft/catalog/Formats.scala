@@ -100,8 +100,22 @@ object Formats {
     Set("files", "record_type", "max_payload_bytes"),
     Set("files"))
 
+  // ORC — Spark's built-in columnar reader (predicate pushdown + column
+  // pruning come free); beyond the reference surface.
+  val orc: FormatSpec = FormatSpec(
+    "orc",
+    commonOptions,
+    Set("files"))
+
+  // Avro Object Container Files — native sync-split reader on avro-core
+  // (sources/AvroFile.scala; no spark-avro connector in this deployment).
+  val avro: FormatSpec = FormatSpec(
+    "avro",
+    Set("files", "select", "filename", "file_row_number", "preserve_casing"),
+    Set("files"))
+
   def all: Map[String, FormatSpec] = Seq(parquet, csv, json, delta, iceberg,
-    spatial, warc).map(f => f.name -> f).toMap
+    spatial, warc, orc, avro).map(f => f.name -> f).toMap
 
   /** Deployment jar dir the capability probe inspects — a var only so specs
     * can substitute a synthetic dir and assert both sides of the gate. */

@@ -20,7 +20,8 @@ object Sinks {
       "bucket_by", "buckets", "sort_by", "table"),
     "csv" -> Set("header", "delim", "quote", "escape", "nullstr", "compression",
       "partition_by", "overwrite", "dateformat", "timestampformat"),
-    "json" -> Set("compression", "partition_by", "overwrite", "dateformat", "timestampformat"))
+    "json" -> Set("compression", "partition_by", "overwrite", "dateformat", "timestampformat"),
+    "orc" -> Set("compression", "partition_by", "overwrite", "max_file_size_rows"))
 
   def copyTo(df: DataFrame, path: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): Unit = {
@@ -42,6 +43,10 @@ object Sinks {
     // driver-side with the spec's sheet row cap; see sources/Xlsx)
     if (format.equalsIgnoreCase("xlsx"))
       return graft.sources.Xlsx.write(df, path, options)
+    // FORMAT avro → the native container writer (one sync-splittable
+    // container per partition; see sources/AvroFile)
+    if (format.equalsIgnoreCase("avro"))
+      return graft.sources.AvroFile.write(df, path, options)
     val valid = validOptions.getOrElse(format.toLowerCase,
       throw Formats.UnknownFormatException(format))
     options.keys.find(k => !valid.contains(k.toLowerCase)).foreach { k =>

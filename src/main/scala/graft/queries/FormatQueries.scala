@@ -2293,8 +2293,76 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- o01
+  // ORC ROUND-TRIP through Spark's built-in columnar reader: orders COPY
+  // TO a hive-partitioned ORC layout, attached back with hive_partitioning
+  // so the priority filter resolves by PARTITION PRUNING (directories
+  // skipped, not rows filtered), then aggregated. The oracle recomputes
+  // from the source parquet; a writer that dropped rows, a reader that
+  // mis-typed the partition column, or pruning that skipped a live
+  // partition fails rows AND hash.
+  private val o01 = QueryDef(
+    "o01_orc_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_o01_orc"
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+      graft.catalog.Sinks.copyTo(orders, out, "orc",
+        Map("partition_by" -> "o_orderpriority", "overwrite" -> "true",
+          "compression" -> "zstd"))
+      Catalog.attach(s, "o01_orders_orc", "orc",
+        Map("files" -> out, "hive_partitioning" -> "true"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- a01
+  // AVRO ROUND-TRIP through the native container reader/writer
+  // (sources/AvroFile, avro-core only): customers with a decimal, a date,
+  // an array and a map column COPY TO deflate-compressed containers (one
+  // per partition), attach back through the sync-split reader, and flatten
+  // to SQL-comparable shape. The oracle recomputes every column from the
+  // source parquet — a logical-type drift (date off-by-epoch, decimal
+  // scale loss), a union mis-map, or a collection re-order fails the hash.
+  private val a01 = QueryDef(
+    "a01_avro_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_a01_avro"
+      val cust = Tables.load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"),
+        date_add(lit(java.sql.Date.valueOf("1992-01-01")),
+          (col("c_custkey") % 1000).cast("int")).as("d"),
+        array(col("c_mktsegment"), (col("c_custkey") % 3).cast("string")).as("tags"),
+        map(lit("seg"), col("c_mktsegment")).as("props"))
+      graft.catalog.Sinks.copyTo(cust, out, "avro",
+        Map("compression" -> "deflate", "overwrite" -> "true"))
+      Catalog.attach(s, "a01_customer_avro", "avro", Map("files" -> out))
+        .select(col("c_custkey"), col("c_name"),
+          col("bal").cast("double").as("bal"), col("d"),
+          array_join(col("tags"), "|").as("tags_str"),
+          element_at(col("props"), "seg").as("seg"))
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+             DATE '1992-01-01' + CAST(c_custkey % 1000 AS INTEGER) AS d,
+             c_mktsegment || '|' || CAST(c_custkey % 3 AS VARCHAR) AS tags_str,
+             c_mktsegment AS seg
+      FROM customer"""))
+
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }
