@@ -935,8 +935,46 @@ object RelationalQueries {
       FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate)::DATE = m
       GROUP BY m"""))
 
+  // ---------------------------------------------------------------- q43
+  // VARIANT (Spark 4's native semi-structured type): each event's columns
+  // fold into one JSON document, parse_json lifts it to VARIANT (binary
+  // encoded, shredded access — no per-row string re-parse downstream), and
+  // variant_get extracts TYPED paths: a string, a double, a long through a
+  // NESTED object, and a conditionally-present key whose absence must read
+  // as SQL NULL (not an error, not zero). The oracle recomputes from the
+  // raw columns; a reader that mis-typed a path, defaulted a missing key,
+  // or lost the nested object fails the hash. DuckDB has no variant type —
+  // the replay proves the SEMANTICS, not the encoding.
+  private val q43 = QueryDef(
+    "q43_variant_extract",
+    (s, dir) => {
+      val js = concat(
+        lit("{\"type\":\""), col("event_type"), lit("\",\"v\":"),
+        col("value").cast("string"),
+        when(col("event_id") % 7 === 0, lit(",\"m\":1")).otherwise(lit("")),
+        lit(",\"props\":"), col("props"), lit("}"))
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(js).as("var"))
+        .select(
+          variant_get(col("var"), "$.type", "string").as("etype"),
+          variant_get(col("var"), "$.v", "double").as("v"),
+          variant_get(col("var"), "$.props.k", "long").as("k"),
+          variant_get(col("var"), "$.m", "long").as("m"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          sumDec2(col("v")).as("sum_v"),
+          sum(col("k")).as("sum_k"),
+          count(col("m")).as("n_m"))
+    },
+    Some("""
+      SELECT event_type AS etype, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_m
+      FROM events GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
     q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42)
+    q38, q39, q40, q41, q42, q43)
 }
