@@ -239,10 +239,11 @@ object DeltaSink {
   }
 
   /** Writer-side table state: latest version, declared shape, live files,
-    * and the txn ledger — from a classic single-file checkpoint (when
-    * present) plus the commit JSONs after it. The same bounded driver
-    * replay every method here shares; multi-part/V2 checkpoints stay a
-    * connector-jar feature and reject loudly. */
+    * and the txn ledger — from the checkpoint (classic single-file,
+    * multi-part, or V2 UUID parquet manifest + sidecars) plus the commit
+    * JSONs after it. The same bounded driver replay every method here
+    * shares; V2 JSON manifests stay read-only (DeltaNative reads them;
+    * this writer never produces them). */
   private[catalog] final case class TableState(version: Long, schemaJson: Option[String],
     partCols: Seq[String], conf: Map[String, String],
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
@@ -390,20 +391,51 @@ object DeltaSink {
     val lastCp: Option[Long] = lastCpInfo.map(_._1)
     lastCpInfo.foreach { case (cpV, parts) =>
       val cpFiles: Seq[Path] = parts match {
-        case None => Seq(new Path(logDir, f"$cpV%020d.checkpoint.parquet"))
+        case None =>
+          val classic = new Path(logDir, f"$cpV%020d.checkpoint.parquet")
+          if (fs.exists(classic)) Seq(classic)
+          else {
+            // V2 checkpoints are UUID-named and found by LISTING (same rule
+            // as the native reader); each parquet manifest is complete on
+            // its own. JSON manifests stay read-only (DeltaNative reads
+            // them; this writer never produces them).
+            val prefix = f"$cpV%020d.checkpoint."
+            val cands = fs.listStatus(logDir).map(_.getPath).filter { p =>
+              p.getName.startsWith(prefix) && p.getName.endsWith(".parquet")
+            }
+            if (cands.isEmpty) throw DeltaReadException(
+              s"`$rootPath`: _last_checkpoint names version $cpV but no " +
+                "matching checkpoint parquet exists in _delta_log (JSON V2 " +
+                "manifests are read-only; use a delta connector jar)")
+            Seq(cands.maxBy(_.getName))
+          }
         case Some(n) => (1 to n).map(i =>
           new Path(logDir, f"$cpV%020d.checkpoint.$i%010d.$n%010d.parquet"))
       }
       cpFiles.find(!fs.exists(_)).foreach { missing =>
         throw DeltaReadException(
           s"`$rootPath`: _last_checkpoint names version $cpV but " +
-            s"${missing.getName} does not exist (V2/UUID checkpoints are " +
-            "read-only here; use a delta connector jar)")
+            s"${missing.getName} does not exist")
       }
       // mergeSchema: parts may split action kinds, the union of part
       // schemas is the action schema (same rule as the native reader)
-      val cp = spark.read.option("mergeSchema", "true")
+      var cp = spark.read.option("mergeSchema", "true")
         .parquet(cpFiles.map(_.toString): _*)
+      // V2 manifest: its file actions live behind sidecar pointers — union
+      // the sidecar frames in (they carry only add/remove columns, so the
+      // merged schema is the action schema)
+      if (cp.schema.fieldNames.contains("sidecar")) {
+        val scPaths = cp.filter(org.apache.spark.sql.functions.col("sidecar").isNotNull)
+          .selectExpr("sidecar.path").collect().map(_.getString(0)).toSeq
+          .map { p =>
+            val raw = new Path(java.net.URLDecoder.decode(p, "UTF-8"))
+            (if (raw.isAbsolute) raw
+             else new Path(new Path(logDir, "_sidecars"), raw)).toString
+          }
+        if (scPaths.nonEmpty)
+          cp = spark.read.option("mergeSchema", "true")
+            .parquet((cpFiles.map(_.toString) ++ scPaths): _*)
+      }
       val cols = cp.schema.fieldNames.toSet
       if (cols.contains("protocol")) {
         val sub = cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
@@ -871,10 +903,12 @@ object DeltaSink {
         }.find(_.nonEmpty)
       fromCommits.orElse {
         val cpFile = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-          .filter(_.endsWith(".checkpoint.parquet")).sorted.lastOption
+          .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+          .sorted.lastOption
         cpFile.flatMap { name =>
-          spark.read.parquet(new Path(logDir, name).toString)
-            .where("metaData is not null").selectExpr("metaData.id")
+          val cp = spark.read.parquet(new Path(logDir, name).toString)
+          if (!cp.schema.fieldNames.contains("metaData")) None
+          else cp.where("metaData is not null").selectExpr("metaData.id")
             .collect().headOption.map(_.getString(0))
         }
       }.getOrElse(java.util.UUID.randomUUID().toString)
@@ -948,12 +982,15 @@ object DeltaSink {
     (adds.size, removes.size)
   }
 
-  /** CHECKPOINT — fold the log into one classic checkpoint parquet at the
-    * latest version + `_last_checkpoint`, so readers (including this
-    * library's own native reader and followers) replay O(live files)
-    * instead of O(all commits) — the log-bounding lever a long-lived
-    * 100 TB table needs. Commit JSONs are left in place (time travel and
-    * CDF keep their history). Returns the checkpointed version. */
+  /** CHECKPOINT — fold the log into a checkpoint at the latest version +
+    * `_last_checkpoint`, so readers (including this library's own native
+    * reader and followers) replay O(live files) instead of O(all commits) —
+    * the log-bounding lever a long-lived 100 TB table needs. Tables whose
+    * protocol demands the `v2Checkpoint` feature get a spec-shaped V2
+    * checkpoint (UUID-named manifest with a `checkpointMetadata` action +
+    * file actions in a `_sidecars/` parquet); everything else gets the
+    * classic single-file form. Commit JSONs are left in place (time travel
+    * and CDF keep their history). Returns the checkpointed version. */
   def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     import org.apache.spark.sql.Row
     val rootPath = new Path(path)
@@ -965,11 +1002,11 @@ object DeltaSink {
     // v2Checkpoint format promise — refuse to fold such a table's history
     // (appends/DML on it are fine; they never rewrite the log).
     st.protocol.map(demandedWriterFeatures).foreach { demanded =>
-      val blocked = demanded.intersect(Set("domainMetadata", "v2Checkpoint"))
+      val blocked = demanded.intersect(Set("domainMetadata"))
       if (blocked.nonEmpty) throw DeltaReadException(
         s"`$path`: checkpointing a table with writer feature(s) " +
-          s"${blocked.toSeq.sorted.mkString(", ")} needs a checkpoint format " +
-          "this native writer does not produce; use a delta connector jar")
+          s"${blocked.toSeq.sorted.mkString(", ")} would drop domainMetadata " +
+          "actions this native writer does not replay; use a delta connector jar")
     }
     val schemaJson = st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))
@@ -1011,38 +1048,88 @@ object DeltaSink {
         if (p.minWriter >= 7) p.writerFeatures.toSeq.sorted else null)
       case None => Row(1, if (cdf) 4 else 2, null, null)
     }
-    val rows =
-      Seq(Row(protoRow, null, null, null),
-        Row(null, Row("graft-checkpoint", schemaJson, st.partCols, st.conf), null, null)) ++
-        st.txnVersions.toSeq.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
-        st.live.toSeq.map { case (p, e) =>
-          val dvRow = e.dv.map(d =>
-            Row(d.storageType, d.payload, d.offset.map(Int.box).orNull,
-              d.sizeInBytes, d.cardinality)).orNull
-          Row(null, null, null,
-            Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow))
-        }
     val logDir = new Path(rootPath, "_delta_log")
-    val tmp = new Path(logDir, s"_cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), cpSchema)
-      .coalesce(1).write.parquet(tmp.toString)
-    val part = {
-      val it = fs.listFiles(tmp, true)
-      var found: Option[Path] = None
-      while (it.hasNext && found.isEmpty) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) found = Some(f.getPath)
+    /** One checkpoint-shaped parquet written atomically: tmp dir → single
+      * part → rename to `dest`. Returns dest's FileStatus (size/mtime feed
+      * V2 sidecar actions). */
+    def writeOneParquet(frameRows: Seq[Row], schema: StructType,
+        dest: Path): org.apache.hadoop.fs.FileStatus = {
+      val tmp = new Path(logDir, s"_cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.createDataFrame(spark.sparkContext.parallelize(frameRows, 1), schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = {
+        val it = fs.listFiles(tmp, true)
+        var found: Option[Path] = None
+        while (it.hasNext && found.isEmpty) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) found = Some(f.getPath)
+        }
+        found.getOrElse(throw DeltaReadException(s"`$path`: checkpoint write produced no part"))
       }
-      found.getOrElse(throw DeltaReadException(s"`$path`: checkpoint write produced no part"))
-    }
-    val dest = new Path(logDir, f"${st.version}%020d.checkpoint.parquet")
-    if (!fs.rename(part, dest)) {
+      if (!fs.rename(part, dest)) {
+        fs.delete(tmp, true)
+        throw DeltaReadException(s"`$path`: checkpoint file ${dest.getName} already exists")
+      }
       fs.delete(tmp, true)
-      throw DeltaReadException(s"`$path`: checkpoint at version ${st.version} already exists")
+      fs.getFileStatus(dest)
     }
-    fs.delete(tmp, true)
+    val metaRow = Row("graft-checkpoint", schemaJson, st.partCols, st.conf)
+    val addStructRows: Seq[Row] = st.live.toSeq.map { case (p, e) =>
+      val dvRow = e.dv.map(d =>
+        Row(d.storageType, d.payload, d.offset.map(Int.box).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
+      Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow)
+    }
+    val txnRows = st.txnVersions.toSeq
+    val v2 = st.protocol.exists(p => p.readerFeatures.contains("v2Checkpoint") ||
+      demandedWriterFeatures(p).contains("v2Checkpoint"))
+    val nActions: Long =
+      if (v2) {
+        // V2 (PROTOCOL.md "V2 Checkpoint Table Feature"): file actions live
+        // in a `_sidecars/` parquet; the UUID-named manifest carries the
+        // REQUIRED checkpointMetadata action, protocol/metaData/txn, and one
+        // sidecar pointer per sidecar file. Classic naming is forbidden for
+        // such tables — a classic-named file would shadow the manifest in
+        // name-constructing readers and drop checkpointMetadata.
+        val sidecarField = StructField("sidecar", StructType(Seq(
+          StructField("path", StringType),
+          StructField("sizeInBytes", LongType),
+          StructField("modificationTime", LongType))))
+        val manifestSchema = StructType(Seq(
+          StructField("checkpointMetadata", StructType(Seq(
+            StructField("version", LongType),
+            StructField("tags", pvType)))),
+          cpSchema("protocol"), cpSchema("metaData"), cpSchema("txn"),
+          sidecarField))
+        val sidecars: Seq[Row] =
+          if (addStructRows.isEmpty) Nil
+          else {
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            val stt = writeOneParquet(addStructRows.map(Row(_)),
+              StructType(Seq(cpSchema("add"))),
+              new Path(new Path(logDir, "_sidecars"), name))
+            Seq(Row(name, stt.getLen, stt.getModificationTime))
+          }
+        val manifestRows =
+          Seq(Row(Row(st.version, null), null, null, null, null),
+            Row(null, protoRow, null, null, null),
+            Row(null, null, metaRow, null, null)) ++
+            txnRows.map { case (app, v) => Row(null, null, null, Row(app, v), null) } ++
+            sidecars.map(sc => Row(null, null, null, null, sc))
+        writeOneParquet(manifestRows, manifestSchema, new Path(logDir,
+          f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+        manifestRows.size.toLong + addStructRows.size
+      } else {
+        val rows =
+          Seq(Row(protoRow, null, null, null), Row(null, metaRow, null, null)) ++
+            txnRows.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
+            addStructRows.map(Row(null, null, null, _))
+        writeOneParquet(rows, cpSchema,
+          new Path(logDir, f"${st.version}%020d.checkpoint.parquet"))
+        rows.size.toLong
+      }
     val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":${st.version},"size":${rows.size}}""".getBytes("UTF-8"))
+    try lc.write(s"""{"version":${st.version},"size":$nActions}""".getBytes("UTF-8"))
     finally lc.close()
     st.version
   }

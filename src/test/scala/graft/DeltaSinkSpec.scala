@@ -575,6 +575,54 @@ class DeltaSinkSpec extends SparkSpec {
       txn = Some(("cp-app", 0L))) // replay after fold → must no-op
     assert(readBack(root).filter(col("id") === 5L).count() === 1L)
   }
+  test("v2Checkpoint table: CHECKPOINT writes a UUID manifest + sidecar; writer and reader continue") {
+    val root = tempDir("dsink_v2cp").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    // upgrade the protocol to DEMAND v2Checkpoint (the shape an external
+    // delta-spark `ALTER TABLE ... SET FEATURE` leaves behind)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+        |{"commitInfo":{"operation":"UPGRADE PROTOCOL"}}
+        |""".stripMargin)
+    // appends still pass the writer gates (v2Checkpoint only constrains
+    // the CHECKPOINT format, not commits)
+    DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty)
+    val cpV = DeltaSink.checkpoint(spark, root)
+    assert(cpV === 2L)
+    val logDir = new java.io.File(s"$root/_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSeq
+    // NO classic-named file — a V2 table's checkpoint is the UUID manifest
+    assert(!names.contains("00000000000000000002.checkpoint.parquet"), names)
+    val manifest = names.filter(n =>
+      n.startsWith("00000000000000000002.checkpoint.") && n.endsWith(".parquet"))
+    assert(manifest.size === 1, names)
+    // file actions live in a _sidecars/ parquet, pointed at by the manifest
+    val sidecarFiles = new java.io.File(logDir, "_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecarFiles.nonEmpty)
+    val mf = spark.read.parquet(new java.io.File(logDir, manifest.head).getPath)
+    assert(mf.schema.fieldNames.toSet ===
+      Set("checkpointMetadata", "protocol", "metaData", "txn", "sidecar"))
+    assert(mf.where("checkpointMetadata is not null")
+      .selectExpr("checkpointMetadata.version").as[Long].head() === 2L)
+    assert(mf.where("sidecar is not null").count() === 1L)
+    // the native reader resolves the snapshot through the V2 checkpoint
+    assert(readBack(root).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the WRITER replays its own V2 checkpoint (manifest + sidecar adds):
+    // append, then DV-delete a PRE-checkpoint row — both need the sidecar's
+    // add entries in the writer state
+    DeltaSink.write(Seq((4L, "d")).toDF("id", "v"), root, Map.empty)
+    assert(DeltaSink.deleteWhereDv(spark, root, "id = 2") === 1L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L))
+    // a second fold keeps the V2 shape and carries the DV through
+    DeltaSink.checkpoint(spark, root)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
