@@ -165,7 +165,7 @@ object DeltaSink {
         "first; this native writer does not do optimistic-concurrency retry")
     val staged = new Path(logDir, s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(staged, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(staged, target)) {
       fs.delete(staged, false)
@@ -248,7 +248,14 @@ object DeltaSink {
     partCols: Seq[String], conf: Map[String, String],
     live: scala.collection.mutable.LinkedHashMap[String, LiveEntry],
     txnVersions: Map[String, Long], exists: Boolean,
-    protocol: Option[ProtoInfo] = None)
+    protocol: Option[ProtoInfo] = None,
+    // live domainMetadata: domain → configuration JSON-string (PROTOCOL.md
+    // "Domain Metadata" — latest action per domain wins, removed=true
+    // tombstones drop the domain; a checkpoint carries the live set)
+    domains: Map[String, String] = Map.empty,
+    // highest inCommitTimestamp observed in the replayed commits — the
+    // monotonicity floor for the NEXT commit on an ICT table
+    lastIct: Option[Long] = None)
 
   // ------------------------------------------------ writer protocol gates
   // PROTOCOL.md: "a writer must implement every writer feature the table's
@@ -267,8 +274,9 @@ object DeltaSink {
   // COMPUTE expressions when they exist — a table carrying the feature but
   // no expression is writable; one with expressions is not (we don't
   // evaluate them). domainMetadata/v2Checkpoint only constrain CHECKPOINT
-  // writing (our consolidation would drop their actions/format) — appends
-  // and DML never rewrite history, so they pass here and checkpoint() gates.
+  // writing, and checkpoint() implements both (domain rows are preserved
+  // through the fold; V2 tables get a UUID manifest + sidecar). Commits
+  // never originate domain actions, so appends/DML are unconstrained.
   private val CheckpointOnlyFeatures = Set("domainMetadata", "v2Checkpoint",
     "vacuumProtocolCheck", "inCommitTimestamp")
 
@@ -375,6 +383,8 @@ object DeltaSink {
     var conf = Map.empty[String, String]
     var proto: Option[ProtoInfo] = None
     val txns = scala.collection.mutable.Map[String, Long]()
+    val domains = scala.collection.mutable.LinkedHashMap[String, String]()
+    var lastIct: Option[Long] = None
     // classic checkpoint (single OR multi-part — delta-spark splits large
     // logs across N parts; the union of parts is the state): ingest its
     // protocol/metaData/add rows
@@ -467,6 +477,14 @@ object DeltaSink {
           .selectExpr("txn.appId", "txn.version").collect().foreach { r =>
             txns(r.getString(0)) = math.max(r.getLong(1),
               txns.getOrElse(r.getString(0), Long.MinValue))
+          }
+      }
+      if (cols.contains("domainMetadata")) {
+        cp.filter(org.apache.spark.sql.functions.col("domainMetadata").isNotNull)
+          .selectExpr("domainMetadata.domain", "domainMetadata.configuration",
+            "domainMetadata.removed").collect().foreach { r =>
+            if (!r.isNullAt(2) && r.getBoolean(2)) domains.remove(r.getString(0))
+            else domains(r.getString(0)) = Option(r.getString(1)).getOrElse("")
           }
       }
       if (cols.contains("add")) {
@@ -564,12 +582,21 @@ object DeltaSink {
             dvInfo)
         }
         if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
+        if (n.has("domainMetadata")) {
+          val d = n.path("domainMetadata")
+          if (d.path("removed").asBoolean(false)) domains.remove(d.path("domain").asText())
+          else domains(d.path("domain").asText()) = d.path("configuration").asText("")
+        }
+        if (n.has("commitInfo") && n.path("commitInfo").has("inCommitTimestamp"))
+          lastIct = Some(math.max(n.path("commitInfo").path("inCommitTimestamp").asLong(),
+            lastIct.getOrElse(Long.MinValue)))
       }
     }
     val version = stopAt.getOrElse(
       (lastCp.toSeq ++ allCommits.map(_._1)).maxOption.getOrElse(-1L))
     TableState(version, schemaJson, partCols, conf, live, txns.toMap,
-      exists = lastCp.isDefined || allCommits.nonEmpty, protocol = proto)
+      exists = lastCp.isDefined || allCommits.nonEmpty, protocol = proto,
+      domains = domains.toMap, lastIct = lastIct)
   }
 
   /** RESTORE TABLE ... TO VERSION — Delta's RESTORE command: ONE new
@@ -645,7 +672,7 @@ object DeltaSink {
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"CLONE","operationParameters":{"source":${esc(srcPath)}}}}""",
       protoJson,
       s"""{"metaData":$metaData}""") ++ adds
-    writeCommit(fs, dstLog, 0L, lines, dstPath)
+    writeCommit(fs, dstLog, 0L, withIct(st, lines), dstPath)
     st.live.size.toLong
   }
 
@@ -693,7 +720,7 @@ object DeltaSink {
       protoLine ++
       Seq(s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
         st.conf + (key -> exprSql))}}""")
-    writeCommit(fs, logDir, st.version + 1, lines, path)
+    writeCommit(fs, logDir, st.version + 1, withIct(st, lines), path)
   }
 
   /** DROP CONSTRAINT <name> — removes the configuration key (the protocol
@@ -717,7 +744,7 @@ object DeltaSink {
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"DROP CONSTRAINT","operationParameters":{"name":${esc(name)}}}}""",
       s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
         st.conf - key)}}""")
-    writeCommit(fs, logDir, st.version + 1, lines, path)
+    writeCommit(fs, logDir, st.version + 1, withIct(st, lines), path)
   }
 
   /** SET TBLPROPERTIES — `delta.appendOnly` (the writer-v2 gate this
@@ -747,7 +774,7 @@ object DeltaSink {
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"SET TBLPROPERTIES"}}""",
       s"""{"metaData":${metaDataJson(spark, fs, logDir, schema, st.partCols,
         st.conf ++ props)}}""")
-    writeCommit(fs, logDir, st.version + 1, lines, path)
+    writeCommit(fs, logDir, st.version + 1, withIct(st, lines), path)
   }
 
   def addColumn(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -791,7 +818,7 @@ object DeltaSink {
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"ADD COLUMNS","operationParameters":{"column":${esc(colName)},"type":${esc(typeDdl)}}}}""",
       s"""{"metaData":${metaDataJson(spark, fs, logDir, newSchema, st.partCols, newConf)}}""")
-    writeCommit(fs, logDir, st.version + 1, lines, path)
+    writeCommit(fs, logDir, st.version + 1, withIct(st, lines), path)
   }
 
   /** DROP COLUMN — metadata-only on Delta via COLUMN MAPPING: the first
@@ -880,7 +907,7 @@ object DeltaSink {
     if (!curProto.supportsColumnMapping) lines += curProto.withColumnMapping.json
     lines += s"""{"metaData":${metaDataJson(spark, fs, logDir,
       StructType(newFields), st.partCols, newConf)}}"""
-    writeCommit(fs, logDir, st.version + 1, lines.result(), path)
+    writeCommit(fs, logDir, st.version + 1, withIct(st, lines.result()), path)
   }
 
   /** metaData action JSON with the table id preserved (latest commit
@@ -923,6 +950,30 @@ object DeltaSink {
     conf.foreach { case (k, v) => confN.put(k, v) }
     meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confN)
     mapper.writeValueAsString(meta)
+  }
+
+  /** PROTOCOL.md "In-Commit Timestamps": when the table enables/demands
+    * inCommitTimestamp, every commit's commitInfo action must come FIRST in
+    * the commit and carry an `inCommitTimestamp` strictly greater than the
+    * previous commit's — readers order history by it instead of file
+    * mtimes, which object stores can rewrite. Returns the lines reordered
+    * and stamped, or unchanged when the feature is off. */
+  private[catalog] def withIct(st: TableState, lines: Seq[String]): Seq[String] = {
+    val on = st.conf.get("delta.enableInCommitTimestamps").exists(_.toBoolean) ||
+      st.protocol.exists(p => demandedWriterFeatures(p).contains("inCommitTimestamp"))
+    if (!on) lines
+    else {
+      val floor = (st.lastIct.toSeq ++
+        st.conf.get("delta.inCommitTimestampEnablementTimestamp")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)).maxOption.getOrElse(-1L)
+      val ict = math.max(System.currentTimeMillis(), floor + 1)
+      val (ci, rest) = lines.partition(_.startsWith("{\"commitInfo\":"))
+      val stamped = ci.headOption
+        .map(_.replaceFirst("""\{"commitInfo":\{""",
+          s"""{"commitInfo":{"inCommitTimestamp":$ict,"""))
+        .getOrElse(s"""{"commitInfo":{"inCommitTimestamp":$ict,"timestamp":$ict,"operation":"WRITE"}}""")
+      (stamped +: ci.drop(1)) ++ rest
+    }
   }
 
   /** Stage + atomically rename one commit JSON at `version`. */
@@ -977,7 +1028,7 @@ object DeltaSink {
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $newVersion already exists — another writer got there first")
     val out = fs.create(target, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(cur, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     (adds.size, removes.size)
   }
@@ -997,17 +1048,6 @@ object DeltaSink {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val st = replayState(spark, rootPath)
     if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
-    // CHECKPOINT-only feature gates: consolidating the log into a CLASSIC
-    // checkpoint would drop domainMetadata actions and violate the
-    // v2Checkpoint format promise — refuse to fold such a table's history
-    // (appends/DML on it are fine; they never rewrite the log).
-    st.protocol.map(demandedWriterFeatures).foreach { demanded =>
-      val blocked = demanded.intersect(Set("domainMetadata"))
-      if (blocked.nonEmpty) throw DeltaReadException(
-        s"`$path`: checkpointing a table with writer feature(s) " +
-          s"${blocked.toSeq.sorted.mkString(", ")} would drop domainMetadata " +
-          "actions this native writer does not replay; use a delta connector jar")
-    }
     val schemaJson = st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))
     val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
@@ -1041,7 +1081,15 @@ object DeltaSink {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType))))))),
+      // a checkpoint that dropped these would erase the domains' state
+      // (PROTOCOL.md "Domain Metadata": the checkpoint carries the latest
+      // live domainMetadata per domain; removed tombstones are reconciled
+      // away at fold time)
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val protoRow = st.protocol match {
       case Some(p) => Row(p.minReader, p.minWriter,
         if (p.minReader >= 3) p.readerFeatures.toSeq.sorted else null,
@@ -1081,6 +1129,7 @@ object DeltaSink {
       Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow)
     }
     val txnRows = st.txnVersions.toSeq
+    val domRows = st.domains.toSeq.map { case (d, c) => Row(d, c, false) }
     val v2 = st.protocol.exists(p => p.readerFeatures.contains("v2Checkpoint") ||
       demandedWriterFeatures(p).contains("v2Checkpoint"))
     val nActions: Long =
@@ -1100,7 +1149,7 @@ object DeltaSink {
             StructField("version", LongType),
             StructField("tags", pvType)))),
           cpSchema("protocol"), cpSchema("metaData"), cpSchema("txn"),
-          sidecarField))
+          cpSchema("domainMetadata"), sidecarField))
         val sidecars: Seq[Row] =
           if (addStructRows.isEmpty) Nil
           else {
@@ -1111,19 +1160,21 @@ object DeltaSink {
             Seq(Row(name, stt.getLen, stt.getModificationTime))
           }
         val manifestRows =
-          Seq(Row(Row(st.version, null), null, null, null, null),
-            Row(null, protoRow, null, null, null),
-            Row(null, null, metaRow, null, null)) ++
-            txnRows.map { case (app, v) => Row(null, null, null, Row(app, v), null) } ++
-            sidecars.map(sc => Row(null, null, null, null, sc))
+          Seq(Row(Row(st.version, null), null, null, null, null, null),
+            Row(null, protoRow, null, null, null, null),
+            Row(null, null, metaRow, null, null, null)) ++
+            txnRows.map { case (app, v) => Row(null, null, null, Row(app, v), null, null) } ++
+            domRows.map(d => Row(null, null, null, null, d, null)) ++
+            sidecars.map(sc => Row(null, null, null, null, null, sc))
         writeOneParquet(manifestRows, manifestSchema, new Path(logDir,
           f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
         manifestRows.size.toLong + addStructRows.size
       } else {
         val rows =
-          Seq(Row(protoRow, null, null, null), Row(null, metaRow, null, null)) ++
-            txnRows.map { case (app, v) => Row(null, null, Row(app, v), null) } ++
-            addStructRows.map(Row(null, null, null, _))
+          Seq(Row(protoRow, null, null, null, null), Row(null, metaRow, null, null, null)) ++
+            txnRows.map { case (app, v) => Row(null, null, Row(app, v), null, null) } ++
+            addStructRows.map(Row(null, null, null, _, null)) ++
+            domRows.map(d => Row(null, null, null, null, d))
         writeOneParquet(rows, cpSchema,
           new Path(logDir, f"${st.version}%020d.checkpoint.parquet"))
         rows.size.toLong
@@ -1432,7 +1483,7 @@ object DeltaSink {
     val staged = new Path(logDir,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(staged, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(staged, target)) {
       fs.delete(staged, false)
@@ -1531,7 +1582,7 @@ object DeltaSink {
     val staged = new Path(logDir,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(staged, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(staged, target)) {
       fs.delete(staged, false)
@@ -1686,7 +1737,7 @@ object DeltaSink {
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
     val out = fs.create(target, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     changedCount
   }
@@ -1907,7 +1958,7 @@ object DeltaSink {
     if (fs.exists(target2)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
     val out = fs.create(target2, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     (updatedCount, insertCount)
   }
@@ -2012,7 +2063,7 @@ object DeltaSink {
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
     val out = fs.create(target, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     (removed, added)
   }
@@ -2145,7 +2196,7 @@ object DeltaSink {
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
     val out = fs.create(target, false)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     (st.live.size, newFiles.size)
   }

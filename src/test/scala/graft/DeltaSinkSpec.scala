@@ -603,7 +603,8 @@ class DeltaSinkSpec extends SparkSpec {
     assert(sidecarFiles.nonEmpty)
     val mf = spark.read.parquet(new java.io.File(logDir, manifest.head).getPath)
     assert(mf.schema.fieldNames.toSet ===
-      Set("checkpointMetadata", "protocol", "metaData", "txn", "sidecar"))
+      Set("checkpointMetadata", "protocol", "metaData", "txn",
+        "domainMetadata", "sidecar"))
     assert(mf.where("checkpointMetadata is not null")
       .selectExpr("checkpointMetadata.version").as[Long].head() === 2L)
     assert(mf.where("sidecar is not null").count() === 1L)
@@ -621,6 +622,75 @@ class DeltaSinkSpec extends SparkSpec {
     DeltaSink.checkpoint(spark, root)
     assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
       === Seq(1L, 3L, 4L))
+  }
+
+  test("domainMetadata survives CHECKPOINT: live domains carried, removed reconciled away") {
+    val root = tempDir("dsink_domain").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    // an external writer left two domains + a protocol demanding the feature;
+    // one domain is later removed (tombstone must reconcile away at fold)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata"]}}
+        |{"domainMetadata":{"domain":"delta.clustering","configuration":"{\"k\":\"v\"}","removed":false}}
+        |{"domainMetadata":{"domain":"app.temp","configuration":"x","removed":false}}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000002.json"),
+      """{"domainMetadata":{"domain":"app.temp","removed":true}}
+        |""".stripMargin)
+    DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty)
+    val cpV = DeltaSink.checkpoint(spark, root)
+    assert(cpV === 3L)
+    val cp = spark.read.parquet(
+      s"$root/_delta_log/00000000000000000003.checkpoint.parquet")
+    val doms = cp.where("domainMetadata is not null")
+      .selectExpr("domainMetadata.domain", "domainMetadata.configuration")
+      .as[(String, String)].collect().toSet
+    assert(doms === Set(("delta.clustering", "{\"k\":\"v\"}")))
+    // the reader resolves through the fold; the writer replays the domain
+    // column and a SECOND fold still carries it
+    assert(readBack(root).count() === 3L)
+    DeltaSink.write(Seq((4L, "d")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.checkpoint(spark, root)
+    val cp2 = spark.read.parquet(
+      s"$root/_delta_log/00000000000000000004.checkpoint.parquet")
+    assert(cp2.where("domainMetadata is not null")
+      .selectExpr("domainMetadata.domain").as[String].collect().toSeq
+      === Seq("delta.clustering"))
+    assert(readBack(root).count() === 4L)
+  }
+
+  test("inCommitTimestamp table: commits stamp a monotone ICT with commitInfo first") {
+    val root = tempDir("dsink_ict").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)
+    // an external writer enabled ICT (feature + property + provenance)
+    val schema = Seq((1L, "a")).toDF("id", "v").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      s"""{"commitInfo":{"timestamp":1700000000000,"inCommitTimestamp":9999999999999,"operation":"SET TBLPROPERTIES"}}
+         |{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schema","partitionColumns":[],"configuration":{"delta.enableInCommitTimestamps":"true"},"createdTime":0}}
+         |""".stripMargin)
+    DeltaSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty)
+    assert(DeltaSink.deleteWhere(spark, root, "id = 1") === 1L)
+    def commitLines(v: Long): Seq[String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        f"$root/_delta_log/$v%020d.json")).asScala.toSeq.filter(_.nonEmpty)
+    def ictOf(v: Long): Long = {
+      val first = commitLines(v).head
+      // ICT spec: commitInfo MUST be the first action and carry the stamp
+      assert(first.startsWith("{\"commitInfo\":"), first)
+      val m = """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(first)
+      m.getOrElse(fail(s"no inCommitTimestamp in $first")).group(1).toLong
+    }
+    // strictly monotone past the absurdly-future external stamp — the
+    // floor is prev ICT + 1, not wall-clock
+    val ict2 = ictOf(2); val ict3 = ictOf(3)
+    assert(ict2 === 10000000000000L, "floor must be prev commit ICT + 1")
+    assert(ict3 === ict2 + 1)
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
