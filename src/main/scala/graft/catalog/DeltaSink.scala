@@ -76,7 +76,10 @@ object DeltaSink {
     if (!creating) {
       writerGates(st, path, removesData = overwrite,
         if (overwrite) "overwrite" else "append")
-      validateIncomingRows(st, df, path)
+      // generated columns the frame omits are COMPUTED here (delta-spark's
+      // write behavior); supplied ones are validated below
+      dfW = computeGeneratedColumns(st, dfW)
+      validateIncomingRows(st, dfW, path)
       val cmMode = tableConf.getOrElse("delta.columnMapping.mode", "none")
       if (cmMode != "none" && cmMode != "name")
         throw DeltaReadException(
@@ -85,7 +88,7 @@ object DeltaSink {
       val existing = DataType.fromJson(tableSchemaJson.getOrElse(
         throw DeltaReadException(s"`$path`: existing log has no metaData action")))
         .asInstanceOf[StructType]
-      val incoming = df.schema
+      val incoming = dfW.schema
       if (existing.fields.map(f => (f.name, f.dataType)).toSeq !=
         incoming.fields.map(f => (f.name, f.dataType)).toSeq)
         throw DeltaReadException(
@@ -101,7 +104,7 @@ object DeltaSink {
             f.metadata.getString("delta.columnMapping.physicalName")
           else f.name
         val physByLogical = existing.fields.map(f => f.name -> physName(f)).toMap
-        dfW = df.select(existing.fields.map(f =>
+        dfW = dfW.select(existing.fields.map(f =>
           org.apache.spark.sql.functions.col(f.name).as(physName(f))).toSeq: _*)
         partColsW = partCols.map(c => physByLogical.getOrElse(c, c))
       }
@@ -269,6 +272,7 @@ object DeltaSink {
     "changeDataFeed", // cdc files written by the DML paths
     "columnMapping", // mode=name logical/physical plumbing
     "deletionVectors", // native DV write + read
+    "generatedColumns", // computed when omitted, enforced when supplied
     "timestampNtz") // a type gate; parquet NTZ round-trips
   // Conditionally fine: generated/identity columns only oblige a writer to
   // COMPUTE expressions when they exist — a table carrying the feature but
@@ -306,7 +310,6 @@ object DeltaSink {
           f.metadata.json.contains("\"" + metaKey)))
       val unsupported = demanded.filterNot { f =>
         ImplementedWriterFeatures(f) || CheckpointOnlyFeatures(f) ||
-          (f == "generatedColumns" && !schemaHas("delta.generationExpression")) ||
           (f == "identityColumns" && !schemaHas("delta.identity.start"))
       }
       if (unsupported.nonEmpty) throw DeltaReadException(
@@ -350,6 +353,21 @@ object DeltaSink {
             s"(${bad.head.toString.take(200)}); the write is rejected whole")
       }
     }
+    // generated columns (writer feature `generatedColumns`): every written
+    // row must satisfy col <=> expression — UPDATE/MERGE that break the
+    // generation invariant reject just like delta-spark
+    schemaOpt.toSeq.flatMap(_.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (f.name, f.metadata.getString("delta.generationExpression"), f.dataType)
+    }).foreach { case (name, genSql, dt) =>
+      if (rows.schema.fieldNames.contains(name)) {
+        val bad = rows.filter(!(col(name) <=> expr(genSql).cast(dt))).take(1)
+        if (bad.nonEmpty) throw DeltaReadException(
+          s"`$path`: generated column `$name` = `$genSql` is violated by an " +
+            s"incoming row (${bad.head.toString.take(200)}); the write is " +
+            "rejected whole")
+      }
+    }
     schemaOpt.foreach { sch =>
       sch.fields.filterNot(_.nullable).foreach { f =>
         if (rows.schema.fieldNames.contains(f.name)) {
@@ -359,6 +377,27 @@ object DeltaSink {
               "an incoming row carries null; the write is rejected whole")
         }
       }
+    }
+  }
+
+  /** Generated columns the incoming frame OMITS are computed from their
+    * `delta.generationExpression` in the table's declared column order;
+    * frames that already carry every column pass through unchanged. */
+  private[catalog] def computeGeneratedColumns(st: TableState, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val schemaOpt = st.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val missing = schemaOpt.toSeq.flatMap(_.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") &&
+        !df.schema.fieldNames.contains(f.name) =>
+        (f.name, f.metadata.getString("delta.generationExpression"), f.dataType)
+    })
+    if (missing.isEmpty) df
+    else {
+      val widened = missing.foldLeft(df) { case (d, (name, genSql, dt)) =>
+        d.withColumn(name, expr(genSql).cast(dt))
+      }
+      schemaOpt.map(sch => widened.select(sch.fieldNames.map(col).toSeq: _*))
+        .getOrElse(widened)
     }
   }
 

@@ -570,6 +570,7 @@ object IcebergSink {
     var prevLastColumnId = 0
     var prevSpecsJson: Option[String] = None
     var prevDefaultSpecId = 0
+    var prevLastPartitionId = -1
     // snapshot refs (branches/tags, spec v2 `refs`): tags and non-main
     // branches stay pinned where they are; `main` advances with the commit
     var prevRefs: Map[String, String] = Map.empty // name → ref json
@@ -647,6 +648,12 @@ object IcebergSink {
       if (meta.has("partition-specs")) {
         prevSpecsJson = Some(mapper.writeValueAsString(meta.path("partition-specs")))
         prevDefaultSpecId = meta.path("default-spec-id").asInt(0)
+        // spec: last-partition-id is the highest assigned partition field
+        // id; carry it (or recompute from the specs for older metadata)
+        prevLastPartitionId = meta.path("last-partition-id").asInt(
+          meta.path("partition-specs").elements().asScala
+            .flatMap(_.path("fields").elements().asScala
+              .map(_.path("field-id").asInt(0))).maxOption.getOrElse(999))
       }
       if (meta.has("sort-orders")) {
         prevSortOrdersJson = Some(mapper.writeValueAsString(meta.path("sort-orders")))
@@ -887,6 +894,9 @@ object IcebergSink {
          |"current-schema-id": ${if (prevSchemasJson.isDefined) prevCurrentSchemaId else 0},
          |"schemas": ${prevSchemasJson.getOrElse(s"[$schemaJson]")},
          |"default-spec-id": ${if (prevSpecsJson.isDefined) prevDefaultSpecId else 0},
+         |"last-partition-id": ${
+      if (prevLastPartitionId >= 0) prevLastPartitionId
+      else 999 + partColsEff.size},
          |"partition-specs": ${prevSpecsJson.getOrElse(s"""[{"spec-id": 0, "fields": [${
       partColsEff.zipWithIndex.map { case (p, i) =>
         val srcId = fieldIds.find(_._1.name == p.srcCol).map(_._2).getOrElse(
@@ -2029,6 +2039,25 @@ object IcebergSink {
   /** Shared tail of the metadata-only evolution ops: append an evolved
     * schema (new schema-id), point current-schema-id at it, write the next
     * metadata.json version + hint. */
+  /** One metadata-only commit: deep-copy the current table metadata, apply
+    * `mutateMeta`, bump last-updated, write vN+1 + version-hint. The shared
+    * tail of every ALTER TABLE that moves no data bytes. */
+  private def commitEvolvedMeta(st: MorState,
+      mutateMeta: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
+    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    mutateMeta(newMeta)
+    newMeta.put("last-updated-ms", System.currentTimeMillis())
+    val newVersion = st.version + 1
+    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
+    if (st.fs.exists(target)) throw IcebergReadException(
+      s"metadata version $newVersion already exists — another writer got there first")
+    val out = st.fs.create(target, false)
+    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
+    finally out.close()
+    val hintOut = st.fs.create(st.hint, true)
+    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+  }
+
   private def commitEvolvedSchema(st: MorState,
       mutate: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Unit = {
     val curId = st.meta.path("current-schema-id").asInt(0)
@@ -2041,19 +2070,118 @@ object IcebergSink {
     val evolved = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     evolved.put("schema-id", newSchemaId)
     mutate(evolved)
-    val newMeta = st.meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-    newMeta.withArray("schemas").add(evolved)
-    newMeta.put("current-schema-id", newSchemaId)
-    newMeta.put("last-updated-ms", System.currentTimeMillis())
-    val newVersion = st.version + 1
-    val target = new Path(st.metaDir, s"v$newVersion.metadata.json")
-    if (st.fs.exists(target)) throw IcebergReadException(
-      s"metadata version $newVersion already exists — another writer got there first")
-    val out = st.fs.create(target, false)
-    try out.write(mapper.writeValueAsString(newMeta).getBytes("UTF-8"))
-    finally out.close()
-    val hintOut = st.fs.create(st.hint, true)
-    try hintOut.write(newVersion.toString.getBytes("UTF-8")) finally hintOut.close()
+    commitEvolvedMeta(st, { newMeta =>
+      newMeta.withArray("schemas").add(evolved)
+      newMeta.put("current-schema-id", newSchemaId)
+    })
+  }
+
+  /** ALTER TABLE ... ADD PARTITION FIELD — partition-spec EVOLUTION
+    * (iceberg spec "Partition Evolution"): a NEW spec is appended carrying
+    * the default spec's fields plus `entry` (partition_by syntax:
+    * `bucket(4,id)`, `month(ts)`, `region`); default-spec-id moves to it.
+    * Existing data files keep their old spec — each manifest embeds its own
+    * partition record schema, and the reader resolves scopes/pruning by
+    * field NAME, so both eras coexist in one table. Metadata-only; the
+    * next append fans out by the evolved spec. */
+  def addPartitionField(spark: org.apache.spark.sql.SparkSession, path: String,
+      entry: String): Unit = {
+    val st = loadMorState(spark, path)
+    val (curSchema, sparkSchema) = currentSparkSchema(st.meta, path)
+    val pf = parsePartitionBy(Seq(entry), sparkSchema).head
+    val srcId = curSchema.path("fields").elements().asScala
+      .find(_.path("name").asText() == pf.srcCol)
+      .map(_.path("id").asInt()).getOrElse(throw IcebergReadException(
+        s"ALTER TABLE: partition source column `${pf.srcCol}` is not in `$path`'s schema"))
+    val specs = st.meta.path("partition-specs")
+    val defaultId = st.meta.path("default-spec-id").asInt(0)
+    val defaultSpec = specs.elements().asScala
+      .find(_.path("spec-id").asInt(-1) == defaultId).getOrElse(
+        throw IcebergReadException(s"`$path`: default-spec-id $defaultId not in partition-specs"))
+    val defaultFields = defaultSpec.path("fields").elements().asScala.toSeq
+    if (defaultFields.exists(f => f.path("transform").asText() == pf.transform &&
+        f.path("source-id").asInt() == srcId))
+      throw IcebergReadException(
+        s"ALTER TABLE: `$path` is already partitioned by $entry")
+    // a field NAME reused with a different meaning would make delete-scope
+    // and pruning resolution ambiguous (the reader rejects such tables)
+    specs.elements().asScala.flatMap(_.path("fields").elements().asScala)
+      .find(f => f.path("name").asText() == pf.name &&
+        (f.path("transform").asText() != pf.transform ||
+          f.path("source-id").asInt() != srcId))
+      .foreach { _ =>
+        throw IcebergReadException(
+          s"ALTER TABLE: spec field name `${pf.name}` already exists with a " +
+            "different transform/source — pick a different transform")
+      }
+    val newSpecId = specs.elements().asScala
+      .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(0) + 1
+    val newFieldId = math.max(999, specs.elements().asScala
+      .flatMap(_.path("fields").elements().asScala.map(_.path("field-id").asInt(0)))
+      .maxOption.getOrElse(999)) + 1
+    commitEvolvedMeta(st, { newMeta =>
+      val sp = mapper.createObjectNode()
+      sp.put("spec-id", newSpecId)
+      val fields = sp.putArray("fields")
+      defaultFields.foreach(f => fields.add(f.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+      val nf = fields.addObject()
+      nf.put("name", pf.name); nf.put("transform", pf.transform)
+      nf.put("source-id", srcId); nf.put("field-id", newFieldId)
+      newMeta.withArray("partition-specs").add(sp)
+      newMeta.put("default-spec-id", newSpecId)
+      newMeta.put("last-partition-id", newFieldId)
+    })
+  }
+
+  /** ALTER TABLE ... DROP PARTITION FIELD — the inverse evolution: a new
+    * spec without the named field becomes the default. Old files keep
+    * their tuples; only FUTURE writes stop fanning out by it. */
+  def dropPartitionField(spark: org.apache.spark.sql.SparkSession, path: String,
+      fieldName: String): Unit = {
+    val st = loadMorState(spark, path)
+    val specs = st.meta.path("partition-specs")
+    val defaultId = st.meta.path("default-spec-id").asInt(0)
+    val defaultSpec = specs.elements().asScala
+      .find(_.path("spec-id").asInt(-1) == defaultId).getOrElse(
+        throw IcebergReadException(s"`$path`: default-spec-id $defaultId not in partition-specs"))
+    val defaultFields = defaultSpec.path("fields").elements().asScala.toSeq
+    if (!defaultFields.exists(_.path("name").asText() == fieldName))
+      throw IcebergReadException(
+        s"ALTER TABLE: `$fieldName` is not a field of `$path`'s default " +
+          s"partition spec (${defaultFields.map(_.path("name").asText()).mkString(", ")})")
+    val newSpecId = specs.elements().asScala
+      .map(_.path("spec-id").asInt(0)).maxOption.getOrElse(0) + 1
+    commitEvolvedMeta(st, { newMeta =>
+      val sp = mapper.createObjectNode()
+      sp.put("spec-id", newSpecId)
+      val fields = sp.putArray("fields")
+      defaultFields.filter(_.path("name").asText() != fieldName)
+        .foreach(f => fields.add(f.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+      newMeta.withArray("partition-specs").add(sp)
+      newMeta.put("default-spec-id", newSpecId)
+    })
+  }
+
+  /** The current schema node + its Spark-type rendering (drives
+    * parsePartitionBy's type checks). */
+  private def currentSparkSchema(meta: com.fasterxml.jackson.databind.JsonNode,
+      path: String): (com.fasterxml.jackson.databind.JsonNode, StructType) = {
+    val cur =
+      if (meta.has("schemas")) {
+        val curId = meta.path("current-schema-id").asInt(0)
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt(-1) == curId).getOrElse(
+            throw IcebergReadException(s"`$path`: current-schema-id $curId not in schemas"))
+      } else meta.path("schema")
+    // non-textual types (struct/list/map) cannot source a partition
+    // transform — keep them out of the projection instead of failing the
+    // whole table for an unrelated nested column
+    val fields = cur.path("fields").elements().asScala
+      .filter(_.path("type").isTextual).flatMap { f =>
+        scala.util.Try(StructField(f.path("name").asText(),
+          icePrimToSpark(f.path("type").asText()))).toOption
+      }.toSeq
+    (cur, StructType(fields))
   }
 
   /** DROP COLUMN (metadata-only): the field leaves the current schema; the

@@ -2361,8 +2361,41 @@ object FormatQueries {
              c_mktsegment AS seg
       FROM customer"""))
 
+  // ---------------------------------------------------------------- l22
+  // PARTITION-SPEC EVOLUTION (spec "Partition Evolution") — the schema-of-
+  // the-layout lever a long-lived ingest table pulls when its query
+  // pattern changes: half the orders land UNPARTITIONED, then
+  // ADD PARTITION FIELD identity(o_orderpriority) evolves the default
+  // spec, and the other half fans out by priority. One scan must read
+  // BOTH eras (spec-0 files with empty tuples + spec-1 files with typed
+  // tuples) and aggregate by the evolved field; the oracle replays the
+  // whole-table aggregate from raw parquet. A reader that drops either
+  // era, mis-scopes tuples, or a writer that clobbers old specs fails
+  // rows AND hash.
+  private val l22 = QueryDef(
+    "l22_iceberg_spec_evolution",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_l22_specevo"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 0), out, "iceberg")
+      graft.catalog.IcebergSink.addPartitionField(s, out, "o_orderpriority")
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 1), out, "iceberg")
+      Catalog.attach(s, "l22_orders_iceberg_specevo", "iceberg",
+        Map("files" -> out))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

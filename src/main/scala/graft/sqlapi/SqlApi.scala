@@ -490,6 +490,14 @@ object SqlApi {
   private val callProcRe =
     """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
 
+  // ALTER TABLE t ADD PARTITION FIELD <entry> | DROP PARTITION FIELD <name>
+  // — the iceberg-spark partition-evolution DDL (entry uses the same
+  // syntax as partition_by: `bucket(4,id)`, `month(ts)`, `region`)
+  private val alterAddPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+ADD\s+PARTITION\s+FIELD\s+([\w()., ]+?)\s*;?\s*$""".r
+  private val alterDropPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("?[A-Za-z_][\w"]*"?)\s+DROP\s+PARTITION\s+FIELD\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+
   // ALTER TABLE t ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n |
   // SET TBLPROPERTIES ('k'='v', ...) — the delta-spark DDL shapes
   private val alterAddConstraintRe =
@@ -942,6 +950,31 @@ object SqlApi {
       graft.catalog.IcebergSink.createRef(spark, root, refName,
         isBranch = kind.equalsIgnoreCase("BRANCH"),
         snapshotId = Option(snapOpt).map(_.toLong))
+      commandOk(spark)
+    case alterAddPartFieldRe(table, entryRaw) =>
+      // partition-spec evolution: metadata-only; future appends fan out by
+      // the evolved spec while old files keep their tuples
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("iceberg")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: ADD PARTITION FIELD needs an iceberg attach (got `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.IcebergSink.addPartitionField(spark, root, entryRaw.trim)
+      commandOk(spark)
+    case alterDropPartFieldRe(table, fieldRaw) =>
+      val name = table.trim.stripPrefix("\"").stripSuffix("\"")
+      val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE `$name`: not an attached foreign table"))
+      if (!fmt.equalsIgnoreCase("iceberg")) throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: DROP PARTITION FIELD needs an iceberg attach (got `$fmt`)")
+      val root = attachOpts.getOrElse("files", throw new IllegalArgumentException(
+        s"ALTER TABLE `$name`: attach carries no files path"))
+      graft.catalog.IcebergSink.dropPartitionField(spark, root,
+        fieldRaw.trim.stripPrefix("\"").stripSuffix("\""))
       commandOk(spark)
     case alterRefDropRe(table, kind, refRaw) =>
       val name = table.trim.stripPrefix("\"").stripSuffix("\"")

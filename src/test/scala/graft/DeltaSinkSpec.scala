@@ -693,6 +693,43 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("generated columns: computed when omitted, enforced when supplied and on UPDATE") {
+    val root = tempDir("dsink_gen").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a", "A")).toDF("id", "v", "vu"), root, Map.empty)
+    // external writer declares vu as GENERATED ALWAYS AS (upper(v))
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{}},
+        |{"name":"vu","type":"string","nullable":true,"metadata":{"delta.generationExpression":"upper(v)"}}]}"""
+        .stripMargin.replace("\n", "").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["generatedColumns"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin)
+    // a frame OMITTING the generated column gets it computed
+    DeltaSink.write(Seq((2L, "bee")).toDF("id", "v"), root, Map.empty)
+    assert(readBack(root).orderBy("id").select("vu").as[String].collect().toSeq
+      === Seq("A", "BEE"))
+    // a frame SUPPLYING a correct value passes; a wrong one rejects whole
+    DeltaSink.write(Seq((3L, "sea", "SEA")).toDF("id", "v", "vu"), root, Map.empty)
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((4L, "dee", "nope")).toDF("id", "v", "vu"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("generated column"))
+    // UPDATE that breaks the generation invariant rejects; one that keeps
+    // it consistent lands
+    val e2 = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.updateWhere(spark, root, "id = 2", Map("v" -> "'buzz'"))
+    }
+    assert(e2.getMessage.contains("generated column"))
+    assert(DeltaSink.updateWhere(spark, root, "id = 2",
+      Map("v" -> "'buzz'", "vu" -> "'BUZZ'")) === 1L)
+    assert(readBack(root).orderBy("id").select("vu").as[String].collect().toSeq
+      === Seq("A", "BUZZ", "SEA"))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

@@ -961,6 +961,61 @@ class IcebergSinkSpec extends SparkSpec {
     assert(dup.getMessage.contains("already exists"))
   }
 
+  test("partition evolution: ADD/DROP PARTITION FIELD; both spec eras read together") {
+    val root = tempDir("isink_specevo").getPath
+    Sinks.copyTo(Seq((1L, "us", 1.0), (2L, "eu", 2.0)).toDF("id", "region", "x"),
+      root, "iceberg")
+    // evolve: identity(region) becomes the default spec
+    IcebergSink.addPartitionField(spark, root, "region")
+    Sinks.copyTo(Seq((3L, "us", 3.0), (4L, "ap", 4.0)).toDF("id", "region", "x"),
+      root, "iceberg")
+    // both eras (unpartitioned files + region-fanned files) in one scan
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // the new era FANNED OUT one file per region tuple (the writer's
+    // pN- per-tuple layout; tuples live in the manifest, not dir names),
+    // the old era's files did not move
+    val dataDir = new java.io.File(root, "data")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val parquets = walk(dataDir).filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(parquets.count(_.matches("^p\\d+-.*")) >= 2, parquets)
+    assert(parquets.exists(_.startsWith("part-")), parquets)
+    // metadata carries BOTH specs; default moved to the evolved one
+    val meta = {
+      val hint = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$root/metadata/version-hint.text")).trim
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(
+          s"$root/metadata/v$hint.metadata.json")))
+    }
+    import scala.jdk.CollectionConverters._
+    assert(meta.path("partition-specs").elements().asScala.size === 2)
+    assert(meta.path("default-spec-id").asInt() === 1)
+    assert(meta.path("last-partition-id").asInt() === 1000)
+    // partition-scoped pruning by the evolved field still prunes: a filter
+    // on region reads rows from both eras correctly
+    assert(readBack(root).filter(col("region") === "us")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // duplicate evolution rejects; dropping the field restores unpartitioned
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.addPartitionField(spark, root, "region")
+    }
+    assert(e.getMessage.contains("already partitioned"))
+    IcebergSink.dropPartitionField(spark, root, "region")
+    Sinks.copyTo(Seq((5L, "sa", 5.0)).toDF("id", "region", "x"), root, "iceberg")
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L))
+    // transform evolution composes too (bucket on a long source)
+    IcebergSink.addPartitionField(spark, root, "bucket(4,id)")
+    Sinks.copyTo(Seq((6L, "eu", 6.0)).toDF("id", "region", "x"), root, "iceberg")
+    assert(readBack(root).count() === 6L)
+    val e2 = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.dropPartitionField(spark, root, "nope")
+    }
+    assert(e2.getMessage.contains("not a field"))
+  }
+
   test("SQL ALTER TABLE ADD COLUMN routes to the native writers and re-attaches") {
     val root = tempDir("isink_alter").getPath + "/t"
     IcebergSink.write(Seq((1L, "x")).toDF("id", "v"), root, Map.empty)
