@@ -73,12 +73,16 @@ object DeltaSink {
     // additionally need parquet field ids; reject that loudly.
     var dfW = df
     var partColsW = partCols
+    var identitySchemaUpdate: Option[StructType] = None
     if (!creating) {
       writerGates(st, path, removesData = overwrite,
         if (overwrite) "overwrite" else "append")
       // generated columns the frame omits are COMPUTED here (delta-spark's
       // write behavior); supplied ones are validated below
       dfW = computeGeneratedColumns(st, dfW)
+      val (dfId, idSchema) = applyIdentityColumns(st, dfW, path)
+      dfW = dfId
+      identitySchemaUpdate = idSchema
       validateIncomingRows(st, dfW, path)
       val cmMode = tableConf.getOrElse("delta.columnMapping.mode", "none")
       if (cmMode != "none" && cmMode != "name")
@@ -148,6 +152,12 @@ object DeltaSink {
       meta.set[com.fasterxml.jackson.databind.JsonNode]("configuration", conf)
       meta.put("createdTime", System.currentTimeMillis())
       lines += s"""{"metaData":${mapper.writeValueAsString(meta)}}"""
+    }
+    // an advanced identity high-water mark re-commits the metaData with the
+    // updated field metadata (same table id — metaDataJson probes the log)
+    identitySchemaUpdate.foreach { ns =>
+      lines += s"""{"metaData":${metaDataJson(spark, fs, logDir, ns,
+        tablePartCols, tableConf)}}"""
     }
     if (overwrite && !creating) live.keys.foreach { p =>
       lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
@@ -273,6 +283,7 @@ object DeltaSink {
     "columnMapping", // mode=name logical/physical plumbing
     "deletionVectors", // native DV write + read
     "generatedColumns", // computed when omitted, enforced when supplied
+    "identityColumns", // generated on the start/step lattice, hwm tracked
     "timestampNtz") // a type gate; parquet NTZ round-trips
   // Conditionally fine: generated/identity columns only oblige a writer to
   // COMPUTE expressions when they exist — a table carrying the feature but
@@ -309,8 +320,7 @@ object DeltaSink {
         f.metadata.contains(metaKey) ||
           f.metadata.json.contains("\"" + metaKey)))
       val unsupported = demanded.filterNot { f =>
-        ImplementedWriterFeatures(f) || CheckpointOnlyFeatures(f) ||
-          (f == "identityColumns" && !schemaHas("delta.identity.start"))
+        ImplementedWriterFeatures(f) || CheckpointOnlyFeatures(f)
       }
       if (unsupported.nonEmpty) throw DeltaReadException(
         s"`$path`: the table's protocol demands writer feature(s) " +
@@ -399,6 +409,82 @@ object DeltaSink {
       schemaOpt.map(sch => widened.select(sch.fieldNames.map(col).toSeq: _*))
         .getOrElse(widened)
     }
+  }
+
+  /** Identity columns (writer feature `identityColumns`, the
+    * `GENERATED ... AS IDENTITY` shape): a frame OMITTING the column gets
+    * values assigned on the spec's start/step lattice past the table's
+    * `delta.identity.highWaterMark` — a distributed zipWithIndex (one
+    * count-per-partition pre-pass, the standard contiguous-index shape;
+    * never a single-partition window); a frame SUPPLYING it is accepted
+    * only when `delta.identity.allowExplicitInsert` is true (GENERATED BY
+    * DEFAULT), and the high-water mark advances past the supplied extreme.
+    * Returns the (possibly widened) frame + the updated table schema to
+    * re-commit as metaData when any mark moved. */
+  private[catalog] def applyIdentityColumns(st: TableState, df: DataFrame,
+      path: String): (DataFrame, Option[StructType]) = {
+    import org.apache.spark.sql.functions.col
+    val schemaOpt = st.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val idFields = schemaOpt.toSeq.flatMap(_.fields.toSeq
+      .filter(_.metadata.contains("delta.identity.start")))
+    if (idFields.isEmpty) return (df, None)
+    def metaLong(f: StructField, k: String): Option[Long] =
+      if (!f.metadata.contains(k)) None
+      else scala.util.Try(f.metadata.getLong(k)).toOption
+        .orElse(scala.util.Try(f.metadata.getString(k).toLong).toOption)
+    var out = df
+    var newSchema = schemaOpt.get
+    var changed = false
+    idFields.foreach { f =>
+      val start = metaLong(f, "delta.identity.start").getOrElse(1L)
+      val step = metaLong(f, "delta.identity.step").getOrElse(1L)
+      if (step == 0L) throw DeltaReadException(
+        s"`$path`: identity column `${f.name}` has step 0 — malformed metadata")
+      val hwm = metaLong(f, "delta.identity.highWaterMark")
+      val allowExplicit = f.metadata.contains("delta.identity.allowExplicitInsert") &&
+        scala.util.Try(f.metadata.getBoolean("delta.identity.allowExplicitInsert"))
+          .getOrElse(f.metadata.getString("delta.identity.allowExplicitInsert").toBoolean)
+      def withHwm(v: Long): Unit = {
+        val nb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("delta.identity.highWaterMark", v).build()
+        newSchema = StructType(newSchema.fields.map(x =>
+          if (x.name == f.name) x.copy(metadata = nb) else x))
+        changed = true
+      }
+      if (out.schema.fieldNames.contains(f.name)) {
+        if (!allowExplicit) throw DeltaReadException(
+          s"`$path`: identity column `${f.name}` is GENERATED ALWAYS — " +
+            "explicit values are not accepted; omit the column")
+        // GENERATED BY DEFAULT: accept, advance the mark past the extreme
+        val agg = out.agg(
+          (if (step > 0) org.apache.spark.sql.functions.max(col(f.name))
+           else org.apache.spark.sql.functions.min(col(f.name)))
+            .cast("long")).collect().head
+        if (!agg.isNullAt(0)) {
+          val ext = agg.getLong(0)
+          if (hwm.isEmpty || (step > 0 && ext > hwm.get) || (step < 0 && ext < hwm.get))
+            withHwm(ext)
+        }
+      } else {
+        // assign hwm + step*(i+1) via a distributed contiguous index; the
+        // base is start - step when no mark exists (first value = start)
+        val base = hwm.getOrElse(start - step)
+        val fieldType = f.dataType
+        val idxSchema = StructType(out.schema.fields :+
+          StructField(f.name, LongType, nullable = false))
+        val spark0 = out.sparkSession
+        val indexed = spark0.createDataFrame(
+          out.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + step * (i + 1L)))
+          }, idxSchema)
+        val n = indexed.count()
+        out = indexed.withColumn(f.name, col(f.name).cast(fieldType))
+        if (n > 0) withHwm(base + step * n)
+      }
+    }
+    // restore the table's declared column order
+    out = out.select(newSchema.fieldNames.map(col).toSeq: _*)
+    (out, if (changed) Some(newSchema) else None)
   }
 
   /** `stopAt = Some(v)` replays only through commit v — the historical

@@ -730,6 +730,52 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq("A", "BUZZ", "SEA"))
   }
 
+  test("identity columns: lattice generation, high-water mark advance, explicit-insert policy") {
+    val root = tempDir("dsink_ident").getPath + "/t"
+    DeltaSink.write(Seq((10L, "a")).toDF("rid", "v"), root, Map.empty)
+    // external DDL: rid is GENERATED ALWAYS AS IDENTITY (START 10 STEP 10),
+    // already at high-water mark 10 from the seed row
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"name":"rid","type":"long","nullable":true,"metadata":{"delta.identity.start":10,"delta.identity.step":10,"delta.identity.highWaterMark":10,"delta.identity.allowExplicitInsert":false}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+        .stripMargin.replace("\n", "").replace("\"", "\\\"")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}
+         |{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin)
+    // omitted column → generated on the lattice past the mark
+    DeltaSink.write(Seq("b", "c", "d").toDF("v"), root, Map.empty)
+    assert(readBack(root).orderBy("rid").as[(Long, String)].collect().toSeq
+      === Seq((10L, "a"), (20L, "b"), (30L, "c"), (40L, "d")))
+    // the mark advanced in the log — the NEXT append continues past it
+    DeltaSink.write(Seq("e").toDF("v"), root, Map.empty)
+    assert(readBack(root).orderBy("rid").select("rid").as[Long].collect().toSeq
+      === Seq(10L, 20L, 30L, 40L, 50L))
+    // GENERATED ALWAYS: explicit values reject
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.write(Seq((99L, "x")).toDF("rid", "v"), root, Map.empty)
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // flip to GENERATED BY DEFAULT (allowExplicitInsert=true): explicit
+    // accepted, mark advances past the supplied extreme
+    val schema2 = schemaJson.replace(
+      "\\\"delta.identity.allowExplicitInsert\\\":false",
+      "\\\"delta.identity.allowExplicitInsert\\\":true")
+    val v = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/_delta_log"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).max + 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f"$root/_delta_log/$v%020d.json"),
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schema2","partitionColumns":[],"configuration":{},"createdTime":0}}
+         |""".stripMargin)
+    DeltaSink.write(Seq((1000L, "x")).toDF("rid", "v"), root, Map.empty)
+    DeltaSink.write(Seq("y").toDF("v"), root, Map.empty)
+    assert(readBack(root).orderBy("rid").select("rid").as[Long].collect().toSeq
+      === Seq(10L, 20L, 30L, 40L, 50L, 1000L, 1010L))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

@@ -232,19 +232,25 @@ class DeltaWriterGatesSpec extends SparkSpec {
       .head().getLong(0) === 2L)
   }
 
-  test("generated/identity features pass only while no expression exists") {
+  test("generated columns enforce their expression; expression-free tables append freely") {
     val dir = tempDir("gates")
     // minWriter 4 implies generatedColumns; schema has NO generation
     // expression → append is legal
     val root = writeTable(dir, "", minWriter = 4)
     DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
-    // same protocol but x CARRIES a generation expression → we must refuse
+    // x CARRIES a generation expression: a supplied value that VIOLATES it
+    // rejects whole; a consistent one (or an omitted column) lands
     val dir2 = tempDir("gates")
     val root2 = writeTable(dir2, "", minWriter = 4,
       schemaExtra = """\"delta.generationExpression\":\"id * 2\"""")
     val e = intercept[DeltaNative.DeltaReadException] {
       DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root2, Map.empty)
     }
-    assert(e.getMessage.contains("generatedColumns"))
+    assert(e.getMessage.contains("generated column"))
+    DeltaSink.write(Seq((2L, 4.0)).toDF("id", "x"), root2, Map.empty)
+    DeltaSink.write(Seq(3L).toDF("id"), root2, Map.empty) // computed
+    assert(DeltaNative.read(spark, root2, Map.empty).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((1L, 10.0), (2L, 4.0), (3L, 6.0))) // the seed row pre-dates the expression
   }
 }
