@@ -1756,6 +1756,62 @@ object DeltaSink {
       else df.select(df.columns.map(c =>
         col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
 
+    // DELETE whose predicate references ONLY partition columns is
+    // METADATA-ONLY (delta-spark's partition-delete fast path — the
+    // retention lever at 100 TB): every row in a file shares the file's
+    // partitionValues, so the predicate decides per FILE and the commit is
+    // pure remove actions — zero data bytes move. Exact counts come from
+    // add.stats numRecords. CDF tables need no cdc files: bare dataChange
+    // removes synthesize whole-file delete rows in the feed (the same
+    // protocol rule RESTORE leans on, pinned in DeltaChanges). Falls
+    // through to the copy-on-write path when a data column is referenced
+    // or any matched file lacks row-count stats.
+    if (setExprs.isEmpty && partColsT.nonEmpty) {
+      val partOnly =
+        try {
+          val names = spark.sessionState.sqlParser.parseExpression(predicateSql)
+            .collect {
+              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                u.nameParts
+            }
+          names.nonEmpty && names.forall(np => np.length == 1 &&
+            partColsT.exists(_.equalsIgnoreCase(np.head)))
+        } catch { case _: Exception => false }
+      if (partOnly) {
+        val pvSchema = StructType(
+          StructField("__rel", StringType, nullable = false) +:
+            partColsT.map(pc => StructField(pc, StringType)))
+        val pvRows = st.live.toSeq.map { case (rel, e) =>
+          org.apache.spark.sql.Row.fromSeq(rel +: partColsT.map(pc =>
+            e.partitionValues.getOrElse(physKey(pc), null)))
+        }
+        val matched = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+          .select(col("__rel") +: partColsT.map(pc =>
+            col(pc).cast(schema(schema.fieldIndex(pc)).dataType).as(pc)): _*)
+          .filter(expr(predicateSql)).select(col("__rel"))
+          .collect().map(_.getString(0)).toSeq
+        if (matched.isEmpty) return 0L
+        val counts: Seq[Option[Long]] = matched.map { rel =>
+          st.live(rel).stats.flatMap { s0 =>
+            val n = mapper.readTree(s0).path("numRecords")
+            if (n.isMissingNode || n.isNull) None else Some(n.asLong())
+          }
+        }
+        if (counts.forall(_.isDefined)) {
+          def esc0(x: String): String = mapper.writeValueAsString(x)
+          val now = System.currentTimeMillis()
+          val lines = Seq.newBuilder[String]
+          lines += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${esc0(predicateSql)},"strategy":"metadata-only-partition-drop"}}}"""
+          matched.foreach { rel =>
+            lines += s"""{"remove":{"path":${esc0(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+          }
+          writeCommit(fs, logDir, st.version + 1, withIct(st, lines.result()), path)
+          return counts.flatten.sum
+        }
+      }
+    }
+
     def resolve(rel: String): String = {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
       fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString

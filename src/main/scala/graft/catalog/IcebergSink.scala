@@ -967,7 +967,10 @@ object IcebergSink {
       dataSeqs: Map[String, Long] = Map.empty,
       // each live data file's r102 partition tuple (abs path → field name →
       // avro value) — DV manifest entries echo their referenced file's tuple
-      dataTuples: Map[String, Map[String, AnyRef]] = Map.empty)
+      dataTuples: Map[String, Map[String, AnyRef]] = Map.empty,
+      // each live data file's manifest-declared record_count — the exact
+      // deleted-row count for metadata-only whole-file drops
+      dataRowCounts: Map[String, Long] = Map.empty)
 
   private def loadMorState(spark: org.apache.spark.sql.SparkSession,
       path: String): MorState = {
@@ -1015,6 +1018,7 @@ object IcebergSink {
     val eqDeletes = Seq.newBuilder[(String, Seq[Int], Long)]
     val dataSeqs = Map.newBuilder[String, Long]
     val dataTuples = Map.newBuilder[String, Map[String, AnyRef]]
+    val dataRowCounts = Map.newBuilder[String, Long]
     var hasEqDeletes = false
     prevManifests.foreach { case (m, mseq) =>
       val r = new DataFileReader[GenericRecord](
@@ -1033,6 +1037,7 @@ object IcebergSink {
             val p = abs(dfr.get("file_path").toString).toString
             dataFiles += p
             dataSeqs += p -> entrySeq
+            dataRowCounts += p -> dfr.get("record_count").asInstanceOf[Long]
             fld("partition").foreach {
               case pr: GenericRecord =>
                 dataTuples += p -> pr.getSchema.getFields.asScala.map { f2 =>
@@ -1075,7 +1080,7 @@ object IcebergSink {
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
       prevManifests, dataFiles.result(), priorDeleteFiles.result(),
       dvRefs.result(), hasEqDeletes, eqDeletes.result(), dataSeqs.result(),
-      dataTuples.result())
+      dataTuples.result(), dataRowCounts.result())
   }
 
   /** DELETE stays available on partitioned tables (positional delete files
@@ -1309,7 +1314,11 @@ object IcebergSink {
       carryPrev: Boolean = true,
       dvEntries: Seq[DvEntry] = Nil,
       eqDeleteFiles: Seq[(String, Long, Long)] = Nil,
-      equalityIds: Seq[Int] = Nil): Unit = {
+      equalityIds: Seq[Int] = Nil,
+      // replaces the carried-forward manifest set (rel/abs path, its
+      // ORIGINAL sequence number) — the metadata-only delete's rewritten
+      // manifests enter here so entry-seq inheritance stays correct
+      carriedOverride: Option[Seq[(String, Long)]] = None): Unit = {
     val fs = st.fs
     val snapshotId = st.lastSnapshotId + 1
     val seq = st.lastSeq + 1
@@ -1425,9 +1434,12 @@ object IcebergSink {
       newManifests += ((rel, None))
     }
     val mlRel = s"metadata/ml-$snapshotId-$stamp.avro"
-    val carried =
-      if (carryPrev) st.prevManifests.map { case (p, sq) => (p, sq, None: Option[Int]) }
-      else Nil
+    val carried = carriedOverride match {
+      case Some(ms) => ms.map { case (p, sq) => (p, sq, None: Option[Int]) }
+      case None =>
+        if (carryPrev) st.prevManifests.map { case (p, sq) => (p, sq, None: Option[Int]) }
+        else Nil
+    }
     writeAvroAt(fs, st.rootPath, mlRel, listSchema,
       (carried ++ newManifests.result().map { case (p, c) => (p, seq, c) })
         .map { case (p, sq, c) =>
@@ -1506,6 +1518,7 @@ object IcebergSink {
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return 0L
     rejectOnDvs(path, st, "DELETE")
+    metadataOnlyDelete(spark, st, path, predicateSql).foreach(n => return n)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val matches = liveRows(spark, st).filter(expr(predicateSql))
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
@@ -1527,6 +1540,111 @@ object IcebergSink {
     * Float/double keys reject (NaN equality is undefined skipping fuel);
     * partitioned tables reject (global eq deletes need an unpartitioned
     * delete spec — connector-jar territory). Returns the key-row count. */
+  /** DELETE whose predicate references ONLY identity-partition source
+    * columns is METADATA-ONLY (the iceberg-core "delete by partition" fast
+    * path, THE retention lever at 100 TB — `WHERE ds < '2026-01-01'` on a
+    * day-partitioned corpus drops whole files without moving a byte):
+    * every row in a file shares the file's tuple, so the predicate decides
+    * per FILE. Affected manifests rewrite with dropped entries marked
+    * DELETED (original per-entry sequence numbers made explicit, kept
+    * entries EXISTING — bounds/stats copied verbatim, skipping unchanged);
+    * unaffected manifests carry as-is. Returns None — falling back to the
+    * positional-delete path — when the predicate touches data columns,
+    * any row-level delete already exists (counts would lie), or a tuple
+    * type has no driver-side decoding. */
+  private def metadataOnlyDelete(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, path: String, predicateSql: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty || st.hasEqDeletes)
+      return None
+    val idFields = morPartFields(st.meta).filter(_.transform == "identity")
+    if (idFields.isEmpty) return None
+    val refs: Seq[String] =
+      try spark.sessionState.sqlParser.parseExpression(predicateSql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          if (u.nameParts.length != 1) return None
+          u.nameParts.head
+      }
+      catch { case _: Exception => return None }
+    if (refs.isEmpty ||
+        !refs.forall(r => idFields.exists(_.srcCol.equalsIgnoreCase(r))))
+      return None
+    def decode(v: AnyRef, dt: DataType): Option[Any] = (dt, v) match {
+      case (_, null) => Some(null)
+      case (IntegerType, n: Number) => Some(n.intValue())
+      case (LongType, n: Number) => Some(n.longValue())
+      case (StringType, x) => Some(x.toString)
+      case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
+      case (DateType, n: Number) =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue())))
+      case (TimestampType, n: Number) =>
+        val micros = n.longValue()
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        Some(ts)
+      case _ => None
+    }
+    val rowSchema = StructType(
+      StructField("__file", StringType, nullable = false) +:
+        idFields.map(f => StructField(f.srcCol, f.resultType)))
+    val rows: Seq[org.apache.spark.sql.Row] = st.dataPaths.map { p =>
+      val tuple = st.dataTuples.getOrElse(p, return None)
+      val vals = idFields.map { f =>
+        decode(tuple.getOrElse(f.name, null), f.resultType).getOrElse(return None)
+      }
+      org.apache.spark.sql.Row.fromSeq(p +: vals)
+    }
+    val dropped = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rowSchema)
+      .filter(expr(predicateSql)).select(col("__file"))
+      .collect().map(_.getString(0)).toSet
+    if (dropped.isEmpty) return Some(0L)
+    val deletedRows = dropped.toSeq.map(st.dataRowCounts.getOrElse(_, return None)).sum
+    // rewrite each manifest holding a dropped file; carry the rest verbatim
+    val conf = spark.sessionState.newHadoopConf()
+    def abs(rel: String): Path = {
+      val p0 = new Path(rel)
+      if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    var i = 0
+    val newCarried: Seq[(String, Long)] = st.prevManifests.map { case (m, mseq) =>
+      val reader = new DataFileReader[GenericRecord](
+        new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
+      val (entries, affected) =
+        try {
+          val es = reader.iterator().asScala.toSeq
+          (es, es.exists { e =>
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            dropped.contains(abs(dfr.get("file_path").toString).toString)
+          })
+        } finally reader.close()
+      if (!affected) (m, mseq)
+      else {
+        val sch = entries.head.getSchema
+        val hasSeqField = sch.getField("sequence_number") != null
+        entries.foreach { e =>
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          val isDropped = dropped.contains(abs(dfr.get("file_path").toString).toString)
+          val status = e.get("status").asInstanceOf[Int]
+          if (hasSeqField && e.get("sequence_number") == null)
+            e.put("sequence_number", Long.box(mseq)) // make inheritance explicit
+          if (isDropped && status != 2) e.put("status", 2) // DELETED
+          else if (status == 1) e.put("status", 0) // ADDED → EXISTING
+        }
+        i += 1
+        val rel = s"metadata/m-pdel-${st.lastSnapshotId + 1}-$stamp-$i.avro"
+        writeAvroAt(st.fs, st.rootPath, rel, sch, entries)
+        (rel, mseq)
+      }
+    }
+    commitMor(st, "delete",
+      Seq("graft-predicate" -> predicateSql,
+        "graft-strategy" -> "metadata-only-partition-drop"),
+      Nil, Nil, carriedOverride = Some(newCarried))
+    Some(deletedRows)
+  }
+
   def equalityDelete(spark: org.apache.spark.sql.SparkSession, path: String,
       keys: DataFrame): Long = {
     import org.apache.spark.sql.functions.col

@@ -776,6 +776,40 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq(10L, 20L, 30L, 40L, 50L, 1000L, 1010L))
   }
 
+  test("partition-only DELETE is metadata-only: remove actions, zero data bytes move") {
+    val root = tempDir("dsink_pdel").getPath + "/t"
+    val df = Seq((1L, "2026-01-01", 1.0), (2L, "2026-01-01", 2.0),
+      (3L, "2026-01-02", 3.0), (4L, "2026-01-03", 4.0)).toDF("id", "ds", "x")
+    DeltaSink.write(df, root, Map("partition_by" -> "ds",
+      "change_data_feed" -> "true"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().filterNot(_.getName.startsWith("_"))
+        .toSeq.flatMap(walk) else Seq(f)
+    val before = walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified).toMap
+    val n = DeltaSink.deleteWhere(spark, root, "ds < '2026-01-02'")
+    assert(n === 2L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(3L, 4L))
+    // zero data bytes moved: same files, untouched (removes are log-only)
+    val after = walk(new java.io.File(root))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified).toMap
+    assert(after === before)
+    val commit = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/_delta_log/00000000000000000001.json"))
+    assert(commit.contains("metadata-only-partition-drop"))
+    assert(!commit.contains("\"add\""), "a metadata-only delete must add no files")
+    // the CDF reader synthesizes whole-file delete rows from bare removes
+    val feed = graft.sources.DeltaChanges.read(spark, root,
+      Map("starting_version" -> "1", "ending_version" -> "1"))
+    assert(feed.filter(col("_change_type") === "delete").count() === 2L)
+    // time travel still serves the pre-delete state
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "0")).count() === 4L)
+    // a mixed predicate takes the copy-on-write path and stays correct
+    assert(DeltaSink.deleteWhere(spark, root, "ds = '2026-01-02' AND x > 2.5") === 1L)
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(4L))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

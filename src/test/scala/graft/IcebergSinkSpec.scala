@@ -1016,6 +1016,43 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a field"))
   }
 
+  test("partition-only DELETE is metadata-only: whole files drop, zero data bytes move") {
+    val root = tempDir("isink_pdel").getPath
+    val df = Seq((1L, "2026-01-01", 1.0), (2L, "2026-01-01", 2.0),
+      (3L, "2026-01-02", 3.0), (4L, "2026-01-03", 4.0))
+      .toDF("id", "ds", "x")
+    Sinks.copyTo(df, root, "iceberg", Map("partition_by" -> "ds"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val dataBefore = walk(new java.io.File(root, "data"))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified).toMap
+    // predicate touches ONLY the identity partition source → whole-file drop
+    val n = IcebergSink.deleteWhere(spark, root, "ds < '2026-01-02'")
+    assert(n === 2L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(3L, 4L))
+    // ZERO data bytes moved: no file added, none rewritten, none deleted
+    val dataAfter = walk(new java.io.File(root, "data"))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified).toMap
+    assert(dataAfter === dataBefore)
+    // and no positional delete files either — the snapshot says so
+    val sn = IcebergNative.snapshots(spark, root).orderBy(col("committed_at").desc)
+      .limit(1).collect().head
+    assert(sn.getString(4) === "delete")
+    // time travel still serves the pre-delete state
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 4L)
+    // a predicate touching a DATA column falls back to positional deletes
+    // and stays correct
+    val n2 = IcebergSink.deleteWhere(spark, root, "ds = '2026-01-02' AND x > 2.5")
+    assert(n2 === 1L)
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(4L))
+    // once row-level deletes exist, the fast path must DISABLE (counts
+    // would lie) — this delete still works through the positional path
+    val n3 = IcebergSink.deleteWhere(spark, root, "ds = '2026-01-03'")
+    assert(n3 === 1L)
+    assert(readBack(root).count() === 0L)
+  }
+
   test("SQL ALTER TABLE ADD COLUMN routes to the native writers and re-attaches") {
     val root = tempDir("isink_alter").getPath + "/t"
     IcebergSink.write(Seq((1L, "x")).toDF("id", "v"), root, Map.empty)
