@@ -1101,6 +1101,41 @@ object DeltaSink {
     }
   }
 
+  /** DESCRIBE DETAIL — the delta-spark one-row table summary: format, id,
+    * location, partition columns, live file census, properties, protocol.
+    * Bounded driver log replay; no data bytes touched. */
+  def describeDetail(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rootPath = new Path(path)
+    val st = replayState(spark, rootPath)
+    if (!st.exists) throw DeltaReadException(s"`$path`: not a Delta table")
+    val proto = st.protocol.getOrElse(ProtoInfo(1, 2, Set.empty, Set.empty))
+    val tableId = {
+      // the latest metaData action's id (same probe the writer uses)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val logDir = new Path(rootPath, "_delta_log")
+      metaDataJson(spark, fs, logDir,
+        DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType],
+        st.partCols, st.conf)
+    }
+    val id = mapper.readTree(tableId).path("id").asText()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("delta", id, path,
+        st.partCols, st.live.size.toLong, st.live.values.map(_.size).sum,
+        st.conf, proto.minReader, proto.minWriter)), 1),
+      StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("id", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("partitionColumns", ArrayType(StringType), nullable = false),
+        StructField("numFiles", LongType, nullable = false),
+        StructField("sizeInBytes", LongType, nullable = false),
+        StructField("properties", MapType(StringType, StringType), nullable = false),
+        StructField("minReaderVersion", IntegerType, nullable = false),
+        StructField("minWriterVersion", IntegerType, nullable = false))))
+  }
+
   /** Stage + atomically rename one commit JSON at `version`. */
   private def writeCommit(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
       version: Long, lines: Seq[String], path: String): Unit = {

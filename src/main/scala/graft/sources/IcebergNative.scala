@@ -211,6 +211,114 @@ object IcebergNative {
       StructField("live_rows", LongType, nullable = false))))
   }
 
+  /** The CURRENT snapshot's live FILES — the iceberg `table.files`
+    * metadata-table shape: one row per live manifest entry (data and
+    * delete files alike), partition tuple rendered as JSON. Bounded driver
+    * Avro walks; no data bytes touched. */
+  def files(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.mapred.FsInput
+    import org.apache.spark.sql.Row
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val meta = currentMeta(fs, root)
+    val currentId = meta.path("current-snapshot-id").asLong(-1L)
+    val current = meta.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == currentId).getOrElse(
+        throw IcebergReadException(s"`$root`: current snapshot $currentId not listed"))
+    def abs(rel: String): Path = {
+      val p = new Path(rel)
+      if (p.isAbsolute) p else new Path(rootPath, p)
+    }
+    val list = {
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(abs(current.path("manifest-list").asText()), conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map { rec =>
+        (rec.get("manifest_path").toString,
+          Option(rec.get("sequence_number")).map(_.asInstanceOf[Long])
+            .getOrElse(current.path("sequence-number").asLong(0L)))
+      }.toSeq
+      finally r.close()
+    }
+    val rows = list.flatMap { case (mp, mseq) =>
+      val r = new DataFileReader[GenericRecord](new FsInput(abs(mp), conf),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None
+        else {
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+          val entrySeq = Option(e.getSchema.getField("sequence_number"))
+            .flatMap(_ => Option(e.get("sequence_number")))
+            .map(_.asInstanceOf[Long]).getOrElse(mseq)
+          def fld(n: String): Option[AnyRef] =
+            Option(dfr.getSchema.getField(n)).flatMap(_ => Option(dfr.get(n)))
+          val partJson = fld("partition").collect { case pr: GenericRecord =>
+            pr.getSchema.getFields.asScala.map { f2 =>
+              val v = pr.get(f2.name()) match {
+                case null => "null"
+                case u: org.apache.avro.util.Utf8 =>
+                  "\"" + u.toString.replace("\"", "\\\"") + "\""
+                case s0: String => "\"" + s0.replace("\"", "\\\"") + "\""
+                case other => other.toString
+              }
+              "\"" + f2.name() + "\":" + v
+            }.mkString("{", ",", "}")
+          }.orNull
+          Some(Row(
+            content match { case 0 => "data"; case 1 => "position-deletes"; case 2 => "equality-deletes"; case n => s"content-$n" },
+            dfr.get("file_path").toString,
+            dfr.get("file_format").toString,
+            partJson,
+            Option(dfr.get("record_count")).map(_.asInstanceOf[Long]).getOrElse(0L),
+            fld("file_size_in_bytes").map(_.asInstanceOf[Long].longValue())
+              .map(java.lang.Long.valueOf).orNull,
+            entrySeq))
+        }
+      }.toSeq
+      finally r.close()
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("content", StringType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("partition", StringType),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType),
+      StructField("sequence_number", LongType, nullable = false))))
+  }
+
+  /** Live PARTITIONS of the current snapshot — the `table.partitions`
+    * shape: live data files aggregated per rendered tuple. */
+  def partitions(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    files(spark, root).filter(col("content") === "data")
+      .groupBy(coalesce(col("partition"), lit("{}")).as("partition"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("file_size_in_bytes")).as("total_size_bytes"))
+  }
+
+  /** The refs map (spec v2) — the `table.refs` shape: one row per named
+    * tag/branch with its pinned snapshot. */
+  def refs(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = currentMeta(fs, root)
+    val rows = meta.path("refs").properties().asScala.toSeq.map { ent =>
+      Row(ent.getKey, ent.getValue.path("type").asText("branch"),
+        ent.getValue.path("snapshot-id").asLong())
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false))))
+  }
+
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new Path(root)

@@ -255,7 +255,7 @@ object SqlApi {
   // a one-arg call's tail in an unquoted segment: text, the function name,
   // an open paren — the quoted argument is the NEXT segment
   private val fnTailRe =
-    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|iceberg_snapshots|iceberg_manifests|convert_to_iceberg|convert_to_delta|glob|read_text|read_blob)\(\s*$""".r
+    """(?is)^(.*?)(parquet_describe|parquet_schema|parquet_metadata|delta_history|delta_detail|iceberg_snapshots|iceberg_manifests|iceberg_files|iceberg_partitions|iceberg_refs|convert_to_iceberg|convert_to_delta|glob|read_text|read_blob)\(\s*$""".r
 
   /** DuckDB's `glob('pattern')` — one row per matching path, sorted. The
     * DuckDB file-system helper the reference's users reach through
@@ -408,6 +408,18 @@ object SqlApi {
             case "iceberg_manifests" =>
               viewFor("graft_im_", arg,
                 graft.sources.IcebergNative.manifests(spark, arg))
+            case "iceberg_files" =>
+              viewFor("graft_if_", arg,
+                graft.sources.IcebergNative.files(spark, arg))
+            case "iceberg_partitions" =>
+              viewFor("graft_ip_", arg,
+                graft.sources.IcebergNative.partitions(spark, arg))
+            case "iceberg_refs" =>
+              viewFor("graft_ir_", arg,
+                graft.sources.IcebergNative.refs(spark, arg))
+            case "delta_detail" =>
+              viewFor("graft_dd_", arg,
+                graft.catalog.DeltaSink.describeDetail(spark, arg))
             case "convert_to_iceberg" =>
               // in-place Delta→Iceberg metadata conversion; one row:
               // (files, synced) — files = -1 means already in sync

@@ -810,6 +810,23 @@ class DeltaSinkSpec extends SparkSpec {
     assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(4L))
   }
 
+  test("delta_detail: one-row table summary, SQL-callable") {
+    val root = tempDir("dsink_detail").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+      .repartition(2), root, Map("partition_by" -> "p",
+      "change_data_feed" -> "true"))
+    val d = DeltaSink.describeDetail(spark, root).collect().head
+    assert(d.getString(0) === "delta")
+    assert(d.getString(2) === root)
+    assert(d.getSeq[String](3) === Seq("p"))
+    assert(d.getLong(4) === 2L && d.getLong(5) > 0L)
+    assert(d.getMap[String, String](6).get("delta.enableChangeDataFeed")
+      .contains("true"))
+    val viaSql = graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT numFiles, minWriterVersion FROM delta_detail('$root')").head()
+    assert(viaSql.getLong(0) === 2L && viaSql.getInt(1) === 4)
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

@@ -341,6 +341,38 @@ class IcebergSinkSpec extends SparkSpec {
     assert(viaSql.collect().head.getLong(0) === 3L)
   }
 
+  test("iceberg_files/partitions/refs metadata tables, SQL-callable") {
+    val root = tempDir("isink_metatables").getPath
+    Sinks.copyTo(Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, "us", 3.0))
+      .toDF("id", "region", "x"), root, "iceberg",
+      Map("partition_by" -> "region"))
+    IcebergSink.createRef(spark, root, "v1")
+    IcebergSink.deleteWhere(spark, root, "id = 2 AND x > 1.5") // positional delete
+    val files = IcebergNative.files(spark, root).collect()
+    val data = files.filter(_.getString(0) == "data")
+    assert(data.length === 2, files.toSeq) // one file per region tuple
+    assert(data.forall(_.getString(3).contains("\"region\":")))
+    assert(files.exists(_.getString(0) == "position-deletes"))
+    // partitions aggregates live data files per tuple
+    val parts = IcebergNative.partitions(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(parts.exists { case (p, f, rows) => p.contains("us") && f === 1L && rows === 2L })
+    // refs: v1 tag + live main branch
+    val refs = IcebergNative.refs(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(refs("v1") === "tag" && refs("main") === "branch")
+    // SQL-callable through the quote-aware swap
+    assert(graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT count(*) AS n FROM iceberg_files('$root')")
+      .head().getLong(0) === files.length.toLong)
+    assert(graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT count(*) AS n FROM iceberg_partitions('$root')")
+      .head().getLong(0) === 2L)
+    assert(graft.sqlapi.SqlApi.executePg(spark,
+      s"SELECT name FROM iceberg_refs('$root') WHERE type = 'tag'")
+      .head().getString(0) === "v1")
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
