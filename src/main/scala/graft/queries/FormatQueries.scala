@@ -2394,8 +2394,41 @@ object FormatQueries {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- l23
+  // CHANGELOG SCAN — every row change between two snapshots as
+  // insert/delete rows attributed to the committing snapshot (an
+  // incremental corpus-sync consumer's feed). CTAS a 2/3 slice (snap 1),
+  // positional-delete the BUILDING segment (snap 2), append the other
+  // 1/3 (snap 3); the changelog since snap 1 must emit EXACTLY the
+  // deleted rows stamped snap 2 + the appended rows stamped snap 3 —
+  // the oracle replays both waves from the raw table. A diff that leaks
+  // compaction rewrites, mis-attributes commits, or loses the delete
+  // side fails rows AND hash.
+  private val l23 = QueryDef(
+    "l23_iceberg_changelog",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_l23_changelog"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust.filter(col("c_custkey") % 3 =!= 0), out, "iceberg")
+      graft.catalog.IcebergSink.deleteWhere(s, out, "c_mktsegment = 'BUILDING'")
+      graft.catalog.Sinks.copyTo(cust.filter(col("c_custkey") % 3 === 0), out, "iceberg")
+      graft.sources.IcebergChanges.read(s, out, Map("start_snapshot" -> "1"))
+        .select(col("c_custkey"), col("c_name"),
+          col("_change_type").as("change"),
+          col("_commit_snapshot_id").as("snap"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, 'delete' AS change, CAST(2 AS BIGINT) AS snap
+      FROM customer WHERE c_custkey % 3 <> 0 AND c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_name, 'insert' AS change, CAST(3 AS BIGINT) AS snap
+      FROM customer WHERE c_custkey % 3 = 0"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, f01, f02)
 }

@@ -373,6 +373,38 @@ class IcebergSinkSpec extends SparkSpec {
       .head().getString(0) === "v1")
   }
 
+  test("changelog scan: per-snapshot insert/delete rows; compaction emits nothing") {
+    val root = tempDir("isink_changelog").getPath
+    Sinks.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "iceberg") // snap 1
+    Sinks.copyTo(Seq((3L, "c")).toDF("id", "v"), root, "iceberg")            // snap 2 append
+    IcebergSink.deleteWhere(spark, root, "id = 1")                           // snap 3 delete
+    IcebergSink.upsert(spark, root,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), Seq("id"))                 // snap 4 upsert
+    IcebergSink.rewriteDataFiles(spark, root)                                // snap 5 replace
+    val ch = graft.sources.IcebergChanges.read(spark, root,
+      Map("start_snapshot" -> "1"))
+      .select("id", "v", "_change_type", "_commit_snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(ch === Set(
+      (3L, "c", "insert", 2L),
+      (1L, "a", "delete", 3L),
+      (2L, "b", "delete", 4L), // the upsert's update = delete + insert pair
+      (2L, "B2", "insert", 4L),
+      (4L, "d", "insert", 4L)))
+    // a bounded sub-range sees only its own commits
+    val sub = graft.sources.IcebergChanges.read(spark, root,
+      Map("start_snapshot" -> "2", "end_snapshot" -> "3"))
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sub === Set((1L, "delete")))
+    // unknown snapshots reject loudly
+    val e = intercept[IcebergNative.IcebergReadException] {
+      graft.sources.IcebergChanges.read(spark, root, Map("start_snapshot" -> "99"))
+    }
+    assert(e.getMessage.contains("not in table metadata"))
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
