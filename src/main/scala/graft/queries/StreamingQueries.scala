@@ -1242,6 +1242,59 @@ object StreamingQueries {
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM final GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- x21
+  // STREAMING ICEBERG CHANGELOG — the CDC sibling of x08: the stream
+  // emits every row CHANGE (insert/delete, snapshot-attributed) instead
+  // of new rows only. Snapshot 1 (evens CTAS) is live at start and drains
+  // as the initial inserts; MID-STREAM the table takes a positional
+  // DELETE (snap 2) and an append (snap 3) through the native writer; the
+  // second drain must emit exactly the delete rows stamped snap 2 and the
+  // insert rows stamped snap 3. The oracle replays all three waves from
+  // the raw table — a lost delete side, leaked compaction rewrite, or
+  // wrong attribution fails rows AND hash.
+  private val x21 = QueryDef(
+    "x21_stream_iceberg_changelog",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val root = freshRoot(dir, "iceberg_changelog_x21")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      graft.catalog.Sinks.copyTo(
+        cust.filter(col("c_custkey") % 2 === 0), root.getPath, "iceberg")
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.followIcebergChangelog(s, root.getPath)
+          .writeStream.format("memory").queryName("x21_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // snap 1: initial inserts (evens)
+          graft.catalog.IcebergSink.deleteWhere(s, root.getPath,
+            "c_mktsegment = 'BUILDING'")                    // snap 2
+          graft.catalog.Sinks.copyTo(
+            cust.filter(col("c_custkey") % 2 =!= 0), root.getPath, "iceberg") // snap 3
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val out = s.table("x21_out")
+      val evens = cust.filter(col("c_custkey") % 2 === 0)
+      assertRowCount("x21_stream_iceberg_changelog", out.count(),
+        evens.count() +
+          evens.filter(col("c_mktsegment") === "BUILDING").count() +
+          cust.filter(col("c_custkey") % 2 =!= 0).count())
+      out.select(col("c_custkey"), col("c_mktsegment"),
+        col("_change_type").as("change"),
+        col("_commit_snapshot_id").as("snap"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, 'insert' AS change, CAST(1 AS BIGINT) AS snap
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'delete', CAST(2 AS BIGINT)
+      FROM customer WHERE c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, 'insert', CAST(3 AS BIGINT)
+      FROM customer WHERE c_custkey % 2 <> 0"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
 }

@@ -348,6 +348,16 @@ object Streams {
     s.readStream.format("iceberg-follow").options(options)
       .option("files", root).load()
 
+  /** Structured Streaming over a native Iceberg table's CHANGELOG —
+    * every row change as `_change_type` insert/delete rows attributed to
+    * the committing snapshot (initial snapshot = inserts, updates =
+    * delete+insert pairs, compactions emit nothing); see
+    * org.apache.spark.sql.graftstream.IcebergChangelogSource. */
+  def followIcebergChangelog(s: org.apache.spark.sql.SparkSession, root: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    s.readStream.format("iceberg-changelog").options(options)
+      .option("files", root).load()
+
   /** STREAMING NEAR-DUP GATE — ingest-time dedup against an EXISTING
     * corpus, the gate a continuously-fed training pipeline puts in front
     * of its store: each arriving embedding hashes into the same
