@@ -2191,7 +2191,11 @@ object DeltaSink {
     * Scope gates mirror the writer: no checkpointed logs, no column
     * mapping (rewritten files must carry the same physical names). */
   def optimize(spark: org.apache.spark.sql.SparkSession, path: String,
-      minFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      minFileBytes: Long = 128L * 1024 * 1024,
+      // `OPTIMIZE t WHERE <partition predicate>` — the delta-spark shape:
+      // compaction scoped to matching partition tuples only, so a daily
+      // maintenance job touches ONE day of a 100 TB table, not all of it
+      where: Option[String] = None): (Int, Int) = {
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
@@ -2205,11 +2209,50 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: column mapping mode `$cmMode` cannot be compacted by this " +
           "native OPTIMIZE; use a delta connector jar")
-    val groups = st.live.toSeq.map { case (p, e) => p -> e }
+    val logicalSchema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val groups0 = st.live.toSeq.map { case (p, e) => p -> e }
       .filter(_._2.size < minFileBytes)
       .groupBy(_._2.partitionValues).filter(_._2.size >= 2)
+    val groups = where match {
+      case None => groups0
+      case Some(pred) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        if (partColsT.isEmpty) throw DeltaReadException(
+          s"`$path`: OPTIMIZE ... WHERE needs a partitioned table")
+        val names =
+          try spark.sessionState.sqlParser.parseExpression(pred).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.nameParts
+          }
+          catch { case e: Exception => throw DeltaReadException(
+            s"`$path`: OPTIMIZE WHERE predicate does not parse: ${e.getMessage}") }
+        if (names.isEmpty || !names.forall(np => np.length == 1 &&
+            partColsT.exists(_.equalsIgnoreCase(np.head))))
+          throw DeltaReadException(
+            s"`$path`: OPTIMIZE ... WHERE must reference only partition " +
+              s"columns (${partColsT.mkString(", ")})")
+        def physKeyOf(c: String): String = {
+          val f = logicalSchema(logicalSchema.fieldIndex(c))
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName") else c
+        }
+        val pvSchema = StructType(
+          StructField("__i", IntegerType, nullable = false) +:
+            partColsT.map(pc => StructField(pc, StringType)))
+        val tuples = groups0.keys.toSeq
+        val rows = tuples.zipWithIndex.map { case (pv, i) =>
+          org.apache.spark.sql.Row.fromSeq(i +: partColsT.map(pc =>
+            pv.getOrElse(physKeyOf(pc), null)))
+        }
+        val kept = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), pvSchema)
+          .select(col("__i") +: partColsT.map(pc =>
+            col(pc).cast(logicalSchema(logicalSchema.fieldIndex(pc)).dataType).as(pc)): _*)
+          .filter(expr(pred)).select(col("__i"))
+          .collect().map(_.getInt(0)).toSet
+        groups0.filter { case (pv, _) => kept.contains(tuples.indexOf(pv)) }
+    }
     if (groups.isEmpty) return (0, 0)
-    val logicalSchema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     // compaction rewrites bytes verbatim (schema-less read), so mapped
     // tables work as-is — but the rewritten file's stats must key by the
     // PHYSICAL names its footer carries

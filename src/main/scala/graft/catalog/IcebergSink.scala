@@ -2530,6 +2530,66 @@ object IcebergSink {
     * output looks orphaned until its commit lands — the same race
     * Iceberg's own remove_orphan_files defaults 3 days for). Returns the
     * deleted count. */
+  /** CALL system.rewrite_manifests — manifest CONSOLIDATION, the metadata
+    * health lever of a long-lived table: a steady drip of commits leaves
+    * one small manifest per snapshot, and planning cost grows with the
+    * manifest COUNT even when the data is compact. Live entries from every
+    * current manifest re-land in one manifest per distinct entry schema
+    * (mixed eras — unpartitioned vs partition-aware records — cannot share
+    * an Avro schema, so they group), statuses ADDED→EXISTING, per-entry
+    * sequence numbers made explicit so inheritance survives the move;
+    * DELETED tombstones consolidate away. One `replace` snapshot, zero
+    * data bytes. Returns (manifests before, after). */
+  def rewriteManifests(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val st = loadMorState(spark, path)
+    val before = st.prevManifests.size
+    if (before <= 1) return (before, before)
+    val conf = spark.sessionState.newHadoopConf()
+    def abs(rel: String): Path = {
+      val p0 = new Path(rel)
+      if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)
+    }
+    // group live entries by (writer schema, data-vs-delete): records copy
+    // VERBATIM so bounds/stats/tuples survive untouched; mixed eras
+    // (unpartitioned vs partition-aware records) cannot share an Avro
+    // schema, and the spec forbids data and delete files in ONE manifest
+    val groups = scala.collection.mutable.LinkedHashMap[
+      (org.apache.avro.Schema, Boolean),
+      scala.collection.mutable.Buffer[GenericRecord]]()
+    st.prevManifests.foreach { case (m, mseq) =>
+      val r = new DataFileReader[GenericRecord](
+        new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.foreach { e =>
+        if (e.get("status").asInstanceOf[Int] != 2) {
+          if (Option(e.getSchema.getField("sequence_number")).isDefined &&
+              e.get("sequence_number") == null)
+            e.put("sequence_number", Long.box(mseq))
+          if (e.get("status").asInstanceOf[Int] == 1) e.put("status", 0)
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          val isDelete =
+            Option(dfr.getSchema.getField("content")).flatMap(_ =>
+              Option(dfr.get("content"))).exists(_.asInstanceOf[Int] != 0)
+          groups.getOrElseUpdate((e.getSchema, isDelete),
+            scala.collection.mutable.Buffer[GenericRecord]()) += e
+        }
+      }
+      finally r.close()
+    }
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val maxSeq = st.lastSeq
+    val newList: Seq[(String, Long)] = groups.toSeq.zipWithIndex.map {
+      case (((sch, _), entries), i) =>
+        val rel = s"metadata/m-rw-${st.lastSnapshotId + 1}-$stamp-$i.avro"
+        writeAvroAt(st.fs, st.rootPath, rel, sch, entries.toSeq)
+        (rel, maxSeq)
+    }
+    commitMor(st, "replace",
+      Seq("graft-rewritten-manifests" -> before.toString),
+      Nil, Nil, carriedOverride = Some(newList))
+    (before, newList.size)
+  }
+
   def removeOrphanFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       graceMs: Long = 3L * 24 * 3600 * 1000): Int = {
     val rootPath = new Path(path)

@@ -500,7 +500,7 @@ object SqlApi {
   // CALL [catalog.]system.<proc>('t'[, n]) — the iceberg-spark maintenance
   // procedures, routed to the native writer surfaces
   private val callProcRe =
-    """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward|rewrite_manifests)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
 
   // ALTER TABLE t ADD PARTITION FIELD <entry> | DROP PARTITION FIELD <name>
   // — the iceberg-spark partition-evolution DDL (entry uses the same
@@ -546,7 +546,7 @@ object SqlApi {
   // OPTIMIZE t [ZORDER BY (c1, c2)] | VACUUM t [RETAIN n HOURS] |
   // REORG TABLE t APPLY (PURGE)
   private val optimizeRe =
-    """(?is)^\s*OPTIMIZE\s+("?[A-Za-z_][\w"]*"?)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+("?[A-Za-z_][\w"]*"?)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val vacuumRe =
     """(?is)^\s*VACUUM\s+("?[A-Za-z_][\w"]*"?)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val reorgRe =
@@ -891,6 +891,8 @@ object SqlApi {
             throw new IllegalArgumentException(
               "CALL system.fast_forward needs ('table', 'branch')"))
           graft.catalog.IcebergSink.fastForward(spark, root, branch)
+        case "rewrite_manifests" =>
+          graft.catalog.IcebergSink.rewriteManifests(spark, root)
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
@@ -1071,17 +1073,24 @@ object SqlApi {
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)
-    case optimizeRe(table, zorderCols) =>
-      // OPTIMIZE <attach> [ZORDER BY (cols)]: delta bin-packs (or
-      // z-orders); iceberg compacts via rewriteDataFiles (which also
-      // applies live row-level deletes — its purge). One row of counts.
+    case optimizeRe(table, zorderCols, whereSql) =>
+      // OPTIMIZE <attach> [ZORDER BY (cols)] [WHERE <partition pred>]:
+      // delta bin-packs (or z-orders), WHERE scopes the bin-pack to
+      // matching partition tuples; iceberg compacts via rewriteDataFiles
+      // (which also applies live row-level deletes — its purge). One row
+      // of counts.
       val (name, fmt, rootOpt, attachOpts) = attachTarget(spark, table, "OPTIMIZE")
       val (a, b) = (fmt.toLowerCase, Option(zorderCols)) match {
-        case ("delta", None) => graft.catalog.DeltaSink.optimize(spark, rootOpt)
+        case ("delta", None) => graft.catalog.DeltaSink.optimize(spark, rootOpt,
+          where = Option(whereSql).map(_.trim).filter(_.nonEmpty))
         case ("delta", Some(cols)) =>
+          if (Option(whereSql).exists(_.trim.nonEmpty)) throw new IllegalArgumentException(
+            s"OPTIMIZE `$name`: ZORDER BY does not compose with WHERE here")
           val cs = cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
           graft.catalog.DeltaSink.optimizeZOrder(spark, rootOpt, cs)
         case ("iceberg", None) =>
+          if (Option(whereSql).exists(_.trim.nonEmpty)) throw new IllegalArgumentException(
+            s"OPTIMIZE `$name`: WHERE scoping is implemented for delta attaches")
           graft.catalog.IcebergSink.rewriteDataFiles(spark, rootOpt)
         case ("iceberg", Some(_)) => throw new IllegalArgumentException(
           s"OPTIMIZE `$name`: ZORDER is implemented for delta attaches")

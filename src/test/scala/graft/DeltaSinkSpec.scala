@@ -827,6 +827,34 @@ class DeltaSinkSpec extends SparkSpec {
     assert(viaSql.getLong(0) === 2L && viaSql.getInt(1) === 4)
   }
 
+  test("OPTIMIZE WHERE bin-packs only the matching partition tuples") {
+    val root = tempDir("dsink_optwhere").getPath + "/t"
+    // two small files per ds partition
+    (1 to 2).foreach { i =>
+      DeltaSink.write(Seq((i.toLong, "2026-01-01"), (i + 10L, "2026-01-02"))
+        .toDF("id", "ds"), root, Map("partition_by" -> "ds"))
+    }
+    val (r0, a0) = DeltaSink.optimize(spark, root,
+      where = Some("ds = '2026-01-01'"))
+    assert(r0 === 2 && a0 === 1, (r0, a0)) // only the 01-01 pair compacted
+    assert(readBack(root).count() === 4L)
+    // the other partition's two files are still separate → a second scoped
+    // pass on it compacts exactly those
+    val (r1, a1) = DeltaSink.optimize(spark, root,
+      where = Some("ds = '2026-01-02'"))
+    assert(r1 === 2 && a1 === 1)
+    // a data-column predicate rejects loudly
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.optimize(spark, root, where = Some("id = 1"))
+    }
+    assert(e.getMessage.contains("partition"))
+    // SQL shape routes
+    graft.catalog.Catalog.attach(spark, "optwhere_t", "delta", Map("files" -> root))
+    val viaSql = graft.sqlapi.SqlApi.executePg(spark,
+      "OPTIMIZE optwhere_t WHERE ds = '2026-01-01'").head()
+    assert(viaSql.getInt(0) === 0) // already compact
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

@@ -405,6 +405,31 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("not in table metadata"))
   }
 
+  test("rewriteManifests consolidates the manifest list; content identical") {
+    val root = tempDir("isink_rwman").getPath
+    (1 to 4).foreach { i =>
+      Sinks.copyTo(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), root, "iceberg")
+    }
+    IcebergSink.deleteWhere(spark, root, "id = 2") // adds a delete manifest
+    val before = IcebergNative.manifests(spark, root).count()
+    assert(before >= 5, s"expected >=5 manifests, got $before")
+    val (b, a) = IcebergSink.rewriteManifests(spark, root)
+    assert(b === before.toInt && a === 2, (b, a)) // one data + one delete manifest
+    assert(IcebergNative.manifests(spark, root).count() === 2L)
+    // content identical through the consolidation, deletes still applied
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L))
+    // further DML works on the consolidated table
+    assert(IcebergSink.deleteWhere(spark, root, "id = 3") === 1L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 4L))
+    // SQL-callable
+    graft.catalog.Catalog.attach(spark, "rwman_t", "iceberg", Map("files" -> root))
+    graft.sqlapi.SqlApi.executePg(spark, "CALL system.rewrite_manifests('rwman_t')")
+    assert(graft.sqlapi.SqlApi.executePg(spark,
+      "SELECT count(*) AS n FROM rwman_t").head().getLong(0) === 2L)
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
