@@ -1202,7 +1202,12 @@ object DeltaSink {
     * file actions in a `_sidecars/` parquet); everything else gets the
     * classic single-file form. Commit JSONs are left in place (time travel
     * and CDF keep their history). Returns the checkpointed version. */
-  def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String,
+      // classic checkpoints SPLIT at this many actions per part (the
+      // delta-spark `delta.checkpoint.partSize` idea): a 100 TB table's
+      // multi-million-file checkpoint should not be one giant parquet —
+      // readers (ours included) union the parts with mergeSchema
+      partSize: Int = 1000000): Long = {
     import org.apache.spark.sql.Row
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1292,6 +1297,7 @@ object DeltaSink {
     val domRows = st.domains.toSeq.map { case (d, c) => Row(d, c, false) }
     val v2 = st.protocol.exists(p => p.readerFeatures.contains("v2Checkpoint") ||
       demandedWriterFeatures(p).contains("v2Checkpoint"))
+    var multiPartCount: Option[Int] = None
     val nActions: Long =
       if (v2) {
         // V2 (PROTOCOL.md "V2 Checkpoint Table Feature"): file actions live
@@ -1335,12 +1341,27 @@ object DeltaSink {
             txnRows.map { case (app, v) => Row(null, null, Row(app, v), null, null) } ++
             addStructRows.map(Row(null, null, null, _, null)) ++
             domRows.map(d => Row(null, null, null, null, d))
-        writeOneParquet(rows, cpSchema,
-          new Path(logDir, f"${st.version}%020d.checkpoint.parquet"))
-        rows.size.toLong
+        if (rows.size <= partSize) {
+          writeOneParquet(rows, cpSchema,
+            new Path(logDir, f"${st.version}%020d.checkpoint.parquet"))
+          rows.size.toLong
+        } else {
+          // multi-part classic: <v>.checkpoint.<i>.<n>.parquet, 1-based,
+          // actions split across parts; `parts` lands in _last_checkpoint
+          val chunks = rows.grouped(partSize).toSeq
+          val n = chunks.size
+          chunks.zipWithIndex.foreach { case (chunk, i) =>
+            writeOneParquet(chunk, cpSchema, new Path(logDir,
+              f"${st.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+          }
+          multiPartCount = Some(n)
+          rows.size.toLong
+        }
       }
     val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":${st.version},"size":$nActions}""".getBytes("UTF-8"))
+    val partsField = multiPartCount.map(n => s""","parts":$n""").getOrElse("")
+    try lc.write(
+      s"""{"version":${st.version},"size":$nActions$partsField}""".getBytes("UTF-8"))
     finally lc.close()
     st.version
   }

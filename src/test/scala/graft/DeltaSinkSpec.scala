@@ -855,6 +855,28 @@ class DeltaSinkSpec extends SparkSpec {
     assert(viaSql.getInt(0) === 0) // already compact
   }
 
+  test("multi-part classic checkpoint: parts split at partSize; both sides replay") {
+    val root = tempDir("dsink_multicp_w").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2), root, Map.empty)
+    DeltaSink.write(Seq((3L, "c"), (4L, "d")).toDF("id", "v").repartition(2), root, Map.empty)
+    // 6 actions (protocol + metaData + 4 adds) at partSize=2 → 3 parts
+    val cpV = DeltaSink.checkpoint(spark, root, partSize = 2)
+    val names = new java.io.File(s"$root/_delta_log").listFiles().map(_.getName)
+    assert(names.count(_.matches(f"$cpV%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")) === 3,
+      names.toSeq)
+    assert(!names.contains(f"$cpV%020d.checkpoint.parquet"))
+    val lc = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_delta_log/_last_checkpoint"))
+    assert(lc.contains("\"parts\":3"), lc)
+    // the native READER resolves through the parts; the WRITER continues
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    DeltaSink.write(Seq((5L, "e")).toDF("id", "v"), root, Map.empty)
+    assert(DeltaSink.deleteWhere(spark, root, "id = 1") === 1L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(2L, 3L, 4L, 5L))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
