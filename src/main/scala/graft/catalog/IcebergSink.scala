@@ -869,6 +869,11 @@ object IcebergSink {
       sn.put("schema-id", if (prevSchemasJson.isDefined) prevCurrentSchemaId else 0)
       val summary = sn.putObject("summary")
       summary.put("operation", if (overwrite) "overwrite" else "append")
+      // the spec's standard metrics fields — external tools (UIs, ops
+      // scripts) read these to judge commit size without opening manifests
+      summary.put("added-data-files", newFiles.size.toString)
+      summary.put("added-records", newFiles.map(_.records).sum.toString)
+      summary.put("added-files-size", newFiles.map(_.size).sum.toString)
       txn.foreach { case (appId, v2) =>
         summary.put("graft-app-id", appId)
         summary.put("graft-batch-version", v2.toString)
@@ -1458,6 +1463,21 @@ object IcebergSink {
       sn.put("schema-id", st.meta.path("current-schema-id").asInt(0))
       val summary = sn.putObject("summary")
       summary.put("operation", operation)
+      if (dataFiles.nonEmpty) {
+        summary.put("added-data-files", dataFiles.size.toString)
+        summary.put("added-records", dataFiles.map(_.rows).sum.toString)
+        summary.put("added-files-size", dataFiles.map(_.size).sum.toString)
+      }
+      if (deleteFiles.nonEmpty) {
+        summary.put("added-delete-files", deleteFiles.size.toString)
+        summary.put("added-position-deletes", deleteFiles.map(_._3).sum.toString)
+      }
+      if (eqDeleteFiles.nonEmpty) {
+        summary.put("added-delete-files", eqDeleteFiles.size.toString)
+        summary.put("added-equality-deletes", eqDeleteFiles.map(_._3).sum.toString)
+      }
+      if (dvEntries.nonEmpty)
+        summary.put("added-position-deletes", dvEntries.map(_.cardinality).sum.toString)
       summaryExtra.foreach { case (k, v2) => summary.put(k, v2) }
       sn.put("manifest-list", mlRel)
       mapper.writeValueAsString(sn)
@@ -1552,11 +1572,12 @@ object IcebergSink {
     * positional-delete path — when the predicate touches data columns,
     * any row-level delete already exists (counts would lie), or a tuple
     * type has no driver-side decoding. */
-  private def metadataOnlyDelete(spark: org.apache.spark.sql.SparkSession,
-      st: MorState, path: String, predicateSql: String): Option[Long] = {
+  /** The live data files whose IDENTITY partition tuples satisfy `pred` —
+    * or None when the predicate is not tuple-decidable (touches data
+    * columns, non-identity transforms, undecodable types). */
+  private def partitionMatchedFiles(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, predicateSql: String): Option[Set[String]] = {
     import org.apache.spark.sql.functions.{col, expr}
-    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty || st.hasEqDeletes)
-      return None
     val idFields = morPartFields(st.meta).filter(_.transform == "identity")
     if (idFields.isEmpty) return None
     val refs: Seq[String] =
@@ -1594,13 +1615,18 @@ object IcebergSink {
       }
       org.apache.spark.sql.Row.fromSeq(p +: vals)
     }
-    val dropped = spark.createDataFrame(
+    Some(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), rowSchema)
       .filter(expr(predicateSql)).select(col("__file"))
-      .collect().map(_.getString(0)).toSet
-    if (dropped.isEmpty) return Some(0L)
-    val deletedRows = dropped.toSeq.map(st.dataRowCounts.getOrElse(_, return None)).sum
-    // rewrite each manifest holding a dropped file; carry the rest verbatim
+      .collect().map(_.getString(0)).toSet)
+  }
+
+  /** Rewrite every manifest holding a file in `dropped` with those entries
+    * marked DELETED (kept entries EXISTING, per-entry sequence numbers made
+    * explicit); unaffected manifests pass through verbatim. Returns the
+    * replacement carried-manifest list for commitMor. */
+  private def rewriteManifestsDropping(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, dropped: Set[String], tag: String): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     def abs(rel: String): Path = {
       val p0 = new Path(rel)
@@ -1608,7 +1634,7 @@ object IcebergSink {
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     var i = 0
-    val newCarried: Seq[(String, Long)] = st.prevManifests.map { case (m, mseq) =>
+    st.prevManifests.map { case (m, mseq) =>
       val reader = new DataFileReader[GenericRecord](
         new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
       val (entries, affected) =
@@ -1633,11 +1659,21 @@ object IcebergSink {
           else if (status == 1) e.put("status", 0) // ADDED → EXISTING
         }
         i += 1
-        val rel = s"metadata/m-pdel-${st.lastSnapshotId + 1}-$stamp-$i.avro"
+        val rel = s"metadata/m-$tag-${st.lastSnapshotId + 1}-$stamp-$i.avro"
         writeAvroAt(st.fs, st.rootPath, rel, sch, entries)
         (rel, mseq)
       }
     }
+  }
+
+  private def metadataOnlyDelete(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, path: String, predicateSql: String): Option[Long] = {
+    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty || st.hasEqDeletes)
+      return None
+    val dropped = partitionMatchedFiles(spark, st, predicateSql).getOrElse(return None)
+    if (dropped.isEmpty) return Some(0L)
+    val deletedRows = dropped.toSeq.map(st.dataRowCounts.getOrElse(_, return None)).sum
+    val newCarried = rewriteManifestsDropping(spark, st, dropped, "pdel")
     commitMor(st, "delete",
       Seq("graft-predicate" -> predicateSql,
         "graft-strategy" -> "metadata-only-partition-drop"),
@@ -2040,10 +2076,40 @@ object IcebergSink {
     * from the manifests' record counts — no extra count job. Returns
     * (dataFilesBefore, dataFilesAfter); (0, 0) = empty table, no commit. */
   def rewriteDataFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileRows: Long = 1024 * 1024): (Int, Int) = {
+      targetFileRows: Long = 1024 * 1024,
+      // `OPTIMIZE t WHERE <partition predicate>` for the MOR side: scope
+      // compaction to the matching identity-partition files only — the
+      // daily maintenance job touches one day, not the whole table
+      where: Option[String] = None): (Int, Int) = {
     import org.apache.spark.sql.functions.col
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return (0, 0)
+    where.foreach { pred =>
+      val matched = partitionMatchedFiles(spark, st, pred).getOrElse(
+        throw IcebergReadException(
+          s"`$path`: OPTIMIZE ... WHERE must reference only identity " +
+            "partition source columns"))
+      if (matched.isEmpty) return (0, 0)
+      val stScoped = st.copy(dataPaths = st.dataPaths.filter(matched))
+      val stamp = java.util.UUID.randomUUID().toString.take(8)
+      val rows = liveRows(spark, stScoped)
+      val dataCols = rows.schema.fields
+        .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+      val liveEstimate = math.max(1L,
+        matched.toSeq.map(st.dataRowCounts.getOrElse(_, 0L)).sum)
+      val numFiles = math.max(1L,
+        (liveEstimate + targetFileRows - 1) / targetFileRows).toInt
+      val compacted = rows.select(dataCols.map(f => col(f.name)): _*)
+        .repartition(numFiles)
+      val dataFiles = writeMorData(compacted, st, s"cmp-$stamp")
+      // untouched manifest entries carry; matched files leave as DELETED
+      val carried = rewriteManifestsDropping(spark, st, matched, "cmpw")
+      commitMor(st, "replace",
+        Seq("graft-compaction" -> s"target-file-rows=$targetFileRows",
+          "graft-predicate" -> pred),
+        Nil, dataFiles, carriedOverride = Some(carried))
+      return (matched.size, dataFiles.size)
+    }
     // manifest-declared row counts size the output without a count() job;
     // delete-file record counts subtract (each dead position kills a row)
     val conf = spark.sessionState.newHadoopConf()

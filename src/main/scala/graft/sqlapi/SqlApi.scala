@@ -1089,9 +1089,8 @@ object SqlApi {
           val cs = cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
           graft.catalog.DeltaSink.optimizeZOrder(spark, rootOpt, cs)
         case ("iceberg", None) =>
-          if (Option(whereSql).exists(_.trim.nonEmpty)) throw new IllegalArgumentException(
-            s"OPTIMIZE `$name`: WHERE scoping is implemented for delta attaches")
-          graft.catalog.IcebergSink.rewriteDataFiles(spark, rootOpt)
+          graft.catalog.IcebergSink.rewriteDataFiles(spark, rootOpt,
+            where = Option(whereSql).map(_.trim).filter(_.nonEmpty))
         case ("iceberg", Some(_)) => throw new IllegalArgumentException(
           s"OPTIMIZE `$name`: ZORDER is implemented for delta attaches")
         case (other, _) => throw new IllegalArgumentException(

@@ -430,6 +430,35 @@ class IcebergSinkSpec extends SparkSpec {
       "SELECT count(*) AS n FROM rwman_t").head().getLong(0) === 2L)
   }
 
+  test("scoped compaction: OPTIMIZE WHERE rewrites only the matching partition") {
+    val root = tempDir("isink_cmpw").getPath
+    (1 to 2).foreach { i =>
+      Sinks.copyTo(Seq((i.toLong, "us"), (i + 10L, "eu")).toDF("id", "region"),
+        root, "iceberg", Map("partition_by" -> "region"))
+    }
+    // 2 files per region; positional-delete one us row first (the scoped
+    // rewrite must APPLY it, not resurrect the row)
+    IcebergSink.deleteWhere(spark, root, "region = 'us' AND id = 1")
+    val (removedN, addedN) = IcebergSink.rewriteDataFiles(spark, root,
+      where = Some("region = 'us'"))
+    assert(removedN === 2 && addedN === 1, (removedN, addedN))
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(2L, 11L, 12L))
+    // the untouched eu files did not move; us rows live in ONE new file
+    val files = IcebergNative.files(spark, root)
+      .filter(col("content") === "data").collect()
+    assert(files.count(_.getString(3).contains("\"region\":\"us\"")) === 1, files.toSeq)
+    assert(files.count(_.getString(3).contains("\"region\":\"eu\"")) === 2)
+    // a data-column predicate rejects loudly
+    val e = intercept[IcebergNative.IcebergReadException] {
+      IcebergSink.rewriteDataFiles(spark, root, where = Some("id = 1"))
+    }
+    assert(e.getMessage.contains("partition"))
+    // further DML on the scoped-compacted table works
+    assert(IcebergSink.deleteWhere(spark, root, "region = 'eu'") === 2L)
+    assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
