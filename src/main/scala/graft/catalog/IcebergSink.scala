@@ -977,6 +977,29 @@ object IcebergSink {
       // deleted-row count for metadata-only whole-file drops
       dataRowCounts: Map[String, Long] = Map.empty)
 
+  /** The table's declared DEFAULT sort order as source column names
+    * (identity transforms only — the shape this writer records). */
+  private def defaultSortCols(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[String] = {
+    if (!meta.has("sort-orders")) return Nil
+    val orderId = meta.path("default-sort-order-id").asInt(0)
+    val order = meta.path("sort-orders").elements().asScala
+      .find(_.path("order-id").asInt(-1) == orderId).getOrElse(return Nil)
+    val idToName: Map[Int, String] = {
+      val cur =
+        if (meta.has("schemas")) {
+          val cid = meta.path("current-schema-id").asInt(0)
+          meta.path("schemas").elements().asScala
+            .find(_.path("schema-id").asInt(-1) == cid).getOrElse(return Nil)
+        } else meta.path("schema")
+      cur.path("fields").elements().asScala
+        .map(f => f.path("id").asInt() -> f.path("name").asText()).toMap
+    }
+    val fields = order.path("fields").elements().asScala.toSeq
+    if (fields.exists(_.path("transform").asText("identity") != "identity")) Nil
+    else fields.flatMap(f => idToName.get(f.path("source-id").asInt(-1)))
+  }
+
   private def loadMorState(spark: org.apache.spark.sql.SparkSession,
       path: String): MorState = {
     val rootPath = new Path(path)
@@ -2099,8 +2122,15 @@ object IcebergSink {
         matched.toSeq.map(st.dataRowCounts.getOrElse(_, 0L)).sum)
       val numFiles = math.max(1L,
         (liveEstimate + targetFileRows - 1) / targetFileRows).toInt
-      val compacted = rows.select(dataCols.map(f => col(f.name)): _*)
-        .repartition(numFiles)
+      val sortCols = defaultSortCols(st.meta).filter(c =>
+        dataCols.exists(_.name == c))
+      val base = rows.select(dataCols.map(f => col(f.name)): _*)
+      // a declared sort order RE-CLUSTERS on compaction (clustering decays
+      // as deletes/appends accumulate; the maintenance pass restores it)
+      val compacted =
+        if (sortCols.isEmpty) base.repartition(numFiles)
+        else base.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
       val dataFiles = writeMorData(compacted, st, s"cmp-$stamp")
       // untouched manifest entries carry; matched files leave as DELETED
       val carried = rewriteManifestsDropping(spark, st, matched, "cmpw")
@@ -2139,7 +2169,13 @@ object IcebergSink {
     // repartition, not coalesce: coalesce would fold the scan itself down
     // to numFiles tasks — on a large fragmented table the read must stay
     // parallel, and the one shuffle is the same order as the write itself
-    val compacted = rows.select(dataCols.map(f => col(f.name)): _*).repartition(numFiles)
+    val sortCols0 = defaultSortCols(st.meta).filter(c =>
+      dataCols.exists(_.name == c))
+    val base0 = rows.select(dataCols.map(f => col(f.name)): _*)
+    val compacted =
+      if (sortCols0.isEmpty) base0.repartition(numFiles)
+      else base0.repartitionByRange(numFiles, sortCols0.map(col): _*)
+        .sortWithinPartitions(sortCols0.map(col): _*)
     val dataFiles = writeMorData(compacted, st, s"cmp-$stamp")
     commitMor(st, "replace",
       Seq("graft-compaction" -> s"target-file-rows=$targetFileRows"),

@@ -459,6 +459,32 @@ class IcebergSinkSpec extends SparkSpec {
     assert(readBack(root).select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("compaction RE-CLUSTERS by the declared sort order; pruning tightens again") {
+    val root = tempDir("isink_cmpsort").getPath
+    // sorted CTAS declares the order; two UNSORTED appends decay clustering
+    Sinks.copyTo(spark.range(1000).toDF("id").withColumn("v", col("id") % 7),
+      root, "iceberg", Map("sort_by" -> "id"))
+    Sinks.copyTo(spark.range(1000, 2000).toDF("id").withColumn("v", col("id") % 7)
+      .orderBy(org.apache.spark.sql.functions.rand(7)).repartition(3), root, "iceberg")
+    val (_, added) = IcebergSink.rewriteDataFiles(spark, root, targetFileRows = 500)
+    assert(added >= 3, added)
+    // with range-disjoint files, a point predicate's executed scan opens 1
+    val pruned = readBack(root).filter(col("id") === 1500L)
+    assert(pruned.collect().length === 1) // executes THIS plan — metrics populate
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case other =>
+        other.children.iterator.map(findScan).collectFirst { case Some(x) => x }
+    }
+    val scan = findScan(pruned.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value === 1L,
+      "re-clustered compaction must leave range-disjoint files")
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
