@@ -2427,8 +2427,78 @@ object FormatQueries {
       SELECT c_custkey, c_name, 'insert' AS change, CAST(3 AS BIGINT) AS snap
       FROM customer WHERE c_custkey % 3 = 0"""))
 
+  // ---------------------------------------------------------------- w12
+  // METADATA-ONLY PARTITION DELETE, Iceberg side — the retention lever:
+  // `DELETE WHERE <identity partition predicate>` drops whole files by
+  // rewriting ONLY the affected manifests (entries marked DELETED); zero
+  // data bytes move, the returned count comes from manifest record
+  // counts. The oracle replays the retention predicate from raw — a drop
+  // that misses a tuple, double-drops, or mis-scopes fails rows AND hash.
+  // The follow-up APPEND proves the table stays fully writable.
+  private val w12 = QueryDef(
+    "w12_iceberg_partition_drop",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w12_pdrop"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 0), out,
+        "iceberg", Map("partition_by" -> "o_orderpriority"))
+      graft.catalog.IcebergSink.deleteWhere(s, out,
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')")
+      graft.catalog.Sinks.copyTo(ord.filter(col("o_orderkey") % 2 === 1), out,
+        "iceberg")
+      Catalog.attach(s, "w12_orders_iceberg_pdrop", "iceberg",
+        Map("files" -> out))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      WITH kept AS (
+        SELECT * FROM orders
+        WHERE o_orderkey % 2 = 0
+          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM kept GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- w13
+  // METADATA-ONLY PARTITION DELETE, Delta side — the same retention shape:
+  // bare remove actions, exact counts from add.stats numRecords, and the
+  // CHANGE DATA FEED must synthesize the whole-file delete rows from those
+  // bare removes (the protocol's non-cdc-commit rule) — the query reads
+  // the FEED, so a lost or doubled synthesized delete fails rows AND hash.
+  private val w13 = QueryDef(
+    "w13_delta_partition_drop_cdf",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w13_pdrop"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.catalog.Sinks.copyTo(ord, out, "delta",
+        Map("partition_by" -> "o_orderpriority", "change_data_feed" -> "true"))
+      graft.catalog.DeltaSink.deleteWhere(s, out,
+        "o_orderpriority = '5-LOW'")
+      Catalog.attach(s, "w13_orders_delta_pdrop_cdf", "delta",
+        Map("files" -> out, "read_change_feed" -> "true",
+          "starting_version" -> "1", "ending_version" -> "1"))
+        .groupBy("o_orderpriority", "_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""
+      SELECT o_orderpriority, 'delete' AS _change_type, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderpriority = '5-LOW'
+      GROUP BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, f01, f02)
+      w08, w09, w10, w11, w12, w13, f01, f02)
 }
