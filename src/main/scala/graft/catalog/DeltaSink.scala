@@ -1504,10 +1504,6 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: DV deletes on a change-data-feed table would skip the cdc " +
           "rows the feed promises; use the copy-on-write DELETE instead")
-    if (st.live.values.exists(_.hasDv)) throw DeltaReadException(
-      s"`$path`: table already carries deletion vectors — this writer does " +
-        "not merge DV generations; purgeDeletionVectors first (materializes " +
-        "survivors), then delete again")
     if (st.live.isEmpty) return 0L
     val schema = DataType.fromJson(st.schemaJson.getOrElse(
       throw DeltaReadException(s"`$path`: no metaData action"))).asInstanceOf[StructType]
@@ -1558,8 +1554,42 @@ object DeltaSink {
     setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
       throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
     }
-    val matchedRows = scans.reduce(_ unionByName _).filter(expr(predicateSql))
-    val matched = matchedRows.select(col("__file"), col("__pos"))
+    var matchedRows = scans.reduce(_ unionByName _).filter(expr(predicateSql))
+    // DV MERGING (what delta-spark does on a second DV delete): rows the
+    // EXISTING vectors already killed are excluded from matching — a
+    // re-match would overcount and resurrect-by-replace — and an affected
+    // file's new vector is the UNION of its old positions and the fresh
+    // ones (a DV REPLACES its predecessor; it never stacks)
+    val existingDvs: Seq[(String, graft.sources.DeletionVectors.Descriptor)] =
+      st.live.toSeq.flatMap { case (rel, e) =>
+        e.dv.map(d => resolve(rel) -> graft.sources.DeletionVectors.Descriptor(
+          d.storageType, d.payload, d.offset, d.sizeInBytes, d.cardinality))
+      }
+    val deadDf: Option[DataFrame] =
+      if (existingDvs.isEmpty) None
+      else Some(graft.sources.DeletionVectors.deletedRows(spark,
+        existingDvs.map { case (abs, d) =>
+          graft.sources.DeletionVectors.Task(graft.sources.PathKeys.key(abs),
+            d.storageType,
+            if (d.storageType == "i") d.pathOrInlineDv else "",
+            d.absolutePath(rootPath).map(_.toString).getOrElse(""),
+            d.offset.getOrElse(0).toLong, d.sizeInBytes, "dv")
+        }))
+    deadDf.foreach { dead =>
+      matchedRows = matchedRows.join(dead,
+        graft.sources.PathKeys.keyCol(col("__file")) === col("__dv_file") &&
+          col("__pos") === col("__dv_pos"), "left_anti")
+    }
+    val matched0 = matchedRows.select(col("__file"), col("__pos"))
+    val matched = deadDf match {
+      case None => matched0
+      case Some(dead) =>
+        val affectedFiles = matched0.select(col("__file"),
+          graft.sources.PathKeys.keyCol(col("__file")).as("__afk")).distinct()
+        val carried = dead.join(affectedFiles, col("__dv_file") === col("__afk"))
+          .select(col("__file"), col("__dv_pos").as("__pos"))
+        matched0.unionByName(carried)
+    }
 
     // per-file bitmaps built and (when large) written in EXECUTORS; the
     // driver collects only one descriptor row per affected file
@@ -1644,7 +1674,16 @@ object DeltaSink {
         node.put("tightBounds", false)
         mapper.writeValueAsString(node)
       }
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true}}"""
+      val oldDvJson = e.dv.map { d =>
+        val o = mapper.createObjectNode()
+        o.put("storageType", d.storageType)
+        o.put("pathOrInlineDv", d.payload)
+        d.offset.foreach(o.put("offset", _))
+        o.put("sizeInBytes", d.sizeInBytes)
+        o.put("cardinality", d.cardinality)
+        s""","deletionVector":${mapper.writeValueAsString(o)}"""
+      }.getOrElse("")
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true$oldDvJson}}"""
       lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
         s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true,""" +
         loosened.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
@@ -1671,7 +1710,13 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: commit $version already exists — another writer got there first")
     }
-    descriptors.map(_._5).sum
+    // merged descriptors carry old ∪ new cardinality — report only the
+    // rows THIS statement killed
+    val carriedOld: Long = existingDvs.collect {
+      case (abs, d) if descriptors.exists(x => norm(x._1) == norm(abs)) =>
+        d.cardinality
+    }.sum
+    descriptors.map(_._5).sum - carriedOld
   }
 
   /** REORG ... APPLY (PURGE): materialize deletion vectors — ONLY the

@@ -915,15 +915,22 @@ class DeltaSinkSpec extends SparkSpec {
     assert(log1.contains("\"deletionVector\"") && log1.contains("\"storageType\":\"i\""))
     // time travel to the pre-delete version still sees every row
     assert(DeltaNative.read(spark, root, Map("version_as_of" -> "1")).count() === 6L)
-    // a second DV delete rejects until the DVs are purged
-    val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 1") }
-    assert(e.getMessage.contains("purge"), e.getMessage)
-    val (files, dropped) = DeltaSink.purgeDeletionVectors(spark, root)
-    assert(files >= 2 && dropped === 3L, (files, dropped))
-    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
-    // DV-free again: further DML works
+    // a second DV delete MERGES generations: the affected file's new
+    // vector is old ∪ new (never stacked), untouched DV files keep theirs
     assert(DeltaSink.deleteWhereDv(spark, root, "id = 1") === 1L)
     assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
+    // already-dead rows never re-match (the count would lie)
+    assert(DeltaSink.deleteWhereDv(spark, root, "id <= 2") === 0L)
+    // the merge commit's remove carries the OLD dv (reader reconciliation
+    // keys on (path, dv)); time travel still serves every generation
+    assert(DeltaNative.read(spark, root, Map("version_as_of" -> "2"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L))
+    // purge materializes the merged survivors; DML keeps working after
+    val (files, dropped) = DeltaSink.purgeDeletionVectors(spark, root)
+    assert(files >= 1 && dropped === 4L, (files, dropped))
+    assert(readBack(root).orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(3L, 5L))
+    assert(DeltaSink.deleteWhereDv(spark, root, "id = 3") === 1L)
+    assert(readBack(root).collect().map(_.getLong(0)).toSeq === Seq(5L))
   }
 
   test("writer replay ingests MULTI-PART classic checkpoints") {
@@ -1183,13 +1190,13 @@ class DeltaSinkSpec extends SparkSpec {
       new java.io.File(f"$root/_delta_log/$v%020d.json").delete()
     }
     assert(readBack(root).count() === 1000L)
-    // and the writer-side replay (e.g. another DV delete post-purge path)
-    // sees the DV through the checkpoint too
-    val e = intercept[Exception] { DeltaSink.deleteWhereDv(spark, root, "id = 2500") }
-    assert(e.getMessage.contains("purge"), e.getMessage)
+    // the writer-side replay sees the DV through the checkpoint: a further
+    // DV delete MERGES with it instead of resurrecting or double-counting
+    assert(DeltaSink.deleteWhereDv(spark, root, "id = 2500") === 1L)
+    assert(readBack(root).count() === 999L)
   }
 
-  test("deleteWhereDv guards: CDF tables and DV'd tables reject loudly") {
+  test("deleteWhereDv guards: CDF tables reject loudly") {
     val root = tempDir("dsink_dvcdf").getPath + "/t"
     DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root,
       Map("change_data_feed" -> "true"))
