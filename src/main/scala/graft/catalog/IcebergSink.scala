@@ -1650,6 +1650,21 @@ object IcebergSink {
     * replacement carried-manifest list for commitMor. */
   private def rewriteManifestsDropping(spark: org.apache.spark.sql.SparkSession,
       st: MorState, dropped: Set[String], tag: String): Seq[(String, Long)] = {
+    def abs0(rel: String): Path = {
+      val p0 = new Path(rel)
+      if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)
+    }
+    rewriteManifestsDroppingIf(spark, st, dfr =>
+      dropped.contains(abs0(dfr.get("file_path").toString).toString), tag)
+  }
+
+  /** Predicate form: any manifest entry whose data_file record satisfies
+    * `dropIf` is marked DELETED (e.g. replaced DV entries matched by their
+    * referenced_data_file, not by container path — several blobs may share
+    * one puffin file in foreign layouts). */
+  private def rewriteManifestsDroppingIf(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, dropIf: GenericRecord => Boolean,
+      tag: String): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     def abs(rel: String): Path = {
       val p0 = new Path(rel)
@@ -1663,18 +1678,14 @@ object IcebergSink {
       val (entries, affected) =
         try {
           val es = reader.iterator().asScala.toSeq
-          (es, es.exists { e =>
-            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
-            dropped.contains(abs(dfr.get("file_path").toString).toString)
-          })
+          (es, es.exists(e => dropIf(e.get("data_file").asInstanceOf[GenericRecord])))
         } finally reader.close()
       if (!affected) (m, mseq)
       else {
         val sch = entries.head.getSchema
         val hasSeqField = sch.getField("sequence_number") != null
         entries.foreach { e =>
-          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
-          val isDropped = dropped.contains(abs(dfr.get("file_path").toString).toString)
+          val isDropped = dropIf(e.get("data_file").asInstanceOf[GenericRecord])
           val status = e.get("status").asInstanceOf[Int]
           if (hasSeqField && e.get("sequence_number") == null)
             e.put("sequence_number", Long.box(mseq)) // make inheritance explicit
@@ -1687,6 +1698,56 @@ object IcebergSink {
         (rel, mseq)
       }
     }
+  }
+
+  /** Shared DV-merge plumbing for the v3 DV DML paths: new matches union
+    * the AFFECTED files' existing dead positions (a DV REPLACES its
+    * predecessor, never stacks), and the replaced DV entries leave the
+    * carried manifests. Returns (mergedMatches, carriedOverride,
+    * carriedOldCardinality). */
+  private def mergeDvMatches(spark: org.apache.spark.sql.SparkSession,
+      st: MorState, matches0: DataFrame)
+      : (DataFrame, Seq[DvEntry] => Option[Seq[(String, Long)]], Seq[DvEntry] => Long) = {
+    import org.apache.spark.sql.functions.col
+    if (st.dvRefs.isEmpty)
+      return (matches0, _ => None, _ => 0L)
+    val key = graft.sources.PathKeys.keyCol _
+    val tasks = st.dvRefs.map { case (refd, pf, off, size, _) =>
+      graft.sources.DeletionVectors.Task(
+        graft.sources.PathKeys.key(refd), "p", "", pf, off,
+        (size - 8).toInt, "puffin")
+    }
+    val dead = graft.sources.DeletionVectors.deletedRows(spark, tasks)
+    val affected = matches0.select(col("__file"),
+      key(col("__file")).as("__afk")).distinct()
+    val carried = dead.join(affected, col("__dv_file") === col("__afk"))
+      .select(col("__file"), col("__dv_pos").as("__pos"))
+    val merged = matches0.unionByName(carried)
+    def absOf(rel: String): String = {
+      val p0 = new Path(rel)
+      (if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)).toString
+    }
+    val oldCardByRef: Map[String, Long] = st.dvRefs
+      .map { case (refd, _, _, _, card) => graft.sources.PathKeys.key(refd) -> card }.toMap
+    def replacedRefs(dvEntries: Seq[DvEntry]): Set[String] =
+      dvEntries.map(e => graft.sources.PathKeys.key(absOf(e.referencedDataFile)))
+        .toSet.intersect(oldCardByRef.keySet)
+    val carriedOverrideFor: Seq[DvEntry] => Option[Seq[(String, Long)]] = { dvEntries =>
+      val refs = replacedRefs(dvEntries)
+      if (refs.isEmpty) None
+      else Some(rewriteManifestsDroppingIf(spark, st, { dfr =>
+        val content = Option(dfr.get("content")).map(_.asInstanceOf[Int]).getOrElse(0)
+        content == 1 &&
+          dfr.get("file_format").toString.equalsIgnoreCase("PUFFIN") &&
+          Option(dfr.getSchema.getField("referenced_data_file"))
+            .flatMap(_ => Option(dfr.get("referenced_data_file"))).exists(r =>
+              refs.contains(graft.sources.PathKeys.key(absOf(r.toString))))
+      }, "dvm"))
+    }
+    val carriedOldFor: Seq[DvEntry] => Long = { dvEntries =>
+      replacedRefs(dvEntries).toSeq.map(oldCardByRef).sum
+    }
+    (merged, carriedOverrideFor, carriedOldFor)
   }
 
   private def metadataOnlyDelete(spark: org.apache.spark.sql.SparkSession,
@@ -1861,18 +1922,23 @@ object IcebergSink {
     import graft.sources.DeletionVectors
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return 0L
-    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty) throw IcebergReadException(
-      s"`$path`: table carries live row-level delete state — a deletion " +
+    if (st.priorDeleteFiles.nonEmpty || st.hasEqDeletes) throw IcebergReadException(
+      s"`$path`: table carries positional/equality delete FILES — a deletion " +
         "vector REPLACES a file's delete state (spec), so writing one now " +
-        "without subsuming it would resurrect rows; compact first " +
+        "without subsuming them would resurrect rows; compact first " +
         "(rewriteDataFiles applies existing deletes), then delete again")
-    val matches = liveRows(spark, st).filter(expr(predicateSql))
+    // EXISTING DVs merge (v3 replacement rule): liveRows already excludes
+    // their dead positions from matching, mergeDvMatches unions them into
+    // the replacement vectors and retires the replaced manifest entries
+    val matches0 = liveRows(spark, st).filter(expr(predicateSql))
       .select(col("__file"), col("__pos"))
+    val (matches, carriedFor, carriedOldFor) = mergeDvMatches(spark, st, matches0)
     val dvEntries = writePuffinDvs(spark, st, matches)
     if (dvEntries.isEmpty) return 0L
     commitMor(st, "delete", Seq("graft-predicate" -> predicateSql,
-      "graft-strategy" -> "deletion-vector"), Nil, Nil, dvEntries = dvEntries)
-    dvEntries.map(_.cardinality).sum
+      "graft-strategy" -> "deletion-vector"), Nil, Nil, dvEntries = dvEntries,
+      carriedOverride = carriedFor(dvEntries))
+    dvEntries.map(_.cardinality).sum - carriedOldFor(dvEntries)
   }
 
   /** UPDATE via format-v3 DELETION VECTORS: matched rows' old positions go
@@ -1886,8 +1952,8 @@ object IcebergSink {
     require(sets.nonEmpty, "updateWhereDv needs at least one SET expression")
     val st = loadMorState(spark, path)
     if (st.dataPaths.isEmpty) return 0L
-    if (st.priorDeleteFiles.nonEmpty || st.dvRefs.nonEmpty) throw IcebergReadException(
-      s"`$path`: table carries live row-level delete state — a deletion " +
+    if (st.priorDeleteFiles.nonEmpty || st.hasEqDeletes) throw IcebergReadException(
+      s"`$path`: table carries positional/equality delete FILES — a deletion " +
         "vector REPLACES a file's delete state (spec); compact first " +
         "(rewriteDataFiles), then update again")
     val names = schemaFieldIds(st.meta).map(_._1)
@@ -1898,8 +1964,9 @@ object IcebergSink {
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val rows = liveRows(spark, st)
     val matches = rows.filter(expr(predicateSql))
-    val dvEntries = writePuffinDvs(spark, st,
+    val (mergedPos, carriedFor, carriedOldFor) = mergeDvMatches(spark, st,
       matches.select(col("__file"), col("__pos")))
+    val dvEntries = writePuffinDvs(spark, st, mergedPos)
     if (dvEntries.isEmpty) return 0L
     val dataCols = rows.schema.fields
       .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
@@ -1910,8 +1977,8 @@ object IcebergSink {
     val dataFiles = writeMorData(updatedRows, st, s"updv-$stamp")
     commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql,
       "graft-strategy" -> "deletion-vector"), Nil, dataFiles,
-      dvEntries = dvEntries)
-    dvEntries.map(_.cardinality).sum
+      dvEntries = dvEntries, carriedOverride = carriedFor(dvEntries))
+    dvEntries.map(_.cardinality).sum - carriedOldFor(dvEntries)
   }
 
   /** Executor-side puffin DV writer shared by the DV DELETE and UPDATE:

@@ -485,6 +485,32 @@ class IcebergSinkSpec extends SparkSpec {
       "re-clustered compaction must leave range-disjoint files")
   }
 
+  test("puffin DV generations merge: second DV delete/update needs no compaction") {
+    val root = tempDir("isink_dvmerge").getPath
+    Sinks.copyTo((1L to 8L).toDF("id").withColumn("v", col("id").cast("string"))
+      .coalesce(1), root, "iceberg")
+    assert(IcebergSink.deleteWhereDv(spark, root, "id % 2 = 0") === 4L)
+    // merge: new vector = old ∪ new; count reports only NEW dead rows
+    assert(IcebergSink.deleteWhereDv(spark, root, "id <= 3") === 2L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(5L, 7L))
+    // already-dead rows never re-match
+    assert(IcebergSink.deleteWhereDv(spark, root, "id <= 4") === 0L)
+    // exactly ONE live DV per data file (the v3 replacement rule) — the
+    // replaced entries left the manifests
+    val dvEntries = IcebergNative.files(spark, root)
+      .filter(col("content") === "position-deletes").collect()
+    assert(dvEntries.length === 1, dvEntries.toSeq)
+    // DV update over live DVs merges too: old dead stay dead, images land
+    assert(IcebergSink.updateWhereDv(spark, root, "id = 5",
+      Map("v" -> "'five'")) === 1L)
+    assert(readBack(root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((5L, "five"), (7L, "7")))
+    // time travel serves every generation
+    assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "2")).count() === 4L)
+  }
+
   test("schema mismatch, nested types, and unknown options reject loudly") {
     val root = tempDir("isink_rej").getPath
     Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), root, "iceberg")
@@ -1300,16 +1326,17 @@ class IcebergSinkSpec extends SparkSpec {
       meta.take(100))
     // time travel to the pre-delete snapshot sees every row
     assert(IcebergNative.read(spark, root, Map("snapshot_id" -> "1")).count() === 100L)
-    // DML over live DVs rejects loudly; compaction applies the DV ...
+    // POSITIONAL DML over live DVs still rejects loudly (layering is
+    // undefined); a second DV delete MERGES instead of requiring compaction
     assert(intercept[Exception] { IcebergSink.deleteWhere(spark, root, "id = 1") }
       .getMessage.contains("deletion vectors"))
-    assert(intercept[Exception] { IcebergSink.deleteWhereDv(spark, root, "id = 1") }
-      .getMessage.contains("compact"))
-    val (was, now) = IcebergSink.rewriteDataFiles(spark, root)
-    assert(readBack(root).count() === 50L) // content identical post-compaction
-    // ... and the table is DV-free again: another DV delete lands
     assert(IcebergSink.deleteWhereDv(spark, root, "id = 1") === 1L)
     assert(readBack(root).count() === 49L)
+    // compaction applies the merged DV; the table is then DV-free
+    val (was, now) = IcebergSink.rewriteDataFiles(spark, root)
+    assert(readBack(root).count() === 49L) // content identical post-compaction
+    assert(IcebergSink.deleteWhereDv(spark, root, "id = 3") === 1L)
+    assert(readBack(root).count() === 48L)
   }
 
   test("deleteWhereDv over existing positional deletes rejects until compaction") {
