@@ -547,6 +547,13 @@ object SqlApi {
   // REORG TABLE t APPLY (PURGE)
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+("?[A-Za-z_][\w"]*"?)\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // DESCRIBE HISTORY t | DESCRIBE DETAIL t — the delta-spark statement
+  // shapes (HISTORY also serves iceberg attaches via the snapshot log)
+  private val describeHistRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+  private val describeDetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+("?[A-Za-z_][\w"]*"?)\s*;?\s*$""".r
+
   private val vacuumRe =
     """(?is)^\s*VACUUM\s+("?[A-Za-z_][\w"]*"?)\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val reorgRe =
@@ -1100,6 +1107,21 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq((a, b)).toDF("files_removed", "files_added")
+    case describeHistRe(table) =>
+      val (name, fmt, rootOpt, _) = attachTarget(spark, table, "DESCRIBE HISTORY")
+      fmt.toLowerCase match {
+        case "delta" => deltaHistory(spark, rootOpt)
+        case "iceberg" => icebergSnapshots(spark, rootOpt)
+        case other => throw new IllegalArgumentException(
+          s"DESCRIBE HISTORY `$name`: implemented for delta and iceberg " +
+            s"attaches (got format `$other`)")
+      }
+    case describeDetailRe(table) =>
+      val (name, fmt, rootOpt, _) = attachTarget(spark, table, "DESCRIBE DETAIL")
+      if (!fmt.equalsIgnoreCase("delta")) throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL `$name`: the delta summary shape needs a delta " +
+          s"attach (got `$fmt`); use iceberg_snapshots/iceberg_files for iceberg")
+      graft.catalog.DeltaSink.describeDetail(spark, rootOpt)
     case vacuumRe(table, retainHours) =>
       // VACUUM <attach> [RETAIN n HOURS]: delta deletes unreferenced data
       // files past retention; iceberg expires old snapshots + orphans.

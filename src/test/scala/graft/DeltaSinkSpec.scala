@@ -877,6 +877,27 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq(2L, 3L, 4L, 5L))
   }
 
+  test("DESCRIBE HISTORY and DESCRIBE DETAIL statement forms route by attach") {
+    val root = tempDir("dsink_desc").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root, Map.empty)
+    DeltaSink.write(Seq((2L, "b")).toDF("id", "v"), root, Map.empty)
+    graft.catalog.Catalog.attach(spark, "desc_t", "delta", Map("files" -> root))
+    assert(graft.sqlapi.SqlApi.executePg(spark, "DESCRIBE HISTORY desc_t")
+      .count() === 2L)
+    val d = graft.sqlapi.SqlApi.executePg(spark, "DESCRIBE DETAIL desc_t").head()
+    assert(d.getString(0) === "delta" && d.getLong(4) === 2L)
+    // iceberg: HISTORY serves the snapshot log, DETAIL rejects naming the fns
+    val iroot = tempDir("dsink_desc_i").getPath
+    graft.catalog.Sinks.copyTo(Seq((1L, "a")).toDF("id", "v"), iroot, "iceberg")
+    graft.catalog.Catalog.attach(spark, "desc_it", "iceberg", Map("files" -> iroot))
+    assert(graft.sqlapi.SqlApi.executePg(spark, "DESC HISTORY desc_it")
+      .count() === 1L)
+    val e = intercept[IllegalArgumentException] {
+      graft.sqlapi.SqlApi.executePg(spark, "DESCRIBE DETAIL desc_it")
+    }
+    assert(e.getMessage.contains("iceberg_snapshots"))
+  }
+
   test("addColumn: log-only evolution; old files NULL; appends carry the column") {
     val root = tempDir("dsink_addcol").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
