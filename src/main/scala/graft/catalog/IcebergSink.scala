@@ -1491,16 +1491,17 @@ object IcebergSink {
         summary.put("added-records", dataFiles.map(_.rows).sum.toString)
         summary.put("added-files-size", dataFiles.map(_.size).sum.toString)
       }
-      if (deleteFiles.nonEmpty) {
-        summary.put("added-delete-files", deleteFiles.size.toString)
-        summary.put("added-position-deletes", deleteFiles.map(_._3).sum.toString)
-      }
-      if (eqDeleteFiles.nonEmpty) {
-        summary.put("added-delete-files", eqDeleteFiles.size.toString)
+      // a commit can carry positional + equality delete files AND DVs at
+      // once — sum each metric's contributions into ONE put (a second put
+      // on the same key overwrites, understating counts to external tools)
+      if (deleteFiles.nonEmpty || eqDeleteFiles.nonEmpty)
+        summary.put("added-delete-files",
+          (deleteFiles.size + eqDeleteFiles.size).toString)
+      val posDeletes = deleteFiles.map(_._3).sum + dvEntries.map(_.cardinality).sum
+      if (deleteFiles.nonEmpty || dvEntries.nonEmpty)
+        summary.put("added-position-deletes", posDeletes.toString)
+      if (eqDeleteFiles.nonEmpty)
         summary.put("added-equality-deletes", eqDeleteFiles.map(_._3).sum.toString)
-      }
-      if (dvEntries.nonEmpty)
-        summary.put("added-position-deletes", dvEntries.map(_.cardinality).sum.toString)
       summaryExtra.foreach { case (k, v2) => summary.put(k, v2) }
       sn.put("manifest-list", mlRel)
       mapper.writeValueAsString(sn)
@@ -1634,7 +1635,13 @@ object IcebergSink {
     val rows: Seq[org.apache.spark.sql.Row] = st.dataPaths.map { p =>
       val tuple = st.dataTuples.getOrElse(p, return None)
       val vals = idFields.map { f =>
-        decode(tuple.getOrElse(f.name, null), f.resultType).getOrElse(return None)
+        // A field ABSENT from the tuple is NOT a null value: after ADD
+        // PARTITION FIELD, pre-evolution files' manifest tuples lack the
+        // new field entirely, and treating that as null would make a
+        // metadata-only DELETE silently skip files whose ROWS may match.
+        // Missing field → not tuple-decidable → row-level fallback.
+        if (!tuple.contains(f.name)) return None
+        decode(tuple(f.name), f.resultType).getOrElse(return None)
       }
       org.apache.spark.sql.Row.fromSeq(p +: vals)
     }
@@ -2731,6 +2738,20 @@ object IcebergSink {
         new FsInput(abs(m), conf), new GenericDatumReader[GenericRecord]())
       try r.iterator().asScala.foreach { e =>
         if (e.get("status").asInstanceOf[Int] != 2) {
+          // An entry schema WITHOUT sequence_number (foreign/older writer)
+          // can only inherit its manifest's sequence — after consolidation
+          // that manifest carries maxSeq, silently inflating the entry's
+          // sequence past any equality-delete it was subject to (the
+          // strictly-lower rule) and resurrecting deleted rows. Refuse
+          // unless inheritance is a no-op (mseq already == maxSeq).
+          if (Option(e.getSchema.getField("sequence_number")).isEmpty &&
+              mseq != st.lastSeq)
+            throw IcebergReadException(
+              s"rewrite_manifests: manifest `$m` (sequence $mseq) has an " +
+              s"entry schema without sequence_number; consolidating would " +
+              s"inflate its entries' inherited sequence to ${st.lastSeq}, " +
+              "breaking delete-file visibility — leave it unconsolidated " +
+              "or rewrite it with a sequence-bearing writer first")
           if (Option(e.getSchema.getField("sequence_number")).isDefined &&
               e.get("sequence_number") == null)
             e.put("sequence_number", Long.box(mseq))

@@ -969,8 +969,8 @@ object RelationalQueries {
     Some("""
       SELECT event_type AS etype, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-             sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_m
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_m
       FROM events GROUP BY 1"""))
 
   val all: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

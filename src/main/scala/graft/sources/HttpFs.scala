@@ -74,7 +74,15 @@ class HttpFileSystem extends FileSystem {
       if (code == 404 || code == 410) throw new FileNotFoundException(s"$f: HTTP $code")
       if (code / 100 != 2) throw new IOException(
         s"HEAD $u returned HTTP $code ${Option(c.getResponseMessage).getOrElse("")}")
-      val len = c.getContentLengthLong match { case -1 => 0L; case n => n }
+      // A missing Content-Length (chunked HEAD, no header) must fail LOUD:
+      // mapping it to 0 makes every read EOF immediately and scans yield
+      // silently empty results — the opposite of this class's contract.
+      val len = c.getContentLengthLong match {
+        case -1 => throw new IOException(
+          s"HEAD $u did not report Content-Length — cannot range-read; " +
+            "this filesystem requires a server with deterministic lengths")
+        case n => n
+      }
       val mtime = c.getLastModified
       new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, f)
     } finally c.disconnect()

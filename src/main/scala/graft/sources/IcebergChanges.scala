@@ -59,23 +59,42 @@ object IcebergChanges {
       .map(sn => (sn.path("snapshot-id").asLong(),
         sn.path("timestamp-ms").asLong(),
         sn.path("summary").path("operation").asText("append")))
-      .sortBy(_._1)
-    if (!snaps.exists(_._1 == startId)) throw IcebergReadException(
-      s"`$root`: start_snapshot $startId not in table metadata (known: " +
-        s"${snaps.map(_._1).mkString(", ")}) — expired?")
+    val snapById = snaps.map(s => s._1 -> s).toMap
+    // MAIN lineage only: branch (WAP) snapshots share the `snapshots` list
+    // and the id sequence, but never enter snapshot-log (the writer keeps
+    // it branch-free per spec). Walking all snapshots would diff a
+    // main-line snapshot against an unpublished audit-branch one,
+    // fabricating insert/delete pairs with wrong attribution. snapshot-log
+    // order IS commit order — no id-sort assumption needed.
+    val logIds = meta.path("snapshot-log").elements().asScala.toSeq
+      .map(_.path("snapshot-id").asLong()).distinct
+    val mainLine: Seq[(Long, Long, String)] =
+      if (logIds.nonEmpty) logIds.flatMap(snapById.get)
+      else snaps.sortBy(_._1)
+    def requireMain(id: Long, what: String): Unit =
+      if (!mainLine.exists(_._1 == id)) {
+        if (snapById.contains(id)) throw IcebergReadException(
+          s"`$root`: $what $id is a branch snapshot (not on the main " +
+            "lineage) — changelog ranges must use published snapshots")
+        else throw IcebergReadException(
+          s"`$root`: $what $id not in table metadata (known: " +
+            s"${mainLine.map(_._1).mkString(", ")}) — expired?")
+      }
+    requireMain(startId, "start_snapshot")
     val endId = options.get("end_snapshot").map { v =>
       val id = try v.toLong catch {
         case _: NumberFormatException =>
           throw IcebergReadException(s"end_snapshot `$v` is not a number")
       }
-      if (!snaps.exists(_._1 == id)) throw IcebergReadException(
-        s"`$root`: end_snapshot $id not in table metadata")
+      requireMain(id, "end_snapshot")
       id
     }.getOrElse(meta.path("current-snapshot-id").asLong())
-    if (endId < startId) throw IcebergReadException(
-      s"`$root`: end_snapshot $endId is below start_snapshot $startId")
+    val startIdx = mainLine.indexWhere(_._1 == startId)
+    val endIdx = mainLine.indexWhere(_._1 == endId)
+    if (endIdx < startIdx) throw IcebergReadException(
+      s"`$root`: end_snapshot $endId precedes start_snapshot $startId")
 
-    val range = snaps.filter { case (id, _, _) => id > startId && id <= endId }
+    val range = mainLine.slice(startIdx + 1, endIdx + 1)
     def pinned(id: Long): DataFrame =
       IcebergNative.read(spark, root, Map("snapshot_id" -> id.toString))
     val baseSchema = pinned(endId).schema

@@ -59,6 +59,19 @@ def main():
             results[name] = f"COLS: spark={list(s.columns)} oracle={list(o.columns)}"; continue
         if len(s) != len(o):
             results[name] = f"ROWS: spark={len(s)} oracle={len(o)}"; continue
+        # Dtype-parity guard (the HUGEINT hazard): DuckDB sum(<integer>)
+        # returns HUGEINT, which fetchdf surfaces as float64 while Spark
+        # emits int64 — values compare equal here but the driver's hasher
+        # rejects the representation. Flag any integer-vs-float kind
+        # divergence BEFORE the value coercion below can launder it.
+        dbad = []
+        for c in s.columns:
+            sk, ok = s[c].dtype.kind, o[c].dtype.kind
+            if (sk in "iu" and ok == "f") or (sk == "f" and ok in "iu"):
+                dbad.append(f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                            " (HUGEINT oracle? wrap the aggregate in CAST)")
+        if dbad:
+            results[name] = "DTYPE: " + "; ".join(dbad[:3]); continue
         bad = []
         for c in s.columns:
             a, b = s[c].values, o[c].values
