@@ -32,7 +32,7 @@ object DeltaSink {
 
   val validOptions: Set[String] =
     Set("partition_by", "overwrite", "change_data_feed", "compression",
-      "max_file_size_rows")
+      "max_file_size_rows", "row_tracking")
 
   /** `txn = Some((appId, version))` makes the commit IDEMPOTENT per the
     * protocol's transaction-identifier rule: the log's highest committed
@@ -58,6 +58,7 @@ object DeltaSink {
     }
     val overwrite = options.get("overwrite").exists(_.toBoolean)
     val cdf = options.get("change_data_feed").exists(_.toBoolean)
+    val rtOpt = options.get("row_tracking").exists(_.toBoolean)
 
     // ---- existing-table state (checkpoint + commit JSONs after it) ----
     val st = replayState(spark, rootPath)
@@ -119,6 +120,11 @@ object DeltaSink {
         throw Catalog.InvalidOptionException(
           "change_data_feed is a table property set at creation; it cannot be " +
             "changed by a later COPY")
+      val tableRt = tableConf.get("delta.enableRowTracking").exists(_.toBoolean)
+      if (options.contains("row_tracking") && rtOpt != tableRt)
+        throw Catalog.InvalidOptionException(
+          "row_tracking is a table property set at creation; it cannot be " +
+            "changed by a later COPY")
     }
 
     // idempotence gate: this txn (micro-batch) already landed → no-op
@@ -140,9 +146,27 @@ object DeltaSink {
       lines += s"""{"txn":{"appId":${esc(appId)},"version":$v}}"""
     }
     if (creating) {
-      lines += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${if (cdf) 4 else 2}}}"""
+      // rowTracking needs the table-features protocol (it depends on the
+      // domainMetadata writer feature carrying the id high-water mark)
+      lines +=
+        (if (rtOpt) {
+          val feats = (Seq("rowTracking", "domainMetadata") ++
+            (if (cdf) Seq("changeDataFeed") else Nil)).sorted
+            .map("\"" + _ + "\"").mkString(",")
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":[$feats]}}"""
+        } else
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${if (cdf) 4 else 2}}}""")
       val conf = mapper.createObjectNode()
       if (cdf) conf.put("delta.enableChangeDataFeed", "true")
+      if (rtOpt) {
+        // stable-id preservation writes under randomly-named hidden
+        // physical columns (the delta-spark arrangement) — fixed at
+        // creation so every later rewrite agrees on the names
+        val suffix = java.util.UUID.randomUUID().toString
+        conf.put("delta.enableRowTracking", "true")
+        conf.put(MatRowIdKey, s"_row-id-col-$suffix")
+        conf.put(MatRowVerKey, s"_row-commit-version-col-$suffix")
+      }
       val meta = mapper.createObjectNode()
       meta.put("id", java.util.UUID.randomUUID().toString)
       val fmt = meta.putObject("format")
@@ -162,15 +186,18 @@ object DeltaSink {
     if (overwrite && !creating) live.keys.foreach { p =>
       lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
     }
+    val alloc = new RowIdAllocator(st, version, forceActive = creating && rtOpt)
     newFiles.foreach { f =>
       val pv = mapper.createObjectNode()
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pv.putNull(k) else pv.put(k, v)
       }
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
+    alloc.domainLine.foreach(lines += _)
     fs.mkdirs(logDir)
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
@@ -199,7 +226,12 @@ object DeltaSink {
     offset: Option[Int], sizeInBytes: Int, cardinality: Long)
 
   private[catalog] final case class LiveEntry(partitionValues: Map[String, String],
-    size: Long, modTime: Long, stats: Option[String], dv: Option[DvInfo]) {
+    size: Long, modTime: Long, stats: Option[String], dv: Option[DvInfo],
+    // PROTOCOL.md Row Tracking: the add action's fresh-row-id base and the
+    // commit version its rows default to — replayed so rewrites can
+    // preserve stable ids and checkpoints can carry them
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None) {
     def hasDv: Boolean = dv.isDefined
   }
 
@@ -284,6 +316,9 @@ object DeltaSink {
     "deletionVectors", // native DV write + read
     "generatedColumns", // computed when omitted, enforced when supplied
     "identityColumns", // generated on the start/step lattice, hwm tracked
+    "rowTracking", // baseRowId/defaultRowCommitVersion assigned, hwm domain
+    // maintained, stable ids preserved through rewrites via the
+    // materialized columns (see RowIdAllocator + the rt* helpers)
     "timestampNtz") // a type gate; parquet NTZ round-trips
   // Conditionally fine: generated/identity columns only oblige a writer to
   // COMPUTE expressions when they exist — a table carrying the feature but
@@ -332,6 +367,104 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: delta.appendOnly=true — $opName would delete or rewrite " +
           "existing rows, which an append-only table forbids")
+  }
+
+  // ------------------------------------------------------- row tracking
+  // PROTOCOL.md "Row Tracking": when the protocol lists the rowTracking
+  // writer feature, every add action carries a fresh, non-overlapping
+  // [baseRowId, baseRowId+numRecords) range and the commit version its
+  // rows default to; the high-water mark lives in domainMetadata domain
+  // `delta.rowTracking`. When the table property delta.enableRowTracking
+  // is true, row ids are STABLE: rewrites that copy rows must materialize
+  // each row's id (and original commit version) into the table's hidden
+  // materialized columns, so default arithmetic (base + position) only
+  // ever applies to rows that have never moved.
+  private val RowTrackingDomain = "delta.rowTracking"
+  private[catalog] val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  private[catalog] val MatRowVerKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private[catalog] def rowTrackingSupported(st: TableState): Boolean =
+    st.protocol.exists(p => p.minWriter >= 7 &&
+      p.writerFeatures.contains("rowTracking"))
+  private[catalog] def rowTrackingEnabled(st: TableState): Boolean =
+    rowTrackingSupported(st) &&
+      st.conf.get("delta.enableRowTracking").exists(_.toBoolean)
+
+  private def rowIdHwm(st: TableState): Long =
+    st.domains.get(RowTrackingDomain).flatMap { c =>
+      val n = mapper.readTree(c).path("rowIdHighWaterMark")
+      if (n.isNumber) Some(n.asLong()) else None
+    }.getOrElse(-1L)
+
+  private def statsNumRecords(stats: String, path: String): Long = {
+    val n = mapper.readTree(stats).path("numRecords")
+    if (n.isNumber) n.asLong()
+    else throw DeltaReadException(
+      s"`$path`: a written file's stats carry no numRecords — cannot " +
+        "assign row ids on a rowTracking table")
+  }
+
+  /** Per-commit fresh row-id allocation: `fields(n)` hands the next
+    * non-overlapping base range to an add action; `domainLine` emits the
+    * advanced high-water mark (one domainMetadata action per commit that
+    * allocated anything). Inactive (empty strings, no line) on tables
+    * whose protocol does not list rowTracking. */
+  private[catalog] final class RowIdAllocator(st: TableState,
+      commitVersion: Long, forceActive: Boolean = false) {
+    val active: Boolean = forceActive || rowTrackingSupported(st)
+    private var next: Long = rowIdHwm(st) + 1
+    private var allocated = false
+    def fields(numRecords: Long): String =
+      if (!active) ""
+      else {
+        val base = next
+        next += math.max(numRecords, 0L)
+        allocated = true
+        s""","baseRowId":$base,"defaultRowCommitVersion":$commitVersion"""
+      }
+    def domainLine: Option[String] =
+      if (!active || !allocated) None
+      else Some(s"""{"domainMetadata":{"domain":"$RowTrackingDomain",""" +
+        s""""configuration":${mapper.writeValueAsString(
+          s"""{"rowIdHighWaterMark":${next - 1}}""")},"removed":false}}""")
+  }
+
+  /** Echo a live entry's row-tracking fields on a re-emitted add (DV
+    * re-adds, RESTORE, clone) — losing them would re-default every row. */
+  private def rtEchoFields(e: LiveEntry): String =
+    e.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      e.defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
+
+  /** The materialized column names preservation writes under — demanded
+    * from the table configuration (this writer's creation path always sets
+    * them alongside delta.enableRowTracking). */
+  private def rtMatCols(st: TableState, path: String): (String, String) = {
+    val id = st.conf.getOrElse(MatRowIdKey, throw DeltaReadException(
+      s"`$path`: delta.enableRowTracking is set but the table configuration " +
+        s"lacks $MatRowIdKey — cannot preserve stable row ids; use a delta " +
+        "connector jar"))
+    val ver = st.conf.getOrElse(MatRowVerKey, throw DeltaReadException(
+      s"`$path`: delta.enableRowTracking is set but the table configuration " +
+        s"lacks $MatRowVerKey — cannot preserve stable row ids; use a delta " +
+        "connector jar"))
+    (id, ver)
+  }
+
+  /** Tiny per-file frame (path key → baseRowId, defaultRowCommitVersion)
+    * broadcast-joined against scans that must compute each row's stable
+    * id: coalesce(materialized, base + row_index). */
+  private def rtInfoDf(spark: org.apache.spark.sql.SparkSession,
+      st: TableState, resolve: String => String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("__rt_key", StringType, nullable = false),
+      StructField("__rt_base", LongType, nullable = true),
+      StructField("__rt_def", LongType, nullable = true)))
+    val rows = st.live.toSeq.map { case (rel, e) =>
+      org.apache.spark.sql.Row(graft.sources.PathKeys.key(resolve(rel)),
+        e.baseRowId.map(Long.box).orNull,
+        e.defaultRowCommitVersion.map(Long.box).orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Enforce CHECK constraints (delta.constraints.*, writer v3), expression
@@ -621,9 +754,11 @@ object DeltaSink {
             "add.deletionVector.cardinality")
           else Seq("CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
             "CAST(NULL AS INT)", "CAST(NULL AS INT)", "CAST(NULL AS BIGINT)")
+        val rtSels = Seq("baseRowId", "defaultRowCommitVersion").map(f =>
+          if (sub.contains(f)) s"add.$f" else "CAST(NULL AS BIGINT)")
         cp.filter(org.apache.spark.sql.functions.col("add").isNotNull)
           .selectExpr(Seq("add.path", "add.partitionValues", "add.size",
-            "add.modificationTime", "add.stats") ++ dvSels: _*)
+            "add.modificationTime", "add.stats") ++ dvSels ++ rtSels: _*)
           .collect().foreach { r =>
             val dvInfo: Option[DvInfo] =
               if (r.isNullAt(5)) None
@@ -638,7 +773,9 @@ object DeltaSink {
               if (r.isNullAt(2)) 0L else r.getLong(2),
               if (r.isNullAt(3)) 0L else r.getLong(3),
               Option(r.getString(4)).filter(_.nonEmpty),
-              dvInfo)
+              dvInfo,
+              baseRowId = if (r.isNullAt(10)) None else Some(r.getLong(10)),
+              defaultRowCommitVersion = if (r.isNullAt(11)) None else Some(r.getLong(11)))
           }
       }
     }
@@ -697,6 +834,10 @@ object DeltaSink {
           if (dvInfo.isDefined && forbidDv.nonEmpty) throw DeltaReadException(
             s"`$rootPath`: deletion-vector files — use a delta connector jar " +
               s"for $forbidDv")
+          def optLong(k: String): Option[Long] = {
+            val n = a.path(k)
+            if (n.isNumber) Some(n.asLong()) else None
+          }
           live(a.path("path").asText()) = LiveEntry(
             a.path("partitionValues").fields().asScala
               .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
@@ -704,7 +845,9 @@ object DeltaSink {
             a.path("modificationTime").asLong(0L),
             Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
               .map(_.asText()),
-            dvInfo)
+            dvInfo,
+            baseRowId = optLong("baseRowId"),
+            defaultRowCommitVersion = optLong("defaultRowCommitVersion"))
         }
         if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
         if (n.has("domainMetadata")) {
@@ -785,7 +928,7 @@ object DeltaSink {
         s"${esc(k)}:${if (v == null) "null" else esc(v)}"
       }.mkString("{", ",", "}")
       s"""{"add":{"path":${esc(absUri(rel))},"partitionValues":$pv,""" +
-        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true""" +
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true${rtEchoFields(e)}""" +
         e.stats.map(s0 => s""","stats":${esc(s0)}""").getOrElse("") + "}}"
     }
     val protoJson = st.protocol.map(_.json).getOrElse(
@@ -793,10 +936,16 @@ object DeltaSink {
     fs.mkdirs(dstLog) // metaDataJson probes the log dir for an existing id
     val metaData = metaDataJson(spark, fs, dstLog,
       DataType.fromJson(schemaJson).asInstanceOf[StructType], st.partCols, st.conf)
+    // live domains ride along — dropping delta.rowTracking's high-water
+    // mark would let the clone's first append allocate row-id ranges that
+    // overlap the cloned files' existing baseRowIds
+    val domainLines = st.domains.toSeq.map { case (d, c) =>
+      s"""{"domainMetadata":{"domain":${esc(d)},"configuration":${esc(c)},"removed":false}}"""
+    }
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"CLONE","operationParameters":{"source":${esc(srcPath)}}}}""",
       protoJson,
-      s"""{"metaData":$metaData}""") ++ adds
+      s"""{"metaData":$metaData}""") ++ domainLines ++ adds
     writeCommit(fs, dstLog, 0L, withIct(st, lines), dstPath)
     st.live.size.toLong
   }
@@ -1172,7 +1321,7 @@ object DeltaSink {
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":$version}}}"""
     removes.foreach { rel =>
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$now,"dataChange":true${rtEchoFields(cur.live(rel))}}}"""
     }
     adds.foreach { case (rel, e) =>
       val pvNode = mapper.createObjectNode()
@@ -1180,8 +1329,10 @@ object DeltaSink {
         if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
       }
       val statsPart = e.stats.map(s0 => s""","stats":${esc(s0)}""").getOrElse("")
+      // re-adds keep their ORIGINAL row-id base/default (content identical,
+      // rows never moved); the hwm never rewinds, so no domain update
       lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
-        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true$statsPart}}"""
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true${rtEchoFields(e)}$statsPart}}"""
     }
     val newVersion = cur.version + 1
     val target = new Path(logDir, f"$newVersion%020d.json")
@@ -1246,7 +1397,11 @@ object DeltaSink {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        // row tracking: a checkpoint that dropped these would re-default
+        // every folded file's row ids from a lost base
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       // a checkpoint that dropped these would erase the domains' state
       // (PROTOCOL.md "Domain Metadata": the checkpoint carries the latest
       // live domainMetadata per domain; removed tombstones are reconciled
@@ -1291,7 +1446,9 @@ object DeltaSink {
       val dvRow = e.dv.map(d =>
         Row(d.storageType, d.payload, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
-      Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow)
+      Row(p, e.partitionValues, e.size, e.modTime, false, e.stats.orNull, dvRow,
+        e.baseRowId.map(Long.box).orNull,
+        e.defaultRowCommitVersion.map(Long.box).orNull)
     }
     val txnRows = st.txnVersions.toSeq
     val domRows = st.domains.toSeq.map { case (d, c) => Row(d, c, false) }
@@ -1532,8 +1689,18 @@ object DeltaSink {
 
     // one scan, log partitions attached, physical row index per file
     val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f =>
+    val dataSchema0 = StructType(dataFields.map(f =>
       StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
+    // row tracking: a DV never moves surviving rows (ids are position-
+    // stable by construction), but an UPDATE's post-SET images land in NEW
+    // files — they must carry their row ids materialized
+    val rtOn = rowTrackingEnabled(st)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    val matColNames: Seq[String] = rtMat.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val dataSchema =
+      if (!rtOn) dataSchema0
+      else StructType(dataSchema0.fields ++
+        matColNames.map(n => StructField(n, LongType, nullable = true)))
     val byTuple = st.live.toSeq.groupBy(_._2.partitionValues)
     val scans = byTuple.toSeq.map { case (pv, files) =>
       var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
@@ -1541,14 +1708,15 @@ object DeltaSink {
         col("_metadata.row_index").as("__pos"))
       if (mapped)
         s0 = s0.select(dataFields.map(f =>
-          col(physName(f)).as(f.name)).toSeq ++ metaCols: _*)
+          col(physName(f)).as(f.name)).toSeq ++ matColNames.map(col) ++ metaCols: _*)
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
         s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
-      if (mapped) s0.select(schema.fieldNames.map(col).toSeq ++ Seq(
-        col("__file"), col("__pos")): _*)
-      else s0.select(schema.fieldNames.map(col).toSeq ++ metaCols: _*)
+      if (mapped) s0.select(schema.fieldNames.map(col).toSeq ++
+        matColNames.map(col) ++ Seq(col("__file"), col("__pos")): _*)
+      else s0.select(schema.fieldNames.map(col).toSeq ++
+        matColNames.map(col) ++ metaCols: _*)
     }
     val isUpdate = setExprs.nonEmpty
     setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
@@ -1630,11 +1798,24 @@ object DeltaSink {
     val imageFiles =
       if (!isUpdate) Nil
       else {
-        val images = matchedRows.select(schema.fields.map { f =>
+        val transforms = schema.fields.map { f =>
           setExprs.get(f.name)
             .map(e => expr(e).cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))
-        }.toSeq: _*)
+        }.toSeq
+        val images = rtMat match {
+          case None => matchedRows.select(transforms: _*)
+          case Some((matId, matVer)) =>
+            import org.apache.spark.sql.functions.{broadcast, coalesce}
+            // an updated row keeps its id (materialized); its commit
+            // version re-defaults to THIS commit (materialized null)
+            matchedRows
+              .withColumn("__rt_key", graft.sources.PathKeys.keyCol(col("__file")))
+              .join(broadcast(rtInfoDf(spark, st, resolve)), Seq("__rt_key"), "left")
+              .select(transforms ++ Seq(
+                coalesce(col(matId), col("__rt_base") + col("__pos")).as(matId),
+                lit(null).cast("long").as(matVer)): _*)
+        }
         // post-SET images are rows this writer ADDS — constraint-check them
         validateIncomingRows(st, images, path)
         writeDataFiles(toPhys(images), rootPath, partColsT.map(physKey), Map.empty)
@@ -1652,6 +1833,8 @@ object DeltaSink {
     // legacy-implied features carried over per PROTOCOL.md
     val curProto = st.protocol.getOrElse(ProtoInfo(1, 2, Set.empty, Set.empty))
     if (!curProto.supportsDv) lines += curProto.withDeletionVectors.json
+    val version = st.version + 1
+    val alloc = new RowIdAllocator(st, version)
     descriptors.foreach { case (abs, storage, payload, size, card) =>
       val rel = relByAbs.getOrElse(norm(abs),
         throw DeltaReadException(s"`$path`: scanned file $abs is not in the live set"))
@@ -1683,9 +1866,11 @@ object DeltaSink {
         o.put("cardinality", d.cardinality)
         s""","deletionVector":${mapper.writeValueAsString(o)}"""
       }.getOrElse("")
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true$oldDvJson}}"""
+      // the re-add keeps the file's ORIGINAL base/default — rows never
+      // moved, so their ids still derive from the original range
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":true$oldDvJson${rtEchoFields(e)}}}"""
       lines += s"""{"add":{"path":${esc(rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
-        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true,""" +
+        s""""size":${e.size},"modificationTime":${e.modTime},"dataChange":true${rtEchoFields(e)},""" +
         loosened.map(s0 => s""""stats":${esc(s0)},""").getOrElse("") +
         s""""deletionVector":${mapper.writeValueAsString(dv)}}}"""
     }
@@ -1694,11 +1879,12 @@ object DeltaSink {
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pv.putNull(k) else pv.put(k, v)
       }
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target = new Path(logDir, f"$version%020d.json")
     val staged = new Path(logDir,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -1755,8 +1941,17 @@ object DeltaSink {
       val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
       fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
     }
-    val dataSchema = StructType(schema.fields.filterNot(f => partColsT.contains(f.name))
+    val dataSchema0 = StructType(schema.fields.filterNot(f => partColsT.contains(f.name))
       .map(f => StructField(physName(f), f.dataType, f.nullable)))
+    // row tracking: the purge MOVES surviving rows into new files —
+    // materialize their ids (and original commit versions) first
+    val rtOn = rowTrackingEnabled(st)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    val matColNames: Seq[String] = rtMat.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val dataSchema =
+      if (!rtOn) dataSchema0
+      else StructType(dataSchema0.fields ++
+        matColNames.map(n => StructField(n, LongType, nullable = true)))
     // survivors of ONLY the DV'd files, dead positions anti-joined in
     // executors via the reader's decode machinery
     val dvPairs: Seq[(String, DeletionVectors.Descriptor)] = dvFiles.map { case (rel, e) =>
@@ -1767,15 +1962,33 @@ object DeltaSink {
     val byTuple = dvFiles.groupBy(_._2.partitionValues)
     val scans = byTuple.toSeq.map { case (pv, files) =>
       var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      // _metadata addressed on the direct scan, before the DV anti-join's
+      // own joins make it unreachable; a DV'd file's surviving rows keep
+      // their ORIGINAL physical positions, so base + row_index stays right
+      if (rtOn) s0 = s0
+        .withColumn("__rt_key", graft.sources.PathKeys.keyCol(col("_metadata.file_path")))
+        .withColumn("__rt_idx", col("_metadata.row_index"))
       val cleaned = DeletionVectors.applyTo(spark, s0, dvPairs, rootPath)
       var s1 = cleaned
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
         s1 = s1.withColumn(physKey(pc), lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
-      s1.select(schema.fieldNames.map(n => col(physKey(n))).toSeq: _*)
+      s1.select(schema.fieldNames.map(n => col(physKey(n))).toSeq ++
+        matColNames.map(col) ++
+        (if (rtOn) Seq(col("__rt_key"), col("__rt_idx")) else Nil): _*)
     }
-    val survivors = scans.reduce(_ unionByName _)
+    val survivors0 = scans.reduce(_ unionByName _)
+    val survivors = rtMat match {
+      case None => survivors0
+      case Some((matId, matVer)) =>
+        import org.apache.spark.sql.functions.{broadcast, coalesce}
+        survivors0
+          .join(broadcast(rtInfoDf(spark, st, resolve)), Seq("__rt_key"), "left")
+          .withColumn(matId, coalesce(col(matId), col("__rt_base") + col("__rt_idx")))
+          .withColumn(matVer, coalesce(col(matVer), col("__rt_def")))
+          .drop("__rt_key", "__rt_idx", "__rt_base", "__rt_def")
+    }
     val newFiles = writeDataFiles(survivors, rootPath, partColsT.map(physKey), Map.empty)
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
@@ -1792,18 +2005,21 @@ object DeltaSink {
       d.offset.foreach(o => dv.put("offset", o))
       dv.put("sizeInBytes", d.sizeInBytes)
       dv.put("cardinality", d.cardinality)
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":false,"deletionVector":${mapper.writeValueAsString(dv)}}}"""
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":$nowMs,"dataChange":false,"deletionVector":${mapper.writeValueAsString(dv)}${rtEchoFields(e)}}}"""
     }
+    val version = st.version + 1
+    val alloc = new RowIdAllocator(st, version)
     newFiles.foreach { f =>
       val pv = mapper.createObjectNode()
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pv.putNull(k) else pv.put(k, v)
       }
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pv)},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target = new Path(logDir, f"$version%020d.json")
     val staged = new Path(logDir,
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -1820,7 +2036,7 @@ object DeltaSink {
 
   private def copyOnWriteDml(spark: org.apache.spark.sql.SparkSession, path: String,
       predicateSql: String, setExprs: Map[String, String]): Long = {
-    import org.apache.spark.sql.functions.{col, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val logDir = new Path(rootPath, "_delta_log")
@@ -1905,7 +2121,7 @@ object DeltaSink {
           val lines = Seq.newBuilder[String]
           lines += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${esc0(predicateSql)},"strategy":"metadata-only-partition-drop"}}}"""
           matched.foreach { rel =>
-            lines += s"""{"remove":{"path":${esc0(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+            lines += s"""{"remove":{"path":${esc0(rel)},"deletionTimestamp":$now,"dataChange":true${rtEchoFields(st.live(rel))}}}"""
           }
           writeCommit(fs, logDir, st.version + 1, withIct(st, lines.result()), path)
           return counts.flatten.sum
@@ -1926,22 +2142,49 @@ object DeltaSink {
     // (union of per-partition-tuple scans — hive AND non-hive layouts);
     // within each branch the predicate pushes down to parquet as usual
     val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f =>
+    val dataSchema0 = StructType(dataFields.map(f =>
       StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
+    // row tracking: survivors (and updated rows) MOVE to new files, so the
+    // scan computes each row's stable id up front — materialized value when
+    // present, else file base + physical row position
+    val rtOn = rowTrackingEnabled(st)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    val matColNames: Seq[String] = rtMat.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val dataSchema =
+      if (!rtOn) dataSchema0
+      else StructType(dataSchema0.fields ++
+        matColNames.map(n => StructField(n, LongType, nullable = true)))
     val byTuple = live.toSeq.groupBy(_._2)
     val scans = byTuple.toSeq.map { case (pv, files) =>
       var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+      // _metadata must be addressed on the DIRECT scan, before any select
+      if (rtOn) s0 = s0.withColumn("__rt_idx", col("_metadata.row_index"))
       if (mapped) // physical file columns → the logical names the SQL sees
-        s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+        s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq
+          ++ matColNames.map(col)
+          ++ (if (rtOn) Seq(col("__rt_idx")) else Nil): _*)
       partColsT.foreach { pc =>
         val f = schema(schema.fieldIndex(pc))
         // add.partitionValues are keyed by PHYSICAL names under mapping
         s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
       }
-      s0.select(schema.fieldNames.map(col).toSeq :+
-        input_file_name().as("__file"): _*)
+      s0.select(schema.fieldNames.map(col).toSeq ++
+        Seq(input_file_name().as("__file")) ++
+        matColNames.map(col) ++
+        (if (rtOn) Seq(col("__rt_idx")) else Nil): _*)
     }
-    val full = scans.reduce(_ unionByName _)
+    val full0 = scans.reduce(_ unionByName _)
+    val full = rtMat match {
+      case None => full0
+      case Some((matId, matVer)) =>
+        full0.withColumn("__rt_key", graft.sources.PathKeys.keyCol(col("__file")))
+          .join(broadcast(rtInfoDf(spark, st, resolve)), Seq("__rt_key"), "left")
+          .withColumn("__rt_id", coalesce(col(matId), col("__rt_base") + col("__rt_idx")))
+          .withColumn("__rt_ver", coalesce(col(matVer), col("__rt_def")))
+          .drop(Seq("__rt_key", "__rt_idx", "__rt_base", "__rt_def") ++ matColNames: _*)
+    }
+    val rtCarry: Seq[org.apache.spark.sql.Column] =
+      if (rtOn) Seq(col("__rt_id"), col("__rt_ver")) else Nil
     val pred = expr(predicateSql)
     val affectedAbs = full.filter(pred).select(col("__file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -1952,7 +2195,7 @@ object DeltaSink {
     // survivors + changed rows come from the SAME bounded re-scan of only
     // the affected files
     val affectedScan = full.filter(col("__file").isin(affectedAbs: _*))
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      .select(schema.fieldNames.map(col).toSeq ++ rtCarry: _*)
     val isUpdate = setExprs.nonEmpty
     setExprs.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
       throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
@@ -1967,12 +2210,23 @@ object DeltaSink {
         setExprs.get(f.name)
           .map(e => expr(e).cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
-      }.toSeq: _*)
+      }.toSeq ++
+        // an updated row KEEPS its row id; its commit version re-defaults
+        // to THIS commit (materialized version null → add's default)
+        (if (rtOn) Seq(col("__rt_id"), lit(null).cast("long").as("__rt_ver"))
+         else Nil): _*)
     // the post-SET images are rows this writer ADDS — constraint-check them
     if (isUpdate) validateIncomingRows(st, updated, path)
-    val survivors =
+    val survivors0 =
       if (isUpdate) affectedScan.filter(!pred).unionByName(updated)
       else affectedScan.filter(!pred)
+    // preserved ids land under the table's materialized column names
+    val survivors = rtMat match {
+      case None => survivors0
+      case Some((matId, matVer)) => survivors0
+        .withColumnRenamed("__rt_id", matId)
+        .withColumnRenamed("__rt_ver", matVer)
+    }
     val changedCount = matching.count()
     val newFiles = writeDataFiles(toPhys(survivors), rootPath,
       partColsT.map(physKey), Map.empty)
@@ -1980,12 +2234,15 @@ object DeltaSink {
     // ACTION's partitionValues (hive dirs under _change_data), the file
     // holds data columns + _change_type — exactly what the CDF reader
     // (DeltaChanges) reconstructs
-    val cdcFrame =
+    val cdcFrame0 =
       if (!cdf) null
       else if (isUpdate)
         matching.withColumn("_change_type", lit("update_preimage"))
           .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
       else matching.withColumn("_change_type", lit("delete"))
+    val cdcFrame =
+      if (cdcFrame0 == null || !rtOn) cdcFrame0
+      else cdcFrame0.drop("__rt_id", "__rt_ver")
     val cdcFiles =
       if (cdcFrame == null) Nil
       else writeDataFiles(toPhys(cdcFrame), rootPath, partColsT.map(physKey),
@@ -2002,19 +2259,22 @@ object DeltaSink {
       }
       lines += s"""{"cdc":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},"size":${f.size},"dataChange":false}}"""
     }
+    val version = st.version + 1
+    val alloc = new RowIdAllocator(st, version)
     affectedRel.foreach { rel =>
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${rtEchoFields(st.live(rel))}}}"""
     }
     newFiles.foreach { f =>
       val pvNode = mapper.createObjectNode()
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
       }
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -2096,23 +2356,53 @@ object DeltaSink {
     val relByAbs: Map[String, String] = live.keys.map(r => norm(resolve(r)) -> r).toMap
 
     val dataFields = schema.fields.filterNot(f => partColsT.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f =>
+    val dataSchema0 = StructType(dataFields.map(f =>
       StructField(if (mapped) physName(f) else f.name, f.dataType, f.nullable)))
-    val target: DataFrame =
-      if (live.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(schema.fields :+ StructField("__file", StringType)))
-      else live.toSeq.groupBy(_._2).toSeq.map { case (pv, files) =>
-        var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
-        if (mapped)
-          s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
-        partColsT.foreach { pc =>
-          val f = schema(schema.fieldIndex(pc))
-          s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
-        }
-        s0.select(schema.fieldNames.map(col).toSeq :+
-          input_file_name().as("__file"): _*)
-      }.reduce(_ unionByName _)
+    // row tracking: rewritten files carry every target row's stable id
+    // materialized (updated rows keep their id, re-default their commit
+    // version; carried rows keep both); inserts default fresh
+    val rtOn = rowTrackingEnabled(st)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    val matColNames: Seq[String] = rtMat.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val dataSchema =
+      if (!rtOn) dataSchema0
+      else StructType(dataSchema0.fields ++
+        matColNames.map(n => StructField(n, LongType, nullable = true)))
+    val target: DataFrame = {
+      val target0: DataFrame =
+        if (live.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(schema.fields :+ StructField("__file", StringType)))
+        else live.toSeq.groupBy(_._2).toSeq.map { case (pv, files) =>
+          var s0 = spark.read.schema(dataSchema).parquet(files.map(f => resolve(f._1)): _*)
+          if (rtOn) s0 = s0.withColumn("__rt_idx", col("_metadata.row_index"))
+          if (mapped)
+            s0 = s0.select(dataFields.map(f => col(physName(f)).as(f.name)).toSeq
+              ++ matColNames.map(col)
+              ++ (if (rtOn) Seq(col("__rt_idx")) else Nil): _*)
+          partColsT.foreach { pc =>
+            val f = schema(schema.fieldIndex(pc))
+            s0 = s0.withColumn(pc, lit(pv.getOrElse(physKey(pc), null)).cast(f.dataType))
+          }
+          s0.select(schema.fieldNames.map(col).toSeq ++
+            Seq(input_file_name().as("__file")) ++
+            matColNames.map(col) ++
+            (if (rtOn) Seq(col("__rt_idx")) else Nil): _*)
+        }.reduce(_ unionByName _)
+      rtMat match {
+        case None => target0
+        case _ if live.isEmpty => target0
+          .withColumn("__rt_id", lit(null).cast("long"))
+          .withColumn("__rt_ver", lit(null).cast("long"))
+        case Some((matId, matVer)) =>
+          import org.apache.spark.sql.functions.broadcast
+          target0.withColumn("__rt_key", graft.sources.PathKeys.keyCol(col("__file")))
+            .join(broadcast(rtInfoDf(spark, st, resolve)), Seq("__rt_key"), "left")
+            .withColumn("__rt_id", coalesce(col(matId), col("__rt_base") + col("__rt_idx")))
+            .withColumn("__rt_ver", coalesce(col(matVer), col("__rt_def")))
+            .drop(Seq("__rt_key", "__rt_idx", "__rt_base", "__rt_def") ++ matColNames: _*)
+      }
+    }
 
     val srcCols = schema.fieldNames.toSeq
     // extra source columns (CDC metadata like _change_type) stay visible to
@@ -2163,7 +2453,16 @@ object DeltaSink {
           org.apache.spark.sql.functions
             .when(matchedFlag, newVal(f))
             .otherwise(col(s"t.${f.name}")).as(f.name)
-        }.toSeq: _*)
+        }.toSeq ++ (rtMat match {
+          // carried rows keep id+version; updated rows keep id, re-default
+          // their commit version to THIS commit
+          case None => Nil
+          case Some((matId, matVer)) => Seq(
+            col("t.__rt_id").as(matId),
+            org.apache.spark.sql.functions
+              .when(matchedFlag, lit(null).cast("long"))
+              .otherwise(col("t.__rt_ver")).as(matVer))
+        }): _*)
     val updatedRows =
       if (!doRewrite) null
       else updatePairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq: _*)
@@ -2223,19 +2522,22 @@ object DeltaSink {
       }
       lines += s"""{"cdc":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},"size":${f.size},"dataChange":false}}"""
     }
+    val version = st.version + 1
+    val alloc = new RowIdAllocator(st, version)
     if (doRewrite) affectedRel.foreach { rel =>
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${rtEchoFields(st.live(rel))}}}"""
     }
     newFiles.foreach { f =>
       val pvNode = mapper.createObjectNode()
       f.partitionValues.foreach { case (k, v) =>
         if (v == null) pvNode.putNull(k) else pvNode.put(k, v)
       }
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":true$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target2 = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target2)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -2339,6 +2641,17 @@ object DeltaSink {
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE"}}"""
     def esc(s: String): String = mapper.writeValueAsString(s)
+    val version = st.version + 1
+    // row tracking: compaction MOVES rows, so stable ids must materialize
+    // into the hidden columns before positions renumber — each source row's
+    // id is coalesce(already-materialized, file base + row position)
+    val rtOn = rowTrackingEnabled(st)
+    val alloc = new RowIdAllocator(st, version)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    lazy val infoDf = rtInfoDf(spark, st, rel => {
+      val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+      fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+    })
     var removed = 0
     var added = 0
     groups.foreach { case (pv, files) =>
@@ -2350,7 +2663,23 @@ object DeltaSink {
       val tmp = new Path(rootPath,
         s"_graft_opt_${java.util.UUID.randomUUID().toString.take(8)}")
       IcebergSink.withMicrosTimestamps(spark) {
-        spark.read.parquet(abs: _*).coalesce(1).write.parquet(tmp.toString)
+        val src = rtMat match {
+          case None => spark.read.parquet(abs: _*)
+          case Some((matId, matVer)) =>
+            import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+            val s0 = spark.read.option("mergeSchema", "true").parquet(abs: _*)
+            val s1 = Seq(matId, matVer).foldLeft(s0)((d, n) =>
+              if (d.schema.fieldNames.contains(n)) d
+              else d.withColumn(n, lit(null).cast("long")))
+            s1.withColumn("__rt_key",
+                graft.sources.PathKeys.keyCol(col("_metadata.file_path")))
+              .withColumn("__rt_idx", col("_metadata.row_index"))
+              .join(broadcast(infoDf), Seq("__rt_key"), "left")
+              .withColumn(matId, coalesce(col(matId), col("__rt_base") + col("__rt_idx")))
+              .withColumn(matVer, coalesce(col(matVer), col("__rt_def")))
+              .drop("__rt_key", "__rt_idx", "__rt_base", "__rt_def")
+        }
+        src.coalesce(1).write.parquet(tmp.toString)
       }
       val part = {
         val it = fs.listFiles(tmp, true)
@@ -2374,16 +2703,18 @@ object DeltaSink {
       val destSt = fs.getFileStatus(dest)
       val pvNode = mapper.createObjectNode()
       pv.foreach { case (k, v) => if (v == null) pvNode.putNull(k) else pvNode.put(k, v) }
-      files.foreach { case (rel, _) =>
-        lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+      files.foreach { case (rel, e) =>
+        lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${rtEchoFields(e)}}}"""
         removed += 1
       }
+      val stats = footerStats(spark, dest, dataSchema, partColsPhys)
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(stats, path)) else ""
       lines += s"""{"add":{"path":${esc(destRel)},"partitionValues":${mapper.writeValueAsString(pvNode)},""" +
-        s""""size":${destSt.getLen},"modificationTime":${destSt.getModificationTime},"dataChange":false,""" +
-        s""""stats":${esc(footerStats(spark, dest, dataSchema, partColsPhys))}}}"""
+        s""""size":${destSt.getLen},"modificationTime":${destSt.getModificationTime},"dataChange":false$rt,""" +
+        s""""stats":${esc(stats)}}}"""
       added += 1
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")
@@ -2445,15 +2776,40 @@ object DeltaSink {
       if (f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
-    val readSchema =
+    val readSchema0 =
       if (!mapped) dataSchema
       else StructType(dataSchema.fields.map(f =>
         StructField(physName(f), f.dataType, f.nullable)))
-    val df0 = spark.read.schema(readSchema).parquet(abs: _*)
+    // row tracking: clustering MOVES every row — materialize stable ids
+    // (coalesce of any prior materialization with base + position) before
+    // the shuffle renumbers positions
+    val rtOn = rowTrackingEnabled(st)
+    val rtMat: Option[(String, String)] = if (rtOn) Some(rtMatCols(st, path)) else None
+    val matColNames: Seq[String] = rtMat.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    val readSchema =
+      if (!rtOn) readSchema0
+      else StructType(readSchema0.fields ++
+        matColNames.map(n => StructField(n, LongType, nullable = true)))
+    val df00 = spark.read.schema(readSchema).parquet(abs: _*)
+    val df0 = rtMat match {
+      case None => df00
+      case Some((matId, matVer)) =>
+        val infoDf = rtInfoDf(spark, st, rel => {
+          val dp = new Path(java.net.URLDecoder.decode(rel, "UTF-8"))
+          fs.makeQualified(if (dp.isAbsolute) dp else new Path(rootPath, dp)).toString
+        })
+        df00.withColumn("__rt_key",
+            graft.sources.PathKeys.keyCol(col("_metadata.file_path")))
+          .withColumn("__rt_idx", col("_metadata.row_index"))
+          .join(broadcast(infoDf), Seq("__rt_key"), "left")
+          .withColumn(matId, coalesce(col(matId), col("__rt_base") + col("__rt_idx")))
+          .withColumn(matVer, coalesce(col(matVer), col("__rt_def")))
+          .drop("__rt_key", "__rt_idx", "__rt_base", "__rt_def")
+    }
     val df =
       if (!mapped) df0
       else df0.select(dataSchema.fields.map(f =>
-        col(physName(f)).as(f.name)).toSeq: _*)
+        col(physName(f)).as(f.name)).toSeq ++ matColNames.map(col): _*)
     // per-column bucket expressions (256 buckets = 8 bits each)
     val numericish: Set[DataType] = Set(ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType, DateType, TimestampType, TimestampNTZType)
@@ -2503,20 +2859,23 @@ object DeltaSink {
     val clustered =
       if (!mapped) clustered0
       else clustered0.select(dataSchema.fields.map(f =>
-        col(f.name).as(physName(f))).toSeq: _*)
+        col(f.name).as(physName(f))).toSeq ++ matColNames.map(col): _*)
     val newFiles = writeDataFiles(clustered, rootPath, Nil, Map.empty)
     def esc(s: String): String = mapper.writeValueAsString(s)
+    val version = st.version + 1
+    val alloc = new RowIdAllocator(st, version)
     val lines = Seq.newBuilder[String]
     lines += s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${esc(zorderBy.mkString(","))}}}}"""
-    st.live.keys.foreach { rel =>
-      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}"""
+    st.live.foreach { case (rel, e) =>
+      lines += s"""{"remove":{"path":${esc(rel)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":false${rtEchoFields(e)}}}"""
     }
     newFiles.foreach { f =>
+      val rt = if (alloc.active) alloc.fields(statsNumRecords(f.stats, path)) else ""
       lines += s"""{"add":{"path":${esc(f.rel)},"partitionValues":{},""" +
-        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false,""" +
+        s""""size":${f.size},"modificationTime":${f.modTime},"dataChange":false$rt,""" +
         s""""stats":${esc(f.stats)}}}"""
     }
-    val version = st.version + 1
+    alloc.domainLine.foreach(lines += _)
     val target = new Path(logDir, f"$version%020d.json")
     if (fs.exists(target)) throw DeltaReadException(
       s"`$path`: commit $version already exists — another writer got there first")

@@ -63,7 +63,8 @@ object Formats {
   // lakehouse surface
   def delta: FormatSpec = FormatSpec("delta",
     commonOptions ++ Set("version_as_of", "timestamp_as_of", "changes_since",
-      "read_change_feed", "starting_version", "ending_version"), Set("files"))
+      "read_change_feed", "starting_version", "ending_version",
+      "row_tracking"), Set("files"))
   def iceberg: FormatSpec = FormatSpec(
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",

@@ -2497,8 +2497,56 @@ object FormatQueries {
       FROM orders WHERE o_orderpriority = '5-LOW'
       GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- w14
+  // ROW TRACKING (PROTOCOL.md Row Tracking): stable row identity across
+  // rewrites — the incremental-compute lever (a downstream materialized
+  // view keyed on _row_id survives table maintenance). Two deterministic
+  // single-file appends assign ids 0..n_even-1 (commit 0, even keys in key
+  // order) and n_even.. (commit 1, odd keys), then OPTIMIZE bin-packs both
+  // files into one — rows MOVE, ids must not. The read serves
+  // _row_id/_row_commit_version; the oracle recomputes the id lattice from
+  // raw. A compaction that renumbered, dropped the materialized columns,
+  // or mis-joined base+position fails rows AND hash.
+  private val w14 = QueryDef(
+    "w14_delta_row_tracking",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w14_rowtrack"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.catalog.DeltaSink.write(
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).sortWithinPartitions("o_orderkey"),
+        out, Map("row_tracking" -> "true"))
+      graft.catalog.DeltaSink.write(
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .coalesce(1).sortWithinPartitions("o_orderkey"),
+        out, Map.empty)
+      graft.catalog.DeltaSink.optimize(s, out)
+      Catalog.attach(s, "w14_orders_delta_rowtrack", "delta",
+        Map("files" -> out, "row_tracking" -> "true"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("_row_id")).as("sum_rid"),
+          sum(when(col("_row_commit_version") === 1, 1L).otherwise(0L)).as("n_v1"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT o_orderpriority,
+               CAST(row_number() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+                 + CASE WHEN o_orderkey % 2 = 1
+                     THEN (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+                     ELSE 0 END AS BIGINT) AS rid,
+               CAST(o_orderkey % 2 AS BIGINT) AS ver
+        FROM orders)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(rid) AS BIGINT) AS sum_rid,
+             CAST(sum(ver) AS BIGINT) AS n_v1
+      FROM ids GROUP BY o_orderpriority"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, f01, f02)
+      w08, w09, w10, w11, w12, w13, w14, f01, f02)
 }

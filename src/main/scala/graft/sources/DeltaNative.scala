@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, element_at, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, regexp_replace}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType, TimestampType}
 
 /** Minimal native Delta Lake reader — no connector jar required.
@@ -62,7 +62,12 @@ object DeltaNative {
   private final case class AddEntry(partitionValues: Map[String, String],
       dv: Option[DeletionVectors.Descriptor], size: Long = 0L,
       modificationTime: Long = 0L, stats: Option[String] = None,
-      addVersion: Long = 0L)
+      addVersion: Long = 0L,
+      // PROTOCOL.md Row Tracking: default row ids are baseRowId + row
+      // position, defaulting commit version to the add's commit — fuel for
+      // the `row_tracking=true` read option
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Table-history introspection (`delta_history('<root>')`): one row per
     * commit JSON in the log — version, resolved timestamp (the time-travel
@@ -163,13 +168,20 @@ object DeltaNative {
       a.path("partitionValues").fields().asScala
         .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
     def addEntryJson(a: JsonNode, dv: Option[DeletionVectors.Descriptor],
-        version: Long): AddEntry =
+        version: Long): AddEntry = {
+      def optLong(k: String): Option[Long] = {
+        val n = a.path(k)
+        if (n.isNumber) Some(n.asLong()) else None
+      }
       AddEntry(partValuesJson(a), dv,
         a.path("size").asLong(0L),
         a.path("modificationTime").asLong(0L),
         Option(a.path("stats")).filter(n => n.isTextual && n.asText().nonEmpty)
           .map(_.asText()),
-        addVersion = version)
+        addVersion = version,
+        baseRowId = optLong("baseRowId"),
+        defaultRowCommitVersion = optLong("defaultRowCommitVersion"))
+    }
     def dvJson(a: JsonNode): Option[DeletionVectors.Descriptor] = {
       val d = a.path("deletionVector")
       if (d.isMissingNode || d.isNull) None
@@ -292,7 +304,8 @@ object DeltaNative {
         val sub = structFields("add")
         val sel = Seq("path" -> "p", "partitionValues" -> "pv",
           "deletionVector" -> "dvv", "size" -> "sz",
-          "modificationTime" -> "mt", "stats" -> "st")
+          "modificationTime" -> "mt", "stats" -> "st",
+          "baseRowId" -> "bri", "defaultRowCommitVersion" -> "drcv")
           .collect { case (f, alias) if f == "path" || sub.contains(f) =>
             col(s"add.$f").as(alias)
           }
@@ -320,7 +333,9 @@ object DeltaNative {
             at("sz").map(r.getLong).getOrElse(0L),
             at("mt").map(r.getLong).getOrElse(0L),
             at("st").map(r.getString).filter(_.nonEmpty),
-            addVersion = cpVersion)
+            addVersion = cpVersion,
+            baseRowId = at("bri").map(r.getLong),
+            defaultRowCommitVersion = at("drcv").map(r.getLong))
         }
       }
       if (topFields.contains("sidecar"))
@@ -529,6 +544,34 @@ object DeltaNative {
     def withoutDeleted(df: DataFrame): DataFrame =
       DeletionVectors.applyTo(spark, df, dvs, rootPath)
 
+    // ROW TRACKING read (`row_tracking=true`): append `_row_id` and
+    // `_row_commit_version` columns per PROTOCOL.md Row Tracking — each
+    // row's id is its file's materialized value when present (rows that
+    // have moved through a rewrite) else baseRowId + row position; the
+    // commit version defaults to the add's defaultRowCommitVersion. The
+    // per-file (base, default) pairs broadcast-join against the scan, so
+    // the cost is one codegen'd projection + a tiny hash join — no extra
+    // pass, no driver data.
+    val withRowIds = options.get("row_tracking").exists(_.toBoolean)
+    val matIdName = tableConf.get("delta.rowTracking.materializedRowIdColumnName")
+    val matVerName = tableConf.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    if (withRowIds) {
+      if (!tableConf.get("delta.enableRowTracking").exists(_.toBoolean))
+        throw DeltaReadException(
+          s"`$root`: row_tracking=true but the table does not set " +
+            "delta.enableRowTracking — row ids are not stable (or present) " +
+            "on this table")
+      live.collectFirst { case (p, e) if e.baseRowId.isEmpty => p }.foreach { p =>
+        throw DeltaReadException(
+          s"`$root`: row_tracking=true but live file `$p` carries no " +
+            "baseRowId — a non-row-tracking writer touched this table; " +
+            "row ids cannot be served")
+      }
+    }
+    def rowIdSchema(base: StructType): StructType = StructType(base.fields ++ Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_row_commit_version", LongType, nullable = true)))
+
     // --- distributed data read over the resolved live files ---
     // The scan goes through a log-backed FileIndex (LogFileIndex): partition
     // values come FROM THE LOG as typed partition columns (hive and non-hive
@@ -537,10 +580,19 @@ object DeltaNative {
     // pushed data filters (the delta-kernel skipping design), and
     // sizeInBytes is the log's true byte count (honest broadcast decisions).
     if (live.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (withRowIds) rowIdSchema(schema) else schema)
     else {
-      val physDataSchema =
+      val physDataSchema0 =
         StructType(physSchema.fields.filterNot(f => physPartCols.contains(f.name)))
+      // the materialized row-id columns are physical-only (never in the
+      // table schema); files that predate any rewrite simply lack them and
+      // read as null — exactly the rows whose default arithmetic applies
+      val physDataSchema =
+        if (!withRowIds) physDataSchema0
+        else StructType(physDataSchema0.fields ++
+          (matIdName.toSeq ++ matVerName.toSeq).distinct
+            .map(n => StructField(n, LongType, nullable = true)))
       val partSchemaPhys = StructType(physPartCols.map { c =>
         physSchema(physSchema.fieldIndex(c)).copy(nullable = true)
       })
@@ -571,7 +623,39 @@ object DeltaNative {
       // DV anti-join FIRST (it addresses _metadata, gone after any select),
       // then restore the declared column order (the relation appends
       // partition columns last), then the logical rename
-      unmapped(withoutDeleted(scan).select(physSchema.fieldNames.map(col).toSeq: _*))
+      if (!withRowIds)
+        unmapped(withoutDeleted(scan).select(physSchema.fieldNames.map(col).toSeq: _*))
+      else {
+        val infoSchema = StructType(Seq(
+          StructField("__rt_key", StringType, nullable = false),
+          StructField("__rt_base", LongType, nullable = true),
+          StructField("__rt_def", LongType, nullable = true)))
+        val infoRows = live.map { case (p, e) =>
+          org.apache.spark.sql.Row(PathKeys.key(resolve(p)),
+            e.baseRowId.map(Long.box).orNull,
+            e.defaultRowCommitVersion.map(Long.box).orNull)
+        }
+        val infoDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+        // _metadata must be addressed BEFORE any join makes it unreachable;
+        // row_index is the PHYSICAL position, so DV-surviving rows keep
+        // their original ids (positions never renumber under a DV)
+        val base = scan
+          .withColumn("__rt_key", PathKeys.keyCol(col("_metadata.file_path")))
+          .withColumn("__rt_idx", col("_metadata.row_index"))
+        val joined = withoutDeleted(base)
+          .join(broadcast(infoDf), Seq("__rt_key"), "left")
+          .withColumn("_row_id",
+            coalesce(matIdName.map(col).toSeq :+ (col("__rt_base") + col("__rt_idx")): _*))
+          .withColumn("_row_commit_version",
+            coalesce(matVerName.map(col).toSeq :+ col("__rt_def"): _*))
+        val rtCols = Seq(col("_row_id"), col("_row_commit_version"))
+        val sel = joined.select(physSchema.fieldNames.map(col).toSeq ++ rtCols: _*)
+        if (!mappingActive) sel
+        else sel.select(schema.fields.map { f =>
+          col(physName(f)).cast(f.dataType).as(f.name)
+        }.toSeq ++ rtCols: _*)
+      }
     }
   }
 }

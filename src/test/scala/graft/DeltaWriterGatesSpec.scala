@@ -113,12 +113,13 @@ class DeltaWriterGatesSpec extends SparkSpec {
 
   test("unimplemented writer features refuse to write; implemented ones pass") {
     val dir = tempDir("gates")
-    // rowTracking demands writer behavior (row id assignment) we don't have
-    val root = writeTable(dir, "", features = "\"rowTracking\",\"appendOnly\"")
+    // liquid clustering demands writer behavior (cluster maintenance) we
+    // deliberately don't implement — the gate must refuse
+    val root = writeTable(dir, "", features = "\"clustering\",\"appendOnly\"")
     val e = intercept[DeltaNative.DeltaReadException] {
       DeltaSink.write(Seq((2L, 5.0)).toDF("id", "x"), root, Map.empty)
     }
-    assert(e.getMessage.contains("rowTracking"))
+    assert(e.getMessage.contains("clustering"))
     // a v7 table demanding only features we implement writes fine
     val dir2 = tempDir("gates")
     val root2 = writeTable(dir2, "",
