@@ -643,6 +643,69 @@ object DeltaSink {
     val txns = scala.collection.mutable.Map[String, Long]()
     val domains = scala.collection.mutable.LinkedHashMap[String, String]()
     var lastIct: Option[Long] = None
+    // one JSON action (commit line or V2 JSON-manifest line) applied to the
+    // replay state — shared by the commit loop and the JSON-manifest path
+    // (remove/commitInfo stay commit-only; a checkpoint's removes are
+    // expired tombstones)
+    def applyActionNode(n: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (n.has("txn")) {
+        val t = n.path("txn")
+        val app = t.path("appId").asText()
+        txns(app) = math.max(t.path("version").asLong(),
+          txns.getOrElse(app, Long.MinValue))
+      }
+      if (n.has("protocol")) {
+        val p = n.path("protocol")
+        def feats(k: String): Set[String] = {
+          val f = p.path(k)
+          if (f.isMissingNode || f.isNull) Set.empty
+          else f.elements().asScala.map(_.asText()).toSet
+        }
+        proto = Some(ProtoInfo(p.path("minReaderVersion").asInt(1),
+          p.path("minWriterVersion").asInt(2),
+          feats("readerFeatures"), feats("writerFeatures")))
+      }
+      if (n.has("metaData")) {
+        val m = n.path("metaData")
+        schemaJson = Some(m.path("schemaString").asText())
+        partCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
+        conf = m.path("configuration").fields().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      }
+      if (n.has("add")) {
+        val a = n.path("add")
+        val dvNode = a.path("deletionVector")
+        val dvInfo: Option[DvInfo] =
+          if (dvNode.isMissingNode || dvNode.isNull) None
+          else Some(DvInfo(dvNode.path("storageType").asText(),
+            dvNode.path("pathOrInlineDv").asText(),
+            Option(dvNode.path("offset")).filter(!_.isMissingNode).map(_.asInt()),
+            dvNode.path("sizeInBytes").asInt(),
+            dvNode.path("cardinality").asLong()))
+        if (dvInfo.isDefined && forbidDv.nonEmpty) throw DeltaReadException(
+          s"`$rootPath`: deletion-vector files — use a delta connector jar " +
+            s"for $forbidDv")
+        def optLong(k: String): Option[Long] = {
+          val x = a.path(k)
+          if (x.isNumber) Some(x.asLong()) else None
+        }
+        live(a.path("path").asText()) = LiveEntry(
+          a.path("partitionValues").fields().asScala
+            .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
+          a.path("size").asLong(0L),
+          a.path("modificationTime").asLong(0L),
+          Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
+            .map(_.asText()),
+          dvInfo,
+          baseRowId = optLong("baseRowId"),
+          defaultRowCommitVersion = optLong("defaultRowCommitVersion"))
+      }
+      if (n.has("domainMetadata")) {
+        val d = n.path("domainMetadata")
+        if (d.path("removed").asBoolean(false)) domains.remove(d.path("domain").asText())
+        else domains(d.path("domain").asText()) = d.path("configuration").asText("")
+      }
+    }
     // classic checkpoint (single OR multi-part — delta-spark splits large
     // logs across N parts; the union of parts is the state): ingest its
     // protocol/metaData/add rows
@@ -664,17 +727,16 @@ object DeltaSink {
           if (fs.exists(classic)) Seq(classic)
           else {
             // V2 checkpoints are UUID-named and found by LISTING (same rule
-            // as the native reader); each parquet manifest is complete on
-            // its own. JSON manifests stay read-only (DeltaNative reads
-            // them; this writer never produces them).
+            // as the native reader); each manifest — parquet OR json — is
+            // complete on its own
             val prefix = f"$cpV%020d.checkpoint."
             val cands = fs.listStatus(logDir).map(_.getPath).filter { p =>
-              p.getName.startsWith(prefix) && p.getName.endsWith(".parquet")
+              val n = p.getName
+              n.startsWith(prefix) && (n.endsWith(".parquet") || n.endsWith(".json"))
             }
             if (cands.isEmpty) throw DeltaReadException(
               s"`$rootPath`: _last_checkpoint names version $cpV but no " +
-                "matching checkpoint parquet exists in _delta_log (JSON V2 " +
-                "manifests are read-only; use a delta connector jar)")
+                "matching checkpoint manifest exists in _delta_log")
             Seq(cands.maxBy(_.getName))
           }
         case Some(n) => (1 to n).map(i =>
@@ -685,25 +747,46 @@ object DeltaSink {
           s"`$rootPath`: _last_checkpoint names version $cpV but " +
             s"${missing.getName} does not exist")
       }
-      // mergeSchema: parts may split action kinds, the union of part
-      // schemas is the action schema (same rule as the native reader)
-      var cp = spark.read.option("mergeSchema", "true")
-        .parquet(cpFiles.map(_.toString): _*)
-      // V2 manifest: its file actions live behind sidecar pointers — union
-      // the sidecar frames in (they carry only add/remove columns, so the
-      // merged schema is the action schema)
-      if (cp.schema.fieldNames.contains("sidecar")) {
-        val scPaths = cp.filter(org.apache.spark.sql.functions.col("sidecar").isNotNull)
-          .selectExpr("sidecar.path").collect().map(_.getString(0)).toSeq
-          .map { p =>
-            val raw = new Path(java.net.URLDecoder.decode(p, "UTF-8"))
-            (if (raw.isAbsolute) raw
-             else new Path(new Path(logDir, "_sidecars"), raw)).toString
-          }
-        if (scPaths.nonEmpty)
-          cp = spark.read.option("mergeSchema", "true")
-            .parquet((cpFiles.map(_.toString) ++ scPaths): _*)
+      def resolveSidecar(p: String): String = {
+        val raw = new Path(java.net.URLDecoder.decode(p, "UTF-8"))
+        (if (raw.isAbsolute) raw
+         else new Path(new Path(logDir, "_sidecars"), raw)).toString
       }
+      // V2 JSON manifest: newline-delimited actions (the commit encoding)
+      // applied directly; its file actions live in parquet sidecars, read
+      // through the SAME typed ingestion below
+      val cpOpt: Option[org.apache.spark.sql.DataFrame] =
+        if (cpFiles.length == 1 && cpFiles.head.getName.endsWith(".json")) {
+          val in = fs.open(cpFiles.head)
+          val mLines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+          val sidecarNames = Seq.newBuilder[String]
+          mLines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+            applyActionNode(n)
+            if (n.has("sidecar"))
+              sidecarNames += n.path("sidecar").path("path").asText()
+          }
+          val scPaths = sidecarNames.result().map(resolveSidecar)
+          if (scPaths.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true").parquet(scPaths: _*))
+        } else {
+          // mergeSchema: parts may split action kinds, the union of part
+          // schemas is the action schema (same rule as the native reader)
+          var cp0 = spark.read.option("mergeSchema", "true")
+            .parquet(cpFiles.map(_.toString): _*)
+          // V2 parquet manifest: its file actions live behind sidecar
+          // pointers — union the sidecar frames in
+          if (cp0.schema.fieldNames.contains("sidecar")) {
+            val scPaths = cp0.filter(org.apache.spark.sql.functions.col("sidecar").isNotNull)
+              .selectExpr("sidecar.path").collect().map(_.getString(0)).toSeq
+              .map(resolveSidecar)
+            if (scPaths.nonEmpty)
+              cp0 = spark.read.option("mergeSchema", "true")
+                .parquet((cpFiles.map(_.toString) ++ scPaths): _*)
+          }
+          Some(cp0)
+        }
+      cpOpt.foreach { cp =>
       val cols = cp.schema.fieldNames.toSet
       if (cols.contains("protocol")) {
         val sub = cp.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
@@ -778,6 +861,7 @@ object DeltaSink {
               defaultRowCommitVersion = if (r.isNullAt(11)) None else Some(r.getLong(11)))
           }
       }
+      }
     }
     stopAt.foreach { v =>
       if (lastCp.exists(_ > v)) throw DeltaReadException(
@@ -797,64 +881,8 @@ object DeltaSink {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
       lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-        if (n.has("txn")) {
-          val t = n.path("txn")
-          val app = t.path("appId").asText()
-          txns(app) = math.max(t.path("version").asLong(),
-            txns.getOrElse(app, Long.MinValue))
-        }
-        if (n.has("protocol")) {
-          val p = n.path("protocol")
-          def feats(k: String): Set[String] = {
-            val f = p.path(k)
-            if (f.isMissingNode || f.isNull) Set.empty
-            else f.elements().asScala.map(_.asText()).toSet
-          }
-          proto = Some(ProtoInfo(p.path("minReaderVersion").asInt(1),
-            p.path("minWriterVersion").asInt(2),
-            feats("readerFeatures"), feats("writerFeatures")))
-        }
-        if (n.has("metaData")) {
-          val m = n.path("metaData")
-          schemaJson = Some(m.path("schemaString").asText())
-          partCols = m.path("partitionColumns").elements().asScala.map(_.asText()).toSeq
-          conf = m.path("configuration").fields().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap
-        }
-        if (n.has("add")) {
-          val a = n.path("add")
-          val dvNode = a.path("deletionVector")
-          val dvInfo: Option[DvInfo] =
-            if (dvNode.isMissingNode || dvNode.isNull) None
-            else Some(DvInfo(dvNode.path("storageType").asText(),
-              dvNode.path("pathOrInlineDv").asText(),
-              Option(dvNode.path("offset")).filter(!_.isMissingNode).map(_.asInt()),
-              dvNode.path("sizeInBytes").asInt(),
-              dvNode.path("cardinality").asLong()))
-          if (dvInfo.isDefined && forbidDv.nonEmpty) throw DeltaReadException(
-            s"`$rootPath`: deletion-vector files — use a delta connector jar " +
-              s"for $forbidDv")
-          def optLong(k: String): Option[Long] = {
-            val n = a.path(k)
-            if (n.isNumber) Some(n.asLong()) else None
-          }
-          live(a.path("path").asText()) = LiveEntry(
-            a.path("partitionValues").fields().asScala
-              .map(e => e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap,
-            a.path("size").asLong(0L),
-            a.path("modificationTime").asLong(0L),
-            Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
-              .map(_.asText()),
-            dvInfo,
-            baseRowId = optLong("baseRowId"),
-            defaultRowCommitVersion = optLong("defaultRowCommitVersion"))
-        }
+        applyActionNode(n)
         if (n.has("remove")) live.remove(n.path("remove").path("path").asText())
-        if (n.has("domainMetadata")) {
-          val d = n.path("domainMetadata")
-          if (d.path("removed").asBoolean(false)) domains.remove(d.path("domain").asText())
-          else domains(d.path("domain").asText()) = d.path("configuration").asText("")
-        }
         if (n.has("commitInfo") && n.path("commitInfo").has("inCommitTimestamp"))
           lastIct = Some(math.max(n.path("commitInfo").path("inCommitTimestamp").asLong(),
             lastIct.getOrElse(Long.MinValue)))
@@ -1029,13 +1057,20 @@ object DeltaSink {
   def setTableProperties(spark: org.apache.spark.sql.SparkSession, path: String,
       props: Map[String, String]): Unit = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
-    props.keys.find(k => k.startsWith("delta.") && k != "delta.appendOnly")
+    // delta.* keys are settable only when this writer honors them:
+    // appendOnly (the v2 gate), and the checkpoint-shape properties
+    // (checkpointPolicy / checkpoint.writeFormat — checkpoint() implements
+    // both and validates the protocol-feature prerequisite at fold time)
+    val settableDelta = Set("delta.appendOnly", "delta.checkpointPolicy",
+      "delta.checkpoint.writeFormat")
+    props.keys.find(k => k.startsWith("delta.") && !settableDelta(k))
       .foreach { k =>
         throw DeltaReadException(
           s"ALTER TABLE: property `$k` changes protocol behavior this writer " +
             "manages through dedicated surfaces (constraints DDL, the DV/" +
             "column-mapping upgrades) or does not honor — refusing to record " +
-            "it; only delta.appendOnly and non-delta keys are settable here")
+            s"it; settable here: ${settableDelta.mkString(", ")} and " +
+            "non-delta keys")
       }
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1452,11 +1487,69 @@ object DeltaSink {
     }
     val txnRows = st.txnVersions.toSeq
     val domRows = st.domains.toSeq.map { case (d, c) => Row(d, c, false) }
-    val v2 = st.protocol.exists(p => p.readerFeatures.contains("v2Checkpoint") ||
+    val featureV2 = st.protocol.exists(p => p.readerFeatures.contains("v2Checkpoint") ||
       demandedWriterFeatures(p).contains("v2Checkpoint"))
+    // delta.checkpointPolicy=v2 also selects the V2 shape — but only with
+    // the protocol feature declared: a v2-shaped checkpoint on a protocol
+    // that never listed v2Checkpoint would be invisible to name-
+    // constructing external readers
+    val policyV2 = st.conf.get("delta.checkpointPolicy").contains("v2")
+    if (policyV2 && !featureV2) throw DeltaReadException(
+      s"`$path`: delta.checkpointPolicy=v2 but the protocol does not list " +
+        "the v2Checkpoint feature — upgrade the protocol first")
+    val v2 = featureV2 || policyV2
+    // delta.checkpoint.writeFormat picks the V2 MANIFEST encoding (the
+    // delta-spark property): parquet (default) or json — one action per
+    // line like a commit; file actions stay in parquet sidecars either way
+    val jsonManifest = st.conf.get("delta.checkpoint.writeFormat")
+      .map(_.toLowerCase).contains("json")
+    if (jsonManifest && !v2) throw DeltaReadException(
+      s"`$path`: delta.checkpoint.writeFormat=json applies to V2 " +
+        "checkpoints only (classic checkpoints are parquet by spec)")
     var multiPartCount: Option[Int] = None
     val nActions: Long =
-      if (v2) {
+      if (v2 && jsonManifest) {
+        // V2 with a JSON manifest: same actions as the parquet manifest,
+        // newline-delimited JSON (the commit encoding) — the faster-to-
+        // write form for commit-time checkpointing; readers (ours
+        // included) ingest both encodings
+        val sidecarJson: Seq[String] =
+          if (addStructRows.isEmpty) Nil
+          else {
+            val name = s"${java.util.UUID.randomUUID()}.parquet"
+            val stt = writeOneParquet(addStructRows.map(Row(_)),
+              StructType(Seq(cpSchema("add"))),
+              new Path(new Path(logDir, "_sidecars"), name))
+            Seq(s"""{"sidecar":{"path":${mapper.writeValueAsString(name)},"sizeInBytes":${stt.getLen},"modificationTime":${stt.getModificationTime}}}""")
+          }
+        val protoJson = st.protocol.map(_.json).getOrElse(
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":${if (cdf) 4 else 2}}}""")
+        val metaNode = mapper.createObjectNode()
+        metaNode.put("id", "graft-checkpoint")
+        val fmtNode = metaNode.putObject("format")
+        fmtNode.put("provider", "parquet"); fmtNode.putObject("options")
+        metaNode.put("schemaString", schemaJson)
+        val pcArr = metaNode.putArray("partitionColumns")
+        st.partCols.foreach(pcArr.add)
+        val confNode = metaNode.putObject("configuration")
+        st.conf.foreach { case (k, v) => confNode.put(k, v) }
+        val manifestLines =
+          Seq(s"""{"checkpointMetadata":{"version":${st.version}}}""",
+            protoJson,
+            s"""{"metaData":${mapper.writeValueAsString(metaNode)}}""") ++
+            st.txnVersions.toSeq.map { case (app, v) =>
+              s"""{"txn":{"appId":${mapper.writeValueAsString(app)},"version":$v}}"""
+            } ++
+            st.domains.toSeq.map { case (d, c) =>
+              s"""{"domainMetadata":{"domain":${mapper.writeValueAsString(d)},"configuration":${mapper.writeValueAsString(c)},"removed":false}}"""
+            } ++ sidecarJson
+        val dest = new Path(logDir,
+          f"${st.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(dest, false)
+        try out.write((manifestLines.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        manifestLines.size.toLong + addStructRows.size
+      } else if (v2) {
         // V2 (PROTOCOL.md "V2 Checkpoint Table Feature"): file actions live
         // in a `_sidecars/` parquet; the UUID-named manifest carries the
         // REQUIRED checkpointMetadata action, protocol/metaData/txn, and one

@@ -2780,6 +2780,58 @@ object IcebergSink {
     (before, newList.size)
   }
 
+  /** CALL system.rewrite_position_delete_files — the iceberg-spark
+    * maintenance procedure that keeps merge-on-read READ cost sane: every
+    * row-level DELETE/UPDATE leaves one positional-delete parquet behind,
+    * and each live delete file is another anti-join input at scan time.
+    * All live positional-delete files (content=1 parquet — puffin DVs and
+    * equality deletes are untouched) consolidate into ONE sorted file:
+    * entries whose referenced data file is no longer live DROP (their
+    * target is gone — dangling tombstones), duplicates collapse, and the
+    * output sorts by (file_path, pos) for run-length-friendly encoding.
+    * The new file lands at the next sequence number — positional deletes
+    * name exact (path, pos) rows, so the broader sequence visibility is
+    * harmless by construction. One `replace` snapshot: old delete entries
+    * retire (DELETED) via manifest rewrite, zero data bytes move. Returns
+    * (deleteFilesBefore, deleteFilesAfter). */
+  def rewritePositionDeleteFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val st = loadMorState(spark, path)
+    val before = st.priorDeleteFiles.size
+    if (before <= 1) return (before, before)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // live-data filter via a broadcast join on normalized path keys — the
+    // delete files' file_path spelling must match however the writer
+    // recorded the scan paths (URI vs plain), same key space as the reader
+    val liveKeys = st.dataPaths.map(graft.sources.PathKeys.key)
+    val liveDf = {
+      import spark.implicits._
+      liveKeys.toDF("__rpk")
+    }
+    val consolidated = spark.read.parquet(st.priorDeleteFiles: _*)
+      .select(col("file_path"), col("pos").cast("long").as("pos"))
+      .withColumn("__rpk", graft.sources.PathKeys.keyCol(col("file_path")))
+      .join(broadcast(liveDf), Seq("__rpk"))
+      .drop("__rpk")
+      .dropDuplicates("file_path", "pos")
+      .repartition(1)
+      .sortWithinPartitions("file_path", "pos")
+    val delFiles = writeMoved(consolidated, st, s"posrw-$stamp")
+    // retire every old positional-delete entry; data entries carry as-is
+    val dropped = st.priorDeleteFiles.toSet
+    def absStr(rel: String): String = {
+      val p0 = new Path(rel)
+      (if (p0.isAbsolute) p0 else new Path(st.rootPath, p0)).toString
+    }
+    val carried = rewriteManifestsDroppingIf(spark, st, dfr =>
+      dropped.contains(absStr(dfr.get("file_path").toString)), s"posrw-$stamp")
+    commitMor(st, "replace",
+      Seq("graft-rewritten-position-delete-files" -> before.toString),
+      delFiles, Nil, carriedOverride = Some(carried))
+    (before, delFiles.size)
+  }
+
   def removeOrphanFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       graceMs: Long = 3L * 24 * 3600 * 1000): Int = {
     val rootPath = new Path(path)

@@ -500,7 +500,7 @@ object SqlApi {
   // CALL [catalog.]system.<proc>('t'[, n]) — the iceberg-spark maintenance
   // procedures, routed to the native writer surfaces
   private val callProcRe =
-    """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward|rewrite_manifests)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
+    """(?is)^\s*CALL\s+(?:[\w.]+\.)?system\.(expire_snapshots|remove_orphan_files|fast_forward|rewrite_manifests|rewrite_position_delete_files)\s*\(\s*'?([A-Za-z_][\w]*)'?\s*(?:,\s*'?([^,')]+)'?\s*)?\)\s*;?\s*$""".r
 
   // ALTER TABLE t ADD PARTITION FIELD <entry> | DROP PARTITION FIELD <name>
   // — the iceberg-spark partition-evolution DDL (entry uses the same
@@ -900,6 +900,8 @@ object SqlApi {
           graft.catalog.IcebergSink.fastForward(spark, root, branch)
         case "rewrite_manifests" =>
           graft.catalog.IcebergSink.rewriteManifests(spark, root)
+        case "rewrite_position_delete_files" =>
+          graft.catalog.IcebergSink.rewritePositionDeleteFiles(spark, root)
       }
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       commandOk(spark)

@@ -624,6 +624,59 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq(1L, 3L, 4L))
   }
 
+  test("v2 checkpoint with JSON manifest: delta.checkpoint.writeFormat=json round-trips") {
+    val root = tempDir("dsink_v2json").getPath + "/t"
+    DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+        |{"commitInfo":{"operation":"UPGRADE PROTOCOL"}}
+        |""".stripMargin)
+    DeltaSink.setTableProperties(spark, root,
+      Map("delta.checkpointPolicy" -> "v2",
+        "delta.checkpoint.writeFormat" -> "json"))
+    DeltaSink.write(Seq((3L, "c")).toDF("id", "v"), root, Map.empty)
+    val cpV = DeltaSink.checkpoint(spark, root)
+    assert(cpV === 3L)
+    val logDir = new java.io.File(s"$root/_delta_log")
+    val names = logDir.listFiles().map(_.getName).toSeq
+    // the manifest is the UUID-named JSON, not parquet, not classic
+    assert(!names.exists(n => n.startsWith("00000000000000000003.checkpoint.")
+      && n.endsWith(".parquet")), names)
+    val manifest = names.filter(n =>
+      n.startsWith("00000000000000000003.checkpoint.") && n.endsWith(".json"))
+    assert(manifest.size === 1, names)
+    val mLines = java.nio.file.Files.readAllLines(
+      new java.io.File(logDir, manifest.head).toPath)
+    assert(mLines.get(0).contains("checkpointMetadata"))
+    assert(mLines.toString.contains("\"sidecar\""))
+    // file actions live in a parquet sidecar either way
+    assert(new java.io.File(logDir, "_sidecars").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // the native READER resolves the snapshot through the JSON manifest
+    assert(readBack(root).orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the WRITER replays its own JSON-manifest checkpoint: append + DML on
+    // a pre-checkpoint row both need the sidecar's add entries
+    DeltaSink.write(Seq((4L, "d")).toDF("id", "v"), root, Map.empty)
+    assert(DeltaSink.deleteWhereDv(spark, root, "id = 2") === 1L)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L))
+    // a second fold keeps the JSON shape and carries the DV through
+    DeltaSink.checkpoint(spark, root)
+    assert(readBack(root).orderBy("id").select("id").as[Long].collect().toSeq
+      === Seq(1L, 3L, 4L))
+    // policy=v2 without the protocol feature rejects loudly at fold time
+    val root2 = tempDir("dsink_v2json").getPath + "/t2"
+    DeltaSink.write(Seq((1L, "a")).toDF("id", "v"), root2, Map.empty)
+    DeltaSink.setTableProperties(spark, root2,
+      Map("delta.checkpointPolicy" -> "v2"))
+    val e = intercept[DeltaNative.DeltaReadException] {
+      DeltaSink.checkpoint(spark, root2)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
+
   test("domainMetadata survives CHECKPOINT: live domains carried, removed reconciled away") {
     val root = tempDir("dsink_domain").getPath + "/t"
     DeltaSink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, Map.empty)

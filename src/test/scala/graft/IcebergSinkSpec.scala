@@ -114,6 +114,37 @@ class IcebergSinkSpec extends SparkSpec {
       === Seq(3L, 9L))
   }
 
+  test("rewritePositionDeleteFiles consolidates accumulated delete files; reads identical") {
+    val root = tempDir("isink_posrw").getPath
+    Sinks.copyTo((1L to 12L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(3, col("id")), root, "iceberg")
+    // three DML waves → three positional-delete files stack up
+    assert(IcebergSink.deleteWhere(spark, root, "id = 2") === 1L)
+    assert(IcebergSink.deleteWhere(spark, root, "id IN (5, 9)") === 2L)
+    assert(IcebergSink.deleteWhere(spark, root, "id = 11") === 1L)
+    val expected = Seq(1L, 3L, 4L, 6L, 7L, 8L, 10L, 12L)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq === expected)
+    def delFileCount: Int = new java.io.File(root, "data").listFiles()
+      .count(f => f.getName.startsWith("del-") && f.getName.endsWith(".parquet"))
+    // the IN (5, 9) wave spans two data files → one delete part per task
+    assert(delFileCount === 4)
+    val (before, after) = IcebergSink.rewritePositionDeleteFiles(spark, root)
+    assert(before === 4 && after === 1)
+    // content identical through the native reader; old files retired from
+    // the live set (still on disk until expire/orphan sweep)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq === expected)
+    // no-op when already consolidated
+    assert(IcebergSink.rewritePositionDeleteFiles(spark, root) === ((1, 1)))
+    // table stays fully writable: another delete stacks, reads stay right
+    assert(IcebergSink.deleteWhere(spark, root, "id = 1") === 1L)
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq === expected.drop(1))
+    // CALL surface routes by attached table name
+    graft.catalog.Catalog.attach(spark, "posrw_t", "iceberg", Map("files" -> root))
+    graft.sqlapi.SqlApi.executePg(spark,
+      "CALL system.rewrite_position_delete_files('posrw_t')")
+    assert(readBack(root).select("id").as[Long].collect().sorted.toSeq === expected.drop(1))
+  }
+
   test("merge-on-read UPDATE: positional deletes + appended images, no rewrites") {
     val root = tempDir("isink_upd").getPath
     Sinks.copyTo(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
