@@ -69,7 +69,7 @@ object Formats {
     "iceberg",
     commonOptions ++ Set("allow_moved_paths", "metadata_compression_codec",
       "skip_schema_inference", "snapshot_id", "as_of_timestamp",
-      "changes_since_snapshot", "ref"),
+      "changes_since_snapshot", "ref", "row_lineage"),
     Set("files"))
 
   /** Whether a connector jar is deployed (picks the connector over the

@@ -50,7 +50,7 @@ object IcebergSink {
 
   val validOptions: Set[String] =
     Set("overwrite", "compression", "max_file_size_rows", "partition_by",
-      "sort_by", "branch", "identifier_fields")
+      "sort_by", "branch", "identifier_fields", "row_lineage")
 
   // ------------------------------------------- partition-spec transforms
 
@@ -213,6 +213,7 @@ object IcebergSink {
           {"name":"content","type":["null","int"],"default":null},
           {"name":"file_path","type":"string"},
           {"name":"file_format","type":"string"},
+          {"name":"first_row_id","type":["null","long"],"default":null},
           {"name":"partition","type":["null",{"type":"record","name":"r102","fields":[$pf]}],"default":null},
           {"name":"record_count","type":"long"},
           {"name":"file_size_in_bytes","type":["null","long"],"default":null},
@@ -316,11 +317,21 @@ object IcebergSink {
   // lower/upper bounds + null counts ride as Avro MAPS keyed by the field
   // id's decimal string — one of the two key encodings the spec's readers
   // (including this library's own) accept for the int-keyed stats maps
+  // v3 row lineage (spec "Row Lineage"): the reserved column names and
+  // field ids rows materialize under when they MOVE (compaction, MOR
+  // update images), plus the first_row_id manifest-entry field that fuels
+  // default id arithmetic (first_row_id + row position)
+  private[catalog] val RowIdColName = "_row_id"
+  private[catalog] val LastSeqColName = "_last_updated_sequence_number"
+  private val RowIdFieldId = 2147483540L
+  private val LastSeqFieldId = 2147483539L
+
   private val dfSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"r2","fields":[
       {"name":"content","type":["null","int"],"default":null},
       {"name":"file_path","type":"string"},
       {"name":"file_format","type":"string"},
+      {"name":"first_row_id","type":["null","long"],"default":null},
       {"name":"record_count","type":"long"},
       {"name":"file_size_in_bytes","type":["null","long"],"default":null},
       {"name":"content_offset","type":["null","long"],"default":null},
@@ -576,6 +587,17 @@ object IcebergSink {
     var prevRefs: Map[String, String] = Map.empty // name → ref json
     var prevSortOrdersJson: Option[String] = None
     var prevDefaultSortOrderId = 0
+    // v3 row lineage: next-row-id present in metadata = the table assigns
+    // row ids; carried and advanced by every data-adding commit
+    var prevNextRowId: Option[Long] = None
+    var prevFormatVersion = 2
+    val rlOpt = options.get("row_lineage").exists(_.toBoolean)
+    Seq(RowIdColName, LastSeqColName).find(df.schema.fieldNames.contains)
+      .foreach { c =>
+        throw IcebergReadException(
+          s"column `$c` is a reserved row-lineage name — the engine assigns " +
+            "it; rename the frame column")
+      }
     // WRITE-AUDIT-PUBLISH: `branch=<name>` commits the snapshot to that
     // REF instead of main — current-snapshot-id and the snapshot-log stay
     // put, the branch ref advances, and `fastForward` publishes it to main
@@ -659,6 +681,11 @@ object IcebergSink {
         prevSortOrdersJson = Some(mapper.writeValueAsString(meta.path("sort-orders")))
         prevDefaultSortOrderId = meta.path("default-sort-order-id").asInt(0)
       }
+      prevFormatVersion = meta.path("format-version").asInt(2)
+      if (meta.has("next-row-id")) prevNextRowId = Some(meta.path("next-row-id").asLong())
+      if (rlOpt && prevNextRowId.isEmpty) throw IcebergReadException(
+        s"`$path`: row_lineage is fixed at table creation — this table has " +
+          "no next-row-id; create a new v3 table with row_lineage=true")
       val currentId = meta.path("current-snapshot-id").asLong()
       prevCurrentId = currentId
       lastSnapshotId = meta.path("snapshots").elements().asScala
@@ -824,12 +851,22 @@ object IcebergSink {
     val partRecordSchema: Option[org.apache.avro.Schema] =
       if (partColsEff.isEmpty) None
       else Some(dfSch.getField("partition").schema().getTypes.get(1))
+    // v3 row lineage: each added file gets an explicit, non-overlapping
+    // first_row_id; the snapshot records where its block starts and the
+    // metadata's next-row-id advances past everything assigned
+    val lineage = (creating && rlOpt) || prevNextRowId.isDefined
+    val rowIdBase: Long = prevNextRowId.getOrElse(0L)
+    var rowIdNext: Long = rowIdBase
     val manifestRel = s"metadata/m-$snapshotId-$stamp.avro"
     writeAvro(manifestRel, eSch, newFiles.map { f =>
       val d = new GenericData.Record(dfSch)
       d.put("content", null)
       d.put("file_path", f.rel)
       d.put("file_format", "PARQUET")
+      if (lineage) {
+        d.put("first_row_id", Long.box(rowIdNext))
+        rowIdNext += f.records
+      }
       partRecordSchema.foreach { prs =>
         val pr = new GenericData.Record(prs)
         partColsEff.zip(f.partValues).foreach { case (p, v) => pr.put(p.name, v) }
@@ -867,6 +904,7 @@ object IcebergSink {
       // pin the schema this snapshot was written under — a time-travel
       // read serves THIS schema, not a later evolution's (spec field)
       sn.put("schema-id", if (prevSchemasJson.isDefined) prevCurrentSchemaId else 0)
+      if (lineage) sn.put("first-row-id", rowIdBase)
       val summary = sn.putObject("summary")
       summary.put("operation", if (overwrite) "overwrite" else "append")
       // the spec's standard metrics fields — external tools (UIs, ops
@@ -887,8 +925,14 @@ object IcebergSink {
       .map { case (ts, id) =>
         s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
       }.mkString("[", ", ", "]")
+    // row lineage is a v3 feature; a lineage table declares format 3 from
+    // creation (an existing table keeps whatever format it already carries)
+    val formatVersion =
+      if (creating) (if (rlOpt) 3 else 2)
+      else math.max(prevFormatVersion, if (lineage) 3 else 2)
     val metaJson =
-      s"""{"format-version": 2,
+      s"""{"format-version": $formatVersion,${
+        if (lineage) s"""\n"next-row-id": $rowIdNext,""" else ""}
          |"table-uuid": "${prevUuid.getOrElse(java.util.UUID.randomUUID().toString)}",
          |"location": ${mapper.writeValueAsString(path)},
          |"last-updated-ms": $nowMs,
@@ -975,7 +1019,13 @@ object IcebergSink {
       dataTuples: Map[String, Map[String, AnyRef]] = Map.empty,
       // each live data file's manifest-declared record_count — the exact
       // deleted-row count for metadata-only whole-file drops
-      dataRowCounts: Map[String, Long] = Map.empty)
+      dataRowCounts: Map[String, Long] = Map.empty,
+      // v3 row lineage: the metadata's next-row-id (present = the table
+      // assigns row ids) and each live data file's explicit first_row_id
+      nextRowId: Option[Long] = None,
+      dataFirstRowIds: Map[String, Long] = Map.empty) {
+    def hasLineage: Boolean = nextRowId.isDefined
+  }
 
   /** The table's declared DEFAULT sort order as source column names
     * (identity transforms only — the shape this writer records). */
@@ -1047,6 +1097,7 @@ object IcebergSink {
     val dataSeqs = Map.newBuilder[String, Long]
     val dataTuples = Map.newBuilder[String, Map[String, AnyRef]]
     val dataRowCounts = Map.newBuilder[String, Long]
+    val dataFirstRowIds = Map.newBuilder[String, Long]
     var hasEqDeletes = false
     prevManifests.foreach { case (m, mseq) =>
       val r = new DataFileReader[GenericRecord](
@@ -1066,6 +1117,8 @@ object IcebergSink {
             dataFiles += p
             dataSeqs += p -> entrySeq
             dataRowCounts += p -> dfr.get("record_count").asInstanceOf[Long]
+            fld("first_row_id").foreach(v =>
+              dataFirstRowIds += p -> v.asInstanceOf[Long])
             fld("partition").foreach {
               case pr: GenericRecord =>
                 dataTuples += p -> pr.getSchema.getFields.asScala.map { f2 =>
@@ -1108,7 +1161,10 @@ object IcebergSink {
     MorState(fs, rootPath, metaDir, hint, v, meta, lastSnapshotId, lastSeq,
       prevManifests, dataFiles.result(), priorDeleteFiles.result(),
       dvRefs.result(), hasEqDeletes, eqDeletes.result(), dataSeqs.result(),
-      dataTuples.result(), dataRowCounts.result())
+      dataTuples.result(), dataRowCounts.result(),
+      nextRowId = if (meta.has("next-row-id"))
+        Some(meta.path("next-row-id").asLong()) else None,
+      dataFirstRowIds = dataFirstRowIds.result())
   }
 
   /** DELETE stays available on partitioned tables (positional delete files
@@ -1143,13 +1199,45 @@ object IcebergSink {
     * The one distributed scan DELETE/UPDATE/MERGE all start from; a
     * predicate applied on top pushes below the anti-join into the parquet
     * scan (it references only data columns). */
+  /** With `withLineage` on a row-lineage table, the frame additionally
+    * carries `__rlid`/`__rlseq` — each surviving row's stable row id and
+    * last-updated sequence (materialized value when the file carries it,
+    * else first_row_id + position / the file's data sequence) — so
+    * rewriting callers can materialize them into the files they write.
+    * The PHYSICAL reserved columns are always dropped from `*` either way
+    * (they are lineage plumbing, not data). */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
-      st: MorState): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+      st: MorState, withLineage: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     val key = graft.sources.PathKeys.keyCol _
-    var rows = spark.read.parquet(st.dataPaths: _*)
+    // lineage tables hold mixed file schemas (moved rows carry the
+    // materialized columns, fresh appends don't) — mergeSchema unions them
+    var rows = (if (st.hasLineage)
+      spark.read.option("mergeSchema", "true").parquet(st.dataPaths: _*)
+    else spark.read.parquet(st.dataPaths: _*))
       .select(col("*"), col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").cast("long").as("__pos"))
+    if (st.hasLineage) {
+      val matPresent = Seq(RowIdColName, LastSeqColName)
+        .filter(rows.schema.fieldNames.contains)
+      if (withLineage) {
+        import spark.implicits._
+        def mat(n: String) =
+          if (matPresent.contains(n)) col(n) else lit(null).cast("long")
+        val info = st.dataPaths.map { p =>
+          (graft.sources.PathKeys.key(p),
+            st.dataFirstRowIds.get(p).map(Long.box).orNull,
+            st.dataSeqs.get(p).map(Long.box).orNull)
+        }.toDF("__rlk", "__rlbase", "__rlfseq")
+        rows = rows
+          .withColumn("__rlk", key(col("__file")))
+          .join(broadcast(info), Seq("__rlk"), "left")
+          .withColumn("__rlid", coalesce(mat(RowIdColName), col("__rlbase") + col("__pos")))
+          .withColumn("__rlseq", coalesce(mat(LastSeqColName), col("__rlfseq")))
+          .drop("__rlk", "__rlbase", "__rlfseq")
+      }
+      rows = rows.drop(matPresent: _*)
+    }
     if (st.priorDeleteFiles.nonEmpty) {
       val dead = spark.read.parquet(st.priorDeleteFiles: _*)
         .select(key(col("file_path")).as("__df"), col("pos").cast("long").as("__dp"))
@@ -1270,9 +1358,17 @@ object IcebergSink {
   private def writeMorData(df: DataFrame, st: MorState,
       prefix: String): Seq[MorDataFile] = {
     val ids = schemaFieldIds(st.meta)
+    // materialized row-lineage columns ride along under their RESERVED
+    // field ids (spec "Reserved Field IDs") when the caller supplies them
+    val lineageIds: Seq[(String, Long)] = Seq(
+      RowIdColName -> RowIdFieldId, LastSeqColName -> LastSeqFieldId)
+      .filter { case (n, _) => df.schema.fieldNames.contains(n) }
     val writeDf = df.select(ids.map { case (n, id) =>
       org.apache.spark.sql.functions.col(n).as(n,
         new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    } ++ lineageIds.map { case (n, id) =>
+      org.apache.spark.sql.functions.col(n).cast("long").as(n,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
     }: _*)
     val partFields = morPartFields(st.meta)
     val statFields: Seq[(StructField, Int)] =
@@ -1390,12 +1486,21 @@ object IcebergSink {
         e.put("data_file", d)
         e
       }
+    // v3 row lineage: every added data file gets an explicit,
+    // non-overlapping first_row_id block starting at the table's
+    // next-row-id; the snapshot and metadata advance below
+    val lineageBase: Long = st.nextRowId.getOrElse(0L)
+    var lineageNext: Long = lineageBase
     def dataEntries(files: Seq[MorDataFile]) =
       files.map { f =>
         val d = new GenericData.Record(dataDfSch)
         d.put("content", null)
         d.put("file_path", f.rel)
         d.put("file_format", "PARQUET")
+        if (st.hasLineage) {
+          d.put("first_row_id", Long.box(lineageNext))
+          lineageNext += f.rows
+        }
         d.put("record_count", f.rows)
         d.put("file_size_in_bytes", Long.box(f.size))
         dataPartSchema.foreach { prs =>
@@ -1484,6 +1589,7 @@ object IcebergSink {
       sn.put("sequence-number", seq)
       sn.put("timestamp-ms", nowMs)
       sn.put("schema-id", st.meta.path("current-schema-id").asInt(0))
+      if (st.hasLineage) sn.put("first-row-id", lineageBase)
       val summary = sn.putObject("summary")
       summary.put("operation", operation)
       if (dataFiles.nonEmpty) {
@@ -1517,6 +1623,8 @@ object IcebergSink {
     // deletion vectors are a format-v3 feature — declare it honestly
     if (dvEntries.nonEmpty && newMeta.path("format-version").asInt(2) < 3)
       newMeta.put("format-version", 3)
+    // row lineage: advance next-row-id past every block assigned above
+    if (st.hasLineage) newMeta.put("next-row-id", lineageNext)
     newMeta.put("last-updated-ms", nowMs)
     newMeta.put("last-sequence-number", seq)
     newMeta.put("current-snapshot-id", snapshotId)
@@ -2062,7 +2170,7 @@ object IcebergSink {
         s"`$path`: SET column `$k` is not in the table schema")
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val rows = liveRows(spark, st)
+    val rows = liveRows(spark, st, withLineage = st.hasLineage)
     val matches = rows.filter(expr(predicateSql))
     val delFiles = writeMoved(
       matches.select(col("__file").as("file_path"), col("__pos").as("pos")),
@@ -2070,11 +2178,16 @@ object IcebergSink {
     val updated = delFiles.map(_._3).sum
     if (updated == 0L) return 0L
     val dataCols = rows.schema.fields
-      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+      .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
+    // row lineage: an updated row KEEPS its id; its last-updated sequence
+    // stays null in the file so it re-defaults to the new file's sequence
     val updatedRows = matches.select(dataCols.map { f =>
       sets.get(f.name).map(e => expr(e).cast(f.dataType))
         .getOrElse(col(f.name)).as(f.name)
-    }: _*)
+    } ++ (if (st.hasLineage)
+      Seq(col("__rlid").as(RowIdColName),
+        org.apache.spark.sql.functions.lit(null).cast("long").as(LastSeqColName))
+    else Nil): _*)
     val dataFiles = writeMorData(updatedRows, st, s"upd-$stamp")
     commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql),
       delFiles, dataFiles)
@@ -2114,9 +2227,9 @@ object IcebergSink {
       commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
       return (0L, inserted)
     }
-    val live0 = liveRows(spark, st)
+    val live0 = liveRows(spark, st, withLineage = st.hasLineage)
     val scanFields = live0.schema.fields
-      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+      .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
     val target = live0.alias("t")
     val s1 = source.select(names.map(col): _*).alias("s")
     val cond = expr(condSql)
@@ -2138,8 +2251,14 @@ object IcebergSink {
         .getOrElse(col(s"t.${f.name}"))
     val updFiles =
       if (updated > 0)
+        // row lineage: updated rows keep their ids; sequence re-defaults
         writeMorData(matchedPairs.select(
-          scanFields.map(f => newVal(f).as(f.name)): _*), st, s"mrgu-$stamp")
+          scanFields.map(f => newVal(f).as(f.name)) ++
+            (if (st.hasLineage)
+              Seq(col("t.__rlid").as(RowIdColName),
+                org.apache.spark.sql.functions.lit(null).cast("long")
+                  .as(LastSeqColName))
+            else Nil): _*), st, s"mrgu-$stamp")
       else Nil
     val insFiles =
       if (insertNotMatched)
@@ -2189,16 +2308,20 @@ object IcebergSink {
       if (matched.isEmpty) return (0, 0)
       val stScoped = st.copy(dataPaths = st.dataPaths.filter(matched))
       val stamp = java.util.UUID.randomUUID().toString.take(8)
-      val rows = liveRows(spark, stScoped)
+      val rows = liveRows(spark, stScoped, withLineage = st.hasLineage)
       val dataCols = rows.schema.fields
-        .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+        .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
       val liveEstimate = math.max(1L,
         matched.toSeq.map(st.dataRowCounts.getOrElse(_, 0L)).sum)
       val numFiles = math.max(1L,
         (liveEstimate + targetFileRows - 1) / targetFileRows).toInt
       val sortCols = defaultSortCols(st.meta).filter(c =>
         dataCols.exists(_.name == c))
-      val base = rows.select(dataCols.map(f => col(f.name)): _*)
+      // row lineage: compaction MOVES rows — their stable ids and
+      // last-updated sequences materialize into the rewritten files
+      val base = rows.select(dataCols.map(f => col(f.name)) ++
+        (if (st.hasLineage) Seq(col("__rlid").as(RowIdColName),
+          col("__rlseq").as(LastSeqColName)) else Nil): _*)
       // a declared sort order RE-CLUSTERS on compaction (clustering decays
       // as deletes/appends accumulate; the maintenance pass restores it)
       val compacted =
@@ -2237,15 +2360,17 @@ object IcebergSink {
     val liveEstimate = math.max(1L, dataRows - deadRows)
     val numFiles = math.max(1L, (liveEstimate + targetFileRows - 1) / targetFileRows).toInt
     val stamp = java.util.UUID.randomUUID().toString.take(8)
-    val rows = liveRows(spark, st)
+    val rows = liveRows(spark, st, withLineage = st.hasLineage)
     val dataCols = rows.schema.fields
-      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+      .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
     // repartition, not coalesce: coalesce would fold the scan itself down
     // to numFiles tasks — on a large fragmented table the read must stay
     // parallel, and the one shuffle is the same order as the write itself
     val sortCols0 = defaultSortCols(st.meta).filter(c =>
       dataCols.exists(_.name == c))
-    val base0 = rows.select(dataCols.map(f => col(f.name)): _*)
+    val base0 = rows.select(dataCols.map(f => col(f.name)) ++
+      (if (st.hasLineage) Seq(col("__rlid").as(RowIdColName),
+        col("__rlseq").as(LastSeqColName)) else Nil): _*)
     val compacted =
       if (sortCols0.isEmpty) base0.repartition(numFiles)
       else base0.repartitionByRange(numFiles, sortCols0.map(col): _*)

@@ -2404,6 +2404,54 @@ object FormatQueries {
   // the oracle replays both waves from the raw table. A diff that leaks
   // compaction rewrites, mis-attributes commits, or loses the delete
   // side fails rows AND hash.
+  // ---------------------------------------------------------------- l24
+  // ICEBERG V3 ROW LINEAGE (spec "Row Lineage") — the cross-format sibling
+  // of w14: two deterministic single-file appends assign _row_id 0.. (even
+  // keys, snapshot 1) and n_even.. (odd keys, snapshot 2), then COMPACTION
+  // bin-packs everything — rows move, ids and last-updated sequences must
+  // not (materialized reserved columns). The oracle recomputes the id
+  // lattice and per-snapshot sequence from raw; a compaction that
+  // renumbered, dropped the materialized columns, or mis-joined
+  // first_row_id + position fails rows AND hash.
+  private val l24 = QueryDef(
+    "l24_iceberg_row_lineage",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_l24_rowlineage"
+      rmTree(out)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.catalog.IcebergSink.write(
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1).sortWithinPartitions("o_orderkey"),
+        out, Map("row_lineage" -> "true"))
+      graft.catalog.IcebergSink.write(
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .coalesce(1).sortWithinPartitions("o_orderkey"),
+        out, Map.empty)
+      graft.catalog.IcebergSink.rewriteDataFiles(s, out)
+      Catalog.attach(s, "l24_orders_iceberg_rowlineage", "iceberg",
+        Map("files" -> out, "row_lineage" -> "true"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("_row_id")).as("sum_rid"),
+          sum(when(col("_last_updated_sequence_number") === 2, 1L)
+            .otherwise(0L)).as("n_s2"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT o_orderpriority,
+               CAST(row_number() OVER (PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+                 + CASE WHEN o_orderkey % 2 = 1
+                     THEN (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+                     ELSE 0 END AS BIGINT) AS rid,
+               CAST(o_orderkey % 2 AS BIGINT) AS s2
+        FROM orders)
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(rid) AS BIGINT) AS sum_rid,
+             CAST(sum(s2) AS BIGINT) AS n_s2
+      FROM ids GROUP BY o_orderpriority"""))
+
   private val l23 = QueryDef(
     "l23_iceberg_changelog",
     (s, dir) => {
@@ -2547,6 +2595,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, f01, f02)
 }

@@ -571,7 +571,10 @@ object IcebergNative {
 
     final case class FileRef(path: String, seq: Long, bytes: Long,
         stats: Option[LogFileIndex.FileStats] = None,
-        tuple: Map[String, AnyRef] = Map.empty)
+        tuple: Map[String, AnyRef] = Map.empty,
+        // v3 row lineage: the file's explicit first_row_id (default row
+        // ids are first_row_id + row position)
+        firstRowId: Option[Long] = None)
 
     // field id → (column name, iceberg type text) for top-level primitives —
     // the key space of the manifest's lower_bounds/upper_bounds/
@@ -679,7 +682,9 @@ object IcebergNative {
                     .map(fld => fld.name() -> r.get(fld.pos())).toMap
                 case _ => Map.empty[String, AnyRef]
               }
-              dataFiles += ref.copy(stats = statsOf(df), tuple = tuple)
+              dataFiles += ref.copy(stats = statsOf(df), tuple = tuple,
+                firstRowId = opt(df, "first_row_id")
+                  .map(_.asInstanceOf[Number].longValue()))
             case 1 => posDeletes += ref // scope unnecessary: keyed by exact file path
             case 2 =>
               val ids = opt(df, "equality_ids").orNull match {
@@ -917,6 +922,35 @@ object IcebergNative {
       }
     }
 
+    // V3 ROW LINEAGE read (`row_lineage=true`): append `_row_id` and
+    // `_last_updated_sequence_number` per the spec — materialized value
+    // when a moved row's file carries it, else first_row_id + row position
+    // / the file's data sequence. Per-file lineage pairs broadcast-join
+    // the scan (one tiny hash join + a codegen projection, no extra pass).
+    val withLineage = options.get("row_lineage").exists(_.toBoolean)
+    val RowIdCol = "_row_id"
+    val LastSeqCol = "_last_updated_sequence_number"
+    if (withLineage) {
+      if (!meta.has("next-row-id")) throw IcebergReadException(
+        s"`$root`: row_lineage=true but the table metadata carries no " +
+          "next-row-id — not a row-lineage (v3) table")
+      data.find(_.firstRowId.isEmpty).foreach { f =>
+        throw IcebergReadException(
+          s"`$root`: row_lineage=true but live file `${f.path}` has no " +
+            "first_row_id in its manifest entry — a non-lineage writer " +
+            "touched this table; row ids cannot be served")
+      }
+    }
+    // the reserved field ids (spec "Reserved Field IDs") ride along so
+    // field-id-resolving reads find the materialized columns after renames
+    val lineageFields = Seq(
+      StructField(RowIdCol, LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483540L).build()),
+      StructField(LastSeqCol, LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483539L).build()))
+
     // Data scan through the manifest-backed FileIndex: per-file
     // lower/upper bounds + null counts prune files at PLAN time against the
     // pushed filters (the skipping Iceberg's own planner does), and
@@ -945,8 +979,12 @@ object IcebergNative {
       val partSchema = StructType(servedIdentity.map { case (_, src) =>
         readSchema(readSchema.fieldIndex(src)).copy(nullable = true)
       })
+      // lineage reads also pull the materialized reserved columns — files
+      // that never moved simply lack them and read as null (exactly the
+      // rows whose default arithmetic applies)
       val dataSchema =
-        StructType(readSchema.fields.filterNot(f => servedNames.contains(f.name)))
+        StructType(readSchema.fields.filterNot(f => servedNames.contains(f.name)) ++
+          (if (withLineage) lineageFields else Nil))
       // rowsExact only on the no-deletes read: manifest record_count/bounds
       // then describe exactly what the scan returns → metadata aggregates
       val index = new LogFileIndex(spark, rootPath, entries, partSchema, rowsExact)
@@ -968,7 +1006,8 @@ object IcebergNative {
       if (timeCols.isEmpty) df
       else {
         import org.apache.spark.sql.functions.{call_function, col, lit}
-        df.select(schema.fieldNames.map { n =>
+        // preserve every column (lineage reads append _row_id/_last_…)
+        df.select(df.columns.map { n =>
           if (!timeCols.contains(n)) col(n)
           else {
             val c = col(n)
@@ -980,14 +1019,32 @@ object IcebergNative {
           }
         }.toSeq: _*)
       }
+    val outNames: Seq[String] =
+      schema.fieldNames.toSeq ++ (if (withLineage) Seq(RowIdCol, LastSeqCol) else Nil)
 
     surfaceTimes(if (data.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ (if (withLineage) lineageFields else Nil)))
     else if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty) {
-      val scanned = indexedScan(data, rowsExact = true)
-      // partition columns append last; restore the declared order
-      if (servedIdentity.isEmpty) scanned
-      else scanned.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+      val scanned = indexedScan(data, rowsExact = !withLineage)
+      if (!withLineage) {
+        // partition columns append last; restore the declared order
+        if (servedIdentity.isEmpty) scanned
+        else scanned.select(schema.fieldNames.map(col).toSeq: _*)
+      } else {
+        import spark.implicits._
+        val lookup = data.map(f =>
+          (PathKeys.key(f.path), f.firstRowId.get, f.seq))
+          .toDF("__rlk", "__rlbase", "__rlfseq")
+        scanned
+          .withColumn("__rlk", PathKeys.keyCol(col("_metadata.file_path")))
+          .withColumn("__rlpos", col("_metadata.row_index"))
+          .join(broadcast(lookup), Seq("__rlk"), "left")
+          .withColumn(RowIdCol, coalesce(col(RowIdCol), col("__rlbase") + col("__rlpos")))
+          .withColumn(LastSeqCol, coalesce(col(LastSeqCol), col("__rlfseq")))
+          .select(outNames.map(col): _*)
+      }
     }
     else {
       // --- v2 row-level deletes, Spark-first: deletes are DATA, not driver
@@ -1204,7 +1261,20 @@ object IcebergNative {
         } ++ scopeCond).reduce(_ && _) && cur("__iseq") < delB("__dseq")
         cur = cur.join(delB, cond, "left_anti")
       }
-      cur.select(schema.fieldNames.map(col).toSeq: _*)
+      if (withLineage) {
+        // `cur` already carries __if (path key), __ipos (row position) and
+        // __iseq (the file's data sequence) — lineage needs only the
+        // per-file base join; DV/positional survivors keep their original
+        // positions, so default arithmetic stays exact under deletes
+        import org.apache.spark.sql.functions.coalesce
+        val baseLookup = data.map(f => (uriPath(f.path), f.firstRowId.get))
+          .toDF("__rlf", "__rlbase")
+        cur = cur.join(broadcast(baseLookup),
+          cur("__if") === col("__rlf"), "left")
+          .withColumn(RowIdCol, coalesce(col(RowIdCol), col("__rlbase") + col("__ipos")))
+          .withColumn(LastSeqCol, coalesce(col(LastSeqCol), col("__iseq")))
+      }
+      cur.select(outNames.map(col): _*)
     })
   }
 
