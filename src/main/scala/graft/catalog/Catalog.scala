@@ -82,6 +82,15 @@ object Catalog {
               "keep_wkb=false is GeoJSON-only (its native representation is json " +
                 "text); a geopackage's geometry is delivered as WKB")
           graft.sources.GeoPackage.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".kml")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".kml")))
+            throw InvalidOptionException(
+              "spatial attach mixes KML with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a KML placemark's geometry is delivered as WKB")
+          graft.sources.Kml.read(spark, files, options)
         case "spatial" if files.exists(f => f.endsWith(".shp") || f.endsWith(".SHP")) =>
           if (!files.forall(f => f.endsWith(".shp") || f.endsWith(".SHP")))
             throw InvalidOptionException(
@@ -249,7 +258,7 @@ object Catalog {
     def isLayerFile(n: String): Boolean = {
       val l = n.toLowerCase
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
-        l.endsWith(".gpkg") || l.endsWith(".xlsx")
+        l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -272,6 +281,7 @@ object Catalog {
       if (l.endsWith(".shp")) "ESRI Shapefile"
       else if (l.endsWith(".gpkg")) "GPKG"
       else if (l.endsWith(".xlsx")) "XLSX"
+      else if (l.endsWith(".kml")) "KML"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>

@@ -81,6 +81,45 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → a KML Document: one Placemark per nation (name, a declared
+    * typed `<Schema>` int field `nationkey` populated through SchemaData/
+    * SimpleData, Point(k/2, k)) — the same planted geometry lattice as the
+    * GeoJSON/shapefile/GeoPackage fixtures, so the independent WKB-hex
+    * oracle is shared. Driver-side write is test scaffolding. */
+  private def nationKml(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_kml"
+    val f = new java.io.File(s"$out/nation.kml")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val pms = rows.sortBy(_.getLong(0)).map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s"""  <Placemark>
+           |    <name>$name</name>
+           |    <ExtendedData><SchemaData schemaUrl="#nation">
+           |      <SimpleData name="nationkey">$k</SimpleData>
+           |    </SchemaData></ExtendedData>
+           |    <Point><coordinates>${k / 2.0},$k.0</coordinates></Point>
+           |  </Placemark>""".stripMargin
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+           |  <Schema name="nation" id="nation">
+           |    <SimpleField type="int" name="nationkey"/>
+           |  </Schema>
+           |${pms.mkString("\n")}
+           |</Document></kml>""".stripMargin)
+      finally w.close()
+    }
+    f.getPath
+  }
+
   /** nation → GeoJSON FeatureCollection of POLYGON geometries: an
     * axis-aligned square of half-size 0.25 centered on the planted point
     * (k/2, k). All coordinates are dyadic rationals (k/2 ± 0.25), exactly
@@ -672,6 +711,7 @@ object FormatQueries {
     customerDelta(s, dir); ordersIceberg(s, dir); ordersIcebergDeletes(s, dir)
     customerDeltaDv(s, dir); ordersIcebergPuffin(s, dir); nationShp(s, dir)
     nationGpkg(s, dir); supplierXlsx(s, dir); customerIcebergListEqdel(s, dir)
+    nationKml(s, dir)
   }
 
   private val custCols =
@@ -780,6 +820,32 @@ object FormatQueries {
       import org.apache.spark.sql.functions._
       Catalog.attach(s, "g01_nation_geo", "spatial", Map("files" -> path))
         .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  // ---------------------------------------------------------------- g08
+  // Native KML attach (the GDAL KML driver surface of st_read): Placemark
+  // names, a DECLARED typed Schema field delivered through SchemaData/
+  // SimpleData, and Point geometry → the same independently-encoded WKB
+  // hex oracle as g01/g02 — a reader that misparsed the XML structure,
+  // the coordinate tuple order (lon,lat), or the typed extended data
+  // fails rows AND hash.
+  private val g08 = QueryDef(
+    "g08_kml_scan",
+    (s, dir) => {
+      val path = nationKml(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g08_nation_kml", "spatial", Map("files" -> path))
+        .select(col("nationkey").cast("long").as("nationkey"), col("name"),
+          upper(hex(col("geom"))).as("wkb_hex"))
     },
     Some {
       val expected = (0L until 25L).map { k =>
@@ -2594,7 +2660,7 @@ object FormatQueries {
       FROM ids GROUP BY o_orderpriority"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, f01, f02)
 }

@@ -148,6 +148,29 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(ids.values.map(_._1).toSeq.distinct.size === ids.size, "no id overlaps")
   }
 
+  test("streaming delta-commit sink allocates monotone row ids per micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tempDir("rt_stream").getPath + "/t"
+    val in = MemoryStream[(Long, Long)](1)
+    val q = graft.streaming.Streams.writeDeltaStream(
+      in.toDF().toDF("k", "v"), root, "rt-stream-app")
+      .option("row_tracking", "true")
+      .option("checkpointLocation", tempDir("rt_stream_ck").getPath)
+      .start()
+    try {
+      in.addData(Seq((1L, 10L), (2L, 20L)))
+      q.processAllAvailable()
+      in.addData(Seq((3L, 30L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = rowIds(root)
+    assert(ids.keySet === Set(1L, 2L, 3L))
+    assert(ids.values.map(_._1).toSeq.sorted === Seq(0L, 1L, 2L),
+      "each micro-batch continues above the previous hwm")
+    assert(ids(3L)._2 === 1L, "batch 2 landed at commit version 1")
+  }
+
   test("row_tracking read rejects tables that never tracked rows") {
     val dir = tempDir("rt")
     val root = new java.io.File(dir, "plain").getPath
