@@ -183,8 +183,8 @@ object DeltaSink {
       lines += s"""{"metaData":${metaDataJson(spark, fs, logDir, ns,
         tablePartCols, tableConf)}}"""
     }
-    if (overwrite && !creating) live.keys.foreach { p =>
-      lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}"""
+    if (overwrite && !creating) live.foreach { case (p, e) =>
+      lines += s"""{"remove":{"path":${esc(p)},"deletionTimestamp":${System.currentTimeMillis()},"dataChange":true${rtEchoFields(e)}}}"""
     }
     val alloc = new RowIdAllocator(st, version, forceActive = creating && rtOpt)
     newFiles.foreach { f =>

@@ -124,6 +124,20 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(after(100L)._1 === 15L, "insert allocates above the hwm")
   }
 
+  test("overwrite removes echo the removed files' row-tracking fields; fresh ranges after") {
+    val root = mkTable(tempDir("rt"))
+    DeltaSink.write(
+      Seq(100L).toDF("k").withColumn("v", col("k") * 10),
+      root, Map("overwrite" -> "true"))
+    val v2 = java.nio.file.Files.readString(
+      new java.io.File(root, f"_delta_log/${2L}%020d.json").toPath)
+    // both removed files' adds carried (base, version); the removes echo them
+    assert(v2.contains("\"remove\"") && v2.contains("\"baseRowId\":0")
+      && v2.contains("\"baseRowId\":5"))
+    val ids = rowIds(root)
+    assert(ids === Map(100L -> ((10L, 2L))), "overwrite rows allocate above the hwm")
+  }
+
   test("checkpoint folds baseRowId/defaultRowCommitVersion and the hwm domain") {
     val root = mkTable(tempDir("rt"))
     val before = rowIds(root)
