@@ -95,8 +95,18 @@ object IcebergChanges {
       s"`$root`: end_snapshot $endId precedes start_snapshot $startId")
 
     val range = mainLine.slice(startIdx + 1, endIdx + 1)
+    // ROW-LINEAGE CHANGELOG (`row_lineage=true`, v3 tables): every change
+    // row additionally carries `_row_id` — an UPDATE's delete+insert pair
+    // shares the SAME stable id, so a CDC consumer can correlate the pair
+    // without a key column (the lineage spec's motivating consumer). The
+    // pinned reads serve ids per snapshot; the exceptAll diff then keys on
+    // values AND identity, which also surfaces same-value rewrites whose
+    // `_last_updated_sequence_number` moved.
+    val withLineage = options.get("row_lineage").exists(_.toBoolean)
+    val readOpts: Map[String, String] =
+      if (withLineage) Map("row_lineage" -> "true") else Map.empty
     def pinned(id: Long): DataFrame =
-      IcebergNative.read(spark, root, Map("snapshot_id" -> id.toString))
+      IcebergNative.read(spark, root, readOpts + ("snapshot_id" -> id.toString))
     val baseSchema = pinned(endId).schema
 
     def stamped(df: DataFrame, change: String, id: Long, ts: Long): DataFrame =
@@ -113,7 +123,7 @@ object IcebergChanges {
         case "append" =>
           // metadata-bounded: end-only manifests relative to the previous
           // snapshot; no delete side exists in an append commit
-          parts += stamped(IcebergNative.read(spark, root, Map(
+          parts += stamped(IcebergNative.read(spark, root, readOpts ++ Map(
             "snapshot_id" -> id.toString,
             "changes_since_snapshot" -> prevId.toString)), "insert", id, ts)
         case "replace" =>

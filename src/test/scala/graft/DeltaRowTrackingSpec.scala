@@ -185,6 +185,18 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(ids(3L)._2 === 1L, "batch 2 landed at commit version 1")
   }
 
+  test("time travel serves the ids of the pinned version") {
+    val root = mkTable(tempDir("rt"))
+    DeltaSink.deleteWhere(spark, root, "k = 3")
+    // pinned BEFORE the delete: id 6 (k=3) is still present
+    val pinned = DeltaNative.read(spark, root,
+      Map("row_tracking" -> "true", "version_as_of" -> "1"))
+      .select(col("k"), col("_row_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pinned(3L) === 6L && pinned.size === 10)
+    assert(!rowIds(root).contains(3L))
+  }
+
   test("row_tracking read rejects tables that never tracked rows") {
     val dir = tempDir("rt")
     val root = new java.io.File(dir, "plain").getPath

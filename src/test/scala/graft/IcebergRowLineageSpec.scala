@@ -92,6 +92,20 @@ class IcebergRowLineageSpec extends SparkSpec {
     assert(after(100L)._1 >= 10L, "insert allocates above the hwm")
   }
 
+  test("changelog with row_lineage: an update's delete+insert pair shares its id") {
+    val root = mkTable(tempDir("rl"))
+    val idBefore = lineage(root)(6L)._1
+    IcebergSink.updateWhere(spark, root, "k = 6", Map("v" -> "999"))
+    val ch = graft.sources.IcebergChanges.read(spark, root,
+      Map("start_snapshot" -> "2", "row_lineage" -> "true"))
+      .select(col("_change_type"), col("k"), col("v"), col("_row_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(ch === Set(
+      ("delete", 6L, 60L, idBefore),
+      ("insert", 6L, 999L, idBefore)), "the pair correlates on the stable id")
+  }
+
   test("rejects: non-lineage reads, late enablement, reserved column names") {
     val dir = tempDir("rl")
     val plain = new java.io.File(dir, "plain").getPath
