@@ -2518,6 +2518,60 @@ object FormatQueries {
              CAST(sum(s2) AS BIGINT) AS n_s2
       FROM ids GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- l25
+  // DYNAMIC PARTITION PRUNING through the native readers — THE 100×-scale
+  // star-schema plan: `fact JOIN dim ON partition-key WHERE dim.attr = x`
+  // must prune fact partitions at RUNTIME from the dim filter's results,
+  // not scan them all. Both native attaches expose a real partitionSchema
+  // through LogFileIndex (Delta: log partitionValues; Iceberg: the
+  // identity tuple, served as typed partition columns), which is exactly
+  // the seam Spark's PartitionPruning rule fires on — the broadcast dim
+  // feeds a DynamicPruningExpression into each fact scan's
+  // PartitionFilters (plan + pruned-file-count pinned in PlanSpec). The
+  // reference gets the equivalent from DuckDB's runtime filter pushdown
+  // via whole-query delegation (/root/reference/src/hooks/executor.rs:30).
+  // Both formats run the same join, so a protocol error on either side
+  // breaks rows AND hash.
+  private val l25 = QueryDef(
+    "l25_dpp_star_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val dOut = s"${exportRoot(dir)}/copy_l25_delta"
+      val iOut = s"${exportRoot(dir)}/copy_l25_iceberg"
+      if (!new java.io.File(s"$dOut/_delta_log/00000000000000000000.json").exists()) {
+        rmTree(dOut)
+        graft.catalog.Sinks.copyTo(Tables.load(s, dir, "customer"), dOut, "delta",
+          Map("partition_by" -> "c_nationkey"))
+      }
+      if (!new java.io.File(s"$iOut/metadata/v1.metadata.json").exists()) {
+        rmTree(iOut)
+        graft.catalog.Sinks.copyTo(Tables.load(s, dir, "customer"), iOut, "iceberg",
+          Map("partition_by" -> "c_nationkey"))
+      }
+      // the dim filter is NOT on the join key — constraint propagation
+      // cannot statically prune the fact; only runtime pruning can
+      val nation = Tables.load(s, dir, "nation").filter(col("n_regionkey") === 2)
+      def star(fact: org.apache.spark.sql.DataFrame, tag: String) =
+        fact.join(nation, fact("c_nationkey") === nation("n_nationkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+          .withColumn("src", lit(tag))
+      val fd = Catalog.attach(s, "l25_cust_delta_part", "delta", Map("files" -> dOut))
+      val fi = Catalog.attach(s, "l25_cust_iceberg_part", "iceberg", Map("files" -> iOut))
+      star(fd, "delta").unionAll(star(fi, "iceberg"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT c_nationkey, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 2
+        GROUP BY c_nationkey)
+      SELECT c_nationkey, n_cust, sum_bal, 'delta' AS src FROM j
+      UNION ALL
+      SELECT c_nationkey, n_cust, sum_bal, 'iceberg' AS src FROM j"""))
+
   private val l23 = QueryDef(
     "l23_iceberg_changelog",
     (s, dir) => {
@@ -2661,6 +2715,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, f01, f02)
 }

@@ -789,40 +789,51 @@ object IcebergNative {
       probes.head
     }
 
-    // Identity partition columns ABSENT from the data files (hive-migrated
-    // or Delta-converted tables): the spec makes the manifest's r102 tuple
-    // authoritative for identity transforms, so serve those columns as
-    // typed PARTITION columns through the FileIndex — plan-time partition
-    // pruning included — exactly as the Delta reader serves log partitions.
-    // Mixed presence across files (partition evolution mid-history) rejects
-    // loudly: half-null columns would silently corrupt results.
+    // Identity partition columns serve from the manifest's r102 tuple
+    // whenever they can: the spec makes the tuple authoritative for
+    // identity transforms (every row in the file carries exactly the
+    // tuple's value — Iceberg's own readers fill these columns from the
+    // task's constants map, never the parquet pages). Serving them as
+    // typed PARTITION columns through the FileIndex buys three things a
+    // 100 TB star schema needs: plan-time partition pruning, RUNTIME
+    // partition pruning (Spark's PartitionPruning rule fires only on
+    // relations with a partition schema), and one fewer parquet column
+    // decoded per row. Columns the tuple can't serve (unservable type, or
+    // a spec-evolution gap where some manifests lack the field) read from
+    // the data files as before — unless the files don't carry them either,
+    // which rejects loudly (hive-migrated tables with exotic types).
     val servedIdentity: Seq[(String, String)] = // (tuple field, column name)
       if (data.isEmpty) Nil
       else specFields.toSeq.collect {
         case (fname, ("identity", Some(src))) => (fname, src)
       }.filter { case (fname, src) =>
-        val present = dataProbes.map(_._2.contains(src)).distinct
-        if (present.size > 1) throw IcebergReadException(
-          s"`$root`: identity partition column `$src` exists in some data files " +
-            "but not others — cannot serve it consistently; rewrite the old " +
-            "files or use an iceberg connector jar")
-        val absent = !present.head
-        if (absent) {
-          schema(src).dataType match {
-            case IntegerType | LongType | StringType | BooleanType |
-                 ShortType | ByteType | DateType => ()
-            case other => throw IcebergReadException(
-              s"`$root`: identity partition column `$src` (${other.simpleString}) " +
+        val typeOk = schema(src).dataType match {
+          case IntegerType | LongType | StringType | BooleanType |
+               ShortType | ByteType | DateType => true
+          case _ => false
+        }
+        val tupleOk = data.forall(_.tuple.contains(fname))
+        if (typeOk && tupleOk) true
+        else {
+          val present = dataProbes.map(_._2.contains(src)).distinct
+          if (present.size > 1) throw IcebergReadException(
+            s"`$root`: identity partition column `$src` exists in some data files " +
+              "but not others — cannot serve it consistently; rewrite the old " +
+              "files or use an iceberg connector jar")
+          if (!present.head) {
+            if (!typeOk) throw IcebergReadException(
+              s"`$root`: identity partition column `$src` " +
+                s"(${schema(src).dataType.simpleString}) " +
                 "is not in the data files and its type cannot be served from the " +
                 "partition tuple (int/long/string/boolean/date only); use an " +
                 "iceberg connector jar")
+            throw IcebergReadException(
+              s"`$root`: identity partition field `$fname` is missing from some " +
+                "manifests' partition tuples (partition evolution?) while the " +
+                "column is absent from the data files — cannot serve it")
           }
-          if (!data.forall(_.tuple.contains(fname))) throw IcebergReadException(
-            s"`$root`: identity partition field `$fname` is missing from some " +
-              "manifests' partition tuples (partition evolution?) while the " +
-              "column is absent from the data files — cannot serve it")
+          false // present in every file, tuple can't serve → read from files
         }
-        absent
       }
     /** r102 value → the string LogFileIndex casts to the column type. */
     def tupleString(v: AnyRef, dt: DataType): String = v match {
