@@ -2333,9 +2333,19 @@ object DeltaSink {
         matching.withColumn("_change_type", lit("update_preimage"))
           .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
       else matching.withColumn("_change_type", lit("delete"))
+    // row tracking + CDF: change rows MATERIALIZE their stable ids into the
+    // cdc files (preimage keeps its commit version; postimage's version
+    // stays null — it re-defaults to THIS commit, which the CDF reader
+    // serves from _commit_version). This is what lets a CDC consumer
+    // correlate an update's pre/post pair without a key column.
     val cdcFrame =
-      if (cdcFrame0 == null || !rtOn) cdcFrame0
-      else cdcFrame0.drop("__rt_id", "__rt_ver")
+      (if (cdcFrame0 == null) null
+       else rtMat match {
+         case None => cdcFrame0
+         case Some((matId, matVer)) => cdcFrame0
+           .withColumnRenamed("__rt_id", matId)
+           .withColumnRenamed("__rt_ver", matVer)
+       })
     val cdcFiles =
       if (cdcFrame == null) Nil
       else writeDataFiles(toPhys(cdcFrame), rootPath, partColsT.map(physKey),
@@ -2588,18 +2598,45 @@ object DeltaSink {
         (if (insertCount > 0)
           writeDataFiles(toPhys(inserts), rootPath, partColsT.map(physKey), Map.empty)
         else Nil)
+    // row tracking + CDF: pre/post/delete change rows materialize their
+    // stable ids into the cdc files (postimage version re-defaults to THIS
+    // commit → null here, served from _commit_version by the reader).
+    // Inserted rows' ids are allocated per-file AT COMMIT (base + position
+    // of the new data files) — a cdc insert row has no position in those
+    // files, so its materialized id is honestly null.
+    def matCdc(df: DataFrame, idc: org.apache.spark.sql.Column,
+        verc: org.apache.spark.sql.Column): DataFrame = rtMat match {
+      case None => df
+      case Some((matId, matVer)) =>
+        df.withColumn(matId, idc.cast("long")).withColumn(matVer, verc.cast("long"))
+    }
     val cdcFrames = Seq(
       if (cdf && doRewrite && updatedCount > 0)
-        Some(preRows.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(updatedRows.withColumn("_change_type", lit("update_postimage"))))
+        Some(matCdc(
+          updatePairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq ++
+            (if (rtOn) Seq(col("t.__rt_id").as("__c_id"), col("t.__rt_ver").as("__c_ver"))
+             else Nil): _*)
+            .withColumn("_change_type", lit("update_preimage")),
+          col("__c_id"), col("__c_ver"))
+          .unionByName(matCdc(
+            updatePairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq ++
+              (if (rtOn) Seq(col("t.__rt_id").as("__c_id")) else Nil): _*)
+              .withColumn("_change_type", lit("update_postimage")),
+            col("__c_id"), lit(null)))
+          .drop("__c_id", "__c_ver"))
       else None,
       if (cdf && deletedCount > 0)
-        Some(deletePairs
-          .select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
-          .withColumn("_change_type", lit("delete")))
+        Some(matCdc(
+          deletePairs
+            .select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq ++
+              (if (rtOn) Seq(col("t.__rt_id").as("__c_id"), col("t.__rt_ver").as("__c_ver"))
+               else Nil): _*)
+            .withColumn("_change_type", lit("delete")),
+          col("__c_id"), col("__c_ver")).drop("__c_id", "__c_ver"))
       else None,
       if (cdf && insertCount > 0)
-        Some(inserts.withColumn("_change_type", lit("insert")))
+        Some(matCdc(inserts.withColumn("_change_type", lit("insert")),
+          lit(null), lit(null)))
       else None).flatten
     val cdcFiles = cdcFrames.flatMap(f =>
       writeDataFiles(toPhys(f), rootPath, partColsT.map(physKey), Map.empty,

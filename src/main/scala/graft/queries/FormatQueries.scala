@@ -2713,8 +2713,83 @@ object FormatQueries {
              CAST(sum(ver) AS BIGINT) AS n_v1
       FROM ids GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- w15
+  // CDF ROW-IDENTITY CORRELATION: the change feed of a row-tracking table
+  // read with `row_tracking=true` carries `_row_id`/`_row_commit_version`
+  // on every change row — an UPDATE's preimage/postimage pair shares the
+  // SAME stable id (the Delta mirror of Iceberg's lineage changelog, l24/
+  // x21). The ladder of commits proves the id plumbing end-to-end: create
+  // (ids 0..N-1 by position) → UPDATE (cdc pre/post rows materialize ids
+  // into the change files) → append (synthesized inserts, base+position)
+  // → OPTIMIZE (rows MOVE; materialized columns must preserve ids) → a
+  // second UPDATE whose cdc rows must still carry the ORIGINAL ids. The
+  // oracle replays the whole allocation + version arithmetic from raw —
+  // any drift in allocation order, materialization, or cdc echo breaks
+  // the hash.
+  private val w15 = QueryDef(
+    "w15_delta_cdf_row_tracking",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w15_cdf_rt"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.catalog.DeltaSink.write(
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .coalesce(1).sortWithinPartitions("c_custkey"),
+        out, Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+      graft.catalog.DeltaSink.updateWhere(s, out, "c_custkey % 10 = 3",
+        Map("c_acctbal" -> "c_acctbal + 100"))
+      graft.catalog.DeltaSink.write(
+        cust.filter(col("c_custkey") % 3 === 0)
+          .coalesce(1).sortWithinPartitions("c_custkey"),
+        out, Map.empty)
+      graft.catalog.DeltaSink.optimize(s, out)
+      graft.catalog.DeltaSink.updateWhere(s, out, "c_custkey % 10 = 7",
+        Map("c_name" -> "upper(c_name)"))
+      Catalog.attach(s, "w15_cust_delta_cdf_rt", "delta",
+        Map("files" -> out, "read_change_feed" -> "true",
+          "starting_version" -> "1", "row_tracking" -> "true"))
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("cver"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("_row_id")).as("sum_rid"),
+          sum(col("_row_commit_version")).as("sum_ver"))
+    },
+    Some("""
+      WITH init AS (
+        SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 <> 0),
+      app AS (
+        -- the v1 copy-on-write rewrite re-allocates a fresh base range for
+        -- every rewritten row (ids stay stable via materialization, but the
+        -- high-water mark advances by the rewrite's row count), so the v2
+        -- append allocates from 2*N0
+        SELECT c_custkey,
+               2 * (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0)
+                 + row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 = 0),
+      allr AS (
+        SELECT c_custkey, rid,
+               CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END AS ver FROM init
+        UNION ALL SELECT c_custkey, rid, 2 AS ver FROM app),
+      feed AS (
+        SELECT 'update_preimage' AS change, 1 AS cver, rid, 0 AS ver
+          FROM init WHERE c_custkey % 10 = 3
+        UNION ALL SELECT 'update_postimage', 1, rid, 1
+          FROM init WHERE c_custkey % 10 = 3
+        UNION ALL SELECT 'insert', 2, rid, 2 FROM app
+        UNION ALL SELECT 'update_preimage', 4, rid, ver
+          FROM allr WHERE c_custkey % 10 = 7
+        UNION ALL SELECT 'update_postimage', 4, rid, 4
+          FROM allr WHERE c_custkey % 10 = 7)
+      SELECT change, CAST(cver AS BIGINT) AS cver, count(*) AS n,
+             CAST(sum(rid) AS BIGINT) AS sum_rid,
+             CAST(sum(ver) AS BIGINT) AS sum_ver
+      FROM feed GROUP BY change, cver"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, w14, f01, f02)
+      w08, w09, w10, w11, w12, w13, w14, w15, f01, f02)
 }

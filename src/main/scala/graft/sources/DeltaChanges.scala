@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
 import org.apache.spark.sql.types._
 
 /** Native Delta CHANGE DATA FEED reader — row-level change history with no
@@ -46,13 +46,19 @@ object DeltaChanges {
   private val ChangeType = "_change_type"
   private val CommitVersion = "_commit_version"
   private val CommitTimestamp = "_commit_timestamp"
+  private val RowId = "_row_id"
+  private val RowVer = "_row_commit_version"
 
   /** One feed contribution: a readable parquet file + the commit that makes
     * it a change. `kind` None = a cdc file (carries its own _change_type
-    * column); Some(t) = a synthesized whole-file change of type t. */
+    * column); Some(t) = a synthesized whole-file change of type t.
+    * `baseRowId`/`defVer` carry the file's row-tracking fields for
+    * synthesized kinds (the add's own fields for an insert; the removed
+    * file's original fields for a delete). */
   private final case class ChangeFile(path: String, size: Long,
       partitionValues: Map[String, String], version: Long,
-      kind: Option[String], stats: Option[String])
+      kind: Option[String], stats: Option[String],
+      baseRowId: Option[Long] = None, defVer: Option[Long] = None)
 
   def read(spark: SparkSession, root: String, options: Map[String, String]): DataFrame = {
     Seq("version_as_of", "timestamp_as_of", "changes_since").foreach { o =>
@@ -60,6 +66,15 @@ object DeltaChanges {
         s"read_change_feed and $o are mutually exclusive: the feed is a row " +
           "history over a version range, not a snapshot")
     }
+    // ROW-IDENTITY CORRELATION (`row_tracking=true`): every change row
+    // additionally carries `_row_id` + `_row_commit_version`, so an
+    // UPDATE's preimage/postimage pair shares the SAME stable id and a CDC
+    // consumer can correlate the pair without a key column — the mirror of
+    // the Iceberg changelog's `row_lineage=true`. Ids come from the same
+    // materialized-else-base+position arithmetic the snapshot reader uses;
+    // cdc files carry them MATERIALIZED (this engine's DML writer
+    // materializes ids into its change files — see DeltaSink cdc paths).
+    val rtOn = options.get("row_tracking").exists(_.toBoolean)
     val start = options.get("starting_version").map(parseVersion("starting_version", _))
       .getOrElse(throw DeltaReadException(
         "read_change_feed requires starting_version (the first commit whose " +
@@ -113,7 +128,8 @@ object DeltaChanges {
     // out-of-range DV churn never contributes feed rows, so the plain path
     // key — not (path, dvId) — is sufficient for the lookback state)
     final case class LiveFile(partitionValues: Map[String, String], size: Long,
-        stats: Option[String], hasDv: Boolean)
+        stats: Option[String], hasDv: Boolean,
+        baseRowId: Option[Long], defVer: Option[Long])
     val state = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     val changes = Seq.newBuilder[ChangeFile]
     val versionTs = Seq.newBuilder[(Long, Long)]
@@ -124,6 +140,17 @@ object DeltaChanges {
     def hasDv(a: JsonNode): Boolean = {
       val d = a.path("deletionVector")
       !d.isMissingNode && !d.isNull
+    }
+    def longField(a: JsonNode, name: String): Option[Long] = {
+      val n = a.path(name)
+      if (n.isIntegralNumber) Some(n.asLong()) else None
+    }
+    def requireBase(b: Option[Long], v: Long, p: String): Option[Long] = {
+      if (rtOn && b.isEmpty) throw DeltaReadException(
+        s"`$root`: row_tracking=true but file `$p` (commit $v) carries no " +
+          "baseRowId — a non-row-tracking writer touched this table; " +
+          "row ids cannot be served")
+      b
     }
 
     commitStatuses.takeWhile(_._1 <= end).foreach { case (v, st) =>
@@ -150,6 +177,11 @@ object DeltaChanges {
           s"`$root`: commit $v is inside the requested change range but the " +
             "table does not have delta.enableChangeDataFeed=true at that " +
             "version — the log does not carry a faithful change feed there")
+      if (rtOn && !tableConf.get("delta.enableRowTracking").exists(_.toBoolean))
+        throw DeltaReadException(
+          s"`$root`: row_tracking=true but the table does not set " +
+            "delta.enableRowTracking at commit $v — row ids are not stable " +
+            "(or present) on this table")
 
       val cdcNodes = nodes.filter(_.has("cdc"))
       if (inRange) {
@@ -178,7 +210,9 @@ object DeltaChanges {
             changes += ChangeFile(a.path("path").asText(), a.path("size").asLong(0L),
               partValues(a), v, Some("insert"),
               Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
-                .map(_.asText()))
+                .map(_.asText()),
+              requireBase(longField(a, "baseRowId"), v, a.path("path").asText()),
+              longField(a, "defaultRowCommitVersion"))
           }
           if (n.has("remove") && n.path("remove").path("dataChange").asBoolean(false)) {
             val rm = n.path("remove")
@@ -196,7 +230,8 @@ object DeltaChanges {
                 "resurrect already-deleted positions; no cdc action present")
             changes += ChangeFile(p, prior.size,
               if (rm.has("partitionValues")) partValues(rm) else prior.partitionValues,
-              v, Some("delete"), prior.stats)
+              v, Some("delete"), prior.stats,
+              requireBase(prior.baseRowId, v, p), prior.defVer)
           }
         }
       }
@@ -208,7 +243,8 @@ object DeltaChanges {
             a.path("size").asLong(0L),
             Option(a.path("stats")).filter(s => s.isTextual && s.asText().nonEmpty)
               .map(_.asText()),
-            hasDv(a))
+            hasDv(a),
+            longField(a, "baseRowId"), longField(a, "defaultRowCommitVersion"))
         }
         if (n.has("remove")) state.remove(n.path("remove").path("path").asText())
       }
@@ -217,12 +253,30 @@ object DeltaChanges {
     val schema = DataType.fromJson(schemaJson.getOrElse(
       throw DeltaReadException(s"`$root`: no metaData action found in the Delta log")))
       .asInstanceOf[StructType]
-    Seq(ChangeType, CommitVersion, CommitTimestamp).foreach { reserved =>
+    (Seq(ChangeType, CommitVersion, CommitTimestamp) ++
+      (if (rtOn) Seq(RowId, RowVer) else Nil)).foreach { reserved =>
       if (schema.fieldNames.exists(_.equalsIgnoreCase(reserved)))
         throw DeltaReadException(
           s"`$root`: table column `$reserved` collides with a change-feed " +
             "metadata column")
     }
+    // the materialized column names (cdc files and moved rows carry ids
+    // under them) — this engine's creation path always sets both
+    val rtMatNames: Option[(String, String)] =
+      if (!rtOn) None
+      else Some((
+        tableConf.getOrElse("delta.rowTracking.materializedRowIdColumnName",
+          throw DeltaReadException(
+            s"`$root`: delta.enableRowTracking is set but the table " +
+              "configuration lacks the materialized row-id column name — " +
+              "change rows cannot be correlated; use a delta connector jar")),
+        tableConf.getOrElse(
+          "delta.rowTracking.materializedRowCommitVersionColumnName",
+          throw DeltaReadException(
+            s"`$root`: delta.enableRowTracking is set but the table " +
+              "configuration lacks the materialized commit-version column " +
+              "name — change rows cannot be correlated; use a delta " +
+              "connector jar"))))
 
     // ---- column mapping (same protocol rule as the snapshot reader:
     // data/change files carry PHYSICAL names; rename back at the end) ----
@@ -248,7 +302,7 @@ object DeltaChanges {
     val all = changes.result()
     if (all.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        outputSchema(schema))
+        outputSchema(schema, rtOn))
 
     // partition schema: the table's partition columns + _commit_version —
     // both served from the log through the same typed LogFileIndex path
@@ -279,14 +333,82 @@ object DeltaChanges {
     }
 
     val cdcFiles = all.filter(_.kind.isEmpty)
-    val parts: Seq[DataFrame] =
-      (if (cdcFiles.nonEmpty)
-        Seq(scanOf(cdcFiles, Seq(StructField(ChangeType, StringType))))
-      else Nil) ++
-        all.filter(_.kind.isDefined).groupBy(_.kind.get).toSeq.sortBy(_._1)
-          .map { case (kind, fs) =>
-            scanOf(fs, Nil).withColumn(ChangeType, lit(kind))
+    // materialized columns the rt read pulls from the files (physical-only,
+    // never in the table schema; files that predate materialization — or
+    // cdc insert rows, whose ids are only assigned to the DATA files at
+    // commit — read as null)
+    val matFields: Seq[StructField] = rtMatNames.toSeq.flatMap { case (mi, mv) =>
+      Seq(StructField(mi, LongType, nullable = true),
+        StructField(mv, LongType, nullable = true))
+    }
+    // loud degradation: a cdc file with NO materialized row-id column was
+    // written by a non-correlating writer — its update/delete rows cannot
+    // be attributed to stable ids; probe footers (sampled) and reject
+    rtMatNames.foreach { case (matId, _) =>
+      if (cdcFiles.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        val n = cdcFiles.length
+        val k = math.min(8, n)
+        (0 until k).map(i => if (k == 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt)
+          .distinct.foreach { i =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new Path(resolve(cdcFiles(i).path)), conf))
+            try {
+              val names = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .map(_.getName).toSet
+              if (!names.contains(matId)) throw DeltaReadException(
+                s"`$root`: row_tracking=true but change file " +
+                  s"`${cdcFiles(i).path}` carries no materialized row-id " +
+                  s"column `$matId` — its writer did not materialize ids " +
+                  "into the change feed; change rows cannot be correlated")
+            } finally r.close()
           }
+      }
+    }
+    def cdcPart(files: Seq[ChangeFile]): DataFrame = {
+      val base = scanOf(files, StructField(ChangeType, StringType) +: matFields)
+      rtMatNames match {
+        case None => base
+        case Some((mi, mv)) => base
+          .withColumn(RowId, col(mi))
+          // preimage/delete rows materialize the row's LAST commit version;
+          // a postimage row's version re-defaults to THIS commit
+          .withColumn(RowVer, coalesce(col(mv), col(CommitVersion)))
+          .drop(mi, mv)
+      }
+    }
+    def synthPart(kind: String, files: Seq[ChangeFile]): DataFrame = {
+      val base = scanOf(files, matFields)
+      val tagged = rtMatNames match {
+        case None => base
+        case Some((mi, mv)) =>
+          // materialized-else-base+position, per-file fields via a tiny
+          // broadcast (the snapshot reader's exact arithmetic); _metadata
+          // must be addressed on the DIRECT scan, before any join
+          val infoSchema = StructType(Seq(
+            StructField("__rt_key", StringType, nullable = false),
+            StructField("__rt_base", LongType, nullable = true),
+            StructField("__rt_def", LongType, nullable = true)))
+          val infoRows = files.map(f => org.apache.spark.sql.Row(
+            PathKeys.key(resolve(f.path)),
+            f.baseRowId.map(Long.box).orNull, f.defVer.map(Long.box).orNull))
+          val infoDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(infoRows, 1), infoSchema)
+          base
+            .withColumn("__rt_key", PathKeys.keyCol(col("_metadata.file_path")))
+            .withColumn("__rt_idx", col("_metadata.row_index"))
+            .join(broadcast(infoDf), Seq("__rt_key"), "left")
+            .withColumn(RowId, coalesce(col(mi), col("__rt_base") + col("__rt_idx")))
+            .withColumn(RowVer, coalesce(col(mv), col("__rt_def")))
+            .drop("__rt_key", "__rt_idx", "__rt_base", "__rt_def", mi, mv)
+      }
+      tagged.withColumn(ChangeType, lit(kind))
+    }
+    val parts: Seq[DataFrame] =
+      (if (cdcFiles.nonEmpty) Seq(cdcPart(cdcFiles)) else Nil) ++
+        all.filter(_.kind.isDefined).groupBy(_.kind.get).toSeq.sortBy(_._1)
+          .map { case (kind, fs) => synthPart(kind, fs) }
     val unioned = parts.reduce(_ unionByName _)
 
     // per-version commit timestamp: a broadcast join against a frame with
@@ -297,21 +419,26 @@ object DeltaChanges {
       .toDF(CommitVersion, CommitTimestamp)
     val stamped = unioned.join(broadcast(tsDf), Seq(CommitVersion))
 
-    // declared order (data schema, then the three feed columns), logical names
+    // declared order (data schema, then the feed columns), logical names
+    val feedCols: Seq[String] =
+      Seq(ChangeType, CommitVersion, CommitTimestamp) ++
+        (if (rtOn) Seq(RowId, RowVer) else Nil)
     val ordered = stamped.select(
-      (physSchema.fieldNames.toSeq :+ ChangeType :+ CommitVersion :+ CommitTimestamp)
-        .map(col): _*)
+      (physSchema.fieldNames.toSeq ++ feedCols).map(col): _*)
     if (!mappingActive) ordered
-    else ordered.select((schema.fields.toSeq.map { f =>
+    else ordered.select(schema.fields.toSeq.map { f =>
       col(physName(f)).cast(f.dataType).as(f.name)
-    } :+ col(ChangeType) :+ col(CommitVersion) :+ col(CommitTimestamp)): _*)
+    } ++ feedCols.map(col): _*)
   }
 
-  private def outputSchema(schema: StructType): StructType =
-    StructType(schema.fields.toSeq :+
-      StructField(ChangeType, StringType) :+
-      StructField(CommitVersion, LongType, nullable = false) :+
-      StructField(CommitTimestamp, TimestampType, nullable = false))
+  private def outputSchema(schema: StructType, rtOn: Boolean): StructType =
+    StructType(schema.fields.toSeq ++ (Seq(
+      StructField(ChangeType, StringType),
+      StructField(CommitVersion, LongType, nullable = false),
+      StructField(CommitTimestamp, TimestampType, nullable = false)) ++
+      (if (rtOn) Seq(
+        StructField(RowId, LongType, nullable = true),
+        StructField(RowVer, LongType, nullable = true)) else Nil)))
 
   private def parseVersion(name: String, v: String): Long = {
     val n = try v.toLong catch {

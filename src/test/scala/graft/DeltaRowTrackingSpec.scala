@@ -207,6 +207,50 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(e.getMessage.contains("delta.enableRowTracking"))
   }
 
+  test("CDF row_tracking=true: update pre/post pairs share their stable _row_id") {
+    val dir = tempDir("rtcdf")
+    val root = new java.io.File(dir, "t").getPath
+    // v0: ids 0..4 on even keys; v1: ids 5..9 on odd keys; v2: OPTIMIZE
+    // moves every row (materialized ids must survive); v3: UPDATE
+    DeltaSink.write(
+      Seq(0L, 2L, 4L, 6L, 8L).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1).sortWithinPartitions("k"),
+      root, Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+    DeltaSink.write(
+      Seq(1L, 3L, 5L, 7L, 9L).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1).sortWithinPartitions("k"),
+      root, Map.empty)
+    DeltaSink.optimize(spark, root)
+    DeltaSink.updateWhere(spark, root, "k % 4 = 1", Map("v" -> "v + 1"))
+    val feed = graft.sources.DeltaChanges.read(spark, root,
+      Map("starting_version" -> "3", "row_tracking" -> "true"))
+      .select(col("k"), col("_change_type"), col("_row_id"),
+        col("_row_commit_version"))
+      .collect()
+    val byKey = feed.groupBy(_.getLong(0))
+    assert(byKey.keySet == Set(1L, 5L, 9L))
+    byKey.foreach { case (k, rows) =>
+      val pre = rows.find(_.getString(1) == "update_preimage").get
+      val post = rows.find(_.getString(1) == "update_postimage").get
+      assert(pre.getLong(2) == 5 + (k - 1) / 2,
+        s"id of key $k is its ORIGINAL create position (survived the move)")
+      assert(post.getLong(2) == pre.getLong(2), "pair shares the stable id")
+      assert(pre.getLong(3) == 1L, "preimage keeps the row's old version")
+      assert(post.getLong(3) == 3L, "postimage re-defaults to this commit")
+    }
+  }
+
+  test("CDF row_tracking=true on a non-row-tracking table rejects loudly") {
+    val dir = tempDir("rtcdf2")
+    val root = new java.io.File(dir, "t").getPath
+    DeltaSink.write(Seq(1L).toDF("k"), root, Map("change_data_feed" -> "true"))
+    val e = intercept[graft.sources.DeltaNative.DeltaReadException] {
+      graft.sources.DeltaChanges.read(spark, root,
+        Map("starting_version" -> "0", "row_tracking" -> "true")).collect()
+    }
+    assert(e.getMessage.contains("delta.enableRowTracking"))
+  }
+
   test("writerGates accepts foreign tables demanding rowTracking") {
     // hand-written foreign log demanding the feature: the gate that used
     // to reject must now accept an append and allocate above the hwm
