@@ -35,9 +35,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // `__SF__` in an oracle resolves to the scale-factor directory's
+    // basename at dump time — export-path oracles (c01/j01/h01) then point
+    // at THIS rung's derived fixtures, so the sf1 stress gate covers the
+    // full inventory instead of carving them out.
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF__", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

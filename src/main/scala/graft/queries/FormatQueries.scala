@@ -12,8 +12,10 @@ import graft.catalog.Catalog
   *
   * Exports are derived deterministically from the driver's parquet testdata
   * and written once per scale factor under /root/repo/target/export/<sf>/
-  * (idempotent via _SUCCESS marker). The oracle paths pin sf0.01 — the
-  * driver's correctness scale (TESTDATA.md).
+  * (idempotent via _SUCCESS marker). Export-path oracles reference
+  * `__SF__`, which Verify resolves to the scale directory's basename at
+  * dump time — the fixtures derive per rung, so the stress gate covers
+  * them at every scale (TESTDATA.md).
   */
 object FormatQueries {
 
@@ -730,7 +732,7 @@ object FormatQueries {
     },
     Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-      FROM read_csv('/root/repo/target/export/sf0.01/customer_csv/*.csv', header=true,
+      FROM read_csv('/root/repo/target/export/__SF__/customer_csv/*.csv', header=true,
         columns={'c_custkey':'BIGINT','c_name':'VARCHAR','c_nationkey':'INTEGER',
                  'c_acctbal':'DOUBLE','c_mktsegment':'VARCHAR'})"""))
 
@@ -781,7 +783,7 @@ object FormatQueries {
     },
     Some("""
       SELECT doc_id, text, lang, source, n_chars
-      FROM read_json('/root/repo/target/export/sf0.01/documents_jsonl/*.json',
+      FROM read_json('/root/repo/target/export/__SF__/documents_jsonl/*.json',
         format='newline_delimited',
         columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
                  'source':'VARCHAR','n_chars':'BIGINT'})"""))
@@ -802,7 +804,7 @@ object FormatQueries {
     },
     Some("""
       SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
-      FROM read_parquet('/root/repo/target/export/sf0.01/events_hive/*/*.parquet',
+      FROM read_parquet('/root/repo/target/export/__SF__/events_hive/*/*.parquet',
                         hive_partitioning=1)
       WHERE event_type <> 'purchase'
       GROUP BY event_type"""))

@@ -67,12 +67,18 @@ object Kml {
       attrSpec.map { case (n, t) => (n, t.typeName) }
 
     // --- executor parse: one whole document per task ---
+    // loud degradation: the schema came from ONE probe file, so an
+    // attribute appearing only in a LATER file would otherwise be silently
+    // dropped from every row — detect it during parse and fail naming the
+    // probe file instead (GDAL-KML silently narrows here; this engine's
+    // house rule is loud)
+    val probeFile = files.head
     val texts = spark.read.option("wholetext", "true").text(files: _*)
     val rows = texts.rdd.flatMap { r =>
       val doc = parseXml(new java.io.ByteArrayInputStream(
         r.getString(0).getBytes("UTF-8")))
       elementsByLocalName(doc.getDocumentElement, "Placemark").map { pm =>
-        placemarkRow(pm, spec)
+        placemarkRow(pm, spec, probeFile)
       }
     }
     spark.createDataFrame(rows, schema)
@@ -121,7 +127,8 @@ object Kml {
     None
   }
 
-  private def placemarkRow(pm: Element, spec: Seq[(String, String)]): Row = {
+  private def placemarkRow(pm: Element, spec: Seq[(String, String)],
+      probeFile: String): Row = {
     def text(n: String): String =
       childByLocalName(pm, n).map(_.getTextContent.trim).filter(_.nonEmpty).orNull
     // extended data: SchemaData SimpleData (declared) + Data/value pairs
@@ -132,6 +139,14 @@ object Kml {
     elementsByLocalName(pm, "Data").foreach { e =>
       childByLocalName(e, "value").foreach(v =>
         values(e.getAttribute("name")) = v.getTextContent.trim)
+    }
+    val specNames = spec.map(_._1).toSet
+    values.keys.filter(_.nonEmpty).find(!specNames.contains(_)).foreach { n =>
+      throw new IllegalArgumentException(
+        s"KML attribute `$n` is not in the probed schema (attribute columns " +
+          s"were derived from `$probeFile`) — it appears only in a later " +
+          "file and would be silently dropped; probe that file first or " +
+          "restructure the documents to declare a shared schema")
     }
     def typed(n: String, t: String): Any = values.get(n) match {
       case None | Some("") => null

@@ -112,4 +112,37 @@ class KmlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("mixed"))
   }
+
+  test("attribute only in a later file rejects loudly naming the probe file") {
+    val dir = tempDir("kml_probe")
+    // schema probes a.kml; b.kml carries an extra Data attribute that the
+    // probed schema cannot serve — silent narrowing would drop it from
+    // every row, so the executor parse must fail loud instead
+    val a = write(dir, "a.kml",
+      """<Placemark><name>p1</name>
+        |  <ExtendedData><Data name="tag"><value>x</value></Data></ExtendedData>
+        |  <Point><coordinates>0,0</coordinates></Point>
+        |</Placemark>""".stripMargin)
+    write(dir, "b.kml",
+      """<Placemark><name>p2</name>
+        |  <ExtendedData>
+        |    <Data name="tag"><value>y</value></Data>
+        |    <Data name="extra"><value>dropped?</value></Data>
+        |  </ExtendedData>
+        |  <Point><coordinates>1,1</coordinates></Point>
+        |</Placemark>""".stripMargin)
+    val e = intercept[Exception] {
+      Catalog.attach(spark, "kml_t6", "spatial",
+        Map("files" -> s"${dir.getPath}/a.kml,${dir.getPath}/b.kml")).collect()
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("extra") && msg.contains("a.kml"),
+      s"expected loud undeclared-attribute reject naming the probe file: $msg")
+    // and a single-file read of b.kml (its own probe) still serves the column
+    val solo = Catalog.attach(spark, "kml_t7", "spatial",
+      Map("files" -> s"${dir.getPath}/b.kml"))
+    assert(solo.schema.fieldNames.contains("extra"))
+    assert(solo.select("extra").collect().head.getString(0) === "dropped?")
+    locally { val _ = a }
+  }
 }
