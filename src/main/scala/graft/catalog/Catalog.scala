@@ -91,6 +91,15 @@ object Catalog {
               "keep_wkb=false is GeoJSON-only (its native representation is json " +
                 "text); a KML placemark's geometry is delivered as WKB")
           graft.sources.Kml.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gml")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".gml")))
+            throw InvalidOptionException(
+              "spatial attach mixes GML with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a GML feature's geometry is delivered as WKB")
+          graft.sources.Gml.read(spark, files, options)
         case "spatial" if files.exists(f => f.endsWith(".shp") || f.endsWith(".SHP")) =>
           if (!files.forall(f => f.endsWith(".shp") || f.endsWith(".SHP")))
             throw InvalidOptionException(
@@ -258,7 +267,8 @@ object Catalog {
     def isLayerFile(n: String): Boolean = {
       val l = n.toLowerCase
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
-        l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml")
+        l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml") ||
+        l.endsWith(".gml")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -282,6 +292,7 @@ object Catalog {
       else if (l.endsWith(".gpkg")) "GPKG"
       else if (l.endsWith(".xlsx")) "XLSX"
       else if (l.endsWith(".kml")) "KML"
+      else if (l.endsWith(".gml")) "GML"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>

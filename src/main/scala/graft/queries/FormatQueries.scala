@@ -122,6 +122,43 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → GML FeatureCollection, one feature per nation with the same
+    * planted Point(k/2, k) the other spatial fixtures use (identical WKB
+    * across drivers). GML3 pos syntax; nationkey rides as a simple string
+    * property (GML carries no inline types — the query casts, the GDAL
+    * no-.xsd behavior). Driver-side write is test scaffolding. */
+  private def nationGml(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_gml"
+    val f = new java.io.File(s"$out/nation.gml")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val fms = rows.sortBy(_.getLong(0)).map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s"""  <gml:featureMember>
+           |    <ogr:nation gml:id="nation.$k">
+           |      <ogr:nationkey>$k</ogr:nationkey>
+           |      <ogr:name>$name</ogr:name>
+           |      <ogr:shape><gml:Point><gml:pos>${k / 2.0} $k.0</gml:pos></gml:Point></ogr:shape>
+           |    </ogr:nation>
+           |  </gml:featureMember>""".stripMargin
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"
+           |    xmlns:ogr="http://ogr.maptools.org/">
+           |${fms.mkString("\n")}
+           |</gml:FeatureCollection>""".stripMargin)
+      finally w.close()
+    }
+    f.getPath
+  }
+
   /** nation → GeoJSON FeatureCollection of POLYGON geometries: an
     * axis-aligned square of half-size 0.25 centered on the planted point
     * (k/2, k). All coordinates are dyadic rationals (k/2 ± 0.25), exactly
@@ -856,6 +893,33 @@ object FormatQueries {
       s"""
       WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
       SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  // ---------------------------------------------------------------- g09
+  // Native GML attach (r11 — the next-most-hit GDAL format after KML):
+  // featureMember rows, gml_id + string properties, GML3 pos geometry →
+  // the same WKB `geom` contract as every other spatial driver, verified
+  // against the identical independently-encoded Point(k/2, k) WKB hex.
+  // A reader that misparsed the feature-member walk, the property/geometry
+  // classification, or the pos tuple order fails rows AND hash.
+  private val g09 = QueryDef(
+    "g09_gml_scan",
+    (s, dir) => {
+      val path = nationGml(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g09_nation_gml", "spatial", Map("files" -> path))
+        .select(col("nationkey").cast("long").as("nationkey"), col("name"),
+          col("gml_id"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name,
+             'nation.' || CAST(n.n_nationkey AS VARCHAR) AS gml_id, e.wkb_hex
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
@@ -2791,7 +2855,7 @@ object FormatQueries {
       FROM feed GROUP BY change, cver"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, f01, f02)
 }

@@ -268,6 +268,17 @@ final class LogFileIndex(
     * per-file stats; one object per live file, already driver-resident). */
   def files: Seq[IndexedFile] = entries
 
+  // measured ceiling (SCALE.md "Driver-metadata ceiling"): ~0.7 KB and
+  // ~20 µs of driver work per live file — linear and fine to ~1M files,
+  // then driver heap becomes the knee. Past it, say so loudly instead of
+  // degrading into an opaque OOM; compaction is the operational answer.
+  if (entries.length > 1000000)
+    org.slf4j.LoggerFactory.getLogger(classOf[LogFileIndex]).warn(
+      s"table at $root has ${entries.length} live files — driver-side " +
+        "planning holds one entry per file (~0.7 KB each) and this table is " +
+        "past the measured comfort zone (~1M). Compact it (OPTIMIZE / " +
+        "rewrite_data_files) before driver heap becomes the bottleneck.")
+
   private val tz = spark.sessionState.conf.sessionLocalTimeZone
 
   override def rootPaths: Seq[Path] = Seq(root)

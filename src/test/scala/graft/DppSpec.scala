@@ -42,6 +42,41 @@ class DppSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("spj: bucket-layout joins currently exchange both sides (decision pin)") {
+    // SCALE.md "Storage-partitioned join — decision": the DSv1 read path
+    // cannot report KeyGroupedPartitioning, so a join of two bucket(4, k)
+    // tables shuffles both sides today. This pin makes the documented
+    // trade visible — if a DSv2 SPJ path ever lands, this test MUST flip
+    // to assert the exchange is gone.
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("spj").getAbsolutePath
+    val a = s"$dir/a"; val b = s"$dir/b"
+    val ord = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.catalog.Sinks.copyTo(ord, a, "iceberg",
+      Map("partition_by" -> "bucket(4, o_custkey)"))
+    graft.catalog.Sinks.copyTo(ord, b, "iceberg",
+      Map("partition_by" -> "bucket(4, o_custkey)"))
+    val fa = graft.catalog.Catalog.attach(spark, "spj_a", "iceberg", Map("files" -> a))
+    val fb = graft.catalog.Catalog.attach(spark, "spj_b", "iceberg", Map("files" -> b))
+      .withColumnRenamed("o_orderkey", "b_orderkey")
+      .withColumnRenamed("o_totalprice", "b_totalprice")
+    // at fixture scale AQE correctly broadcasts (LogFileIndex reports true
+    // sizes); disable broadcast to expose the shape a fact⋈fact join of
+    // this layout takes at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = fa.join(fb.withColumnRenamed("o_custkey", "b_custkey"),
+        col("o_custkey") === col("b_custkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin") && p.contains("hashpartitioning"),
+        "bucket-layout join no longer shuffles — SPJ landed? flip this pin " +
+          "and update SCALE.md's decision entry")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("iceberg attach serves identity partition columns from the tuple") {
     import org.apache.spark.sql.functions._
     val dir = tempDir("dpp_served").getAbsolutePath
