@@ -1295,6 +1295,83 @@ object StreamingQueries {
       SELECT c_custkey, c_mktsegment, 'insert', CAST(3 AS BIGINT)
       FROM customer WHERE c_custkey % 2 <> 0"""))
 
+  // ---------------------------------------------------------------- x22
+  // STREAMING CDF WITH ROW IDENTITY: the change-feed follower in
+  // `row_tracking=true` mode — every micro-batch's change rows carry
+  // `_row_id`/`_row_commit_version`, so a downstream CDC consumer can
+  // correlate an update's pre/post pair WITHOUT a key column, live. The
+  // w15 commit ladder replays mid-stream (UPDATE → append → OPTIMIZE move
+  // → UPDATE), so the batches must serve materialized cdc ids, synthesized
+  // base+position ids, AND ids that survived a compaction move — any
+  // allocation drift across the stream/batch boundary breaks the hash.
+  private val x22 = QueryDef(
+    "x22_stream_cdf_row_identity",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = freshRoot(dir, "delta_cdfrt_x22")
+      root.delete() // the writer creates the table root at commit 0
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.catalog.DeltaSink.write(
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .coalesce(1).sortWithinPartitions("c_custkey"),
+        root.getPath, Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.followDeltaChanges(s, root.getPath, startingVersion = 0L,
+          Map("row_tracking" -> "true"))
+          .writeStream.format("memory").queryName("x22_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable() // feed [0, 0]: create rows as inserts, ids 0..N0-1
+          graft.catalog.DeltaSink.updateWhere(s, root.getPath,
+            "c_custkey % 10 = 3", Map("c_acctbal" -> "c_acctbal + 100"))
+          q.processAllAvailable() // (0, 1]: cdc pre/post pairs share their id
+          graft.catalog.DeltaSink.write(
+            cust.filter(col("c_custkey") % 3 === 0)
+              .coalesce(1).sortWithinPartitions("c_custkey"),
+            root.getPath, Map.empty)
+          graft.catalog.DeltaSink.optimize(s, root.getPath)
+          graft.catalog.DeltaSink.updateWhere(s, root.getPath,
+            "c_custkey % 10 = 7", Map("c_name" -> "upper(c_name)"))
+          q.processAllAvailable() // (1, 4]: inserts + silent OPTIMIZE + moved-id cdc
+        } finally q.stop()
+      }
+      s.table("x22_out")
+        .groupBy(col("_change_type").as("change"),
+          col("_commit_version").as("cver"))
+        .agg(count(lit(1)).as("n"), sum(col("_row_id")).as("sum_rid"),
+          sum(col("_row_commit_version")).as("sum_ver"))
+    },
+    Some("""
+      WITH init AS (
+        SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 <> 0),
+      app AS (
+        SELECT c_custkey,
+               2 * (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0)
+                 + row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 = 0),
+      allr AS (
+        SELECT c_custkey, rid,
+               CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END AS ver FROM init
+        UNION ALL SELECT c_custkey, rid, 2 AS ver FROM app),
+      feed AS (
+        SELECT 'insert' AS change, 0 AS cver, rid, 0 AS ver FROM init
+        UNION ALL SELECT 'update_preimage', 1, rid, 0
+          FROM init WHERE c_custkey % 10 = 3
+        UNION ALL SELECT 'update_postimage', 1, rid, 1
+          FROM init WHERE c_custkey % 10 = 3
+        UNION ALL SELECT 'insert', 2, rid, 2 FROM app
+        UNION ALL SELECT 'update_preimage', 4, rid, ver
+          FROM allr WHERE c_custkey % 10 = 7
+        UNION ALL SELECT 'update_postimage', 4, rid, 4
+          FROM allr WHERE c_custkey % 10 = 7)
+      SELECT change, CAST(cver AS BIGINT) AS cver, count(*) AS n,
+             CAST(sum(rid) AS BIGINT) AS sum_rid,
+             CAST(sum(ver) AS BIGINT) AS sum_ver
+      FROM feed GROUP BY change, cver"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }
