@@ -180,7 +180,7 @@ object DeltaChanges {
       if (rtOn && !tableConf.get("delta.enableRowTracking").exists(_.toBoolean))
         throw DeltaReadException(
           s"`$root`: row_tracking=true but the table does not set " +
-            "delta.enableRowTracking at commit $v — row ids are not stable " +
+            s"delta.enableRowTracking at commit $v — row ids are not stable " +
             "(or present) on this table")
 
       val cdcNodes = nodes.filter(_.has("cdc"))
