@@ -1372,6 +1372,71 @@ object StreamingQueries {
              CAST(sum(ver) AS BIGINT) AS sum_ver
       FROM feed GROUP BY change, cver"""))
 
+  // ---------------------------------------------------------------- x23
+  // KEYLESS CDC REPLICATION: continuously replicate a table that has NO
+  // usable primary key — the motivating consumer of stable row identity.
+  // The source carries only (seg, nat), massively duplicated (125 distinct
+  // pairs over ~1000 rows), so x13's key-based apply is impossible; the
+  // apply instead keys every MERGE on the feed's `_row_id`. The replica
+  // must survive an append (fresh ids insert), an UPDATE (pre/post pairs
+  // correlate by id), and a DELETE (rows drop by id) — and the oracle
+  // replays the id-allocation lattice from raw, so any identity drift
+  // breaks rows AND hash.
+  private val x23 = QueryDef(
+    "x23_stream_keyless_replication",
+    (s, dir) => {
+      val rootA = freshRoot(dir, "keyless_a_x23")
+      val rootB = freshRoot(dir, "keyless_b_x23")
+      rootA.delete(); rootB.delete()
+      val cust = Tables.load(s, dir, "customer")
+      def slice(pred: org.apache.spark.sql.Column) = cust.filter(pred)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"))
+        .coalesce(1).sortWithinPartitions("c_custkey").drop("c_custkey")
+      graft.catalog.DeltaSink.write(slice(col("c_custkey") % 3 =!= 0),
+        rootA.getPath,
+        Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+      withReplayConf(s, 1) { ck =>
+        val q = Streams.applyDeltaChanges(s, rootA.getPath, rootB.getPath,
+          Seq("_row_id"), options = Map("row_tracking" -> "true"))
+          .option("checkpointLocation", ck).start()
+        try {
+          q.processAllAvailable() // bootstrap: snapshot rows WITH their ids
+          graft.catalog.DeltaSink.write(slice(col("c_custkey") % 3 === 0),
+            rootA.getPath, Map.empty)
+          q.processAllAvailable() // append: fresh ids insert by id
+          graft.catalog.DeltaSink.updateWhere(s, rootA.getPath,
+            "nat % 5 = 2", Map("seg" -> "lower(seg)"))
+          graft.catalog.DeltaSink.deleteWhere(s, rootA.getPath, "nat = 7")
+          q.processAllAvailable() // update pairs + deletes apply BY ID
+        } finally q.stop()
+      }
+      val tableB = Catalog.attach(s, "x23_keyless_b", "delta",
+        Map("files" -> rootB.getPath))
+      assertRowCount("x23_stream_keyless_replication", tableB.count(),
+        Catalog.attach(s, "x23_keyless_a", "delta",
+          Map("files" -> rootA.getPath)).count())
+      tableB.groupBy("seg", "nat")
+        .agg(count(lit(1)).as("n"), sum(col("_row_id")).as("sum_rid"))
+    },
+    Some("""
+      WITH init AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 <> 0),
+      app AS (
+        SELECT c_mktsegment AS seg, c_nationkey AS nat,
+               (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0)
+                 + row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        FROM customer WHERE c_custkey % 3 = 0),
+      allr AS (SELECT * FROM init UNION ALL SELECT * FROM app),
+      fin AS (
+        SELECT CASE WHEN nat % 5 = 2 THEN lower(seg) ELSE seg END AS seg,
+               nat, rid
+        FROM allr WHERE nat <> 7)
+      SELECT seg, nat, count(*) AS n, CAST(sum(rid) AS BIGINT) AS sum_rid
+      FROM fin GROUP BY seg, nat"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
 }

@@ -240,6 +240,33 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
   }
 
+  test("CDF row_tracking=true: partition-drop synthesized deletes carry the dropped rows' ids") {
+    val dir = tempDir("rtcdf3")
+    val root = new java.io.File(dir, "t").getPath
+    DeltaSink.write(
+      Seq((0L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"))
+        .toDF("k", "p").coalesce(1).sortWithinPartitions("k"),
+      root, Map("row_tracking" -> "true", "change_data_feed" -> "true",
+        "partition_by" -> "p"))
+    // ids as served by the snapshot read BEFORE the drop (allocation order
+    // across partition files is the writer's business — the feed must
+    // simply agree with it)
+    val before = DeltaNative.read(spark, root, Map("row_tracking" -> "true"))
+      .select(col("k"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DeltaSink.deleteWhere(spark, root, "p = 'a'")
+    val deletes = graft.sources.DeltaChanges.read(spark, root,
+      Map("starting_version" -> "1", "row_tracking" -> "true"))
+      .filter(col("_change_type") === "delete")
+      .select(col("k"), col("_row_id"), col("_row_commit_version")).collect()
+    assert(deletes.map(_.getLong(0)).toSet == Set(0L, 2L, 4L))
+    deletes.foreach { r =>
+      assert(r.getLong(1) == before(r.getLong(0)),
+        s"feed id of dropped key ${r.getLong(0)} matches its snapshot id")
+      assert(r.getLong(2) == 0L, "dropped rows keep their create version")
+    }
+  }
+
   test("CDF row_tracking=true on a non-row-tracking table rejects loudly") {
     val dir = tempDir("rtcdf2")
     val root = new java.io.File(dir, "t").getPath
