@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
@@ -1302,5 +1302,62 @@ object PipelineQueries {
              array_to_string(tk[((i-1)*24+1):((i-1)*24+32)], ' ') AS chunk_text
       FROM x"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, s10, s11, s12, s13)
+  // ---------------------------------------------------------------- t18
+  // DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al., "Data Selection for
+  // Language Models via Importance Resampling" — hashed n-gram features):
+  // score every raw document by how target-like its token distribution is.
+  // Tokens hash into 64 buckets (md5-derived, the suite's shared hash
+  // convention); ONE aggregation pass estimates the target (lang='en') and
+  // raw bucket distributions simultaneously (conditional count — the
+  // corpus is scanned once); per-bucket scores are INTEGER-quantized
+  // add-one ratios ((t+1)*1e6 div (r+1)) computed on the driver from the
+  // 64 collected counts, so the per-document weight is an exact integer
+  // sum — associative, shuffle-free, and bit-identical in the oracle
+  // (a float log-ratio sum would be order-dependent; the quantized ratio
+  // preserves the ranking DSIR needs). The scoring pass is a row-local
+  // codegen projection against a 64-entry literal array: at 100 TB the
+  // cost is one distribution aggregation (64 groups, partial map-side)
+  // plus one scan — no joins, no explode in the scoring path.
+  private val t18 = QueryDef(
+    "t18_dsir_weights",
+    (s, dir) => {
+      def bucket(tok: Column): Column =
+        pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("long"), lit(64))
+      val d = docs(s, dir)
+      // one corpus pass: per-bucket raw count + target (lang='en') count
+      val counts = d
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(bucket(col("tok")).as("b"))
+        .agg(count(lit(1)).as("r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+        .collect().map(row => row.getLong(0).toInt -> (row.getLong(1), row.getLong(2))).toMap
+      val scores: Array[Long] = Array.tabulate(64) { i =>
+        val (r, t) = counts.getOrElse(i, (0L, 0L))
+        (t + 1L) * 1000000L / (r + 1L)
+      }
+      val scoreArr = typedLit(scores)
+      d.select(col("doc_id"),
+        aggregate(TextOps.tokens(col("text")), lit(0L),
+          (acc, tok) => acc + element_at(scoreArr, (bucket(tok) + 1).cast("int")))
+          .as("weight"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, lang,
+                          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents),
+      tb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS b
+             FROM tok),
+      dist AS (SELECT ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS bk,
+                      count(*) AS r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+               FROM tok GROUP BY 1),
+      sc AS (SELECT g.range AS bk,
+                    (coalesce(d.t, 0) + 1) * 1000000 // (coalesce(d.r, 0) + 1) AS s
+             FROM range(0, 64) g LEFT JOIN dist d ON d.bk = g.range),
+      w AS (SELECT tb.doc_id, sum(sc.s) AS weight
+            FROM tb JOIN sc ON sc.bk = tb.b GROUP BY tb.doc_id)
+      SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+      FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13)
 }

@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t18: the DSIR scoring pass is a row-local projection — zero Exchange") {
+    // the distribution estimate collects 64 bucket counts during plan
+    // construction (one partial-agg pass); the RETURNED scoring plan folds
+    // each document against a 64-entry literal array — at 100 TB the
+    // weights cost one scan, no joins, no shuffles
+    val p = plan("t18_dsir_weights")
+    assert(!p.contains("Exchange"), "t18 scoring shuffles — a 100 TB scan would too")
+    assert(!p.contains("Join"))
+  }
+
   test("d10: eval grams broadcast; the corpus side never shuffles its grams wide") {
     val p = plan("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
