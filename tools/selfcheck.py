@@ -10,7 +10,7 @@ and compares values exactly (with a small report of diffs).
 SELFCHECK_SKIP=name1,name2 skips queries whose oracles are pinned to a
 different scale's export paths (c01/j01/h01 pin sf0.01 — the driver's
 correctness scale) when checking a derived stress set."""
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
 import numpy as np
@@ -41,7 +41,19 @@ def main():
     if skip:
         print(f"(skipping {sorted(skip)}: oracle pinned to another scale)")
     results = {}
+    # Scale-pin lint (retro-guard for the r11 __SF__ fix): an oracle whose
+    # SQL hard-pins another rung's export directory silently compares this
+    # rung's Spark output against STALE fixtures — flag any export path
+    # that names a scale directory other than the one under test.
+    sf_base = os.path.basename(os.path.normpath(sf_dir))
     for name, sql in sorted(oracle.items()):
+        for m in re.findall(r"target/export/([^/'\s]+)/", sql):
+            if m != sf_base:
+                results[name] = (f"SCALE_PIN: oracle reads target/export/{m}/ "
+                                 f"but this run is {sf_base} — use __SF__")
+    for name, sql in sorted(oracle.items()):
+        if name in results:
+            continue
         spark_path = os.path.join(out_dir, name)
         if not os.path.isdir(spark_path):
             results[name] = "MISSING_SPARK_OUTPUT"; continue
