@@ -2620,7 +2620,8 @@ object DeltaSink {
           col("__c_id"), col("__c_ver"))
           .unionByName(matCdc(
             updatePairs.select(schema.fields.map(f => newVal(f).as(f.name)).toSeq ++
-              (if (rtOn) Seq(col("t.__rt_id").as("__c_id")) else Nil): _*)
+              (if (rtOn) Seq(col("t.__rt_id").as("__c_id"),
+                lit(null).cast("long").as("__c_ver")) else Nil): _*)
               .withColumn("_change_type", lit("update_postimage")),
             col("__c_id"), lit(null)))
           .drop("__c_id", "__c_ver"))

@@ -343,27 +343,25 @@ object DeltaChanges {
     }
     // loud degradation: a cdc file with NO materialized row-id column was
     // written by a non-correlating writer — its update/delete rows cannot
-    // be attributed to stable ids; probe footers (sampled) and reject
+    // be attributed to stable ids. Probe EVERY cdc file's footer (a sample
+    // would let an unsampled foreign file silently serve _row_id=null);
+    // the scan opens each of these footers anyway, so this at most doubles
+    // metadata reads for the cdc subset of the incremental window.
     rtMatNames.foreach { case (matId, _) =>
-      if (cdcFiles.nonEmpty) {
-        val conf = spark.sessionState.newHadoopConf()
-        val n = cdcFiles.length
-        val k = math.min(8, n)
-        (0 until k).map(i => if (k == 1) 0 else (i.toLong * (n - 1) / (k - 1)).toInt)
-          .distinct.foreach { i =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new Path(resolve(cdcFiles(i).path)), conf))
-            try {
-              val names = r.getFooter.getFileMetaData.getSchema.getFields.asScala
-                .map(_.getName).toSet
-              if (!names.contains(matId)) throw DeltaReadException(
-                s"`$root`: row_tracking=true but change file " +
-                  s"`${cdcFiles(i).path}` carries no materialized row-id " +
-                  s"column `$matId` — its writer did not materialize ids " +
-                  "into the change feed; change rows cannot be correlated")
-            } finally r.close()
-          }
+      val conf = spark.sessionState.newHadoopConf()
+      cdcFiles.foreach { cf =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(resolve(cf.path)), conf))
+        try {
+          val names = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          if (!names.contains(matId)) throw DeltaReadException(
+            s"`$root`: row_tracking=true but change file " +
+              s"`${cf.path}` carries no materialized row-id " +
+              s"column `$matId` — its writer did not materialize ids " +
+              "into the change feed; change rows cannot be correlated")
+        } finally r.close()
       }
     }
     def cdcPart(files: Seq[ChangeFile]): DataFrame = {

@@ -18,7 +18,8 @@ import org.w3c.dom.{Document, Element, Node}
   *
   * Scale shape mirrors the KML driver: ONE probe file derives the
   * attribute schema on the driver (union over that file's features); the
-  * files parse in EXECUTORS via a wholetext scan, one task per file. An
+  * files parse in EXECUTORS via a raw-bytes binaryFile scan, one task per
+  * file (the XML parser honors each document's own prolog encoding). An
   * attribute appearing only in a LATER file rejects loudly naming the
   * probe file — never silent narrowing. Geometry encoding reuses the
   * GeoJSON→WKB codec, so bytes are identical across drivers.
@@ -59,10 +60,12 @@ object Gml {
         StructField("geom", BinaryType))
 
     // --- executor parse: one whole document per task ---
-    val texts = spark.read.option("wholetext", "true").text(files: _*)
+    // raw bytes, not wholetext: the XML parser must see the original
+    // encoding (a text round-trip would mojibake non-UTF-8 prologs)
+    val texts = spark.read.format("binaryFile").load(files: _*).select("content")
     val rows = texts.rdd.flatMap { r =>
       val doc = parseXml(new java.io.ByteArrayInputStream(
-        r.getString(0).getBytes("UTF-8")))
+        r.getAs[Array[Byte]](0)))
       featuresOf(doc).map(f => featureRow(f, attrNames, probeFile))
     }
     spark.createDataFrame(rows, schema)
@@ -187,12 +190,18 @@ object Gml {
       if (nums.length % d != 0) throw new IllegalArgumentException(
         s"GML posList length ${nums.length} is not a multiple of srsDimension $d")
       nums.grouped(d).map(t => s"[${t(0).toDouble},${t(1).toDouble}]").toSeq
-    }.orElse(kids.find(k => localName(k) == "pos").map { p =>
-      val nums = p.getTextContent.trim.split("\\s+").filter(_.nonEmpty)
-      if (nums.length < 2) throw new IllegalArgumentException(
-        s"GML pos `${p.getTextContent.trim}` needs at least x y")
-      Seq(s"[${nums(0).toDouble},${nums(1).toDouble}]")
-    }).orElse(kids.find(k => localName(k) == "coordinates").map { c =>
+    }.orElse {
+      // GML3 also allows a LineString/LinearRing as REPEATED <gml:pos>
+      // children — taking only the first would silently truncate the shape
+      val poss = kids.filter(k => localName(k) == "pos")
+      if (poss.isEmpty) None
+      else Some(poss.map { p =>
+        val nums = p.getTextContent.trim.split("\\s+").filter(_.nonEmpty)
+        if (nums.length < 2) throw new IllegalArgumentException(
+          s"GML pos `${p.getTextContent.trim}` needs at least x y")
+        s"[${nums(0).toDouble},${nums(1).toDouble}]"
+      })
+    }.orElse(kids.find(k => localName(k) == "coordinates").map { c =>
       val cs = Option(c.getAttribute("cs")).filter(_.nonEmpty).getOrElse(",")
       val ts = Option(c.getAttribute("ts")).filter(_.nonEmpty).getOrElse(" ")
       c.getTextContent.trim.split(java.util.regex.Pattern.quote(ts) + "|\\s+")

@@ -18,7 +18,8 @@ import org.w3c.dom.{Document, Element, Node}
   * Scale shape: the driver probes ONE file for the attribute schema
   * (bounded metadata work — KML documents declare their schema up front);
   * the files themselves parse in EXECUTORS, one task per file via a
-  * wholetext scan, so a directory of region extracts fans out. Geometry
+  * raw-bytes binaryFile scan (the XML parser honors each document's own
+  * prolog encoding), so a directory of region extracts fans out. Geometry
   * encoding reuses the GeoJSON→WKB codec (`GeoJson.geoJsonToWkb`), so
   * Point/LineString/Polygon/Multi* bytes are identical across drivers.
   * XML parsing is namespace-agnostic by LOCAL name (KML documents arrive
@@ -73,10 +74,12 @@ object Kml {
     // probe file instead (GDAL-KML silently narrows here; this engine's
     // house rule is loud)
     val probeFile = files.head
-    val texts = spark.read.option("wholetext", "true").text(files: _*)
+    // raw bytes, not wholetext: the XML parser must see the original
+    // encoding (a text round-trip would mojibake non-UTF-8 prologs)
+    val texts = spark.read.format("binaryFile").load(files: _*).select("content")
     val rows = texts.rdd.flatMap { r =>
       val doc = parseXml(new java.io.ByteArrayInputStream(
-        r.getString(0).getBytes("UTF-8")))
+        r.getAs[Array[Byte]](0)))
       elementsByLocalName(doc.getDocumentElement, "Placemark").map { pm =>
         placemarkRow(pm, spec, probeFile)
       }

@@ -269,12 +269,30 @@ object Streams {
     feed.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
+        val changes = batch.filter(col("_change_type") =!= "update_preimage")
+        // loud beats lossy: a NULL-keyed change row cannot be replicated
+        // by key — the Window dedup below would collapse ALL null-keyed
+        // rows in a batch into one. The documented way to hit this is
+        // keying on `_row_id` when the SOURCE is maintained by MERGE
+        // (merge-insert cdc rows carry no materialized id — ids are
+        // assigned to the data files at commit, so their feed id is null).
+        // one aggregate pass serves both the guard and the emptiness check
+        val nullKey = keyCols.map(col(_).isNull).reduce(_ || _)
+        val counts = changes.agg(
+          count(lit(1)), count(when(nullKey, lit(1)))).head()
+        val (changeCount, nullKeyCount) = (counts.getLong(0), counts.getLong(1))
+        if (nullKeyCount > 0) throw new IllegalStateException(
+          s"applyDeltaChanges: $nullKeyCount change row(s) with NULL key " +
+            s"(${keyCols.mkString(", ")}) cannot be applied by key and " +
+            "would silently collapse — if keyed on _row_id, the source " +
+            "was maintained by MERGE (insert cdc rows carry no " +
+            "materialized id); replicate on a real key column instead")
         // latest change per key in this batch: preimages drop, a re-insert
         // at the same commit outranks its delete
         val rank = when(col("_change_type") === "delete", 0).otherwise(1)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_commit_version").desc, rank.desc)
-        val latest = batch.filter(col("_change_type") =!= "update_preimage")
+        val latest = changes
           .withColumn("__rank", row_number().over(w))
           .filter(col("__rank") === 1).drop("__rank")
         val fs = new org.apache.hadoop.fs.Path(targetRoot)
@@ -286,7 +304,7 @@ object Streams {
           val rows = latest.filter(col("_change_type") =!= "delete")
             .select(dataCols.map(col): _*)
           graft.catalog.DeltaSink.write(rows, targetRoot, Map.empty)
-        } else if (!latest.isEmpty) {
+        } else if (changeCount > 0) {
           graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
             keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
             matchedSet = dataCols.map(c => c -> s"s.$c").toMap,

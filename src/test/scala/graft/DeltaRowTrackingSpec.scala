@@ -240,6 +240,42 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
   }
 
+  test("MERGE on a row_tracking + CDF table: pre/post cdc pairs share ids, inserts null") {
+    // regression: the postimage cdc frame used to lack __c_ver, so
+    // unionByName threw AnalysisException on ANY updating MERGE when both
+    // row_tracking and change_data_feed were enabled
+    val dir = tempDir("rtcdfmerge")
+    val root = new java.io.File(dir, "t").getPath
+    DeltaSink.write(
+      Seq(0L, 2L, 4L, 6L, 8L).toDF("k").withColumn("v", col("k") * 10)
+        .coalesce(1).sortWithinPartitions("k"),
+      root, Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+    val src = Seq((4L, 111L), (8L, 222L), (100L, 333L)).toDF("k", "v")
+    val (up, ins) = DeltaSink.mergeInto(spark, root, src, "t.k = s.k",
+      Map("v" -> "s.v"),
+      matchedDeleteCond = Some("s.v = 222"))
+    assert(up === 1L && ins === 1L)
+    val feed = graft.sources.DeltaChanges.read(spark, root,
+      Map("starting_version" -> "1", "row_tracking" -> "true"))
+      .select(col("k"), col("_change_type"), col("_row_id"),
+        col("_row_commit_version"))
+      .collect()
+    val byType = feed.groupBy(_.getString(1)).map { case (t, rs) => t -> rs.toSeq }
+    assert(byType.keySet == Set("update_preimage", "update_postimage", "delete", "insert"))
+    val pre = byType("update_preimage").head
+    val post = byType("update_postimage").head
+    assert(pre.getLong(0) == 4L && post.getLong(0) == 4L)
+    assert(pre.getLong(2) == 2L && post.getLong(2) == 2L,
+      "update pair shares the row's stable id (create position in v0)")
+    assert(pre.getLong(3) == 0L, "preimage keeps the old commit version")
+    assert(post.getLong(3) == 1L, "postimage re-defaults to the MERGE commit")
+    val del = byType("delete").head
+    assert(del.getLong(0) == 8L && del.getLong(2) == 4L && del.getLong(3) == 0L)
+    val insRow = byType("insert").head
+    assert(insRow.getLong(0) == 100L && insRow.isNullAt(2),
+      "merge-insert cdc rows carry no position in the new files — id is null")
+  }
+
   test("CDF row_tracking=true: partition-drop synthesized deletes carry the dropped rows' ids") {
     val dir = tempDir("rtcdf3")
     val root = new java.io.File(dir, "t").getPath

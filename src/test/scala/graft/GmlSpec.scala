@@ -97,6 +97,51 @@ class GmlSpec extends SparkSpec {
       """{"type":"MultiPoint","coordinates":[[1.0,2.0],[3.0,4.0]]}"""))
   }
 
+  test("GML3 LineString/LinearRing by REPEATED pos children keeps every coordinate") {
+    // regression: only the FIRST <gml:pos> used to be read, silently
+    // truncating the shape to one coordinate (corrupt WKB)
+    val dir = tempDir("gmlpos")
+    val p = write(dir, "r.gml",
+      """<gml:featureMember><ogr:f gml:id="f1">
+        |  <ogr:g><gml:LineString>
+        |    <gml:pos>0 0</gml:pos><gml:pos>1 1</gml:pos><gml:pos>2 0</gml:pos>
+        |  </gml:LineString></ogr:g>
+        |</ogr:f></gml:featureMember>
+        |<gml:featureMember><ogr:f gml:id="f2">
+        |  <ogr:g><gml:Polygon><gml:exterior><gml:LinearRing>
+        |    <gml:pos>0 0</gml:pos><gml:pos>3 0</gml:pos>
+        |    <gml:pos>3 3</gml:pos><gml:pos>0 0</gml:pos>
+        |  </gml:LinearRing></gml:exterior></gml:Polygon></ogr:g>
+        |</ogr:f></gml:featureMember>""".stripMargin)
+    val byId = Catalog.attach(spark, "gml_t6", "spatial", Map("files" -> p))
+      .collect().map(r => r.getString(0) -> wkbHex(r.getAs[Array[Byte]](1))).toMap
+    assert(byId("f1") === geoJsonWkbHex(
+      """{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0],[2.0,0.0]]}"""))
+    assert(byId("f2") === geoJsonWkbHex(
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[3.0,0.0],[3.0,3.0],[0.0,0.0]]]}"""))
+  }
+
+  test("non-UTF-8 prolog encoding parses via the raw-bytes scan") {
+    val dir = tempDir("gmlenc")
+    val body =
+      """<gml:featureMember><ogr:f gml:id="f1">
+        |  <ogr:name>münchen</ogr:name>
+        |  <ogr:g><gml:Point><gml:pos>0 0</gml:pos></gml:Point></ogr:g>
+        |</ogr:f></gml:featureMember>""".stripMargin
+    val doc =
+      s"""<?xml version="1.0" encoding="ISO-8859-1"?>
+         |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"
+         |    xmlns:ogr="http://ogr.maptools.org/">
+         |$body
+         |</gml:FeatureCollection>""".stripMargin
+    val f = new java.io.File(dir, "latin1.gml")
+    java.nio.file.Files.write(f.toPath,
+      doc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val rows = Catalog.attach(spark, "gml_t7", "spatial",
+      Map("files" -> f.getPath)).collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "münchen")
+  }
+
   test("rejects are loud: curves, later-file attributes, complex properties") {
     val dir = tempDir("gml3")
     val curved = write(dir, "c.gml",

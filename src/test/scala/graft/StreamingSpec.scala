@@ -227,4 +227,36 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.toSeq === Seq(1L, 2L)) // [10:00,10:02] and [10:20]
     } finally q.stop()
   }
+
+  test("keyless replication rejects NULL-keyed change rows instead of collapsing them") {
+    // a MERGE-maintained source emits insert cdc rows with _row_id=null
+    // (ids are assigned to the data files at commit, the cdc row has no
+    // position in them); keyed on _row_id, the batch dedup would silently
+    // keep ONE of them — the apply must fail loudly instead
+    import spark.implicits._
+    val dir = tempDir("keyless_guard")
+    val rootA = new java.io.File(dir, "a").getPath
+    val rootB = new java.io.File(dir, "b").getPath
+    val ck = new java.io.File(dir, "ck").getPath
+    graft.catalog.DeltaSink.write(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1),
+      rootA, Map("row_tracking" -> "true", "change_data_feed" -> "true"))
+    val q = Streams.applyDeltaChanges(spark, rootA, rootB, Seq("_row_id"),
+      options = Map("row_tracking" -> "true"))
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable() // bootstrap from the snapshot batch — ids real
+      graft.catalog.DeltaSink.mergeInto(spark, rootA,
+        Seq((2L, 99L), (7L, 70L), (8L, 80L)).toDF("k", "v"), "t.k = s.k",
+        Map("v" -> "s.v"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert((e.getMessage +: chain(e.getCause)).exists(m =>
+        m != null && m.contains("NULL key")),
+        s"expected the NULL-key guard, got: ${e.getMessage}")
+    } finally q.stop()
+  }
 }
