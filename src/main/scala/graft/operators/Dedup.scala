@@ -427,4 +427,81 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** EXACT SUBSTRING SCRUB — the removal step of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): any
+    * k-token gram appearing in ≥ 2 DISTINCT documents corpus-wide marks its
+    * k token positions in every occurrence; marked positions are removed
+    * and the survivors reassembled in original order. Where
+    * [[passagePairs]] DETECTS shared passages (pair-level evidence), this
+    * actually scrubs them — the memorization-killing transform a training
+    * corpus runs before packing.
+    *
+    * The reference paper builds a global suffix array; that is a single
+    * sorted view of the whole corpus — the wrong shape for a 100 TB
+    * distributed scan. The distributed rendering fixes the match length at
+    * k tokens (a shared run of L ≥ k tokens is exactly the union of its
+    * L−k+1 overlapping dup grams, so the full run is still removed — the
+    * coverage, not the gram list, is what the suffix array would find):
+    *
+    *   1. gram hashes materialize row-locally (one md5 per k-gram);
+    *   2. the frequency pass shuffles (hash, doc) — 16-byte keys, never
+    *      text — with map-side partial aggregation;
+    *   3. the decision join is hash-to-hash (the dup-gram set is unbounded
+    *      on adversarial corpora — no broadcast; a hot boilerplate gram
+    *      skews one key and AQE's skew split handles it, the lineScrub
+    *      discipline);
+    *   4. per-doc dup-start lists come back through one groupBy on the doc
+    *      id (ints, bounded by the doc's own gram count);
+    *   5. coverage→keep-mask→reassembly is row-local array arithmetic:
+    *      covered = ∪ [s, s+k−1], kept = array_except(positions, covered)
+    *      — hash-set based, O(tokens + k·starts) per doc, no per-position
+    *      scan of the starts list.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text), clean_text NULL
+    * when every token was covered (the SQL string_agg-over-empty-group
+    * convention, matching lineScrub). Docs with < k tokens pass through
+    * untouched; 0-token docs are dropped (no positions to scrub — same
+    * filter the oracle's generate_series applies). */
+  def substringScrub(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"substringScrub k must be >= 2, got $k")
+    val base = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    // k-gram hashes per doc, row-local. Generate BARRIER (explode of a
+    // 1-element array) materializes the hash array exactly once before the
+    // positional explode consumes it — a plain projection would re-run the
+    // whole gram build per emitted row (the contaminationMark hazard).
+    val ghs = base
+      .select(col(idCol), kGramsFromTokens(col("__tk"), k).as("__g"))
+      .select(col(idCol), explode(array(transform(col("__g"), g => md5(g)))).as("__gh"))
+    val grams = ghs
+      .select(col(idCol), posexplode(col("__gh")))
+      .toDF(idCol, "__p0", "__h")
+      .select(col(idCol), (col("__p0") + 1).as("__s"), col("__h"))
+    // corpus-frequency pass: distinct-doc count per gram hash (Spark's
+    // two-phase distinct aggregate — partial dedup before the exchange)
+    val dup = grams.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("__h"))
+    val starts = grams.join(dup, "__h")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__s")).as("__starts"))
+    base.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("__tk"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .select(col(idCol), col("__tk"),
+        array_distinct(flatten(transform(col("__st"),
+          s => sequence(s, s + lit(k - 1))))).as("__cov"))
+      .select(col(idCol), col("__tk"),
+        array_except(sequence(lit(1), size(col("__tk"))), col("__cov")).as("__kp"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kp"))).cast("long").as("n_removed"),
+        when(size(col("__kp")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(col("__kp"), p => element_at(col("__tk"), p)), " "))
+          .as("clean_text"))
+  }
 }

@@ -748,6 +748,48 @@ object PipelineQueries {
       SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
       FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2"""))
 
+  // ---------------------------------------------------------------- d14
+  // EXACT SUBSTRING SCRUB (Lee et al. 2021's removal step, distributed):
+  // every 8-token gram shared by >= 2 docs marks its positions for removal
+  // in ALL occurrences; survivors reassemble in order. A PLANTED shared
+  // passage on doc_id%6 (the d08/d11 planted-signal pattern — 10 words, so
+  // 3 overlapping dup grams cover the full run) guarantees the scrub has
+  // observable work at every scale; the oracle replays plant + gram
+  // frequency + coverage + reassembly relationally.
+  private val scrubK = 8
+  private val plantPassage =
+    "large scale training corpora require careful duplicate span removal today"
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" " + plantPassage)).otherwise(lit(""))))
+  private val d14 = QueryDef(
+    "d14_substring_scrub",
+    (s, dir) => Dedup.substringScrub(plantedDocs(s, dir), "text", "doc_id", scrubK),
+    Some(s"""
+      WITH src AS (SELECT doc_id,
+                     text || CASE WHEN doc_id % 6 = 0 THEN ' $plantPassage' ELSE '' END AS text
+                   FROM documents),
+      t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM src
+            WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+      g AS (SELECT doc_id, i AS s,
+                   md5(array_to_string(tk[i:i+${scrubK - 1}], ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${scrubK - 1})) AS i
+                  FROM t WHERE len(tk) >= $scrubK)),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, s + d AS p
+              FROM (SELECT doc_id, s FROM g JOIN dup USING (h)),
+                   unnest(generate_series(0, ${scrubK - 1})) AS u(d)),
+      pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM t),
+      m AS (SELECT pos.doc_id, pos.p, pos.tk[pos.p] AS tok,
+                   cov.p IS NOT NULL AS removed
+            FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
+             string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT removed) AS clean_text
+      FROM m GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
   // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
@@ -1359,5 +1401,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13)
 }

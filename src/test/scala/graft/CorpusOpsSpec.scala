@@ -251,4 +251,49 @@ class CorpusOpsSpec extends SparkSpec {
       graft.operators.TextOps.chunkWindows(df, "text", "doc_id", 16, 16)
     }
   }
+
+  test("substringScrub removes cross-doc duplicated runs, keeps unique text in order") {
+    import spark.implicits._
+    // docs 1 and 2 share the 10-token passage p (3 overlapping 8-grams cover
+    // all 10 positions); surrounding unique text must survive in order
+    val p = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"alpha beta $p gamma delta"),
+      (2L, s"$p epsilon zeta"),
+      (3L, "totally unrelated words live here peacefully forever and ever more")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(df, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 14L) // n_tokens
+    assert(out(1L).getLong(2) === 10L) // n_removed: the whole shared run
+    assert(out(1L).getString(3) === "alpha beta gamma delta")
+    assert(out(2L).getLong(2) === 10L)
+    assert(out(2L).getString(3) === "epsilon zeta")
+    assert(out(3L).getLong(2) === 0L) // untouched doc passes through whole
+    assert(out(3L).getString(3).startsWith("totally unrelated"))
+  }
+
+  test("substringScrub yields NULL clean_text when the whole doc is duplicated") {
+    import spark.implicits._
+    val p = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val df = Seq((1L, p), (2L, p), (3L, s"unique prefix here $p")).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(df, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(3) && out(1L).getLong(2) === 8L)
+    assert(out(2L).isNullAt(3))
+    assert(out(3L).getString(3) === "unique prefix here")
+    // repeats WITHIN one doc only do not scrub (distinct-doc frequency)
+    val within = Seq((1L, s"$p and then $p"), (2L, "nothing shared at all whatsoever")).toDF("doc_id", "text")
+    val w = Dedup.substringScrub(within, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(w(1L).getLong(2) === 0L)
+    // short docs (< k tokens) pass through untouched
+    val short = Dedup.substringScrub(
+      Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text"), "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(short(1L).getLong(2) === 0L && short(1L).getString(3) === "tiny doc")
+    intercept[IllegalArgumentException] {
+      Dedup.substringScrub(df, "text", "doc_id", k = 1)
+    }
+  }
 }
