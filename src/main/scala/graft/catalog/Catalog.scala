@@ -91,6 +91,24 @@ object Catalog {
               "keep_wkb=false is GeoJSON-only (its native representation is json " +
                 "text); a KML placemark's geometry is delivered as WKB")
           graft.sources.Kml.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".fgb")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".fgb")))
+            throw InvalidOptionException(
+              "spatial attach mixes FlatGeobuf with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a FlatGeobuf feature's geometry is delivered as WKB")
+          graft.sources.FlatGeobuf.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpx")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".gpx")))
+            throw InvalidOptionException(
+              "spatial attach mixes GPX with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a GPX feature's geometry is delivered as WKB")
+          graft.sources.Gpx.read(spark, files, options)
         case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gml")) =>
           if (!files.forall(f => f.toLowerCase.endsWith(".gml")))
             throw InvalidOptionException(
@@ -268,7 +286,7 @@ object Catalog {
       val l = n.toLowerCase
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
         l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml") ||
-        l.endsWith(".gml")
+        l.endsWith(".gml") || l.endsWith(".gpx") || l.endsWith(".fgb")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -293,6 +311,8 @@ object Catalog {
       else if (l.endsWith(".xlsx")) "XLSX"
       else if (l.endsWith(".kml")) "KML"
       else if (l.endsWith(".gml")) "GML"
+      else if (l.endsWith(".gpx")) "GPX"
+      else if (l.endsWith(".fgb")) "FlatGeobuf"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>
@@ -303,28 +323,31 @@ object Catalog {
             s"in allowed_drivers ($ad)")
       }
     }
-    // GeoPackage/XLSX layers live INSIDE the file (gpkg_contents feature
-    // tables / worksheets), so the file-basename layer model below does not
-    // apply: the `layer` option passes through to the container reader,
-    // which selects the table/sheet (or rejects loudly listing candidates).
-    def isContainer(p: String): Boolean = {
-      val l = p.toLowerCase; l.endsWith(".gpkg") || l.endsWith(".xlsx")
+    // GeoPackage/XLSX/GPX layers live INSIDE the file (gpkg_contents feature
+    // tables / worksheets / the five fixed GPX layers), so the file-basename
+    // layer model below does not apply: the `layer` option passes through to
+    // the container reader, which selects the table/sheet/layer (or rejects
+    // loudly listing candidates).
+    def containerExt(p: String): Option[String] = {
+      val l = p.toLowerCase
+      Seq(".gpkg", ".xlsx", ".gpx").find(l.endsWith)
     }
-    if (expanded.nonEmpty && expanded.forall(p => isContainer(p._1))) {
-      if (expanded.exists(_._1.toLowerCase.endsWith(".gpkg")) &&
-        expanded.exists(_._1.toLowerCase.endsWith(".xlsx")))
+    if (expanded.nonEmpty && expanded.forall(p => containerExt(p._1).isDefined)) {
+      val exts = expanded.flatMap(p => containerExt(p._1)).distinct
+      if (exts.size > 1)
         throw InvalidOptionException(
-          "spatial attach mixes geopackages with workbooks; attach them separately")
+          s"spatial attach mixes container formats (${exts.sorted.mkString(", ")}); " +
+            "attach them separately")
       return expanded.map(_._1)
     }
-    // A MIXED set (.gpkg/.xlsx alongside .shp/.geojson) would conflate the
-    // two layer namespaces: layer=<name> matching a container file's
+    // A MIXED set (.gpkg/.xlsx/.gpx alongside .shp/.geojson) would conflate
+    // the two layer namespaces: layer=<name> matching a container file's
     // BASENAME would pass that file through with the same option, which its
-    // reader reinterprets as a table/sheet name INSIDE the file. Reject
-    // up front instead of attaching the wrong thing.
-    if (expanded.exists(p => isContainer(p._1)))
+    // reader reinterprets as a table/sheet/layer name INSIDE the file.
+    // Reject up front instead of attaching the wrong thing.
+    if (expanded.exists(p => containerExt(p._1).isDefined))
       throw InvalidOptionException(
-        "spatial attach mixes container formats (.gpkg/.xlsx) with file-" +
+        "spatial attach mixes container formats (.gpkg/.xlsx/.gpx) with file-" +
           "layer formats; a container's layers are tables/sheets inside the " +
           "file (layer= selects one), while .shp/.geojson layers are file " +
           "basenames — attach them separately")

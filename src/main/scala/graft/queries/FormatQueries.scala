@@ -122,6 +122,69 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → a GPX document: one <wpt lat=k lon=k/2> per nation (name,
+    * ele = k + 0.25 — dyadic, exactly representable), plus one two-segment
+    * <trk> so the tracks/track_points layers have content for the specs.
+    * Same planted geometry lattice as the other spatial fixtures (GPX
+    * stores lat/lon as attributes; WKB x=lon y=lat), so the independent
+    * WKB-hex oracle is shared. Driver-side write is test scaffolding. */
+  private def nationGpx(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_gpx"
+    val f = new java.io.File(s"$out/nation.gpx")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val wpts = rows.sortBy(_.getLong(0)).map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+          .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        s"""  <wpt lat="$k.0" lon="${k / 2.0}">
+           |    <ele>${k + 0.25}</ele>
+           |    <name>$name</name>
+           |  </wpt>""".stripMargin
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<gpx version="1.1" creator="graft" xmlns="http://www.topografix.com/GPX/1/1">
+           |${wpts.mkString("\n")}
+           |  <trk><name>survey</name>
+           |    <trkseg><trkpt lat="0.0" lon="0.0"/><trkpt lat="1.0" lon="0.5"/></trkseg>
+           |    <trkseg><trkpt lat="2.0" lon="1.0"/><trkpt lat="3.0" lon="1.5"/></trkseg>
+           |  </trk>
+           |</gpx>""".stripMargin)
+      finally w.close()
+    }
+    f.getPath
+  }
+
+  /** nation → a FlatGeobuf file: one Point(k/2, k) feature per nation with
+    * typed (Long nationkey, String name) columns — the same planted
+    * geometry lattice as the other spatial fixtures, written through the
+    * independent FlatGeobufWriter byte emitter (not the reader's own parse
+    * state). Driver-side write is test scaffolding. */
+  private def nationFgb(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_fgb"
+    val f = new java.io.File(s"$out/nation.fgb")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      import graft.sources.FlatGeobufWriter
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      f.getParentFile.mkdirs()
+      FlatGeobufWriter.write(f, "nation", 1 /* Point */,
+        Seq("nationkey" -> 7 /* Long */, "name" -> 11 /* String */),
+        rows.sortBy(_.getLong(0)).map { r =>
+          val k = r.getLong(0)
+          (Seq[Any](k, r.getString(1)),
+            FlatGeobufWriter.FgbGeom(1, Array(k / 2.0, k.toDouble)))
+        }.toSeq)
+    }
+    f.getPath
+  }
+
   /** nation → GML FeatureCollection, one feature per nation with the same
     * planted Point(k/2, k) the other spatial fixtures use (identical WKB
     * across drivers). GML3 pos syntax; nationkey rides as a simple string
@@ -920,6 +983,55 @@ object FormatQueries {
       WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
       SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name,
              'nation.' || CAST(n.n_nationkey AS VARCHAR) AS gml_id, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  // ---------------------------------------------------------------- g10
+  // Native GPX attach (the GDAL GPX driver surface of st_read): fixed
+  // five-layer schema, waypoint lat/lon ATTRIBUTES → the same
+  // independently-encoded Point(k/2, k) WKB hex as g01/g02 (x=lon, y=lat
+  // — a reader that swapped the axis order fails the hash), elevation as
+  // a typed column, never a third coordinate.
+  private val g10 = QueryDef(
+    "g10_gpx_scan",
+    (s, dir) => {
+      val path = nationGpx(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g10_nation_gpx", "spatial", Map("files" -> path))
+        .select(col("name"), col("ele"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT n.n_name AS name, CAST(n.n_nationkey AS DOUBLE) + 0.25 AS ele, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  // ---------------------------------------------------------------- g11
+  // Native FlatGeobuf attach (the GDAL FlatGeobuf driver surface of
+  // st_read): size-prefixed FlatBuffers header/features parsed by a
+  // hand-rolled vtable walk, typed packed properties, xy pairs → the same
+  // independently-encoded Point(k/2, k) WKB hex as g01/g02. A reader that
+  // miswalked a vtable, misdecoded the (ushort idx, value) property blob,
+  // or misframed the size-prefixed feature stream fails rows AND hash.
+  private val g11 = QueryDef(
+    "g11_flatgeobuf_scan",
+    (s, dir) => {
+      val path = nationFgb(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g11_nation_fgb", "spatial", Map("files" -> path))
+        .select(col("nationkey"), col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
@@ -2855,7 +2967,7 @@ object FormatQueries {
       FROM feed GROUP BY change, cver"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, f01, f02)
 }
