@@ -756,10 +756,10 @@ object PipelineQueries {
   // 3 overlapping dup grams cover the full run) guarantees the scrub has
   // observable work at every scale; the oracle replays plant + gram
   // frequency + coverage + reassembly relationally.
-  private val scrubK = 8
-  private val plantPassage =
+  private[queries] val scrubK = 8
+  private[queries] val plantPassage =
     "large scale training corpora require careful duplicate span removal today"
-  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def plantedDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" " + plantPassage)).otherwise(lit(""))))

@@ -1437,6 +1437,53 @@ object StreamingQueries {
       SELECT seg, nat, count(*) AS n, CAST(sum(rid) AS BIGINT) AS sum_rid
       FROM fin GROUP BY seg, nat"""))
 
+  // ---------------------------------------------------------------- x24
+  // STREAMING SUBSTRING GATE: arrivals hash their 8-token grams row-locally
+  // and stream-static join the corpus's duplicated-gram set — d14's exact
+  // substring scrub enforced at ingest time ("this arrival repeats text the
+  // corpus already holds twice"). Same planted corpus as d14 (shared
+  // passage on doc_id%6), replayed in two batches; the oracle replays the
+  // plant + the dup-gram derivation + the per-doc distinct hit counts.
+  private val x24 = QueryDef(
+    "x24_stream_substring_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val corpus = PipelineQueries.plantedDocs(s, dir)
+      val dup = Streams.dupGramsOf(corpus, "text", "doc_id", PipelineQueries.scrubK)
+      val in = MemoryStream[(Long, String)](1)
+      val out = Streams.substringGate(
+        in.toDF().toDF("doc_id", "text"), dup, "text", "doc_id",
+        PipelineQueries.scrubK)
+      withReplayConf(s, 1) { ck =>
+        val q = out.writeStream.format("memory").queryName("x24_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val rows = corpus.orderBy("doc_id").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x24_out").groupBy("doc_id")
+        .agg(countDistinct(col("gram_h")).as("n_dup_grams"))
+    },
+    Some(s"""
+      WITH src AS (SELECT doc_id,
+                     text || CASE WHEN doc_id % 6 = 0 THEN ' ${PipelineQueries.plantPassage}' ELSE '' END AS text
+                   FROM documents),
+      t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM src),
+      g AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(tk[i:i+${PipelineQueries.scrubK - 1}], ' ')) AS h
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${PipelineQueries.scrubK - 1})) AS i
+                  FROM t WHERE len(tk) >= ${PipelineQueries.scrubK})),
+      dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+      FROM g JOIN dup USING (h) GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
 }

@@ -177,6 +177,52 @@ object Streams {
       .select(col(idCol), col("band"))
   }
 
+  /** STREAMING SUBSTRING GATE — the ingest-time counterpart of the batch
+    * exact substring scrub (Dedup.substringScrub): arriving documents hash
+    * their k-token grams row-locally (stateless projection) and a
+    * STREAM-STATIC hash-to-hash join against the corpus's already-known
+    * duplicated-gram set emits one row per (arrival, gram) hit — "this
+    * arrival repeats text the corpus already holds twice", surfaced at
+    * arrival so the doc can be scrubbed or dropped before it lands. No
+    * join state, no watermark. The dup-gram side is NOT broadcast: unlike
+    * an eval set it is unbounded on boilerplate-heavy corpora (16-byte
+    * hashes, but billions of them at 100 TB) — the per-batch join shuffles
+    * hash-to-hash and AQE splits hot keys, the lineScrub discipline.
+    * `dupGrams` must be the PRE-MATERIALIZED (gram_h) relation (a
+    * stream-static join re-executes an unmaterialized static plan every
+    * micro-batch — derive it once with [[dupGramsOf]] and write it to a
+    * table in production). */
+  def substringGate(stream: DataFrame, dupGrams: DataFrame,
+      textCol: String, idCol: String, k: Int = 8): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val grams = stream
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), Dedup.kGramsFromTokens(col("__tk"), k).as("__g"))
+      // Generate barrier (explode of a 1-element array): materialize the
+      // hash array once before the real explode (the contaminationMark rule)
+      .select(col(idCol), explode(array(array_distinct(
+        transform(col("__g"), g => md5(g))))).as("__gh"))
+      .select(col(idCol), explode(col("__gh")).as("gram_h"))
+    grams.join(dupGrams, "gram_h").select(col(idCol), col("gram_h"))
+  }
+
+  /** The corpus-duplicated k-gram set for [[substringGate]]: every k-token
+    * gram hash appearing in ≥ 2 distinct corpus documents — the same
+    * decision set Dedup.substringScrub removes by. One hash-only shuffle. */
+  def dupGramsOf(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    corpus
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), Dedup.kGramsFromTokens(col("__tk"), k).as("__g"))
+      .select(col(idCol), explode(array_distinct(
+        transform(col("__g"), g => md5(g)))).as("gram_h"))
+      .groupBy(col("gram_h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("gram_h"))
+  }
+
   /** Structured Streaming over a native Delta table root — follows the
     * `_delta_log`, emitting the full snapshot first and then each commit's
     * add-file diff (see org.apache.spark.sql.graftstream.DeltaFollow for

@@ -247,6 +247,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("winnow_minima"), s"native winnow pass missing:\n$p")
   }
 
+  test("d14: substring scrub decision join hashes on the gram key — no all-pairs") {
+    val p = plan("d14_substring_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring scrub fell back to all-pairs:\n$p")
+    // the frequency pass shuffles the 16-byte gram hash (with the doc id for
+    // the distinct-doc count) — document text never rides a partitioning key
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") &&
+      l.contains("__h")), s"expected a gram-hash exchange:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("hashpartitioning") &&
+      l.contains("text#")), s"document text must never key a shuffle:\n$p")
+  }
+
   test("t13: domain cap is one shuffle on the domain key, no join") {
     val p = plan("t13_domain_cap")
     assert(!p.contains("Join"), s"a rank cap needs no join:\n$p")
