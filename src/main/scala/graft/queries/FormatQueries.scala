@@ -2750,6 +2750,76 @@ object FormatQueries {
       UNION ALL
       SELECT c_nationkey, n_cust, sum_bal, 'iceberg' AS src FROM j"""))
 
+  // ---------------------------------------------------------------- l26
+  // RUNTIME BLOOM-FILTER JOIN PRUNING — the NON-partition sibling of l25's
+  // DPP, and the other half of the 100 TB star-join story: when the join
+  // key is NOT the fact table's partition column, partition pruning cannot
+  // help, but Spark's InjectRuntimeFilter can still build a bloom filter
+  // from the dim side's selective predicate and apply it to the fact side
+  // BEFORE its shuffle — at scale that turns a full-fact-table exchange
+  // into an exchange of only the rows that can possibly match. The rule
+  // fires on the native Delta attach unmodified (the injected Filter sits
+  // directly above the LogFileIndex-backed scan; shape pinned in
+  // BloomSpec). The injection thresholds assume cluster-sized inputs, so
+  // the query scales them to the fixture and then REQUIREs the injected
+  // expression in the plan — if a Spark upgrade or a reader change ever
+  // stops the rule from firing on our relation, this query fails loudly
+  // instead of silently benchmarking the unfiltered plan. The reference
+  // gets the equivalent from DuckDB's perfect-hash-table join filters via
+  // whole-query delegation (/root/reference/src/hooks/executor.rs:30-97).
+  private val l26 = QueryDef(
+    "l26_bloom_runtime_filter",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_l26_delta"
+      if (!new java.io.File(s"$out/_delta_log/00000000000000000000.json").exists()) {
+        rmTree(out)
+        graft.catalog.Sinks.copyTo(Tables.load(s, dir, "orders"), out, "delta")
+      }
+      val confs = Seq(
+        // default-on in Spark 4; pinned so a default flip can't silently
+        // disable the path under test
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        // fixture scans are far below the 10 GB cluster default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        // filtered dim estimate must stay under this at every ladder rung
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+        // bloom injection targets shuffle joins only; at fixture scale the
+        // dim would broadcast (correctly) and the rule would skip the join
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val fact = Catalog.attach(s, "l26_orders_delta", "delta", Map("files" -> out))
+        val dim = Tables.load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val q = fact.join(dim, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+        val plan = q.queryExecution.optimizedPlan.toString.toLowerCase
+        require(plan.contains("might_contain"),
+          "runtime bloom filter was NOT injected above the native delta " +
+            "scan — InjectRuntimeFilter no longer fires on the attach " +
+            "relation; see BloomSpec")
+        // execute while the fixture-scaled confs are live (the plan is
+        // re-optimized at action time), then localize the 5-group result so
+        // the restored session confs cannot re-plan it differently later
+        val rows = q.collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), q.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderpriority"""))
+
   private val l23 = QueryDef(
     "l23_iceberg_changelog",
     (s, dir) => {
@@ -2968,6 +3038,6 @@ object FormatQueries {
 
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
-      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, w01, w02, w03, w04, w05, w06, w07,
+      l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, f01, f02)
 }
