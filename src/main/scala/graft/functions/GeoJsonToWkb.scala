@@ -117,8 +117,25 @@ object GraftFunctions {
       WkbIntersectsWkt(children.head, WktFilter.parseWktPolygon(wkt), wkt)
     })
 
+  /** `bloom_might_contain(bloom_bytes, xxhash64_value)` — a thin binding to
+    * Spark's OWN codegen'd BloomFilterMightContain (the expression the
+    * optimizer injects for runtime join filters, internal-only in the
+    * registry). Exposing it lets operators apply a pre-built, broadcast-as-
+    * literal bloom filter as a row-local gate — the incremental-dedup shape
+    * (Dedup.incrementalGate). The first argument must be a foldable BINARY
+    * (the sketch's writeTo serialization); the second an XXHASH64 of the
+    * key, matching the sketch's putLong/mightContainLong pairing. */
+  val bloomMightContain: FunctionDescription = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
       vecCosine, vecDecimalMean, icebergBucket, pgJsonGet, wkbEnvIntersects,
-      wkbIntersectsWkt)
+      wkbIntersectsWkt, bloomMightContain)
 }

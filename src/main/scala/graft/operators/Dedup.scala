@@ -504,4 +504,53 @@ object Dedup {
             transform(col("__kp"), p => element_at(col("__tk"), p)), " "))
           .as("clean_text"))
   }
+
+  /** INCREMENTAL dedup gate — the cross-epoch shape: drop NEW-batch rows
+    * whose normalized text already exists in a HISTORY corpus, without ever
+    * joining the full batch against it. At 100 TB the history cannot be a
+    * join side; the scalable plan is:
+    *
+    *   1. ONE scan of history builds a bloom filter over xxhash64(norm)
+    *      (distributed treeAggregate; the merged sketch lives on the
+    *      driver — ~1.2 GB at 1e9 keys / 1% fpp; past that, partition the
+    *      history into epochs and apply the gates in sequence).
+    *   2. The batch is gated ROW-LOCALLY by Spark's own codegen'd
+    *      BloomFilterMightContain over the broadcast-as-literal sketch:
+    *      bloom-NEGATIVE rows are DEFINITELY unseen and skip all join work.
+    *   3. Only the maybe-positive sliver (true dups + fpp false positives)
+    *      is verified exactly — and even that join never shuffles history:
+    *      the maybe keys broadcast INTO a semi-join that prunes history's
+    *      key scan to the actually-present subset, which broadcasts back
+    *      for the final anti-join. History is scanned twice, shuffled never.
+    *
+    * The bloom is an optimization, not a semantics carrier: false positives
+    * are killed by the exact verify, false negatives are impossible, so the
+    * output is EXACTLY "batch rows whose md5(norm) is absent from history"
+    * at any fpp — which is what lets DuckDB oracle it with a plain NOT IN.
+    * Intra-batch duplicates are out of scope (exactMark owns those).
+    * Output: (idCol, h). */
+  def incrementalGate(newDf: DataFrame, history: DataFrame, textCol: String,
+      idCol: String, fpp: Double = 0.01): DataFrame = {
+    def norm(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+    val histKeys = history.select(md5(norm(col(textCol))).as("h"),
+      xxhash64(norm(col(textCol))).as("hx"))
+    // sizing count: a cheap O(1)-output aggregate (the bloom build scans
+    // history anyway); sketch putLong/mightContainLong pair with xxhash64
+    // exactly as Spark's own injected runtime filters do
+    val nHist = math.max(history.count(), 1L)
+    val bloom = histKeys.select(col("hx")).stat.bloomFilter("hx", nHist, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val tagged = newDf.select(col(idCol), md5(norm(col(textCol))).as("h"),
+      call_function("bloom_might_contain",
+        lit(bos.toByteArray), xxhash64(norm(col(textCol)))).as("__maybe"))
+    val clean = tagged.filter(!col("__maybe")).select(col(idCol), col("h"))
+    val maybeKeys = tagged.filter(col("__maybe")).select(col("h")).distinct()
+    val present = histKeys.select(col("h"))
+      .join(broadcast(maybeKeys), Seq("h"), "left_semi").distinct()
+    val verified = tagged.filter(col("__maybe"))
+      .join(broadcast(present), Seq("h"), "left_anti")
+      .select(col(idCol), col("h"))
+    clean.unionByName(verified)
+  }
 }

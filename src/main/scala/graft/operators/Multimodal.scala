@@ -382,9 +382,10 @@ object Multimodal {
         "decode_ok")
   }
 
-  /** WAV bytes → (channels, sampleRate, nSamples, peakAbs, energy). None on
-    * anything that is not plain 16-bit PCM. */
-  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+  /** WAV container walk → (channels, sampleRate, dataOffset, nSamples).
+    * None on anything that is not plain 16-bit PCM. Shared by the whole-clip
+    * features (m06) and the frame windowing (m07). */
+  private def wavPcm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
     def u32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
@@ -413,18 +414,70 @@ object Multimodal {
     }
     if (!pcm || bits != 16 || channels < 1 || data.isEmpty) return None
     val (off, sz) = data.get
-    val n = sz / 2
-    var peak = 0
-    var energy = 0L
-    var i = 0
-    while (i < n) {
-      val s = ((bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)).toShort.toInt
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      energy += s.toLong * s
-      i += 1
+    Some((channels, rate, off, sz / 2))
+  }
+
+  /** Sample i (16-bit little-endian) of a located PCM data chunk. */
+  @inline private def pcm16(bytes: Array[Byte], off: Int, i: Int): Int =
+    ((bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)).toShort.toInt
+
+  /** WAV bytes → (channels, sampleRate, nSamples, peakAbs, energy). None on
+    * anything that is not plain 16-bit PCM. */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
+    wavPcm(bytes).map { case (channels, rate, off, n) =>
+      var peak = 0
+      var energy = 0L
+      var i = 0
+      while (i < n) {
+        val s = pcm16(bytes, off, i)
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        energy += s.toLong * s
+        i += 1
+      }
+      (channels, rate, n, peak, energy)
     }
-    Some((channels, rate, n, peak, energy))
+
+  /** AUDIO FRAME WINDOWING — the feature-extraction shape every audio
+    * pipeline runs after decode: split the PCM stream into fixed-size
+    * frames (`frameSize` samples, tail frame partial) and emit per-frame
+    * integer statistics (sample count, peak amplitude, exact energy). The
+    * one-to-many flatMap stays partition-local — zero shuffle, linear in
+    * payload bytes — and integer arithmetic keeps it oracle-replayable.
+    * Corrupt / non-PCM payloads degrade to one decode_ok=false row — data,
+    * never exceptions (the m04 contract). */
+  def wavFrames(df: DataFrame, payloadCol: String, idCol: String,
+      frameSize: Int = 16): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavPcm(bytes) match {
+          case Some((_, _, off, n)) =>
+            val nFrames = (n + frameSize - 1) / frameSize
+            (0 until nFrames).iterator.map { k =>
+              val from = k * frameSize
+              val until = math.min(from + frameSize, n)
+              var peak = 0
+              var energy = 0L
+              var i = from
+              while (i < until) {
+                val s = pcm16(bytes, off, i)
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                energy += s.toLong * s
+                i += 1
+              }
+              (id, Option(k.toLong), Option((until - from).toLong),
+                Option(peak.toLong), Option(energy), true)
+            }
+          case None => Iterator.single((id, None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long], false))
+        }
+      })
+      .toDF(idCol, "frame_idx", "n_in_frame", "peak_abs", "energy", "decode_ok")
   }
 
   /** Deterministic PCM WAV fixture: mono 8 kHz 16-bit, `50 + id % 37`

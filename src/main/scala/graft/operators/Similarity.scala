@@ -612,6 +612,44 @@ object Similarity {
       SELECT c2.vec_id, c2.cell, (d.vec_id IS NOT NULL) AS is_semantic_dup
       FROM celled c2 LEFT JOIN dup d ON d.vec_id = c2.vec_id"""
 
+  /** CLUSTER-BALANCED SAMPLING — the diversity-selection shape (DiverseSelect
+    * / prototype-balanced curation): assign every vector to its learned
+    * k-means cell, then keep at most `capPerCell` rows per cell under a
+    * deterministic md5 pick order, so over-represented regions of embedding
+    * space are capped instead of dominating the sample (the failure mode of
+    * uniform sampling over a skewed corpus).
+    *
+    * Scale shape: the model is kCells driver literals, assignment a pure
+    * projection (zero shuffle — the IVF lever); the per-cell top-cap is ONE
+    * shuffle keyed by cell. At 100 TB kCells grows with the corpus (sample
+    * budget / cap), so cell partitions stay bounded — the window never sees
+    * a giant group. Output: (vec_id, cell, cell_rank), cell_rank ≤ cap. */
+  def clusterBalancedSample(emb: DataFrame, capPerCell: Int,
+      kCells: Int = 4, iters: Int = 2): DataFrame = {
+    val model = kmeansModel(emb.select(col("vec_id"), col("embedding")), kCells, iters)
+    val pick = md5(concat(col("cell").cast("string"), lit(":"),
+      col("vec_id").cast("string")))
+    assignCells(emb, model)
+      .select(col("vec_id"), col("cell"), pick.as("__pick"))
+      .withColumn("cell_rank", row_number()
+        .over(Window.partitionBy(col("cell")).orderBy(col("__pick"), col("vec_id")))
+        .cast("long"))
+      .filter(col("cell_rank") <= capPerCell)
+      .select(col("vec_id"), col("cell"), col("cell_rank"))
+  }
+
+  /** DuckDB rendering of the balanced sample (oracle side). Expects
+    * `c(vec_id, cv)` defined upstream. */
+  def clusterBalancedSampleSql(capPerCell: Int, kCells: Int = 4,
+      iters: Int = 2): String =
+    s"""${kmeansCelledSql(kCells, iters)},
+      r AS (SELECT vec_id, cell,
+                   CAST(row_number() OVER (PARTITION BY cell
+                     ORDER BY md5(cell::VARCHAR || ':' || vec_id::VARCHAR), vec_id)
+                     AS BIGINT) AS cell_rank
+            FROM celled)
+      SELECT vec_id, cell, cell_rank FROM r WHERE cell_rank <= $capPerCell"""
+
   // ------------------------------------------------------------------ PQ
 
   /** Squared L2 distance as three sequential-fold dots with fixed

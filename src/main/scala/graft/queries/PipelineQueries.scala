@@ -303,6 +303,22 @@ object PipelineQueries {
       WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
       ${Similarity.semDedupSql(threshold = 0.35, kCells = 4, iters = 2)}"""))
 
+  // ---------------------------------------------------------------- s14
+  // CLUSTER-BALANCED SAMPLING: diversity-capped selection over the learned
+  // k-means cells — over-dense embedding regions are capped at 25 rows per
+  // cell under a deterministic md5 pick order. The oracle replays the FULL
+  // chain (k-means included) in SQL, so the balance itself is under the
+  // hash gate: a drifted centroid, a mis-assigned cell, or a biased pick
+  // order all change rows AND hash.
+  private val s14 = QueryDef(
+    "s14_cluster_balanced_sample",
+    (s, dir) => Similarity.clusterBalancedSample(
+      emb(s, dir).select(col("vec_id"), col("embedding")),
+      capPerCell = 25, kCells = 4, iters = 2),
+    Some(s"""
+      WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+      ${Similarity.clusterBalancedSampleSql(capPerCell = 25, kCells = 4, iters = 2)}"""))
+
   // ---------------------------------------------------------------- s09
   // RECALL@10 of the learned-IVF search against the exact top-10 — ANN
   // quality measured under the same hash gate as the operators themselves
@@ -604,6 +620,48 @@ object PipelineQueries {
              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false AS decode_ok
       FROM documents WHERE doc_id % 7 = 3"""))
 
+  // ---------------------------------------------------------------- m07
+  // AUDIO FRAME WINDOWING over the m06 WAV fixtures: the real container
+  // walk + PCM decode, then fixed 16-sample frames with per-frame integer
+  // stats — the flatMap feature-extraction shape (one row in, nframes
+  // out). The oracle knows NO wav parser: it regenerates the sample
+  // arithmetic closed-form and windows it with integer division, so an
+  // off-by-one in frame boundaries, a dropped tail frame, or a byte-order
+  // slip fails rows AND hash. Corrupt payloads (every 7th doc) must
+  // degrade to a single decode_ok=false row.
+  private val m07 = QueryDef(
+    "m07_audio_frames",
+    (s, dir) => {
+      import s.implicits._
+      val withPayload = docs(s, dir).select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val payload =
+            if (id % 7 == 3) s"not a wav $id".getBytes("UTF-8")
+            else Multimodal.fixtureWav(id)
+          (id, payload)
+        }).toDF("doc_id", "payload")
+      Multimodal.wavFrames(withPayload, "payload", "doc_id", frameSize = 16)
+    },
+    Some("""
+      WITH ok AS (SELECT doc_id, 50 + doc_id % 37 AS n FROM documents
+                  WHERE doc_id % 7 <> 3),
+      seqs AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM ok),
+      v AS (SELECT doc_id, i // 16 AS k,
+                   ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp
+            FROM seqs),
+      agg AS (SELECT doc_id, k, count(*) AS nf, max(abs(smp)) AS peak,
+                     sum(smp * smp) AS energy
+              FROM v GROUP BY doc_id, k)
+      SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+             CAST(nf AS BIGINT) AS n_in_frame, CAST(peak AS BIGINT) AS peak_abs,
+             CAST(energy AS BIGINT) AS energy, true AS decode_ok
+      FROM agg
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false AS decode_ok
+      FROM documents WHERE doc_id % 7 = 3"""))
+
   // ---------------------------------------------------------------- t01
   private val t01 = QueryDef(
     "t01_token_stats",
@@ -789,6 +847,40 @@ object PipelineQueries {
              CAST(count(*) FILTER (WHERE removed) AS BIGINT) AS n_removed,
              string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT removed) AS clean_text
       FROM m GROUP BY doc_id"""))
+
+  // ---------------------------------------------------------------- d15
+  // BLOOM-GATED INCREMENTAL DEDUP — the cross-epoch shape: a new shard is
+  // deduped against the full historical corpus via a bloom filter built in
+  // one history scan, applied row-locally (Spark's own codegen'd
+  // BloomFilterMightContain over the broadcast-as-literal sketch), with the
+  // maybe-positive sliver exact-verified through two broadcast joins —
+  // history is never shuffled (plan shape pinned in OperatorsSpec). The
+  // fixture has no natural exact dups, so the batch is synthesized from
+  // documents itself: even ids replay history text verbatim (every one must
+  // be bloom-positive AND verified-present → dropped), odd ids carry a
+  // deterministic suffix (unseen → kept; any bloom false positive must be
+  // killed by the exact verify). The oracle knows NO bloom filter — plain
+  // NOT IN — so fpp artifacts of any kind fail rows AND hash.
+  private val d15 = QueryDef(
+    "d15_incremental_gate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh "),
+            col("doc_id").cast("string"))).as("text"))
+      Dedup.incrementalGate(batch, d, "text", "doc_id")
+    },
+    Some("""
+      WITH hist AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+                    FROM documents),
+      batch AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE text || ' fresh ' || doc_id::VARCHAR END AS text
+                FROM documents),
+      new AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+              FROM batch)
+      SELECT doc_id, h FROM new WHERE h NOT IN (SELECT h FROM hist)"""))
 
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
@@ -1401,5 +1493,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14)
 }

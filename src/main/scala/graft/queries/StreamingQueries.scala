@@ -1484,6 +1484,124 @@ object StreamingQueries {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
       FROM g JOIN dup USING (h) GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- x25
+  // SESSION WINDOWS in the stream — the gap-sessionization shape (q33's
+  // batch operator) as a watermarked session_window aggregation: per-user
+  // events merge while each arrives within 30 min of the session's end;
+  // append mode emits a session only once the watermark passes it, so the
+  // oracle is the plain batch gaps-and-islands over the same slice (break
+  // strictly > gap, end = last event + gap — boundary semantics pinned by
+  // Spark's session merge rule and replayed identically in SQL). Sentinel
+  // events under user_id -1 (outside the slice) advance the watermark so
+  // every REAL session closes; the sentinel's own session stays open and
+  // never reaches the sink.
+  private val x25 = QueryDef(
+    "x25_stream_session_window",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val in = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val out = Streams.sessionCounts(
+        in.toDF().toDF("user_id", "ts"), "user_id", "ts", "30 minutes", "0 seconds")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"))
+      withReplayConf(s, 1) { ck =>
+        val q = out.writeStream.format("memory").queryName("x25_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val rows = Tables.load(s, dir, "events")
+            .filter(col("user_id") % 50 === 0)
+            .select(col("user_id"), col("ts")).collect()
+            .map(r => (r.getLong(0), r.getTimestamp(1)))
+          in.addData(rows.toSeq)
+          q.processAllAvailable()
+          // no-data batches are off (withReplayConf): sentinel1 advances
+          // the watermark past every real session end, sentinel2's batch
+          // evicts and emits them; both sentinel sessions stay open
+          val maxTs = rows.map(_._2.getTime).max
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 2L * 86400 * 1000)))
+          q.processAllAvailable()
+          in.addData((-1L, new java.sql.Timestamp(maxTs + 2L * 86400 * 1000 + 1)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x25_out")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+                 WHERE user_id % 50 = 0),
+      g AS (SELECT user_id, ts_us,
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+            FROM e),
+      s AS (SELECT user_id, ts_us,
+                   CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                                 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_n
+            FROM g)
+      SELECT user_id, min(ts_us) AS session_start_us,
+             max(ts_us) + 1800000000 AS session_end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sess_n"""))
+
+  // ---------------------------------------------------------------- x26
+  // ARBITRARY STATE v2: Spark 4's transformWithState (typed ValueState on
+  // the RocksDB state store — the modern successor to x-series
+  // mapGroupsWithState) computing per-key batch + cumulative counts. The
+  // replay feeds two DETERMINISTIC micro-batches (even event_ids, then
+  // odd), so each key emits one row per batch it appears in, carrying that
+  // batch's count and the running total; the oracle replays the same split
+  // as a grouped count + running sum. Row order inside a batch cannot leak
+  // into the output (the processor emits per-batch aggregates only).
+  private val x26 = QueryDef(
+    "x26_stream_transform_with_state",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      // transformWithState requires the RocksDB provider; scope it to this
+      // stream and restore the session default after
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[Long](1)
+        val out = Streams.batchCumCounts(in.toDF().toDF("user_id"), "user_id")
+        withReplayConf(s, 1) { ck =>
+          val q = out.writeStream.format("memory").queryName("x26_out")
+            .option("checkpointLocation", ck)
+            .outputMode("append").start()
+          try {
+            val ev = Tables.load(s, dir, "events")
+              .filter(col("user_id") % 43 === 0)
+              .select(col("user_id"), col("event_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            in.addData(ev.filter(_._2 % 2 == 0).map(_._1).toSeq)
+            q.processAllAvailable()
+            in.addData(ev.filter(_._2 % 2 != 0).map(_._1).toSeq)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        s.table("x26_out")
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS b
+                 FROM events WHERE user_id % 43 = 0),
+      a AS (SELECT user_id, b, count(*) AS n_batch FROM e GROUP BY user_id, b)
+      SELECT user_id, n_batch,
+             CAST(sum(n_batch) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_cum
+      FROM a"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
+    x26)
 }

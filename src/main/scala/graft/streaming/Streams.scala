@@ -47,6 +47,62 @@ object Streams {
       named.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Gap-based SESSION windows — the built-in streaming sibling of q33's
+    * batch sessionization: a key's events merge into one session while each
+    * falls within `gap` of the session's end (an event exactly `gap` after
+    * the previous one still merges — the break is strictly greater, matching
+    * q33's `> gapUs`); the emitted window is [min(ts), max(ts) + gap).
+    * Watermark `delay` closes sessions (append mode emits only closed ones)
+    * and BOUNDS state: one open session struct per active key, reclaimed as
+    * the watermark passes its end — at 100 TB/day the state store holds the
+    * active-key working set, never history. */
+  def sessionCounts(df: DataFrame, keyCol: String, tsCol: String,
+      gap: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Spark 4 ARBITRARY STATE v2 — `transformWithState` over the RocksDB
+    * state store (the successor to mapGroupsWithState: typed state
+    * primitives, per-state TTL, timers). Per-key batch + cumulative
+    * sighting counts via a single ValueState[Long]: one output row per
+    * (key, micro-batch) carrying that batch's count and the running total —
+    * the continuous-ingest monitoring shape (arrival-rate drift per shard
+    * key). Emission is per-batch-aggregate, not per-row, so the output is
+    * deterministic under any intra-batch row order.
+    *
+    * State is one Long per live key in RocksDB — off-heap, incrementally
+    * checkpointed, so the working set at 100 TB/day is bounded by live
+    * keys, not throughput; pass a TTLConfig instead of NONE to bound live
+    * keys themselves when the key space is unbounded. */
+  def batchCumCounts(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proc = new StatefulProcessor[Long, Long, (Long, Long, Long)] {
+      @transient private var total: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        total = getHandle.getValueState[Long]("total",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Long],
+          timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+        var n = 0L
+        while (rows.hasNext) { rows.next(); n += 1 }
+        val cum = (if (total.exists()) total.get() else 0L) + n
+        total.update(cum)
+        Iterator.single((key, n, cum))
+      }
+    }
+    df.select(col(keyCol).cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+      .toDF(keyCol, "n_batch", "n_cum")
+  }
+
   /** Custom keyed state via mapGroupsWithState — the escape hatch when
     * built-in windows cannot express the state machine. Running per-key
     * sighting counts (e.g. duplicate-rate monitoring on a content hash):

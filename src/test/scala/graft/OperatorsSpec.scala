@@ -347,6 +347,34 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.length === 50 && kept.forall(_.getString(1) == "keep"))
   }
 
+  test("incrementalGate: exact anti-join semantics, history never shuffled") {
+    import spark.implicits._
+    // history: 2000 docs; batch: 500 replayed verbatim (dups, must drop) +
+    // 500 fresh (must keep) — fpp high enough that some fresh rows WILL be
+    // bloom false positives, proving the exact verify kills them
+    // parquet round-trip: a LocalRelation would be constant-folded by
+    // ConvertToLocalRelation, hiding the very plan under test
+    val dir = tempDir("incgate").getAbsolutePath
+    (1L to 2000L).map(i => (i, s"history doc number $i body"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/hist")
+    ((1L to 500L).map(i => (10000L + i, s"history doc number $i body")) ++
+      (1L to 500L).map(i => (20000L + i, s"brand new doc $i payload")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    val history = spark.read.parquet(s"$dir/hist")
+    val batch = spark.read.parquet(s"$dir/batch")
+    val out = Dedup.incrementalGate(batch, history, "text", "doc_id", fpp = 0.2)
+    val got = out.collect().map(_.getLong(0)).sorted
+    assert(got.length === 500 && got.head === 20001L && got.last === 20500L)
+    // plan shape: the bloom gate is a row-local filter on the batch, and
+    // BOTH verify joins broadcast their small side — no exchange feeds
+    // from the history scan (the 100 TB contract)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("might_contain"), "bloom gate missing")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected 2 broadcast verify joins, got $bhj:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"), "history side got shuffle-joined")
+  }
+
   test("clusterAssign: unpaired docs are singleton keepers") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
