@@ -513,12 +513,13 @@ object Similarity {
     * kCand lever buys at every rung, under the same hash gate as the
     * searches themselves. */
   def rerankRecallAtK(queries: DataFrame, candidates: DataFrame, k: Int,
-      kCand: Int, stage: String): DataFrame = {
+      kCand: Int, stage: String, dPrefix: Int = 16): DataFrame = {
     val approx = stage match {
       case "pq" => pqRerankTopK(queries, candidates, k, kCand)
       case "sq" => sqRerankTopK(queries, candidates, k, kCand)
+      case "mrl" => mrlRerankTopK(queries, candidates, k, dPrefix, kCand)
       case other => throw new IllegalArgumentException(
-        s"rerankRecallAtK stage `$other` (pq|sq)")
+        s"rerankRecallAtK stage `$other` (pq|sq|mrl)")
     }
     recallVsExact(queries, candidates, k, approx)
   }
@@ -976,6 +977,72 @@ object Similarity {
     * the codes, and the exact rerank. */
   def sqRerankSql(k: Int, kCand: Int = 30): String =
     s"""${sqRerankCtes(kCand)}
+      SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
+
+  /** MATRYOSHKA (MRL) PREFIX-DIMENSION two-stage retrieval — the rerank
+    * shape for models trained with matryoshka representation learning
+    * (arXiv:2205.13147), where the first d dims of an embedding are
+    * themselves a usable lower-dim embedding: the COARSE pass scores
+    * cosine over only `slice(vec, 1, dPrefix)` — a dim/dPrefix bandwidth
+    * and FLOP cut with no codebook or quantizer to maintain — then an
+    * exact full-dim cosine reranks ONLY the top-kCand candidates.
+    * Same two-phase local-then-global candidate pruning as the PQ/SQ
+    * siblings (never one task per query), and the whole chain (prefix
+    * slice, coarse ranking, rerank) replays in SQL ([[mrlRerankSql]]). */
+  def mrlRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      dPrefix: Int, kCand: Int = 30): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    require(dPrefix >= 1, s"dPrefix must be >= 1, got $dPrefix")
+    val pref = candidates.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dPrefix)").as("__pv"))
+    val qp = queries.select(col("q_id"), col("q_vec"),
+      expr(s"slice(q_vec, 1, $dPrefix)").as("__qp"))
+    val scored = pref.crossJoin(broadcast(qp))
+      .withColumn("coarse_sim", cosine("__qp", "__pv"))
+    val local = Window.partitionBy(col("q_id"), col("__part"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val pruned = scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= kCand)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("coarse_sim").desc, col("vec_id"))
+    val cand = pruned.withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= kCand).select(col("q_id"), col("vec_id"))
+    val rer = cand
+      .join(candidates.select(col("vec_id"), col("embedding").as("__cv")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos_sim", cosine("q_vec", "__cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** CTE chain of [[mrlRerankTopK]]'s oracle up to the reranked `rr`
+    * relation — shared by the search oracle and the recall oracle. */
+  def mrlRerankCtes(dPrefix: Int, kCand: Int = 30): String =
+    s"""pc AS (SELECT vec_id, cv, cv[1:$dPrefix] AS pv FROM c),
+      qpf AS (SELECT q_id, qv, qv[1:$dPrefix] AS qp FROM q),
+      coarse AS (SELECT qpf.q_id, pc.vec_id,
+                        ${cosineSql("qpf.qp", "pc.pv")} AS coarse_sim
+                 FROM pc, qpf),
+      cr AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY coarse_sim DESC, vec_id) AS crank
+             FROM coarse),
+      cand AS (SELECT q_id, vec_id FROM cr WHERE crank <= $kCand),
+      rer AS (SELECT ca.q_id, ca.vec_id,
+                     ${cosineSql("qq.qv", "cc.cv")} AS cos_sim
+              FROM cand ca JOIN q qq ON ca.q_id = qq.q_id
+                           JOIN c cc ON ca.vec_id = cc.vec_id),
+      rr AS (SELECT q_id, vec_id,
+                    CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank, cos_sim
+             FROM rer)"""
+
+  /** Oracle for [[mrlRerankTopK]]: expects `q(q_id, qv)` / `c(vec_id, cv)`
+    * upstream; replays the prefix slice, coarse cosine, and exact rerank. */
+  def mrlRerankSql(k: Int, dPrefix: Int, kCand: Int = 30): String =
+    s"""${mrlRerankCtes(dPrefix, kCand)}
       SELECT q_id, vec_id, rank, cos_sim FROM rr WHERE rank <= $k"""
 
   /** Per-vector int8 scalar quantization — the storage/bandwidth lever an

@@ -303,6 +303,45 @@ object PipelineQueries {
       WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
       ${Similarity.semDedupSql(threshold = 0.35, kCells = 4, iters = 2)}"""))
 
+  // ---------------------------------------------------------------- s15
+  // MATRYOSHKA (MRL) PREFIX-DIM two-stage ANN: coarse cosine over the
+  // first 16 of 64 dims (a 4× FLOP/bandwidth cut with no codebook), exact
+  // full-dim rerank over the top-30 candidates. Whole chain replayed in
+  // SQL — a prefix off-by-one, candidate-set drift, or rerank slip fails
+  // rows AND hash.
+  private val s15 = QueryDef(
+    "s15_ann_mrl_rerank",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.mrlRerankTopK(queries, candidates, k = 10, dPrefix = 16, kCand = 30)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.mrlRerankSql(10, dPrefix = 16, kCand = 30)}"""))
+
+  // ---------------------------------------------------------------- s16
+  // RECALL@10 of the MRL prefix-dim rerank against the exact top-10 —
+  // what truncating to a quarter of the dims costs (or doesn't) is itself
+  // under the hash gate, like the PQ (s12) and SQ8 (s13) siblings.
+  private val s16 = QueryDef(
+    "s16_ann_mrl_rerank_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val candidates = e.filter(col("vec_id") >= 5)
+      Similarity.rerankRecallAtK(queries, candidates, k = 10, kCand = 30,
+        "mrl", dPrefix = 16)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.mrlRerankCtes(dPrefix = 16, kCand = 30)}${Similarity.recallTailSql(10)}"""))
+
   // ---------------------------------------------------------------- s14
   // CLUSTER-BALANCED SAMPLING: diversity-capped selection over the learned
   // k-means cells — over-dense embedding regions are capped at 25 rows per
@@ -1493,5 +1532,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
 }

@@ -77,6 +77,23 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("bloom gate fires on the native ICEBERG attach too") {
+    val dir = tempDir("bloomi").getAbsolutePath
+    val out = s"$dir/orders_iceberg"
+    graft.catalog.Sinks.copyTo(Tables.load(spark, sf, "orders"), out, "iceberg")
+    withConfs(bloomConfs) {
+      val fact = graft.catalog.Catalog.attach(spark, "bloom_orders_i", "iceberg",
+        Map("files" -> out))
+      val dim = Tables.load(spark, sf, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val q = fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("might_contain"),
+        "InjectRuntimeFilter did not fire on the iceberg attach relation")
+    }
+  }
+
   test("bloom gate is injection-only: disabled rule leaves the plan clean") {
     withConfs(Seq("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")) {
       val dim = Tables.load(spark, sf, "customer")

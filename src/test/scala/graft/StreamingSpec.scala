@@ -228,6 +228,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window boundary: an event exactly gap after the previous MERGES") {
+    // x25's oracle replays sessions with `break strictly > gap` and
+    // `end = last + gap`; this pins Spark's session_window to those exact
+    // semantics so an upstream boundary flip fails here, not as an oracle
+    // hash mismatch
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = Streams.sessionCounts(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts", "30 minutes", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessw_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:30:00")),   // exactly gap after → same session
+        (1L, ts("2024-01-01 11:00:00.001"))) // 1 ms past gap → new session
+      q.processAllAvailable()
+      in.addData((9L, ts("2024-01-02 10:00:00"))) // sentinel closes key 1
+      q.processAllAvailable()
+      in.addData((9L, ts("2024-01-02 10:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("sessw_out").filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString, r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 11:00:00.0", 2L),
+        ("2024-01-01 11:00:00.001", "2024-01-01 11:30:00.001", 1L)))
+    } finally q.stop()
+  }
+
+  test("transformWithState: per-key batch + cumulative counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Long]
+      val out = Streams.batchCumCounts(in.toDF().toDF("k"), "k")
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      try {
+        in.addData(1L, 1L, 2L); q.processAllAvailable()
+        in.addData(1L, 3L); q.processAllAvailable()
+        val got = spark.table("tws_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        assert(got.toSeq === Seq((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L), (3L, 1L, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("keyless replication rejects NULL-keyed change rows instead of collapsing them") {
     // a MERGE-maintained source emits insert cdc rows with _row_id=null
     // (ids are assigned to the data files at commit, the cdc row has no
