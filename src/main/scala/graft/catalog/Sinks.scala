@@ -17,7 +17,8 @@ object Sinks {
 
   val validOptions: Map[String, Set[String]] = Map(
     "parquet" -> Set("compression", "partition_by", "overwrite", "max_file_size_rows",
-      "bucket_by", "buckets", "sort_by", "table"),
+      "bucket_by", "buckets", "sort_by", "table",
+      "bloom_filter_columns", "bloom_filter_ndv"),
     "csv" -> Set("header", "delim", "quote", "escape", "nullstr", "compression",
       "partition_by", "overwrite", "dateformat", "timestampformat"),
     "json" -> Set("compression", "partition_by", "overwrite", "dateformat", "timestampformat"),
@@ -61,6 +62,29 @@ object Sinks {
       "dateformat" -> "dateFormat", "timestampformat" -> "timestampFormat")
     direct.foreach { case (from, to) => options.get(from).foreach(v => w = w.option(to, v)) }
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
+    // bloom_filter_columns: write parquet BLOOM FILTER indexes for the named
+    // columns — the point-lookup lever at 100 TB: row groups whose stats and
+    // dictionary cannot exclude a probed value (high-cardinality, unsorted
+    // keys) still skip on the bloom's definite-no, so a needle query reads
+    // metadata instead of data (skipping receipt pinned in SinksUdfSpec).
+    // bloom_filter_ndv sizes the filters (expected distinct values per
+    // column); unset leaves parquet-mr's default.
+    options.get("bloom_filter_columns").foreach { cols =>
+      if (format.toLowerCase != "parquet") throw Catalog.InvalidOptionException(
+        s"bloom_filter_columns is a parquet writer option, not `$format`")
+      val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
+      if (names.isEmpty) throw Catalog.InvalidOptionException(
+        "bloom_filter_columns: no column names given")
+      names.foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        options.get("bloom_filter_ndv").foreach(n =>
+          w = w.option(s"parquet.bloom.filter.expected.ndv#$c", n))
+      }
+    }
+    if (options.contains("bloom_filter_ndv") && !options.contains("bloom_filter_columns"))
+      throw Catalog.InvalidOptionException(
+        "bloom_filter_ndv requires `bloom_filter_columns`: without it the " +
+          "sizing would be silently ignored")
     val partitioned = options.get("partition_by").exists(_.trim.nonEmpty)
     options.get("partition_by").foreach { cols =>
       w = w.partitionBy(cols.split(",").map(_.trim).filter(_.nonEmpty): _*)

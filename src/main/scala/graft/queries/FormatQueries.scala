@@ -2820,6 +2820,43 @@ object FormatQueries {
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- w16
+  // PARQUET BLOOM-FILTER INDEXES at write time (COPY option
+  // bloom_filter_columns/_ndv → parquet.bloom.filter.* per column): the
+  // point-lookup lever for high-cardinality unsorted keys, where stats and
+  // dictionary can't exclude a row group but the bloom's definite-no can —
+  // a needle-in-100-TB query reads footers instead of data (skipping
+  // receipt with a stats-blind probe pinned in SinksUdfSpec). The query
+  // runs literal IN point-lookups (pushed as or(eq..) to parquet-mr, the
+  // shape bloom filtering serves) through a multi-file bloom-indexed copy;
+  // the oracle replays the lookups from raw — identical rows prove the
+  // indexed write changed layout, never content.
+  private val w16 = QueryDef(
+    "w16_parquet_bloom_index",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/copy_w16_bloom"
+      ensure(out) {
+        rmTree(out)
+        graft.catalog.Sinks.copyTo(
+          Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          out, "parquet",
+          Map("bloom_filter_columns" -> "o_orderkey,o_custkey",
+            "bloom_filter_ndv" -> "200000",
+            "max_file_size_rows" -> "4000"))
+      }
+      val keys = Seq(7L, 1031L, 4099L, 8191L, 15013L)
+      Catalog.attach(s, "w16_orders_bloom", "parquet", Map("files" -> out))
+        .filter(col("o_orderkey").isin(keys: _*))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey IN (7, 1031, 4099, 8191, 15013)"""))
+
   private val l23 = QueryDef(
     "l23_iceberg_changelog",
     (s, dir) => {
@@ -3039,5 +3076,5 @@ object FormatQueries {
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, w14, w15, f01, f02)
+      w08, w09, w10, w11, w12, w13, w14, w15, w16, f01, f02)
 }

@@ -203,4 +203,66 @@ class SinksUdfSpec extends SparkSpec {
     }
     assert(math.abs(g - expected) / expected < 1e-9)
   }
+
+  test("bloom_filter_columns: footer carries blooms, point lookups skip row groups") {
+    import spark.implicits._
+    val dir = tempDir("bloomidx").getAbsolutePath
+    // 300k distinct longs: the dictionary page overflows (~2.4 MB > 1 MB
+    // default), so parquet falls back to plain encoding and the READ-side
+    // dictionary filter cannot exclude anything — only the bloom can. The
+    // probe value is odd and inside every min/max range (values are even),
+    // so stats/column-index can't exclude it either.
+    // single output file: split across tasks each file's dictionary page
+    // would fit (<1 MB), stay fully dict-encoded, and the read-side
+    // DICTIONARY filter would skip the control too
+    val df = (0L until 300000L).map(i => (i * 2, i % 97)).toDF("v", "pad").coalesce(1)
+    Sinks.copyTo(df, s"$dir/bloomed", "parquet",
+      Map("bloom_filter_columns" -> "v", "bloom_filter_ndv" -> "300000"))
+    Sinks.copyTo(df, s"$dir/plain", "parquet")
+    // footer receipt: the bloomed column chunk records a bloom offset, the
+    // untouched column does not
+    val conf = spark.sessionState.newHadoopConf()
+    val file = new java.io.File(s"$dir/bloomed").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = r.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(cols("v") >= 0, s"no bloom offset on `v`: $cols")
+      assert(cols("pad") < 0, s"unexpected bloom on `pad`: $cols")
+    } finally r.close()
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("v") === 100001L)
+      // collect() executes THIS queryExecution — count() would plan and run
+      // a separate one, leaving these metrics at zero
+      assert(q.collect().isEmpty)
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+          }.head
+      }
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val bloomRows = scanRows(s"$dir/bloomed")
+    val plainRows = scanRows(s"$dir/plain")
+    assert(bloomRows === 0,
+      s"bloom-indexed scan surfaced $bloomRows rows — row groups not skipped")
+    assert(plainRows > 0,
+      "control scan also read 0 rows — the receipt isn't isolating the bloom")
+  }
+
+  test("bloom_filter_ndv without bloom_filter_columns rejects loudly") {
+    import spark.implicits._
+    val dir = tempDir("bloomrej").getAbsolutePath
+    val e = intercept[Exception] {
+      Sinks.copyTo(Seq((1L, 2L)).toDF("a", "b"), s"$dir/x", "parquet",
+        Map("bloom_filter_ndv" -> "100"))
+    }
+    assert(e.getMessage.contains("bloom_filter_columns"))
+  }
 }
