@@ -75,6 +75,14 @@ object Sinks {
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
       if (names.isEmpty) throw Catalog.InvalidOptionException(
         "bloom_filter_columns: no column names given")
+      // parquet-mr silently ignores bloom conf for columns that don't
+      // exist — a typo'd name would write an unindexed file that every
+      // point lookup then full-scans. Loud beats lossy.
+      val have = df.schema.fieldNames.toSet
+      names.find(!have.contains(_)).foreach(c =>
+        throw Catalog.InvalidOptionException(
+          s"bloom_filter_columns: `$c` is not a column of the written frame " +
+            s"(have: ${have.toSeq.sorted.mkString(", ")})"))
       names.foreach { c =>
         w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
         options.get("bloom_filter_ndv").foreach(n =>

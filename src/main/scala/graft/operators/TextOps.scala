@@ -336,4 +336,21 @@ object TextOps {
         size(col("__c")).cast("long").as("n_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
   }
+
+  /** DSIR hashed-n-gram bucket of a token (Xie et al.): md5's first 6 hex
+    * chars mod 64 — the shared convention the distribution estimate AND
+    * every scoring site must agree on (t18 batch, x27 streaming gate). */
+  def dsirBucket(tok: Column): Column =
+    pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("long"), lit(64))
+
+  /** Per-document DSIR importance weight against a 64-entry integer-
+    * quantized bucket-score literal array: an exact integer fold over the
+    * token stream — row-local, zero shuffle, order-independent (addition),
+    * so it replays exactly in SQL and composes unchanged into a streaming
+    * gate. */
+  def dsirWeight(text: Column, scores: Array[Long]): Column = {
+    val scoreArr = typedLit(scores)
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => acc + element_at(scoreArr, (dsirBucket(tok) + 1).cast("int")))
+  }
 }

@@ -1491,28 +1491,29 @@ object PipelineQueries {
   // codegen projection against a 64-entry literal array: at 100 TB the
   // cost is one distribution aggregation (64 groups, partial map-side)
   // plus one scan — no joins, no explode in the scoring path.
+  /** DSIR bucket-score derivation shared by t18 and the x27 streaming gate:
+    * ONE corpus pass estimates target (lang='en') and raw token
+    * distributions over 64 hashed buckets, integer-quantized add-one ratio
+    * per bucket — a 64-entry driver literal. */
+  def dsirScores(s: SparkSession, dir: String): Array[Long] = {
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(TextOps.dsirBucket(col("tok")).as("b"))
+      .agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      .collect().map(row => row.getLong(0).toInt -> (row.getLong(1), row.getLong(2))).toMap
+    Array.tabulate(64) { i =>
+      val (r, t) = counts.getOrElse(i, (0L, 0L))
+      (t + 1L) * 1000000L / (r + 1L)
+    }
+  }
+
   private val t18 = QueryDef(
     "t18_dsir_weights",
     (s, dir) => {
-      def bucket(tok: Column): Column =
-        pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("long"), lit(64))
       val d = docs(s, dir)
-      // one corpus pass: per-bucket raw count + target (lang='en') count
-      val counts = d
-        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(bucket(col("tok")).as("b"))
-        .agg(count(lit(1)).as("r"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
-        .collect().map(row => row.getLong(0).toInt -> (row.getLong(1), row.getLong(2))).toMap
-      val scores: Array[Long] = Array.tabulate(64) { i =>
-        val (r, t) = counts.getOrElse(i, (0L, 0L))
-        (t + 1L) * 1000000L / (r + 1L)
-      }
-      val scoreArr = typedLit(scores)
       d.select(col("doc_id"),
-        aggregate(TextOps.tokens(col("text")), lit(0L),
-          (acc, tok) => acc + element_at(scoreArr, (bucket(tok) + 1).cast("int")))
-          .as("weight"))
+        TextOps.dsirWeight(col("text"), dsirScores(s, dir)).as("weight"))
     },
     Some("""
       WITH tok AS (SELECT doc_id, lang,

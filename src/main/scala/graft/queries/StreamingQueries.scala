@@ -1601,7 +1601,58 @@ object StreamingQueries {
              CAST(sum(n_batch) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_cum
       FROM a"""))
 
+  // ---------------------------------------------------------------- x27
+  // STREAMING DSIR GATE: t18's integer-quantized target-likeness weights
+  // enforced at ingest — the bucket-score array derives once from the
+  // static corpus (one batch pass, 64-entry driver literal), then each
+  // arriving document scores row-locally and only weight >= 24M survives.
+  // Stateless (no watermark, no state store, no join), two-batch replay
+  // pins batch-boundary invariance; the oracle replays the full derivation
+  // (distribution estimate, quantized ratios, fold, threshold) in SQL.
+  private val x27 = QueryDef(
+    "x27_stream_dsir_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val scores = PipelineQueries.dsirScores(s, dir)
+      val in = MemoryStream[(Long, String)](1)
+      val out = Streams.dsirGate(
+        in.toDF().toDF("doc_id", "text"), "text", scores, minWeight = 24000000L)
+        .select(col("doc_id"), col("weight"))
+      withReplayConf(s, 1) { ck =>
+        val q = out.writeStream.format("memory").queryName("x27_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val rows = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          val (a, b) = rows.splitAt(rows.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x27_out")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, lang,
+                          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents),
+      tb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS b
+             FROM tok),
+      dist AS (SELECT ('0x' || substr(md5(tok), 1, 6))::BIGINT % 64 AS bk,
+                      count(*) AS r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+               FROM tok GROUP BY 1),
+      sc AS (SELECT g.range AS bk,
+                    (coalesce(d.t, 0) + 1) * 1000000 // (coalesce(d.r, 0) + 1) AS s
+             FROM range(0, 64) g LEFT JOIN dist d ON d.bk = g.range),
+      w AS (SELECT tb.doc_id, CAST(sum(sc.s) AS BIGINT) AS weight
+            FROM tb JOIN sc ON sc.bk = tb.b GROUP BY tb.doc_id)
+      SELECT doc_id, weight FROM w WHERE weight >= 24000000"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26)
+    x26, x27)
 }

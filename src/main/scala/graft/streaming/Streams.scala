@@ -66,6 +66,21 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming DSIR IMPORTANCE GATE — t18's hashed-n-gram target-likeness
+    * scoring enforced at ingest time: each arriving document folds its
+    * tokens against the 64-entry bucket-score literal (derived ONCE from
+    * the static corpus, a driver literal — no broadcast, no join, no
+    * state) and only documents at or above `minWeight` flow on. Stateless,
+    * so ingest-time selection and the 100 TB backfill are one code path,
+    * like the rag-ingest and scrub gates. */
+  def dsirGate(df: DataFrame, textCol: String, scores: Array[Long],
+      minWeight: Long): DataFrame = {
+    require(scores.length == 64, s"dsir scores must have 64 buckets, got ${scores.length}")
+    df.withColumn("weight",
+        graft.operators.TextOps.dsirWeight(col(textCol), scores))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** Spark 4 ARBITRARY STATE v2 — `transformWithState` over the RocksDB
     * state store (the successor to mapGroupsWithState: typed state
     * primitives, per-state TTL, timers). Per-key batch + cumulative

@@ -256,6 +256,16 @@ class SinksUdfSpec extends SparkSpec {
       "control scan also read 0 rows — the receipt isn't isolating the bloom")
   }
 
+  test("bloom_filter_columns with a typo'd column rejects loudly") {
+    import spark.implicits._
+    val dir = tempDir("bloomtypo").getAbsolutePath
+    val e = intercept[Exception] {
+      Sinks.copyTo(Seq((1L, 2L)).toDF("a", "b"), s"$dir/x", "parquet",
+        Map("bloom_filter_columns" -> "a,oops"))
+    }
+    assert(e.getMessage.contains("oops") && e.getMessage.contains("not a column"))
+  }
+
   test("bloom_filter_ndv without bloom_filter_columns rejects loudly") {
     import spark.implicits._
     val dir = tempDir("bloomrej").getAbsolutePath
