@@ -134,8 +134,13 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         children.head, children(1)))
 
+  val wkbMeasures: FunctionDescription = (
+    FunctionIdentifier("wkb_measures"),
+    new ExpressionInfo(classOf[WkbMeasures].getName, "wkb_measures"),
+    (children: Seq[Expression]) => WkbMeasures(children.head))
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
       vecCosine, vecDecimalMean, icebergBucket, pgJsonGet, wkbEnvIntersects,
-      wkbIntersectsWkt, bloomMightContain)
+      wkbIntersectsWkt, bloomMightContain, wkbMeasures)
 }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+
+/** `wkb_measures(geom)` → `[area, perimeter, centroid_x, centroid_y]` as a
+  * NATIVE codegen expression over OGC WKB — the geometry-measure surface a
+  * GDAL/GEOS deployment gets from ST_Area/ST_Perimeter/ST_Centroid,
+  * computed row-locally in one WKB walk (one parse serves all four values;
+  * four separate expressions would re-walk the buffer per column).
+  * Supported kinds: Point (area 0, perimeter 0, centroid = the point),
+  * Polygon and MultiPolygon (shoelace area with holes subtracted,
+  * perimeter over ALL rings — the GEOS ST_Perimeter convention — and the
+  * area-weighted centroid). LineString and other kinds reject LOUDLY:
+  * length-of-line vs perimeter-of-area are different measures and a silent
+  * zero would be lossy (house rule).
+  *
+  * Reference behavior context: pg_analytics' spatial surface is st_read
+  * scans delivering WKB only (/root/reference/src/duckdb/spatial.rs:29-82,
+  * tests/tests/spatial.rs:38-77); measures are beyond-reference, matching
+  * what its users reach for next in duckdb-spatial. */
+case class WkbMeasures(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wkb_measures expects BINARY WKB, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "wkb_measures"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeoMeasure.measures(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoMeasure.measures($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WkbMeasures =
+    copy(child = newChild)
+}
+
+object GeoMeasure {
+
+  /** One WKB walk → [area, perimeter, cx, cy]. All shoelace arithmetic is
+    * sequential-fold doubles, so integer/half-integer fixtures replay
+    * bit-identically in any engine. */
+  def measures(wkb: Array[Byte]): ArrayData = {
+    val buf = java.nio.ByteBuffer.wrap(wkb)
+    // accumulated over every polygon: twice-signed-area (holes negative),
+    // centroid numerators (sign-normalized alongside), perimeter
+    var a2Sum = 0.0
+    var nxSum = 0.0
+    var nySum = 0.0
+    var perim = 0.0
+    var pointX = Double.NaN
+    var pointY = Double.NaN
+    var nPoints = 0
+    var nPolys = 0
+
+    def ring(buf: java.nio.ByteBuffer, hole: Boolean): Unit = {
+      val n = buf.getInt()
+      if (n < 4) throw new IllegalArgumentException(
+        s"wkb_measures: polygon ring has $n point(s); a closed ring needs >= 4")
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      var i = 0
+      while (i < n) { xs(i) = buf.getDouble(); ys(i) = buf.getDouble(); i += 1 }
+      var a2 = 0.0; var nx = 0.0; var ny = 0.0; var len = 0.0
+      i = 0
+      while (i < n - 1) { // WKB rings repeat the first point last
+        val cross = xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+        a2 += cross
+        nx += (xs(i) + xs(i + 1)) * cross
+        ny += (ys(i) + ys(i + 1)) * cross
+        val dx = xs(i + 1) - xs(i); val dy = ys(i + 1) - ys(i)
+        len += math.sqrt(dx * dx + dy * dy)
+        i += 1
+      }
+      val orient = if (a2 < 0) -1.0 else 1.0 // normalize ring to CCW
+      val sign = if (hole) -1.0 else 1.0
+      a2Sum += sign * orient * a2
+      nxSum += sign * orient * nx
+      nySum += sign * orient * ny
+      perim += len
+    }
+
+    def polygon(buf: java.nio.ByteBuffer): Unit = {
+      val nRings = buf.getInt()
+      if (nRings < 1) throw new IllegalArgumentException(
+        "wkb_measures: polygon with zero rings")
+      var r = 0
+      while (r < nRings) { ring(buf, hole = r > 0); r += 1 }
+      nPolys += 1
+    }
+
+    def geom(buf: java.nio.ByteBuffer): Unit = {
+      val order = buf.get()
+      buf.order(if (order == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      buf.getInt() match {
+        case 1 =>
+          pointX = buf.getDouble(); pointY = buf.getDouble(); nPoints += 1
+        case 3 => polygon(buf)
+        case 6 =>
+          val n = buf.getInt()
+          var i = 0
+          while (i < n) { geom(buf); i += 1 }
+        case other => throw new IllegalArgumentException(
+          s"wkb_measures supports Point/Polygon/MultiPolygon, got WKB type " +
+            s"$other — length/centroid of lines are different measures; " +
+            "compute them explicitly instead of reading a silent zero")
+      }
+    }
+
+    geom(buf)
+    if (nPoints > 0 && nPolys > 0) throw new IllegalArgumentException(
+      "wkb_measures: mixed point/polygon collection has no single measure set")
+    val out: Array[Double] =
+      if (nPoints == 1 && nPolys == 0) Array(0.0, 0.0, pointX, pointY)
+      else if (nPoints > 1) throw new IllegalArgumentException(
+        "wkb_measures: MultiPoint centroid is ambiguous here; aggregate the points explicitly")
+      else {
+        val area = a2Sum / 2.0
+        if (area <= 0) throw new IllegalArgumentException(
+          s"wkb_measures: non-positive net area $area (holes exceed exterior?)")
+        Array(area, perim, nxSum / (3.0 * a2Sum), nySum / (3.0 * a2Sum))
+      }
+    new GenericArrayData(out)
+  }
+}

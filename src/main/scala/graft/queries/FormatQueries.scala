@@ -252,6 +252,77 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → measure-bearing polygons: rectangle w×h at (k, 2k) with
+    * w=(k%3)*2+2, h=(k%2)*2+4; every 5th carries a concentric 1×2 hole;
+    * ODD k rings wind clockwise (the measure expression must normalize
+    * orientation). All coordinates are integers or halves, so shoelace
+    * area/centroid replay bit-exactly in any engine. */
+  private def nationGeoMeasure(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_geo_measure"
+    val f = new java.io.File(s"$out/nation_measure.geojson")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).collect()
+      val feats = rows.map(_.getLong(0)).sorted.map { k =>
+        val x0 = k.toDouble; val y0 = 2.0 * k
+        val w = (k % 3) * 2 + 2; val h = (k % 2) * 2 + 4
+        val (x1, y1) = (x0 + w, y0 + h)
+        val ccw = Seq(s"[$x0,$y0]", s"[$x1,$y0]", s"[$x1,$y1]", s"[$x0,$y1]", s"[$x0,$y0]")
+        val ext = (if (k % 2 == 1) ccw.reverse else ccw).mkString(",")
+        val rings = if (k % 5 == 0) {
+          val (cx, cy) = (x0 + w / 2.0, y0 + h / 2.0)
+          val hole = Seq(s"[${cx - 0.5},${cy - 1}]", s"[${cx + 0.5},${cy - 1}]",
+            s"[${cx + 0.5},${cy + 1}]", s"[${cx - 0.5},${cy + 1}]",
+            s"[${cx - 0.5},${cy - 1}]").mkString(",")
+          s"[[$ext],[$hole]]"
+        } else s"[[$ext]]"
+        s"""{"type":"Feature","properties":{"nationkey":$k},""" +
+          s""""geometry":{"type":"Polygon","coordinates":$rings}}"""
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
+      finally w.close()
+    }
+    f.getPath
+  }
+
+  // ---------------------------------------------------------------- g12
+  // GEOMETRY MEASURES over WKB (beyond-reference: pg_analytics' spatial
+  // surface is st_read WKB scans only; ST_Area/ST_Perimeter/ST_Centroid is
+  // what its users reach duckdb-spatial for next): one native codegen walk
+  // per row computes all four values — shoelace area with holes
+  // subtracted, perimeter over all rings, area-weighted centroid — and the
+  // oracle knows NO geometry code: it recomputes every measure closed-form
+  // from the fixture's construction arithmetic, so a ring mis-walk, a
+  // hole added instead of subtracted, or an orientation flip fails rows
+  // AND hash.
+  private val g12 = QueryDef(
+    "g12_spatial_measures",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val path = nationGeoMeasure(s, dir)
+      val m = call_function("wkb_measures", col("geom"))
+      Catalog.attach(s, "g12_nation_measure", "spatial", Map("files" -> path))
+        .select(col("nationkey"),
+          element_at(m, 1).as("area"),
+          element_at(m, 2).as("perimeter"),
+          element_at(m, 3).as("cx"),
+          element_at(m, 4).as("cy"))
+    },
+    Some("""
+      WITH p AS (SELECT range AS k,
+                        (range % 3) * 2 + 2 AS w, (range % 2) * 2 + 4 AS h,
+                        CAST(range AS DOUBLE) AS x0, CAST(2 * range AS DOUBLE) AS y0,
+                        (range % 5 = 0) AS holed
+                 FROM range(0, 25))
+      SELECT CAST(k AS BIGINT) AS nationkey,
+             CAST(w * h - CASE WHEN holed THEN 2 ELSE 0 END AS DOUBLE) AS area,
+             CAST(2 * (w + h) + CASE WHEN holed THEN 6 ELSE 0 END AS DOUBLE) AS perimeter,
+             x0 + w / 2.0 AS cx, y0 + h / 2.0 AS cy
+      FROM p"""))
+
   /** nation → an ESRI SHAPEFILE layer (.shp points + .dbf attributes),
     * bytes written per the public format spec — same planted Point(k/2, k)
     * geometries as nationGeo, so the oracle reuses g01's independent WKB
@@ -3074,7 +3145,7 @@ object FormatQueries {
       FROM feed GROUP BY change, cver"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, w16, f01, f02)
 }

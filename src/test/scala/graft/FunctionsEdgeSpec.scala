@@ -68,4 +68,41 @@ class FunctionsEdgeSpec extends SparkSpec {
     assert(r(0) === 2.0)
     assert(r(1) === 8.0) // count 1, not divided by the group size
   }
+
+  private def gj(json: String): Array[Byte] =
+    graft.sources.GeoJson.geoJsonToWkb(json)
+  private def meas(json: String): Seq[Double] =
+    graft.functions.GeoMeasure.measures(gj(json)).toDoubleArray().toSeq
+
+  test("wkb_measures: orientation-normalized shoelace, holes subtract, multi sums") {
+    // CCW unit square at origin
+    val ccw = """{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,2],[0,0]]]}"""
+    assert(meas(ccw) === Seq(4.0, 8.0, 1.0, 1.0))
+    // same square wound CW: identical measures (orientation normalized)
+    val cw = """{"type":"Polygon","coordinates":[[[0,0],[0,2],[2,2],[2,0],[0,0]]]}"""
+    assert(meas(cw) === Seq(4.0, 8.0, 1.0, 1.0))
+    // concentric 1x1 hole: area subtracts, perimeter includes the hole
+    // ring (GEOS ST_Perimeter convention), centroid stays at the center
+    val holed = """{"type":"Polygon","coordinates":[
+      [[0,0],[4,0],[4,4],[0,4],[0,0]],
+      [[1.5,1.5],[2.5,1.5],[2.5,2.5],[1.5,2.5],[1.5,1.5]]]}"""
+    assert(meas(holed) === Seq(15.0, 20.0, 2.0, 2.0))
+    // two disjoint unit squares: areas sum, centroid is the area-weighted
+    // midpoint
+    val multi = """{"type":"MultiPolygon","coordinates":[
+      [[[0,0],[1,0],[1,1],[0,1],[0,0]]],
+      [[[4,0],[5,0],[5,1],[4,1],[4,0]]]]}"""
+    assert(meas(multi) === Seq(2.0, 8.0, 2.5, 0.5))
+    // point: zero measures, centroid is the point
+    assert(meas("""{"type":"Point","coordinates":[3.5,-2]}""") === Seq(0.0, 0.0, 3.5, -2.0))
+  }
+
+  test("wkb_measures: lines and degenerate polygons reject loudly") {
+    val line = """{"type":"LineString","coordinates":[[0,0],[1,1]]}"""
+    val e1 = intercept[IllegalArgumentException](meas(line))
+    assert(e1.getMessage.contains("Point/Polygon/MultiPolygon"))
+    val flat = """{"type":"Polygon","coordinates":[[[0,0],[1,0],[2,0],[0,0]]]}"""
+    val e2 = intercept[IllegalArgumentException](meas(flat))
+    assert(e2.getMessage.contains("non-positive net area"))
+  }
 }
