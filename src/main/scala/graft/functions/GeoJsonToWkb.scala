@@ -139,8 +139,13 @@ object GraftFunctions {
     new ExpressionInfo(classOf[WkbMeasures].getName, "wkb_measures"),
     (children: Seq[Expression]) => WkbMeasures(children.head))
 
+  val wkbContainsPoint: FunctionDescription = (
+    FunctionIdentifier("wkb_contains_point"),
+    new ExpressionInfo(classOf[WkbContainsPoint].getName, "wkb_contains_point"),
+    (children: Seq[Expression]) => WkbContainsPoint(children.head, children(1)))
+
   val all: Seq[FunctionDescription] =
     Seq(geojsonToWkb, vecDot, vecSignDot, minhashSig, simhash16, winnowMinima,
       vecCosine, vecDecimalMean, icebergBucket, pgJsonGet, wkbEnvIntersects,
-      wkbIntersectsWkt, bloomMightContain, wkbMeasures)
+      wkbIntersectsWkt, bloomMightContain, wkbMeasures, wkbContainsPoint)
 }

@@ -288,6 +288,71 @@ object FormatQueries {
     f.getPath
   }
 
+  /** nation → probe points (k/2 + 0.25, k + 0.25): the +0.25 offset keeps
+    * every point strictly OFF every fixture edge (rect edges are integers,
+    * hole edges half-integers), so the join's boundary semantics never
+    * decide a row and strict-inequality oracle replay is exact. */
+  private def nationGeoProbe(s: SparkSession, dir: String): String = {
+    val out = s"${exportRoot(dir)}/nation_geo_probe"
+    val f = new java.io.File(s"$out/nation_probe.geojson")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long")).collect()
+      val feats = rows.map(_.getLong(0)).sorted.map { k =>
+        s"""{"type":"Feature","properties":{"pointkey":$k},""" +
+          s""""geometry":{"type":"Point","coordinates":[${k / 2.0 + 0.25},${k + 0.25}]}}"""
+      }
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(s"""{"type":"FeatureCollection","features":[${feats.mkString(",")}]}""")
+      finally w.close()
+    }
+    f.getPath
+  }
+
+  // ---------------------------------------------------------------- g13
+  // SPATIAL ENRICHMENT JOIN — geometry-vs-geometry point-in-polygon as the
+  // join predicate (`wkb_contains_point`, native codegen): every probe
+  // point pairs with every polygon containing it, holes excluding. The
+  // plan is the honest baseline for a broadcast-able polygon side: a
+  // BroadcastNestedLoopJoin whose predicate is one codegen ring walk per
+  // (point, polygon) — at 100 TB of points and a dim-sized polygon layer
+  // that is the right shape (points never shuffle); a billion-polygon
+  // layer needs a grid-partitioned join instead (SCALE.md). The oracle
+  // knows no geometry code: containment replays as strict interval
+  // arithmetic from the fixtures' construction.
+  private val g13 = QueryDef(
+    "g13_spatial_join",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val polys = Catalog.attach(s, "g13_nation_measure", "spatial",
+        Map("files" -> nationGeoMeasure(s, dir)))
+        .select(col("nationkey").as("polykey"), col("geom").as("poly_geom"))
+      val pts = Catalog.attach(s, "g13_nation_probe", "spatial",
+        Map("files" -> nationGeoProbe(s, dir)))
+        .select(col("pointkey"), col("geom").as("pt_geom"))
+      pts.join(broadcast(polys),
+          call_function("wkb_contains_point", col("poly_geom"), col("pt_geom")))
+        .select(col("pointkey"), col("polykey"))
+    },
+    Some("""
+      WITH poly AS (SELECT range AS p,
+                           (range % 3) * 2 + 2 AS w, (range % 2) * 2 + 4 AS h,
+                           CAST(range AS DOUBLE) AS x0, CAST(2 * range AS DOUBLE) AS y0,
+                           (range % 5 = 0) AS holed
+                    FROM range(0, 25)),
+      pt AS (SELECT range AS k, range / 2.0 + 0.25 AS px,
+                    range + 0.25 AS py
+             FROM range(0, 25))
+      SELECT CAST(pt.k AS BIGINT) AS pointkey, CAST(poly.p AS BIGINT) AS polykey
+      FROM pt JOIN poly
+        ON pt.px > poly.x0 AND pt.px < poly.x0 + poly.w
+       AND pt.py > poly.y0 AND pt.py < poly.y0 + poly.h
+       AND NOT (poly.holed
+                AND abs(pt.px - (poly.x0 + poly.w / 2.0)) < 0.5
+                AND abs(pt.py - (poly.y0 + poly.h / 2.0)) < 1.0)"""))
+
   // ---------------------------------------------------------------- g12
   // GEOMETRY MEASURES over WKB (beyond-reference: pg_analytics' spatial
   // surface is st_read WKB scans only; ST_Area/ST_Perimeter/ST_Centroid is
@@ -3145,7 +3210,7 @@ object FormatQueries {
       FROM feed GROUP BY change, cver"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, w16, f01, f02)
 }

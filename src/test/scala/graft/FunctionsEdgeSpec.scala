@@ -97,6 +97,37 @@ class FunctionsEdgeSpec extends SparkSpec {
     assert(meas("""{"type":"Point","coordinates":[3.5,-2]}""") === Seq(0.0, 0.0, 3.5, -2.0))
   }
 
+  test("wkb_contains_point: holes exclude, multi covers, wrong kinds reject") {
+    def cp(poly: String, pt: String): Boolean =
+      graft.functions.GeoMeasure.containsPoint(gj(poly), gj(pt))
+    val holed = """{"type":"Polygon","coordinates":[
+      [[0,0],[4,0],[4,4],[0,4],[0,0]],
+      [[1.5,1.5],[2.5,1.5],[2.5,2.5],[1.5,2.5],[1.5,1.5]]]}"""
+    assert(cp(holed, """{"type":"Point","coordinates":[1,1]}"""))
+    assert(!cp(holed, """{"type":"Point","coordinates":[2,2]}""")) // inside the hole
+    assert(!cp(holed, """{"type":"Point","coordinates":[5,1]}"""))
+    val multi = """{"type":"MultiPolygon","coordinates":[
+      [[[0,0],[1,0],[1,1],[0,1],[0,0]]],
+      [[[4,0],[5,0],[5,1],[4,1],[4,0]]]]}"""
+    assert(cp(multi, """{"type":"Point","coordinates":[4.5,0.5]}"""))
+    assert(!cp(multi, """{"type":"Point","coordinates":[2.5,0.5]}"""))
+    val line = """{"type":"LineString","coordinates":[[0,0],[1,1]]}"""
+    val e1 = intercept[IllegalArgumentException](
+      cp(line, """{"type":"Point","coordinates":[0,0]}"""))
+    assert(e1.getMessage.contains("Polygon/MultiPolygon"))
+    val e2 = intercept[IllegalArgumentException](cp(holed, holed))
+    assert(e2.getMessage.contains("must be a Point"))
+  }
+
+  test("g13 spatial join broadcasts the polygon side (points never shuffle)") {
+    val q = SparkEntry.queries("g13_spatial_join")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast spatial join:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning"),
+      "the point side got shuffled — spatial enrichment must broadcast the dim")
+  }
+
   test("wkb_measures: lines and degenerate polygons reject loudly") {
     val line = """{"type":"LineString","coordinates":[[0,0],[1,1]]}"""
     val e1 = intercept[IllegalArgumentException](meas(line))
