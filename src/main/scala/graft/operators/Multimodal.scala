@@ -138,6 +138,56 @@ object Multimodal {
       .toDF(idCol, "width", "height", "channels", "pix_sum", "decode_ok")
   }
 
+  /** IMAGE PATCH GRID — the ViT preprocessing shape: decode, then split the
+    * raster into `patch`×`patch` cells (right/bottom edge cells partial)
+    * and emit per-cell integer stats (pixel count, exact sample sum over
+    * all bands) — one row in, (⌈w/p⌉·⌈h/p⌉) rows out, the flatMap sibling
+    * of m07's audio frames. Partition-local, zero shuffle, linear in
+    * pixels; integer arithmetic keeps every cell oracle-replayable.
+    * Undecodable payloads degrade to ONE decode_ok=false row. */
+  def imagePatches(df: DataFrame, payloadCol: String, idCol: String,
+      patch: Int = 8): DataFrame = {
+    require(patch >= 1, s"patch must be >= 1, got $patch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          decode(bytes) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val cols = (w + patch - 1) / patch
+              val prows = (h + patch - 1) / patch
+              for (pr <- (0 until prows).iterator; pc <- 0 until cols) yield {
+                val x1 = math.min((pc + 1) * patch, w)
+                val y1 = math.min((pr + 1) * patch, h)
+                var sum = 0L
+                var y = pr * patch
+                while (y < y1) {
+                  var x = pc * patch
+                  while (x < x1) {
+                    var b = 0
+                    while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                    x += 1
+                  }
+                  y += 1
+                }
+                val nPix = (x1 - pc * patch).toLong * (y1 - pr * patch)
+                (id, Option(pr.toLong), Option(pc.toLong), Option(nPix),
+                  Option(sum), true)
+              }
+            case None => Iterator.single((id, None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long], false))
+          }
+        }
+      }
+      .toDF(idCol, "patch_row", "patch_col", "n_pixels", "pix_sum", "decode_ok")
+  }
+
   /** Bilinear half-scale on a component raster: at an exact 2× downscale
     * with pixel-center alignment, bilinear interpolation IS the 2×2 box
     * average (floor on integer samples). Odd trailing row/column is

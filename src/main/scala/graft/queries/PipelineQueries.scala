@@ -529,6 +529,35 @@ object PipelineQueries {
   private def fixtureSampleSql(xExpr: String, yExpr: String) =
     s"(doc_id*31 + 7*($xExpr) + 13*($yExpr)) % 256"
 
+  // ---------------------------------------------------------------- m08
+  // IMAGE PATCH GRID over the real PNG fixtures — the ViT preprocessing
+  // shape: decode, split into 8×8 cells (edge cells partial), per-cell
+  // pixel count + exact sample sum. The oracle knows no decoder: it
+  // regenerates the fixture's pixel arithmetic and groups by integer-
+  // division cell coordinates, so a patch-boundary off-by-one, a dropped
+  // edge cell, or a raster mis-read fails rows AND hash. Corrupt payloads
+  // (every 5th doc) degrade to one decode_ok=false row.
+  private val m08 = QueryDef(
+    "m08_image_patches",
+    (s, dir) => Multimodal.imagePatches(imageFixture(s, dir), "payload",
+      "doc_id", patch = 8),
+    Some(s"""
+      WITH ok AS (SELECT doc_id, $fixtureDimsSql
+                  FROM documents WHERE doc_id % 5 <> 4),
+      xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM ok),
+      px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+      cell AS (SELECT doc_id, y // 8 AS pr, x // 8 AS pc,
+                      ${fixtureSampleSql("x", "y")} AS v
+               FROM px)
+      SELECT doc_id, CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
+             CAST(count(*) AS BIGINT) AS n_pixels, CAST(sum(v) AS BIGINT) AS pix_sum,
+             true AS decode_ok
+      FROM cell GROUP BY doc_id, pr, pc
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false AS decode_ok
+      FROM documents WHERE doc_id % 5 = 4"""))
+
   // ---------------------------------------------------------------- m03
   // REAL image resize: decode the fixture PNG with ImageIO, bilinear
   // half-scale (exact 2× bilinear = 2×2 box average, floor), re-encode PNG,
@@ -1533,5 +1562,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
 }
