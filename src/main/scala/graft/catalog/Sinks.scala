@@ -69,9 +69,9 @@ object Sinks {
     // metadata instead of data (skipping receipt pinned in SinksUdfSpec).
     // bloom_filter_ndv sizes the filters (expected distinct values per
     // column); unset leaves parquet-mr's default.
+    // (format dispatch above + validOptions guarantee parquet here:
+    // bloom_filter_columns is only in parquet's valid set)
     options.get("bloom_filter_columns").foreach { cols =>
-      if (format.toLowerCase != "parquet") throw Catalog.InvalidOptionException(
-        s"bloom_filter_columns is a parquet writer option, not `$format`")
       val names = cols.split(",").map(_.trim).filter(_.nonEmpty)
       if (names.isEmpty) throw Catalog.InvalidOptionException(
         "bloom_filter_columns: no column names given")

@@ -149,6 +149,9 @@ object GeoMeasure {
       var r = 0
       while (r < nRings) {
         val n = buf.getInt()
+        if (n < 4) throw new IllegalArgumentException(
+          s"wkb_contains_point: polygon ring has $n point(s); a closed " +
+            "ring needs >= 4")
         // drop the closing repeat: pointInRings closes rings itself
         val flat = new Array[Double](2 * (n - 1))
         var i = 0

@@ -527,18 +527,28 @@ object Dedup {
     * are killed by the exact verify, false negatives are impossible, so the
     * output is EXACTLY "batch rows whose md5(norm) is absent from history"
     * at any fpp — which is what lets DuckDB oracle it with a plain NOT IN.
+    * `expectedItems` sizes the sketch and is CALLER-SUPPLIED (at scale the
+    * history cardinality estimate is free from table stats/metadata; a
+    * sizing count() here would be a third full history scan). An
+    * underestimate only degrades fpp — more rows take the exact-verify
+    * path — never correctness. NULL text rejects loudly: a NULL document
+    * has no dedup identity, and silently keeping it would diverge from the
+    * NOT-IN contract (NULL never matches an anti-join key).
     * Intra-batch duplicates are out of scope (exactMark owns those).
     * Output: (idCol, h). */
   def incrementalGate(newDf: DataFrame, history: DataFrame, textCol: String,
-      idCol: String, fpp: Double = 0.01): DataFrame = {
-    def norm(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+      idCol: String, fpp: Double = 0.01,
+      expectedItems: Long = 1L << 22): DataFrame = {
+    def norm(c: Column): Column = when(c.isNull,
+        raise_error(lit("incrementalGate: NULL text has no dedup identity — " +
+          "filter or fill NULL documents before the gate")).cast("string"))
+      .otherwise(regexp_replace(lower(c), "\\s+", " "))
     val histKeys = history.select(md5(norm(col(textCol))).as("h"),
       xxhash64(norm(col(textCol))).as("hx"))
-    // sizing count: a cheap O(1)-output aggregate (the bloom build scans
-    // history anyway); sketch putLong/mightContainLong pair with xxhash64
-    // exactly as Spark's own injected runtime filters do
-    val nHist = math.max(history.count(), 1L)
-    val bloom = histKeys.select(col("hx")).stat.bloomFilter("hx", nHist, fpp)
+    // sketch putLong/mightContainLong pair with xxhash64 exactly as
+    // Spark's own injected runtime filters do
+    val bloom = histKeys.select(col("hx")).stat
+      .bloomFilter("hx", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val tagged = newDf.select(col(idCol), md5(norm(col(textCol))).as("h"),

@@ -375,6 +375,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "history side got shuffle-joined")
   }
 
+  test("incrementalGate: NULL text rejects loudly (no silent NOT-IN divergence)") {
+    import spark.implicits._
+    val dir = tempDir("incnull").getAbsolutePath
+    Seq((1L, "doc one"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/b")
+    Seq((10L, "doc one")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/h")
+    val e = intercept[Exception] {
+      Dedup.incrementalGate(spark.read.parquet(s"$dir/b"),
+        spark.read.parquet(s"$dir/h"), "text", "doc_id").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("NULL text")), s"got: ${chain(e)}")
+  }
+
   test("clusterAssign: unpaired docs are singleton keepers") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
