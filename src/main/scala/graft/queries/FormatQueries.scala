@@ -311,6 +311,14 @@ object FormatQueries {
     f.getPath
   }
 
+  /** Attached fence/probe layers, shared with the x28 streaming gate. */
+  def measurePolygons(s: SparkSession, dir: String): DataFrame =
+    Catalog.attach(s, "x28_nation_measure", "spatial",
+      Map("files" -> nationGeoMeasure(s, dir)))
+  def probePoints(s: SparkSession, dir: String): DataFrame =
+    Catalog.attach(s, "x28_nation_probe", "spatial",
+      Map("files" -> nationGeoProbe(s, dir)))
+
   // ---------------------------------------------------------------- g13
   // SPATIAL ENRICHMENT JOIN — geometry-vs-geometry point-in-polygon as the
   // join predicate (`wkb_contains_point`, native codegen): every probe

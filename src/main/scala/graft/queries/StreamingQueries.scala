@@ -1652,7 +1652,58 @@ object StreamingQueries {
             FROM tb JOIN sc ON sc.bk = tb.b GROUP BY tb.doc_id)
       SELECT doc_id, weight FROM w WHERE weight >= 24000000"""))
 
+  // ---------------------------------------------------------------- x28
+  // STREAMING GEOFENCE GATE: g13's native point-in-polygon predicate as a
+  // stream-static semi-join — arriving points pass only if some fence of
+  // the broadcast polygon layer contains them (holes excluding). Stateless
+  // (bounded static side, no watermark/state), two-batch replay pins
+  // batch-boundary invariance; the oracle replays containment as the same
+  // strict interval arithmetic as g13, reduced to the distinct contained
+  // points.
+  private val x28 = QueryDef(
+    "x28_stream_geofence_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val fences = FormatQueries.measurePolygons(s, dir)
+        .select(col("nationkey").as("polykey"), col("geom").as("fence_geom"))
+      val pts = FormatQueries.probePoints(s, dir)
+        .select(col("pointkey"), col("geom")).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      val in = MemoryStream[(Long, Array[Byte])](1)
+      val out = Streams.geofenceGate(
+        in.toDF().toDF("pointkey", "pt_geom"), fences, "pt_geom", "fence_geom")
+        .select(col("pointkey"))
+      withReplayConf(s, 1) { ck =>
+        val q = out.writeStream.format("memory").queryName("x28_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val (a, b) = pts.splitAt(pts.length / 2)
+          in.addData(a.toSeq); q.processAllAvailable()
+          in.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x28_out")
+    },
+    Some("""
+      WITH poly AS (SELECT range AS p,
+                           (range % 3) * 2 + 2 AS w, (range % 2) * 2 + 4 AS h,
+                           CAST(range AS DOUBLE) AS x0, CAST(2 * range AS DOUBLE) AS y0,
+                           (range % 5 = 0) AS holed
+                    FROM range(0, 25)),
+      pt AS (SELECT range AS k, range / 2.0 + 0.25 AS px, range + 0.25 AS py
+             FROM range(0, 25))
+      SELECT DISTINCT CAST(pt.k AS BIGINT) AS pointkey
+      FROM pt JOIN poly
+        ON pt.px > poly.x0 AND pt.px < poly.x0 + poly.w
+       AND pt.py > poly.y0 AND pt.py < poly.y0 + poly.h
+       AND NOT (poly.holed
+                AND abs(pt.px - (poly.x0 + poly.w / 2.0)) < 0.5
+                AND abs(pt.py - (poly.y0 + poly.h / 2.0)) < 1.0)"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27)
+    x26, x27, x28)
 }

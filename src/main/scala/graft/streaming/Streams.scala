@@ -81,6 +81,19 @@ object Streams {
       .filter(col("weight") >= minWeight)
   }
 
+  /** Streaming GEOFENCE GATE — spatial containment enforced at ingest: a
+    * point stream semi-joins a STATIC polygon layer on the native
+    * `wkb_contains_point` predicate, so only events inside some fence flow
+    * on. Stream-static with the polygon side broadcast (stateless — no
+    * watermark, no join state; the static side is a bounded relation), the
+    * same plan g13 pins for batch: points never shuffle, each row pays one
+    * codegen ring walk per candidate fence. */
+  def geofenceGate(points: DataFrame, fences: DataFrame,
+      pointGeom: String, fenceGeom: String): DataFrame =
+    points.join(broadcast(fences),
+      call_function("wkb_contains_point", fences(fenceGeom), points(pointGeom)),
+      "left_semi")
+
   /** Spark 4 ARBITRARY STATE v2 — `transformWithState` over the RocksDB
     * state store (the successor to mapGroupsWithState: typed state
     * primitives, per-state TTL, timers). Per-key batch + cumulative
