@@ -563,4 +563,45 @@ object Dedup {
       .select(col(idCol), col("h"))
     clean.unionByName(verified)
   }
+
+  /** FUZZY incremental dedup gate — the NEAR-DUP sibling of
+    * [[incrementalGate]]: mark new-batch rows that MinHash-band-collide
+    * with the historical corpus, without ever joining it. History is
+    * scanned twice and shuffled never, same contract: one pass folds a
+    * bloom over xxhash64 of its (band : band_sig) keys (4 keys/doc at the
+    * k=16/r=4 default — the sketch ceiling is 4× [[incrementalGate]]'s per
+    * doc; epoch-partition past ~2.5e8 docs), the batch's bands gate
+    * row-locally, and only maybe-positive band keys are verified exactly
+    * through the broadcast semi/anti pattern. The bloom stays a pure
+    * optimization: output is EXACTLY "bands of the batch doc present in
+    * history's band set" at any fpp, which is what the SQL oracle replays
+    * (the full minhash→band chain on both sides). Docs too short to
+    * shingle (< 3 tokens, or NULL text) carry no bands and are kept with
+    * n_hit_bands = 0 — consistent in both engines by construction.
+    * Output: (idCol, n_hit_bands, keep). */
+  def fuzzyIncrementalGate(newDf: DataFrame, history: DataFrame,
+      textCol: String, idCol: String, fpp: Double = 0.01,
+      expectedItems: Long = 1L << 22): DataFrame = {
+    def bandsOf(df: DataFrame): DataFrame =
+      bandSignatures(minhashWide(df, textCol, idCol), idCol)
+        .select(col(idCol), concat_ws(":", col("band"), col("band_sig")).as("k"))
+    val histBands = bandsOf(history)
+    val bloom = histBands.select(xxhash64(col("k")).as("kx")).stat
+      .bloomFilter("kx", math.max(expectedItems, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val nb = bandsOf(newDf).withColumn("__maybe",
+      call_function("bloom_might_contain", lit(bos.toByteArray), xxhash64(col("k"))))
+    val maybeKeys = nb.filter(col("__maybe")).select(col("k")).distinct()
+    val present = histBands.select(col("k"))
+      .join(broadcast(maybeKeys), Seq("k"), "left_semi").distinct()
+    val hits = nb.filter(col("__maybe"))
+      .join(broadcast(present), Seq("k"), "left_semi")
+      .groupBy(col(idCol)).agg(countDistinct(col("k")).as("n_hit_bands"))
+    newDf.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"))
+      .withColumn("keep", col("n_hit_bands") === 0L)
+  }
 }

@@ -950,6 +950,64 @@ object PipelineQueries {
               FROM batch)
       SELECT doc_id, h FROM new WHERE h NOT IN (SELECT h FROM hist)"""))
 
+  /** The minhash→band CTE chain for one source, alias-prefixed so the d16
+    * oracle can run it over BOTH sides (history + synthesized batch) in one
+    * statement. Expects `consts(seed, a, b)` defined upstream. */
+  private def bandsCteFor(src: String, p: String): String = s"""
+      ${p}_toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
+      ${p}_idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+                   FROM ${p}_toks WHERE len(tk) >= 3),
+      ${p}_sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+                  FROM ${p}_idx),
+      ${p}_hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm
+                  FROM ${p}_sh),
+      ${p}_sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
+                   FROM ${p}_hh, consts GROUP BY doc_id, seed),
+      ${p}_bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+                            string_agg(minh, ',' ORDER BY seed) AS band_sig
+                     FROM ${p}_sig GROUP BY doc_id, seed // 4)"""
+
+  // ---------------------------------------------------------------- d16
+  // FUZZY (MinHash-band) INCREMENTAL DEDUP — the near-dup sibling of d15's
+  // cross-epoch gate: batch rows band-collide against the FULL history
+  // without joining it (bloom over history's band keys, row-local gate,
+  // broadcast semi/anti exact verify — history scanned twice, shuffled
+  // never; plan pinned in OperatorsSpec). The batch carries three behavior
+  // classes: even ids replay history verbatim (all 4 bands must hit),
+  // ids %4==1 append one token (most shingles survive — whether a band
+  // still collides is decided by the replayed minhash arithmetic, not by
+  // this comment), ids %4==3 are wholly fresh text (no band may hit). The
+  // oracle replays the ENTIRE minhash→band chain on both sides and joins
+  // band sets exactly — fpp artifacts of any kind fail rows AND hash.
+  private val d16 = QueryDef(
+    "d16_fuzzy_incremental_gate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" extra")))
+          .otherwise(concat(lit("fresh doc "), col("doc_id").cast("string"),
+            lit(" payload alpha beta"))).as("text"))
+      Dedup.fuzzyIncrementalGate(batch, d, "text", "doc_id")
+    },
+    Some(s"""
+      WITH consts(seed, a, b) AS (VALUES $constsValues),
+      batch AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            WHEN doc_id % 4 = 1 THEN text || ' extra'
+                            ELSE 'fresh doc ' || doc_id::VARCHAR || ' payload alpha beta'
+                       END AS text
+                FROM documents),
+      ${bandsCteFor("documents", "h")},
+      ${bandsCteFor("batch", "n")},
+      hd AS (SELECT DISTINCT band, band_sig FROM h_bands),
+      hits AS (SELECT n.doc_id, count(*) AS n_hit
+               FROM n_bands n JOIN hd ON hd.band = n.band AND hd.band_sig = n.band_sig
+               GROUP BY n.doc_id)
+      SELECT d.doc_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_bands,
+             coalesce(hits.n_hit, 0) = 0 AS keep
+      FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""))
+
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
   // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
@@ -1562,5 +1620,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
 }

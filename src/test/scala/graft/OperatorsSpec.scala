@@ -375,6 +375,15 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "history side got shuffle-joined")
   }
 
+  test("fuzzyIncrementalGate: bloom gate present, history never shuffle-joined") {
+    val q = SparkEntry.queries("d16_fuzzy_incremental_gate")(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("might_contain"), "band bloom gate missing")
+    assert(!plan.contains("SortMergeJoin"),
+      s"history bands got shuffle-joined:\n${plan.take(3000)}")
+  }
+
   test("incrementalGate: NULL text rejects loudly (no silent NOT-IN divergence)") {
     import spark.implicits._
     val dir = tempDir("incnull").getAbsolutePath
