@@ -590,12 +590,18 @@ object Dedup {
       .bloomFilter("kx", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    val nb = bandsOf(newDf).withColumn("__maybe",
-      call_function("bloom_might_contain", lit(bos.toByteArray), xxhash64(col("k"))))
-    val maybeKeys = nb.filter(col("__maybe")).select(col("k")).distinct()
+    // cache the maybe-positive band rows: they feed both the present-key
+    // derivation and the hit counting — an un-persisted frame would re-run
+    // the whole batch minhash pass per consumer
+    val maybes = bandsOf(newDf)
+      .withColumn("__maybe",
+        call_function("bloom_might_contain", lit(bos.toByteArray), xxhash64(col("k"))))
+      .filter(col("__maybe")).select(col(idCol), col("k"))
+      .persist()
     val present = histBands.select(col("k"))
-      .join(broadcast(maybeKeys), Seq("k"), "left_semi").distinct()
-    val hits = nb.filter(col("__maybe"))
+      .join(broadcast(maybes.select(col("k")).distinct()), Seq("k"), "left_semi")
+      .distinct()
+    val hits = maybes
       .join(broadcast(present), Seq("k"), "left_semi")
       .groupBy(col(idCol)).agg(countDistinct(col("k")).as("n_hit_bands"))
     newDf.select(col(idCol))

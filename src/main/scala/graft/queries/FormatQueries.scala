@@ -311,12 +311,13 @@ object FormatQueries {
     f.getPath
   }
 
-  /** Attached fence/probe layers, shared with the x28 streaming gate. */
+  /** Attached fence/probe layers — ONE attach each, shared by g12/g13 and
+    * the x28 streaming gate (idempotent view registration). */
   def measurePolygons(s: SparkSession, dir: String): DataFrame =
-    Catalog.attach(s, "x28_nation_measure", "spatial",
+    Catalog.attach(s, "nation_measure_layer", "spatial",
       Map("files" -> nationGeoMeasure(s, dir)))
   def probePoints(s: SparkSession, dir: String): DataFrame =
-    Catalog.attach(s, "x28_nation_probe", "spatial",
+    Catalog.attach(s, "nation_probe_layer", "spatial",
       Map("files" -> nationGeoProbe(s, dir)))
 
   // ---------------------------------------------------------------- g13
@@ -334,11 +335,9 @@ object FormatQueries {
     "g13_spatial_join",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val polys = Catalog.attach(s, "g13_nation_measure", "spatial",
-        Map("files" -> nationGeoMeasure(s, dir)))
+      val polys = measurePolygons(s, dir)
         .select(col("nationkey").as("polykey"), col("geom").as("poly_geom"))
-      val pts = Catalog.attach(s, "g13_nation_probe", "spatial",
-        Map("files" -> nationGeoProbe(s, dir)))
+      val pts = probePoints(s, dir)
         .select(col("pointkey"), col("geom").as("pt_geom"))
       pts.join(broadcast(polys),
           call_function("wkb_contains_point", col("poly_geom"), col("pt_geom")))
@@ -375,9 +374,8 @@ object FormatQueries {
     "g12_spatial_measures",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val path = nationGeoMeasure(s, dir)
       val m = call_function("wkb_measures", col("geom"))
-      Catalog.attach(s, "g12_nation_measure", "spatial", Map("files" -> path))
+      measurePolygons(s, dir)
         .select(col("nationkey"),
           element_at(m, 1).as("area"),
           element_at(m, 2).as("perimeter"),

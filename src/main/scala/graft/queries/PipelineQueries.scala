@@ -28,17 +28,23 @@ object PipelineQueries {
     * per shingle, integer arithmetic after. */
   private val constsValues = Dedup.coeffs.zipWithIndex
     .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-  private def minhashCteFor(src: String, cap: Int) = s"""
-      WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
-      idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
-      sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM idx),
-      hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM sh),
-      consts(seed, a, b) AS (VALUES $constsValues),
-      sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
-              FROM hh, consts GROUP BY doc_id, seed),
-      bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
+  /** The tokenize→shingle→minhash→band stages, alias-prefixable so the d16
+    * oracle can run the SAME chain over two sources in one statement —
+    * one copy of the arithmetic, every consumer desynchronizes together or
+    * not at all. Expects `consts(seed, a, b)` defined upstream. */
+  private def bandChainCte(src: String, p: String): String = s"""
+      ${p}toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
+      ${p}idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM ${p}toks WHERE len(tk) >= 3),
+      ${p}sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM ${p}idx),
+      ${p}hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM ${p}sh),
+      ${p}sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
+              FROM ${p}hh, consts GROUP BY doc_id, seed),
+      ${p}bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
                        string_agg(minh, ',' ORDER BY seed) AS band_sig
-                FROM sig GROUP BY doc_id, seed // 4),
+                FROM ${p}sig GROUP BY doc_id, seed // 4)"""
+
+  private def minhashCteFor(src: String, cap: Int) = s"""
+      WITH consts(seed, a, b) AS (VALUES $constsValues),${bandChainCte(src, "")},
       bcount AS (SELECT band, band_sig, count(*) AS bucket_n
                  FROM bands GROUP BY band, band_sig),
       bandsok AS (SELECT b.doc_id, b.band, b.band_sig
@@ -950,23 +956,6 @@ object PipelineQueries {
               FROM batch)
       SELECT doc_id, h FROM new WHERE h NOT IN (SELECT h FROM hist)"""))
 
-  /** The minhash→band CTE chain for one source, alias-prefixed so the d16
-    * oracle can run it over BOTH sides (history + synthesized batch) in one
-    * statement. Expects `consts(seed, a, b)` defined upstream. */
-  private def bandsCteFor(src: String, p: String): String = s"""
-      ${p}_toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
-      ${p}_idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
-                   FROM ${p}_toks WHERE len(tk) >= 3),
-      ${p}_sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
-                  FROM ${p}_idx),
-      ${p}_hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ${Dedup.P} AS hm
-                  FROM ${p}_sh),
-      ${p}_sig AS (SELECT doc_id, seed, min((a * hm + b) % ${Dedup.P}) AS minh
-                   FROM ${p}_hh, consts GROUP BY doc_id, seed),
-      ${p}_bands AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) AS band,
-                            string_agg(minh, ',' ORDER BY seed) AS band_sig
-                     FROM ${p}_sig GROUP BY doc_id, seed // 4)"""
-
   // ---------------------------------------------------------------- d16
   // FUZZY (MinHash-band) INCREMENTAL DEDUP — the near-dup sibling of d15's
   // cross-epoch gate: batch rows band-collide against the FULL history
@@ -998,8 +987,8 @@ object PipelineQueries {
                             ELSE 'fresh doc ' || doc_id::VARCHAR || ' payload alpha beta'
                        END AS text
                 FROM documents),
-      ${bandsCteFor("documents", "h")},
-      ${bandsCteFor("batch", "n")},
+      ${bandChainCte("documents", "h_")},
+      ${bandChainCte("batch", "n_")},
       hd AS (SELECT DISTINCT band, band_sig FROM h_bands),
       hits AS (SELECT n.doc_id, count(*) AS n_hit
                FROM n_bands n JOIN hd ON hd.band = n.band AND hd.band_sig = n.band_sig

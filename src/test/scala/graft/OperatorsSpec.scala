@@ -380,8 +380,13 @@ class OperatorsSpec extends SparkSpec {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("might_contain"), "band bloom gate missing")
-    assert(!plan.contains("SortMergeJoin"),
-      s"history bands got shuffle-joined:\n${plan.take(3000)}")
+    // same contract as the d15 pin: every verify join must broadcast its
+    // small side — any shuffle-strategy join means the history (or batch)
+    // band scan got exchanged
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected >=2 broadcast verify joins, got $bhj:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"band verify got shuffle-joined:\n${plan.take(3000)}")
   }
 
   test("incrementalGate: NULL text rejects loudly (no silent NOT-IN divergence)") {
