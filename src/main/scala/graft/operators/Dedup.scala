@@ -518,10 +518,19 @@ object Dedup {
     *      BloomFilterMightContain over the broadcast-as-literal sketch:
     *      bloom-NEGATIVE rows are DEFINITELY unseen and skip all join work.
     *   3. Only the maybe-positive sliver (true dups + fpp false positives)
-    *      is verified exactly — and even that join never shuffles history:
-    *      the maybe keys broadcast INTO a semi-join that prunes history's
-    *      key scan to the actually-present subset, which broadcasts back
-    *      for the final anti-join. History is scanned twice, shuffled never.
+    *      is verified exactly — and the verify is SIZE-GATED: the sliver's
+    *      distinct key count is measured first (one cheap batch-side pass).
+    *      At or under `broadcastKeyLimit` (the designed mostly-new batch
+    *      shape) the maybe keys broadcast INTO a semi-join that prunes
+    *      history's key scan to the actually-present subset, which
+    *      broadcasts back for the final anti-join — history is scanned
+    *      twice, shuffled never. PAST the limit (an adversarial batch
+    *      that is mostly duplicates — broadcasting it would push
+    *      ~|batch-distinct| keys to every executor and collect the present
+    *      set on the driver) the verify falls back to a plain shuffle
+    *      anti-join against history's key projection: history's KEYS are
+    *      exchanged once, but nothing ever lands whole on the driver or in
+    *      a broadcast. Both regimes compute the identical exact result.
     *
     * The bloom is an optimization, not a semantics carrier: false positives
     * are killed by the exact verify, false negatives are impossible, so the
@@ -538,7 +547,8 @@ object Dedup {
     * Output: (idCol, h). */
   def incrementalGate(newDf: DataFrame, history: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01,
-      expectedItems: Long = 1L << 22): DataFrame = {
+      expectedItems: Long = 1L << 22,
+      broadcastKeyLimit: Long = 500000L): DataFrame = {
     def norm(c: Column): Column = when(c.isNull,
         raise_error(lit("incrementalGate: NULL text has no dedup identity — " +
           "filter or fill NULL documents before the gate")).cast("string"))
@@ -556,11 +566,20 @@ object Dedup {
         lit(bos.toByteArray), xxhash64(norm(col(textCol)))).as("__maybe"))
     val clean = tagged.filter(!col("__maybe")).select(col(idCol), col("h"))
     val maybeKeys = tagged.filter(col("__maybe")).select(col("h")).distinct()
-    val present = histKeys.select(col("h"))
-      .join(broadcast(maybeKeys), Seq("h"), "left_semi").distinct()
-    val verified = tagged.filter(col("__maybe"))
-      .join(broadcast(present), Seq("h"), "left_anti")
-      .select(col(idCol), col("h"))
+    // size-gate the exact verify: one cheap batch-side count decides the
+    // join strategy (scaladoc step 3) — never broadcast an unbounded sliver
+    val nMaybe = maybeKeys.count()
+    val verified =
+      if (nMaybe <= broadcastKeyLimit) {
+        val present = histKeys.select(col("h"))
+          .join(broadcast(maybeKeys), Seq("h"), "left_semi").distinct()
+        tagged.filter(col("__maybe"))
+          .join(broadcast(present), Seq("h"), "left_anti")
+          .select(col(idCol), col("h"))
+      } else
+        tagged.filter(col("__maybe"))
+          .join(histKeys.select(col("h")).hint("shuffle_merge"), Seq("h"), "left_anti")
+          .select(col(idCol), col("h"))
     clean.unionByName(verified)
   }
 
@@ -572,16 +591,29 @@ object Dedup {
     * k=16/r=4 default — the sketch ceiling is 4× [[incrementalGate]]'s per
     * doc; epoch-partition past ~2.5e8 docs), the batch's bands gate
     * row-locally, and only maybe-positive band keys are verified exactly
-    * through the broadcast semi/anti pattern. The bloom stays a pure
-    * optimization: output is EXACTLY "bands of the batch doc present in
-    * history's band set" at any fpp, which is what the SQL oracle replays
-    * (the full minhash→band chain on both sides). Docs too short to
-    * shingle (< 3 tokens, or NULL text) carry no bands and are kept with
-    * n_hit_bands = 0 — consistent in both engines by construction.
+    * through the broadcast semi/anti pattern. The verify is SIZE-GATED
+    * exactly like [[incrementalGate]]'s: the maybe-band sliver's distinct
+    * key count is measured first; past `broadcastKeyLimit` (an adversarial
+    * mostly-duplicate batch) the broadcast pattern is replaced by a plain
+    * shuffle semi-join against history's band-key projection — history's
+    * keys exchange once, nothing unbounded broadcasts. The bloom stays a
+    * pure optimization: output is EXACTLY "bands of the batch doc present
+    * in history's band set" at any fpp, which is what the SQL oracle
+    * replays (the full minhash→band chain on both sides). Docs too short
+    * to shingle (< 3 tokens, or NULL text) carry no bands and are kept
+    * with n_hit_bands = 0 — consistent in both engines by construction.
+    *
+    * Caching: the maybe-band frame feeds two consumers (present-key
+    * derivation and hit counting), so it persists for the query's
+    * lifetime; each new gate invocation releases the previous
+    * invocation's cache (bounded at ONE resident frame per session —
+    * long-lived sessions don't accumulate), and [[releaseGateCache]]
+    * frees it eagerly once the caller has materialized the result.
     * Output: (idCol, n_hit_bands, keep). */
   def fuzzyIncrementalGate(newDf: DataFrame, history: DataFrame,
       textCol: String, idCol: String, fpp: Double = 0.01,
-      expectedItems: Long = 1L << 22): DataFrame = {
+      expectedItems: Long = 1L << 22,
+      broadcastKeyLimit: Long = 500000L): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
       bandSignatures(minhashWide(df, textCol, idCol), idCol)
         .select(col(idCol), concat_ws(":", col("band"), col("band_sig")).as("k"))
@@ -590,24 +622,51 @@ object Dedup {
       .bloomFilter("kx", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    // cache the maybe-positive band rows: they feed both the present-key
-    // derivation and the hit counting — an un-persisted frame would re-run
-    // the whole batch minhash pass per consumer
+    // cache the maybe-positive band rows: they feed the size-gate count,
+    // the present-key derivation AND the hit counting — an un-persisted
+    // frame would re-run the whole batch minhash pass per consumer
     val maybes = bandsOf(newDf)
       .withColumn("__maybe",
         call_function("bloom_might_contain", lit(bos.toByteArray), xxhash64(col("k"))))
       .filter(col("__maybe")).select(col(idCol), col("k"))
       .persist()
-    val present = histBands.select(col("k"))
-      .join(broadcast(maybes.select(col("k")).distinct()), Seq("k"), "left_semi")
-      .distinct()
-    val hits = maybes
-      .join(broadcast(present), Seq("k"), "left_semi")
-      .groupBy(col(idCol)).agg(countDistinct(col("k")).as("n_hit_bands"))
+    swapGateCache(maybes)
+    val maybeKeys = maybes.select(col("k")).distinct()
+    val nMaybe = maybeKeys.count() // also materializes the cache
+    val hits =
+      if (nMaybe <= broadcastKeyLimit) {
+        val present = histBands.select(col("k"))
+          .join(broadcast(maybeKeys), Seq("k"), "left_semi")
+          .distinct()
+        maybes.join(broadcast(present), Seq("k"), "left_semi")
+          .groupBy(col(idCol)).agg(countDistinct(col("k")).as("n_hit_bands"))
+      } else
+        maybes.join(histBands.select(col("k")).hint("shuffle_merge"),
+            Seq("k"), "left_semi")
+          .groupBy(col(idCol)).agg(countDistinct(col("k")).as("n_hit_bands"))
     newDf.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"))
       .withColumn("keep", col("n_hit_bands") === 0L)
   }
+
+  // ----------------------------------------------- gate-cache lifecycle
+
+  /** The ONE resident maybe-band cache (see [[fuzzyIncrementalGate]]):
+    * swapping in a new frame unpersists the previous one, so repeated
+    * gate invocations in a long-lived session hold at most one cached
+    * frame instead of accumulating storage memory forever. */
+  private val gateCache = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def swapGateCache(next: DataFrame): Unit = {
+    val prev = gateCache.getAndSet(next)
+    if (prev != null && (prev ne next)) prev.unpersist(blocking = false)
+  }
+
+  /** Eagerly release the fuzzy gate's cached maybe-band frame. Safe to
+    * call once the gate's returned frame has been materialized (written /
+    * collected); a later re-materialization would recompute from lineage,
+    * still correct. */
+  def releaseGateCache(): Unit = swapGateCache(null)
 }

@@ -172,22 +172,30 @@ object FlatGeobuf {
         if (i >= cols.length) throw new IllegalArgumentException(
           s"FlatGeobuf `$path`: property references column $i but the header " +
             s"declares ${cols.length} columns")
+        // length prefixes come from untrusted bytes: a negative or
+        // past-the-end uint32 must reject loudly naming the file, not
+        // NegativeArraySizeException / OOM
+        def lenPrefixed(): Array[Byte] = {
+          val n = pb.getInt
+          if (n < 0 || n > pb.remaining()) throw new IllegalArgumentException(
+            s"FlatGeobuf `$path`: property length $n exceeds the remaining " +
+              s"${pb.remaining()} property bytes (corrupt file?)")
+          val a = new Array[Byte](n); pb.get(a); a
+        }
         vals(i) = cols(i).typ match {
-          case 0 | 1 => pb.get.toInt
+          case 0 => pb.get.toInt // Byte (signed)
+          case 1 => pb.get & 0xff // UByte
           case 2 => pb.get != 0
-          case 3 | 4 => pb.getShort.toInt
+          case 3 => pb.getShort.toInt // Short (signed)
+          case 4 => pb.getShort & 0xffff // UShort
           case 5 => pb.getInt
           case 6 => pb.getInt.toLong & 0xffffffffL
           case 7 | 8 => pb.getLong
           case 9 => pb.getFloat
           case 10 => pb.getDouble
           case 11 | 12 | 13 =>
-            val n = pb.getInt
-            val a = new Array[Byte](n); pb.get(a)
-            new String(a, java.nio.charset.StandardCharsets.UTF_8)
-          case 14 =>
-            val n = pb.getInt
-            val a = new Array[Byte](n); pb.get(a); a
+            new String(lenPrefixed(), java.nio.charset.StandardCharsets.UTF_8)
+          case 14 => lenPrefixed()
         }
       }
     }

@@ -13,7 +13,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   * The embedded [[FbBuilder]] is the standard back-to-front FlatBuffers
   * construction (create leaves first, tables last, root uoffset at the
   * front) implemented directly from the published wire format — the same
-  * ~80 lines a codegen runtime would hide. */
+  * ~80 lines a codegen runtime would hide.
+  *
+  * CAVEAT — no FlatBuffers alignment: the builder performs no element
+  * padding, so double vectors, u64 scalars and vector length prefixes land
+  * unaligned. The emitted files are guaranteed readable by THIS repo's
+  * reader (which uses unaligned little-endian ByteBuffer gets throughout,
+  * as the JVM permits on any architecture); a strict conforming FlatBuffers
+  * runtime that relies on natural alignment may reject or misread them.
+  * That is acceptable for fixture scaffolding — the write surface users
+  * consume is COPY TO (parquet/delta/iceberg/...), not fgb. */
 object FlatGeobufWriter {
 
   /** Geometry payload: spec GeometryType id, flat xy pairs, optional part
@@ -97,7 +106,11 @@ object FlatGeobufWriter {
         le(i, 2)
         val (_, ct) = columns(i)
         ct match {
+          case 0 => bos.write(v.asInstanceOf[Int].toByte & 0xff) // Byte
+          case 1 => bos.write(v.asInstanceOf[Int] & 0xff) // UByte
+          case 3 => le(v.asInstanceOf[Int].toShort & 0xffff, 2) // Short
           case 2 => bos.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case 4 => le(v.asInstanceOf[Int] & 0xffff, 2) // UShort
           case 5 => le(v.asInstanceOf[Int], 4)
           case 7 => bos.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             .putLong(v.asInstanceOf[Long]).array())

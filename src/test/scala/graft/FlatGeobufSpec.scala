@@ -136,4 +136,46 @@ class FlatGeobufSpec extends SparkSpec {
     val m4 = Option(e4.getCause).map(_.getMessage).getOrElse("") + e4.getMessage
     assert(m4.contains("probed") || m4.contains("separately"))
   }
+
+  test("unsigned property types decode above the signed max (UByte/UShort)") {
+    val dir = tempDir("fgb")
+    val f = new java.io.File(dir, "u.fgb")
+    // UByte 200 > Byte.MaxValue, UShort 40000 > Short.MaxValue — a
+    // sign-extending decode would return -56 / -25536
+    FlatGeobufWriter.write(f, "u", 1,
+      Seq("ub" -> 1, "us" -> 4, "sb" -> 0, "ss" -> 3),
+      Seq(
+        (Seq[Any](200, 40000, -5, -300), FgbGeom(1, Array(0.0, 0.0))),
+        (Seq[Any](7, 7, 7, 7), FgbGeom(1, Array(1.0, 1.0)))))
+    val df = Catalog.attach(spark, "fgb_u1", "spatial", Map("files" -> f.getPath))
+    val rows = df.select("ub", "us", "sb", "ss").collect().sortBy(_.getInt(0))
+    assert(rows(1).getInt(0) === 200 && rows(1).getInt(1) === 40000)
+    // signed types keep sign-extension
+    assert(rows(1).getInt(2) === -5 && rows(1).getInt(3) === -300)
+    assert(rows(0).toSeq === Seq(7, 7, 7, 7))
+  }
+
+  test("corrupt string length prefix rejects loudly naming the file") {
+    val dir = tempDir("fgb")
+    val f = new java.io.File(dir, "c.fgb")
+    val marker = "CORRUPTME_UNIQUE_MARKER"
+    FlatGeobufWriter.write(f, "c", 1, Seq("name" -> 11),
+      Seq((Seq[Any](marker), FgbGeom(1, Array(0.0, 0.0)))))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // locate the uint32 length prefix immediately before the marker's utf8
+    // bytes inside the property blob and overwrite it with a huge value
+    val mb = marker.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val at = bytes.indexOfSlice(mb)
+    assert(at > 4)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(at - 4) === mb.length) // sanity: found the prefix
+    bb.putInt(at - 4, Int.MaxValue - 3)
+    val bad = new java.io.File(dir, "c_bad.fgb")
+    java.nio.file.Files.write(bad.toPath, bytes)
+    val e = intercept[Exception] {
+      Catalog.attach(spark, "fgb_c1", "spatial", Map("files" -> bad.getPath)).collect()
+    }
+    val m = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(m.contains("c_bad.fgb") && m.contains("property length"))
+  }
 }

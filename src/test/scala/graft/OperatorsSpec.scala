@@ -389,6 +389,42 @@ class OperatorsSpec extends SparkSpec {
       s"band verify got shuffle-joined:\n${plan.take(3000)}")
   }
 
+  test("incremental gates: adversarial all-duplicate batch takes the shuffle verify") {
+    import spark.implicits._
+    // a batch that is ~100% duplicates is the shape the broadcast verify
+    // must NOT see: past broadcastKeyLimit the maybe sliver is as big as
+    // the batch itself, so the gates fall back to a plain shuffle join —
+    // nothing unbounded broadcasts, nothing lands on the driver
+    val dir = tempDir("incadvers").getAbsolutePath
+    (1L to 3000L).map(i => (i, s"history doc number $i body"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/hist")
+    ((1L to 1400L).map(i => (50000L + i, s"history doc number $i body")) ++
+      (1L to 100L).map(i => (60000L + i, s"genuinely new doc $i payload")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/batch")
+    val history = spark.read.parquet(s"$dir/hist")
+    val batch = spark.read.parquet(s"$dir/batch")
+    val out = Dedup.incrementalGate(batch, history, "text", "doc_id",
+      fpp = 0.03, broadcastKeyLimit = 100)
+    val got = out.collect().map(_.getLong(0)).sorted
+    assert(got.length === 100 && got.head === 60001L && got.last === 60100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"adversarial regime should shuffle-verify:\n${plan.take(3000)}")
+    // the exact same inputs under the default limit still broadcast-verify
+    val outB = Dedup.incrementalGate(batch, history, "text", "doc_id", fpp = 0.03)
+    assert(outB.collect().map(_.getLong(0)).sorted === got)
+    assert(!outB.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // fuzzy sibling: identical text ⇒ identical bands ⇒ every dup doc hits
+    val fout = Dedup.fuzzyIncrementalGate(batch, history, "text", "doc_id",
+      fpp = 0.03, broadcastKeyLimit = 10)
+    val frows = fout.collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(frows.count(!_._2) === 1400 && frows.filter(_._2).forall(_._1 > 60000L))
+    val fplan = fout.queryExecution.executedPlan.toString
+    assert(fplan.contains("SortMergeJoin"),
+      s"fuzzy adversarial regime should shuffle-verify:\n${fplan.take(3000)}")
+    Dedup.releaseGateCache()
+  }
+
   test("incrementalGate: NULL text rejects loudly (no silent NOT-IN divergence)") {
     import spark.implicits._
     val dir = tempDir("incnull").getAbsolutePath
