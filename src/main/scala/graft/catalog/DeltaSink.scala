@@ -3106,8 +3106,16 @@ object DeltaSink {
               minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
             }
           case StringType =>
-            val mins = bounded.map(_.genericGetMin.toString)
-            val maxs = bounded.map(_.genericGetMax.toString)
+            // genericGetMin returns parquet Binary whose toString is the
+            // debug form ("Binary{3 reused bytes, ...}") — decode UTF-8 or
+            // the skipping bounds are garbage and string predicates prune
+            // LIVE files (caught by a kind='ivf' filter returning 0 rows)
+            def utf8(v: Any): String = v match {
+              case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+              case other => other.toString
+            }
+            val mins = bounded.map(s => utf8(s.genericGetMin))
+            val maxs = bounded.map(s => utf8(s.genericGetMax))
             minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
           case DateType =>
             val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].intValue())

@@ -152,15 +152,35 @@ object GeoMeasure {
         if (n < 4) throw new IllegalArgumentException(
           s"wkb_contains_point: polygon ring has $n point(s); a closed " +
             "ring needs >= 4")
-        // drop the closing repeat: pointInRings closes rings itself
-        val flat = new Array[Double](2 * (n - 1))
+        // ENVELOPE FAST PATH: a point strictly outside a ring's bbox has
+        // even crossing parity from that ring (a ray from outside a closed
+        // curve crosses it an even number of times), so such a ring can be
+        // dropped without changing the even-odd result — unconditionally,
+        // even for invalid hole-outside-shell geometry. Pass 1 streams the
+        // bbox with ZERO allocation (the common many-fences-miss case);
+        // only bbox-hit rings re-read into a crossing-test array.
+        val start = buf.position()
+        var minX = Double.MaxValue; var maxX = Double.MinValue
+        var minY = Double.MaxValue; var maxY = Double.MinValue
         var i = 0
         while (i < n) {
           val x = buf.getDouble(); val y = buf.getDouble()
-          if (i < n - 1) { flat(2 * i) = x; flat(2 * i + 1) = y }
+          if (x < minX) minX = x; if (x > maxX) maxX = x
+          if (y < minY) minY = y; if (y > maxY) maxY = y
           i += 1
         }
-        rings += flat
+        if (px >= minX && px <= maxX && py >= minY && py <= maxY) {
+          buf.position(start)
+          // drop the closing repeat: pointInRings closes rings itself
+          val flat = new Array[Double](2 * (n - 1))
+          i = 0
+          while (i < n) {
+            val x = buf.getDouble(); val y = buf.getDouble()
+            if (i < n - 1) { flat(2 * i) = x; flat(2 * i + 1) = y }
+            i += 1
+          }
+          rings += flat
+        }
         r += 1
       }
     }

@@ -356,7 +356,14 @@ object Similarity {
     * the centroid update, whose result (kCells × dim rows) collects back.
     * A cell that loses every member drops out (seeds are member vectors, so
     * each starts with its seed; the oracle replicates the same semantics). */
+  /** Count of model-TRAINING runs (k-means seed+iterate, PQ codebook fits)
+    * in this JVM — the observable behind the persisted-index contract:
+    * a search served from a stored model must not bump it (AnnIndexSpec
+    * pins zero training jobs on [[AnnIndex.searchIvf]]'s path). */
+  val trainingRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def kmeansModel(candidates: DataFrame, kCells: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    trainingRuns.incrementAndGet()
     val seeds = candidates
       .withColumn("hkey", md5(col("vec_id").cast("string")))
       .orderBy(col("hkey"), col("vec_id")) // TakeOrdered: distributed top-k
@@ -418,8 +425,18 @@ object Similarity {
     * its top-`nprobe` cells (sorting the kCells literal similarities per
     * query — still no join) and search only those cells. */
   def ivfTopKLearned(queries: DataFrame, candidates: DataFrame, k: Int,
-      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val model = kmeansModel(candidates, kCells, iters)
+      kCells: Int = 4, iters: Int = 2, nprobe: Int = 2): DataFrame =
+    ivfSearchWithModel(queries, candidates, k,
+      kmeansModel(candidates, kCells, iters), nprobe)
+
+  /** The SEARCH half of learned IVF against an ALREADY-TRAINED centroid
+    * model — inline-trained by [[ivfTopKLearned]] or loaded from a
+    * persisted index table by [[AnnIndex.searchIvf]]. Runs ZERO training
+    * jobs: cell assignment and query routing are pure projections against
+    * the centroid literals, so the only cluster work is the probe-cell
+    * scan + two-phase top-k. */
+  def ivfSearchWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
+      model: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
     val celled = assignCells(candidates, model)
     // top-nprobe cells per query: sort (-sim, cell) structs — sim DESC with
     // ties to the smaller cell id, as in the window form it replaces
@@ -440,10 +457,11 @@ object Similarity {
     * (shared by the learned-IVF and SemDeDup oracles): seeds, `iters`
     * unrolled assign+update CTE pairs, and a `celled(vec_id, cv, cell)`
     * relation. Expects `c(vec_id, cv)` defined upstream. */
-  def kmeansCelledSql(kCells: Int, iters: Int): String = {
+  def kmeansCelledSql(kCells: Int, iters: Int,
+      trainRel: String = "c", assignRel: String = "c"): String = {
     def cos(a: String, b: String) = cosineSql(a, b)
     val seed = s"""
-      seedpick AS (SELECT vec_id, cv, md5(vec_id::VARCHAR) AS hkey FROM c
+      seedpick AS (SELECT vec_id, cv, md5(vec_id::VARCHAR) AS hkey FROM $trainRel
                    ORDER BY hkey, vec_id LIMIT $kCells),
       cents0 AS (SELECT CAST(row_number() OVER (ORDER BY hkey, vec_id) - 1 AS BIGINT) AS cell,
                         list_transform(cv, x -> x::DOUBLE) AS centroid
@@ -455,7 +473,7 @@ object Similarity {
                  SELECT c.vec_id, c.cv, p.cell,
                         row_number() OVER (PARTITION BY c.vec_id
                           ORDER BY ${cos("c.cv", "p.centroid")} DESC, p.cell) AS ar
-                 FROM c, $prev p) x WHERE ar = 1),
+                 FROM $trainRel AS c, $prev p) x WHERE ar = 1),
       ux$t AS (SELECT cell, cv, unnest(generate_series(1, len(cv))) AS pos FROM asg$t),
       ps$t AS (SELECT cell, pos, sum(cv[pos]::DOUBLE::DECIMAL(38,12)) AS sum_v, count(*) AS n
                FROM ux$t GROUP BY cell, pos),
@@ -467,15 +485,16 @@ object Similarity {
                   SELECT c.vec_id, c.cv, p.cell,
                          row_number() OVER (PARTITION BY c.vec_id
                            ORDER BY ${cos("c.cv", "p.centroid")} DESC, p.cell) AS ar
-                  FROM c, cents$iters p) x WHERE ar = 1)"""
+                  FROM $assignRel AS c, cents$iters p) x WHERE ar = 1)"""
   }
 
   /** CTE chain of the learned-IVF search, ending at
     * `ranked(q_id, vec_id, rank, cos_sim)` — shared by the full oracle and
     * the recall evaluator. Expects `q(q_id, qv)` / `c(vec_id, cv)`. */
-  def ivfRankedCtes(kCells: Int, iters: Int, nprobe: Int): String = {
+  def ivfRankedCtes(kCells: Int, iters: Int, nprobe: Int,
+      trainRel: String = "c", assignRel: String = "c"): String = {
     def cos(a: String, b: String) = cosineSql(a, b)
-    s"""${kmeansCelledSql(kCells, iters)},
+    s"""${kmeansCelledSql(kCells, iters, trainRel, assignRel)},
       routed AS (SELECT q_id, qv, cell FROM (
                   SELECT q.q_id, q.qv, p.cell,
                          row_number() OVER (PARTITION BY q.q_id
@@ -699,6 +718,7 @@ object Similarity {
     * and every downstream hash are unchanged. */
   def pqModel(candidates: DataFrame, m: Int, kCodes: Int, iters: Int,
       dim: Int): Seq[Seq[(Long, Array[Double])]] = {
+    trainingRuns.incrementAndGet()
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
     val seeds = candidates
@@ -767,8 +787,18 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       m: Int = 8, kCodes: Int = 8, iters: Int = 2): DataFrame = {
     val dim = candidates.select(size(col("embedding"))).head().getInt(0)
+    pqSearchWithModel(queries, candidates, k,
+      pqModel(candidates, m, kCodes, iters, dim), dim)
+  }
+
+  /** The SEARCH half of PQ-ADC against ALREADY-TRAINED codebooks —
+    * inline-trained by [[pqTopK]] or loaded from a persisted index table
+    * by [[AnnIndex.searchPq]]. Zero training jobs: encoding and the ADC
+    * lookup are projections against the codebook literals. */
+  def pqSearchWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
+      model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
+    val m = model.length
     val subDim = dim / m
-    val model = pqModel(candidates, m, kCodes, iters, dim)
     val coded = pqEncode(candidates, model, dim)
     val adc = (0 until m).map { s =>
       val q = subCol("q_vec", s, subDim)

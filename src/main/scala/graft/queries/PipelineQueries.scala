@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
+import graft.operators.{AnnIndex, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -347,6 +347,63 @@ object PipelineQueries {
       WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${Similarity.mrlRerankCtes(dPrefix = 16, kCand = 30)}${Similarity.recallTailSql(10)}"""))
+
+  // ---------------------------------------------------------------- s17
+  // PERSISTED ANN INDEX — the index LIFECYCLE at 100 TB: train once, store
+  // the centroid model as a native Delta table, serve every search from
+  // the stored rows. Build is idempotent per scale dir (first run trains +
+  // writes, every later run — and every later SESSION — loads without
+  // retraining; AnnIndexSpec pins zero training jobs on the search path).
+  // The model is the same deterministic k-means as s04's inline path, so
+  // the persisted-and-served search is bit-identical to inline training —
+  // the oracle replays the one deterministic chain.
+  private def annScratch(dir: String): String =
+    s"/root/repo/target/export/${new java.io.File(dir).getName}"
+  private val s17 = QueryDef(
+    "s17_ann_index_persisted",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"${annScratch(dir)}/ann_ivf_index"
+      AnnIndex.ensureIvf(candidates, idx, kCells = 4, iters = 2)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      AnnIndex.searchIvf(s, idx, queries, candidates, 8, nprobe = 1)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.ivfLearnedSql(8, kCells = 4, iters = 2, nprobe = 1)}"""))
+
+  // ---------------------------------------------------------------- s18
+  // INCREMENTAL APPEND-THEN-REPROBE: the persisted index (trained on the
+  // BASE corpus only) serves a search over base ∪ appended — new vectors
+  // are assigned to the EXISTING cells by the same projection, no retrain.
+  // The oracle trains its k-means on c_base but assigns/search over c
+  // (the grown corpus), replaying exactly that lifecycle.
+  private val s18 = QueryDef(
+    "s18_ann_index_append",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") >= 5 && col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val appended = e.filter(col("vec_id") >= 5 && col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"${annScratch(dir)}/ann_ivf_index_base"
+      AnnIndex.ensureIvf(base, idx, kCells = 4, iters = 2)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      AnnIndex.searchIvf(s, idx, queries, base.unionByName(appended), 8, nprobe = 2)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c_base AS (SELECT vec_id, embedding AS cv FROM embeddings
+                 WHERE vec_id >= 5 AND vec_id % 5 <> 0),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.ivfRankedCtes(kCells = 4, iters = 2, nprobe = 2,
+        trainRel = "c_base", assignRel = "c")}
+      SELECT q_id, vec_id, rank, cos_sim FROM ranked WHERE rank <= 8"""))
 
   // ---------------------------------------------------------------- s14
   // CLUSTER-BALANCED SAMPLING: diversity-capped selection over the learned
@@ -1609,5 +1666,5 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

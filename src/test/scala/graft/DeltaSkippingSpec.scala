@@ -161,6 +161,26 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "v", "p"))
   }
 
+  test("WRITER string stats are decoded UTF-8, not parquet Binary debug text") {
+    // regression: footerStats used Binary.toString, emitting
+    // "Binary{3 reused bytes, ...}" bounds — string equality predicates
+    // then pruned LIVE files (kind = 'ivf' returned 0 of 4 rows)
+    val root = tempDir("delta_str_stats")
+    import spark.implicits._
+    graft.catalog.DeltaSink.write(
+      Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L)).toDF("name", "v"),
+      root.getPath, Map.empty)
+    val logLines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root.getPath, "_delta_log",
+        "00000000000000000000.json"))
+    val statsJson = logLines.toArray.mkString("\n")
+    assert(!statsJson.contains("Binary{"),
+      s"string bounds must decode UTF-8:\n$statsJson")
+    val df = DeltaNative.read(spark, root.getPath, Map.empty)
+    val got = df.filter(col("name") === "beta").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
   test("relation sizeInBytes is the log's true byte count") {
     val root = statsTable()
     val df = DeltaNative.read(spark, root.getPath, Map.empty)

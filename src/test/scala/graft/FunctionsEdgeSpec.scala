@@ -119,6 +119,31 @@ class FunctionsEdgeSpec extends SparkSpec {
     assert(e2.getMessage.contains("must be a Point"))
   }
 
+  test("wkb_contains_point: envelope fast path keeps ring-walk semantics") {
+    def cp(poly: String, pt: String): Boolean =
+      graft.functions.GeoMeasure.containsPoint(gj(poly), gj(pt))
+    // bbox-hit-but-ring-miss: a diamond's bbox corners are inside the bbox
+    // yet outside the ring — the envelope screen must NOT answer for the
+    // crossing test
+    val diamond = """{"type":"Polygon","coordinates":[
+      [[2,0],[4,2],[2,4],[0,2],[2,0]]]}"""
+    assert(!cp(diamond, """{"type":"Point","coordinates":[0.2,0.2]}"""))
+    assert(!cp(diamond, """{"type":"Point","coordinates":[3.8,3.8]}"""))
+    assert(cp(diamond, """{"type":"Point","coordinates":[2,2]}"""))
+    // point exactly on the bbox edge is screened IN (inclusive bounds) and
+    // decided by crossing parity, same as before the fast path
+    assert(!cp(diamond, """{"type":"Point","coordinates":[0,0]}"""))
+    // bbox miss on every ring → false without any ring walk
+    assert(!cp(diamond, """{"type":"Point","coordinates":[9,9]}"""))
+    // hole ring whose bbox excludes the point is dropped but the shell
+    // still answers — holes keep excluding when the point is inside them
+    val holed = """{"type":"Polygon","coordinates":[
+      [[0,0],[10,0],[10,10],[0,10],[0,0]],
+      [[1,1],[2,1],[2,2],[1,2],[1,1]]]}"""
+    assert(cp(holed, """{"type":"Point","coordinates":[5,5]}"""))
+    assert(!cp(holed, """{"type":"Point","coordinates":[1.5,1.5]}"""))
+  }
+
   test("g13 spatial join broadcasts the polygon side (points never shuffle)") {
     val q = SparkEntry.queries("g13_spatial_join")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
