@@ -2402,15 +2402,30 @@ object DeltaSink {
     * `WHEN MATCHED AND <cond> THEN DELETE` — matched pairs satisfying it
     * drop the target row (cdc: `delete` rows) instead of updating;
     * `insertCond` gates `WHEN NOT MATCHED` on a condition over the source
-    * row (e.g. `s._change_type != 'delete'`). Returns
-    * (rowsUpdated, rowsInserted); deleted rows show in the table itself
-    * and the feed. */
+    * row (e.g. `s._change_type != 'delete'`).
+    *
+    * BY SOURCE clauses (the FULL-SYNC shape, mirroring delta-spark's
+    * `whenNotMatchedBySource`): target rows matching NO source row —
+    * conditions may reference only `t.` columns, there is no source side.
+    * `bySourceDeleteCond` is `WHEN NOT MATCHED BY SOURCE AND <cond> THEN
+    * DELETE` (pass `Some("true")` for unconditional — the "target row
+    * vanished from the feed ⇒ drop it" sync); `bySourceSet` (gated by
+    * `bySourceUpdateCond`) is `... THEN UPDATE SET`. When both could
+    * apply to a row the DELETE clause wins (fixed clause order, the
+    * delta-spark first-match rule). CDC rows are exact: by-source deletes
+    * emit `delete`, by-source updates emit pre/post images; row tracking
+    * keeps ids and re-defaults updated rows' commit versions, same as
+    * matched updates. Returns (rowsUpdated incl. by-source updates,
+    * rowsInserted); deletes show in the table itself and the feed. */
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
       source: DataFrame, condSql: String,
       matchedSet: Map[String, String],
       insertNotMatched: Boolean = true,
       matchedDeleteCond: Option[String] = None,
-      insertCond: Option[String] = None): (Long, Long) = {
+      insertCond: Option[String] = None,
+      bySourceSet: Map[String, String] = Map.empty,
+      bySourceUpdateCond: Option[String] = None,
+      bySourceDeleteCond: Option[String] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2523,8 +2538,32 @@ object DeltaSink {
       .count().filter(col("count") > 1).count()
     if (dupCount > 0) throw DeltaReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    val affectedAbs = matchedPairs.select(col("t.__file")).distinct()
+    val matchedFilesAbs = matchedPairs.select(col("t.__file")).distinct()
       .collect().map(_.getString(0)).toSeq
+
+    // BY SOURCE rows: target rows matching NOTHING in the source —
+    // conditions see only `t.` columns. DELETE wins over UPDATE when both
+    // conditions hold (fixed clause order).
+    val bySourceActive = bySourceSet.nonEmpty || bySourceDeleteCond.isDefined
+    bySourceSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
+      throw DeltaReadException(
+        s"`$path`: BY SOURCE SET column `$k` is not in the table schema")
+    }
+    val bsDelCond = bySourceDeleteCond.map(expr).getOrElse(lit(false))
+    val bsUpdCond = if (bySourceSet.isEmpty) lit(false)
+      else bySourceUpdateCond.map(expr).getOrElse(lit(true))
+    val bsRows = if (!bySourceActive) null
+      else target.alias("t").join(s1.alias("s"), cond, "left_anti")
+    val bsDeleteRows = if (!bySourceActive) null else bsRows.filter(bsDelCond)
+    val bsUpdateRows = if (!bySourceActive) null
+      else bsRows.filter(!bsDelCond && bsUpdCond)
+    val bsDeletedCount = if (bySourceDeleteCond.isEmpty) 0L else bsDeleteRows.count()
+    val bsUpdatedCount = if (bySourceSet.isEmpty) 0L else bsUpdateRows.count()
+    val bySourceFilesAbs: Seq[String] = if (!bySourceActive) Nil
+      else bsRows.filter(bsDelCond || bsUpdCond).select(col("__file"))
+        .distinct().collect().map(_.getString(0)).toSeq
+
+    val affectedAbs = (matchedFilesAbs ++ bySourceFilesAbs).distinct
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
       throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
 
@@ -2537,9 +2576,11 @@ object DeltaSink {
     val deletePairs = matchedPairs.filter(delPairCond)
     val deletedCount = if (matchedDeleteCond.isEmpty) 0L else deletePairs.count()
 
-    // rewrites: affected files' rows — delete-matched dropped, SET-matched
-    // transformed, unmatched carried unchanged
-    val doRewrite = (matchedSet.nonEmpty || deletedCount > 0) && affectedAbs.nonEmpty
+    // rewrites: affected files' rows — delete-matched and by-source-
+    // deleted dropped, SET-matched and by-source-SET transformed,
+    // untouched rows carried unchanged
+    val doRewrite = (matchedSet.nonEmpty || deletedCount > 0 ||
+      bsUpdatedCount > 0 || bsDeletedCount > 0) && affectedAbs.nonEmpty
     val joinedAff =
       if (!doRewrite) null
       else target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
@@ -2548,13 +2589,20 @@ object DeltaSink {
       matchedSet.get(f.name)
         .map(e => expr(e).cast(f.dataType))
         .getOrElse(col(s"t.${f.name}"))
+    def bsVal(f: StructField) =
+      bySourceSet.get(f.name)
+        .map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(s"t.${f.name}"))
     val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
+    val bsUpdFlag = !matchedFlag && !bsDelCond && bsUpdCond
     val rewritten =
       if (!doRewrite) null
-      else joinedAff.filter(!(matchedFlag && delPairCond))
+      else joinedAff.filter(!(matchedFlag && delPairCond) &&
+          !(!matchedFlag && bsDelCond))
         .select(schema.fields.map { f =>
           org.apache.spark.sql.functions
             .when(matchedFlag, newVal(f))
+            .when(bsUpdFlag, bsVal(f))
             .otherwise(col(s"t.${f.name}")).as(f.name)
         }.toSeq ++ (rtMat match {
           // carried rows keep id+version; updated rows keep id, re-default
@@ -2563,7 +2611,7 @@ object DeltaSink {
           case Some((matId, matVer)) => Seq(
             col("t.__rt_id").as(matId),
             org.apache.spark.sql.functions
-              .when(matchedFlag, lit(null).cast("long"))
+              .when(matchedFlag || bsUpdFlag, lit(null).cast("long"))
               .otherwise(col("t.__rt_ver")).as(matVer))
         }): _*)
     val updatedRows =
@@ -2584,11 +2632,14 @@ object DeltaSink {
           .select(srcCols.map(col): _*)
       }
     val insertCount = if (inserts == null) 0L else inserts.count()
-    if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L)
+    if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L &&
+      bsUpdatedCount == 0L && bsDeletedCount == 0L)
       return (0L, 0L)
     // post-SET images and inserted rows are rows this writer ADDS —
     // constraint-check them before any file moves
     if (doRewrite && updatedCount > 0) validateIncomingRows(st, updatedRows, path)
+    if (doRewrite && bsUpdatedCount > 0) validateIncomingRows(st,
+      bsUpdateRows.select(schema.fields.map(f => bsVal(f).as(f.name)).toSeq: _*), path)
     if (insertCount > 0) validateIncomingRows(st, inserts, path)
 
     val newFiles =
@@ -2638,6 +2689,33 @@ object DeltaSink {
       if (cdf && insertCount > 0)
         Some(matCdc(inserts.withColumn("_change_type", lit("insert")),
           lit(null), lit(null)))
+      else None,
+      // BY SOURCE updates: pre/post images with the target row's stable id
+      // (postimage version re-defaults to THIS commit → null, served from
+      // _commit_version by the reader) — same arrangement as matched pairs
+      if (cdf && bsUpdatedCount > 0)
+        Some(matCdc(
+          bsUpdateRows.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq ++
+            (if (rtOn) Seq(col("t.__rt_id").as("__c_id"), col("t.__rt_ver").as("__c_ver"))
+             else Nil): _*)
+            .withColumn("_change_type", lit("update_preimage")),
+          col("__c_id"), col("__c_ver"))
+          .unionByName(matCdc(
+            bsUpdateRows.select(schema.fields.map(f => bsVal(f).as(f.name)).toSeq ++
+              (if (rtOn) Seq(col("t.__rt_id").as("__c_id"),
+                lit(null).cast("long").as("__c_ver")) else Nil): _*)
+              .withColumn("_change_type", lit("update_postimage")),
+            col("__c_id"), lit(null)))
+          .drop("__c_id", "__c_ver"))
+      else None,
+      if (cdf && bsDeletedCount > 0)
+        Some(matCdc(
+          bsDeleteRows
+            .select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq ++
+              (if (rtOn) Seq(col("t.__rt_id").as("__c_id"), col("t.__rt_ver").as("__c_ver"))
+               else Nil): _*)
+            .withColumn("_change_type", lit("delete")),
+          col("__c_id"), col("__c_ver")).drop("__c_id", "__c_ver"))
       else None).flatten
     val cdcFiles = cdcFrames.flatMap(f =>
       writeDataFiles(toPhys(f), rootPath, partColsT.map(physKey), Map.empty,
@@ -2675,7 +2753,7 @@ object DeltaSink {
     val out = fs.create(target2, false)
     try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    (updatedCount, insertCount)
+    (updatedCount + bsUpdatedCount, insertCount)
   }
 
   /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that

@@ -2679,6 +2679,72 @@ object FormatQueries {
       FROM customer WHERE c_acctbal > 0
       GROUP BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- f03
+  // HF CSV/JSONL END-TO-END (reference README row: hf parquet+csv+jsonl):
+  // documents exported as a single CSV object and a single JSONL object
+  // under the hub's resolve layout, served by the local ranged-HTTP
+  // server, and attached through the FULL hf:// rewrite path (the
+  // HF_ENDPOINT override points the resolver at the local server — the
+  // same knob huggingface_hub honors for mirrors). CSV streams through
+  // the discard-forward fallback, JSONL line-splits over ranged GETs; the
+  // oracle reads the SAME exported objects straight from disk, so a
+  // mis-resolved URL, a broken range window, or a dialect drift fails
+  // rows AND hash.
+  private val f03 = QueryDef(
+    "f03_hf_csv_jsonl_scan",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val store = s"${exportRoot(dir)}/hf_store"
+      val leaf = s"$store/datasets/acme/corpus/resolve/main"
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+          asCsv: Boolean): Unit = {
+        val tmp = new java.io.File(leaf, s"_tmp_$name")
+        val w = df.coalesce(1).write.mode("overwrite")
+        if (asCsv) w.option("header", "true").option("escape", "\"").csv(tmp.getPath)
+        else w.json(tmp.getPath)
+        val part = tmp.listFiles().find(f => f.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(leaf, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      }
+      if (!new java.io.File(leaf, "_SUCCESS").exists()) {
+        new java.io.File(leaf).mkdirs()
+        val docs = Tables.load(s, dir, "documents")
+        writeOne(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          "docs.csv", asCsv = true)
+        writeOne(docs.select(col("doc_id"), col("lang"), col("text")),
+          "docs.jsonl", asCsv = false)
+        new java.io.File(leaf, "_SUCCESS").createNewFile()
+      }
+      val port = HttpServe.port(store)
+      System.setProperty("graft.hf.endpoint", s"http://127.0.0.1:$port")
+      val csvDf = Catalog.attach(s, "f03_docs_hf_csv", "csv",
+        Map("files" -> "hf://datasets/acme/corpus/docs.csv", "header" -> "true"))
+      val jsonDf = Catalog.attach(s, "f03_docs_hf_jsonl", "json",
+        Map("files" -> "hf://datasets/acme/corpus@main/docs.jsonl"))
+      csvDf.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .withColumn("src", lit("csv"))
+        .unionByName(jsonDf.groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast("long").as("chars"))
+          .withColumn("src", lit("jsonl")))
+    },
+    Some("""
+      WITH csv_side AS (
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+               'csv' AS src
+        FROM read_csv('/root/repo/target/export/__SF__/hf_store/datasets/acme/corpus/resolve/main/docs.csv', header=true)
+        GROUP BY lang),
+      json_side AS (
+        SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars,
+               'jsonl' AS src
+        FROM read_json('/root/repo/target/export/__SF__/hf_store/datasets/acme/corpus/resolve/main/docs.jsonl', format='newline_delimited')
+        GROUP BY lang)
+      SELECT lang, n, chars, src FROM csv_side
+      UNION ALL SELECT lang, n, chars, src FROM json_side"""))
+
   // ---------------------------------------------------------------- o01
   // ORC ROUND-TRIP through Spark's built-in columnar reader: orders COPY
   // TO a hive-partitioned ORC layout, attached back with hive_partitioning
@@ -3215,8 +3281,85 @@ object FormatQueries {
              CAST(sum(ver) AS BIGINT) AS sum_ver
       FROM feed GROUP BY change, cver"""))
 
+  // ---------------------------------------------------------------- w17
+  // MERGE WHEN NOT MATCHED BY SOURCE — the FULL-SYNC shape every CDC
+  // pipeline hits: the source is the complete current feed, so target rows
+  // that vanished from it must delete (or stamp) in the SAME statement
+  // that upserts the rest. On a CDF + row-tracking Delta table; the result
+  // frame is the final table UNION the exact change feed, so the oracle
+  // hash gates BOTH the end state and every CDC row the clauses emitted.
+  private val w17 = QueryDef(
+    "w17_delta_merge_by_source",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w17_delta_bysource"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "delta",
+        Map("change_data_feed" -> "true", "row_tracking" -> "true"))
+      // the full sync feed: every %3 key re-appears with a new balance,
+      // %100=7 keys arrive shifted as NEW rows; everything else vanished
+      val src = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+          .withColumn("c_custkey", col("c_custkey") + 2000000L))
+      graft.catalog.DeltaSink.mergeInto(s, out, src, "t.c_custkey = s.c_custkey",
+        matchedSet = Map("c_acctbal" -> "s.c_acctbal"),
+        bySourceSet = Map("c_acctbal" -> "CAST(-1.0 AS DOUBLE)"),
+        bySourceUpdateCond = Some("t.c_mktsegment = 'BUILDING'"),
+        bySourceDeleteCond = Some("t.c_mktsegment = 'MACHINERY'"))
+      val table = Catalog.attach(s, "w17_cust_bysource", "delta",
+          Map("files" -> out))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("change_kind", lit("__table"))
+      val feed = graft.sources.DeltaNative.read(s, out,
+        Map("read_change_feed" -> "true", "starting_version" -> "1"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+          col("_change_type").as("change_kind"))
+      table.unionByName(feed)
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      src AS (
+        SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 100 = 7),
+      matched AS (SELECT b.c_custkey, s.c_acctbal AS new_bal,
+                         b.c_acctbal AS old_bal, b.c_mktsegment
+                  FROM base b JOIN src s ON b.c_custkey = s.c_custkey),
+      bysrc AS (SELECT b.* FROM base b LEFT JOIN src s
+                  ON b.c_custkey = s.c_custkey WHERE s.c_custkey IS NULL),
+      bs_del AS (SELECT * FROM bysrc WHERE c_mktsegment = 'MACHINERY'),
+      bs_upd AS (SELECT * FROM bysrc WHERE c_mktsegment != 'MACHINERY'
+                   AND c_mktsegment = 'BUILDING'),
+      bs_carry AS (SELECT * FROM bysrc WHERE c_mktsegment != 'MACHINERY'
+                     AND c_mktsegment != 'BUILDING'),
+      ins AS (SELECT s.* FROM src s LEFT JOIN base b
+                ON b.c_custkey = s.c_custkey WHERE b.c_custkey IS NULL),
+      final AS (
+        SELECT c_custkey, new_bal AS c_acctbal, c_mktsegment FROM matched
+        UNION ALL SELECT c_custkey, CAST(-1.0 AS DOUBLE), c_mktsegment FROM bs_upd
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment FROM bs_carry
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment FROM ins),
+      cdc AS (
+        SELECT c_custkey, old_bal AS c_acctbal, c_mktsegment,
+               'update_preimage' AS change_kind FROM matched
+        UNION ALL SELECT c_custkey, new_bal, c_mktsegment,
+               'update_postimage' FROM matched
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment,
+               'update_preimage' FROM bs_upd
+        UNION ALL SELECT c_custkey, CAST(-1.0 AS DOUBLE), c_mktsegment,
+               'update_postimage' FROM bs_upd
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 'delete' FROM bs_del
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 'insert' FROM ins)
+      SELECT c_custkey, c_acctbal, c_mktsegment, '__table' AS change_kind FROM final
+      UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, w14, w15, w16, f01, f02)
+      w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, f01, f02, f03)
 }

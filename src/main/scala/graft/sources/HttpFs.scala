@@ -134,10 +134,20 @@ class HfFileSystem extends HttpsFileSystem {
 
 object HfFileSystem {
   private val re = """hf://datasets/([^/@]+)/([^/@]+)(?:@([^/]+))?/(.+)""".r
+
+  /** Hub endpoint, overridable exactly like huggingface_hub's
+    * `HF_ENDPOINT` (mirrors, proxies, and the oracle's local server);
+    * the `graft.hf.endpoint` system property is the in-JVM equivalent. */
+  private def endpoint: String =
+    sys.props.get("graft.hf.endpoint")
+      .orElse(sys.env.get("HF_ENDPOINT"))
+      .getOrElse("https://huggingface.co")
+      .stripSuffix("/")
+
   def resolve(hfUrl: String): String = hfUrl match {
     case re(owner, repo, rev, path) =>
       val r = Option(rev).getOrElse("main")
-      s"https://huggingface.co/datasets/$owner/$repo/resolve/$r/$path"
+      s"$endpoint/datasets/$owner/$repo/resolve/$r/$path"
     case other => throw new IllegalArgumentException(
       s"not an hf dataset url (hf://datasets/{owner}/{repo}[@rev]/{path}): $other")
   }

@@ -261,6 +261,67 @@ class DeltaSinkSpec extends SparkSpec {
       === Seq(3L, 9L))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync delete/update, CDF exact") {
+    val root = tempDir("dsink_mrg_bysrc").getPath
+    Sinks.copyTo(
+      Seq((1L, 10.0, "live"), (2L, 20.0, "live"), (3L, 30.0, "live"),
+        (4L, 40.0, "keep")).toDF("id", "bal", "st")
+        .repartitionByRange(2, col("id")),
+      root, "delta", Map("change_data_feed" -> "true"))
+    // full sync: the feed now contains only id=2 (updated) and id=9 (new);
+    // vanished rows delete UNLESS st='keep', which get stamped stale
+    val src = Seq((2L, 22.0, "live"), (9L, 90.0, "live")).toDF("id", "bal", "st")
+    val (upd, ins) = DeltaSink.mergeInto(spark, root, src, "t.id = s.id",
+      matchedSet = Map("bal" -> "s.bal"),
+      bySourceSet = Map("st" -> "'stale'"),
+      bySourceUpdateCond = Some("t.st = 'keep'"),
+      bySourceDeleteCond = Some("t.st != 'keep'"))
+    assert((upd, ins) === ((2L, 1L))) // 1 matched + 1 by-source update
+    assert(readBack(root).orderBy("id").as[(Long, Double, String)].collect().toSeq
+      === Seq((2L, 22.0, "live"), (4L, 40.0, "stale"), (9L, 90.0, "live")))
+    // CDC: deletes for 1 and 3, pre/post for 2 (matched) and 4 (by source),
+    // insert for 9 — nothing else
+    val feed = DeltaNative.read(spark, root,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+    assert(feed.select("id", "st", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      === Set((1L, "live", "delete"), (3L, "live", "delete"),
+        (2L, "live", "update_preimage"), (2L, "live", "update_postimage"),
+        (4L, "keep", "update_preimage"), (4L, "stale", "update_postimage"),
+        (9L, "live", "insert")))
+    // unconditional by-source delete with an EMPTY source truncates
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "bal", "st")
+    val (u2, i2) = DeltaSink.mergeInto(spark, root, empty, "t.id = s.id",
+      matchedSet = Map.empty, insertNotMatched = false,
+      bySourceDeleteCond = Some("true"))
+    assert(u2 === 0L && i2 === 0L)
+    assert(readBack(root).count() === 0L)
+  }
+
+  test("MERGE BY SOURCE under row tracking: ids survive, versions re-default") {
+    val root = tempDir("dsink_mrg_bysrc_rt").getPath
+    Sinks.copyTo(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      root, "delta", Map("row_tracking" -> "true"))
+    val ids0 = DeltaNative.read(spark, root, Map("row_tracking" -> "true"))
+      .select("id", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // source holds only id=2: 1 and 3 are by-source — 3 deletes, 1 updates
+    val src = Seq((2L, 22L)).toDF("id", "v")
+    DeltaSink.mergeInto(spark, root, src, "t.id = s.id",
+      matchedSet = Map("v" -> "s.v"),
+      bySourceSet = Map("v" -> "t.v + 100"),
+      bySourceUpdateCond = Some("t.id = 1"),
+      bySourceDeleteCond = Some("t.id = 3"))
+    val after = DeltaNative.read(spark, root, Map("row_tracking" -> "true"))
+      .select("id", "v", "_row_id", "_row_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(after.map(t => (t._1, t._2)).toSeq === Seq((1L, 110L), (2L, 22L)))
+    // stable ids survive the rewrite; both updated rows' versions moved
+    assert(after.map(t => (t._1, t._3)).toMap === ids0.filter(_._1 != 3L))
+    assert(after.forall(_._4 === 1L))
+  }
+
   test("OPTIMIZE ZORDER clusters both columns; skipping tightens on each") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -106,6 +106,51 @@ class HttpFsSpec extends SparkSpec {
     } finally s.stop(0)
   }
 
+  test("http: csv through a range-less server uses the discard-forward fallback") {
+    val dir = tempDir("httpfs"); fixtures(dir)
+    val (s, port) = serve(dir, ranges = false)
+    try {
+      val df = spark.read.option("header", "true")
+        .csv(s"http://127.0.0.1:$port/data.csv")
+      assert(df.count() === 200)
+      assert(df.select(sum(col("id").cast("long"))).head().getLong(0)
+        === 200L * 201 / 2)
+    } finally s.stop(0)
+  }
+
+  test("hf:// end-to-end: endpoint override routes csv+jsonl through the rewrite") {
+    val dir = tempDir("hfstore")
+    val leaf = new File(dir, "datasets/acme/corpus/resolve/main")
+    leaf.mkdirs()
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+    df.coalesce(1).write.option("header", "true").csv(new File(dir, "c").getPath)
+    java.nio.file.Files.copy(
+      new File(dir, "c").listFiles().find(_.getName.endsWith(".csv")).get.toPath,
+      new File(leaf, "data.csv").toPath)
+    df.coalesce(1).write.json(new File(dir, "j").getPath)
+    java.nio.file.Files.copy(
+      new File(dir, "j").listFiles().find(_.getName.endsWith(".json")).get.toPath,
+      new File(leaf, "data.jsonl").toPath)
+    val (s, port) = serve(dir, ranges = true)
+    val prev = sys.props.get("graft.hf.endpoint")
+    try {
+      System.setProperty("graft.hf.endpoint", s"http://127.0.0.1:$port")
+      val csv = Catalog.attach(spark, "hf_e2e_csv", "csv",
+        Map("files" -> "hf://datasets/acme/corpus/data.csv", "header" -> "true"))
+      assert(csv.count() === 50)
+      val jsonl = Catalog.attach(spark, "hf_e2e_jsonl", "json",
+        Map("files" -> "hf://datasets/acme/corpus@main/data.jsonl"))
+      assert(jsonl.select(sum(col("id"))).head().getLong(0) === 50L * 51 / 2)
+    } finally {
+      s.stop(0)
+      prev match {
+        case Some(v) => System.setProperty("graft.hf.endpoint", v)
+        case None => System.clearProperty("graft.hf.endpoint")
+      }
+    }
+  }
+
   test("http: the filesystem is read-only; writes reject loudly") {
     val dir = tempDir("httpfs"); fixtures(dir)
     val (s, port) = serve(dir, ranges = true)
