@@ -353,4 +353,77 @@ object TextOps {
     aggregate(tokens(text), lit(0L),
       (acc, tok) => acc + element_at(scoreArr, (dsirBucket(tok) + 1).cast("int")))
   }
+
+  // ------------------------------------------------------------ exact BPE
+
+  /** Priority-ordered BPE merge table — a DRIVER LITERAL, the same shape a
+    * learned tokenizer ships at scale (merges.txt loads once, applies as
+    * literals; cf. the persisted ANN models). Pairs are high-frequency
+    * English bigrams; priority = list position, lower wins. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u",
+    "s" -> "t", "e" -> "n", "o" -> "r", "a" -> "t", "e" -> "s")
+
+  /** Chars of a word that enter the encoder; [[bpeRounds]] merge rounds
+    * always reach the fixpoint (every productive round removes >= 1 of the
+    * <= bpeMaxChars-1 boundaries; an unproductive round is the fixpoint). */
+  val bpeMaxChars = 8
+  val bpeRounds = 7
+
+  /** One merge ROUND over the '|'-delimited token string `s`: the first
+    * (lowest-priority-rank) pair present anywhere merges all its
+    * left-to-right non-overlapping occurrences — replace()'s scan order in
+    * BOTH engines, which is what makes the whole loop hash-replayable.
+    * Identical rendering for Spark SQL and DuckDB. */
+  def bpeRoundSql(s: String): String =
+    bpeMerges.map { case (l, r) =>
+      s"WHEN contains($s, '|$l|$r|') THEN replace($s, '|$l|$r|', '|$l$r|')"
+    }.mkString("CASE ", " ", s" ELSE $s END")
+
+  /** Delimited initial form '|c1|c2|...|cn|' over the first
+    * [[bpeMaxChars]] chars. DuckDB needs the explicit global flag;
+    * Spark's regexp_replace is global by default. */
+  def bpeInitSql(w: String, duck: Boolean): String =
+    if (duck) s"'|' || regexp_replace(substr($w, 1, $bpeMaxChars), '(.)', '\\1|', 'g')"
+    else s"'|' || regexp_replace(substr($w, 1, $bpeMaxChars), '(.)', '$$1|')"
+
+  /** Token count of an encoded string: boundaries minus one. */
+  def bpeTokensOfSql(s: String): String =
+    s"(length($s) - length(replace($s, '|', ''))) - 1"
+
+  /** The full oracle-side chain from a `w(idCol, w)` relation of exploded
+    * words to `bpe(idCol, n_words, n_bpe_tokens)` — stacked single-column
+    * CTE rounds, linear SQL size. */
+  def bpeCtes(idCol: String): String = {
+    val rounds = (1 to bpeRounds).map { i =>
+      s"bpe$i AS (SELECT $idCol, ${bpeRoundSql("s")} AS s FROM bpe${i - 1})"
+    }.mkString(",\n      ")
+    s"""bpe0 AS (SELECT $idCol, ${bpeInitSql("w", duck = true)} AS s FROM w),
+      $rounds,
+      bpe AS (SELECT $idCol, count(*) AS n_words,
+                     CAST(sum(${bpeTokensOfSql("s")}) AS BIGINT) AS n_bpe_tokens
+              FROM bpe$bpeRounds GROUP BY $idCol)"""
+  }
+
+  /** EXACT merge-table BPE token stats per document — true byte-pair
+    * encoding (apply loop over a fixed priority merge table), not the
+    * regex approximation of [[bpeishTokenCount]]. Scale shape: explode to
+    * (doc, word) rows — one shuffle-free projection chain ([[bpeRounds]]
+    * stacked CASE/replace columns, linear plan size) — and ONE groupBy
+    * back to docs. Token budgets from this are training-exact, which is
+    * what sequence packing needs (t20). Output: (idCol, n_words,
+    * n_bpe_tokens); docs with zero words carry (0, 0). */
+  def bpeTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    var df = words.withColumn("s", expr(bpeInitSql("w", duck = false)))
+    (1 to bpeRounds).foreach { _ => df = df.withColumn("s", expr(bpeRoundSql("s"))) }
+    val agg = df.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr(bpeTokensOfSql("s"))).cast("long").as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -1666,5 +1666,51 @@ object PipelineQueries {
       SELECT d.doc_id, CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
       FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+  // ---------------------------------------------------------------- t19
+  // EXACT BPE TOKENIZATION: a true merge-table byte-pair-encoding apply
+  // loop (fixed priority merges as a driver literal — the shape a learned
+  // merges.txt ships in), not t02's regex approximation. Each merge round
+  // is one CASE/replace projection over a '|'-delimited per-word string,
+  // so the WHOLE loop — round order, replace scan order, fixpoint —
+  // replays verbatim in DuckDB and sits under the hash gate.
+  private val t19 = QueryDef(
+    "t19_bpe_tokenize",
+    (s, dir) => TextOps.bpeTokenStats(docs(s, dir), "text", "doc_id"),
+    Some(s"""
+      WITH $toksCte,
+      w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+      ${TextOps.bpeCtes("doc_id")}
+      SELECT d.doc_id,
+             CAST(coalesce(b.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(b.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id"""))
+
+  // ---------------------------------------------------------------- t20
+  // TOKEN-EXACT SEQUENCE PACKING: t10's distributed prefix-sum packing
+  // driven by the exact BPE counts of t19 instead of the whitespace-ish
+  // approximation — offsets and sequence ids now land on real training
+  // token budgets. Same no-single-partition-window scale shape.
+  private val t20 = QueryDef(
+    "t20_sequence_pack_bpe",
+    (s, dir) => Packing.packOffsets(
+      TextOps.bpeTokenStats(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      "doc_id", "n_tokens", seqLen),
+    Some(s"""
+      WITH $toksCte,
+      w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+      ${TextOps.bpeCtes("doc_id")},
+      n AS (SELECT d.doc_id, CAST(coalesce(b.n_bpe_tokens, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN bpe b ON d.doc_id = b.doc_id),
+      c AS (SELECT doc_id, n_tokens,
+              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+            FROM n)
+      SELECT doc_id, n_tokens,
+             CAST(start_off AS BIGINT) AS start_off,
+             CAST(start_off // $seqLen AS BIGINT) AS seq_id,
+             (start_off // $seqLen) != ((start_off + greatest(n_tokens, 1) - 1) // $seqLen) AS crosses_seq
+      FROM c"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

@@ -1703,7 +1703,63 @@ object StreamingQueries {
                 AND abs(pt.px - (poly.x0 + poly.w / 2.0)) < 0.5
                 AND abs(pt.py - (poly.y0 + poly.h / 2.0)) < 1.0)"""))
 
+  // ---------------------------------------------------------------- x29
+  // FULL-OUTER stream-stream interval join — the last cell of the join
+  // matrix (inner x03, left x04): BOTH sides' unmatched rows null-extend
+  // on watermark expiry — purchases with no click AND clicks with no
+  // purchase in the window. Replay shape mirrors x04: all real rows in one
+  // batch on both sides (pairs emit on match), two far-future sentinel
+  // rounds with distinct negative keys expire both sides' state; the
+  // sentinels themselves stay buffered and filter out. The key coalesces
+  // across sides (a click-only row has no left key). Oracle: the batch
+  // FULL JOIN with the identical predicate.
+  private val x29 = QueryDef(
+    "x29_stream_interval_full_join",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val clicks = MemoryStream[(Long, java.sql.Timestamp)](1)
+      val out = Streams.intervalJoin(
+        purchases.toDF().toDF("user_id", "ts_p"),
+        clicks.toDF().toDF("user_id", "ts_c"),
+        "user_id", "ts_p", "ts_c", "24 hours", "0 seconds", "full_outer")
+        .select(col("user_id"), col("ts_p"), col("ts_c"))
+      withReplayConf(s, 1) { ck =>
+        val q = out.writeStream.format("memory").queryName("x29_out")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          val ev = Tables.load(s, dir, "events")
+            .filter(col("event_type").isin("purchase", "click"))
+            .select(col("event_type"), col("user_id"), col("ts")).collect()
+          purchases.addData(ev.filter(_.getString(0) == "purchase")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          clicks.addData(ev.filter(_.getString(0) == "click")
+            .map(r => (r.getLong(1), r.getTimestamp(2))).toSeq)
+          q.processAllAvailable()
+          val maxTs = ev.map(_.getTimestamp(2).getTime).max
+          val far1 = new java.sql.Timestamp(maxTs + 2L * 86400 * 1000)
+          val far2 = new java.sql.Timestamp(maxTs + 2L * 86400 * 1000 + 1)
+          purchases.addData(Seq((-1L, far1))); clicks.addData(Seq((-2L, far1)))
+          q.processAllAvailable()
+          purchases.addData(Seq((-1L, far2))); clicks.addData(Seq((-2L, far2)))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("x29_out").filter(col("user_id") >= 0)
+    },
+    Some("""
+      WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      SELECT coalesce(p.user_id, c.user_id) AS user_id,
+             p.ts AS ts_p, c.ts AS ts_c
+      FROM p FULL JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28)
+    x26, x27, x28, x29)
 }

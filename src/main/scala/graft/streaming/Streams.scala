@@ -191,14 +191,24 @@ object Streams {
       tsL: String, tsR: String, within: String, delay: String,
       joinType: String = "inner"): DataFrame = {
     require(tsL != tsR, "left/right timestamp columns must be named differently")
-    require(joinType == "inner" || joinType == "left_outer",
-      s"intervalJoin supports inner and left_outer, got `$joinType`")
+    require(joinType == "inner" || joinType == "left_outer" ||
+      joinType == "full_outer",
+      s"intervalJoin supports inner, left_outer and full_outer, got `$joinType`")
     val l = left.withWatermark(tsL, delay).alias("l")
     val r = right.withWatermark(tsR, delay).alias("r")
-    l.join(r, expr(
+    val joined = l.join(r, expr(
       s"l.$keyCol = r.$keyCol AND r.$tsR >= l.$tsL AND r.$tsR <= l.$tsL + interval $within"),
       joinType)
-      .drop(col(s"r.$keyCol"))
+    if (joinType != "full_outer") joined.drop(col(s"r.$keyCol"))
+    else {
+      // full outer null-extends BOTH sides on watermark expiry, so the key
+      // must coalesce across sides (a right-only row has NULL l.key)
+      val lCols = left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c").as(c))
+      val rCols = right.columns.filterNot(_ == keyCol).map(c => col(s"r.$c").as(c))
+      joined.select(
+        (coalesce(col(s"l.$keyCol"), col(s"r.$keyCol")).as(keyCol) +:
+          (lCols ++ rCols)).toSeq: _*)
+    }
   }
 
   /** Stream-static enrichment join — the dimension-lookup shape every

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Packing, Sketches}
+import graft.operators.{Dedup, Packing, Sketches, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators added in r7: line-level boilerplate scrub,
@@ -295,5 +295,24 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.substringScrub(df, "text", "doc_id", k = 1)
     }
+  }
+
+  test("bpeTokenStats: the merge loop applies by priority to a fixpoint") {
+    import spark.implicits._
+    // hand-traced against the literal merge table:
+    //   "the"     |t|h|e| -> |th|e| -> |the|                    = 1 token
+    //   "then"    -> |the|n|                                    = 2
+    //   "ingrate" (i,n) -> (in,g) -> (a,t): |ing|r|at|e|        = 4
+    //   "zz"      no rule applies                               = 2
+    //   "a"       single char                                   = 1
+    //   8-char cap: "abcdefghij" encodes as "abcdefgh"          = 8
+    val docs = Seq(
+      (1L, "the then"), (2L, "ingrate zz a"), (3L, "abcdefghij"),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTokenStats(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Seq((1L, 2L, 3L), (2L, 3L, 7L), (3L, 1L, 8L),
+      (4L, 0L, 0L), (5L, 0L, 0L)))
   }
 }
