@@ -73,6 +73,15 @@ object Catalog {
                 "only (the XLSX driver carries no geometry column)")
           }
           graft.sources.Xlsx.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.stripSuffix("/").endsWith(".gdb")) =>
+          if (!files.forall(f => f.toLowerCase.stripSuffix("/").endsWith(".gdb")))
+            throw InvalidOptionException(
+              "spatial attach mixes geodatabases with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a geodatabase's geometry is delivered as WKB")
+          graft.sources.FileGdb.read(spark, files, options)
         case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpkg")) =>
           if (!files.forall(f => f.toLowerCase.endsWith(".gpkg")))
             throw InvalidOptionException(
@@ -295,7 +304,12 @@ object Catalog {
     val expanded: Seq[(String, Boolean)] = files.flatMap { f =>
       val p = new Path(f)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+          p.getName.toLowerCase.endsWith(".gdb")) {
+        // a .gdb DIRECTORY is one OpenFileGDB dataset (its layers are
+        // tables INSIDE it), not a directory of layer files
+        Seq((f, false))
+      } else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
         val layers = fs.listStatus(p).toSeq
           .filter(s => s.isFile && isLayerFile(s.getPath.getName))
           .map(_.getPath.toString).sorted
@@ -306,7 +320,8 @@ object Catalog {
     }
     def driverOf(p: String): String = {
       val l = p.toLowerCase
-      if (l.endsWith(".shp")) "ESRI Shapefile"
+      if (l.stripSuffix("/").endsWith(".gdb")) "OpenFileGDB"
+      else if (l.endsWith(".shp")) "ESRI Shapefile"
       else if (l.endsWith(".gpkg")) "GPKG"
       else if (l.endsWith(".xlsx")) "XLSX"
       else if (l.endsWith(".kml")) "KML"
@@ -329,8 +344,8 @@ object Catalog {
     // the container reader, which selects the table/sheet/layer (or rejects
     // loudly listing candidates).
     def containerExt(p: String): Option[String] = {
-      val l = p.toLowerCase
-      Seq(".gpkg", ".xlsx", ".gpx").find(l.endsWith)
+      val l = p.toLowerCase.stripSuffix("/")
+      Seq(".gpkg", ".xlsx", ".gpx", ".gdb").find(l.endsWith)
     }
     if (expanded.nonEmpty && expanded.forall(p => containerExt(p._1).isDefined)) {
       val exts = expanded.flatMap(p => containerExt(p._1)).distinct
@@ -347,7 +362,7 @@ object Catalog {
     // Reject up front instead of attaching the wrong thing.
     if (expanded.exists(p => containerExt(p._1).isDefined))
       throw InvalidOptionException(
-        "spatial attach mixes container formats (.gpkg/.xlsx/.gpx) with file-" +
+        "spatial attach mixes container formats (.gpkg/.xlsx/.gpx/.gdb) with file-" +
           "layer formats; a container's layers are tables/sheets inside the " +
           "file (layer= selects one), while .shp/.geojson layers are file " +
           "basenames — attach them separately")

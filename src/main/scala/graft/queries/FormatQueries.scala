@@ -1177,6 +1177,61 @@ object FormatQueries {
       FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
     })
 
+  // ---------------------------------------------------------------- g14
+  // Native OpenFileGDB attach (the GDAL OpenFileGDB driver surface of
+  // st_read — the most-requested GIS-estate format after the 8 natives):
+  // GDB_SystemCatalog layer resolution, .gdbtablx row offsets, null
+  // bitmap, quantized varint geometry dequantized through the shared WKB
+  // codec — the same independently-encoded Point(k/2, k) hex as
+  // g01/g02/g11. The dataset carries a second (decoy) layer so the
+  // catalog walk and layer= selection are under the hash gate too.
+  private val g14 = QueryDef(
+    "g14_filegdb_scan",
+    (s, dir) => {
+      val path = nationGdb(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g14_nation_gdb", "spatial",
+        Map("files" -> path, "layer" -> "nation"))
+        .select(col("nationkey").cast("long").as("nationkey"), col("name"),
+          upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  /** nation → an ESRI File Geodatabase: the `nation` point layer with the
+    * planted Point(k/2, k) lattice (identical WKB across drivers) plus a
+    * decoy `regions` polygon layer, written through the independent
+    * FileGdbWriter byte emitter. Driver-side write is test scaffolding. */
+  private def nationGdb(s: SparkSession, dir: String): String = {
+    val out = new java.io.File(s"${exportRoot(dir)}/nation_gdb/nation.gdb")
+    if (!new java.io.File(out, "a00000001.gdbtable").exists()) {
+      import org.apache.spark.sql.functions._
+      import graft.sources.FileGdbWriter
+      import graft.sources.FileGdbWriter.{GdbField, GdbGeom}
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int"), col("n_name")).collect()
+      val nation = ("nation", 1,
+        Seq(GdbField("nationkey", 1), GdbField("name", 4)),
+        rows.sortBy(_.getInt(0)).map { r =>
+          val k = r.getInt(0)
+          (Seq[Any](k, r.getString(1)),
+            Some(GdbGeom(1, Seq(Array((k / 2.0, k.toDouble))))))
+        }.toSeq)
+      val regions = ("regions", 5, Seq(GdbField("rid", 1)), Seq(
+        (Seq[Any](1), Some(GdbGeom(5, Seq(Array(
+          (0.0, 0.0), (0.0, 8.0), (8.0, 8.0), (8.0, 0.0), (0.0, 0.0))))))))
+      FileGdbWriter.write(out, Seq(nation, regions))
+    }
+    out.getPath
+  }
+
   // ---------------------------------------------------------------- g02
   // Native SHAPEFILE attach: .shp points + .dbf attributes → the same WKB
   // `geom` contract as g01, oracle-checked against the identical
@@ -3359,7 +3414,7 @@ object FormatQueries {
       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, f01, f02, f03)
 }

@@ -246,7 +246,7 @@ object Shapefile {
     * clockwise and holes counter-clockwise; each outer ring opens a new
     * polygon and collects the holes that follow it. A leading hole (spec
     * violation) opens its own polygon rather than being dropped. */
-  private def groupRings(rings: Seq[Array[(Double, Double)]]): Seq[Seq[Array[(Double, Double)]]] = {
+  private[sources] def groupRings(rings: Seq[Array[(Double, Double)]]): Seq[Seq[Array[(Double, Double)]]] = {
     val out = Seq.newBuilder[Seq[Array[(Double, Double)]]]
     var current: List[Array[(Double, Double)]] = Nil
     rings.foreach { r =>
@@ -258,7 +258,7 @@ object Shapefile {
     out.result()
   }
 
-  private def signedArea(ring: Array[(Double, Double)]): Double = {
+  private[sources] def signedArea(ring: Array[(Double, Double)]): Double = {
     var a = 0.0
     var i = 0
     while (i < ring.length - 1) {
@@ -270,18 +270,18 @@ object Shapefile {
 
   // WKB building blocks (public OGC little-endian format, same encoding the
   // GeoJSON source emits — one `geom` representation across spatial sources)
-  private def wkbHeader(geomType: Int): Array[Byte] = {
+  private[sources] def wkbHeader(geomType: Int): Array[Byte] = {
     val b = ByteBuffer.allocate(5).order(ByteOrder.LITTLE_ENDIAN)
     b.put(1.toByte).putInt(geomType)
     b.array()
   }
-  private def leInt(n: Int): Array[Byte] =
+  private[sources] def leInt(n: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array()
-  private def le16(x: Double, y: Double): Array[Byte] = {
+  private[sources] def le16(x: Double, y: Double): Array[Byte] = {
     val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     b.putDouble(x).putDouble(y)
     b.array()
   }
-  private def lineString(pts: Array[(Double, Double)]): Array[Byte] =
+  private[sources] def lineString(pts: Array[(Double, Double)]): Array[Byte] =
     leInt(pts.length) ++ pts.flatMap { case (x, y) => le16(x, y) }
 }
