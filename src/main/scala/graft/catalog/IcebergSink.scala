@@ -2204,12 +2204,19 @@ object IcebergSink {
   def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
       source: DataFrame, condSql: String,
       matchedSet: Map[String, String],
-      insertNotMatched: Boolean = true): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, expr}
+      insertNotMatched: Boolean = true,
+      // WHEN NOT MATCHED BY SOURCE (the full-sync shape; conditions over
+      // `t.` only, DELETE wins when both hold — same contract as the Delta
+      // sibling): merge-on-read flavor — affected target rows positional-
+      // delete, by-source updates re-append their new images
+      bySourceSet: Map[String, String] = Map.empty,
+      bySourceUpdateCond: Option[String] = None,
+      bySourceDeleteCond: Option[String] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
-    matchedSet.keys.find(k => !names.contains(k)).foreach { k =>
+    (matchedSet.keys ++ bySourceSet.keys).find(k => !names.contains(k)).foreach { k =>
       throw IcebergReadException(
         s"`$path`: SET column `$k` is not in the table schema")
     }
@@ -2267,10 +2274,45 @@ object IcebergSink {
           st, s"mrgi-$stamp")
       else Nil
     val inserted = insFiles.map(_.rows).sum
-    if (updated == 0L && inserted == 0L) return (0L, 0L)
+    // BY SOURCE: target rows matching NOTHING in the source (conditions
+    // see `t.` only; DELETE wins over UPDATE). Deletes are positional
+    // tombstones; updates tombstone + re-append their new images (row
+    // lineage: updated rows keep ids, re-default their sequence).
+    val bySourceActive = bySourceSet.nonEmpty || bySourceDeleteCond.isDefined
+    val bsDelCond = bySourceDeleteCond.map(expr).getOrElse(lit(false))
+    val bsUpdCond = if (bySourceSet.isEmpty) lit(false)
+      else bySourceUpdateCond.map(expr).getOrElse(lit(true))
+    val bsRows = if (!bySourceActive) null else target.join(s1, cond, "left_anti")
+    val bsDelFiles =
+      if (bySourceDeleteCond.isEmpty) Nil
+      else writeMoved(bsRows.filter(bsDelCond).select(
+        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+        st, s"bsd-$stamp")
+    val bsDeleted = bsDelFiles.map(_._3).sum
+    val bsUpdRows = if (!bySourceActive) null else bsRows.filter(!bsDelCond && bsUpdCond)
+    val bsUpdDelFiles =
+      if (bySourceSet.isEmpty) Nil
+      else writeMoved(bsUpdRows.select(
+        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+        st, s"bsu-$stamp")
+    val bsUpdated = bsUpdDelFiles.map(_._3).sum
+    def bsVal(f: StructField) =
+      bySourceSet.get(f.name).map(e => expr(e).cast(f.dataType))
+        .getOrElse(col(s"t.${f.name}"))
+    val bsUpdFiles =
+      if (bsUpdated > 0)
+        writeMorData(bsUpdRows.select(
+          scanFields.map(f => bsVal(f).as(f.name)) ++
+            (if (st.hasLineage)
+              Seq(col("t.__rlid").as(RowIdColName),
+                lit(null).cast("long").as(LastSeqColName))
+            else Nil): _*), st, s"bsui-$stamp")
+      else Nil
+    if (updated == 0L && inserted == 0L && bsUpdated == 0L && bsDeleted == 0L)
+      return (0L, 0L)
     commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql),
-      delFiles, updFiles ++ insFiles)
-    (updated, inserted)
+      delFiles ++ bsDelFiles ++ bsUpdDelFiles, updFiles ++ bsUpdFiles ++ insFiles)
+    (updated + bsUpdated, inserted)
   }
 
   private def writeAvroAt(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,

@@ -212,6 +212,33 @@ class IcebergSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("lacks table column"))
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync delete/update, MOR flavor") {
+    val root = tempDir("isink_mrg_bysrc").getPath
+    Sinks.copyTo(Seq((1L, 10.0, "live"), (2L, 20.0, "live"), (3L, 30.0, "live"),
+      (4L, 40.0, "keep")).toDF("id", "bal", "st"), root, "iceberg")
+    // full sync: only id=2 (updated) and id=9 (new) remain in the feed;
+    // vanished rows delete UNLESS st='keep', which get stamped stale
+    val src = Seq((2L, 22.0, "live"), (9L, 90.0, "live")).toDF("id", "bal", "st")
+    val (upd, ins) = IcebergSink.mergeInto(spark, root, src, "t.id = s.id",
+      matchedSet = Map("bal" -> "s.bal"),
+      bySourceSet = Map("st" -> "'stale'"),
+      bySourceUpdateCond = Some("t.st = 'keep'"),
+      bySourceDeleteCond = Some("t.st != 'keep'"))
+    assert((upd, ins) === ((2L, 1L))) // 1 matched + 1 by-source update
+    assert(readBack(root).orderBy("id").as[(Long, Double, String)].collect().toSeq
+      === Seq((2L, 22.0, "live"), (4L, 40.0, "stale"), (9L, 90.0, "live")))
+    // ONE snapshot carries the whole full-sync merge
+    assert(IcebergNative.snapshots(spark, root).count() === 2L)
+    // unconditional by-source delete with an empty source truncates
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "bal", "st")
+    // empty source + no inserts: the delete-everything sync
+    val (u2, i2) = IcebergSink.mergeInto(spark, root, empty, "t.id = s.id",
+      matchedSet = Map.empty, insertNotMatched = false,
+      bySourceDeleteCond = Some("true"))
+    assert(u2 === 0L && i2 === 0L)
+    assert(readBack(root).count() === 0L)
+  }
+
   test("rewriteDataFiles compacts fragments + positional deletes into a replace snapshot") {
     val root = tempDir("isink_cmp").getPath
     // 3 appends → 3+ data files, then a MOR delete → a delete file on top
