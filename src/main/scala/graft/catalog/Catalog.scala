@@ -109,6 +109,15 @@ object Catalog {
               "keep_wkb=false is GeoJSON-only (its native representation is json " +
                 "text); a FlatGeobuf feature's geometry is delivered as WKB")
           graft.sources.FlatGeobuf.read(spark, files, options)
+        case "spatial" if files.exists(f => f.toLowerCase.endsWith(".dxf")) =>
+          if (!files.forall(f => f.toLowerCase.endsWith(".dxf")))
+            throw InvalidOptionException(
+              "spatial attach mixes DXF with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a DXF entity's geometry is delivered as WKB")
+          graft.sources.Dxf.read(spark, files, options)
         case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpx")) =>
           if (!files.forall(f => f.toLowerCase.endsWith(".gpx")))
             throw InvalidOptionException(
@@ -295,7 +304,8 @@ object Catalog {
       val l = n.toLowerCase
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
         l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml") ||
-        l.endsWith(".gml") || l.endsWith(".gpx") || l.endsWith(".fgb")
+        l.endsWith(".gml") || l.endsWith(".gpx") || l.endsWith(".fgb") ||
+        l.endsWith(".dxf")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -328,6 +338,7 @@ object Catalog {
       else if (l.endsWith(".gml")) "GML"
       else if (l.endsWith(".gpx")) "GPX"
       else if (l.endsWith(".fgb")) "FlatGeobuf"
+      else if (l.endsWith(".dxf")) "DXF"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>

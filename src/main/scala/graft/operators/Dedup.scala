@@ -567,8 +567,11 @@ object Dedup {
     val clean = tagged.filter(!col("__maybe")).select(col(idCol), col("h"))
     val maybeKeys = tagged.filter(col("__maybe")).select(col("h")).distinct()
     // size-gate the exact verify: one cheap batch-side count decides the
-    // join strategy (scaladoc step 3) — never broadcast an unbounded sliver
-    val nMaybe = maybeKeys.count()
+    // join strategy (scaladoc step 3) — never broadcast an unbounded
+    // sliver. The ROW count (no distinct) is a shuffle-free upper bound on
+    // the key count: an over-estimate only trips the shuffle fallback
+    // earlier, never correctness
+    val nMaybe = tagged.filter(col("__maybe")).count()
     val verified =
       if (nMaybe <= broadcastKeyLimit) {
         val present = histKeys.select(col("h"))
@@ -632,7 +635,10 @@ object Dedup {
       .persist()
     swapGateCache(maybes)
     val maybeKeys = maybes.select(col("k")).distinct()
-    val nMaybe = maybeKeys.count() // also materializes the cache
+    // row count (no distinct): shuffle-free upper bound on the key count,
+    // reading back the just-persisted blocks — over-estimating only trips
+    // the shuffle fallback earlier, never correctness
+    val nMaybe = maybes.count() // also materializes the cache
     val hits =
       if (nMaybe <= broadcastKeyLimit) {
         val present = histBands.select(col("k"))

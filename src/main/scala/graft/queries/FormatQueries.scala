@@ -1232,6 +1232,50 @@ object FormatQueries {
     out.getPath
   }
 
+  // ---------------------------------------------------------------- g15
+  // Native DXF attach (the GDAL DXF driver surface of st_read): one POINT
+  // entity per nation in the ENTITIES pair stream — handle carries the
+  // key, layer the name (DXF's only per-entity attributes) — parsed to
+  // the same independently-encoded Point(k/2, k) WKB hex as g01/g02/g14.
+  private val g15 = QueryDef(
+    "g15_dxf_scan",
+    (s, dir) => {
+      val path = nationDxf(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g15_nation_dxf", "spatial", Map("files" -> path))
+        .select(col("handle").cast("long").as("nationkey"),
+          col("layer").as("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  /** nation → a DXF drawing: POINT entities with the planted Point(k/2, k)
+    * lattice; handle = nationkey, layer = name. Text emitted directly —
+    * DXF IS a text format; the reader re-parses the pair stream. */
+  private def nationDxf(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"${exportRoot(dir)}/nation_dxf/nation.dxf")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val ents = rows.sortBy(_.getLong(0)).map { r =>
+        val k = r.getLong(0)
+        s"0\nPOINT\n5\n$k\n8\n${r.getString(1)}\n10\n${k / 2.0}\n20\n${k.toDouble}\n30\n0.0\n"
+      }.mkString
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath,
+        s"0\nSECTION\n2\nENTITIES\n${ents}0\nENDSEC\n0\nEOF\n")
+    }
+    f.getPath
+  }
+
   // ---------------------------------------------------------------- g02
   // Native SHAPEFILE attach: .shp points + .dbf attributes → the same WKB
   // `geom` contract as g01, oracle-checked against the identical
@@ -3414,7 +3458,7 @@ object FormatQueries {
       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, f01, f02, f03)
 }
