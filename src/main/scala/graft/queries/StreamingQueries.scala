@@ -1759,7 +1759,51 @@ object StreamingQueries {
         ON p.user_id = c.user_id
        AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 24 HOUR"""))
 
+  // ---------------------------------------------------------------- x30
+  // STREAMING ANN SERVING from the PERSISTED index (the s17 lifecycle on a
+  // live feed): the stream pins one model generation at start — zero
+  // training jobs for its lifetime — each micro-batch of query vectors
+  // searches the static corpus through the same projection+probe plan,
+  // results append exactly-once (txn ledger) to a native Delta table.
+  // Two batches replay the query set; per-row independence makes batch
+  // boundaries invisible, so the oracle is the one deterministic batch
+  // chain. Shares s17's index table — built once, served by BOTH paths.
+  private val x30 = QueryDef(
+    "x30_stream_ann_serve",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.load(s, dir, "embeddings")
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"/root/repo/target/export/${new java.io.File(dir).getName}/ann_ivf_index"
+      graft.operators.AnnIndex.ensureIvf(candidates, idx, kCells = 4, iters = 2)
+      val out = new java.io.File(freshRoot(dir, "x30"), "serve_delta").getPath
+      val in = MemoryStream[(Long, Seq[Float])](1)
+      val writer = Streams.annServeStream(in.toDF().toDF("q_id", "q_vec"),
+        candidates, idx, out, k = 6, nprobe = 2, appId = "x30-serve")
+      withReplayConf(s, 1) { ck =>
+        val q = writer.option("checkpointLocation", ck).start()
+        try {
+          val qs = e.filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          in.addData(qs.filter(_._1 < 3).toSeq)
+          q.processAllAvailable()
+          in.addData(qs.filter(_._1 >= 3).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x30_serve_out", "delta", Map("files" -> out))
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${graft.operators.Similarity.ivfLearnedSql(6, kCells = 4, iters = 2, nprobe = 2)}"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29)
+    x26, x27, x28, x29, x30)
 }

@@ -88,6 +88,32 @@ object Streams {
     * watermark, no join state; the static side is a bounded relation), the
     * same plan g13 pins for batch: points never shuffle, each row pays one
     * codegen ring walk per candidate fence. */
+  /** STREAMING ANN SERVING — the persisted index lifecycle end to end:
+    * the stream pins ONE model generation at start (AnnIndex.loadIvf →
+    * bounded driver literals; ZERO training jobs for the stream's
+    * lifetime — the s17 contract on a live feed), each micro-batch of
+    * query vectors runs the same zero-shuffle projection+probe search
+    * against the static corpus, and results append to a native Delta
+    * table exactly-once via the (appId, batchId) transaction ledger.
+    * Each query row searches independently, so batch boundaries cannot
+    * change the result set — what lets the batch SQL replay oracle it.
+    * Index REBUILDS are a new stream deployment (the model is
+    * deliberately pinned, not re-read per batch — serving must not race a
+    * half-written rebuild). */
+  def annServeStream(queries: DataFrame, candidates: DataFrame,
+      indexPath: String, outRoot: String, k: Int, nprobe: Int,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = graft.operators.AnnIndex.loadIvf(queries.sparkSession, indexPath)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.operators.Similarity
+          .ivfSearchWithModel(batch.toDF(), candidates, k, model, nprobe)
+        graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
+          txn = Some((appId, batchId)))
+        ()
+    }
+  }
+
   def geofenceGate(points: DataFrame, fences: DataFrame,
       pointGeom: String, fenceGeom: String): DataFrame =
     points.join(broadcast(fences),
