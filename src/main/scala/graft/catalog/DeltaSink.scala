@@ -3192,9 +3192,16 @@ object DeltaSink {
               case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
               case other => other.toString
             }
+            // aggregate the per-rowgroup bounds in the SAME unsigned-byte
+            // order parquet computed them in (= Spark's UTF8String runtime
+            // order); Java String min/max is UTF-16 order, which disagrees
+            // for supplementary-plane text — a file could then carry a
+            // value below the stored min and get pruned while live
+            val ord = Ordering.fromLessThan[String](
+              (a, b) => graft.sources.LogFileIndex.utf8Compare(a, b) < 0)
             val mins = bounded.map(s => utf8(s.genericGetMin))
             val maxs = bounded.map(s => utf8(s.genericGetMax))
-            minV.put(f.name, mins.min); maxV.put(f.name, maxs.max)
+            minV.put(f.name, mins.min(ord)); maxV.put(f.name, maxs.max(ord))
           case DateType =>
             val mins = bounded.map(_.genericGetMin.asInstanceOf[Number].intValue())
             val maxs = bounded.map(_.genericGetMax.asInstanceOf[Number].intValue())

@@ -545,14 +545,20 @@ object Dedup {
     * NOT-IN contract (NULL never matches an anti-join key).
     * Intra-batch duplicates are out of scope (exactMark owns those).
     * Output: (idCol, h). */
+  /** The dedup text identity (d01/d15/d17 agree by construction): lowercase
+    * + whitespace collapse, NULL rejected loudly — a NULL document has no
+    * dedup identity, and silently keeping it would diverge from the NOT-IN
+    * oracle contract (NULL never matches an anti-join key). */
+  private[operators] def normText(c: Column): Column = when(c.isNull,
+      raise_error(lit("dedup gate: NULL text has no dedup identity — " +
+        "filter or fill NULL documents before the gate")).cast("string"))
+    .otherwise(regexp_replace(lower(c), "\\s+", " "))
+
   def incrementalGate(newDf: DataFrame, history: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01,
       expectedItems: Long = 1L << 22,
       broadcastKeyLimit: Long = 500000L): DataFrame = {
-    def norm(c: Column): Column = when(c.isNull,
-        raise_error(lit("incrementalGate: NULL text has no dedup identity — " +
-          "filter or fill NULL documents before the gate")).cast("string"))
-      .otherwise(regexp_replace(lower(c), "\\s+", " "))
+    def norm(c: Column): Column = normText(c)
     val histKeys = history.select(md5(norm(col(textCol))).as("h"),
       xxhash64(norm(col(textCol))).as("hx"))
     // sketch putLong/mightContainLong pair with xxhash64 exactly as
@@ -561,9 +567,16 @@ object Dedup {
       .bloomFilter("hx", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
+    // cache the tagged batch: it feeds the size-gate count, the clean
+    // branch AND the verify branch — un-persisted, the md5+xxhash64+
+    // normalize chain would re-run per consumer (~2 extra batch scans per
+    // gate invocation). Same bounded one-resident-frame lifecycle as the
+    // fuzzy gate's maybe cache.
     val tagged = newDf.select(col(idCol), md5(norm(col(textCol))).as("h"),
       call_function("bloom_might_contain",
         lit(bos.toByteArray), xxhash64(norm(col(textCol)))).as("__maybe"))
+      .persist()
+    swapGateCache(tagged)
     val clean = tagged.filter(!col("__maybe")).select(col(idCol), col("h"))
     val maybeKeys = tagged.filter(col("__maybe")).select(col("h")).distinct()
     // size-gate the exact verify: one cheap batch-side count decides the
@@ -659,13 +672,14 @@ object Dedup {
 
   // ----------------------------------------------- gate-cache lifecycle
 
-  /** The ONE resident maybe-band cache (see [[fuzzyIncrementalGate]]):
+  /** The ONE resident gate cache (d15's tagged batch / d16's maybe-band
+    * frame — see [[incrementalGate]] / [[fuzzyIncrementalGate]]):
     * swapping in a new frame unpersists the previous one, so repeated
     * gate invocations in a long-lived session hold at most one cached
     * frame instead of accumulating storage memory forever. */
   private val gateCache = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  private def swapGateCache(next: DataFrame): Unit = {
+  private[operators] def swapGateCache(next: DataFrame): Unit = {
     val prev = gateCache.getAndSet(next)
     if (prev != null && (prev ne next)) prev.unpersist(blocking = false)
   }

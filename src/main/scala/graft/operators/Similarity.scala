@@ -798,6 +798,10 @@ object Similarity {
   def pqSearchWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
       model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
     val m = model.length
+    require(m >= 1 && dim % m == 0,
+      s"pqSearchWithModel: dim=$dim must divide evenly into the model's " +
+        s"$m subspaces (same contract as pqModel) — a mismatched persisted " +
+        "index would silently mis-slice subvectors")
     val subDim = dim / m
     val coded = pqEncode(candidates, model, dim)
     val adc = (0 until m).map { s =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AnnIndex, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
+import graft.operators.{AnnIndex, Dedup, DedupIndex, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps, UrlOps}
 
 /** LLM-training-data pipeline operators as first-class engine queries
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -1054,6 +1054,43 @@ object PipelineQueries {
              coalesce(hits.n_hit, 0) = 0 AS keep
       FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""))
 
+  // ---------------------------------------------------------------- d17
+  // PERSISTED DEDUP HISTORY INDEX — the production lifecycle the d15 gate
+  // lacks: the history's bloom + key table are built ONCE as a native Delta
+  // artifact (epoch 0 = even docs), grown incrementally (epoch 1 append =
+  // odd docs), and the gate serves from the persisted rows with ZERO scans
+  // of the raw history (DedupIndexSpec pins it via DedupIndex.historyPasses
+  // — the s17/trainingRuns pattern). Per-epoch blooms OR-fold row-locally
+  // at gate time (the documented >1e9-key epoch-partitioning escape, now an
+  // API); the maybe sliver exact-verifies against the persisted key table.
+  // The gate batch cuts across BOTH epochs (%3 vs the %2 epoch split), so a
+  // single-epoch shortcut would fail rows; the oracle knows no bloom, no
+  // epochs — plain NOT IN over all of documents — so any fpp artifact or
+  // stale-index row fails rows AND hash.
+  private val d17 = QueryDef(
+    "d17_dedup_index_gate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val idx = s"${annScratch(dir)}/dedup_hist_index"
+      if (DedupIndex.ensure(d.filter(col("doc_id") % 2 === 0), "text", idx))
+        DedupIndex.append(d.filter(col("doc_id") % 2 =!= 0), "text", idx)
+      val batch = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel "),
+            col("doc_id").cast("string"))).as("text"))
+      DedupIndex.gate(batch, idx, "text", "doc_id")
+    },
+    Some("""
+      WITH hist AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+                    FROM documents),
+      batch AS (SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text
+                            ELSE text || ' novel ' || doc_id::VARCHAR END AS text
+                FROM documents),
+      new AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+              FROM batch)
+      SELECT doc_id, h FROM new WHERE h NOT IN (SELECT h FROM hist)"""))
+
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
   // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
@@ -1712,5 +1749,5 @@ object PipelineQueries {
              (start_off // $seqLen) != ((start_off + greatest(n_tokens, 1) - 1) // $seqLen) AS crosses_seq
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

@@ -182,8 +182,12 @@ object Dxf {
       } else if (etype != null) c match {
         case 8 => if (!inVertex) layer = v
         case 5 => if (!inVertex) handle = v
-        case 10 => xs ::= v.toDouble
-        case 20 => ys ::= v.toDouble
+        // POLYLINE headers carry a mandatory dummy point (groups 10/20/30,
+        // always 0) that is NOT a vertex — only VERTEX-scoped coordinates
+        // are geometry (GDAL's DXF driver ignores the header point the same
+        // way). Other entity types carry coordinates directly.
+        case 10 => if (etype != "POLYLINE" || inVertex) xs ::= v.toDouble
+        case 20 => if (etype != "POLYLINE" || inVertex) ys ::= v.toDouble
         case 11 => x1 = v.toDouble
         case 21 => y1 = v.toDouble
         case 30 | 31 | 38 => requireZ(v, c)

@@ -224,10 +224,17 @@ object FileGdb {
     val nameIdx = fields.indexWhere(_.name == "Name")
     if (nameIdx < 0) throw FileGdbException(
       s"`$gdb`: GDB_SystemCatalog has no Name column — not a file geodatabase?")
-    parseRows(conf, gdb, 1, fields).zipWithIndex.collect {
-      case (row, i) if row.get(nameIdx) != null &&
+    // table id = the row's parsed ObjectID (derived from the PRE-filter
+    // gdbtablx slot), NOT a post-filter ordinal: a deleted catalog entry
+    // (gdbtablx offset 0 — routine after layer deletion) would shift every
+    // later ordinal and silently map layer names to the wrong .gdbtable
+    val oidIdx = fields.indexWhere(_.typ == 6)
+    if (oidIdx < 0) throw FileGdbException(
+      s"`$gdb`: GDB_SystemCatalog has no ObjectID column — not a file geodatabase?")
+    parseRows(conf, gdb, 1, fields).collect {
+      case row if row.get(nameIdx) != null &&
         !row.getString(nameIdx).startsWith("GDB_") =>
-        (row.getString(nameIdx), i + 1) // ObjectID = 1-based row number = table id
+        (row.getString(nameIdx), row.getLong(oidIdx).toInt)
     }.toSeq
   }
 
@@ -318,9 +325,14 @@ object FileGdb {
     import Shapefile.{wkbHeader, leInt, le16, lineString, groupRings}
     def deq(q: Long, origin: Double): Double = q / f.xyScale + origin
     varUInt(b) match {
-      case 1 => // Point: quantized +1 per axis
-        val x = deq(varUInt(b) - 1, f.xOrigin)
-        val y = deq(varUInt(b) - 1, f.yOrigin)
+      case 1 => // Point: quantized +1 per axis; raw 0 denotes an EMPTY point
+        val qx = varUInt(b); val qy = varUInt(b)
+        if (qx == 0 || qy == 0) throw FileGdbException(
+          s"`$path`: empty point (quantized axis value 0) — this native " +
+            "reader has no POINT EMPTY rendering in its WKB contract; " +
+            "filter empty geometries or use a GDAL deployment")
+        val x = deq(qx - 1, f.xOrigin)
+        val y = deq(qy - 1, f.yOrigin)
         wkbHeader(1) ++ le16(x, y)
       case t @ (3 | 5) => // Polyline | Polygon
         val nPoints = varUInt(b).toInt

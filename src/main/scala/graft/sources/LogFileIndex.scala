@@ -131,12 +131,24 @@ object LogFileIndex {
   }
 
   // ---------------------------------------------------- pruning algebra
+
+  /** String compare domain = unsigned UTF-8 byte order — Spark's own
+    * `UTF8String.compareTo` (what runtime predicates use) AND parquet's
+    * UNSIGNED_LEXICOGRAPHICAL comparator (what produced the bounds). Java
+    * `String.compareTo` is UTF-16 order, which DISAGREES for
+    * supplementary-plane text (surrogates at 0xD800 sort below U+E000 in
+    * UTF-16 but above in code-point/UTF-8 order) — pruning with it could
+    * skip a live file. */
+  private[graft] def utf8Compare(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private[graft] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Double, y: Double) =>
       if (x.isNaN || y.isNaN) None else Some(java.lang.Double.compare(x, y))
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
@@ -232,11 +244,11 @@ object LogFileIndex {
         if (allNull(a)) false
         else {
           val maxOk = maxOf(a).forall {
-            case s: String => s.compareTo(prefix) >= 0
+            case s: String => utf8Compare(s, prefix) >= 0
             case _ => true
           }
           val minOk = minOf(a).forall {
-            case s: String => s.compareTo(prefix) <= 0 || s.startsWith(prefix)
+            case s: String => utf8Compare(s, prefix) <= 0 || s.startsWith(prefix)
             case _ => true
           }
           maxOk && minOk
