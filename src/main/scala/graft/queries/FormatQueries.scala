@@ -3457,8 +3457,89 @@ object FormatQueries {
       SELECT c_custkey, c_acctbal, c_mktsegment, '__table' AS change_kind FROM final
       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
 
+  // ---------------------------------------------------------------- w18
+  // SQL MERGE INTO ROUTING — w17's full-sync scenario driven ENTIRELY
+  // through executePg (the one DML statement that previously required the
+  // Scala API): the delta-spark MERGE statement shape (aliases, WHEN
+  // MATCHED UPDATE, INSERT *, both NOT MATCHED BY SOURCE clauses) parses
+  // in sqlapi and dispatches to the native DeltaSink.mergeInto. Same
+  // oracle as w17 — the router must be a pure syntax layer over the
+  // writer, so any parse/dispatch drift fails rows AND hash.
+  private val w18 = QueryDef(
+    "w18_merge_sql_routing",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val out = s"${exportRoot(dir)}/dml_w18_merge_sql"
+      rmTree(out)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(cust, out, "delta",
+        Map("change_data_feed" -> "true", "row_tracking" -> "true"))
+      Catalog.attach(s, "w18_cust", "delta", Map("files" -> out))
+      cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+          .withColumn("c_custkey", col("c_custkey") + 2000000L))
+        .createOrReplaceTempView("w18_src")
+      graft.sqlapi.SqlApi.executePg(s, """
+        MERGE INTO w18_cust AS tgt
+        USING w18_src AS src
+        ON tgt.c_custkey = src.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = src.c_acctbal
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND tgt.c_mktsegment = 'MACHINERY' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND tgt.c_mktsegment = 'BUILDING'
+          THEN UPDATE SET c_acctbal = CAST(-1.0 AS DOUBLE)""")
+      val table = Catalog.attach(s, "w18_cust", "delta", Map("files" -> out))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .withColumn("change_kind", lit("__table"))
+      val feed = graft.sources.DeltaNative.read(s, out,
+        Map("read_change_feed" -> "true", "starting_version" -> "1"))
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+          col("_change_type").as("change_kind"))
+      table.unionByName(feed)
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      src AS (
+        SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_acctbal, c_mktsegment
+        FROM base WHERE c_custkey % 100 = 7),
+      matched AS (SELECT b.c_custkey, s.c_acctbal AS new_bal,
+                         b.c_acctbal AS old_bal, b.c_mktsegment
+                  FROM base b JOIN src s ON b.c_custkey = s.c_custkey),
+      bysrc AS (SELECT b.* FROM base b LEFT JOIN src s
+                  ON b.c_custkey = s.c_custkey WHERE s.c_custkey IS NULL),
+      bs_del AS (SELECT * FROM bysrc WHERE c_mktsegment = 'MACHINERY'),
+      bs_upd AS (SELECT * FROM bysrc WHERE c_mktsegment != 'MACHINERY'
+                   AND c_mktsegment = 'BUILDING'),
+      bs_carry AS (SELECT * FROM bysrc WHERE c_mktsegment != 'MACHINERY'
+                     AND c_mktsegment != 'BUILDING'),
+      ins AS (SELECT s.* FROM src s LEFT JOIN base b
+                ON b.c_custkey = s.c_custkey WHERE b.c_custkey IS NULL),
+      final AS (
+        SELECT c_custkey, new_bal AS c_acctbal, c_mktsegment FROM matched
+        UNION ALL SELECT c_custkey, CAST(-1.0 AS DOUBLE), c_mktsegment FROM bs_upd
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment FROM bs_carry
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment FROM ins),
+      cdc AS (
+        SELECT c_custkey, old_bal AS c_acctbal, c_mktsegment,
+               'update_preimage' AS change_kind FROM matched
+        UNION ALL SELECT c_custkey, new_bal, c_mktsegment,
+               'update_postimage' FROM matched
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment,
+               'update_preimage' FROM bs_upd
+        UNION ALL SELECT c_custkey, CAST(-1.0 AS DOUBLE), c_mktsegment,
+               'update_postimage' FROM bs_upd
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 'delete' FROM bs_del
+        UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, 'insert' FROM ins)
+      SELECT c_custkey, c_acctbal, c_mktsegment, '__table' AS change_kind FROM final
+      UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, f01, f02, f03)
+      w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, w18, f01, f02, f03)
 }

@@ -567,6 +567,37 @@ object SqlApi {
   private val insertRe =
     """(?is)^\s*INSERT\s+INTO\s+("?[A-Za-z_][\w"]*"?)\s*(\([^)]*\))?\s*(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$""".r
 
+  // MERGE INTO <target> [AS alias] USING <table|(subquery)> [AS alias]
+  // ON <cond> WHEN ... — the delta-spark statement shape; parsed by a
+  // paren/quote-aware keyword scanner (the USING source may carry ON /
+  // WHEN / THEN inside subquery joins, CASE expressions or strings, where
+  // a plain regex boundary would mis-split)
+  private val mergePrefix = """(?is)^\s*MERGE\s+INTO\s.+""".r.pattern
+
+  /** First index at or after `from` of a word-bounded, case-insensitive
+    * keyword at paren depth 0 and outside single-quoted strings; -1 if
+    * none. */
+  private def topLevelKeyword(s: String, kw: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    var depth = 0
+    var inStr = false
+    val n = s.length
+    val k = kw.length
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
+        (i == 0 || !wordChar(s.charAt(i - 1))) &&
+        (i + k >= n || !wordChar(s.charAt(i + k)))) return i
+      i += 1
+    }
+    -1
+  }
+
   // COPY (SELECT ...) TO '<path>' (FORMAT ..., KEY value, ...)  |
   // COPY table TO '<path>' (...) — the source is a parenthesized query or
   // a (possibly schema-qualified, possibly quoted) table name
@@ -1220,6 +1251,12 @@ object SqlApi {
       graft.catalog.Catalog.attach(spark, name, fmt, attachOpts)
       import spark.implicits._
       Seq(n).toDF("rows_updated")
+    case s if mergePrefix.matcher(s).matches() =>
+      // MERGE INTO <attached lakehouse table> ... — the one DML statement
+      // that previously required the Scala API; routes by attach format to
+      // the native mergeInto writers (delta copy-on-write, iceberg
+      // merge-on-read) and re-attaches so the view sees the new snapshot
+      runMergeInto(spark, s)
     case copyRe(src, path, opts) =>
       // the reference's COPY statements run as plain SQL through its
       // executor hook (tests/tests/fixtures/tables/duckdb_types.rs:65:
@@ -1250,6 +1287,224 @@ object SqlApi {
     case _ =>
       spark.sql(PgDialect.rewrite(registerTableFunctions(spark,
         rewriteAsOf(spark, sql))))
+  }
+
+  /** MERGE INTO statement router — parses the delta-spark clause surface
+    * (WHEN MATCHED [AND]/NOT MATCHED [AND]/NOT MATCHED BY SOURCE [AND],
+    * UPDATE SET / DELETE / INSERT) and dispatches by attach format to the
+    * native [[graft.catalog.DeltaSink.mergeInto]] /
+    * [[graft.catalog.IcebergSink.mergeInto]] writers. Clause shapes those
+    * APIs cannot express reject LOUDLY, never silently re-order: the
+    * writers apply DELETE before UPDATE within a clause family, so a
+    * statement listing UPDATE first (whose SQL first-match semantics
+    * would differ for rows satisfying both) must be rewritten by the
+    * caller; a conditional WHEN MATCHED ... THEN UPDATE has no API
+    * rendering; INSERT must be `INSERT *` or the identity column list
+    * (the writers insert the whole source row — reshape the USING source
+    * for anything else). */
+  private def runMergeInto(spark: SparkSession, sql: String): DataFrame = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE INTO: $msg")
+    val intoIdx = topLevelKeyword(sql, "INTO", 0)
+    val usingIdx = topLevelKeyword(sql, "USING", intoIdx + 4)
+    if (usingIdx < 0) bad("missing USING")
+    val onIdx = topLevelKeyword(sql, "ON", usingIdx + 5)
+    if (onIdx < 0) bad("missing ON")
+    val firstWhen = topLevelKeyword(sql, "WHEN", onIdx + 2)
+    if (firstWhen < 0) bad("at least one WHEN clause is required")
+    val targetPart = sql.substring(intoIdx + 4, usingIdx).trim
+    val sourcePart = sql.substring(usingIdx + 5, onIdx).trim
+    val condRaw = sql.substring(onIdx + 2, firstWhen).trim
+    val clauses = scala.collection.mutable.ArrayBuffer[String]()
+    var rest = sql.substring(firstWhen).trim.stripSuffix(";").trim
+    while (rest.nonEmpty) {
+      val nxt = topLevelKeyword(rest, "WHEN", 4)
+      if (nxt < 0) { clauses += rest.trim; rest = "" }
+      else { clauses += rest.substring(0, nxt).trim; rest = rest.substring(nxt) }
+    }
+
+    def nameAlias(part: String): (String, Option[String]) = {
+      val toks = part.split("\\s+").filter(_.nonEmpty).toSeq
+      val t2 = if (toks.length >= 2 && toks(1).equalsIgnoreCase("AS"))
+        toks.head +: toks.drop(2) else toks
+      t2 match {
+        case Seq(nm) => (nm, None)
+        case Seq(nm, al) => (nm, Some(al))
+        case _ => bad(s"cannot parse `$part` as <name> [AS] [alias]")
+      }
+    }
+    val (tgtName0, tgtAliasOpt) = nameAlias(targetPart)
+    val tgtName = tgtName0.stripPrefix("\"").stripSuffix("\"")
+    val tAlias = tgtAliasOpt.getOrElse(tgtName)
+    val (srcFrame, sAlias) =
+      if (sourcePart.startsWith("(")) {
+        var depth = 0; var i = 0; var end = -1; var inStr = false
+        while (i < sourcePart.length && end < 0) {
+          val c = sourcePart.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (c == '\'') inStr = true
+          else if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) bad("unbalanced parens in the USING source")
+        val alToks = sourcePart.substring(end + 1).trim
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        val al = alToks match {
+          case Seq(a) => a
+          case Seq(as_, a) if as_.equalsIgnoreCase("AS") => a
+          case _ => bad("USING (subquery) requires an alias")
+        }
+        (executePg(spark, sourcePart.substring(1, end)), al)
+      } else {
+        val (nm, al) = nameAlias(sourcePart)
+        (executePg(spark, s"SELECT * FROM $nm"),
+          al.getOrElse(nm.stripPrefix("\"").stripSuffix("\"")))
+      }
+    if (tAlias.equalsIgnoreCase(sAlias))
+      bad(s"target and source carry the same alias `$tAlias`")
+    // rewrite BOTH aliases to the writers' fixed t./s. in ONE pass (a
+    // sequential replace would corrupt swapped aliases like t↔s)
+    val aliasPat = ("(?i)\\b(" + java.util.regex.Pattern.quote(tAlias) + "|" +
+      java.util.regex.Pattern.quote(sAlias) + ")\\s*\\.").r
+    def aliasRw(text: String): String =
+      aliasPat.replaceAllIn(text, m =>
+        if (m.group(1).equalsIgnoreCase(tAlias)) "t." else "s.")
+
+    val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(tgtName).getOrElse(
+      bad(s"`$tgtName` is not an attached foreign table"))
+    val root = attachOpts.getOrElse("files",
+      bad(s"`$tgtName`: attach carries no files path"))
+    val tableCols = spark.table(tgtName).schema.fieldNames.toSeq
+
+    val nmsHead = """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+))?$""".r
+    val nmHead = """(?is)^WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*(?:AND\s+(.+))?$""".r
+    val mHead = """(?is)^WHEN\s+MATCHED\s*(?:AND\s+(.+))?$""".r
+    val updAct = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+    val delAct = """(?is)^DELETE$""".r
+    val insStarAct = """(?is)^INSERT\s*\*$""".r
+    val insAct = """(?is)^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)$""".r
+
+    var matchedSet = Map.empty[String, String]
+    var matchedDeleteCond: Option[String] = None
+    var matchedDelCondGiven = false
+    var matchedUpdPos = -1; var matchedDelPos = -1
+    var insertNotMatched = false; var insertCond: Option[String] = None
+    var sawInsert = false
+    var bySourceSet = Map.empty[String, String]
+    var bySourceUpdateCond: Option[String] = None
+    var bySourceDeleteCond: Option[String] = None
+    var bsUpdPos = -1; var bsDelPos = -1
+
+    def parseSet(list: String): Map[String, String] =
+      splitTopLevel(list).map { item =>
+        val i = item.indexOf('=')
+        if (i <= 0) bad(s"malformed SET item `${item.trim}`")
+        val k0 = aliasRw(item.take(i).trim)
+        val k = (if (k0.toLowerCase.startsWith("t.")) k0.drop(2) else k0)
+          .trim.stripPrefix("\"").stripSuffix("\"")
+        k -> PgDialect.rewrite(aliasRw(item.drop(i + 1).trim))
+      }.toMap
+    def condOf(c: String): Option[String] =
+      Option(c).map(x => PgDialect.rewrite(aliasRw(x.trim)))
+
+    clauses.zipWithIndex.foreach { case (cl, idx) =>
+      val thenIdx = topLevelKeyword(cl, "THEN", 0)
+      if (thenIdx < 0) bad(s"clause `${cl.take(60)}` has no THEN")
+      val head = cl.substring(0, thenIdx).trim
+      val action = cl.substring(thenIdx + 4).trim
+      head match {
+        case nmsHead(c) => action match {
+          case updAct(setList) =>
+            if (bySourceSet.nonEmpty)
+              bad("duplicate NOT MATCHED BY SOURCE ... UPDATE clause")
+            bySourceSet = parseSet(setList)
+            bySourceUpdateCond = condOf(c); bsUpdPos = idx
+          case delAct() =>
+            if (bySourceDeleteCond.isDefined)
+              bad("duplicate NOT MATCHED BY SOURCE ... DELETE clause")
+            bySourceDeleteCond = Some(condOf(c).getOrElse("true")); bsDelPos = idx
+          case other => bad(
+            s"NOT MATCHED BY SOURCE supports UPDATE SET / DELETE, got `${other.take(40)}`")
+        }
+        case mHead(c) => action match {
+          case updAct(setList) =>
+            if (matchedSet.nonEmpty) bad("duplicate WHEN MATCHED ... UPDATE clause")
+            if (c != null) bad(
+              "WHEN MATCHED AND <cond> THEN UPDATE has no native-writer " +
+                "rendering (the writers carry a conditional matched DELETE " +
+                "only); fold the condition into ON or pre-filter the USING source")
+            matchedSet = parseSet(setList); matchedUpdPos = idx
+          case delAct() =>
+            if (matchedDeleteCond.isDefined)
+              bad("duplicate WHEN MATCHED ... DELETE clause")
+            matchedDelCondGiven = c != null
+            matchedDeleteCond = Some(condOf(c).getOrElse("true")); matchedDelPos = idx
+          case other => bad(
+            s"WHEN MATCHED supports UPDATE SET / DELETE, got `${other.take(40)}`")
+        }
+        case nmHead(c) =>
+          if (sawInsert) bad("duplicate WHEN NOT MATCHED ... INSERT clause")
+          sawInsert = true; insertNotMatched = true; insertCond = condOf(c)
+          action match {
+            case insStarAct() => ()
+            case insAct(colsList, valsList) =>
+              val cols = splitTopLevel(colsList)
+                .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+              val vals = splitTopLevel(valsList).map(v => aliasRw(v.trim))
+              if (cols.length != vals.length) bad("INSERT column/value counts differ")
+              val identity = cols.zip(vals).forall { case (cc, vv) =>
+                val v = vv.toLowerCase.replaceAll("\\s+", "")
+                v == s"s.$cc" || v == cc
+              }
+              if (!identity || cols.toSet != tableCols.map(_.toLowerCase).toSet)
+                bad("only identity INSERT is routable (INSERT * or the full " +
+                  "column list assigning each source column) — the native " +
+                  "writers insert the whole source row; reshape the USING " +
+                  "source instead")
+            case other => bad(s"WHEN NOT MATCHED supports INSERT, got `${other.take(40)}`")
+          }
+        case other => bad(s"cannot parse clause head `${other.take(60)}`")
+      }
+    }
+
+    if (matchedSet.nonEmpty && matchedDeleteCond.isDefined) {
+      if (matchedDelPos > matchedUpdPos) bad(
+        "WHEN MATCHED THEN UPDATE listed before the conditional DELETE: the " +
+          "native writers apply the DELETE clause first, which would change " +
+          "first-match semantics for pairs satisfying both — list the DELETE " +
+          "clause (with its AND condition) first")
+      if (!matchedDelCondGiven) bad(
+        "an unconditional WHEN MATCHED THEN DELETE makes the UPDATE clause unreachable")
+    }
+    if (bySourceSet.nonEmpty && bySourceDeleteCond.isDefined && bsDelPos > bsUpdPos)
+      bad("NOT MATCHED BY SOURCE UPDATE listed before the DELETE: the native " +
+        "writers apply the DELETE clause first — list the DELETE clause first")
+
+    val cond = PgDialect.rewrite(aliasRw(condRaw))
+    val (nUpd, nIns) = fmt.toLowerCase match {
+      case "delta" =>
+        graft.catalog.DeltaSink.mergeInto(spark, root, srcFrame, cond,
+          matchedSet = matchedSet, insertNotMatched = insertNotMatched,
+          matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
+          bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
+          bySourceDeleteCond = bySourceDeleteCond)
+      case "iceberg" =>
+        if (matchedDeleteCond.isDefined) bad(
+          "the iceberg writer has no conditional matched DELETE — route the " +
+            "delete through DELETE FROM, or attach the table as delta")
+        if (insertCond.isDefined) bad(
+          "the iceberg writer has no conditional INSERT — pre-filter the USING source")
+        graft.catalog.IcebergSink.mergeInto(spark, root, srcFrame, cond,
+          matchedSet = matchedSet, insertNotMatched = insertNotMatched,
+          bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
+          bySourceDeleteCond = bySourceDeleteCond)
+      case other => bad(
+        s"MERGE is implemented for delta and iceberg attaches (got format `$other`)")
+    }
+    graft.catalog.Catalog.attach(spark, tgtName, fmt, attachOpts)
+    import spark.implicits._
+    Seq((nUpd, nIns)).toDF("rows_updated", "rows_inserted")
   }
 
   /** Run a multi-statement PG script — the shape the reference's fixtures
