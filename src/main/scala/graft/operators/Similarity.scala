@@ -901,8 +901,21 @@ object Similarity {
     * vectors are read for a bounded candidate set, never the corpus. */
   def pqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       kCand: Int = 30, m: Int = 8, kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val dim = candidates.select(size(col("embedding"))).head().getInt(0)
+    pqRerankWithModel(queries, candidates, k, kCand,
+      pqModel(candidates, m, kCodes, iters, dim), dim)
+  }
+
+  /** [[pqRerankTopK]] served from ALREADY-LOADED codebooks (the persisted-
+    * index path — zero training jobs): PQ/ADC coarse stage to `kCand`
+    * candidates, exact cosine rerank to `k`. Because [[pqModel]] training
+    * is deterministic, serving from persisted codebooks is bit-identical
+    * to the inline-trained chain — the same contract that lets s10's
+    * oracle also gate the streaming PQ serving (x32). */
+  def pqRerankWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCand: Int, model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
-    val cand = pqTopK(queries, candidates, kCand, m, kCodes, iters)
+    val cand = pqSearchWithModel(queries, candidates, kCand, model, dim)
       .select(col("q_id"), col("vec_id"))
     val rer = cand
       .join(candidates.select(col("vec_id"), col("embedding").as("__cv")), Seq("vec_id"))

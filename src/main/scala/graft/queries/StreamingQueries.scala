@@ -1803,7 +1803,118 @@ object StreamingQueries {
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${graft.operators.Similarity.ivfLearnedSql(6, kCells = 4, iters = 2, nprobe = 2)}"""))
 
+  // ---------------------------------------------------------------- x31
+  // STREAMING INCREMENTAL DEDUP GATE from the PERSISTED history index —
+  // the d17 lifecycle on a live feed: arrivals gate row-locally against
+  // the index's per-epoch bloom literals, the maybe sliver exact-verifies
+  // stream-static against the persisted key table, survivors append
+  // exactly-once. NO stream-side state, NO raw-history scan. The replay
+  // exercises the documented append-pickup granularity: epoch 0 indexes
+  // even-%4 docs, micro-batch 1 gates against it, then a NEW shard
+  // (%4==2) appends MID-STREAM and micro-batch 2 is gated against both
+  // epochs — so batch-2 rows duplicating the appended shard must drop
+  // while identical batch-1 rows survived. The oracle knows no blooms, no
+  // epochs, no batches: two plain NOT-IN selects against exactly the
+  // epochs each batch saw.
+  private val x31 = QueryDef(
+    "x31_stream_dedup_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = Tables.load(s, dir, "documents")
+      val root = freshRoot(dir, "x31")
+      val idx = new java.io.File(root, "hist_index").getPath
+      val out = new java.io.File(root, "gated_delta").getPath
+      graft.operators.DedupIndex.build(d.filter(col("doc_id") % 4 === 0), "text", idx)
+      def batchOf(m: Long, tag: String) =
+        d.filter(col("doc_id") % 3 === m).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(s" $tag "),
+              col("doc_id").cast("string"))).as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val in = MemoryStream[(Long, String)](1)
+      val writer = Streams.dedupGateStream(in.toDF().toDF("doc_id", "text"),
+        idx, out, "text", "doc_id", appId = "x31-gate")
+      withReplayConf(s, 1) { ck =>
+        val q = writer.option("checkpointLocation", ck).start()
+        try {
+          in.addData(batchOf(0L, "fr1"))
+          q.processAllAvailable()
+          // the mid-stream shard commit the next batch must see
+          graft.operators.DedupIndex.append(
+            d.filter(col("doc_id") % 4 === 2), "text", idx)
+          in.addData(batchOf(1L, "fr2"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x31_gated_out", "delta", Map("files" -> out))
+        .select(col("doc_id"), col("h"))
+    },
+    Some("""
+      WITH e0 AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+                  FROM documents WHERE doc_id % 4 = 0),
+      e01 AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+              FROM documents WHERE doc_id % 4 = 0 OR doc_id % 4 = 2),
+      b1 AS (SELECT doc_id, md5(regexp_replace(lower(
+                 CASE WHEN doc_id % 2 = 0 THEN text
+                      ELSE text || ' fr1 ' || doc_id::VARCHAR END),
+               '\s+', ' ', 'g')) AS h
+             FROM documents WHERE doc_id % 3 = 0),
+      b2 AS (SELECT doc_id, md5(regexp_replace(lower(
+                 CASE WHEN doc_id % 2 = 0 THEN text
+                      ELSE text || ' fr2 ' || doc_id::VARCHAR END),
+               '\s+', ' ', 'g')) AS h
+             FROM documents WHERE doc_id % 3 = 1)
+      SELECT doc_id, h FROM b1 WHERE h NOT IN (SELECT h FROM e0)
+      UNION ALL
+      SELECT doc_id, h FROM b2 WHERE h NOT IN (SELECT h FROM e01)"""))
+
+  // ---------------------------------------------------------------- x32
+  // STREAMING PQ SERVING from the persisted codebooks — the compressed-
+  // domain sibling of x30: the stream pins one codebook generation at
+  // start (zero training jobs for its lifetime), each micro-batch runs
+  // the two-stage PQ/ADC-coarse + exact-cosine-rerank chain, results
+  // append exactly-once. Deterministic training makes the persisted-model
+  // serve bit-identical to the inline chain, so s10's replay SQL is the
+  // oracle verbatim.
+  private val x32 = QueryDef(
+    "x32_stream_ann_serve_pq",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.load(s, dir, "embeddings")
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"/root/repo/target/export/${new java.io.File(dir).getName}/ann_pq_index"
+      graft.operators.AnnIndex.ensurePq(candidates, idx, m = 8, kCodes = 8,
+        iters = 2, dim = 64)
+      val out = new java.io.File(freshRoot(dir, "x32"), "serve_delta").getPath
+      val in = MemoryStream[(Long, Seq[Float])](1)
+      val writer = Streams.annServeStreamPq(in.toDF().toDF("q_id", "q_vec"),
+        candidates, idx, out, k = 10, kCand = 30, dim = 64, appId = "x32-serve")
+      withReplayConf(s, 1) { ck =>
+        val q = writer.option("checkpointLocation", ck).start()
+        try {
+          val qs = e.filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          in.addData(qs.filter(_._1 < 3).toSeq)
+          q.processAllAvailable()
+          in.addData(qs.filter(_._1 >= 3).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x32_serve_out", "delta", Map("files" -> out))
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${graft.operators.Similarity.pqRerankSql(10, kCand = 30)}"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30)
+    x26, x27, x28, x29, x30, x31, x32)
 }

@@ -114,6 +114,59 @@ object Streams {
     }
   }
 
+  /** STREAMING PQ SERVING — the compressed-domain sibling of
+    * [[annServeStream]]: the stream pins ONE persisted codebook generation
+    * at start (AnnIndex.loadPq → bounded driver literals, ZERO training
+    * jobs for the stream's lifetime), each micro-batch of query vectors
+    * runs the two-stage PQ/ADC-coarse + exact-cosine-rerank chain
+    * ([[graft.operators.Similarity.pqRerankWithModel]]) against the
+    * static corpus, and results append exactly-once via the (appId,
+    * batchId) ledger. Per-row independence keeps batch boundaries
+    * invisible — the batch s10 replay chain is the oracle. */
+  def annServeStreamPq(queries: DataFrame, candidates: DataFrame,
+      indexPath: String, outRoot: String, k: Int, kCand: Int, dim: Int,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val model = graft.operators.AnnIndex.loadPq(queries.sparkSession, indexPath)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.operators.Similarity
+          .pqRerankWithModel(batch.toDF(), candidates, k, kCand, model, dim)
+        graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
+          txn = Some((appId, batchId)))
+        ()
+    }
+  }
+
+  /** STREAMING INCREMENTAL DEDUP GATE — arrivals gate against the FULL
+    * historical corpus through the persisted [[graft.operators.DedupIndex]]
+    * artifact: per micro-batch the gate loads the index's per-epoch bloom
+    * literals (bounded driver state), tags rows ROW-LOCALLY, and exact-
+    * verifies only the maybe sliver against the persisted key table
+    * (stream-static, size-gated broadcast) — NO stream-side state store,
+    * no watermark, and the raw history is never scanned (the d17
+    * contract on a live feed). Surviving rows append exactly-once via the
+    * (appId, batchId) ledger.
+    *
+    * Index APPEND PICKUP granularity: the index is re-read at each
+    * micro-batch boundary, so a shard committed via DedupIndex.append
+    * gates every batch that STARTS after the commit — the same
+    * read-committed semantics as the batch gate. (Deliberately re-read,
+    * unlike the pinned ANN model: a dedup gate that serves a stale key
+    * set admits duplicates, while a pinned ANN generation only changes
+    * ranking; correctness wins over the per-batch reload cost, which is
+    * one log replay + one bloom-row read.) */
+  def dedupGateStream(arrivals: DataFrame, indexPath: String, outRoot: String,
+      textCol: String, idCol: String, appId: String,
+      broadcastKeyLimit: Long = 500000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.operators.DedupIndex.gate(batch.toDF(), indexPath,
+          textCol, idCol, broadcastKeyLimit)
+        graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
+          txn = Some((appId, batchId)))
+        ()
+    }
+
   def geofenceGate(points: DataFrame, fences: DataFrame,
       pointGeom: String, fenceGeom: String): DataFrame =
     points.join(broadcast(fences),

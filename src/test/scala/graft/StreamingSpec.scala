@@ -316,4 +316,67 @@ class StreamingSpec extends SparkSpec {
         s"expected the NULL-key guard, got: ${e.getMessage}")
     } finally q.stop()
   }
+
+  test("streaming dedup gate: zero raw-history passes, mid-stream append picked up next batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("sgate").getAbsolutePath
+    val hist0 = Seq((10L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    graft.operators.DedupIndex.build(hist0, "text", s"$dir/idx")
+    val in = MemoryStream[(Long, String)]
+    val writer = Streams.dedupGateStream(in.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", s"$dir/out", "text", "doc_id", appId = "sgate-spec")
+    val q = writer.option("checkpointLocation", s"$dir/ck").start()
+    try {
+      val before = graft.operators.DedupIndex.historyPasses.get()
+      // batch 1: one dup of epoch 0, one fresh, one NOT-YET-indexed text
+      in.addData((1L, "Alpha  Beta"), (2L, "fresh one"), (3L, "epsilon zeta"))
+      q.processAllAvailable()
+      assert(graft.operators.DedupIndex.historyPasses.get() === before,
+        "the streaming gate scanned raw history")
+      // mid-stream shard commit: "epsilon zeta" becomes history
+      graft.operators.DedupIndex.append(
+        Seq((12L, "epsilon zeta")).toDF("doc_id", "text"), "text", s"$dir/idx")
+      // batch 2: the same text must now DROP; a fresh row survives
+      in.addData((4L, "epsilon zeta"), (5L, "fresh two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = graft.sources.DeltaNative.read(spark, s"$dir/out", Map.empty)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out === Seq(2L, 3L, 5L))
+  }
+
+  test("streaming PQ serving pins one codebook generation, zero training on the stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val candidates = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("embedding"))
+    val dir = tempDir("spq").getAbsolutePath
+    graft.operators.AnnIndex.ensurePq(candidates, s"$dir/idx", m = 8, kCodes = 8,
+      iters = 2, dim = 64)
+    val inline = graft.operators.Similarity
+      .pqRerankTopK(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        candidates, k = 5, kCand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val in = MemoryStream[(Long, Seq[Float])]
+    val writer = Streams.annServeStreamPq(in.toDF().toDF("q_id", "q_vec"),
+      candidates, s"$dir/idx", s"$dir/out", k = 5, kCand = 20, dim = 64,
+      appId = "spq-spec")
+    val before = graft.operators.Similarity.trainingRuns.get()
+    val q = writer.option("checkpointLocation", s"$dir/ck").start()
+    try {
+      val qs = e.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      in.addData(qs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.operators.Similarity.trainingRuns.get() === before,
+      "the PQ serving stream ran a training job")
+    val served = graft.sources.DeltaNative.read(spark, s"$dir/out", Map.empty)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSeq.sorted
+    assert(served === inline)
+  }
 }
