@@ -2595,14 +2595,22 @@ object DeltaSink {
         .getOrElse(col(s"t.${f.name}"))
     val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
     val bsUpdFlag = !matchedFlag && !bsDelCond && bsUpdCond
+    // the BY SOURCE branches are grafted into the rewrite expressions ONLY
+    // when a by-source clause is live: the literal-false conditions would
+    // constant-fold anyway, but the extra nodes still pay analysis/planning
+    // time on every plain-MERGE invocation (measured ~+0.1 s fixed per
+    // call in the r14 A/B — see BASELINE.md)
     val rewritten =
       if (!doRewrite) null
-      else joinedAff.filter(!(matchedFlag && delPairCond) &&
-          !(!matchedFlag && bsDelCond))
+      else joinedAff.filter(
+          if (bySourceActive)
+            !(matchedFlag && delPairCond) && !(!matchedFlag && bsDelCond)
+          else !(matchedFlag && delPairCond))
         .select(schema.fields.map { f =>
-          org.apache.spark.sql.functions
+          val matchedBranch = org.apache.spark.sql.functions
             .when(matchedFlag, newVal(f))
-            .when(bsUpdFlag, bsVal(f))
+          (if (bySourceActive) matchedBranch.when(bsUpdFlag, bsVal(f))
+           else matchedBranch)
             .otherwise(col(s"t.${f.name}")).as(f.name)
         }.toSeq ++ (rtMat match {
           // carried rows keep id+version; updated rows keep id, re-default
@@ -2611,7 +2619,8 @@ object DeltaSink {
           case Some((matId, matVer)) => Seq(
             col("t.__rt_id").as(matId),
             org.apache.spark.sql.functions
-              .when(matchedFlag || bsUpdFlag, lit(null).cast("long"))
+              .when(if (bySourceActive) matchedFlag || bsUpdFlag else matchedFlag,
+                lit(null).cast("long"))
               .otherwise(col("t.__rt_ver")).as(matVer))
         }): _*)
     val updatedRows =
