@@ -118,6 +118,17 @@ object Catalog {
               "keep_wkb=false is GeoJSON-only (its native representation is json " +
                 "text); a DXF entity's geometry is delivered as WKB")
           graft.sources.Dxf.read(spark, files, options)
+        case "spatial" if files.exists(f =>
+            f.toLowerCase.endsWith(".mif") || f.toLowerCase.endsWith(".tab")) =>
+          if (!files.forall(f =>
+              f.toLowerCase.endsWith(".mif") || f.toLowerCase.endsWith(".tab")))
+            throw InvalidOptionException(
+              "spatial attach mixes MapInfo files with other formats; attach them separately")
+          if (options.get("keep_wkb").exists(_.toBoolean == false))
+            throw InvalidOptionException(
+              "keep_wkb=false is GeoJSON-only (its native representation is json " +
+                "text); a MapInfo feature's geometry is delivered as WKB")
+          graft.sources.Mif.read(spark, files, options)
         case "spatial" if files.exists(f => f.toLowerCase.endsWith(".gpx")) =>
           if (!files.forall(f => f.toLowerCase.endsWith(".gpx")))
             throw InvalidOptionException(
@@ -305,7 +316,7 @@ object Catalog {
       l.endsWith(".shp") || l.endsWith(".geojson") || l.endsWith(".json") ||
         l.endsWith(".gpkg") || l.endsWith(".xlsx") || l.endsWith(".kml") ||
         l.endsWith(".gml") || l.endsWith(".gpx") || l.endsWith(".fgb") ||
-        l.endsWith(".dxf")
+        l.endsWith(".dxf") || l.endsWith(".mif")
     }
     def base(n: String): String = {
       val i = n.lastIndexOf('.'); if (i > 0) n.take(i) else n
@@ -339,6 +350,7 @@ object Catalog {
       else if (l.endsWith(".gpx")) "GPX"
       else if (l.endsWith(".fgb")) "FlatGeobuf"
       else if (l.endsWith(".dxf")) "DXF"
+      else if (l.endsWith(".mif") || l.endsWith(".tab")) "MapInfo File"
       else "GeoJSON"
     }
     options.get("allowed_drivers").foreach { ad =>

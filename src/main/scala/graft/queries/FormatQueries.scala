@@ -1276,6 +1276,59 @@ object FormatQueries {
     f.getPath
   }
 
+  // ---------------------------------------------------------------- g16
+  // Native MapInfo MIF/MID attach — the paired-file interchange format
+  // (GDAL's "MapInfo File" driver surface): typed columns from the .mif
+  // header, delimited attributes from the sibling .mid paired by order,
+  // geometry through the shared WKB codec — oracle-checked against the
+  // same independently-encoded Point(k/2, k) WKB hex as g01/g02/g14/g15.
+  private val g16 = QueryDef(
+    "g16_mapinfo_scan",
+    (s, dir) => {
+      val path = nationMif(s, dir)
+      import org.apache.spark.sql.functions._
+      Catalog.attach(s, "g16_nation_mif", "spatial", Map("files" -> path))
+        .select(col("nationkey").cast("long").as("nationkey"),
+          col("name"), upper(hex(col("geom"))).as("wkb_hex"))
+    },
+    Some {
+      val expected = (0L until 25L).map { k =>
+        s"($k, '0101000000${hexLE(k / 2.0)}${hexLE(k.toDouble)}')"
+      }.mkString(", ")
+      s"""
+      WITH expect(nationkey, wkb_hex) AS (VALUES $expected)
+      SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS name, e.wkb_hex
+      FROM nation n JOIN expect e ON e.nationkey = n.n_nationkey"""
+    })
+
+  /** nation → a MIF/MID pair: POINT records on the planted Point(k/2, k)
+    * lattice, attributes (nationkey Integer, name Char) in the .mid.
+    * Text emitted directly — MIF IS a text format; the reader re-parses
+    * the header, the geometry stream and the delimited pairing. */
+  private def nationMif(s: SparkSession, dir: String): String = {
+    val f = new java.io.File(s"${exportRoot(dir)}/nation_mif/nation.mif")
+    if (!f.exists()) {
+      import org.apache.spark.sql.functions._
+      val rows = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+        .sortBy(_.getLong(0))
+      f.getParentFile.mkdirs()
+      val pts = rows.map { r =>
+        val k = r.getLong(0)
+        s"POINT ${k / 2.0} ${k.toDouble}\n"
+      }.mkString
+      java.nio.file.Files.writeString(f.toPath,
+        "VERSION 300\nCharset \"Neutral\"\nDELIMITER \",\"\n" +
+          "COLUMNS 2\n  nationkey Integer\n  name Char(32)\nDATA\n" + pts)
+      val mid = rows.map { r =>
+        s"""${r.getLong(0)},"${r.getString(1)}"""" + "\n"
+      }.mkString
+      java.nio.file.Files.writeString(
+        new java.io.File(f.getParentFile, "nation.mid").toPath, mid)
+    }
+    f.getPath
+  }
+
   // ---------------------------------------------------------------- g02
   // Native SHAPEFILE attach: .shp points + .dbf attributes → the same WKB
   // `geom` contract as g01, oracle-checked against the identical
@@ -3539,7 +3592,7 @@ object FormatQueries {
       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
 
   val all: Seq[QueryDef] =
-    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
+    Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15, g16, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
       w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, w18, f01, f02, f03)
 }

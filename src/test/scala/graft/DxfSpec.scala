@@ -94,4 +94,17 @@ class DxfSpec extends SparkSpec {
       Map("files" -> d2.getPath, "layer" -> "a"))
     assert(a.count() === 1)
   }
+
+  test("POLYLINE header's mandatory dummy point (10/20/30 zeros) is not a vertex") {
+    // real AutoCAD output always carries the dummy point in the POLYLINE
+    // header itself; collecting it would prepend a spurious (0,0) vertex
+    val dir = tempDir("dxf")
+    val f = writeDxf(dir, "pd.dxf",
+      "0\nPOLYLINE\n5\n30\n8\nC\n70\n0\n10\n0.0\n20\n0.0\n30\n0.0\n" +
+        "0\nVERTEX\n8\nC\n10\n5.0\n20\n5.0\n" +
+        "0\nVERTEX\n8\nC\n10\n6.0\n20\n7.0\n0\nSEQEND\n")
+    val df = Catalog.attach(spark, "dxf_pd", "spatial", Map("files" -> f))
+    val g = df.collect().head.getAs[Array[Byte]]("geom")
+    assert(wkbHex(g) === geo("""{"type":"LineString","coordinates":[[5,5],[6,7]]}"""))
+  }
 }
