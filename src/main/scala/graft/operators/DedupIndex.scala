@@ -92,21 +92,31 @@ object DedupIndex {
     val persistedKeys = attach(spark, path)
       .filter(col("kind") === "key" && col("epoch") === epoch)
       .select(col("hx"))
-    DeltaSink.write(bloomRow(spark, persistedKeys, epoch, fpp, expectedItems),
+    // AUTO-SIZE by default (expectedItems <= 0): unlike the inline d15
+    // gate — where a sizing count would be a third raw-history scan — the
+    // key table is already persisted here, so an exact count is one cheap
+    // pass over 16-byte rows and the sketch is sized to REALITY (a 4M-key
+    // default sketch is ~5 MB of literal per epoch in every later gate's
+    // codegen, paid even for a 1k-doc epoch). A caller-supplied estimate
+    // still wins when the epoch cardinality is known from table stats.
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(persistedKeys.count(), 1024L)
+    DeltaSink.write(bloomRow(spark, persistedKeys, epoch, fpp, items),
       path, Map.empty)
   }
 
   /** Build (or REBUILD — overwrite) the index from the historical corpus:
     * epoch 0's key table + sized bloom. */
   def build(history: DataFrame, textCol: String, path: String,
-      fpp: Double = 0.01, expectedItems: Long = 1L << 22): Unit =
+      fpp: Double = 0.01, expectedItems: Long = 0L): Unit =
     writeEpoch(history, textCol, path, 0L, overwrite = true, fpp, expectedItems)
 
   /** Grow the index by one epoch as a shard commits: the shard's keys +
     * its OWN sized bloom append; no existing sketch is touched or resized
     * (the epoch-partitioning contract). */
   def append(shard: DataFrame, textCol: String, path: String,
-      fpp: Double = 0.01, expectedItems: Long = 1L << 22): Unit = {
+      fpp: Double = 0.01, expectedItems: Long = 0L): Unit = {
     val next = maxEpoch(shard.sparkSession, path) + 1L
     writeEpoch(shard, textCol, path, next, overwrite = false, fpp, expectedItems)
   }
@@ -114,7 +124,7 @@ object DedupIndex {
   /** Idempotent build-if-absent (the [[AnnIndex.ensureIvf]] arrangement —
     * first run builds, every later run serves). */
   def ensure(history: DataFrame, textCol: String, path: String,
-      fpp: Double = 0.01, expectedItems: Long = 1L << 22): Boolean =
+      fpp: Double = 0.01, expectedItems: Long = 0L): Boolean =
     if (!exists(history.sparkSession, path)) { build(history, textCol, path, fpp, expectedItems); true }
     else false
 
