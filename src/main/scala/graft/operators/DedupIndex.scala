@@ -59,6 +59,14 @@ object DedupIndex {
     * zero-history-scans pin for the gate path. */
   val historyPasses = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Index MODE, carried on every bloom row's `h` sentinel: an EXACT
+    * index keys md5(norm) documents, a FUZZY one keys MinHash
+    * `band:band_sig` strings — serving one through the other's gate would
+    * silently compute nonsense, so the gates check the mode loudly.
+    * (Legacy r14-early indexes carry "" — read as exact.) */
+  private val ModeExact = "exact"
+  private val ModeFuzzy = "fuzzy"
+
   private def keyRows(df: DataFrame, textCol: String, epoch: Long): DataFrame = {
     historyPasses.incrementAndGet()
     val n = Dedup.normText(col(textCol))
@@ -68,27 +76,42 @@ object DedupIndex {
         lit(null).cast("binary").as("payload"))
   }
 
+  /** Fuzzy key rows: the doc's MinHash band keys (k=16/r=4 — 4 keys/doc,
+    * the d16 chain), h = `band:band_sig`, hx = xxhash64 of it. */
+  private def fuzzyKeyRows(df: DataFrame, textCol: String, idCol: String,
+      epoch: Long): DataFrame = {
+    historyPasses.incrementAndGet()
+    Dedup.bandSignatures(Dedup.minhashWide(df, textCol, idCol), idCol)
+      .select(concat_ws(":", col("band"), col("band_sig")).as("h")).distinct()
+      .select(lit("key").as("kind"), lit(SpecVersion).as("spec_version"),
+        lit(epoch).as("epoch"), col("h"), xxhash64(col("h")).as("hx"),
+        lit(null).cast("binary").as("payload"))
+  }
+
   private def bloomRow(spark: SparkSession, keys: DataFrame, epoch: Long,
-      fpp: Double, expectedItems: Long): DataFrame = {
+      fpp: Double, expectedItems: Long, mode: String): DataFrame = {
     val bloom = keys.stat.bloomFilter("hx", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
-    // h/hx are sentinels on bloom rows, never nulls: the key commit creates
-    // the table with md5/xxhash64's NON-nullable schema, and neither column
-    // is ever read under kind='bloom'
+    // h carries the index MODE on bloom rows (hx stays a sentinel): the
+    // key commit creates the table with md5/xxhash64's NON-nullable
+    // schema, and neither column means anything else under kind='bloom'
     spark.range(1).select(
       lit("bloom").as("kind"), lit(SpecVersion).as("spec_version"),
-      lit(epoch).as("epoch"), lit("").as("h"),
+      lit(epoch).as("epoch"), lit(mode).as("h"),
       lit(0L).as("hx"), lit(bos.toByteArray).as("payload"))
   }
 
   private def writeEpoch(history: DataFrame, textCol: String, path: String,
-      epoch: Long, overwrite: Boolean, fpp: Double, expectedItems: Long): Unit = {
+      epoch: Long, overwrite: Boolean, fpp: Double, expectedItems: Long,
+      mode: String = ModeExact, idCol: String = ""): Unit = {
     val spark = history.sparkSession
     val opts = if (overwrite) Map("overwrite" -> "true") else Map.empty[String, String]
     // ONE raw-history pass: the key projection persists, then the epoch's
     // bloom folds over the persisted 16-byte key rows, not the corpus
-    DeltaSink.write(keyRows(history, textCol, epoch), path, opts)
+    val kr = if (mode == ModeFuzzy) fuzzyKeyRows(history, textCol, idCol, epoch)
+      else keyRows(history, textCol, epoch)
+    DeltaSink.write(kr, path, opts)
     val persistedKeys = attach(spark, path)
       .filter(col("kind") === "key" && col("epoch") === epoch)
       .select(col("hx"))
@@ -102,7 +125,7 @@ object DedupIndex {
     val items =
       if (expectedItems > 0) expectedItems
       else math.max(persistedKeys.count(), 1024L)
-    DeltaSink.write(bloomRow(spark, persistedKeys, epoch, fpp, items),
+    DeltaSink.write(bloomRow(spark, persistedKeys, epoch, fpp, items, mode),
       path, Map.empty)
   }
 
@@ -149,9 +172,10 @@ object DedupIndex {
 
   /** Load every epoch's sketch bytes — bounded driver literals (one blob
     * per epoch), the gate's only driver-side state. */
-  private def loadBlooms(spark: SparkSession, path: String): Seq[Array[Byte]] = {
+  private def loadBlooms(spark: SparkSession, path: String,
+      wantMode: String): Seq[Array[Byte]] = {
     val rows = attach(spark, path).filter(col("kind") === "bloom")
-      .select(col("spec_version"), col("epoch"), col("payload"))
+      .select(col("spec_version"), col("epoch"), col("payload"), col("h"))
       .collect()
     if (rows.isEmpty) throw DedupIndexException(
       s"`$path`: no bloom rows — not a dedup index table (build it with " +
@@ -162,6 +186,13 @@ object DedupIndex {
           s"$SpecVersion — rebuild the index rather than mixing arithmetic " +
           "generations")
     }
+    rows.iterator.map(_.getString(3)).map(m => if (m.isEmpty) ModeExact else m)
+      .find(_ != wantMode).foreach { m =>
+        throw DedupIndexException(
+          s"`$path`: this is a $m index but the $wantMode gate was asked to " +
+            "serve it — an exact gate over band keys (or a fuzzy gate over " +
+            "document hashes) would silently compute nonsense")
+      }
     rows.sortBy(_.getLong(1)).map(_.getAs[Array[Byte]]("payload")).toSeq
   }
 
@@ -174,7 +205,7 @@ object DedupIndex {
   def gate(newDf: DataFrame, path: String, textCol: String, idCol: String,
       broadcastKeyLimit: Long = 500000L): DataFrame = {
     val spark = newDf.sparkSession
-    val blooms = loadBlooms(spark, path)
+    val blooms = loadBlooms(spark, path, ModeExact)
     val hx = xxhash64(Dedup.normText(col(textCol)))
     val maybe = blooms.map(b => call_function("bloom_might_contain", lit(b), hx))
       .reduceLeft(_ || _)
@@ -200,5 +231,111 @@ object DedupIndex {
           .join(keyTable.hint("shuffle_merge"), Seq("h"), "left_anti")
           .select(col(idCol), col("h"))
     clean.unionByName(verified)
+  }
+
+  // ------------------------------------------------------- fuzzy index
+
+  /** Build (or REBUILD) a FUZZY history index — the near-dup sibling of
+    * [[build]] (what [[Dedup.fuzzyIncrementalGate]] rebuilds per
+    * invocation): the history's MinHash band keys persist as the key
+    * table, each epoch with its own sized bloom. One raw-history pass,
+    * band signatures computed row-locally (zero shuffle before the
+    * distinct). */
+  def buildFuzzy(history: DataFrame, textCol: String, idCol: String,
+      path: String, fpp: Double = 0.01, expectedItems: Long = 0L): Unit =
+    writeEpoch(history, textCol, path, 0L, overwrite = true, fpp,
+      expectedItems, ModeFuzzy, idCol)
+
+  /** Grow the fuzzy index by one epoch (the [[append]] contract). */
+  def appendFuzzy(shard: DataFrame, textCol: String, idCol: String,
+      path: String, fpp: Double = 0.01, expectedItems: Long = 0L): Unit = {
+    val next = maxEpoch(shard.sparkSession, path) + 1L
+    writeEpoch(shard, textCol, path, next, overwrite = false, fpp,
+      expectedItems, ModeFuzzy, idCol)
+  }
+
+  /** Idempotent fuzzy build-if-absent. */
+  def ensureFuzzy(history: DataFrame, textCol: String, idCol: String,
+      path: String, fpp: Double = 0.01, expectedItems: Long = 0L): Boolean =
+    if (!exists(history.sparkSession, path)) {
+      buildFuzzy(history, textCol, idCol, path, fpp, expectedItems); true
+    } else false
+
+  /** FUZZY gate from the persisted index — the
+    * [[Dedup.fuzzyIncrementalGate]] output contract (idCol, n_hit_bands,
+    * keep) with ZERO raw-history scans: batch docs band row-locally
+    * (zero-shuffle `minhash_sig`), per-epoch blooms OR-fold into the
+    * row-local gate, the maybe-band sliver exact-verifies against the
+    * persisted band-key table (size-gated broadcast / shuffle fallback).
+    * Docs too short to shingle carry no bands and keep with 0 hits —
+    * the d16 convention, consistent in both engines by construction. */
+  def gateFuzzy(newDf: DataFrame, path: String, textCol: String,
+      idCol: String, broadcastKeyLimit: Long = 500000L): DataFrame = {
+    val spark = newDf.sparkSession
+    val blooms = loadBlooms(spark, path, ModeFuzzy)
+    val maybeCond = blooms
+      .map(b => call_function("bloom_might_contain", lit(b), xxhash64(col("h"))))
+      .reduceLeft(_ || _)
+    // bounded one-resident-frame cache: the maybe-band rows feed the
+    // size-gate count AND the hit aggregation (the d16 arrangement)
+    val maybes = Dedup.bandSignatures(Dedup.minhashWide(newDf, textCol, idCol), idCol)
+      .select(col(idCol), concat_ws(":", col("band"), col("band_sig")).as("h"))
+      .filter(maybeCond)
+      .persist()
+    Dedup.swapGateCache(maybes)
+    val keyTable = attach(spark, path).filter(col("kind") === "key").select(col("h"))
+    val nMaybe = maybes.count()
+    val hits =
+      if (nMaybe <= broadcastKeyLimit) {
+        val maybeKeys = maybes.select(col("h")).distinct()
+        val present = keyTable
+          .join(broadcast(maybeKeys), Seq("h"), "left_semi").distinct()
+        maybes.join(broadcast(present), Seq("h"), "left_semi")
+          .groupBy(col(idCol)).agg(countDistinct(col("h")).as("n_hit_bands"))
+      } else
+        maybes.join(keyTable.hint("shuffle_merge"), Seq("h"), "left_semi")
+          .groupBy(col(idCol)).agg(countDistinct(col("h")).as("n_hit_bands"))
+    newDf.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"))
+      .withColumn("keep", col("n_hit_bands") === 0L)
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** COMPACT the index: fold every epoch into ONE (distinct keys, one
+    * sized bloom) — the maintenance pass a long-lived index schedules
+    * once the per-epoch bloom list grows past what a gate expression
+    * should carry (each epoch is one sketch literal in the gate's
+    * codegen). Reads ONLY the persisted key table — the raw history is
+    * never touched (same [[historyPasses]] pin as the gates) — and
+    * rewrites the table in place (Delta overwrite; prior generations
+    * stay time-travelable). Gate output is identical before and after:
+    * the distinct key SET is what the verify consults, and the merged
+    * bloom stays a pure optimization. */
+  def compact(spark: SparkSession, path: String, fpp: Double = 0.01): Unit = {
+    val all = attach(spark, path)
+    val modes = all.filter(col("kind") === "bloom").select(col("h"))
+      .distinct().collect().map(r => if (r.getString(0).isEmpty) ModeExact else r.getString(0))
+    if (modes.isEmpty) throw DedupIndexException(
+      s"`$path`: no bloom rows — not a dedup index table")
+    if (modes.length > 1) throw DedupIndexException(
+      s"`$path`: mixed index modes ${modes.mkString(",")} — corrupt table")
+    val keys = all.filter(col("kind") === "key")
+      .select(col("h"), col("hx")).distinct()
+      .select(lit("key").as("kind"), lit(SpecVersion).as("spec_version"),
+        lit(0L).as("epoch"), col("h"), col("hx"),
+        lit(null).cast("binary").as("payload"))
+      // the overwrite replaces the files this frame reads — materialize
+      // the compacted keys BEFORE the commit or the write would consume
+      // its own tombstones
+      .localCheckpoint()
+    DeltaSink.write(keys, path, Map("overwrite" -> "true"))
+    val persistedKeys = attach(spark, path)
+      .filter(col("kind") === "key").select(col("hx"))
+    val items = math.max(persistedKeys.count(), 1024L)
+    DeltaSink.write(bloomRow(spark, persistedKeys, 0L, fpp, items, modes.head),
+      path, Map.empty)
   }
 }

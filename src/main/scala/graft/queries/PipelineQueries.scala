@@ -32,7 +32,7 @@ object PipelineQueries {
     * oracle can run the SAME chain over two sources in one statement —
     * one copy of the arithmetic, every consumer desynchronizes together or
     * not at all. Expects `consts(seed, a, b)` defined upstream. */
-  private def bandChainCte(src: String, p: String): String = s"""
+  private[queries] def bandChainCte(src: String, p: String): String = s"""
       ${p}toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM $src),
       ${p}idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM ${p}toks WHERE len(tk) >= 3),
       ${p}sh AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle FROM ${p}idx),
@@ -1091,6 +1091,50 @@ object PipelineQueries {
               FROM batch)
       SELECT doc_id, h FROM new WHERE h NOT IN (SELECT h FROM hist)"""))
 
+  // ---------------------------------------------------------------- d18
+  // PERSISTED FUZZY HISTORY INDEX — the near-dup sibling of d17 (and the
+  // persisted lifecycle of d16's inline gate): the history's MinHash band
+  // keys build ONCE as the index's key table (epoch 0 = even docs, epoch 1
+  // append = odd docs, each with its own sized bloom), and the gate bands
+  // the batch row-locally, OR-folds the per-epoch blooms, and exact-
+  // verifies only the maybe-band sliver against the persisted band-key
+  // table — ZERO raw-history scans (DedupIndexSpec-pinned). Same batch
+  // classes as d16 (verbatim / one-token-appended / fresh), same oracle
+  // shape: the ENTIRE minhash→band chain replayed on both sides, epochs
+  // invisible to the oracle — a stale epoch, fpp artifact or band-key
+  // drift fails rows AND hash.
+  private val d18 = QueryDef(
+    "d18_fuzzy_index_gate",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val idx = s"${annScratch(dir)}/dedup_fuzzy_index"
+      if (DedupIndex.ensureFuzzy(d.filter(col("doc_id") % 2 === 0), "text", "doc_id", idx))
+        DedupIndex.appendFuzzy(d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", idx)
+      val batch = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" extra")))
+          .otherwise(concat(lit("fresh doc "), col("doc_id").cast("string"),
+            lit(" payload alpha beta"))).as("text"))
+      DedupIndex.gateFuzzy(batch, idx, "text", "doc_id")
+    },
+    Some(s"""
+      WITH consts(seed, a, b) AS (VALUES $constsValues),
+      batch AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            WHEN doc_id % 4 = 1 THEN text || ' extra'
+                            ELSE 'fresh doc ' || doc_id::VARCHAR || ' payload alpha beta'
+                       END AS text
+                FROM documents),
+      ${bandChainCte("documents", "h_")},
+      ${bandChainCte("batch", "n_")},
+      hd AS (SELECT DISTINCT band, band_sig FROM h_bands),
+      hits AS (SELECT n.doc_id, count(*) AS n_hit
+               FROM n_bands n JOIN hd ON hd.band = n.band AND hd.band_sig = n.band_sig
+               GROUP BY n.doc_id)
+      SELECT d.doc_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_bands,
+             coalesce(hits.n_hit, 0) = 0 AS keep
+      FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id"""))
+
   // ---------------------------------------------------------------- t06
   // Repetition stats (the Gopher/Dolma quality-rule family, token-wise):
   // most-frequent-bigram mass, duplicated-trigram mass, longest same-token
@@ -1749,5 +1793,5 @@ object PipelineQueries {
              (start_off // $seqLen) != ((start_off + greatest(n_tokens, 1) - 1) // $seqLen) AS crosses_seq
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

@@ -1870,6 +1870,68 @@ object StreamingQueries {
       UNION ALL
       SELECT doc_id, h FROM b2 WHERE h NOT IN (SELECT h FROM e01)"""))
 
+  // ---------------------------------------------------------------- x33
+  // STREAMING FUZZY DEDUP GATE from the persisted band-key index — d18's
+  // lifecycle on a live feed (the near-dup sibling of x31): two
+  // micro-batches of arrivals band row-locally, OR-fold the 2-epoch
+  // index's blooms, exact-verify the maybe sliver stream-static, marks
+  // append exactly-once. Per-row independence makes batch boundaries
+  // invisible, so the oracle is the single d16 band-chain replay over the
+  // union of both batches (disjoint id sets by construction). Shares
+  // d18's index table — built once, served by batch AND stream.
+  private val x33 = QueryDef(
+    "x33_stream_fuzzy_gate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = Tables.load(s, dir, "documents")
+      val idx = s"/root/repo/target/export/${new java.io.File(dir).getName}/dedup_fuzzy_index"
+      if (graft.operators.DedupIndex.ensureFuzzy(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id", idx))
+        graft.operators.DedupIndex.appendFuzzy(
+          d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", idx)
+      val out = new java.io.File(freshRoot(dir, "x33"), "marks_delta").getPath
+      def batchOf(m: Long) =
+        d.filter(col("doc_id") % 3 === m).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" extra")))
+            .otherwise(concat(lit("fresh doc "), col("doc_id").cast("string"),
+              lit(" payload alpha beta"))).as("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val in = MemoryStream[(Long, String)](1)
+      val writer = Streams.fuzzyGateStream(in.toDF().toDF("doc_id", "text"),
+        idx, out, "text", "doc_id", appId = "x33-gate")
+      withReplayConf(s, 1) { ck =>
+        val q = writer.option("checkpointLocation", ck).start()
+        try {
+          in.addData(batchOf(0L))
+          q.processAllAvailable()
+          in.addData(batchOf(1L))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x33_marks_out", "delta", Map("files" -> out))
+        .select(col("doc_id"), col("n_hit_bands"), col("keep"))
+    },
+    Some(s"""
+      WITH consts(seed, a, b) AS (VALUES ${graft.operators.Dedup.constsValuesSql}),
+      batch AS (SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            WHEN doc_id % 4 = 1 THEN text || ' extra'
+                            ELSE 'fresh doc ' || doc_id::VARCHAR || ' payload alpha beta'
+                       END AS text
+                FROM documents WHERE doc_id % 3 IN (0, 1)),
+      ${PipelineQueries.bandChainCte("documents", "h_")},
+      ${PipelineQueries.bandChainCte("batch", "n_")},
+      hd AS (SELECT DISTINCT band, band_sig FROM h_bands),
+      hits AS (SELECT n.doc_id, count(*) AS n_hit
+               FROM n_bands n JOIN hd ON hd.band = n.band AND hd.band_sig = n.band_sig
+               GROUP BY n.doc_id)
+      SELECT b.doc_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit_bands,
+             coalesce(hits.n_hit, 0) = 0 AS keep
+      FROM batch b LEFT JOIN hits ON hits.doc_id = b.doc_id"""))
+
   // ---------------------------------------------------------------- x32
   // STREAMING PQ SERVING from the persisted codebooks — the compressed-
   // domain sibling of x30: the stream pins one codebook generation at
@@ -1916,5 +1978,5 @@ object StreamingQueries {
 
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32)
+    x26, x27, x28, x29, x30, x31, x32, x33)
 }

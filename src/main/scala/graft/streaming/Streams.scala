@@ -167,6 +167,26 @@ object Streams {
         ()
     }
 
+  /** STREAMING FUZZY DEDUP GATE — the near-dup sibling of
+    * [[dedupGateStream]] (d18's persisted band-key index on a live feed):
+    * arrivals band row-locally per micro-batch, OR-fold the index's
+    * per-epoch bloom literals, exact-verify the maybe-band sliver
+    * stream-static against the persisted band-key table, and append the
+    * (id, n_hit_bands, keep) marks exactly-once. Same re-read-per-batch
+    * pickup contract as the exact gate — a stale band set admits
+    * near-duplicates. */
+  def fuzzyGateStream(arrivals: DataFrame, indexPath: String, outRoot: String,
+      textCol: String, idCol: String, appId: String,
+      broadcastKeyLimit: Long = 500000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    arrivals.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.operators.DedupIndex.gateFuzzy(batch.toDF(), indexPath,
+          textCol, idCol, broadcastKeyLimit)
+        graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
+          txn = Some((appId, batchId)))
+        ()
+    }
+
   def geofenceGate(points: DataFrame, fences: DataFrame,
       pointGeom: String, fenceGeom: String): DataFrame =
     points.join(broadcast(fences),

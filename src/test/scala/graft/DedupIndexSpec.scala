@@ -108,6 +108,59 @@ class DedupIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("spec_version 99"))
   }
 
+  test("fuzzy: build → append → gate matches the inline d16 gate; zero raw passes; compact preserves") {
+    val dir = tempDir("dedupidx").getAbsolutePath
+    val epoch0 = docs.filter(col("doc_id") % 2 === 0)
+    val epoch1 = docs.filter(col("doc_id") % 2 =!= 0)
+    DedupIndex.buildFuzzy(epoch0, "text", "doc_id", s"$dir/fidx")
+    DedupIndex.appendFuzzy(epoch1, "text", "doc_id", s"$dir/fidx")
+    val batch = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" extra")))
+        .otherwise(concat(lit("fresh doc "), col("doc_id").cast("string"),
+          lit(" payload alpha beta"))).as("text"))
+    def marks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val inline = marks(Dedup.fuzzyIncrementalGate(batch, docs, "text", "doc_id"))
+    val before = DedupIndex.historyPasses.get()
+    val served = marks(DedupIndex.gateFuzzy(batch, s"$dir/fidx", "text", "doc_id"))
+    assert(DedupIndex.historyPasses.get() === before,
+      "the fuzzy gate path scanned raw history")
+    assert(served === inline)
+    // shuffle-fallback regime agrees
+    assert(marks(DedupIndex.gateFuzzy(batch, s"$dir/fidx", "text", "doc_id",
+      broadcastKeyLimit = 0L)) === inline)
+    // compact: epochs fold to one, gate output identical, still no raw passes
+    DedupIndex.compact(spark, s"$dir/fidx")
+    assert(DedupIndex.historyPasses.get() === before,
+      "compact scanned raw history — it must fold the persisted key table only")
+    assert(marks(DedupIndex.gateFuzzy(batch, s"$dir/fidx", "text", "doc_id")) === inline)
+    val epochs = graft.sources.DeltaNative.read(spark, s"$dir/fidx", Map.empty)
+      .filter(col("kind") === "bloom").select("epoch")
+      .collect().map(_.getLong(0)).toSeq
+    assert(epochs === Seq(0L), s"compact left epochs $epochs")
+  }
+
+  test("exact compact preserves gate output; mode mismatch rejects loudly") {
+    val dir = tempDir("dedupidx").getAbsolutePath
+    DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), "text", s"$dir/idx")
+    DedupIndex.append(docs.filter(col("doc_id") % 2 =!= 0), "text", s"$dir/idx")
+    val batch = mkBatch(docs)
+    val beforeCompact = gateRows(DedupIndex.gate(batch, s"$dir/idx", "text", "doc_id"))
+    DedupIndex.compact(spark, s"$dir/idx")
+    assert(gateRows(DedupIndex.gate(batch, s"$dir/idx", "text", "doc_id")) === beforeCompact)
+    // an exact index through the fuzzy gate (and vice versa) rejects
+    val e1 = intercept[DedupIndex.DedupIndexException] {
+      DedupIndex.gateFuzzy(batch, s"$dir/idx", "text", "doc_id").collect()
+    }
+    assert(e1.getMessage.contains("exact index"))
+    DedupIndex.buildFuzzy(docs.limit(20), "text", "doc_id", s"$dir/fidx")
+    val e2 = intercept[DedupIndex.DedupIndexException] {
+      DedupIndex.gate(batch, s"$dir/fidx", "text", "doc_id").collect()
+    }
+    assert(e2.getMessage.contains("fuzzy index"))
+  }
+
   test("NULL text rejects loudly at the gate (no dedup identity)") {
     val dir = tempDir("dedupidx").getAbsolutePath
     DedupIndex.build(docs.limit(20), "text", s"$dir/idx")
