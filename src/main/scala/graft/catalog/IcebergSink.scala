@@ -2205,6 +2205,13 @@ object IcebergSink {
       source: DataFrame, condSql: String,
       matchedSet: Map[String, String],
       insertNotMatched: Boolean = true,
+      // conditional clauses (the CDC-apply shape, same contract as the
+      // Delta sibling): matchedDeleteCond = WHEN MATCHED AND <cond> THEN
+      // DELETE (pairs satisfying it positional-delete INSTEAD of
+      // updating); insertCond gates WHEN NOT MATCHED over the source row
+      // (extra source columns like _change_type stay visible to both)
+      matchedDeleteCond: Option[String] = None,
+      insertCond: Option[String] = None,
       // WHEN NOT MATCHED BY SOURCE (the full-sync shape; conditions over
       // `t.` only, DELETE wins when both hold — same contract as the Delta
       // sibling): merge-on-read flavor — affected target rows positional-
@@ -2226,9 +2233,11 @@ object IcebergSink {
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     if (st.dataPaths.isEmpty) {
-      // empty table: nothing matches, every source row inserts
+      // empty table: nothing matches, every insert-eligible source row inserts
       if (!insertNotMatched) return (0L, 0L)
-      val dataFiles = writeMorData(source.select(names.map(col): _*), st, s"mrg-$stamp")
+      val src0 = source.alias("s")
+      val gated0 = insertCond.map(c => src0.filter(expr(c))).getOrElse(src0)
+      val dataFiles = writeMorData(gated0.select(names.map(col): _*), st, s"mrg-$stamp")
       val inserted = dataFiles.map(_.rows).sum
       if (inserted == 0L) return (0L, 0L)
       commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
@@ -2238,17 +2247,33 @@ object IcebergSink {
     val scanFields = live0.schema.fields
       .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
     val target = live0.alias("t")
-    val s1 = source.select(names.map(col): _*).alias("s")
+    // extra source columns (CDC metadata like _change_type) stay visible
+    // to matchedDeleteCond/insertCond; every write projects scanFields
+    val srcExtra = source.schema.fieldNames.toSeq.filterNot(names.contains)
+    val s1 = source.select((names ++ srcExtra).map(col): _*).alias("s")
     val cond = expr(condSql)
     val matchedPairs = target.join(s1, cond, "inner")
     val dup = matchedPairs.groupBy(col("t.__file"), col("t.__pos"))
       .count().filter(col("count") > 1).count()
     if (dup > 0) throw IcebergReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    // matched pairs split by the optional WHEN MATCHED ... THEN DELETE
+    // condition: delete-matched rows positional-delete with NO re-append;
+    // the rest transform by SET (evaluated per pair, the SQL rule)
+    val delPairCond = matchedDeleteCond.map(expr).getOrElse(lit(false))
+    val mDelFiles =
+      if (matchedDeleteCond.isEmpty) Nil
+      else writeMoved(matchedPairs.filter(delPairCond).select(
+        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+        st, s"mdd-$stamp")
+    val mDeleted = mDelFiles.map(_._3).sum
+    val updatePairs =
+      if (matchedDeleteCond.isEmpty) matchedPairs
+      else matchedPairs.filter(!delPairCond)
     val doUpdate = matchedSet.nonEmpty
     val delFiles =
       if (doUpdate)
-        writeMoved(matchedPairs.select(
+        writeMoved(updatePairs.select(
           col("t.__file").as("file_path"), col("t.__pos").as("pos")),
           st, s"del-$stamp")
       else Nil
@@ -2259,7 +2284,7 @@ object IcebergSink {
     val updFiles =
       if (updated > 0)
         // row lineage: updated rows keep their ids; sequence re-defaults
-        writeMorData(matchedPairs.select(
+        writeMorData(updatePairs.select(
           scanFields.map(f => newVal(f).as(f.name)) ++
             (if (st.hasLineage)
               Seq(col("t.__rlid").as(RowIdColName),
@@ -2268,11 +2293,13 @@ object IcebergSink {
             else Nil): _*), st, s"mrgu-$stamp")
       else Nil
     val insFiles =
-      if (insertNotMatched)
-        writeMorData(s1.join(target, cond, "left_anti").select(
+      if (insertNotMatched) {
+        val unmatched = s1.join(target, cond, "left_anti")
+        val gated = insertCond.map(c => unmatched.filter(expr(c))).getOrElse(unmatched)
+        writeMorData(gated.select(
           scanFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*),
           st, s"mrgi-$stamp")
-      else Nil
+      } else Nil
     val inserted = insFiles.map(_.rows).sum
     // BY SOURCE: target rows matching NOTHING in the source (conditions
     // see `t.` only; DELETE wins over UPDATE). Deletes are positional
@@ -2308,10 +2335,12 @@ object IcebergSink {
                 lit(null).cast("long").as(LastSeqColName))
             else Nil): _*), st, s"bsui-$stamp")
       else Nil
-    if (updated == 0L && inserted == 0L && bsUpdated == 0L && bsDeleted == 0L)
+    if (updated == 0L && inserted == 0L && bsUpdated == 0L && bsDeleted == 0L &&
+      mDeleted == 0L)
       return (0L, 0L)
     commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql),
-      delFiles ++ bsDelFiles ++ bsUpdDelFiles, updFiles ++ bsUpdFiles ++ insFiles)
+      mDelFiles ++ delFiles ++ bsDelFiles ++ bsUpdDelFiles,
+      updFiles ++ bsUpdFiles ++ insFiles)
     (updated + bsUpdated, inserted)
   }
 

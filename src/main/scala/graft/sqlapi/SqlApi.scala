@@ -1490,13 +1490,9 @@ object SqlApi {
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
           bySourceDeleteCond = bySourceDeleteCond)
       case "iceberg" =>
-        if (matchedDeleteCond.isDefined) bad(
-          "the iceberg writer has no conditional matched DELETE — route the " +
-            "delete through DELETE FROM, or attach the table as delta")
-        if (insertCond.isDefined) bad(
-          "the iceberg writer has no conditional INSERT — pre-filter the USING source")
         graft.catalog.IcebergSink.mergeInto(spark, root, srcFrame, cond,
           matchedSet = matchedSet, insertNotMatched = insertNotMatched,
+          matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
           bySourceDeleteCond = bySourceDeleteCond)
       case other => bad(

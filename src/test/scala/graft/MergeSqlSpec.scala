@@ -112,19 +112,22 @@ class MergeSqlSpec extends SparkSpec {
       "not an attached foreign table")
   }
 
-  test("iceberg-inexpressible clauses and ambiguous cardinality reject") {
+  test("iceberg conditional clauses route (matched DELETE + gated INSERT); cardinality rejects") {
     import spark.implicits._
     val root = tempDir("mergesql").getAbsolutePath + "/ice2"
     graft.catalog.Sinks.copyTo(
-      Seq((1L, 10.0, "a")).toDF("id", "bal", "seg"), root, "iceberg", Map.empty)
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("id", "bal", "seg"),
+      root, "iceberg", Map.empty)
     graft.catalog.Catalog.attach(spark, "msql_ice2", "iceberg", Map("files" -> root))
-    Seq((1L, 99.0, "x")).toDF("id", "bal", "seg")
-      .createOrReplaceTempView("msql_icesrc2")
-    val e = intercept[IllegalArgumentException] {
-      SqlApi.executePg(spark, """MERGE INTO msql_ice2 t USING msql_icesrc2 s ON t.id = s.id
-        WHEN MATCHED AND s.bal > 5 THEN DELETE""")
-    }
-    assert(e.getMessage.contains("no conditional matched DELETE"))
+    Seq((1L, 99.0, "x"), (2L, 5.0, "y"), (7L, 70.0, "g"), (8L, 1.0, "h"))
+      .toDF("id", "bal", "seg").createOrReplaceTempView("msql_icesrc2")
+    SqlApi.executePg(spark, """MERGE INTO msql_ice2 t USING msql_icesrc2 s ON t.id = s.id
+      WHEN MATCHED AND s.bal > 50 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET bal = s.bal
+      WHEN NOT MATCHED AND s.bal > 10 THEN INSERT *""")
+    // id=1 deletes (99>50), id=2 updates to 5, id=7 inserts (70>10),
+    // id=8 does NOT insert (1<=10), id=3 carries
+    assert(rows("msql_ice2") === Seq((2L, 5.0, "b"), (3L, 30.0, "c"), (7L, 70.0, "g")))
     // two source rows on one target row — the writer's cardinality rule
     mkDelta("msql_t4")
     Seq((2L, 1.0, "x"), (2L, 2.0, "y")).toDF("id", "bal", "seg")
@@ -134,5 +137,22 @@ class MergeSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET bal = s.bal""")
     }
     assert(e2.getMessage.contains("ambiguous"))
+  }
+
+  test("iceberg CDC-apply via SQL: extra source columns visible to conditions") {
+    import spark.implicits._
+    val root = tempDir("mergesql").getAbsolutePath + "/ice3"
+    graft.catalog.Sinks.copyTo(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "bal", "seg"),
+      root, "iceberg", Map.empty)
+    graft.catalog.Catalog.attach(spark, "msql_ice3", "iceberg", Map("files" -> root))
+    Seq((1L, 0.0, "a", "delete"), (2L, 99.0, "b", "update"), (5L, 50.0, "e", "insert"),
+        (6L, 60.0, "f", "delete"))
+      .toDF("id", "bal", "seg", "op").createOrReplaceTempView("msql_icesrc3")
+    SqlApi.executePg(spark, """MERGE INTO msql_ice3 t USING msql_icesrc3 s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'delete' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET bal = s.bal
+      WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT (id, bal, seg) VALUES (s.id, s.bal, s.seg)""")
+    assert(rows("msql_ice3") === Seq((2L, 99.0, "b"), (5L, 50.0, "e")))
   }
 }
