@@ -161,6 +161,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("fuzzy index"))
   }
 
+  test("plan pins: broadcast regime never sort-merges; adversarial regime does") {
+    val dir = tempDir("dedupidx").getAbsolutePath
+    DedupIndex.build(docs, "text", s"$dir/idx")
+    DedupIndex.buildFuzzy(docs, "text", "doc_id", s"$dir/fidx")
+    val batch = mkBatch(docs)
+    // designed regime: the maybe sliver broadcasts, the key table is never
+    // exchanged into a sort-merge join
+    val b = DedupIndex.gate(batch, s"$dir/idx", "text", "doc_id")
+    assert(!b.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val fb = DedupIndex.gateFuzzy(batch, s"$dir/fidx", "text", "doc_id")
+    assert(!fb.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // adversarial (forced) regime: plain shuffle join, nothing unbounded
+    // broadcasts — same rows either way (pinned in the earlier tests)
+    val sPlan = DedupIndex.gate(batch, s"$dir/idx", "text", "doc_id",
+      broadcastKeyLimit = 0L).queryExecution.executedPlan.toString
+    assert(sPlan.contains("SortMergeJoin"), s"expected shuffle verify:\n${sPlan.take(2000)}")
+    val fsPlan = DedupIndex.gateFuzzy(batch, s"$dir/fidx", "text", "doc_id",
+      broadcastKeyLimit = 0L).queryExecution.executedPlan.toString
+    assert(fsPlan.contains("SortMergeJoin"), s"expected shuffle verify:\n${fsPlan.take(2000)}")
+  }
+
   test("NULL text rejects loudly at the gate (no dedup identity)") {
     val dir = tempDir("dedupidx").getAbsolutePath
     DedupIndex.build(docs.limit(20), "text", s"$dir/idx")
