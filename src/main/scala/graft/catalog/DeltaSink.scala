@@ -2401,8 +2401,22 @@ object DeltaSink {
     * Conditional clauses (the CDC-apply shape): `matchedDeleteCond` is a
     * `WHEN MATCHED AND <cond> THEN DELETE` — matched pairs satisfying it
     * drop the target row (cdc: `delete` rows) instead of updating;
-    * `insertCond` gates `WHEN NOT MATCHED` on a condition over the source
-    * row (e.g. `s._change_type != 'delete'`).
+    * `matchedUpdateCond` is `WHEN MATCHED AND <cond> THEN UPDATE` — pairs
+    * failing it carry unchanged (no cdc rows, row tracking keeps their
+    * commit version); `insertCond` gates `WHEN NOT MATCHED` on a condition
+    * over the source row (e.g. `s._change_type != 'delete'`). Every clause
+    * condition follows the SQL MERGE rule for NULL: a condition that
+    * evaluates NULL is NOT satisfied (the pair falls through to the next
+    * clause, never silently dropped — coalesced to false at every site).
+    * `matchedUpdateFirst` selects SQL first-match order when a pair could
+    * satisfy both matched clauses: false (default) = the DELETE clause is
+    * listed first and wins; true = the UPDATE clause is listed first.
+    * `bySourceUpdateFirst` is the BY SOURCE family's mirror.
+    *
+    * `insertProj` renders a non-identity `INSERT (cols) VALUES (exprs)`:
+    * each table column maps to an expression over the source row (`s.`),
+    * omitted columns NULL-fill (SQL MERGE insert semantics). With a
+    * projection the source need not carry the table's columns at all.
     *
     * BY SOURCE clauses (the FULL-SYNC shape, mirroring delta-spark's
     * `whenNotMatchedBySource`): target rows matching NO source row —
@@ -2425,7 +2439,11 @@ object DeltaSink {
       insertCond: Option[String] = None,
       bySourceSet: Map[String, String] = Map.empty,
       bySourceUpdateCond: Option[String] = None,
-      bySourceDeleteCond: Option[String] = None): (Long, Long) = {
+      bySourceDeleteCond: Option[String] = None,
+      matchedUpdateCond: Option[String] = None,
+      matchedUpdateFirst: Boolean = false,
+      bySourceUpdateFirst: Boolean = false,
+      insertProj: Option[Map[String, String]] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2457,13 +2475,20 @@ object DeltaSink {
       if (!mapped) df
       else df.select(df.columns.map(c =>
         col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
-    matchedSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
-      throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
-    }
-    schema.fieldNames.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
-      throw DeltaReadException(
-        s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
-    }
+    (matchedSet.keys ++ insertProj.toSeq.flatMap(_.keys))
+      .find(k => !schema.fieldNames.contains(k)).foreach { k =>
+        throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
+      }
+    // only an identity whole-row INSERT needs the source to mirror the
+    // table's columns — a projection builds the inserted row itself, and a
+    // merge with no insert clause needs only the columns its conditions
+    // and SET expressions reference
+    val identityInsert = insertNotMatched && insertProj.isEmpty
+    if (identityInsert)
+      schema.fieldNames.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
+        throw DeltaReadException(
+          s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
+      }
     val cdf = st.conf.get("delta.enableChangeDataFeed").exists(_.toBoolean)
 
     def resolve(rel: String): String = {
@@ -2524,11 +2549,18 @@ object DeltaSink {
 
     val srcCols = schema.fieldNames.toSeq
     // extra source columns (CDC metadata like _change_type) stay visible to
-    // matchedDeleteCond/insertCond; inserts project them away below
+    // matchedDeleteCond/insertCond; inserts project them away below. With
+    // an insert projection the source frame passes through as-is (its
+    // columns need not mirror the table's).
     val extraCols = source.schema.fieldNames.toSeq.filterNot(srcCols.contains)
-    val s1 = source.select((srcCols ++ extraCols).map(col): _*)
+    val s1 = (if (identityInsert) source.select((srcCols ++ extraCols).map(col): _*)
+      else source)
       .withColumn("__s_matched", lit(true))
     val cond = expr(condSql)
+    // SQL MERGE clause-condition rule: NULL is NOT satisfied — coalesce
+    // every user condition to false so three-valued logic can never drop a
+    // pair out of BOTH sides of a split
+    def condCol(c: String) = coalesce(expr(c), lit(false))
 
     // matched pairs (cardinality-checked: one source row per target row)
     val matchedPairs = target.alias("t").join(s1.alias("s"), cond, "inner")
@@ -2538,7 +2570,20 @@ object DeltaSink {
       .count().filter(col("count") > 1).count()
     if (dupCount > 0) throw DeltaReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    val matchedFilesAbs = matchedPairs.select(col("t.__file")).distinct()
+
+    // first-match classification of matched pairs: delGate/updGate are the
+    // raw clause conditions (NULL ⇒ false); eff* apply the clause ORDER, so
+    // a pair satisfying both goes to whichever clause is listed first. A
+    // pair satisfying neither carries unchanged (no rewrite of its file
+    // unless a sibling row needs it, no cdc rows, no row-tracking bump).
+    val matchedCondActive = matchedDeleteCond.isDefined || matchedUpdateCond.isDefined
+    val delGate = matchedDeleteCond.map(condCol).getOrElse(lit(false))
+    val updGate = if (matchedSet.isEmpty) lit(false)
+      else matchedUpdateCond.map(condCol).getOrElse(lit(true))
+    val effDel = if (matchedUpdateFirst) !updGate && delGate else delGate
+    val effUpd = if (matchedUpdateFirst) updGate else !delGate && updGate
+    val matchedFilesAbs = matchedPairs.filter(effDel || effUpd)
+      .select(col("t.__file")).distinct()
       .collect().map(_.getString(0)).toSeq
 
     // BY SOURCE rows: target rows matching NOTHING in the source —
@@ -2549,37 +2594,37 @@ object DeltaSink {
       throw DeltaReadException(
         s"`$path`: BY SOURCE SET column `$k` is not in the table schema")
     }
-    val bsDelCond = bySourceDeleteCond.map(expr).getOrElse(lit(false))
-    val bsUpdCond = if (bySourceSet.isEmpty) lit(false)
-      else bySourceUpdateCond.map(expr).getOrElse(lit(true))
+    val bsDelGate = bySourceDeleteCond.map(condCol).getOrElse(lit(false))
+    val bsUpdGate = if (bySourceSet.isEmpty) lit(false)
+      else bySourceUpdateCond.map(condCol).getOrElse(lit(true))
+    val bsEffDel = if (bySourceUpdateFirst) !bsUpdGate && bsDelGate else bsDelGate
+    val bsEffUpd = if (bySourceUpdateFirst) bsUpdGate else !bsDelGate && bsUpdGate
     val bsRows = if (!bySourceActive) null
       else target.alias("t").join(s1.alias("s"), cond, "left_anti")
-    val bsDeleteRows = if (!bySourceActive) null else bsRows.filter(bsDelCond)
-    val bsUpdateRows = if (!bySourceActive) null
-      else bsRows.filter(!bsDelCond && bsUpdCond)
+    val bsDeleteRows = if (!bySourceActive) null else bsRows.filter(bsEffDel)
+    val bsUpdateRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
     val bsDeletedCount = if (bySourceDeleteCond.isEmpty) 0L else bsDeleteRows.count()
     val bsUpdatedCount = if (bySourceSet.isEmpty) 0L else bsUpdateRows.count()
     val bySourceFilesAbs: Seq[String] = if (!bySourceActive) Nil
-      else bsRows.filter(bsDelCond || bsUpdCond).select(col("__file"))
+      else bsRows.filter(bsEffDel || bsEffUpd).select(col("__file"))
         .distinct().collect().map(_.getString(0)).toSeq
 
     val affectedAbs = (matchedFilesAbs ++ bySourceFilesAbs).distinct
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
       throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
 
-    // matched pairs split by the optional WHEN MATCHED ... THEN DELETE
-    // condition (over `t.` and `s.`): delete-matched rows drop out of the
-    // rewrite; the rest transform by SET. Evaluated per pair, the SQL
-    // MERGE conditional-clause rule.
-    val delPairCond = matchedDeleteCond.map(expr).getOrElse(lit(false))
-    val updatePairs = matchedPairs.filter(!delPairCond)
-    val deletePairs = matchedPairs.filter(delPairCond)
+    // matched pairs split by the first-match classification: delete pairs
+    // drop out of the rewrite; update pairs transform by SET; pairs
+    // matching no clause carry unchanged.
+    val updatePairs = matchedPairs.filter(effUpd)
+    val deletePairs = matchedPairs.filter(effDel)
     val deletedCount = if (matchedDeleteCond.isEmpty) 0L else deletePairs.count()
+    val updatedCount = if (matchedSet.isEmpty) 0L else updatePairs.count()
 
     // rewrites: affected files' rows — delete-matched and by-source-
     // deleted dropped, SET-matched and by-source-SET transformed,
     // untouched rows carried unchanged
-    val doRewrite = (matchedSet.nonEmpty || deletedCount > 0 ||
+    val doRewrite = (updatedCount > 0 || deletedCount > 0 ||
       bsUpdatedCount > 0 || bsDeletedCount > 0) && affectedAbs.nonEmpty
     val joinedAff =
       if (!doRewrite) null
@@ -2594,7 +2639,11 @@ object DeltaSink {
         .map(e => expr(e).cast(f.dataType))
         .getOrElse(col(s"t.${f.name}"))
     val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
-    val bsUpdFlag = !matchedFlag && !bsDelCond && bsUpdCond
+    // conditional-UPDATE pairs failing their gate carry unchanged — the
+    // extra conjunct only enters the plan when a matched condition exists
+    // (same planning-cost discipline as the by-source guards below)
+    val updFlag = if (matchedCondActive) matchedFlag && effUpd else matchedFlag
+    val bsUpdFlag = !matchedFlag && bsEffUpd
     // the BY SOURCE branches are grafted into the rewrite expressions ONLY
     // when a by-source clause is live: the literal-false conditions would
     // constant-fold anyway, but the extra nodes still pay analysis/planning
@@ -2604,11 +2653,11 @@ object DeltaSink {
       if (!doRewrite) null
       else joinedAff.filter(
           if (bySourceActive)
-            !(matchedFlag && delPairCond) && !(!matchedFlag && bsDelCond)
-          else !(matchedFlag && delPairCond))
+            !(matchedFlag && effDel) && !(!matchedFlag && bsEffDel)
+          else !(matchedFlag && effDel))
         .select(schema.fields.map { f =>
           val matchedBranch = org.apache.spark.sql.functions
-            .when(matchedFlag, newVal(f))
+            .when(updFlag, newVal(f))
           (if (bySourceActive) matchedBranch.when(bsUpdFlag, bsVal(f))
            else matchedBranch)
             .otherwise(col(s"t.${f.name}")).as(f.name)
@@ -2619,7 +2668,7 @@ object DeltaSink {
           case Some((matId, matVer)) => Seq(
             col("t.__rt_id").as(matId),
             org.apache.spark.sql.functions
-              .when(if (bySourceActive) matchedFlag || bsUpdFlag else matchedFlag,
+              .when(if (bySourceActive) updFlag || bsUpdFlag else updFlag,
                 lit(null).cast("long"))
               .otherwise(col("t.__rt_ver")).as(matVer))
         }): _*)
@@ -2629,16 +2678,22 @@ object DeltaSink {
     val preRows =
       if (!doRewrite) null
       else updatePairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
-    val updatedCount = if (matchedSet.isEmpty) 0L else updatePairs.count()
 
     // inserts: source rows matching NOTHING in the whole table, gated by
-    // the optional WHEN NOT MATCHED AND <cond> (over `s.` columns)
+    // the optional WHEN NOT MATCHED AND <cond> (over `s.` columns; NULL ⇒
+    // not inserted). With a projection each table column evaluates its
+    // VALUES expression; omitted columns NULL-fill.
     val inserts =
       if (!insertNotMatched) null
       else {
         val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
-        insertCond.map(c => unmatched.filter(expr(c))).getOrElse(unmatched)
-          .select(srcCols.map(col): _*)
+        val gated = insertCond.map(c => unmatched.filter(condCol(c))).getOrElse(unmatched)
+        insertProj match {
+          case None => gated.select(srcCols.map(col): _*)
+          case Some(p) => gated.select(schema.fields.map(f =>
+            p.get(f.name).map(e => expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+        }
       }
     val insertCount = if (inserts == null) 0L else inserts.count()
     if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L &&

@@ -2208,36 +2208,81 @@ object IcebergSink {
       // conditional clauses (the CDC-apply shape, same contract as the
       // Delta sibling): matchedDeleteCond = WHEN MATCHED AND <cond> THEN
       // DELETE (pairs satisfying it positional-delete INSTEAD of
-      // updating); insertCond gates WHEN NOT MATCHED over the source row
-      // (extra source columns like _change_type stay visible to both)
+      // updating); matchedUpdateCond gates the UPDATE clause (pairs
+      // failing it carry untouched); insertCond gates WHEN NOT MATCHED
+      // over the source row (extra source columns like _change_type stay
+      // visible to all three). SQL NULL rule everywhere: a condition
+      // evaluating NULL is NOT satisfied — the pair falls through, never
+      // silently dropped. matchedUpdateFirst/bySourceUpdateFirst select
+      // SQL first-match order when a row satisfies both clauses of a
+      // family (false = DELETE listed first, the default).
       matchedDeleteCond: Option[String] = None,
       insertCond: Option[String] = None,
       // WHEN NOT MATCHED BY SOURCE (the full-sync shape; conditions over
-      // `t.` only, DELETE wins when both hold — same contract as the Delta
-      // sibling): merge-on-read flavor — affected target rows positional-
-      // delete, by-source updates re-append their new images
+      // `t.` only — same contract as the Delta sibling): merge-on-read
+      // flavor — affected target rows positional-delete, by-source
+      // updates re-append their new images
       bySourceSet: Map[String, String] = Map.empty,
       bySourceUpdateCond: Option[String] = None,
-      bySourceDeleteCond: Option[String] = None): (Long, Long) = {
+      bySourceDeleteCond: Option[String] = None,
+      matchedUpdateCond: Option[String] = None,
+      matchedUpdateFirst: Boolean = false,
+      bySourceUpdateFirst: Boolean = false,
+      // non-identity INSERT (cols) VALUES (exprs): table column →
+      // expression over the source row; omitted columns NULL-fill. With a
+      // projection the source need not mirror the table's columns.
+      insertProj: Option[Map[String, String]] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
-    (matchedSet.keys ++ bySourceSet.keys).find(k => !names.contains(k)).foreach { k =>
-      throw IcebergReadException(
-        s"`$path`: SET column `$k` is not in the table schema")
-    }
-    names.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
-      throw IcebergReadException(
-        s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
-    }
+    (matchedSet.keys ++ bySourceSet.keys ++ insertProj.toSeq.flatMap(_.keys))
+      .find(k => !names.contains(k)).foreach { k =>
+        throw IcebergReadException(
+          s"`$path`: SET column `$k` is not in the table schema")
+      }
+    // only an identity whole-row INSERT needs the source to mirror the
+    // table's columns — a projection builds the inserted row itself, and a
+    // merge with no insert clause needs only the columns its conditions
+    // and SET expressions reference
+    val identityInsert = insertNotMatched && insertProj.isEmpty
+    if (identityInsert)
+      names.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
+        throw IcebergReadException(
+          s"`$path`: MERGE source lacks table column `$c` (insert needs the full row)")
+      }
+    // SQL MERGE clause-condition rule: NULL is NOT satisfied — coalesce
+    // every user condition to false so three-valued logic can never drop
+    // a pair out of BOTH sides of a split
+    def condCol(c: String) = org.apache.spark.sql.functions.coalesce(expr(c), lit(false))
+    // insert projection over the unmatched source rows: VALUES expression
+    // per listed column, NULL-fill the rest (typed from `fields`)
+    def projInserts(gated: DataFrame, fields: Seq[StructField]): DataFrame =
+      insertProj match {
+        case None => gated.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        case Some(p) => gated.select(fields.map(f =>
+          p.get(f.name).map(e => expr(e).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)): _*)
+      }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     if (st.dataPaths.isEmpty) {
       // empty table: nothing matches, every insert-eligible source row inserts
       if (!insertNotMatched) return (0L, 0L)
       val src0 = source.alias("s")
-      val gated0 = insertCond.map(c => src0.filter(expr(c))).getOrElse(src0)
-      val dataFiles = writeMorData(gated0.select(names.map(col): _*), st, s"mrg-$stamp")
+      val gated0 = insertCond.map(c => src0.filter(condCol(c))).getOrElse(src0)
+      // no data files to scan types from — the iceberg schema supplies them
+      val emptyFields = {
+        val schNode = if (st.meta.has("schemas")) {
+          val cur = st.meta.path("current-schema-id").asInt(0)
+          st.meta.path("schemas").elements().asScala
+            .find(_.path("schema-id").asInt(-1) == cur).getOrElse(
+              throw IcebergReadException("current schema not listed in metadata"))
+        } else st.meta.path("schema")
+        graft.sources.IcebergNative.toStruct(schNode).fields.toSeq
+      }
+      val dataFiles = writeMorData(
+        (if (insertProj.isEmpty) gated0.select(names.map(col): _*)
+         else projInserts(gated0, emptyFields)), st, s"mrg-$stamp")
       val inserted = dataFiles.map(_.rows).sum
       if (inserted == 0L) return (0L, 0L)
       commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
@@ -2248,28 +2293,37 @@ object IcebergSink {
       .filterNot(f => Set("__file", "__pos", "__rlid", "__rlseq")(f.name)).toSeq
     val target = live0.alias("t")
     // extra source columns (CDC metadata like _change_type) stay visible
-    // to matchedDeleteCond/insertCond; every write projects scanFields
+    // to matchedDeleteCond/insertCond; every write projects scanFields.
+    // With an insert projection the source passes through as-is (its
+    // columns need not mirror the table's).
     val srcExtra = source.schema.fieldNames.toSeq.filterNot(names.contains)
-    val s1 = source.select((names ++ srcExtra).map(col): _*).alias("s")
+    val s1 = (if (identityInsert) source.select((names ++ srcExtra).map(col): _*)
+      else source).alias("s")
     val cond = expr(condSql)
     val matchedPairs = target.join(s1, cond, "inner")
     val dup = matchedPairs.groupBy(col("t.__file"), col("t.__pos"))
       .count().filter(col("count") > 1).count()
     if (dup > 0) throw IcebergReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    // matched pairs split by the optional WHEN MATCHED ... THEN DELETE
-    // condition: delete-matched rows positional-delete with NO re-append;
-    // the rest transform by SET (evaluated per pair, the SQL rule)
-    val delPairCond = matchedDeleteCond.map(expr).getOrElse(lit(false))
+    // first-match classification of matched pairs (same contract as the
+    // Delta sibling): delete pairs positional-delete with NO re-append;
+    // update pairs transform by SET; pairs matching no clause carry
+    // untouched (no tombstone, no re-append).
+    val matchedCondActive = matchedDeleteCond.isDefined || matchedUpdateCond.isDefined
+    val delGate = matchedDeleteCond.map(condCol).getOrElse(lit(false))
+    val updGate = if (matchedSet.isEmpty) lit(false)
+      else matchedUpdateCond.map(condCol).getOrElse(lit(true))
+    val effDel = if (matchedUpdateFirst) !updGate && delGate else delGate
+    val effUpd = if (matchedUpdateFirst) updGate else !delGate && updGate
     val mDelFiles =
       if (matchedDeleteCond.isEmpty) Nil
-      else writeMoved(matchedPairs.filter(delPairCond).select(
+      else writeMoved(matchedPairs.filter(effDel).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"mdd-$stamp")
     val mDeleted = mDelFiles.map(_._3).sum
     val updatePairs =
-      if (matchedDeleteCond.isEmpty) matchedPairs
-      else matchedPairs.filter(!delPairCond)
+      if (!matchedCondActive) matchedPairs
+      else matchedPairs.filter(effUpd)
     val doUpdate = matchedSet.nonEmpty
     val delFiles =
       if (doUpdate)
@@ -2295,10 +2349,8 @@ object IcebergSink {
     val insFiles =
       if (insertNotMatched) {
         val unmatched = s1.join(target, cond, "left_anti")
-        val gated = insertCond.map(c => unmatched.filter(expr(c))).getOrElse(unmatched)
-        writeMorData(gated.select(
-          scanFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*),
-          st, s"mrgi-$stamp")
+        val gated = insertCond.map(c => unmatched.filter(condCol(c))).getOrElse(unmatched)
+        writeMorData(projInserts(gated, scanFields), st, s"mrgi-$stamp")
       } else Nil
     val inserted = insFiles.map(_.rows).sum
     // BY SOURCE: target rows matching NOTHING in the source (conditions
@@ -2306,17 +2358,19 @@ object IcebergSink {
     // tombstones; updates tombstone + re-append their new images (row
     // lineage: updated rows keep ids, re-default their sequence).
     val bySourceActive = bySourceSet.nonEmpty || bySourceDeleteCond.isDefined
-    val bsDelCond = bySourceDeleteCond.map(expr).getOrElse(lit(false))
-    val bsUpdCond = if (bySourceSet.isEmpty) lit(false)
-      else bySourceUpdateCond.map(expr).getOrElse(lit(true))
+    val bsDelGate = bySourceDeleteCond.map(condCol).getOrElse(lit(false))
+    val bsUpdGate = if (bySourceSet.isEmpty) lit(false)
+      else bySourceUpdateCond.map(condCol).getOrElse(lit(true))
+    val bsEffDel = if (bySourceUpdateFirst) !bsUpdGate && bsDelGate else bsDelGate
+    val bsEffUpd = if (bySourceUpdateFirst) bsUpdGate else !bsDelGate && bsUpdGate
     val bsRows = if (!bySourceActive) null else target.join(s1, cond, "left_anti")
     val bsDelFiles =
       if (bySourceDeleteCond.isEmpty) Nil
-      else writeMoved(bsRows.filter(bsDelCond).select(
+      else writeMoved(bsRows.filter(bsEffDel).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"bsd-$stamp")
     val bsDeleted = bsDelFiles.map(_._3).sum
-    val bsUpdRows = if (!bySourceActive) null else bsRows.filter(!bsDelCond && bsUpdCond)
+    val bsUpdRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
     val bsUpdDelFiles =
       if (bySourceSet.isEmpty) Nil
       else writeMoved(bsUpdRows.select(

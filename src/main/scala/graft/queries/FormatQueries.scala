@@ -3591,8 +3591,125 @@ object FormatQueries {
       SELECT c_custkey, c_acctbal, c_mktsegment, '__table' AS change_kind FROM final
       UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment, change_kind FROM cdc"""))
 
+  // ---------------------------------------------------------------- w19
+  // CONDITIONAL MERGE CLAUSES, FIRST-MATCH, NULL RULE — the CDC-apply
+  // statement shape delta-spark users write (`whenMatched(cond).update`,
+  // reference src/duckdb/writes via COPY have no MERGE — this is the
+  // beyond-reference DML surface): ONE statement carrying a conditional
+  // UPDATE listed BEFORE a conditional DELETE (first-match: 'both' rows
+  // take the UPDATE), clause conditions that evaluate NULL on matched
+  // pairs (SQL rule: not satisfied — the pair carries, it is neither
+  // dropped nor updated), a NULL-evaluating insert gate, a non-identity
+  // INSERT projection (reordered columns, computed values, c_name
+  // NULL-filled), and an alias-shaped token inside a string literal that
+  // must survive the alias rewrite. The SAME statement runs against a
+  // Delta attach (CDF on) and an Iceberg attach; the result is both final
+  // tables plus the exact Delta change feed, so the oracle hash pins
+  // cross-format identity AND cdc-vs-count consistency in one gate.
+  private val w19 = QueryDef(
+    "w19_merge_conditional",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val outD = s"${exportRoot(dir)}/dml_w19_merge_cond"
+      val outI = s"${exportRoot(dir)}/dml_w19_merge_cond_ice"
+      rmTree(outD); rmTree(outI)
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      graft.catalog.Sinks.copyTo(base, outD, "delta",
+        Map("change_data_feed" -> "true"))
+      graft.catalog.Sinks.copyTo(base, outI, "iceberg", Map.empty)
+      Catalog.attach(s, "w19_cust_delta", "delta", Map("files" -> outD))
+      Catalog.attach(s, "w19_cust_ice", "iceberg", Map("files" -> outI))
+      def cls(m: Long, op: Option[String]) = base.filter(col("c_custkey") % 7 === m)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") + 100.0).as("bal"),
+          col("c_mktsegment").as("seg"),
+          op.map(lit(_)).getOrElse(lit(null)).cast("string").as("op"))
+      def fresh(off: Long, m: Long, op: Option[String]) =
+        base.filter(col("c_custkey") % 50 === m)
+          .select((col("c_custkey") + off).as("k"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg"),
+            op.map(lit(_)).getOrElse(lit(null)).cast("string").as("op"))
+      cls(1, Some("upd")).unionByName(cls(2, Some("del")))
+        .unionByName(cls(3, None)).unionByName(cls(4, Some("both")))
+        .unionByName(fresh(3000000L, 11, Some("ins")))
+        .unionByName(fresh(4000000L, 13, Some("del")))
+        .unionByName(fresh(5000000L, 17, None))
+        .createOrReplaceTempView("w19_feed")
+      def stmt(tgt: String) = s"""
+        MERGE INTO $tgt AS tt USING w19_feed AS f
+        ON tt.c_custkey = f.k
+        WHEN MATCHED AND (f.op = 'upd' OR f.op = 'both')
+          THEN UPDATE SET c_acctbal = f.bal + 0.5, c_name = 'tt. f. upd'
+        WHEN MATCHED AND (f.op = 'del' OR f.op = 'both') THEN DELETE
+        WHEN NOT MATCHED AND f.op <> 'del'
+          THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
+               VALUES (f.k, f.bal * 2.0, upper(f.seg))"""
+      graft.sqlapi.SqlApi.executePg(s, stmt("w19_cust_delta"))
+      graft.sqlapi.SqlApi.executePg(s, stmt("w19_cust_ice"))
+      def tagged(name: String, tag: String) =
+        Catalog.attach(s, name, if (name.endsWith("ice")) "iceberg" else "delta",
+          Map("files" -> (if (name.endsWith("ice")) outI else outD)))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .withColumn("change_kind", lit(tag))
+      val feed = graft.sources.DeltaNative.read(s, outD,
+        Map("read_change_feed" -> "true", "starting_version" -> "1"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("_change_type").as("change_kind"))
+      tagged("w19_cust_delta", "__delta")
+        .unionByName(tagged("w19_cust_ice", "__iceberg"))
+        .unionByName(feed)
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+      feed AS (
+        SELECT c_custkey AS k, c_acctbal + 100.0 AS bal, c_mktsegment AS seg,
+               'upd' AS op FROM base WHERE c_custkey % 7 = 1
+        UNION ALL SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, 'del'
+          FROM base WHERE c_custkey % 7 = 2
+        UNION ALL SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, CAST(NULL AS VARCHAR)
+          FROM base WHERE c_custkey % 7 = 3
+        UNION ALL SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, 'both'
+          FROM base WHERE c_custkey % 7 = 4
+        UNION ALL SELECT c_custkey + 3000000, c_acctbal, c_mktsegment, 'ins'
+          FROM base WHERE c_custkey % 50 = 11
+        UNION ALL SELECT c_custkey + 4000000, c_acctbal, c_mktsegment, 'del'
+          FROM base WHERE c_custkey % 50 = 13
+        UNION ALL SELECT c_custkey + 5000000, c_acctbal, c_mktsegment, CAST(NULL AS VARCHAR)
+          FROM base WHERE c_custkey % 50 = 17),
+      m AS (SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment, f.bal, f.op
+            FROM base b JOIN feed f ON b.c_custkey = f.k),
+      -- first-match: UPDATE is listed first, so 'both' rows update;
+      -- NULL op satisfies NEITHER clause — the pair carries unchanged
+      upd AS (SELECT * FROM m WHERE op IN ('upd', 'both')),
+      del AS (SELECT * FROM m WHERE op = 'del'),
+      carry_m AS (SELECT * FROM m WHERE op IS NULL),
+      unmatched AS (SELECT b.* FROM base b LEFT JOIN feed f ON b.c_custkey = f.k
+                    WHERE f.k IS NULL),
+      ins AS (SELECT f.* FROM feed f LEFT JOIN base b ON b.c_custkey = f.k
+              WHERE b.c_custkey IS NULL AND f.op IS NOT NULL AND f.op <> 'del'),
+      final AS (
+        SELECT c_custkey, 'tt. f. upd' AS c_name, bal + 0.5 AS c_acctbal,
+               c_mktsegment FROM upd
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM carry_m
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM unmatched
+        UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg) FROM ins),
+      cdc AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'update_preimage' AS change_kind FROM upd
+        UNION ALL SELECT c_custkey, 'tt. f. upd', bal + 0.5, c_mktsegment,
+               'update_postimage' FROM upd
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'delete' FROM del
+        UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg),
+               'insert' FROM ins)
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment, '__delta' AS change_kind
+      FROM final
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, '__iceberg'
+      FROM final
+      UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, change_kind
+      FROM cdc"""))
+
   val all: Seq[QueryDef] =
     Seq(c01, c02, j01, h01, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14, g15, g16, o01, a01, l01, l02, l03, l04, l05, l06, l07, l08,
       l09, l10, l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, l25, l26, w01, w02, w03, w04, w05, w06, w07,
-      w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, w18, f01, f02, f03)
+      w08, w09, w10, w11, w12, w13, w14, w15, w16, w17, w18, w19, f01, f02, f03)
 }

@@ -575,24 +575,30 @@ object SqlApi {
   private val mergePrefix = """(?is)^\s*MERGE\s+INTO\s.+""".r.pattern
 
   /** First index at or after `from` of a word-bounded, case-insensitive
-    * keyword at paren depth 0 and outside single-quoted strings; -1 if
-    * none. */
+    * keyword at paren depth 0, outside single-quoted strings AND
+    * double-quoted identifiers, and outside `CASE … END` expressions (an
+    * unparenthesized CASE in an ON condition or SET value carries WHEN /
+    * THEN / ELSE tokens that are NOT clause boundaries); -1 if none. */
   private def topLevelKeyword(s: String, kw: String, from: Int): Int = {
     var i = math.max(from, 0)
     var depth = 0
-    var inStr = false
+    var caseDepth = 0
+    var quote: Char = 0
     val n = s.length
     val k = kw.length
     def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    def word(w: String): Boolean = s.regionMatches(true, i, w, 0, w.length) &&
+      (i == 0 || !wordChar(s.charAt(i - 1))) &&
+      (i + w.length >= n || !wordChar(s.charAt(i + w.length)))
     while (i < n) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else if (c == '\'') inStr = true
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
-      else if (depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
-        (i == 0 || !wordChar(s.charAt(i - 1))) &&
-        (i + k >= n || !wordChar(s.charAt(i + k)))) return i
+      else if (word("CASE")) caseDepth += 1
+      else if (caseDepth > 0 && word("END")) caseDepth -= 1
+      else if (depth == 0 && caseDepth == 0 && word(kw)) return i
       i += 1
     }
     -1
@@ -1293,15 +1299,13 @@ object SqlApi {
     * (WHEN MATCHED [AND]/NOT MATCHED [AND]/NOT MATCHED BY SOURCE [AND],
     * UPDATE SET / DELETE / INSERT) and dispatches by attach format to the
     * native [[graft.catalog.DeltaSink.mergeInto]] /
-    * [[graft.catalog.IcebergSink.mergeInto]] writers. Clause shapes those
-    * APIs cannot express reject LOUDLY, never silently re-order: the
-    * writers apply DELETE before UPDATE within a clause family, so a
-    * statement listing UPDATE first (whose SQL first-match semantics
-    * would differ for rows satisfying both) must be rewritten by the
-    * caller; a conditional WHEN MATCHED ... THEN UPDATE has no API
-    * rendering; INSERT must be `INSERT *` or the identity column list
-    * (the writers insert the whole source row — reshape the USING source
-    * for anything else). */
+    * [[graft.catalog.IcebergSink.mergeInto]] writers. The full
+    * delta-spark surface routes: conditional UPDATE / DELETE / INSERT
+    * clauses, BOTH clause orders within a family (SQL first-match — the
+    * listed order passes to the writers as a flag), and non-identity
+    * `INSERT (cols) VALUES (exprs)` (routed as an insert projection;
+    * omitted columns NULL-fill). Remaining inexpressible shapes reject
+    * LOUDLY, never silently re-order. */
   private def runMergeInto(spark: SparkSession, sql: String): DataFrame = {
     def bad(msg: String): Nothing =
       throw new IllegalArgumentException(s"MERGE INTO: $msg")
@@ -1364,12 +1368,17 @@ object SqlApi {
     if (tAlias.equalsIgnoreCase(sAlias))
       bad(s"target and source carry the same alias `$tAlias`")
     // rewrite BOTH aliases to the writers' fixed t./s. in ONE pass (a
-    // sequential replace would corrupt swapped aliases like t↔s)
+    // sequential replace would corrupt swapped aliases like t↔s) —
+    // quote-aware: alias-shaped tokens inside string literals and
+    // double-quoted identifiers stay verbatim
     val aliasPat = ("(?i)\\b(" + java.util.regex.Pattern.quote(tAlias) + "|" +
       java.util.regex.Pattern.quote(sAlias) + ")\\s*\\.").r
     def aliasRw(text: String): String =
-      aliasPat.replaceAllIn(text, m =>
-        if (m.group(1).equalsIgnoreCase(tAlias)) "t." else "s.")
+      PgDialect.segments(text).map { case (seg, quoted) =>
+        if (quoted) seg
+        else aliasPat.replaceAllIn(seg, m =>
+          if (m.group(1).equalsIgnoreCase(tAlias)) "t." else "s.")
+      }.mkString
 
     val (fmt, attachOpts) = graft.catalog.Catalog.attachedMeta(tgtName).getOrElse(
       bad(s"`$tgtName` is not an attached foreign table"))
@@ -1387,10 +1396,11 @@ object SqlApi {
 
     var matchedSet = Map.empty[String, String]
     var matchedDeleteCond: Option[String] = None
-    var matchedDelCondGiven = false
+    var matchedUpdateCond: Option[String] = None
     var matchedUpdPos = -1; var matchedDelPos = -1
     var insertNotMatched = false; var insertCond: Option[String] = None
     var sawInsert = false
+    var insertProj: Option[Map[String, String]] = None
     var bySourceSet = Map.empty[String, String]
     var bySourceUpdateCond: Option[String] = None
     var bySourceDeleteCond: Option[String] = None
@@ -1430,15 +1440,11 @@ object SqlApi {
         case mHead(c) => action match {
           case updAct(setList) =>
             if (matchedSet.nonEmpty) bad("duplicate WHEN MATCHED ... UPDATE clause")
-            if (c != null) bad(
-              "WHEN MATCHED AND <cond> THEN UPDATE has no native-writer " +
-                "rendering (the writers carry a conditional matched DELETE " +
-                "only); fold the condition into ON or pre-filter the USING source")
-            matchedSet = parseSet(setList); matchedUpdPos = idx
+            matchedSet = parseSet(setList)
+            matchedUpdateCond = condOf(c); matchedUpdPos = idx
           case delAct() =>
             if (matchedDeleteCond.isDefined)
               bad("duplicate WHEN MATCHED ... DELETE clause")
-            matchedDelCondGiven = c != null
             matchedDeleteCond = Some(condOf(c).getOrElse("true")); matchedDelPos = idx
           case other => bad(
             s"WHEN MATCHED supports UPDATE SET / DELETE, got `${other.take(40)}`")
@@ -1450,36 +1456,41 @@ object SqlApi {
             case insStarAct() => ()
             case insAct(colsList, valsList) =>
               val cols = splitTopLevel(colsList)
-                .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase)
-              val vals = splitTopLevel(valsList).map(v => aliasRw(v.trim))
+                .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              val vals = splitTopLevel(valsList)
+                .map(v => PgDialect.rewrite(aliasRw(v.trim)))
               if (cols.length != vals.length) bad("INSERT column/value counts differ")
-              val identity = cols.zip(vals).forall { case (cc, vv) =>
-                val v = vv.toLowerCase.replaceAll("\\s+", "")
-                v == s"s.$cc" || v == cc
+              // resolve listed names to the table's columns (case-insensitive)
+              val byLower = tableCols.map(c => c.toLowerCase -> c).toMap
+              val resolved = cols.map { cc =>
+                byLower.getOrElse(cc.toLowerCase,
+                  bad(s"INSERT column `$cc` is not in the table schema"))
               }
-              if (!identity || cols.toSet != tableCols.map(_.toLowerCase).toSet)
-                bad("only identity INSERT is routable (INSERT * or the full " +
-                  "column list assigning each source column) — the native " +
-                  "writers insert the whole source row; reshape the USING " +
-                  "source instead")
+              if (resolved.distinct.length != resolved.length)
+                bad("INSERT lists a column twice")
+              val identity = resolved.map(_.toLowerCase).toSet ==
+                tableCols.map(_.toLowerCase).toSet &&
+                resolved.zip(vals).forall { case (cc, vv) =>
+                  val v = vv.toLowerCase.replaceAll("\\s+", "")
+                  v == s"s.${cc.toLowerCase}" || v == cc.toLowerCase
+                }
+              // identity = whole-source-row insert (the writers' native
+              // shape); anything else routes as a projection — VALUES
+              // expression per column, omitted columns NULL-fill
+              if (!identity) insertProj = Some(resolved.zip(vals).toMap)
             case other => bad(s"WHEN NOT MATCHED supports INSERT, got `${other.take(40)}`")
           }
         case other => bad(s"cannot parse clause head `${other.take(60)}`")
       }
     }
 
-    if (matchedSet.nonEmpty && matchedDeleteCond.isDefined) {
-      if (matchedDelPos > matchedUpdPos) bad(
-        "WHEN MATCHED THEN UPDATE listed before the conditional DELETE: the " +
-          "native writers apply the DELETE clause first, which would change " +
-          "first-match semantics for pairs satisfying both — list the DELETE " +
-          "clause (with its AND condition) first")
-      if (!matchedDelCondGiven) bad(
-        "an unconditional WHEN MATCHED THEN DELETE makes the UPDATE clause unreachable")
-    }
-    if (bySourceSet.nonEmpty && bySourceDeleteCond.isDefined && bsDelPos > bsUpdPos)
-      bad("NOT MATCHED BY SOURCE UPDATE listed before the DELETE: the native " +
-        "writers apply the DELETE clause first — list the DELETE clause first")
+    // SQL first-match rule: when a matched pair (or by-source row) could
+    // satisfy both clauses of a family, the clause listed FIRST applies —
+    // the writers take the order as a flag, so both orders route
+    val matchedUpdateFirst = matchedSet.nonEmpty && matchedDeleteCond.isDefined &&
+      matchedUpdPos < matchedDelPos
+    val bySourceUpdateFirst = bySourceSet.nonEmpty && bySourceDeleteCond.isDefined &&
+      bsUpdPos < bsDelPos
 
     val cond = PgDialect.rewrite(aliasRw(condRaw))
     val (nUpd, nIns) = fmt.toLowerCase match {
@@ -1488,13 +1499,19 @@ object SqlApi {
           matchedSet = matchedSet, insertNotMatched = insertNotMatched,
           matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
-          bySourceDeleteCond = bySourceDeleteCond)
+          bySourceDeleteCond = bySourceDeleteCond,
+          matchedUpdateCond = matchedUpdateCond,
+          matchedUpdateFirst = matchedUpdateFirst,
+          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj)
       case "iceberg" =>
         graft.catalog.IcebergSink.mergeInto(spark, root, srcFrame, cond,
           matchedSet = matchedSet, insertNotMatched = insertNotMatched,
           matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
-          bySourceDeleteCond = bySourceDeleteCond)
+          bySourceDeleteCond = bySourceDeleteCond,
+          matchedUpdateCond = matchedUpdateCond,
+          matchedUpdateFirst = matchedUpdateFirst,
+          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj)
       case other => bad(
         s"MERGE is implemented for delta and iceberg attaches (got format `$other`)")
     }

@@ -5,12 +5,15 @@ import graft.sqlapi.SqlApi
 
 /** SQL `MERGE INTO` routing — the delta-spark statement shape parsed in
   * sqlapi and dispatched to the native mergeInto writers. Pins: both
-  * formats route; the full clause surface (conditional matched DELETE,
-  * conditional INSERT, both BY SOURCE clauses, subquery USING sources,
-  * arbitrary aliases) maps 1:1 onto the APIs; and every statement shape
-  * the APIs CANNOT express rejects loudly instead of silently re-ordering
-  * clause semantics (wrong format, ambiguous cardinality, conditional
-  * matched UPDATE, UPDATE-before-DELETE orders, non-identity INSERT). */
+  * formats route; the full clause surface maps onto the APIs —
+  * conditional matched UPDATE and DELETE in EITHER order (SQL first-match
+  * semantics), conditional INSERT, non-identity INSERT projections with
+  * NULL-filled omitted columns, both BY SOURCE clauses in either order,
+  * subquery USING sources, arbitrary aliases (alias-shaped tokens inside
+  * string literals untouched), CASE in ON; NULL-evaluating clause
+  * conditions are NOT satisfied (the pair falls through, SQL rule); and
+  * malformed shapes reject loudly (wrong format, ambiguous cardinality,
+  * unknown/duplicate INSERT columns). */
 class MergeSqlSpec extends SparkSpec {
 
   private def mkDelta(name: String): String = {
@@ -74,7 +77,7 @@ class MergeSqlSpec extends SparkSpec {
     assert(rows("msql_ice") === Seq((1L, 10.0, "a"), (2L, 99.0, "b"), (5L, 50.0, "e")))
   }
 
-  test("inexpressible statement shapes reject loudly") {
+  test("malformed statement shapes reject loudly") {
     import spark.implicits._
     mkDelta("msql_t3")
     Seq((2L, 99.0, "b2")).toDF("id", "bal", "seg")
@@ -83,33 +86,173 @@ class MergeSqlSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] { SqlApi.executePg(spark, sql) }
       assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
     }
-    // conditional matched UPDATE has no API rendering
+    // INSERT naming a column the table does not have
     rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
-      WHEN MATCHED AND s.bal > 5 THEN UPDATE SET bal = s.bal""",
-      "no native-writer rendering")
-    // matched UPDATE listed before the conditional DELETE (first-match drift)
+      WHEN NOT MATCHED THEN INSERT (id, nosuch) VALUES (s.id, s.bal)""",
+      "not in the table schema")
+    // INSERT listing a column twice
     rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
-      WHEN MATCHED THEN UPDATE SET bal = s.bal
-      WHEN MATCHED AND s.bal > 5 THEN DELETE""",
-      "list the DELETE")
-    // by-source UPDATE listed before the DELETE
+      WHEN NOT MATCHED THEN INSERT (id, id) VALUES (s.id, s.id)""",
+      "twice")
+    // column/value count mismatch
     rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
-      WHEN NOT MATCHED BY SOURCE AND t.seg = 'c' THEN UPDATE SET bal = CAST(0.0 AS DOUBLE)
-      WHEN NOT MATCHED BY SOURCE AND t.seg = 'a' THEN DELETE""",
-      "DELETE clause first")
-    // non-identity INSERT projection
-    rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
-      WHEN NOT MATCHED THEN INSERT (id, bal, seg) VALUES (s.id, s.bal + 1, s.seg)""",
-      "identity INSERT")
-    // unconditional matched DELETE shadowing an UPDATE
-    rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
-      WHEN MATCHED THEN DELETE
-      WHEN MATCHED THEN UPDATE SET bal = s.bal""",
-      "unreachable")
+      WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id)""",
+      "counts differ")
     // not an attached foreign table
     rejects("""MERGE INTO msql_nosuch t USING msql_src3 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET bal = s.bal""",
       "not an attached foreign table")
+  }
+
+  test("conditional matched UPDATE + first-match order: UPDATE listed first wins") {
+    import spark.implicits._
+    mkDelta("msql_t5")
+    // op drives the clauses; the source need not carry the table's
+    // columns when no identity INSERT clause is present
+    Seq((1L, 100.0, "up"), (2L, 200.0, "dl"), (3L, 300.0, null.asInstanceOf[String]))
+      .toDF("id", "bal2", "op").createOrReplaceTempView("msql_src5")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t5 t USING msql_src5 s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'up' THEN UPDATE SET bal = s.bal2
+      WHEN MATCHED AND s.op <> 'xx' THEN DELETE""")
+    // id=1: update cond true (listed first) → updates even though the
+    // delete cond also holds; id=2: update false, delete true → deleted;
+    // id=3: op NULL → both conditions NULL ⇒ NOT satisfied → carries
+    assert(rows("msql_t5") === Seq((1L, 100.0, "a"), (3L, 30.0, "c")))
+  }
+
+  test("first-match order: DELETE listed first wins; NULL conditions fall through") {
+    import spark.implicits._
+    mkDelta("msql_t6")
+    Seq((1L, 100.0, "dl"), (2L, 200.0, "up"), (3L, 300.0, null.asInstanceOf[String]))
+      .toDF("id", "bal2", "op").createOrReplaceTempView("msql_src6")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t6 t USING msql_src6 s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'dl' THEN DELETE
+      WHEN MATCHED AND s.bal2 > 0 THEN UPDATE SET bal = s.bal2""")
+    // id=1 deletes (both hold, DELETE first); id=2 updates; id=3: delete
+    // cond NULL ⇒ falls through to the UPDATE clause (bal2 > 0 holds)
+    assert(rows("msql_t6") === Seq((2L, 200.0, "b"), (3L, 300.0, "c")))
+  }
+
+  test("by-source first-match: UPDATE listed first claims rows satisfying both") {
+    import spark.implicits._
+    mkDelta("msql_t9")
+    Seq((2L, 0.0, "zz")).toDF("id", "bal", "seg")
+      .createOrReplaceTempView("msql_src9")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t9 t USING msql_src9 s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.seg = 'a' THEN UPDATE SET bal = CAST(0.0 AS DOUBLE)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // id=1 (seg a, unmatched): update cond true AND the unconditional
+    // delete also applies — UPDATE listed first wins; id=3 deletes;
+    // id=2 matched → carries
+    assert(rows("msql_t9") === Seq((1L, 0.0, "a"), (2L, 20.0, "b")))
+  }
+
+  test("non-identity INSERT projection: reordered, computed, omitted columns NULL-fill") {
+    import spark.implicits._
+    mkDelta("msql_t7")
+    Seq((2L, 99.0), (4L, 40.0)).toDF("k", "amount")
+      .createOrReplaceTempView("msql_src7")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t7 t USING msql_src7 s ON t.id = s.k
+      WHEN MATCHED THEN UPDATE SET bal = s.amount
+      WHEN NOT MATCHED THEN INSERT (bal, id) VALUES (s.amount * 2, s.k + 100)""")
+    val got = spark.table("msql_t7").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    // id=2 updates; id=4 unmatched → inserts as id 104 with the computed
+    // bal and the omitted seg NULL-filled (a NOT NULL omitted column
+    // rejects loudly via the writer's constraint check instead)
+    assert(got === Seq((1L, 10.0, Some("a")), (2L, 99.0, Some("b")),
+      (3L, 30.0, Some("c")), (104L, 80.0, None)))
+  }
+
+  test("iceberg: non-identity INSERT projection + conditional UPDATE route") {
+    import spark.implicits._
+    val root = tempDir("mergesql").getAbsolutePath + "/ice4"
+    graft.catalog.Sinks.copyTo(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "bal", "seg"),
+      root, "iceberg", Map.empty)
+    graft.catalog.Catalog.attach(spark, "msql_ice4", "iceberg", Map("files" -> root))
+    Seq((1L, 11.0, "up"), (2L, 22.0, null.asInstanceOf[String]), (9L, 90.0, "in"))
+      .toDF("k", "amount", "op").createOrReplaceTempView("msql_icesrc4")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_ice4 t USING msql_icesrc4 s ON t.id = s.k
+      WHEN MATCHED AND s.op = 'up' THEN UPDATE SET bal = s.amount
+      WHEN NOT MATCHED AND s.op = 'in' THEN INSERT (id, bal) VALUES (s.k, s.amount / 2)""")
+    val got = spark.table("msql_ice4").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    // id=1 updates (op 'up'); id=2: op NULL ⇒ carries; id=9 inserts with
+    // seg NULL-filled
+    assert(got === Seq((1L, 11.0, Some("a")), (2L, 20.0, Some("b")),
+      (9L, 45.0, None)))
+  }
+
+  test("alias-shaped tokens inside string literals survive the rewrite") {
+    import spark.implicits._
+    mkDelta("msql_t8")
+    Seq((2L, 0.0)).toDF("id", "x").createOrReplaceTempView("msql_src8")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t8 AS tt USING msql_src8 AS ss ON tt.id = ss.id
+      WHEN MATCHED THEN UPDATE SET seg = 'per tt. policy see ss. note'""")
+    val seg = spark.table("msql_t8").filter(col("id") === 2L)
+      .select("seg").collect().head.getString(0)
+    assert(seg === "per tt. policy see ss. note")
+  }
+
+  test("NULL-evaluating conditions: identical final tables on BOTH formats, CDC rows match counts") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+    val droot = tempDir("mergesql").getAbsolutePath + "/dnull"
+    graft.catalog.Sinks.copyTo(base.toDF("id", "bal", "seg"), droot, "delta",
+      Map("change_data_feed" -> "true"))
+    graft.catalog.Catalog.attach(spark, "msql_dnull", "delta", Map("files" -> droot))
+    val iroot = tempDir("mergesql").getAbsolutePath + "/inull"
+    graft.catalog.Sinks.copyTo(base.toDF("id", "bal", "seg"), iroot, "iceberg", Map.empty)
+    graft.catalog.Catalog.attach(spark, "msql_inull", "iceberg", Map("files" -> iroot))
+    // op NULL on a MATCHED pair (id=3) and on an UNMATCHED source row
+    // (id=8): every clause condition evaluates NULL for those rows
+    Seq((1L, 0.0, "del"), (2L, 99.0, "upd"), (3L, 77.0, null.asInstanceOf[String]),
+        (7L, 70.0, "new"), (8L, 80.0, null.asInstanceOf[String]))
+      .toDF("k", "amount", "op").createOrReplaceTempView("msql_nullsrc")
+    def stmt(t: String) = s"""
+      MERGE INTO $t t USING msql_nullsrc s ON t.id = s.k
+      WHEN MATCHED AND s.op = 'del' THEN DELETE
+      WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET bal = s.amount
+      WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT (id, bal, seg) VALUES (s.k, s.amount, 'n')"""
+    val rd = SqlApi.executePg(spark, stmt("msql_dnull")).collect().head
+    val ri = SqlApi.executePg(spark, stmt("msql_inull")).collect().head
+    assert((rd.getLong(0), rd.getLong(1)) === (1L, 1L))
+    assert((ri.getLong(0), ri.getLong(1)) === (1L, 1L))
+    // id=1 deleted, id=2 updated, id=3 carries (NULL ⇒ no clause
+    // satisfied — NOT silently deleted, NOT stuck), id=7 inserts,
+    // id=8's NULL insert condition gates it out — on BOTH formats
+    val want = Seq((2L, 99.0, "b"), (3L, 30.0, "c"), (7L, 70.0, "n"))
+    assert(rows("msql_dnull") === want)
+    assert(rows("msql_inull") === want)
+    // the change feed agrees with the counts: one delete, one pre/post
+    // pair, one insert — and NO row for the NULL-cond carried pair
+    val feed = graft.sources.DeltaNative.read(spark, droot,
+      Map("read_change_feed" -> "true", "starting_version" -> "1"))
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(feed === Map("delete" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L))
+  }
+
+  test("CASE WHEN inside the ON condition does not split the clause scan") {
+    import spark.implicits._
+    mkDelta("msql_t10")
+    Seq((2L, 99.0, "b2")).toDF("id", "bal", "seg")
+      .createOrReplaceTempView("msql_src10")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t10 t USING msql_src10 s
+      ON t.id = CASE WHEN s.id > 0 THEN s.id ELSE -s.id END
+      WHEN MATCHED THEN UPDATE SET bal = s.bal""")
+    assert(rows("msql_t10") === Seq((1L, 10.0, "a"), (2L, 99.0, "b"), (3L, 30.0, "c")))
   }
 
   test("iceberg conditional clauses route (matched DELETE + gated INSERT); cardinality rejects") {
