@@ -536,11 +536,15 @@ object Dedup {
     * are killed by the exact verify, false negatives are impossible, so the
     * output is EXACTLY "batch rows whose md5(norm) is absent from history"
     * at any fpp — which is what lets DuckDB oracle it with a plain NOT IN.
-    * `expectedItems` sizes the sketch and is CALLER-SUPPLIED (at scale the
-    * history cardinality estimate is free from table stats/metadata; a
-    * sizing count() here would be a third full history scan). An
-    * underestimate only degrades fpp — more rows take the exact-verify
-    * path — never correctness. NULL text rejects loudly: a NULL document
+    * `expectedItems` sizes the sketch: 0 (the default) AUTO-SIZES from
+    * `history.count()` — a parquet count-star answered from row-group
+    * metadata, not a data scan — so a KB-scale history no longer ships a
+    * ~5 MiB worst-case sketch in every task binary (the d17 writeEpoch
+    * arrangement, applied inline). At scale a caller with a cardinality
+    * estimate from table stats passes it explicitly and skips even the
+    * metadata pass. An underestimate only degrades fpp — more rows take
+    * the exact-verify path — never correctness. NULL text rejects loudly:
+    * a NULL document
     * has no dedup identity, and silently keeping it would diverge from the
     * NOT-IN contract (NULL never matches an anti-join key).
     * Intra-batch duplicates are out of scope (exactMark owns those).
@@ -556,15 +560,19 @@ object Dedup {
 
   def incrementalGate(newDf: DataFrame, history: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01,
-      expectedItems: Long = 1L << 22,
+      expectedItems: Long = 0L,
       broadcastKeyLimit: Long = 500000L): DataFrame = {
     def norm(c: Column): Column = normText(c)
     val histKeys = history.select(md5(norm(col(textCol))).as("h"),
       xxhash64(norm(col(textCol))).as("hx"))
+    // auto-size (scaladoc): history row count upper-bounds the distinct
+    // key count; the projection prunes away, so this is a metadata count
+    val sized = if (expectedItems > 0L) expectedItems
+      else math.max(history.count(), 1L)
     // sketch putLong/mightContainLong pair with xxhash64 exactly as
     // Spark's own injected runtime filters do
     val bloom = histKeys.select(col("hx")).stat
-      .bloomFilter("hx", math.max(expectedItems, 1L), fpp)
+      .bloomFilter("hx", sized, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     // cache the tagged batch: it feeds the size-gate count, the clean
@@ -628,14 +636,19 @@ object Dedup {
     * Output: (idCol, n_hit_bands, keep). */
   def fuzzyIncrementalGate(newDf: DataFrame, history: DataFrame,
       textCol: String, idCol: String, fpp: Double = 0.01,
-      expectedItems: Long = 1L << 22,
+      expectedItems: Long = 0L,
       broadcastKeyLimit: Long = 500000L): DataFrame = {
     def bandsOf(df: DataFrame): DataFrame =
       bandSignatures(minhashWide(df, textCol, idCol), idCol)
         .select(col(idCol), concat_ws(":", col("band"), col("band_sig")).as("k"))
     val histBands = bandsOf(history)
+    // auto-size (same contract as incrementalGate): ≤ k/rowsPerBand = 4
+    // band keys per history doc, so 4× the metadata row count
+    // upper-bounds the insertions — never touches the minhash pipeline
+    val sized = if (expectedItems > 0L) expectedItems
+      else math.max(4L * history.count(), 1L)
     val bloom = histBands.select(xxhash64(col("k")).as("kx")).stat
-      .bloomFilter("kx", math.max(expectedItems, 1L), fpp)
+      .bloomFilter("kx", sized, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     // cache the maybe-positive band rows: they feed the size-gate count,

@@ -193,6 +193,21 @@ object DedupIndex {
             "serve it — an exact gate over band keys (or a fuzzy gate over " +
             "document hashes) would silently compute nonsense")
       }
+    // torn-epoch guard: keys and bloom land as two commits, so a crash
+    // between them leaves an epoch's keys with NO sketch — its duplicates
+    // would gate __maybe=false and pass as clean (a silent false negative,
+    // the one thing the contract forbids). Assert coverage loudly (one
+    // cheap distinct over the key table's epoch column); a retried append
+    // heals the gap because maxEpoch derives from BLOOM rows.
+    val bloomEpochs = rows.iterator.map(_.getLong(1)).toSet
+    val orphanEpochs = attach(spark, path).filter(col("kind") === "key")
+      .select(col("epoch")).distinct().collect().map(_.getLong(0))
+      .filterNot(bloomEpochs).sorted
+    if (orphanEpochs.nonEmpty) throw DedupIndexException(
+      s"`$path`: epoch(s) ${orphanEpochs.mkString(",")} carry key rows but " +
+        "no bloom row — a build/append was torn between its two commits; " +
+        "retry the append (it re-writes the epoch and its sketch) before " +
+        "gating, or duplicates of the torn epoch would pass as clean")
     rows.sortBy(_.getLong(1)).map(_.getAs[Array[Byte]]("payload")).toSeq
   }
 

@@ -108,6 +108,33 @@ class DedupIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("spec_version 99"))
   }
 
+  test("torn append (keys without bloom) rejects loudly; a retried append heals") {
+    val dir = tempDir("dedupidx").getAbsolutePath
+    val epoch0 = docs.filter(col("doc_id") % 2 === 0)
+    val epoch1 = docs.filter(col("doc_id") % 2 =!= 0)
+    DedupIndex.build(epoch0, "text", s"$dir/idx")
+    // simulate a crash between writeEpoch's two commits: epoch 1's key
+    // rows land, its bloom does not — gating now would emit epoch-1
+    // duplicates as clean (__maybe never fires for them)
+    val n = regexp_replace(lower(col("text")), "\\s+", " ")
+    graft.catalog.DeltaSink.write(
+      epoch1.select(lit("key").as("kind"),
+        lit(DedupIndex.SpecVersion).as("spec_version"),
+        lit(1L).as("epoch"), md5(n).as("h"), xxhash64(n).as("hx"),
+        lit(null).cast("binary").as("payload")).distinct(),
+      s"$dir/idx", Map.empty)
+    val e = intercept[DedupIndex.DedupIndexException] {
+      DedupIndex.gate(mkBatch(docs), s"$dir/idx", "text", "doc_id").collect()
+    }
+    assert(e.getMessage.contains("torn"))
+    // the retry: maxEpoch derives from BLOOM rows (still 0), so the
+    // append re-writes epoch 1 WITH a sketch sized over every epoch-1
+    // key row — the orphans are covered and the gate is exact again
+    DedupIndex.append(epoch1, "text", s"$dir/idx")
+    val out = gateRows(DedupIndex.gate(mkBatch(docs), s"$dir/idx", "text", "doc_id"))
+    assert(out === expected(mkBatch(docs), docs))
+  }
+
   test("fuzzy: build → append → gate matches the inline d16 gate; zero raw passes; compact preserves") {
     val dir = tempDir("dedupidx").getAbsolutePath
     val epoch0 = docs.filter(col("doc_id") % 2 === 0)
