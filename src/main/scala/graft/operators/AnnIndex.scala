@@ -18,6 +18,8 @@ import graft.catalog.{Catalog, DeltaSink}
   * one row per learned centroid:
   *
   *   kind STRING         'ivf' (k-means cell centroids) | 'pq' (codebooks)
+  *                       | 'sq' (the int8-encoded corpus — per-vector rows,
+  *                       served distributed, never as driver literals)
   *   spec_version INT    layout + training-arithmetic version; a search
   *                       refuses rows from a different spec loudly rather
   *                       than silently mixing arithmetic generations
@@ -141,4 +143,62 @@ object AnnIndex {
       candidates: DataFrame, k: Int, dim: Int): DataFrame =
     Similarity.pqSearchWithModel(queries, candidates, k,
       loadPq(spark, indexPath), dim)
+
+  // ------------------------------------------------------------ SQ8 kind
+
+  /** SQ8 index rows — kind='sq' completes the index matrix: unlike the
+    * ivf/pq kinds (bounded MODELS, driver literals) the SQ artifact is the
+    * ENCODED CORPUS itself — one row per vector, `cell` = vec_id,
+    * `centroid` = the int8 codes (values in [-127,127], exact in DOUBLE —
+    * the shared layout needs no new column). There is nothing to train
+    * (the max-abs quantizer is a projection), so what the persisted table
+    * amortizes is the per-invocation ENCODE pass over the whole corpus
+    * that [[Similarity.sqRerankTopK]] pays — at 100 TB the 4×-smaller code
+    * table is built once and every search reads IT, not the embeddings.
+    * Built fully distributed (never collected — per-vector rows are
+    * unbounded, unlike the centroid kinds). */
+  def buildSq(candidates: DataFrame): DataFrame =
+    Similarity.sqEncode(candidates).select(
+      lit("sq").as("kind"), lit(SpecVersion).as("spec_version"),
+      lit(0L).as("part"), col("vec_id").as("cell"),
+      col("__qcf").cast("array<double>").as("centroid"))
+
+  /** Idempotent SQ build-if-absent (the [[ensureIvf]] arrangement). */
+  def ensureSq(candidates: DataFrame, path: String): Unit =
+    if (!exists(candidates.sparkSession, path)) write(buildSq(candidates), path)
+
+  /** Grow the code table as a corpus shard commits: encode ONLY the shard
+    * and append its rows — no existing code is touched (codes are
+    * per-vector, so incremental growth is exact, not an approximation). */
+  def appendSq(shard: DataFrame, path: String): Unit =
+    DeltaSink.write(buildSq(shard), path, Map.empty)
+
+  /** Load the persisted code table as a DISTRIBUTED frame (vec_id, __qcf)
+    * — never driver literals (per-vector rows scale with the corpus).
+    * Spec-version and emptiness are checked with bounded probe jobs. */
+  def loadSqCodes(spark: SparkSession, path: String): DataFrame = {
+    val view = s"ann_index_${Integer.toHexString(path.hashCode)}"
+    val df = Catalog.attach(spark, view, "delta", Map("files" -> path))
+      .filter(col("kind") === "sq")
+    if (df.isEmpty) throw AnnIndexException(
+      s"`$path`: no `sq` model rows in the index table — build it with " +
+        "AnnIndex.ensureSq, or check `kind`")
+    val badSpec = df.filter(col("spec_version") =!= SpecVersion)
+      .select(col("spec_version")).limit(1).collect()
+    if (badSpec.nonEmpty) throw AnnIndexException(
+      s"`$path`: index rows carry spec_version ${badSpec.head.getInt(0)} but " +
+        s"this engine serves $SpecVersion — rebuild the index rather than " +
+        "mixing arithmetic generations")
+    df.select(col("cell").as("vec_id"),
+      expr("transform(centroid, x -> cast(x as float))").as("__qcf"))
+  }
+
+  /** Serve the SQ two-stage search from the persisted code table — ZERO
+    * encode jobs over the corpus ([[Similarity.encodeRuns]]-pinned): the
+    * coarse pass reads the stored codes, the exact rerank reads full
+    * vectors for only the candidate set. */
+  def searchSq(spark: SparkSession, indexPath: String, queries: DataFrame,
+      candidates: DataFrame, k: Int, kCand: Int): DataFrame =
+    Similarity.sqRerankWithCodes(queries, loadSqCodes(spark, indexPath),
+      candidates, k, kCand)
 }

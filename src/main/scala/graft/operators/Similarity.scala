@@ -959,19 +959,43 @@ object Similarity {
     * then an exact-cosine rerank reads full vectors for ONLY the
     * candidate set. Quantization, coarse ranking, and rerank all replay
     * in SQL ([[sqRerankSql]]). */
-  def sqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      kCand: Int = 30): DataFrame = {
-    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+  /** Counts corpus ENCODE passes (the SQ quantization projection) — the
+    * [[trainingRuns]] sibling for the code-table lifecycle: a search
+    * served from a persisted code table ([[graft.operators.AnnIndex]]
+    * kind='sq') must never re-encode the corpus, and AnnIndexSpec pins it
+    * through this counter. */
+  val encodeRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Encode the corpus as symmetric max-abs int8 codes, carried as FLOATs
+    * (|code| ≤ 127 is float-exact, and vec_cosine's float-array/double-
+    * arith contract then matches the oracle fold). One projection — no
+    * shuffle, no driver state; this is the pass a persisted code table
+    * exists to amortize. Output: (vec_id, __qcf). */
+  def sqEncode(candidates: DataFrame): DataFrame = {
+    encodeRuns.incrementAndGet()
     val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    val codes = candidates.select(col("vec_id"), col("embedding"))
+    candidates.select(col("vec_id"), col("embedding"))
       .withColumn("__scale", scale)
-      // codes as FLOATs: |code| <= 127 is float-exact, and vec_cosine's
-      // float-array/double-arith contract then matches the oracle fold
       .withColumn("__qcf", when(col("__scale") > 0,
           transform(col("embedding"),
             x => round(x.cast("double") * 127 / col("__scale")).cast("float")))
         .otherwise(transform(col("embedding"), _ => lit(0.0f))))
       .select(col("vec_id"), col("__qcf"))
+  }
+
+  def sqRerankTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      kCand: Int = 30): DataFrame =
+    sqRerankWithCodes(queries, sqEncode(candidates), candidates, k, kCand)
+
+  /** The SQ chain SERVED from an existing code table (vec_id, __qcf) —
+    * what [[graft.operators.AnnIndex.searchSq]] calls with the persisted
+    * codes: coarse scale-free cosine over the codes, two-phase candidate
+    * pruning, exact rerank reading full vectors for only the candidates.
+    * Identical arithmetic to [[sqRerankTopK]] by construction (the
+    * quantizer is deterministic), so the s11 oracle replays both. */
+  def sqRerankWithCodes(queries: DataFrame, codes: DataFrame,
+      candidates: DataFrame, k: Int, kCand: Int = 30): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
     val scored = codes.crossJoin(broadcast(queries))
       .withColumn("coarse_sim", cosine("q_vec", "__qcf"))
     val local = Window.partitionBy(col("q_id"), col("__part"))

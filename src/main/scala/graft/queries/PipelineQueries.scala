@@ -1793,5 +1793,31 @@ object PipelineQueries {
              (start_off // $seqLen) != ((start_off + greatest(n_tokens, 1) - 1) // $seqLen) AS crosses_seq
       FROM c"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+  // ---------------------------------------------------------------- s19
+  // PERSISTED SQ8 CODE TABLE — the index matrix completed: unlike s17/
+  // x32's bounded centroid models, the SQ artifact is the encoded corpus
+  // itself (per-vector int8 codes under the shared index layout, built and
+  // served fully DISTRIBUTED — the 4×-smaller table every search's coarse
+  // pass reads instead of re-encoding the embeddings per invocation, which
+  // is what inline s11 pays). The quantizer is deterministic, so the
+  // persisted-and-served search is bit-identical to the inline chain and
+  // s11's replay SQL oracles the whole lifecycle.
+  private val s19 = QueryDef(
+    "s19_ann_index_sq",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"${annScratch(dir)}/ann_sq_index"
+      AnnIndex.ensureSq(candidates, idx)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      AnnIndex.searchSq(s, idx, queries, candidates, 10, kCand = 30)
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${Similarity.sqRerankSql(10, kCand = 30)}"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14, d15, d16, d17, d18, s01, s02, s03, s04, s05, s06, s07, s08, s09, m01, m02, m03, m04, m05, m06, m07, m08, t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

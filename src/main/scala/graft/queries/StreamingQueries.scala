@@ -1976,7 +1976,51 @@ object StreamingQueries {
       c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
       ${graft.operators.Similarity.pqRerankSql(10, kCand = 30)}"""))
 
+  // ---------------------------------------------------------------- x34
+  // STREAMING SQ SERVING from the persisted code table — the code-table
+  // sibling of x32: the stream pins one TABLE generation at start (a
+  // distributed frame, not driver literals — SQ codes are per-vector) and
+  // never encodes the corpus (encodeRuns-pinned in AnnIndexSpec); each
+  // micro-batch runs the scale-free coarse cosine over the stored codes +
+  // exact rerank, results append exactly-once. The deterministic quantizer
+  // makes the served search bit-identical to inline s11, whose replay SQL
+  // is the oracle verbatim.
+  private val x34 = QueryDef(
+    "x34_stream_ann_serve_sq",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.load(s, dir, "embeddings")
+      val candidates = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      val idx = s"/root/repo/target/export/${new java.io.File(dir).getName}/ann_sq_index"
+      graft.operators.AnnIndex.ensureSq(candidates, idx)
+      val out = new java.io.File(freshRoot(dir, "x34"), "serve_delta").getPath
+      val in = MemoryStream[(Long, Seq[Float])](1)
+      val writer = Streams.annServeStreamSq(in.toDF().toDF("q_id", "q_vec"),
+        candidates, idx, out, k = 10, kCand = 30, appId = "x34-serve")
+      withReplayConf(s, 1) { ck =>
+        val q = writer.option("checkpointLocation", ck).start()
+        try {
+          val qs = e.filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          in.addData(qs.filter(_._1 < 3).toSeq)
+          q.processAllAvailable()
+          in.addData(qs.filter(_._1 >= 3).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Catalog.attach(s, "x34_serve_out", "delta", Map("files" -> out))
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+      ${graft.operators.Similarity.sqRerankSql(10, kCand = 30)}"""))
+
   val all: Seq[QueryDef] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24, x25,
-    x26, x27, x28, x29, x30, x31, x32, x33)
+    x26, x27, x28, x29, x30, x31, x32, x33, x34)
 }

@@ -137,6 +137,30 @@ object Streams {
     }
   }
 
+  /** STREAMING SQ SERVING — the code-table sibling of [[annServeStreamPq]]:
+    * the stream pins ONE persisted code-table GENERATION at start
+    * ([[graft.operators.AnnIndex.loadSqCodes]] resolves the table once —
+    * a distributed frame, not driver literals, because SQ codes are
+    * per-vector; ZERO corpus encode jobs for the stream's lifetime, the
+    * `encodeRuns` pin on a live feed). Each micro-batch of query vectors
+    * runs the scale-free coarse cosine over the stored codes + exact
+    * rerank, results append exactly-once via the (appId, batchId) ledger.
+    * Per-row independence keeps batch boundaries invisible — s11's replay
+    * SQL is the oracle verbatim. */
+  def annServeStreamSq(queries: DataFrame, candidates: DataFrame,
+      indexPath: String, outRoot: String, k: Int, kCand: Int,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val codes = graft.operators.AnnIndex.loadSqCodes(queries.sparkSession, indexPath)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val res = graft.operators.Similarity
+          .sqRerankWithCodes(batch.toDF(), codes, candidates, k, kCand)
+        graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
+          txn = Some((appId, batchId)))
+        ()
+    }
+  }
+
   /** STREAMING INCREMENTAL DEDUP GATE — arrivals gate against the FULL
     * historical corpus through the persisted [[graft.operators.DedupIndex]]
     * artifact: per micro-batch the gate loads the index's per-epoch bloom

@@ -83,6 +83,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(served === inline)
   }
 
+  test("sq: persisted code table serves bit-identically to inline, zero encode jobs") {
+    val dir = tempDir("annidx").getAbsolutePath
+    val inline = rowsOf(Similarity.sqRerankTopK(queries, candidates, 6, kCand = 20))
+    AnnIndex.ensureSq(candidates, s"$dir/sq")
+    AnnIndex.ensureSq(candidates, s"$dir/sq") // idempotent
+    val before = Similarity.encodeRuns.get()
+    val served = rowsOf(AnnIndex.searchSq(spark, s"$dir/sq", queries,
+      candidates, 6, kCand = 20))
+    assert(Similarity.encodeRuns.get() === before,
+      "the persisted-code-table search path re-encoded the corpus")
+    assert(served === inline)
+  }
+
+  test("sq: appended shard codes serve the grown corpus exactly") {
+    val dir = tempDir("annidx").getAbsolutePath
+    val base = candidates.filter(col("vec_id") % 5 =!= 0)
+    val shard = candidates.filter(col("vec_id") % 5 === 0)
+    AnnIndex.ensureSq(base, s"$dir/sq")
+    AnnIndex.appendSq(shard, s"$dir/sq")
+    // codes are per-vector, so base ∪ shard served from the grown table
+    // is EXACTLY the inline chain over the whole corpus (unlike ivf's
+    // append-then-reprobe approximation)
+    val inline = rowsOf(Similarity.sqRerankTopK(queries, candidates, 6, kCand = 20))
+    val before = Similarity.encodeRuns.get()
+    val served = rowsOf(AnnIndex.searchSq(spark, s"$dir/sq", queries,
+      candidates, 6, kCand = 20))
+    assert(Similarity.encodeRuns.get() === before)
+    assert(served === inline)
+  }
+
   test("spec-version and missing-kind rejects are loud") {
     val dir = tempDir("annidx").getAbsolutePath
     AnnIndex.ensureIvf(candidates, s"$dir/ivf", 4, 2)
@@ -99,5 +129,18 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.loadIvf(spark, s"$dir/forged")
     }
     assert(e2.getMessage.contains("spec_version"))
+    val e3 = intercept[AnnIndex.AnnIndexException] {
+      AnnIndex.loadSqCodes(spark, s"$dir/ivf") // no sq rows here
+    }
+    assert(e3.getMessage.contains("no `sq` model rows"))
+    AnnIndex.ensureSq(candidates, s"$dir/sq")
+    val sqDf = graft.catalog.Catalog.attach(spark,
+      "ann_spec_forge_sq", "delta", Map("files" -> s"$dir/sq"))
+      .withColumn("spec_version", lit(AnnIndex.SpecVersion + 1))
+    AnnIndex.write(sqDf, s"$dir/sqforged")
+    val e4 = intercept[AnnIndex.AnnIndexException] {
+      AnnIndex.loadSqCodes(spark, s"$dir/sqforged")
+    }
+    assert(e4.getMessage.contains("spec_version"))
   }
 }
