@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   *   LINE x1 y1 x2 y2             → LineString(2)
   *   PLINE [MULTIPLE n] …         → LineString | MultiLineString
   *   REGION n (rings)             → Polygon | MultiPolygon (rings grouped
-  *                                  by the shared shapefile orientation
-  *                                  convention: clockwise outer opens a
-  *                                  polygon, counter-clockwise holes attach)
+  *                                  by CONTAINMENT — even nesting depth =
+  *                                  outer shell, odd = hole of its innermost
+  *                                  shell, the GDAL organizePolygons rule —
+  *                                  because MIF, unlike shapefile, does NOT
+  *                                  mandate ring orientation)
   *   MULTIPOINT n x y …           → MultiPoint
   *
   * Styling clauses (PEN/BRUSH/SYMBOL/SMOOTH/CENTER) are skipped — they
@@ -98,9 +100,14 @@ object Mif {
     val p = new Path(f)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) throw MifException(s"`$f`: file does not exist")
+    val lenL = fs.getFileStatus(p).getLen
+    if (lenL > Int.MaxValue - 16) throw MifException(
+      s"`$f`: $lenL bytes — this text-interchange reader loads whole files " +
+        "and a >2 GB MIF/MID is outside its scope; split the export or use " +
+        "a GDAL deployment")
     val in = fs.open(p)
     val bytes = try {
-      val len = fs.getFileStatus(p).getLen.toInt
+      val len = lenL.toInt
       val a = new Array[Byte](len); in.readFully(0, a); a
     } finally in.close()
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split("\r?\n", -1)
@@ -172,7 +179,7 @@ object Mif {
     if (h.cols != expect) throw MifException(
       s"`$f`: column declarations differ from the attach's first file — " +
         "multi-file attaches must share one schema")
-    import Shapefile.{wkbHeader, leInt, le16, lineString, groupRings}
+    import Shapefile.{wkbHeader, leInt, le16, lineString}
     var i = h.dataAt + 1
     def nextNonEmpty(): Option[String] = {
       while (i < ls.length && ls(i).trim.isEmpty) i += 1
@@ -236,7 +243,7 @@ object Mif {
               // MIF rings are open; WKB linear rings close explicitly
               if (pts.head == pts.last) pts else pts :+ pts.head
             }
-            val grouped = groupRings(rings)
+            val grouped = groupRingsByContainment(rings, f)
             geoms += (if (grouped.length == 1)
                 wkbHeader(3) ++ leInt(grouped.head.length) ++ grouped.head.flatMap(lineString)
               else wkbHeader(6) ++ leInt(grouped.length) ++ grouped.flatMap { poly =>
@@ -262,6 +269,55 @@ object Mif {
     gs.iterator.zip(attrs.iterator).map { case (g, a) => Row.fromSeq(a :+ g) }
   }
 
+  // ------------------------------------------------------- ring grouping
+
+  /** Even-odd ray cast; `ring` is closed (first == last) but the test
+    * works either way. Boundary points are ambiguous by nature — MIF ring
+    * sets with coincident ring edges are invalid data, not a case this
+    * classifier must resolve. */
+  private def pointInRing(x: Double, y: Double, ring: Array[(Double, Double)]): Boolean = {
+    var inside = false
+    var a = 0
+    var b = ring.length - 1
+    while (a < ring.length) {
+      val (xa, ya) = ring(a); val (xb, yb) = ring(b)
+      if ((ya > y) != (yb > y) && x < (xb - xa) * (y - ya) / (yb - ya) + xa)
+        inside = !inside
+      b = a; a += 1
+    }
+    inside
+  }
+
+  /** Group a REGION's rings into polygons by CONTAINMENT (the GDAL
+    * organizePolygons rule): a ring nested inside an even number of other
+    * rings is an outer shell, odd-depth rings are holes of their INNERMOST
+    * containing shell. MIF does not mandate ring orientation (unlike
+    * shapefile, whose CW-outer convention Shapefile.groupRings encodes),
+    * so a file whose holes are clockwise must still decode as holes — the
+    * orientation convention would silently read them as separate solid
+    * polygons. O(rings²) point-in-ring tests per record, fine at the
+    * tens-of-rings scale one REGION record carries. */
+  private def groupRingsByContainment(rings: Seq[Array[(Double, Double)]],
+      f: String): Seq[Seq[Array[(Double, Double)]]] = {
+    val n = rings.length
+    if (n == 1) return Seq(Seq(rings.head))
+    val depth = Array.tabulate(n) { j =>
+      val (x, y) = rings(j).head
+      rings.indices.count(k => k != j && pointInRing(x, y, rings(k)))
+    }
+    val shells = rings.indices.filter(depth(_) % 2 == 0)
+    val holes = scala.collection.mutable.Map.empty[Int, Vector[Int]]
+    rings.indices.filter(depth(_) % 2 == 1).foreach { hj =>
+      val (x, y) = rings(hj).head
+      // the innermost containing even-depth ring is the hole's shell
+      val parent = shells.filter(s => pointInRing(x, y, rings(s)))
+        .sortBy(s => -depth(s)).headOption.getOrElse(throw MifException(
+          s"`$f`: REGION hole ring nests in no outer shell — corrupt ring set"))
+      holes(parent) = holes.getOrElse(parent, Vector.empty) :+ hj
+    }
+    shells.map(s => rings(s) +: holes.getOrElse(s, Vector.empty).map(rings(_)))
+  }
+
   // ---------------------------------------------------------------- MID
 
   private def midRows(conf: Configuration, mif: String, h: Header,
@@ -276,7 +332,13 @@ object Mif {
         s"`$mif`: header declares ${h.cols.length} columns but no sibling " +
           ".mid attribute file exists")
     }
-    val rows = lines(conf, mid.toString).filter(_.nonEmpty).toSeq
+    // trim ONLY the one split artifact a terminal newline produces (the
+    // -1 split always yields a final "" when the text ends with \n) — an
+    // empty LINE is a legitimate row when a single Char column's value is
+    // empty (multi-column files fail the field-count check loudly instead
+    // of being silently dropped and mis-zipping the rest)
+    val all0 = lines(conf, mid.toString).toSeq
+    val rows = if (all0.nonEmpty && all0.last.isEmpty) all0.init else all0
     if (rows.length != nGeoms) throw MifException(
       s"`$mid`: ${rows.length} attribute rows but ${nGeoms} geometry records " +
         "— order is the only row identity in MIF/MID, a silent zip would " +

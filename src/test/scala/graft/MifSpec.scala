@@ -54,7 +54,7 @@ class MifSpec extends SparkSpec {
     assert(hexOf(6) === null) // NONE
   }
 
-  test("REGION with a hole groups by the shared orientation convention") {
+  test("REGION with a hole groups by containment (orientation-independent)") {
     val dir = tempDir("mif")
     val f = writePair(dir, "h",
       // outer CW ring then CCW hole — one polygon, two rings
@@ -66,6 +66,50 @@ class MifSpec extends SparkSpec {
       """{"type":"Polygon","coordinates":[
            [[0,0],[0,10],[10,10],[10,0],[0,0]],
            [[2,2],[6,2],[6,6],[2,6],[2,2]]]}""".replaceAll("\\s+", "")))
+  }
+
+  test("REGION hole with the SAME winding as its shell still decodes as a hole") {
+    val dir = tempDir("mif")
+    // MIF does not mandate ring orientation: both rings CW here — the
+    // shapefile convention would mis-read the hole as a second solid
+    // polygon; containment grouping must not
+    val f = writePair(dir, "hcw",
+      "REGION 2\n4\n0 0\n0 10\n10 10\n10 0\n4\n2 2\n2 6\n6 6\n6 2\n",
+      "1,\"only\"\n")
+    val df = Catalog.attach(spark, "mif_hcw", "spatial", Map("files" -> f))
+    val g = wkbHex(df.collect().head.getAs[Array[Byte]]("geom"))
+    assert(g === geo(
+      """{"type":"Polygon","coordinates":[
+           [[0,0],[0,10],[10,10],[10,0],[0,0]],
+           [[2,2],[2,6],[6,6],[6,2],[2,2]]]}""".replaceAll("\\s+", "")))
+  }
+
+  test("REGION island inside a hole is its own polygon (depth-2 nesting)") {
+    val dir = tempDir("mif")
+    val f = writePair(dir, "isl",
+      "REGION 3\n4\n0 0\n0 10\n10 10\n10 0\n4\n2 2\n6 2\n6 6\n2 6\n" +
+        "4\n3 3\n5 3\n5 5\n3 5\n",
+      "1,\"only\"\n")
+    val df = Catalog.attach(spark, "mif_isl", "spatial", Map("files" -> f))
+    val g = wkbHex(df.collect().head.getAs[Array[Byte]]("geom"))
+    assert(g === geo(
+      """{"type":"MultiPolygon","coordinates":[
+           [[[0,0],[0,10],[10,10],[10,0],[0,0]],
+            [[2,2],[6,2],[6,6],[2,6],[2,2]]],
+           [[[3,3],[5,3],[5,5],[3,5],[3,3]]]]}""".replaceAll("\\s+", "")))
+  }
+
+  test("an entirely-empty MID row is a legitimate single-Char-column row") {
+    val dir = tempDir("mif")
+    writeText(dir, "e.mid", "\"a\"\n\n")
+    val f = writeText(dir, "e.mif",
+      "VERSION 300\nDELIMITER \",\"\nCOLUMNS 1\n  s Char(4)\nDATA\n" +
+        "POINT 0 0\nPOINT 1 1\n")
+    val df = Catalog.attach(spark, "mif_e1", "spatial", Map("files" -> f))
+    val vals = df.collect().map(_.getString(0)).toSet
+    // the empty interior line is row 2 (empty Char value), only the
+    // final newline's trailing empty is trimmed
+    assert(vals === Set("a", ""))
   }
 
   test("typed columns: Float/Decimal→double, Logical→boolean, Date→string, empty→NULL") {
