@@ -25,6 +25,15 @@ import org.apache.spark.sql.types._
   * Single-writer contract: the commit fails loudly if the target version
   * file already exists — optimistic-concurrency retry is a coordinator
   * feature this library intentionally leaves to a connector jar. */
+/** One ordered `WHEN MATCHED [AND <cond>] THEN UPDATE SET …/DELETE`
+  * clause for [[DeltaSink.mergeInto]]/[[IcebergSink.mergeInto]]:
+  * `set` None = DELETE, Some = the UPDATE's column → expression map.
+  * Clause ORDER is SQL first-match order — a matched pair takes the
+  * first clause whose condition it satisfies (NULL ⇒ not satisfied),
+  * and carries unchanged when none does. */
+final case class MergeMatchedClause(cond: Option[String],
+    set: Option[Map[String, String]])
+
 object DeltaSink {
   import graft.sources.DeltaNative.DeltaReadException
 
@@ -2443,7 +2452,13 @@ object DeltaSink {
       matchedUpdateCond: Option[String] = None,
       matchedUpdateFirst: Boolean = false,
       bySourceUpdateFirst: Boolean = false,
-      insertProj: Option[Map[String, String]] = None): (Long, Long) = {
+      insertProj: Option[Map[String, String]] = None,
+      // the GENERAL matched-clause form: any number of conditional
+      // UPDATE/DELETE clauses in statement order, SQL first-match. When
+      // non-empty it supersedes matchedSet/matchedDeleteCond/
+      // matchedUpdateCond/matchedUpdateFirst (which remain as the common
+      // two-clause convenience surface).
+      matchedClauses: Seq[MergeMatchedClause] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2475,7 +2490,20 @@ object DeltaSink {
       if (!mapped) df
       else df.select(df.columns.map(c =>
         col(c).as(physByLogical.getOrElse(c, c))).toSeq: _*)
-    (matchedSet.keys ++ insertProj.toSeq.flatMap(_.keys))
+    // ordered matched clauses: the explicit list wins; else synthesized
+    // from the legacy two-clause params (delete listed first unless
+    // matchedUpdateFirst)
+    val clauses: Seq[MergeMatchedClause] =
+      if (matchedClauses.nonEmpty) matchedClauses
+      else {
+        val upd = if (matchedSet.nonEmpty)
+          Seq(MergeMatchedClause(matchedUpdateCond, Some(matchedSet))) else Nil
+        val del = matchedDeleteCond.map(c => MergeMatchedClause(Some(c), None)).toSeq
+        if (matchedUpdateFirst) upd ++ del else del ++ upd
+      }
+    val updIdx = clauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
+    val delIdx = clauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
+    (clauses.flatMap(_.set).flatMap(_.keys) ++ insertProj.toSeq.flatMap(_.keys))
       .find(k => !schema.fieldNames.contains(k)).foreach { k =>
         throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
       }
@@ -2571,17 +2599,21 @@ object DeltaSink {
     if (dupCount > 0) throw DeltaReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
 
-    // first-match classification of matched pairs: delGate/updGate are the
-    // raw clause conditions (NULL ⇒ false); eff* apply the clause ORDER, so
-    // a pair satisfying both goes to whichever clause is listed first. A
-    // pair satisfying neither carries unchanged (no rewrite of its file
+    // first-match classification of matched pairs: per-clause gates are
+    // the raw conditions (NULL ⇒ false, unconditional ⇒ true); firsts(i)
+    // holds when clause i's gate does AND no earlier clause's does — SQL's
+    // clause-order rule for any number of UPDATE/DELETE clauses. A pair
+    // satisfying no clause carries unchanged (no rewrite of its file
     // unless a sibling row needs it, no cdc rows, no row-tracking bump).
-    val matchedCondActive = matchedDeleteCond.isDefined || matchedUpdateCond.isDefined
-    val delGate = matchedDeleteCond.map(condCol).getOrElse(lit(false))
-    val updGate = if (matchedSet.isEmpty) lit(false)
-      else matchedUpdateCond.map(condCol).getOrElse(lit(true))
-    val effDel = if (matchedUpdateFirst) !updGate && delGate else delGate
-    val effUpd = if (matchedUpdateFirst) updGate else !delGate && updGate
+    val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+    val firsts = gates.zipWithIndex.map { case (g, i) =>
+      gates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
+    }
+    val effDel = delIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    val effUpd = updIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    // the plain unconditional single-UPDATE merge keeps its r14 plan shape
+    // (no extra expression nodes — the measured fixed planning cost)
+    val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
     val matchedFilesAbs = matchedPairs.filter(effDel || effUpd)
       .select(col("t.__file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -2618,8 +2650,8 @@ object DeltaSink {
     // matching no clause carry unchanged.
     val updatePairs = matchedPairs.filter(effUpd)
     val deletePairs = matchedPairs.filter(effDel)
-    val deletedCount = if (matchedDeleteCond.isEmpty) 0L else deletePairs.count()
-    val updatedCount = if (matchedSet.isEmpty) 0L else updatePairs.count()
+    val deletedCount = if (delIdx.isEmpty) 0L else deletePairs.count()
+    val updatedCount = if (updIdx.isEmpty) 0L else updatePairs.count()
 
     // rewrites: affected files' rows — delete-matched and by-source-
     // deleted dropped, SET-matched and by-source-SET transformed,
@@ -2630,10 +2662,21 @@ object DeltaSink {
       if (!doRewrite) null
       else target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
         .join(s1.alias("s"), cond, "left")
-    def newVal(f: StructField) =
-      matchedSet.get(f.name)
-        .map(e => expr(e).cast(f.dataType))
-        .getOrElse(col(s"t.${f.name}"))
+    // the SET-transformed value of a field for an UPDATE-claimed pair:
+    // one expression per update clause, chained in first-match order
+    // (rows reaching the chain satisfy exactly one firsts(i)); the plain
+    // single-unconditional-UPDATE merge keeps its flat r14 expression
+    def newVal(f: StructField) = {
+      def valOf(i: Int) = clauses(i).set.get.get(f.name)
+        .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      if (updIdx.isEmpty) col(s"t.${f.name}")
+      else if (!matchedCondActive) valOf(updIdx.head)
+      else updIdx.tail
+        .foldLeft(org.apache.spark.sql.functions.when(firsts(updIdx.head), valOf(updIdx.head))) {
+          (acc, i) => acc.when(firsts(i), valOf(i))
+        }
+        .otherwise(col(s"t.${f.name}"))
+    }
     def bsVal(f: StructField) =
       bySourceSet.get(f.name)
         .map(e => expr(e).cast(f.dataType))

@@ -2231,12 +2231,30 @@ object IcebergSink {
       // non-identity INSERT (cols) VALUES (exprs): table column →
       // expression over the source row; omitted columns NULL-fill. With a
       // projection the source need not mirror the table's columns.
-      insertProj: Option[Map[String, String]] = None): (Long, Long) = {
+      insertProj: Option[Map[String, String]] = None,
+      // the GENERAL matched-clause form (same contract as the Delta
+      // sibling): any number of conditional UPDATE/DELETE clauses in
+      // statement order, SQL first-match; non-empty supersedes the legacy
+      // two-clause params.
+      matchedClauses: Seq[MergeMatchedClause] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "MERGE")
     val names = schemaFieldIds(st.meta).map(_._1)
-    (matchedSet.keys ++ bySourceSet.keys ++ insertProj.toSeq.flatMap(_.keys))
+    // ordered matched clauses: explicit list wins; else synthesized from
+    // the legacy two-clause params (the Delta sibling's arrangement)
+    val clauses: Seq[MergeMatchedClause] =
+      if (matchedClauses.nonEmpty) matchedClauses
+      else {
+        val upd = if (matchedSet.nonEmpty)
+          Seq(MergeMatchedClause(matchedUpdateCond, Some(matchedSet))) else Nil
+        val del = matchedDeleteCond.map(c => MergeMatchedClause(Some(c), None)).toSeq
+        if (matchedUpdateFirst) upd ++ del else del ++ upd
+      }
+    val updIdx = clauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
+    val delIdx = clauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
+    (clauses.flatMap(_.set).flatMap(_.keys) ++ bySourceSet.keys ++
+      insertProj.toSeq.flatMap(_.keys))
       .find(k => !names.contains(k)).foreach { k =>
         throw IcebergReadException(
           s"`$path`: SET column `$k` is not in the table schema")
@@ -2306,17 +2324,21 @@ object IcebergSink {
     if (dup > 0) throw IcebergReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
     // first-match classification of matched pairs (same contract as the
-    // Delta sibling): delete pairs positional-delete with NO re-append;
-    // update pairs transform by SET; pairs matching no clause carry
+    // Delta sibling): per-clause gates (NULL ⇒ false, unconditional ⇒
+    // true), firsts(i) = clause i's gate AND no earlier clause's — SQL's
+    // clause-order rule for any number of UPDATE/DELETE clauses. Delete
+    // pairs positional-delete with NO re-append; update pairs transform
+    // by their claiming clause's SET; pairs matching no clause carry
     // untouched (no tombstone, no re-append).
-    val matchedCondActive = matchedDeleteCond.isDefined || matchedUpdateCond.isDefined
-    val delGate = matchedDeleteCond.map(condCol).getOrElse(lit(false))
-    val updGate = if (matchedSet.isEmpty) lit(false)
-      else matchedUpdateCond.map(condCol).getOrElse(lit(true))
-    val effDel = if (matchedUpdateFirst) !updGate && delGate else delGate
-    val effUpd = if (matchedUpdateFirst) updGate else !delGate && updGate
+    val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+    val firsts = gates.zipWithIndex.map { case (g, i) =>
+      gates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
+    }
+    val effDel = delIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    val effUpd = updIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
     val mDelFiles =
-      if (matchedDeleteCond.isEmpty) Nil
+      if (delIdx.isEmpty) Nil
       else writeMoved(matchedPairs.filter(effDel).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"mdd-$stamp")
@@ -2324,7 +2346,7 @@ object IcebergSink {
     val updatePairs =
       if (!matchedCondActive) matchedPairs
       else matchedPairs.filter(effUpd)
-    val doUpdate = matchedSet.nonEmpty
+    val doUpdate = updIdx.nonEmpty
     val delFiles =
       if (doUpdate)
         writeMoved(updatePairs.select(
@@ -2332,9 +2354,19 @@ object IcebergSink {
           st, s"del-$stamp")
       else Nil
     val updated = delFiles.map(_._3).sum
-    def newVal(f: StructField) =
-      matchedSet.get(f.name).map(e => expr(e).cast(f.dataType))
-        .getOrElse(col(s"t.${f.name}"))
+    // SET-transformed value per field: one expression per update clause,
+    // chained in first-match order (the Delta sibling's arrangement)
+    def newVal(f: StructField) = {
+      def valOf(i: Int) = clauses(i).set.get.get(f.name)
+        .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      if (updIdx.isEmpty) col(s"t.${f.name}")
+      else if (!matchedCondActive) valOf(updIdx.head)
+      else updIdx.tail
+        .foldLeft(org.apache.spark.sql.functions.when(firsts(updIdx.head), valOf(updIdx.head))) {
+          (acc, i) => acc.when(firsts(i), valOf(i))
+        }
+        .otherwise(col(s"t.${f.name}"))
+    }
     val updFiles =
       if (updated > 0)
         // row lineage: updated rows keep their ids; sequence re-defaults

@@ -3595,9 +3595,12 @@ object FormatQueries {
   // CONDITIONAL MERGE CLAUSES, FIRST-MATCH, NULL RULE — the CDC-apply
   // statement shape delta-spark users write (`whenMatched(cond).update`,
   // reference src/duckdb/writes via COPY have no MERGE — this is the
-  // beyond-reference DML surface): ONE statement carrying a conditional
-  // UPDATE listed BEFORE a conditional DELETE (first-match: 'both' rows
-  // take the UPDATE), clause conditions that evaluate NULL on matched
+  // beyond-reference DML surface): ONE statement carrying THREE ordered
+  // matched clauses — a conditional UPDATE listed BEFORE a conditional
+  // DELETE (first-match: 'both' rows take the UPDATE) and a SECOND
+  // conditional UPDATE after it claiming only rows the earlier clauses
+  // pass over, each clause applying its OWN SET — clause conditions that
+  // evaluate NULL on matched
   // pairs (SQL rule: not satisfied — the pair carries, it is neither
   // dropped nor updated), a NULL-evaluating insert gate, a non-identity
   // INSERT projection (reordered columns, computed values, c_name
@@ -3631,16 +3634,22 @@ object FormatQueries {
             op.map(lit(_)).getOrElse(lit(null)).cast("string").as("op"))
       cls(1, Some("upd")).unionByName(cls(2, Some("del")))
         .unionByName(cls(3, None)).unionByName(cls(4, Some("both")))
+        .unionByName(cls(5, Some("up2")))
         .unionByName(fresh(3000000L, 11, Some("ins")))
         .unionByName(fresh(4000000L, 13, Some("del")))
         .unionByName(fresh(5000000L, 17, None))
         .createOrReplaceTempView("w19_feed")
+      // THREE matched clauses: the second UPDATE (after the DELETE)
+      // claims only rows the earlier clauses pass over — SQL first-match
+      // over an ordered clause list, each clause applying its OWN SET
       def stmt(tgt: String) = s"""
         MERGE INTO $tgt AS tt USING w19_feed AS f
         ON tt.c_custkey = f.k
         WHEN MATCHED AND (f.op = 'upd' OR f.op = 'both')
           THEN UPDATE SET c_acctbal = f.bal + 0.5, c_name = 'tt. f. upd'
         WHEN MATCHED AND (f.op = 'del' OR f.op = 'both') THEN DELETE
+        WHEN MATCHED AND f.op = 'up2'
+          THEN UPDATE SET c_acctbal = f.bal * 2.0
         WHEN NOT MATCHED AND f.op <> 'del'
           THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
                VALUES (f.k, f.bal * 2.0, upper(f.seg))"""
@@ -3670,6 +3679,8 @@ object FormatQueries {
           FROM base WHERE c_custkey % 7 = 3
         UNION ALL SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, 'both'
           FROM base WHERE c_custkey % 7 = 4
+        UNION ALL SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, 'up2'
+          FROM base WHERE c_custkey % 7 = 5
         UNION ALL SELECT c_custkey + 3000000, c_acctbal, c_mktsegment, 'ins'
           FROM base WHERE c_custkey % 50 = 11
         UNION ALL SELECT c_custkey + 4000000, c_acctbal, c_mktsegment, 'del'
@@ -3682,6 +3693,7 @@ object FormatQueries {
       -- NULL op satisfies NEITHER clause — the pair carries unchanged
       upd AS (SELECT * FROM m WHERE op IN ('upd', 'both')),
       del AS (SELECT * FROM m WHERE op = 'del'),
+      upd2 AS (SELECT * FROM m WHERE op = 'up2'),
       carry_m AS (SELECT * FROM m WHERE op IS NULL),
       unmatched AS (SELECT b.* FROM base b LEFT JOIN feed f ON b.c_custkey = f.k
                     WHERE f.k IS NULL),
@@ -3690,6 +3702,7 @@ object FormatQueries {
       final AS (
         SELECT c_custkey, 'tt. f. upd' AS c_name, bal + 0.5 AS c_acctbal,
                c_mktsegment FROM upd
+        UNION ALL SELECT c_custkey, c_name, bal * 2.0, c_mktsegment FROM upd2
         UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM carry_m
         UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM unmatched
         UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg) FROM ins),
@@ -3698,6 +3711,10 @@ object FormatQueries {
                'update_preimage' AS change_kind FROM upd
         UNION ALL SELECT c_custkey, 'tt. f. upd', bal + 0.5, c_mktsegment,
                'update_postimage' FROM upd
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'update_preimage' FROM upd2
+        UNION ALL SELECT c_custkey, c_name, bal * 2.0, c_mktsegment,
+               'update_postimage' FROM upd2
         UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'delete' FROM del
         UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg),
                'insert' FROM ins)

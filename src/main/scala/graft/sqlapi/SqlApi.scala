@@ -1394,10 +1394,11 @@ object SqlApi {
     val insStarAct = """(?is)^INSERT\s*\*$""".r
     val insAct = """(?is)^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)$""".r
 
-    var matchedSet = Map.empty[String, String]
-    var matchedDeleteCond: Option[String] = None
-    var matchedUpdateCond: Option[String] = None
-    var matchedUpdPos = -1; var matchedDelPos = -1
+    // matched clauses collect IN STATEMENT ORDER — the writers apply SQL
+    // first-match over the list, so any number of conditional UPDATE and
+    // DELETE clauses route in either order
+    val matchedClauses =
+      scala.collection.mutable.ArrayBuffer[graft.catalog.MergeMatchedClause]()
     var insertNotMatched = false; var insertCond: Option[String] = None
     var sawInsert = false
     var insertProj: Option[Map[String, String]] = None
@@ -1439,13 +1440,10 @@ object SqlApi {
         }
         case mHead(c) => action match {
           case updAct(setList) =>
-            if (matchedSet.nonEmpty) bad("duplicate WHEN MATCHED ... UPDATE clause")
-            matchedSet = parseSet(setList)
-            matchedUpdateCond = condOf(c); matchedUpdPos = idx
+            matchedClauses += graft.catalog.MergeMatchedClause(
+              condOf(c), Some(parseSet(setList)))
           case delAct() =>
-            if (matchedDeleteCond.isDefined)
-              bad("duplicate WHEN MATCHED ... DELETE clause")
-            matchedDeleteCond = Some(condOf(c).getOrElse("true")); matchedDelPos = idx
+            matchedClauses += graft.catalog.MergeMatchedClause(condOf(c), None)
           case other => bad(
             s"WHEN MATCHED supports UPDATE SET / DELETE, got `${other.take(40)}`")
         }
@@ -1484,11 +1482,9 @@ object SqlApi {
       }
     }
 
-    // SQL first-match rule: when a matched pair (or by-source row) could
-    // satisfy both clauses of a family, the clause listed FIRST applies —
-    // the writers take the order as a flag, so both orders route
-    val matchedUpdateFirst = matchedSet.nonEmpty && matchedDeleteCond.isDefined &&
-      matchedUpdPos < matchedDelPos
+    // SQL first-match rule: the matched clauses pass IN STATEMENT ORDER
+    // (the writers apply first-match over the list); the two-clause
+    // by-source family passes its listed order as a flag
     val bySourceUpdateFirst = bySourceSet.nonEmpty && bySourceDeleteCond.isDefined &&
       bsUpdPos < bsDelPos
 
@@ -1496,22 +1492,20 @@ object SqlApi {
     val (nUpd, nIns) = fmt.toLowerCase match {
       case "delta" =>
         graft.catalog.DeltaSink.mergeInto(spark, root, srcFrame, cond,
-          matchedSet = matchedSet, insertNotMatched = insertNotMatched,
-          matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
+          matchedSet = Map.empty, insertNotMatched = insertNotMatched,
+          insertCond = insertCond,
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
           bySourceDeleteCond = bySourceDeleteCond,
-          matchedUpdateCond = matchedUpdateCond,
-          matchedUpdateFirst = matchedUpdateFirst,
-          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj)
+          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj,
+          matchedClauses = matchedClauses.toSeq)
       case "iceberg" =>
         graft.catalog.IcebergSink.mergeInto(spark, root, srcFrame, cond,
-          matchedSet = matchedSet, insertNotMatched = insertNotMatched,
-          matchedDeleteCond = matchedDeleteCond, insertCond = insertCond,
+          matchedSet = Map.empty, insertNotMatched = insertNotMatched,
+          insertCond = insertCond,
           bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
           bySourceDeleteCond = bySourceDeleteCond,
-          matchedUpdateCond = matchedUpdateCond,
-          matchedUpdateFirst = matchedUpdateFirst,
-          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj)
+          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj,
+          matchedClauses = matchedClauses.toSeq)
       case other => bad(
         s"MERGE is implemented for delta and iceberg attaches (got format `$other`)")
     }

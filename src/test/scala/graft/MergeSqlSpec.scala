@@ -203,6 +203,44 @@ class MergeSqlSpec extends SparkSpec {
     assert(seg === "per tt. policy see ss. note")
   }
 
+  test("multiple conditional UPDATE clauses: first-match picks the claiming SET") {
+    import spark.implicits._
+    mkDelta("msql_t11")
+    Seq((1L, "dbl"), (2L, "neg"), (3L, "zz")).toDF("id", "op")
+      .createOrReplaceTempView("msql_src11")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t11 t USING msql_src11 s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'dbl' THEN UPDATE SET bal = t.bal * 2
+      WHEN MATCHED AND s.op = 'neg' THEN UPDATE SET bal = -t.bal, seg = 'n'
+      WHEN MATCHED THEN DELETE""")
+    // id=1 → first clause (bal doubles); id=2 → second clause (negated,
+    // seg reset — each clause's OWN SET applies); id=3 → neither update
+    // condition holds, falls to the trailing unconditional DELETE
+    assert(rows("msql_t11") === Seq((1L, 20.0, "a"), (2L, -20.0, "n")))
+  }
+
+  test("iceberg: three matched clauses, overlapping conditions, NULL falls to the last") {
+    import spark.implicits._
+    val root = tempDir("mergesql").getAbsolutePath + "/ice5"
+    graft.catalog.Sinks.copyTo(
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d"))
+        .toDF("id", "bal", "seg"),
+      root, "iceberg", Map.empty)
+    graft.catalog.Catalog.attach(spark, "msql_ice5", "iceberg", Map("files" -> root))
+    Seq((1L, Some(5.0)), (2L, Some(25.0)), (3L, Some(35.0)), (4L, None))
+      .toDF("id", "v").createOrReplaceTempView("msql_icesrc5")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_ice5 t USING msql_icesrc5 s ON t.id = s.id
+      WHEN MATCHED AND s.v > 30 THEN DELETE
+      WHEN MATCHED AND s.v > 20 THEN UPDATE SET bal = s.v
+      WHEN MATCHED THEN UPDATE SET bal = CAST(0.0 AS DOUBLE)""")
+    // id=3: v=35 satisfies BOTH the delete and the second update — the
+    // DELETE is listed first and claims it; id=2: 25 → second clause;
+    // id=1: 5 → last clause; id=4: v NULL → both conditional gates are
+    // NOT satisfied (SQL NULL rule), falls to the unconditional last
+    assert(rows("msql_ice5") === Seq((1L, 0.0, "a"), (2L, 25.0, "b"), (4L, 0.0, "d")))
+  }
+
   test("NULL-evaluating conditions: identical final tables on BOTH formats, CDC rows match counts") {
     import spark.implicits._
     val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
