@@ -34,6 +34,15 @@ import org.apache.spark.sql.types._
 final case class MergeMatchedClause(cond: Option[String],
     set: Option[Map[String, String]])
 
+/** One ordered `WHEN NOT MATCHED [AND <cond>] THEN INSERT` clause:
+  * `proj` None = identity whole-row insert (`INSERT *` / the full
+  * column list), Some = table column → VALUES expression over the
+  * source row, omitted columns NULL-fill. Clause order is SQL
+  * first-match order over the unmatched source rows; a row satisfying
+  * no clause does not insert. */
+final case class MergeInsertClause(cond: Option[String],
+    proj: Option[Map[String, String]])
+
 object DeltaSink {
   import graft.sources.DeltaNative.DeltaReadException
 
@@ -2458,7 +2467,12 @@ object DeltaSink {
       // non-empty it supersedes matchedSet/matchedDeleteCond/
       // matchedUpdateCond/matchedUpdateFirst (which remain as the common
       // two-clause convenience surface).
-      matchedClauses: Seq[MergeMatchedClause] = Nil): (Long, Long) = {
+      matchedClauses: Seq[MergeMatchedClause] = Nil,
+      // the general BY SOURCE form (conditions over `t.` only) and the
+      // general NOT MATCHED form — same first-match contract; non-empty
+      // supersedes the corresponding legacy params.
+      bySourceClauses: Seq[MergeMatchedClause] = Nil,
+      insertClauses: Seq[MergeInsertClause] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit}
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2503,7 +2517,13 @@ object DeltaSink {
       }
     val updIdx = clauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
     val delIdx = clauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
-    (clauses.flatMap(_.set).flatMap(_.keys) ++ insertProj.toSeq.flatMap(_.keys))
+    // ordered insert clauses: explicit list wins; else synthesized from
+    // the legacy insertNotMatched/insertCond/insertProj params
+    val insClauses: Seq[MergeInsertClause] =
+      if (insertClauses.nonEmpty) insertClauses
+      else if (insertNotMatched) Seq(MergeInsertClause(insertCond, insertProj))
+      else Nil
+    (clauses.flatMap(_.set).flatMap(_.keys) ++ insClauses.flatMap(_.proj).flatMap(_.keys))
       .find(k => !schema.fieldNames.contains(k)).foreach { k =>
         throw DeltaReadException(s"`$path`: SET column `$k` is not in the table schema")
       }
@@ -2511,7 +2531,7 @@ object DeltaSink {
     // table's columns — a projection builds the inserted row itself, and a
     // merge with no insert clause needs only the columns its conditions
     // and SET expressions reference
-    val identityInsert = insertNotMatched && insertProj.isEmpty
+    val identityInsert = insClauses.exists(_.proj.isEmpty)
     if (identityInsert)
       schema.fieldNames.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
         throw DeltaReadException(
@@ -2619,24 +2639,38 @@ object DeltaSink {
       .collect().map(_.getString(0)).toSeq
 
     // BY SOURCE rows: target rows matching NOTHING in the source —
-    // conditions see only `t.` columns. DELETE wins over UPDATE when both
-    // conditions hold (fixed clause order).
-    val bySourceActive = bySourceSet.nonEmpty || bySourceDeleteCond.isDefined
-    bySourceSet.keys.find(k => !schema.fieldNames.contains(k)).foreach { k =>
-      throw DeltaReadException(
-        s"`$path`: BY SOURCE SET column `$k` is not in the table schema")
+    // conditions see only `t.` columns. Ordered clauses with the same
+    // first-match rule as the matched family (explicit list wins; else
+    // synthesized from the legacy two-clause params).
+    val bsClauses: Seq[MergeMatchedClause] =
+      if (bySourceClauses.nonEmpty) bySourceClauses
+      else {
+        val upd = if (bySourceSet.nonEmpty)
+          Seq(MergeMatchedClause(bySourceUpdateCond, Some(bySourceSet))) else Nil
+        val del = bySourceDeleteCond.map(c => MergeMatchedClause(Some(c), None)).toSeq
+        if (bySourceUpdateFirst) upd ++ del else del ++ upd
+      }
+    val bsUpdIdx = bsClauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
+    val bsDelIdx = bsClauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
+    val bySourceActive = bsClauses.nonEmpty
+    bsClauses.flatMap(_.set).flatMap(_.keys)
+      .find(k => !schema.fieldNames.contains(k)).foreach { k =>
+        throw DeltaReadException(
+          s"`$path`: BY SOURCE SET column `$k` is not in the table schema")
+      }
+    val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+    val bsFirsts = bsGates.zipWithIndex.map { case (g, i) =>
+      bsGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
     }
-    val bsDelGate = bySourceDeleteCond.map(condCol).getOrElse(lit(false))
-    val bsUpdGate = if (bySourceSet.isEmpty) lit(false)
-      else bySourceUpdateCond.map(condCol).getOrElse(lit(true))
-    val bsEffDel = if (bySourceUpdateFirst) !bsUpdGate && bsDelGate else bsDelGate
-    val bsEffUpd = if (bySourceUpdateFirst) bsUpdGate else !bsDelGate && bsUpdGate
+    val bsEffDel = bsDelIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
+    val bsEffUpd = bsUpdIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
+    val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
     val bsRows = if (!bySourceActive) null
       else target.alias("t").join(s1.alias("s"), cond, "left_anti")
     val bsDeleteRows = if (!bySourceActive) null else bsRows.filter(bsEffDel)
     val bsUpdateRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
-    val bsDeletedCount = if (bySourceDeleteCond.isEmpty) 0L else bsDeleteRows.count()
-    val bsUpdatedCount = if (bySourceSet.isEmpty) 0L else bsUpdateRows.count()
+    val bsDeletedCount = if (bsDelIdx.isEmpty) 0L else bsDeleteRows.count()
+    val bsUpdatedCount = if (bsUpdIdx.isEmpty) 0L else bsUpdateRows.count()
     val bySourceFilesAbs: Seq[String] = if (!bySourceActive) Nil
       else bsRows.filter(bsEffDel || bsEffUpd).select(col("__file"))
         .distinct().collect().map(_.getString(0)).toSeq
@@ -2677,10 +2711,19 @@ object DeltaSink {
         }
         .otherwise(col(s"t.${f.name}"))
     }
-    def bsVal(f: StructField) =
-      bySourceSet.get(f.name)
-        .map(e => expr(e).cast(f.dataType))
-        .getOrElse(col(s"t.${f.name}"))
+    // the by-source SET value per field: one expression per update
+    // clause, chained in first-match order (the matched family's shape)
+    def bsVal(f: StructField) = {
+      def valOf(i: Int) = bsClauses(i).set.get.get(f.name)
+        .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      if (bsUpdIdx.isEmpty) col(s"t.${f.name}")
+      else if (!bsCondActive) valOf(bsUpdIdx.head)
+      else bsUpdIdx.tail
+        .foldLeft(org.apache.spark.sql.functions.when(bsFirsts(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
+          (acc, i) => acc.when(bsFirsts(i), valOf(i))
+        }
+        .otherwise(col(s"t.${f.name}"))
+    }
     val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
     // conditional-UPDATE pairs failing their gate carry unchanged — the
     // extra conjunct only enters the plan when a matched condition exists
@@ -2722,21 +2765,38 @@ object DeltaSink {
       if (!doRewrite) null
       else updatePairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
 
-    // inserts: source rows matching NOTHING in the whole table, gated by
-    // the optional WHEN NOT MATCHED AND <cond> (over `s.` columns; NULL ⇒
-    // not inserted). With a projection each table column evaluates its
-    // VALUES expression; omitted columns NULL-fill.
+    // inserts: source rows matching NOTHING in the whole table, taken by
+    // the FIRST insert clause whose condition they satisfy (NULL ⇒ not
+    // satisfied; a row satisfying no clause does not insert), projected
+    // per that clause — identity whole-row or VALUES expressions with
+    // NULL-filled omitted columns.
     val inserts =
-      if (!insertNotMatched) null
+      if (insClauses.isEmpty) null
       else {
         val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
-        val gated = insertCond.map(c => unmatched.filter(condCol(c))).getOrElse(unmatched)
-        insertProj match {
-          case None => gated.select(srcCols.map(col): _*)
-          case Some(p) => gated.select(schema.fields.map(f =>
-            p.get(f.name).map(e => expr(e).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType)).as(f.name)).toSeq: _*)
+        val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+        val iFirsts = iGates.zipWithIndex.map { case (g, i) =>
+          iGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
         }
+        val single = insClauses.length == 1
+        def insVal(f: StructField) = {
+          def valOf(i: Int) = insClauses(i).proj match {
+            // identity keeps the source column as-is in the single-clause
+            // case (the legacy shape); inside a chain it casts so the
+            // branches type-agree
+            case None => if (single) col(f.name) else col(f.name).cast(f.dataType)
+            case Some(p) => p.get(f.name).map(e => expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+          }
+          if (single) valOf(0)
+          else insClauses.indices.tail
+            .foldLeft(org.apache.spark.sql.functions.when(iFirsts.head, valOf(0))) {
+              (acc, i) => acc.when(iFirsts(i), valOf(i))
+            }
+            .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
+        }
+        unmatched.filter(iFirsts.reduceLeft(_ || _))
+          .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*)
       }
     val insertCount = if (inserts == null) 0L else inserts.count()
     if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L &&

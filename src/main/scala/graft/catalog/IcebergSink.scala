@@ -2235,8 +2235,11 @@ object IcebergSink {
       // the GENERAL matched-clause form (same contract as the Delta
       // sibling): any number of conditional UPDATE/DELETE clauses in
       // statement order, SQL first-match; non-empty supersedes the legacy
-      // two-clause params.
-      matchedClauses: Seq[MergeMatchedClause] = Nil): (Long, Long) = {
+      // two-clause params. bySourceClauses/insertClauses are the other
+      // two families' general forms.
+      matchedClauses: Seq[MergeMatchedClause] = Nil,
+      bySourceClauses: Seq[MergeMatchedClause] = Nil,
+      insertClauses: Seq[MergeInsertClause] = Nil): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val st = loadMorState(spark, path)
     rejectOnDvs(path, st, "MERGE")
@@ -2253,8 +2256,24 @@ object IcebergSink {
       }
     val updIdx = clauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
     val delIdx = clauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
-    (clauses.flatMap(_.set).flatMap(_.keys) ++ bySourceSet.keys ++
-      insertProj.toSeq.flatMap(_.keys))
+    // ordered insert + by-source clauses (explicit lists win; else
+    // synthesized from the legacy params — the Delta sibling's contract)
+    val insClauses: Seq[MergeInsertClause] =
+      if (insertClauses.nonEmpty) insertClauses
+      else if (insertNotMatched) Seq(MergeInsertClause(insertCond, insertProj))
+      else Nil
+    val bsClauses: Seq[MergeMatchedClause] =
+      if (bySourceClauses.nonEmpty) bySourceClauses
+      else {
+        val upd = if (bySourceSet.nonEmpty)
+          Seq(MergeMatchedClause(bySourceUpdateCond, Some(bySourceSet))) else Nil
+        val del = bySourceDeleteCond.map(c => MergeMatchedClause(Some(c), None)).toSeq
+        if (bySourceUpdateFirst) upd ++ del else del ++ upd
+      }
+    val bsUpdIdx = bsClauses.zipWithIndex.filter(_._1.set.isDefined).map(_._2)
+    val bsDelIdx = bsClauses.zipWithIndex.filter(_._1.set.isEmpty).map(_._2)
+    (clauses.flatMap(_.set).flatMap(_.keys) ++ bsClauses.flatMap(_.set).flatMap(_.keys) ++
+      insClauses.flatMap(_.proj).flatMap(_.keys))
       .find(k => !names.contains(k)).foreach { k =>
         throw IcebergReadException(
           s"`$path`: SET column `$k` is not in the table schema")
@@ -2263,7 +2282,7 @@ object IcebergSink {
     // table's columns — a projection builds the inserted row itself, and a
     // merge with no insert clause needs only the columns its conditions
     // and SET expressions reference
-    val identityInsert = insertNotMatched && insertProj.isEmpty
+    val identityInsert = insClauses.exists(_.proj.isEmpty)
     if (identityInsert)
       names.find(c => !source.schema.fieldNames.contains(c)).foreach { c =>
         throw IcebergReadException(
@@ -2273,21 +2292,38 @@ object IcebergSink {
     // every user condition to false so three-valued logic can never drop
     // a pair out of BOTH sides of a split
     def condCol(c: String) = org.apache.spark.sql.functions.coalesce(expr(c), lit(false))
-    // insert projection over the unmatched source rows: VALUES expression
-    // per listed column, NULL-fill the rest (typed from `fields`)
-    def projInserts(gated: DataFrame, fields: Seq[StructField]): DataFrame =
-      insertProj match {
-        case None => gated.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        case Some(p) => gated.select(fields.map(f =>
-          p.get(f.name).map(e => expr(e).cast(f.dataType))
-            .getOrElse(lit(null).cast(f.dataType)).as(f.name)): _*)
+    // insert selection + projection over the unmatched source rows: each
+    // row is taken by the FIRST clause whose condition it satisfies and
+    // projected per that clause (identity whole-row, or VALUES
+    // expressions with NULL-filled omissions typed from `fields`); rows
+    // satisfying no clause do not insert
+    def insertFrame(unmatched: DataFrame, fields: Seq[StructField]): DataFrame = {
+      val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+      val iFirsts = iGates.zipWithIndex.map { case (g, i) =>
+        iGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
       }
+      val single = insClauses.length == 1
+      def insVal(f: StructField) = {
+        def valOf(i: Int) = insClauses(i).proj match {
+          case None => col(f.name).cast(f.dataType)
+          case Some(p) => p.get(f.name).map(e => expr(e).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+        }
+        if (single) valOf(0)
+        else insClauses.indices.tail
+          .foldLeft(org.apache.spark.sql.functions.when(iFirsts.head, valOf(0))) {
+            (acc, i) => acc.when(iFirsts(i), valOf(i))
+          }
+          .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
+      }
+      unmatched.filter(iFirsts.reduceLeft(_ || _))
+        .select(fields.map(f => insVal(f).as(f.name)): _*)
+    }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     if (st.dataPaths.isEmpty) {
       // empty table: nothing matches, every insert-eligible source row inserts
-      if (!insertNotMatched) return (0L, 0L)
+      if (insClauses.isEmpty) return (0L, 0L)
       val src0 = source.alias("s")
-      val gated0 = insertCond.map(c => src0.filter(condCol(c))).getOrElse(src0)
       // no data files to scan types from — the iceberg schema supplies them
       val emptyFields = {
         val schNode = if (st.meta.has("schemas")) {
@@ -2298,9 +2334,7 @@ object IcebergSink {
         } else st.meta.path("schema")
         graft.sources.IcebergNative.toStruct(schNode).fields.toSeq
       }
-      val dataFiles = writeMorData(
-        (if (insertProj.isEmpty) gated0.select(names.map(col): _*)
-         else projInserts(gated0, emptyFields)), st, s"mrg-$stamp")
+      val dataFiles = writeMorData(insertFrame(src0, emptyFields), st, s"mrg-$stamp")
       val inserted = dataFiles.map(_.rows).sum
       if (inserted == 0L) return (0L, 0L)
       commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql), Nil, dataFiles)
@@ -2379,39 +2413,50 @@ object IcebergSink {
             else Nil): _*), st, s"mrgu-$stamp")
       else Nil
     val insFiles =
-      if (insertNotMatched) {
+      if (insClauses.nonEmpty) {
         val unmatched = s1.join(target, cond, "left_anti")
-        val gated = insertCond.map(c => unmatched.filter(condCol(c))).getOrElse(unmatched)
-        writeMorData(projInserts(gated, scanFields), st, s"mrgi-$stamp")
+        writeMorData(insertFrame(unmatched, scanFields), st, s"mrgi-$stamp")
       } else Nil
     val inserted = insFiles.map(_.rows).sum
     // BY SOURCE: target rows matching NOTHING in the source (conditions
-    // see `t.` only; DELETE wins over UPDATE). Deletes are positional
-    // tombstones; updates tombstone + re-append their new images (row
-    // lineage: updated rows keep ids, re-default their sequence).
-    val bySourceActive = bySourceSet.nonEmpty || bySourceDeleteCond.isDefined
-    val bsDelGate = bySourceDeleteCond.map(condCol).getOrElse(lit(false))
-    val bsUpdGate = if (bySourceSet.isEmpty) lit(false)
-      else bySourceUpdateCond.map(condCol).getOrElse(lit(true))
-    val bsEffDel = if (bySourceUpdateFirst) !bsUpdGate && bsDelGate else bsDelGate
-    val bsEffUpd = if (bySourceUpdateFirst) bsUpdGate else !bsDelGate && bsUpdGate
+    // see `t.` only; ordered clauses, first-match — the Delta sibling's
+    // contract). Deletes are positional tombstones; updates tombstone +
+    // re-append their new images (row lineage: updated rows keep ids,
+    // re-default their sequence).
+    val bySourceActive = bsClauses.nonEmpty
+    val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+    val bsFirsts = bsGates.zipWithIndex.map { case (g, i) =>
+      bsGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
+    }
+    val bsEffDel = bsDelIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
+    val bsEffUpd = bsUpdIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
+    val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
     val bsRows = if (!bySourceActive) null else target.join(s1, cond, "left_anti")
     val bsDelFiles =
-      if (bySourceDeleteCond.isEmpty) Nil
+      if (bsDelIdx.isEmpty) Nil
       else writeMoved(bsRows.filter(bsEffDel).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"bsd-$stamp")
     val bsDeleted = bsDelFiles.map(_._3).sum
     val bsUpdRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
     val bsUpdDelFiles =
-      if (bySourceSet.isEmpty) Nil
+      if (bsUpdIdx.isEmpty) Nil
       else writeMoved(bsUpdRows.select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"bsu-$stamp")
     val bsUpdated = bsUpdDelFiles.map(_._3).sum
-    def bsVal(f: StructField) =
-      bySourceSet.get(f.name).map(e => expr(e).cast(f.dataType))
-        .getOrElse(col(s"t.${f.name}"))
+    // by-source SET value per field, chained in first-match order
+    def bsVal(f: StructField) = {
+      def valOf(i: Int) = bsClauses(i).set.get.get(f.name)
+        .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
+      if (bsUpdIdx.isEmpty) col(s"t.${f.name}")
+      else if (!bsCondActive) valOf(bsUpdIdx.head)
+      else bsUpdIdx.tail
+        .foldLeft(org.apache.spark.sql.functions.when(bsFirsts(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
+          (acc, i) => acc.when(bsFirsts(i), valOf(i))
+        }
+        .otherwise(col(s"t.${f.name}"))
+    }
     val bsUpdFiles =
       if (bsUpdated > 0)
         writeMorData(bsUpdRows.select(

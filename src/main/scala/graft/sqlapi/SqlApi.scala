@@ -1399,13 +1399,10 @@ object SqlApi {
     // DELETE clauses route in either order
     val matchedClauses =
       scala.collection.mutable.ArrayBuffer[graft.catalog.MergeMatchedClause]()
-    var insertNotMatched = false; var insertCond: Option[String] = None
-    var sawInsert = false
-    var insertProj: Option[Map[String, String]] = None
-    var bySourceSet = Map.empty[String, String]
-    var bySourceUpdateCond: Option[String] = None
-    var bySourceDeleteCond: Option[String] = None
-    var bsUpdPos = -1; var bsDelPos = -1
+    val bySourceClauses =
+      scala.collection.mutable.ArrayBuffer[graft.catalog.MergeMatchedClause]()
+    val insertClauses =
+      scala.collection.mutable.ArrayBuffer[graft.catalog.MergeInsertClause]()
 
     def parseSet(list: String): Map[String, String] =
       splitTopLevel(list).map { item =>
@@ -1427,14 +1424,10 @@ object SqlApi {
       head match {
         case nmsHead(c) => action match {
           case updAct(setList) =>
-            if (bySourceSet.nonEmpty)
-              bad("duplicate NOT MATCHED BY SOURCE ... UPDATE clause")
-            bySourceSet = parseSet(setList)
-            bySourceUpdateCond = condOf(c); bsUpdPos = idx
+            bySourceClauses += graft.catalog.MergeMatchedClause(
+              condOf(c), Some(parseSet(setList)))
           case delAct() =>
-            if (bySourceDeleteCond.isDefined)
-              bad("duplicate NOT MATCHED BY SOURCE ... DELETE clause")
-            bySourceDeleteCond = Some(condOf(c).getOrElse("true")); bsDelPos = idx
+            bySourceClauses += graft.catalog.MergeMatchedClause(condOf(c), None)
           case other => bad(
             s"NOT MATCHED BY SOURCE supports UPDATE SET / DELETE, got `${other.take(40)}`")
         }
@@ -1448,10 +1441,9 @@ object SqlApi {
             s"WHEN MATCHED supports UPDATE SET / DELETE, got `${other.take(40)}`")
         }
         case nmHead(c) =>
-          if (sawInsert) bad("duplicate WHEN NOT MATCHED ... INSERT clause")
-          sawInsert = true; insertNotMatched = true; insertCond = condOf(c)
           action match {
-            case insStarAct() => ()
+            case insStarAct() =>
+              insertClauses += graft.catalog.MergeInsertClause(condOf(c), None)
             case insAct(colsList, valsList) =>
               val cols = splitTopLevel(colsList)
                 .map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -1475,37 +1467,30 @@ object SqlApi {
               // identity = whole-source-row insert (the writers' native
               // shape); anything else routes as a projection — VALUES
               // expression per column, omitted columns NULL-fill
-              if (!identity) insertProj = Some(resolved.zip(vals).toMap)
+              insertClauses += graft.catalog.MergeInsertClause(condOf(c),
+                if (identity) None else Some(resolved.zip(vals).toMap))
             case other => bad(s"WHEN NOT MATCHED supports INSERT, got `${other.take(40)}`")
           }
         case other => bad(s"cannot parse clause head `${other.take(60)}`")
       }
     }
 
-    // SQL first-match rule: the matched clauses pass IN STATEMENT ORDER
-    // (the writers apply first-match over the list); the two-clause
-    // by-source family passes its listed order as a flag
-    val bySourceUpdateFirst = bySourceSet.nonEmpty && bySourceDeleteCond.isDefined &&
-      bsUpdPos < bsDelPos
-
+    // every clause family passes IN STATEMENT ORDER — the writers apply
+    // SQL first-match over each list
     val cond = PgDialect.rewrite(aliasRw(condRaw))
     val (nUpd, nIns) = fmt.toLowerCase match {
       case "delta" =>
         graft.catalog.DeltaSink.mergeInto(spark, root, srcFrame, cond,
-          matchedSet = Map.empty, insertNotMatched = insertNotMatched,
-          insertCond = insertCond,
-          bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
-          bySourceDeleteCond = bySourceDeleteCond,
-          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj,
-          matchedClauses = matchedClauses.toSeq)
+          matchedSet = Map.empty, insertNotMatched = false,
+          matchedClauses = matchedClauses.toSeq,
+          bySourceClauses = bySourceClauses.toSeq,
+          insertClauses = insertClauses.toSeq)
       case "iceberg" =>
         graft.catalog.IcebergSink.mergeInto(spark, root, srcFrame, cond,
-          matchedSet = Map.empty, insertNotMatched = insertNotMatched,
-          insertCond = insertCond,
-          bySourceSet = bySourceSet, bySourceUpdateCond = bySourceUpdateCond,
-          bySourceDeleteCond = bySourceDeleteCond,
-          bySourceUpdateFirst = bySourceUpdateFirst, insertProj = insertProj,
-          matchedClauses = matchedClauses.toSeq)
+          matchedSet = Map.empty, insertNotMatched = false,
+          matchedClauses = matchedClauses.toSeq,
+          bySourceClauses = bySourceClauses.toSeq,
+          insertClauses = insertClauses.toSeq)
       case other => bad(
         s"MERGE is implemented for delta and iceberg attaches (got format `$other`)")
     }

@@ -5,14 +5,16 @@ import graft.sqlapi.SqlApi
 
 /** SQL `MERGE INTO` routing — the delta-spark statement shape parsed in
   * sqlapi and dispatched to the native mergeInto writers. Pins: both
-  * formats route; the full clause surface maps onto the APIs —
-  * conditional matched UPDATE and DELETE in EITHER order (SQL first-match
-  * semantics), conditional INSERT, non-identity INSERT projections with
-  * NULL-filled omitted columns, both BY SOURCE clauses in either order,
-  * subquery USING sources, arbitrary aliases (alias-shaped tokens inside
-  * string literals untouched), CASE in ON; NULL-evaluating clause
-  * conditions are NOT satisfied (the pair falls through, SQL rule); and
-  * malformed shapes reject loudly (wrong format, ambiguous cardinality,
+  * formats route; the full clause surface maps onto the APIs — ANY
+  * number of conditional UPDATE/DELETE clauses per family (MATCHED and
+  * NOT MATCHED BY SOURCE) and ANY number of conditional INSERT clauses,
+  * all in statement order under SQL first-match semantics, each UPDATE
+  * clause applying its own SET and each INSERT clause its own projection
+  * (identity or computed, omitted columns NULL-filled); subquery USING
+  * sources, arbitrary aliases (alias-shaped tokens inside string
+  * literals untouched), CASE in ON; NULL-evaluating clause conditions
+  * are NOT satisfied (the row falls through, SQL rule); and malformed
+  * shapes reject loudly (wrong format, ambiguous cardinality,
   * unknown/duplicate INSERT columns). */
 class MergeSqlSpec extends SparkSpec {
 
@@ -239,6 +241,60 @@ class MergeSqlSpec extends SparkSpec {
     // id=1: 5 → last clause; id=4: v NULL → both conditional gates are
     // NOT satisfied (SQL NULL rule), falls to the unconditional last
     assert(rows("msql_ice5") === Seq((1L, 0.0, "a"), (2L, 25.0, "b"), (4L, 0.0, "d")))
+  }
+
+  test("multiple NOT MATCHED BY SOURCE clauses: first-match across UPDATE/UPDATE/DELETE") {
+    import spark.implicits._
+    mkDelta("msql_t12")
+    Seq((2L, 0.0, "x")).toDF("id", "bal", "seg")
+      .createOrReplaceTempView("msql_src12")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t12 t USING msql_src12 s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.seg = 'a' THEN UPDATE SET bal = CAST(1.0 AS DOUBLE)
+      WHEN NOT MATCHED BY SOURCE AND t.bal > 5 THEN UPDATE SET bal = CAST(2.0 AS DOUBLE)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // id=1 (seg a, bal 10) satisfies BOTH update clauses — the first
+    // claims it; id=3 (seg c): second claims; id=2 is matched → carries;
+    // the trailing unconditional DELETE claims nothing (all unmatched
+    // rows were taken by earlier clauses)
+    assert(rows("msql_t12") === Seq((1L, 1.0, "a"), (2L, 20.0, "b"), (3L, 2.0, "c")))
+  }
+
+  test("multiple NOT MATCHED INSERT clauses: first-match picks the projection") {
+    import spark.implicits._
+    mkDelta("msql_t13")
+    Seq((10L, 1.0, "hi"), (11L, 2.0, "lo"), (12L, 3.0, "zz"))
+      .toDF("id", "bal", "tag").createOrReplaceTempView("msql_src13")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_t13 t USING msql_src13 s ON t.id = s.id
+      WHEN NOT MATCHED AND s.tag = 'hi' THEN INSERT (id, bal, seg) VALUES (s.id, s.bal * 10, 'H')
+      WHEN NOT MATCHED AND s.tag <> 'zz' THEN INSERT (id, bal) VALUES (s.id + 100, s.bal)""")
+    val got = spark.table("msql_t13").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    // id=10 satisfies both insert clauses — the FIRST projection applies;
+    // id=11 only the second (seg NULL-fills); id=12 neither → no insert
+    assert(got === Seq((1L, 10.0, Some("a")), (2L, 20.0, Some("b")),
+      (3L, 30.0, Some("c")), (10L, 10.0, Some("H")), (111L, 2.0, None)))
+  }
+
+  test("iceberg: multiple NOT MATCHED INSERT clauses route") {
+    import spark.implicits._
+    val root = tempDir("mergesql").getAbsolutePath + "/ice6"
+    graft.catalog.Sinks.copyTo(
+      Seq((1L, 10.0, "a")).toDF("id", "bal", "seg"), root, "iceberg", Map.empty)
+    graft.catalog.Catalog.attach(spark, "msql_ice6", "iceberg", Map("files" -> root))
+    Seq((5L, "A"), (6L, "B"), (7L, "C")).toDF("k", "g")
+      .createOrReplaceTempView("msql_icesrc6")
+    SqlApi.executePg(spark, """
+      MERGE INTO msql_ice6 t USING msql_icesrc6 s ON t.id = s.k
+      WHEN NOT MATCHED AND s.g = 'A' THEN INSERT (id, bal) VALUES (s.k, 1.0)
+      WHEN NOT MATCHED AND s.g = 'B' THEN INSERT (id, bal, seg) VALUES (s.k, 2.0, 'b2')""")
+    val got = spark.table("msql_ice6").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    // id=5 → first clause (seg NULL-fills), id=6 → second, id=7 → neither
+    assert(got === Seq((1L, 10.0, Some("a")), (5L, 1.0, None), (6L, 2.0, Some("b2"))))
   }
 
   test("NULL-evaluating conditions: identical final tables on BOTH formats, CDC rows match counts") {
