@@ -3599,8 +3599,10 @@ object FormatQueries {
   // matched clauses — a conditional UPDATE listed BEFORE a conditional
   // DELETE (first-match: 'both' rows take the UPDATE) and a SECOND
   // conditional UPDATE after it claiming only rows the earlier clauses
-  // pass over, each clause applying its OWN SET — clause conditions that
-  // evaluate NULL on matched
+  // pass over, each clause applying its OWN SET — plus TWO ordered BY
+  // SOURCE clauses (an UPDATE claiming MACHINERY rows even when the
+  // DELETE listed after also applies, first-match again) — clause
+  // conditions that evaluate NULL on matched
   // pairs (SQL rule: not satisfied — the pair carries, it is neither
   // dropped nor updated), a NULL-evaluating insert gate, a non-identity
   // INSERT projection (reordered columns, computed values, c_name
@@ -3652,7 +3654,10 @@ object FormatQueries {
           THEN UPDATE SET c_acctbal = f.bal * 2.0
         WHEN NOT MATCHED AND f.op <> 'del'
           THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
-               VALUES (f.k, f.bal * 2.0, upper(f.seg))"""
+               VALUES (f.k, f.bal * 2.0, upper(f.seg))
+        WHEN NOT MATCHED BY SOURCE AND tt.c_mktsegment = 'MACHINERY'
+          THEN UPDATE SET c_acctbal = CAST(-5.0 AS DOUBLE)
+        WHEN NOT MATCHED BY SOURCE AND tt.c_acctbal < 3000.0 THEN DELETE"""
       graft.sqlapi.SqlApi.executePg(s, stmt("w19_cust_delta"))
       graft.sqlapi.SqlApi.executePg(s, stmt("w19_cust_ice"))
       def tagged(name: String, tag: String) =
@@ -3697,6 +3702,13 @@ object FormatQueries {
       carry_m AS (SELECT * FROM m WHERE op IS NULL),
       unmatched AS (SELECT b.* FROM base b LEFT JOIN feed f ON b.c_custkey = f.k
                     WHERE f.k IS NULL),
+      -- by-source first-match: MACHINERY rows take the UPDATE clause even
+      -- when their balance also satisfies the DELETE clause listed after
+      bs_upd AS (SELECT * FROM unmatched WHERE c_mktsegment = 'MACHINERY'),
+      bs_del AS (SELECT * FROM unmatched
+                 WHERE c_mktsegment <> 'MACHINERY' AND c_acctbal < 3000.0),
+      bs_carry AS (SELECT * FROM unmatched
+                   WHERE c_mktsegment <> 'MACHINERY' AND NOT (c_acctbal < 3000.0)),
       ins AS (SELECT f.* FROM feed f LEFT JOIN base b ON b.c_custkey = f.k
               WHERE b.c_custkey IS NULL AND f.op IS NOT NULL AND f.op <> 'del'),
       final AS (
@@ -3704,7 +3716,9 @@ object FormatQueries {
                c_mktsegment FROM upd
         UNION ALL SELECT c_custkey, c_name, bal * 2.0, c_mktsegment FROM upd2
         UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM carry_m
-        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM unmatched
+        UNION ALL SELECT c_custkey, c_name, CAST(-5.0 AS DOUBLE), c_mktsegment
+          FROM bs_upd
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM bs_carry
         UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg) FROM ins),
       cdc AS (
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
@@ -3715,7 +3729,13 @@ object FormatQueries {
                'update_preimage' FROM upd2
         UNION ALL SELECT c_custkey, c_name, bal * 2.0, c_mktsegment,
                'update_postimage' FROM upd2
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'update_preimage' FROM bs_upd
+        UNION ALL SELECT c_custkey, c_name, CAST(-5.0 AS DOUBLE), c_mktsegment,
+               'update_postimage' FROM bs_upd
         UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'delete' FROM del
+        UNION ALL SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'delete' FROM bs_del
         UNION ALL SELECT k, CAST(NULL AS VARCHAR), bal * 2.0, upper(seg),
                'insert' FROM ins)
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment, '__delta' AS change_kind
