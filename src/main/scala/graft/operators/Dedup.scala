@@ -566,7 +566,10 @@ object Dedup {
     val histKeys = history.select(md5(norm(col(textCol))).as("h"),
       xxhash64(norm(col(textCol))).as("hx"))
     // auto-size (scaladoc): history row count upper-bounds the distinct
-    // key count; the projection prunes away, so this is a metadata count
+    // key count. The count is metadata-only when `history` is a bare file
+    // scan (the common shape — parquet footers answer count(*) with no
+    // data read); a filtered/unioned/derived history frame pays a real
+    // count job per gate call — pass expectedItems explicitly there.
     val sized = if (expectedItems > 0L) expectedItems
       else math.max(history.count(), 1L)
     // sketch putLong/mightContainLong pair with xxhash64 exactly as
@@ -642,9 +645,13 @@ object Dedup {
       bandSignatures(minhashWide(df, textCol, idCol), idCol)
         .select(col(idCol), concat_ws(":", col("band"), col("band_sig")).as("k"))
     val histBands = bandsOf(history)
-    // auto-size (same contract as incrementalGate): ≤ k/rowsPerBand = 4
-    // band keys per history doc, so 4× the metadata row count
-    // upper-bounds the insertions — never touches the minhash pipeline
+    // auto-size (same contract as incrementalGate, incl. the bare-file-
+    // scan caveat): ≤ k/rowsPerBand band keys per history doc — bandsOf
+    // uses bandSignatures' defaults (k=16, rowsPerBand=4 ⇒ 4 bands), and
+    // this multiplier MUST track those defaults if they ever change
+    // (an undersized sketch only degrades fpp, never correctness) —
+    // so 4× the metadata row count upper-bounds the insertions without
+    // touching the minhash pipeline
     val sized = if (expectedItems > 0L) expectedItems
       else math.max(4L * history.count(), 1L)
     val bloom = histBands.select(xxhash64(col("k")).as("kx")).stat

@@ -332,13 +332,23 @@ object Mif {
         s"`$mif`: header declares ${h.cols.length} columns but no sibling " +
           ".mid attribute file exists")
     }
-    // trim ONLY the one split artifact a terminal newline produces (the
-    // -1 split always yields a final "" when the text ends with \n) — an
-    // empty LINE is a legitimate row when a single Char column's value is
-    // empty (multi-column files fail the field-count check loudly instead
-    // of being silently dropped and mis-zipping the rest)
-    val all0 = lines(conf, mid.toString).toSeq
-    val rows = if (all0.nonEmpty && all0.last.isEmpty) all0.init else all0
+    // trailing empty lines are ambiguous: the terminal-newline split
+    // artifact and stray blank lines at EOF carry no record, but an empty
+    // LINE is a legitimate row when a single Char column's value is empty.
+    // Resolve against nGeoms — the geometry count is the ground truth for
+    // how many attribute rows exist: trim trailing empties, but never
+    // below nGeoms (so "a\n\n" with 2 geometries keeps its empty last
+    // row, while "a\nb\n\n" with 2 geometries drops the stray blank).
+    // Interior empties always stay (multi-column files fail the
+    // field-count check loudly instead of mis-zipping the rest).
+    val all0raw = lines(conf, mid.toString).toSeq
+    // the -1 split always yields one final "" when the text ends with \n
+    // — that artifact is never a row, drop it unconditionally first
+    val all0 = if (all0raw.nonEmpty && all0raw.last.isEmpty) all0raw.init
+      else all0raw
+    val trimmed = all0.reverse.dropWhile(_.isEmpty).reverse
+    val rows = if (trimmed.length < nGeoms && all0.length >= nGeoms)
+      all0.take(nGeoms) else trimmed
     if (rows.length != nGeoms) throw MifException(
       s"`$mid`: ${rows.length} attribute rows but ${nGeoms} geometry records " +
         "— order is the only row identity in MIF/MID, a silent zip would " +

@@ -601,6 +601,14 @@ object SqlApi {
       else if (depth == 0 && caseDepth == 0 && word(kw)) return i
       i += 1
     }
+    // a scan that ends inside a CASE means the clause walk is
+    // desynchronized (an unterminated CASE, or an unquoted token literally
+    // named `case`) — the generic "cannot parse clause head" downstream
+    // error would hide the real cause, so name it here
+    if (caseDepth > 0) throw new IllegalArgumentException(
+      "unbalanced CASE…END while scanning SQL clauses — an unterminated " +
+        "CASE expression, or an unquoted identifier literally named " +
+        "`case`, desynchronizes the clause scan (quote such identifiers)")
     -1
   }
 
@@ -1474,6 +1482,22 @@ object SqlApi {
         case other => bad(s"cannot parse clause head `${other.take(60)}`")
       }
     }
+
+    // delta-spark's reachability rule: a clause with no AND condition
+    // claims every row reaching it, so any LATER clause in the same
+    // family is dead code — reject the typo loudly (first-match would
+    // still be deterministic, but a silently-dead clause is never what
+    // the author meant)
+    def rejectDead(fam: String, conds: Seq[Option[String]]): Unit = {
+      val i = conds.indexWhere(_.isEmpty)
+      if (i >= 0 && i < conds.length - 1) bad(
+        s"$fam clause ${i + 1} has no AND condition, so the later $fam " +
+          "clauses are unreachable — only the last clause of a family may " +
+          "omit its condition")
+    }
+    rejectDead("WHEN MATCHED", matchedClauses.map(_.cond).toSeq)
+    rejectDead("WHEN NOT MATCHED BY SOURCE", bySourceClauses.map(_.cond).toSeq)
+    rejectDead("WHEN NOT MATCHED", insertClauses.map(_.cond).toSeq)
 
     // every clause family passes IN STATEMENT ORDER — the writers apply
     // SQL first-match over each list

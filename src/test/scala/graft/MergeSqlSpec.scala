@@ -104,6 +104,21 @@ class MergeSqlSpec extends SparkSpec {
     rejects("""MERGE INTO msql_nosuch t USING msql_src3 s ON t.id = s.id
       WHEN MATCHED THEN UPDATE SET bal = s.bal""",
       "not an attached foreign table")
+    // a non-final unconditional clause makes later family clauses dead —
+    // the delta-spark reachability rule rejects the typo loudly
+    rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
+      WHEN MATCHED THEN DELETE
+      WHEN MATCHED AND s.bal > 10 THEN UPDATE SET bal = s.bal""",
+      "unreachable")
+    rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED AND s.bal > 10 THEN INSERT (id) VALUES (s.id)""",
+      "unreachable")
+    // an unbalanced CASE (stray unquoted token named `case`) names itself
+    // instead of the generic clause-head error
+    rejects("""MERGE INTO msql_t3 t USING msql_src3 s ON t.id = case
+      WHEN MATCHED THEN UPDATE SET bal = s.bal""",
+      "unbalanced CASE")
   }
 
   test("conditional matched UPDATE + first-match order: UPDATE listed first wins") {

@@ -112,6 +112,30 @@ class MifSpec extends SparkSpec {
     assert(vals === Set("a", ""))
   }
 
+  test("stray trailing blank lines after the last record are not rows") {
+    val dir = tempDir("mif")
+    // file ends "...\n\n\n" — two stray blank lines beyond the 2 records;
+    // the geometry count resolves the ambiguity (trim down to nGeoms)
+    writeText(dir, "tb.mid", "\"a\"\n\"b\"\n\n\n")
+    val f = writeText(dir, "tb.mif",
+      "VERSION 300\nDELIMITER \",\"\nCOLUMNS 1\n  s Char(4)\nDATA\n" +
+        "POINT 0 0\nPOINT 1 1\n")
+    val df = Catalog.attach(spark, "mif_tb", "spatial", Map("files" -> f))
+    assert(df.collect().map(_.getString(0)).toSet === Set("a", "b"))
+  }
+
+  test("a trailing blank line that IS the last record survives the trim") {
+    val dir = tempDir("mif")
+    // "a\n\n\n": 3 lines after split-trim candidates, 3 geometries — rows
+    // 2 and 3 are legitimate empty Char values, nothing to drop
+    writeText(dir, "tb2.mid", "\"a\"\n\n\n")
+    val f = writeText(dir, "tb2.mif",
+      "VERSION 300\nDELIMITER \",\"\nCOLUMNS 1\n  s Char(4)\nDATA\n" +
+        "POINT 0 0\nPOINT 1 1\nPOINT 2 2\n")
+    val df = Catalog.attach(spark, "mif_tb2", "spatial", Map("files" -> f))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("", "", "a"))
+  }
+
   test("typed columns: Float/Decimal→double, Logical→boolean, Date→string, empty→NULL") {
     val dir = tempDir("mif")
     writeText(dir, "t.mid", "1,2.5,3.75,T,20240131,\"x\"\n2,,,F,,\"\"\n")
