@@ -43,6 +43,31 @@ final case class MergeMatchedClause(cond: Option[String],
 final case class MergeInsertClause(cond: Option[String],
     proj: Option[Map[String, String]])
 
+/** Shared MERGE clause-classification arithmetic for both writers: the
+  * row's claiming clause is computed ONCE as a small int (a chained
+  * `when` takes the FIRST satisfied gate — SQL clause order — and -1
+  * when none is), and every downstream filter/projection branches on
+  * that int. The r15 shape re-derived the classification per FIELD with
+  * prefix-negated gate chains, growing the projection tree O(F × C²) in
+  * clause count C over F fields; this is O(F + C). */
+private[catalog] object MergeClauses {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, when}
+  /** First-match classification: index of the first true gate, else -1.
+    * Gates must be NULL-free (the writers coalesce user conditions to
+    * false), so chained `when` equals the prefix-negated expansion. */
+  def clauseIdx(gates: Seq[Column]): Column =
+    if (gates.isEmpty) lit(-1)
+    else gates.zipWithIndex.tail
+      .foldLeft(when(gates.head, lit(0))) { case (acc, (g, i)) => acc.when(g, lit(i)) }
+      .otherwise(lit(-1))
+  /** `classified` claimed by one of `idxs` (a clause-kind membership test). */
+  def hit(classified: Column, idxs: Seq[Int]): Column =
+    if (idxs.isEmpty) lit(false)
+    else if (idxs.length == 1) classified === lit(idxs.head)
+    else classified.isin(idxs.map(Int.box): _*)
+}
+
 object DeltaSink {
   import graft.sources.DeltaNative.DeltaReadException
 
@@ -2610,33 +2635,45 @@ object DeltaSink {
     // pair out of BOTH sides of a split
     def condCol(c: String) = coalesce(expr(c), lit(false))
 
-    // matched pairs (cardinality-checked: one source row per target row)
-    val matchedPairs = target.alias("t").join(s1.alias("s"), cond, "inner")
-    val dupCount = matchedPairs
-      .groupBy(col("t.__file"),
-        org.apache.spark.sql.functions.xxhash64(srcCols.map(c => col(s"t.$c")): _*))
-      .count().filter(col("count") > 1).count()
-    if (dupCount > 0) throw DeltaReadException(
-      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-
-    // first-match classification of matched pairs: per-clause gates are
-    // the raw conditions (NULL ⇒ false, unconditional ⇒ true); firsts(i)
-    // holds when clause i's gate does AND no earlier clause's does — SQL's
-    // clause-order rule for any number of UPDATE/DELETE clauses. A pair
-    // satisfying no clause carries unchanged (no rewrite of its file
-    // unless a sibling row needs it, no cdc rows, no row-tracking bump).
+    // matched pairs with their FIRST-MATCH classification computed once
+    // as a small int (`__mc` = index of the first clause whose gate the
+    // pair satisfies, -1 when none — NULL ⇒ false via condCol, so the
+    // chained `when` IS the SQL clause-order rule). A pair classifying -1
+    // carries unchanged (no rewrite of its file unless a sibling row
+    // needs it, no cdc rows, no row-tracking bump).
     val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val firsts = gates.zipWithIndex.map { case (g, i) =>
-      gates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-    }
-    val effDel = delIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
-    val effUpd = updIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    val matchedPairs = target.alias("t").join(s1.alias("s"), cond, "inner")
+      .withColumn("__mc", MergeClauses.clauseIdx(gates))
     // the plain unconditional single-UPDATE merge keeps its r14 plan shape
     // (no extra expression nodes — the measured fixed planning cost)
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
-    val matchedFilesAbs = matchedPairs.filter(effDel || effUpd)
-      .select(col("t.__file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // ONE aggregation pass over the matched join replaces r15's FOUR
+    // (ambiguity pre-pass, per-clause-kind counts, affected-file
+    // collect): per target row identity — (file, row hash) — the match
+    // count and the claiming clause, then a global fold. The ambiguity
+    // throw stays FIRST: nothing below consumes the other stats until
+    // cardinality is proven.
+    val mStatsRow = {
+      val F = org.apache.spark.sql.functions
+      matchedPairs
+        .select(col("t.__file").as("__f"),
+          F.xxhash64(srcCols.map(c => col(s"t.$c")): _*).as("__rid"),
+          col("__mc"))
+        .groupBy(col("__f"), col("__rid"))
+        .agg(F.count(lit(1)).as("__n"), F.max(col("__mc")).as("__c"))
+        .agg(F.max(col("__n")).as("__maxn"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), delIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), updIdx), 1L).otherwise(0L))
+            .as("__nupd"),
+          F.collect_set(F.when(col("__c") >= 0, col("__f"))).as("__files"))
+        .collect().head
+    }
+    if (!mStatsRow.isNullAt(0) && mStatsRow.getLong(0) > 1) throw DeltaReadException(
+      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    val deletedCount = if (mStatsRow.isNullAt(1)) 0L else mStatsRow.getLong(1)
+    val updatedCount = if (mStatsRow.isNullAt(2)) 0L else mStatsRow.getLong(2)
+    val matchedFilesAbs: Seq[String] = mStatsRow.getSeq[String](3)
 
     // BY SOURCE rows: target rows matching NOTHING in the source —
     // conditions see only `t.` columns. Ordered clauses with the same
@@ -2659,46 +2696,70 @@ object DeltaSink {
           s"`$path`: BY SOURCE SET column `$k` is not in the table schema")
       }
     val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val bsFirsts = bsGates.zipWithIndex.map { case (g, i) =>
-      bsGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-    }
-    val bsEffDel = bsDelIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
-    val bsEffUpd = bsUpdIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
     val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
+    // by-source rows carry their classification (`__bsc`, conditions see
+    // `t.` only); ONE aggregation pass replaces r15's three jobs over the
+    // anti-join (two clause-kind counts + the affected-file collect)
     val bsRows = if (!bySourceActive) null
       else target.alias("t").join(s1.alias("s"), cond, "left_anti")
-    val bsDeleteRows = if (!bySourceActive) null else bsRows.filter(bsEffDel)
-    val bsUpdateRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
-    val bsDeletedCount = if (bsDelIdx.isEmpty) 0L else bsDeleteRows.count()
-    val bsUpdatedCount = if (bsUpdIdx.isEmpty) 0L else bsUpdateRows.count()
-    val bySourceFilesAbs: Seq[String] = if (!bySourceActive) Nil
-      else bsRows.filter(bsEffDel || bsEffUpd).select(col("__file"))
-        .distinct().collect().map(_.getString(0)).toSeq
+        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates))
+    val (bsDeletedCount, bsUpdatedCount, bySourceFilesAbs) =
+      if (!bySourceActive) (0L, 0L, Seq.empty[String])
+      else {
+        val F = org.apache.spark.sql.functions
+        val r = bsRows.agg(
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsDelIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsUpdIdx), 1L).otherwise(0L))
+            .as("__nupd"),
+          F.collect_set(F.when(col("__bsc") >= 0, col("__file"))).as("__files"))
+          .collect().head
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          r.getSeq[String](2))
+      }
+    val bsDeleteRows = if (!bySourceActive) null
+      else bsRows.filter(MergeClauses.hit(col("__bsc"), bsDelIdx))
+    val bsUpdateRows = if (!bySourceActive) null
+      else bsRows.filter(MergeClauses.hit(col("__bsc"), bsUpdIdx))
 
     val affectedAbs = (matchedFilesAbs ++ bySourceFilesAbs).distinct
     val affectedRel = affectedAbs.map(a => relByAbs.getOrElse(norm(a),
       throw DeltaReadException(s"`$path`: scanned file $a is not in the live set")))
 
-    // matched pairs split by the first-match classification: delete pairs
-    // drop out of the rewrite; update pairs transform by SET; pairs
-    // matching no clause carry unchanged.
-    val updatePairs = matchedPairs.filter(effUpd)
-    val deletePairs = matchedPairs.filter(effDel)
-    val deletedCount = if (delIdx.isEmpty) 0L else deletePairs.count()
-    val updatedCount = if (updIdx.isEmpty) 0L else updatePairs.count()
+    // matched pairs split by the `__mc` classification: delete pairs drop
+    // out of the rewrite; update pairs transform by SET; pairs matching
+    // no clause carry unchanged. (Counts came from the fused stats pass.)
+    val updatePairs = matchedPairs.filter(MergeClauses.hit(col("__mc"), updIdx))
+    val deletePairs = matchedPairs.filter(MergeClauses.hit(col("__mc"), delIdx))
 
     // rewrites: affected files' rows — delete-matched and by-source-
     // deleted dropped, SET-matched and by-source-SET transformed,
     // untouched rows carried unchanged
     val doRewrite = (updatedCount > 0 || deletedCount > 0 ||
       bsUpdatedCount > 0 || bsDeletedCount > 0) && affectedAbs.nonEmpty
+    val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
+    // the rewrite join carries its own classification columns (it is a
+    // DIFFERENT join — left, affected files only): `__mc` gated by
+    // matchedFlag so an unconditional clause can never claim an unmatched
+    // row, `__bsc` its mirror. The plain unconditional single-clause
+    // merges keep their flat r14 plans — neither column is added nor
+    // referenced then (same planning-cost discipline as r15's guards).
     val joinedAff =
       if (!doRewrite) null
-      else target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
-        .join(s1.alias("s"), cond, "left")
+      else {
+        val j0 = target.filter(col("__file").isin(affectedAbs: _*)).alias("t")
+          .join(s1.alias("s"), cond, "left")
+        val j1 = if (!matchedCondActive) j0
+          else j0.withColumn("__mc", org.apache.spark.sql.functions
+            .when(matchedFlag, MergeClauses.clauseIdx(gates)).otherwise(lit(-1)))
+        if (!bsCondActive) j1
+        else j1.withColumn("__bsc", org.apache.spark.sql.functions
+          .when(!matchedFlag, MergeClauses.clauseIdx(bsGates)).otherwise(lit(-1)))
+      }
     // the SET-transformed value of a field for an UPDATE-claimed pair:
-    // one expression per update clause, chained in first-match order
-    // (rows reaching the chain satisfy exactly one firsts(i)); the plain
+    // one branch per update clause on the PRE-COMPUTED `__mc` int (the
+    // classification is never re-derived per field); the plain
     // single-unconditional-UPDATE merge keeps its flat r14 expression
     def newVal(f: StructField) = {
       def valOf(i: Int) = clauses(i).set.get.get(f.name)
@@ -2706,30 +2767,44 @@ object DeltaSink {
       if (updIdx.isEmpty) col(s"t.${f.name}")
       else if (!matchedCondActive) valOf(updIdx.head)
       else updIdx.tail
-        .foldLeft(org.apache.spark.sql.functions.when(firsts(updIdx.head), valOf(updIdx.head))) {
-          (acc, i) => acc.when(firsts(i), valOf(i))
+        .foldLeft(org.apache.spark.sql.functions
+          .when(col("__mc") === lit(updIdx.head), valOf(updIdx.head))) {
+          (acc, i) => acc.when(col("__mc") === lit(i), valOf(i))
         }
         .otherwise(col(s"t.${f.name}"))
     }
-    // the by-source SET value per field: one expression per update
-    // clause, chained in first-match order (the matched family's shape)
+    // the by-source SET value per field: branches on `__bsc`
     def bsVal(f: StructField) = {
       def valOf(i: Int) = bsClauses(i).set.get.get(f.name)
         .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
       if (bsUpdIdx.isEmpty) col(s"t.${f.name}")
       else if (!bsCondActive) valOf(bsUpdIdx.head)
       else bsUpdIdx.tail
-        .foldLeft(org.apache.spark.sql.functions.when(bsFirsts(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
-          (acc, i) => acc.when(bsFirsts(i), valOf(i))
+        .foldLeft(org.apache.spark.sql.functions
+          .when(col("__bsc") === lit(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
+          (acc, i) => acc.when(col("__bsc") === lit(i), valOf(i))
         }
         .otherwise(col(s"t.${f.name}"))
     }
-    val matchedFlag = coalesce(col("s.__s_matched"), lit(false))
-    // conditional-UPDATE pairs failing their gate carry unchanged — the
-    // extra conjunct only enters the plan when a matched condition exists
-    // (same planning-cost discipline as the by-source guards below)
-    val updFlag = if (matchedCondActive) matchedFlag && effUpd else matchedFlag
-    val bsUpdFlag = !matchedFlag && bsEffUpd
+    // clause-kind hit tests in the rewrite frame: flat (matchedFlag-only)
+    // on the unconditional single-clause paths, `__mc`/`__bsc` membership
+    // otherwise (the matchedFlag gate is already folded into the column)
+    val updFlag =
+      if (updIdx.isEmpty) lit(false)
+      else if (!matchedCondActive) matchedFlag
+      else MergeClauses.hit(col("__mc"), updIdx)
+    val delHit =
+      if (delIdx.isEmpty) lit(false)
+      else if (!matchedCondActive) matchedFlag
+      else MergeClauses.hit(col("__mc"), delIdx)
+    val bsUpdFlag =
+      if (bsUpdIdx.isEmpty) lit(false)
+      else if (!bsCondActive) !matchedFlag
+      else MergeClauses.hit(col("__bsc"), bsUpdIdx)
+    val bsDelHit =
+      if (bsDelIdx.isEmpty) lit(false)
+      else if (!bsCondActive) !matchedFlag
+      else MergeClauses.hit(col("__bsc"), bsDelIdx)
     // the BY SOURCE branches are grafted into the rewrite expressions ONLY
     // when a by-source clause is live: the literal-false conditions would
     // constant-fold anyway, but the extra nodes still pay analysis/planning
@@ -2738,9 +2813,8 @@ object DeltaSink {
     val rewritten =
       if (!doRewrite) null
       else joinedAff.filter(
-          if (bySourceActive)
-            !(matchedFlag && effDel) && !(!matchedFlag && bsEffDel)
-          else !(matchedFlag && effDel))
+          if (bySourceActive) !delHit && !bsDelHit
+          else !delHit)
         .select(schema.fields.map { f =>
           val matchedBranch = org.apache.spark.sql.functions
             .when(updFlag, newVal(f))
@@ -2773,11 +2847,11 @@ object DeltaSink {
     val inserts =
       if (insClauses.isEmpty) null
       else {
-        val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
         val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-        val iFirsts = iGates.zipWithIndex.map { case (g, i) =>
-          iGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-        }
+        // the claiming insert clause, computed ONCE per row (`__ic`) —
+        // each field then branches on the int, not on re-derived gates
+        val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
+          .withColumn("__ic", MergeClauses.clauseIdx(iGates))
         val single = insClauses.length == 1
         def insVal(f: StructField) = {
           def valOf(i: Int) = insClauses(i).proj match {
@@ -2790,12 +2864,13 @@ object DeltaSink {
           }
           if (single) valOf(0)
           else insClauses.indices.tail
-            .foldLeft(org.apache.spark.sql.functions.when(iFirsts.head, valOf(0))) {
-              (acc, i) => acc.when(iFirsts(i), valOf(i))
+            .foldLeft(org.apache.spark.sql.functions
+              .when(col("__ic") === lit(0), valOf(0))) {
+              (acc, i) => acc.when(col("__ic") === lit(i), valOf(i))
             }
             .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
         }
-        unmatched.filter(iFirsts.reduceLeft(_ || _))
+        unmatched.filter(col("__ic") >= 0)
           .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*)
       }
     val insertCount = if (inserts == null) 0L else inserts.count()

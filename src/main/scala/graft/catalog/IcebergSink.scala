@@ -2297,11 +2297,12 @@ object IcebergSink {
     // projected per that clause (identity whole-row, or VALUES
     // expressions with NULL-filled omissions typed from `fields`); rows
     // satisfying no clause do not insert
-    def insertFrame(unmatched: DataFrame, fields: Seq[StructField]): DataFrame = {
+    def insertFrame(unmatched0: DataFrame, fields: Seq[StructField]): DataFrame = {
       val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-      val iFirsts = iGates.zipWithIndex.map { case (g, i) =>
-        iGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-      }
+      // the claiming insert clause as ONE small int (`__ic`, chained when
+      // = first-match); each field branches on it instead of re-deriving
+      // prefix-negated gates per field
+      val unmatched = unmatched0.withColumn("__ic", MergeClauses.clauseIdx(iGates))
       val single = insClauses.length == 1
       def insVal(f: StructField) = {
         def valOf(i: Int) = insClauses(i).proj match {
@@ -2311,12 +2312,13 @@ object IcebergSink {
         }
         if (single) valOf(0)
         else insClauses.indices.tail
-          .foldLeft(org.apache.spark.sql.functions.when(iFirsts.head, valOf(0))) {
-            (acc, i) => acc.when(iFirsts(i), valOf(i))
+          .foldLeft(org.apache.spark.sql.functions
+            .when(col("__ic") === lit(0), valOf(0))) {
+            (acc, i) => acc.when(col("__ic") === lit(i), valOf(i))
           }
           .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
       }
-      unmatched.filter(iFirsts.reduceLeft(_ || _))
+      unmatched.filter(col("__ic") >= 0)
         .select(fields.map(f => insVal(f).as(f.name)): _*)
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -2352,52 +2354,58 @@ object IcebergSink {
     val s1 = (if (identityInsert) source.select((names ++ srcExtra).map(col): _*)
       else source).alias("s")
     val cond = expr(condSql)
-    val matchedPairs = target.join(s1, cond, "inner")
-    val dup = matchedPairs.groupBy(col("t.__file"), col("t.__pos"))
-      .count().filter(col("count") > 1).count()
-    if (dup > 0) throw IcebergReadException(
-      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    // first-match classification of matched pairs (same contract as the
-    // Delta sibling): per-clause gates (NULL ⇒ false, unconditional ⇒
-    // true), firsts(i) = clause i's gate AND no earlier clause's — SQL's
-    // clause-order rule for any number of UPDATE/DELETE clauses. Delete
-    // pairs positional-delete with NO re-append; update pairs transform
-    // by their claiming clause's SET; pairs matching no clause carry
-    // untouched (no tombstone, no re-append).
+    // matched pairs with their FIRST-MATCH classification computed once
+    // as a small int (`__mc`, chained when = SQL clause order; NULL ⇒
+    // false via condCol). Delete-claimed pairs positional-delete with NO
+    // re-append; update-claimed pairs transform by their claiming
+    // clause's SET; pairs claiming no clause (-1) carry untouched (no
+    // tombstone, no re-append).
     val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val firsts = gates.zipWithIndex.map { case (g, i) =>
-      gates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-    }
-    val effDel = delIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
-    val effUpd = updIdx.map(firsts).reduceOption(_ || _).getOrElse(lit(false))
+    val matchedPairs = target.join(s1, cond, "inner")
+      .withColumn("__mc", MergeClauses.clauseIdx(gates))
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
+    // ONE aggregation pass over the matched join: the r15 ambiguity
+    // pre-pass fused with the per-clause-kind counts — which also lets
+    // zero-row tombstone/data writes be SKIPPED instead of running
+    // join-scale jobs to write nothing
+    val mStatsRow = {
+      val F = org.apache.spark.sql.functions
+      matchedPairs
+        .select(col("t.__file").as("__f"), col("t.__pos").as("__p"), col("__mc"))
+        .groupBy(col("__f"), col("__p"))
+        .agg(F.count(lit(1)).as("__n"), F.max(col("__mc")).as("__c"))
+        .agg(F.max(col("__n")).as("__maxn"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), delIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), updIdx), 1L).otherwise(0L))
+            .as("__nupd"))
+        .collect().head
+    }
+    if (!mStatsRow.isNullAt(0) && mStatsRow.getLong(0) > 1) throw IcebergReadException(
+      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    val mDeleted = if (mStatsRow.isNullAt(1)) 0L else mStatsRow.getLong(1)
+    val updated = if (mStatsRow.isNullAt(2)) 0L else mStatsRow.getLong(2)
+    // ONE tombstone write covers delete- AND update-claimed rows (`__mc`
+    // >= 0 ⇔ modified — every matched clause is an UPDATE or DELETE);
+    // r15 wrote them as two separate join-scale passes
     val mDelFiles =
-      if (delIdx.isEmpty) Nil
-      else writeMoved(matchedPairs.filter(effDel).select(
+      if (mDeleted + updated == 0L) Nil
+      else writeMoved(matchedPairs.filter(col("__mc") >= 0).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"mdd-$stamp")
-    val mDeleted = mDelFiles.map(_._3).sum
-    val updatePairs =
-      if (!matchedCondActive) matchedPairs
-      else matchedPairs.filter(effUpd)
-    val doUpdate = updIdx.nonEmpty
-    val delFiles =
-      if (doUpdate)
-        writeMoved(updatePairs.select(
-          col("t.__file").as("file_path"), col("t.__pos").as("pos")),
-          st, s"del-$stamp")
-      else Nil
-    val updated = delFiles.map(_._3).sum
-    // SET-transformed value per field: one expression per update clause,
-    // chained in first-match order (the Delta sibling's arrangement)
+    val updatePairs = matchedPairs.filter(MergeClauses.hit(col("__mc"), updIdx))
+    // SET-transformed value per field: one branch per update clause on
+    // the PRE-COMPUTED `__mc` (never re-derived per field); the plain
+    // single-unconditional-UPDATE merge keeps its flat expression
     def newVal(f: StructField) = {
       def valOf(i: Int) = clauses(i).set.get.get(f.name)
         .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
       if (updIdx.isEmpty) col(s"t.${f.name}")
       else if (!matchedCondActive) valOf(updIdx.head)
       else updIdx.tail
-        .foldLeft(org.apache.spark.sql.functions.when(firsts(updIdx.head), valOf(updIdx.head))) {
-          (acc, i) => acc.when(firsts(i), valOf(i))
+        .foldLeft(org.apache.spark.sql.functions
+          .when(col("__mc") === lit(updIdx.head), valOf(updIdx.head))) {
+          (acc, i) => acc.when(col("__mc") === lit(i), valOf(i))
         }
         .otherwise(col(s"t.${f.name}"))
     }
@@ -2425,35 +2433,43 @@ object IcebergSink {
     // re-default their sequence).
     val bySourceActive = bsClauses.nonEmpty
     val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val bsFirsts = bsGates.zipWithIndex.map { case (g, i) =>
-      bsGates.take(i).foldLeft(g)((acc, prev) => acc && !prev)
-    }
-    val bsEffDel = bsDelIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
-    val bsEffUpd = bsUpdIdx.map(bsFirsts).reduceOption(_ || _).getOrElse(lit(false))
     val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
-    val bsRows = if (!bySourceActive) null else target.join(s1, cond, "left_anti")
+    // by-source rows carry their classification (`__bsc`, conditions see
+    // `t.` only); ONE stats pass gates the writes, and ONE tombstone
+    // write covers by-source deletes AND updates (r15: two passes)
+    val bsRows = if (!bySourceActive) null
+      else target.join(s1, cond, "left_anti")
+        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates))
+    val (bsDeleted, bsUpdated) =
+      if (!bySourceActive) (0L, 0L)
+      else {
+        val F = org.apache.spark.sql.functions
+        val r = bsRows.agg(
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsDelIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsUpdIdx), 1L).otherwise(0L))
+            .as("__nupd"))
+          .collect().head
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
     val bsDelFiles =
-      if (bsDelIdx.isEmpty) Nil
-      else writeMoved(bsRows.filter(bsEffDel).select(
+      if (bsDeleted + bsUpdated == 0L) Nil
+      else writeMoved(bsRows.filter(col("__bsc") >= 0).select(
         col("t.__file").as("file_path"), col("t.__pos").as("pos")),
         st, s"bsd-$stamp")
-    val bsDeleted = bsDelFiles.map(_._3).sum
-    val bsUpdRows = if (!bySourceActive) null else bsRows.filter(bsEffUpd)
-    val bsUpdDelFiles =
-      if (bsUpdIdx.isEmpty) Nil
-      else writeMoved(bsUpdRows.select(
-        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
-        st, s"bsu-$stamp")
-    val bsUpdated = bsUpdDelFiles.map(_._3).sum
-    // by-source SET value per field, chained in first-match order
+    val bsUpdRows = if (!bySourceActive) null
+      else bsRows.filter(MergeClauses.hit(col("__bsc"), bsUpdIdx))
+    // by-source SET value per field: branches on `__bsc`
     def bsVal(f: StructField) = {
       def valOf(i: Int) = bsClauses(i).set.get.get(f.name)
         .map(e => expr(e).cast(f.dataType)).getOrElse(col(s"t.${f.name}"))
       if (bsUpdIdx.isEmpty) col(s"t.${f.name}")
       else if (!bsCondActive) valOf(bsUpdIdx.head)
       else bsUpdIdx.tail
-        .foldLeft(org.apache.spark.sql.functions.when(bsFirsts(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
-          (acc, i) => acc.when(bsFirsts(i), valOf(i))
+        .foldLeft(org.apache.spark.sql.functions
+          .when(col("__bsc") === lit(bsUpdIdx.head), valOf(bsUpdIdx.head))) {
+          (acc, i) => acc.when(col("__bsc") === lit(i), valOf(i))
         }
         .otherwise(col(s"t.${f.name}"))
     }
@@ -2470,7 +2486,7 @@ object IcebergSink {
       mDeleted == 0L)
       return (0L, 0L)
     commitMor(st, "overwrite", Seq("graft-merge-on" -> condSql),
-      mDelFiles ++ delFiles ++ bsDelFiles ++ bsUpdDelFiles,
+      mDelFiles ++ bsDelFiles,
       updFiles ++ bsUpdFiles ++ insFiles)
     (updated + bsUpdated, inserted)
   }
