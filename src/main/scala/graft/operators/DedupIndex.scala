@@ -59,6 +59,46 @@ object DedupIndex {
     * zero-history-scans pin for the gate path. */
   val historyPasses = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Counts FALLBACK key-table scans taken by the torn-epoch coverage
+    * check — the x31/x33 no-extra-pass pin. Normally 0: coverage derives
+    * from the Delta log's per-file stats (kind/epoch min==max), pure
+    * driver work over metadata that is already resident; the row scan
+    * only runs when a file's stats cannot prove its epoch (a foreign
+    * writer, or stats-free files). */
+  val coverageScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The epoch set of the 'key' side, from file-level log stats alone:
+    * every live file whose kind min==max=='key' contributes its (constant)
+    * epoch; bloom files contribute nothing. None when any file's stats
+    * cannot prove a constant kind+epoch — the caller then falls back to
+    * the exact distinct scan (correctness first; with this table's own
+    * writer every file is single-kind single-epoch by construction). */
+  private def keyEpochsFromStats(df: DataFrame): Option[Set[Long]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val idx = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.isInstanceOf[graft.sources.LogFileIndex] =>
+        fs.location.asInstanceOf[graft.sources.LogFileIndex]
+    }
+    idx.flatMap { ix =>
+      val perFile: Seq[Option[Set[Long]]] = ix.files.map { f =>
+        f.stats.flatMap { st =>
+          // a zero-row file (an empty write partition) covers no epoch
+          if (st.numRecords.contains(0L)) Some(Set.empty[Long])
+          else (st.min.get("kind"), st.max.get("kind"),
+            st.min.get("epoch"), st.max.get("epoch")) match {
+            case (Some(k1: String), Some(k2: String),
+                Some(e1: Long), Some(e2: Long)) if k1 == k2 && e1 == e2 =>
+              Some(if (k1 == "key") Set(e1) else Set.empty[Long])
+            case _ => None
+          }
+        }
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some(perFile.flatten.flatten.toSet)
+    }
+  }
+
   /** Index MODE, carried on every bloom row's `h` sentinel: an EXACT
     * index keys md5(norm) documents, a FUZZY one keys MinHash
     * `band:band_sig` strings — serving one through the other's gate would
@@ -196,13 +236,20 @@ object DedupIndex {
     // torn-epoch guard: keys and bloom land as two commits, so a crash
     // between them leaves an epoch's keys with NO sketch — its duplicates
     // would gate __maybe=false and pass as clean (a silent false negative,
-    // the one thing the contract forbids). Assert coverage loudly (one
-    // cheap distinct over the key table's epoch column); a retried append
-    // heals the gap because maxEpoch derives from BLOOM rows.
+    // the one thing the contract forbids). Assert coverage loudly FROM
+    // FILE-LEVEL LOG STATS (kind/epoch min==max per file — driver-only,
+    // no scan of the one-row-per-history-key table per gate call, the r15
+    // O(history) regression); the exact distinct scan remains only as the
+    // fallback when stats can't prove an epoch, counted by
+    // [[coverageScans]]. A retried append heals the gap because maxEpoch
+    // derives from BLOOM rows.
     val bloomEpochs = rows.iterator.map(_.getLong(1)).toSet
-    val orphanEpochs = attach(spark, path).filter(col("kind") === "key")
-      .select(col("epoch")).distinct().collect().map(_.getLong(0))
-      .filterNot(bloomEpochs).sorted
+    val keyEpochs = keyEpochsFromStats(attach(spark, path)).getOrElse {
+      coverageScans.incrementAndGet()
+      attach(spark, path).filter(col("kind") === "key")
+        .select(col("epoch")).distinct().collect().map(_.getLong(0)).toSet
+    }
+    val orphanEpochs = keyEpochs.filterNot(bloomEpochs).toSeq.sorted
     if (orphanEpochs.nonEmpty) throw DedupIndexException(
       s"`$path`: epoch(s) ${orphanEpochs.mkString(",")} carry key rows but " +
         "no bloom row — a build/append was torn between its two commits; " +

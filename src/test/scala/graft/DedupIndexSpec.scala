@@ -46,9 +46,13 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.append(epoch1, "text", s"$dir/idx")
     val batch = mkBatch(docs)
     val before = DedupIndex.historyPasses.get()
+    val covBefore = DedupIndex.coverageScans.get()
     val out = gateRows(DedupIndex.gate(batch, s"$dir/idx", "text", "doc_id"))
     assert(DedupIndex.historyPasses.get() === before,
       "the gate path scanned raw history — it must serve from the index only")
+    assert(DedupIndex.coverageScans.get() === covBefore,
+      "the torn-epoch coverage check scanned the key table — it must derive " +
+        "from file-level log stats on this table's own writer output")
     val exp = expected(batch, docs)
     assert(out === exp)
     // the batch must actually exercise BOTH epochs' blooms: some dropped
@@ -123,10 +127,15 @@ class DedupIndexSpec extends SparkSpec {
         lit(1L).as("epoch"), md5(n).as("h"), xxhash64(n).as("hx"),
         lit(null).cast("binary").as("payload")).distinct(),
       s"$dir/idx", Map.empty)
+    val covBefore = DedupIndex.coverageScans.get()
     val e = intercept[DedupIndex.DedupIndexException] {
       DedupIndex.gate(mkBatch(docs), s"$dir/idx", "text", "doc_id").collect()
     }
     assert(e.getMessage.contains("torn"))
+    // the reject itself is driver-side: the orphan epoch is visible in
+    // file-level log stats, no key-table scan needed to detect it
+    assert(DedupIndex.coverageScans.get() === covBefore,
+      "torn-epoch detection fell back to a key-table scan")
     // the retry: maxEpoch derives from BLOOM rows (still 0), so the
     // append re-writes epoch 1 WITH a sketch sized over every epoch-1
     // key row — the orphans are covered and the gate is exact again
