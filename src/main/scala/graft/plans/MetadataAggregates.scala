@@ -56,36 +56,74 @@ object MetadataAggregates extends Rule[LogicalPlan] {
   }
 
   /** Walk attribute-preserving Projects down to a rowsExact LogFileIndex
-    * relation; returns the index plus output-attr → base-column-name map
-    * (the name add.stats / manifests key their stats by). */
-  private def reachIndex(plan: LogicalPlan): Option[(LogFileIndex, Map[ExprId, String])] =
+    * relation; returns the index, the output-attr → base-column-name map
+    * (the name add.stats / manifests key their stats by), and any Filter
+    * predicates encountered on the way — ADMITTED only when every
+    * conjunct references exclusively LOG-SERVED PARTITION columns of the
+    * index (then pruning the live-file set is EXACT: a partition
+    * predicate keeps all of a file's rows or none), already rebound into
+    * the index's partition schema. A predicate touching any data column,
+    * a non-deterministic expression, or a subquery disqualifies the whole
+    * plan (→ normal scan). */
+  private def reachIndex(plan: LogicalPlan)
+      : Option[(LogFileIndex, Map[ExprId, String], Seq[Expression])] =
     plan match {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
           case idx: LogFileIndex if idx.rowsExact =>
-            Some((idx, lr.output.map(a => a.exprId -> a.name.toLowerCase).toMap))
+            Some((idx, lr.output.map(a => a.exprId -> a.name.toLowerCase).toMap, Nil))
           case _ => None
         }
       case Project(list, child) =>
-        reachIndex(child).flatMap { case (idx, below) =>
+        reachIndex(child).flatMap { case (idx, below, preds) =>
           val mapped = list.map {
             case a: AttributeReference => below.get(a.exprId).map(a.exprId -> _)
             case al @ Alias(a: AttributeReference, _) => below.get(a.exprId).map(al.exprId -> _)
             case _ => None
           }
           if (mapped.exists(_.isEmpty)) None
-          else Some((idx, mapped.flatten.toMap))
+          else Some((idx, mapped.flatten.toMap, preds))
+        }
+      case Filter(cond, child) =>
+        reachIndex(child).flatMap { case (idx, below, preds) =>
+          if (!cond.deterministic ||
+            cond.exists(_.isInstanceOf[PlanExpression[_]])) None
+          else {
+            val fields = idx.partitionSchema.fields
+            def slot(a: AttributeReference): Option[Int] =
+              below.get(a.exprId).map(n =>
+                fields.indexWhere(_.name.equalsIgnoreCase(n))).filter(_ >= 0)
+                // the bound slot must carry the attribute's exact type —
+                // a mismatch (mapped/renamed tables) bails to the scan
+                .filter(i => fields(i).dataType == a.dataType)
+            val bindable = cond.references.forall {
+              case a: AttributeReference => slot(a).isDefined
+              case _ => false
+            }
+            if (!bindable) None
+            else Some((idx, below, preds :+ cond.transform {
+              case a: AttributeReference =>
+                val i = slot(a).get
+                BoundReference(i, fields(i).dataType, nullable = true)
+            }))
+          }
         }
       case SubqueryAlias(_, child) => reachIndex(child)
       case _ => None
     }
 
   private def rewrite(aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val (idx, names) = reachIndex(child) match {
+    val (idx, names, preds) = reachIndex(child) match {
       case Some(x) => x
       case None => return None
     }
-    val stats = idx.files.map(_.stats)
+    // partition-predicate pruning of the live-file set (exact — see
+    // reachIndex); the stats fold below then runs over the survivors,
+    // answering `SELECT count(*) … WHERE ds = '…'` from the log alone
+    val files =
+      if (preds.isEmpty) idx.files
+      else idx.filesWherePartition(preds.reduce(And))
+    val stats = files.map(_.stats)
     // every live file must carry stats at all — absent stats answer nothing
     if (stats.exists(_.isEmpty)) return None
     val st = stats.flatten

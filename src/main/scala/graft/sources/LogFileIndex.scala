@@ -310,6 +310,21 @@ final class LogFileIndex(
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
+  /** EXACT partition pruning for metadata-only answering: the live files
+    * whose partition row satisfies `pred` — an expression whose
+    * attributes are already BoundReferences into [[partitionSchema]]'s
+    * field order. Because every row of a file shares its partition
+    * values, a partition-only predicate keeps ALL of a file's rows or
+    * NONE of them, so folding stats over the survivors equals running
+    * the filtered aggregate (three-valued logic included: a NULL
+    * evaluation drops the file exactly as it drops the rows). */
+  def filesWherePartition(pred: Expression): Seq[LogFileIndex.IndexedFile] = {
+    val p = Predicate.createInterpreted(pred)
+    entries.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
+      if (p.eval(partRow(pv))) fs else Nil
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // data-filter pruning: a file survives unless EVERY... rather, unless

@@ -70,11 +70,77 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.getDecimal(3) == new java.math.BigDecimal("99.99"))
   }
 
-  test("delta: a filter disables the metadata fold") {
+  test("delta: a data-column filter disables the metadata fold") {
     val t = Catalog.attach(spark, "ma_delta3", "delta", Map("files" -> deltaRoot))
     val mk = () => t.filter($"k" > 2).agg(count(lit(1)).as("n"))
     assert(!metadataOnly(mk))
     assert(mk().collect().head.getLong(0) == 4L)
+  }
+
+  private lazy val deltaPartRoot: String = {
+    val root = tempDir("metaagg_deltapart").getPath + "/t"
+    val df = Seq((1L, "a", "US"), (2L, "b", "US"), (3L, "c", "DE"),
+      (4L, "d", "DE"), (5L, null: String, "FR"), (6L, "f", null: String))
+      .toDF("k", "name", "geo")
+    Sinks.copyTo(df.repartition(2), root, "delta", Map("partition_by" -> "geo"))
+    Sinks.copyTo(Seq((7L, "g", "US")).toDF("k", "name", "geo"), root, "delta",
+      Map("partition_by" -> "geo"))
+    root
+  }
+
+  test("delta: partition-predicate count/min/max fold from pruned stats") {
+    val t = Catalog.attach(spark, "ma_dpart", "delta", Map("files" -> deltaPartRoot))
+    val mk = () => t.filter($"geo" === "US")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"),
+        count($"name").as("nn"))
+    val exp = scanAnswer(mk)
+    assert(metadataOnly(mk), mk().queryExecution.executedPlan.toString)
+    assert(mk().collect().toSeq == exp)
+    assert(exp.head.getLong(0) == 3L && exp.head.getLong(1) == 1L &&
+      exp.head.getLong(2) == 7L)
+    // IN-list + inequality shapes prune exactly too
+    val mk2 = () => t.filter($"geo".isin("US", "DE")).agg(count(lit(1)).as("n"))
+    assert(metadataOnly(mk2) && scanAnswer(mk2) == mk2().collect().toSeq)
+    val mk3 = () => t.filter($"geo" =!= "US").agg(count(lit(1)).as("n"))
+    assert(metadataOnly(mk3) && scanAnswer(mk3) == mk3().collect().toSeq)
+    // the NULL partition: IS NULL folds, and a comparison excludes it —
+    // matching SQL three-valued filter semantics
+    val mk4 = () => t.filter($"geo".isNull).agg(count(lit(1)).as("n"))
+    assert(metadataOnly(mk4) && scanAnswer(mk4) == mk4().collect().toSeq)
+    assert(mk4().collect().head.getLong(0) == 1L)
+  }
+
+  test("delta: mixed partition+data predicate, and empty survivors, stay exact") {
+    val t = Catalog.attach(spark, "ma_dpart2", "delta", Map("files" -> deltaPartRoot))
+    // a conjunct over a data column disqualifies the whole filter → scan
+    val mixed = () => t.filter($"geo" === "US" && $"k" > 1).agg(count(lit(1)).as("n"))
+    assert(!metadataOnly(mixed))
+    assert(mixed().collect().head.getLong(0) == 2L)
+    // a predicate matching no partition folds to the SQL empty-input
+    // answers: count 0, min/max NULL
+    val none = () => t.filter($"geo" === "JP")
+      .agg(count(lit(1)).as("n"), min($"k").as("mn"))
+    assert(metadataOnly(none), none().queryExecution.executedPlan.toString)
+    val r = none().collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    assert(scanAnswer(none) == none().collect().toSeq)
+  }
+
+  test("iceberg: identity-partition predicate folds from pruned manifests") {
+    val root = tempDir("metaagg_icepart").getPath + "/t"
+    val df = Seq((10L, "x", "r1"), (20L, "y", "r1"), (30L, "z", "r2"))
+      .toDF("id", "v", "region")
+    Sinks.copyTo(df, root, "iceberg", Map("partition_by" -> "region"))
+    Sinks.copyTo(Seq((40L, "w", "r2")).toDF("id", "v", "region"), root,
+      "iceberg", Map("partition_by" -> "region"))
+    val t = Catalog.attach(spark, "ma_ipart", "iceberg", Map("files" -> root))
+    val mk = () => t.filter($"region" === "r2")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+    val exp = scanAnswer(mk)
+    assert(metadataOnly(mk), mk().queryExecution.executedPlan.toString)
+    assert(mk().collect().toSeq == exp)
+    assert(exp.head.getLong(0) == 2L && exp.head.getLong(1) == 30L &&
+      exp.head.getLong(2) == 40L)
   }
 
   test("delta: string min/max falls back to the scan (truncation risk)") {
