@@ -14,6 +14,26 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
+  /** Widen a NARROW scan to the session's parallelism (optimization guide
+    * §2.5, "input skew: one huge unsplittable file ... repartition
+    * immediately after the read"): the sf fixtures are single-row-group
+    * parquet files, so a scan-rooted pipeline runs as ONE task no matter
+    * the split config — Spark cannot split inside a row group — and every
+    * row-local operator downstream (tokenize/hash/fold/vector math)
+    * serializes on one core while N−1 idle. One round-robin exchange of a
+    * few MB fixes that. CONDITIONAL by design: when the source is already
+    * at least half as wide as the core count — any real table at cluster
+    * scale — this returns the frame untouched, so no plan changes, no
+    * extra shuffle, and scan-level pushdown is preserved exactly where it
+    * matters. Apply only to compute-dense paths; results are partition-
+    * invariant (every query stays oracle-gated). */
+  def widen(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (cores <= 2) return df
+    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
+    if (parts * 2 >= cores) df else df.repartition(cores)
+  }
+
   /** events.ts normalization to a microsecond TimestampType, whatever shape
     * the driver generated this round:
     *

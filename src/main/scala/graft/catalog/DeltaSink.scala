@@ -1671,9 +1671,13 @@ object DeltaSink {
       s"_graft_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     // hash-distribute by the partition columns before a partitioned fanout
     // (delta-spark's optimized-write shape): without it every task writes a
-    // file per distinct tuple it holds — T × P small files at scale
+    // file per distinct tuple it holds — T × P small files at scale. Width
+    // pinned (numShufflePartitions) so AQE cannot coalesce the fanout to
+    // one serial writer task at fixture sizes; tuple→task affinity (at
+    // most one file per tuple) is unchanged.
     val dfW = if (partCols.isEmpty) df
-      else df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(spark.sessionState.conf.numShufflePartitions,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
     var w = dfW.write.mode("overwrite")
     options.get("compression").foreach(v => w = w.option("compression", v))
     options.get("max_file_size_rows").foreach(v => w = w.option("maxRecordsPerFile", v))
@@ -1682,37 +1686,41 @@ object DeltaSink {
     // stats are unusable (deprecated ordering), so add.stats would lose
     // timestamp bounds — no skipping, no metadata-only min/max
     IcebergSink.withMicrosTimestamps(spark) { w.parquet(tmp.toString) }
-    val moved = Seq.newBuilder[NewFile]
     try {
       val tmpQ = fs.makeQualified(tmp).toString
+      val files = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          // partition values from the hive path components Spark laid down
-          val inTmp = fs.makeQualified(st.getPath).toString
-            .stripPrefix(tmpQ).stripPrefix("/")
-          val relToRoot = subDir.fold(inTmp)(d => s"$d/$inTmp")
-          val comps = inTmp.split('/')
-          val pv: Map[String, String] = comps.dropRight(1).flatMap { c =>
-            c.split("=", 2) match {
-              case Array(k, v) =>
-                val dec = java.net.URLDecoder.decode(v, "UTF-8")
-                Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
-              case _ => None
-            }
-          }.toMap
-          val dest = new Path(rootPath, relToRoot)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw DeltaReadException(s"`$rootPath`: failed to move ${st.getPath} into the table")
-          val destSt = fs.getFileStatus(dest)
-          moved += NewFile(relToRoot, destSt.getLen, destSt.getModificationTime,
-            pv, footerStats(spark, dest, df.schema, partCols))
-        }
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) files += st
+      }
+      // per-file finalize (rename + footer-stat read) in parallel on the
+      // driver — independent files, input-order results (ParallelFiles);
+      // ONE hadoop conf for every footer read instead of one per file
+      val conf = spark.sessionState.newHadoopConf()
+      ParallelFiles.mapOrdered(files.result()) { st =>
+        // partition values from the hive path components Spark laid down
+        val inTmp = fs.makeQualified(st.getPath).toString
+          .stripPrefix(tmpQ).stripPrefix("/")
+        val relToRoot = subDir.fold(inTmp)(d => s"$d/$inTmp")
+        val comps = inTmp.split('/')
+        val pv: Map[String, String] = comps.dropRight(1).flatMap { c =>
+          c.split("=", 2) match {
+            case Array(k, v) =>
+              val dec = java.net.URLDecoder.decode(v, "UTF-8")
+              Some(k -> (if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec))
+            case _ => None
+          }
+        }.toMap
+        val dest = new Path(rootPath, relToRoot)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw DeltaReadException(s"`$rootPath`: failed to move ${st.getPath} into the table")
+        val destSt = fs.getFileStatus(dest)
+        NewFile(relToRoot, destSt.getLen, destSt.getModificationTime,
+          pv, footerStats(conf, dest, df.schema, partCols))
       }
     } finally fs.delete(tmp, true)
-    moved.result()
   }
 
   /** DELETE FROM — row-level deletion on a native Delta table (copy-on-
@@ -2642,8 +2650,23 @@ object DeltaSink {
     // carries unchanged (no rewrite of its file unless a sibling row
     // needs it, no cdc rows, no row-tracking bump).
     val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val matchedPairs = target.alias("t").join(s1.alias("s"), cond, "inner")
-      .withColumn("__mc", MergeClauses.clauseIdx(gates))
+    // STATEMENT-LIFETIME CACHES (guide §1.2 "don't compute things you throw
+    // away"): a CDF MERGE consumes the matched-pair join up to FIVE times
+    // (fused stats pass, constraint validation, cdc pre-image, cdc
+    // post-image, delete-cdc) and the insert anti-join four times (count,
+    // validation, data write, cdc insert) — each consumer re-executed the
+    // whole target⋈source join. Persist each join result for the
+    // statement's duration (MEMORY_AND_DISK — bounded by the rows the
+    // merge actually touches, the same working set any engine
+    // materializes), release in the finally.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    val matchedPairs = pin(target.alias("t").join(s1.alias("s"), cond, "inner")
+      .withColumn("__mc", MergeClauses.clauseIdx(gates)))
+    try {
     // the plain unconditional single-UPDATE merge keeps its r14 plan shape
     // (no extra expression nodes — the measured fixed planning cost)
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
@@ -2701,8 +2724,8 @@ object DeltaSink {
     // `t.` only); ONE aggregation pass replaces r15's three jobs over the
     // anti-join (two clause-kind counts + the affected-file collect)
     val bsRows = if (!bySourceActive) null
-      else target.alias("t").join(s1.alias("s"), cond, "left_anti")
-        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates))
+      else pin(target.alias("t").join(s1.alias("s"), cond, "left_anti")
+        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates)))
     val (bsDeletedCount, bsUpdatedCount, bySourceFilesAbs) =
       if (!bySourceActive) (0L, 0L, Seq.empty[String])
       else {
@@ -2870,8 +2893,8 @@ object DeltaSink {
             }
             .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
         }
-        unmatched.filter(col("__ic") >= 0)
-          .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*)
+        pin(unmatched.filter(col("__ic") >= 0)
+          .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*))
       }
     val insertCount = if (inserts == null) 0L else inserts.count()
     if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L &&
@@ -2996,6 +3019,7 @@ object DeltaSink {
     try out.write((withIct(st, lines.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     (updatedCount + bsUpdatedCount, insertCount)
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** OPTIMIZE — bin-pack small files (the lakehouse maintenance pass that
@@ -3391,10 +3415,13 @@ object DeltaSink {
     * are faithful skipping fuel) + nullCount. Bounded driver work, one
     * footer per new file. */
   private[catalog] def footerStats(spark: org.apache.spark.sql.SparkSession, file: Path,
+      schema: StructType, partCols: Seq[String]): String =
+    footerStats(spark.sessionState.newHadoopConf(), file, schema, partCols)
+
+  private[catalog] def footerStats(conf: org.apache.hadoop.conf.Configuration, file: Path,
       schema: StructType, partCols: Seq[String]): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val conf = spark.sessionState.newHadoopConf()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala

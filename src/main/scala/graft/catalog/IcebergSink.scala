@@ -781,13 +781,22 @@ object IcebergSink {
     val gpkCols = partColsEff.indices
       .map(i => org.apache.spark.sql.functions.col(s"__gpk$i"))
     val sCols = sortCols.map(org.apache.spark.sql.functions.col)
+    // PIN the fanout shuffle's width (numShufflePartitions, the same knob
+    // Iceberg's hash distribution mode uses): a bare repartition(cols) is
+    // AQE-coalescible, and at fixture sizes the whole fanout collapsed to
+    // ONE task writing every partition file serially (w09 measured a
+    // 1.9 s single-task write). An explicit width keeps tuple→task
+    // affinity (still at most one file per tuple) but lets up to N tasks
+    // write concurrently; scale deployments inherit their configured
+    // shuffle-partition count.
+    val fanN = df.sparkSession.sessionState.conf.numShufflePartitions
     val writeDf = (partColsEff.isEmpty, sortCols.isEmpty) match {
       case (true, true) => writeDf1
       case (true, false) =>
         writeDf1.repartitionByRange(sCols: _*).sortWithinPartitions(sCols: _*)
-      case (false, true) => writeDf1.repartition(gpkCols: _*)
+      case (false, true) => writeDf1.repartition(fanN, gpkCols: _*)
       case (false, false) =>
-        writeDf1.repartition(gpkCols: _*)
+        writeDf1.repartition(fanN, gpkCols: _*)
           .sortWithinPartitions(gpkCols ++ sCols: _*)
     }
     val tmp = new Path(rootPath,
@@ -805,32 +814,33 @@ object IcebergSink {
       upper: java.util.Map[String, java.nio.ByteBuffer],
       nullCounts: java.util.Map[String, java.lang.Long])
     def partValuesOf(p: Path): Seq[Any] = parseTuple(p, partColsEff)
-    val moved = Seq.newBuilder[NewFile]
-    var fileIdx = 0
-    try {
+    val newFiles = try {
+      val parts = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-          val pv = partValuesOf(st.getPath)
-          // flat data/ layout; the index prefix disambiguates identical
-          // task-file names coming from different partition directories
-          val name =
-            if (partColsEff.isEmpty) st.getPath.getName
-            else s"p$fileIdx-${st.getPath.getName}"
-          fileIdx += 1
-          val dest = new Path(new Path(rootPath, "data"), name)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(st.getPath, dest))
-            throw IcebergReadException(s"`$path`: failed to move ${st.getPath}")
-          val (records, lb, ub, nvc) =
-            footerInfo(dest, spark.sessionState.newHadoopConf(), fieldIds)
-          moved += NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records,
-            pv, lb, ub, nvc)
-        }
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) parts += st
+      }
+      // per-file finalize (rename + footer read) in parallel on the driver
+      // (ParallelFiles: independent files, input-order results); ONE hadoop
+      // conf for every footer read instead of one per file
+      val conf = spark.sessionState.newHadoopConf()
+      ParallelFiles.mapOrdered(parts.result().zipWithIndex) { case (st, fileIdx) =>
+        val pv = partValuesOf(st.getPath)
+        // flat data/ layout; the index prefix disambiguates identical
+        // task-file names coming from different partition directories
+        val name =
+          if (partColsEff.isEmpty) st.getPath.getName
+          else s"p$fileIdx-${st.getPath.getName}"
+        val dest = new Path(new Path(rootPath, "data"), name)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(st.getPath, dest))
+          throw IcebergReadException(s"`$path`: failed to move ${st.getPath}")
+        val (records, lb, ub, nvc) = footerInfo(dest, conf, fieldIds)
+        NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records,
+          pv, lb, ub, nvc)
       }
     } finally fs.delete(tmp, true)
-    val newFiles = moved.result()
 
     // ---- one manifest + one manifest list + one metadata.json ----
     val version = prevVersion + 1
@@ -1328,25 +1338,26 @@ object IcebergSink {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
     withMicrosTimestamps(df.sparkSession) { df.write.parquet(tmp.toString) }
-    val out = Seq.newBuilder[(String, Long, Long)]
     try {
+      val parts = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val rows = footerRows(f.getPath, conf)
-          if (rows > 0) {
-            val name = s"$prefix-${f.getPath.getName}"
-            val dest = new Path(new Path(st.rootPath, "data"), name)
-            fs.mkdirs(dest.getParent)
-            if (!fs.rename(f.getPath, dest))
-              throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
-            out += ((s"data/$name", fs.getFileStatus(dest).getLen, rows))
-          }
-        }
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) parts += f
       }
+      // parallel per-file finalize (ParallelFiles; input-order results)
+      ParallelFiles.mapOrdered(parts.result()) { f =>
+        val rows = footerRows(f.getPath, conf)
+        if (rows > 0) {
+          val name = s"$prefix-${f.getPath.getName}"
+          val dest = new Path(new Path(st.rootPath, "data"), name)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
+          Some((s"data/$name", fs.getFileStatus(dest).getLen, rows))
+        } else None
+      }.flatten
     } finally fs.delete(tmp, true)
-    out.result()
   }
 
   /** `writeMoved` with the table's parquet FIELD IDS attached (appended
@@ -1376,19 +1387,23 @@ object IcebergSink {
         writeDf.schema.fields.find(_.name == n).map(f => (f, id)) }
     if (partFields.isEmpty) {
       val conf0 = df.sparkSession.sessionState.newHadoopConf()
-      return writeMoved(writeDf, st, prefix).map { case (rel, size, rows) =>
-        val (_, lb, ub, nvc) =
-          footerInfo(new Path(st.rootPath, rel), conf0, statFields)
-        MorDataFile(rel, size, rows, Nil, lb, ub, nvc)
+      return ParallelFiles.mapOrdered(writeMoved(writeDf, st, prefix)) {
+        case (rel, size, rows) =>
+          val (_, lb, ub, nvc) =
+            footerInfo(new Path(st.rootPath, rel), conf0, statFields)
+          MorDataFile(rel, size, rows, Nil, lb, ub, nvc)
       }
     }
     val fan0 = partFields.zipWithIndex.foldLeft(writeDf) { case (d, (pf, i)) =>
       d.withColumn(s"__gpk$i", transformCol(df.schema, pf).cast("string"))
     }
     // hash-distribute by tuple before the fanout — same rationale as the
-    // append path (one file per tuple, not per task × tuple)
-    val fan = fan0.repartition(partFields.indices
-      .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
+    // append path (one file per tuple, not per task × tuple); width pinned
+    // so AQE cannot coalesce the fanout to one serial writer task
+    val fan = fan0.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      partFields.indices
+        .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
     val fs = st.fs
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val tmp = new Path(st.rootPath, s"_graft_tmp_$prefix")
@@ -1396,30 +1411,30 @@ object IcebergSink {
       fan.write.partitionBy(partFields.indices.map(i => s"__gpk$i"): _*)
         .parquet(tmp.toString)
     }
-    val out = Seq.newBuilder[MorDataFile]
-    var idx = 0
     try {
+      val parts = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       val it = fs.listFiles(tmp, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val rows = footerRows(f.getPath, conf)
-          if (rows > 0) {
-            val tuple = parseTuple(f.getPath, partFields)
-            val name = s"$prefix-p$idx-${f.getPath.getName}"
-            idx += 1
-            val dest = new Path(new Path(st.rootPath, "data"), name)
-            fs.mkdirs(dest.getParent)
-            if (!fs.rename(f.getPath, dest))
-              throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
-            val (_, lb, ub, nvc) = footerInfo(dest, conf, statFields)
-            out += MorDataFile(s"data/$name", fs.getFileStatus(dest).getLen,
-              rows, tuple, lb, ub, nvc)
-          }
-        }
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) parts += f
       }
+      // parallel per-file finalize; ONE footer read per file supplies both
+      // the row count and the column bounds (was footerRows + footerInfo —
+      // two opens of every file)
+      ParallelFiles.mapOrdered(parts.result().zipWithIndex) { case (f, idx) =>
+        val (rows, lb, ub, nvc) = footerInfo(f.getPath, conf, statFields)
+        if (rows > 0) {
+          val tuple = parseTuple(f.getPath, partFields)
+          val name = s"$prefix-p$idx-${f.getPath.getName}"
+          val dest = new Path(new Path(st.rootPath, "data"), name)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(f.getPath, dest))
+            throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
+          Some(MorDataFile(s"data/$name", fs.getFileStatus(dest).getLen,
+            rows, tuple, lb, ub, nvc))
+        } else None
+      }.flatten
     } finally fs.delete(tmp, true)
-    out.result()
   }
 
   /** One merge-on-read commit: optional positional-delete manifest +
@@ -2361,8 +2376,20 @@ object IcebergSink {
     // clause's SET; pairs claiming no clause (-1) carry untouched (no
     // tombstone, no re-append).
     val gates = clauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val matchedPairs = target.join(s1, cond, "inner")
-      .withColumn("__mc", MergeClauses.clauseIdx(gates))
+    // STATEMENT-LIFETIME CACHES (same arrangement as the Delta sibling):
+    // the matched join feeds the stats pass, the fused tombstone write and
+    // the update-image write; the by-source anti-join feeds its stats pass,
+    // tombstone write and update write. Persist each for the statement's
+    // duration (MEMORY_AND_DISK, bounded by the rows the merge touches),
+    // release in the finally.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+    val matchedPairs = pin(target.join(s1, cond, "inner")
+      .withColumn("__mc", MergeClauses.clauseIdx(gates)))
+    try {
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
     // ONE aggregation pass over the matched join: the r15 ambiguity
     // pre-pass fused with the per-clause-kind counts — which also lets
@@ -2438,8 +2465,8 @@ object IcebergSink {
     // `t.` only); ONE stats pass gates the writes, and ONE tombstone
     // write covers by-source deletes AND updates (r15: two passes)
     val bsRows = if (!bySourceActive) null
-      else target.join(s1, cond, "left_anti")
-        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates))
+      else pin(target.join(s1, cond, "left_anti")
+        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates)))
     val (bsDeleted, bsUpdated) =
       if (!bySourceActive) (0L, 0L)
       else {
@@ -2489,6 +2516,7 @@ object IcebergSink {
       mDelFiles ++ bsDelFiles,
       updFiles ++ bsUpdFiles ++ insFiles)
     (updated + bsUpdated, inserted)
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   private def writeAvroAt(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,

@@ -148,9 +148,36 @@ object TextOps {
       grams(2).as("__bg"), grams(3).as("__tg"))
     val bg = col("__bg")
     val tg = col("__tg")
-    val topBigram = array_max(transform(array_distinct(bg),
-      b => size(filter(bg, x => x === b))))
-    val dupTri = size(filter(tg, t => size(filter(tg, x => x === t)) > 1))
+    // Frequency statistics via SORTED-RUN folds — O(cap·log cap) per doc —
+    // instead of the r15 distinct×filter scans, which were O(cap²) string
+    // comparisons per doc in interpreted lambda evaluation (guide §1.2
+    // step 2: per-task work; measured 2.46 s of single-expression time at
+    // sf0.1). Values are identical integers: the longest equal run of a
+    // sorted array IS the max element frequency, and the members of runs
+    // of length ≥ 2 ARE exactly the elements whose frequency exceeds 1.
+    def maxFreq(arr: Column): Column = aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val r = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), r.as("run"),
+          greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+    def dupCount(arr: Column): Column = aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup")),
+      (acc, t) => {
+        val same = t === acc.getField("prev")
+        val r = when(same, acc.getField("run") + 1).otherwise(lit(1))
+        // a run reaching length 2 counts both members; longer runs add one
+        val d = when(same && r === 2, acc.getField("dup") + 2)
+          .when(same, acc.getField("dup") + 1)
+          .otherwise(acc.getField("dup"))
+        struct(t.as("prev"), r.as("run"), d.as("dup"))
+      },
+      acc => acc.getField("dup"))
+    val topBigram = maxFreq(bg)
+    val dupTri = dupCount(tg)
     // longest consecutive same-token run in ONE left fold (struct state)
     val maxRun = aggregate(tk,
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -415,12 +442,29 @@ object TextOps {
     * what sequence packing needs (t20). Output: (idCol, n_words,
     * n_bpe_tokens); docs with zero words carry (0, 0). */
   def bpeTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // The encoder's token count is a pure function of the word's first
+    // [[bpeMaxChars]] chars, and natural-language corpora repeat words
+    // heavily — so run the merge loop over the DISTINCT prefix vocabulary
+    // and join the per-word count back, instead of paying bpeRounds ×
+    // |merge table| contains/replace scans on EVERY word INSTANCE
+    // (optimization guide §2.3 "shuffle keys and metadata instead of
+    // payloads", applied to compute: 600 k instances → ~10³-ish distinct
+    // prefixes at sf0.1; at 100 TB the instance/vocab ratio only grows).
+    // The join key is bounded (≤ bpeMaxChars chars) and the encoded vocab
+    // is a two-column frame — AQE broadcasts it when small and falls back
+    // to a shuffle join on adversarial vocabularies; either way the result
+    // per word is the identical encoder output.
     val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    var df = words.withColumn("s", expr(bpeInitSql("w", duck = false)))
-    (1 to bpeRounds).foreach { _ => df = df.withColumn("s", expr(bpeRoundSql("s"))) }
-    val agg = df.groupBy(col(idCol))
+      .select(col(idCol), substring(col("w"), 1, bpeMaxChars).as("__w8"))
+    var enc = words.select(col("__w8")).distinct()
+      .withColumn("s", expr(bpeInitSql("__w8", duck = false)))
+    (1 to bpeRounds).foreach { _ => enc = enc.withColumn("s", expr(bpeRoundSql("s"))) }
+    val perWord = enc.select(col("__w8"),
+      expr(bpeTokensOfSql("s")).cast("long").as("__wtok"))
+    val agg = words.join(perWord, Seq("__w8"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
-        sum(expr(bpeTokensOfSql("s"))).cast("long").as("n_bpe_tokens"))
+        sum(col("__wtok")).cast("long").as("n_bpe_tokens"))
     docs.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

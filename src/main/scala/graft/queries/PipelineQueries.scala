@@ -16,6 +16,19 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+  // Widened variant (guide §2.5): the fixture files are single-row-group
+  // parquet — an unwidened scan runs every tokenizer/hash kernel downstream
+  // on ONE core (t06 measured as one 2.46 s task at sf0.1; 0.39 s widened).
+  // Opt-in per query: only the text kernels whose per-row compute dominates
+  // (t06/t16/t19/t20, the substring scrub family) win; for the cheap or
+  // multi-pass queries the extra exchange is pure overhead (t15 measured
+  // 2.0→3.2 s widened). widen() is a no-op whenever the scan is already
+  // cores-wide (any cluster-scale table).
+  private def docsW(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.load(s, dir, "documents"))
+  // embeddings stays UNWIDENED: 2 000 vectors at sf0.1 — the s-family is
+  // driver/planning-bound, and a widened source just adds stages (measured
+  // s07 2.7→3.9 s with the exchange in).
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
@@ -949,7 +962,7 @@ object PipelineQueries {
   private[queries] val plantPassage =
     "large scale training corpora require careful duplicate span removal today"
   private[queries] def plantedDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).withColumn("text",
+    docsW(s, dir).withColumn("text",
       concat(col("text"),
         when(col("doc_id") % 6 === 0, lit(" " + plantPassage)).otherwise(lit(""))))
   private val d14 = QueryDef(
@@ -1144,7 +1157,7 @@ object PipelineQueries {
   // engines cross-check different algorithms for the same statistic.
   private val t06 = QueryDef(
     "t06_repetition_stats",
-    (s, dir) => TextOps.repetitionStats(docs(s, dir), "text", "doc_id"),
+    (s, dir) => TextOps.repetitionStats(docsW(s, dir), "text", "doc_id"),
     Some("""
       WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')[1:256] AS tk
                     FROM documents),
@@ -1602,7 +1615,7 @@ object PipelineQueries {
   private val gHashes = Seq.fill(24)("#").mkString(" ")
   private val gStops = "the and of that have with"
   private def gopherDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    docsW(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk0"))
       .filter(size(col("__tk0")) > 0)
       // every derived column its own projection step (no CSE in lambdas)
@@ -1756,7 +1769,7 @@ object PipelineQueries {
   // replays verbatim in DuckDB and sits under the hash gate.
   private val t19 = QueryDef(
     "t19_bpe_tokenize",
-    (s, dir) => TextOps.bpeTokenStats(docs(s, dir), "text", "doc_id"),
+    (s, dir) => TextOps.bpeTokenStats(docsW(s, dir), "text", "doc_id"),
     Some(s"""
       WITH $toksCte,
       w AS (SELECT doc_id, unnest(tk) AS w FROM toks),
@@ -1774,7 +1787,7 @@ object PipelineQueries {
   private val t20 = QueryDef(
     "t20_sequence_pack_bpe",
     (s, dir) => Packing.packOffsets(
-      TextOps.bpeTokenStats(docs(s, dir), "text", "doc_id")
+      TextOps.bpeTokenStats(docsW(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
       "doc_id", "n_tokens", seqLen),
     Some(s"""

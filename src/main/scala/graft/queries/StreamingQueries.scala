@@ -1451,7 +1451,11 @@ object StreamingQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val corpus = PipelineQueries.plantedDocs(s, dir)
+      // pin the dup-gram generation (substringGate's scaladoc contract:
+      // "derive it once" — an unmaterialized static side re-runs the whole
+      // corpus gram pass every micro-batch)
       val dup = Streams.dupGramsOf(corpus, "text", "doc_id", PipelineQueries.scrubK)
+      Streams.pinStatic(dup)
       val in = MemoryStream[(Long, String)](1)
       val out = Streams.substringGate(
         in.toDF().toDF("doc_id", "text"), dup, "text", "doc_id",

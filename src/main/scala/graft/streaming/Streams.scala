@@ -387,6 +387,11 @@ object Streams {
     val evalBands = Dedup.bandSignatures(
       Dedup.minhashWide(eval, textCol, idCol), idCol)
       .select(col("band"), col("band_sig")).distinct()
+    // pin the gate's static index generation: a stream-static join
+    // re-executes an unmaterialized static plan EVERY micro-batch — the
+    // eval set would re-minhash per trigger (same reasoning as the pinned
+    // ANN model; swap-released when the next gate generation builds)
+    pinStatic(evalBands)
     val arriving = Dedup.bandSignatures(
       Dedup.minhashWide(stream, textCol, idCol), idCol)
     arriving.join(org.apache.spark.sql.functions.broadcast(evalBands),
@@ -661,6 +666,9 @@ object Streams {
       .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
     val idxOk = idx.join(counts, Seq("band", "band_sig"))
       .select(col(idCol).as("vec_corpus"), col("band"), col("band_sig"))
+    // pin the banded static index: without it every micro-batch re-bands
+    // and re-caps the whole corpus (stream-static re-execution)
+    pinStatic(idxOk)
     val corpusVec = corpus.select(col(idCol).as("vec_corpus"), col(vecCol).as("__vc"))
     val sBands = Similarity.cosineLshBandsKeep(stream, idCol, vecCol, k, rowsPerBand)
       .select(col(idCol).as("vec_new"), col(vecCol).as("__vn"),
@@ -670,6 +678,20 @@ object Streams {
       .withColumn("cos_sim", Similarity.cosine("__vn", "__vc"))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_new"), col("vec_corpus"), col("cos_sim"))
+  }
+
+  /** The resident static-index cache of the most recent gate build
+    * (contaminationGate's eval bands / nearDupGate's banded corpus —
+    * the substringGate caller pins its own dup-gram set): swapping in a
+    * new generation unpersists the previous one, so long-lived sessions
+    * hold at most one build's frames. A gate whose pins were swapped out
+    * stays CORRECT — its static plan simply recomputes per batch again. */
+  private val staticPins =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
+  private[graft] def pinStatic(dfs: DataFrame*): Unit = {
+    val next = dfs.toSeq.map(_.persist())
+    staticPins.getAndSet(next).foreach(_.unpersist(blocking = false))
   }
 
   /** Gap-based sessionization via session_window: a session closes when no

@@ -302,10 +302,17 @@ class PlanSpec extends SparkSpec {
         s"$q lost codegen")
     }
   }
-  test("t16/t17: gopher rules and chunk windows are row-local — zero Exchange") {
+  test("t16/t17: gopher rules and chunk windows are row-local — no keyed shuffle") {
+    // the conditional fixture widen (Tables.widen — a no-op on any scan
+    // that is already cores-wide, i.e. every cluster-scale table) may
+    // insert ONE round-robin exchange locally; the OPERATORS must stay
+    // row-local, so what the pin forbids is any KEYED repartitioning
     Seq("t16_gopher_rules", "t17_chunk_windows").foreach { q =>
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q shuffles — a 100 TB scan would too")
+      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+        s"$q shuffles by key — a 100 TB scan would too")
+      assert(!p.contains("Exchange") || p.contains("RoundRobinPartitioning"),
+        s"$q carries a non-round-robin exchange")
     }
   }
 
