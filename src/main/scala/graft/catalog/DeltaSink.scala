@@ -1676,7 +1676,9 @@ object DeltaSink {
     // one serial writer task at fixture sizes; tuple→task affinity (at
     // most one file per tuple) is unchanged.
     val dfW = if (partCols.isEmpty) df
-      else df.repartition(spark.sessionState.conf.numShufflePartitions,
+      else df.repartition(
+        math.max(spark.sessionState.conf.numShufflePartitions,
+          spark.sparkContext.defaultParallelism),
         partCols.map(org.apache.spark.sql.functions.col): _*)
     var w = dfW.write.mode("overwrite")
     options.get("compression").foreach(v => w = w.option("compression", v))
@@ -1712,13 +1714,16 @@ object DeltaSink {
             case _ => None
           }
         }.toMap
+        // footer read BEFORE the rename from the listing's status (skips
+        // the length-lookup getFileStatus inside ParquetFileReader.open
+        // AND the post-rename re-stat: rename changes neither bytes,
+        // length nor mtime)
+        val stats = footerStats(conf, st, df.schema, partCols)
         val dest = new Path(rootPath, relToRoot)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw DeltaReadException(s"`$rootPath`: failed to move ${st.getPath} into the table")
-        val destSt = fs.getFileStatus(dest)
-        NewFile(relToRoot, destSt.getLen, destSt.getModificationTime,
-          pv, footerStats(conf, dest, df.schema, partCols))
+        NewFile(relToRoot, st.getLen, st.getModificationTime, pv, stats)
       }
     } finally fs.delete(tmp, true)
   }
@@ -2907,13 +2912,24 @@ object DeltaSink {
       bsUpdateRows.select(schema.fields.map(f => bsVal(f).as(f.name)).toSeq: _*), path)
     if (insertCount > 0) validateIncomingRows(st, inserts, path)
 
+    // ONE data write when possible: rewrite survivors and inserted rows
+    // share the table schema, so they fuse into a single write job +
+    // finalize + commit's worth of files (a CDF CDC-apply merge ran TWO
+    // full write jobs here). Row tracking keeps them SEPARATE: rewritten
+    // files carry materialized ids while insert files take fresh
+    // base+position ids at commit — fusing would move insert rows into
+    // id ranges the unfused layout never assigns (w14/w15/x22 pin ids).
     val newFiles =
-      (if (doRewrite)
-        writeDataFiles(toPhys(rewritten), rootPath, partColsT.map(physKey), Map.empty)
-      else Nil) ++
-        (if (insertCount > 0)
-          writeDataFiles(toPhys(inserts), rootPath, partColsT.map(physKey), Map.empty)
-        else Nil)
+      if (doRewrite && insertCount > 0 && rtMat.isEmpty)
+        writeDataFiles(toPhys(rewritten.unionByName(inserts)), rootPath,
+          partColsT.map(physKey), Map.empty)
+      else
+        (if (doRewrite)
+          writeDataFiles(toPhys(rewritten), rootPath, partColsT.map(physKey), Map.empty)
+        else Nil) ++
+          (if (insertCount > 0)
+            writeDataFiles(toPhys(inserts), rootPath, partColsT.map(physKey), Map.empty)
+          else Nil)
     // row tracking + CDF: pre/post/delete change rows materialize their
     // stable ids into the cdc files (postimage version re-defaults to THIS
     // commit → null here, served from _commit_version by the reader).
@@ -2982,9 +2998,14 @@ object DeltaSink {
             .withColumn("_change_type", lit("delete")),
           col("__c_id"), col("__c_ver")).drop("__c_id", "__c_ver"))
       else None).flatten
-    val cdcFiles = cdcFrames.flatMap(f =>
-      writeDataFiles(toPhys(f), rootPath, partColsT.map(physKey), Map.empty,
-        subDir = Some("_change_data")))
+    // all change-row frames share one schema (table columns + _change_type
+    // [+ materialized id/version]) — union them into ONE cdc write instead
+    // of one write job per change kind (values are branch-computed, so the
+    // union changes file layout only, never a row)
+    val cdcFiles =
+      if (cdcFrames.isEmpty) Nil
+      else writeDataFiles(toPhys(cdcFrames.reduce(_ unionByName _)), rootPath,
+        partColsT.map(physKey), Map.empty, subDir = Some("_change_data"))
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val lines = Seq.newBuilder[String]
@@ -3419,10 +3440,21 @@ object DeltaSink {
     footerStats(spark.sessionState.newHadoopConf(), file, schema, partCols)
 
   private[catalog] def footerStats(conf: org.apache.hadoop.conf.Configuration, file: Path,
+      schema: StructType, partCols: Seq[String]): String =
+    footerStatsIn(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf),
+      schema, partCols)
+
+  private[catalog] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      status: org.apache.hadoop.fs.FileStatus,
+      schema: StructType, partCols: Seq[String]): String =
+    footerStatsIn(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf),
+      schema, partCols)
+
+  private def footerStatsIn(in: org.apache.parquet.hadoop.util.HadoopInputFile,
       schema: StructType, partCols: Seq[String]): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val numRecords = blocks.map(_.getRowCount).sum

@@ -396,14 +396,30 @@ object IcebergSink {
       fieldIds: Seq[(StructField, Int)]): (Long,
         java.util.Map[String, java.nio.ByteBuffer],
         java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.lang.Long]) =
+    footerInfoIn(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf), fieldIds)
+
+  private[catalog] def footerInfo(st0: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration,
+      fieldIds: Seq[(StructField, Int)]): (Long,
+        java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.lang.Long]) =
+    footerInfoIn(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st0, conf), fieldIds)
+
+  private def footerInfoIn(in: org.apache.parquet.hadoop.util.HadoopInputFile,
+      fieldIds: Seq[(StructField, Int)]): (Long,
+        java.util.Map[String, java.nio.ByteBuffer],
+        java.util.Map[String, java.nio.ByteBuffer],
         java.util.Map[String, java.lang.Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     import java.nio.{ByteBuffer, ByteOrder}
     val lower = new java.util.HashMap[String, ByteBuffer]()
     val upper = new java.util.HashMap[String, ByteBuffer]()
     val nulls = new java.util.HashMap[String, java.lang.Long]()
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val records = blocks.map(_.getRowCount).sum
@@ -789,7 +805,12 @@ object IcebergSink {
     // affinity (still at most one file per tuple) but lets up to N tasks
     // write concurrently; scale deployments inherit their configured
     // shuffle-partition count.
-    val fanN = df.sparkSession.sessionState.conf.numShufflePartitions
+    // floor at the cluster's core count: streaming sinks run with the
+    // stream's (deliberately small) state-partition setting, which would
+    // collapse the fanout back to a serial writer (x17 measured a 1.4 s
+    // single-task write per micro-batch with shuffle.partitions=1)
+    val fanN = math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
     val writeDf = (partColsEff.isEmpty, sortCols.isEmpty) match {
       case (true, true) => writeDf1
       case (true, false) =>
@@ -832,13 +853,15 @@ object IcebergSink {
         val name =
           if (partColsEff.isEmpty) st.getPath.getName
           else s"p$fileIdx-${st.getPath.getName}"
+        // footer read BEFORE the rename, from the listing's status —
+        // skips the length getFileStatus inside open AND the post-rename
+        // re-stat (rename changes neither bytes nor length)
+        val (records, lb, ub, nvc) = footerInfo(st, conf, fieldIds)
         val dest = new Path(new Path(rootPath, "data"), name)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(st.getPath, dest))
           throw IcebergReadException(s"`$path`: failed to move ${st.getPath}")
-        val (records, lb, ub, nvc) = footerInfo(dest, conf, fieldIds)
-        NewFile(s"data/$name", fs.getFileStatus(dest).getLen, records,
-          pv, lb, ub, nvc)
+        NewFile(s"data/$name", st.getLen, records, pv, lb, ub, nvc)
       }
     } finally fs.delete(tmp, true)
 
@@ -1313,6 +1336,14 @@ object IcebergSink {
     try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
   }
 
+  private def footerRows(st0: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st0, conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
+
   /** The Iceberg spec mandates int64-micros timestamps in data files —
     * Spark's INT96 default is invalid Iceberg AND carries no usable footer
     * statistics (parquet deprecated INT96 ordering), so bounds would go
@@ -1347,14 +1378,14 @@ object IcebergSink {
       }
       // parallel per-file finalize (ParallelFiles; input-order results)
       ParallelFiles.mapOrdered(parts.result()) { f =>
-        val rows = footerRows(f.getPath, conf)
+        val rows = footerRows(f, conf)
         if (rows > 0) {
           val name = s"$prefix-${f.getPath.getName}"
           val dest = new Path(new Path(st.rootPath, "data"), name)
           fs.mkdirs(dest.getParent)
           if (!fs.rename(f.getPath, dest))
             throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
-          Some((s"data/$name", fs.getFileStatus(dest).getLen, rows))
+          Some((s"data/$name", f.getLen, rows))
         } else None
       }.flatten
     } finally fs.delete(tmp, true)
@@ -1401,7 +1432,8 @@ object IcebergSink {
     // append path (one file per tuple, not per task × tuple); width pinned
     // so AQE cannot coalesce the fanout to one serial writer task
     val fan = fan0.repartition(
-      df.sparkSession.sessionState.conf.numShufflePartitions,
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+        df.sparkSession.sparkContext.defaultParallelism),
       partFields.indices
         .map(i => org.apache.spark.sql.functions.col(s"__gpk$i")): _*)
     val fs = st.fs
@@ -1422,7 +1454,7 @@ object IcebergSink {
       // the row count and the column bounds (was footerRows + footerInfo —
       // two opens of every file)
       ParallelFiles.mapOrdered(parts.result().zipWithIndex) { case (f, idx) =>
-        val (rows, lb, ub, nvc) = footerInfo(f.getPath, conf, statFields)
+        val (rows, lb, ub, nvc) = footerInfo(f, conf, statFields)
         if (rows > 0) {
           val tuple = parseTuple(f.getPath, partFields)
           val name = s"$prefix-p$idx-${f.getPath.getName}"
@@ -1430,8 +1462,7 @@ object IcebergSink {
           fs.mkdirs(dest.getParent)
           if (!fs.rename(f.getPath, dest))
             throw IcebergReadException(s"failed to move ${f.getPath} to $dest")
-          Some(MorDataFile(s"data/$name", fs.getFileStatus(dest).getLen,
-            rows, tuple, lb, ub, nvc))
+          Some(MorDataFile(s"data/$name", f.getLen, rows, tuple, lb, ub, nvc))
         } else None
       }.flatten
     } finally fs.delete(tmp, true)

@@ -14,7 +14,7 @@ package graft.catalog
   * manifest row order stays exactly what the serial loop produced. */
 private[catalog] object ParallelFiles {
 
-  private val threads = 16
+  private val threads = 32
 
   def mapOrdered[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.lengthCompare(2) < 0) return items.map(f)

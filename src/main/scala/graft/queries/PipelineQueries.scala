@@ -1041,7 +1041,12 @@ object PipelineQueries {
   private val d16 = QueryDef(
     "d16_fuzzy_incremental_gate",
     (s, dir) => {
-      val d = docs(s, dir)
+      // widened: the gate runs the minhash band chain over history TWICE
+      // (bloom build + present-key derivation) and the batch once — five
+      // ~0.5 s single-task jobs on the unsplittable fixture scan (profiled
+      // r16); the conditional widen parallelizes the chain and adds no
+      // join shuffle (the OperatorsSpec broadcast-verify pin still holds)
+      val d = docsW(s, dir)
       val batch = d.select(col("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" extra")))
