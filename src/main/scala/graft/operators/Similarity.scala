@@ -779,12 +779,26 @@ object Similarity {
   def pqEncode(candidates: DataFrame, model: Seq[Seq[(Long, Array[Double])]],
       dim: Int): DataFrame = {
     val subDim = dim / model.length
+    // hoist each subspace's slice and self-dot into their own projection
+    // steps (multi-referenced non-cheap aliases block CollapseProject, so
+    // each evaluates ONCE): the k distances per subspace then reference
+    // the materialized columns instead of re-slicing and re-self-dotting
+    // per code — identical vec_dot calls on identical inputs, identical
+    // doubles, ~3× fewer analyzed/optimized nodes per AQE round
+    val step0a = candidates.select(col("vec_id") +:
+      model.indices.map(s => subCol("embedding", s, subDim).as(s"__sv$s")): _*)
+    val step0b = step0a.select(col("vec_id") +:
+      (model.indices.map(s => col(s"__sv$s")) ++
+        model.indices.map(s => call_function("vec_dot",
+          col(s"__sv$s"), col(s"__sv$s")).as(s"__xx$s"))): _*)
     val distCols = model.zipWithIndex.flatMap { case (cb, s) =>
-      val sv = subCol("embedding", s, subDim)
       cb.map { case (code, c) =>
-        l2sqCols(sv, typedLit(c.toSeq)).as(s"__d${s}_$code") }
+        (col(s"__xx$s") -
+          lit(2.0) * call_function("vec_dot", col(s"__sv$s"), typedLit(c.toSeq)) +
+          call_function("vec_dot", typedLit(c.toSeq), typedLit(c.toSeq)))
+          .as(s"__d${s}_$code") }
     }
-    val step1 = candidates.select(col("vec_id") +: distCols: _*)
+    val step1 = step0b.select(col("vec_id") +: distCols: _*)
     val codeCols = model.zipWithIndex.map { case (cb, s) =>
       val dists = cb.map { case (code, _) => col(s"__d${s}_$code") }
       val mn = least(dists: _*)
@@ -821,13 +835,26 @@ object Similarity {
         "index would silently mis-slice subvectors")
     val subDim = dim / m
     val coded = pqEncode(candidates, model, dim)
+    // query-side slices + self-dots hoisted into the (tiny, broadcast)
+    // query frame — the ADC's 8 whens per subspace then reference two
+    // materialized columns instead of re-slicing q_vec and re-self-
+    // dotting per code (identical calls, identical doubles)
+    val queriesP = queries.select(queries.columns.map(col).toSeq ++
+      (0 until m).map(s => subCol("q_vec", s, subDim).as(s"__qsv$s")): _*)
+      .select(queries.columns.map(col).toSeq ++
+        (0 until m).map(s => col(s"__qsv$s")) ++
+        (0 until m).map(s => call_function("vec_dot",
+          col(s"__qsv$s"), col(s"__qsv$s")).as(s"__qxx$s")): _*)
     val adc = (0 until m).map { s =>
-      val q = subCol("q_vec", s, subDim)
       model(s).foldRight(lit(null).cast("double")) { case ((code, c), acc) =>
-        when(col(s"code_$s") === code, l2sqCols(q, typedLit(c.toSeq))).otherwise(acc)
+        when(col(s"code_$s") === code,
+          col(s"__qxx$s") -
+            lit(2.0) * call_function("vec_dot", col(s"__qsv$s"), typedLit(c.toSeq)) +
+            call_function("vec_dot", typedLit(c.toSeq), typedLit(c.toSeq)))
+          .otherwise(acc)
       }
     }.reduceLeft(_ + _)
-    val scored = coded.crossJoin(broadcast(queries)).withColumn("adc_dist", adc)
+    val scored = coded.crossJoin(broadcast(queriesP)).withColumn("adc_dist", adc)
     val local = Window.partitionBy(col("q_id"), col("__part"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
     val pruned = scored.withColumn("__part", spark_partition_id())

@@ -560,25 +560,32 @@ object Streams {
         val rank = when(col("_change_type") === "delete", 0).otherwise(1)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("_commit_version").desc, rank.desc)
+        // batch-lifetime cache: `latest` feeds BOTH merge joins (matched +
+        // insert anti-join) and the bootstrap write — unpersisted, each
+        // consumer would re-read the batch's change files and re-run the
+        // window (released at batch end below)
         val latest = changes
           .withColumn("__rank", row_number().over(w))
           .filter(col("__rank") === 1).drop("__rank")
+          .persist()
         val fs = new org.apache.hadoop.fs.Path(targetRoot)
           .getFileSystem(sp.sessionState.newHadoopConf())
         val exists = fs.exists(
           new org.apache.hadoop.fs.Path(targetRoot, "_delta_log"))
-        if (!exists) {
-          // bootstrap: the feed's first batch is the source snapshot
-          val rows = latest.filter(col("_change_type") =!= "delete")
-            .select(dataCols.map(col): _*)
-          graft.catalog.DeltaSink.write(rows, targetRoot, Map.empty)
-        } else if (changeCount > 0) {
-          graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
-            keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
-            matchedSet = dataCols.map(c => c -> s"s.$c").toMap,
-            matchedDeleteCond = Some("s._change_type = 'delete'"),
-            insertCond = Some("s._change_type != 'delete'"))
-        }
+        try {
+          if (!exists) {
+            // bootstrap: the feed's first batch is the source snapshot
+            val rows = latest.filter(col("_change_type") =!= "delete")
+              .select(dataCols.map(col): _*)
+            graft.catalog.DeltaSink.write(rows, targetRoot, Map.empty)
+          } else if (changeCount > 0) {
+            graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
+              keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
+              matchedSet = dataCols.map(c => c -> s"s.$c").toMap,
+              matchedDeleteCond = Some("s._change_type = 'delete'"),
+              insertCond = Some("s._change_type != 'delete'"))
+          }
+        } finally latest.unpersist(blocking = false)
         ()
     }
   }
@@ -608,19 +615,24 @@ object Streams {
         // last row per key within the batch (monotonic id = arrival order)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col("__arr").desc)
+        // batch-lifetime cache: `latest` feeds the emptiness probe and both
+        // of the merge's joins (released at batch end)
         val latest = batch
           .withColumn("__arr", monotonically_increasing_id())
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(dataCols.map(col): _*)
-        val fs = new org.apache.hadoop.fs.Path(targetRoot)
-          .getFileSystem(sp.sessionState.newHadoopConf())
-        val exists = fs.exists(new org.apache.hadoop.fs.Path(targetRoot, "_delta_log"))
-        if (!exists) graft.catalog.DeltaSink.write(latest, targetRoot, Map.empty)
-        else if (!latest.isEmpty)
-          graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
-            keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
-            matchedSet = dataCols.map(c => c -> s"s.$c").toMap)
+          .persist()
+        try {
+          val fs = new org.apache.hadoop.fs.Path(targetRoot)
+            .getFileSystem(sp.sessionState.newHadoopConf())
+          val exists = fs.exists(new org.apache.hadoop.fs.Path(targetRoot, "_delta_log"))
+          if (!exists) graft.catalog.DeltaSink.write(latest, targetRoot, Map.empty)
+          else if (!latest.isEmpty)
+            graft.catalog.DeltaSink.mergeInto(sp, targetRoot, latest,
+              keyCols.map(k => s"t.$k = s.$k").mkString(" AND "),
+              matchedSet = dataCols.map(c => c -> s"s.$c").toMap)
+        } finally latest.unpersist(blocking = false)
         ()
     }
   }
