@@ -30,7 +30,21 @@ object Tables {
   def widen(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (cores <= 2) return df
-    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
+    // SCAN-ROOTED ONLY (enforced, not just documented): the width probe
+    // below reads the PRE-AQE partition count, which is only meaningful on
+    // a bare scan — projections/filters preserve it, but anything already
+    // shaped (joins, aggregates, repartitions) reports a count AQE will
+    // re-derive anyway. Such frames return untouched.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
+    val scanRooted = df.queryExecution.logical.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
+    if (!scanRooted) return df
+    // NonFatal only: an OOM/linkage error in planning must surface, never
+    // be masked as "already wide"
+    val parts = try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => cores }
     if (parts * 2 >= cores) df else df.repartition(cores)
   }
 

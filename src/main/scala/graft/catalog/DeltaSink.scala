@@ -2675,34 +2675,6 @@ object DeltaSink {
     // the plain unconditional single-UPDATE merge keeps its r14 plan shape
     // (no extra expression nodes — the measured fixed planning cost)
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
-    // ONE aggregation pass over the matched join replaces r15's FOUR
-    // (ambiguity pre-pass, per-clause-kind counts, affected-file
-    // collect): per target row identity — (file, row hash) — the match
-    // count and the claiming clause, then a global fold. The ambiguity
-    // throw stays FIRST: nothing below consumes the other stats until
-    // cardinality is proven.
-    val mStatsRow = {
-      val F = org.apache.spark.sql.functions
-      matchedPairs
-        .select(col("t.__file").as("__f"),
-          F.xxhash64(srcCols.map(c => col(s"t.$c")): _*).as("__rid"),
-          col("__mc"))
-        .groupBy(col("__f"), col("__rid"))
-        .agg(F.count(lit(1)).as("__n"), F.max(col("__mc")).as("__c"))
-        .agg(F.max(col("__n")).as("__maxn"),
-          F.sum(F.when(MergeClauses.hit(col("__c"), delIdx), 1L).otherwise(0L))
-            .as("__ndel"),
-          F.sum(F.when(MergeClauses.hit(col("__c"), updIdx), 1L).otherwise(0L))
-            .as("__nupd"),
-          F.collect_set(F.when(col("__c") >= 0, col("__f"))).as("__files"))
-        .collect().head
-    }
-    if (!mStatsRow.isNullAt(0) && mStatsRow.getLong(0) > 1) throw DeltaReadException(
-      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    val deletedCount = if (mStatsRow.isNullAt(1)) 0L else mStatsRow.getLong(1)
-    val updatedCount = if (mStatsRow.isNullAt(2)) 0L else mStatsRow.getLong(2)
-    val matchedFilesAbs: Seq[String] = mStatsRow.getSeq[String](3)
-
     // BY SOURCE rows: target rows matching NOTHING in the source —
     // conditions see only `t.` columns. Ordered clauses with the same
     // first-match rule as the matched family (explicit list wins; else
@@ -2726,26 +2698,102 @@ object DeltaSink {
     val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
     val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
     // by-source rows carry their classification (`__bsc`, conditions see
-    // `t.` only); ONE aggregation pass replaces r15's three jobs over the
-    // anti-join (two clause-kind counts + the affected-file collect)
+    // `t.` only)
     val bsRows = if (!bySourceActive) null
       else pin(target.alias("t").join(s1.alias("s"), cond, "left_anti")
         .withColumn("__bsc", MergeClauses.clauseIdx(bsGates)))
-    val (bsDeletedCount, bsUpdatedCount, bySourceFilesAbs) =
-      if (!bySourceActive) (0L, 0L, Seq.empty[String])
+    // inserts: source rows matching NOTHING in the whole table, taken by
+    // the FIRST insert clause whose condition they satisfy (NULL ⇒ not
+    // satisfied; a row satisfying no clause does not insert), projected
+    // per that clause — identity whole-row or VALUES expressions with
+    // NULL-filled omitted columns.
+    val inserts =
+      if (insClauses.isEmpty) null
       else {
-        val F = org.apache.spark.sql.functions
-        val r = bsRows.agg(
+        val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+        // the claiming insert clause, computed ONCE per row (`__ic`) —
+        // each field then branches on the int, not on re-derived gates
+        val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
+          .withColumn("__ic", MergeClauses.clauseIdx(iGates))
+        val single = insClauses.length == 1
+        def insVal(f: StructField) = {
+          def valOf(i: Int) = insClauses(i).proj match {
+            // identity keeps the source column as-is in the single-clause
+            // case (the legacy shape); inside a chain it casts so the
+            // branches type-agree
+            case None => if (single) col(f.name) else col(f.name).cast(f.dataType)
+            case Some(p) => p.get(f.name).map(e => expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))
+          }
+          if (single) valOf(0)
+          else insClauses.indices.tail
+            .foldLeft(org.apache.spark.sql.functions
+              .when(col("__ic") === lit(0), valOf(0))) {
+              (acc, i) => acc.when(col("__ic") === lit(i), valOf(i))
+            }
+            .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
+        }
+        pin(unmatched.filter(col("__ic") >= 0)
+          .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*))
+      }
+    // ONE aggregation JOB replaces r16's three (matched-stats agg,
+    // by-source agg, insert count): the per-family one-row aggregate
+    // subtrees union into a single collect, so every statement pin
+    // (matched join, by-source anti-join, insert projection)
+    // materializes inside ONE driver-planned job whose independent
+    // stages run concurrently — guide §1.2 (fewer passes) + §2.6
+    // (overlap independent work). Join shapes are untouched: each
+    // subtree still broadcast-joins the source side exactly as before.
+    // The ambiguity throw still happens before anything is WRITTEN.
+    val statRows: Map[String, org.apache.spark.sql.Row] = {
+      val F = org.apache.spark.sql.functions
+      // per target row identity — (file, row hash) — the match count and
+      // the claiming clause, then a global fold
+      val mStats = matchedPairs
+        .select(col("t.__file").as("__f"),
+          F.xxhash64(srcCols.map(c => col(s"t.$c")): _*).as("__rid"),
+          col("__mc"))
+        .groupBy(col("__f"), col("__rid"))
+        .agg(F.count(lit(1)).as("__n"), F.max(col("__mc")).as("__c"))
+        .agg(F.max(col("__n")).as("__maxn"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), delIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__c"), updIdx), 1L).otherwise(0L))
+            .as("__nupd"),
+          F.collect_set(F.when(col("__c") >= 0, col("__f"))).as("__files"))
+        .select(lit("m").as("__kind"), col("__maxn"), col("__ndel"),
+          col("__nupd"), col("__files"))
+      val bsStats =
+        if (!bySourceActive) Nil
+        else Seq(bsRows.agg(
           F.sum(F.when(MergeClauses.hit(col("__bsc"), bsDelIdx), 1L).otherwise(0L))
             .as("__ndel"),
           F.sum(F.when(MergeClauses.hit(col("__bsc"), bsUpdIdx), 1L).otherwise(0L))
             .as("__nupd"),
           F.collect_set(F.when(col("__bsc") >= 0, col("__file"))).as("__files"))
-          .collect().head
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1),
-          r.getSeq[String](2))
-      }
+          .select(lit("b").as("__kind"), lit(null).cast("long").as("__maxn"),
+            col("__ndel"), col("__nupd"), col("__files")))
+      val insStats =
+        if (inserts == null) Nil
+        else Seq(inserts.agg(F.count(lit(1)).as("__n"))
+          .select(lit("i").as("__kind"), lit(null).cast("long").as("__maxn"),
+            col("__n").as("__ndel"), lit(null).cast("long").as("__nupd"),
+            lit(null).cast("array<string>").as("__files")))
+      (Seq(mStats) ++ bsStats ++ insStats).reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r).toMap
+    }
+    val mRow = statRows("m")
+    if (!mRow.isNullAt(1) && mRow.getLong(1) > 1) throw DeltaReadException(
+      s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
+    val deletedCount = if (mRow.isNullAt(2)) 0L else mRow.getLong(2)
+    val updatedCount = if (mRow.isNullAt(3)) 0L else mRow.getLong(3)
+    val matchedFilesAbs: Seq[String] = mRow.getSeq[String](4)
+    val (bsDeletedCount, bsUpdatedCount, bySourceFilesAbs) = statRows.get("b")
+      .map(r => (if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        Option(r.getSeq[String](4)).getOrElse(Seq.empty[String])))
+      .getOrElse((0L, 0L, Seq.empty[String]))
+    val insertCount = statRows.get("i").map(_.getLong(2)).getOrElse(0L)
     val bsDeleteRows = if (!bySourceActive) null
       else bsRows.filter(MergeClauses.hit(col("__bsc"), bsDelIdx))
     val bsUpdateRows = if (!bySourceActive) null
@@ -2867,41 +2915,6 @@ object DeltaSink {
       if (!doRewrite) null
       else updatePairs.select(schema.fieldNames.map(c => col(s"t.$c").as(c)).toSeq: _*)
 
-    // inserts: source rows matching NOTHING in the whole table, taken by
-    // the FIRST insert clause whose condition they satisfy (NULL ⇒ not
-    // satisfied; a row satisfying no clause does not insert), projected
-    // per that clause — identity whole-row or VALUES expressions with
-    // NULL-filled omitted columns.
-    val inserts =
-      if (insClauses.isEmpty) null
-      else {
-        val iGates = insClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-        // the claiming insert clause, computed ONCE per row (`__ic`) —
-        // each field then branches on the int, not on re-derived gates
-        val unmatched = s1.alias("s").join(target.alias("t"), cond, "left_anti")
-          .withColumn("__ic", MergeClauses.clauseIdx(iGates))
-        val single = insClauses.length == 1
-        def insVal(f: StructField) = {
-          def valOf(i: Int) = insClauses(i).proj match {
-            // identity keeps the source column as-is in the single-clause
-            // case (the legacy shape); inside a chain it casts so the
-            // branches type-agree
-            case None => if (single) col(f.name) else col(f.name).cast(f.dataType)
-            case Some(p) => p.get(f.name).map(e => expr(e).cast(f.dataType))
-              .getOrElse(lit(null).cast(f.dataType))
-          }
-          if (single) valOf(0)
-          else insClauses.indices.tail
-            .foldLeft(org.apache.spark.sql.functions
-              .when(col("__ic") === lit(0), valOf(0))) {
-              (acc, i) => acc.when(col("__ic") === lit(i), valOf(i))
-            }
-            .otherwise(lit(null).cast(f.dataType)) // unreachable under the filter
-        }
-        pin(unmatched.filter(col("__ic") >= 0)
-          .select(schema.fields.map(f => insVal(f).as(f.name)).toSeq: _*))
-      }
-    val insertCount = if (inserts == null) 0L else inserts.count()
     if (updatedCount == 0L && insertCount == 0L && deletedCount == 0L &&
       bsUpdatedCount == 0L && bsDeletedCount == 0L)
       return (0L, 0L)
@@ -2919,16 +2932,19 @@ object DeltaSink {
     // files carry materialized ids while insert files take fresh
     // base+position ids at commit — fusing would move insert rows into
     // id ranges the unfused layout never assigns (w14/w15/x22 pin ids).
-    val newFiles =
+    // Built as THUNKS: the independent writes run concurrently below.
+    val dataThunks: Seq[() => Seq[NewFile]] =
       if (doRewrite && insertCount > 0 && rtMat.isEmpty)
-        writeDataFiles(toPhys(rewritten.unionByName(inserts)), rootPath,
-          partColsT.map(physKey), Map.empty)
+        Seq(() => writeDataFiles(toPhys(rewritten.unionByName(inserts)), rootPath,
+          partColsT.map(physKey), Map.empty))
       else
         (if (doRewrite)
-          writeDataFiles(toPhys(rewritten), rootPath, partColsT.map(physKey), Map.empty)
+          Seq(() => writeDataFiles(toPhys(rewritten), rootPath,
+            partColsT.map(physKey), Map.empty))
         else Nil) ++
           (if (insertCount > 0)
-            writeDataFiles(toPhys(inserts), rootPath, partColsT.map(physKey), Map.empty)
+            Seq(() => writeDataFiles(toPhys(inserts), rootPath,
+              partColsT.map(physKey), Map.empty))
           else Nil)
     // row tracking + CDF: pre/post/delete change rows materialize their
     // stable ids into the cdc files (postimage version re-defaults to THIS
@@ -3002,10 +3018,26 @@ object DeltaSink {
     // [+ materialized id/version]) — union them into ONE cdc write instead
     // of one write job per change kind (values are branch-computed, so the
     // union changes file layout only, never a row)
-    val cdcFiles =
+    val cdcThunk: Seq[() => Seq[NewFile]] =
       if (cdcFrames.isEmpty) Nil
-      else writeDataFiles(toPhys(cdcFrames.reduce(_ unionByName _)), rootPath,
-        partColsT.map(physKey), Map.empty, subDir = Some("_change_data"))
+      else Seq(() => writeDataFiles(toPhys(cdcFrames.reduce(_ unionByName _)), rootPath,
+        partColsT.map(physKey), Map.empty, subDir = Some("_change_data")))
+    // CONCURRENT independent write jobs (guide §2.6 "overlap independent
+    // jobs"): the data write(s) and the cdc write consume only pinned
+    // statement frames and land in disjoint destinations, so driver
+    // planning, the jobs and the per-file finalize all overlap instead of
+    // running back to back. The micros-timestamp session pin is HELD
+    // ACROSS the phase: each write's nested pin then sets/restores the
+    // same value, so the concurrent set/reset can never race a writer
+    // onto INT96. ParallelFiles opens a fresh pool per call (threads
+    // inherit this statement's job group), and results return in input
+    // order — commit lines and row-id allocation see exactly the layout
+    // the serial loop produced.
+    val written = IcebergSink.withMicrosTimestamps(spark) {
+      ParallelFiles.mapOrdered(dataThunks ++ cdcThunk)(t => t())
+    }
+    val newFiles = written.take(dataThunks.length).flatten
+    val cdcFiles = written.drop(dataThunks.length).flatten
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val lines = Seq.newBuilder[String]

@@ -2422,13 +2422,24 @@ object IcebergSink {
       .withColumn("__mc", MergeClauses.clauseIdx(gates)))
     try {
     val matchedCondActive = clauses.exists(_.cond.isDefined) || clauses.length > 1
-    // ONE aggregation pass over the matched join: the r15 ambiguity
-    // pre-pass fused with the per-clause-kind counts — which also lets
-    // zero-row tombstone/data writes be SKIPPED instead of running
-    // join-scale jobs to write nothing
-    val mStatsRow = {
+    // BY SOURCE clause setup hoisted ABOVE the stats pass so one job can
+    // serve both families (conditions see `t.` only; ordered clauses,
+    // first-match — the Delta sibling's contract).
+    val bySourceActive = bsClauses.nonEmpty
+    val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
+    val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
+    // by-source rows carry their classification (`__bsc`)
+    val bsRows = if (!bySourceActive) null
+      else pin(target.join(s1, cond, "left_anti")
+        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates)))
+    // ONE aggregation JOB serves BOTH families (r16 ran the matched-stats
+    // agg and the by-source agg as two jobs): the two one-row aggregate
+    // subtrees union into a single collect, materializing both statement
+    // pins in one driver-planned job whose independent stages run
+    // concurrently — guide §1.2 + §2.6. Join shapes untouched.
+    val statRows: Map[String, org.apache.spark.sql.Row] = {
       val F = org.apache.spark.sql.functions
-      matchedPairs
+      val mStats = matchedPairs
         .select(col("t.__file").as("__f"), col("t.__pos").as("__p"), col("__mc"))
         .groupBy(col("__f"), col("__p"))
         .agg(F.count(lit(1)).as("__n"), F.max(col("__mc")).as("__c"))
@@ -2437,20 +2448,28 @@ object IcebergSink {
             .as("__ndel"),
           F.sum(F.when(MergeClauses.hit(col("__c"), updIdx), 1L).otherwise(0L))
             .as("__nupd"))
-        .collect().head
+        .select(lit("m").as("__kind"), col("__maxn"), col("__ndel"), col("__nupd"))
+      val bsStats =
+        if (!bySourceActive) Nil
+        else Seq(bsRows.agg(
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsDelIdx), 1L).otherwise(0L))
+            .as("__ndel"),
+          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsUpdIdx), 1L).otherwise(0L))
+            .as("__nupd"))
+          .select(lit("b").as("__kind"), lit(null).cast("long").as("__maxn"),
+            col("__ndel"), col("__nupd")))
+      (Seq(mStats) ++ bsStats).reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r).toMap
     }
-    if (!mStatsRow.isNullAt(0) && mStatsRow.getLong(0) > 1) throw IcebergReadException(
+    val mStatsRow = statRows("m")
+    if (!mStatsRow.isNullAt(1) && mStatsRow.getLong(1) > 1) throw IcebergReadException(
       s"`$path`: MERGE is ambiguous — multiple source rows match one target row")
-    val mDeleted = if (mStatsRow.isNullAt(1)) 0L else mStatsRow.getLong(1)
-    val updated = if (mStatsRow.isNullAt(2)) 0L else mStatsRow.getLong(2)
-    // ONE tombstone write covers delete- AND update-claimed rows (`__mc`
-    // >= 0 ⇔ modified — every matched clause is an UPDATE or DELETE);
-    // r15 wrote them as two separate join-scale passes
-    val mDelFiles =
-      if (mDeleted + updated == 0L) Nil
-      else writeMoved(matchedPairs.filter(col("__mc") >= 0).select(
-        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
-        st, s"mdd-$stamp")
+    val mDeleted = if (mStatsRow.isNullAt(2)) 0L else mStatsRow.getLong(2)
+    val updated = if (mStatsRow.isNullAt(3)) 0L else mStatsRow.getLong(3)
+    val (bsDeleted, bsUpdated) = statRows.get("b")
+      .map(r => (if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+      .getOrElse((0L, 0L))
     val updatePairs = matchedPairs.filter(MergeClauses.hit(col("__mc"), updIdx))
     // SET-transformed value per field: one branch per update clause on
     // the PRE-COMPUTED `__mc` (never re-derived per field); the plain
@@ -2467,55 +2486,6 @@ object IcebergSink {
         }
         .otherwise(col(s"t.${f.name}"))
     }
-    val updFiles =
-      if (updated > 0)
-        // row lineage: updated rows keep their ids; sequence re-defaults
-        writeMorData(updatePairs.select(
-          scanFields.map(f => newVal(f).as(f.name)) ++
-            (if (st.hasLineage)
-              Seq(col("t.__rlid").as(RowIdColName),
-                org.apache.spark.sql.functions.lit(null).cast("long")
-                  .as(LastSeqColName))
-            else Nil): _*), st, s"mrgu-$stamp")
-      else Nil
-    val insFiles =
-      if (insClauses.nonEmpty) {
-        val unmatched = s1.join(target, cond, "left_anti")
-        writeMorData(insertFrame(unmatched, scanFields), st, s"mrgi-$stamp")
-      } else Nil
-    val inserted = insFiles.map(_.rows).sum
-    // BY SOURCE: target rows matching NOTHING in the source (conditions
-    // see `t.` only; ordered clauses, first-match — the Delta sibling's
-    // contract). Deletes are positional tombstones; updates tombstone +
-    // re-append their new images (row lineage: updated rows keep ids,
-    // re-default their sequence).
-    val bySourceActive = bsClauses.nonEmpty
-    val bsGates = bsClauses.map(c => c.cond.map(condCol).getOrElse(lit(true)))
-    val bsCondActive = bsClauses.exists(_.cond.isDefined) || bsClauses.length > 1
-    // by-source rows carry their classification (`__bsc`, conditions see
-    // `t.` only); ONE stats pass gates the writes, and ONE tombstone
-    // write covers by-source deletes AND updates (r15: two passes)
-    val bsRows = if (!bySourceActive) null
-      else pin(target.join(s1, cond, "left_anti")
-        .withColumn("__bsc", MergeClauses.clauseIdx(bsGates)))
-    val (bsDeleted, bsUpdated) =
-      if (!bySourceActive) (0L, 0L)
-      else {
-        val F = org.apache.spark.sql.functions
-        val r = bsRows.agg(
-          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsDelIdx), 1L).otherwise(0L))
-            .as("__ndel"),
-          F.sum(F.when(MergeClauses.hit(col("__bsc"), bsUpdIdx), 1L).otherwise(0L))
-            .as("__nupd"))
-          .collect().head
-        (if (r.isNullAt(0)) 0L else r.getLong(0),
-          if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-    val bsDelFiles =
-      if (bsDeleted + bsUpdated == 0L) Nil
-      else writeMoved(bsRows.filter(col("__bsc") >= 0).select(
-        col("t.__file").as("file_path"), col("t.__pos").as("pos")),
-        st, s"bsd-$stamp")
     val bsUpdRows = if (!bySourceActive) null
       else bsRows.filter(MergeClauses.hit(col("__bsc"), bsUpdIdx))
     // by-source SET value per field: branches on `__bsc`
@@ -2531,15 +2501,73 @@ object IcebergSink {
         }
         .otherwise(col(s"t.${f.name}"))
     }
-    val bsUpdFiles =
-      if (bsUpdated > 0)
-        writeMorData(bsUpdRows.select(
-          scanFields.map(f => bsVal(f).as(f.name)) ++
-            (if (st.hasLineage)
-              Seq(col("t.__rlid").as(RowIdColName),
-                lit(null).cast("long").as(LastSeqColName))
-            else Nil): _*), st, s"bsui-$stamp")
-      else Nil
+    // CONCURRENT independent write jobs (guide §2.6 "overlap independent
+    // jobs"): the five writes — matched tombstones, update images,
+    // inserts, by-source tombstones, by-source images — consume only the
+    // pinned statement frames, write under DISTINCT prefixes/tmp dirs and
+    // feed commitMor as ordered lists, so driver planning, the jobs and
+    // the per-file finalize all overlap instead of running back to back
+    // (r16 ran them as up to five sequential jobs). The micros-timestamp
+    // session pin is HELD ACROSS the phase, making each write's nested
+    // set/restore a same-value no-op — no INT96 race. The pool is fresh
+    // (threads inherit this statement's job group) and the commit sees
+    // exactly the per-list file order the serial loop produced.
+    val (mDelFiles, updFiles, insFiles, bsDelFiles, bsUpdFiles) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try withMicrosTimestamps(spark) {
+        // ONE tombstone write covers delete- AND update-claimed rows
+        // (`__mc` >= 0 ⇔ modified); zero-row writes are SKIPPED instead
+        // of running join-scale jobs to write nothing
+        val fMDel = Future {
+          if (mDeleted + updated == 0L) Nil
+          else writeMoved(matchedPairs.filter(col("__mc") >= 0).select(
+            col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+            st, s"mdd-$stamp")
+        }
+        val fUpd = Future {
+          if (updated > 0)
+            // row lineage: updated rows keep their ids; sequence re-defaults
+            writeMorData(updatePairs.select(
+              scanFields.map(f => newVal(f).as(f.name)) ++
+                (if (st.hasLineage)
+                  Seq(col("t.__rlid").as(RowIdColName),
+                    org.apache.spark.sql.functions.lit(null).cast("long")
+                      .as(LastSeqColName))
+                else Nil): _*), st, s"mrgu-$stamp")
+          else Nil
+        }
+        val fIns = Future {
+          if (insClauses.nonEmpty) {
+            val unmatched = s1.join(target, cond, "left_anti")
+            writeMorData(insertFrame(unmatched, scanFields), st, s"mrgi-$stamp")
+          } else Nil
+        }
+        val fBsDel = Future {
+          if (bsDeleted + bsUpdated == 0L) Nil
+          else writeMoved(bsRows.filter(col("__bsc") >= 0).select(
+            col("t.__file").as("file_path"), col("t.__pos").as("pos")),
+            st, s"bsd-$stamp")
+        }
+        val fBsUpd = Future {
+          if (bsUpdated > 0)
+            writeMorData(bsUpdRows.select(
+              scanFields.map(f => bsVal(f).as(f.name)) ++
+                (if (st.hasLineage)
+                  Seq(col("t.__rlid").as(RowIdColName),
+                    lit(null).cast("long").as(LastSeqColName))
+                else Nil): _*), st, s"bsui-$stamp")
+          else Nil
+        }
+        (Await.result(fMDel, Duration.Inf), Await.result(fUpd, Duration.Inf),
+          Await.result(fIns, Duration.Inf), Await.result(fBsDel, Duration.Inf),
+          Await.result(fBsUpd, Duration.Inf))
+      } finally pool.shutdown()
+    }
+    val inserted = insFiles.map(_.rows).sum
     if (updated == 0L && inserted == 0L && bsUpdated == 0L && bsDeleted == 0L &&
       mDeleted == 0L)
       return (0L, 0L)

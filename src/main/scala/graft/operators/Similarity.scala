@@ -436,8 +436,18 @@ object Similarity {
     * the centroid literals, so the only cluster work is the probe-cell
     * scan + two-phase top-k. */
   def ivfSearchWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
+      model: Seq[(Long, Array[Double])], nprobe: Int): DataFrame =
+    ivfSearchWithCelled(queries, assignCells(candidates, model), k, model, nprobe)
+
+  /** The query half of [[ivfSearchWithModel]] against an ALREADY-CELLED
+    * corpus frame (`assignCells(candidates, model)`): a serving stream
+    * computes and pins the cell assignment ONCE per model generation
+    * instead of re-running it every micro-batch — the assignment is a
+    * deterministic projection of (corpus, model), so serving from the
+    * materialized frame is bit-identical to the fused chain (which
+    * composes these two functions verbatim). */
+  def ivfSearchWithCelled(queries: DataFrame, celled: DataFrame, k: Int,
       model: Seq[(Long, Array[Double])], nprobe: Int): DataFrame = {
-    val celled = assignCells(candidates, model)
     // top-nprobe cells per query: sort (-sim, cell) structs — sim DESC with
     // ties to the smaller cell id, as in the window form it replaces
     val picks = model.map { case (cell, _) =>
@@ -827,6 +837,18 @@ object Similarity {
     * by [[AnnIndex.searchPq]]. Zero training jobs: encoding and the ADC
     * lookup are projections against the codebook literals. */
   def pqSearchWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
+      model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame =
+    pqSearchWithCodes(queries, pqEncode(candidates, model, dim), k, model, dim)
+
+  /** The query half of [[pqSearchWithModel]] against an ALREADY-ENCODED
+    * corpus frame (`pqEncode(candidates, model, dim)`): a serving stream
+    * computes and pins the code table ONCE per codebook generation
+    * instead of re-encoding the corpus (and re-planning the k×m distance
+    * projection) every micro-batch — encoding is a deterministic
+    * projection of (corpus, model), so serving from the materialized
+    * frame is bit-identical to the fused chain (which composes these two
+    * functions verbatim). */
+  def pqSearchWithCodes(queries: DataFrame, coded: DataFrame, k: Int,
       model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
     val m = model.length
     require(m >= 1 && dim % m == 0,
@@ -834,7 +856,6 @@ object Similarity {
         s"$m subspaces (same contract as pqModel) — a mismatched persisted " +
         "index would silently mis-slice subvectors")
     val subDim = dim / m
-    val coded = pqEncode(candidates, model, dim)
     // query-side slices + self-dots hoisted into the (tiny, broadcast)
     // query frame — the ADC's 8 whens per subspace then reference two
     // materialized columns instead of re-slicing q_vec and re-self-
@@ -957,9 +978,20 @@ object Similarity {
     * to the inline-trained chain — the same contract that lets s10's
     * oracle also gate the streaming PQ serving (x32). */
   def pqRerankWithModel(queries: DataFrame, candidates: DataFrame, k: Int,
-      kCand: Int, model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
+      kCand: Int, model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame =
+    pqRerankWithCodes(queries, pqEncode(candidates, model, dim), candidates,
+      k, kCand, model, dim)
+
+  /** [[pqRerankWithModel]] served from an ALREADY-ENCODED corpus frame —
+    * the PQ/ADC coarse stage reads the materialized codes ([[pqEncode]]
+    * output, computed once per codebook generation by a serving stream)
+    * and only the exact-cosine rerank touches full vectors. Bit-identical
+    * to the fused chain (which composes this function with pqEncode). */
+  def pqRerankWithCodes(queries: DataFrame, coded: DataFrame,
+      candidates: DataFrame, k: Int, kCand: Int,
+      model: Seq[Seq[(Long, Array[Double])]], dim: Int): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
-    val cand = pqSearchWithModel(queries, candidates, kCand, model, dim)
+    val cand = pqSearchWithCodes(queries, coded, kCand, model, dim)
       .select(col("q_id"), col("vec_id"))
     val rer = cand
       .join(candidates.select(col("vec_id"), col("embedding").as("__cv")), Seq("vec_id"))

@@ -104,10 +104,18 @@ object Streams {
       indexPath: String, outRoot: String, k: Int, nprobe: Int,
       appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val model = graft.operators.AnnIndex.loadIvf(queries.sparkSession, indexPath)
+    // the corpus's cell assignment is a pure function of (corpus, model) —
+    // both pinned for the stream's lifetime — so compute it ONCE per
+    // generation and serve every micro-batch from the materialized frame
+    // (an unmaterialized static side re-runs the whole assignment
+    // projection, and its planning, every trigger). Released with the
+    // other static pins when the session's streams go idle.
+    val celled = graft.operators.Similarity.assignCells(candidates, model)
+    pinStaticKeyed(s"annserve-ivf:$outRoot", celled)
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val res = graft.operators.Similarity
-          .ivfSearchWithModel(batch.toDF(), candidates, k, model, nprobe)
+          .ivfSearchWithCelled(batch.toDF(), celled, k, model, nprobe)
         graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
           txn = Some((appId, batchId)))
         ()
@@ -127,10 +135,18 @@ object Streams {
       indexPath: String, outRoot: String, k: Int, kCand: Int, dim: Int,
       appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val model = graft.operators.AnnIndex.loadPq(queries.sparkSession, indexPath)
+    // the corpus code table is a pure function of (corpus, codebooks) —
+    // both pinned for the stream's lifetime — so encode ONCE per
+    // generation and serve every micro-batch from the materialized codes:
+    // the per-trigger plan drops the whole k×m distance/argmin projection
+    // (x32 measured the serve path driver-bound on exactly that
+    // re-planning). Released when the session's streams go idle.
+    val coded = graft.operators.Similarity.pqEncode(candidates, model, dim)
+    pinStaticKeyed(s"annserve-pq:$outRoot", coded)
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val res = graft.operators.Similarity
-          .pqRerankWithModel(batch.toDF(), candidates, k, kCand, model, dim)
+          .pqRerankWithCodes(batch.toDF(), coded, candidates, k, kCand, model, dim)
         graft.catalog.DeltaSink.write(res, outRoot, Map.empty,
           txn = Some((appId, batchId)))
         ()
@@ -151,6 +167,11 @@ object Streams {
       indexPath: String, outRoot: String, k: Int, kCand: Int,
       appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val codes = graft.operators.AnnIndex.loadSqCodes(queries.sparkSession, indexPath)
+    // the code TABLE generation is pinned for the stream's lifetime — an
+    // unmaterialized static side re-replays the index table's delta log
+    // and re-scans its files every micro-batch. Released when the
+    // session's streams go idle.
+    pinStaticKeyed(s"annserve-sq:$outRoot", codes)
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val res = graft.operators.Similarity
@@ -390,8 +411,9 @@ object Streams {
     // pin the gate's static index generation: a stream-static join
     // re-executes an unmaterialized static plan EVERY micro-batch — the
     // eval set would re-minhash per trigger (same reasoning as the pinned
-    // ANN model; swap-released when the next gate generation builds)
-    pinStatic(evalBands)
+    // ANN model; swap-released when the next contamination gate builds,
+    // fully released when the session's streams go idle)
+    pinStaticKeyed("contamination-gate", evalBands)
     val arriving = Dedup.bandSignatures(
       Dedup.minhashWide(stream, textCol, idCol), idCol)
     arriving.join(org.apache.spark.sql.functions.broadcast(evalBands),
@@ -680,7 +702,7 @@ object Streams {
       .select(col(idCol).as("vec_corpus"), col("band"), col("band_sig"))
     // pin the banded static index: without it every micro-batch re-bands
     // and re-caps the whole corpus (stream-static re-execution)
-    pinStatic(idxOk)
+    pinStaticKeyed("neardup-gate", idxOk)
     val corpusVec = corpus.select(col(idCol).as("vec_corpus"), col(vecCol).as("__vc"))
     val sBands = Similarity.cosineLshBandsKeep(stream, idCol, vecCol, k, rowsPerBand)
       .select(col(idCol).as("vec_new"), col(vecCol).as("__vn"),
@@ -692,18 +714,54 @@ object Streams {
       .select(col("vec_new"), col("vec_corpus"), col("cos_sim"))
   }
 
-  /** The resident static-index cache of the most recent gate build
-    * (contaminationGate's eval bands / nearDupGate's banded corpus —
-    * the substringGate caller pins its own dup-gram set): swapping in a
-    * new generation unpersists the previous one, so long-lived sessions
-    * hold at most one build's frames. A gate whose pins were swapped out
-    * stays CORRECT — its static plan simply recomputes per batch again. */
+  /** Resident static-index caches, one slot PER GATE KEY (contamination
+    * bands, banded corpus, serve-path codes, the x24 dup-gram set):
+    * rebuilding a gate swaps and releases only ITS OWN previous
+    * generation, so building a second gate of a DIFFERENT kind can no
+    * longer evict a running stream's pinned index (the r16 single-slot
+    * design did — the evicted stream silently reverted to full
+    * per-micro-batch recomputation of its static side). Two concurrent
+    * streams of the SAME gate kind still share a slot — pass a
+    * caller-unique key (e.g. the output root) where that matters.
+    *
+    * Pins are STREAM-lifetime, not session-lifetime: a
+    * StreamingQueryListener releases every slot once the session's last
+    * active stream terminates (the r16 slot held its final generation
+    * forever). A gate whose pins were released stays CORRECT — its
+    * static plan simply recomputes per batch again. */
   private val staticPins =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+  private val pinListenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
-  private[graft] def pinStatic(dfs: DataFrame*): Unit = {
+  private[graft] def pinStatic(dfs: DataFrame*): Unit =
+    pinStaticKeyed("__default", dfs: _*)
+
+  private[graft] def pinStaticKeyed(key: String, dfs: DataFrame*): Unit = {
+    if (dfs.isEmpty) return
+    val spark = dfs.head.sparkSession
+    if (pinListenerInstalled.add(spark))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (spark.streams.active.isEmpty) releaseStaticPins()
+        })
     val next = dfs.toSeq.map(_.persist())
-    staticPins.getAndSet(next).foreach(_.unpersist(blocking = false))
+    Option(staticPins.put(key, next)).foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Release every pinned static-index generation (the last active
+    * stream's termination calls this; harmless when nothing is pinned). */
+  private[graft] def releaseStaticPins(): Unit = {
+    val it = staticPins.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      Option(staticPins.remove(k)).foreach(_.foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** Gap-based sessionization via session_window: a session closes when no

@@ -28,6 +28,10 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    // exact task attribution: SparkListenerJobStart declares its stage ids,
+    // so map stageId → jobId instead of guessing "most recent open job"
+    // (concurrent jobs — e.g. the merge writes — would misattribute there)
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
     @volatile var recording = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (recording) {
@@ -36,18 +40,17 @@ object QueryProfile {
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("?")
+        e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
         jobs.put(e.jobId, JobRec(e.jobId, desc, e.time))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        val r = jobs.get(e.jobId); if (r != null) r.end = e.time
+        val r = jobs.get(e.jobId); if (r != null) r.synchronized { r.end = e.time }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        // attribute via active job of the stage — approximate by most
-        // recent open job (jobs here never overlap within one query)
         if (recording && e.taskMetrics != null) {
-          val open = jobs.values().toArray(Array.empty[JobRec])
-            .filter(_.end == 0L).sortBy(_.id).lastOption
-          open.foreach { r =>
+          val jid = stageJob.get(e.stageId)
+          val r = if (jid != null) jobs.get(jid.intValue()) else null
+          if (r != null) r.synchronized {
             r.tasks += 1; r.taskTimeMs += e.taskMetrics.executorRunTime
           }
         }
@@ -71,6 +74,7 @@ object QueryProfile {
       catch { case _: Throwable => () }
       val walls = (1 to runs).map { pass =>
         jobs.clear()
+        stageJob.clear()
         recording = true
         val wallStart = System.currentTimeMillis()
         val wall = once(name, sfDir)

@@ -311,8 +311,13 @@ class PlanSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
         s"$q shuffles by key — a 100 TB scan would too")
-      assert(!p.contains("Exchange") || p.contains("RoundRobinPartitioning"),
-        s"$q carries a non-round-robin exchange")
+      // EVERY shuffle exchange must be the round-robin widen — one stray
+      // SinglePartition exchange (a global sort/limit collapse) would
+      // serialize the whole scan even with a round-robin present elsewhere
+      val nEx = """\(\d+\) Exchange\b""".r.findAllMatchIn(p).length
+      val nRr = """Arguments: RoundRobinPartitioning""".r.findAllMatchIn(p).length
+      assert(nEx == nRr,
+        s"$q carries a non-round-robin exchange ($nEx exchanges, $nRr round-robin):\n$p")
     }
   }
 
