@@ -1897,6 +1897,14 @@ object DeltaSink {
         graft.sources.PathKeys.keyCol(col("__file")) === col("__dv_file") &&
           col("__pos") === col("__dv_pos"), "left_anti")
     }
+    // statement-lifetime pin on the UPDATE path: matchedRows feeds BOTH
+    // the descriptor pass and the post-SET image write — unpinned, each
+    // re-ran the full scan + predicate (guide §1.2). The DELETE path has
+    // one consumer and skips the pin.
+    if (isUpdate)
+      matchedRows = matchedRows
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val matched0 = matchedRows.select(col("__file"), col("__pos"))
     val matched = deadDf match {
       case None => matched0
@@ -1916,7 +1924,7 @@ object DeltaSink {
     val confBc = spark.sparkContext.broadcast(confEntries)
     val rootStr = rootPath.toString
     import spark.implicits._
-    val descriptors: Seq[(String, String, String, Int, Long)] =
+    def descriptorJob(): Seq[(String, String, String, Int, Long)] =
       matched.as[(String, Long)].groupByKey(_._1).mapGroups { (file, it) =>
         val positions = it.map(_._2).toArray.toSeq
         val bytes = DeletionVectors.RoaringBitmapArray.serialize(positions)
@@ -1940,13 +1948,10 @@ object DeltaSink {
           (file, "u", DeletionVectors.Z85.encode(bb.array()), bytes.length, positions.size.toLong)
         }
       }.collect().toSeq
-    if (descriptors.isEmpty) return 0L
 
     // UPDATE: the SET-transformed images of the matched rows append as
     // new data files in the same commit (SET sees the PRE-update row)
-    val imageFiles =
-      if (!isUpdate) Nil
-      else {
+    def imageJob(): Seq[NewFile] = {
         val transforms = schema.fields.map { f =>
           setExprs.get(f.name)
             .map(e => expr(e).cast(f.dataType).as(f.name))
@@ -1968,7 +1973,26 @@ object DeltaSink {
         // post-SET images are rows this writer ADDS — constraint-check them
         validateIncomingRows(st, images, path)
         writeDataFiles(toPhys(images), rootPath, partColsT.map(physKey), Map.empty)
+    }
+    // the descriptor pass and (on UPDATE) the image write are independent
+    // consumers of the pinned matched rows — run them CONCURRENTLY
+    // (guide §2.6). Zero matches ⇒ both produce nothing ⇒ return 0 with
+    // no commit, exactly as before.
+    val (descriptors, imageFiles) =
+      if (!isUpdate) (descriptorJob(), Seq.empty[NewFile])
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try IcebergSink.withMicrosTimestamps(spark) {
+          val fDesc = Future { descriptorJob() }
+          val fImg = Future { imageJob() }
+          (Await.result(fDesc, Duration.Inf), Await.result(fImg, Duration.Inf))
+        } finally pool.shutdown()
       }
+    if (descriptors.isEmpty) return 0L
 
     def esc(s: String): String = mapper.writeValueAsString(s)
     val nowMs = System.currentTimeMillis()
@@ -2052,6 +2076,7 @@ object DeltaSink {
         d.cardinality
     }.sum
     descriptors.map(_._5).sum - carriedOld
+    } finally { if (isUpdate) matchedRows.unpersist(blocking = false) }
   }
 
   /** REORG ... APPLY (PURGE): materialize deletion vectors — ONLY the

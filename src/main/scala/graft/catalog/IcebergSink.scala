@@ -2124,22 +2124,42 @@ object IcebergSink {
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val rows = liveRows(spark, st)
+    // statement-lifetime pin: `matches` feeds BOTH the puffin-DV pass and
+    // the post-SET image write — unpinned, each re-ran the live-rows scan
+    // and the predicate (guide §1.2)
     val matches = rows.filter(expr(predicateSql))
-    val (mergedPos, carriedFor, carriedOldFor) = mergeDvMatches(spark, st,
-      matches.select(col("__file"), col("__pos")))
-    val dvEntries = writePuffinDvs(spark, st, mergedPos)
-    if (dvEntries.isEmpty) return 0L
-    val dataCols = rows.schema.fields
-      .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
-    val updatedRows = matches.select(dataCols.map { f =>
-      sets.get(f.name).map(e => expr(e).cast(f.dataType))
-        .getOrElse(col(f.name)).as(f.name)
-    }: _*)
-    val dataFiles = writeMorData(updatedRows, st, s"updv-$stamp")
-    commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql,
-      "graft-strategy" -> "deletion-vector"), Nil, dataFiles,
-      dvEntries = dvEntries, carriedOverride = carriedFor(dvEntries))
-    dvEntries.map(_.cardinality).sum - carriedOldFor(dvEntries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (mergedPos, carriedFor, carriedOldFor) = mergeDvMatches(spark, st,
+        matches.select(col("__file"), col("__pos")))
+      val dataCols = rows.schema.fields
+        .filterNot(f => f.name == "__file" || f.name == "__pos").toSeq
+      val updatedRows = matches.select(dataCols.map { f =>
+        sets.get(f.name).map(e => expr(e).cast(f.dataType))
+          .getOrElse(col(f.name)).as(f.name)
+      }: _*)
+      // the DV pass and the image write are independent consumers of the
+      // pinned matches — run them CONCURRENTLY (guide §2.6); the commit
+      // still sees both results in the serial order. Zero matches ⇒ both
+      // produce nothing ⇒ no commit, exactly as before.
+      val (dvEntries, dataFiles) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try withMicrosTimestamps(spark) {
+          val fDv = Future { writePuffinDvs(spark, st, mergedPos) }
+          val fData = Future { writeMorData(updatedRows, st, s"updv-$stamp") }
+          (Await.result(fDv, Duration.Inf), Await.result(fData, Duration.Inf))
+        } finally pool.shutdown()
+      }
+      if (dvEntries.isEmpty) return 0L
+      commitMor(st, "overwrite", Seq("graft-predicate" -> predicateSql,
+        "graft-strategy" -> "deletion-vector"), Nil, dataFiles,
+        dvEntries = dvEntries, carriedOverride = carriedFor(dvEntries))
+      dvEntries.map(_.cardinality).sum - carriedOldFor(dvEntries)
+    } finally matches.unpersist(blocking = false)
   }
 
   /** Executor-side puffin DV writer shared by the DV DELETE and UPDATE:
